@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "customer")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def events(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "events")
+}
+
+/**
+ * Deterministic, partitioning-invariant vector synthesis over the driver
+ * tables (FIXTURES.md §3). The same arithmetic is emitted as DuckDB SQL by
+ * [[graft.oracle.OracleGen]]; keeping the constants here keeps both sides
+ * in lock-step.
+ *
+ * Two domains:
+ *
+ *  - '''intVec''': integer components in [-500, 500]. Dot products are
+ *    exact integers in DOUBLE, so scores hash-match the oracle bit-for-bit
+ *    regardless of aggregation order.
+ *
+ *  - '''fp16Vec''': components sgn * (1 + m/1024) * 2^s with m in [0,1024),
+ *    s in {-1,0,1} — every value is exactly representable in IEEE half
+ *    (11-bit significand), so the float32->fp16 cast is the identity and
+ *    the reference's mantissa-truncation (`ANNCode.py:186-216`) reduces to
+ *    integer arithmetic on m that plain SQL can replicate. Products of two
+ *    components carry <= 24 significant bits -> all pairwise sums of dim
+ *    products are EXACT in DOUBLE -> refinement scores/cushions are
+ *    bit-reproducible across engines and partitionings.
+ */
+object Fixture {
+  // mixing constants (shared with OracleGen; arbitrary odd multipliers).
+  // Every hash is first reduced mod the Mersenne prime 2^31-1 so component
+  // streams are NOT periodic in `key` with the small final modulus.
+  final val HMul   = 2654435761L
+  final val JMul   = 40503L
+  final val SgnMul = 69621L
+  final val SgnJ   = 12345L
+  final val ScMul  = 48271L
+  final val ScJ    = 16807L
+  final val BigP   = 2147483647L
+
+  /** BIGINT row key for lineitem (linenumber is 1..7; pairs can repeat in
+    * the synthetic data, so vector tables must take DISTINCT keys). */
+  def lineitemKey: Column = col("l_orderkey") * 10 + col("l_linenumber")
+
+  private def h(key: Column, j: Int): Column =
+    (key * HMul + lit((j + 1) * JMul)) % BigP
+
+  /** Integer-domain component: (((key*HMul + (j+1)*JMul) % P) % 1001) - 500. */
+  def intComponent(key: Column, j: Int): Column =
+    (h(key, j) % 1001L - 500L).cast("float")
+
+  def intVec(key: Column, d: Int): Column =
+    array((0 until d).map(j => intComponent(key, j)): _*)
+
+  /** fp16-exact component pieces. */
+  def mant(key: Column, j: Int): Column = h(key, j) % 1024L
+  def sgn(key: Column, j: Int): Column =
+    when(((key * SgnMul + lit(j * SgnJ)) % BigP) % 2L === 0L, 1.0).otherwise(-1.0)
+  /** scale exponent s in {-1, 0, 1} -> multiplier 2^s */
+  def scaleExp(key: Column, j: Int): Column =
+    ((key * ScMul + lit(j * ScJ)) % BigP) % 3L - 1L
+  def scaleMul(key: Column, j: Int): Column = {
+    val s = scaleExp(key, j)
+    when(s === -1L, 0.5).when(s === 0L, 1.0).otherwise(2.0)
+  }
+
+  def fp16Component(key: Column, j: Int): Column =
+    (sgn(key, j) * (lit(1.0) + mant(key, j).cast("double") / 1024.0) * scaleMul(key, j))
+      .cast("float")
+
+  def fp16Vec(key: Column, d: Int): Column =
+    array((0 until d).map(j => fp16Component(key, j)): _*)
+
+  /** Reduced component: mantissa truncated to keepM bits (drop = 10-keepM). */
+  def fp16ReducedComponent(key: Column, j: Int, keepM: Int): Column = {
+    val dropPow = 1L << (10 - keepM)
+    val m  = mant(key, j)
+    val rm = m - (m % dropPow)
+    (sgn(key, j) * (lit(1.0) + rm.cast("double") / 1024.0) * scaleMul(key, j))
+      .cast("float")
+  }
+
+  def fp16ReducedVec(key: Column, d: Int, keepM: Int): Column =
+    array((0 until d).map(j => fp16ReducedComponent(key, j, keepM)): _*)
+
+  /** Delta = 2^(e-15-keepM); component exponent is 15+s -> 2^(s-keepM). */
+  def fp16DeltaComponent(key: Column, j: Int, keepM: Int): Column =
+    (scaleMul(key, j) * lit(math.pow(2.0, -keepM))).cast("float")
+
+  def fp16DeltaVec(key: Column, d: Int, keepM: Int): Column =
+    array((0 until d).map(j => fp16DeltaComponent(key, j, keepM)): _*)
+
+  /**
+   * Vector table from lineitem: (id BIGINT, vec ARRAY<FLOAT>).
+   * `fp16Domain = true` uses the fp16-exact domain (plus reduced/delta cols).
+   */
+  def vectors(spark: SparkSession, sfDir: String, d: Int): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(lineitemKey.as("id")).distinct()
+      .select(col("id"), intVec(col("id"), d).as("vec"))
+
+  def fp16Vectors(spark: SparkSession, sfDir: String, d: Int, keepM: Int): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(lineitemKey.as("id")).distinct()
+      .select(col("id"),
+        fp16Vec(col("id"), d).as("vec"),
+        fp16ReducedVec(col("id"), d, keepM).as("rvec"),
+        fp16DeltaVec(col("id"), d, keepM).as("delta"))
+
+  /** Query side: the `nq` smallest ids, same synthesis. */
+  def queries(vectors: DataFrame, nq: Int): DataFrame =
+    vectors.orderBy("id").limit(nq)
+      .withColumnRenamed("id", "qid")
+      .withColumnRenamed("vec", "qvec")
+      .withColumnRenamed("rvec", "qrvec")
+      .withColumnRenamed("delta", "qdelta")
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/**
+ * Bandwidth-first ANN refinement: precision-on-demand with early rejection.
+ *
+ * Relational (static-tau0) formulation of the reference's six refinement
+ * operators (`/root/reference/ANNCode.py:307-647`):
+ *
+ *   1. ''reduced pass'': score every candidate against the truncated-
+ *      precision copy (cheap columns only — at rest this is a scan of the
+ *      small `rvec`/`delta` Parquet columns; column pruning keeps the full
+ *      `vec` untouched, which is what makes the bandwidth win physical).
+ *   2. ''seed'': top-K by reduced score; rescore those K at full precision;
+ *      tau0 = worst seed full score (`ANNCode.py:339-345`).
+ *   3. ''early rejection'': keep candidates whose cushion-adjusted reduced
+ *      score could still beat tau0 (`ANNCode.py:352-356` etc.). The
+ *      reference tightens tau as it walks candidates sequentially; the
+ *      relational twin holds tau0 fixed — strictly conservative, so the
+ *      zero-miss modes keep recall == 1.0 (paper §3.1.3-3.2.2) and
+ *      Hoeffding recall here is >= the reference's.
+ *   4. ''rescore'': equi-join survivors back to the full-precision table on
+ *      id (broadcast-hash when survivors are small) and take the final
+ *      top-K by full score.
+ *
+ * Cushions (paper Table 2):
+ *   cos_hoeff : sqrt(2 ln(1/delta)) * ||q_unit ∘ Delta_i||    (ANNCode.py:354)
+ *   cos_l1    : alpha * dot(|q_unit|, Delta_i)                (ANNCode.py:411)
+ *   cos_l2    : alpha * ||unit(x_i) - unit(r_i)||             (ANNCode.py:446-447)
+ *   l2_sym    : sum_j max(|a_j|-Delta_j, 0)^2    lower bound  (ANNCode.py:500-505)
+ *   l2_tz     : sign-aware per-coordinate bound               (ANNCode.py:508-522)
+ *   l2_hoeff  : ||a||^2 - 2 c ||a ∘ Delta_i||    lower bound  (ANNCode.py:630-632)
+ *
+ * All unit-space quantities are computed as ratios of raw dot products
+ * (e.g. cos = dot(x,q)/(||x|| ||q||), ||u-ru||^2 = 2 - 2 dot(x,r)/(||x|| ||r||))
+ * so that, on fp16-exact fixture data, every score is a fixed expression
+ * tree over EXACT partial sums — bit-reproducible across engines and
+ * partitionings (see Fixture docs).
+ */
+object Refine {
+
+  val CosModes = Seq("cos_hoeff", "cos_l1", "cos_l2")
+  val L2Modes  = Seq("l2_sym", "l2_tz", "l2_hoeff")
+  val Modes: Seq[String] = CosModes ++ L2Modes
+
+  final case class Params(
+      mode: String,
+      k: Int = 20,
+      keepM: Int = 6,
+      keepE: Int = 5,
+      delta: Double = 0.7,   // Hoeffding failure prob
+      alpha: Double = 1.0) {
+    require(Modes.contains(mode), s"unknown mode $mode")
+    def hoeffConst: Double = math.sqrt(2.0 * math.log(1.0 / delta))
+    def isCos: Boolean = CosModes.contains(mode)
+    /** modeled bits per reduced scalar: sign + kept exponent + kept mantissa. */
+    def bitsRed: Int = 1 + keepE + keepM
+  }
+
+  private val eps = lit(1e-12)
+  private def fnorm(x: Column): Column = greatest(sqrt(x), eps)
+
+  /**
+   * Phase 1+2+3: per-(qid,id) candidate rows with reduced score, cushion
+   * predicate against tau0, and seed membership.
+   * vectors: (id, vec, rvec, delta); queries: (qid, qvec).
+   */
+  private def candidates(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame = {
+    val q = broadcast(
+      queries.select(col("qid"), col("qvec"), norm2Sq(col("qvec")).as("nq2")))
+
+    // per-vector precomputed stats (at rest these live beside rvec/delta)
+    val vpre =
+      if (p.mode == "cos_l2")
+        // B_i = ||unit(x)-unit(r)|| = sqrt(max(0, 2 - 2 xr/(||x|| ||r||)))
+        vectors.select(col("id"), col("rvec"), col("delta"),
+          norm2Sq(col("rvec")).as("nr2"),
+          sqrt(greatest(lit(0.0),
+            lit(2.0) - lit(2.0) * dot(col("vec"), col("rvec")) /
+              (fnorm(norm2Sq(col("vec"))) * fnorm(norm2Sq(col("rvec")))))).as("bb"))
+      else
+        vectors.select(col("id"), col("rvec"), col("delta"),
+          norm2Sq(col("rvec")).as("nr2"))
+
+    val pairs = vpre.crossJoin(q)
+
+    val sHat: Column =
+      if (p.isCos) dot(col("rvec"), col("qvec")) / (fnorm(col("nr2")) * fnorm(col("nq2")))
+      else l2DistSq(col("qvec"), col("rvec"))   // reduced-space distance (asc)
+
+    val cushion: Column = p.mode match {
+      case "cos_hoeff" =>
+        lit(p.hoeffConst) * sqrt(cushionHoeffNorm2(col("qvec"), col("delta"))) / fnorm(col("nq2"))
+      case "cos_l1" =>
+        lit(p.alpha) * dot(vabs(col("qvec")), col("delta")) / fnorm(col("nq2"))
+      case "cos_l2" =>
+        lit(p.alpha) * col("bb")
+      case "l2_sym" =>
+        lbSym(vdiff(col("qvec"), col("rvec")), col("delta"))
+      case "l2_tz" =>
+        lbTz(vdiff(col("qvec"), col("rvec")), col("delta"), col("rvec"))
+      case "l2_hoeff" =>
+        col("s_hat") - lit(2.0 * p.hoeffConst) *
+          sqrt(cushionHoeffNorm2Diff(col("qvec"), col("rvec"), col("delta")))
+    }
+
+    val withScore = pairs.withColumn("s_hat", sHat)
+    val withCushion = withScore.withColumn("cush", cushion)
+
+    val ord = if (p.isCos) Seq(col("s_hat").desc, col("id").asc)
+              else Seq(col("s_hat").asc, col("id").asc)
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    withCushion
+      .withColumn("rn", row_number().over(w))
+      .select(col("qid"), col("id"), col("qvec"), col("nq2"),
+        col("s_hat"), col("cush"), col("rn"))
+  }
+
+  /** Full-precision score for rescoring (cos: unit-space ratio; l2: distance). */
+  private def fullScore(p: Params): Column =
+    if (p.isCos)
+      dot(col("vec"), col("qvec")) / (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2")))
+    else l2DistSq(col("qvec"), col("vec"))
+
+  /**
+   * Candidate rows after early rejection, rescored at full precision.
+   * Returns (qid, id, s_full, rn) — rn<=k are the seeds.
+   */
+  def fetched(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame = {
+    val cand = candidates(vectors, queries, p)
+    val seeds = cand.filter(col("rn") <= p.k)
+
+    // tau0: worst full-precision score among the seeds
+    val seedScored = seeds
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .withColumn("s_full", fullScore(p))
+    val tau0 = broadcast(
+      seedScored.groupBy(col("qid")).agg(
+        (if (p.isCos) min(col("s_full")) else max(col("s_full"))).as("tau0")))
+
+    val survive =
+      if (p.isCos) col("s_hat") + col("cush") >= col("tau0")
+      else col("cush") <= col("tau0")   // cush is a lower bound on d^2
+    val survivors = cand.filter(col("rn") > p.k)
+      .join(tau0, Seq("qid"))
+      .filter(survive)
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .withColumn("s_full", fullScore(p))
+
+    seedScored.select(col("qid"), col("id"), col("s_full"), col("rn"))
+      .unionByName(survivors.select(col("qid"), col("id"), col("s_full"), col("rn")))
+  }
+
+  /** Final refined top-K: (qid, rank, id, score). Equals exact top-K for
+    * the zero-miss modes (cos_l1, cos_l2, l2_sym, l2_tz). */
+  def topk(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame =
+    TopK.window(
+      fetched(vectors, queries, p).withColumnRenamed("s_full", "score"),
+      p.k, ascending = !p.isCos)
+
+  /** Exact (brute-force) top-K at full precision — the self-oracle
+    * (`ANNCode.py:264-281`). */
+  def exactTopK(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame = {
+    val q = broadcast(
+      queries.select(col("qid"), col("qvec"), norm2Sq(col("qvec")).as("nq2")))
+    val scored = vectors.select(col("id"), col("vec")).crossJoin(q)
+      .withColumn("score", fullScore(p))
+    TopK.window(scored, p.k, ascending = !p.isCos)
+  }
+
+  /**
+   * Accounting (`ANNCode.py:316-318, 364-369`): one row
+   * (mode, m_keep, delta, recall, save, fpr).
+   *  - bytes: full = 16 D / 8 per vec; reduced = bitsRed D / 8
+   *  - save  = 1 - (b_red N Q + b_full fetched) / (b_full N Q)
+   *  - fpr   = (fetched - K Q) / (N Q)   [final topk is always a subset
+   *    of fetched, so unnecessary = fetched - K per query]
+   *  - recall vs exact top-K, summed as integer hits / (K Q)
+   */
+  def metrics(vectors: DataFrame, queries: DataFrame, p: Params, d: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val f = fetched(vectors, queries, p).cache()
+    val fin = TopK.window(f.withColumnRenamed("s_full", "score"), p.k,
+      ascending = !p.isCos)
+    val gt = exactTopK(vectors, queries, p)
+
+    val nQ = queries.count()
+    val nV = vectors.count()
+    val nFetched = f.count()
+    val hits = fin.join(gt.select(col("qid"), col("id")), Seq("qid", "id")).count()
+    f.unpersist()
+
+    val bFull = 16.0 * d / 8.0
+    val bRed  = p.bitsRed * d / 8.0
+    val total = bRed * nV * nQ + bFull * nFetched
+    val save  = 1.0 - total / (bFull * nV * nQ)
+    val fpr   = (nFetched - p.k.toLong * nQ).toDouble / (nV.toDouble * nQ)
+    val recall = hits.toDouble / (p.k.toLong * nQ)
+
+    import spark.implicits._
+    Seq((p.mode, p.keepM, p.delta, recall, save, fpr))
+      .toDF("mode", "m_keep", "delta", "recall", "save", "fpr")
+  }
+}
