@@ -1,0 +1,160 @@
+package graft.oracle
+
+import graft.operators.Refine
+
+/**
+ * DuckDB oracle SQL for the six refinement modes (static-tau0 relational
+ * semantics, mirroring [[graft.operators.Refine]] expression-tree for
+ * expression-tree so DOUBLE results are bit-identical).
+ *
+ * Works on the fp16-exact fixture domain (components sgn*(1+m/1024)*2^s):
+ * all pairwise aggregates below are sums of exact dyadic rationals, so
+ * aggregation order cannot change the result, and every score/cushion is
+ * a fixed tree of correctly-rounded ops (* / sqrt) over them.
+ */
+object RefineOracle {
+  import OracleGen._
+
+  private val g = "GREATEST" // fnorm(x) = GREATEST(sqrt(x), 1e-12)
+  private def fn(x: String) = s"$g(sqrt($x), 1e-12)"
+
+  /** Shared CTEs: synthesized full/reduced/delta components + norms. */
+  def baseCtes(d: Int, nq: Int, keepM: Int): String =
+    s"""${keysAndDims(d)},
+       |vd AS (SELECT key, j,
+       |  CAST($fp16Comp AS DOUBLE) AS v,
+       |  CAST(${fp16ReducedComp(keepM)} AS DOUBLE) AS rv,
+       |  CAST(${fp16DeltaComp(keepM)} AS DOUBLE) AS dv
+       |  FROM keys CROSS JOIN dims),
+       |qk AS (SELECT key AS qkey FROM keys ORDER BY key LIMIT $nq),
+       |qd AS (SELECT qkey, j, v AS qv FROM vd JOIN qk ON vd.key = qk.qkey),
+       |nv AS (SELECT key, SUM(v*v) AS nx2, SUM(rv*rv) AS nr2, SUM(v*rv) AS xr
+       |       FROM vd GROUP BY key),
+       |nqt AS (SELECT qkey, SUM(qv*qv) AS nq2 FROM qd GROUP BY qkey)""".stripMargin
+
+  /** Pairwise aggregates needed by `mode`. */
+  private def pairAggs(mode: String): String = {
+    val a = "(qd.qv - vd.rv)" // l2 reduced residual
+    mode match {
+      case "cos_l1" =>
+        """SUM(qd.qv*vd.v) AS dxq, SUM(qd.qv*vd.rv) AS drq,
+          |    SUM(ABS(qd.qv)*vd.dv) AS l1c""".stripMargin
+      case "cos_hoeff" =>
+        """SUM(qd.qv*vd.v) AS dxq, SUM(qd.qv*vd.rv) AS drq,
+          |    SUM((qd.qv*vd.dv)*(qd.qv*vd.dv)) AS hs2""".stripMargin
+      case "cos_l2" =>
+        "SUM(qd.qv*vd.v) AS dxq, SUM(qd.qv*vd.rv) AS drq"
+      case "l2_sym" =>
+        s"""SUM((qd.qv-vd.v)*(qd.qv-vd.v)) AS d2f, SUM($a*$a) AS d2h,
+           |    SUM($g(ABS($a)-vd.dv, 0)*$g(ABS($a)-vd.dv, 0)) AS lb""".stripMargin
+      case "l2_tz" =>
+        s"""SUM((qd.qv-vd.v)*(qd.qv-vd.v)) AS d2f, SUM($a*$a) AS d2h,
+           |    SUM(CASE WHEN $a*(CASE WHEN vd.rv < 0 THEN -1.0 ELSE 1.0 END) <= 0
+           |             THEN $a*$a
+           |             WHEN $a*(CASE WHEN vd.rv < 0 THEN -1.0 ELSE 1.0 END) < vd.dv
+           |             THEN 0.0
+           |             ELSE (ABS($a)-vd.dv)*(ABS($a)-vd.dv) END) AS lb""".stripMargin
+      case "l2_hoeff" =>
+        s"""SUM((qd.qv-vd.v)*(qd.qv-vd.v)) AS d2f, SUM($a*$a) AS d2h,
+           |    SUM(($a*vd.dv)*($a*vd.dv)) AS ah2""".stripMargin
+    }
+  }
+
+  /** s_hat, s_full, cushion column exprs over `pair p / nv / nqt q`. */
+  private def scoredExprs(p: Refine.Params): (String, String, String) = {
+    val sFullCos = s"p.dxq / (${fn("nv.nx2")} * ${fn("q.nq2")})"
+    val sHatCos  = s"p.drq / (${fn("nv.nr2")} * ${fn("q.nq2")})"
+    p.mode match {
+      case "cos_l1" =>
+        (sHatCos, sFullCos, s"${p.alpha} * p.l1c / ${fn("q.nq2")}")
+      case "cos_hoeff" =>
+        (sHatCos, sFullCos, s"${p.hoeffConst} * sqrt(p.hs2) / ${fn("q.nq2")}")
+      case "cos_l2" =>
+        (sHatCos, sFullCos,
+          s"${p.alpha} * sqrt($g(0.0, 2.0 - 2.0 * nv.xr / (${fn("nv.nx2")} * ${fn("nv.nr2")})))")
+      case "l2_sym" | "l2_tz" => ("p.d2h", "p.d2f", "p.lb")
+      case "l2_hoeff" =>
+        ("p.d2h", "p.d2f", s"p.d2h - ${2.0 * p.hoeffConst} * sqrt(p.ah2)")
+    }
+  }
+
+  /** CTE chain from scored -> fetchset (seed ∪ cushion survivors). */
+  private def pipelineCtes(p: Refine.Params): String = {
+    val (sHat, sFull, cush) = scoredExprs(p)
+    val (hatOrd, seedAgg, survive) =
+      if (p.isCos) ("s_hat DESC, id ASC", "MIN", "r.s_hat + r.cush >= t.tau0")
+      else ("s_hat ASC, id ASC", "MAX", "r.cush <= t.tau0")
+    s"""pair AS (SELECT qd.qkey AS qid, vd.key AS id, ${pairAggs(p.mode)}
+       |  FROM qd JOIN vd ON qd.j = vd.j GROUP BY 1, 2),
+       |scored AS (SELECT p.qid, p.id, $sHat AS s_hat, $sFull AS s_full, $cush AS cush
+       |  FROM pair p JOIN nv ON p.id = nv.key JOIN nqt q ON p.qid = q.qkey),
+       |rh AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY $hatOrd) AS rn
+       |  FROM scored),
+       |tau AS (SELECT qid, $seedAgg(CASE WHEN rn <= ${p.k} THEN s_full END) AS tau0
+       |  FROM rh GROUP BY qid),
+       |fetchset AS (SELECT r.qid, r.id, r.s_full FROM rh r JOIN tau t ON r.qid = t.qid
+       |  WHERE r.rn <= ${p.k} OR $survive)""".stripMargin
+  }
+
+  /** Full refined-top-K oracle: (qid, rank INT, id, score DOUBLE). */
+  def topkSql(d: Int, nq: Int, p: Refine.Params): String = {
+    val ord = if (p.isCos) "s_full DESC, id ASC" else "s_full ASC, id ASC"
+    s"""WITH ${baseCtes(d, nq, p.keepM)},
+       |${pipelineCtes(p)},
+       |final AS (SELECT qid, id, s_full,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $ord) AS rnk FROM fetchset)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, s_full AS score
+       |FROM final WHERE rnk <= ${p.k}""".stripMargin
+  }
+
+  /**
+   * Accounting oracle for one mode: a single row
+   * (mode, m_keep, delta, recall, save, fpr) — integer counts aggregated
+   * first, single division at the end (ANNCode.py:316-318, 364-369).
+   */
+  def metricsSql(d: Int, nq: Int, p: Refine.Params): String = {
+    val ord     = if (p.isCos) "s_full DESC, id ASC" else "s_full ASC, id ASC"
+    val exactOrd =
+      if (p.isCos) "s_exact DESC, id ASC" else "s_exact ASC, id ASC"
+    val (_, sFull, _) = scoredExprs(p)
+    val bFull = 16.0 * d / 8.0
+    val bRed  = p.bitsRed * d / 8.0
+    s"""WITH ${baseCtes(d, nq, p.keepM)},
+       |${pipelineCtes(p)},
+       |final AS (SELECT qid, id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $ord) AS rnk FROM fetchset),
+       |exact0 AS (SELECT p.qid, p.id, $sFull AS s_exact
+       |  FROM pair p JOIN nv ON p.id = nv.key JOIN nqt q ON p.qid = q.qkey),
+       |exact AS (SELECT qid, id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY $exactOrd) AS rnk FROM exact0),
+       |counts AS (SELECT
+       |  (SELECT COUNT(*) FROM keys) AS nv_cnt,
+       |  (SELECT COUNT(*) FROM qk) AS nq_cnt,
+       |  (SELECT COUNT(*) FROM fetchset) AS fetched,
+       |  (SELECT COUNT(*) FROM final f JOIN exact e
+       |     ON f.qid = e.qid AND f.id = e.id
+       |     WHERE f.rnk <= ${p.k} AND e.rnk <= ${p.k}) AS hits)
+       |SELECT '${p.mode}' AS mode, ${p.keepM} AS m_keep,
+       |  CAST(${p.delta} AS DOUBLE) AS delta,
+       |  CAST(hits AS DOUBLE) / (${p.k} * nq_cnt) AS recall,
+       |  1.0 - ($bRed * nv_cnt * nq_cnt + $bFull * fetched) /
+       |        ($bFull * nv_cnt * nq_cnt) AS save,
+       |  CAST(fetched - ${p.k} * nq_cnt AS DOUBLE) / (CAST(nv_cnt AS DOUBLE) * nq_cnt) AS fpr
+       |FROM counts""".stripMargin
+  }
+
+  /** All-modes metrics oracle: UNION ALL of per-mode metrics rows. */
+  def allMetricsSql(d: Int, nq: Int, params: Seq[Refine.Params]): String =
+    params.map(p => s"(${metricsSql(d, nq, p)})").mkString("\nUNION ALL\n")
+
+  /** Precision-reduction projection oracle (P2-P4): flat rows
+    * (id, j, v, rv, dv) for a bounded id set. */
+  def reduceSql(d: Int, keepM: Int, maxId: Long): String =
+    s"""WITH ${keysAndDims(d)},
+       |vd AS (SELECT key, j,
+       |  CAST($fp16Comp AS DOUBLE) AS v,
+       |  CAST(${fp16ReducedComp(keepM)} AS DOUBLE) AS rv,
+       |  CAST(${fp16DeltaComp(keepM)} AS DOUBLE) AS dv
+       |  FROM keys CROSS JOIN dims)
+       |SELECT key AS id, j, v, rv, dv FROM vd WHERE key <= $maxId""".stripMargin
+}

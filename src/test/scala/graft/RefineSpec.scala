@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Refine, TopK}
+
+class RefineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def fixture = {
+    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, SparkEntry.KeepM)
+    val q = Fixture.queries(v, 5).select(col("qid"), col("qvec"))
+    (v, q)
+  }
+
+  test("zero-miss modes return exactly the brute-force top-K") {
+    val (v, q) = fixture
+    for (mode <- Seq("cos_l1", "cos_l2", "l2_sym", "l2_tz")) {
+      val p = Refine.Params(mode, k = 5, keepM = SparkEntry.KeepM)
+      val refined = Refine.topk(v, q, p)
+        .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+      val exact = Refine.exactTopK(v, q, p)
+        .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+      assert(refined == exact, s"mode $mode diverged from exact top-K")
+    }
+  }
+
+  test("metrics invariants: recall in [0,1], save < 1, fpr in [0,1]") {
+    val (v, q) = fixture
+    for (mode <- Refine.Modes) {
+      val m = Refine.metrics(v, q, Refine.Params(mode, k = 5), SparkEntry.D)
+        .collect()(0)
+      val (recall, save, fpr) =
+        (m.getDouble(3), m.getDouble(4), m.getDouble(5))
+      assert(recall >= 0.0 && recall <= 1.0, s"$mode recall=$recall")
+      assert(save < 1.0, s"$mode save=$save")
+      assert(fpr >= 0.0 && fpr <= 1.0, s"$mode fpr=$fpr")
+      if (mode != "cos_hoeff" && mode != "l2_hoeff")
+        assert(recall == 1.0, s"zero-miss $mode recall=$recall")
+    }
+  }
+
+  test("TopK.aggregate matches TopK.window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val scored = (0 until 5000)
+      .map(i => (i % 7L, i.toLong, rnd.nextInt(100).toDouble))
+      .toDF("qid", "id", "score")
+    val a = TopK.aggregate(scored, 10).collect().map(_.toSeq).toSet
+    val w = TopK.window(scored, 10).collect().map(_.toSeq).toSet
+    assert(a == w)
+    val aAsc = TopK.aggregate(scored, 10, ascending = true).collect().map(_.toSeq).toSet
+    val wAsc = TopK.window(scored, 10, ascending = true).collect().map(_.toSeq).toSet
+    assert(aAsc == wAsc)
+  }
+}
