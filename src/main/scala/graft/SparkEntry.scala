@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps._
-import graft.operators.{TopK, Refine}
-import graft.oracle.{OracleGen, RefineOracle}
+import graft.operators.{TopK, Refine, Dedup, TextOps, Ann}
+import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -74,14 +75,132 @@ object SparkEntry {
     TopK.window(scored, K, ascending = true)
   }
 
+  // ---- dedup / text-analysis params (shared with oracles) ----------------
+  final val Shingle = 3
+  final val NumHashes = 16
+  final val Bands = 4
+  final val RowsPerBand = 4
+  final val SimhashBits = 16
+  final val MaxHamming = 4
+  final val JaccardN = 2   // bigrams: trigram overlap is too sparse in the corpus
+  final val MinJaccard = 0.05
+  final val EmbD = 64
+  final val MinCos = 0.25
+  final val SessionGapSec = 1800
+  final val PricingCutoff = "1998-09-02"
+  final val TopNCustomers = 3
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
+
+  /** ts arrives as LongType nanos (see Tables.events); whole seconds via
+    * integer `div`, day string via from_unixtime in the UTC session. */
+  private def tsSec = expr("ts div 1000000000")
+
+  def qEventsDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        from_unixtime(tsSec, "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+
+  def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), tsSec.as("sec"), col("event_id"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("sec") - col("prev") > SessionGapSec, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("is_new")).cast("long").as("n_sessions"))
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** TPC-H Q1-style pricing summary; money kept as exact integer cents
+    * (l_discount/l_tax are percent-integral: round(x*100) in 0..100). */
+  def qPricing(s: SparkSession, dir: String): DataFrame = {
+    val ep  = cents(col("l_extendedprice"))
+    val dpc = lit(100L) - cents(col("l_discount"))
+    val tpc = lit(100L) + cents(col("l_tax"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit(PricingCutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(ep).as("sum_base_cents"),
+        sum(ep * dpc).as("revenue_c2"),
+        sum(ep * dpc * tpc).as("charge_c3"),
+        count(lit(1)).as("count_order"),
+        (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+  }
+
+  def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("total_cents").desc, col("c_custkey").asc)
+    t.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopNCustomers)
+      .select(col("c_mktsegment"), col("c_custkey"), col("total_cents"), col("rank"))
+  }
+
+  def qRegionStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "region")
+      .join(Tables.load(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"))
+      .agg(countDistinct(col("n_nationkey")).as("n_nations"),
+        count(col("c_custkey")).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+
+  private type QFn = (SparkSession, String) => DataFrame
+  private def q(f: QFn): QFn = f
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_topk_cos" -> ((s, dir) => qTopkCos(s, dir)),
-    "q_topk_l2"  -> ((s, dir) => qTopkL2(s, dir)),
-    "q_reduce_precision" -> ((s, dir) => qReducePrecision(s, dir)),
-    "q_refine_metrics"   -> ((s, dir) => qRefineMetrics(s, dir)),
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, QFn](
+    "q_topk_cos" -> q((s, dir) => qTopkCos(s, dir)),
+    "q_topk_l2"  -> q((s, dir) => qTopkL2(s, dir)),
+    "q_reduce_precision" -> q((s, dir) => qReducePrecision(s, dir)),
+    "q_refine_metrics"   -> q((s, dir) => qRefineMetrics(s, dir)),
+    // dedup suite
+    "q_dedup_exact"   -> q((s, dir) => Dedup.exact(docs(s, dir))),
+    "q_minhash_lsh"   -> q((s, dir) => Dedup.lshPairs(
+      Dedup.minhashSignatures(Dedup.wordNgrams(docs(s, dir), Shingle), NumHashes),
+      Bands, RowsPerBand)),
+    "q_simhash"       -> q((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), SimhashBits, MaxHamming)),
+    "q_ngram_jaccard" -> q((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), JaccardN, MinJaccard)),
+    // text analysis
+    "q_token_stats" -> q((s, dir) => TextOps.tokenStats(docs(s, dir))),
+    "q_lang_id"     -> q((s, dir) => TextOps.langId(docs(s, dir))),
+    "q_quality"     -> q((s, dir) => TextOps.quality(docs(s, dir))),
+    "q_fingerprint" -> q((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    // similarity search over embeddings
+    "q_ann_brute"   -> q((s, dir) => Ann.bruteTopK(emb(s, dir), NQ, K)),
+    "q_ann_ivf"     -> q((s, dir) => Ann.ivfTopK(emb(s, dir), NQ, K)),
+    "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
+    // events
+    "q_events_daily"    -> q((s, dir) => qEventsDaily(s, dir)),
+    "q_events_json"     -> q((s, dir) => qEventsJson(s, dir)),
+    "q_events_sessions" -> q((s, dir) => qEventsSessions(s, dir)),
+    // relational classics
+    "q_pricing"       -> q((s, dir) => qPricing(s, dir)),
+    "q_top_customers" -> q((s, dir) => qTopCustomers(s, dir)),
+    "q_region_stats"  -> q((s, dir) => qRegionStats(s, dir)),
   ) ++ Refine.Modes.map(m =>
-    s"q_refine_$m" -> ((s: SparkSession, dir: String) => qRefine(s, dir, m))
+    s"q_refine_$m" -> q((s, dir) => qRefine(s, dir, m))
   ).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +211,23 @@ object SparkEntry {
     "q_reduce_precision" -> RefineOracle.reduceSql(D, KeepM, ReduceMaxId),
     "q_refine_metrics"   ->
       RefineOracle.allMetricsSql(D, NQ, Refine.Modes.map(refineParams)),
+    "q_dedup_exact"   -> DocOracle.dedupExactSql,
+    "q_minhash_lsh"   -> DocOracle.minhashLshSql(Shingle, NumHashes, Bands, RowsPerBand),
+    "q_simhash"       -> DocOracle.simhashPairsSql(SimhashBits, MaxHamming),
+    "q_ngram_jaccard" -> DocOracle.ngramJaccardSql(JaccardN, MinJaccard),
+    "q_token_stats"   -> DocOracle.tokenStatsSql,
+    "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
+    "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),
+    "q_fingerprint"   -> DocOracle.fingerprintSql(Shingle),
+    "q_ann_brute"     -> EmbOracle.bruteSql(EmbD, NQ, K),
+    "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
+    "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
+    "q_events_daily"    -> MiscOracle.eventsDailySql,
+    "q_events_json"     -> MiscOracle.eventsJsonSql,
+    "q_events_sessions" -> MiscOracle.eventsSessionsSql(SessionGapSec),
+    "q_pricing"       -> MiscOracle.pricingSql(PricingCutoff),
+    "q_top_customers" -> MiscOracle.topCustomersSql(TopNCustomers),
+    "q_region_stats"  -> MiscOracle.regionStatsSql,
   ) ++ Refine.Modes.map(m =>
     s"q_refine_$m" -> RefineOracle.topkSql(D, NQ, refineParams(m))
   ).toMap

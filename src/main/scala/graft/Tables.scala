@@ -16,7 +16,15 @@ object Tables {
   def customer(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "customer")
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "events")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default; read it as a LongType nanos-since-epoch column instead.
+    * Callers convert with integer arithmetic (`ts div 1e9`) — ns epochs
+    * exceed 2^53, so double math would corrupt them. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+  }
 }
 
 /**

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for large-scale training-data pipelines: exact,
+ * MinHash+LSH, SimHash, and n-gram Jaccard.
+ *
+ * Scale design (100 TB corpus):
+ *  - every candidate-generation step is a hash-partitioned groupBy/join on
+ *    a derived key (text digest, LSH band key, shingle) — no all-pairs
+ *    product ever materializes;
+ *  - the only pairwise joins are within LSH buckets / shared shingles,
+ *    whose sizes are controlled by banding parameters;
+ *  - hashes are arithmetic over md5 prefixes, so they are deterministic,
+ *    partitioning-invariant, and reproducible in plain SQL (the DuckDB
+ *    oracle mirrors them exactly) — no engine-specific hash functions.
+ */
+object Dedup {
+
+  /** Big prime modulus for MinHash permutations. */
+  final val P = 1000000007L
+  final val AMul = 2654435761L
+  final val BMul = 40503L
+
+  /** Portable 60-bit string hash: first 15 hex chars of md5 as BIGINT. */
+  def strHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** i-th MinHash permutation of a base token hash. */
+  def perm(h: Column, i: Int): Column = {
+    val a = (AMul * (i + 1)) % P
+    val b = (BMul * (i + 1)) % P
+    (lit(a) * (h % P) + lit(b)) % P
+  }
+
+  /** Tokens column (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  // ---- exact dedup -------------------------------------------------------
+
+  /**
+   * Exact duplicate groups by content digest: one row per distinct text,
+   * keeping the smallest doc_id (hash-partitioned groupBy; at 100 TB this
+   * is the standard "hash, shuffle by digest, keep min" pass).
+   */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** MinHash signature over distinct shingles (from [[wordNgrams]]):
+    * doc_id plus m0..m{n-1} columns (min shingle hash under n independent
+    * permutations). */
+  def minhashSignatures(grams: DataFrame, numHashes: Int): DataFrame = {
+    val g = grams.withColumn("th", strHash(col("gram")))
+    g.groupBy(col("doc_id"))
+      .agg(
+        min(perm(col("th"), 0)).as("m0"),
+        (1 until numHashes).map(i => min(perm(col("th"), i)).as(s"m$i")): _*)
+  }
+
+  /**
+   * LSH candidate pairs: signatures banded (`bands` x `rowsPerBand`); docs
+   * sharing any band key become a pair. Output: (doc_a, doc_b, est_jaccard)
+   * where est_jaccard = matching minhashes / numHashes.
+   * The band join shuffles on the band key — bucket sizes, not corpus
+   * size, bound the pair blow-up.
+   */
+  def lshPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val n = bands * rowsPerBand
+    val banded = sigs.select(
+      col("doc_id") +:
+        (0 until bands).map { b =>
+          concat_ws(",",
+            (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+            .as(s"band$b")
+        }: _*)
+    val pairsByBand = (0 until bands).map { b =>
+      val l = banded.select(col("doc_id").as("doc_a"), col(s"band$b").as("bk"))
+      val r = banded.select(col("doc_id").as("doc_b"), col(s"band$b").as("bk"))
+      l.join(r, "bk").filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val cand = pairsByBand.reduce(_ unionByName _).distinct()
+    val a = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val bdf = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until n)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(a, "doc_a").join(bdf, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / n).as("est_jaccard"))
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /**
+   * SimHash fingerprint over token multiset: bit k of the fingerprint is 1
+   * iff sum over tokens of (+1 if bit k of token hash else -1) > 0.
+   */
+  def simhash(docs: DataFrame, bits: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("th", strHash(col("tok")))
+    val bitSums = (0 until bits).map(k =>
+      sum(when(shiftright(col("th"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$k"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits)
+      .map(k => when(col(s"s$k") > 0, 1L << k).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance, blocked by `source`
+    * (generic blocking key — at scale, block on simhash prefix bands). */
+  def simhashPairs(docs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs, bits)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("source"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("source"))
+    a.join(b, "source").filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Distinct word n-grams per doc: (doc_id, source, gram). */
+  def wordNgrams(docs: DataFrame, n: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+    docs.filter(size(toks) >= n)
+      .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for pairs sharing >= 1 gram within a
+   * blocking key (source). Intersections come from a shuffle join on the
+   * gram itself — never an all-pairs product.
+   */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val g = wordNgrams(docs, n)
+    val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val l = g.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
+    val r = g.select(col("source"), col("doc_id").as("doc_b"), col("gram"))
+    val inter = l.join(r, Seq("source", "gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("un"), col("jaccard"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis operators for training-data pipelines over `documents`:
+ * token statistics, heuristic language ID, quality scoring, and shingle
+ * fingerprinting. Everything is per-document map-side column arithmetic
+ * plus at most one hash-partitioned aggregation — embarrassingly parallel
+ * at 100 TB. Ratios are emitted as single divisions of exact integer
+ * counts so the DuckDB oracle matches bit-for-bit.
+ */
+object TextOps {
+
+  /** Stopword marker lists (tiny broadcast-side literals). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "y", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "de", "est"),
+    "zh" -> Seq("de0", "shi4", "le0", "bu4", "zai4"))
+
+  val Stopwords: Seq[String] =
+    LangMarkers.flatMap(_._2).distinct.sorted
+
+  private def toks = split(col("text"), " ")
+
+  /** Token statistics: counts and mean token length (exact-int ratios). */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), col("n_chars"), explode(toks).as("tok"))
+    t.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(length(col("tok"))).as("sum_len"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("mean_token_len"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
+  }
+
+  /**
+   * Heuristic language ID: count marker-token hits per language, predict
+   * the argmax (ties broken by language code ascending). Output keeps the
+   * labeled `lang` for accuracy joins.
+   */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+    val hitCols = LangMarkers.map { case (code, words) =>
+      sum(when(col("tok").isin(words: _*), 1).otherwise(0)).as(s"hits_$code")
+    }
+    val agg = t.groupBy(col("doc_id"), col("lang")).agg(hitCols.head, hitCols.tail: _*)
+    // argmax with deterministic tie-break: fold over languages in order,
+    // strictly-greater replaces — first (alphabetically) max wins
+    val (pred, best) = LangMarkers.map(_._1).foldLeft((lit(""), lit(-1L))) {
+      case ((p, b), code) =>
+        val h = col(s"hits_$code").cast("long")
+        (when(h > b, lit(code)).otherwise(p), when(h > b, h).otherwise(b))
+    }
+    agg.select(col("doc_id"), col("lang"), pred.as("pred_lang"), best.as("marker_hits"),
+      when(pred === col("lang"), 1).otherwise(0).as("is_match"))
+  }
+
+  /**
+   * Quality score in [0,1]-ish: blend of distinct-token ratio, stopword
+   * ratio, and a length band (fixed expression tree over integer counts).
+   */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("n_chars"), explode(toks).as("tok"))
+    val agg = t.groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).as("stop_hits"))
+    agg.select(
+      col("doc_id"), col("n_tokens"),
+      (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+      (col("stop_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
+      (when(col("n_tokens") >= 20 && col("n_tokens") <= 200, 1.0).otherwise(0.0) * 0.4
+        + (col("n_distinct").cast("double") / col("n_tokens")) * 0.4
+        + (col("stop_hits").cast("double") / col("n_tokens")) * 0.2).as("quality"))
+  }
+
+  /** Winnowing-style fingerprint: min hash over 3-token shingles. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    Dedup.wordNgrams(docs, 3)
+      .withColumn("gh", Dedup.strHash(col("gram")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("gh")).as("fingerprint"), count(lit(1)).as("n_shingles"))
+}

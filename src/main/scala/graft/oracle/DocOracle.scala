@@ -1,0 +1,144 @@
+package graft.oracle
+
+import graft.operators.Dedup
+
+/**
+ * DuckDB oracle SQL for the documents-table operators (dedup suite + text
+ * analysis), mirroring [[graft.operators.Dedup]] / [[graft.operators.TextOps]]
+ * expression-for-expression. All similarity/ratio outputs are single
+ * divisions of exact integer aggregates -> bit-identical doubles.
+ */
+object DocOracle {
+  import Dedup.{P, AMul, BMul}
+
+  /** Portable 60-bit md5-prefix hash (DuckDB dialect). */
+  def strHash(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  private def permExpr(i: Int): String = {
+    val a = (AMul * (i + 1)) % P
+    val b = (BMul * (i + 1)) % P
+    s"MIN(($a * (th % $P) + $b) % $P) AS m$i"
+  }
+
+  /** Exploded unigram CTE (multiset). */
+  val tokCte =
+    "tok AS (SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS tok FROM documents)"
+
+  /** Distinct word n-gram CTE: g(doc_id, source, gram). */
+  def gramCte(n: Int): String = {
+    val gram = (1 to n).map(o => s"tk[i+${o - 1}]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT DISTINCT doc_id, source, gram FROM (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram)) AS gram
+       |  FROM toks WHERE len(tk) >= $n))""".stripMargin
+  }
+
+  def dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+      |FROM documents GROUP BY 1""".stripMargin
+
+  def minhashLshSql(shingle: Int, numHashes: Int, bands: Int, rows: Int): String = {
+    val perms = (0 until numHashes).map(permExpr).mkString(",\n  ")
+    def bandKey(a: String, b: Int) =
+      "concat_ws(','," + (0 until rows).map(r => s"$a.m${b * rows + r}").mkString(",") + ")"
+    val bandJoins = (0 until bands).map { b =>
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+         |  ON ${bandKey("a", b)} = ${bandKey("b", b)} AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\nUNION\n")
+    val matches = (0 until numHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${gramCte(shingle)},
+       |gh AS (SELECT doc_id, ${strHash("gram")} AS th FROM g),
+       |sig AS (SELECT doc_id,
+       |  $perms
+       |  FROM gh GROUP BY doc_id),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM ($bandJoins))
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST($matches AS DOUBLE) / $numHashes AS est_jaccard
+       |FROM cand c JOIN sig a ON c.doc_a = a.doc_id JOIN sig b ON c.doc_b = b.doc_id""".stripMargin
+  }
+
+  def simhashPairsSql(bits: Int, maxHamming: Int): String = {
+    val sums = (0 until bits)
+      .map(k => s"SUM(CASE WHEN (th >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
+      .mkString(",\n  ")
+    val fp = (0 until bits)
+      .map(k => s"(CASE WHEN s$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${strHash("tok")} AS th FROM tok0),
+       |bs AS (SELECT doc_id,
+       |  $sums
+       |  FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM bs),
+       |sh AS (SELECT f.doc_id, f.simhash, d.source FROM fp f JOIN documents d ON f.doc_id = d.doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+  }
+
+  def ngramJaccardSql(n: Int, minJaccard: Double): String =
+    s"""WITH ${gramCte(n)},
+       |counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT i.doc_a, i.doc_b, i.inter,
+       |    ca.n_grams + cb.n_grams - i.inter AS un,
+       |    CAST(i.inter AS DOUBLE) / (ca.n_grams + cb.n_grams - i.inter) AS jaccard
+       |  FROM inter i JOIN counts ca ON i.doc_a = ca.doc_id
+       |               JOIN counts cb ON i.doc_b = cb.doc_id)
+       |SELECT doc_a, doc_b, inter, un, jaccard FROM j WHERE jaccard >= $minJaccard""".stripMargin
+
+  def tokenStatsSql: String =
+    s"""WITH $tokCte
+       |SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,
+       |  CAST(SUM(len(tok)) AS DOUBLE) / COUNT(*) AS mean_token_len,
+       |  CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS distinct_ratio
+       |FROM tok GROUP BY doc_id""".stripMargin
+
+  def langIdSql(markers: Seq[(String, Seq[String])]): String = {
+    val hitCols = markers.map { case (code, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"SUM(CASE WHEN tok IN ($lst) THEN 1 ELSE 0 END) AS hits_$code"
+    }.mkString(",\n  ")
+    val gm = "GREATEST(" + markers.map(m => s"hits_${m._1}").mkString(", ") + ")"
+    val pred = "CASE " + markers.map(m =>
+      s"WHEN hits_${m._1} = gm THEN '${m._1}'").mkString(" ") + " END"
+    s"""WITH $tokCte,
+       |agg AS (SELECT doc_id, lang,
+       |  $hitCols
+       |  FROM tok GROUP BY doc_id, lang),
+       |g2 AS (SELECT *, $gm AS gm FROM agg)
+       |SELECT doc_id, lang, $pred AS pred_lang, gm AS marker_hits,
+       |  CASE WHEN ($pred) = lang THEN 1 ELSE 0 END AS is_match
+       |FROM g2""".stripMargin
+  }
+
+  def qualitySql(stopwords: Seq[String]): String = {
+    val lst = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $tokCte,
+       |agg AS (SELECT doc_id, n_chars, COUNT(*) AS n_tokens,
+       |    COUNT(DISTINCT tok) AS n_distinct,
+       |    SUM(CASE WHEN tok IN ($lst) THEN 1 ELSE 0 END) AS stop_hits
+       |  FROM tok GROUP BY doc_id, n_chars)
+       |SELECT doc_id, n_tokens,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       |  CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       |  (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 1.0 ELSE 0.0 END) * 0.4
+       |    + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4
+       |    + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.2 AS quality
+       |FROM agg""".stripMargin
+  }
+
+  def fingerprintSql(n: Int): String =
+    s"""WITH ${gramCte(n)},
+       |gh AS (SELECT doc_id, ${strHash("gram")} AS gh FROM g)
+       |SELECT doc_id, MIN(gh) AS fingerprint, COUNT(*) AS n_shingles
+       |FROM gh GROUP BY doc_id""".stripMargin
+}

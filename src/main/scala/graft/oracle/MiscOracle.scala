@@ -1,0 +1,71 @@
+package graft.oracle
+
+/**
+ * DuckDB oracle SQL for the events-table queries and relational classics.
+ * Money columns are cents-integral in the test data, so sums are taken
+ * over `CAST(ROUND(x*100) AS BIGINT)` — exact integers in both engines.
+ * DuckDB SUM(BIGINT) widens to HUGEINT, so every output sum is cast back
+ * to BIGINT to match Spark's LongType.
+ */
+object MiscOracle {
+
+  def eventsDailySql: String =
+    """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS value_milli
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def eventsJsonSql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM e GROUP BY 1""".stripMargin
+
+  def eventsSessionsSql(gapSec: Int): String =
+    s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+       |  FROM events),
+       |s AS (SELECT user_id, sec,
+       |  lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > $gapSec THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_sessions
+       |FROM s GROUP BY user_id""".stripMargin
+
+  def pricingSql(cutoff: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+       |         * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c2,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+       |         * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+       |         * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS charge_c3,
+       |  COUNT(*) AS count_order,
+       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$cutoff 00:00:00'
+       |GROUP BY 1, 2""".stripMargin
+
+  def topCustomersSql(topN: Int): String =
+    s"""WITH t AS (SELECT c.c_mktsegment, c.c_custkey,
+       |    CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY c_mktsegment ORDER BY total_cents DESC, c_custkey ASC) AS rnk
+       |  FROM t)
+       |SELECT c_mktsegment, c_custkey, total_cents, CAST(rnk AS INTEGER) AS rank
+       |FROM r WHERE rnk <= $topN""".stripMargin
+
+  def regionStatsSql: String =
+    """SELECT r.r_name,
+      |  COUNT(DISTINCT n.n_nationkey) AS n_nations,
+      |  COUNT(c.c_custkey) AS n_customers,
+      |  CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1""".stripMargin
+}
