@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps._
-import graft.operators.{TopK, Refine, Dedup, TextOps, Ann}
+import graft.operators.{TopK, Refine, RefineKernel, Dedup, TextOps, Ann}
 import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -25,6 +25,15 @@ object SparkEntry {
     val v = Fixture.fp16Vectors(spark, dir, D, KeepM)
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
     Refine.topk(v, q, refineParams(mode))
+  }
+
+  /** Exact-semantics sequential kernel (running tau, mapPartitions).
+    * For zero-miss modes the result equals the relational refine top-K,
+    * so it shares the same value-matched oracle. */
+  def qRefineKernel(spark: SparkSession, dir: String, mode: String): DataFrame = {
+    val v = Fixture.fp16Vectors(spark, dir, D, KeepM)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    RefineKernel.topk(v, q, refineParams(mode))
   }
 
   /** Accounting metrics (recall/save/fpr) for all six modes. */
@@ -201,7 +210,19 @@ object SparkEntry {
     "q_region_stats"  -> q((s, dir) => qRegionStats(s, dir)),
   ) ++ Refine.Modes.map(m =>
     s"q_refine_$m" -> q((s, dir) => qRefine(s, dir, m))
-  ).toMap
+  ).toMap ++ Map[String, QFn](
+    "q_refine_kernel_cos_l1" -> q((s, dir) => qRefineKernel(s, dir, "cos_l1")),
+    "q_refine_kernel_l2_tz"  -> q((s, dir) => qRefineKernel(s, dir, "l2_tz")),
+    // multimodal plumbing (binary column + batched featurizer)
+    "q_multimodal_hist" -> q((s, dir) =>
+      graft.operators.Multimodal.features(
+        graft.operators.Multimodal.withBlob(docs(s, dir)))),
+    // compression model (zlib not available in DuckDB -> rows-only check)
+    "q_compress_ratio" -> q((s, dir) =>
+      graft.operators.BitplaneCompress.measure(
+        Fixture.fp16Vectors(s, dir, D, KeepM).select(col("id"), col("vec")),
+        D, keepE = 5, keepM = KeepM)),
+  )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -230,5 +251,16 @@ object SparkEntry {
     "q_region_stats"  -> MiscOracle.regionStatsSql,
   ) ++ Refine.Modes.map(m =>
     s"q_refine_$m" -> RefineOracle.topkSql(D, NQ, refineParams(m))
-  ).toMap
+  ).toMap ++ Map(
+    "q_refine_kernel_cos_l1" -> RefineOracle.topkSql(D, NQ, refineParams("cos_l1")),
+    "q_refine_kernel_l2_tz"  -> RefineOracle.topkSql(D, NQ, refineParams("l2_tz")),
+    // ASCII corpus: byte == char code, so SQL reproduces the byte histogram
+    "q_multimodal_hist" ->
+      s"""WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS p
+         |  FROM documents),
+         |b AS (SELECT doc_id, ascii(substr(text, p, 1)) % ${graft.operators.Multimodal.Bins} AS bucket
+         |  FROM pos)
+         |SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS cnt
+         |FROM b GROUP BY 1, 2""".stripMargin,
+  )
 }

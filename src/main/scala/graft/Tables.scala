@@ -64,8 +64,11 @@ object Fixture {
     * the synthetic data, so vector tables must take DISTINCT keys). */
   def lineitemKey: Column = col("l_orderkey") * 10 + col("l_linenumber")
 
+  // j must enter the MULTIPLIER: with j only additive, h(key2,j)-h(key1,j)
+  // is constant across dims, so a single unlucky key delta collides every
+  // dim at once and produces exact duplicate vectors.
   private def h(key: Column, j: Int): Column =
-    (key * HMul + lit((j + 1) * JMul)) % BigP
+    (key * (HMul + (j + 1) * JMul) + lit((j + 1) * 1013904223L)) % BigP
 
   /** Integer-domain component: (((key*HMul + (j+1)*JMul) % P) % 1001) - 500. */
   def intComponent(key: Column, j: Int): Column =
@@ -77,10 +80,11 @@ object Fixture {
   /** fp16-exact component pieces. */
   def mant(key: Column, j: Int): Column = h(key, j) % 1024L
   def sgn(key: Column, j: Int): Column =
-    when(((key * SgnMul + lit(j * SgnJ)) % BigP) % 2L === 0L, 1.0).otherwise(-1.0)
+    when(((key * (SgnMul + j * SgnJ) + lit(j.toLong)) % BigP) % 2L === 0L, 1.0)
+      .otherwise(-1.0)
   /** scale exponent s in {-1, 0, 1} -> multiplier 2^s */
   def scaleExp(key: Column, j: Int): Column =
-    ((key * ScMul + lit(j * ScJ)) % BigP) % 3L - 1L
+    ((key * (ScMul + j * ScJ) + lit(j.toLong)) % BigP) % 3L - 1L
   def scaleMul(key: Column, j: Int): Column = {
     val s = scaleExp(key, j)
     when(s === -1L, 0.5).when(s === 0L, 1.0).otherwise(2.0)

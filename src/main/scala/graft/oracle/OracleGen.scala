@@ -25,14 +25,18 @@ object OracleGen {
     s"""keys AS (SELECT DISTINCT l_orderkey*10 + l_linenumber AS key FROM lineitem),
        |dims AS (SELECT j FROM (VALUES ${dimsValues(d)}) AS t(j))""".stripMargin
 
+  /** Mixing hash — j in the multiplier (see Fixture.h). */
+  private def hExpr =
+    s"((key*($HMul + (j+1)*$JMul) + (j+1)*CAST(1013904223 AS BIGINT)) % $BigP)"
+
   /** Integer-domain component of (key, j) — see Fixture.intComponent. */
-  val intComp = s"CAST((((key*$HMul + (j+1)*$JMul) % $BigP) % 1001) - 500 AS DOUBLE)"
+  val intComp = s"CAST(($hExpr % 1001) - 500 AS DOUBLE)"
 
   /** fp16-domain pieces (see Fixture.fp16Component). */
-  val mantExpr  = s"(((key*$HMul + (j+1)*$JMul) % $BigP) % 1024)"
-  val sgnExpr   = s"(CASE WHEN ((key*$SgnMul + j*$SgnJ) % $BigP) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
-  // Fixture.scaleExp = ((key*ScMul + j*ScJ) % BigP) % 3 - 1 in {-1,0,1} -> {0.5,1.0,2.0}
-  val scaleExpr = s"(CASE ((key*$ScMul + j*$ScJ) % $BigP) % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 ELSE 2.0 END)"
+  val mantExpr  = s"($hExpr % 1024)"
+  val sgnExpr   = s"(CASE WHEN ((key*($SgnMul + j*$SgnJ) + j) % $BigP) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+  // Fixture.scaleExp = ((key*(ScMul+j*ScJ)+j) % BigP) % 3 - 1 in {-1,0,1} -> {0.5,1.0,2.0}
+  val scaleExpr = s"(CASE ((key*($ScMul + j*$ScJ) + j) % $BigP) % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 ELSE 2.0 END)"
 
   def fp16Comp: String = s"$sgnExpr * (1.0 + $mantExpr/1024.0) * $scaleExpr"
   def fp16ReducedComp(keepM: Int): String = {

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * Vector-file readers for the reference's input formats
+ * (`/root/reference/ANNCode.py:60-158`): FastText `.vec` text, FAISS
+ * `.fvecs`, and ASCII-header binary. Output schema: (id BIGINT,
+ * vec ARRAY<FLOAT>) with id = 0-based record index.
+ *
+ * Scale notes: `.vec` parses distributed via `spark.read.text`; `.fvecs`
+ * splits into fixed-size records via `binaryRecords` (block-parallel).
+ * The ASCII-header binary format has a variable-length header followed by
+ * a dense payload, which defeats fixed-record splitting — it is decoded
+ * per-file (`binaryFiles`); convert to Parquet/fvecs for genuinely large
+ * inputs.
+ */
+object VecFiles {
+
+  /** FastText .vec: header "N D", then "token v1 .. vD" lines; short
+    * lines skipped (ANNCode.py:82-86). */
+  def readVec(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val first = spark.read.text(path).limit(1).collect()(0).getString(0)
+    val d = first.trim.split("\\s+")(1).toInt
+    val parts = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(size(parts) === d + 1)                  // drops header + short lines
+      .select(transform(slice(parts, 2, d), x => x.cast("float")).as("vec"))
+      .filter(!exists(col("vec"), _.isNull))          // non-numeric tokens
+      .as[Array[Float]].rdd
+      .zipWithIndex()
+      .map { case (v, i) => (i, v) }
+      .toDF("id", "vec")
+  }
+
+  /** FAISS .fvecs: repeated [int32 dim][dim x float32 LE], fixed dim. */
+  def readFvecs(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // dim from the first 4 bytes (little-endian)
+    val head = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(
+      path.stripPrefix("file:")))
+    val hb = new Array[Byte](4)
+    try { require(head.read(hb) == 4, s"empty fvecs $path") } finally head.close()
+    val d = ByteBuffer.wrap(hb).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(d > 0 && d < (1 << 20), s"implausible fvecs dim $d")
+    val rec = 4 + 4 * d
+    spark.sparkContext.binaryRecords(path, rec)
+      .map { bytes =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val dim = bb.getInt
+        require(dim == d, s"mixed dims: $dim vs $d")
+        Array.fill(d)(bb.getFloat)
+      }
+      .zipWithIndex()
+      .map { case (v, i) => (i, v) }
+      .toDF("id", "vec")
+  }
+
+  /** ASCII-header binary: two ASCII integer lines L, D then L*D float32 LE
+    * (ANNCode.py:94-109); `intHeader = true` reads the fallback
+    * [int32 L][int32 D] form (ANNCode.py:150-158). */
+  def readHeaderBin(spark: SparkSession, path: String,
+                    intHeader: Boolean = false): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) =>
+        val bytes = pds.toArray()
+        val (l, d, off) =
+          if (intHeader) {
+            val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+            (bb.getInt, bb.getInt, 8)
+          } else {
+            val nl1 = bytes.indexOf('\n'.toByte)
+            val nl2 = bytes.indexOf('\n'.toByte, nl1 + 1)
+            (new String(bytes, 0, nl1).trim.toInt,
+              new String(bytes, nl1 + 1, nl2 - nl1 - 1).trim.toInt, nl2 + 1)
+          }
+        require(bytes.length - off >= l.toLong * d * 4, s"truncated payload in $path")
+        val bb = ByteBuffer.wrap(bytes, off, l * d * 4).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until l).iterator.map { i =>
+          (i.toLong, Array.fill(d)(bb.getFloat))
+        }
+      }
+      .toDF("id", "vec")
+  }
+
+  /** Extension dispatcher (ANNCode.py:140-158). */
+  def readMatrix(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".vec")) readVec(spark, path)
+    else if (path.endsWith(".fvecs")) readFvecs(spark, path)
+    else
+      try readHeaderBin(spark, path)
+      catch { case _: Exception => readHeaderBin(spark, path, intHeader = true) }
+}

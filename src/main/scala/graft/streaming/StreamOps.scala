@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Fixture
+import graft.functions.VectorOps
+
+/**
+ * Structured Streaming extension (SURVEY §2.9): the reference is batch-
+ * only; this ingests `events` as an append stream and maintains the
+ * derived vector artifacts incrementally. All transforms are
+ * stream-compatible (no global sorts/windows without watermark), so the
+ * same code serves batch DataFrames and `readStream` sources.
+ */
+object StreamOps {
+
+  /** events schema as Spark reads it with nanosAsLong (ts: BIGINT ns). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** `eventsDir` is a DIRECTORY of parquet files (the standard streaming
+    * landing-zone layout; Spark's file stream source rejects bare files). */
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(eventsDir)
+  }
+
+  /** Incremental vector ingest: each event becomes a vector row with its
+    * reduced copy + delta sidecar (the streaming analog of the batch
+    * reduced-table build). Pure per-row projection -> works on streams. */
+  def eventVectors(events: DataFrame, d: Int, keepM: Int): DataFrame =
+    events.select(col("event_id").as("id"))
+      .select(col("id"),
+        Fixture.fp16Vec(col("id"), d).as("vec"),
+        Fixture.fp16ReducedVec(col("id"), d, keepM).as("rvec"),
+        Fixture.fp16DeltaVec(col("id"), d, keepM).as("delta"))
+
+  /** Watermarked sliding-window aggregation over the event stream. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+
+  /** Streaming near-duplicate gate: score incoming vectors against a
+    * static broadcast query set and flag matches above threshold
+    * (stream-static join; the static side is broadcast each microbatch). */
+  def similarityGate(stream: DataFrame, queries: DataFrame,
+                     minCos: Double): DataFrame =
+    stream.crossJoin(broadcast(queries))
+      .withColumn("cos",
+        VectorOps.dot(col("vec"), col("qvec")) /
+          (greatest(sqrt(VectorOps.norm2Sq(col("vec"))), lit(1e-12)) *
+            greatest(sqrt(VectorOps.norm2Sq(col("qvec"))), lit(1e-12))))
+      .filter(col("cos") >= minCos)
+      .select(col("id"), col("qid"), col("cos"))
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Refine, RefineKernel, BitplaneCompress, Multimodal}
+import graft.sources.VecFiles
+import graft.streaming.StreamOps
+import java.nio.file.Files
+import java.nio.{ByteBuffer, ByteOrder}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("kernel top-K equals relational refine top-K for zero-miss modes") {
+    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, SparkEntry.KeepM)
+      .repartition(7) // exercise partial-heap merge across partitions
+    val q = Fixture.queries(v, 5).select(col("qid"), col("qvec"))
+    for (mode <- Seq("cos_l1", "l2_tz")) {
+      val p = Refine.Params(mode, k = 5, keepM = SparkEntry.KeepM)
+      val kern = RefineKernel.topk(v, q, p)
+        .select("qid", "rank", "id", "score").collect().map(_.toSeq).toSet
+      val rel = Refine.topk(v, q, p)
+        .select("qid", "rank", "id", "score").collect().map(_.toSeq).toSet
+      assert(kern == rel, s"kernel != relational for $mode")
+    }
+  }
+
+  test(".vec reader parses header, rows, and skips short lines") {
+    val f = Files.createTempFile("test", ".vec")
+    Files.writeString(f,
+      "3 4\ntok1 1.0 2.0 3.0 4.0\nbad line\ntok2 -1.5 0.25 0 7\ntok3 9 8 7 6\n")
+    val df = VecFiles.readVec(spark, f.toString)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getSeq[Float](1) == Seq(1.0f, 2.0f, 3.0f, 4.0f))
+    assert(rows(1).getSeq[Float](1) == Seq(-1.5f, 0.25f, 0f, 7f))
+    Files.delete(f)
+  }
+
+  test(".fvecs reader round-trips binary records") {
+    val f = Files.createTempFile("test", ".fvecs")
+    val d = 3
+    val bb = ByteBuffer.allocate(2 * (4 + 4 * d)).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(d).putFloat(1.5f).putFloat(-2f).putFloat(3f)
+    bb.putInt(d).putFloat(4f).putFloat(5f).putFloat(-6.25f)
+    Files.write(f, bb.array())
+    val rows = VecFiles.readFvecs(spark, f.toString).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getSeq[Float](1) == Seq(1.5f, -2f, 3f))
+    assert(rows(1).getSeq[Float](1) == Seq(4f, 5f, -6.25f))
+    Files.delete(f)
+  }
+
+  test("ASCII-header binary reader") {
+    val f = Files.createTempFile("test", ".bin")
+    val payload = ByteBuffer.allocate(2 * 2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    payload.putFloat(1f).putFloat(2f).putFloat(3f).putFloat(4f)
+    val header = "2\n2\n".getBytes
+    val all = header ++ payload.array()
+    Files.write(f, all)
+    val rows = VecFiles.readHeaderBin(spark, f.toString).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getSeq[Float](1) == Seq(1f, 2f))
+    assert(rows(1).getSeq[Float](1) == Seq(3f, 4f))
+    Files.delete(f)
+  }
+
+  test("bitplane compression: ratio >= 1 and plausible") {
+    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, SparkEntry.KeepM)
+      .select(col("id"), col("vec"))
+    val row = BitplaneCompress.measure(v, SparkEntry.D, 5, SparkEntry.KeepM).collect()(0)
+    val naive = row.getDouble(3); val comp = row.getDouble(4); val ratio = row.getDouble(5)
+    assert(naive == 12.0) // (1+5+6)*8/8
+    assert(comp > 0 && ratio > 0.5 && ratio < 20, s"comp=$comp ratio=$ratio")
+  }
+
+  test("multimodal feature histogram matches direct char histogram") {
+    val docs = Tables.documents(spark, dir).limit(20)
+    val viaBlob = Multimodal.features(Multimodal.withBlob(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val direct = docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .select(col("doc_id"), (ascii(col("ch")) % Multimodal.Bins).as("bucket"))
+      .groupBy("doc_id", "bucket").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaBlob == direct)
+  }
+
+  test("streaming windowed counts match batch over the same data") {
+    import org.apache.spark.sql.streaming.Trigger
+    // stage the single events.parquet into a landing-zone directory
+    val landing = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("part-000.parquet"))
+    val stream = StreamOps.readEventsStream(spark, landing.toString)
+    val q = StreamOps.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_counts")
+      .select(col("event_type"), col("n"), col("value_milli"))
+      .collect().map(_.toSeq).toSet
+    val want = StreamOps.windowedCounts(Tables.events(spark, dir))
+      .select(col("event_type"), col("n"), col("value_milli"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("streaming similarity gate emits matches on a microbatch") {
+    val vecs = StreamOps.eventVectors(Tables.events(spark, dir), SparkEntry.D, 6)
+    val queries = vecs.limit(3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = StreamOps.similarityGate(vecs, queries, 0.99)
+    assert(out.count() >= 3) // each query matches at least itself
+  }
+}
