@@ -36,12 +36,27 @@ object SparkEntry {
     RefineKernel.topk(v, q, refineParams(mode))
   }
 
-  /** Accounting metrics (recall/save/fpr) for all six modes. */
+  /** Accounting metrics (recall/save/fpr) for all six modes. The fixture
+    * and per-family ground truth are computed once and reused; the six
+    * mode pipelines are submitted as concurrent Spark jobs (each alone
+    * uses only ~NQ window partitions, far under the core count). */
   def qRefineMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val v = Fixture.fp16Vectors(spark, dir, D, KeepM)
+    val v = Fixture.fp16Vectors(spark, dir, D, KeepM).cache()
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
-    Refine.Modes.map(m => Refine.metrics(v, q, refineParams(m), D))
-      .reduce(_ unionByName _)
+    val gt = Map(
+      true  -> Refine.exactTopK(v, q, refineParams("cos_l1")).cache(),
+      false -> Refine.exactTopK(v, q, refineParams("l2_sym")).cache())
+    gt.values.foreach(_.count())  // materialize before the parallel fan-out
+    try {
+      import scala.collection.parallel.CollectionConverters._
+      Refine.Modes.par.map { m =>
+        val p = refineParams(m)
+        Refine.metrics(v, q, p, D, groundTruth = Some(gt(p.isCos)))
+      }.toList.reduce(_ unionByName _)
+    } finally {
+      gt.values.foreach(_.unpersist(blocking = false))
+      v.unpersist(blocking = false)
+    }
   }
 
   /** Precision-reduction projection (P2-P4): flat (id, j, v, rv, dv). */
@@ -68,10 +83,11 @@ object SparkEntry {
     val v = Fixture.vectors(spark, dir, D)
     val q = broadcast(Fixture.queries(v, NQ)
       .withColumn("nq2", norm2Sq(col("qvec"))))
-    val scored = v.crossJoin(q)
+    val scored = v
+      .withColumn("nx2", norm2Sq(col("vec")))  // hoisted out of the join
+      .crossJoin(q)
       .withColumn("score",
-        dot(col("vec"), col("qvec")) /
-          (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2"))))
+        dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2"))))
     TopK.window(scored, K)
   }
 

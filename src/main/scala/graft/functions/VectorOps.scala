@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VecExprs
 
 /**
  * Column-level dense-vector operations over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>`.
@@ -24,8 +25,12 @@ object VectorOps {
   def asum(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two ARRAY<FLOAT/DOUBLE> columns, in DOUBLE, array order. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two ARRAY<FLOAT> columns, in DOUBLE, array order
+    * (codegen'd fused loop — see [[VecExprs]]). */
+  def dot(a: Column, b: Column): Column = VecExprs.dotD(a, b)
+
+  /** HOF twin of [[dot]] (any numeric arrays; used for parity tests). */
+  def dotHof(a: Column, b: Column): Column =
     asum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
 
   /** Squared L2 norm. */
@@ -40,8 +45,11 @@ object VectorOps {
     transform(toDouble(v), x => x / n)
   }
 
-  /** Squared Euclidean distance. */
-  def l2DistSq(a: Column, b: Column): Column =
+  /** Squared Euclidean distance (codegen'd). */
+  def l2DistSq(a: Column, b: Column): Column = VecExprs.l2Sq(a, b)
+
+  /** HOF twin of [[l2DistSq]] for parity tests. */
+  def l2DistSqHof(a: Column, b: Column): Column =
     asum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)))
 
   /** Cosine similarity (unit-space dot if inputs pre-normalized; else normalizes). */
@@ -60,8 +68,9 @@ object VectorOps {
 
   // ---- cushion expressions (paper Table 2; ANNCode.py call sites noted) ----
 
-  /** l1 cushion: dot(|q|, Delta_i) (refine_cos_l1, ANNCode.py:411-413). */
-  def cushionL1(qAbs: Column, delta: Column): Column = dot(qAbs, delta)
+  /** l1 cushion: dot(|q|, Delta_i) (refine_cos_l1, ANNCode.py:411-413).
+    * HOF form (qAbs is ARRAY<DOUBLE>); hot paths use VecExprs.absDot. */
+  def cushionL1(qAbs: Column, delta: Column): Column = dotHof(qAbs, delta)
 
   /** Hoeffding cushion, squared norm: sum_j (q_j Delta_j)^2 (ANNCode.py:354).
     * Returned un-rooted so fixture sums stay exact; caller applies sqrt. */
@@ -70,11 +79,9 @@ object VectorOps {
 
   /** sum_j ((q_j - r_j) Delta_j)^2 — Hoeffding term for L2 (ANNCode.py:630). */
   def cushionHoeffNorm2Diff(q: Column, r: Column, delta: Column): Column = {
-    val pairs = zip_with(toDouble(q), toDouble(r),
-      (x, y) => struct(x.as("q"), y.as("r")))
-    asum(zip_with(pairs, toDouble(delta), (p, d) => {
-      val t = (p.getField("q") - p.getField("r")) * d; t * t
-    }))
+    // two chained 2-ary zip_withs: no per-element struct allocation
+    val diff = zip_with(toDouble(q), toDouble(r), (x, y) => x - y)
+    asum(zip_with(diff, toDouble(delta), (a, d) => (a * d) * (a * d)))
   }
 
   /**
@@ -96,17 +103,20 @@ object VectorOps {
    *   b >= Delta    -> (|a| - Delta)^2
    */
   def lbTz(a: Column, delta: Column, xTilde: Column): Column = {
-    val pairs = zip_with(toDouble(a), toDouble(delta),
-      (x, d) => struct(x.as("x"), d.as("d")))
-    asum(zip_with(pairs, toDouble(xTilde), (p, xt) => {
-      val x = p.getField("x"); val d = p.getField("d")
-      val s = when(xt < 0.0 || (xt === 0.0 && signum(lit(1.0) / xt) < 0), -1.0)
+    // b = a * sign(x_tilde) is an exact negation, so a^2 == b^2 and
+    // |a| == b on the b > 0 branch — the triple (a, delta, x_tilde)
+    // collapses to two 2-ary zip_withs with no struct allocation.
+    val b = zip_with(toDouble(a), toDouble(xTilde), (x, xt) => {
+      // signbit including -0.0; string probe avoids ANSI divide-by-zero
+      val s = when(xt < 0.0 ||
+        (xt === 0.0 && startswith(xt.cast("string"), lit("-"))), -1.0)
         .otherwise(1.0)
-      val b = x * s
-      when(b <= 0.0, x * x)
-        .when(b < d, lit(0.0))
-        .otherwise((abs(x) - d) * (abs(x) - d))
-    }))
+      x * s
+    })
+    asum(zip_with(b, toDouble(delta), (bb, d) =>
+      when(bb <= 0.0, bb * bb)
+        .when(bb < d, lit(0.0))
+        .otherwise((bb - d) * (bb - d))))
   }
 
   // ---- fp16 reduction as column ops -------------------------------------

@@ -21,43 +21,45 @@ import graft.functions.VectorOps._
  */
 object Ann {
 
-  /** Cosine via exact-dot ratio (unit-space semantics). */
-  private def cosScore(a: Column, b: Column): Column =
-    dot(a, b) / (greatest(sqrt(norm2Sq(a)), lit(1e-12)) *
-      greatest(sqrt(norm2Sq(b)), lit(1e-12)))
+  private def fn(c: Column): Column = greatest(sqrt(c), lit(1e-12))
 
-  /** Queries = the `nq` smallest vec_ids (with their labels). */
+  /** Queries = the `nq` smallest vec_ids (with labels + hoisted norm). */
   def queriesOf(emb: DataFrame, nq: Int): DataFrame =
     emb.orderBy(col("vec_id")).limit(nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("label").as("qlabel"))
+        col("label").as("qlabel"), norm2Sq(col("embedding")).as("qn2"))
+
+  /** Candidate side with the norm hoisted out of the join. */
+  private def candSide(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("id"), col("embedding"), col("label"),
+      norm2Sq(col("embedding")).as("n2"))
+
+  private def score: Column =
+    dot(col("embedding"), col("qvec")) / (fn(col("n2")) * fn(col("qn2")))
 
   def bruteTopK(emb: DataFrame, nq: Int, k: Int): DataFrame = {
     val q = broadcast(queriesOf(emb, nq))
-    val scored = emb.select(col("vec_id").as("id"), col("embedding"))
-      .crossJoin(q)
-      .withColumn("score", cosScore(col("embedding"), col("qvec")))
+    val scored = candSide(emb).crossJoin(q).withColumn("score", score)
     TopK.window(scored, k)
   }
 
   /** IVF-style: only candidates in the query's cell are scored. */
   def ivfTopK(emb: DataFrame, nq: Int, k: Int): DataFrame = {
     val q = broadcast(queriesOf(emb, nq))
-    val scored = emb
-      .select(col("vec_id").as("id"), col("embedding"), col("label"))
-      .join(q, col("label") === col("qlabel"))
-      .withColumn("score", cosScore(col("embedding"), col("qvec")))
+    val scored = candSide(emb).join(q, col("label") === col("qlabel"))
+      .withColumn("score", score)
     TopK.window(scored, k)
   }
 
   /** Same-cell pairs with cosine >= threshold: (id_a, id_b, cos). */
   def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
     val a = emb.select(col("label"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
+      col("embedding").as("va"), norm2Sq(col("embedding")).as("na2"))
     val b = emb.select(col("label"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
+      col("embedding").as("vb"), norm2Sq(col("embedding")).as("nb2"))
     a.join(b, "label").filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosScore(col("va"), col("vb")))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (fn(col("na2")) * fn(col("nb2"))))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VecExprs
+import graft.functions.VectorOps
 import graft.functions.VectorOps._
 
 /**
@@ -92,20 +94,22 @@ object Refine {
       if (p.isCos) dot(col("rvec"), col("qvec")) / (fnorm(col("nr2")) * fnorm(col("nq2")))
       else l2DistSq(col("qvec"), col("rvec"))   // reduced-space distance (asc)
 
+    // cushions via fused codegen folds (VecExprs) — numerically identical
+    // to the HOF forms (same fold order / per-element trees)
     val cushion: Column = p.mode match {
       case "cos_hoeff" =>
-        lit(p.hoeffConst) * sqrt(cushionHoeffNorm2(col("qvec"), col("delta"))) / fnorm(col("nq2"))
+        lit(p.hoeffConst) * sqrt(VecExprs.hoeffSum(col("qvec"), col("delta"))) / fnorm(col("nq2"))
       case "cos_l1" =>
-        lit(p.alpha) * dot(vabs(col("qvec")), col("delta")) / fnorm(col("nq2"))
+        lit(p.alpha) * VecExprs.absDot(col("qvec"), col("delta")) / fnorm(col("nq2"))
       case "cos_l2" =>
         lit(p.alpha) * col("bb")
       case "l2_sym" =>
-        lbSym(vdiff(col("qvec"), col("rvec")), col("delta"))
+        VecExprs.lbSymE(col("qvec"), col("rvec"), col("delta"))
       case "l2_tz" =>
-        lbTz(vdiff(col("qvec"), col("rvec")), col("delta"), col("rvec"))
+        VecExprs.lbTzE(col("qvec"), col("rvec"), col("delta"))
       case "l2_hoeff" =>
         col("s_hat") - lit(2.0 * p.hoeffConst) *
-          sqrt(cushionHoeffNorm2Diff(col("qvec"), col("rvec"), col("delta")))
+          sqrt(VecExprs.hoeffDiffSum(col("qvec"), col("rvec"), col("delta")))
     }
 
     val withScore = pairs.withColumn("s_hat", sHat)
@@ -115,9 +119,10 @@ object Refine {
               else Seq(col("s_hat").asc, col("id").asc)
     val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
     withCushion
+      // only the narrow reduced-pass results cross the shuffle; query
+      // vectors are re-attached after the window from the broadcast side
+      .select(col("qid"), col("id"), col("s_hat"), col("cush"))
       .withColumn("rn", row_number().over(w))
-      .select(col("qid"), col("id"), col("qvec"), col("nq2"),
-        col("s_hat"), col("cush"), col("rn"))
   }
 
   /** Full-precision score for rescoring (cos: unit-space ratio; l2: distance). */
@@ -131,15 +136,27 @@ object Refine {
    * Returns (qid, id, s_full, rn) — rn<=k are the seeds.
    */
   def fetched(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame = {
+    // the narrow candidate relation feeds both the seed and survivor
+    // branches; Spark's exchange reuse shares the shuffle between them
+    // (an explicit persist measured net-negative: memory churn outweighs
+    // the recomputed map stage)
     val cand = candidates(vectors, queries, p)
+    // full-precision side: broadcast the (id, vec) projection so rescoring
+    // survivors is a map-side hash join against the still-qid-partitioned
+    // candidate rows. (On a cluster where the full table dwarfs executor
+    // memory, flip this: shuffle survivors by id into the bucketed/
+    // partition-pruned full scan instead.)
+    val vSel = broadcast(vectors.select(col("id"), col("vec")))
+    val qSel = broadcast(queries.select(col("qid"), col("qvec"),
+      norm2Sq(col("qvec")).as("nq2")))
+
     val seeds = cand.filter(col("rn") <= p.k)
+      .join(vSel, Seq("id")).join(qSel, Seq("qid"))
+      .withColumn("s_full", fullScore(p))
 
     // tau0: worst full-precision score among the seeds
-    val seedScored = seeds
-      .join(vectors.select(col("id"), col("vec")), Seq("id"))
-      .withColumn("s_full", fullScore(p))
     val tau0 = broadcast(
-      seedScored.groupBy(col("qid")).agg(
+      seeds.groupBy(col("qid")).agg(
         (if (p.isCos) min(col("s_full")) else max(col("s_full"))).as("tau0")))
 
     val survive =
@@ -148,10 +165,10 @@ object Refine {
     val survivors = cand.filter(col("rn") > p.k)
       .join(tau0, Seq("qid"))
       .filter(survive)
-      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .join(vSel, Seq("id")).join(qSel, Seq("qid"))
       .withColumn("s_full", fullScore(p))
 
-    seedScored.select(col("qid"), col("id"), col("s_full"), col("rn"))
+    seeds.select(col("qid"), col("id"), col("s_full"), col("rn"))
       .unionByName(survivors.select(col("qid"), col("id"), col("s_full"), col("rn")))
   }
 
@@ -167,8 +184,15 @@ object Refine {
   def exactTopK(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame = {
     val q = broadcast(
       queries.select(col("qid"), col("qvec"), norm2Sq(col("qvec")).as("nq2")))
-    val scored = vectors.select(col("id"), col("vec")).crossJoin(q)
-      .withColumn("score", fullScore(p))
+    // per-vector norm hoisted out of the cross join (computed once per
+    // row, not once per (row, query) pair)
+    val scored = vectors
+      .select(col("id"), col("vec"), norm2Sq(col("vec")).as("nx2"))
+      .crossJoin(q)
+      .withColumn("score",
+        if (p.isCos)
+          dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2")))
+        else l2DistSq(col("qvec"), col("vec")))
     TopK.window(scored, p.k, ascending = !p.isCos)
   }
 
@@ -181,12 +205,15 @@ object Refine {
    *    of fetched, so unnecessary = fetched - K per query]
    *  - recall vs exact top-K, summed as integer hits / (K Q)
    */
-  def metrics(vectors: DataFrame, queries: DataFrame, p: Params, d: Int): DataFrame = {
+  def metrics(vectors: DataFrame, queries: DataFrame, p: Params, d: Int,
+              groundTruth: Option[DataFrame] = None): DataFrame = {
     val spark = vectors.sparkSession
     val f = fetched(vectors, queries, p).cache()
     val fin = TopK.window(f.withColumnRenamed("s_full", "score"), p.k,
       ascending = !p.isCos)
-    val gt = exactTopK(vectors, queries, p)
+    // ground truth depends only on the metric family — callers sweeping
+    // modes should compute it once per family and pass it in
+    val gt = groundTruth.getOrElse(exactTopK(vectors, queries, p))
 
     val nQ = queries.count()
     val nV = vectors.count()

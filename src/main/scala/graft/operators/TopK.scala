@@ -34,6 +34,9 @@ object TopK {
       else Seq(col(scoreCol).desc, col(idCol).asc)
     val w = Window.partitionBy(col(qidCol)).orderBy(ord: _*)
     scored
+      // project BEFORE the window: only (qid, id, score) crosses the
+      // shuffle, not whatever wide columns the caller scored with
+      .select(col(qidCol), col(idCol), col(scoreCol))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col(scoreCol))

@@ -1,0 +1,192 @@
+// Hosted inside the org.apache.spark.sql package tree: the expression
+// type-coercion interface (AbstractDataType) and the Spark 4 Column <->
+// Expression bridge (classic.ExpressionUtils) are private[sql].
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, TernaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType, DataType, DoubleType}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Codegen'd vector-fold expressions over ARRAY<FLOAT> columns.
+ *
+ * The higher-order-function formulations (`zip_with` + `aggregate`)
+ * allocate one or two intermediate arrays per evaluated row pair; inside
+ * an N x Q refinement cross join that's the dominant cost. These
+ * expressions emit a single fused loop (double accumulator, array order,
+ * no allocation) into whole-stage codegen — numerically identical to the
+ * HOF forms (same fold order, same per-element expression trees), so the
+ * DuckDB oracles are unaffected.
+ *
+ * Element nulls are not expected (vectors are dense); mismatched lengths
+ * fold over the shorter prefix.
+ */
+object VecExprs {
+
+  private val arrF = ArrayType(FloatType)
+
+  abstract class VecFold2 extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(arrF, arrF)
+    override def dataType: DataType = DoubleType
+    /** Java source for the loop body: uses `x`, `y`, accumulates into `acc`. */
+    protected def javaBody: String
+    /** Scala mirror of one element step. */
+    protected def step(acc: Double, x: Double, y: Double): Double
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0; var i = 0
+      while (i < n) { acc = step(acc, a.getFloat(i), b.getFloat(i)); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double acc = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double x = (double) $a.getFloat(i);
+           |  double y = (double) $b.getFloat(i);
+           |  $javaBody
+           |}
+           |${ev.value} = acc;
+         """.stripMargin
+      })
+  }
+
+  /** sum x_i * y_i */
+  case class DotD(left: Expression, right: Expression) extends VecFold2 {
+    protected def javaBody = "acc += x * y;"
+    protected def step(acc: Double, x: Double, y: Double): Double = acc + x * y
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** sum (x_i - y_i)^2 */
+  case class L2Sq(left: Expression, right: Expression) extends VecFold2 {
+    protected def javaBody = "double d = x - y; acc += d * d;"
+    protected def step(acc: Double, x: Double, y: Double): Double = {
+      val d = x - y; acc + d * d
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** sum |x_i| * y_i  (cos_l1 cushion numerator: x = q, y = Delta) */
+  case class AbsDot(left: Expression, right: Expression) extends VecFold2 {
+    protected def javaBody = "acc += java.lang.Math.abs(x) * y;"
+    protected def step(acc: Double, x: Double, y: Double): Double =
+      acc + math.abs(x) * y
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** sum (x_i * y_i)^2  (Hoeffding cushion: x = q, y = Delta) */
+  case class HoeffSum(left: Expression, right: Expression) extends VecFold2 {
+    protected def javaBody = "double t = x * y; acc += t * t;"
+    protected def step(acc: Double, x: Double, y: Double): Double = {
+      val t = x * y; acc + t * t
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  abstract class VecFold3 extends TernaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(arrF, arrF, arrF)
+    override def dataType: DataType = DoubleType
+    protected def javaBody: String
+    protected def step(acc: Double, q: Double, r: Double, d: Double): Double
+
+    override def nullSafeEval(e1: Any, e2: Any, e3: Any): Any = {
+      val a = e1.asInstanceOf[ArrayData]; val b = e2.asInstanceOf[ArrayData]
+      val c = e3.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), math.min(b.numElements(), c.numElements()))
+      var acc = 0.0; var i = 0
+      while (i < n) { acc = step(acc, a.getFloat(i), b.getFloat(i), c.getFloat(i)); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(),
+           |  java.lang.Math.min($b.numElements(), $c.numElements()));
+           |double acc = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double q = (double) $a.getFloat(i);
+           |  double r = (double) $b.getFloat(i);
+           |  double d = (double) $c.getFloat(i);
+           |  $javaBody
+           |}
+           |${ev.value} = acc;
+         """.stripMargin
+      })
+  }
+
+  /** sum ((q_i - r_i) * d_i)^2  (L2 Hoeffding term) */
+  case class HoeffDiffSum(first: Expression, second: Expression, third: Expression)
+      extends VecFold3 {
+    protected def javaBody = "double t = (q - r) * d; acc += t * t;"
+    protected def step(acc: Double, q: Double, r: Double, d: Double): Double = {
+      val t = (q - r) * d; acc + t * t
+    }
+    override protected def withNewChildrenInternal(e1: Expression, e2: Expression, e3: Expression) =
+      copy(first = e1, second = e2, third = e3)
+  }
+
+  /** sum max(|q_i - r_i| - d_i, 0)^2  (_lb_sym, ANNCode.py:500-505) */
+  case class LbSymE(first: Expression, second: Expression, third: Expression)
+      extends VecFold3 {
+    protected def javaBody =
+      """double a2 = q - r;
+        |double l = java.lang.Math.max(java.lang.Math.abs(a2) - d, 0.0);
+        |acc += l * l;""".stripMargin
+    protected def step(acc: Double, q: Double, r: Double, d: Double): Double = {
+      val l = math.max(math.abs(q - r) - d, 0.0); acc + l * l
+    }
+    override protected def withNewChildrenInternal(e1: Expression, e2: Expression, e3: Expression) =
+      copy(first = e1, second = e2, third = e3)
+  }
+
+  /** Sign-aware lower bound (_lb_tz, ANNCode.py:508-522); r is the reduced
+    * value whose sign steers the branch (signbit: -0.0 counts negative). */
+  case class LbTzE(first: Expression, second: Expression, third: Expression)
+      extends VecFold3 {
+    protected def javaBody =
+      """double a2 = q - r;
+        |double s = (r < 0.0 || (r == 0.0 && java.lang.Double.doubleToRawLongBits(r) != 0L)) ? -1.0 : 1.0;
+        |double b2 = a2 * s;
+        |if (b2 <= 0.0) { acc += a2 * a2; }
+        |else if (b2 >= d) { double l = b2 - d; acc += l * l; }""".stripMargin
+    protected def step(acc: Double, q: Double, r: Double, d: Double): Double = {
+      val a2 = q - r
+      val s = if (r < 0.0 || (r == 0.0 &&
+        java.lang.Double.doubleToRawLongBits(r) != 0L)) -1.0 else 1.0
+      val b2 = a2 * s
+      if (b2 <= 0.0) acc + a2 * a2
+      else if (b2 >= d) { val l = b2 - d; acc + l * l }
+      else acc
+    }
+    override protected def withNewChildrenInternal(e1: Expression, e2: Expression, e3: Expression) =
+      copy(first = e1, second = e2, third = e3)
+  }
+
+  // ---- Column wrappers (Spark 4: Column <-> Expression via classic utils)
+  private def c(e: Expression): Column = ExpressionUtils.column(e)
+  private def x(col: Column): Expression = ExpressionUtils.expression(col)
+  def dotD(a: Column, b: Column): Column     = c(DotD(x(a), x(b)))
+  def l2Sq(a: Column, b: Column): Column     = c(L2Sq(x(a), x(b)))
+  def absDot(a: Column, b: Column): Column   = c(AbsDot(x(a), x(b)))
+  def hoeffSum(a: Column, b: Column): Column = c(HoeffSum(x(a), x(b)))
+  def hoeffDiffSum(q: Column, r: Column, d: Column): Column =
+    c(HoeffDiffSum(x(q), x(r), x(d)))
+  def lbSymE(q: Column, r: Column, d: Column): Column =
+    c(LbSymE(x(q), x(r), x(d)))
+  def lbTzE(q: Column, r: Column, d: Column): Column =
+    c(LbTzE(x(q), x(r), x(d)))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VecExprs
+import graft.functions.VectorOps
+
+/** Codegen folds must be bit-identical to the HOF formulations. */
+class VecExprsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def randomRows(n: Int, d: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    def f(): Float = rnd.nextInt(8) match {
+      case 0 => 0.0f
+      case 1 => -0.0f
+      case 2 => (rnd.nextFloat() - 0.5f) * 1e-40f // subnormal territory
+      case _ => (rnd.nextFloat() - 0.5f) * math.pow(2.0, rnd.nextInt(20) - 10).toFloat
+    }
+    import spark.implicits._
+    (0 until n).map(_ => (Array.fill(d)(f()), Array.fill(d)(f()),
+      Array.fill(d)(math.abs(f())))).toDF("a", "b", "d")
+  }
+
+  test("codegen folds match HOF folds bit-for-bit on adversarial floats") {
+    val df = randomRows(2000, 16, 7)
+    val cmp = df.select(
+      VecExprs.dotD(col("a"), col("b")).as("e_dot"),
+      VectorOps.dotHof(col("a"), col("b")).as("h_dot"),
+      VecExprs.l2Sq(col("a"), col("b")).as("e_l2"),
+      VectorOps.l2DistSqHof(col("a"), col("b")).as("h_l2"),
+      VecExprs.absDot(col("a"), col("d")).as("e_abs"),
+      VectorOps.cushionL1(VectorOps.vabs(col("a")), col("d")).as("h_abs"),
+      VecExprs.hoeffSum(col("a"), col("d")).as("e_hs"),
+      VectorOps.cushionHoeffNorm2(col("a"), col("d")).as("h_hs"),
+      VecExprs.hoeffDiffSum(col("a"), col("b"), col("d")).as("e_hd"),
+      VectorOps.cushionHoeffNorm2Diff(col("a"), col("b"), col("d")).as("h_hd"),
+      VecExprs.lbSymE(col("a"), col("b"), col("d")).as("e_sym"),
+      VectorOps.lbSym(VectorOps.vdiff(col("a"), col("b")), col("d")).as("h_sym"),
+      VecExprs.lbTzE(col("a"), col("b"), col("d")).as("e_tz"),
+      VectorOps.lbTz(VectorOps.vdiff(col("a"), col("b")), col("d"), col("b")).as("h_tz"))
+    cmp.collect().zipWithIndex.foreach { case (r, i) =>
+      for (j <- 0 until 14 by 2) {
+        val e = r.getDouble(j); val h = r.getDouble(j + 1)
+        assert(java.lang.Double.doubleToRawLongBits(e) ==
+          java.lang.Double.doubleToRawLongBits(h),
+          s"row $i field $j: codegen $e != hof $h")
+      }
+    }
+  }
+
+  test("interpreted eval matches codegen path") {
+    // force interpreted evaluation by filtering through a literal Dataset op
+    val df = randomRows(200, 8, 11)
+    val viaExpr = df.select(VecExprs.dotD(col("a"), col("b")).as("v")).collect().map(_.getDouble(0))
+    val rows = df.select(col("a"), col("b")).collect()
+    rows.zip(viaExpr).foreach { case (r, v) =>
+      val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+      var acc = 0.0
+      for (i <- a.indices) acc += a(i).toDouble * b(i).toDouble
+      assert(java.lang.Double.doubleToRawLongBits(acc) ==
+        java.lang.Double.doubleToRawLongBits(v))
+    }
+  }
+}
