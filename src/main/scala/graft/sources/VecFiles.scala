@@ -94,4 +94,13 @@ object VecFiles {
     else
       try readHeaderBin(spark, path)
       catch { case _: Exception => readHeaderBin(spark, path, intHeader = true) }
+
+  /** P7 subsample (reference seeded uniform sampling, ANNCode.py:68-71):
+    * exact-count deterministic selection by keyed hash order — invariant
+    * under partitioning, unlike `rand()`-based sampling. */
+  def subsample(df: DataFrame, maxRows: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.orderBy(md5(concat(col("id").cast("string"), lit(":42"))), col("id"))
+      .limit(maxRows)
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Refine, Sweep}
+import graft.sources.{Disaggregated, VecFiles}
+
+class StorageSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("disaggregated layout: reduced scan prunes the full-precision column") {
+    val path = java.nio.file.Files.createTempDirectory("disagg").toString + "/vecs"
+    val v = Fixture.vectors(spark, dir, SparkEntry.D)
+    Disaggregated.write(v, path, keepE = 5, keepM = 6)
+
+    val reduced = Disaggregated.readReduced(spark, path)
+    Disaggregated.assertPruned(reduced, Set("id", "rvec", "delta"))
+    val full = Disaggregated.readFull(spark, path)
+    Disaggregated.assertPruned(full, Set("id", "vec"))
+
+    // the stored reduced copy must round-trip the truncation semantics
+    val row = spark.read.parquet(path).orderBy("id").limit(1).collect()(0)
+    val vec  = row.getSeq[Float](row.fieldIndex("vec"))
+    val rvec = row.getSeq[Float](row.fieldIndex("rvec"))
+    vec.zip(rvec).foreach { case (x, r) =>
+      assert(graft.functions.Fp16.reduceValue(x, 5, 6) == r)
+    }
+    // refinement runs end-to-end off the disaggregated table
+    val stored = spark.read.parquet(path)
+    val q = Fixture.queries(
+      stored.select(col("id"), col("vec"), col("rvec"), col("delta")), 3)
+      .select(col("qid"), col("qvec"))
+    val topk = Refine.topk(stored, q, Refine.Params("cos_l1", k = 5, keepM = 6))
+    assert(topk.count() == 15)
+  }
+
+  test("pushed filter reaches the parquet scan on the id fetch path") {
+    val path = java.nio.file.Files.createTempDirectory("disagg2").toString + "/vecs"
+    Disaggregated.write(Fixture.vectors(spark, dir, SparkEntry.D), path, 5, 6)
+    val fetch = Disaggregated.readFull(spark, path).filter(col("id") === 1234L)
+    val scan = fetch.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("EqualTo(id,1234)"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+  }
+
+  test("sweep grid produces one metrics row per config with invariants") {
+    val q = Fixture.queries(
+      Fixture.fp16Vectors(spark, dir, SparkEntry.D, 6), 3)
+      .select(col("qid"), col("qvec"))
+    val grid = Sweep.Grid(modes = Seq("cos_l1", "l2_tz", "cos_hoeff"),
+      keepMs = Seq(4, 8), k = 5)
+    val m = Sweep.run(
+      km => Fixture.fp16Vectors(spark, dir, SparkEntry.D, km), q,
+      SparkEntry.D, grid).collect()
+    assert(m.length == 6) // 3 modes x 2 keepMs
+    m.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // recall
+      assert(r.getDouble(4) < 1.0)                           // save
+    }
+    // zero-miss rows must have recall exactly 1.0
+    m.filter(r => r.getString(0) == "cos_l1" || r.getString(0) == "l2_tz")
+      .foreach(r => assert(r.getDouble(3) == 1.0))
+  }
+
+  test("subsample is deterministic and exact-count") {
+    val v = Fixture.vectors(spark, dir, SparkEntry.D)
+    val a = VecFiles.subsample(v, 100).select("id").collect().map(_.getLong(0)).toSet
+    val b = VecFiles.subsample(v.repartition(13), 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a.size == 100 && a == b)
+  }
+}
