@@ -133,6 +133,40 @@ object Fixture {
         fp16ReducedVec(col("id"), d, keepM).as("rvec"),
         fp16DeltaVec(col("id"), d, keepM).as("delta"))
 
+  /**
+   * Deterministic Gaussian demo fixture (reference `ANNCode.py:816-822`:
+   * N(0,1), N=2000, D=128, Qn=30, seed 42). Counter-based: each value is
+   * a pure function of (seed, id, j) via splitmix64 + Box-Muller, so the
+   * data is identical under any partitioning (FIXTURES.md §3 rule).
+   * Mirrors reference precision semantics: `vec` is the fp16 round-trip
+   * of the raw draw (ANNCode.py:825), `rvec`/`delta` reduce the raw draw.
+   */
+  def gaussianVectors(spark: SparkSession, n: Int, d: Int, keepM: Int,
+                      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Fp16
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def gauss(id: Long, j: Int): Float = {
+      val h1 = mix(seed * 0x100000001L + id * d + j)
+      val h2 = mix(h1 + 1)
+      val u1 = ((h1 >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+      val u2 = ((h2 >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+      (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
+    }
+    spark.range(n).as[Long].map { id =>
+      val raw = Array.tabulate(d)(j => gauss(id, j))
+      (id,
+        raw.map(Fp16.roundTrip),
+        raw.map(Fp16.reduceValue(_, 5, keepM)),
+        raw.map(Fp16.deltaOf(_, 5, keepM)))
+    }.toDF("id", "vec", "rvec", "delta")
+  }
+
   /** Query side: the `nq` smallest ids, same synthesis. */
   def queries(vectors: DataFrame, nq: Int): DataFrame =
     vectors.orderBy("id").limit(nq)

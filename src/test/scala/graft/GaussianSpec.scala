@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Refine, RefineKernel}
+
+/**
+ * Self-oracle end-to-end at the reference's own demo scale
+ * (`ANNCode.py:816-822`: Gaussian N=2000, D=128, Qn=30, K=20) — the
+ * paper's analytic invariants must hold on realistic dimensionality, not
+ * just the 8-dim oracle fixtures.
+ */
+class GaussianSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val N = 2000; val D = 128; val Qn = 30; val K = 20; val KeepM = 6
+
+  lazy val v = Fixture.gaussianVectors(spark, N, D, KeepM).cache()
+  lazy val q = v.orderBy("id").limit(Qn)
+    .select(col("id").as("qid"), col("vec").as("qvec"))
+
+  test("zero-miss modes: kernel top-K equals brute force at D=128") {
+    for (mode <- Seq("cos_l1", "cos_l2", "l2_sym", "l2_tz")) {
+      val p = Refine.Params(mode, k = K, keepM = KeepM)
+      val kern = RefineKernel.topk(v, q, p)
+        .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+      val exact = Refine.exactTopK(v, q, p)
+        .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+      assert(kern == exact, s"$mode kernel != exact")
+    }
+  }
+
+  test("metrics corridors at demo scale: recall floors and positive saving") {
+    for (mode <- Refine.Modes) {
+      val m = Refine.metrics(v, q, Refine.Params(mode, k = K, keepM = KeepM), D)
+        .collect()(0)
+      val (recall, save, fpr) = (m.getDouble(3), m.getDouble(4), m.getDouble(5))
+      if (mode.endsWith("hoeff"))
+        assert(recall >= 0.90, s"$mode recall=$recall < 0.90") // paper §4.1 tuned floor
+      else
+        assert(recall == 1.0, s"$mode recall=$recall != 1.0")  // zero-miss invariant
+      assert(save > 0.0 && save < 1.0, s"$mode save=$save")
+      assert(fpr >= 0.0 && fpr <= 1.0, s"$mode fpr=$fpr")
+    }
+  }
+
+  test("gaussian fixture is partitioning-invariant") {
+    val a = Fixture.gaussianVectors(spark, 100, 16, 6)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Fixture.gaussianVectors(spark, 100, 16, 6).repartition(7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k2, vec) => assert(vec == b(k2)) }
+  }
+}
