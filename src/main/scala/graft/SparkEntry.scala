@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps._
 import graft.operators.{TopK, Refine, RefineKernel, Dedup, TextOps, Ann}
-import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle}
+import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle, IvfOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -111,6 +111,8 @@ object SparkEntry {
   final val MinJaccard = 0.05
   final val EmbD = 64
   final val MinCos = 0.25
+  final val IvfCells = 8
+  final val IvfProbe = 2
   final val SessionGapSec = 1800
   final val PricingCutoff = "1998-09-02"
   final val TopNCustomers = 3
@@ -215,6 +217,8 @@ object SparkEntry {
     // similarity search over embeddings
     "q_ann_brute"   -> q((s, dir) => Ann.bruteTopK(emb(s, dir), NQ, K)),
     "q_ann_ivf"     -> q((s, dir) => Ann.ivfTopK(emb(s, dir), NQ, K)),
+    "q_ann_ivf_index" -> q((s, dir) =>
+      graft.operators.Ivf.topk(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // events
     "q_events_daily"    -> q((s, dir) => qEventsDaily(s, dir)),
@@ -258,6 +262,7 @@ object SparkEntry {
     "q_fingerprint"   -> DocOracle.fingerprintSql(Shingle),
     "q_ann_brute"     -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
+    "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_events_daily"    -> MiscOracle.eventsDailySql,
     "q_events_json"     -> MiscOracle.eventsJsonSql,

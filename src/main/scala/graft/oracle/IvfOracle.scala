@@ -1,0 +1,62 @@
+package graft.oracle
+
+import graft.operators.Ivf
+
+/**
+ * DuckDB oracle for the IVF index ([[graft.operators.Ivf]]): centroid
+ * distance chains are explicit left-associated sums (matching the codegen
+ * fold order), centroid constants are dyadic so their decimal literals
+ * parse to identical doubles, and the argmin/probe/rank logic mirrors the
+ * engine's tie-breaks.
+ */
+object IvfOracle {
+
+  private def fn(x: String) = s"GREATEST(sqrt($x), 1e-12)"
+
+  /** Explicit left-fold ||x - c||^2 chain for one centroid. */
+  private def cellDistExpr(alias: String, cell: Int, d: Int): String =
+    (0 until d).map { j =>
+      val c = Ivf.centroidComponent(cell, j)
+      // centroid stored as FLOAT in the engine literal; cast the printed
+      // double through FLOAT for identical widening
+      s"(CAST($alias.embedding[${j + 1}] AS DOUBLE) - CAST(CAST($c AS FLOAT) AS DOUBLE))" +
+        s"*(CAST($alias.embedding[${j + 1}] AS DOUBLE) - CAST(CAST($c AS FLOAT) AS DOUBLE))"
+    }.mkString("(", " + ", ")")
+
+  def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int): String = {
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    val probeCase = "CASE t.cell " + (0 until nCells)
+      .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
+    val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
+    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id FROM qp JOIN asg a ON a.cell = qp.cell),
+       |scored AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+}
