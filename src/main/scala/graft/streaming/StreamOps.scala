@@ -47,6 +47,27 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
 
+  /**
+   * Incremental maintenance of the disaggregated vector table: each
+   * microbatch of arriving events appends its vectors' full/reduced/delta
+   * columns to the same Parquet layout the batch refinement scans — the
+   * refreshed index is immediately queryable by [[graft.operators.Refine]]
+   * with no rebuild. Returns the started query (AvailableNow trigger
+   * drains what's present, then stops).
+   */
+  def maintainReducedCopy(eventsStream: DataFrame, outPath: String,
+                          d: Int, keepM: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    eventVectors(eventsStream, d, keepM)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .option("compression", "zstd")
+          .parquet(outPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming near-duplicate gate: score incoming vectors against a
     * static broadcast query set and flag matches above threshold
     * (stream-static join; the static side is broadcast each microbatch). */

@@ -114,6 +114,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming reduced-copy maintenance feeds batch refinement") {
+    val landing = Files.createTempDirectory("events_inc")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("part-000.parquet"))
+    val out = Files.createTempDirectory("vec_table").toString + "/vecs"
+    val q = StreamOps.maintainReducedCopy(
+      StreamOps.readEventsStream(spark, landing.toString), out, SparkEntry.D, 6)
+    q.awaitTermination(120000)
+    val table = spark.read.parquet(out)
+    assert(table.count() == Tables.events(spark, dir).count())
+    // the streamed table is directly queryable by the batch refinement
+    val queries = Fixture.queries(table, 3)
+      .select(org.apache.spark.sql.functions.col("qid"),
+        org.apache.spark.sql.functions.col("qvec"))
+    val topk = graft.operators.Refine.topk(table, queries,
+      graft.operators.Refine.Params("l2_sym", k = 5, keepM = 6))
+    assert(topk.count() == 15)
+  }
+
   test("streaming similarity gate emits matches on a microbatch") {
     val vecs = StreamOps.eventVectors(Tables.events(spark, dir), SparkEntry.D, 6)
     val queries = vecs.limit(3)
