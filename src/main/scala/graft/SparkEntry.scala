@@ -182,6 +182,37 @@ object SparkEntry {
       .select(col("c_mktsegment"), col("c_custkey"), col("total_cents"), col("rank"))
   }
 
+  /** §2.7 set operators over token vocabularies of two sources. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def vocab(src: String) = docs(s, dir).filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("tok")).distinct()
+    val (a, b) = (vocab("src0"), vocab("src1"))
+    val spark = s
+    import spark.implicits._
+    Seq(
+      ("intersect", a.intersect(b).count()),
+      ("except_a", a.except(b).count()),
+      ("union", a.union(b).distinct().count())
+    ).toDF("op", "n")
+  }
+
+  /** Grouping-set rollup over lineitem (subtotal + grand-total rows). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+
+  /** Mini parameter sweep (reference sweep_and_plot): 2 modes x 2 keepMs. */
+  def qSweep(s: SparkSession, dir: String): DataFrame = {
+    val q = Fixture.queries(Fixture.fp16Vectors(s, dir, D, KeepM), NQ)
+      .select(col("qid"), col("qvec"))
+    graft.operators.Sweep.run(
+      km => Fixture.fp16Vectors(s, dir, D, km), q, D,
+      graft.operators.Sweep.Grid(
+        modes = Seq("cos_l1", "l2_tz"), keepMs = Seq(4, 8), k = K))
+  }
+
   def qRegionStats(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "region")
       .join(Tables.load(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
@@ -228,6 +259,9 @@ object SparkEntry {
     "q_pricing"       -> q((s, dir) => qPricing(s, dir)),
     "q_top_customers" -> q((s, dir) => qTopCustomers(s, dir)),
     "q_region_stats"  -> q((s, dir) => qRegionStats(s, dir)),
+    "q_set_ops"       -> q((s, dir) => qSetOps(s, dir)),
+    "q_rollup"        -> q((s, dir) => qRollup(s, dir)),
+    "q_sweep"         -> q((s, dir) => qSweep(s, dir)),
   ) ++ Refine.Modes.map(m =>
     s"q_refine_$m" -> q((s, dir) => qRefine(s, dir, m))
   ).toMap ++ Map[String, QFn](
@@ -270,6 +304,11 @@ object SparkEntry {
     "q_pricing"       -> MiscOracle.pricingSql(PricingCutoff),
     "q_top_customers" -> MiscOracle.topCustomersSql(TopNCustomers),
     "q_region_stats"  -> MiscOracle.regionStatsSql,
+    "q_set_ops"       -> MiscOracle.setOpsSql("src0", "src1"),
+    "q_rollup"        -> MiscOracle.rollupSql,
+    "q_sweep"         -> RefineOracle.allMetricsSql(D, NQ,
+      for { m <- Seq("cos_l1", "l2_tz"); km <- Seq(4, 8) }
+        yield Refine.Params(m, k = K, keepM = km)),
   ) ++ Refine.Modes.map(m =>
     s"q_refine_$m" -> RefineOracle.topkSql(D, NQ, refineParams(m))
   ).toMap ++ Map(

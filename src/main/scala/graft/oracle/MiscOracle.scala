@@ -59,6 +59,22 @@ object MiscOracle {
        |SELECT c_mktsegment, c_custkey, total_cents, CAST(rnk AS INTEGER) AS rank
        |FROM r WHERE rnk <= $topN""".stripMargin
 
+  def setOpsSql(srcA: String, srcB: String): String =
+    s"""WITH a AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+       |           FROM documents WHERE source = '$srcA'),
+       |b AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+       |      FROM documents WHERE source = '$srcB')
+       |SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT tok FROM a INTERSECT SELECT tok FROM b)
+       |UNION ALL
+       |SELECT 'except_a' AS op, COUNT(*) AS n FROM (SELECT tok FROM a EXCEPT SELECT tok FROM b)
+       |UNION ALL
+       |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT tok FROM a UNION SELECT tok FROM b)""".stripMargin
+
+  def rollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   def regionStatsSql: String =
     """SELECT r.r_name,
       |  COUNT(DISTINCT n.n_nationkey) AS n_nations,
