@@ -205,8 +205,12 @@ object Refine {
    *    of fetched, so unnecessary = fetched - K per query]
    *  - recall vs exact top-K, summed as integer hits / (K Q)
    */
+  /** `redBytesOverride`: measured compressed bytes/vec (from
+    * [[BitplaneCompress.measure]]) replacing the naive bit-count model —
+    * the reference's `red_bytes_override` (ANNCode.py:317-318, 831-833). */
   def metrics(vectors: DataFrame, queries: DataFrame, p: Params, d: Int,
-              groundTruth: Option[DataFrame] = None): DataFrame = {
+              groundTruth: Option[DataFrame] = None,
+              redBytesOverride: Option[Double] = None): DataFrame = {
     val spark = vectors.sparkSession
     val f = fetched(vectors, queries, p).cache()
     val fin = TopK.window(f.withColumnRenamed("s_full", "score"), p.k,
@@ -222,7 +226,7 @@ object Refine {
     f.unpersist()
 
     val bFull = 16.0 * d / 8.0
-    val bRed  = p.bitsRed * d / 8.0
+    val bRed  = redBytesOverride.getOrElse(p.bitsRed * d / 8.0)
     val total = bRed * nV * nQ + bFull * nFetched
     val save  = 1.0 - total / (bFull * nV * nQ)
     val fpr   = (nFetched - p.k.toLong * nQ).toDouble / (nV.toDouble * nQ)

@@ -71,6 +71,23 @@ class StorageSpec extends AnyFunSuite {
       .foreach(r => assert(r.getDouble(3) == 1.0))
   }
 
+  test("compressed-bytes override tightens the saving (O6 path)") {
+    import graft.operators.BitplaneCompress
+    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, 6)
+    val q = Fixture.queries(v, 3).select(col("qid"), col("qvec"))
+    val measured = BitplaneCompress
+      .measure(v.select(col("id"), col("vec")), SparkEntry.D, 5, 6)
+      .collect()(0).getDouble(4)
+    val p = Refine.Params("cos_l1", k = 5, keepM = 6)
+    val naive = Refine.metrics(v, q, p, SparkEntry.D).collect()(0).getDouble(4)
+    val overr = Refine.metrics(v, q, p, SparkEntry.D,
+      redBytesOverride = Some(measured)).collect()(0).getDouble(4)
+    // compressed reduced pages are smaller than the naive bit count ->
+    // strictly more saving (paper §4.3 composition)
+    assert(measured < 12.0, s"measured=$measured not < naive 12B")
+    assert(overr > naive, s"override saving $overr <= naive $naive")
+  }
+
   test("subsample is deterministic and exact-count") {
     val v = Fixture.vectors(spark, dir, SparkEntry.D)
     val a = VecFiles.subsample(v, 100).select("id").collect().map(_.getLong(0)).toSet
