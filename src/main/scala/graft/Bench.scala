@@ -38,8 +38,16 @@ object Bench {
     val futures = benched.map { case (name, fn) =>
       Future {
         val s0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - s0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - s0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // a crashed query must not masquerade as a fast one: record
+            // the sentinel -1 and say so on stderr
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            name -> -1.0
+        }
       }
     }
     val results = Await.result(Future.sequence(futures), Duration.Inf).toMap

@@ -76,7 +76,7 @@ object SparkEntry {
     qTopkCos(spark, "/root/testdata/sf0.001")
 
   private def fnorm(c: org.apache.spark.sql.Column) =
-    greatest(sqrt(c), lit(1e-12))
+    graft.functions.VectorOps.fnorm(c)
 
   /** Exact cosine top-K: broadcast cross join + ratio score + window. */
   def qTopkCos(spark: SparkSession, dir: String): DataFrame = {

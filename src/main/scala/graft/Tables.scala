@@ -163,7 +163,7 @@ object Fixture {
       (id,
         raw.map(Fp16.roundTrip),
         raw.map(Fp16.reduceValue(_, 5, keepM)),
-        raw.map(Fp16.deltaOf(_, 5, keepM)))
+        raw.map(Fp16.deltaOf(_, keepM)))
     }.toDF("id", "vec", "rvec", "delta")
   }
 

@@ -102,13 +102,21 @@ object Fp16 {
    * "No-peek" per-coordinate error step from the kept exponent field:
    * normals 2^(e-15-keepM), subnormals 2^(1-15-keepM).
    * (reference `delta_from_exp`, paper Eq.(7))
+   *
+   * Only a valid bound when the reduction kept the FULL exponent —
+   * mirroring the reference, whose refinement path always reduces via
+   * `reduce_precision_keep_exp` (ANNCode.py:827); its `keep_e` parameter
+   * affects the bytes model, never the data. Exponent-truncating
+   * reductions ([[reduceWord]] with keepE < 5) exist as a library
+   * projection (`reduce_precision_keep_both`) whose error is
+   * diagnostic-only, as in the reference (ANNCode.py:241).
    */
   def deltaFromExp(e: Int, keepM: Int): Float = {
     val ee = if (e == 0) 1 else e
     math.pow(2.0, ee - ExpBias - keepM).toFloat
   }
 
-  /** Delta for the reduced word of `x` (convenience: exp field survives truncation). */
-  def deltaOf(x: Float, keepE: Int, keepM: Int): Float =
-    deltaFromExp(expOf(reduceWord(x, keepE, keepM)), keepM)
+  /** Delta for the mantissa-truncated reduction of `x` (full exponent). */
+  def deltaOf(x: Float, keepM: Int): Float =
+    deltaFromExp(expOf(floatToHalfBits(x)), keepM)
 }

@@ -127,8 +127,8 @@ object VectorOps {
   private val reduceWordUdf = udf { (v: Seq[Float], keepE: Int, keepM: Int) =>
     v.map(x => Fp16.reduceWord(x, keepE, keepM).toShort)
   }
-  private val deltaUdf = udf { (v: Seq[Float], keepE: Int, keepM: Int) =>
-    v.map(x => Fp16.deltaOf(x, keepE, keepM))
+  private val deltaUdf = udf { (v: Seq[Float], keepM: Int) =>
+    v.map(x => Fp16.deltaOf(x, keepM))
   }
   private val roundTripUdf = udf { (v: Seq[Float]) => v.map(Fp16.roundTrip) }
 
@@ -140,9 +140,14 @@ object VectorOps {
   def reduceVecWords(v: Column, keepE: Int, keepM: Int): Column =
     reduceWordUdf(v, lit(keepE), lit(keepM))
 
-  /** Per-coordinate "no-peek" Delta bound (reference delta_from_exp). */
-  def deltaVec(v: Column, keepE: Int, keepM: Int): Column =
-    deltaUdf(v, lit(keepE), lit(keepM))
+  /** Per-coordinate "no-peek" Delta bound (reference delta_from_exp).
+    * Valid for full-exponent (keep_exp) reductions only — see Fp16. */
+  def deltaVec(v: Column, keepM: Int): Column =
+    deltaUdf(v, lit(keepM))
+
+  /** Floored norm used by every unit-space ratio, in one place so the
+    * Spark-side expression can never drift from the oracle templates. */
+  def fnorm(x: Column): Column = greatest(sqrt(x), lit(1e-12))
 
   /** fp16 round-trip of every element (reference ANNCode.py:825 DBf). */
   def fp16RoundTrip(v: Column): Column = roundTripUdf(v)

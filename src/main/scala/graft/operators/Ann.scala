@@ -21,7 +21,7 @@ import graft.functions.VectorOps._
  */
 object Ann {
 
-  private def fn(c: Column): Column = greatest(sqrt(c), lit(1e-12))
+  private def fn(c: Column): Column = graft.functions.VectorOps.fnorm(c)
 
   /** Queries = the `nq` smallest vec_ids (with labels + hoisted norm). */
   def queriesOf(emb: DataFrame, nq: Int): DataFrame =

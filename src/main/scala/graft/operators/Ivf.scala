@@ -84,8 +84,8 @@ object Ivf {
     val scored = assigned.join(probes, Seq("cell"))
       .withColumn("score",
         graft.functions.VectorOps.dot(col("embedding"), col("qvec")) /
-          (greatest(sqrt(col("n2")), lit(1e-12)) *
-            greatest(sqrt(col("qn2")), lit(1e-12))))
+          (graft.functions.VectorOps.fnorm(col("n2")) *
+            graft.functions.VectorOps.fnorm(col("qn2"))))
     TopK.window(scored, k)
   }
 }

@@ -63,8 +63,7 @@ object Refine {
     def bitsRed: Int = 1 + keepE + keepM
   }
 
-  private val eps = lit(1e-12)
-  private def fnorm(x: Column): Column = greatest(sqrt(x), eps)
+  private def fnorm(x: Column): Column = VectorOps.fnorm(x)
 
   /**
    * Phase 1+2+3: per-(qid,id) candidate rows with reduced score, cushion

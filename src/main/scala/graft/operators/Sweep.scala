@@ -25,11 +25,24 @@ object Sweep {
       km <- grid.keepMs
       dl <- if (m.endsWith("hoeff")) grid.deltas else Seq(grid.deltas.head)
     } yield Refine.Params(m, k = grid.k, keepM = km, delta = dl)
+    // ground truth is keepM-independent (the full-precision vec column is
+    // the same for every reduction) — compute once per metric family
+    // instead of once per grid cell
+    val refVecs = vectors(grid.keepMs.head)
+    val gt = configs.map(_.isCos).distinct.map { isCos =>
+      val mode = if (isCos) "cos_l1" else "l2_sym"
+      isCos -> Refine.exactTopK(refVecs, queries,
+        Refine.Params(mode, k = grid.k)).cache()
+    }.toMap
+    gt.values.foreach(_.count())
     import scala.collection.parallel.CollectionConverters._
-    configs.par.map { p =>
-      // vectors is keyed by keepM: reduced copy + delta depend on it
-      Refine.metrics(vectors(p.keepM), queries, p, d)
-    }.toList.reduce(_ unionByName _)
+    try
+      configs.par.map { p =>
+        // vectors is keyed by keepM: reduced copy + delta depend on it
+        Refine.metrics(vectors(p.keepM), queries, p, d,
+          groundTruth = Some(gt(p.isCos)))
+      }.toList.reduce(_ unionByName _)
+    finally gt.values.foreach(_.unpersist(blocking = false))
   }
 
   /** K1 sink: the sweep CSV (`ANNCode.py:733-735, 779-780`). */

@@ -19,14 +19,16 @@ object Disaggregated {
 
   /** Materialize (id, vec, rvec, rword, delta) as one Parquet table,
     * sorted by id within files so id-equi-joins benefit from row-group
-    * min/max skipping on the rescore fetch. */
-  def write(vectors: DataFrame, path: String, keepE: Int, keepM: Int): Unit =
+    * min/max skipping on the rescore fetch. The reduction keeps the full
+    * exponent (reference refinement semantics: keep_e is an accounting
+    * parameter, not a data transform — see Fp16.deltaFromExp). */
+  def write(vectors: DataFrame, path: String, keepM: Int): Unit =
     vectors.select(
         col("id"),
         col("vec"),
-        VectorOps.reduceVec(col("vec"), keepE, keepM).as("rvec"),
-        VectorOps.reduceVecWords(col("vec"), keepE, keepM).as("rword"),
-        VectorOps.deltaVec(col("vec"), keepE, keepM).as("delta"))
+        VectorOps.reduceVec(col("vec"), 5, keepM).as("rvec"),
+        VectorOps.reduceVecWords(col("vec"), 5, keepM).as("rword"),
+        VectorOps.deltaVec(col("vec"), keepM).as("delta"))
       .sortWithinPartitions(col("id"))
       .write.mode("overwrite")
       .option("compression", "zstd")

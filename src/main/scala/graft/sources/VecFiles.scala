@@ -27,7 +27,10 @@ object VecFiles {
     val d = first.trim.split("\\s+")(1).toInt
     val parts = split(trim(col("value")), "\\s+")
     spark.read.text(path)
-      .filter(size(parts) === d + 1)                  // drops header + short lines
+      // drop the header by VALUE, not just token count: for d == 1 the
+      // two-token "N D" header would otherwise pass the size filter
+      .filter(trim(col("value")) =!= first.trim)
+      .filter(size(parts) === d + 1)                  // drops short lines
       .select(transform(slice(parts, 2, d), x => x.cast("float")).as("vec"))
       .filter(!exists(col("vec"), _.isNull))          // non-numeric tokens
       .as[Array[Float]].rdd

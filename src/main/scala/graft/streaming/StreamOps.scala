@@ -76,8 +76,8 @@ object StreamOps {
     stream.crossJoin(broadcast(queries))
       .withColumn("cos",
         VectorOps.dot(col("vec"), col("qvec")) /
-          (greatest(sqrt(VectorOps.norm2Sq(col("vec"))), lit(1e-12)) *
-            greatest(sqrt(VectorOps.norm2Sq(col("qvec"))), lit(1e-12))))
+          (VectorOps.fnorm(VectorOps.norm2Sq(col("vec"))) *
+            VectorOps.fnorm(VectorOps.norm2Sq(col("qvec")))))
       .filter(col("cos") >= minCos)
       .select(col("id"), col("qid"), col("cos"))
 }

@@ -46,15 +46,21 @@ object VecExprs {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // the whole loop lives in its own Java block: several fold
+        // expressions share one generated method, so fixed local names
+        // would otherwise collide ("Redefinition of local variable")
+        // and silently knock the plan back to interpreted mode
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double acc = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double x = (double) $a.getFloat(i);
-           |  double y = (double) $b.getFloat(i);
-           |  $javaBody
+           |{
+           |  int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |  double acc = 0.0;
+           |  for (int i = 0; i < n; i++) {
+           |    double x = (double) $a.getFloat(i);
+           |    double y = (double) $b.getFloat(i);
+           |    $javaBody
+           |  }
+           |  ${ev.value} = acc;
            |}
-           |${ev.value} = acc;
          """.stripMargin
       })
   }
@@ -113,17 +119,20 @@ object VecExprs {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b, c) => {
+        // block-scoped for the same local-name-collision reason as VecFold2
         s"""
-           |int n = java.lang.Math.min($a.numElements(),
-           |  java.lang.Math.min($b.numElements(), $c.numElements()));
-           |double acc = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double q = (double) $a.getFloat(i);
-           |  double r = (double) $b.getFloat(i);
-           |  double d = (double) $c.getFloat(i);
-           |  $javaBody
+           |{
+           |  int n = java.lang.Math.min($a.numElements(),
+           |    java.lang.Math.min($b.numElements(), $c.numElements()));
+           |  double acc = 0.0;
+           |  for (int i = 0; i < n; i++) {
+           |    double q = (double) $a.getFloat(i);
+           |    double r = (double) $b.getFloat(i);
+           |    double d = (double) $c.getFloat(i);
+           |    $javaBody
+           |  }
+           |  ${ev.value} = acc;
            |}
-           |${ev.value} = acc;
          """.stripMargin
       })
   }

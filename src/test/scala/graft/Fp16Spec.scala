@@ -46,7 +46,7 @@ class Fp16Spec extends AnyFunSuite {
       val xf = Fp16.roundTrip(x) // fp16-valued "full precision" (ANNCode.py:825)
       for (keepM <- Seq(0, 2, 4, 6, 8, 10)) {
         val r = Fp16.reduceValue(x, 5, keepM)
-        val d = Fp16.deltaOf(x, 5, keepM)
+        val d = Fp16.deltaOf(x, keepM)
         assert(math.abs(r) <= math.abs(xf), s"x=$x keepM=$keepM: |r| > |fp16(x)|")
         assert(r == 0.0f || (r > 0) == (xf > 0), s"sign flip x=$x")
         assert(math.abs(xf - r) <= d, s"x=$x keepM=$keepM: |xf-r|=${math.abs(xf - r)} > delta=$d")

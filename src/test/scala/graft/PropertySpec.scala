@@ -19,7 +19,7 @@ object PropertySpec extends Properties("fp16") {
     Prop.forAll(floats, keepMs) { (x: Float, m: Int) =>
       val xf = Fp16.roundTrip(x)
       val r = Fp16.reduceValue(x, 5, m)
-      val d = Fp16.deltaOf(x, 5, m)
+      val d = Fp16.deltaOf(x, m)
       math.abs(xf - r) <= d &&
         math.abs(r) <= math.abs(xf) &&
         (r == 0.0f || xf == 0.0f || (r > 0) == (xf > 0))
@@ -34,7 +34,7 @@ object PropertySpec extends Properties("fp16") {
     val vecs = Gen.listOfN(8, floats)
     Prop.forAll(vecs, vecs, keepMs) { (q: List[Float], x: List[Float], m: Int) =>
       val r = x.map(Fp16.reduceValue(_, 5, m))
-      val d = x.map(Fp16.deltaOf(_, 5, m))
+      val d = x.map(Fp16.deltaOf(_, m))
       val a = q.zip(r).map { case (qq, rr) => qq.toDouble - rr.toDouble }
       val sym = a.zip(d).map { case (aa, dd) =>
         val l = math.max(math.abs(aa) - dd, 0.0); l * l
@@ -53,7 +53,7 @@ object PropertySpec extends Properties("fp16") {
   property("l1 cushion (unit q) <= ||Delta||_2 (Cauchy-Schwarz tightness)") = {
     val vecs = Gen.listOfN(8, floats)
     Prop.forAll(vecs, vecs, keepMs) { (q: List[Float], x: List[Float], m: Int) =>
-      val d = x.map(Fp16.deltaOf(_, 5, m))
+      val d = x.map(Fp16.deltaOf(_, m))
       val nq = math.sqrt(q.map(v => v.toDouble * v).sum)
       nq <= 1e-9 || {
         val l1c = q.zip(d).map { case (qq, dd) => math.abs(qq.toDouble) * dd }.sum / nq
@@ -65,7 +65,7 @@ object PropertySpec extends Properties("fp16") {
 
   property("delta monotone in dropped mantissa bits") =
     Prop.forAll(floats) { x: Float =>
-      (0 to 10).map(m => Fp16.deltaOf(x, 5, m))
+      (0 to 10).map(m => Fp16.deltaOf(x, m))
         .sliding(2).forall { case Seq(hi, lo) => hi >= lo }
     }
 }

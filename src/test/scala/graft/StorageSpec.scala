@@ -18,7 +18,7 @@ class StorageSpec extends AnyFunSuite {
   test("disaggregated layout: reduced scan prunes the full-precision column") {
     val path = java.nio.file.Files.createTempDirectory("disagg").toString + "/vecs"
     val v = Fixture.vectors(spark, dir, SparkEntry.D)
-    Disaggregated.write(v, path, keepE = 5, keepM = 6)
+    Disaggregated.write(v, path, keepM = 6)
 
     val reduced = Disaggregated.readReduced(spark, path)
     Disaggregated.assertPruned(reduced, Set("id", "rvec", "delta"))
@@ -43,7 +43,7 @@ class StorageSpec extends AnyFunSuite {
 
   test("pushed filter reaches the parquet scan on the id fetch path") {
     val path = java.nio.file.Files.createTempDirectory("disagg2").toString + "/vecs"
-    Disaggregated.write(Fixture.vectors(spark, dir, SparkEntry.D), path, 5, 6)
+    Disaggregated.write(Fixture.vectors(spark, dir, SparkEntry.D), path, 6)
     val fetch = Disaggregated.readFull(spark, path).filter(col("id") === 1234L)
     val scan = fetch.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f

@@ -54,6 +54,36 @@ class VecExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("multiple folds in one projection compile under forced codegen") {
+    // fallback=false turns any Janino failure (e.g. colliding local
+    // names when several folds share one generated method) into a hard
+    // error instead of a silent interpreted-mode regression
+    val strict = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.ui.enabled", "false")
+      .appName("codegen-strict").getOrCreate()
+    try {
+      import strict.implicits._
+      val df = Seq((Array(1f, 2f), Array(3f, 4f), Array(0.5f, 1f)))
+        .toDF("a", "b", "d")
+      val r = df.select(
+        VecExprs.dotD(col("a"), col("b")).as("v1"),
+        VecExprs.l2Sq(col("a"), col("b")).as("v2"),
+        VecExprs.absDot(col("a"), col("d")).as("v3"),
+        VecExprs.hoeffSum(col("a"), col("d")).as("v4"),
+        VecExprs.hoeffDiffSum(col("a"), col("b"), col("d")).as("v5"),
+        VecExprs.lbSymE(col("a"), col("b"), col("d")).as("v6"),
+        VecExprs.lbTzE(col("a"), col("b"), col("d")).as("v7")).collect()(0)
+      assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0)
+    } finally {
+      strict.conf.unset("spark.sql.codegen.fallback")
+      strict.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("interpreted eval matches codegen path") {
     // force interpreted evaluation by filtering through a literal Dataset op
     val df = randomRows(200, 8, 11)

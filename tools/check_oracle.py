@@ -21,10 +21,9 @@ def norm_cell(v):
     return repr(v)
 
 def canon(rows, cols):
+    """Rows with cells reordered by column name, then sorted."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [c for _, c in sorted(zip(cols, [cols[i] for i in order]))] and sorted(cols), out
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -54,8 +53,8 @@ def main(sf_dir, out_dir):
             print(f"[SCHEMA] {name}: duck={sorted(dcols)} spark={sorted(scols)}")
             n_fail += 1
             continue
-        _, dcanon = canon(drows, dcols)
-        _, scanon = canon(srows, scols)
+        dcanon = canon(drows, dcols)
+        scanon = canon(srows, scols)
         if dcanon == scanon:
             print(f"[OK] {name}: {len(drows)} rows")
             n_ok += 1
