@@ -245,6 +245,7 @@ object SparkEntry {
     "q_lang_id"     -> q((s, dir) => TextOps.langId(docs(s, dir))),
     "q_quality"     -> q((s, dir) => TextOps.quality(docs(s, dir))),
     "q_fingerprint" -> q((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "q_token_bpe"   -> q((s, dir) => TextOps.bpeUnits(docs(s, dir))),
     // similarity search over embeddings
     "q_ann_brute"   -> q((s, dir) => Ann.bruteTopK(emb(s, dir), NQ, K)),
     "q_ann_ivf"     -> q((s, dir) => Ann.ivfTopK(emb(s, dir), NQ, K)),
@@ -294,6 +295,7 @@ object SparkEntry {
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),
     "q_fingerprint"   -> DocOracle.fingerprintSql(Shingle),
+    "q_token_bpe"     -> DocOracle.bpeUnitsSql,
     "q_ann_brute"     -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),

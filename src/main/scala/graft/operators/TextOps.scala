@@ -82,6 +82,24 @@ object TextOps {
         + (col("stop_hits").cast("double") / col("n_tokens")) * 0.2).as("quality"))
   }
 
+  /**
+   * BPE-ish subword unit counting: a regex that splits words into
+   * alternating vowel/consonant runs approximates byte-pair-style subword
+   * granularity (real tokenizer vocabularies aren't available here).
+   * Output: (doc_id, n_words, n_units, n_distinct_units, units_per_word).
+   */
+  def bpeUnits(docs: DataFrame): DataFrame = {
+    val units = regexp_extract_all(col("text"), lit("[aeiou]+|[^aeiou ]+"), lit(0))
+    val t = docs.select(col("doc_id"),
+      size(toks).as("n_words"), explode(units).as("u"))
+    t.groupBy(col("doc_id"), col("n_words"))
+      .agg(count(lit(1)).as("n_units"),
+        countDistinct(col("u")).as("n_distinct_units"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_units"), col("n_distinct_units"),
+        (col("n_units").cast("double") / col("n_words")).as("units_per_word"))
+  }
+
   /** Winnowing-style fingerprint: min hash over 3-token shingles. */
   def fingerprint(docs: DataFrame): DataFrame =
     Dedup.wordNgrams(docs, 3)

@@ -136,6 +136,15 @@ object DocOracle {
        |FROM agg""".stripMargin
   }
 
+  def bpeUnitsSql: String =
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+      |    unnest(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS u
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  COUNT(*) AS n_units, COUNT(DISTINCT u) AS n_distinct_units,
+      |  CAST(COUNT(*) AS DOUBLE) / n_words AS units_per_word
+      |FROM t GROUP BY doc_id, n_words""".stripMargin
+
   def fingerprintSql(n: Int): String =
     s"""WITH ${gramCte(n)},
        |gh AS (SELECT doc_id, ${strHash("gram")} AS gh FROM g)
