@@ -146,9 +146,22 @@ object Dedup {
    * Exact n-gram Jaccard similarity for pairs sharing >= 1 gram within a
    * blocking key (source). Intersections come from a shuffle join on the
    * gram itself — never an all-pairs product.
+   *
+   * `maxDf` drops stop-shingles (grams present in more than maxDf docs of
+   * a source) from the gram universe before joining: a gram shared by f
+   * docs contributes f^2 join rows, so without the cap one ubiquitous
+   * shingle turns the join quadratic in the block size (the shuffle-join
+   * equivalent of skew salting; Jaccard is then computed consistently
+   * over the capped universe on both sides).
    */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val g = wordNgrams(docs, n)
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        maxDf: Int = 200): DataFrame = {
+    val g0 = wordNgrams(docs, n)
+    val keep = g0.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("source"), col("gram"))
+    val g = g0.join(keep, Seq("source", "gram"))
     val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val l = g.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
     val r = g.select(col("source"), col("doc_id").as("doc_b"), col("gram"))

@@ -81,8 +81,12 @@ object DocOracle {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
   }
 
-  def ngramJaccardSql(n: Int, minJaccard: Double): String =
-    s"""WITH ${gramCte(n)},
+  def ngramJaccardSql(n: Int, minJaccard: Double, maxDf: Int = 200): String =
+    s"""WITH ${gramCte(n).replace("g AS (", "g0 AS (")},
+       |keep AS (SELECT source, gram FROM g0 GROUP BY source, gram
+       |         HAVING COUNT(*) <= $maxDf),
+       |g AS (SELECT g0.doc_id, g0.source, g0.gram
+       |      FROM g0 JOIN keep ON g0.source = keep.source AND g0.gram = keep.gram),
        |counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram
