@@ -49,6 +49,17 @@ class GaussianSpec extends AnyFunSuite {
     }
   }
 
+  test("hoeffding delta tuning hits the recall floor with positive saving") {
+    val t = graft.operators.Tune.tuneDelta(v, q, "cos_hoeff",
+      k = K, keepM = KeepM, d = D, recallFloor = 0.99,
+      grid = Seq(1e-6, 1e-2, 0.3, 0.7)).collect()
+    assert(t.length == 4)
+    val chosen = t.filter(_.getBoolean(6))
+    assert(chosen.length == 1)
+    assert(chosen(0).getDouble(3) >= 0.99, s"tuned recall ${chosen(0).getDouble(3)}")
+    assert(chosen(0).getDouble(4) > 0.0, s"tuned save ${chosen(0).getDouble(4)}")
+  }
+
   test("gaussian fixture is partitioning-invariant") {
     val a = Fixture.gaussianVectors(spark, 100, 16, 6)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
