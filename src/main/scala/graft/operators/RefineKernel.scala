@@ -48,20 +48,33 @@ object RefineKernel {
     val qs: Array[QRow] = queries.select(col("qid"), col("qvec"))
       .as[QRow].collect().sortBy(_.qid)
     val bq = spark.sparkContext.broadcast(qs)
-    val k = p.k
-    val mode = p.mode
-    val alpha = p.alpha
-    val hoeffC = p.hoeffConst
-    val isCos = p.isCos
+    val pp = p
 
     vectors.select(col("id"), col("vec"), col("rvec"), col("delta"))
       .as[VecRow]
       .mapPartitions { it =>
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
-        else bq.value.iterator.flatMap { q =>
-          val qv = q.qvec
-          val nq = norm(qv)
+        else bq.value.iterator.flatMap(q => localTopK(rows, q.qid, q.qvec, pp))
+      }
+  }
+
+  /**
+   * The per-(partition block, query) running-tau walk: reduced pass,
+   * best-first candidate order, cushion rejection, bounded heap. Shared
+   * by the Dataset kernel above and the physical operator
+   * (org.apache.spark.sql.graft.KernelPlan.RefineKernelExec).
+   */
+  def localTopK(rows: Array[VecRow], qQid: Long, qv: Array[Float],
+                p: Refine.Params): Iterator[Cand] = {
+    if (rows.isEmpty) Iterator.empty
+    else {
+      val k = p.k
+      val mode = p.mode
+      val alpha = p.alpha
+      val hoeffC = p.hoeffConst
+      val isCos = p.isCos
+      val nq = norm(qv)
 
           // reduced pass: s_hat (+ per-row cushion ingredients)
           val n = rows.length
@@ -178,9 +191,8 @@ object RefineKernel {
           // here is beaten by >= K rows and cannot be in the global top-K
           // (inserts land in arbitrary empty slots, so filter by id)
           (0 until k).iterator.filter(hi(_) != Long.MaxValue)
-            .map(j => Cand(q.qid, hi(j), hs(j)))
-        }
-      }
+            .map(j => Cand(qQid, hi(j), hs(j)))
+    }
   }
 
   /** Final refined top-K via partial kernels + aggregator merge:

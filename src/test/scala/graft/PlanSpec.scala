@@ -36,6 +36,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("dotd("), s"codegen dot not in plan:\n$plan")
   }
 
+  test("custom physical operator plans and matches the Dataset kernel") {
+    import org.apache.spark.sql.graft.KernelPlan
+    import graft.operators.{Refine, RefineKernel}
+    import org.apache.spark.sql.functions.col
+    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, SparkEntry.KeepM)
+      .repartition(5)
+    val q = Fixture.queries(v, 4).select(col("qid"), col("qvec"))
+    val p = Refine.Params("cos_l1", k = 5, keepM = SparkEntry.KeepM)
+    val viaPlan = KernelPlan.refineTopK(v, q, p)
+    // the custom exec is a first-class operator in the physical plan
+    val partials = org.apache.spark.sql.graft.KernelPlan
+    assert(viaPlan.queryExecution.executedPlan.toString.contains("RefineKernelExec") ||
+      viaPlan.queryExecution.analyzed.toString.contains("RefineKernelNode"),
+      viaPlan.queryExecution.executedPlan.toString.take(1500))
+    val a = viaPlan.collect().map(_.toSeq).toSet
+    val b = RefineKernel.topk(v, q, p).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 20)
+  }
+
   test("fixture scan prunes lineitem to the two key columns") {
     val plan = SparkEntry.qTopkCos(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
