@@ -268,6 +268,12 @@ object SparkEntry {
   ).toMap ++ Map[String, QFn](
     "q_refine_kernel_cos_l1" -> q((s, dir) => qRefineKernel(s, dir, "cos_l1")),
     "q_refine_kernel_l2_tz"  -> q((s, dir) => qRefineKernel(s, dir, "l2_tz")),
+    // custom Catalyst physical operator path (same zero-miss semantics)
+    "q_refine_plan_l2_sym" -> q((s, dir) => {
+      val v = Fixture.fp16Vectors(s, dir, D, KeepM)
+      val qq = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+      org.apache.spark.sql.graft.KernelPlan.refineTopK(v, qq, refineParams("l2_sym"))
+    }),
     // multimodal plumbing (binary column + batched featurizer)
     "q_multimodal_hist" -> q((s, dir) =>
       graft.operators.Multimodal.features(
@@ -316,6 +322,7 @@ object SparkEntry {
   ).toMap ++ Map(
     "q_refine_kernel_cos_l1" -> RefineOracle.topkSql(D, NQ, refineParams("cos_l1")),
     "q_refine_kernel_l2_tz"  -> RefineOracle.topkSql(D, NQ, refineParams("l2_tz")),
+    "q_refine_plan_l2_sym"   -> RefineOracle.topkSql(D, NQ, refineParams("l2_sym")),
     // ASCII corpus: byte == char code, so SQL reproduces the byte histogram
     "q_multimodal_hist" ->
       s"""WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS p
