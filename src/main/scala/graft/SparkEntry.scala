@@ -109,6 +109,7 @@ object SparkEntry {
   final val MaxHamming = 4
   final val JaccardN = 2   // bigrams: trigram overlap is too sparse in the corpus
   final val MinJaccard = 0.05
+  final val MaxGramDf = 200  // stop-shingle document-frequency cap
   final val EmbD = 64
   final val MinCos = 0.25
   final val IvfCells = 8
@@ -239,7 +240,7 @@ object SparkEntry {
     "q_simhash"       -> q((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), SimhashBits, MaxHamming)),
     "q_ngram_jaccard" -> q((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), JaccardN, MinJaccard)),
+      Dedup.ngramJaccardPairs(docs(s, dir), JaccardN, MinJaccard, MaxGramDf)),
     // text analysis
     "q_token_stats" -> q((s, dir) => TextOps.tokenStats(docs(s, dir))),
     "q_lang_id"     -> q((s, dir) => TextOps.langId(docs(s, dir))),
@@ -296,7 +297,7 @@ object SparkEntry {
     "q_dedup_exact"   -> DocOracle.dedupExactSql,
     "q_minhash_lsh"   -> DocOracle.minhashLshSql(Shingle, NumHashes, Bands, RowsPerBand),
     "q_simhash"       -> DocOracle.simhashPairsSql(SimhashBits, MaxHamming),
-    "q_ngram_jaccard" -> DocOracle.ngramJaccardSql(JaccardN, MinJaccard),
+    "q_ngram_jaccard" -> DocOracle.ngramJaccardSql(JaccardN, MinJaccard, MaxGramDf),
     "q_token_stats"   -> DocOracle.tokenStatsSql,
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 
 /**
  * Hoeffding-delta tuning (paper §4.1-4.2: "delta grid-searched per
- * dataset" over a log grid in [1e-12, 1e-1] to hit a recall floor).
+ * dataset"; the default grid extends the published [1e-12, 1e-1] log
+ * range up to 0.7 — the reference CLI default — to cover lax floors).
  * Returns the full grid's metrics plus a `chosen` flag on the row with
  * the highest bandwidth saving among those meeting the floor (falling
  * back to the highest-recall row if none do).
@@ -20,25 +21,31 @@ object Tune {
     require(mode.endsWith("hoeff"), s"delta tuning only applies to Hoeffding modes, got $mode")
     val spark = vectors.sparkSession
     val p0 = Refine.Params(mode, k = k, keepM = keepM)
-    val gt = Refine.exactTopK(vectors, queries, p0).cache()
+    val v = vectors.cache()   // |grid| concurrent pipelines rescan it
+    val gt = Refine.exactTopK(v, queries, p0).cache()
     gt.count()
     import scala.collection.parallel.CollectionConverters._
     val rows =
       try
         grid.par.map { dl =>
-          Refine.metrics(vectors, queries, p0.copy(delta = dl), d,
+          Refine.metrics(v, queries, p0.copy(delta = dl), d,
             groundTruth = Some(gt)).collect()(0)
         }.toList
-      finally gt.unpersist(blocking = false)
+      finally {
+        gt.unpersist(blocking = false)
+        v.unpersist(blocking = false)
+      }
 
-    val meeting = rows.filter(_.getDouble(3) >= recallFloor)
-    val chosen =
-      if (meeting.nonEmpty) meeting.maxBy(_.getDouble(4))   // max saving
-      else rows.maxBy(_.getDouble(3))                       // best recall
+    // pick by index: content equality would flag duplicate-metrics rows
+    val indexed = rows.zipWithIndex
+    val meeting = indexed.filter(_._1.getDouble(3) >= recallFloor)
+    val chosenIdx =
+      if (meeting.nonEmpty) meeting.maxBy(_._1.getDouble(4))._2  // max saving
+      else indexed.maxBy(_._1.getDouble(3))._2                   // best recall
     import spark.implicits._
-    rows.map { r =>
+    indexed.map { case (r, i) =>
       (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r == chosen)
+        r.getDouble(4), r.getDouble(5), i == chosenIdx)
     }.toDF("mode", "m_keep", "delta", "recall", "save", "fpr", "chosen")
   }
 }

@@ -73,7 +73,9 @@ object KernelPlan {
       val vecIdx = schema.fieldIndex("vec")
       val rvecIdx = schema.fieldIndex("rvec")
       val deltaIdx = schema.fieldIndex("delta")
-      val qs = queries.toArray
+      // ship the query matrix once per job via broadcast, not inside
+      // every task closure (mirrors the Dataset kernel)
+      val bq = sparkContext.broadcast(queries.toArray)
       val p = params
       val outSchema = StructType(Seq(
         StructField("qid", LongType, nullable = false),
@@ -92,7 +94,7 @@ object KernelPlan {
         }.toArray
         val proj = UnsafeProjection.create(outSchema)
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
-        qs.iterator.flatMap { q =>
+        bq.value.iterator.flatMap { q =>
           graft.operators.RefineKernel
             .localTopK(rows, q.qid, q.qvec, p)
             .map { c =>

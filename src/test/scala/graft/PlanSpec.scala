@@ -45,12 +45,10 @@ class PlanSpec extends AnyFunSuite {
     val q = Fixture.queries(v, 4).select(col("qid"), col("qvec"))
     val p = Refine.Params("cos_l1", k = 5, keepM = SparkEntry.KeepM)
     val viaPlan = KernelPlan.refineTopK(v, q, p)
-    // the custom exec is a first-class operator in the physical plan
-    val partials = org.apache.spark.sql.graft.KernelPlan
-    assert(viaPlan.queryExecution.executedPlan.toString.contains("RefineKernelExec") ||
-      viaPlan.queryExecution.analyzed.toString.contains("RefineKernelNode"),
-      viaPlan.queryExecution.executedPlan.toString.take(1500))
     val a = viaPlan.collect().map(_.toSeq).toSet
+    // the custom exec is a first-class operator in the (final) physical plan
+    assert(viaPlan.queryExecution.executedPlan.toString.contains("RefineKernel"),
+      viaPlan.queryExecution.executedPlan.toString.take(1500))
     val b = RefineKernel.topk(v, q, p).collect().map(_.toSeq).toSet
     assert(a == b && a.size == 20)
   }
