@@ -151,6 +151,36 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"), sum(col("is_new")).cast("long").as("n_sessions"))
   }
 
+  /** As-of join: each error event matched to the same user's most recent
+    * prior purchase (SURVEY notes as-of absent in the reference; expressed
+    * with an ignore-nulls last_value over an event-time frame). */
+  def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("sec"))
+      .filter(col("event_type").isin("error", "purchase"))
+      .withColumn("p_id", when(col("event_type") === "purchase", col("event_id")))
+      .withColumn("p_sec", when(col("event_type") === "purchase", col("sec")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("asof_purchase", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_sec", last(col("p_sec"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("asof_purchase").isNotNull)
+      .select(col("event_id"), col("user_id"), col("asof_purchase"),
+        (col("sec") - col("asof_sec")).cast("long").as("lag_sec"))
+  }
+
+  /** Framed analytic windows: running sum + 3-row moving count per user. */
+  def qEventsRunning(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), tsSec.as("sec"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+    val base = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    e.select(col("event_id"), col("user_id"),
+      sum(col("vm")).over(base.rowsBetween(Window.unboundedPreceding, 0))
+        .as("running_vm"),
+      count(lit(1)).over(base.rowsBetween(-2, 0)).as("window3_n"))
+  }
+
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
   /** TPC-H Q1-style pricing summary; money kept as exact integer cents
@@ -257,6 +287,8 @@ object SparkEntry {
     "q_events_daily"    -> q((s, dir) => qEventsDaily(s, dir)),
     "q_events_json"     -> q((s, dir) => qEventsJson(s, dir)),
     "q_events_sessions" -> q((s, dir) => qEventsSessions(s, dir)),
+    "q_events_asof"     -> q((s, dir) => qEventsAsof(s, dir)),
+    "q_events_running"  -> q((s, dir) => qEventsRunning(s, dir)),
     // relational classics
     "q_pricing"       -> q((s, dir) => qPricing(s, dir)),
     "q_top_customers" -> q((s, dir) => qTopCustomers(s, dir)),
@@ -310,6 +342,8 @@ object SparkEntry {
     "q_events_daily"    -> MiscOracle.eventsDailySql,
     "q_events_json"     -> MiscOracle.eventsJsonSql,
     "q_events_sessions" -> MiscOracle.eventsSessionsSql(SessionGapSec),
+    "q_events_asof"     -> MiscOracle.asofSql,
+    "q_events_running"  -> MiscOracle.runningSql,
     "q_pricing"       -> MiscOracle.pricingSql(PricingCutoff),
     "q_top_customers" -> MiscOracle.topCustomersSql(TopNCustomers),
     "q_region_stats"  -> MiscOracle.regionStatsSql,

@@ -75,6 +75,39 @@ object MiscOracle {
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** As-of join: each error event matched to the same user's most recent
+    * prior purchase (event-time ordered, ties by event_id). */
+  def asofSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |u AS (SELECT user_id, event_id, sec, event_type,
+      |    CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
+      |    CASE WHEN event_type = 'purchase' THEN sec END AS p_sec
+      |  FROM e WHERE event_type IN ('error', 'purchase')),
+      |w AS (SELECT *,
+      |    last_value(p_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY sec, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_purchase,
+      |    last_value(p_sec IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY sec, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_sec
+      |  FROM u)
+      |SELECT event_id, user_id, asof_purchase,
+      |  CAST(sec - asof_sec AS BIGINT) AS lag_sec
+      |FROM w WHERE event_type = 'error' AND asof_purchase IS NOT NULL""".stripMargin
+
+  /** Framed analytic window: per-user running sum and 3-row moving count. */
+  def runningSql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CAST(floor(value*1000) AS BIGINT) AS vm FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_vm,
+      |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS window3_n
+      |FROM e""".stripMargin
+
   def regionStatsSql: String =
     """SELECT r.r_name,
       |  COUNT(DISTINCT n.n_nationkey) AS n_nations,
