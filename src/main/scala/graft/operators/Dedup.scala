@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Document deduplication for large-scale training-data pipelines: exact,
@@ -71,22 +73,28 @@ object Dedup {
    */
   def lshPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val n = bands * rowsPerBand
-    val banded = sigs.select(
-      col("doc_id") +:
-        (0 until bands).map { b =>
-          concat_ws(",",
-            (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-            .as(s"band$b")
-        }: _*)
-    val pairsByBand = (0 until bands).map { b =>
-      val l = banded.select(col("doc_id").as("doc_a"), col(s"band$b").as("bk"))
-      val r = banded.select(col("doc_id").as("doc_b"), col(s"band$b").as("bk"))
-      l.join(r, "bk").filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-    }
-    val cand = pairsByBand.reduce(_ unionByName _).distinct()
-    val a = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val bdf = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    // The signature pipeline (shingle explode + hash + n permutations +
+    // groupBy) is the dominant cost; it feeds three scans below (band
+    // explode + both sides of the est_jaccard join), so materialize it
+    // once. At cluster scale the equivalent is a checkpoint to parquet;
+    // MEMORY_AND_DISK keeps the library self-contained.
+    val s = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    // One band-key array per doc, posexploded to (doc_id, band, bk):
+    // a single self-join on (band, bk) replaces `bands` separate
+    // re-derived self-joins; both join sides shuffle on the same key,
+    // so the exchange is computed once and reused.
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }: _*)
+    val banded = s.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "bk")))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("bk"))
+    val cand = l.join(r, Seq("band", "bk")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = s.toDF(s.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val bdf = s.toDF(s.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
     val matches = (0 until n)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -156,12 +164,17 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         maxDf: Int = 200): DataFrame = {
-    val g0 = wordNgrams(docs, n)
-    val keep = g0.groupBy(col("source"), col("gram"))
-      .agg(count(lit(1)).as("df"))
+    // df-cap via a window over the gram table (one shuffle on the very
+    // key the intersection join needs) instead of a groupBy + join back,
+    // which re-derived the expensive explode+distinct twice. The capped
+    // table then feeds three scans (counts + both join sides), so
+    // materialize it once (cluster-scale twin: checkpoint to parquet).
+    val g = wordNgrams(docs, n)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("gram"))))
       .filter(col("df") <= maxDf)
-      .select(col("source"), col("gram"))
-    val g = g0.join(keep, Seq("source", "gram"))
+      .drop("df")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val l = g.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
     val r = g.select(col("source"), col("doc_id").as("doc_b"), col("gram"))

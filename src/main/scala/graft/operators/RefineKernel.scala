@@ -31,12 +31,12 @@ object RefineKernel {
   final case class QRow(qid: Long, qvec: Array[Float])
   final case class Cand(qid: Long, id: Long, score: Double)
 
-  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def dotD(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
-  private def norm(a: Array[Float]): Double = {
+  private[operators] def norm(a: Array[Float]): Double = {
     math.max(math.sqrt(dotD(a, a)), 1e-12)
   }
 
@@ -55,7 +55,10 @@ object RefineKernel {
       .mapPartitions { it =>
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
-        else bq.value.iterator.flatMap(q => localTopK(rows, q.qid, q.qvec, pp))
+        else {
+          val kern = new PartitionKernel(rows, pp)
+          bq.value.iterator.flatMap(q => kern.topKFor(q.qid, q.qvec))
+        }
       }
   }
 

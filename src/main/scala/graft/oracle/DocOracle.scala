@@ -119,7 +119,8 @@ object DocOracle {
        |  $hitCols
        |  FROM tok GROUP BY doc_id, lang),
        |g2 AS (SELECT *, $gm AS gm FROM agg)
-       |SELECT doc_id, lang, $pred AS pred_lang, gm AS marker_hits,
+       |SELECT doc_id, lang, $pred AS pred_lang,
+       |  CAST(gm AS BIGINT) AS marker_hits,
        |  CASE WHEN ($pred) = lang THEN 1 ELSE 0 END AS is_match
        |FROM g2""".stripMargin
   }

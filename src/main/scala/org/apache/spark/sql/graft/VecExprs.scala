@@ -21,24 +21,40 @@ import org.apache.spark.sql.classic.ExpressionUtils
  * HOF forms (same fold order, same per-element expression trees), so the
  * DuckDB oracles are unaffected.
  *
- * Element nulls are not expected (vectors are dense); mismatched lengths
- * fold over the shorter prefix.
+ * Element nulls are not expected (vectors are dense). Mismatched input
+ * lengths raise (matching numpy's shape-broadcast error in the
+ * reference) instead of silently folding a prefix.
+ *
+ * Codegen hygiene: every generated local is obtained from
+ * `ctx.freshName` — several fold expressions share one generated
+ * method, and Spark's generated projection/predicate entry points bind
+ * the input row to a local named `i` (`CodegenContext.INPUT_ROW`), so
+ * any fixed name (even brace-scoped: Java forbids shadowing an
+ * enclosing local) would fail Janino with "Redefinition of local
+ * variable" and knock the plan back to interpreted mode.
  */
 object VecExprs {
 
   private val arrF = ArrayType(FloatType)
 
+  // public: called from generated Java via the static forwarder
+  def checkLen(n1: Int, n2: Int): Unit =
+    if (n1 != n2) throw new IllegalArgumentException(
+      s"graft vector fold: length mismatch ($n1 vs $n2)")
+
   abstract class VecFold2 extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(arrF, arrF)
     override def dataType: DataType = DoubleType
-    /** Java source for the loop body: uses `x`, `y`, accumulates into `acc`. */
-    protected def javaBody: String
+    /** Java source for one loop step over the given fresh locals,
+      * accumulating into `acc`; temps must also come from `ctx.freshName`. */
+    protected def javaBody(ctx: CodegenContext, acc: String, x: String, y: String): String
     /** Scala mirror of one element step. */
     protected def step(acc: Double, x: Double, y: Double): Double
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      checkLen(a.numElements(), b.numElements())
+      val n = a.numElements()
       var acc = 0.0; var i = 0
       while (i < n) { acc = step(acc, a.getFloat(i), b.getFloat(i)); i += 1 }
       acc
@@ -46,28 +62,27 @@ object VecExprs {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        // the whole loop lives in its own Java block: several fold
-        // expressions share one generated method, so fixed local names
-        // would otherwise collide ("Redefinition of local variable")
-        // and silently knock the plan back to interpreted mode
+        val n = ctx.freshName("vfN"); val acc = ctx.freshName("vfAcc")
+        val i = ctx.freshName("vfI")
+        val x = ctx.freshName("vfX"); val y = ctx.freshName("vfY")
         s"""
-           |{
-           |  int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |  double acc = 0.0;
-           |  for (int i = 0; i < n; i++) {
-           |    double x = (double) $a.getFloat(i);
-           |    double y = (double) $b.getFloat(i);
-           |    $javaBody
-           |  }
-           |  ${ev.value} = acc;
+           |org.apache.spark.sql.graft.VecExprs.checkLen($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  double $y = (double) $b.getFloat($i);
+           |  ${javaBody(ctx, acc, x, y)}
            |}
+           |${ev.value} = $acc;
          """.stripMargin
       })
   }
 
   /** sum x_i * y_i */
   case class DotD(left: Expression, right: Expression) extends VecFold2 {
-    protected def javaBody = "acc += x * y;"
+    protected def javaBody(ctx: CodegenContext, acc: String, x: String, y: String) =
+      s"$acc += $x * $y;"
     protected def step(acc: Double, x: Double, y: Double): Double = acc + x * y
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
@@ -75,7 +90,10 @@ object VecExprs {
 
   /** sum (x_i - y_i)^2 */
   case class L2Sq(left: Expression, right: Expression) extends VecFold2 {
-    protected def javaBody = "double d = x - y; acc += d * d;"
+    protected def javaBody(ctx: CodegenContext, acc: String, x: String, y: String) = {
+      val d = ctx.freshName("vfD")
+      s"double $d = $x - $y; $acc += $d * $d;"
+    }
     protected def step(acc: Double, x: Double, y: Double): Double = {
       val d = x - y; acc + d * d
     }
@@ -85,7 +103,8 @@ object VecExprs {
 
   /** sum |x_i| * y_i  (cos_l1 cushion numerator: x = q, y = Delta) */
   case class AbsDot(left: Expression, right: Expression) extends VecFold2 {
-    protected def javaBody = "acc += java.lang.Math.abs(x) * y;"
+    protected def javaBody(ctx: CodegenContext, acc: String, x: String, y: String) =
+      s"$acc += java.lang.Math.abs($x) * $y;"
     protected def step(acc: Double, x: Double, y: Double): Double =
       acc + math.abs(x) * y
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -94,7 +113,10 @@ object VecExprs {
 
   /** sum (x_i * y_i)^2  (Hoeffding cushion: x = q, y = Delta) */
   case class HoeffSum(left: Expression, right: Expression) extends VecFold2 {
-    protected def javaBody = "double t = x * y; acc += t * t;"
+    protected def javaBody(ctx: CodegenContext, acc: String, x: String, y: String) = {
+      val t = ctx.freshName("vfT")
+      s"double $t = $x * $y; $acc += $t * $t;"
+    }
     protected def step(acc: Double, x: Double, y: Double): Double = {
       val t = x * y; acc + t * t
     }
@@ -105,13 +127,17 @@ object VecExprs {
   abstract class VecFold3 extends TernaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(arrF, arrF, arrF)
     override def dataType: DataType = DoubleType
-    protected def javaBody: String
+    /** Java source for one loop step over the given fresh locals,
+      * accumulating into `acc`; temps must also come from `ctx.freshName`. */
+    protected def javaBody(ctx: CodegenContext, acc: String, q: String, r: String, d: String): String
     protected def step(acc: Double, q: Double, r: Double, d: Double): Double
 
     override def nullSafeEval(e1: Any, e2: Any, e3: Any): Any = {
       val a = e1.asInstanceOf[ArrayData]; val b = e2.asInstanceOf[ArrayData]
       val c = e3.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), math.min(b.numElements(), c.numElements()))
+      checkLen(a.numElements(), b.numElements())
+      checkLen(a.numElements(), c.numElements())
+      val n = a.numElements()
       var acc = 0.0; var i = 0
       while (i < n) { acc = step(acc, a.getFloat(i), b.getFloat(i), c.getFloat(i)); i += 1 }
       acc
@@ -119,20 +145,22 @@ object VecExprs {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b, c) => {
-        // block-scoped for the same local-name-collision reason as VecFold2
+        val n = ctx.freshName("vfN"); val acc = ctx.freshName("vfAcc")
+        val i = ctx.freshName("vfI")
+        val q = ctx.freshName("vfQ"); val r = ctx.freshName("vfR")
+        val d = ctx.freshName("vfDl")
         s"""
-           |{
-           |  int n = java.lang.Math.min($a.numElements(),
-           |    java.lang.Math.min($b.numElements(), $c.numElements()));
-           |  double acc = 0.0;
-           |  for (int i = 0; i < n; i++) {
-           |    double q = (double) $a.getFloat(i);
-           |    double r = (double) $b.getFloat(i);
-           |    double d = (double) $c.getFloat(i);
-           |    $javaBody
-           |  }
-           |  ${ev.value} = acc;
+           |org.apache.spark.sql.graft.VecExprs.checkLen($a.numElements(), $b.numElements());
+           |org.apache.spark.sql.graft.VecExprs.checkLen($a.numElements(), $c.numElements());
+           |int $n = $a.numElements();
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $q = (double) $a.getFloat($i);
+           |  double $r = (double) $b.getFloat($i);
+           |  double $d = (double) $c.getFloat($i);
+           |  ${javaBody(ctx, acc, q, r, d)}
            |}
+           |${ev.value} = $acc;
          """.stripMargin
       })
   }
@@ -140,7 +168,10 @@ object VecExprs {
   /** sum ((q_i - r_i) * d_i)^2  (L2 Hoeffding term) */
   case class HoeffDiffSum(first: Expression, second: Expression, third: Expression)
       extends VecFold3 {
-    protected def javaBody = "double t = (q - r) * d; acc += t * t;"
+    protected def javaBody(ctx: CodegenContext, acc: String, q: String, r: String, d: String) = {
+      val t = ctx.freshName("vfT")
+      s"double $t = ($q - $r) * $d; $acc += $t * $t;"
+    }
     protected def step(acc: Double, q: Double, r: Double, d: Double): Double = {
       val t = (q - r) * d; acc + t * t
     }
@@ -151,10 +182,12 @@ object VecExprs {
   /** sum max(|q_i - r_i| - d_i, 0)^2  (_lb_sym, ANNCode.py:500-505) */
   case class LbSymE(first: Expression, second: Expression, third: Expression)
       extends VecFold3 {
-    protected def javaBody =
-      """double a2 = q - r;
-        |double l = java.lang.Math.max(java.lang.Math.abs(a2) - d, 0.0);
-        |acc += l * l;""".stripMargin
+    protected def javaBody(ctx: CodegenContext, acc: String, q: String, r: String, d: String) = {
+      val a2 = ctx.freshName("vfA2"); val l = ctx.freshName("vfL")
+      s"""double $a2 = $q - $r;
+         |double $l = java.lang.Math.max(java.lang.Math.abs($a2) - $d, 0.0);
+         |$acc += $l * $l;""".stripMargin
+    }
     protected def step(acc: Double, q: Double, r: Double, d: Double): Double = {
       val l = math.max(math.abs(q - r) - d, 0.0); acc + l * l
     }
@@ -166,12 +199,15 @@ object VecExprs {
     * value whose sign steers the branch (signbit: -0.0 counts negative). */
   case class LbTzE(first: Expression, second: Expression, third: Expression)
       extends VecFold3 {
-    protected def javaBody =
-      """double a2 = q - r;
-        |double s = (r < 0.0 || (r == 0.0 && java.lang.Double.doubleToRawLongBits(r) != 0L)) ? -1.0 : 1.0;
-        |double b2 = a2 * s;
-        |if (b2 <= 0.0) { acc += a2 * a2; }
-        |else if (b2 >= d) { double l = b2 - d; acc += l * l; }""".stripMargin
+    protected def javaBody(ctx: CodegenContext, acc: String, q: String, r: String, d: String) = {
+      val a2 = ctx.freshName("vfA2"); val s = ctx.freshName("vfS")
+      val b2 = ctx.freshName("vfB2"); val l = ctx.freshName("vfL")
+      s"""double $a2 = $q - $r;
+         |double $s = ($r < 0.0 || ($r == 0.0 && java.lang.Double.doubleToRawLongBits($r) != 0L)) ? -1.0 : 1.0;
+         |double $b2 = $a2 * $s;
+         |if ($b2 <= 0.0) { $acc += $a2 * $a2; }
+         |else if ($b2 >= $d) { double $l = $b2 - $d; $acc += $l * $l; }""".stripMargin
+    }
     protected def step(acc: Double, q: Double, r: Double, d: Double): Double = {
       val a2 = q - r
       val s = if (r < 0.0 || (r == 0.0 &&

@@ -84,6 +84,59 @@ class VecExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("folds compile where the generated input-row local is named 'i'") {
+    // GenerateUnsafeProjection / GeneratePredicate bind the input row to a
+    // local named `i` (CodegenContext.INPUT_ROW) and have NO interpreted
+    // fallback — a fixed-name generated local (even brace-scoped: Java
+    // forbids shadowing an enclosing local) fails Janino right here.
+    // Regression test for the round-1 "Redefinition of local variable i"
+    // bug that silently dropped the hot N x Q plans to interpreted mode.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GreaterThan, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.{GeneratePredicate, GenerateUnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val arrT = ArrayType(FloatType, containsNull = false)
+    def ref(ord: Int) = BoundReference(ord, arrT, nullable = false)
+    val exprs = Seq(
+      VecExprs.DotD(ref(0), ref(1)),
+      VecExprs.L2Sq(ref(0), ref(1)),
+      VecExprs.AbsDot(ref(0), ref(2)),
+      VecExprs.HoeffSum(ref(0), ref(2)),
+      VecExprs.HoeffDiffSum(ref(0), ref(1), ref(2)),
+      VecExprs.LbSymE(ref(0), ref(1), ref(2)),
+      VecExprs.LbTzE(ref(0), ref(1), ref(2)))
+    val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino error
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1f, 2f)),
+      ArrayData.toArrayData(Array(3f, 4f)),
+      ArrayData.toArrayData(Array(0.5f, 1f)))
+    val out = proj(row)
+    assert(out.getDouble(0) == 11.0) // 1*3 + 2*4
+    assert(out.getDouble(1) == 8.0)  // 4 + 4
+    val pred = GeneratePredicate.generate(
+      GreaterThan(VecExprs.DotD(ref(0), ref(1)), Literal(0.0)))
+    assert(pred.eval(row))
+  }
+
+  test("length mismatch raises in both eval modes") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val arrT = ArrayType(FloatType, containsNull = false)
+    val e = VecExprs.DotD(
+      BoundReference(0, arrT, nullable = false),
+      BoundReference(1, arrT, nullable = false))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1f, 2f, 3f)),
+      ArrayData.toArrayData(Array(1f, 2f)))
+    intercept[IllegalArgumentException] { e.eval(row) }
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    intercept[IllegalArgumentException] { proj(row) }
+  }
+
   test("interpreted eval matches codegen path") {
     // force interpreted evaluation by filtering through a literal Dataset op
     val df = randomRows(200, 8, 11)
