@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions.col
  *
  * Recall can only exceed the static-tau relational form (tau only
  * tightens), so the zero-miss guarantee carries over.
+ *
+ * [[PartitionKernel]] is constructed once per (partition, param-set) and
+ * amortizes across the whole query matrix: the row block is decoded once,
+ * query-independent quantities (row norms, the cos_l2 cushion — which
+ * does not depend on the query at all) are precomputed once, and the
+ * per-query score/order/heap buffers are allocated once and reused, so
+ * the per-query cost is the two array passes and the index sort, with no
+ * per-query allocation beyond the emitted ~K candidates.
  */
 object RefineKernel {
 
@@ -38,6 +46,233 @@ object RefineKernel {
   }
   private[operators] def norm(a: Array[Float]): Double = {
     math.max(math.sqrt(dotD(a, a)), 1e-12)
+  }
+
+  /**
+   * Per-partition kernel state shared across the query matrix. Not
+   * thread-safe (one instance per task, as used by `mapPartitions`).
+   */
+  final class PartitionKernel(rows: Array[VecRow], p: Refine.Params) {
+    private val n = rows.length
+    private val k = p.k
+    private val mode = p.mode
+    private val alpha = p.alpha
+    private val hoeffC = p.hoeffConst
+    private val isCos = p.isCos
+
+    // ---- query-independent precompute (once per partition) ----
+    // cos full/reduced scores divide by the row norms every time; the
+    // cos_l2 cushion alpha*sqrt(max(0, 2-2*cos(vec,rvec))) is entirely
+    // query-free. Same expression trees as before, so values (and the
+    // DuckDB oracle hashes) are bit-identical.
+    private val vnorm: Array[Double] = if (isCos) new Array[Double](n) else null
+    private val rnorm: Array[Double] = if (isCos) new Array[Double](n) else null
+    private val cosL2Cushion: Array[Double] =
+      if (mode == "cos_l2") new Array[Double](n) else null
+    locally {
+      if (isCos) {
+        var i = 0
+        while (i < n) {
+          val r = rows(i)
+          vnorm(i) = norm(r.vec)
+          rnorm(i) = norm(r.rvec)
+          if (cosL2Cushion != null) {
+            val b2 = 2.0 - 2.0 * dotD(r.vec, r.rvec) / (vnorm(i) * rnorm(i))
+            cosL2Cushion(i) = alpha * math.sqrt(math.max(0.0, b2))
+          }
+          i += 1
+        }
+      }
+    }
+
+    // ---- reusable per-query buffers (no per-query allocation) ----
+    private val sHat = new Array[Double](n)
+    private val order = new Array[Int](n)
+    // local heap of (score, id); worst tracked linearly (k is small).
+    // Total order is (score, id asc) — the same tie-break as
+    // TopK.window/aggregate, so heavy score ties at the K boundary
+    // resolve identically in every execution path.
+    private val hs = new Array[Double](k)
+    private val hi = new Array[Long](k)
+
+    // a beats b under (score, id asc)?
+    private def beats(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      if (sa != sb) { if (isCos) sa > sb else sa < sb } else ia < ib
+
+    private def worstIdx: Int = {
+      var w = 0; var j = 1
+      while (j < k) {
+        if (beats(hs(w), hi(w), hs(j), hi(j))) w = j
+        j += 1
+      }
+      w
+    }
+
+    /** order(a) before order(b) in the best-first walk: desc sHat for
+      * cos, asc for l2, ties by row id asc. */
+    private def walksBefore(a: Int, b: Int): Boolean = {
+      val ka = sHat(a); val kb = sHat(b)
+      if (ka != kb) { if (isCos) ka > kb else ka < kb }
+      else rows(a).id < rows(b).id
+    }
+
+    /** In-place quicksort of `order` under [[walksBefore]] — primitive
+      * indices, no boxing/tuple allocation (the former
+      * `Array.range(0,n).sortBy` allocated a boxed tuple per row per
+      * query). Median-of-three pivots, insertion sort below 24. */
+    private def sortOrder(): Unit = {
+      def swap(i: Int, j: Int): Unit = {
+        val t = order(i); order(i) = order(j); order(j) = t
+      }
+      def insertion(lo: Int, hi0: Int): Unit = {
+        var i = lo + 1
+        while (i <= hi0) {
+          val v = order(i); var j = i - 1
+          while (j >= lo && walksBefore(v, order(j))) {
+            order(j + 1) = order(j); j -= 1
+          }
+          order(j + 1) = v; i += 1
+        }
+      }
+      def qsort(lo0: Int, hi0: Int): Unit = {
+        var lo = lo0; var hi = hi0
+        while (hi - lo > 24) {
+          val mid = lo + (hi - lo) / 2
+          if (walksBefore(order(mid), order(lo))) swap(lo, mid)
+          if (walksBefore(order(hi), order(lo))) swap(lo, hi)
+          if (walksBefore(order(hi), order(mid))) swap(mid, hi)
+          val pivot = order(mid)
+          var i = lo; var j = hi
+          while (i <= j) {
+            while (walksBefore(order(i), pivot)) i += 1
+            while (walksBefore(pivot, order(j))) j -= 1
+            if (i <= j) { swap(i, j); i += 1; j -= 1 }
+          }
+          // recurse into the smaller half, loop on the larger
+          if (j - lo < hi - i) { qsort(lo, j); lo = i }
+          else { qsort(i, hi); hi = j }
+        }
+        insertion(lo, hi)
+      }
+      if (n > 1) qsort(0, n - 1)
+    }
+
+    private def fullScore(i0: Int, qv: Array[Float], nq: Double): Double = {
+      val r = rows(i0)
+      if (isCos) dotD(r.vec, qv) / (vnorm(i0) * nq)
+      else {
+        var s = 0.0; var j = 0
+        while (j < qv.length) {
+          val d = qv(j).toDouble - r.vec(j).toDouble; s += d * d; j += 1
+        }
+        s
+      }
+    }
+
+    private def cushion(i0: Int, qv: Array[Float], nq: Double): Double = {
+      val r = rows(i0)
+      mode match {
+        case "cos_l1" =>
+          var s = 0.0; var j = 0
+          while (j < qv.length) { s += math.abs(qv(j).toDouble) * r.delta(j); j += 1 }
+          alpha * s / nq
+        case "cos_hoeff" =>
+          var s = 0.0; var j = 0
+          while (j < qv.length) { val t = qv(j).toDouble * r.delta(j); s += t * t; j += 1 }
+          hoeffC * math.sqrt(s) / nq
+        case "cos_l2" =>
+          cosL2Cushion(i0)
+        case "l2_sym" =>
+          var s = 0.0; var j = 0
+          while (j < qv.length) {
+            val a = qv(j).toDouble - r.rvec(j).toDouble
+            val l = math.max(math.abs(a) - r.delta(j), 0.0); s += l * l; j += 1
+          }
+          s
+        case "l2_tz" =>
+          var s = 0.0; var j = 0
+          while (j < qv.length) {
+            val a = qv(j).toDouble - r.rvec(j).toDouble
+            val sg = if (r.rvec(j) < 0 ||
+              (r.rvec(j) == 0.0f && 1.0f / r.rvec(j) < 0)) -1.0 else 1.0
+            val b = a * sg
+            val d = r.delta(j).toDouble
+            s += (if (b <= 0.0) a * a
+                  else if (b < d) 0.0
+                  else (math.abs(a) - d) * (math.abs(a) - d))
+            j += 1
+          }
+          s
+        case "l2_hoeff" =>
+          var s = 0.0; var j = 0
+          while (j < qv.length) {
+            val t = (qv(j).toDouble - r.rvec(j).toDouble) * r.delta(j); s += t * t; j += 1
+          }
+          sHat(i0) - 2.0 * hoeffC * math.sqrt(s)
+      }
+    }
+
+    /** The running-tau walk for one query over this partition's block.
+      * Results are materialized (the shared heap buffers are reused by
+      * the next call). */
+    def topKFor(qid: Long, qv: Array[Float]): Iterator[Cand] = {
+      if (n == 0) return Iterator.empty
+      val nq = norm(qv)
+
+      // reduced pass: s_hat over the cheap columns only
+      var i = 0
+      while (i < n) {
+        val r = rows(i)
+        sHat(i) =
+          if (isCos) dotD(r.rvec, qv) / (rnorm(i) * nq)
+          else {
+            var s = 0.0; var j = 0
+            while (j < qv.length) {
+              val d = qv(j).toDouble - r.rvec(j).toDouble; s += d * d; j += 1
+            }
+            s
+          }
+        order(i) = i
+        i += 1
+      }
+      sortOrder()
+
+      // reset the heap
+      java.util.Arrays.fill(hs, if (isCos) Double.NegativeInfinity else Double.PositiveInfinity)
+      java.util.Arrays.fill(hi, Long.MaxValue)
+      var filled = 0
+      var tau = if (isCos) Double.NegativeInfinity else Double.PositiveInfinity
+
+      var oi = 0
+      while (oi < n) {
+        val i0 = order(oi)
+        val r = rows(i0)
+        val reject =
+          if (filled < k) false
+          else if (isCos) sHat(i0) + cushion(i0, qv, nq) < tau
+          else cushion(i0, qv, nq) > tau
+        if (!reject) {
+          val s = fullScore(i0, qv, nq)
+          val w = worstIdx
+          if (filled < k || beats(s, r.id, hs(w), hi(w))) {
+            hs(w) = s; hi(w) = r.id
+            if (filled < k) filled += 1
+            tau = hs(worstIdx)
+          }
+        }
+        oi += 1
+      }
+      // only the local top-K leaves the partition: anything evicted
+      // here is beaten by >= K rows and cannot be in the global top-K
+      // (inserts land in arbitrary empty slots, so filter by id)
+      val out = new scala.collection.mutable.ArrayBuffer[Cand](k)
+      var j = 0
+      while (j < k) {
+        if (hi(j) != Long.MaxValue) out += Cand(qid, hi(j), hs(j))
+        j += 1
+      }
+      out.iterator
+    }
   }
 
   /** Candidate rows surviving the sequential kernel, ready for global top-K merge. */
@@ -63,140 +298,14 @@ object RefineKernel {
   }
 
   /**
-   * The per-(partition block, query) running-tau walk: reduced pass,
-   * best-first candidate order, cushion rejection, bounded heap. Shared
-   * by the Dataset kernel above and the physical operator
-   * (org.apache.spark.sql.graft.KernelPlan.RefineKernelExec).
+   * One-query convenience wrapper over [[PartitionKernel]] — kept for
+   * callers outside the batched matrix path; the batched paths construct
+   * the kernel once and amortize the precompute across queries.
    */
   def localTopK(rows: Array[VecRow], qQid: Long, qv: Array[Float],
-                p: Refine.Params): Iterator[Cand] = {
+                p: Refine.Params): Iterator[Cand] =
     if (rows.isEmpty) Iterator.empty
-    else {
-      val k = p.k
-      val mode = p.mode
-      val alpha = p.alpha
-      val hoeffC = p.hoeffConst
-      val isCos = p.isCos
-      val nq = norm(qv)
-
-          // reduced pass: s_hat (+ per-row cushion ingredients)
-          val n = rows.length
-          val sHat = new Array[Double](n)
-          var i = 0
-          while (i < n) {
-            val r = rows(i)
-            sHat(i) =
-              if (isCos) dotD(r.rvec, qv) / (norm(r.rvec) * nq)
-              else {
-                var s = 0.0; var j = 0
-                while (j < qv.length) {
-                  val d = qv(j).toDouble - r.rvec(j).toDouble; s += d * d; j += 1
-                }
-                s
-              }
-            i += 1
-          }
-          // best-first order (desc for cos, asc for l2), ties by id
-          val order = Array.range(0, n).sortBy(i0 =>
-            if (isCos) (-sHat(i0), rows(i0).id) else (sHat(i0), rows(i0).id))
-
-          // local heap of (score, id); worst tracked linearly (k is small).
-          // Total order is (score, id asc) — the same tie-break as
-          // TopK.window/aggregate, so heavy score ties at the K boundary
-          // resolve identically in every execution path.
-          val hs = Array.fill(k)(if (isCos) Double.NegativeInfinity else Double.PositiveInfinity)
-          val hi = Array.fill(k)(Long.MaxValue)
-          var filled = 0
-          // a beats b under (score, id asc)?
-          def beats(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-            if (sa != sb) { if (isCos) sa > sb else sa < sb } else ia < ib
-          def worstIdx: Int = {
-            var w = 0; var j = 1
-            while (j < k) {
-              if (beats(hs(w), hi(w), hs(j), hi(j))) w = j
-              j += 1
-            }
-            w
-          }
-          var tau = if (isCos) Double.NegativeInfinity else Double.PositiveInfinity
-
-          def fullScore(r: VecRow): Double =
-            if (isCos) dotD(r.vec, qv) / (norm(r.vec) * nq)
-            else {
-              var s = 0.0; var j = 0
-              while (j < qv.length) {
-                val d = qv(j).toDouble - r.vec(j).toDouble; s += d * d; j += 1
-              }
-              s
-            }
-
-          def cushion(r: VecRow, i0: Int): Double = mode match {
-            case "cos_l1" =>
-              var s = 0.0; var j = 0
-              while (j < qv.length) { s += math.abs(qv(j).toDouble) * r.delta(j); j += 1 }
-              alpha * s / nq
-            case "cos_hoeff" =>
-              var s = 0.0; var j = 0
-              while (j < qv.length) { val t = qv(j).toDouble * r.delta(j); s += t * t; j += 1 }
-              hoeffC * math.sqrt(s) / nq
-            case "cos_l2" =>
-              val b2 = 2.0 - 2.0 * dotD(r.vec, r.rvec) / (norm(r.vec) * norm(r.rvec))
-              alpha * math.sqrt(math.max(0.0, b2))
-            case "l2_sym" =>
-              var s = 0.0; var j = 0
-              while (j < qv.length) {
-                val a = qv(j).toDouble - r.rvec(j).toDouble
-                val l = math.max(math.abs(a) - r.delta(j), 0.0); s += l * l; j += 1
-              }
-              s
-            case "l2_tz" =>
-              var s = 0.0; var j = 0
-              while (j < qv.length) {
-                val a = qv(j).toDouble - r.rvec(j).toDouble
-                val sg = if (r.rvec(j) < 0 ||
-                  (r.rvec(j) == 0.0f && 1.0f / r.rvec(j) < 0)) -1.0 else 1.0
-                val b = a * sg
-                val d = r.delta(j).toDouble
-                s += (if (b <= 0.0) a * a
-                      else if (b < d) 0.0
-                      else (math.abs(a) - d) * (math.abs(a) - d))
-                j += 1
-              }
-              s
-            case "l2_hoeff" =>
-              var s = 0.0; var j = 0
-              while (j < qv.length) {
-                val t = (qv(j).toDouble - r.rvec(j).toDouble) * r.delta(j); s += t * t; j += 1
-              }
-              sHat(i0) - 2.0 * hoeffC * math.sqrt(s)
-          }
-
-          var oi = 0
-          while (oi < order.length) {
-            val i0 = order(oi)
-            val r = rows(i0)
-            val reject =
-              if (filled < k) false
-              else if (isCos) sHat(i0) + cushion(r, i0) < tau
-              else cushion(r, i0) > tau
-            if (!reject) {
-              val s = fullScore(r)
-              val w = worstIdx
-              if (filled < k || beats(s, r.id, hs(w), hi(w))) {
-                hs(w) = s; hi(w) = r.id
-                if (filled < k) filled += 1
-                tau = hs(worstIdx)
-              }
-            }
-            oi += 1
-          }
-          // only the local top-K leaves the partition: anything evicted
-          // here is beaten by >= K rows and cannot be in the global top-K
-          // (inserts land in arbitrary empty slots, so filter by id)
-          (0 until k).iterator.filter(hi(_) != Long.MaxValue)
-            .map(j => Cand(qQid, hi(j), hs(j)))
-    }
-  }
+    else new PartitionKernel(rows, p).topKFor(qQid, qv)
 
   /** Final refined top-K via partial kernels + aggregator merge:
     * (qid, rank, id, score). */

@@ -94,13 +94,17 @@ object KernelPlan {
         }.toArray
         val proj = UnsafeProjection.create(outSchema)
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
-        bq.value.iterator.flatMap { q =>
-          graft.operators.RefineKernel
-            .localTopK(rows, q.qid, q.qvec, p)
-            .map { c =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          // one kernel per partition: block decode + norm precompute
+          // amortized across the whole query matrix
+          val kern = new graft.operators.RefineKernel.PartitionKernel(rows, p)
+          bq.value.iterator.flatMap { q =>
+            kern.topKFor(q.qid, q.qvec).map { c =>
               row.update(0, c.qid); row.update(1, c.id); row.update(2, c.score)
               proj(row)
             }
+          }
         }
       }
     }
