@@ -36,6 +36,21 @@ object SparkEntry {
     RefineKernel.topk(v, q, refineParams(mode))
   }
 
+  /**
+   * Refined top-K over the materialized disaggregated layout (paper §3.3,
+   * reference ANNCode.py:307-370): the fixture is written once per sf-dir
+   * as separate parquet columns; the cheap pass physically reads only the
+   * (id, rvec, delta) column chunks and the rescore fetch only (id, vec).
+   * Hash-equal to the in-memory q_refine_<mode> twin.
+   */
+  def qRefineDisagg(spark: SparkSession, dir: String, mode: String): DataFrame = {
+    val path = graft.sources.Disaggregated.ensureFixture(spark, dir, D, KeepM)
+    val stored = spark.read.parquet(path)
+    val q = Fixture.queries(stored.select(col("id"), col("vec")), NQ)
+      .select(col("qid"), col("qvec"))
+    graft.sources.Disaggregated.refineTopK(spark, path, q, refineParams(mode))
+  }
+
   /** Accounting metrics (recall/save/fpr) for all six modes. The fixture
     * and per-family ground truth are computed once and reused; the six
     * mode pipelines are submitted as concurrent Spark jobs (each alone
@@ -301,6 +316,8 @@ object SparkEntry {
   ).toMap ++ Map[String, QFn](
     "q_refine_kernel_cos_l1" -> q((s, dir) => qRefineKernel(s, dir, "cos_l1")),
     "q_refine_kernel_l2_tz"  -> q((s, dir) => qRefineKernel(s, dir, "l2_tz")),
+    // at-rest disaggregated layout: cheap pass scans only reduced columns
+    "q_refine_disagg" -> q((s, dir) => qRefineDisagg(s, dir, "cos_l1")),
     // custom Catalyst physical operator path (same zero-miss semantics)
     "q_refine_plan_l2_sym" -> q((s, dir) => {
       val v = Fixture.fp16Vectors(s, dir, D, KeepM)
@@ -357,6 +374,7 @@ object SparkEntry {
   ).toMap ++ Map(
     "q_refine_kernel_cos_l1" -> RefineOracle.topkSql(D, NQ, refineParams("cos_l1")),
     "q_refine_kernel_l2_tz"  -> RefineOracle.topkSql(D, NQ, refineParams("l2_tz")),
+    "q_refine_disagg"        -> RefineOracle.topkSql(D, NQ, refineParams("cos_l1")),
     "q_refine_plan_l2_sym"   -> RefineOracle.topkSql(D, NQ, refineParams("l2_sym")),
     // ASCII corpus: byte == char code, so SQL reproduces the byte histogram
     "q_multimodal_hist" ->

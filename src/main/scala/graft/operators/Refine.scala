@@ -65,27 +65,48 @@ object Refine {
 
   private def fnorm(x: Column): Column = VectorOps.fnorm(x)
 
+  /** B_i = ||unit(x)-unit(r)|| = sqrt(max(0, 2 - 2 xr/(||x|| ||r||))) —
+    * the cos_l2 per-vector stat; query-free, so at rest it can be
+    * materialized beside rvec/delta (see sources.Disaggregated). */
+  def cosL2Stat(vec: Column, rvec: Column): Column =
+    sqrt(greatest(lit(0.0),
+      lit(2.0) - lit(2.0) * dot(vec, rvec) /
+        (fnorm(norm2Sq(vec)) * fnorm(norm2Sq(rvec)))))
+
+  /**
+   * The query-independent cheap-pass relation
+   * (id, rvec, delta, nr2[, bb]) derived from an in-memory vectors
+   * relation (id, vec, rvec, delta). Only cos_l2 touches `vec` (for its
+   * stat); every other mode's cheap pass is vec-free, which is what makes
+   * the at-rest bandwidth win physical under column pruning.
+   */
+  def cheapSide(vectors: DataFrame, p: Params): DataFrame =
+    if (p.mode == "cos_l2")
+      vectors.select(col("id"), col("rvec"), col("delta"),
+        norm2Sq(col("rvec")).as("nr2"),
+        cosL2Stat(col("vec"), col("rvec")).as("bb"))
+    else
+      vectors.select(col("id"), col("rvec"), col("delta"),
+        norm2Sq(col("rvec")).as("nr2"))
+
+  /** Cheap-pass relation from a disaggregated at-rest table that already
+    * stores `bb` (sources.Disaggregated.write): never references `vec`,
+    * so the parquet scan reads only the reduced column chunks. */
+  def cheapSideStored(stored: DataFrame, p: Params): DataFrame = {
+    val base = Seq(col("id"), col("rvec"), col("delta"),
+      norm2Sq(col("rvec")).as("nr2"))
+    val cols = if (p.mode == "cos_l2") base :+ col("bb") else base
+    stored.select(cols: _*)
+  }
+
   /**
    * Phase 1+2+3: per-(qid,id) candidate rows with reduced score, cushion
    * predicate against tau0, and seed membership.
-   * vectors: (id, vec, rvec, delta); queries: (qid, qvec).
+   * vpre: (id, rvec, delta, nr2[, bb]); queries: (qid, qvec).
    */
-  private def candidates(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame = {
+  private def candidates(vpre: DataFrame, queries: DataFrame, p: Params): DataFrame = {
     val q = broadcast(
       queries.select(col("qid"), col("qvec"), norm2Sq(col("qvec")).as("nq2")))
-
-    // per-vector precomputed stats (at rest these live beside rvec/delta)
-    val vpre =
-      if (p.mode == "cos_l2")
-        // B_i = ||unit(x)-unit(r)|| = sqrt(max(0, 2 - 2 xr/(||x|| ||r||)))
-        vectors.select(col("id"), col("rvec"), col("delta"),
-          norm2Sq(col("rvec")).as("nr2"),
-          sqrt(greatest(lit(0.0),
-            lit(2.0) - lit(2.0) * dot(col("vec"), col("rvec")) /
-              (fnorm(norm2Sq(col("vec"))) * fnorm(norm2Sq(col("rvec")))))).as("bb"))
-      else
-        vectors.select(col("id"), col("rvec"), col("delta"),
-          norm2Sq(col("rvec")).as("nr2"))
 
     val pairs = vpre.crossJoin(q)
 
@@ -134,18 +155,25 @@ object Refine {
    * Candidate rows after early rejection, rescored at full precision.
    * Returns (qid, id, s_full, rn) — rn<=k are the seeds.
    */
-  def fetched(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame = {
+  def fetched(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame =
+    fetchedSplit(cheapSide(vectors, p), vectors, queries, p)
+
+  /** [[fetched]] with the cheap pass and the full-precision fetch side as
+    * separate relations — the disaggregated-storage entry point, where
+    * the two sides are different column subsets of one parquet table. */
+  def fetchedSplit(cheap: DataFrame, full: DataFrame, queries: DataFrame,
+                   p: Params): DataFrame = {
     // the narrow candidate relation feeds both the seed and survivor
     // branches; Spark's exchange reuse shares the shuffle between them
     // (an explicit persist measured net-negative: memory churn outweighs
     // the recomputed map stage)
-    val cand = candidates(vectors, queries, p)
+    val cand = candidates(cheap, queries, p)
     // full-precision side: broadcast the (id, vec) projection so rescoring
     // survivors is a map-side hash join against the still-qid-partitioned
     // candidate rows. (On a cluster where the full table dwarfs executor
     // memory, flip this: shuffle survivors by id into the bucketed/
     // partition-pruned full scan instead.)
-    val vSel = broadcast(vectors.select(col("id"), col("vec")))
+    val vSel = broadcast(full.select(col("id"), col("vec")))
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),
       norm2Sq(col("qvec")).as("nq2")))
 
@@ -176,6 +204,13 @@ object Refine {
   def topk(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame =
     TopK.window(
       fetched(vectors, queries, p).withColumnRenamed("s_full", "score"),
+      p.k, ascending = !p.isCos)
+
+  /** [[topk]] over split cheap/full relations (disaggregated storage). */
+  def topkSplit(cheap: DataFrame, full: DataFrame, queries: DataFrame,
+                p: Params): DataFrame =
+    TopK.window(
+      fetchedSplit(cheap, full, queries, p).withColumnRenamed("s_full", "score"),
       p.k, ascending = !p.isCos)
 
   /** Exact (brute-force) top-K at full precision — the self-oracle

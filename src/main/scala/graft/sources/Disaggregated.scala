@@ -17,11 +17,13 @@ import graft.functions.VectorOps
  */
 object Disaggregated {
 
-  /** Materialize (id, vec, rvec, rword, delta) as one Parquet table,
+  /** Materialize (id, vec, rvec, rword, delta, bb) as one Parquet table,
     * sorted by id within files so id-equi-joins benefit from row-group
     * min/max skipping on the rescore fetch. The reduction keeps the full
     * exponent (reference refinement semantics: keep_e is an accounting
-    * parameter, not a data transform — see Fp16.deltaFromExp). */
+    * parameter, not a data transform — see Fp16.deltaFromExp). `bb` is
+    * the cos_l2 per-vector stat (query-free, so it belongs at rest —
+    * without it the cos_l2 cheap pass would have to fetch `vec`). */
   def write(vectors: DataFrame, path: String, keepM: Int): Unit =
     vectors.select(
         col("id"),
@@ -29,6 +31,8 @@ object Disaggregated {
         VectorOps.reduceVec(col("vec"), 5, keepM).as("rvec"),
         VectorOps.reduceVecWords(col("vec"), 5, keepM).as("rword"),
         VectorOps.deltaVec(col("vec"), keepM).as("delta"))
+      .withColumn("bb",
+        graft.operators.Refine.cosL2Stat(col("vec"), col("rvec")))
       .sortWithinPartitions(col("id"))
       .write.mode("overwrite")
       .option("compression", "zstd")
@@ -42,15 +46,59 @@ object Disaggregated {
   def readFull(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("id"), col("vec"))
 
+  /**
+   * Materialize the fp16 fixture for `sfDir` once per JVM-visible tmpdir
+   * (keyed by sf-dir/dims/keepM; `_SUCCESS` is the done marker) and
+   * return the table path. This is what puts the paper's §3.3 layout on
+   * the query surface: downstream refine reads are real parquet scans
+   * whose cheap pass fetches only the reduced column chunks.
+   */
+  def ensureFixture(spark: SparkSession, sfDir: String, d: Int,
+                    keepM: Int): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_disagg_${safe}_d${d}_m$keepM"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      write(graft.Fixture.fp16Vectors(spark, sfDir, d, keepM)
+        .select(col("id"), col("vec")), path, keepM)
+    path
+  }
+
+  /**
+   * Refined top-K straight off the disaggregated table: the cheap pass
+   * scans only (id, rvec, delta[, bb]); the rescore fetch scans only
+   * (id, vec). Hash-equal to the in-memory twin (same expression trees
+   * over bit-identical stored values).
+   */
+  def refineTopK(spark: SparkSession, path: String, queries: DataFrame,
+                 p: graft.operators.Refine.Params): DataFrame = {
+    val stored = spark.read.parquet(path)
+    graft.operators.Refine.topkSplit(
+      graft.operators.Refine.cheapSideStored(stored, p),
+      stored.select(col("id"), col("vec")),
+      queries, p)
+  }
+
+  /** Column sets read by every parquet scan in the physical plan,
+    * descending into AQE wrappers (plans with exchanges live under
+    * AdaptiveSparkPlanExec, which hides its subtree from `collect`). */
+  def scanSchemas(df: DataFrame): Seq[Set[String]] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[Set[String]] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f.requiredSchema.fieldNames.toSet)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Throw unless the optimized plan's Parquet ReadSchema contains
     * exactly `expected` (column pruning reached the scan). */
   def assertPruned(df: DataFrame, expected: Set[String]): Unit = {
-    val scans = df.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
+    val scans = scanSchemas(df)
     require(scans.nonEmpty, "no parquet scan in plan")
-    scans.foreach { s =>
-      val read = s.requiredSchema.fieldNames.toSet
+    scans.foreach { read =>
       require(read == expected,
         s"column pruning failed: scan reads $read, expected $expected")
     }

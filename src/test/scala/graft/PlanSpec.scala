@@ -53,6 +53,25 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.size == 20)
   }
 
+  test("disaggregated refine: cheap pass never scans the full-precision column") {
+    val df = SparkEntry.qRefineDisagg(spark, dir, "cos_l1")
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    // every scan is either a reduced-column subset (the seeds branch even
+    // drops delta — its cushion is unused) or the (id, vec) fetch side;
+    // nothing reads both vec and rvec/delta from disk at once
+    val reduced = Set("id", "rvec", "delta")
+    val fullFetch = Set("id", "vec")
+    scans.foreach(s => assert(s.subsetOf(reduced) || s == fullFetch,
+      s"unpruned scan reads $s"))
+    assert(scans.exists(s => s.subsetOf(reduced) && s.contains("rvec")),
+      s"no reduced-only scan among $scans")
+    // and it matches the in-memory twin row-for-row
+    val a = df.collect().map(_.toSeq).toSet
+    val b = SparkEntry.qRefine(spark, dir, "cos_l1").collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+  }
+
   test("fixture scan prunes lineitem to the two key columns") {
     val plan = SparkEntry.qTopkCos(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
