@@ -51,13 +51,42 @@ object Ann {
     TopK.window(scored, k)
   }
 
-  /** Same-cell pairs with cosine >= threshold: (id_a, id_b, cos). */
-  def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), norm2Sq(col("embedding")).as("na2"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), norm2Sq(col("embedding")).as("nb2"))
-    a.join(b, "label").filter(col("id_a") < col("id_b"))
+  /**
+   * Same-cell pairs with cosine >= threshold: (id_a, id_b, cos).
+   *
+   * Candidate generation blocks on (cell, angle-to-pivot band) — the
+   * scale-correct analogue of norm banding for the cosine metric (cosine
+   * is scale-invariant, so norms constrain nothing; the angle to a fixed
+   * pivot direction does). By the spherical triangle inequality,
+   * cos(a,b) >= t implies |theta_a - theta_b| <= acos(t), so joining each
+   * row's band against all bands within reach = ceil(acos(t)/w) + 1 (the
+   * +1 absorbs floor/float edges) has EXACT recall; the cosine test is a
+   * post-filter. Band occupancy — not the O(N) cell block size — bounds
+   * the join, and the expansion factor is the fixed 2*reach+1. Pruning
+   * power scales with threshold tightness: at near-dup thresholds
+   * (t >= 0.9, theta <= 26 deg) most of the sphere is out of reach; the
+   * fixture's loose t=0.25 keeps every band reachable but exercises the
+   * same bounded plan shape. The DuckDB oracle stays all-pairs-in-cell;
+   * results are identical.
+   */
+  def nearDupPairs(emb: DataFrame, minCos: Double,
+                   bandDeg: Double = 5.0): DataFrame = {
+    val thetaMax = math.toDegrees(math.acos(minCos))
+    val reach = math.ceil(thetaMax / bandDeg).toInt + 1
+    val side = emb.select(col("label"), col("vec_id"), col("embedding"),
+        norm2Sq(col("embedding")).as("n2"))
+      .withColumn("band",
+        floor(degrees(acos(least(lit(1.0), greatest(lit(-1.0),
+          element_at(col("embedding"), 1).cast("double") / fn(col("n2"))))))
+          / bandDeg).cast("int"))
+    val a = side.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("n2").as("na2"),
+        explode(sequence(col("band") - reach, col("band") + reach)).as("jband"))
+    val b = side.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("n2").as("nb2"), col("band").as("jband"))
+    // one row per candidate pair (the b side carries a single band), so
+    // no distinct is needed after the join
+    a.join(b, Seq("label", "jband")).filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         dot(col("va"), col("vb")) / (fn(col("na2")) * fn(col("nb2"))))
       .filter(col("cos") >= minCos)

@@ -123,18 +123,44 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance, blocked by `source`
-    * (generic blocking key — at scale, block on simhash prefix bands). */
+  /**
+   * Near-dup pairs by SimHash hamming distance, same-`source` semantics.
+   *
+   * Candidate generation is simhash prefix banding, not a block self-join:
+   * the fingerprint is split into `maxHamming + 1` contiguous bit bands
+   * (pigeonhole: two fingerprints within hamming distance maxHamming are
+   * EQUAL on at least one band — the Hamming-ball recall guarantee), and
+   * candidates come from an equi-join on (band, band value). Bucket
+   * sizes — not corpus or `source` block sizes — bound the pair blow-up,
+   * so the plan survives a 100x corpus where any fixed-cardinality
+   * blocking key would go quadratic. The same-source restriction and the
+   * exact hamming test are post-filters; results are identical to the
+   * all-pairs-within-source form (which the DuckDB oracle still uses).
+   */
   def simhashPairs(docs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val nb = maxHamming + 1
+    val widths = Array.tabulate(nb)(i => bits / nb + (if (i < bits % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sh = simhash(docs, bits)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("source"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("source"))
-    a.join(b, "source").filter(col("doc_a") < col("doc_b"))
+    val bandVals = array((0 until nb).map { b =>
+      shiftright(col("simhash"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    }: _*)
+    val banded = sh.select(col("doc_id"), col("simhash"), col("source"),
+      posexplode(bandVals).as(Seq("band", "bv")))
+    val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("source").as("src_a"), col("band"), col("bv"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("source").as("src_b"), col("band"), col("bv"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b") && col("src_a") === col("src_b"))
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      // a pair can agree on several bands; results are deterministic per
+      // pair, so a distinct on the output row dedups them
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   // ---- n-gram Jaccard ----------------------------------------------------

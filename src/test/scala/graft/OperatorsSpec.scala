@@ -32,6 +32,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash prefix banding finds exactly the all-pairs-within-source pairs") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    val banded = Dedup.simhashPairs(docs, SparkEntry.SimhashBits,
+      SparkEntry.MaxHamming).collect().map(_.toSeq).toSet
+    // brute-force reference: all pairs within a source block
+    val sh = Dedup.simhash(docs, SparkEntry.SimhashBits)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("source"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("source"))
+    val brute = a.join(b, "source").filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= SparkEntry.MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .collect().map(_.toSeq).toSet
+    assert(banded == brute, s"banded ${banded.size} pairs vs brute ${brute.size}")
+  }
+
+  test("angle-band embedding near-dup finds exactly the all-pairs-in-cell pairs") {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val banded = Ann.nearDupPairs(emb, SparkEntry.MinCos).collect().map(_.toSeq).toSet
+    val a = emb.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), graft.functions.VectorOps.norm2Sq(col("embedding")).as("na2"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), graft.functions.VectorOps.norm2Sq(col("embedding")).as("nb2"))
+    val fn = graft.functions.VectorOps.fnorm _
+    val brute = a.join(b, "label").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", graft.functions.VectorOps.dot(col("va"), col("vb")) /
+        (fn(col("na2")) * fn(col("nb2"))))
+      .filter(col("cos") >= SparkEntry.MinCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .collect().map(_.toSeq).toSet
+    assert(banded == brute && banded.nonEmpty,
+      s"banded ${banded.size} pairs vs brute ${brute.size}")
+  }
+
   test(".vec reader parses header, rows, and skips short lines") {
     val f = Files.createTempFile("test", ".vec")
     Files.writeString(f,
