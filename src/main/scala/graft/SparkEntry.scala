@@ -116,6 +116,12 @@ object SparkEntry {
   }
 
   // ---- dedup / text-analysis params (shared with oracles) ----------------
+  // delta grid-search tuning (small grid: each point runs a full
+  // metrics pipeline)
+  final val TuneMode = "cos_hoeff"
+  final val TuneGrid = Seq(1e-6, 1e-2, 1e-1, 7e-1)
+  final val TuneFloor = 0.95
+
   final val Shingle = 3
   final val NumHashes = 16
   final val Bands = 4
@@ -228,18 +234,17 @@ object SparkEntry {
       .select(col("c_mktsegment"), col("c_custkey"), col("total_cents"), col("rank"))
   }
 
-  /** §2.7 set operators over token vocabularies of two sources. */
+  /** §2.7 set operators over token vocabularies of two sources — one lazy
+    * union-of-aggregates plan (no driver-side actions at construction). */
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
     def vocab(src: String) = docs(s, dir).filter(col("source") === src)
       .select(explode(split(col("text"), " ")).as("tok")).distinct()
     val (a, b) = (vocab("src0"), vocab("src1"))
-    val spark = s
-    import spark.implicits._
-    Seq(
-      ("intersect", a.intersect(b).count()),
-      ("except_a", a.except(b).count()),
-      ("union", a.union(b).distinct().count())
-    ).toDF("op", "n")
+    def counted(op: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    counted("intersect", a.intersect(b))
+      .unionAll(counted("except_a", a.except(b)))
+      .unionAll(counted("union", a.union(b).distinct()))
   }
 
   /** Grouping-set rollup over lineitem (subtotal + grand-total rows). */
@@ -318,6 +323,13 @@ object SparkEntry {
     "q_refine_kernel_l2_tz"  -> q((s, dir) => qRefineKernel(s, dir, "l2_tz")),
     // at-rest disaggregated layout: cheap pass scans only reduced columns
     "q_refine_disagg" -> q((s, dir) => qRefineDisagg(s, dir, "cos_l1")),
+    // Hoeffding delta grid-search (reference ANNCode.py:755-776)
+    "q_tune_delta" -> q((s, dir) => {
+      val v = Fixture.fp16Vectors(s, dir, D, KeepM)
+      val qq = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+      graft.operators.Tune.tuneDelta(v, qq, TuneMode, K, KeepM, D,
+        TuneFloor, TuneGrid)
+    }),
     // custom Catalyst physical operator path (same zero-miss semantics)
     "q_refine_plan_l2_sym" -> q((s, dir) => {
       val v = Fixture.fp16Vectors(s, dir, D, KeepM)
@@ -375,6 +387,8 @@ object SparkEntry {
     "q_refine_kernel_cos_l1" -> RefineOracle.topkSql(D, NQ, refineParams("cos_l1")),
     "q_refine_kernel_l2_tz"  -> RefineOracle.topkSql(D, NQ, refineParams("l2_tz")),
     "q_refine_disagg"        -> RefineOracle.topkSql(D, NQ, refineParams("cos_l1")),
+    "q_tune_delta"           -> RefineOracle.tuneSql(D, NQ, TuneMode, K, KeepM,
+      TuneGrid, TuneFloor),
     "q_refine_plan_l2_sym"   -> RefineOracle.topkSql(D, NQ, refineParams("l2_sym")),
     // ASCII corpus: byte == char code, so SQL reproduces the byte histogram
     "q_multimodal_hist" ->

@@ -26,6 +26,25 @@ object Dedup {
   final val AMul = 2654435761L
   final val BMul = 40503L
 
+  // Intermediates persisted by the pipelines below. They must stay cached
+  // until the *returned* (lazy) DataFrame has been consumed, so the
+  // operators cannot unpersist them; callers release them afterwards.
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(p)
+    p
+  }
+
+  /** Release every intermediate persisted by this object's pipelines.
+    * Call once the DataFrames returned by [[lshPairs]] /
+    * [[ngramJaccardPairs]] have been consumed (long-lived sessions would
+    * otherwise accumulate cached blocks across calls). */
+  def releaseIntermediates(): Unit = {
+    var d = tracked.poll()
+    while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
+  }
+
   /** Portable 60-bit string hash: first 15 hex chars of md5 as BIGINT. */
   def strHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -77,8 +96,9 @@ object Dedup {
     // groupBy) is the dominant cost; it feeds three scans below (band
     // explode + both sides of the est_jaccard join), so materialize it
     // once. At cluster scale the equivalent is a checkpoint to parquet;
-    // MEMORY_AND_DISK keeps the library self-contained.
-    val s = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    // MEMORY_AND_DISK keeps the library self-contained. Released by
+    // [[releaseIntermediates]] once the caller has consumed the result.
+    val s = persistTracked(sigs)
     // One band-key array per doc, posexploded to (doc_id, band, bk):
     // a single self-join on (band, bk) replaces `bands` separate
     // re-derived self-joins; both join sides shuffle on the same key,
@@ -195,12 +215,12 @@ object Dedup {
     // which re-derived the expensive explode+distinct twice. The capped
     // table then feeds three scans (counts + both join sides), so
     // materialize it once (cluster-scale twin: checkpoint to parquet).
-    val g = wordNgrams(docs, n)
+    // Released by [[releaseIntermediates]] after the result is consumed.
+    val g = persistTracked(wordNgrams(docs, n)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("source"), col("gram"))))
       .filter(col("df") <= maxDf)
-      .drop("df")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .drop("df"))
     val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val l = g.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
     val r = g.select(col("source"), col("doc_id").as("doc_b"), col("gram"))

@@ -147,6 +147,31 @@ object RefineOracle {
   def allMetricsSql(d: Int, nq: Int, params: Seq[Refine.Params]): String =
     params.map(p => s"(${metricsSql(d, nq, p)})").mkString("\nUNION ALL\n")
 
+  /**
+   * Grid-search tuning oracle (Tune.tuneDelta): the grid's metrics rows
+   * plus a `chosen` flag on the winner — max saving among rows meeting
+   * the recall floor, best recall as fallback; ties at the winning
+   * metric go to the smallest delta (the grid-order first-max tie-break
+   * of the Scala side, whose grid is ascending).
+   */
+  def tuneSql(d: Int, nq: Int, mode: String, k: Int, keepM: Int,
+              grid: Seq[Double], recallFloor: Double): String = {
+    val params = grid.map(dl =>
+      Refine.Params(mode, k = k, keepM = keepM, delta = dl))
+    s"""WITH m AS (${allMetricsSql(d, nq, params)}),
+       |flag AS (SELECT CASE
+       |    WHEN MAX(CASE WHEN recall >= $recallFloor THEN 1 ELSE 0 END) = 1
+       |    THEN 1 ELSE 0 END AS any_meet FROM m),
+       |sel AS (SELECT m.delta FROM m, flag
+       |  WHERE flag.any_meet = 0 OR m.recall >= $recallFloor
+       |  ORDER BY CASE WHEN flag.any_meet = 1 THEN m.save ELSE m.recall END DESC,
+       |    m.delta ASC
+       |  LIMIT 1)
+       |SELECT mode, m_keep, delta, recall, save, fpr,
+       |  delta = (SELECT delta FROM sel) AS chosen
+       |FROM m""".stripMargin
+  }
+
   /** Precision-reduction projection oracle (P2-P4): flat rows
     * (id, j, v, rv, dv) for a bounded id set. */
   def reduceSql(d: Int, keepM: Int, maxId: Long): String =

@@ -56,6 +56,38 @@ class Fp16Spec extends AnyFunSuite {
     }
   }
 
+  test("keepE<5: reduction is a bit mask; error-vs-fp16 decomposes exactly") {
+    // reduce_precision_keep_both (ANNCode.py:219-242): both field
+    // truncations only ZERO bits, so the reduced word is exactly
+    // halfWord & mask — magnitude is monotone in the low 15 word bits,
+    // hence toward-zero and sign-preserving for any (keepE, keepM).
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 20000) {
+      val x = (rnd.nextFloat() - 0.5f) * math.pow(2.0, rnd.nextInt(30) - 15).toFloat
+      val xf = Fp16.roundTrip(x)
+      val w = Fp16.floatToHalfBits(x)
+      for (keepE <- 0 to 5; keepM <- Seq(0, 3, 6, 10)) {
+        val mask = 0x8000 |
+          (((0x1F >> (5 - keepE)) << (5 - keepE)) << 10) |
+          ((0x3FF >> (10 - keepM)) << (10 - keepM))
+        val rw = Fp16.reduceWord(x, keepE, keepM)
+        assert(rw == (w & mask), s"x=$x keepE=$keepE keepM=$keepM")
+        val r = Fp16.halfBitsToFloat(rw)
+        val err = math.abs(xf - r) // the reference's abs_error_vs_fp16
+        assert(r == 0.0f || (r > 0) == (xf > 0), s"sign flip x=$x")
+        assert(math.abs(r) <= math.abs(xf))
+        // toward-zero on both fields => error IS the magnitude loss
+        assert(err == math.abs(xf) - math.abs(r), s"x=$x keepE=$keepE keepM=$keepM")
+        // when the exponent field is untouched the keepE=5 delta bound
+        // still holds; exponent loss is diagnostic-only (Fp16.scala doc)
+        val e = Fp16.expOf(w); val drop = 5 - keepE
+        if (((e >> drop) << drop) == e)
+          assert(err <= Fp16.deltaOf(x, keepM),
+            s"x=$x keepE=$keepE keepM=$keepM err=$err")
+      }
+    }
+  }
+
   test("known half values") {
     assert(Fp16.floatToHalfBits(1.0f) == 0x3C00)
     assert(Fp16.floatToHalfBits(-2.0f) == 0xC000)

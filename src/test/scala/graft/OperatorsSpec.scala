@@ -177,4 +177,35 @@ class OperatorsSpec extends AnyFunSuite {
     val out = StreamOps.similarityGate(vecs, queries, 0.99)
     assert(out.count() >= 3) // each query matches at least itself
   }
+
+  test("keepE<5 reduction end-to-end on the fixture corpus (keep_both path)") {
+    // reduce_precision_keep_both (ANNCode.py:219-242): through the column
+    // functions over real fixture vectors — sign preserved, toward zero,
+    // word == fp16word & mask, error-vs-fp16 == exact magnitude loss.
+    import graft.functions.{VectorOps, Fp16}
+    val (keepE, keepM) = (3, 4)
+    val mask = 0x8000 | (((0x1F >> (5 - keepE)) << (5 - keepE)) << 10) |
+      ((0x3FF >> (10 - keepM)) << (10 - keepM))
+    val rows = Fixture.vectors(spark, dir, SparkEntry.D).limit(300)
+      .select(
+        VectorOps.fp16RoundTrip(col("vec")).as("v16"),
+        VectorOps.reduceVec(col("vec"), keepE, keepM).as("rv"),
+        VectorOps.reduceVecWords(col("vec"), keepE, keepM).as("rw"))
+      .collect()
+    assert(rows.length == 300)
+    rows.foreach { row =>
+      val v16 = row.getSeq[Float](0); val rv = row.getSeq[Float](1)
+      val rw = row.getSeq[Short](2)
+      v16.indices.foreach { j =>
+        val x = v16(j); val r = rv(j)
+        assert((rw(j) & 0xFFFF) == (Fp16.floatToHalfBits(x) & mask))
+        assert(r == 0.0f || (r > 0) == (x > 0))
+        assert(math.abs(r) <= math.abs(x))
+        // error vs fp16 (the reference's diagnostic) is the magnitude loss,
+        // computed in double where fp16-value subtraction is exact
+        assert(math.abs(x.toDouble - r.toDouble) ==
+          math.abs(x.toDouble) - math.abs(r.toDouble))
+      }
+    }
+  }
 }
