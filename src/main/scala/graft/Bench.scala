@@ -35,8 +35,13 @@ object Bench {
     // times individually (and q_refine_metrics times six; q_tune_delta
     // four more) — skip the duplicate work in the timing run; the
     // correctness gate covers both.
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration
+    // aid; unset in driver runs).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val benched = SparkEntry.queries.view
-      .filterKeys(k => k != "q_sweep" && k != "q_tune_delta").toSeq
+      .filterKeys(k => k != "q_sweep" && k != "q_tune_delta")
+      .filterKeys(k => only.forall(_.contains(k))).toSeq
     val futures = benched.map { case (name, fn) =>
       Future {
         val s0 = System.nanoTime()

@@ -52,9 +52,10 @@ object SparkEntry {
   }
 
   /** Accounting metrics (recall/save/fpr) for all six modes. The fixture
-    * and per-family ground truth are computed once and reused; the six
-    * mode pipelines are submitted as concurrent Spark jobs (each alone
-    * uses only ~NQ window partitions, far under the core count). */
+    * and per-family ground truth are computed once and reused; within each
+    * family the reduced pass / window / seeds / tau0 are shared
+    * ([[Refine.metricsFamily]]), so the heavy N*Q work runs twice (once
+    * per family), not six times. */
   def qRefineMetrics(spark: SparkSession, dir: String): DataFrame = {
     val v = Fixture.fp16Vectors(spark, dir, D, KeepM).cache()
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
@@ -64,9 +65,9 @@ object SparkEntry {
     gt.values.foreach(_.count())  // materialize before the parallel fan-out
     try {
       import scala.collection.parallel.CollectionConverters._
-      Refine.Modes.par.map { m =>
-        val p = refineParams(m)
-        Refine.metrics(v, q, p, D, groundTruth = Some(gt(p.isCos)))
+      Seq(Refine.CosModes, Refine.L2Modes).par.map { fam =>
+        val ps = fam.map(refineParams)
+        Refine.metricsFamily(v, q, ps, D, groundTruth = Some(gt(ps.head.isCos)))
       }.toList.reduce(_ unionByName _)
     } finally {
       gt.values.foreach(_.unpersist(blocking = false))

@@ -99,51 +99,62 @@ object Refine {
     stored.select(cols: _*)
   }
 
+  /** Cushion expression for one param set; expects the candidate-pair
+    * columns (qvec, nq2, rvec, delta[, bb], s_hat) in scope. Fused codegen
+    * folds (VecExprs) — numerically identical to the HOF forms (same fold
+    * order / per-element trees). */
+  private def cushionExpr(p: Params): Column = p.mode match {
+    case "cos_hoeff" =>
+      lit(p.hoeffConst) * sqrt(VecExprs.hoeffSum(col("qvec"), col("delta"))) / fnorm(col("nq2"))
+    case "cos_l1" =>
+      lit(p.alpha) * VecExprs.absDot(col("qvec"), col("delta")) / fnorm(col("nq2"))
+    case "cos_l2" =>
+      lit(p.alpha) * col("bb")
+    case "l2_sym" =>
+      VecExprs.lbSymE(col("qvec"), col("rvec"), col("delta"))
+    case "l2_tz" =>
+      VecExprs.lbTzE(col("qvec"), col("rvec"), col("delta"))
+    case "l2_hoeff" =>
+      col("s_hat") - lit(2.0 * p.hoeffConst) *
+        sqrt(VecExprs.hoeffDiffSum(col("qvec"), col("rvec"), col("delta")))
+  }
+
   /**
-   * Phase 1+2+3: per-(qid,id) candidate rows with reduced score, cushion
-   * predicate against tau0, and seed membership.
+   * Phase 1+2+3 for one or more param sets of the SAME metric family:
+   * per-(qid,id) candidate rows (qid, id, s_hat, cush_0..cush_{n-1}, rn).
+   * The reduced score, the window rank, and hence the seed set depend only
+   * on the family, so n cushion columns ride one reduced pass + one window
+   * instead of n of each.
    * vpre: (id, rvec, delta, nr2[, bb]); queries: (qid, qvec).
    */
-  private def candidates(vpre: DataFrame, queries: DataFrame, p: Params): DataFrame = {
+  private def candidatesMulti(vpre: DataFrame, queries: DataFrame,
+                              ps: Seq[Params]): DataFrame = {
+    val isCos = ps.head.isCos
+    require(ps.forall(_.isCos == isCos), "params must share a metric family")
     val q = broadcast(
       queries.select(col("qid"), col("qvec"), norm2Sq(col("qvec")).as("nq2")))
 
     val pairs = vpre.crossJoin(q)
 
     val sHat: Column =
-      if (p.isCos) dot(col("rvec"), col("qvec")) / (fnorm(col("nr2")) * fnorm(col("nq2")))
+      if (isCos) dot(col("rvec"), col("qvec")) / (fnorm(col("nr2")) * fnorm(col("nq2")))
       else l2DistSq(col("qvec"), col("rvec"))   // reduced-space distance (asc)
 
-    // cushions via fused codegen folds (VecExprs) — numerically identical
-    // to the HOF forms (same fold order / per-element trees)
-    val cushion: Column = p.mode match {
-      case "cos_hoeff" =>
-        lit(p.hoeffConst) * sqrt(VecExprs.hoeffSum(col("qvec"), col("delta"))) / fnorm(col("nq2"))
-      case "cos_l1" =>
-        lit(p.alpha) * VecExprs.absDot(col("qvec"), col("delta")) / fnorm(col("nq2"))
-      case "cos_l2" =>
-        lit(p.alpha) * col("bb")
-      case "l2_sym" =>
-        VecExprs.lbSymE(col("qvec"), col("rvec"), col("delta"))
-      case "l2_tz" =>
-        VecExprs.lbTzE(col("qvec"), col("rvec"), col("delta"))
-      case "l2_hoeff" =>
-        col("s_hat") - lit(2.0 * p.hoeffConst) *
-          sqrt(VecExprs.hoeffDiffSum(col("qvec"), col("rvec"), col("delta")))
-    }
-
     val withScore = pairs.withColumn("s_hat", sHat)
-    val withCushion = withScore.withColumn("cush", cushion)
+    val cushions = ps.zipWithIndex.map { case (p, i) => cushionExpr(p).as(s"cush_$i") }
 
-    val ord = if (p.isCos) Seq(col("s_hat").desc, col("id").asc)
+    val ord = if (isCos) Seq(col("s_hat").desc, col("id").asc)
               else Seq(col("s_hat").asc, col("id").asc)
     val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
-    withCushion
+    withScore
       // only the narrow reduced-pass results cross the shuffle; query
       // vectors are re-attached after the window from the broadcast side
-      .select(col("qid"), col("id"), col("s_hat"), col("cush"))
+      .select(col("qid") +: col("id") +: col("s_hat") +: cushions: _*)
       .withColumn("rn", row_number().over(w))
   }
+
+  private def candidates(vpre: DataFrame, queries: DataFrame, p: Params): DataFrame =
+    candidatesMulti(vpre, queries, Seq(p)).withColumnRenamed("cush_0", "cush")
 
   /** Full-precision score for rescoring (cos: unit-space ratio; l2: distance). */
   private def fullScore(p: Params): Column =
@@ -244,30 +255,99 @@ object Refine {
     * the reference's `red_bytes_override` (ANNCode.py:317-318, 831-833). */
   def metrics(vectors: DataFrame, queries: DataFrame, p: Params, d: Int,
               groundTruth: Option[DataFrame] = None,
-              redBytesOverride: Option[Double] = None): DataFrame = {
+              redBytesOverride: Option[Double] = None): DataFrame =
+    metricsFamily(vectors, queries, Seq(p), d, groundTruth, redBytesOverride)
+
+  /**
+   * [[metrics]] for several param sets of ONE metric family over the same
+   * vectors/queries (a mode sweep, or a Hoeffding delta grid). The reduced
+   * pass, the per-query window rank, the seed rescoring, and tau0 are all
+   * mode-invariant within a family, so they are computed ONCE and shared;
+   * only the per-param cushion filter, survivor fetch, and accounting
+   * differ. Row values are identical to per-param [[metrics]] calls (same
+   * expression trees); output rows follow `ps` order semantics (one row
+   * per param).
+   */
+  def metricsFamily(vectors: DataFrame, queries: DataFrame, ps: Seq[Params],
+                    d: Int, groundTruth: Option[DataFrame] = None,
+                    redBytesOverride: Option[Double] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val spark = vectors.sparkSession
-    val f = fetched(vectors, queries, p).cache()
-    val fin = TopK.window(f.withColumnRenamed("s_full", "score"), p.k,
-      ascending = !p.isCos)
-    // ground truth depends only on the metric family — callers sweeping
-    // modes should compute it once per family and pass it in
-    val gt = groundTruth.getOrElse(exactTopK(vectors, queries, p))
+    val k = ps.head.k
+    val isCos = ps.head.isCos
+    require(ps.forall(p => p.k == k && p.isCos == isCos),
+      "metricsFamily params must share k and metric family")
+
+    // cos_l2's cheap side carries the extra query-free `bb` stat; the
+    // extra column is inert for the other modes' expressions
+    val vpre = cheapSide(vectors, ps.find(_.mode == "cos_l2").getOrElse(ps.head))
+    // single-param calls rely on Spark's exchange reuse between the seed
+    // and survivor branches (explicit persist measured net-negative
+    // there); a real sweep rescans the candidates 2|ps| times, which is
+    // when materializing pays
+    val candPersisted = ps.length > 1
+    val cand0 = candidatesMulti(vpre, queries, ps)
+    val cand = if (candPersisted) cand0.persist(StorageLevel.MEMORY_AND_DISK) else cand0
+
+    val vSel = broadcast(vectors.select(col("id"), col("vec")))
+    val qSel = broadcast(queries.select(col("qid"), col("qvec"),
+      norm2Sq(col("qvec")).as("nq2")))
+
+    // seeds + tau0: family-level (full score and seed set don't depend on
+    // the cushion), exactly the per-mode values of fetchedSplit
+    val seeds = cand.filter(col("rn") <= k)
+      .join(vSel, Seq("id")).join(qSel, Seq("qid"))
+      .withColumn("s_full", fullScore(ps.head))
+    val tau0 = broadcast(
+      seeds.groupBy(col("qid")).agg(
+        (if (isCos) min(col("s_full")) else max(col("s_full"))).as("tau0")))
+    val seedsOut = seeds.select(col("qid"), col("id"), col("s_full"), col("rn"))
+
+    val gtShared = groundTruth.getOrElse {
+      val g = exactTopK(vectors, queries, ps.head)
+      if (ps.length > 1) { val c = g.persist(StorageLevel.MEMORY_AND_DISK); c.count(); c }
+      else g
+    }
 
     val nQ = queries.count()
     val nV = vectors.count()
-    val nFetched = f.count()
-    val hits = fin.join(gt.select(col("qid"), col("id")), Seq("qid", "id")).count()
-    f.unpersist()
 
-    val bFull = 16.0 * d / 8.0
-    val bRed  = redBytesOverride.getOrElse(p.bitsRed * d / 8.0)
-    val total = bRed * nV * nQ + bFull * nFetched
-    val save  = 1.0 - total / (bFull * nV * nQ)
-    val fpr   = (nFetched - p.k.toLong * nQ).toDouble / (nV.toDouble * nQ)
-    val recall = hits.toDouble / (p.k.toLong * nQ)
+    import scala.collection.parallel.CollectionConverters._
+    val rows =
+      try ps.zipWithIndex.par.map { case (p, i) =>
+        val survive =
+          if (isCos) col("s_hat") + col(s"cush_$i") >= col("tau0")
+          else col(s"cush_$i") <= col("tau0")   // cush is a lower bound on d^2
+        val survivors = cand.filter(col("rn") > k)
+          .join(tau0, Seq("qid"))
+          .filter(survive)
+          .join(vSel, Seq("id")).join(qSel, Seq("qid"))
+          .withColumn("s_full", fullScore(p))
+          .select(col("qid"), col("id"), col("s_full"), col("rn"))
+        val f = seedsOut.unionByName(survivors).persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val fin = TopK.window(f.withColumnRenamed("s_full", "score"), k,
+            ascending = !isCos)
+          val nFetched = f.count()
+          val hits = fin.join(gtShared.select(col("qid"), col("id")),
+            Seq("qid", "id")).count()
+
+          val bFull = 16.0 * d / 8.0
+          val bRed  = redBytesOverride.getOrElse(p.bitsRed * d / 8.0)
+          val total = bRed * nV * nQ + bFull * nFetched
+          val save  = 1.0 - total / (bFull * nV * nQ)
+          val fpr   = (nFetched - k.toLong * nQ).toDouble / (nV.toDouble * nQ)
+          val recall = hits.toDouble / (k.toLong * nQ)
+          (p.mode, p.keepM, p.delta, recall, save, fpr)
+        } finally f.unpersist(blocking = false)
+      }.toList
+      finally {
+        if (candPersisted) cand.unpersist(blocking = false)
+        if (groundTruth.isEmpty && ps.length > 1)
+          gtShared.unpersist(blocking = false)
+      }
 
     import spark.implicits._
-    Seq((p.mode, p.keepM, p.delta, recall, save, fpr))
-      .toDF("mode", "m_keep", "delta", "recall", "save", "fpr")
+    rows.toDF("mode", "m_keep", "delta", "recall", "save", "fpr")
   }
 }

@@ -21,16 +21,15 @@ object Tune {
     require(mode.endsWith("hoeff"), s"delta tuning only applies to Hoeffding modes, got $mode")
     val spark = vectors.sparkSession
     val p0 = Refine.Params(mode, k = k, keepM = keepM)
-    val v = vectors.cache()   // |grid| concurrent pipelines rescan it
+    val v = vectors.cache()   // the family pipeline rescans it
     val gt = Refine.exactTopK(v, queries, p0).cache()
     gt.count()
-    import scala.collection.parallel.CollectionConverters._
+    // the grid points differ only in the Hoeffding constant, so the whole
+    // grid shares one reduced pass / window / seed set (metricsFamily)
     val rows =
       try
-        grid.par.map { dl =>
-          Refine.metrics(v, queries, p0.copy(delta = dl), d,
-            groundTruth = Some(gt)).collect()(0)
-        }.toList
+        Refine.metricsFamily(v, queries, grid.map(dl => p0.copy(delta = dl)),
+          d, groundTruth = Some(gt)).collect().toList
       finally {
         gt.unpersist(blocking = false)
         v.unpersist(blocking = false)
