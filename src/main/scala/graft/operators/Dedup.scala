@@ -28,18 +28,36 @@ object Dedup {
 
   // Intermediates persisted by the pipelines below. They must stay cached
   // until the *returned* (lazy) DataFrame has been consumed, so the
-  // operators cannot unpersist them; callers release them afterwards.
+  // operators cannot unpersist them; callers release them afterwards —
+  // either globally ([[releaseIntermediates]]) or per pipeline via
+  // [[scopedRelease]], which keeps two concurrent pipelines in one
+  // session from draining each other's still-needed caches.
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val scope =
+    new scala.util.DynamicVariable[Option[java.util.Queue[DataFrame]]](None)
   private def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    tracked.add(p)
+    scope.value.getOrElse(tracked).add(p)
     p
   }
 
-  /** Release every intermediate persisted by this object's pipelines.
-    * Call once the DataFrames returned by [[lshPairs]] /
-    * [[ngramJaccardPairs]] have been consumed (long-lived sessions would
-    * otherwise accumulate cached blocks across calls). */
+  /** Run `f` (a pipeline construction) with its persisted intermediates
+    * tracked in a private scope; returns the result plus a release
+    * callback that unpersists ONLY that scope's intermediates. */
+  def scopedRelease[T](f: => T): (T, () => Unit) = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    val r = scope.withValue(Some(q))(f)
+    (r, () => {
+      var d = q.poll()
+      while (d != null) { d.unpersist(blocking = false); d = q.poll() }
+    })
+  }
+
+  /** Release every globally-tracked intermediate persisted by this
+    * object's pipelines (those not built under [[scopedRelease]]). Call
+    * once the DataFrames returned by [[lshPairs]] / [[ngramJaccardPairs]]
+    * have been consumed (long-lived sessions would otherwise accumulate
+    * cached blocks across calls). */
   def releaseIntermediates(): Unit = {
     var d = tracked.poll()
     while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
@@ -158,6 +176,10 @@ object Dedup {
    * all-pairs-within-source form (which the DuckDB oracle still uses).
    */
   def simhashPairs(docs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    // a zero-width band has mask 0 -> every row shares band value 0 and
+    // the equi-join silently degenerates into a corpus-wide cross join
+    require(bits >= maxHamming + 1,
+      s"simhashPairs needs bits >= maxHamming + 1 (got bits=$bits, maxHamming=$maxHamming)")
     val nb = maxHamming + 1
     val widths = Array.tabulate(nb)(i => bits / nb + (if (i < bits % nb) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)

@@ -95,9 +95,14 @@ object RefineKernel {
     private val hs = new Array[Double](k)
     private val hi = new Array[Long](k)
 
-    // a beats b under (score, id asc)?
-    private def beats(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      if (sa != sb) { if (isCos) sa > sb else sa < sb } else ia < ib
+    // a beats b under (score, id asc)? Double.compare gives a total
+    // order (NaN greatest, -0.0 < 0.0) identical to the boxed-tuple
+    // sortBy the old implementation used, so degenerate inputs
+    // (zero-norm vectors -> NaN scores) order the same on every path.
+    private def beats(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      if (c != 0) { if (isCos) c > 0 else c < 0 } else ia < ib
+    }
 
     private def worstIdx: Int = {
       var w = 0; var j = 1
@@ -111,8 +116,8 @@ object RefineKernel {
     /** order(a) before order(b) in the best-first walk: desc sHat for
       * cos, asc for l2, ties by row id asc. */
     private def walksBefore(a: Int, b: Int): Boolean = {
-      val ka = sHat(a); val kb = sHat(b)
-      if (ka != kb) { if (isCos) ka > kb else ka < kb }
+      val c = java.lang.Double.compare(sHat(a), sHat(b))
+      if (c != 0) { if (isCos) c > 0 else c < 0 }
       else rows(a).id < rows(b).id
     }
 

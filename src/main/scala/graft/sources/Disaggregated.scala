@@ -53,11 +53,20 @@ object Disaggregated {
    * the query surface: downstream refine reads are real parquet scans
    * whose cheap pass fetches only the reduced column chunks.
    */
+  /** Bump when [[write]]'s layout or the fixture synthesis changes: the
+    * version is part of the cache path, so stale tables from an older
+    * code revision can never be silently reused. */
+  private val LayoutVersion = 2
+
   def ensureFixture(spark: SparkSession, sfDir: String, d: Int,
                     keepM: Int): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_disagg_${safe}_d${d}_m$keepM"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val path = s"${sys.props("java.io.tmpdir")}/" +
+      s"graft_disagg_v${LayoutVersion}_${safe}_d${d}_m$keepM"
+    val marker = new java.io.File(path, "_SUCCESS")
+    // rewrite when the source fixture data is newer than the cached table
+    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    if (!marker.exists() || marker.lastModified < src.lastModified)
       write(graft.Fixture.fp16Vectors(spark, sfDir, d, keepM)
         .select(col("id"), col("vec")), path, keepM)
     path
