@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executor in ONE JVM: 32 concurrent tasks'
+  // sort/agg/broadcast memory all come out of this heap, and the bench
+  // machine has 128 GiB — 8g caused spill/GC stalls on the window-heavy
+  // queries at sf0.1.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -120,11 +120,11 @@ object Refine {
   }
 
   /**
-   * Phase 1+2+3 for one or more param sets of the SAME metric family:
-   * per-(qid,id) candidate rows (qid, id, s_hat, cush_0..cush_{n-1}, rn).
-   * The reduced score, the window rank, and hence the seed set depend only
-   * on the family, so n cushion columns ride one reduced pass + one window
-   * instead of n of each.
+   * Phase 1 for one or more param sets of the SAME metric family:
+   * per-(qid,id) candidate rows (qid, id, s_hat, cush_0..cush_{n-1}) —
+   * a pure map-side pass (broadcast cross join + column expressions),
+   * never ranked or shuffled. The reduced score depends only on the
+   * family, so n cushion columns ride one reduced pass instead of n.
    * vpre: (id, rvec, delta, nr2[, bb]); queries: (qid, qvec).
    */
   private def candidatesMulti(vpre: DataFrame, queries: DataFrame,
@@ -142,19 +142,28 @@ object Refine {
 
     val withScore = pairs.withColumn("s_hat", sHat)
     val cushions = ps.zipWithIndex.map { case (p, i) => cushionExpr(p).as(s"cush_$i") }
-
-    val ord = if (isCos) Seq(col("s_hat").desc, col("id").asc)
-              else Seq(col("s_hat").asc, col("id").asc)
-    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
-    withScore
-      // only the narrow reduced-pass results cross the shuffle; query
-      // vectors are re-attached after the window from the broadcast side
-      .select(col("qid") +: col("id") +: col("s_hat") +: cushions: _*)
-      .withColumn("rn", row_number().over(w))
+    withScore.select(col("qid") +: col("id") +: col("s_hat") +: cushions: _*)
   }
 
   private def candidates(vpre: DataFrame, queries: DataFrame, p: Params): DataFrame =
     candidatesMulti(vpre, queries, Seq(p)).withColumnRenamed("cush_0", "cush")
+
+  /**
+   * Phase 2 seed selection: the top-K candidate ids per query by reduced
+   * score — (qid, id, s_hat, rn<=k). The rank filter makes Catalyst plan
+   * a map-side WindowGroupLimit (only ~k rows per (partition, qid) cross
+   * the exchange), so the N*Q candidate relation is never fully sorted —
+   * the argpartition analogue (`ANNCode.py:339`), and the reason this
+   * shape survives a 100x corpus where a full per-query ranking dies.
+   */
+  private def seedSelect(cand: DataFrame, k: Int, isCos: Boolean): DataFrame = {
+    val ord = if (isCos) Seq(col("s_hat").desc, col("id").asc)
+              else Seq(col("s_hat").asc, col("id").asc)
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    cand.select(col("qid"), col("id"), col("s_hat"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
 
   /** Full-precision score for rescoring (cos: unit-space ratio; l2: distance). */
   private def fullScore(p: Params): Column =
@@ -171,25 +180,28 @@ object Refine {
 
   /** [[fetched]] with the cheap pass and the full-precision fetch side as
     * separate relations — the disaggregated-storage entry point, where
-    * the two sides are different column subsets of one parquet table. */
+    * the two sides are different column subsets of one parquet table.
+    *
+    * Plan shape (the 100 TB contract): the N*Q candidate relation is
+    * never ranked, shuffled, or persisted wholesale. Seeds come from a
+    * map-side WindowGroupLimit top-K; everything downstream joins the
+    * BIG relations (candidates, the full-precision table) against
+    * broadcast sets of at most Q*k + survivors rows, so the only
+    * exchange in the whole operator carries ~k rows per (partition, qid).
+    * The full-precision side is streamed and hash-probed against the tiny
+    * fetch set — never broadcast (a 100 TB table can't be) and never
+    * shuffled; at rest the id-sorted layout additionally gives parquet
+    * row-group skipping on the fetch. */
   def fetchedSplit(cheap: DataFrame, full: DataFrame, queries: DataFrame,
                    p: Params): DataFrame = {
-    // the narrow candidate relation feeds both the seed and survivor
-    // branches; Spark's exchange reuse shares the shuffle between them
-    // (an explicit persist measured net-negative: memory churn outweighs
-    // the recomputed map stage)
     val cand = candidates(cheap, queries, p)
-    // full-precision side: broadcast the (id, vec) projection so rescoring
-    // survivors is a map-side hash join against the still-qid-partitioned
-    // candidate rows. (On a cluster where the full table dwarfs executor
-    // memory, flip this: shuffle survivors by id into the bucketed/
-    // partition-pruned full scan instead.)
-    val vSel = broadcast(full.select(col("id"), col("vec")))
+    val vSel = full.select(col("id"), col("vec"))
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),
       norm2Sq(col("qvec")).as("nq2")))
 
-    val seeds = cand.filter(col("rn") <= p.k)
-      .join(vSel, Seq("id")).join(qSel, Seq("qid"))
+    // seeds: stream the full table once, probing the broadcast seed set
+    val seedIds = seedSelect(cand, p.k, p.isCos)
+    val seeds = vSel.join(broadcast(seedIds), Seq("id")).join(qSel, Seq("qid"))
       .withColumn("s_full", fullScore(p))
 
     // tau0: worst full-precision score among the seeds
@@ -200,14 +212,21 @@ object Refine {
     val survive =
       if (p.isCos) col("s_hat") + col("cush") >= col("tau0")
       else col("cush") <= col("tau0")   // cush is a lower bound on d^2
-    val survivors = cand.filter(col("rn") > p.k)
+    // early rejection: map-side filter of the candidate pass against the
+    // broadcast tau0 + seed-id exclusion — no shuffle, no sort
+    val survivorIds = cand
+      .join(broadcast(seedIds.select(col("qid"), col("id"))),
+        Seq("qid", "id"), "left_anti")
       .join(tau0, Seq("qid"))
       .filter(survive)
-      .join(vSel, Seq("id")).join(qSel, Seq("qid"))
+      .select(col("qid"), col("id"))
+    val survivors = vSel.join(broadcast(survivorIds), Seq("id"))
+      .join(qSel, Seq("qid"))
       .withColumn("s_full", fullScore(p))
 
     seeds.select(col("qid"), col("id"), col("s_full"), col("rn"))
-      .unionByName(survivors.select(col("qid"), col("id"), col("s_full"), col("rn")))
+      .unionByName(survivors.select(col("qid"), col("id"), col("s_full"),
+        lit(p.k + 1).as("rn")))   // any value > k: "not a seed"
   }
 
   /** Final refined top-K: (qid, rank, id, score). Equals exact top-K for
@@ -281,22 +300,21 @@ object Refine {
     // cos_l2's cheap side carries the extra query-free `bb` stat; the
     // extra column is inert for the other modes' expressions
     val vpre = cheapSide(vectors, ps.find(_.mode == "cos_l2").getOrElse(ps.head))
-    // single-param calls rely on Spark's exchange reuse between the seed
-    // and survivor branches (explicit persist measured net-negative
-    // there); a real sweep rescans the candidates 2|ps| times, which is
-    // when materializing pays
+    // the candidate pass feeds the seed branch plus one survivor filter
+    // per param; a sweep rescans it |ps|+1 times, which is when
+    // materializing pays (single-param calls recompute the map-side pass)
     val candPersisted = ps.length > 1
     val cand0 = candidatesMulti(vpre, queries, ps)
     val cand = if (candPersisted) cand0.persist(StorageLevel.MEMORY_AND_DISK) else cand0
 
-    val vSel = broadcast(vectors.select(col("id"), col("vec")))
+    val vSel = vectors.select(col("id"), col("vec"))
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),
       norm2Sq(col("qvec")).as("nq2")))
 
     // seeds + tau0: family-level (full score and seed set don't depend on
     // the cushion), exactly the per-mode values of fetchedSplit
-    val seeds = cand.filter(col("rn") <= k)
-      .join(vSel, Seq("id")).join(qSel, Seq("qid"))
+    val seedIds = seedSelect(cand, k, isCos)
+    val seeds = vSel.join(broadcast(seedIds), Seq("id")).join(qSel, Seq("qid"))
       .withColumn("s_full", fullScore(ps.head))
     val tau0 = broadcast(
       seeds.groupBy(col("qid")).agg(
@@ -318,12 +336,16 @@ object Refine {
         val survive =
           if (isCos) col("s_hat") + col(s"cush_$i") >= col("tau0")
           else col(s"cush_$i") <= col("tau0")   // cush is a lower bound on d^2
-        val survivors = cand.filter(col("rn") > k)
+        val survivorIds = cand
+          .join(broadcast(seedIds.select(col("qid"), col("id"))),
+            Seq("qid", "id"), "left_anti")
           .join(tau0, Seq("qid"))
           .filter(survive)
-          .join(vSel, Seq("id")).join(qSel, Seq("qid"))
+          .select(col("qid"), col("id"))
+        val survivors = vSel.join(broadcast(survivorIds), Seq("id"))
+          .join(qSel, Seq("qid"))
           .withColumn("s_full", fullScore(p))
-          .select(col("qid"), col("id"), col("s_full"), col("rn"))
+          .select(col("qid"), col("id"), col("s_full"), lit(k + 1).as("rn"))
         val f = seedsOut.unionByName(survivors).persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val fin = TopK.window(f.withColumnRenamed("s_full", "score"), k,
