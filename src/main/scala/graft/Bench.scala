@@ -57,7 +57,11 @@ object Bench {
       Future {
         val s0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // scope the pipeline-persisted intermediates (Dedup) to this
+          // query and release them as soon as it finishes — 39 queries
+          // in one session would otherwise accumulate cached blocks
+          val (df, release) = graft.operators.Dedup.scopedRelease(fn(spark, sfDir))
+          try df.count() finally release()
           name -> (System.nanoTime() - s0) / 1e9
         } catch {
           case e: Throwable =>

@@ -22,7 +22,7 @@ object SparkEntry {
 
   /** Refined top-K for one of the six modes (static-tau0 semantics). */
   def qRefine(spark: SparkSession, dir: String, mode: String): DataFrame = {
-    val v = Fixture.fp16Vectors(spark, dir, D, KeepM)
+    val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
     Refine.topk(v, q, refineParams(mode))
   }
@@ -31,7 +31,7 @@ object SparkEntry {
     * For zero-miss modes the result equals the relational refine top-K,
     * so it shares the same value-matched oracle. */
   def qRefineKernel(spark: SparkSession, dir: String, mode: String): DataFrame = {
-    val v = Fixture.fp16Vectors(spark, dir, D, KeepM)
+    val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
     RefineKernel.topk(v, q, refineParams(mode))
   }
@@ -57,7 +57,7 @@ object SparkEntry {
     * ([[Refine.metricsFamily]]), so the heavy N*Q work runs twice (once
     * per family), not six times. */
   def qRefineMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val v = Fixture.fp16Vectors(spark, dir, D, KeepM).cache()
+    val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
     val gt = Map(
       true  -> Refine.exactTopK(v, q, refineParams("cos_l1")).cache(),
@@ -69,15 +69,12 @@ object SparkEntry {
         val ps = fam.map(refineParams)
         Refine.metricsFamily(v, q, ps, D, groundTruth = Some(gt(ps.head.isCos)))
       }.toList.reduce(_ unionByName _)
-    } finally {
-      gt.values.foreach(_.unpersist(blocking = false))
-      v.unpersist(blocking = false)
-    }
+    } finally gt.values.foreach(_.unpersist(blocking = false))
   }
 
   /** Precision-reduction projection (P2-P4): flat (id, j, v, rv, dv). */
   def qReducePrecision(spark: SparkSession, dir: String): DataFrame = {
-    val v = Fixture.fp16Vectors(spark, dir, D, KeepM)
+    val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
     v.filter(col("id") <= ReduceMaxId)
       .select(col("id"), col("rvec"), col("delta"),
         posexplode(col("vec")).as(Seq("j", "v0")))
@@ -96,7 +93,7 @@ object SparkEntry {
 
   /** Exact cosine top-K: broadcast cross join + ratio score + window. */
   def qTopkCos(spark: SparkSession, dir: String): DataFrame = {
-    val v = Fixture.vectors(spark, dir, D)
+    val v = Fixture.vectorsCached(spark, dir, D)
     val q = broadcast(Fixture.queries(v, NQ)
       .withColumn("nq2", norm2Sq(col("qvec"))))
     val scored = v
@@ -109,7 +106,7 @@ object SparkEntry {
 
   /** Exact Euclidean top-K (ascending squared distance). */
   def qTopkL2(spark: SparkSession, dir: String): DataFrame = {
-    val v = Fixture.vectors(spark, dir, D)
+    val v = Fixture.vectorsCached(spark, dir, D)
     val q = broadcast(Fixture.queries(v, NQ))
     val scored = v.crossJoin(q)
       .withColumn("score", l2DistSq(col("qvec"), col("vec")))
@@ -257,10 +254,10 @@ object SparkEntry {
 
   /** Mini parameter sweep (reference sweep_and_plot): 2 modes x 2 keepMs. */
   def qSweep(s: SparkSession, dir: String): DataFrame = {
-    val q = Fixture.queries(Fixture.fp16Vectors(s, dir, D, KeepM), NQ)
+    val q = Fixture.queries(Fixture.fp16VectorsCached(s, dir, D, KeepM), NQ)
       .select(col("qid"), col("qvec"))
     graft.operators.Sweep.run(
-      km => Fixture.fp16Vectors(s, dir, D, km), q, D,
+      km => Fixture.fp16VectorsCached(s, dir, D, km), q, D,
       graft.operators.Sweep.Grid(
         modes = Seq("cos_l1", "l2_tz"), keepMs = Seq(4, 8), k = K))
   }
@@ -326,14 +323,14 @@ object SparkEntry {
     "q_refine_disagg" -> q((s, dir) => qRefineDisagg(s, dir, "cos_l1")),
     // Hoeffding delta grid-search (reference ANNCode.py:755-776)
     "q_tune_delta" -> q((s, dir) => {
-      val v = Fixture.fp16Vectors(s, dir, D, KeepM)
+      val v = Fixture.fp16VectorsCached(s, dir, D, KeepM)
       val qq = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
       graft.operators.Tune.tuneDelta(v, qq, TuneMode, K, KeepM, D,
         TuneFloor, TuneGrid)
     }),
     // custom Catalyst physical operator path (same zero-miss semantics)
     "q_refine_plan_l2_sym" -> q((s, dir) => {
-      val v = Fixture.fp16Vectors(s, dir, D, KeepM)
+      val v = Fixture.fp16VectorsCached(s, dir, D, KeepM)
       val qq = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
       org.apache.spark.sql.graft.KernelPlan.refineTopK(v, qq, refineParams("l2_sym"))
     }),
@@ -344,7 +341,7 @@ object SparkEntry {
     // compression model (zlib not available in DuckDB -> rows-only check)
     "q_compress_ratio" -> q((s, dir) =>
       graft.operators.BitplaneCompress.measure(
-        Fixture.fp16Vectors(s, dir, D, KeepM).select(col("id"), col("vec")),
+        Fixture.fp16VectorsCached(s, dir, D, KeepM).select(col("id"), col("vec")),
         D, keepE = 5, keepM = KeepM)),
   )
 

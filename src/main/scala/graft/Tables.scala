@@ -174,4 +174,27 @@ object Fixture {
       .withColumnRenamed("vec", "qvec")
       .withColumnRenamed("rvec", "qrvec")
       .withColumnRenamed("delta", "qdelta")
+
+  // ---- session-scoped shared fixture cache --------------------------------
+  // Every refine-family query derives the SAME fixture relation (lineitem
+  // scan + distinct + per-component synthesis) and then scans it 2-4
+  // times; across the ~15 such queries in one bench/verify session that
+  // is dozens of identical derivations. The cache persists one copy per
+  // (session, sf-dir, params) for the session's lifetime (~hundreds of MB
+  // at sf0.1 — the cluster-scale twin is materializing the fixture table
+  // to parquet once). Values are identical to the uncached forms, so
+  // oracle hashes are unaffected.
+  private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+
+  def vectorsCached(spark: SparkSession, sfDir: String, d: Int): DataFrame =
+    fixtureCache.computeIfAbsent((spark, sfDir, d, -1), _ =>
+      vectors(spark, sfDir, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def fp16VectorsCached(spark: SparkSession, sfDir: String, d: Int,
+                        keepM: Int): DataFrame =
+    fixtureCache.computeIfAbsent((spark, sfDir, d, keepM), _ =>
+      fp16Vectors(spark, sfDir, d, keepM)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 }

@@ -312,14 +312,37 @@ object Refine {
       norm2Sq(col("qvec")).as("nq2")))
 
     // seeds + tau0: family-level (full score and seed set don't depend on
-    // the cushion), exactly the per-mode values of fetchedSplit
+    // the cushion), exactly the per-mode values of fetchedSplit. Q*k rows
+    // — persisted so the per-mode branches don't re-stream the full table.
     val seedIds = seedSelect(cand, k, isCos)
     val seeds = vSel.join(broadcast(seedIds), Seq("id")).join(qSel, Seq("qid"))
       .withColumn("s_full", fullScore(ps.head))
+      .select(col("qid"), col("id"), col("s_full"), col("rn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tau0 = broadcast(
       seeds.groupBy(col("qid")).agg(
         (if (isCos) min(col("s_full")) else max(col("s_full"))).as("tau0")))
-    val seedsOut = seeds.select(col("qid"), col("id"), col("s_full"), col("rn"))
+
+    // survivor superset for the WHOLE family in one candidate pass: each
+    // param contributes a boolean column; a row rides along if any param
+    // keeps it. The full-precision rescore (mode-invariant within a
+    // family) then streams the big table ONCE for all |ps| modes.
+    val flags = ps.zipWithIndex.map { case (_, i) =>
+      (if (isCos) col("s_hat") + col(s"cush_$i") >= col("tau0")
+       else col(s"cush_$i") <= col("tau0")).as(s"f_$i")
+    }
+    val survivorIds = cand
+      .join(broadcast(seedIds.select(col("qid"), col("id"))),
+        Seq("qid", "id"), "left_anti")
+      .join(tau0, Seq("qid"))
+      .select(col("qid") +: col("id") +: flags: _*)
+      .filter(ps.indices.map(i => col(s"f_$i")).reduce(_ || _))
+    val survivorsAll = vSel.join(broadcast(survivorIds), Seq("id"))
+      .join(qSel, Seq("qid"))
+      .withColumn("s_full", fullScore(ps.head))
+      .select(col("qid") +: col("id") +: col("s_full") +:
+        ps.indices.map(i => col(s"f_$i")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val gtShared = groundTruth.getOrElse {
       val g = exactTopK(vectors, queries, ps.head)
@@ -327,43 +350,45 @@ object Refine {
       else g
     }
 
+    // materialize the shared persisted relations BEFORE the parallel
+    // per-mode fan-out: concurrent first-actions on an unmaterialized
+    // cached plan each race to compute every partition of the whole
+    // heavy chain (seed window + candidate pass + full-table stream),
+    // multiplying the dominant cost by |ps| instead of amortizing it.
+    // seeds first (its window job also materializes the persisted cand),
+    // then the survivor superset.
+    seeds.count()
+    survivorsAll.count()
+
     val nQ = queries.count()
     val nV = vectors.count()
 
     import scala.collection.parallel.CollectionConverters._
     val rows =
       try ps.zipWithIndex.par.map { case (p, i) =>
-        val survive =
-          if (isCos) col("s_hat") + col(s"cush_$i") >= col("tau0")
-          else col(s"cush_$i") <= col("tau0")   // cush is a lower bound on d^2
-        val survivorIds = cand
-          .join(broadcast(seedIds.select(col("qid"), col("id"))),
-            Seq("qid", "id"), "left_anti")
-          .join(tau0, Seq("qid"))
-          .filter(survive)
-          .select(col("qid"), col("id"))
-        val survivors = vSel.join(broadcast(survivorIds), Seq("id"))
-          .join(qSel, Seq("qid"))
-          .withColumn("s_full", fullScore(p))
-          .select(col("qid"), col("id"), col("s_full"), lit(k + 1).as("rn"))
-        val f = seedsOut.unionByName(survivors).persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val fin = TopK.window(f.withColumnRenamed("s_full", "score"), k,
-            ascending = !isCos)
-          val nFetched = f.count()
-          val hits = fin.join(gtShared.select(col("qid"), col("id")),
-            Seq("qid", "id")).count()
+        // per-mode work runs entirely on the two small persisted
+        // relations (seeds, survivor superset) — no big-data scans here
+        val f = seeds.unionByName(
+          survivorsAll.filter(col(s"f_$i"))
+            .select(col("qid"), col("id"), col("s_full"),
+              lit(k + 1).as("rn")))
+        val fin = TopK.window(f.withColumnRenamed("s_full", "score"), k,
+          ascending = !isCos)
+        val nFetched = f.count()
+        val hits = fin.join(gtShared.select(col("qid"), col("id")),
+          Seq("qid", "id")).count()
 
-          val bFull = 16.0 * d / 8.0
-          val bRed  = redBytesOverride.getOrElse(p.bitsRed * d / 8.0)
-          val total = bRed * nV * nQ + bFull * nFetched
-          val save  = 1.0 - total / (bFull * nV * nQ)
-          val fpr   = (nFetched - k.toLong * nQ).toDouble / (nV.toDouble * nQ)
-          val recall = hits.toDouble / (k.toLong * nQ)
-          (p.mode, p.keepM, p.delta, recall, save, fpr)
-        } finally f.unpersist(blocking = false)
+        val bFull = 16.0 * d / 8.0
+        val bRed  = redBytesOverride.getOrElse(p.bitsRed * d / 8.0)
+        val total = bRed * nV * nQ + bFull * nFetched
+        val save  = 1.0 - total / (bFull * nV * nQ)
+        val fpr   = (nFetched - k.toLong * nQ).toDouble / (nV.toDouble * nQ)
+        val recall = hits.toDouble / (k.toLong * nQ)
+        (p.mode, p.keepM, p.delta, recall, save, fpr)
       }.toList
       finally {
+        seeds.unpersist(blocking = false)
+        survivorsAll.unpersist(blocking = false)
         if (candPersisted) cand.unpersist(blocking = false)
         if (groundTruth.isEmpty && ps.length > 1)
           gtShared.unpersist(blocking = false)
