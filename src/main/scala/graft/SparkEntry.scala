@@ -334,6 +334,11 @@ object SparkEntry {
       val qq = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
       org.apache.spark.sql.graft.KernelPlan.refineTopK(v, qq, refineParams("l2_sym"))
     }),
+    // §2.9 Structured Streaming on the correctness surface: the events
+    // table drained through a file-source stream + windowed aggregate
+    // (AvailableNow); equals the batch daily agg, same oracle
+    "q_stream_daily" -> q((s, dir) =>
+      graft.streaming.StreamOps.dailyCountsOnce(s, dir)),
     // multimodal plumbing (binary column + batched featurizer)
     "q_multimodal_hist" -> q((s, dir) =>
       graft.operators.Multimodal.features(
@@ -367,6 +372,7 @@ object SparkEntry {
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_events_daily"    -> MiscOracle.eventsDailySql,
+    "q_stream_daily"    -> MiscOracle.eventsDailySql,
     "q_events_json"     -> MiscOracle.eventsJsonSql,
     "q_events_sessions" -> MiscOracle.eventsSessionsSql(SessionGapSec),
     "q_events_asof"     -> MiscOracle.asofSql,

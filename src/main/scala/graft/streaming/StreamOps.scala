@@ -68,6 +68,47 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Stage the single-file events table into a cached landing-zone
+    * directory (Spark's file stream source consumes directories); copied
+    * once per sf-dir, refreshed when the source file is newer. */
+  def ensureLanding(sfDir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_events_landing_$safe")
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dst = dir.resolve("part-000.parquet")
+    Files.createDirectories(dir)
+    if (!Files.exists(dst) ||
+        Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) < 0)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  /**
+   * Daily aggregation run THROUGH the streaming engine: the events table
+   * is drained from a file-source stream (AvailableNow trigger) into a
+   * watermarked 1-day tumbling-window aggregate and a complete-mode
+   * memory sink, then returned as a batch DataFrame. With the stream
+   * fully drained the result equals the batch daily aggregation, so it
+   * shares `q_events_daily`'s DuckDB oracle — this is what puts the
+   * §2.9 streaming path on the driver-checked correctness surface.
+   */
+  def dailyCountsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val landing = ensureLanding(sfDir)
+    val sink = "graft_stream_daily_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val q = windowedCounts(readEventsStream(spark, landing))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // tumbling 1-day windows in the UTC session align with calendar days
+    spark.table(sink).select(col("event_type"),
+      date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+      col("n"), col("value_milli"))
+  }
+
   /** Streaming near-duplicate gate: score incoming vectors against a
     * static broadcast query set and flag matches above threshold
     * (stream-static join; the static side is broadcast each microbatch). */

@@ -53,6 +53,27 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.size == 20)
   }
 
+  test("relational refine never fully ranks the candidate relation") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    // every window in the refine plan must sit above a group-limit: a
+    // bare WindowExec would mean the full N*Q candidate relation is
+    // being ranked again (the shape this redesign removed)
+    val nodes = walk(SparkEntry.qRefine(spark, dir, "cos_l1")
+      .queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected at least one window (seed top-K)")
+    windows.foreach { w =>
+      assert(walk(w).exists(_.isInstanceOf[WindowGroupLimitExec]),
+        s"window without group limit:\n$w")
+    }
+  }
+
   test("disaggregated refine: cheap pass never scans the full-precision column") {
     val df = SparkEntry.qRefineDisagg(spark, dir, "cos_l1")
     val scans = graft.sources.Disaggregated.scanSchemas(df)
