@@ -287,6 +287,10 @@ object SparkEntry {
       Bands, RowsPerBand)),
     "q_simhash"       -> q((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), SimhashBits, MaxHamming)),
+    // cluster resolution over the near-dup graph: canonical keeper per
+    // connected component (min-label propagation to the exact fixpoint)
+    "q_dedup_groups"  -> q((s, dir) => Dedup.connectedComponents(
+      Dedup.simhashPairs(docs(s, dir), SimhashBits, MaxHamming))),
     "q_ngram_jaccard" -> q((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), JaccardN, MinJaccard, MaxGramDf)),
     // text analysis
@@ -361,6 +365,7 @@ object SparkEntry {
     "q_dedup_exact"   -> DocOracle.dedupExactSql,
     "q_minhash_lsh"   -> DocOracle.minhashLshSql(Shingle, NumHashes, Bands, RowsPerBand),
     "q_simhash"       -> DocOracle.simhashPairsSql(SimhashBits, MaxHamming),
+    "q_dedup_groups"  -> DocOracle.dedupGroupsSql(SimhashBits, MaxHamming),
     "q_ngram_jaccard" -> DocOracle.ngramJaccardSql(JaccardN, MinJaccard, MaxGramDf),
     "q_token_stats"   -> DocOracle.tokenStatsSql,
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),

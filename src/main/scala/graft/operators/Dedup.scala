@@ -35,11 +35,12 @@ object Dedup {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private val scope =
     new scala.util.DynamicVariable[Option[java.util.Queue[DataFrame]]](None)
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    scope.value.getOrElse(tracked).add(p)
-    p
+  private def track(df: DataFrame): DataFrame = {
+    scope.value.getOrElse(tracked).add(df)
+    df
   }
+  private def persistTracked(df: DataFrame): DataFrame =
+    track(df.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Run `f` (a pipeline construction) with its persisted intermediates
     * tracked in a private scope; returns the result plus a release
@@ -203,6 +204,68 @@ object Dedup {
       // pair, so a distinct on the output row dedups them
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
+  }
+
+  /**
+   * Dedup-cluster resolution: connected components over a near-dup pair
+   * graph by min-label propagation. Every doc in a component ends with
+   * the component's smallest doc_id as `comp` — the canonical keeper a
+   * training-data pipeline retains (`WHERE doc_id = comp`), with the
+   * rest dropped as near-duplicates.
+   *
+   * Iterates to the EXACT fixpoint: each round joins the edge list
+   * against the current labels and takes the min over neighbors, so it
+   * converges in <= graph-diameter rounds (near-dup clusters are
+   * shallow). Per round: one shuffle join of the (bounded) edge list +
+   * one aggregation — no all-pairs product, no driver-side graph. At
+   * 100 TB the same loop runs with the edge list checkpointed to
+   * parquet; for adversarial long-chain graphs swap in the
+   * large-star/small-star variant (same join primitive, O(log n)
+   * rounds).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b"): DataFrame = {
+    // materialize the pair pipeline once; the both-directions edge list
+    // would otherwise recompute it for each union branch
+    // materialize AND truncate lineage every round (localCheckpoint):
+    // a persist alone truncates physical execution but not the logical
+    // plan, and with the label relation referenced several times per
+    // round the analyzed plan would grow exponentially in the iteration
+    // count — the driver ends up spinning inside Catalyst, the classic
+    // iterative-DataFrame trap. Checkpointed blocks are reclaimed by
+    // the context cleaner once the superseded DataFrames are GC'd.
+    val base = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    val edges = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // one hop over the graph...
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbr_comp")),
+          Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_comp")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"))
+        .select(col("doc_id"), least(col("comp"), col("nbr_min")).as("comp"))
+      // ...then pointer-jump (comp := comp's comp): labels always point
+      // at a real node, so the self-join is total; this halves the
+      // remaining diameter each round -> O(log n) rounds on chains
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("comp"), col("comp").as("cc")),
+          Seq("comp"))
+        .select(col("doc_id"), least(col("comp"), col("cc")).as("comp"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("comp").as("old")), Seq("doc_id"))
+        .filter(col("comp") < col("old")).count()
+      labels = next
+    }
+    labels
   }
 
   // ---- n-gram Jaccard ----------------------------------------------------

@@ -61,25 +61,48 @@ object DocOracle {
        |FROM cand c JOIN sig a ON c.doc_a = a.doc_id JOIN sig b ON c.doc_b = b.doc_id""".stripMargin
   }
 
-  def simhashPairsSql(bits: Int, maxHamming: Int): String = {
+  /** Shared CTE chain ending in sh(doc_id, simhash, source). */
+  private def simhashCtes(bits: Int): String = {
     val sums = (0 until bits)
       .map(k => s"SUM(CASE WHEN (th >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
       .mkString(",\n  ")
     val fp = (0 until bits)
       .map(k => s"(CASE WHEN s$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |th AS (SELECT doc_id, ${strHash("tok")} AS th FROM tok0),
        |bs AS (SELECT doc_id,
        |  $sums
        |  FROM th GROUP BY doc_id),
        |fp AS (SELECT doc_id, $fp AS simhash FROM bs),
-       |sh AS (SELECT f.doc_id, f.simhash, d.source FROM fp f JOIN documents d ON f.doc_id = d.doc_id)
+       |sh AS (SELECT f.doc_id, f.simhash, d.source FROM fp f JOIN documents d ON f.doc_id = d.doc_id)""".stripMargin
+  }
+
+  def simhashPairsSql(bits: Int, maxHamming: Int): String =
+    s"""WITH ${simhashCtes(bits)}
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
-  }
+
+  /**
+   * Dedup-cluster oracle for [[graft.operators.Dedup.connectedComponents]]
+   * over the simhash pair graph: transitive closure via a recursive CTE,
+   * then the component min — (doc_id, comp).
+   */
+  def dedupGroupsSql(bits: Int, maxHamming: Int): String =
+    s"""WITH RECURSIVE ${simhashCtes(bits)},
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.src AS doc_id, r.lab
+       |  FROM edges e JOIN reach r ON r.doc_id = e.dst)
+       |SELECT doc_id, MIN(lab) AS comp FROM reach GROUP BY doc_id""".stripMargin
 
   def ngramJaccardSql(n: Int, minJaccard: Double, maxDf: Int = 200): String =
     s"""WITH ${gramCte(n).replace("g AS (", "g0 AS (")},

@@ -130,6 +130,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaBlob == direct)
   }
 
+  test("connected components resolve chains, cliques, and isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (one component, min 1), triangle 10-11-12 with an
+    // extra edge, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
   test("streaming windowed counts match batch over the same data") {
     import org.apache.spark.sql.streaming.Trigger
     // stage the single events.parquet into a landing-zone directory
