@@ -61,8 +61,21 @@ object Bench {
     graft.Fixture.fp16VectorsCached(spark, sfDir, SparkEntry.D, SparkEntry.KeepM).count()
     graft.Fixture.vectorsCached(spark, sfDir, SparkEntry.D).count()
 
-    val futures = benched.map { case (name, fn) =>
+    // submit the known-heavy queries first (longest-processing-time-first
+    // keeps them overlapped with the many light ones instead of piling up
+    // in the tail — the makespan classic), and give every query its own
+    // FAIR pool so an iterative query's many small jobs are not starved
+    // behind another query's wide stages.
+    val heavyFirst = Seq("q_refine_metrics", "q_dedup_groups", "q_refine_disagg",
+      "q_minhash_lsh", "q_ngram_jaccard", "q_token_bpe", "q_refine_cos_l1",
+      "q_refine_l2_sym", "q_refine_cos_hoeff", "q_refine_l2_tz",
+      "q_refine_l2_hoeff", "q_refine_cos_l2", "q_stream_daily")
+    val rank = heavyFirst.zipWithIndex.toMap
+    val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }
+
+    val futures = ordered.map { case (name, fn) =>
       Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         val s0 = System.nanoTime()
         try {
           // scope the pipeline-persisted intermediates (Dedup) to this
