@@ -262,6 +262,38 @@ object SparkEntry {
         modes = Seq("cos_l1", "l2_tz"), keepMs = Seq(4, 8), k = K))
   }
 
+  /** Exact group-wise quantiles over the integral value_milli domain:
+    * dyadic fractions (0.25/0.5/0.75) + integer data => the linear
+    * interpolation is exact in DOUBLE, so Spark's percentile and
+    * DuckDB's quantile_cont agree bit-for-bit. */
+  def qEventsQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(vm, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("event_type"), col("n"),
+        element_at(col("qs"), 1).as("q25"),
+        element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q75"))
+
+  /** Star join: fact lineitem against broadcast part/supplier/nation
+    * dims (the canonical no-shuffle dimensional join at scale), revenue
+    * kept in exact integer cents. */
+  def qBrandRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.load(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_c2"))
+
   def qRegionStats(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "region")
       .join(Tables.load(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
@@ -315,6 +347,8 @@ object SparkEntry {
     "q_pricing"       -> q((s, dir) => qPricing(s, dir)),
     "q_top_customers" -> q((s, dir) => qTopCustomers(s, dir)),
     "q_region_stats"  -> q((s, dir) => qRegionStats(s, dir)),
+    "q_events_quantiles" -> q((s, dir) => qEventsQuantiles(s, dir)),
+    "q_brand_revenue"    -> q((s, dir) => qBrandRevenue(s, dir)),
     "q_set_ops"       -> q((s, dir) => qSetOps(s, dir)),
     "q_rollup"        -> q((s, dir) => qRollup(s, dir)),
     "q_sweep"         -> q((s, dir) => qSweep(s, dir)),
@@ -385,6 +419,8 @@ object SparkEntry {
     "q_pricing"       -> MiscOracle.pricingSql(PricingCutoff),
     "q_top_customers" -> MiscOracle.topCustomersSql(TopNCustomers),
     "q_region_stats"  -> MiscOracle.regionStatsSql,
+    "q_events_quantiles" -> MiscOracle.eventsQuantilesSql,
+    "q_brand_revenue"    -> MiscOracle.brandRevenueSql,
     "q_set_ops"       -> MiscOracle.setOpsSql("src0", "src1"),
     "q_rollup"        -> MiscOracle.rollupSql,
     "q_sweep"         -> RefineOracle.allMetricsSql(D, NQ,

@@ -77,6 +77,29 @@ object MiscOracle {
 
   /** As-of join: each error event matched to the same user's most recent
     * prior purchase (event-time ordered, ties by event_id). */
+  /** Exact dyadic quantiles over integral value_milli (see
+    * SparkEntry.qEventsQuantiles for the parity argument). */
+  def eventsQuantilesSql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(floor(value*1000) AS BIGINT) AS vm FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  quantile_cont(vm, 0.25) AS q25,
+      |  quantile_cont(vm, 0.5)  AS q50,
+      |  quantile_cont(vm, 0.75) AS q75
+      |FROM e GROUP BY 1""".stripMargin
+
+  /** Star-join revenue by brand and supplier nation (cents-exact). */
+  def brandRevenueSql: String =
+    """SELECT p_brand, n_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c2
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
   def asofSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
