@@ -29,9 +29,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs driver+executor in ONE JVM: 32 concurrent tasks'
-  // sort/agg/broadcast memory all come out of this heap, and the bench
-  // machine has 128 GiB — 8g caused spill/GC stalls on the window-heavy
-  // queries at sf0.1.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // local[N] runs driver+executor in ONE JVM: all concurrent tasks'
+  // sort/agg/broadcast memory comes out of this heap, and 8g caused
+  // spill/GC stalls on the window-heavy queries at sf0.1. Default to
+  // half the machine's RAM capped at 48g (the 128 GiB bench box gets
+  // 48g; a 16 GB dev box gets 8g instead of swapping), overridable via
+  // SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physGb = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getTotalMemorySize / (1L << 30)
+    } catch { case _: Throwable => 16L }
+    s"${math.max(2L, math.min(48L, physGb / 2))}g"
+  })}",
 )

@@ -57,9 +57,13 @@ object Bench {
     // warm the session-shared fixture caches once before the concurrent
     // fan-out: the first wave of refine queries would otherwise race to
     // materialize the same persisted relation, each computing every
-    // partition (counted inside the wall either way)
-    graft.Fixture.fp16VectorsCached(spark, sfDir, SparkEntry.D, SparkEntry.KeepM).count()
-    graft.Fixture.vectorsCached(spark, sfDir, SparkEntry.D).count()
+    // partition (counted inside the wall either way). Skipped under a
+    // BENCH_ONLY selection — a one-query iteration run must not pay for
+    // (or pin) fixtures its queries never touch.
+    if (only.isEmpty) {
+      graft.Fixture.fp16VectorsCached(spark, sfDir, SparkEntry.D, SparkEntry.KeepM).count()
+      graft.Fixture.vectorsCached(spark, sfDir, SparkEntry.D).count()
+    }
 
     // submit the known-heavy queries first (longest-processing-time-first
     // keeps them overlapped with the many light ones instead of piling up

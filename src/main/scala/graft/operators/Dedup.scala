@@ -47,11 +47,18 @@ object Dedup {
     * callback that unpersists ONLY that scope's intermediates. */
   def scopedRelease[T](f: => T): (T, () => Unit) = {
     val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-    val r = scope.withValue(Some(q))(f)
-    (r, () => {
+    def drain(): Unit = {
       var d = q.poll()
       while (d != null) { d.unpersist(blocking = false); d = q.poll() }
-    })
+    }
+    val r =
+      try scope.withValue(Some(q))(f)
+      catch {
+        // a throwing construction would orphan the scoped persists (the
+        // release handle is never returned): free them before rethrowing
+        case e: Throwable => drain(); throw e
+      }
+    (r, () => drain())
   }
 
   /** Release every globally-tracked intermediate persisted by this

@@ -220,7 +220,12 @@ object Refine {
       .join(tau0, Seq("qid"))
       .filter(survive)
       .select(col("qid"), col("id"))
-    val survivors = vSel.join(broadcast(survivorIds), Seq("id"))
+    // survivor volume is data-dependent (tight cushions -> ~0, a lax
+    // Hoeffding delta -> approaching N*Q): no broadcast hint — AQE
+    // broadcasts the fetch set when its runtime size is small and keeps
+    // the join distributed when it is not, so the driver never has to
+    // collect an unbounded set
+    val survivors = vSel.join(survivorIds, Seq("id"))
       .join(qSel, Seq("qid"))
       .withColumn("s_full", fullScore(p))
 
@@ -337,7 +342,10 @@ object Refine {
       .join(tau0, Seq("qid"))
       .select(col("qid") +: col("id") +: flags: _*)
       .filter(ps.indices.map(i => col(s"f_$i")).reduce(_ || _))
-    val survivorsAll = vSel.join(broadcast(survivorIds), Seq("id"))
+    // no broadcast hint (see fetchedSplit): a lax Hoeffding delta in the
+    // param set can make the superset approach N*Q rows — AQE picks
+    // broadcast only when the runtime size allows it
+    val survivorsAll = vSel.join(survivorIds, Seq("id"))
       .join(qSel, Seq("qid"))
       .withColumn("s_full", fullScore(ps.head))
       .select(col("qid") +: col("id") +: col("s_full") +:

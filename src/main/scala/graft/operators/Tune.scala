@@ -21,7 +21,13 @@ object Tune {
     require(mode.endsWith("hoeff"), s"delta tuning only applies to Hoeffding modes, got $mode")
     val spark = vectors.sparkSession
     val p0 = Refine.Params(mode, k = k, keepM = keepM)
-    val v = vectors.cache()   // the family pipeline rescans it
+    // the family pipeline rescans the vectors; cache them for the run —
+    // but only if the CALLER hasn't already persisted them (unpersisting
+    // a caller-owned cache here would silently kill e.g. the session's
+    // shared fixture cache for every later query)
+    val callerCached =
+      vectors.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val v = if (callerCached) vectors else vectors.cache()
     val gt = Refine.exactTopK(v, queries, p0).cache()
     gt.count()
     // the grid points differ only in the Hoeffding constant, so the whole
@@ -32,7 +38,7 @@ object Tune {
           d, groundTruth = Some(gt)).collect().toList
       finally {
         gt.unpersist(blocking = false)
-        v.unpersist(blocking = false)
+        if (!callerCached) v.unpersist(blocking = false)
       }
 
     // pick by index: content equality would flag duplicate-metrics rows

@@ -75,8 +75,6 @@ object MiscOracle {
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
-  /** As-of join: each error event matched to the same user's most recent
-    * prior purchase (event-time ordered, ties by event_id). */
   /** Exact dyadic quantiles over integral value_milli (see
     * SparkEntry.qEventsQuantiles for the parity argument). */
   def eventsQuantilesSql: String =
@@ -100,6 +98,8 @@ object MiscOracle {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** As-of join: each error event matched to the same user's most recent
+    * prior purchase (event-time ordered, ties by event_id). */
   def asofSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

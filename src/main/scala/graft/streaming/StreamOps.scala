@@ -103,10 +103,17 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // tumbling 1-day windows in the UTC session align with calendar days
-    spark.table(sink).select(col("event_type"),
-      date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-      col("n"), col("value_milli"))
+    // tumbling 1-day windows in the UTC session align with calendar days.
+    // localCheckpoint materializes the result so the uniquely-named
+    // memory-sink temp view can be dropped immediately — otherwise every
+    // invocation would retain its full result on the driver for the
+    // session's lifetime.
+    val out = spark.table(sink).select(col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n"), col("value_milli"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   /** Streaming near-duplicate gate: score incoming vectors against a
