@@ -59,10 +59,24 @@ object SparkEntry {
   def qRefineMetrics(spark: SparkSession, dir: String): DataFrame = {
     val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    // both families' ground truths from ONE full-precision scoring pass
+    // (the expression trees are exactly Refine.exactTopK's, so the gt
+    // ids — all the hits join consumes — are unchanged)
+    val qb = broadcast(q.withColumn("nq2", norm2Sq(col("qvec"))))
+    val scored = v.select(col("id"), col("vec"), norm2Sq(col("vec")).as("nx2"))
+      .crossJoin(qb)
+      .withColumn("score_cos",
+        dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2"))))
+      .withColumn("score_l2", l2DistSq(col("qvec"), col("vec")))
+      .select(col("qid"), col("id"), col("score_cos"), col("score_l2"))
+      .persist()
     val gt = Map(
-      true  -> Refine.exactTopK(v, q, refineParams("cos_l1")).cache(),
-      false -> Refine.exactTopK(v, q, refineParams("l2_sym")).cache())
+      true  -> TopK.window(
+        scored.withColumnRenamed("score_cos", "score"), K).cache(),
+      false -> TopK.window(
+        scored.withColumnRenamed("score_l2", "score"), K, ascending = true).cache())
     gt.values.foreach(_.count())  // materialize before the parallel fan-out
+    scored.unpersist(blocking = false)
     try {
       import scala.collection.parallel.CollectionConverters._
       Seq(Refine.CosModes, Refine.L2Modes).par.map { fam =>
