@@ -143,6 +143,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(30)
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        if (a < b) (a, b) else (b, a + 1)  // a < b, no self-loops
+      }.distinct
+      // local union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.operators.Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: $got != $want")
+    }
+  }
+
   test("streaming windowed counts match batch over the same data") {
     import org.apache.spark.sql.streaming.Trigger
     // stage the single events.parquet into a landing-zone directory
