@@ -118,6 +118,24 @@ object SparkEntry {
     TopK.window(scored, K)
   }
 
+  /** Exact cosine top-K fed from the `.vec` TEXT source (S1): the
+    * fixture is materialized as a FastText-style file once per sf-dir
+    * and read back through VecFiles.readVec — same ids/values as the
+    * in-memory fixture, so it shares q_topk_cos's oracle. Puts the
+    * file-format source layer on the driver-checked surface. */
+  def qTopkCosVecSource(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.VecFiles.ensureVecFixture(spark, dir, D)
+    val v = graft.sources.VecFiles.readVec(spark, path, tokenAsId = true)
+    val q = broadcast(Fixture.queries(Fixture.vectorsCached(spark, dir, D), NQ)
+      .withColumn("nq2", norm2Sq(col("qvec"))))
+    val scored = v
+      .withColumn("nx2", norm2Sq(col("vec")))
+      .crossJoin(q)
+      .withColumn("score",
+        dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2"))))
+    TopK.window(scored, K)
+  }
+
   /** Exact Euclidean top-K (ascending squared distance). */
   def qTopkL2(spark: SparkSession, dir: String): DataFrame = {
     val v = Fixture.vectorsCached(spark, dir, D)
@@ -324,6 +342,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, QFn](
     "q_topk_cos" -> q((s, dir) => qTopkCos(s, dir)),
     "q_topk_l2"  -> q((s, dir) => qTopkL2(s, dir)),
+    "q_topk_cos_vecsrc" -> q((s, dir) => qTopkCosVecSource(s, dir)),
     "q_reduce_precision" -> q((s, dir) => qReducePrecision(s, dir)),
     "q_refine_metrics"   -> q((s, dir) => qRefineMetrics(s, dir)),
     // dedup suite
@@ -407,6 +426,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_topk_cos" -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_topk_l2"  -> OracleGen.topkSql(D, NQ, K, "l2"),
+    "q_topk_cos_vecsrc" -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_reduce_precision" -> RefineOracle.reduceSql(D, KeepM, ReduceMaxId),
     "q_refine_metrics"   ->
       RefineOracle.allMetricsSql(D, NQ, Refine.Modes.map(refineParams)),

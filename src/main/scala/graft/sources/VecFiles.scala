@@ -20,23 +20,65 @@ import java.nio.{ByteBuffer, ByteOrder}
 object VecFiles {
 
   /** FastText .vec: header "N D", then "token v1 .. vD" lines; short
-    * lines skipped (ANNCode.py:82-86). */
-  def readVec(spark: SparkSession, path: String): DataFrame = {
+    * lines skipped (ANNCode.py:82-86). With `tokenAsId` the leading
+    * token is parsed as the row's BIGINT id (stable across
+    * partitionings); default keeps the reference's 0-based record
+    * index. */
+  def readVec(spark: SparkSession, path: String,
+              tokenAsId: Boolean = false): DataFrame = {
     import spark.implicits._
     val first = spark.read.text(path).limit(1).collect()(0).getString(0)
     val d = first.trim.split("\\s+")(1).toInt
     val parts = split(trim(col("value")), "\\s+")
-    spark.read.text(path)
+    val body = spark.read.text(path)
       // drop the header by VALUE, not just token count: for d == 1 the
       // two-token "N D" header would otherwise pass the size filter
       .filter(trim(col("value")) =!= first.trim)
       .filter(size(parts) === d + 1)                  // drops short lines
-      .select(transform(slice(parts, 2, d), x => x.cast("float")).as("vec"))
+      .select(element_at(parts, 1).as("tok"),
+        transform(slice(parts, 2, d), x => x.cast("float")).as("vec"))
       .filter(!exists(col("vec"), _.isNull))          // non-numeric tokens
-      .as[Array[Float]].rdd
-      .zipWithIndex()
-      .map { case (v, i) => (i, v) }
-      .toDF("id", "vec")
+    if (tokenAsId)
+      body.select(col("tok").cast("long").as("id"), col("vec"))
+        .filter(col("id").isNotNull)
+    else
+      body.select(col("vec")).as[Array[Float]].rdd
+        .zipWithIndex()
+        .map { case (v, i) => (i, v) }
+        .toDF("id", "vec")
+  }
+
+  /** Materialize the integer-domain fixture as a `.vec` text file once
+    * per (sf-dir, d) — id as the token, integer-valued components
+    * printed exactly — so the text-source reader sits on the driver's
+    * oracle-checked surface (same ids/values as the in-memory fixture,
+    * hence the same topk oracle). */
+  def ensureVecFixture(spark: SparkSession, sfDir: String, d: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val f = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixture_${safe}_d$d.vec")
+    val src = Paths.get(s"$sfDir/lineitem.parquet")
+    if (!Files.exists(f) ||
+        Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
+      val rows = graft.Fixture.vectors(spark, sfDir, d)
+      val n = rows.count()
+      val tmp = Paths.get(f.toString + ".tmp")
+      val w = Files.newBufferedWriter(tmp)
+      try {
+        w.write(s"$n $d"); w.newLine()
+        // toLocalIterator streams partition-by-partition (no full collect)
+        val it = rows.toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val vec = r.getSeq[Float](1)
+          w.write(r.getLong(0).toString)
+          vec.foreach(x => { w.write(' '); w.write(x.toInt.toString) })
+          w.newLine()
+        }
+      } finally w.close()
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    f.toString
   }
 
   /** FAISS .fvecs: repeated [int32 dim][dim x float32 LE], fixed dim. */
