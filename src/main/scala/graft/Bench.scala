@@ -73,7 +73,8 @@ object Bench {
     val heavyFirst = Seq("q_refine_metrics", "q_dedup_groups", "q_refine_disagg",
       "q_minhash_lsh", "q_ngram_jaccard", "q_token_bpe", "q_refine_cos_l1",
       "q_refine_l2_sym", "q_refine_cos_hoeff", "q_refine_l2_tz",
-      "q_refine_l2_hoeff", "q_refine_cos_l2", "q_stream_daily")
+      "q_refine_l2_hoeff", "q_refine_cos_l2", "q_stream_daily",
+      "q_topk_cos_vecsrc")
     val rank = heavyFirst.zipWithIndex.toMap
     val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }
 
