@@ -70,11 +70,12 @@ object Bench {
     // in the tail — the makespan classic), and give every query its own
     // FAIR pool so an iterative query's many small jobs are not starved
     // behind another query's wide stages.
-    val heavyFirst = Seq("q_refine_metrics", "q_dedup_groups", "q_refine_disagg",
+    val heavyFirst = Seq("q_refine_metrics", "q_refine_metrics_compressed",
+      "q_dedup_groups", "q_refine_disagg",
       "q_minhash_lsh", "q_ngram_jaccard", "q_token_bpe", "q_refine_cos_l1",
       "q_refine_l2_sym", "q_refine_cos_hoeff", "q_refine_l2_tz",
       "q_refine_l2_hoeff", "q_refine_cos_l2", "q_stream_daily",
-      "q_topk_cos_vecsrc")
+      "q_topk_cos_vecsrc", "q_topk_cos_fvecs", "q_topk_cos_binsrc")
     val rank = heavyFirst.zipWithIndex.toMap
     val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }
 
@@ -105,16 +106,44 @@ object Bench {
     // share Dedup's tracked intermediates)
     graft.operators.Dedup.releaseIntermediates()
 
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jsonLine(metric: String, value: Double,
+                 qtimes: Map[String, Double]): String = {
+      val qs = qtimes.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"$metric","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = jsonLine("total", wall, results)
     // stdout (forked run forwards it raw — no sbt log prefix) AND a file,
     // so the harness can pick up the result either way
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // SPARK_GRAFT_BENCH_SEQ=1: second, UNCONFOUNDED profile — the heaviest
+    // queries re-run one at a time (caches already warm), so per-query
+    // times are attributable instead of queueing-confounded by the 6-way
+    // concurrent run above. Written to a separate file; off by default so
+    // the driver's timed run doesn't pay for it.
+    if (sys.env.get("SPARK_GRAFT_BENCH_SEQ").exists(_ != "0")) {
+      val nSeq = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_N", "12").toInt
+      val heaviest = results.toSeq.filter(_._2 > 0).sortBy(-_._2)
+        .take(nSeq).map(_._1)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      val seq = heaviest.map { name =>
+        val s0 = System.nanoTime()
+        val (df, release) =
+          graft.operators.Dedup.scopedRelease(SparkEntry.queries(name)(spark, sfDir))
+        try df.count() finally release()
+        name -> (System.nanoTime() - s0) / 1e9
+      }.toMap
+      val seqLine = jsonLine("seq_subset", seq.values.sum, seq)
+      System.err.println(seqLine)
+      val seqOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_OUT", "bench_seq_result.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(seqOut),
+        (seqLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

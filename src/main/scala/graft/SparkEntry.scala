@@ -79,11 +79,41 @@ object SparkEntry {
     scored.unpersist(blocking = false)
     try {
       import scala.collection.parallel.CollectionConverters._
-      Seq(Refine.CosModes, Refine.L2Modes).par.map { fam =>
+      val callerPool = graft.Sched.currentPool(spark)
+      Seq(Refine.CosModes, Refine.L2Modes).par.map { fam => graft.Sched.inPool(spark, callerPool) {
         val ps = fam.map(refineParams)
         Refine.metricsFamily(v, q, ps, D, groundTruth = Some(gt(ps.head.isCos)))
-      }.toList.reduce(_ unionByName _)
+      }}.toList.reduce(_ unionByName _)
     } finally gt.values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Mode for the measured-compression metrics composition. */
+  final val CompressedMetricsMode = "cos_l1"
+  /** (n_vecs, compressed_bytes) measured by the last
+    * [[qRefineMetricsCompressed]] construction in this JVM. Recorded so
+    * [[oracleSql]] can embed the same constants: zlib has no DuckDB twin,
+    * so the oracle reproduces the accounting arithmetic around the
+    * measured value rather than the measurement itself. Verify runs every
+    * query before dumping oracle_sql.json, so the holder is populated by
+    * the time it is read. */
+  private val measuredComp =
+    new java.util.concurrent.atomic.AtomicReference[Option[(Long, Long)]](None)
+
+  /**
+   * Bandwidth accounting with MEASURED compression composed in (reference
+   * ANNCode.py:831-833 feeding :317-318, paper §4.3 combined saving): the
+   * zlib'd bit-plane bytes/vec from [[graft.operators.BitplaneCompress]]
+   * replace the naive bit-count model for the reduced pass, so `save`
+   * reports the end-to-end reduction the paper's headline claims.
+   */
+  def qRefineMetricsCompressed(spark: SparkSession, dir: String): DataFrame = {
+    val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    val (n, comp) = graft.operators.BitplaneCompress.measureTotals(
+      v.select(col("id"), col("vec")), D, keepE = 5, keepM = KeepM)
+    measuredComp.set(Some((n, comp)))
+    Refine.metrics(v, q, refineParams(CompressedMetricsMode), D,
+      redBytesOverride = Some(comp.toDouble / n))
   }
 
   /** Precision-reduction projection (P2-P4): flat (id, j, v, rv, dv). */
@@ -118,14 +148,9 @@ object SparkEntry {
     TopK.window(scored, K)
   }
 
-  /** Exact cosine top-K fed from the `.vec` TEXT source (S1): the
-    * fixture is materialized as a FastText-style file once per sf-dir
-    * and read back through VecFiles.readVec — same ids/values as the
-    * in-memory fixture, so it shares q_topk_cos's oracle. Puts the
-    * file-format source layer on the driver-checked surface. */
-  def qTopkCosVecSource(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.sources.VecFiles.ensureVecFixture(spark, dir, D)
-    val v = graft.sources.VecFiles.readVec(spark, path, tokenAsId = true)
+  /** Cosine top-K body over an external-source (id, vec) relation —
+    * shares q_topk_cos's fixture queries, constants, and oracle. */
+  private def topkCosOver(spark: SparkSession, dir: String, v: DataFrame): DataFrame = {
     val q = broadcast(Fixture.queries(Fixture.vectorsCached(spark, dir, D), NQ)
       .withColumn("nq2", norm2Sq(col("qvec"))))
     val scored = v
@@ -134,6 +159,45 @@ object SparkEntry {
       .withColumn("score",
         dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2"))))
     TopK.window(scored, K)
+  }
+
+  /** Record-index -> fixture-id mapping for index-addressed sources
+    * (.fvecs / header-binary carry no row key): the fixture files are
+    * written sorted by id, so record i is the i-th smallest id. The
+    * global row_number window is fixture-scale plumbing (one narrow id
+    * column); a real export would carry ids in a sidecar or parquet. */
+  private def withFixtureIds(spark: SparkSession, dir: String,
+                             raw: DataFrame): DataFrame = {
+    val ids = Fixture.vectorsCached(spark, dir, D).select(col("id"))
+      .withColumn("idx", row_number().over(Window.orderBy(col("id"))) - 1)
+    raw.withColumnRenamed("id", "idx").join(ids, "idx")
+      .select(col("id"), col("vec"))
+  }
+
+  /** Exact cosine top-K fed from the `.vec` TEXT source (S1): the
+    * fixture is materialized as a FastText-style file once per sf-dir
+    * and read back through VecFiles.readVec — same ids/values as the
+    * in-memory fixture, so it shares q_topk_cos's oracle. Puts the
+    * file-format source layer on the driver-checked surface. */
+  def qTopkCosVecSource(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.VecFiles.ensureVecFixture(spark, dir, D)
+    topkCosOver(spark, dir,
+      graft.sources.VecFiles.readVec(spark, path, tokenAsId = true))
+  }
+
+  /** Same query fed from the FAISS `.fvecs` binary source (S3) — a real
+    * user's first contact with the engine is loading SIFT/GIST fvecs. */
+  def qTopkCosFvecsSource(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.VecFiles.ensureFvecsFixture(spark, dir, D)
+    topkCosOver(spark, dir, withFixtureIds(spark, dir,
+      graft.sources.VecFiles.readFvecs(spark, path)))
+  }
+
+  /** Same query fed from the ASCII-header binary source (S2). */
+  def qTopkCosBinSource(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.VecFiles.ensureHeaderBinFixture(spark, dir, D)
+    topkCosOver(spark, dir, withFixtureIds(spark, dir,
+      graft.sources.VecFiles.readHeaderBin(spark, path)))
   }
 
   /** Exact Euclidean top-K (ascending squared distance). */
@@ -284,14 +348,28 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("long")).as("sum_qty"))
 
-  /** Mini parameter sweep (reference sweep_and_plot): 2 modes x 2 keepMs. */
+  // sweep grid shared between the Spark run and the oracle enumeration
+  // (reference sweep_and_plot sweeps delta for Hoeffding modes inside the
+  // sweep, ANNCode.py:754-756; deltas head first so deterministic modes
+  // keep their historical inert delta of 0.7)
+  final val SweepModes  = Seq("cos_l1", "l2_tz", "cos_hoeff")
+  final val SweepKeepMs = Seq(4, 8)
+  final val SweepDeltas = Seq(0.7, 0.3)
+  def sweepConfigs: Seq[Refine.Params] = for {
+    m  <- SweepModes
+    km <- SweepKeepMs
+    dl <- if (m.endsWith("hoeff")) SweepDeltas else Seq(SweepDeltas.head)
+  } yield Refine.Params(m, k = K, keepM = km, delta = dl)
+
+  /** Parameter sweep (reference sweep_and_plot): 3 modes x 2 keepMs, with
+    * a Hoeffding delta grid on cos_hoeff. */
   def qSweep(s: SparkSession, dir: String): DataFrame = {
     val q = Fixture.queries(Fixture.fp16VectorsCached(s, dir, D, KeepM), NQ)
       .select(col("qid"), col("qvec"))
     graft.operators.Sweep.run(
       km => Fixture.fp16VectorsCached(s, dir, D, km), q, D,
       graft.operators.Sweep.Grid(
-        modes = Seq("cos_l1", "l2_tz"), keepMs = Seq(4, 8), k = K))
+        modes = SweepModes, keepMs = SweepKeepMs, deltas = SweepDeltas, k = K))
   }
 
   /** Exact group-wise quantiles over the integral value_milli domain:
@@ -343,8 +421,11 @@ object SparkEntry {
     "q_topk_cos" -> q((s, dir) => qTopkCos(s, dir)),
     "q_topk_l2"  -> q((s, dir) => qTopkL2(s, dir)),
     "q_topk_cos_vecsrc" -> q((s, dir) => qTopkCosVecSource(s, dir)),
+    "q_topk_cos_fvecs"  -> q((s, dir) => qTopkCosFvecsSource(s, dir)),
+    "q_topk_cos_binsrc" -> q((s, dir) => qTopkCosBinSource(s, dir)),
     "q_reduce_precision" -> q((s, dir) => qReducePrecision(s, dir)),
     "q_refine_metrics"   -> q((s, dir) => qRefineMetrics(s, dir)),
+    "q_refine_metrics_compressed" -> q((s, dir) => qRefineMetricsCompressed(s, dir)),
     // dedup suite
     "q_dedup_exact"   -> q((s, dir) => Dedup.exact(docs(s, dir))),
     "q_minhash_lsh"   -> q((s, dir) => Dedup.lshPairs(
@@ -427,9 +508,20 @@ object SparkEntry {
     "q_topk_cos" -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_topk_l2"  -> OracleGen.topkSql(D, NQ, K, "l2"),
     "q_topk_cos_vecsrc" -> OracleGen.topkSql(D, NQ, K, "cos"),
+    "q_topk_cos_fvecs"  -> OracleGen.topkSql(D, NQ, K, "cos"),
+    "q_topk_cos_binsrc" -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_reduce_precision" -> RefineOracle.reduceSql(D, KeepM, ReduceMaxId),
     "q_refine_metrics"   ->
       RefineOracle.allMetricsSql(D, NQ, Refine.Modes.map(refineParams)),
+    "q_refine_metrics_compressed" -> {
+      val p = refineParams(CompressedMetricsMode)
+      measuredComp.get() match {
+        // same division tree as the Spark side's comp.toDouble / n
+        case Some((n, comp)) => RefineOracle.metricsSqlWithRedBytes(
+          D, NQ, p, s"(CAST($comp AS DOUBLE) / $n)")
+        case None => RefineOracle.metricsSql(D, NQ, p) // query never ran
+      }
+    },
     "q_dedup_exact"   -> DocOracle.dedupExactSql,
     "q_minhash_lsh"   -> DocOracle.minhashLshSql(Shingle, NumHashes, Bands, RowsPerBand),
     "q_simhash"       -> DocOracle.simhashPairsSql(SimhashBits, MaxHamming),
@@ -457,9 +549,7 @@ object SparkEntry {
     "q_brand_revenue"    -> MiscOracle.brandRevenueSql,
     "q_set_ops"       -> MiscOracle.setOpsSql("src0", "src1"),
     "q_rollup"        -> MiscOracle.rollupSql,
-    "q_sweep"         -> RefineOracle.allMetricsSql(D, NQ,
-      for { m <- Seq("cos_l1", "l2_tz"); km <- Seq(4, 8) }
-        yield Refine.Params(m, k = K, keepM = km)),
+    "q_sweep"         -> RefineOracle.allMetricsSql(D, NQ, sweepConfigs),
   ) ++ Refine.Modes.map(m =>
     s"q_refine_$m" -> RefineOracle.topkSql(D, NQ, refineParams(m))
   ).toMap ++ Map(

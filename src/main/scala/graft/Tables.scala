@@ -184,17 +184,39 @@ object Fixture {
   // at sf0.1 — the cluster-scale twin is materializing the fixture table
   // to parquet once). Values are identical to the uncached forms, so
   // oracle hashes are unaffected.
+  // key: (session, domain tag, sf-dir, d, keepM) — the explicit tag keeps
+  // the int- and fp16-domain keyspaces disjoint (no sentinel overloading)
   private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), DataFrame]()
+    (SparkSession, String, String, Int, Int), DataFrame]()
+  private val cleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Drop a session's entries when its context ends: in a JVM that cycles
+    * sessions (repeated suites, notebooks) dead entries would otherwise
+    * pin their DataFrame plans forever. The cached blocks themselves die
+    * with the context; this just releases the map references. */
+  private def hookCleanup(spark: SparkSession): Unit =
+    if (cleanupHooked.add(spark))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            fixtureCache.keySet.removeIf(_._1 eq spark)
+            cleanupHooked.remove(spark)
+          }
+        })
+
+  private def cached(spark: SparkSession, tag: String, sfDir: String, d: Int,
+                     keepM: Int)(mk: => DataFrame): DataFrame = {
+    hookCleanup(spark)
+    fixtureCache.computeIfAbsent((spark, tag, sfDir, d, keepM), _ =>
+      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   def vectorsCached(spark: SparkSession, sfDir: String, d: Int): DataFrame =
-    fixtureCache.computeIfAbsent((spark, sfDir, d, -1), _ =>
-      vectors(spark, sfDir, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cached(spark, "int", sfDir, d, 0)(vectors(spark, sfDir, d))
 
   def fp16VectorsCached(spark: SparkSession, sfDir: String, d: Int,
                         keepM: Int): DataFrame =
-    fixtureCache.computeIfAbsent((spark, sfDir, d, keepM), _ =>
-      fp16Vectors(spark, sfDir, d, keepM)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cached(spark, "fp16", sfDir, d, keepM)(fp16Vectors(spark, sfDir, d, keepM))
 }

@@ -60,13 +60,22 @@ object BitplaneCompress {
     total
   }
 
-  /** Measure average compressed bytes/vec of the reduced representation
-    * of `vectors` (id, vec ARRAY<FLOAT>). */
-  def measure(vectors: DataFrame, d: Int, keepE: Int, keepM: Int,
-              level: Int = 6): DataFrame = {
+  /** Raw totals (n_vecs, compressed_bytes) of the reduced representation —
+    * kept as exact integers so the metrics override and its oracle SQL can
+    * reproduce the same `comp/n` division tree bit-for-bit. */
+  def measureTotals(vectors: DataFrame, d: Int, keepE: Int, keepM: Int,
+                    level: Int = 6): (Long, Long) = {
+    val row = chunks(vectors, d, keepE, keepM, level)
+      .agg(sum(col("n_vecs")).as("n"), sum(col("comp_bytes")).as("c"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def chunks(vectors: DataFrame, d: Int, keepE: Int, keepM: Int,
+                     level: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val perChunk = vectors.select(col("vec")).as[Array[Float]]
+    vectors.select(col("vec")).as[Array[Float]]
       .mapPartitions { it =>
         it.grouped(ChunkRows).map { chunk =>
           val words = new Array[Int](chunk.length * d)
@@ -80,6 +89,13 @@ object BitplaneCompress {
         }
       }
       .toDF("n_vecs", "comp_bytes")
+  }
+
+  /** Measure average compressed bytes/vec of the reduced representation
+    * of `vectors` (id, vec ARRAY<FLOAT>). */
+  def measure(vectors: DataFrame, d: Int, keepE: Int, keepM: Int,
+              level: Int = 6): DataFrame = {
+    val perChunk = chunks(vectors, d, keepE, keepM, level)
     val naive = (1 + keepE + keepM) * d / 8.0
     perChunk.agg(
       sum(col("n_vecs")).as("n_vecs"),

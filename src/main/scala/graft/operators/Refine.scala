@@ -372,8 +372,9 @@ object Refine {
     val nV = vectors.count()
 
     import scala.collection.parallel.CollectionConverters._
+    val callerPool = graft.Sched.currentPool(spark)
     val rows =
-      try ps.zipWithIndex.par.map { case (p, i) =>
+      try ps.zipWithIndex.par.map { case (p, i) => graft.Sched.inPool(spark, callerPool) {
         // per-mode work runs entirely on the two small persisted
         // relations (seeds, survivor superset) — no big-data scans here
         val f = seeds.unionByName(
@@ -393,7 +394,7 @@ object Refine {
         val fpr   = (nFetched - k.toLong * nQ).toDouble / (nV.toDouble * nQ)
         val recall = hits.toDouble / (k.toLong * nQ)
         (p.mode, p.keepM, p.delta, recall, save, fpr)
-      }.toList
+      }}.toList
       finally {
         seeds.unpersist(blocking = false)
         survivorsAll.unpersist(blocking = false)

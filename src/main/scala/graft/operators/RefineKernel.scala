@@ -39,6 +39,27 @@ object RefineKernel {
   final case class QRow(qid: Long, qvec: Array[Float])
   final case class Cand(qid: Long, id: Long, score: Double)
 
+  /** Hard cap on the query side: the kernel collects Q to the driver and
+    * broadcasts it (the reference's Q is an in-RAM matrix too, ~tens of
+    * rows), so an unbounded query relation here would be a silent driver
+    * OOM. 64k rows * (8B qid + D floats) stays comfortably in driver
+    * memory; beyond that, use the relational [[Refine]] path, which never
+    * collects Q. */
+  final val MaxQueryRows: Int = 1 << 16
+
+  /** Collect the query matrix with the cap enforced (limit cap+1 so the
+    * overflow check never pulls an unbounded relation either). */
+  def collectQueries(queries: DataFrame): Array[QRow] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("qid"), col("qvec"))
+      .limit(MaxQueryRows + 1).as[QRow].collect()
+    require(qs.length <= MaxQueryRows,
+      s"kernel query side exceeds MaxQueryRows=$MaxQueryRows rows; " +
+        "use the relational Refine path for large query relations")
+    qs.sortBy(_.qid)
+  }
+
   private[operators] def dotD(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -285,8 +306,7 @@ object RefineKernel {
                         p: Refine.Params): Dataset[Cand] = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val qs: Array[QRow] = queries.select(col("qid"), col("qvec"))
-      .as[QRow].collect().sortBy(_.qid)
+    val qs: Array[QRow] = collectQueries(queries)
     val bq = spark.sparkContext.broadcast(qs)
     val pp = p
 

@@ -36,12 +36,18 @@ object Sweep {
     }.toMap
     gt.values.foreach(_.count())
     import scala.collection.parallel.CollectionConverters._
+    val spark = queries.sparkSession
+    val callerPool = graft.Sched.currentPool(spark)
+    // group by (keepM, metric family): within a group metricsFamily
+    // shares the reduced pass / seed window / tau0 / full-table stream,
+    // so a Hoeffding delta grid costs one pipeline, not |deltas|
+    // (vectors is keyed by keepM: reduced copy + delta depend on it)
+    val groups = configs.groupBy(p => (p.keepM, p.isCos)).toSeq
     try
-      configs.par.map { p =>
-        // vectors is keyed by keepM: reduced copy + delta depend on it
-        Refine.metrics(vectors(p.keepM), queries, p, d,
-          groundTruth = Some(gt(p.isCos)))
-      }.toList.reduce(_ unionByName _)
+      groups.par.map { case ((km, isCos), ps) => graft.Sched.inPool(spark, callerPool) {
+        Refine.metricsFamily(vectors(km), queries, ps, d,
+          groundTruth = Some(gt(isCos)))
+      }}.toList.reduce(_ unionByName _)
     finally gt.values.foreach(_.unpersist(blocking = false))
   }
 

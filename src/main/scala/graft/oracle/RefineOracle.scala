@@ -112,13 +112,22 @@ object RefineOracle {
    * (mode, m_keep, delta, recall, save, fpr) — integer counts aggregated
    * first, single division at the end (ANNCode.py:316-318, 364-369).
    */
-  def metricsSql(d: Int, nq: Int, p: Refine.Params): String = {
+  def metricsSql(d: Int, nq: Int, p: Refine.Params): String =
+    metricsSqlWithRedBytes(d, nq, p, (p.bitsRed * d / 8.0).toString)
+
+  /** [[metricsSql]] with the reduced-bytes/vec term as a caller-supplied
+    * SQL expression — the `red_bytes_override` composition
+    * (ANNCode.py:317-318, 831-833): measured compressed bytes replace the
+    * naive bit-count model. The expression must reproduce the Scala
+    * side's exact double tree (e.g. `(CAST(c AS DOUBLE) / n)` for
+    * `c.toDouble / n`). */
+  def metricsSqlWithRedBytes(d: Int, nq: Int, p: Refine.Params,
+                             bRed: String): String = {
     val ord     = if (p.isCos) "s_full DESC, id ASC" else "s_full ASC, id ASC"
     val exactOrd =
       if (p.isCos) "s_exact DESC, id ASC" else "s_exact ASC, id ASC"
     val (_, sFull, _) = scoredExprs(p)
     val bFull = 16.0 * d / 8.0
-    val bRed  = p.bitsRed * d / 8.0
     s"""WITH ${baseCtes(d, nq, p.keepM)},
        |${pipelineCtes(p)},
        |final AS (SELECT qid, id,

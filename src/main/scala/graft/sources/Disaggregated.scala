@@ -66,8 +66,13 @@ object Disaggregated {
     val marker = new java.io.File(path, "_SUCCESS")
     // rewrite when the source fixture data is newer than the cached table
     val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    // derive from the CACHED fixture: composing reduceVec/cosL2Stat over
+    // the raw synthesis CASE-WHEN trees would fuse them into one hashAgg
+    // codegen method beyond Janino's 64KB limit (interpreted fallback);
+    // over the cache boundary `vec` is a plain attribute and every
+    // derivation stage stays whole-stage-compiled
     if (!marker.exists() || marker.lastModified < src.lastModified)
-      write(graft.Fixture.fp16Vectors(spark, sfDir, d, keepM)
+      write(graft.Fixture.fp16VectorsCached(spark, sfDir, d, keepM)
         .select(col("id"), col("vec")), path, keepM)
     path
   }

@@ -60,23 +60,106 @@ object VecFiles {
     val src = Paths.get(s"$sfDir/lineitem.parquet")
     if (!Files.exists(f) ||
         Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
+      import spark.implicits._
       val rows = graft.Fixture.vectors(spark, sfDir, d)
       val n = rows.count()
-      val tmp = Paths.get(f.toString + ".tmp")
+      // format lines on the EXECUTORS (the dominant cost of the old
+      // driver-side loop was per-value string formatting); the driver
+      // only streams finished lines to disk partition-by-partition
+      val lines = rows.as[(Long, Array[Float])].map { case (id, vec) =>
+        val sb = new java.lang.StringBuilder(8 + vec.length * 6)
+        sb.append(id)
+        vec.foreach(x => { sb.append(' '); sb.append(x.toInt) })
+        sb.toString
+      }
+      // unique temp name in the SAME directory + atomic rename: two JVMs
+      // racing here (bench + verify share the tmpdir) each write their own
+      // file and publish whole-file-or-nothing — a fixed ".tmp" path would
+      // let interleaved writes publish a truncated fixture whose fresh
+      // mtime then passes the staleness check
+      val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
       val w = Files.newBufferedWriter(tmp)
       try {
         w.write(s"$n $d"); w.newLine()
         // toLocalIterator streams partition-by-partition (no full collect)
+        val it = lines.toLocalIterator()
+        while (it.hasNext) { w.write(it.next()); w.newLine() }
+      } finally w.close()
+      atomicPublish(tmp, f)
+    }
+    f.toString
+  }
+
+  /** Atomic rename with a non-atomic-FS fallback (REPLACE_EXISTING is
+    * still a single rename on POSIX). */
+  private def atomicPublish(tmp: java.nio.file.Path,
+                            dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Materialize the integer-domain fixture as a FAISS `.fvecs` file
+    * (records sorted by fixture id, so the reader's 0-based record index
+    * maps back to the i-th smallest id). Same staleness/atomic-publish
+    * discipline as [[ensureVecFixture]]. Test-fixture materializer: the
+    * driver-side single-threaded write is fine for ~MBs; real exports go
+    * through parquet. */
+  def ensureFvecsFixture(spark: SparkSession, sfDir: String, d: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val f = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixture_${safe}_d$d.fvecs")
+    val src = Paths.get(s"$sfDir/lineitem.parquet")
+    if (!Files.exists(f) ||
+        Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
+      val rows = graft.Fixture.vectors(spark, sfDir, d).orderBy("id")
+      val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
+      val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 20)
+      try {
+        val bb = ByteBuffer.allocate(4 + 4 * d).order(ByteOrder.LITTLE_ENDIAN)
         val it = rows.toLocalIterator()
         while (it.hasNext) {
-          val r = it.next()
-          val vec = r.getSeq[Float](1)
-          w.write(r.getLong(0).toString)
-          vec.foreach(x => { w.write(' '); w.write(x.toInt.toString) })
-          w.newLine()
+          val vec = it.next().getSeq[Float](1)
+          bb.clear(); bb.putInt(d)
+          vec.foreach(bb.putFloat)
+          out.write(bb.array())
         }
-      } finally w.close()
-      Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally out.close()
+      atomicPublish(tmp, f)
+    }
+    f.toString
+  }
+
+  /** Materialize the integer-domain fixture in the ASCII-header binary
+    * format (two ASCII integer lines L, D then L*D float32 LE — the S2
+    * reader's input), records sorted by fixture id. */
+  def ensureHeaderBinFixture(spark: SparkSession, sfDir: String, d: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val f = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixture_${safe}_d$d.bin")
+    val src = Paths.get(s"$sfDir/lineitem.parquet")
+    if (!Files.exists(f) ||
+        Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
+      val rows = graft.Fixture.vectors(spark, sfDir, d).orderBy("id")
+      val n = rows.count()
+      val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
+      val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 20)
+      try {
+        out.write(s"$n\n$d\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val bb = ByteBuffer.allocate(4 * d).order(ByteOrder.LITTLE_ENDIAN)
+        val it = rows.toLocalIterator()
+        while (it.hasNext) {
+          val vec = it.next().getSeq[Float](1)
+          bb.clear()
+          vec.foreach(bb.putFloat)
+          out.write(bb.array())
+        }
+      } finally out.close()
+      atomicPublish(tmp, f)
     }
     f.toString
   }

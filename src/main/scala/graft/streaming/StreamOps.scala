@@ -76,44 +76,67 @@ object StreamOps {
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_events_landing_$safe")
     val src = Paths.get(s"$sfDir/events.parquet")
-    val dst = dir.resolve("part-000.parquet")
     Files.createDirectories(dir)
-    if (!Files.exists(dst) ||
-        Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) < 0)
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    // the fixture may be a single parquet file or a Spark-style directory
+    // of part files; blindly Files.copy-ing a directory would create an
+    // empty dir and the stream would silently read zero rows
+    val srcFiles: Seq[java.nio.file.Path] =
+      if (Files.isRegularFile(src)) Seq(src)
+      else if (Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val fs = Files.list(src).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        require(fs.nonEmpty, s"no parquet data files under $src")
+        fs
+      } else sys.error(s"events source missing: $src")
+    srcFiles.zipWithIndex.foreach { case (s, i) =>
+      val dst = dir.resolve(f"part-$i%03d.parquet")
+      if (!Files.exists(dst) ||
+          Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(s)) < 0)
+        Files.copy(s, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
     dir.toString
   }
 
   /**
    * Daily aggregation run THROUGH the streaming engine: the events table
    * is drained from a file-source stream (AvailableNow trigger) into a
-   * watermarked 1-day tumbling-window aggregate and a complete-mode
-   * memory sink, then returned as a batch DataFrame. With the stream
-   * fully drained the result equals the batch daily aggregation, so it
-   * shares `q_events_daily`'s DuckDB oracle — this is what puts the
-   * §2.9 streaming path on the driver-checked correctness surface.
+   * watermarked 1-day tumbling-window aggregate written as an UPDATE-mode
+   * upsert log of parquet files — each microbatch appends its changed
+   * aggregate rows tagged with the batch id, and the latest tag per key
+   * is the current value. This is the scale-shaped sink: nothing is
+   * retained on the driver (a complete-mode memory sink holds the whole
+   * aggregate there — a driver OOM at 100 TB), and the same
+   * foreachBatch-append pattern works against any distributed FS. With
+   * the stream fully drained the snapshot equals the batch daily
+   * aggregation, so it shares `q_events_daily`'s DuckDB oracle — this is
+   * what puts the §2.9 streaming path on the driver-checked correctness
+   * surface.
    */
   def dailyCountsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val landing = ensureLanding(sfDir)
-    val sink = "graft_stream_daily_" +
-      java.lang.Long.toHexString(System.nanoTime())
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_daily_").toString
     val q = windowedCounts(readEventsStream(spark, landing))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(sink)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // tumbling 1-day windows in the UTC session align with calendar days.
-    // localCheckpoint materializes the result so the uniquely-named
-    // memory-sink temp view can be dropped immediately — otherwise every
-    // invocation would retain its full result on the driver for the
-    // session's lifetime.
-    val out = spark.table(sink).select(col("event_type"),
+    // snapshot = latest upsert per (event_type, window); tumbling 1-day
+    // windows in the UTC session align with calendar days
+    val log = spark.read.parquet(outDir)
+    val w = Window.partitionBy(col("event_type"), col("window.start"))
+      .orderBy(col("batch_id").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"),
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("n"), col("value_milli"))
-      .localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    out
   }
 
   /** Streaming near-duplicate gate: score incoming vectors against a

@@ -128,8 +128,12 @@ object KernelPlan {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ KernelStrategy
     import spark.implicits._
-    val qs = queriesDf.select("qid", "qvec").as[(Long, Array[Float])]
-      .collect().sortBy(_._1).map { case (qid, qv) => QueryData(qid, qv) }.toSeq
+    // same driver-collect cap as the Dataset kernel (see
+    // RefineKernel.MaxQueryRows): the query matrix is broadcast, so an
+    // unbounded relation here would be a silent driver OOM
+    val qs = graft.operators.RefineKernel.collectQueries(
+        queriesDf.select("qid", "qvec"))
+      .map(q => QueryData(q.qid, q.qvec)).toSeq
     val node = RefineKernelNode(
       vectors.select("id", "vec", "rvec", "delta").queryExecution.analyzed,
       qs, p, outputAttrsFor())

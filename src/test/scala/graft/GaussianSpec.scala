@@ -60,6 +60,31 @@ class GaussianSpec extends AnyFunSuite {
     assert(chosen(0).getDouble(4) > 0.0, s"tuned save ${chosen(0).getDouble(4)}")
   }
 
+  test("kernel path stays faster than the relational twin at N=1e5 (crossover lock)") {
+    // locks in the round-4 win (kernel 6.2s vs relational 22.0s at sf0.1):
+    // the block kernel must not regress behind the multi-job relational
+    // pipeline at scale. Both paths run once warm (codegen/classloading
+    // paid), then once timed; suites run sequentially in the forked test
+    // JVM, so wall times are attributable.
+    val n2 = 100000; val d2 = 32; val k2 = 10
+    val v2 = Fixture.gaussianVectors(spark, n2, d2, KeepM).repartition(8)
+      .persist()
+    v2.count()
+    val q2 = v2.orderBy("id").limit(20)
+      .select(col("id").as("qid"), col("vec").as("qvec")).persist()
+    q2.count()
+    val p = Refine.Params("cos_l1", k = k2, keepM = KeepM)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    RefineKernel.topk(v2, q2, p).count() // warm
+    Refine.topk(v2, q2, p).count()       // warm
+    val tk = time(RefineKernel.topk(v2, q2, p).count())
+    val tr = time(Refine.topk(v2, q2, p).count())
+    v2.unpersist(blocking = false); q2.unpersist(blocking = false)
+    assert(tk < tr, f"kernel $tk%.2fs not faster than relational $tr%.2fs")
+  }
+
   test("gaussian fixture is partitioning-invariant") {
     val a = Fixture.gaussianVectors(spark, 100, 16, 6)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap

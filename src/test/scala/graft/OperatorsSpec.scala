@@ -19,7 +19,7 @@ class OperatorsSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   test("kernel top-K equals relational refine top-K for zero-miss modes") {
-    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, SparkEntry.KeepM)
+    val v = Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, SparkEntry.KeepM)
       .repartition(7) // exercise partial-heap merge across partitions
     val q = Fixture.queries(v, 5).select(col("qid"), col("qvec"))
     for (mode <- Seq("cos_l1", "l2_tz")) {
@@ -110,7 +110,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("bitplane compression: ratio >= 1 and plausible") {
-    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, SparkEntry.KeepM)
+    val v = Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, SparkEntry.KeepM)
       .select(col("id"), col("vec"))
     val row = BitplaneCompress.measure(v, SparkEntry.D, 5, SparkEntry.KeepM).collect()(0)
     val naive = row.getDouble(3); val comp = row.getDouble(4); val ratio = row.getDouble(5)
@@ -189,6 +189,23 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("event_type"), col("n"), col("value_milli"))
       .collect().map(_.toSeq).toSet
     assert(got == want && got.nonEmpty)
+  }
+
+  test("update-mode upsert-log stream sink equals the batch daily aggregate") {
+    val got = StreamOps.dailyCountsOnce(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val want = SparkEntry.qEventsDaily(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("kernel query-side cap rejects oversized query relations") {
+    val big = spark.range(RefineKernel.MaxQueryRows + 1)
+      .select(col("id").as("qid"), array(lit(1.0f)).as("qvec"))
+    val ex = intercept[IllegalArgumentException] {
+      RefineKernel.collectQueries(big)
+    }
+    assert(ex.getMessage.contains("MaxQueryRows"))
   }
 
   test("streaming reduced-copy maintenance feeds batch refinement") {

@@ -40,7 +40,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.graft.KernelPlan
     import graft.operators.{Refine, RefineKernel}
     import org.apache.spark.sql.functions.col
-    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, SparkEntry.KeepM)
+    val v = Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, SparkEntry.KeepM)
       .repartition(5)
     val q = Fixture.queries(v, 4).select(col("qid"), col("qvec"))
     val p = Refine.Params("cos_l1", k = 5, keepM = SparkEntry.KeepM)
@@ -91,6 +91,26 @@ class PlanSpec extends AnyFunSuite {
     val a = df.collect().map(_.toSeq).toSet
     val b = SparkEntry.qRefine(spark, dir, "cos_l1").collect().map(_.toSeq).toSet
     assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+  }
+
+  test("refine pipeline whole-stage code compiles (no Janino fallback)") {
+    // codegenStringSeq compiles every WholeStageCodegen subtree and maps a
+    // Janino failure to ByteCodeStats.UNAVAILABLE — the silent interpreted
+    // fallback the round-4 logs caught (the fixture's CASE-WHEN synthesis
+    // trees fused into cosL2Stat exceeded the 64KB method limit). cos_l2
+    // exercises the bb path, the worst offender.
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    for (df <- Seq(SparkEntry.qRefine(spark, dir, "cos_l2"),
+                   SparkEntry.qRefineDisagg(spark, dir, "cos_l1"))) {
+      df.collect() // finalize AQE so the executed plan holds the real stages
+      val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+        df.queryExecution.executedPlan)
+      assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+      subtrees.foreach { case (subtree, _, stats) =>
+        assert(stats != ByteCodeStats.UNAVAILABLE,
+          s"whole-stage codegen failed to compile for:\n$subtree")
+      }
+    }
   }
 
   test("fixture scan prunes lineitem to the two key columns") {

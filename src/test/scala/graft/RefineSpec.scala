@@ -15,7 +15,11 @@ class RefineSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   private def fixture = {
-    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, SparkEntry.KeepM)
+    // cached (materialized) fixture: deriving cosL2Stat/cushions straight
+    // over the raw synthesis CASE-WHEN trees fuses them into one hashAgg
+    // codegen method that exceeds Janino's 64KB limit (silent interpreted
+    // fallback) — the cache boundary keeps every derivation stage compiled
+    val v = Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, SparkEntry.KeepM)
     val q = Fixture.queries(v, 5).select(col("qid"), col("qvec"))
     (v, q)
   }

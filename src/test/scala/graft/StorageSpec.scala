@@ -54,12 +54,12 @@ class StorageSpec extends AnyFunSuite {
 
   test("sweep grid produces one metrics row per config with invariants") {
     val q = Fixture.queries(
-      Fixture.fp16Vectors(spark, dir, SparkEntry.D, 6), 3)
+      Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, 6), 3)
       .select(col("qid"), col("qvec"))
     val grid = Sweep.Grid(modes = Seq("cos_l1", "l2_tz", "cos_hoeff"),
       keepMs = Seq(4, 8), k = 5)
     val m = Sweep.run(
-      km => Fixture.fp16Vectors(spark, dir, SparkEntry.D, km), q,
+      km => Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, km), q,
       SparkEntry.D, grid).collect()
     assert(m.length == 6) // 3 modes x 2 keepMs
     m.foreach { r =>
@@ -73,7 +73,7 @@ class StorageSpec extends AnyFunSuite {
 
   test("compressed-bytes override tightens the saving (O6 path)") {
     import graft.operators.BitplaneCompress
-    val v = Fixture.fp16Vectors(spark, dir, SparkEntry.D, 6)
+    val v = Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, 6)
     val q = Fixture.queries(v, 3).select(col("qid"), col("qvec"))
     val measured = BitplaneCompress
       .measure(v.select(col("id"), col("vec")), SparkEntry.D, 5, 6)
@@ -86,6 +86,15 @@ class StorageSpec extends AnyFunSuite {
     // strictly more saving (paper §4.3 composition)
     assert(measured < 12.0, s"measured=$measured not < naive 12B")
     assert(overr > naive, s"override saving $overr <= naive $naive")
+  }
+
+  test("fvecs and header-bin sources reproduce the in-memory cosine topk") {
+    val base = SparkEntry.qTopkCos(spark, dir).collect().map(_.toSeq).toSet
+    val fv = SparkEntry.qTopkCosFvecsSource(spark, dir).collect().map(_.toSeq).toSet
+    val hb = SparkEntry.qTopkCosBinSource(spark, dir).collect().map(_.toSeq).toSet
+    assert(fv == base, "fvecs round-trip diverged")
+    assert(hb == base, "header-bin round-trip diverged")
+    assert(base.size == SparkEntry.NQ * SparkEntry.K)
   }
 
   test("subsample is deterministic and exact-count") {
