@@ -75,6 +75,7 @@ object Bench {
       "q_minhash_lsh", "q_ngram_jaccard", "q_token_bpe", "q_refine_cos_l1",
       "q_refine_l2_sym", "q_refine_cos_hoeff", "q_refine_l2_tz",
       "q_refine_l2_hoeff", "q_refine_cos_l2", "q_stream_daily",
+      "q_stream_sessions", "q_bucketed_join",
       "q_topk_cos_vecsrc", "q_topk_cos_fvecs", "q_topk_cos_binsrc")
     val rank = heavyFirst.zipWithIndex.toMap
     val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }

@@ -491,6 +491,15 @@ object SparkEntry {
     // (AvailableNow); equals the batch daily agg, same oracle
     "q_stream_daily" -> q((s, dir) =>
       graft.streaming.StreamOps.dailyCountsOnce(s, dir)),
+    // arbitrary stateful streaming (flatMapGroupsWithState): per-user
+    // sessionization drained through a real stream; equals the batch
+    // window-lag sessionization, same oracle
+    "q_stream_sessions" -> q((s, dir) =>
+      graft.streaming.StreamOps.sessionsOnce(s, dir, SessionGapSec)),
+    // bucketed (pre-partitioned) layout: equi-join with no exchange on
+    // either side (PlanSpec asserts the plan shape)
+    "q_bucketed_join" -> q((s, dir) =>
+      graft.sources.Bucketed.segmentRevenue(s, dir)),
     // multimodal plumbing (binary column + batched featurizer)
     "q_multimodal_hist" -> q((s, dir) =>
       graft.operators.Multimodal.features(
@@ -540,6 +549,14 @@ object SparkEntry {
     "q_stream_daily"    -> MiscOracle.eventsDailySql,
     "q_events_json"     -> MiscOracle.eventsJsonSql,
     "q_events_sessions" -> MiscOracle.eventsSessionsSql(SessionGapSec),
+    "q_stream_sessions" -> MiscOracle.eventsSessionsSql(SessionGapSec),
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT c_custkey) AS n_customers,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_events_asof"     -> MiscOracle.asofSql,
     "q_events_running"  -> MiscOracle.runningSql,
     "q_pricing"       -> MiscOracle.pricingSql(PricingCutoff),

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketed (pre-partitioned) table layout: the co-located-join story at
+ * 100 TB. Both join sides are written `bucketBy(N, key)` + sorted within
+ * buckets, so the per-key shuffle is paid ONCE at write time; every
+ * subsequent equi-join on the bucket key plans as a sort-merge join with
+ * NO exchange on either side (asserted in PlanSpec) — the difference
+ * between re-shuffling a fact table per query and never shuffling it
+ * again. The reference has no table layout at all (in-RAM numpy); this is
+ * the Spark-native analogue of its "load once, query many" shape.
+ */
+object Bucketed {
+
+  final val NumBuckets = 8
+
+  /** Write orders+customer bucketed by custkey under the tmp warehouse
+    * and register them in the session catalog (in-memory catalog: each
+    * new session re-registers; the rewrite cost is the one-time shuffle
+    * this layout exists to amortize). Returns the table names. */
+  def ensureTables(spark: SparkSession, sfDir: String): (String, String) = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_buckets$safe"
+    val ot = s"graft_orders_bkt$safe"
+    val ct = s"graft_customer_bkt$safe"
+    if (!spark.catalog.tableExists(ot))
+      graft.Tables.orders(spark, sfDir).write.mode("overwrite")
+        .option("path", s"$base/orders")
+        .bucketBy(NumBuckets, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable(ot)
+    if (!spark.catalog.tableExists(ct))
+      graft.Tables.customer(spark, sfDir).write.mode("overwrite")
+        .option("path", s"$base/customer")
+        .bucketBy(NumBuckets, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable(ct)
+    (ot, ct)
+  }
+
+  /** Orders-per-segment revenue over the bucketed layout. The `merge`
+    * hint keeps the small side out of a broadcast so the plan
+    * demonstrates the exchange-free bucketed sort-merge join (values are
+    * layout-independent — the oracle runs the plain join). */
+  def segmentRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ot, ct) = ensureTables(spark, sfDir)
+    val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
+    spark.table(ot).hint("merge")
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+  }
+}

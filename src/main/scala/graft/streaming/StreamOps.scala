@@ -139,6 +139,74 @@ object StreamOps {
         col("n"), col("value_milli"))
   }
 
+  /** Per-user session state carried across microbatches. */
+  final case class SessionState(lastSec: Long, nEvents: Long, nSessions: Long)
+
+  /**
+   * Arbitrary stateful processing (`flatMapGroupsWithState`): per-user
+   * sessionization with a gap timeout, the custom-state shape Spark's
+   * built-in windowed aggregates can't express. Each microbatch folds its
+   * (time-sorted) events into the group's running (lastSec, nEvents,
+   * nSessions) state and emits the updated totals — update-mode output,
+   * one row per touched user per batch. Works on both batch and streaming
+   * Datasets; on a drained stream the final state equals the batch
+   * window-lag sessionization ([[graft.SparkEntry.qEventsSessions]]), so
+   * it shares that query's DuckDB oracle.
+   *
+   * Correctness requires event-time order WITHIN a user: each batch is
+   * sorted in-group (cheap: per-user per-batch rows), and batches from
+   * the file source arrive in file order — at scale, pair with a
+   * watermark + drop-late policy or re-sessionize late data downstream.
+   */
+  def sessionCounts(events: DataFrame, gapSec: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, sec, _) =>
+            val isNew = st.nEvents == 0L || sec - st.lastSec > gapSec
+            st = SessionState(sec, st.nEvents + 1L,
+              st.nSessions + (if (isNew) 1L else 0L))
+          }
+          state.update(st)
+          Iterator((uid, st.nEvents, st.nSessions))
+      }
+  }
+
+  /** [[sessionCounts]] drained through a real stream (AvailableNow) into
+    * the update-mode parquet upsert log, snapshotted back as a batch
+    * DataFrame (user_id, n_events, n_sessions) — puts the
+    * flatMapGroupsWithState path on the driver-checked oracle surface. */
+  def sessionsOnce(spark: SparkSession, sfDir: String, gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val landing = ensureLanding(sfDir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_sessions_").toString
+    val q = sessionCounts(readEventsStream(spark, landing), gapSec)
+      .toDF("user_id", "n_events", "n_sessions")
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val log = spark.read.parquet(outDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("n_sessions"))
+  }
+
   /** Streaming near-duplicate gate: score incoming vectors against a
     * static broadcast query set and flag matches above threshold
     * (stream-static join; the static side is broadcast each microbatch). */

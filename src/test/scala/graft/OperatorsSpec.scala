@@ -199,6 +199,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stateful stream sessionization equals the batch window-lag form") {
+    val got = StreamOps.sessionsOnce(spark, dir, SparkEntry.SessionGapSec)
+      .collect().map(_.toSeq).toSet
+    val want = SparkEntry.qEventsSessions(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("kernel query-side cap rejects oversized query relations") {
     val big = spark.range(RefineKernel.MaxQueryRows + 1)
       .select(col("id").as("qid"), array(lit(1.0f)).as("qvec"))

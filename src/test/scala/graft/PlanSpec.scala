@@ -113,6 +113,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed join plans with no exchange on either side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // QueryStageExec is a LEAF wrapping its stage plan — descend explicitly
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val df = graft.sources.Bucketed.segmentRevenue(spark, dir)
+    df.collect() // finalize AQE
+    val nodes = walk(df.queryExecution.executedPlan)
+    val smjs = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "expected a sort-merge join over the bucketed tables")
+    // the bucketed layout pre-pays the shuffle at write time: nothing
+    // below the join may re-exchange either side
+    smjs.foreach { j =>
+      val below = walk(j).drop(1)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"exchange under the bucketed join:\n$j")
+    }
+  }
+
   test("fixture scan prunes lineitem to the two key columns") {
     val plan = SparkEntry.qTopkCos(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
