@@ -504,6 +504,10 @@ object SparkEntry {
     "q_multimodal_hist" -> q((s, dir) =>
       graft.operators.Multimodal.features(
         graft.operators.Multimodal.withBlob(docs(s, dir)))),
+    // frame sampling over the opaque blob (video/audio sampling shape)
+    "q_multimodal_frames" -> q((s, dir) =>
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.withBlob(docs(s, dir)))),
     // compression model (zlib not available in DuckDB -> rows-only check)
     "q_compress_ratio" -> q((s, dir) =>
       graft.operators.BitplaneCompress.measure(
@@ -576,6 +580,18 @@ object SparkEntry {
     "q_tune_delta"           -> RefineOracle.tuneSql(D, NQ, TuneMode, K, KeepM,
       TuneGrid, TuneFloor),
     "q_refine_plan_l2_sym"   -> RefineOracle.topkSql(D, NQ, refineParams("l2_sym")),
+    // ASCII corpus: byte slices == substrings, so SQL reproduces the
+    // per-frame fingerprints
+    "q_multimodal_frames" -> {
+      import graft.operators.Multimodal.{FrameLen, FrameStride, MaxFrames}
+      s"""WITH ks AS (SELECT unnest(generate_series(0, ${MaxFrames - 1})) AS k),
+         |f AS (SELECT doc_id, k, substr(text, k*$FrameStride + 1, $FrameLen) AS fr
+         |  FROM documents CROSS JOIN ks WHERE k*$FrameStride < len(text))
+         |SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+         |  CAST(len(fr) AS INTEGER) AS frame_len,
+         |  CAST('0x' || substr(md5(fr), 1, 15) AS BIGINT) AS frame_hash
+         |FROM f""".stripMargin
+    },
     // ASCII corpus: byte == char code, so SQL reproduces the byte histogram
     "q_multimodal_hist" ->
       s"""WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS p

@@ -38,6 +38,52 @@ object Multimodal {
     h
   }
 
+  // frame-sampling geometry: fixed-length frames at a fixed stride
+  // (overlapping), capped per document — the video/audio sampling shape
+  final val FrameLen = 64
+  final val FrameStride = 48
+  final val MaxFrames = 8
+
+  /** First 15 hex digits of the MD5 as a 60-bit Long — the same portable
+    * fingerprint both engines can compute (DuckDB:
+    * CAST('0x' || substr(md5(x),1,15) AS BIGINT)). */
+  def md5Prefix15(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFF); i += 1 }
+    v >>> 4 // keep the top 60 bits = first 15 hex chars
+  }
+
+  /**
+   * Frame sampling over the opaque blob: up to [[MaxFrames]] fixed-stride
+   * slices per document, each fingerprinted — the batched shape of video
+   * frame-sample / audio window extraction (a real deployment decodes the
+   * container and samples decoded frames in this same loop; the byte
+   * slices stand in deterministically). Flat output
+   * (doc_id, frame_idx, frame_len, frame_hash) — over the ASCII corpus
+   * byte slices == substrings, so plain SQL reproduces the fingerprints.
+   */
+  def frameSample(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          (0 until MaxFrames).iterator
+            .filter(_ * FrameStride < blob.length)
+            .map { k =>
+              val start = k * FrameStride
+              val end = math.min(start + FrameLen, blob.length)
+              val fr = java.util.Arrays.copyOfRange(blob, start, end)
+              (id, k, end - start, md5Prefix15(fr))
+            }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_len", "frame_hash")
+  }
+
   /** Batched feature extraction: flat (doc_id, bucket, cnt) rows. */
   def features(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession

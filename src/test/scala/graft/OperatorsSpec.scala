@@ -199,6 +199,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("frame sampling matches substring fingerprints") {
+    import graft.operators.Multimodal
+    import Multimodal.{FrameLen, FrameStride, MaxFrames}
+    val docs = Tables.documents(spark, dir).limit(50)
+    val got = Multimodal.frameSample(Multimodal.withBlob(docs))
+      .collect().map(_.toSeq).toSet
+    val want = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(MaxFrames - 1))).as("k"))
+      .filter(col("k") * FrameStride < length(col("text")))
+      .select(col("doc_id"), col("k").as("frame_idx"),
+        expr(s"substring(text, k*$FrameStride+1, $FrameLen)").as("fr"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("fr")).as("frame_len"),
+        expr("cast(conv(substring(md5(cast(fr as binary)),1,15),16,10) as bigint)")
+          .as("frame_hash"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stateful stream sessionization equals the batch window-lag form") {
     val got = StreamOps.sessionsOnce(spark, dir, SparkEntry.SessionGapSec)
       .collect().map(_.toSeq).toSet
