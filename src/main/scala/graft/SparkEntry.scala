@@ -51,6 +51,42 @@ object SparkEntry {
     graft.sources.Disaggregated.refineTopK(spark, path, q, refineParams(mode))
   }
 
+  // session-scoped exact ground-truth cache: the brute-force N*Q scored
+  // pass is the single heaviest part of every accounting query, and its
+  // RESULT is only NQ*K rows per family — pay the pass once per
+  // (session, sf-dir) and share it across q_refine_metrics,
+  // q_refine_metrics_compressed, and anything else that needs exact
+  // top-K. (Entries are ~hundreds of rows; they live for the session.)
+  private val gtCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[Boolean, DataFrame]]()
+
+  /** Both metric families' exact top-K ground truths from ONE fused
+    * full-precision scoring pass (the expression trees are exactly
+    * Refine.exactTopK's, so the gt ids — all the hits join consumes —
+    * are unchanged), materialized before being handed out. */
+  private def exactGroundTruths(spark: SparkSession,
+                                dir: String): Map[Boolean, DataFrame] =
+    gtCache.computeIfAbsent((spark, dir), _ => {
+      val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
+      val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+      val qb = broadcast(q.withColumn("nq2", norm2Sq(col("qvec"))))
+      val scored = v.select(col("id"), col("vec"), norm2Sq(col("vec")).as("nx2"))
+        .crossJoin(qb)
+        .withColumn("score_cos",
+          dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2"))))
+        .withColumn("score_l2", l2DistSq(col("qvec"), col("vec")))
+        .select(col("qid"), col("id"), col("score_cos"), col("score_l2"))
+        .persist()
+      val gt = Map(
+        true  -> TopK.window(
+          scored.withColumnRenamed("score_cos", "score"), K).cache(),
+        false -> TopK.window(
+          scored.withColumnRenamed("score_l2", "score"), K, ascending = true).cache())
+      gt.values.foreach(_.count()) // materialize before concurrent consumers
+      scored.unpersist(blocking = false)
+      gt
+    })
+
   /** Accounting metrics (recall/save/fpr) for all six modes. The fixture
     * and per-family ground truth are computed once and reused; within each
     * family the reduced pass / window / seeds / tau0 are shared
@@ -59,32 +95,13 @@ object SparkEntry {
   def qRefineMetrics(spark: SparkSession, dir: String): DataFrame = {
     val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
-    // both families' ground truths from ONE full-precision scoring pass
-    // (the expression trees are exactly Refine.exactTopK's, so the gt
-    // ids — all the hits join consumes — are unchanged)
-    val qb = broadcast(q.withColumn("nq2", norm2Sq(col("qvec"))))
-    val scored = v.select(col("id"), col("vec"), norm2Sq(col("vec")).as("nx2"))
-      .crossJoin(qb)
-      .withColumn("score_cos",
-        dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2"))))
-      .withColumn("score_l2", l2DistSq(col("qvec"), col("vec")))
-      .select(col("qid"), col("id"), col("score_cos"), col("score_l2"))
-      .persist()
-    val gt = Map(
-      true  -> TopK.window(
-        scored.withColumnRenamed("score_cos", "score"), K).cache(),
-      false -> TopK.window(
-        scored.withColumnRenamed("score_l2", "score"), K, ascending = true).cache())
-    gt.values.foreach(_.count())  // materialize before the parallel fan-out
-    scored.unpersist(blocking = false)
-    try {
-      import scala.collection.parallel.CollectionConverters._
-      val callerPool = graft.Sched.currentPool(spark)
-      Seq(Refine.CosModes, Refine.L2Modes).par.map { fam => graft.Sched.inPool(spark, callerPool) {
-        val ps = fam.map(refineParams)
-        Refine.metricsFamily(v, q, ps, D, groundTruth = Some(gt(ps.head.isCos)))
-      }}.toList.reduce(_ unionByName _)
-    } finally gt.values.foreach(_.unpersist(blocking = false))
+    val gt = exactGroundTruths(spark, dir)
+    import scala.collection.parallel.CollectionConverters._
+    val callerPool = graft.Sched.currentPool(spark)
+    Seq(Refine.CosModes, Refine.L2Modes).par.map { fam => graft.Sched.inPool(spark, callerPool) {
+      val ps = fam.map(refineParams)
+      Refine.metricsFamily(v, q, ps, D, groundTruth = Some(gt(ps.head.isCos)))
+    }}.toList.reduce(_ unionByName _)
   }
 
   /** Mode for the measured-compression metrics composition. */
@@ -112,7 +129,9 @@ object SparkEntry {
     val (n, comp) = graft.operators.BitplaneCompress.measureTotals(
       v.select(col("id"), col("vec")), D, keepE = 5, keepM = KeepM)
     measuredComp.set(Some((n, comp)))
-    Refine.metrics(v, q, refineParams(CompressedMetricsMode), D,
+    val p = refineParams(CompressedMetricsMode)
+    Refine.metrics(v, q, p, D,
+      groundTruth = Some(exactGroundTruths(spark, dir)(p.isCos)),
       redBytesOverride = Some(comp.toDouble / n))
   }
 
@@ -163,13 +182,18 @@ object SparkEntry {
 
   /** Record-index -> fixture-id mapping for index-addressed sources
     * (.fvecs / header-binary carry no row key): the fixture files are
-    * written sorted by id, so record i is the i-th smallest id. The
-    * global row_number window is fixture-scale plumbing (one narrow id
-    * column); a real export would carry ids in a sidecar or parquet. */
+    * written sorted by id, so record i is the i-th smallest id. Indices
+    * come from zipWithIndex over the range-sorted id column — contiguous
+    * global indices with NO single-partition window (a real export would
+    * carry ids in a sidecar or parquet). */
   private def withFixtureIds(spark: SparkSession, dir: String,
                              raw: DataFrame): DataFrame = {
-    val ids = Fixture.vectorsCached(spark, dir, D).select(col("id"))
-      .withColumn("idx", row_number().over(Window.orderBy(col("id"))) - 1)
+    import spark.implicits._
+    val ids = Fixture.vectorsCached(spark, dir, D)
+      .select(col("id")).orderBy(col("id")).as[Long].rdd
+      .zipWithIndex()
+      .map { case (id, idx) => (idx, id) }
+      .toDF("idx", "id")
     raw.withColumnRenamed("id", "idx").join(ids, "idx")
       .select(col("id"), col("vec"))
   }
