@@ -258,6 +258,26 @@ object SparkEntry {
   final val TopNCustomers = 3
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** End-to-end multimodal pipeline: opaque blob -> batched featurizer ->
+    * dense feature vectors -> exact cosine top-K — ingest, featurize, and
+    * search composed in ONE lazy plan (the media analogue of
+    * embed-then-search; counts are small integers, so scores are exact
+    * ratio trees the oracle reproduces). */
+  def qMultimodalAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val v = Multimodal.featureVectors(
+      Multimodal.features(Multimodal.withBlob(docs(s, dir))))
+    val q = broadcast(v.orderBy("doc_id").limit(NQ)
+      .select(col("doc_id").as("qid"), col("fvec").as("qvec"))
+      .withColumn("nq2", norm2Sq(col("qvec"))))
+    val scored = v.select(col("doc_id").as("id"), col("fvec").as("vec"))
+      .withColumn("nx2", norm2Sq(col("vec")))
+      .crossJoin(q)
+      .withColumn("score",
+        dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2"))))
+    TopK.window(scored, K)
+  }
   private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
 
   /** ts arrives as LongType nanos (see Tables.events); whole seconds via
@@ -532,6 +552,8 @@ object SparkEntry {
     "q_multimodal_frames" -> q((s, dir) =>
       graft.operators.Multimodal.frameSample(
         graft.operators.Multimodal.withBlob(docs(s, dir)))),
+    // blob -> featurize -> cosine search, one lazy plan
+    "q_multimodal_ann" -> q((s, dir) => qMultimodalAnn(s, dir)),
     // compression model (zlib not available in DuckDB -> rows-only check)
     "q_compress_ratio" -> q((s, dir) =>
       graft.operators.BitplaneCompress.measure(
@@ -604,6 +626,34 @@ object SparkEntry {
     "q_tune_delta"           -> RefineOracle.tuneSql(D, NQ, TuneMode, K, KeepM,
       TuneGrid, TuneFloor),
     "q_refine_plan_l2_sym"   -> RefineOracle.topkSql(D, NQ, refineParams("l2_sym")),
+    // histogram-feature cosine search: counts are exact small integers,
+    // so dot/norm sums are order-independent and the score is the same
+    // fixed ratio tree both engines evaluate
+    "q_multimodal_ann" -> {
+      val bins = graft.operators.Multimodal.Bins
+      s"""WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS p
+         |  FROM documents),
+         |b AS (SELECT doc_id, ascii(substr(text, p, 1)) % $bins AS bucket FROM pos),
+         |h AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS cnt
+         |  FROM b GROUP BY 1, 2),
+         |n AS (SELECT doc_id, SUM(cnt*cnt) AS n2 FROM h GROUP BY 1),
+         |qd AS (SELECT doc_id AS qid FROM n ORDER BY doc_id LIMIT $NQ),
+         |pair AS (SELECT k.qid, xh.doc_id AS id, SUM(qh.cnt * xh.cnt) AS dp
+         |  FROM qd k JOIN h qh ON qh.doc_id = k.qid
+         |  JOIN h xh ON xh.bucket = qh.bucket
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT k.qid, nx.doc_id AS id,
+         |    COALESCE(p.dp, 0.0) /
+         |      (GREATEST(sqrt(nq.n2), 1e-12) * GREATEST(sqrt(nx.n2), 1e-12)) AS score
+         |  FROM qd k JOIN n nq ON nq.doc_id = k.qid
+         |  CROSS JOIN n nx
+         |  LEFT JOIN pair p ON p.qid = k.qid AND p.id = nx.doc_id),
+         |fin AS (SELECT qid, id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+         |  FROM scored)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+         |FROM fin WHERE rnk <= $K""".stripMargin
+    },
     // ASCII corpus: byte slices == substrings, so SQL reproduces the
     // per-frame fingerprints
     "q_multimodal_frames" -> {

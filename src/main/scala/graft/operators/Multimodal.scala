@@ -84,6 +84,19 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_len", "frame_hash")
   }
 
+  /** Dense feature vector per document from the flat histogram rows:
+    * (doc_id, fvec ARRAY<FLOAT>[Bins]) — missing buckets are zero.
+    * Counts are small integers, so the float cast is exact and cosine
+    * scoring over these vectors is oracle-reproducible. */
+  def featureVectors(feats: DataFrame): DataFrame =
+    feats.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(Bins - 1)),
+          b => coalesce(element_at(col("m"), b), lit(0L)).cast("float"))
+          .as("fvec"))
+
   /** Batched feature extraction: flat (doc_id, bucket, cnt) rows. */
   def features(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
