@@ -60,34 +60,85 @@ object VecFiles {
     val src = Paths.get(s"$sfDir/lineitem.parquet")
     if (!Files.exists(f) ||
         Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
-      import spark.implicits._
-      val rows = graft.Fixture.vectors(spark, sfDir, d)
-      val n = rows.count()
-      // format lines on the EXECUTORS (the dominant cost of the old
-      // driver-side loop was per-value string formatting); the driver
-      // only streams finished lines to disk partition-by-partition
-      val lines = rows.as[(Long, Array[Float])].map { case (id, vec) =>
-        val sb = new java.lang.StringBuilder(8 + vec.length * 6)
-        sb.append(id)
-        vec.foreach(x => { sb.append(' '); sb.append(x.toInt) })
-        sb.toString
-      }
       // unique temp name in the SAME directory + atomic rename: two JVMs
       // racing here (bench + verify share the tmpdir) each write their own
       // file and publish whole-file-or-nothing — a fixed ".tmp" path would
       // let interleaved writes publish a truncated fixture whose fresh
       // mtime then passes the staleness check
       val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
-      val w = Files.newBufferedWriter(tmp)
-      try {
-        w.write(s"$n $d"); w.newLine()
-        // toLocalIterator streams partition-by-partition (no full collect)
-        val it = lines.toLocalIterator()
-        while (it.hasNext) { w.write(it.next()); w.newLine() }
-      } finally w.close()
+      writeVec(graft.Fixture.vectors(spark, sfDir, d), tmp, d)
       atomicPublish(tmp, f)
     }
     f.toString
+  }
+
+  // ---- K-sink format writers (export twins of the readers) ---------------
+  // Records are formatted/packed on the EXECUTORS; the driver only streams
+  // finished records partition-by-partition to one local file. A
+  // single-file text/binary export is inherently driver-funneled — use
+  // parquet (or per-partition files) for genuinely large outputs.
+
+  /** Export (id, vec ARRAY<FLOAT>) as FastText `.vec` text: header
+    * "N D", then "id v1 .. vD" per record (integral components print as
+    * integers — compact, identical parse). */
+  def writeVec(vectors: DataFrame, path: java.nio.file.Path, d: Int): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val n = vectors.count()
+    val lines = vectors.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        val sb = new java.lang.StringBuilder(8 + vec.length * 6)
+        sb.append(id)
+        vec.foreach { x =>
+          sb.append(' ')
+          if (x != 0f && x == x.toLong.toFloat) sb.append(x.toLong)
+          else sb.append(x)
+        }
+        sb.toString
+      }
+    val w = java.nio.file.Files.newBufferedWriter(path)
+    try {
+      w.write(s"$n $d"); w.newLine()
+      // toLocalIterator streams partition-by-partition (no full collect)
+      val it = lines.toLocalIterator()
+      while (it.hasNext) { w.write(it.next()); w.newLine() }
+    } finally w.close()
+  }
+
+  /** Export vec rows as FAISS `.fvecs` ([int32 d][d x float32 LE] per
+    * record, file order = input order; ids travel positionally). */
+  def writeFvecs(vectors: DataFrame, path: java.nio.file.Path, d: Int): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path), 1 << 20)
+    try {
+      val bb = ByteBuffer.allocate(4 + 4 * d).order(ByteOrder.LITTLE_ENDIAN)
+      val it = vectors.select(col("vec")).toLocalIterator()
+      while (it.hasNext) {
+        val vec = it.next().getSeq[Float](0)
+        bb.clear(); bb.putInt(d)
+        vec.foreach(bb.putFloat)
+        out.write(bb.array())
+      }
+    } finally out.close()
+  }
+
+  /** Export vec rows in the ASCII-header binary format (two ASCII integer
+    * lines L, D then L*D float32 LE). */
+  def writeHeaderBin(vectors: DataFrame, path: java.nio.file.Path, d: Int): Unit = {
+    val n = vectors.count()
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path), 1 << 20)
+    try {
+      out.write(s"$n\n$d\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val bb = ByteBuffer.allocate(4 * d).order(ByteOrder.LITTLE_ENDIAN)
+      val it = vectors.select(col("vec")).toLocalIterator()
+      while (it.hasNext) {
+        val vec = it.next().getSeq[Float](0)
+        bb.clear()
+        vec.foreach(bb.putFloat)
+        out.write(bb.array())
+      }
+    } finally out.close()
   }
 
   /** Atomic rename with a non-atomic-FS fallback (REPLACE_EXISTING is
@@ -116,19 +167,8 @@ object VecFiles {
     val src = Paths.get(s"$sfDir/lineitem.parquet")
     if (!Files.exists(f) ||
         Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
-      val rows = graft.Fixture.vectors(spark, sfDir, d).orderBy("id")
       val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
-      val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 20)
-      try {
-        val bb = ByteBuffer.allocate(4 + 4 * d).order(ByteOrder.LITTLE_ENDIAN)
-        val it = rows.toLocalIterator()
-        while (it.hasNext) {
-          val vec = it.next().getSeq[Float](1)
-          bb.clear(); bb.putInt(d)
-          vec.foreach(bb.putFloat)
-          out.write(bb.array())
-        }
-      } finally out.close()
+      writeFvecs(graft.Fixture.vectors(spark, sfDir, d).orderBy("id"), tmp, d)
       atomicPublish(tmp, f)
     }
     f.toString
@@ -144,21 +184,8 @@ object VecFiles {
     val src = Paths.get(s"$sfDir/lineitem.parquet")
     if (!Files.exists(f) ||
         Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
-      val rows = graft.Fixture.vectors(spark, sfDir, d).orderBy("id")
-      val n = rows.count()
       val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
-      val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 20)
-      try {
-        out.write(s"$n\n$d\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        val bb = ByteBuffer.allocate(4 * d).order(ByteOrder.LITTLE_ENDIAN)
-        val it = rows.toLocalIterator()
-        while (it.hasNext) {
-          val vec = it.next().getSeq[Float](1)
-          bb.clear()
-          vec.foreach(bb.putFloat)
-          out.write(bb.array())
-        }
-      } finally out.close()
+      writeHeaderBin(graft.Fixture.vectors(spark, sfDir, d).orderBy("id"), tmp, d)
       atomicPublish(tmp, f)
     }
     f.toString

@@ -199,6 +199,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("format writers round-trip through their readers") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 97L).map { i =>
+      (i, Array.fill(5)(
+        if (rnd.nextBoolean()) rnd.nextInt(2000) - 1000f    // integral path
+        else rnd.nextFloat() * 2000f - 1000f))              // general float
+    }.toDF("id", "vec")
+    val dir2 = Files.createTempDirectory("vecio")
+    val (vp, fp, bp) =
+      (dir2.resolve("t.vec"), dir2.resolve("t.fvecs"), dir2.resolve("t.bin"))
+    VecFiles.writeVec(data, vp, 5)
+    VecFiles.writeFvecs(data.orderBy("id"), fp, 5)
+    VecFiles.writeHeaderBin(data.orderBy("id"), bp, 5)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    val want = m(data)
+    // ids 0..96 in write order, so the index-addressed formats' record
+    // index equals the id
+    assert(m(VecFiles.readVec(spark, vp.toString, tokenAsId = true)) == want)
+    assert(m(VecFiles.readFvecs(spark, fp.toString)) == want)
+    assert(m(VecFiles.readHeaderBin(spark, bp.toString)) == want)
+  }
+
   test("frame sampling matches substring fingerprints") {
     import graft.operators.Multimodal
     import Multimodal.{FrameLen, FrameStride, MaxFrames}
