@@ -291,6 +291,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
 
+  /** The daily aggregate through the salted two-phase shape (hot-key
+    * fan-out over 16 reducers, then exact recombine) — bit-identical to
+    * [[qEventsDaily]] on the integer domain, same oracle. */
+  def qSaltedDaily(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salt.sumsAndCount(
+      Tables.events(s, dir)
+        .withColumn("day", from_unixtime(tsSec, "yyyy-MM-dd")),
+      keys = Seq("event_type", "day"), spread = col("event_id"), nSalts = 16,
+      countAs = "n",
+      sums = Seq((floor(col("value") * 1000).cast("long"), "value_milli")))
+
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -497,6 +508,7 @@ object SparkEntry {
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // events
     "q_events_daily"    -> q((s, dir) => qEventsDaily(s, dir)),
+    "q_salted_daily"    -> q((s, dir) => qSaltedDaily(s, dir)),
     "q_events_json"     -> q((s, dir) => qEventsJson(s, dir)),
     "q_events_sessions" -> q((s, dir) => qEventsSessions(s, dir)),
     "q_events_asof"     -> q((s, dir) => qEventsAsof(s, dir)),
@@ -596,6 +608,7 @@ object SparkEntry {
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_events_daily"    -> MiscOracle.eventsDailySql,
+    "q_salted_daily"    -> MiscOracle.eventsDailySql,
     "q_stream_daily"    -> MiscOracle.eventsDailySql,
     "q_events_json"     -> MiscOracle.eventsJsonSql,
     "q_events_sessions" -> MiscOracle.eventsSessionsSql(SessionGapSec),

@@ -199,6 +199,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("salted two-phase aggregation equals the direct aggregation") {
+    val a = SparkEntry.qSaltedDaily(spark, dir).collect().map(_.toSeq).toSet
+    val b = SparkEntry.qEventsDaily(spark, dir).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("format writers round-trip through their readers") {
     import spark.implicits._
     import java.nio.file.Files
