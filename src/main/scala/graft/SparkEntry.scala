@@ -500,6 +500,7 @@ object SparkEntry {
     "q_quality"     -> q((s, dir) => TextOps.quality(docs(s, dir))),
     "q_fingerprint" -> q((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "q_token_bpe"   -> q((s, dir) => TextOps.bpeUnits(docs(s, dir))),
+    "q_repetition"  -> q((s, dir) => TextOps.repetition(docs(s, dir), JaccardN)),
     // similarity search over embeddings
     "q_ann_brute"   -> q((s, dir) => Ann.bruteTopK(emb(s, dir), NQ, K)),
     "q_ann_ivf"     -> q((s, dir) => Ann.ivfTopK(emb(s, dir), NQ, K)),
@@ -603,6 +604,7 @@ object SparkEntry {
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),
     "q_fingerprint"   -> DocOracle.fingerprintSql(Shingle),
     "q_token_bpe"     -> DocOracle.bpeUnitsSql,
+    "q_repetition"    -> DocOracle.repetitionSql(JaccardN),
     "q_ann_brute"     -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),

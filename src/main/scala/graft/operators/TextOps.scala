@@ -106,4 +106,33 @@ object TextOps {
       .withColumn("gh", Dedup.strHash(col("gram")))
       .groupBy(col("doc_id"))
       .agg(min(col("gh")).as("fingerprint"), count(lit(1)).as("n_shingles"))
+
+  /**
+   * Repetition metrics per document over MULTISET word n-grams (the
+   * Gopher/FineWeb corpus-quality filters: high duplicate-n-gram fraction
+   * or a dominant single gram flags boilerplate/spam):
+   * (doc_id, total_grams, distinct_grams, max_gram_cnt, rep_ratio,
+   * top_gram_frac). All counts are exact integers, the two ratios single
+   * divisions — oracle-reproducible. Two hash aggregations, map-side
+   * partial, no join.
+   */
+  def repetition(docs: DataFrame, n: Int): DataFrame = {
+    val tk = Dedup.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), size(tk) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*))
+    docs.filter(size(tk) >= n)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max(col("c")).as("max_gram_cnt"))
+      .select(col("doc_id"), col("total_grams"), col("distinct_grams"),
+        col("max_gram_cnt"),
+        (lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
+          .as("rep_ratio"),
+        (col("max_gram_cnt").cast("double") / col("total_grams"))
+          .as("top_gram_frac"))
+  }
 }

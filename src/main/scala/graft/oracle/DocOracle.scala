@@ -122,6 +122,24 @@ object DocOracle {
        |               JOIN counts cb ON i.doc_b = cb.doc_id)
        |SELECT doc_a, doc_b, inter, un, jaccard FROM j WHERE jaccard >= $minJaccard""".stripMargin
 
+  /** Repetition metrics over MULTISET n-grams (TextOps.repetition):
+    * ratios are single divisions over exact integer counts. */
+  def repetitionSql(n: Int): String = {
+    val gram = (1 to n).map(o => s"tk[i+${o - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |gm AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram)) AS gram
+       |  FROM toks WHERE len(tk) >= $n),
+       |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM gm GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(SUM(c) AS BIGINT) AS total_grams,
+       |  COUNT(*) AS distinct_grams,
+       |  CAST(MAX(c) AS BIGINT) AS max_gram_cnt,
+       |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio,
+       |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_gram_frac
+       |FROM gc GROUP BY doc_id""".stripMargin
+  }
+
   def tokenStatsSql: String =
     s"""WITH $tokCte
        |SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,
