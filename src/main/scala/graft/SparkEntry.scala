@@ -507,6 +507,18 @@ object SparkEntry {
     "q_ann_ivf_index" -> q((s, dir) =>
       graft.operators.Ivf.topk(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
+    // ANN quality evaluation: recall of the IVF index against the brute
+    // scan — the standard index-tuning workflow (one row: hits, recall)
+    "q_ann_recall" -> q((s, dir) => {
+      val b = Ann.bruteTopK(emb(s, dir), NQ, K).select(col("qid"), col("id"))
+      val v = graft.operators.Ivf
+        .topk(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)
+        .select(col("qid"), col("id"))
+      b.join(v, Seq("qid", "id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(col("hits"),
+          (col("hits").cast("double") / lit(K * NQ)).as("recall"))
+    }),
     // events
     "q_events_daily"    -> q((s, dir) => qEventsDaily(s, dir)),
     "q_salted_daily"    -> q((s, dir) => qSaltedDaily(s, dir)),
@@ -609,6 +621,13 @@ object SparkEntry {
     "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
+    "q_ann_recall" ->
+      s"""SELECT CAST(hits AS BIGINT) AS hits,
+         |  CAST(hits AS DOUBLE) / ${K * NQ} AS recall
+         |FROM (SELECT COUNT(*) AS hits
+         |  FROM (${EmbOracle.bruteSql(EmbD, NQ, K)}) b
+         |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe)}) v
+         |    ON b.qid = v.qid AND b.id = v.id)""".stripMargin,
     "q_events_daily"    -> MiscOracle.eventsDailySql,
     "q_salted_daily"    -> MiscOracle.eventsDailySql,
     "q_stream_daily"    -> MiscOracle.eventsDailySql,

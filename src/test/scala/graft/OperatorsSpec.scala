@@ -191,6 +191,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("watermark drops late rows across microbatches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    def ns(s: String): Long =
+      java.time.Instant.parse(s).getEpochSecond * 1000000000L
+    val landing = Files.createTempDirectory("events_late")
+    def stage(name: String, mtime: Long,
+              rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory("stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dst = landing.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // batch 0 observes max event time 2024-01-03T12:00, so the watermark
+    // becomes 11:00. Late-event FILTERING uses the watermark of the
+    // preceding batch (Spark keeps a lenient "late events" watermark one
+    // batch behind the eviction watermark), so the late row is staged two
+    // batches after the max was observed: by batch 2 the filtering
+    // watermark is 11:00 and the Jan 1 row (window end Jan 2) must drop,
+    // while the 13:00 row is on time.
+    stage("a.parquet", 1000000L, Seq(
+      (1L, ns("2024-01-01T00:10:00Z"), 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-03T12:00:00Z"), 1L, "click", 1.0, "{}")))
+    stage("b.parquet", 2000000L, Seq(
+      (3L, ns("2024-01-03T12:30:00Z"), 1L, "click", 1.0, "{}")))
+    stage("c.parquet", 3000000L, Seq(
+      (4L, ns("2024-01-01T02:00:00Z"), 1L, "click", 1.0, "{}"),  // LATE
+      (5L, ns("2024-01-03T13:00:00Z"), 1L, "click", 1.0, "{}")))
+    val outDir = Files.createTempDirectory("late_out").toString
+    val q = StreamOps.windowedCounts(
+        spark.readStream.schema(StreamOps.eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val log = spark.read.parquet(outDir)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n"), col("batch_id")).collect()
+    assert(log.map(_.getLong(2)).distinct.length >= 3, "expected >= 3 microbatches")
+    // Jan 1 was never updated past its batch-0 count: the late row was dropped
+    val jan1 = log.filter(_.getString(0) == "2024-01-01")
+    assert(jan1.nonEmpty && jan1.map(_.getLong(1)).max == 1L,
+      s"late row leaked into Jan 1: ${jan1.mkString(",")}")
+    // the on-time rows all landed
+    val jan3 = log.filter(_.getString(0) == "2024-01-03")
+    assert(jan3.map(_.getLong(1)).max == 3L, s"on-time row lost: ${jan3.mkString(",")}")
+  }
+
   test("update-mode upsert-log stream sink equals the batch daily aggregate") {
     val got = StreamOps.dailyCountsOnce(spark, dir)
       .collect().map(_.toSeq).toSet
