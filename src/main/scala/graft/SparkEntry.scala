@@ -339,6 +339,27 @@ object SparkEntry {
         (col("sec") - col("asof_sec")).cast("long").as("lag_sec"))
   }
 
+  final val RangeBeforeSec = 300L
+
+  /** Interval join (binned equi-join form): for each error event, how
+    * many clicks the same user made in the preceding 5 minutes —
+    * errors with none kept at 0. */
+  def qEventsRange(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("sec"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("sec"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec").as("c_sec"))
+    val cnt = graft.operators.RangeJoin
+      .interval(err, clk, Seq("user_id"), "sec", "c_sec",
+        before = RangeBeforeSec, after = 0L, binWidth = RangeBeforeSec)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+    err.join(cnt, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_clicks"))
+  }
+
   /** Framed analytic windows: running sum + 3-row moving count per user. */
   def qEventsRunning(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -525,6 +546,7 @@ object SparkEntry {
     "q_events_json"     -> q((s, dir) => qEventsJson(s, dir)),
     "q_events_sessions" -> q((s, dir) => qEventsSessions(s, dir)),
     "q_events_asof"     -> q((s, dir) => qEventsAsof(s, dir)),
+    "q_events_range"    -> q((s, dir) => qEventsRange(s, dir)),
     "q_events_running"  -> q((s, dir) => qEventsRunning(s, dir)),
     // relational classics
     "q_pricing"       -> q((s, dir) => qPricing(s, dir)),
@@ -642,6 +664,7 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
     "q_events_asof"     -> MiscOracle.asofSql,
+    "q_events_range"    -> MiscOracle.rangeCountSql(RangeBeforeSec),
     "q_events_running"  -> MiscOracle.runningSql,
     "q_pricing"       -> MiscOracle.pricingSql(PricingCutoff),
     "q_top_customers" -> MiscOracle.topCustomersSql(TopNCustomers),

@@ -33,6 +33,20 @@ object MiscOracle {
        |       AS BIGINT) AS n_sessions
        |FROM s GROUP BY user_id""".stripMargin
 
+  /** Interval-join count (RangeJoin.interval semantics): clicks by the
+    * same user within [sec - before, sec] of each error, zeros kept. */
+  def rangeCountSql(before: Long): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       |err AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'error'),
+       |clk AS (SELECT user_id, sec AS c_sec FROM e WHERE event_type = 'click'),
+       |cnt AS (SELECT r.event_id, COUNT(*) AS n FROM err r JOIN clk c
+       |    ON c.user_id = r.user_id AND c.c_sec BETWEEN r.sec - $before AND r.sec
+       |  GROUP BY 1)
+       |SELECT r.event_id, r.user_id,
+       |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_clicks
+       |FROM err r LEFT JOIN cnt ON cnt.event_id = r.event_id""".stripMargin
+
   def pricingSql(cutoff: String): String =
     s"""SELECT l_returnflag, l_linestatus,
        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

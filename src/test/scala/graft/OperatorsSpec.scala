@@ -256,6 +256,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("binned interval join equals the direct theta join") {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("sec"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("sec").as("c_sec"))
+    val binned = graft.operators.RangeJoin
+      .interval(err, clk.withColumnRenamed("c_uid", "user_id"),
+        Seq("user_id"), "sec", "c_sec", before = 300L, after = 60L,
+        binWidth = 200L) // binWidth < span: exercises >2 bins per row
+      .select(col("event_id"), col("c_sec")).collect().map(_.toSeq).toSet
+    val direct = err.join(clk,
+        err("user_id") === clk("c_uid") &&
+          clk("c_sec") >= err("sec") - 300L && clk("c_sec") <= err("sec") + 60L)
+      .select(col("event_id"), col("c_sec")).collect().map(_.toSeq).toSet
+    assert(binned == direct && binned.nonEmpty)
+  }
+
   test("salted two-phase aggregation equals the direct aggregation") {
     val a = SparkEntry.qSaltedDaily(spark, dir).collect().map(_.toSeq).toSet
     val b = SparkEntry.qEventsDaily(spark, dir).collect().map(_.toSeq).toSet
