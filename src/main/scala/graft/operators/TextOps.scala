@@ -117,11 +117,14 @@ object TextOps {
    * partial, no join.
    */
   def repetition(docs: DataFrame, n: Int): DataFrame = {
-    val tk = Dedup.tokens(col("text"))
+    // token array hoisted into a column: HOF lambdas run interpreted with
+    // no CSE, so an inline split would re-execute per array element
+    val tk = col("__toks")
     val grams = transform(
       sequence(lit(0), size(tk) - n),
       i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*))
-    docs.filter(size(tk) >= n)
+    docs.withColumn("__toks", Dedup.tokens(col("text")))
+      .filter(size(tk) >= n)
       .select(col("doc_id"), explode(grams).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
