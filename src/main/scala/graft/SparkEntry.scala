@@ -256,6 +256,7 @@ object SparkEntry {
   final val SessionGapSec = 1800
   final val PricingCutoff = "1998-09-02"
   final val TopNCustomers = 3
+  final val SubsampleN = 100
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
@@ -520,6 +521,12 @@ object SparkEntry {
     "q_lang_id"     -> q((s, dir) => TextOps.langId(docs(s, dir))),
     "q_quality"     -> q((s, dir) => TextOps.quality(docs(s, dir))),
     "q_fingerprint" -> q((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    // P7 seeded subsample (reference ANNCode.py:68-71) + sample-then-stat:
+    // exact-count md5-keyed selection, invariant under partitioning
+    "q_subsample"   -> q((s, dir) => graft.sources.VecFiles.subsample(
+        docs(s, dir).select(col("doc_id").as("id"), col("lang")), SubsampleN)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))),
     "q_token_bpe"   -> q((s, dir) => TextOps.bpeUnits(docs(s, dir))),
     "q_repetition"  -> q((s, dir) => TextOps.repetition(docs(s, dir), JaccardN)),
     // similarity search over embeddings
@@ -637,6 +644,7 @@ object SparkEntry {
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),
     "q_fingerprint"   -> DocOracle.fingerprintSql(Shingle),
+    "q_subsample"     -> DocOracle.subsampleSql(SubsampleN),
     "q_token_bpe"     -> DocOracle.bpeUnitsSql,
     "q_repetition"    -> DocOracle.repetitionSql(JaccardN),
     "q_ann_brute"     -> EmbOracle.bruteSql(EmbD, NQ, K),

@@ -196,4 +196,13 @@ object DocOracle {
        |gh AS (SELECT doc_id, ${strHash("gram")} AS gh FROM g)
        |SELECT doc_id, MIN(gh) AS fingerprint, COUNT(*) AS n_shingles
        |FROM gh GROUP BY doc_id""".stripMargin
+
+  /** P7 seeded subsample + per-lang sample stats (VecFiles.subsample:
+    * md5-keyed exact-count selection, same key string both engines). */
+  def subsampleSql(n: Int): String =
+    s"""WITH s AS (SELECT doc_id, lang FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id LIMIT $n)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM s GROUP BY lang""".stripMargin
 }
