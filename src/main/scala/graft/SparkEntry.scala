@@ -490,6 +490,41 @@ object SparkEntry {
         count(col("c_custkey")).as("n_customers"),
         sum(cents(col("c_acctbal"))).as("acctbal_cents"))
 
+  final val QualityFloor = 0.45
+
+  /** End-to-end corpus cleaning — the training-data pipeline shape the
+    * engine exists for, composed from the graded components: quality
+    * gate -> exact dedup (min-id keeper per content digest) -> near-dup
+    * cluster resolution (simhash banding + connected components,
+    * component-min keeper; isolated docs keep themselves) -> per-lang
+    * funnel counts. Every stage is a hash join/aggregation on a derived
+    * key, so the composition inherits the components' 100 TB shape. */
+  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pass = TextOps.quality(d)
+      .filter(col("quality") >= QualityFloor).select(col("doc_id"))
+    // kept/exact each feed several downstream scans (pair generation,
+    // component keeper join, funnel counts) — materialize once
+    val kept = Dedup.persistScoped(d.join(pass, "doc_id"))
+    val exactKeep = kept.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val exact = Dedup.persistScoped(kept.join(exactKeep, "doc_id"))
+    val labels = Dedup.connectedComponents(
+      Dedup.simhashPairs(exact, SimhashBits, MaxHamming))
+    val fin = exact.join(labels, Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy(col("lang")).agg(count(lit(1)).as(name))
+    cnt(d, "n_raw")
+      .join(cnt(kept, "nq"), Seq("lang"), "left")
+      .join(cnt(exact, "ne"), Seq("lang"), "left")
+      .join(cnt(fin, "nf"), Seq("lang"), "left")
+      .select(col("lang"), col("n_raw"),
+        coalesce(col("nq"), lit(0L)).as("n_quality"),
+        coalesce(col("ne"), lit(0L)).as("n_exact"),
+        coalesce(col("nf"), lit(0L)).as("n_final"))
+  }
+
   private type QFn = (SparkSession, String) => DataFrame
   private def q(f: QFn): QFn = f
 
@@ -514,6 +549,7 @@ object SparkEntry {
     // connected component (min-label propagation to the exact fixpoint)
     "q_dedup_groups"  -> q((s, dir) => Dedup.connectedComponents(
       Dedup.simhashPairs(docs(s, dir), SimhashBits, MaxHamming))),
+    "q_corpus_clean"  -> q((s, dir) => qCorpusClean(s, dir)),
     "q_ngram_jaccard" -> q((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), JaccardN, MinJaccard, MaxGramDf)),
     // text analysis
@@ -639,6 +675,8 @@ object SparkEntry {
     "q_minhash_lsh"   -> DocOracle.minhashLshSql(Shingle, NumHashes, Bands, RowsPerBand),
     "q_simhash"       -> DocOracle.simhashPairsSql(SimhashBits, MaxHamming),
     "q_dedup_groups"  -> DocOracle.dedupGroupsSql(SimhashBits, MaxHamming),
+    "q_corpus_clean"  -> DocOracle.corpusCleanSql(TextOps.Stopwords, QualityFloor,
+      SimhashBits, MaxHamming),
     "q_ngram_jaccard" -> DocOracle.ngramJaccardSql(JaccardN, MinJaccard, MaxGramDf),
     "q_token_stats"   -> DocOracle.tokenStatsSql,
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),

@@ -42,6 +42,12 @@ object Dedup {
   private def persistTracked(df: DataFrame): DataFrame =
     track(df.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Persist an intermediate of an EXTERNAL composition (e.g. a corpus
+    * pipeline built on these operators) under the same release discipline
+    * as the internal ones: freed by [[releaseIntermediates]] or the
+    * enclosing [[scopedRelease]]. */
+  def persistScoped(df: DataFrame): DataFrame = persistTracked(df)
+
   /** Run `f` (a pipeline construction) with its persisted intermediates
     * tracked in a private scope; returns the result plus a release
     * callback that unpersists ONLY that scope's intermediates. */

@@ -61,21 +61,22 @@ object DocOracle {
        |FROM cand c JOIN sig a ON c.doc_a = a.doc_id JOIN sig b ON c.doc_b = b.doc_id""".stripMargin
   }
 
-  /** Shared CTE chain ending in sh(doc_id, simhash, source). */
-  private def simhashCtes(bits: Int): String = {
+  /** Shared CTE chain ending in sh(doc_id, simhash, source); `base` is
+    * the doc relation it fingerprints (a CTE name or `documents`). */
+  private def simhashCtes(bits: Int, base: String = "documents"): String = {
     val sums = (0 until bits)
       .map(k => s"SUM(CASE WHEN (th >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
       .mkString(",\n  ")
     val fp = (0 until bits)
       .map(k => s"(CASE WHEN s$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $base),
        |th AS (SELECT doc_id, ${strHash("tok")} AS th FROM tok0),
        |bs AS (SELECT doc_id,
        |  $sums
        |  FROM th GROUP BY doc_id),
        |fp AS (SELECT doc_id, $fp AS simhash FROM bs),
-       |sh AS (SELECT f.doc_id, f.simhash, d.source FROM fp f JOIN documents d ON f.doc_id = d.doc_id)""".stripMargin
+       |sh AS (SELECT f.doc_id, f.simhash, d.source FROM fp f JOIN $base d ON f.doc_id = d.doc_id)""".stripMargin
   }
 
   def simhashPairsSql(bits: Int, maxHamming: Int): String =
@@ -196,6 +197,55 @@ object DocOracle {
        |gh AS (SELECT doc_id, ${strHash("gram")} AS gh FROM g)
        |SELECT doc_id, MIN(gh) AS fingerprint, COUNT(*) AS n_shingles
        |FROM gh GROUP BY doc_id""".stripMargin
+
+  /**
+   * End-to-end corpus-clean oracle ([[graft.SparkEntry.qCorpusClean]]):
+   * quality gate -> exact dedup keeper -> simhash near-dup pairs over the
+   * survivors -> recursive-CTE connected components (component-min
+   * keeper; unpaired docs keep themselves) -> per-lang funnel counts.
+   */
+  def corpusCleanSql(stopwords: Seq[String], floor: Double,
+                     bits: Int, maxHamming: Int): String = {
+    val lst = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE
+       |tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |qagg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |    COUNT(DISTINCT tok) AS n_distinct,
+       |    SUM(CASE WHEN tok IN ($lst) THEN 1 ELSE 0 END) AS stop_hits
+       |  FROM tokq GROUP BY doc_id),
+       |qpass AS (SELECT doc_id FROM qagg
+       |  WHERE (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 1.0 ELSE 0.0 END) * 0.4
+       |      + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4
+       |      + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.2 >= $floor),
+       |kept AS (SELECT d.* FROM documents d JOIN qpass USING (doc_id)),
+       |ek AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+       |ex AS (SELECT k.* FROM kept k JOIN ek USING (doc_id)),
+       |${simhashCtes(bits, "ex")},
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.src AS doc_id, r.lab
+       |  FROM edges e JOIN reach r ON r.doc_id = e.dst),
+       |labels AS (SELECT doc_id, MIN(lab) AS comp FROM reach GROUP BY doc_id),
+       |fin AS (SELECT e.* FROM ex e LEFT JOIN labels l USING (doc_id)
+       |  WHERE l.comp IS NULL OR l.comp = e.doc_id),
+       |raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang),
+       |cq AS (SELECT lang, COUNT(*) AS c FROM kept GROUP BY lang),
+       |ce AS (SELECT lang, COUNT(*) AS c FROM ex GROUP BY lang),
+       |cf AS (SELECT lang, COUNT(*) AS c FROM fin GROUP BY lang)
+       |SELECT r.lang, r.n_raw,
+       |  CAST(COALESCE(cq.c, 0) AS BIGINT) AS n_quality,
+       |  CAST(COALESCE(ce.c, 0) AS BIGINT) AS n_exact,
+       |  CAST(COALESCE(cf.c, 0) AS BIGINT) AS n_final
+       |FROM raw r LEFT JOIN cq ON r.lang = cq.lang
+       |  LEFT JOIN ce ON r.lang = ce.lang
+       |  LEFT JOIN cf ON r.lang = cf.lang""".stripMargin
+  }
 
   /** P7 seeded subsample + per-lang sample stats (VecFiles.subsample:
     * md5-keyed exact-count selection, same key string both engines). */

@@ -276,6 +276,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(binned == direct && binned.nonEmpty)
   }
 
+  test("corpus-clean funnel is monotone and keeps canonical docs") {
+    val rows = SparkEntry.qCorpusClean(spark, dir).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, q, e, f) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= q && q >= e && e >= f && f >= 0,
+        s"funnel not monotone: $r")
+    }
+    // the quality gate and dedup stages each actually drop something
+    // somewhere in the corpus (guards against a vacuous pipeline)
+    assert(rows.map(_.getLong(1)).sum > rows.map(_.getLong(2)).sum)
+    assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(4)).sum)
+  }
+
   test("salted two-phase aggregation equals the direct aggregation") {
     val a = SparkEntry.qSaltedDaily(spark, dir).collect().map(_.toSeq).toSet
     val b = SparkEntry.qEventsDaily(spark, dir).collect().map(_.toSeq).toSet
