@@ -138,6 +138,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("interval join plans as an equi-join on the bin key, never a nested loop") {
+    val plan = SparkEntry.qEventsRange(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the binned form must hash/sort-merge on (user_id, __bin); a
+    // BroadcastNestedLoopJoin or CartesianProduct would mean the time
+    // predicate fell through to a theta join — the shape that dies at
+    // scale when neither side is broadcastable
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join degenerated to a non-equi join:\n$plan")
+  }
+
   test("fixture scan prunes lineitem to the two key columns") {
     val plan = SparkEntry.qTopkCos(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
