@@ -257,6 +257,8 @@ object SparkEntry {
   final val PricingCutoff = "1998-09-02"
   final val TopNCustomers = 3
   final val SubsampleN = 100
+  final val VocabN = 50
+  final val StrataN = 20
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
@@ -554,6 +556,25 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, dir), JaccardN, MinJaccard, MaxGramDf)),
     // text analysis
     "q_token_stats" -> q((s, dir) => TextOps.tokenStats(docs(s, dir))),
+    // vocabulary seed: global top-N tokens, total-order (count desc, tok)
+    // tie-break so the selected set is deterministic
+    "q_vocab" -> q((s, dir) => docs(s, dir)
+      .select(explode(Dedup.tokens(col("text"))).as("tok"), col("doc_id"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(VocabN)),
+    // stratified sample: exact-count md5-keyed selection per lang stratum
+    "q_stratified_sample" -> q((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":42"))), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= StrataN)
+        .select(col("doc_id"), col("lang"))
+    }),
     "q_lang_id"     -> q((s, dir) => TextOps.langId(docs(s, dir))),
     "q_quality"     -> q((s, dir) => TextOps.quality(docs(s, dir))),
     "q_fingerprint" -> q((s, dir) => TextOps.fingerprint(docs(s, dir))),
@@ -679,6 +700,8 @@ object SparkEntry {
       SimhashBits, MaxHamming),
     "q_ngram_jaccard" -> DocOracle.ngramJaccardSql(JaccardN, MinJaccard, MaxGramDf),
     "q_token_stats"   -> DocOracle.tokenStatsSql,
+    "q_vocab"              -> DocOracle.vocabSql(VocabN),
+    "q_stratified_sample"  -> DocOracle.stratifiedSampleSql(StrataN),
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),
     "q_fingerprint"   -> DocOracle.fingerprintSql(Shingle),

@@ -247,6 +247,21 @@ object DocOracle {
        |  LEFT JOIN cf ON r.lang = cf.lang""".stripMargin
   }
 
+  /** Vocabulary seed: global top-N tokens with a (count desc, tok) total
+    * order, so the selected set is deterministic under ties. */
+  def vocabSql(n: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM t GROUP BY tok
+       |ORDER BY n_occurrences DESC, tok LIMIT $n""".stripMargin
+
+  /** Stratified sample: exact-count md5-keyed selection per lang. */
+  def stratifiedSampleSql(nPer: Int): String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
+       |  FROM documents) WHERE rn <= $nPer""".stripMargin
+
   /** P7 seeded subsample + per-lang sample stats (VecFiles.subsample:
     * md5-keyed exact-count selection, same key string both engines). */
   def subsampleSql(n: Int): String =
