@@ -89,15 +89,22 @@ object TextOps {
    * Output: (doc_id, n_words, n_units, n_distinct_units, units_per_word).
    */
   def bpeUnits(docs: DataFrame): DataFrame = {
-    val units = regexp_extract_all(col("text"), lit("[aeiou]+|[^aeiou ]+"), lit(0))
-    val t = docs.select(col("doc_id"),
-      size(toks).as("n_words"), explode(units).as("u"))
-    t.groupBy(col("doc_id"), col("n_words"))
-      .agg(count(lit(1)).as("n_units"),
-        countDistinct(col("u")).as("n_distinct_units"))
-      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
-        col("n_units"), col("n_distinct_units"),
-        (col("n_units").cast("double") / col("n_words")).as("units_per_word"))
+    // pure map-side projection — no explode, no shuffle: the per-doc
+    // counts come straight off the extracted array (size/array_distinct),
+    // so at corpus scale this is a single scan with zero exchanges. The
+    // array is hoisted into a column once (post-explode recomputation of
+    // per-doc expressions was the old formulation's hidden cost), and
+    // docs with no units are dropped to mirror explode semantics.
+    val units = col("__units")
+    docs
+      .withColumn("__units",
+        regexp_extract_all(col("text"), lit("[aeiou]+|[^aeiou ]+"), lit(0)))
+      .filter(size(units) > 0)
+      .select(col("doc_id"), size(toks).cast("long").as("n_words"),
+        size(units).cast("long").as("n_units"),
+        size(array_distinct(units)).cast("long").as("n_distinct_units"))
+      .withColumn("units_per_word",
+        col("n_units").cast("double") / col("n_words"))
   }
 
   /** Winnowing-style fingerprint: min hash over 3-token shingles. */

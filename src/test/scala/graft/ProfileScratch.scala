@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
 
 /** Scratch stage-by-stage profiler (test scope; not part of the library). */
 object ProfileScratch {
@@ -16,22 +15,14 @@ object ProfileScratch {
     spark.sparkContext.setLogLevel("WARN")
     def t[T](name: String)(f: => T): T = {
       val s0 = System.nanoTime(); val r = f
-      println(f"[prof] $name%-28s ${(System.nanoTime() - s0) / 1e9}%8.2f s")
+      println(f"[prof] $name%-30s ${(System.nanoTime() - s0) / 1e9}%8.2f s")
       r
     }
     val docs = Tables.documents(spark, dir)
     t("docs.count")(docs.count())
-    val grams = Dedup.wordNgrams(docs, SparkEntry.Shingle)
-    t("grams.count")(grams.count())
-    val withTh = grams.withColumn("th", Dedup.strHash(col("gram")))
-    t("strHash.count")(withTh.agg(max(col("th"))).collect())
-    val sigs = Dedup.minhashSignatures(grams, SparkEntry.NumHashes)
-    t("sigs.count")(sigs.count())
-    t("sigs.count warm")(sigs.count())
-    val pairs = Dedup.lshPairs(sigs, SparkEntry.Bands, SparkEntry.RowsPerBand)
-    t("pairs.count")(pairs.count())
-    t("pairs.count warm")(pairs.count())
-    Dedup.releaseIntermediates()
+    t("bpe cold")(graft.operators.TextOps.bpeUnits(docs).count())
+    t("bpe warm")(graft.operators.TextOps.bpeUnits(docs).count())
+    t("bpe warm2")(graft.operators.TextOps.bpeUnits(docs).count())
     spark.stop()
   }
 }
