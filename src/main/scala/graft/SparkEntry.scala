@@ -591,6 +591,10 @@ object SparkEntry {
     "q_ann_ivf"     -> q((s, dir) => Ann.ivfTopK(emb(s, dir), NQ, K)),
     "q_ann_ivf_index" -> q((s, dir) =>
       graft.operators.Ivf.topk(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
+    // the same index AT REST: cell-partitioned parquet, probe cells pushed
+    // into the scan as a partition filter (PlanSpec asserts the pruning)
+    "q_ann_ivf_at_rest" -> q((s, dir) => graft.operators.Ivf.topkIndexed(
+      s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // ANN quality evaluation: recall of the IVF index against the brute
     // scan — the standard index-tuning workflow (one row: hits, recall)
@@ -711,6 +715,9 @@ object SparkEntry {
     "q_ann_brute"     -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
+    // identical semantics to q_ann_ivf_index; only the physical path
+    // (partition-pruned scan of the at-rest index) differs
+    "q_ann_ivf_at_rest" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_recall" ->
       s"""SELECT CAST(hits AS BIGINT) AS hits,

@@ -68,6 +68,59 @@ object Ivf {
       .select(col("qid"), col("qvec"), col("cell"))
   }
 
+  /** Cosine over the hoisted norms — shared by both physical paths. */
+  private def cosScore: Column =
+    graft.functions.VectorOps.dot(col("embedding"), col("qvec")) /
+      (graft.functions.VectorOps.fnorm(col("n2")) *
+        graft.functions.VectorOps.fnorm(col("qn2")))
+
+  /** Bump when the index layout or the assignment expression changes. */
+  private val IndexVersion = 1
+
+  /**
+   * Materialize the inverted file AT REST: (id, embedding, n2) written
+   * once, `partitionBy("cell")` — the write-time layout that turns
+   * probe-cell selection into Parquet partition pruning. Cached per
+   * tmpdir with the same staleness discipline as the other fixtures.
+   */
+  def ensureIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                  nCells: Int, d: Int): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/" +
+      s"graft_ivf_v${IndexVersion}_${safe}_c${nCells}_d$d"
+    val marker = new java.io.File(path, "_SUCCESS")
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    if (!marker.exists() || marker.lastModified < src.lastModified)
+      assign(graft.Tables.embeddings(spark, sfDir), nCells, d)
+        .withColumn("n2", graft.functions.VectorOps.norm2Sq(col("embedding")))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    path
+  }
+
+  /**
+   * IVF top-k off the partitioned index — the at-rest twin of [[topk]],
+   * returning identical rows. The probe-cell set is computed from the
+   * query side and collected (bounded: <= nq * nprobe values), then
+   * pushed into the scan as a STATIC partition filter, so only the
+   * probed cells' files are ever read (asserted in PlanSpec).
+   */
+  def topkIndexed(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                  emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                  nprobe: Int): DataFrame = {
+    val path = ensureIndex(spark, sfDir, nCells, d)
+    val stored = spark.read.parquet(path) // (id, embedding, n2, cell)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k)
+  }
+
   /**
    * IVF cosine top-k: candidates restricted to the query's probe cells.
    * Output (qid, rank, id, score) — approximate by construction (recall
@@ -82,10 +135,7 @@ object Ivf {
     val probes = broadcast(probeCells(q, nCells, d, nprobe)
       .join(q.select(col("qid"), col("qn2")), Seq("qid")))
     val scored = assigned.join(probes, Seq("cell"))
-      .withColumn("score",
-        graft.functions.VectorOps.dot(col("embedding"), col("qvec")) /
-          (graft.functions.VectorOps.fnorm(col("n2")) *
-            graft.functions.VectorOps.fnorm(col("qn2"))))
+      .withColumn("score", cosScore)
     TopK.window(scored, k)
   }
 }

@@ -150,6 +150,18 @@ class PlanSpec extends AnyFunSuite {
       s"interval join degenerated to a non-equi join:\n$plan")
   }
 
+  test("at-rest IVF probe scan carries a cell partition filter") {
+    val df = graft.operators.Ivf.topkIndexed(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+    val plan = df.queryExecution.executedPlan.toString
+    // probe cells must reach the index scan as a partition filter —
+    // at scale this is what makes a query touch nprobe/nCells of the
+    // data instead of the whole inverted file
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no cell partition filter on the index scan:\n$plan")
+  }
+
   test("fixture scan prunes lineitem to the two key columns") {
     val plan = SparkEntry.qTopkCos(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
