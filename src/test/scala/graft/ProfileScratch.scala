@@ -18,11 +18,19 @@ object ProfileScratch {
       println(f"[prof] $name%-30s ${(System.nanoTime() - s0) / 1e9}%8.2f s")
       r
     }
-    val docs = Tables.documents(spark, dir)
-    t("docs.count")(docs.count())
-    t("bpe cold")(graft.operators.TextOps.bpeUnits(docs).count())
-    t("bpe warm")(graft.operators.TextOps.bpeUnits(docs).count())
-    t("bpe warm2")(graft.operators.TextOps.bpeUnits(docs).count())
+    val path = t("ensureFixture")(
+      graft.sources.Disaggregated.ensureFixture(spark, dir, SparkEntry.D, SparkEntry.KeepM))
+    val stored = spark.read.parquet(path)
+    t("stored.count")(stored.count())
+    t("reduced scan")(graft.sources.Disaggregated.readReduced(spark, path).count())
+    val q = Fixture.queries(stored.select(col("id"), col("vec")), SparkEntry.NQ)
+      .select(col("qid"), col("qvec"))
+    t("queries derive")(q.count())
+    val df = SparkEntry.qRefineDisagg(spark, dir, "cos_l1")
+    t("disagg cold")(df.count())
+    t("disagg warm")(SparkEntry.qRefineDisagg(spark, dir, "cos_l1").count())
+    t("disagg warm2")(SparkEntry.qRefineDisagg(spark, dir, "cos_l1").count())
+    t("in-mem twin warm")(SparkEntry.queries("q_refine_cos_l1")(spark, dir).count())
     spark.stop()
   }
 }
