@@ -276,6 +276,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(binned == direct && binned.nonEmpty)
   }
 
+  test("interval join matches the theta join across parameter shapes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val left = Seq.tabulate(300)(i =>
+      (i.toLong, rng.nextInt(8).toLong, rng.nextInt(5000).toLong))
+      .toDF("lid", "k", "ts")
+    val right = Seq.tabulate(600)(i =>
+      (i.toLong, rng.nextInt(8).toLong, rng.nextInt(5000).toLong))
+      .toDF("rid", "k", "rts")
+    // spans smaller/equal/larger than the bin width, and one-sided bounds
+    for ((before, after, bw) <- Seq((100L, 0L, 100L), (0L, 250L, 100L),
+        (300L, 300L, 1000L), (0L, 0L, 50L))) {
+      val binned = graft.operators.RangeJoin
+        .interval(left, right, Seq("k"), "ts", "rts", before, after, bw)
+        .select(col("lid"), col("rid")).collect().map(_.toSeq).toSet
+      val direct = left.join(right,
+          left("k") === right("k") &&
+            col("rts") >= col("ts") - before && col("rts") <= col("ts") + after)
+        .select(col("lid"), col("rid")).collect().map(_.toSeq).toSet
+      assert(binned == direct && binned.nonEmpty,
+        s"mismatch at before=$before after=$after bw=$bw")
+    }
+  }
+
   test("corpus-clean funnel is monotone and keeps canonical docs") {
     val rows = SparkEntry.qCorpusClean(spark, dir).collect()
     graft.operators.Dedup.releaseIntermediates()
