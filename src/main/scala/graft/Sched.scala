@@ -17,9 +17,13 @@ object Sched {
     spark.sparkContext.getLocalProperty("spark.scheduler.pool")
 
   /** Run `body` with the given pool set on the current (worker) thread.
-    * `pool == null` clears the property (default pool). */
+    * `pool == null` clears the property (default pool). The previous pool
+    * is restored on exit — ForkJoin workers are shared, so a leaked pool
+    * would silently re-route whatever runs next on the same thread. */
   def inPool[T](spark: SparkSession, pool: String)(body: => T): T = {
+    val prev = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
-    body
+    try body
+    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prev)
   }
 }

@@ -677,8 +677,24 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * q_refine_metrics_compressed is conditional: zlib has no DuckDB twin,
+    * so its oracle embeds the (n_vecs, compressed_bytes) measured when the
+    * query ran in THIS JVM. If the query has not run (or failed), the key
+    * is omitted — the driver records a rows-only check — rather than
+    * silently emitting the naive bit-count model, which is a semantically
+    * different oracle that would fail verification. Verify runs every
+    * query before dumping oracle_sql.json, so the measured path is the
+    * normal one. */
+  def oracleSql: Map[String, String] = (measuredComp.get() match {
+    case Some((n, comp)) => Map(
+      // same division tree as the Spark side's comp.toDouble / n
+      "q_refine_metrics_compressed" -> RefineOracle.metricsSqlWithRedBytes(
+        D, NQ, refineParams(CompressedMetricsMode),
+        s"(CAST($comp AS DOUBLE) / $n)"))
+    case None => Map.empty[String, String]
+  }) ++ Map(
     "q_topk_cos" -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_topk_l2"  -> OracleGen.topkSql(D, NQ, K, "l2"),
     "q_topk_cos_vecsrc" -> OracleGen.topkSql(D, NQ, K, "cos"),
@@ -687,15 +703,6 @@ object SparkEntry {
     "q_reduce_precision" -> RefineOracle.reduceSql(D, KeepM, ReduceMaxId),
     "q_refine_metrics"   ->
       RefineOracle.allMetricsSql(D, NQ, Refine.Modes.map(refineParams)),
-    "q_refine_metrics_compressed" -> {
-      val p = refineParams(CompressedMetricsMode)
-      measuredComp.get() match {
-        // same division tree as the Spark side's comp.toDouble / n
-        case Some((n, comp)) => RefineOracle.metricsSqlWithRedBytes(
-          D, NQ, p, s"(CAST($comp AS DOUBLE) / $n)")
-        case None => RefineOracle.metricsSql(D, NQ, p) // query never ran
-      }
-    },
     "q_dedup_exact"   -> DocOracle.dedupExactSql,
     "q_minhash_lsh"   -> DocOracle.minhashLshSql(Shingle, NumHashes, Bands, RowsPerBand),
     "q_simhash"       -> DocOracle.simhashPairsSql(SimhashBits, MaxHamming),

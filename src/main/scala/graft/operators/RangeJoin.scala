@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
  */
 object RangeJoin {
 
+  /** Exact floorDiv over LongType: Spark's `/` casts longs to DOUBLE,
+    * which silently loses precision past 2^53 (this repo's native epoch
+    * unit is NANOSECONDS, ~1.7e18) — a boundary row binned off-by-one on
+    * one side only would DROP a true match, because the exact predicate
+    * below can only trim false positives. Integral `div` truncates toward
+    * zero; adjust by the remainder sign for floor semantics (binWidth>0). */
+  private def floorDiv(x: Column, binWidth: Long): Column = {
+    val q = call_function("div", x, lit(binWidth)) // IntegralDivide: exact on longs
+    val r = x % lit(binWidth)
+    when(r < 0, q - 1).otherwise(q).cast("long")
+  }
+
   def interval(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                before: Long, after: Long, binWidth: Long): DataFrame = {
@@ -26,10 +38,8 @@ object RangeJoin {
     val lo = col(leftTs) - before
     val hi = col(leftTs) + after
     val l = left.withColumn("__bin",
-      explode(sequence(floor(lo / binWidth).cast("long"),
-        floor(hi / binWidth).cast("long"))))
-    val r = right.withColumn("__bin",
-      floor(col(rightTs) / binWidth).cast("long"))
+      explode(sequence(floorDiv(lo, binWidth), floorDiv(hi, binWidth))))
+    val r = right.withColumn("__bin", floorDiv(col(rightTs), binWidth))
     l.join(r, keys :+ "__bin")
       .filter(col(rightTs) >= lo && col(rightTs) <= hi)  // inclusive ends
       .drop("__bin")

@@ -17,6 +17,16 @@ object Bucketed {
 
   final val NumBuckets = 8
 
+  /** Layout-version stamp baked into the on-disk path AND the table name:
+    * the metadata-only re-attach below re-declares the bucket spec over
+    * pre-existing files, so files written under an older spec (different
+    * NumBuckets / sort spec / schema) must never be attachable under a
+    * newer DDL — rows would sit in buckets the catalog doesn't claim and
+    * the exchange-free sort-merge join would silently return wrong
+    * results. Bump on ANY change to NumBuckets, the sort columns, or the
+    * written schema (same discipline as Ivf.IndexVersion). */
+  final val LayoutVersion = 1
+
   /** Write orders+customer bucketed by custkey under the tmp warehouse
     * and register them in the session catalog. The bucketed FILES are
     * written once per sf-dir (the one-time shuffle this layout exists to
@@ -24,7 +34,8 @@ object Bucketed {
     * existing files with a metadata-only CREATE TABLE, so repeat sessions
     * never pay the write again. Returns the table names. */
   def ensureTables(spark: SparkSession, sfDir: String): (String, String) = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+    val safe = s"_v${LayoutVersion}b$NumBuckets" +
+      sfDir.replaceAll("[^A-Za-z0-9_]", "_")
     val base = s"${sys.props("java.io.tmpdir")}/graft_buckets$safe"
     val ot = s"graft_orders_bkt$safe"
     val ct = s"graft_customer_bkt$safe"

@@ -114,29 +114,56 @@ object StreamOps {
    * what puts the §2.9 streaming path on the driver-checked correctness
    * surface.
    */
-  def dailyCountsOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val landing = ensureLanding(sfDir)
+  /** Drain a streaming DataFrame through an update-mode parquet upsert
+    * log in a scratch dir, snapshot the latest row per key, and DELETE the
+    * log: the snapshot is pinned via an eager localCheckpoint first, so
+    * the returned DataFrame does not depend on the deleted files, and
+    * repeated bench/verify runs in one JVM no longer accumulate unbounded
+    * tmp data. The zero-batch edge (empty stream -> no parquet output)
+    * returns an empty frame with `schema` instead of throwing on the read. */
+  private def drainUpsertLog(spark: SparkSession, streamed: DataFrame,
+                             snapshot: DataFrame => DataFrame,
+                             schema: StructType): DataFrame = {
     val outDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_daily_").toString
-    val q = windowedCounts(readEventsStream(spark, landing))
+      .createTempDirectory("graft_stream_log_")
+    val q = streamed
       .writeStream.outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("append").parquet(outDir.toString)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // snapshot = latest upsert per (event_type, window); tumbling 1-day
-    // windows in the UTC session align with calendar days
-    val log = spark.read.parquet(outDir)
-    val w = Window.partitionBy(col("event_type"), col("window.start"))
-      .orderBy(col("batch_id").desc)
-    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("event_type"),
-        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("n"), col("value_milli"))
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
+      .sortBy(_.toString)
+    val hasData = files.exists(_.getFileName.toString.endsWith(".parquet"))
+    val out =
+      if (!hasData) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else snapshot(spark.read.parquet(outDir.toString)).localCheckpoint(true)
+    files.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
+  def dailyCountsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val landing = ensureLanding(sfDir)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("day", StringType),
+      StructField("n", LongType), StructField("value_milli", LongType)))
+    drainUpsertLog(spark, windowedCounts(readEventsStream(spark, landing)),
+      log => {
+        // snapshot = latest upsert per (event_type, window); tumbling
+        // 1-day windows in the UTC session align with calendar days
+        val w = Window.partitionBy(col("event_type"), col("window.start"))
+          .orderBy(col("batch_id").desc)
+        log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("event_type"),
+            date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+            col("n"), col("value_milli"))
+      }, schema)
   }
 
   /** Per-user session state carried across microbatches. */
@@ -189,22 +216,17 @@ object StreamOps {
   def sessionsOnce(spark: SparkSession, sfDir: String, gapSec: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val landing = ensureLanding(sfDir)
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_sessions_").toString
-    val q = sessionCounts(readEventsStream(spark, landing), gapSec)
-      .toDF("user_id", "n_events", "n_sessions")
-      .writeStream.outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val log = spark.read.parquet(outDir)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
-    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), col("n_events"), col("n_sessions"))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("n_events", LongType),
+      StructField("n_sessions", LongType)))
+    drainUpsertLog(spark,
+      sessionCounts(readEventsStream(spark, landing), gapSec)
+        .toDF("user_id", "n_events", "n_sessions"),
+      log => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+        log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n_events"), col("n_sessions"))
+      }, schema)
   }
 
   /** Streaming near-duplicate gate: score incoming vectors against a

@@ -300,6 +300,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval join is exact at nanosecond epoch magnitudes (> 2^53)") {
+    import spark.implicits._
+    // timestamps near 1.7e18 ns: double arithmetic loses integer
+    // precision here, so a float-division bin assignment can place a
+    // boundary row off-by-one on ONE side and silently drop true matches
+    val base = 1700000000000000000L
+    val bw = 1000000000L // 1 s bins
+    val rng = new scala.util.Random(11)
+    val left = Seq.tabulate(200)(i =>
+      (i.toLong, rng.nextInt(4).toLong, base + rng.nextInt(30) * bw / 3 +
+        (if (rng.nextBoolean()) 0L else rng.nextInt(3).toLong - 1L)))
+      .toDF("lid", "k", "ts")
+    val right = Seq.tabulate(400)(i =>
+      (i.toLong, rng.nextInt(4).toLong, base + rng.nextInt(30) * bw / 3 +
+        (if (rng.nextBoolean()) 0L else rng.nextInt(3).toLong - 1L)))
+      .toDF("rid", "k", "rts")
+    val (before, after) = (bw, bw / 2)
+    val binned = graft.operators.RangeJoin
+      .interval(left, right, Seq("k"), "ts", "rts", before, after, bw)
+      .select(col("lid"), col("rid")).collect().map(_.toSeq).toSet
+    val direct = left.join(right,
+        left("k") === right("k") &&
+          col("rts") >= col("ts") - before && col("rts") <= col("ts") + after)
+      .select(col("lid"), col("rid")).collect().map(_.toSeq).toSet
+    assert(binned == direct && binned.nonEmpty)
+  }
+
   test("corpus-clean funnel is monotone and keeps canonical docs") {
     val rows = SparkEntry.qCorpusClean(spark, dir).collect()
     graft.operators.Dedup.releaseIntermediates()
