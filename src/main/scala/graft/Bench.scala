@@ -71,11 +71,12 @@ object Bench {
     // FAIR pool so an iterative query's many small jobs are not starved
     // behind another query's wide stages.
     val heavyFirst = Seq("q_refine_metrics", "q_refine_metrics_compressed",
+      "q_refine_metrics_d128", "q_refine_d128", "q_kernel_hoeff",
       "q_dedup_groups", "q_corpus_clean", "q_refine_disagg",
       "q_minhash_lsh", "q_ngram_jaccard", "q_token_bpe", "q_refine_cos_l1",
       "q_refine_l2_sym", "q_refine_cos_hoeff", "q_refine_l2_tz",
       "q_refine_l2_hoeff", "q_refine_cos_l2", "q_stream_daily",
-      "q_stream_sessions", "q_bucketed_join",
+      "q_stream_sessions", "q_stream_refine", "q_bucketed_join",
       "q_topk_cos_vecsrc", "q_topk_cos_fvecs", "q_topk_cos_binsrc")
     val rank = heavyFirst.zipWithIndex.toMap
     val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }

@@ -91,6 +91,50 @@ object BitplaneCompress {
       .toDF("n_vecs", "comp_bytes")
   }
 
+  /**
+   * Per-plane set-bit totals of the PACKED bit-plane representation:
+   * (plane INT, n_ones BIGINT), one row per kept plane (sign, keepE
+   * exponent planes MSB->LSB, keepM mantissa planes MSB->LSB). Computed
+   * by popcounting the bytes [[packBitplanes]] actually emits — a layout
+   * bug (wrong plane order, wrong bit position, padding leakage) changes
+   * these totals — then summed globally, so the result is partitioning-
+   * invariant (chunk padding bits are zero and contribute nothing). This
+   * is the pre-Deflater half of the compression model on the
+   * hash-matched oracle surface; only the zlib call itself stays
+   * rows-only (`q_compress_ratio`).
+   */
+  def planePopcounts(vectors: DataFrame, d: Int, keepE: Int, keepM: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val nPlanes = 1 + keepE + keepM
+    vectors.select(col("vec")).as[Array[Float]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](nPlanes)
+        it.grouped(ChunkRows).foreach { chunk =>
+          val words = new Array[Int](chunk.length * d)
+          var i = 0
+          chunk.foreach { v =>
+            var j = 0
+            while (j < d) { words(i) = Fp16.floatToHalfBits(v(j)); i += 1; j += 1 }
+          }
+          val packed = packBitplanes(words, keepE, keepM)
+          val bpp = packed.length / nPlanes
+          var p = 0
+          while (p < nPlanes) {
+            var b = 0; var s = 0L
+            while (b < bpp) {
+              s += java.lang.Integer.bitCount(packed(p * bpp + b) & 0xFF); b += 1
+            }
+            acc(p) += s; p += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      .flatMap(_.zipWithIndex.map { case (n, p) => (p, n) })
+      .toDF("plane", "n_ones")
+      .groupBy(col("plane")).agg(sum(col("n_ones")).as("n_ones"))
+  }
+
   /** Measure average compressed bytes/vec of the reduced representation
     * of `vectors` (id, vec ARRAY<FLOAT>). */
   def measure(vectors: DataFrame, d: Int, keepE: Int, keepM: Int,

@@ -241,7 +241,27 @@ object RefineKernel {
     /** The running-tau walk for one query over this partition's block.
       * Results are materialized (the shared heap buffers are reused by
       * the next call). */
-    def topKFor(qid: Long, qv: Array[Float]): Iterator[Cand] = {
+    def topKFor(qid: Long, qv: Array[Float]): Iterator[Cand] =
+      walkFor(qid, qv, null)
+
+    /** [[topKFor]]'s walk, additionally recording every FETCHED candidate
+      * (full-precision access) into `fetchSink` when non-null — the
+      * kernel-path bandwidth accounting surface. On a single-partition
+      * input the fetch set is provably a subset of the relational
+      * static-tau0 fetch set ([[Refine.fetched]]): the first K walked
+      * candidates ARE the relational seeds (same reduced order, same
+      * tie-break), so after the seed fill tau == tau0 exactly and only
+      * tightens; any candidate the static filter rejects, the running
+      * filter rejects too. */
+    def fetchedFor(qid: Long, qv: Array[Float]): Iterator[Cand] = {
+      val sink = new scala.collection.mutable.ArrayBuffer[Cand]()
+      walkFor(qid, qv, sink)
+      sink.iterator
+    }
+
+    private def walkFor(qid: Long, qv: Array[Float],
+                        fetchSink: scala.collection.mutable.ArrayBuffer[Cand])
+        : Iterator[Cand] = {
       if (n == 0) return Iterator.empty
       val nq = norm(qv)
 
@@ -279,6 +299,7 @@ object RefineKernel {
           else cushion(i0, qv, nq) > tau
         if (!reject) {
           val s = fullScore(i0, qv, nq)
+          if (fetchSink != null) fetchSink += Cand(qid, r.id, s)
           val w = worstIdx
           if (filled < k || beats(s, r.id, hs(w), hi(w))) {
             hs(w) = s; hi(w) = r.id
@@ -303,7 +324,24 @@ object RefineKernel {
 
   /** Candidate rows surviving the sequential kernel, ready for global top-K merge. */
   def fetchedCandidates(vectors: DataFrame, queries: DataFrame,
-                        p: Refine.Params): Dataset[Cand] = {
+                        p: Refine.Params): Dataset[Cand] =
+    runKernel(vectors, queries, p, emitAllFetched = false)
+
+  /**
+   * Every candidate the kernel FETCHES at full precision, as
+   * (qid, id, score) rows — the kernel-path bandwidth-accounting surface
+   * (the reference counts exactly these accesses, ANNCode.py:316-318).
+   * On a single-partition input this is provably a subset of
+   * [[Refine.fetched]]'s static-tau0 fetch set (see
+   * [[PartitionKernel.fetchedFor]]); under partitioning each partition
+   * additionally pays its own K seed fills, so compare like for like.
+   */
+  def fetchedAll(vectors: DataFrame, queries: DataFrame,
+                 p: Refine.Params): Dataset[Cand] =
+    runKernel(vectors, queries, p, emitAllFetched = true)
+
+  private def runKernel(vectors: DataFrame, queries: DataFrame,
+                        p: Refine.Params, emitAllFetched: Boolean): Dataset[Cand] = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val qs: Array[QRow] = collectQueries(queries)
@@ -317,7 +355,9 @@ object RefineKernel {
         if (rows.isEmpty) Iterator.empty
         else {
           val kern = new PartitionKernel(rows, pp)
-          bq.value.iterator.flatMap(q => kern.topKFor(q.qid, q.qvec))
+          bq.value.iterator.flatMap(q =>
+            if (emitAllFetched) kern.fetchedFor(q.qid, q.qvec)
+            else kern.topKFor(q.qid, q.qvec))
         }
       }
   }

@@ -181,6 +181,29 @@ object RefineOracle {
        |FROM m""".stripMargin
   }
 
+  /**
+   * Packed bit-plane popcount oracle ([[graft.operators.BitplaneCompress
+   * .planePopcounts]]): the fixture component's fp16 word is pure integer
+   * arithmetic — sign bit from the sign mix, exponent field 15+s with
+   * s in {-1,0,1}, mantissa field = mant — so each kept plane's set-bit
+   * total is a SUM of integer bit extractions DuckDB evaluates exactly.
+   * Plane order matches packBitplanes: sign, exp MSB->LSB (bit 5-p of the
+   * field for plane p), mantissa MSB->LSB (bit 10-(p-keepE) of mant).
+   */
+  def packedPopcountSql(d: Int, keepE: Int, keepM: Int): String = {
+    import graft.Fixture.{SgnMul, SgnJ, ScMul, ScJ, BigP}
+    val sInt = s"((((key*($ScMul + j*$ScJ) + j) % $BigP) % 3) - 1)"
+    val signBit = s"(CASE WHEN ((key*($SgnMul + j*$SgnJ) + j) % $BigP) % 2 = 0 THEN 0 ELSE 1 END)"
+    val planes = (0 until 1 + keepE + keepM).map { p =>
+      val bit =
+        if (p == 0) signBit
+        else if (p <= keepE) s"(((15 + $sInt) >> ${5 - p}) & 1)"
+        else s"(($mantExpr >> ${10 - (p - keepE)}) & 1)"
+      s"SELECT $p AS plane, CAST(SUM($bit) AS BIGINT) AS n_ones FROM keys CROSS JOIN dims"
+    }
+    s"WITH ${keysAndDims(d)}\n" + planes.mkString("\nUNION ALL\n")
+  }
+
   /** Precision-reduction projection oracle (P2-P4): flat rows
     * (id, j, v, rv, dv) for a bounded id set. */
   def reduceSql(d: Int, keepM: Int, maxId: Long): String =

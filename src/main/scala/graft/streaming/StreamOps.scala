@@ -28,15 +28,19 @@ object StreamOps {
     spark.readStream.schema(eventsSchema).parquet(eventsDir)
   }
 
-  /** Incremental vector ingest: each event becomes a vector row with its
-    * reduced copy + delta sidecar (the streaming analog of the batch
-    * reduced-table build). Pure per-row projection -> works on streams. */
+  /** Incremental index-build transform: each arriving vector id gets its
+    * full/reduced/delta columns synthesized (the streaming analog of the
+    * batch reduced-table build). Pure per-row projection -> works on
+    * streams. */
+  def vectorIngest(ids: DataFrame, d: Int, keepM: Int): DataFrame =
+    ids.select(col("id"),
+      Fixture.fp16Vec(col("id"), d).as("vec"),
+      Fixture.fp16ReducedVec(col("id"), d, keepM).as("rvec"),
+      Fixture.fp16DeltaVec(col("id"), d, keepM).as("delta"))
+
+  /** [[vectorIngest]] keyed by event id. */
   def eventVectors(events: DataFrame, d: Int, keepM: Int): DataFrame =
-    events.select(col("event_id").as("id"))
-      .select(col("id"),
-        Fixture.fp16Vec(col("id"), d).as("vec"),
-        Fixture.fp16ReducedVec(col("id"), d, keepM).as("rvec"),
-        Fixture.fp16DeltaVec(col("id"), d, keepM).as("delta"))
+    vectorIngest(events.select(col("event_id").as("id")), d, keepM)
 
   /** Watermarked sliding-window aggregation over the event stream. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -227,6 +231,63 @@ object StreamOps {
         log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("user_id"), col("n_events"), col("n_sessions"))
       }, schema)
+  }
+
+  /** Stage the fixture's vector-id column as a parquet landing directory
+    * (the stream source for the index-maintenance path), refreshed when
+    * the source table is newer. */
+  def ensureIdLanding(spark: SparkSession, sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ids_landing_$safe"
+    val marker = new java.io.File(dir, "_SUCCESS")
+    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    synchronized {
+      if (!marker.exists() || marker.lastModified < src.lastModified)
+        graft.Tables.lineitem(spark, sfDir)
+          .select(graft.Fixture.lineitemKey.as("id")).distinct()
+          .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /**
+   * Streaming INDEX MAINTENANCE on the graded surface: the fixture ids
+   * are drained through a real file-source stream (AvailableNow), each
+   * microbatch appending its synthesized full/reduced/delta vectors to a
+   * fresh parquet layout ([[vectorIngest]] + foreachBatch — the same
+   * incremental-refresh pattern as [[maintainReducedCopy]]), and the
+   * refinement operator then runs OVER THE STREAMED TABLE with no
+   * rebuild. With the stream fully drained the table equals the batch
+   * fixture, so the result is hash-equal to the batch `q_refine_<mode>`
+   * twin and shares its DuckDB oracle. The result (NQ*K rows) is pinned
+   * via eager localCheckpoint and the scratch layout deleted.
+   */
+  def refineOverStream(spark: SparkSession, sfDir: String, d: Int, keepM: Int,
+                       p: graft.operators.Refine.Params): DataFrame = {
+    val landing = ensureIdLanding(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_index_")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType))))
+      .parquet(landing)
+    val q = vectorIngest(stream, d, keepM)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .option("compression", "zstd")
+          .parquet(outDir.toString)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stored = spark.read.parquet(outDir.toString)
+    val queries = Fixture.queries(stored, graft.SparkEntry.NQ)
+      .select(col("qid"), col("qvec"))
+    val out = graft.operators.Refine.topk(stored, queries, p)
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    out
   }
 
   /** Streaming near-duplicate gate: score incoming vectors against a

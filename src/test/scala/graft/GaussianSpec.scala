@@ -85,6 +85,33 @@ class GaussianSpec extends AnyFunSuite {
     assert(tk < tr, f"kernel $tk%.2fs not faster than relational $tr%.2fs")
   }
 
+  test("hoeffding running-tau kernel: subset fetch, fewer fetches, recall at D=128") {
+    // the reference's headline mode (ANNCode.py:307-370): running tau on
+    // a single partition provably fetches a SUBSET of the static-tau0
+    // relational fetch set (first K walked candidates are the relational
+    // seeds, so tau starts at tau0 and only tightens), while keeping
+    // recall above the tuned floor
+    val v1 = v.coalesce(1)
+    for (mode <- Seq("cos_hoeff", "l2_hoeff")) {
+      val p = Refine.Params(mode, k = K, keepM = KeepM)
+      val rel = Refine.fetched(v1, q, p).select("qid", "id").persist()
+      val ker = RefineKernel.fetchedAll(v1, q, p).toDF()
+        .select("qid", "id").persist()
+      assert(ker.join(rel, Seq("qid", "id"), "left_anti").count() == 0,
+        s"$mode: kernel fetched a candidate the static filter rejected")
+      val (nk, nr) = (ker.count(), rel.count())
+      assert(nk <= nr, s"$mode: kernel fetched $nk > relational $nr")
+      assert(nk >= K.toLong * Qn, s"$mode: fewer than the K seeds fetched")
+      assert(nk < N.toLong * Qn, s"$mode: no bandwidth saving at all")
+      val hits = RefineKernel.topk(v1, q, p)
+        .join(Refine.exactTopK(v, q, p).select("qid", "id"), Seq("qid", "id"))
+        .count()
+      val recall = hits.toDouble / (K * Qn)
+      assert(recall >= 0.9, s"$mode kernel recall $recall < 0.9")
+      rel.unpersist(blocking = false); ker.unpersist(blocking = false)
+    }
+  }
+
   test("gaussian fixture is partitioning-invariant") {
     val a = Fixture.gaussianVectors(spark, 100, 16, 6)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap

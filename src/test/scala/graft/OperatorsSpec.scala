@@ -327,6 +327,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(binned == direct && binned.nonEmpty)
   }
 
+  test("sharded vector exports round-trip with positional ids, ignoring orphan parts") {
+    import graft.sources.VecFiles
+    val v = Fixture.vectors(spark, dir, SparkEntry.D).orderBy("id")
+    val want = v.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    for ((ext, write, read) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, String, Int) => Unit,
+        String => org.apache.spark.sql.DataFrame)](
+      ("fvecs", VecFiles.writeFvecsSharded, p => VecFiles.readFvecsSharded(spark, p)),
+      ("bin", VecFiles.writeHeaderBinSharded, p => VecFiles.readHeaderBinSharded(spark, p)))) {
+      val out = java.nio.file.Files.createTempDirectory(s"shards_$ext").toString
+      write(v, out, SparkEntry.D)
+      // an orphan part from a failed export has no manifest entry and
+      // must be invisible to the reader
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, s"part-99999.$ext"), Array[Byte](1, 2, 3))
+      val got = read(out).orderBy("id").collect()
+      assert(got.length == want.length, s"$ext row count")
+      // ids are the 0-based global record index in manifest part order,
+      // which (range-ordered write) is fixture-id order
+      assert(got.map(_.getLong(0)).toSeq == (0L until want.length).toSeq)
+      got.zip(want).foreach { case (r, (_, wv)) =>
+        assert(r.getSeq[Float](1).toArray.sameElements(wv), s"$ext values") }
+      if (ext == "bin") {
+        // every header-bin part is itself a complete S2 file
+        val part0 = new java.io.File(out).listFiles()
+          .map(_.getName).filter(_.matches("part-0000\\d\\.bin")).min
+        val standalone = VecFiles.readHeaderBin(spark, s"$out/$part0").count()
+        val manifested = scala.io.Source.fromFile(s"$out/_manifest").getLines()
+          .find(_.startsWith(part0)).get.split("\\s+")(1).toLong
+        assert(standalone == manifested && manifested > 0)
+      }
+    }
+  }
+
   test("corpus-clean funnel is monotone and keeps canonical docs") {
     val rows = SparkEntry.qCorpusClean(spark, dir).collect()
     graft.operators.Dedup.releaseIntermediates()

@@ -100,8 +100,12 @@ class PlanSpec extends AnyFunSuite {
     // trees fused into cosL2Stat exceeded the 64KB method limit). cos_l2
     // exercises the bb path, the worst offender.
     import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    // qRefineD128 extends the lock to realistic width: 128 CASE-tree
+    // synthesis columns x 3 arrays under the cos_l2 bb dot — the widest
+    // codegen the engine emits anywhere
     for (df <- Seq(SparkEntry.qRefine(spark, dir, "cos_l2"),
-                   SparkEntry.qRefineDisagg(spark, dir, "cos_l1"))) {
+                   SparkEntry.qRefineDisagg(spark, dir, "cos_l1"),
+                   SparkEntry.qRefineD128(spark, dir))) {
       df.collect() // finalize AQE so the executed plan holds the real stages
       val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
         df.queryExecution.executedPlan)
@@ -160,6 +164,78 @@ class PlanSpec extends AnyFunSuite {
     // data instead of the whole inverted file
     assert(plan.contains("PartitionFilters: [cell"),
       s"no cell partition filter on the index scan:\n$plan")
+  }
+
+  test("dedup band join: AQE splits an adversarial hot band bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // 4000 identical docs share EVERY simhash band value -> one hot band
+    // bucket whose self-join is the classic skew hazard of LSH-style
+    // candidate generation; AQE's skew-join split is what keeps the
+    // max-task bounded at 100 TB (no salting needed: the band join is a
+    // plain shuffle equi-join, exactly the shape OptimizeSkewedJoin
+    // handles)
+    val docs = (Seq.tabulate(4000)(i =>
+        (i.toLong, "the same words repeated over and over again", "s0")) ++
+      Seq.tabulate(300)(i =>
+        ((10000 + i).toLong, s"unique document ${i * 7} ${i * 13} ${i * 29}", "s0")))
+      .toDF("doc_id", "text", "source")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      // thresholds scaled down to the test corpus: the hot bucket's
+      // shuffle partition must exceed them while the MEDIAN stays below —
+      // the same RELATIVE shape a real hot key has (shuffle bytes are
+      // LZ4-compressed, so thousands of near-identical hot rows measure
+      // only tens of KB)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // the band join feeds a distinct (another shuffle), which makes the
+      // split "introduce extra shuffle" in AQE's book — force it, as a
+      // production config for this operator would
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // skew splits are MAPPER-granular: AQE coalescing would shrink this
+      // tiny corpus's upstream stage to ~1 map task, making the hot
+      // reduce partition one indivisible chunk. A 100 TB corpus has
+      // thousands of mappers; keep them here so the test preserves that
+      // shape.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // enough reducers that the skew test's MEDIAN partition is a tail
+      // partition (with 4 reducers the handful of hot band keys land in
+      // most partitions and the factor-vs-median test can never trip)
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val pairs = graft.operators.Dedup.simhashPairs(docs, 16, 4)
+      // execute THIS DataFrame's plan (count() builds a separate query
+      // execution and would leave pairs' adaptive plan unfinalized)
+      val n = pairs.queryExecution.toRdd.count()
+      graft.operators.Dedup.releaseIntermediates()
+      assert(n >= 4000L * 3999 / 2, s"hot bucket pairs missing: $n")
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => s +: walk(s.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val smjs = walk(pairs.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, "expected sort-merge band join under AQE")
+      assert(smjs.exists(_.isSkewJoin),
+        s"no skew-join split on the hot band bucket:\n${smjs.mkString("\n")}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("fixture scan prunes lineitem to the two key columns") {
