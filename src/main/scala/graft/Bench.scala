@@ -38,8 +38,10 @@ object Bench {
     val t0 = System.nanoTime()
     // q_sweep re-runs four full refinement pipelines the suite already
     // times individually (and q_refine_metrics times six; q_tune_delta
-    // four more) — skip the duplicate work in the timing run; the
-    // correctness gate covers both.
+    // four more; q_refine_metrics_d128 re-runs the accounting pipeline
+    // whose D=128 scan/refine cost q_refine_d128 already times) — skip
+    // the duplicate work in the timing run; the correctness gate covers
+    // them all.
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration
     // aid; unset in driver runs). The ONLY filter is applied INSTEAD of
     // the default q_sweep/q_tune_delta exclusion (so those two remain
@@ -52,7 +54,8 @@ object Bench {
     val benched = only match {
       case Some(sel) => SparkEntry.queries.view.filterKeys(sel.contains).toSeq
       case None => SparkEntry.queries.view
-        .filterKeys(k => k != "q_sweep" && k != "q_tune_delta").toSeq
+        .filterKeys(k => k != "q_sweep" && k != "q_tune_delta" &&
+          k != "q_refine_metrics_d128").toSeq
     }
     // warm the session-shared fixture caches once before the concurrent
     // fan-out: the first wave of refine queries would otherwise race to
@@ -63,6 +66,10 @@ object Bench {
     if (only.isEmpty) {
       graft.Fixture.fp16VectorsCached(spark, sfDir, SparkEntry.D, SparkEntry.KeepM).count()
       graft.Fixture.vectorsCached(spark, sfDir, SparkEntry.D).count()
+      // the D=128 fixture feeds three queries; racing them would compute
+      // the heavy 384-CASE-tree synthesis once per racer
+      graft.Fixture.fp16VectorsModCached(spark, sfDir, SparkEntry.D128,
+        SparkEntry.KeepM, SparkEntry.D128KeyMod).count()
     }
 
     // submit the known-heavy queries first (longest-processing-time-first

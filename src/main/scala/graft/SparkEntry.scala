@@ -62,8 +62,18 @@ object SparkEntry {
     * DuckDB oracle exactly. */
   final val D128 = 128
 
+  /** The D=128 queries run on the deterministic `id % D128KeyMod == 0`
+    * slice: realistic WIDTH is what these queries prove (the per-
+    * dimension machinery — synthesis trees, codegen folds, cushion
+    * arithmetic), and a 16x-wider fixture would otherwise dominate the
+    * bench wall with redundant volume already covered by the D=8 suite.
+    * The slice is still ~18x the reference's own demo corpus (N=2000,
+    * ANNCode.py:816-819) at sf0.1. The oracle restricts its key CTE
+    * identically. */
+  final val D128KeyMod = 16
+
   private def fix128(s: SparkSession, dir: String): DataFrame =
-    Fixture.fp16VectorsCached(s, dir, D128, KeepM)
+    Fixture.fp16VectorsModCached(s, dir, D128, KeepM, D128KeyMod)
 
   /** Relational refine at D=128 — cos_l2 is the worst codegen path (its
     * bb stat dots vec against rvec on top of the synthesis trees; the
@@ -116,22 +126,34 @@ object SparkEntry {
   def qKernelHoeffInvariants(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v0 = Fixture.fp16VectorsCached(s, dir, D, KeepM)
-    // single partition = the reference's sequential semantics; the subset
-    // invariant is only defined there (a partitioned kernel re-pays the K
-    // seed fills per partition)
-    val v1 = v0.coalesce(1)
+    // single partition = the reference's sequential semantics; ONLY the
+    // kernel needs it (the subset invariant is defined against its
+    // sequential walk; a partitioned kernel re-pays the K seed fills per
+    // partition). The RELATIONAL fetch set is partitioning-invariant —
+    // static tau0 over exact fixture arithmetic — so it runs on the
+    // parallel table: running it on the coalesced copy was a 60s
+    // single-thread stall at sf0.1 for identical results.
+    // deterministic 1/3 subset: the invariants are per-dataset statements
+    // equally binding on any real slice, and the sequential walk's cost
+    // (single-task row decode + per-query sorts) is linear in N
+    val vSub = v0.filter(col("id") % 3 === 0)
+    val v1 = vSub.coalesce(1)
     val q = Fixture.queries(v0, NQ).select(col("qid"), col("qvec"))
     val rows = Seq("cos_hoeff", "l2_hoeff").map { mode =>
       val p = refineParams(mode)
-      val rel = Refine.fetched(v1, q, p).select(col("qid"), col("id")).persist()
-      val ker = RefineKernel.fetchedAll(v1, q, p).toDF()
-        .select(col("qid"), col("id")).persist()
+      val rel = Refine.fetched(vSub, q, p).select(col("qid"), col("id")).persist()
+      // one sequential walk yields the fetch set WITH full scores; the
+      // kernel's top-K is by construction the best K of that set, so no
+      // second walk is needed
+      val kerAll = RefineKernel.fetchedAll(v1, q, p).toDF().persist()
+      val ker = kerAll.select(col("qid"), col("id"))
       val extras = ker.join(rel, Seq("qid", "id"), "left_anti").count()
-      val (nKer, nRel) = (ker.count(), rel.count())
-      val hits = RefineKernel.topk(v1, q, p)
-        .join(Refine.exactTopK(v0, q, p).select(col("qid"), col("id")),
+      val (nKer, nRel) = (kerAll.count(), rel.count())
+      val kTop = TopK.window(kerAll, p.k, ascending = !p.isCos)
+      val hits = kTop
+        .join(Refine.exactTopK(vSub, q, p).select(col("qid"), col("id")),
           Seq("qid", "id")).count()
-      rel.unpersist(blocking = false); ker.unpersist(blocking = false)
+      rel.unpersist(blocking = false); kerAll.unpersist(blocking = false)
       (mode, extras == 0L, nKer <= nRel, nKer >= K.toLong * NQ,
         hits.toDouble / (K * NQ) >= KernelHoeffFloor)
     }
@@ -876,9 +898,9 @@ object SparkEntry {
     "q_refine_kernel_l2_tz"  -> RefineOracle.topkSql(D, NQ, refineParams("l2_tz")),
     // D=128: the oracle generators are dimension-generic (dims table +
     // SUM over j), so realistic width rides the same SQL
-    "q_refine_d128"         -> RefineOracle.topkSql(D128, NQ, refineParams("cos_l2")),
-    "q_refine_kernel_d128"  -> RefineOracle.topkSql(D128, NQ, refineParams("l2_tz")),
-    "q_refine_metrics_d128" -> RefineOracle.metricsSql(D128, NQ, refineParams("cos_hoeff")),
+    "q_refine_d128"         -> RefineOracle.topkSql(D128, NQ, refineParams("cos_l2"), D128KeyMod),
+    "q_refine_kernel_d128"  -> RefineOracle.topkSql(D128, NQ, refineParams("l2_tz"), D128KeyMod),
+    "q_refine_metrics_d128" -> RefineOracle.metricsSql(D128, NQ, refineParams("cos_hoeff"), D128KeyMod),
     // provable invariants stated as constants (see qKernelHoeffInvariants)
     "q_kernel_hoeff" ->
       """SELECT 'cos_hoeff' AS mode, TRUE AS subset_ok, TRUE AS tighter_ok,

@@ -219,4 +219,14 @@ object Fixture {
   def fp16VectorsCached(spark: SparkSession, sfDir: String, d: Int,
                         keepM: Int): DataFrame =
     cached(spark, "fp16", sfDir, d, keepM)(fp16Vectors(spark, sfDir, d, keepM))
+
+  /** Deterministic `id % mod == 0` slice of the fp16 fixture, cached
+    * separately: the filter sits below the per-component synthesis
+    * projection, so only the slice is ever synthesized/persisted — at
+    * D=128 the full-corpus fixture is ~16x the D=8 one, and the
+    * realistic-width queries only need a real slice, not every row. */
+  def fp16VectorsModCached(spark: SparkSession, sfDir: String, d: Int,
+                           keepM: Int, mod: Int): DataFrame =
+    cached(spark, s"fp16mod$mod", sfDir, d, keepM)(
+      fp16Vectors(spark, sfDir, d, keepM).filter(col("id") % mod === 0))
 }

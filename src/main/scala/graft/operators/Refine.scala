@@ -199,10 +199,21 @@ object Refine {
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),
       norm2Sq(col("qvec")).as("nq2")))
 
+    // The seed ids and their rescored full scores are Q*k-row relations
+    // consumed by three branches each (seed rescore / tau0 / exclusion,
+    // and tau0 / final union): without a barrier every consumer would
+    // RE-EXECUTE the whole candidate pass (and the full-table seed
+    // probe) — the dominant cost of the operator repeated 3x. An eager
+    // localCheckpoint runs each exactly once and pins only Q*k tiny rows
+    // in the block manager (freed by the ContextCleaner when the plan is
+    // dropped); values are bit-identical, and nothing unbounded ever
+    // reaches the driver.
+    val seedIds = seedSelect(cand, p.k, p.isCos).localCheckpoint(true)
     // seeds: stream the full table once, probing the broadcast seed set
-    val seedIds = seedSelect(cand, p.k, p.isCos)
     val seeds = vSel.join(broadcast(seedIds), Seq("id")).join(qSel, Seq("qid"))
       .withColumn("s_full", fullScore(p))
+      .select(col("qid"), col("id"), col("s_full"), col("rn"))
+      .localCheckpoint(true)
 
     // tau0: worst full-precision score among the seeds
     val tau0 = broadcast(
@@ -305,12 +316,13 @@ object Refine {
     // cos_l2's cheap side carries the extra query-free `bb` stat; the
     // extra column is inert for the other modes' expressions
     val vpre = cheapSide(vectors, ps.find(_.mode == "cos_l2").getOrElse(ps.head))
-    // the candidate pass feeds the seed branch plus one survivor filter
-    // per param; a sweep rescans it |ps|+1 times, which is when
-    // materializing pays (single-param calls recompute the map-side pass)
-    val candPersisted = ps.length > 1
+    // the candidate pass feeds the seed branch plus the survivor filter
+    // (and one more scan per extra param in a sweep) — always materialize
+    // it once; (qid, id, s_hat, cush*) rows are narrow, so the cache is a
+    // small fraction of the pass's own compute
+    val candPersisted = true
     val cand0 = candidatesMulti(vpre, queries, ps)
-    val cand = if (candPersisted) cand0.persist(StorageLevel.MEMORY_AND_DISK) else cand0
+    val cand = cand0.persist(StorageLevel.MEMORY_AND_DISK)
 
     val vSel = vectors.select(col("id"), col("vec"))
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),

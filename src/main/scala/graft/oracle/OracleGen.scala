@@ -20,10 +20,16 @@ object OracleGen {
   /** VALUES list (0),(1),...,(d-1) for the dims CTE. */
   def dimsValues(d: Int): String = (0 until d).map(j => s"($j)").mkString(",")
 
-  /** Shared CTE prefix: distinct lineitem keys + dim index table. */
-  def keysAndDims(d: Int): String =
-    s"""keys AS (SELECT DISTINCT l_orderkey*10 + l_linenumber AS key FROM lineitem),
+  /** Shared CTE prefix: distinct lineitem keys + dim index table.
+    * `keyMod > 1` restricts to the deterministic `key % keyMod == 0`
+    * slice (mirrors Fixture.fp16VectorsModCached). */
+  def keysAndDims(d: Int, keyMod: Int = 1): String = {
+    val where =
+      if (keyMod > 1) s" WHERE (l_orderkey*10 + l_linenumber) % $keyMod = 0"
+      else ""
+    s"""keys AS (SELECT DISTINCT l_orderkey*10 + l_linenumber AS key FROM lineitem$where),
        |dims AS (SELECT j FROM (VALUES ${dimsValues(d)}) AS t(j))""".stripMargin
+  }
 
   /** Mixing hash — j in the multiplier (see Fixture.h). */
   private def hExpr =

@@ -19,8 +19,8 @@ object RefineOracle {
   private def fn(x: String) = s"$g(sqrt($x), 1e-12)"
 
   /** Shared CTEs: synthesized full/reduced/delta components + norms. */
-  def baseCtes(d: Int, nq: Int, keepM: Int): String =
-    s"""${keysAndDims(d)},
+  def baseCtes(d: Int, nq: Int, keepM: Int, keyMod: Int = 1): String =
+    s"""${keysAndDims(d, keyMod)},
        |vd AS (SELECT key, j,
        |  CAST($fp16Comp AS DOUBLE) AS v,
        |  CAST(${fp16ReducedComp(keepM)} AS DOUBLE) AS rv,
@@ -97,9 +97,9 @@ object RefineOracle {
   }
 
   /** Full refined-top-K oracle: (qid, rank INT, id, score DOUBLE). */
-  def topkSql(d: Int, nq: Int, p: Refine.Params): String = {
+  def topkSql(d: Int, nq: Int, p: Refine.Params, keyMod: Int = 1): String = {
     val ord = if (p.isCos) "s_full DESC, id ASC" else "s_full ASC, id ASC"
-    s"""WITH ${baseCtes(d, nq, p.keepM)},
+    s"""WITH ${baseCtes(d, nq, p.keepM, keyMod)},
        |${pipelineCtes(p)},
        |final AS (SELECT qid, id, s_full,
        |  row_number() OVER (PARTITION BY qid ORDER BY $ord) AS rnk FROM fetchset)
@@ -112,8 +112,8 @@ object RefineOracle {
    * (mode, m_keep, delta, recall, save, fpr) — integer counts aggregated
    * first, single division at the end (ANNCode.py:316-318, 364-369).
    */
-  def metricsSql(d: Int, nq: Int, p: Refine.Params): String =
-    metricsSqlWithRedBytes(d, nq, p, (p.bitsRed * d / 8.0).toString)
+  def metricsSql(d: Int, nq: Int, p: Refine.Params, keyMod: Int = 1): String =
+    metricsSqlWithRedBytes(d, nq, p, (p.bitsRed * d / 8.0).toString, keyMod)
 
   /** [[metricsSql]] with the reduced-bytes/vec term as a caller-supplied
     * SQL expression — the `red_bytes_override` composition
@@ -122,13 +122,13 @@ object RefineOracle {
     * side's exact double tree (e.g. `(CAST(c AS DOUBLE) / n)` for
     * `c.toDouble / n`). */
   def metricsSqlWithRedBytes(d: Int, nq: Int, p: Refine.Params,
-                             bRed: String): String = {
+                             bRed: String, keyMod: Int = 1): String = {
     val ord     = if (p.isCos) "s_full DESC, id ASC" else "s_full ASC, id ASC"
     val exactOrd =
       if (p.isCos) "s_exact DESC, id ASC" else "s_exact ASC, id ASC"
     val (_, sFull, _) = scoredExprs(p)
     val bFull = 16.0 * d / 8.0
-    s"""WITH ${baseCtes(d, nq, p.keepM)},
+    s"""WITH ${baseCtes(d, nq, p.keepM, keyMod)},
        |${pipelineCtes(p)},
        |final AS (SELECT qid, id,
        |  row_number() OVER (PARTITION BY qid ORDER BY $ord) AS rnk FROM fetchset),
