@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale soak: no sf1 testdata exists, so the soak scales inputs
+ * ENGINE-SIDE and runs the operators whose cost curves are nonlinear —
+ * pair generation (LSH band join, simhash banding, n-gram join),
+ * connected-components round count, and the kernel-vs-relational refine
+ * paths — sequentially, with per-step wall times.
+ *
+ *  - Corpus: the sf documents table replicated `SOAK_MULT` times with
+ *    offset ids; even replicas keep the text verbatim (exact-duplicate
+ *    floods — hot digest/band keys), odd replicas get a per-replica
+ *    suffix token (near-duplicate chains that must still band together).
+ *  - Vectors: counter-based Gaussian fixture at `SOAK_N` rows — the
+ *    fixture is a pure function of (seed, id, j), so any N is available
+ *    without on-disk data.
+ *
+ * Invariant checks ride along (kernel == exact for the zero-miss mode;
+ * every exact-duplicate group resolved to one keeper), so the soak fails
+ * loudly rather than "passing" on garbage. Prints ONE JSON line and
+ * writes SOAK_RESULT (default soak_result.json).
+ */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mult = sys.env.getOrElse("SOAK_MULT", "10").toInt
+    // the flood invariant below needs >=2 verbatim replicas (mult/2) so
+    // exact-duplicate groups are distinguishable from the odd singletons
+    require(mult >= 4 && mult % 2 == 0, s"SOAK_MULT must be even and >= 4, got $mult")
+    val nVec = sys.env.getOrElse("SOAK_N", "4000000").toInt
+    val dVec = sys.env.getOrElse("SOAK_D", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def step(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      times(name) = (System.nanoTime() - t0) / 1e9
+      counts(name) = n
+      System.err.println(f"[soak] $name%-22s ${times(name)}%8.1f s  n=$n")
+    }
+
+    val docs0 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val nBase = docs0.count()
+    // base-internal duplicates merge verbatim-replica groups, so the
+    // flood count is per distinct text, not per row
+    val nDistinctText = docs0.select("text").distinct().count()
+    // replica r: ids offset by r*10^7; odd replicas perturbed by a suffix
+    // token so simhash/minhash see near- (not exact-) duplicates
+    val big = (0 until mult).map { r =>
+      val text =
+        if (r % 2 == 1) concat(col("text"), lit(s" soakreplica$r"))
+        else col("text")
+      docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBig = big.count()
+    require(nBig == nBase * mult, s"replication lost rows: $nBig")
+
+    step("dedup_exact") {
+      val groups = operators.Dedup.exact(big)
+      val n = groups.count()
+      // every even-replica copy collapses into its original's digest
+      // group: exactly one size->=mult/2 group per distinct base text
+      // (odd replicas are per-replica singletons, size < mult/2)
+      val flood = groups.filter(col("dup_count") >= mult / 2).count()
+      require(flood == nDistinctText,
+        s"exact-duplicate floods missing: $flood != $nDistinctText")
+      n
+    }
+    step("simhash_pairs") {
+      operators.Dedup.simhashPairs(big, SparkEntry.SimhashBits,
+        SparkEntry.MaxHamming).count()
+    }
+    step("dedup_groups_cc") {
+      val labels = operators.Dedup.connectedComponents(
+        operators.Dedup.simhashPairs(big, SparkEntry.SimhashBits,
+          SparkEntry.MaxHamming))
+      labels.count()
+    }
+    step("minhash_lsh") {
+      operators.Dedup.lshPairs(
+        operators.Dedup.minhashSignatures(
+          operators.Dedup.wordNgrams(big, SparkEntry.Shingle),
+          SparkEntry.NumHashes),
+        SparkEntry.Bands, SparkEntry.RowsPerBand).count()
+    }
+    step("ngram_jaccard") {
+      operators.Dedup.ngramJaccardPairs(big, SparkEntry.JaccardN,
+        SparkEntry.MinJaccard, SparkEntry.MaxGramDf).count()
+    }
+    operators.Dedup.releaseIntermediates()
+    big.unpersist(blocking = false)
+
+    // vectors: kernel vs relational refine at multi-million N
+    val v = Fixture.gaussianVectors(spark, nVec, dVec, SparkEntry.KeepM)
+      .repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count()
+    val q = v.orderBy("id").limit(SparkEntry.NQ)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    q.count()
+    val p = operators.Refine.Params("cos_l1", k = SparkEntry.K,
+      keepM = SparkEntry.KeepM)
+    var kernelSet: Set[Seq[Any]] = null
+    step("refine_kernel") {
+      val r = operators.RefineKernel.topk(v, q, p)
+        .select("qid", "rank", "id").collect()
+      kernelSet = r.map(_.toSeq).toSet
+      r.length.toLong
+    }
+    step("refine_relational") {
+      val r = operators.Refine.topk(v, q, p)
+        .select("qid", "rank", "id").collect()
+      require(r.map(_.toSeq).toSet == kernelSet,
+        "kernel and relational top-K diverged at soak scale")
+      r.length.toLong
+    }
+
+    val total = times.values.sum
+    def jnum(d: Double) = f"$d%.3f"
+    val qs = times.map { case (k, t) =>
+      "\"" + k + "\":{\"sec\":" + jnum(t) + ",\"rows\":" + counts(k) + "}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"soak","value":${jnum(total)},"unit":"sec",""" +
+      s""""steps":$qs,"docs":$nBig,"vectors":$nVec,"d":$dVec,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SOAK_RESULT", "soak_result.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
