@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Parameter-sweep harness (reference `sweep_and_plot`,
  * `/root/reference/ANNCode.py:729-789`): run the accounting metrics for a
  * grid of (mode, keepM [, delta]) configurations and union the rows into
- * one `metrics` DataFrame — the artifact's CSV result table. Plots are
- * presentation, not engine surface; [[writeCsv]] is the K1 sink.
+ * one `metrics` DataFrame — the artifact's CSV result table.
+ * [[writeCsv]] is the K1 sink; [[Plot.writeSweepPngs]] is the K2 sink
+ * (the reference's `{mode}_recall_vs_save.png` / `{mode}_fpr_vs_mbits.png`).
  */
 object Sweep {
 

@@ -58,9 +58,10 @@ class StorageSpec extends AnyFunSuite {
       .select(col("qid"), col("qvec"))
     val grid = Sweep.Grid(modes = Seq("cos_l1", "l2_tz", "cos_hoeff"),
       keepMs = Seq(4, 8), k = 5)
-    val m = Sweep.run(
+    val mDf = Sweep.run(
       km => Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, km), q,
-      SparkEntry.D, grid).collect()
+      SparkEntry.D, grid)
+    val m = mDf.collect()
     assert(m.length == 6) // 3 modes x 2 keepMs
     m.foreach { r =>
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // recall
@@ -69,6 +70,14 @@ class StorageSpec extends AnyFunSuite {
     // zero-miss rows must have recall exactly 1.0
     m.filter(r => r.getString(0) == "cos_l1" || r.getString(0) == "l2_tz")
       .foreach(r => assert(r.getDouble(3) == 1.0))
+    // K1 CSV sink round-trips the grid; K2 plot sink renders it
+    val out = java.nio.file.Files.createTempDirectory("sweep").toString
+    Sweep.writeCsv(mDf, s"$out/csv")
+    val back = spark.read.option("header", "true").csv(s"$out/csv")
+    assert(back.count() == 6 && back.columns.toSeq ==
+      Seq("mode", "m_keep", "delta", "recall", "save", "fpr"))
+    assert(graft.operators.Plot.writeSweepPngs(mDf, s"$out/png", grid.k)
+      .size == 6) // 3 modes x 2 charts
   }
 
   test("compressed-bytes override tightens the saving (O6 path)") {
@@ -86,6 +95,36 @@ class StorageSpec extends AnyFunSuite {
     // strictly more saving (paper §4.3 composition)
     assert(measured < 12.0, s"measured=$measured not < naive 12B")
     assert(overr > naive, s"override saving $overr <= naive $naive")
+  }
+
+  test("K2 plot sink renders the reference's two sweep charts per mode") {
+    import spark.implicits._
+    val metrics = Seq(
+      ("cos_l1", 4, 0.0, 1.0, 0.61, 0.012),
+      ("cos_l1", 6, 0.0, 1.0, 0.44, 0.007),
+      ("cos_l1", 8, 0.0, 1.0, 0.21, 0.003),
+      ("l2_hoeff", 4, 0.7, 0.96, 0.70, 0.020),
+      ("l2_hoeff", 6, 0.7, 0.99, 0.52, 0.011))
+      .toDF("mode", "m_keep", "delta", "recall", "save", "fpr")
+    val out = java.nio.file.Files.createTempDirectory("plots").toString
+    val paths = graft.operators.Plot.writeSweepPngs(metrics, out, k = 5)
+    assert(paths.size == 4) // 2 modes x (recall_vs_save, fpr_vs_mbits)
+    assert(paths.exists(_.endsWith("cos_l1_recall_vs_save.png")))
+    assert(paths.exists(_.endsWith("l2_hoeff_fpr_vs_mbits.png")))
+    paths.foreach { p =>
+      val img = javax.imageio.ImageIO.read(new java.io.File(p))
+      assert(img != null, s"$p is not a decodable PNG")
+      assert(img.getWidth == 900 && img.getHeight == 600)
+      // the series must actually be drawn: look for the marker color
+      val series = new java.awt.Color(31, 119, 180).getRGB
+      val drawn = (0 until img.getWidth by 3).exists(x =>
+        (0 until img.getHeight by 3).exists(y => img.getRGB(x, y) == series))
+      assert(drawn, s"$p has no series pixels")
+    }
+    // a single-point, constant-value series must not divide by zero
+    graft.operators.Plot.writeXyPng(s"$out/one.png", Seq(0.5), Seq(1.0),
+      "x", "y", "degenerate")
+    assert(javax.imageio.ImageIO.read(new java.io.File(s"$out/one.png")) != null)
   }
 
   test("fvecs and header-bin sources reproduce the in-memory cosine topk") {
