@@ -363,6 +363,8 @@ object SparkEntry {
   final val JaccardN = 2   // bigrams: trigram overlap is too sparse in the corpus
   final val MinJaccard = 0.05
   final val MaxGramDf = 200  // stop-shingle document-frequency cap
+  final val DecontamN = 3    // trigram collision = contamination flag
+  final val DecontamEvalMod = 97 // doc_id % mod == 0 -> held-out eval split
   final val EmbD = 64
   final val MinCos = 0.25
   final val IvfCells = 8
@@ -668,6 +670,12 @@ object SparkEntry {
     "q_corpus_clean"  -> q((s, dir) => qCorpusClean(s, dir)),
     "q_ngram_jaccard" -> q((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), JaccardN, MinJaccard, MaxGramDf)),
+    "q_decontaminate" -> q((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(col("doc_id") % DecontamEvalMod =!= 0),
+        d.filter(col("doc_id") % DecontamEvalMod === 0), DecontamN)
+    }),
     // text analysis
     "q_token_stats" -> q((s, dir) => TextOps.tokenStats(docs(s, dir))),
     // vocabulary seed: global top-N tokens, total-order (count desc, tok)
@@ -842,6 +850,7 @@ object SparkEntry {
     "q_corpus_clean"  -> DocOracle.corpusCleanSql(TextOps.Stopwords, QualityFloor,
       SimhashBits, MaxHamming),
     "q_ngram_jaccard" -> DocOracle.ngramJaccardSql(JaccardN, MinJaccard, MaxGramDf),
+    "q_decontaminate" -> DocOracle.decontaminateSql(DecontamN, DecontamEvalMod),
     "q_token_stats"   -> DocOracle.tokenStatsSql,
     "q_vocab"              -> DocOracle.vocabSql(VocabN),
     "q_stratified_sample"  -> DocOracle.stratifiedSampleSql(StrataN),

@@ -289,16 +289,21 @@ object Dedup {
     * higher-order functions run interpreted with no common-subexpression
     * elimination, so an inline `split` inside the lambda is re-executed
     * for every array element (measured 10x slower at sf0.1). */
-  def wordNgrams(docs: DataFrame, n: Int): DataFrame = {
-    val toks = col("__toks")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+  def wordNgrams(docs: DataFrame, n: Int): DataFrame =
     docs.withColumn("__toks", tokens(col("text")))
-      .filter(size(toks) >= n)
-      .select(col("doc_id"), col("source"), explode(grams).as("gram"))
-      .distinct()
-  }
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(gramsArray(col("__toks"), n)).as("gram"))
+
+  /** Per-row DISTINCT n-gram array over a token array column. Doing the
+    * de-dup map-side (`array_distinct` before the explode) instead of a
+    * global `.distinct()` removes an entire shuffle from every gram
+    * pipeline; the two are equivalent because `doc_id` is one row per
+    * document (the tables' primary key). */
+  private def gramsArray(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
 
   /**
    * Exact n-gram Jaccard similarity for pairs sharing >= 1 gram within a
@@ -340,5 +345,42 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("un"), col("jaccard"))
+  }
+
+  // ---- decontamination ---------------------------------------------------
+
+  /**
+   * Train/eval decontamination: flag training documents that share word
+   * n-grams with an evaluation corpus — the standard LLM pre-training
+   * scrub (exact n-gram collision flagging, GPT-3 appendix-C style).
+   * Returns one row per training doc with >= n tokens:
+   * (doc_id, n_grams, hit_grams, contam_frac, contaminated).
+   *
+   * Scale design: the eval side is distilled to its DISTINCT gram set
+   * (eval corpora are orders of magnitude smaller than the training
+   * corpus) and broadcast, so the probe is a map-side hash join — the
+   * training grams are never shuffled for the membership test. Per-doc
+   * totals ride the same exploded pass, and the one shuffle is the final
+   * per-doc aggregate, which map-side combines down to one row per doc
+   * (a doc's grams are co-partitioned with it by explode). At corpus
+   * scale the same shape holds with the eval grams checkpointed and the
+   * broadcast replaced by a bloom-filter pre-probe if the eval set out-
+   * grows the broadcast budget (the exact join then only sees bloom
+   * survivors).
+   */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int,
+                    minHits: Int = 1): DataFrame = {
+    val evalGrams = wordNgrams(evalDocs, n).select(col("gram")).distinct()
+    docs.withColumn("__toks", tokens(col("text")))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), explode(gramsArray(col("__toks"), n)).as("gram"))
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1L))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hit_grams"))
+      .withColumn("contam_frac",
+        col("hit_grams").cast("double") / col("n_grams"))
+      .withColumn("contaminated",
+        (col("hit_grams") >= minHits).cast("int"))
   }
 }

@@ -35,6 +35,24 @@ object DocOracle {
        |  FROM toks WHERE len(tk) >= $n))""".stripMargin
   }
 
+  /** Train/eval n-gram decontamination, mirroring [[Dedup.decontaminate]]
+    * with eval = `doc_id % mod == 0` and train = the rest. */
+  def decontaminateSql(n: Int, mod: Int, minHits: Int = 1): String = {
+    val gram = (1 to n).map(o => s"tk[i+${o - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}), i -> $gram)) AS gram
+       |  FROM toks WHERE len(tk) >= $n)),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % $mod = 0),
+       |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % $mod <> 0)
+       |SELECT tr.doc_id, COUNT(*) AS n_grams, COUNT(ev.gram) AS hit_grams,
+       |  CAST(COUNT(ev.gram) AS DOUBLE) / COUNT(*) AS contam_frac,
+       |  CASE WHEN COUNT(ev.gram) >= $minHits THEN 1 ELSE 0 END AS contaminated
+       |FROM tr LEFT JOIN ev USING (gram)
+       |GROUP BY tr.doc_id""".stripMargin
+  }
+
   def dedupExactSql: String =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
       |FROM documents GROUP BY 1""".stripMargin

@@ -377,6 +377,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(4)).sum)
   }
 
+  test("decontamination flags exact n-gram collisions against the eval set") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val train = Seq(
+      (1L, "a b c d e", "s0"),      // grams: abc bcd cde -> 1 hit (cde)
+      (2L, "x y z w v", "s0"),      // 3 grams, 0 hits
+      (3L, "p q p q p q", "s0"),    // 4 gram slots, 2 DISTINCT -> 0 hits
+      (4L, "c d e f g", "s0"),      // cde def efg -> all 3 hit
+      (5L, "too short", "s0"))      // < n tokens: absent from output
+      .toDF("doc_id", "text", "source")
+    val eval_ = Seq((100L, "c d e f g h", "s0")).toDF("doc_id", "text", "source")
+    val r = Dedup.decontaminate(train, eval_, 3)
+    val m = r.collect().map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getInt(4))).toMap
+    assert(m == Map(
+      1L -> ((3L, 1L, 1)), 2L -> ((3L, 0L, 0)),
+      3L -> ((2L, 0L, 0)), 4L -> ((3L, 3L, 1))))
+    // the eval probe must be a broadcast hash join (the 100 TB shape:
+    // training grams never shuffle for the membership test)
+    val hasBroadcast = r.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, r.queryExecution.executedPlan.toString)
+  }
+
   test("salted two-phase aggregation equals the direct aggregation") {
     val a = SparkEntry.qSaltedDaily(spark, dir).collect().map(_.toSeq).toSet
     val b = SparkEntry.qEventsDaily(spark, dir).collect().map(_.toSeq).toSet
