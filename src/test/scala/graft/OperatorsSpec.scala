@@ -377,6 +377,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(4)).sum)
   }
 
+  test("decontamination matches a brute-force set model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Array("a", "b", "c", "d", "e")
+    def doc() = Seq.fill(2 + rnd.nextInt(8))(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    for (trial <- 1 to 3) {
+      val n = 2 + rnd.nextInt(2) // 2..3
+      val train = Seq.tabulate(30)(i => (i.toLong, doc(), "s0"))
+      val eval_ = Seq.tabulate(6)(i => ((100 + i).toLong, doc(), "s0"))
+      def grams(t: String): Set[String] = {
+        val tk = t.split(" ")
+        if (tk.length < n) Set.empty
+        else tk.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val evalGrams = eval_.iterator.flatMap(d => grams(d._2)).toSet
+      val want = train.flatMap { case (id, t, _) =>
+        val g = grams(t)
+        if (g.isEmpty) None
+        else Some(id -> ((g.size.toLong, g.count(evalGrams).toLong)))
+      }.toMap
+      val got = graft.operators.Dedup.decontaminate(
+        train.toDF("doc_id", "text", "source"),
+        eval_.toDF("doc_id", "text", "source"), n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"trial $trial (n=$n): $got != $want")
+    }
+  }
+
   test("decontamination flags exact n-gram collisions against the eval set") {
     import spark.implicits._
     import graft.operators.Dedup
