@@ -55,8 +55,17 @@ object Soak {
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val nBase = docs0.count()
     // base-internal duplicates merge verbatim-replica groups, so the
-    // flood count is per distinct text, not per row
-    val nDistinctText = docs0.select("text").distinct().count()
+    // flood count is per distinct text, not per row — and an odd-replica
+    // group of a text with base multiplicity b has dup_count b, so the
+    // flood threshold mult/2 only separates floods from odd singles when
+    // it exceeds the largest base multiplicity (fail loudly up front
+    // instead of tripping the invariant mid-run)
+    val byText = docs0.groupBy("text").count()
+      .agg(count(lit(1)), max(col("count"))).collect()(0)
+    val (nDistinctText, maxMult) = (byText.getLong(0), byText.getLong(1))
+    require(mult / 2 > maxMult,
+      s"SOAK_MULT=$mult too small: flood threshold ${mult / 2} must exceed " +
+        s"the corpus's max duplicate-text multiplicity $maxMult")
     // replica r: ids offset by r*10^7; odd replicas perturbed by a suffix
     // token so simhash/minhash see near- (not exact-) duplicates
     val big = (0 until mult).map { r =>

@@ -201,19 +201,24 @@ object Refine {
 
     // The seed ids and their rescored full scores are Q*k-row relations
     // consumed by three branches each (seed rescore / tau0 / exclusion,
-    // and tau0 / final union): without a barrier every consumer would
-    // RE-EXECUTE the whole candidate pass (and the full-table seed
-    // probe) — the dominant cost of the operator repeated 3x. An eager
-    // localCheckpoint runs each exactly once and pins only Q*k tiny rows
-    // in the block manager (freed by the ContextCleaner when the plan is
-    // dropped); values are bit-identical, and nothing unbounded ever
-    // reaches the driver.
-    val seedIds = seedSelect(cand, p.k, p.isCos).localCheckpoint(true)
+    // and tau0 / final union): without an EAGER barrier the concurrent
+    // consumers race the cache fill and each RE-EXECUTES the whole
+    // candidate pass (and the full-table seed probe) — the dominant cost
+    // of the operator repeated 3x. Eager persist (not localCheckpoint:
+    // truncated lineage turns an executor loss into a hard "checkpoint
+    // block not found" failure, while a persisted plan just recomputes)
+    // pins only Q*k tiny rows, freed by the ContextCleaner when the plan
+    // is dropped; values are bit-identical either way.
+    def eager(df: DataFrame): DataFrame = {
+      val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mat.count(); mat
+    }
+    val seedIds = eager(seedSelect(cand, p.k, p.isCos))
     // seeds: stream the full table once, probing the broadcast seed set
-    val seeds = vSel.join(broadcast(seedIds), Seq("id")).join(qSel, Seq("qid"))
-      .withColumn("s_full", fullScore(p))
-      .select(col("qid"), col("id"), col("s_full"), col("rn"))
-      .localCheckpoint(true)
+    val seeds = eager(
+      vSel.join(broadcast(seedIds), Seq("id")).join(qSel, Seq("qid"))
+        .withColumn("s_full", fullScore(p))
+        .select(col("qid"), col("id"), col("s_full"), col("rn")))
 
     // tau0: worst full-precision score among the seeds
     val tau0 = broadcast(
@@ -320,9 +325,7 @@ object Refine {
     // (and one more scan per extra param in a sweep) — always materialize
     // it once; (qid, id, s_hat, cush*) rows are narrow, so the cache is a
     // small fraction of the pass's own compute
-    val candPersisted = true
-    val cand0 = candidatesMulti(vpre, queries, ps)
-    val cand = cand0.persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesMulti(vpre, queries, ps).persist(StorageLevel.MEMORY_AND_DISK)
 
     val vSel = vectors.select(col("id"), col("vec"))
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),
@@ -410,7 +413,7 @@ object Refine {
       finally {
         seeds.unpersist(blocking = false)
         survivorsAll.unpersist(blocking = false)
-        if (candPersisted) cand.unpersist(blocking = false)
+        cand.unpersist(blocking = false)
         if (groundTruth.isEmpty && ps.length > 1)
           gtShared.unpersist(blocking = false)
       }

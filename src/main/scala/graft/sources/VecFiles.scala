@@ -155,9 +155,13 @@ object VecFiles {
   // Record ids are positional: global id = manifest offset of the part +
   // index within it, matching the single-file readers' convention.
 
-  private def hadoopFs(dir: String) = {
+  /** Resolve a path against the SESSION Hadoop configuration (never a
+    * bare `new Configuration()`: that would drop every `spark.hadoop.*`
+    * setting — S3A credentials, endpoints, filesystem impls — and the
+    * sharded layout explicitly targets HDFS/S3A on clusters). */
+  private def hadoopFs(dir: String, conf: org.apache.hadoop.conf.Configuration) = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    (p, p.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+    (p, p.getFileSystem(conf))
   }
 
   /** Distributed `.fvecs` export: every partition streams its records to
@@ -191,27 +195,38 @@ object VecFiles {
       write: (java.io.OutputStream, Array[Float], ByteBuffer) => Unit): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val (dirPath, fs0) = hadoopFs(dir)
+    val bConf = org.apache.spark.sql.graft.HadoopConfBroadcast(spark.sparkContext)
+    val (dirPath, fs0) = hadoopFs(dir, spark.sparkContext.hadoopConfiguration)
     fs0.mkdirs(dirPath)
-    // stale parts/manifest from a previous export must not survive under
-    // a fresh manifest
-    fs0.globStatus(new org.apache.hadoop.fs.Path(dirPath, s"part-*.$ext"))
+    // stale parts/manifest/attempt-temps from a previous export must not
+    // survive under a fresh manifest
+    (fs0.globStatus(new org.apache.hadoop.fs.Path(dirPath, s"part-*.$ext")) ++
+      fs0.globStatus(new org.apache.hadoop.fs.Path(dirPath, s".part-*")))
       .foreach(s => fs0.delete(s.getPath, false))
     fs0.delete(new org.apache.hadoop.fs.Path(dirPath, "_manifest"), false)
     val counts = vectors.select(col("vec")).as[Array[Float]].rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        val (pp, fs) = hadoopFs(dir)
+        val (pp, fs) = hadoopFs(dir, bConf.value)
         val name = f"part-$pid%05d.$ext"
         val part = new org.apache.hadoop.fs.Path(pp, name)
-        val scratch = new org.apache.hadoop.fs.Path(pp, s".$name.payload")
+        // commit protocol: write under an ATTEMPT-unique hidden name and
+        // rename into place once complete. A speculative/zombie twin of
+        // this task writes its own temp; whichever rename lands leaves a
+        // COMPLETE part (renames are atomic, and twin attempts of a
+        // deterministic partition produce identical bytes) — a killed
+        // attempt can never leave a truncated file under the final name.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(pp, s".$name.a$attempt")
+        val scratch = new org.apache.hadoop.fs.Path(pp, s".$name.a$attempt.payload")
         val bb = ByteBuffer.allocate(4 + 4 * d).order(ByteOrder.LITTLE_ENDIAN)
-        val target = if (finalizeWithHeader) scratch else part
+        val target = if (finalizeWithHeader) scratch else tmp
         val out = new java.io.BufferedOutputStream(fs.create(target, true), 1 << 20)
         var n = 0L
         try it.foreach { vec => write(out, vec, bb); n += 1 }
         finally out.close()
         if (finalizeWithHeader) {
-          val fin = new java.io.BufferedOutputStream(fs.create(part, true), 1 << 20)
+          val fin = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
           try {
             fin.write(s"$n\n$d\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
             val in = fs.open(scratch)
@@ -222,6 +237,13 @@ object VecFiles {
             } finally in.close()
           } finally fin.close()
           fs.delete(scratch, false)
+        }
+        if (fs.exists(part)) fs.delete(part, false) // a twin already landed
+        if (!fs.rename(tmp, part)) {
+          // lost the rename race to a twin attempt: its part is complete
+          // and byte-identical; drop ours
+          fs.delete(tmp, false)
+          require(fs.exists(part), s"sharded export commit failed for $name")
         }
         Iterator((pid, name, n))
       }.collect().sortBy(_._1)
@@ -235,7 +257,7 @@ object VecFiles {
   /** Parsed manifest: (d, Seq[(partName, count, globalStartOffset)]). */
   private def readManifest(spark: SparkSession, dir: String)
       : (Int, Seq[(String, Long, Long)]) = {
-    val (dirPath, fs) = hadoopFs(dir)
+    val (dirPath, fs) = hadoopFs(dir, spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(dirPath, "_manifest"))
     val text = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -344,31 +366,32 @@ object VecFiles {
     synchronized {
       import java.nio.file.{Files, Paths}
       val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val dst = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_fixture_${safe}_d$d.$ext.shards")
       val src = Paths.get(s"$sfDir/lineitem.parquet")
+      // the source mtime is baked into the dir name, so a published
+      // layout is IMMUTABLE: fresh == exists, nothing ever deletes a dir
+      // a concurrent reader (this JVM or another sharing tmpdir) may be
+      // scanning, and staleness is just a new version-suffixed dir
+      val ver = Files.getLastModifiedTime(src).toMillis
+      val dst = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_fixture_${safe}_d${d}_v$ver.$ext.shards")
       val manifest = dst.resolve("_manifest")
-      def fresh = Files.exists(manifest) &&
-        Files.getLastModifiedTime(manifest)
-          .compareTo(Files.getLastModifiedTime(src)) >= 0
-      if (!fresh) {
-        // write into a unique scratch dir, then swap: a concurrent reader
-        // never sees a half-written layout (cross-JVM races produce
-        // identical bytes — the fixture is deterministic — so the worst
-        // case is redundant work, not corruption)
+      if (!Files.exists(manifest)) {
+        // write into a unique scratch dir, then one atomic rename; losing
+        // a cross-JVM publish race just discards byte-identical work (the
+        // fixture is deterministic)
         val tmp = Files.createTempDirectory(dst.getParent, s"$ext-shards-")
         write(graft.Fixture.vectors(spark, sfDir, d).orderBy("id"),
           tmp.toString, d)
-        if (fresh) deleteRecursively(tmp)
-        else {
-          deleteRecursively(dst)
-          Files.move(tmp, dst)
-        }
+        try Files.move(tmp, dst)
+        catch { case _: java.nio.file.FileSystemException => deleteRecursively(tmp) }
+        require(Files.exists(manifest), s"fixture publish failed: $dst")
       }
       dst.toString
     }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  /** Depth-first delete of a local scratch tree (shared by the streaming
+    * upsert-log and fixture-publish cleanups). */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

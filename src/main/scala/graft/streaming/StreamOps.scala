@@ -147,7 +147,7 @@ object StreamOps {
       if (!hasData) spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else snapshot(spark.read.parquet(outDir.toString)).localCheckpoint(true)
-    files.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    graft.sources.VecFiles.deleteRecursively(outDir)
     out
   }
 
@@ -284,9 +284,7 @@ object StreamOps {
       .select(col("qid"), col("qvec"))
     val out = graft.operators.Refine.topk(stored, queries, p)
       .localCheckpoint(true)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+    graft.sources.VecFiles.deleteRecursively(outDir)
     out
   }
 
