@@ -424,10 +424,27 @@ class OperatorsSpec extends AnyFunSuite {
       1L -> ((3L, 1L, 1)), 2L -> ((3L, 0L, 0)),
       3L -> ((2L, 0L, 0)), 4L -> ((3L, 3L, 1))))
     // the eval probe must be a broadcast hash join (the 100 TB shape:
-    // training grams never shuffle for the membership test)
-    val hasBroadcast = r.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin")
-    assert(hasBroadcast, r.queryExecution.executedPlan.toString)
+    // training grams never shuffle for the membership test), and the
+    // whole plan must carry exactly two shuffles — the eval-side gram
+    // distinct and the final per-doc aggregate; the training grams
+    // themselves cross only the latter
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val plan = walk(r.queryExecution.executedPlan)
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      r.queryExecution.executedPlan.toString)
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.size == 2,
+      s"expected 2 shuffles (eval distinct + final agg), got ${shuffles.size}:\n" +
+        r.queryExecution.executedPlan.toString)
   }
 
   test("salted two-phase aggregation equals the direct aggregation") {
