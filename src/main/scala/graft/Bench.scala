@@ -120,7 +120,13 @@ object Bench {
       val qs = qtimes.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"$metric","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // 1-min system load at finish: this box shows 2x+ wall variance
+      // from co-tenant CPU steal, so the snapshot records the conditions
+      // it was taken under
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      s"""{"metric":"$metric","value":$value,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","sys_load_1m":$load}"""
     }
     val line = jsonLine("total", wall, results)
     // stdout (forked run forwards it raw — no sbt log prefix) AND a file,

@@ -145,8 +145,11 @@ object Soak {
     val qs = times.map { case (k, t) =>
       "\"" + k + "\":{\"sec\":" + jnum(t) + ",\"rows\":" + counts(k) + "}"
     }.mkString("{", ",", "}")
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val line = s"""{"metric":"soak","value":${jnum(total)},"unit":"sec",""" +
-      s""""steps":$qs,"docs":$nBig,"vectors":$nVec,"d":$dVec,"sf":"$sfDir"}"""
+      s""""steps":$qs,"docs":$nBig,"vectors":$nVec,"d":$dVec,"sf":"$sfDir",""" +
+      s""""sys_load_1m":$load}"""
     println(line)
     val out = sys.env.getOrElse("SOAK_RESULT", "soak_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
