@@ -365,6 +365,9 @@ object SparkEntry {
   final val MaxGramDf = 200  // stop-shingle document-frequency cap
   final val DecontamN = 3    // trigram collision = contamination flag
   final val DecontamEvalMod = 97 // doc_id % mod == 0 -> held-out eval split
+  final val ChunkTokens = 32 // context-window chunk length (tokens)
+  final val ChunkOverlap = 8 // tokens shared between consecutive chunks
+  final val PackBudget = 2048L // sequence-packing token budget per bin
   final val EmbD = 64
   final val MinCos = 0.25
   final val IvfCells = 8
@@ -676,6 +679,10 @@ object SparkEntry {
         d.filter(col("doc_id") % DecontamEvalMod =!= 0),
         d.filter(col("doc_id") % DecontamEvalMod === 0), DecontamN)
     }),
+    "q_chunk_docs" -> q((s, dir) =>
+      TextOps.chunkDocs(docs(s, dir), ChunkTokens, ChunkOverlap)),
+    "q_pack_sequences" -> q((s, dir) =>
+      TextOps.packSequences(docs(s, dir), PackBudget)),
     // text analysis
     "q_token_stats" -> q((s, dir) => TextOps.tokenStats(docs(s, dir))),
     // vocabulary seed: global top-N tokens, total-order (count desc, tok)
@@ -851,6 +858,8 @@ object SparkEntry {
       SimhashBits, MaxHamming),
     "q_ngram_jaccard" -> DocOracle.ngramJaccardSql(JaccardN, MinJaccard, MaxGramDf),
     "q_decontaminate" -> DocOracle.decontaminateSql(DecontamN, DecontamEvalMod),
+    "q_chunk_docs" -> DocOracle.chunkDocsSql(ChunkTokens, ChunkOverlap),
+    "q_pack_sequences" -> DocOracle.packSequencesSql(PackBudget),
     "q_token_stats"   -> DocOracle.tokenStatsSql,
     "q_vocab"              -> DocOracle.vocabSql(VocabN),
     "q_stratified_sample"  -> DocOracle.stratifiedSampleSql(StrataN),

@@ -145,4 +145,80 @@ object TextOps {
         (col("max_gram_cnt").cast("double") / col("total_grams"))
           .as("top_gram_frac"))
   }
+
+  /**
+   * Context-window chunking: split each document into `chunkTokens`-token
+   * windows with `overlap` tokens shared between consecutive chunks (the
+   * standard LLM pre-training prep for a fixed context length). Start
+   * offsets run 0, step, 2*step ... while start == 0 or start < n -
+   * overlap (a trailing window living entirely inside the previous
+   * window's overlap is never emitted); the final chunk may be short.
+   * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+   *
+   * Pure map-side explode — zero shuffle at any corpus size; output
+   * volume is ceil(n/step) rows per document.
+   */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    val tk = col("__toks")
+    docs.withColumn("__toks", Dedup.tokens(col("text")))
+      .select(col("doc_id"), tk,
+        explode(sequence(lit(0),
+          greatest(size(tk) - overlap - 1, lit(0)), lit(step))).as("start"))
+      .select(col("doc_id"),
+        call_function("div", col("start").cast("long"), lit(step.toLong))
+          .as("chunk_id"),
+        slice(tk, col("start") + 1, lit(chunkTokens)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /**
+   * Sequence packing: assign documents, in deterministic `doc_id` order,
+   * to consecutive fixed token-budget bins — the concat-then-split
+   * training prep. A document belongs to the bin its FIRST token lands
+   * in (exclusive running token count div budget), so a long document
+   * may straddle into the next bin's budget; per-pack stats expose that
+   * via fill_ratio. Output: (pack_id, n_docs, n_tokens, first_doc,
+   * last_doc, fill_ratio).
+   *
+   * Scale design: the exclusive prefix sum is DISTRIBUTED — a global-
+   * order window would drag the whole corpus into one partition, so
+   * instead the corpus is range-partitioned by doc_id, each partition
+   * computes a local running sum, and the tiny per-partition totals
+   * (one row per partition) are window-scanned and broadcast back as
+   * offsets. The result is partition-count-invariant: a doc's exclusive
+   * cumsum is the token count of all smaller doc_ids, whatever the
+   * sampled range boundaries were.
+   */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    val sized = docs
+      .select(col("doc_id"), size(Dedup.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("__pid", spark_partition_id())
+    val offsets = sized.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__psum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__psum")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized
+      .withColumn("__local", coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__cum0", col("__local") + col("__offset"))
+      .withColumn("pack_id", call_function("div", col("__cum0"), lit(budget)))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / budget)
+  }
 }

@@ -53,6 +53,37 @@ object DocOracle {
        |GROUP BY tr.doc_id""".stripMargin
   }
 
+  /** Context-window chunking, mirroring [[graft.operators.TextOps.chunkDocs]]. */
+  def chunkDocsSql(chunkTokens: Int, overlap: Int): String = {
+    val step = chunkTokens - overlap
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id, tk,
+       |  unnest(generate_series(0, greatest(len(tk) - $overlap - 1, 0), $step)) AS start
+       |  FROM toks)
+       |SELECT doc_id, start // $step AS chunk_id,
+       |  len(list_slice(tk, start + 1, least(start + $chunkTokens, len(tk))))
+       |    AS n_chunk_tokens,
+       |  array_to_string(list_slice(tk, start + 1, least(start + $chunkTokens, len(tk))), ' ')
+       |    AS chunk_text
+       |FROM s""".stripMargin
+  }
+
+  /** Sequence packing, mirroring [[graft.operators.TextOps.packSequences]]
+    * (the oracle states the semantics directly as one global-order window;
+    * the engine computes the same exclusive prefix sum distributed). */
+  def packSequencesSql(budget: Long): String =
+    s"""WITH sized AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+       |  FROM sized)
+       |SELECT CAST(cum0 // $budget AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(SUM(n_tokens) AS DOUBLE) / $budget AS fill_ratio
+       |FROM c GROUP BY 1""".stripMargin
+
   def dedupExactSql: String =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
       |FROM documents GROUP BY 1""".stripMargin

@@ -377,6 +377,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(4)).sum)
   }
 
+  test("context-window chunking emits exact sliding windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                     // shorter than chunk
+      (3L, "x"))                                         // single token
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.chunkDocs(docs, 4, 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getString(3))).toMap
+    assert(r == Map(
+      (1L, 0L) -> ((4L, "t0 t1 t2 t3")), (1L, 1L) -> ((4L, "t2 t3 t4 t5")),
+      (1L, 2L) -> ((4L, "t4 t5 t6 t7")), (1L, 3L) -> ((4L, "t6 t7 t8 t9")),
+      (2L, 0L) -> ((3L, "a b c")), (3L, 0L) -> ((1L, "x"))))
+  }
+
+  test("sequence packing: exact bins, invariant to input partitioning") {
+    import spark.implicits._
+    def mk(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, mk(5)), (2L, mk(3)), (3L, mk(4)), (4L, mk(2)))
+      .toDF("doc_id", "text")
+    // exclusive cumsums 0,5,8,12 over budget 6 -> packs 0,0,1,2
+    val want = Set(
+      (0L, 2L, 8L, 1L, 2L), (1L, 1L, 4L, 3L, 3L), (2L, 1L, 2L, 4L, 4L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.packSequences(df, 6L)
+        .select("pack_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(run(docs) == want)
+    assert(run(docs.repartition(7)) == want, "partitioning changed packs")
+  }
+
   test("decontamination matches a brute-force set model on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
