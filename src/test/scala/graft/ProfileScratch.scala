@@ -31,6 +31,12 @@ object ProfileScratch {
     t("disagg warm")(SparkEntry.qRefineDisagg(spark, dir, "cos_l1").count())
     t("disagg warm2")(SparkEntry.qRefineDisagg(spark, dir, "cos_l1").count())
     t("in-mem twin warm")(SparkEntry.queries("q_refine_cos_l1")(spark, dir).count())
+    // D=128 attribution: fixture synthesis vs the refine pipeline itself
+    t("fix128 synthesize")(
+      Fixture.fp16VectorsModCached(spark, dir, SparkEntry.D128,
+        SparkEntry.KeepM, SparkEntry.D128KeyMod).count())
+    t("d128 refine warm1")(SparkEntry.qRefineD128(spark, dir).count())
+    t("d128 refine warm2")(SparkEntry.qRefineD128(spark, dir).count())
     spark.stop()
   }
 }
