@@ -54,6 +54,7 @@ object Soak {
     val docs0 = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val nBase = docs0.count()
+    require(nBase > 0, s"no documents at $sfDir — wrong SPARK_GRAFT_SF_DIR?")
     // base-internal duplicates merge verbatim-replica groups, so the
     // flood count is per distinct text, not per row — and an odd-replica
     // group of a text with base multiplicity b has dup_count b, so the

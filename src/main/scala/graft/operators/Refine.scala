@@ -206,11 +206,12 @@ object Refine {
     // candidate pass (and the full-table seed probe) — the dominant cost
     // of the operator repeated 3x. Eager persist (not localCheckpoint:
     // truncated lineage turns an executor loss into a hard "checkpoint
-    // block not found" failure, while a persisted plan just recomputes)
-    // pins only Q*k tiny rows, freed by the ContextCleaner when the plan
-    // is dropped; values are bit-identical either way.
+    // block not found" failure, while a persisted plan just recomputes),
+    // registered with Dedup's release tracker — CacheManager holds
+    // persisted plans strongly, so Bench/Verify's per-query release is
+    // what actually frees them (the ContextCleaner cannot).
     def eager(df: DataFrame): DataFrame = {
-      val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mat = Dedup.persistScoped(df)
       mat.count(); mat
     }
     val seedIds = eager(seedSelect(cand, p.k, p.isCos))

@@ -197,11 +197,14 @@ object TextOps {
   def packSequences(docs: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, s"budget must be positive, got $budget")
+    // no sortWithinPartitions here: the local window below sorts by
+    // doc_id within each __pid itself, and nothing else consumes order —
+    // only the RANGE partitioning (smaller ids in earlier partitions)
+    // matters for correctness
     val sized = docs
       .select(col("doc_id"), size(Dedup.tokens(col("text"))).cast("long")
         .as("n_tokens"))
       .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
       .withColumn("__pid", spark_partition_id())
     val offsets = sized.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__psum"))

@@ -195,8 +195,9 @@ object VecFiles {
       write: (java.io.OutputStream, Array[Float], ByteBuffer) => Unit): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val bConf = org.apache.spark.sql.graft.HadoopConfBroadcast(spark.sparkContext)
-    val (dirPath, fs0) = hadoopFs(dir, spark.sparkContext.hadoopConfiguration)
+    val bConf = org.apache.spark.sql.graft.HadoopConfBroadcast(spark)
+    val (dirPath, fs0) = hadoopFs(dir,
+      org.apache.spark.sql.graft.HadoopConfBroadcast.sessionConf(spark))
     fs0.mkdirs(dirPath)
     // stale parts/manifest/attempt-temps from a previous export must not
     // survive under a fresh manifest
@@ -238,10 +239,13 @@ object VecFiles {
           } finally fin.close()
           fs.delete(scratch, false)
         }
-        if (fs.exists(part)) fs.delete(part, false) // a twin already landed
+        // commit is rename-only — NO delete-if-exists first: a zombie twin
+        // running that delete after the job committed the manifest would
+        // erase a complete part (positional ids make the loss silent).
+        // Stale parts from previous exports were purged at job start; if a
+        // twin already landed this pid, its part is complete and
+        // byte-identical, so losing the rename is fine.
         if (!fs.rename(tmp, part)) {
-          // lost the rename race to a twin attempt: its part is complete
-          // and byte-identical; drop ours
           fs.delete(tmp, false)
           require(fs.exists(part), s"sharded export commit failed for $name")
         }
@@ -257,7 +261,8 @@ object VecFiles {
   /** Parsed manifest: (d, Seq[(partName, count, globalStartOffset)]). */
   private def readManifest(spark: SparkSession, dir: String)
       : (Int, Seq[(String, Long, Long)]) = {
-    val (dirPath, fs) = hadoopFs(dir, spark.sparkContext.hadoopConfiguration)
+    val (dirPath, fs) = hadoopFs(dir,
+      org.apache.spark.sql.graft.HadoopConfBroadcast.sessionConf(spark))
     val in = fs.open(new org.apache.hadoop.fs.Path(dirPath, "_manifest"))
     val text = try {
       val bos = new java.io.ByteArrayOutputStream()

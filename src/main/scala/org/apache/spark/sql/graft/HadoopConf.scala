@@ -1,17 +1,19 @@
 package org.apache.spark.sql.graft
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.spark.SparkContext
 import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.util.SerializableConfiguration
 
 /**
- * Serializable carrier for the session Hadoop configuration, so
+ * Serializable carrier for the SESSION-layered Hadoop configuration, so
  * executor-side Hadoop FS users (the sharded vector exports) see the
- * same `spark.hadoop.*` settings — S3A credentials, filesystem impls,
- * endpoints — as the driver. `SerializableConfiguration` is
- * `private[spark]`, hence this doorway lives in an `org.apache.spark`
- * package like [[VecExprs]]/[[KernelPlan]].
+ * same settings as the built-in sources: `sessionState.newHadoopConf()`
+ * overlays runtime `spark.conf.set("fs.s3a...")` / per-session
+ * `spark.hadoop.*` values on the context configuration, which a bare
+ * `sparkContext.hadoopConfiguration` would miss. `SerializableConfiguration`
+ * and `sessionState` are `private[spark]`/`private[sql]`, hence this
+ * doorway lives in an `org.apache.spark` package like [[VecExprs]].
  */
 final class HadoopConfBroadcast private[graft] (
     private val b: Broadcast[SerializableConfiguration]) extends Serializable {
@@ -19,7 +21,13 @@ final class HadoopConfBroadcast private[graft] (
 }
 
 object HadoopConfBroadcast {
-  /** Broadcast the context's Hadoop configuration once per export. */
-  def apply(sc: SparkContext): HadoopConfBroadcast =
-    new HadoopConfBroadcast(SerializableConfiguration.broadcast(sc))
+  /** The session-layered Hadoop configuration (what built-in file sources
+    * resolve paths against). */
+  def sessionConf(spark: org.apache.spark.sql.SparkSession): Configuration =
+    spark.asInstanceOf[SparkSession].sessionState.newHadoopConf()
+
+  /** Broadcast the session-layered configuration once per export. */
+  def apply(spark: org.apache.spark.sql.SparkSession): HadoopConfBroadcast =
+    new HadoopConfBroadcast(SerializableConfiguration.broadcast(
+      spark.sparkContext, sessionConf(spark)))
 }

@@ -24,6 +24,26 @@ class RefineSpec extends AnyFunSuite {
     (v, q)
   }
 
+  test("refine pipeline persists drain under the scoped release") {
+    val (v, q) = fixture
+    v.count() // materialize the session fixture cache OUTSIDE the scope
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (df, release) = graft.operators.Dedup.scopedRelease(
+      Refine.topk(v, q, Refine.Params("cos_l1", k = 5, keepM = SparkEntry.KeepM)))
+    assert(df.count() > 0)
+    // the two eager Q*k relations must be tracked (CacheManager holds
+    // them strongly — only this release actually frees them)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected tracked persists during the refine query")
+    release()
+    val deadline = System.currentTimeMillis + 15000
+    while (System.currentTimeMillis < deadline &&
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+      Thread.sleep(100)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "refine intermediates leaked past the scoped release")
+  }
+
   test("zero-miss modes return exactly the brute-force top-K") {
     val (v, q) = fixture
     for (mode <- Seq("cos_l1", "cos_l2", "l2_sym", "l2_tz")) {
