@@ -410,6 +410,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == want, "partitioning changed packs")
   }
 
+  test("sequence packing conserves tokens and orders bins on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val docs = Seq.tabulate(40)(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(20))("w").mkString(" ")))
+        .toDF("doc_id", "text")
+      val budget = 8 + rnd.nextInt(20)
+      val packs = graft.operators.TextOps.packSequences(docs, budget)
+        .orderBy("pack_id").collect()
+      // every token lands in exactly one pack
+      assert(packs.map(_.getLong(2)).sum ==
+        docs.collect().map(_.getString(1).split(" ").length.toLong).sum)
+      assert(packs.map(_.getLong(1)).sum == 40L) // every doc assigned once
+      // bins are disjoint, ordered id ranges: pack p's last_doc precedes
+      // pack p+1's first_doc
+      packs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(0) < b.getLong(0) && a.getLong(4) < b.getLong(3),
+            s"trial $trial: overlapping packs $a / $b")
+        case _ =>
+      }
+    }
+  }
+
   test("decontamination matches a brute-force set model on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

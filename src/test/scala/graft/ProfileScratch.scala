@@ -32,6 +32,10 @@ object ProfileScratch {
     t("disagg warm2")(SparkEntry.qRefineDisagg(spark, dir, "cos_l1").count())
     t("in-mem twin warm")(SparkEntry.queries("q_refine_cos_l1")(spark, dir).count())
     // D=128 attribution: fixture synthesis vs the refine pipeline itself
+    // (codegen compile times logged at INFO by CodeGenerator)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+      org.apache.logging.log4j.Level.INFO)
     t("fix128 synthesize")(
       Fixture.fp16VectorsModCached(spark, dir, SparkEntry.D128,
         SparkEntry.KeepM, SparkEntry.D128KeyMod).count())
