@@ -319,6 +319,17 @@ object SparkEntry {
       graft.sources.VecFiles.readVec(spark, path, tokenAsId = true))
   }
 
+  /** Same query routed through the S4 FORMAT DISPATCHER (extension-based
+    * readMatrix, reference load_matrix ANNCode.py:140-158) over the
+    * single-file `.vec` fixture — also the only graded exercise of
+    * readVec's positional-id parse (tokenAsId = false), remapped to
+    * fixture ids like the binary sources. */
+  def qTopkCosDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.VecFiles.ensureVecFixture(spark, dir, D)
+    topkCosOver(spark, dir, withFixtureIds(spark, dir,
+      graft.sources.VecFiles.readMatrix(spark, path)))
+  }
+
   /** Same query fed from the FAISS `.fvecs` binary source (S3) — a real
     * user's first contact with the engine is loading SIFT/GIST fvecs.
     * The fixture is a SHARDED export (part files + manifest), so both the
@@ -654,6 +665,7 @@ object SparkEntry {
     "q_topk_cos" -> q((s, dir) => qTopkCos(s, dir)),
     "q_topk_l2"  -> q((s, dir) => qTopkL2(s, dir)),
     "q_topk_cos_vecsrc" -> q((s, dir) => qTopkCosVecSource(s, dir)),
+    "q_topk_cos_dispatch" -> q((s, dir) => qTopkCosDispatch(s, dir)),
     "q_topk_cos_fvecs"  -> q((s, dir) => qTopkCosFvecsSource(s, dir)),
     "q_topk_cos_binsrc" -> q((s, dir) => qTopkCosBinSource(s, dir)),
     "q_reduce_precision" -> q((s, dir) => qReducePrecision(s, dir)),
@@ -845,6 +857,7 @@ object SparkEntry {
     "q_topk_cos" -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_topk_l2"  -> OracleGen.topkSql(D, NQ, K, "l2"),
     "q_topk_cos_vecsrc" -> OracleGen.topkSql(D, NQ, K, "cos"),
+    "q_topk_cos_dispatch" -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_topk_cos_fvecs"  -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_topk_cos_binsrc" -> OracleGen.topkSql(D, NQ, K, "cos"),
     "q_reduce_precision" -> RefineOracle.reduceSql(D, KeepM, ReduceMaxId),

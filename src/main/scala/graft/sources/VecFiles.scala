@@ -56,7 +56,11 @@ object VecFiles {
   def ensureVecFixture(spark: SparkSession, sfDir: String, d: Int): String = {
     import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val f = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixture_${safe}_d$d.vec")
+    // "_s": id-SORTED layout (record i = i-th smallest id, the contract
+    // positional-id readers remap through) — a new name, so a stale
+    // partition-ordered fixture from an older build can never satisfy
+    // the freshness check
+    val f = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixture_${safe}_d${d}_s.vec")
     val src = Paths.get(s"$sfDir/lineitem.parquet")
     if (!Files.exists(f) ||
         Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
@@ -66,7 +70,7 @@ object VecFiles {
       // let interleaved writes publish a truncated fixture whose fresh
       // mtime then passes the staleness check
       val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
-      writeVec(graft.Fixture.vectors(spark, sfDir, d), tmp, d)
+      writeVec(graft.Fixture.vectors(spark, sfDir, d).orderBy("id"), tmp, d)
       atomicPublish(tmp, f)
     }
     f.toString

@@ -131,8 +131,10 @@ class StorageSpec extends AnyFunSuite {
     val base = SparkEntry.qTopkCos(spark, dir).collect().map(_.toSeq).toSet
     val fv = SparkEntry.qTopkCosFvecsSource(spark, dir).collect().map(_.toSeq).toSet
     val hb = SparkEntry.qTopkCosBinSource(spark, dir).collect().map(_.toSeq).toSet
+    val dp = SparkEntry.qTopkCosDispatch(spark, dir).collect().map(_.toSeq).toSet
     assert(fv == base, "fvecs round-trip diverged")
     assert(hb == base, "header-bin round-trip diverged")
+    assert(dp == base, "S4 dispatcher (positional .vec) round-trip diverged")
     assert(base.size == SparkEntry.NQ * SparkEntry.K)
   }
 
