@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.{BitplaneCompress, Refine}
+import graft.sources.VecFiles
+
+/**
+ * CLI single-run entry path (the reference's primary UX: `main`,
+ * `/root/reference/ANNCode.py:793-878`): load or synthesize DB/Q, run one
+ * refinement mode, print the reference-style report — recall@K,
+ * bandwidth-saving %, FPR %, and (with `--compress`) measured compressed
+ * bytes per reduced vector.
+ *
+ * Flags mirror the reference CLI:
+ * {{{
+ * --mode cos-hoeff|cos-l1|cos-l2|l2-tz|l2-sym|l2-hoeff   (default cos-hoeff)
+ * --k 20  --keep 6  --ekeep 5  --delta 0.7  --maxrows 100000
+ * --db <path.vec|.fvecs|header-bin>   --q <path>   --compress <zlib level>
+ * }}}
+ * Without `--db`, synthesizes the seeded Gaussian demo corpus
+ * (N=2000, D=128, Qn=30 — `ANNCode.py:816-822`). Loaded matrices get the
+ * reference's precision prep (`ANNCode.py:825-828`): the full-precision
+ * side is the fp16 round-trip of the raw values, the reduced copy and
+ * delta derive from the raw values.
+ */
+object Demo {
+
+  private def parse(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  /** (id, vec) -> the engine's refine schema (id, vec, rvec, delta). */
+  private def prep(raw: DataFrame, keepE: Int, keepM: Int): DataFrame =
+    raw.select(col("id"),
+      VectorOps.fp16RoundTrip(col("vec")).as("vec"),
+      VectorOps.reduceVec(col("vec"), keepE, keepM).as("rvec"),
+      VectorOps.deltaVec(col("vec"), keepM).as("delta"))
+
+  def main(args: Array[String]): Unit = {
+    val a = parse(args)
+    val mode = a.getOrElse("mode", "cos-hoeff").replace('-', '_')
+    val p = Refine.Params(mode,
+      k = a.getOrElse("k", "20").toInt,
+      keepM = a.getOrElse("keep", "6").toInt,
+      keepE = a.getOrElse("ekeep", "5").toInt,
+      delta = a.getOrElse("delta", "0.7").toDouble)
+    val maxRows = a.getOrElse("maxrows", "100000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (v, q, d) = a.get("db") match {
+      case Some(db) =>
+        val raw = VecFiles.subsample(VecFiles.readMatrix(spark, db), maxRows)
+        val d = raw.select(size(col("vec"))).first().getInt(0)
+        val vv = prep(raw, p.keepE, p.keepM)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // --q loads a query matrix; otherwise take the reference demo's
+        // Qn=30 from the database side (smallest ids, like the fixtures)
+        val qq = a.get("q") match {
+          case Some(qp) => prep(VecFiles.subsample(
+            VecFiles.readMatrix(spark, qp), maxRows), p.keepE, p.keepM)
+            .select(col("id").as("qid"), col("vec").as("qvec"))
+          case None => vv.orderBy("id").limit(30)
+            .select(col("id").as("qid"), col("vec").as("qvec"))
+        }
+        (vv, qq, d)
+      case None =>
+        val n = a.getOrElse("n", "2000").toInt
+        val d = a.getOrElse("d", "128").toInt
+        val vv = Fixture.gaussianVectors(spark, n, d, p.keepM)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (vv, Fixture.queries(vv, 30).select(col("qid"), col("qvec")), d)
+    }
+
+    // §4.3 composition: measured compressed reduced-page bytes replace the
+    // modeled bit count in the saving (reference red_bytes_override)
+    val redOverride = a.get("compress").map { lvl =>
+      BitplaneCompress.measure(v.select(col("id"), col("vec")), d,
+        p.keepE, p.keepM, level = lvl.toInt).first().getDouble(4)
+    }
+
+    val row = Refine.metrics(v, q, p, d, redBytesOverride = redOverride).first()
+    val (recall, save, fpr) =
+      (row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    // the reference's stdout report shape (ANNCode.py:864-867)
+    println(f"mode=$mode recall@${p.k}=$recall%.4f save=${save * 100}%.2f%% " +
+      f"fpr=${fpr * 100}%.2f%%" +
+      redOverride.map(b => f" reduced_bytes_per_vec=$b%.2f").getOrElse(""))
+    spark.stop()
+  }
+}
