@@ -28,16 +28,28 @@ import graft.sources.VecFiles
  */
 object Demo {
 
-  private def parse(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+  private val Known = Set("mode", "k", "keep", "ekeep", "delta", "maxrows",
+    "db", "q", "compress", "n", "d")
 
-  /** (id, vec) -> the engine's refine schema (id, vec, rvec, delta). */
-  private def prep(raw: DataFrame, keepE: Int, keepM: Int): DataFrame =
+  private def parse(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"flags come in --key value pairs, got: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--") && Known(k.drop(2)), s"unknown flag $k")
+        k.drop(2) -> v
+    }.toMap
+  }
+
+  /** (id, vec) -> the engine's refine schema (id, vec, rvec, delta).
+    * The DATA reduction always keeps the full exponent (keepE = 5, like
+    * the reference ANNCode.py:827 and every fixture producer here):
+    * [[VectorOps.deltaVec]]'s error bound is only valid for full-exponent
+    * reductions — `--ekeep` affects the modeled bytes, never the data. */
+  private def prep(raw: DataFrame, keepM: Int): DataFrame =
     raw.select(col("id"),
       VectorOps.fp16RoundTrip(col("vec")).as("vec"),
-      VectorOps.reduceVec(col("vec"), keepE, keepM).as("rvec"),
+      VectorOps.reduceVec(col("vec"), 5, keepM).as("rvec"),
       VectorOps.deltaVec(col("vec"), keepM).as("delta"))
 
   def main(args: Array[String]): Unit = {
@@ -60,18 +72,22 @@ object Demo {
 
     val (v, q, d) = a.get("db") match {
       case Some(db) =>
-        val raw = VecFiles.subsample(VecFiles.readMatrix(spark, db), maxRows)
-        val d = raw.select(size(col("vec"))).first().getInt(0)
-        val vv = prep(raw, p.keepE, p.keepM)
+        // probe d BEFORE the subsample's keyed global sort (one cheap
+        // unsorted limit(1), not a full sort pass), and fail with the
+        // file name on empty input
+        val loaded = VecFiles.readMatrix(spark, db)
+        val head = loaded.select(size(col("vec"))).limit(1).collect()
+        require(head.nonEmpty, s"--db $db contains no vector rows")
+        val d = head(0).getInt(0)
+        val vv = prep(VecFiles.subsample(loaded, maxRows), p.keepM)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // --q loads a query matrix; otherwise take the reference demo's
         // Qn=30 from the database side (smallest ids, like the fixtures)
         val qq = a.get("q") match {
           case Some(qp) => prep(VecFiles.subsample(
-            VecFiles.readMatrix(spark, qp), maxRows), p.keepE, p.keepM)
+            VecFiles.readMatrix(spark, qp), maxRows), p.keepM)
             .select(col("id").as("qid"), col("vec").as("qvec"))
-          case None => vv.orderBy("id").limit(30)
-            .select(col("id").as("qid"), col("vec").as("qvec"))
+          case None => Fixture.queries(vv, 30).select(col("qid"), col("qvec"))
         }
         (vv, qq, d)
       case None =>

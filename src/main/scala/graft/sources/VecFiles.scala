@@ -27,7 +27,9 @@ object VecFiles {
   def readVec(spark: SparkSession, path: String,
               tokenAsId: Boolean = false): DataFrame = {
     import spark.implicits._
-    val first = spark.read.text(path).limit(1).collect()(0).getString(0)
+    val header = spark.read.text(path).limit(1).collect()
+    require(header.nonEmpty, s"$path is empty — expected an 'N D' header line")
+    val first = header(0).getString(0)
     val d = first.trim.split("\\s+")(1).toInt
     val parts = split(trim(col("value")), "\\s+")
     val body = spark.read.text(path)
@@ -462,9 +464,23 @@ object VecFiles {
   def readMatrix(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".vec")) readVec(spark, path)
     else if (path.endsWith(".fvecs")) readFvecs(spark, path)
-    else
-      try readHeaderBin(spark, path)
-      catch { case _: Exception => readHeaderBin(spark, path, intHeader = true) }
+    else {
+      // the readers are LAZY — a try/catch here would never see their
+      // parse errors (they throw on executors at first action), so the
+      // header form (reference ANNCode.py:150-158: ASCII "L\nD\n" vs
+      // [int32 L][int32 D]) is sniffed driver-side from the first bytes
+      val (p, fs) = hadoopFs(path,
+        org.apache.spark.sql.graft.HadoopConfBroadcast.sessionConf(spark))
+      val head = new Array[Byte](32)
+      val in = fs.open(p)
+      val n = try in.read(head) finally in.close()
+      val ascii = (0 until math.max(n, 0)).takeWhile { i =>
+        head(i) == '\n' || (head(i) >= '0' && head(i) <= '9')
+      }
+      val asciiHeader = ascii.count(i => head(i) == '\n') >= 2 ||
+        (n > 0 && ascii.length == n)
+      readHeaderBin(spark, path, intHeader = !asciiHeader)
+    }
 
   /** P7 subsample (reference seeded uniform sampling, ANNCode.py:68-71):
     * exact-count deterministic selection by keyed hash order — invariant

@@ -377,6 +377,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(4)).sum)
   }
 
+  test("readMatrix sniffs ASCII vs int binary headers driver-side") {
+    val vals = Array.tabulate(3, 4)((i, j) => (i * 4 + j).toFloat)
+    def payload(bb: ByteBuffer): Unit =
+      vals.foreach(_.foreach(bb.putFloat))
+    // ASCII "L\nD\n" form
+    val ascii = Files.createTempFile("mat", ".bin")
+    val hdr = "3\n4\n".getBytes("US-ASCII")
+    val ab = ByteBuffer.allocate(hdr.length + 48).order(ByteOrder.LITTLE_ENDIAN)
+    ab.put(hdr); payload(ab)
+    Files.write(ascii, ab.array())
+    // [int32 L][int32 D] fallback form (reference ANNCode.py:150-158)
+    val intf = Files.createTempFile("mat2", ".bin")
+    val ib = ByteBuffer.allocate(8 + 48).order(ByteOrder.LITTLE_ENDIAN)
+    ib.putInt(3); ib.putInt(4); payload(ib)
+    Files.write(intf, ib.array())
+    for (f <- Seq(ascii, intf)) {
+      val got = VecFiles.readMatrix(spark, f.toString)
+        .orderBy("id").collect().map(r => r.getSeq[Float](1).toArray)
+      assert(got.length == 3 && got.zip(vals).forall {
+        case (a, b) => a.sameElements(b)
+      }, s"dispatch failed for $f")
+    }
+  }
+
   test("context-window chunking emits exact sliding windows") {
     import spark.implicits._
     val docs = Seq(
