@@ -471,14 +471,15 @@ object VecFiles {
       // [int32 L][int32 D]) is sniffed driver-side from the first bytes
       val (p, fs) = hadoopFs(path,
         org.apache.spark.sql.graft.HadoopConfBroadcast.sessionConf(spark))
-      val head = new Array[Byte](32)
+      val head = new Array[Byte](64)
       val in = fs.open(p)
       val n = try in.read(head) finally in.close()
-      val ascii = (0 until math.max(n, 0)).takeWhile { i =>
-        head(i) == '\n' || (head(i) >= '0' && head(i) <= '9')
-      }
-      val asciiHeader = ascii.count(i => head(i) == '\n') >= 2 ||
-        (n > 0 && ascii.length == n)
+      // ASCII form iff the prefix is literally "digits\ndigits\n" — a bare
+      // newline count would misread an int32 L whose bytes contain 0x0A
+      // (e.g. L=2570 = 0x0A0A) as ASCII
+      val prefix = new String(head, 0, math.max(n, 0),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val asciiHeader = prefix.matches("(?s)[0-9]+\n[0-9]+\n.*")
       readHeaderBin(spark, path, intHeader = !asciiHeader)
     }
 

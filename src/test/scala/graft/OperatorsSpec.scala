@@ -399,6 +399,16 @@ class OperatorsSpec extends AnyFunSuite {
         case (a, b) => a.sameElements(b)
       }, s"dispatch failed for $f")
     }
+    // adversarial int header: L=2570 = 0x0A0A puts two newline BYTES in
+    // the length field — a newline-count sniff would misread it as ASCII
+    val tricky = Files.createTempFile("mat3", ".bin")
+    val tb = ByteBuffer.allocate(8 + 2570 * 2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    tb.putInt(2570); tb.putInt(2)
+    (0 until 2570 * 2).foreach(i => tb.putFloat(i.toFloat))
+    Files.write(tricky, tb.array())
+    val tr = VecFiles.readMatrix(spark, tricky.toString)
+    assert(tr.count() == 2570 &&
+      tr.orderBy("id").limit(1).collect()(0).getSeq[Float](1) == Seq(0f, 1f))
   }
 
   test("context-window chunking emits exact sliding windows") {
