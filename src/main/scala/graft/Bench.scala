@@ -117,21 +117,25 @@ object Bench {
 
     def jsonLine(metric: String, value: Double,
                  qtimes: Map[String, Double]): String = {
+      // millisecond precision: full-double times made the r6 line ~2.5KB
+      // and the driver's captured tail truncated it mid-line (parsed:
+      // null) — 3 decimals is plenty and keeps the line inside the window
+      def jnum(d: Double) = f"$d%.3f"
       val qs = qtimes.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + v }
+        .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
       // 1-min system load at finish: this box shows 2x+ wall variance
       // from co-tenant CPU steal, so the snapshot records the conditions
       // it was taken under
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      s"""{"metric":"$metric","value":$value,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","sys_load_1m":$load}"""
+      s"""{"metric":"$metric","value":${jnum(value)},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","sys_load_1m":${jnum(load)}}"""
     }
     val line = jsonLine("total", wall, results)
-    // stdout (forked run forwards it raw — no sbt log prefix) AND a file,
-    // so the harness can pick up the result either way
-    println(line)
+    // file first, then stdout — and the stdout print is deferred to the
+    // very END of main (after the optional seq profile) so the summary is
+    // the last thing in the driver's captured tail
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -159,6 +163,9 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(seqOut),
         (seqLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // stdout last (forked run forwards it raw — no sbt log prefix): the
+    // driver tails the output, so the summary line must be the final print
+    println(line)
     spark.stop()
   }
 }

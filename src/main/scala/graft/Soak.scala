@@ -67,6 +67,13 @@ object Soak {
     require(mult / 2 > maxMult,
       s"SOAK_MULT=$mult too small: flood threshold ${mult / 2} must exceed " +
         s"the corpus's max duplicate-text multiplicity $maxMult")
+    // replica ids are offset by r*10^7, so base ids must fit under the
+    // offset — a collision would silently mint duplicate doc_ids,
+    // violating the primary-key assumption the dedup pipelines (and the
+    // flood invariant) rely on; fail loudly like the other preconditions
+    val maxBaseId = docs0.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    require(maxBaseId < 10000000L,
+      s"doc_id $maxBaseId >= 10^7 would collide with replica id offsets")
     // replica r: ids offset by r*10^7; odd replicas perturbed by a suffix
     // token so simhash/minhash see near- (not exact-) duplicates
     val big = (0 until mult).map { r =>

@@ -220,13 +220,39 @@ object Fixture {
                         keepM: Int): DataFrame =
     cached(spark, "fp16", sfDir, d, keepM)(fp16Vectors(spark, sfDir, d, keepM))
 
-  /** Deterministic `id % mod == 0` slice of the fp16 fixture, cached
-    * separately: the filter sits below the per-component synthesis
-    * projection, so only the slice is ever synthesized/persisted — at
-    * D=128 the full-corpus fixture is ~16x the D=8 one, and the
-    * realistic-width queries only need a real slice, not every row. */
+  // ---- parquet-backed fixture materialization -----------------------------
+  // At D=128 the synthesis projection is 3x128 per-component hash/CASE
+  // expression trees; evaluating it once per SESSION made q_refine_d128 the
+  // heaviest query in the repo (~45s sequential, r6 verdict #1). Materialize
+  // the evaluated rows to a tmpdir parquet table once per (sf-dir, d, keepM,
+  // mod) — the cluster-scale twin of "write your feature table once" — and
+  // have later sessions scan the stored bytes instead of re-running the
+  // trees. Values are bit-identical, so oracle hashes are unaffected.
+  /** Bump when the fixture arithmetic or stored layout changes: the version
+    * participates in the cache path so stale tables can never be reused. */
+  private val FixtureLayoutVersion = 1
+
+  private def parquetBacked(spark: SparkSession, tag: String, sfDir: String)
+                           (mk: => DataFrame): DataFrame = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/" +
+      s"graft_fixture_v${FixtureLayoutVersion}_${tag}_$safe"
+    val marker = new java.io.File(path, "_SUCCESS")
+    // rewrite when the source table is newer than the materialized fixture
+    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    if (!marker.exists() || marker.lastModified < src.lastModified)
+      mk.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Deterministic `id % mod == 0` slice of the fp16 fixture, parquet-
+    * materialized (see above) then session-cached: the filter sits below
+    * the per-component synthesis projection, so only the slice is ever
+    * synthesized/stored — at D=128 the full-corpus fixture is ~16x the
+    * D=8 one, and the realistic-width queries only need a real slice. */
   def fp16VectorsModCached(spark: SparkSession, sfDir: String, d: Int,
                            keepM: Int, mod: Int): DataFrame =
     cached(spark, s"fp16mod$mod", sfDir, d, keepM)(
-      fp16Vectors(spark, sfDir, d, keepM).filter(col("id") % mod === 0))
+      parquetBacked(spark, s"fp16mod${mod}_d${d}_m$keepM", sfDir)(
+        fp16Vectors(spark, sfDir, d, keepM).filter(col("id") % mod === 0)))
 }

@@ -174,6 +174,16 @@ object Refine {
   /**
    * Candidate rows after early rejection, rescored at full precision.
    * Returns (qid, id, s_full, rn) — rn<=k are the seeds.
+   *
+   * CACHE LIFECYCLE: construction eagerly persists two Q*k-row
+   * intermediates (seed ids + rescored seeds) registered with
+   * [[Dedup]]'s release tracker — Spark's CacheManager holds them
+   * strongly, so they are NOT garbage-collected. Library callers must
+   * either build under [[Dedup.scopedRelease]] (and invoke the returned
+   * release callback after consuming the result) or call
+   * [[Dedup.releaseIntermediates]] once the returned DataFrame has been
+   * consumed; Bench/Verify do the former per query. Applies equally to
+   * [[fetchedSplit]], [[topk]], and [[topkSplit]].
    */
   def fetched(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame =
     fetchedSplit(cheapSide(vectors, p), vectors, queries, p)
@@ -252,7 +262,8 @@ object Refine {
   }
 
   /** Final refined top-K: (qid, rank, id, score). Equals exact top-K for
-    * the zero-miss modes (cos_l1, cos_l2, l2_sym, l2_tz). */
+    * the zero-miss modes (cos_l1, cos_l2, l2_sym, l2_tz). See
+    * [[fetched]] for the cache-release requirement on callers. */
   def topk(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame =
     TopK.window(
       fetched(vectors, queries, p).withColumnRenamed("s_full", "score"),

@@ -340,6 +340,37 @@ object RefineKernel {
                  p: Refine.Params): Dataset[Cand] =
     runKernel(vectors, queries, p, emitAllFetched = true)
 
+  /**
+   * [[fetchedAll]] for SEVERAL param sets in ONE pass over the data,
+   * tagged with a `mode` discriminator column: the partition block is
+   * decoded once and every mode's walk runs against the shared row
+   * array. The per-mode walks themselves are inherent (reduced order
+   * differs across cos/l2 families), but the row decode, the Spark job,
+   * and the scan are paid once instead of once per mode — on the
+   * single-partition invariant query that halves the sequential wall.
+   */
+  def fetchedAllMulti(vectors: DataFrame, queries: DataFrame,
+                      ps: Seq[Refine.Params]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qs: Array[QRow] = collectQueries(queries)
+    val bq = spark.sparkContext.broadcast(qs)
+    val pps = ps.toArray
+    vectors.select(col("id"), col("vec"), col("rvec"), col("delta"))
+      .as[VecRow]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else pps.iterator.flatMap { p =>
+          val kern = new PartitionKernel(rows, p)
+          bq.value.iterator.flatMap(q =>
+            kern.fetchedFor(q.qid, q.qvec).map(c =>
+              (p.mode, c.qid, c.id, c.score)))
+        }
+      }
+      .toDF("mode", "qid", "id", "score")
+  }
+
   private def runKernel(vectors: DataFrame, queries: DataFrame,
                         p: Refine.Params, emitAllFetched: Boolean): Dataset[Cand] = {
     val spark = vectors.sparkSession

@@ -200,12 +200,21 @@ object TextOps {
     // no sortWithinPartitions here: the local window below sorts by
     // doc_id within each __pid itself, and nothing else consumes order —
     // only the RANGE partitioning (smaller ids in earlier partitions)
-    // matters for correctness
-    val sized = docs
+    // matters for correctness.
+    // __pid is consumed by BOTH the offsets aggregate and the local
+    // window; the persist pins both branches to ONE physical exchange (a
+    // shared InMemoryRelation) instead of relying on Spark's exchange-
+    // reuse rule to deduplicate two identical subtrees — with reuse
+    // disabled, independently re-sampled range boundaries could assign
+    // the same doc different __pids in the two branches and silently
+    // corrupt pack assignments. Freed by Dedup's release discipline
+    // (scopedRelease / releaseIntermediates), same as the other
+    // pipelines' intermediates.
+    val sized = Dedup.persistScoped(docs
       .select(col("doc_id"), size(Dedup.tokens(col("text"))).cast("long")
         .as("n_tokens"))
       .repartitionByRange(col("doc_id"))
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id()))
     val offsets = sized.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__psum"))
       .withColumn("__offset",

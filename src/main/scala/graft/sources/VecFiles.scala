@@ -473,7 +473,18 @@ object VecFiles {
         org.apache.spark.sql.graft.HadoopConfBroadcast.sessionConf(spark))
       val head = new Array[Byte](64)
       val in = fs.open(p)
-      val n = try in.read(head) finally in.close()
+      // readFully-style loop: a single read() may legally return fewer
+      // bytes than requested on some FSDataInputStreams, and a truncated
+      // ASCII "L\nD\n" prefix would be misclassified as an int32 header
+      val n = try {
+        var off = 0
+        var r = 0
+        while (off < head.length && r >= 0) {
+          r = in.read(head, off, head.length - off)
+          if (r > 0) off += r
+        }
+        off
+      } finally in.close()
       // ASCII form iff the prefix is literally "digits\ndigits\n" — a bare
       // newline count would misread an int32 L whose bytes contain 0x0A
       // (e.g. L=2570 = 0x0A0A) as ASCII
