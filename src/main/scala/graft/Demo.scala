@@ -63,6 +63,12 @@ object Demo {
     val maxRows = a.getOrElse("maxrows", "100000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+    // adopt a live session when one exists (embedded use: tests, REPLs,
+    // notebooks) and only stop what we created — a CLI that kills its
+    // host's SparkContext on exit is not embeddable
+    val inherited = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .exists(s => !s.sparkContext.isStopped)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -112,6 +118,6 @@ object Demo {
     println(f"mode=$mode recall@${p.k}=$recall%.4f save=${save * 100}%.2f%% " +
       f"fpr=${fpr * 100}%.2f%%" +
       redOverride.map(b => f" reduced_bytes_per_vec=$b%.2f").getOrElse(""))
-    spark.stop()
+    if (!inherited) spark.stop()
   }
 }

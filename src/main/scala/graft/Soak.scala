@@ -147,6 +147,27 @@ object Soak {
         "kernel and relational top-K diverged at soak scale")
       r.length.toLong
     }
+    step("metrics_family") {
+      // metricsFamily's persist / eager-barrier choreography is the most
+      // cache-sensitive code in the repo (three MEMORY_AND_DISK relations
+      // materialized before a parallel per-mode fan-out) and was never
+      // soaked — run BOTH families over the full multi-million-row corpus
+      // so eviction/spill pressure is real, with the zero-miss invariant
+      // riding along
+      Seq(operators.Refine.CosModes, operators.Refine.L2Modes).map { fam =>
+        val ms = operators.Refine.metricsFamily(v, q,
+          fam.map(m => operators.Refine.Params(m, k = SparkEntry.K,
+            keepM = SparkEntry.KeepM)), dVec).collect()
+        ms.foreach { r =>
+          val (mode, recall, fpr) =
+            (r.getString(0), r.getDouble(3), r.getDouble(5))
+          if (!mode.endsWith("hoeff"))
+            require(recall == 1.0, s"$mode recall=$recall != 1.0 at soak scale")
+          require(fpr >= 0.0 && fpr <= 1.0, s"$mode fpr=$fpr out of range")
+        }
+        ms.length.toLong
+      }.sum
+    }
 
     val total = times.values.sum
     def jnum(d: Double) = f"$d%.3f"

@@ -216,9 +216,15 @@ object Fixture {
   def vectorsCached(spark: SparkSession, sfDir: String, d: Int): DataFrame =
     cached(spark, "int", sfDir, d, 0)(vectors(spark, sfDir, d))
 
+  /** Parquet-backed like [[fp16VectorsModCached]]: every refine-family
+    * query touches this fixture, so each fresh session previously re-paid
+    * the full-corpus synthesis once before the in-memory cache took over;
+    * now only the first session per machine does. */
   def fp16VectorsCached(spark: SparkSession, sfDir: String, d: Int,
                         keepM: Int): DataFrame =
-    cached(spark, "fp16", sfDir, d, keepM)(fp16Vectors(spark, sfDir, d, keepM))
+    cached(spark, "fp16", sfDir, d, keepM)(
+      parquetBacked(spark, s"fp16_d${d}_m$keepM", sfDir)(
+        fp16Vectors(spark, sfDir, d, keepM)))
 
   // ---- parquet-backed fixture materialization -----------------------------
   // At D=128 the synthesis projection is 3x128 per-component hash/CASE

@@ -112,6 +112,49 @@ class GaussianSpec extends AnyFunSuite {
     }
   }
 
+  test("width proof: zero-miss refine + compiled codegen at D=1024 and D=3072") {
+    // the reference evaluates D=128-3072 (README.md:40-42, paper Table 3);
+    // the engine's one historical failure mode (Janino 64KB) is
+    // width-driven, and the no-fallback lock in PlanSpec stops at D=128.
+    // The operator expressions are loop-based codegen folds (width enters
+    // at runtime, not in generated-code size), so this must pass — and a
+    // regression that re-introduces per-dimension expression trees into
+    // the hot path would trip it immediately.
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    for ((n2, d2) <- Seq((600, 1024), (300, 3072))) {
+      val vw = Fixture.gaussianVectors(spark, n2, d2, KeepM).persist()
+      vw.count()
+      val qw = vw.orderBy("id").limit(8)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      for (mode <- Seq("cos_l2", "l2_tz")) {
+        val p = Refine.Params(mode, k = 10, keepM = KeepM)
+        val df = Refine.topk(vw, qw, p)
+        // collect df ITSELF (not a derived projection) so ITS adaptive
+        // plan is finalized before the codegen inspection below
+        val got = df.collect()
+          .map(r => Seq(r.getAs[Any]("qid"), r.getAs[Any]("rank"),
+            r.getAs[Any]("id"))).toSet
+        val exact = Refine.exactTopK(vw, qw, p)
+          .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+        assert(got == exact, s"D=$d2 $mode refined != exact (zero-miss broken)")
+        // kernel path at width too: same zero-miss equality
+        val kern = RefineKernel.topk(vw, qw, p)
+          .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+        assert(kern == exact, s"D=$d2 $mode kernel != exact")
+        // and the relational plan must be fully whole-stage-compiled
+        val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+          df.queryExecution.executedPlan)
+        assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+        subtrees.foreach { case (subtree, _, stats) =>
+          assert(stats != ByteCodeStats.UNAVAILABLE,
+            s"D=$d2 whole-stage codegen fell back to interpretation:\n$subtree")
+        }
+      }
+      graft.operators.Dedup.releaseIntermediates()
+      vw.unpersist(blocking = false)
+    }
+  }
+
   test("gaussian fixture is partitioning-invariant") {
     val a = Fixture.gaussianVectors(spark, 100, 16, 6)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
