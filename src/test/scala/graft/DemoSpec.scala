@@ -55,6 +55,15 @@ class DemoSpec extends AnyFunSuite {
         "--compress", "6")
       assert(out2.contains("mode=l2_tz recall@5=1.0000"), s"report line wrong:\n$out2")
       assert(out2.contains("reduced_bytes_per_vec="), s"no compress report:\n$out2")
+
+      // --q: a separate query matrix file
+      val qf = writeVecFile(n = 10, d = 6)
+      try {
+        val out3 = run("--db", f.toString, "--q", qf.toString,
+          "--mode", "l2-sym", "--k", "5")
+        assert(out3.contains("mode=l2_sym recall@5=1.0000"),
+          s"report line wrong:\n$out3")
+      } finally java.nio.file.Files.deleteIfExists(qf)
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 

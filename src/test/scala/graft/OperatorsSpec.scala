@@ -442,6 +442,20 @@ class OperatorsSpec extends AnyFunSuite {
           r.getLong(3), r.getLong(4))).toSet
     assert(run(docs) == want)
     assert(run(docs.repartition(7)) == want, "partitioning changed packs")
+    // with exchange reuse DISABLED the two __pid-consuming branches
+    // (offsets aggregate + local window) no longer share a deduplicated
+    // exchange subtree — the persist inside packSequences is what pins
+    // them to one physical partitioning; without it, independently
+    // re-sampled range boundaries could disagree between the branches
+    val saved = spark.conf.getOption("spark.sql.exchange.reuse")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      assert(run(docs.repartition(5)) == want, "packs wrong without exchange reuse")
+      graft.operators.Dedup.releaseIntermediates()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
+      case None => spark.conf.unset("spark.sql.exchange.reuse")
+    }
   }
 
   test("sequence packing conserves tokens and orders bins on random corpora") {
