@@ -153,12 +153,47 @@ object SparkEntry {
     // the shared rows, instead of each mode paying its own full
     // single-task job. The fetch sets come out with full scores, so the
     // kernel's top-K is derived without a second walk.
+    // fill the shared fixture cache with PARALLEL tasks before the
+    // single-task coalesced walk below — without this, a session whose
+    // first fixture action is this query (e.g. a BENCH_ONLY run that
+    // skips Bench's warm-up) pays the whole cache fill inside the one
+    // sequential kernel task
+    v0.count()
     val kerBoth = RefineKernel.fetchedAllMulti(v1, q, ps).persist()
-    kerBoth.count()
-    // the remaining per-mode work is all parallel relational jobs —
-    // overlap the two modes (pool propagated per Sched's contract)
+    // both families' exact ground truths from ONE fused N*Q scoring pass
+    // over the slice (the exactGroundTruths trick — each mode's exact
+    // top-K is consumed by three joins below, and a separate brute scan
+    // per mode was the heaviest remaining piece of this query)
+    val qb = broadcast(q.withColumn("nq2", norm2Sq(col("qvec"))))
+    val scoredSub = vSub
+      .select(col("id"), col("vec"), norm2Sq(col("vec")).as("nx2"))
+      .crossJoin(qb)
+      .withColumn("score_cos",
+        dot(col("vec"), col("qvec")) / (fnorm(col("nx2")) * fnorm(col("nq2"))))
+      .withColumn("score_l2", l2DistSq(col("qvec"), col("vec")))
+      .select(col("qid"), col("id"), col("score_cos"), col("score_l2"))
+      .persist()
+    val exactByFam = Map(
+      true -> TopK.window(
+          scoredSub.withColumnRenamed("score_cos", "score"), K)
+        .select(col("qid"), col("id")).persist(),
+      false -> TopK.window(
+          scoredSub.withColumnRenamed("score_l2", "score"), K, ascending = true)
+        .select(col("qid"), col("id")).persist())
     import scala.collection.parallel.CollectionConverters._
     val callerPool = graft.Sched.currentPool(s)
+    // materialize the walk and the exact pass CONCURRENTLY before the
+    // fan-out: the walk is one sequential task that leaves the other
+    // local[*] slots idle — exactly the capacity the parallel exact
+    // scoring pass wants
+    Seq[() => Unit](
+      () => { kerBoth.count(): Unit },
+      () => {
+        exactByFam.values.foreach(_.count())
+        scoredSub.unpersist(blocking = false)
+      }).par.foreach(f => graft.Sched.inPool(s, callerPool)(f()))
+    // the remaining per-mode work is all parallel relational jobs —
+    // overlap the two modes (pool propagated per Sched's contract)
     val rows = ps.par.map { p => graft.Sched.inPool(s, callerPool) {
       val rel = Refine.fetched(vSub, q, p).persist()
       val kerAll = kerBoth.filter(col("mode") === p.mode).drop("mode")
@@ -166,8 +201,7 @@ object SparkEntry {
         .join(rel.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
         .count()
       val (nKer, nRel) = (kerAll.count(), rel.count())
-      val exact = Refine.exactTopK(vSub, q, p).select(col("qid"), col("id"))
-        .persist()
+      val exact = exactByFam(p.isCos)
       val hits = TopK.window(kerAll, p.k, ascending = !p.isCos)
         .join(exact, Seq("qid", "id")).count()
       // deployment shape: default-partitioned kernel vs relational refine
@@ -177,11 +211,12 @@ object SparkEntry {
         TopK.window(rel.withColumnRenamed("s_full", "score"), p.k,
           ascending = !p.isCos)
         .join(exact, Seq("qid", "id")).count()
-      rel.unpersist(blocking = false); exact.unpersist(blocking = false)
+      rel.unpersist(blocking = false)
       (p.mode, extras == 0L, nKer <= nRel, nKer >= K.toLong * NQ,
         hits.toDouble / (K * NQ) >= KernelHoeffFloor, partHits >= relHits)
     }}.toList
     kerBoth.unpersist(blocking = false)
+    exactByFam.values.foreach(_.unpersist(blocking = false))
     rows.toDF("mode", "subset_ok", "tighter_ok", "min_fetch_ok",
       "recall_floor_ok", "part_recall_ge_rel_ok")
   }
