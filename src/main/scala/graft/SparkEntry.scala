@@ -882,6 +882,13 @@ object SparkEntry {
         graft.operators.Multimodal.withBlob(docs(s, dir)))),
     // blob -> featurize -> cosine search, one lazy plan
     "q_multimodal_ann" -> q((s, dir) => qMultimodalAnn(s, dir)),
+    // REAL image decode: render deterministic grayscale PNGs per doc,
+    // decode them back through the JDK's actual PNG codec, histogram the
+    // decoded pixels; lossless round-trip => the oracle states the
+    // synthesis arithmetic in closed form without ever seeing a PNG
+    "q_multimodal_decode" -> q((s, dir) =>
+      graft.operators.Multimodal.decodeImageFeatures(
+        graft.operators.Multimodal.renderImageBlobs(docs(s, dir)))),
     // compression model, split (VERDICT r5 #5): the packed (pre-Deflater)
     // bit-plane layout is hash-matched via per-plane popcounts ...
     "q_compress_packed" -> q((s, dir) =>
@@ -1051,5 +1058,20 @@ object SparkEntry {
          |  FROM pos)
          |SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS cnt
          |FROM b GROUP BY 1, 2""".stripMargin,
+    // PNG decode is lossless, so the decoded-pixel histogram equals the
+    // closed-form pixel synthesis (Multimodal.pixel) — pure BIGINT
+    // arithmetic both engines evaluate term-for-term
+    "q_multimodal_decode" -> {
+      import graft.operators.Multimodal.{ImgW, ImgH, PixBins}
+      s"""WITH xs AS (SELECT unnest(generate_series(0, ${ImgW - 1})) AS x),
+         |ys AS (SELECT unnest(generate_series(0, ${ImgH - 1})) AS y),
+         |px AS (SELECT d.doc_id,
+         |    ((d.doc_id * 2654435761 + xs.x * 40503 + ys.y * 69621)
+         |      % 2147483647) % 256 AS p
+         |  FROM documents d CROSS JOIN xs CROSS JOIN ys)
+         |SELECT doc_id, CAST(p // ${256 / PixBins} AS BIGINT) AS bucket,
+         |  COUNT(*) AS cnt
+         |FROM px GROUP BY 1, 2""".stripMargin
+    },
   )
 }

@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
  * opaque BINARY columns with a typed metadata struct; feature extraction
  * runs as partition-batched typed transforms.
  *
- * The actual media codecs are NOT available in this environment, so the
- * decode step is STUBBED with a deterministic byte-level featurizer
- * (16-bin byte histogram) — see [[decodeStub]]. The Spark-side plumbing
- * (binary schema, metadata propagation, batched mapPartitions signature,
- * flat feature output) is real and oracle-tested: over the ASCII
- * `documents` corpus, byte == character code, so plain SQL reproduces the
- * histogram.
+ * IMAGES decode for real: the JDK ships a PNG codec (`javax.imageio`),
+ * so [[decodeImageFeatures]] runs an actual compressed-image decode in
+ * the batched loop — see the "real image decode" section. AUDIO/VIDEO
+ * codecs are NOT available in this environment, so their decode step is
+ * STUBBED with a deterministic byte-level featurizer (16-bin byte
+ * histogram) — see [[decodeStub]]. The Spark-side plumbing (binary
+ * schema, metadata propagation, batched mapPartitions signature, flat
+ * feature output) is real and oracle-tested either way: over the ASCII
+ * `documents` corpus, byte == character code, so plain SQL reproduces
+ * the byte histogram, and PNG is lossless, so plain SQL reproduces the
+ * decoded pixel histogram from the synthesis arithmetic.
  */
 object Multimodal {
 
@@ -96,6 +100,87 @@ object Multimodal {
         transform(sequence(lit(0), lit(Bins - 1)),
           b => coalesce(element_at(col("m"), b), lit(0L)).cast("float"))
           .as("fvec"))
+
+  // ---- real image decode (JDK ImageIO; PNG codec ships in every JRE) ----
+
+  final val ImgW = 16
+  final val ImgH = 16
+  final val PixBins = 16
+
+  /** Deterministic 8-bit grayscale pixel for (id, x, y): pure BIGINT
+    * arithmetic (products stay far below 2^63) that DuckDB reproduces
+    * term-for-term — the image twin of the vector fixtures' counter-based
+    * synthesis, so decoded features are hash-matchable. */
+  def pixel(id: Long, x: Int, y: Int): Int =
+    (((id * 2654435761L + x * 40503L + y * 69621L) % 2147483647L) % 256L).toInt
+
+  /** (doc_id) -> (doc_id, img BINARY): each document's deterministic
+    * grayscale [[ImgW]]x[[ImgH]] image, PNG-ENCODED (a real compressed
+    * image container, not a byte stand-in). Encoder byte output may vary
+    * across JDKs; that is irrelevant downstream because PNG is lossless —
+    * only the decoded pixels are consumed. */
+  def renderImageBlobs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file spooling
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            ImgW, ImgH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val r = img.getRaster
+          var y = 0
+          while (y < ImgH) {
+            var x = 0
+            while (x < ImgW) { r.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "img")
+  }
+
+  /**
+   * REAL image decode + featurize, partition-batched: PNG-decode each
+   * blob with the JDK codec, histogram the decoded pixels into
+   * [[PixBins]] buckets. Flat (doc_id, bucket, cnt) rows. Decoding is
+   * lossless, so over [[renderImageBlobs]] output the histogram equals
+   * the closed-form synthesis arithmetic — the DuckDB oracle states it
+   * without ever seeing a PNG. Fails loudly on an undecodable blob
+   * (a silent skip would under-count and still hash-match nothing).
+   */
+  def decodeImageFeatures(imgs: DataFrame): DataFrame = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, blob) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob))
+          require(img != null, s"undecodable image blob for doc_id=$id")
+          val r = img.getRaster
+          val h = new Array[Long](PixBins)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              h(r.getSample(x, y, 0) * PixBins / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until PixBins).iterator
+            .filter(h(_) > 0L)
+            .map(b => (id, b.toLong, h(b)))
+        }
+      }
+      .toDF("doc_id", "bucket", "cnt")
+  }
 
   /** Batched feature extraction: flat (doc_id, bucket, cnt) rows. */
   def features(blobs: DataFrame): DataFrame = {

@@ -130,6 +130,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaBlob == direct)
   }
 
+  test("image decode round-trips real PNGs back to the synthesis pixels") {
+    val docs = Tables.documents(spark, dir).limit(20)
+    val imgs = Multimodal.renderImageBlobs(docs)
+    // the blobs are genuine PNG containers (magic bytes), not stand-ins
+    val blob = imgs.limit(1).collect()(0).getAs[Array[Byte]]("img")
+    assert(blob.length > 8 &&
+      (blob(0) & 0xFF) == 0x89 && blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G',
+      "blob is not a PNG container")
+    // decoded-pixel histogram == closed-form synthesis histogram
+    val got = Multimodal.decodeImageFeatures(imgs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = docs.collect().map(_.getAs[Long]("doc_id")).flatMap { id =>
+      val h = new Array[Long](Multimodal.PixBins)
+      for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
+        h(Multimodal.pixel(id, x, y) * Multimodal.PixBins / 256) += 1
+      (0 until Multimodal.PixBins).filter(h(_) > 0)
+        .map(b => (id, b.toLong) -> h(b))
+    }.toMap
+    assert(got == want)
+  }
+
   test("connected components resolve chains, cliques, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (one component, min 1), triangle 10-11-12 with an
