@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
  * opaque BINARY columns with a typed metadata struct; feature extraction
  * runs as partition-batched typed transforms.
  *
- * IMAGES decode for real: the JDK ships a PNG codec (`javax.imageio`),
- * so [[decodeImageFeatures]] runs an actual compressed-image decode in
- * the batched loop — see the "real image decode" section. AUDIO/VIDEO
- * codecs are NOT available in this environment, so their decode step is
- * STUBBED with a deterministic byte-level featurizer (16-bin byte
- * histogram) — see [[decodeStub]]. The Spark-side plumbing (binary
- * schema, metadata propagation, batched mapPartitions signature, flat
- * feature output) is real and oracle-tested either way: over the ASCII
- * `documents` corpus, byte == character code, so plain SQL reproduces
- * the byte histogram, and PNG is lossless, so plain SQL reproduces the
- * decoded pixel histogram from the synthesis arithmetic.
+ * IMAGES and AUDIO decode for real: the JDK ships a PNG codec
+ * (`javax.imageio`) and a WAV/PCM container parser
+ * (`javax.sound.sampled`), so [[decodeImageFeatures]] and
+ * [[decodeAudioFeatures]] run actual container decodes in the batched
+ * loop. VIDEO codecs are NOT available in this environment, so that
+ * decode step is STUBBED with a deterministic byte-level featurizer
+ * (16-bin byte histogram) — see [[decodeStub]]. The Spark-side plumbing
+ * (binary schema, metadata propagation, batched mapPartitions signature,
+ * flat feature output) is real and oracle-tested either way: over the
+ * ASCII `documents` corpus, byte == character code, so plain SQL
+ * reproduces the byte histogram, and PNG/PCM are lossless, so plain SQL
+ * reproduces the decoded pixel/sample features from the synthesis
+ * arithmetic.
  */
 object Multimodal {
 
@@ -180,6 +182,89 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "bucket", "cnt")
+  }
+
+  // ---- real audio decode (JDK javax.sound.sampled; WAV/PCM built in) ----
+
+  final val AudioSamples = 256   // samples per document
+  final val AudioWin = 64        // energy-window length
+  final val AudioRate = 8000f
+
+  /** Deterministic signed 16-bit PCM sample for (id, i): BIGINT
+    * arithmetic DuckDB reproduces term-for-term. */
+  def sample16(id: Long, i: Int): Int =
+    ((((id * 2654435761L + i * 48271L) % 2147483647L) % 65536L) - 32768L).toInt
+
+  /** (doc_id) -> (doc_id, wav BINARY): each document's deterministic
+    * [[AudioSamples]]-sample mono 16-bit little-endian PCM in a genuine
+    * WAV container (written through the JDK audio system, not by hand). */
+  def renderAudioBlobs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        val fmt = new AudioFormat(AudioRate, 16, 1, true, false)
+        it.map { id =>
+          val pcm = new Array[Byte](AudioSamples * 2)
+          var i = 0
+          while (i < AudioSamples) {
+            val s = sample16(id, i)
+            pcm(2 * i) = (s & 0xFF).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+              AudioSamples.toLong),
+            AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "wav")
+  }
+
+  /**
+   * REAL audio decode + featurize, partition-batched: parse each WAV
+   * container through the JDK audio system (header, format, frame
+   * stream), reconstruct the 16-bit samples, and emit per-window energy
+   * (doc_id, win, energy, n) — the audio-fingerprint shape. PCM is
+   * lossless, so over [[renderAudioBlobs]] output the energies equal the
+   * closed-form synthesis arithmetic (sums of squares stay < 2^36, exact
+   * in BIGINT on both engines). Fails loudly on an unparseable container
+   * or an unexpected format.
+   */
+  def decodeAudioFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        it.flatMap { case (id, blob) =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          val f = ais.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+            !f.isBigEndian && f.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+            s"unexpected audio format for doc_id=$id: $f")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val nWin = (n + AudioWin - 1) / AudioWin
+          val energy = new Array[Long](nWin)
+          val cnt = new Array[Long](nWin)
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            energy(i / AudioWin) += s * s
+            cnt(i / AudioWin) += 1
+            i += 1
+          }
+          (0 until nWin).iterator.map(w => (id, w.toLong, energy(w), cnt(w)))
+        }
+      }
+      .toDF("doc_id", "win", "energy", "n")
   }
 
   /** Batched feature extraction: flat (doc_id, bucket, cnt) rows. */

@@ -151,6 +151,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("audio decode round-trips real WAV containers back to the synthesis PCM") {
+    val docs = Tables.documents(spark, dir).limit(20)
+    val wavs = Multimodal.renderAudioBlobs(docs)
+    // the blobs are genuine RIFF/WAVE containers, not byte stand-ins
+    val blob = wavs.limit(1).collect()(0).getAs[Array[Byte]]("wav")
+    assert(blob.length > 12 &&
+      new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(blob, 8, 4, "US-ASCII") == "WAVE",
+      "blob is not a WAV container")
+    val got = Multimodal.decodeAudioFeatures(wavs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = docs.collect().map(_.getAs[Long]("doc_id")).flatMap { id =>
+      val nWin = Multimodal.AudioSamples / Multimodal.AudioWin
+      (0 until nWin).map { w =>
+        val es = (0 until Multimodal.AudioWin).map { j =>
+          val s = Multimodal.sample16(id, w * Multimodal.AudioWin + j).toLong
+          s * s
+        }
+        (id, w.toLong) -> (es.sum, Multimodal.AudioWin.toLong)
+      }
+    }.toMap
+    assert(got == want)
+  }
+
   test("connected components resolve chains, cliques, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (one component, min 1), triangle 10-11-12 with an
