@@ -895,6 +895,12 @@ object SparkEntry {
     "q_multimodal_audio" -> q((s, dir) =>
       graft.operators.Multimodal.decodeAudioFeatures(
         graft.operators.Multimodal.renderAudioBlobs(docs(s, dir)))),
+    // REAL video-frame decode: demux a length-prefixed container of PNG
+    // frames and decode each through the JDK codec; per-frame pixel sums
+    // are exact BIGINT aggregates of the lossless round-trip
+    "q_multimodal_video" -> q((s, dir) =>
+      graft.operators.Multimodal.decodeVideoFeatures(
+        graft.operators.Multimodal.renderVideoBlobs(docs(s, dir)))),
     // compression model, split (VERDICT r5 #5): the packed (pre-Deflater)
     // bit-plane layout is hash-matched via per-plane popcounts ...
     "q_compress_packed" -> q((s, dir) =>
@@ -1092,6 +1098,21 @@ object SparkEntry {
          |SELECT doc_id, CAST(i // $AudioWin AS BIGINT) AS win,
          |  CAST(SUM(s * s) AS BIGINT) AS energy, COUNT(*) AS n
          |FROM smp GROUP BY 1, 2""".stripMargin
+    },
+    // PNG frames are lossless, so per-frame pixel sums equal the
+    // closed-form synthesis (Multimodal.framePixel)
+    "q_multimodal_video" -> {
+      import graft.operators.Multimodal.{VideoFrames, FrameW, FrameH}
+      s"""WITH fs AS (SELECT unnest(generate_series(0, ${VideoFrames - 1})) AS f),
+         |xs AS (SELECT unnest(generate_series(0, ${FrameW - 1})) AS x),
+         |ys AS (SELECT unnest(generate_series(0, ${FrameH - 1})) AS y),
+         |px AS (SELECT d.doc_id, fs.f,
+         |    ((d.doc_id * 2654435761 + fs.f * 1013904223 + xs.x * 40503
+         |      + ys.y * 69621) % 2147483647) % 256 AS p
+         |  FROM documents d CROSS JOIN fs CROSS JOIN xs CROSS JOIN ys)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+         |  CAST(SUM(p) AS BIGINT) AS psum, COUNT(*) AS n
+         |FROM px GROUP BY 1, 2""".stripMargin
     },
   )
 }

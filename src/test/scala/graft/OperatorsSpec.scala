@@ -176,6 +176,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("video decode demuxes the container and round-trips every PNG frame") {
+    val docs = Tables.documents(spark, dir).limit(20)
+    val vids = Multimodal.renderVideoBlobs(docs)
+    // container framing: first int32-BE length, then a PNG magic
+    val blob = vids.limit(1).collect()(0).getAs[Array[Byte]]("video")
+    val len0 = java.nio.ByteBuffer.wrap(blob, 0, 4).getInt
+    assert(len0 > 8 && (blob(4) & 0xFF) == 0x89 && blob(5) == 'P',
+      "container does not start with a length-prefixed PNG frame")
+    val got = Multimodal.decodeVideoFeatures(vids)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = docs.collect().map(_.getAs[Long]("doc_id")).flatMap { id =>
+      (0 until Multimodal.VideoFrames).map { f =>
+        val psum = (for (y <- 0 until Multimodal.FrameH;
+                         x <- 0 until Multimodal.FrameW)
+          yield Multimodal.framePixel(id, f, x, y).toLong).sum
+        (id, f.toLong) ->
+          (psum, (Multimodal.FrameW * Multimodal.FrameH).toLong)
+      }
+    }.toMap
+    assert(got == want)
+  }
+
   test("connected components resolve chains, cliques, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (one component, min 1), triangle 10-11-12 with an
