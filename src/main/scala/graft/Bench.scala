@@ -117,12 +117,14 @@ object Bench {
 
     def jsonLine(metric: String, value: Double,
                  qtimes: Map[String, Double]): String = {
-      // millisecond precision: full-double times made the r6 line ~2.5KB
-      // and the driver's captured tail truncated it mid-line (parsed:
-      // null) — 3 decimals is plenty and keeps the line inside the window
+      // bounded precision: full-double times made the r6 line ~2.5KB and
+      // the driver's 2000-char captured tail truncated it mid-line
+      // (parsed: null). Per-query times at centiseconds keep the line
+      // comfortably inside the window with headroom for more queries;
+      // the headline total keeps milliseconds.
       def jnum(d: Double) = f"$d%.3f"
       val qs = qtimes.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       // 1-min system load at finish: this box shows 2x+ wall variance
       // from co-tenant CPU steal, so the snapshot records the conditions
