@@ -779,6 +779,16 @@ object SparkEntry {
     "q_lang_id"     -> q((s, dir) => TextOps.langId(docs(s, dir))),
     "q_quality"     -> q((s, dir) => TextOps.quality(docs(s, dir))),
     "q_fingerprint" -> q((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    // PII scrub: the synthetic corpus carries no addresses or digits, so
+    // the query INJECTS deterministic PII derived from doc_id (the usual
+    // fixture-synthesis rule — the oracle states the same injection in
+    // closed form) and grades the scrubber on counts AND the full
+    // cleaned text
+    "q_pii_scrub"   -> q((s, dir) => TextOps.scrubPii(
+      docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com ref "),
+          (col("doc_id") * 7919L + 123456789L).cast("string")).as("text")))),
     // P7 seeded subsample (reference ANNCode.py:68-71) + sample-then-stat:
     // exact-count md5-keyed selection, invariant under partitioning
     "q_subsample"   -> q((s, dir) => graft.sources.VecFiles.subsample(
@@ -958,6 +968,25 @@ object SparkEntry {
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),
     "q_fingerprint"   -> DocOracle.fingerprintSql(Shingle),
+    // same injection, same RE2-safe patterns (Java regex and RE2 agree
+    // on character-class regexes), email pass before number pass
+    "q_pii_scrub" ->
+      s"""WITH inj AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com ref '
+         |      || CAST(doc_id * 7919 + 123456789 AS VARCHAR) AS text
+         |  FROM documents),
+         |ne AS (SELECT doc_id, text,
+         |    regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS no_email
+         |  FROM inj)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(no_email, '${TextOps.LongNumRe}')) AS INTEGER)
+         |    AS n_longnums,
+         |  regexp_replace(no_email, '${TextOps.LongNumRe}', '<NUM>', 'g')
+         |    AS clean_text
+         |FROM ne""".stripMargin,
     "q_subsample"     -> DocOracle.subsampleSql(SubsampleN),
     "q_token_bpe"     -> DocOracle.bpeUnitsSql,
     "q_repetition"    -> DocOracle.repetitionSql(JaccardN),

@@ -146,6 +146,34 @@ object TextOps {
           .as("top_gram_frac"))
   }
 
+  // ---- PII scrubbing -----------------------------------------------------
+
+  /** Scrub patterns: RE2-safe character-class regexes (no backrefs, no
+    * lookaround) so Spark's Java regex engine and DuckDB's RE2 match and
+    * replace identically — which is what lets the CLEANED TEXT itself sit
+    * on the hash-matched oracle surface, not just the counts. */
+  final val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  final val LongNumRe = "[0-9]{6,}"
+
+  /**
+   * PII scrubbing — the standard pre-training redaction stage: replace
+   * email addresses and long digit runs with typed placeholder tokens
+   * and report per-document match counts. Emails are scrubbed FIRST
+   * (their local parts contain digit runs; the number pass must see the
+   * placeholder, not the address). Pure map-side per-row rewriting —
+   * zero shuffle at any corpus size.
+   * Output: (doc_id, n_emails, n_longnums, clean_text).
+   */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val noEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(LongNumRe), lit(0)))
+        .as("n_longnums"),
+      regexp_replace(noEmail, LongNumRe, "<NUM>").as("clean_text"))
+  }
+
   /**
    * Context-window chunking: split each document into `chunkTokens`-token
    * windows with `overlap` tokens shared between consecutive chunks (the

@@ -199,6 +199,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pii scrub redacts emails before digit runs and counts both") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b-c_9@test-x.org or on 1234567 soon"),
+      (2L, "no pii here at all"),
+      (3L, "two 999999999 runs 123456 and x@y.io plus short 12345"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.scrubPii(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((1, 1, "mail me at <EMAIL> or on <NUM> soon")))
+    assert(got(2L) == ((0, 0, "no pii here at all")))
+    // the email's digits are gone before the number pass; 12345 is below
+    // the 6-digit floor and survives
+    assert(got(3L) == ((1, 2, "two <NUM> runs <NUM> and <EMAIL> plus short 12345")))
+  }
+
   test("connected components resolve chains, cliques, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (one component, min 1), triangle 10-11-12 with an
