@@ -69,11 +69,18 @@ object Demo {
     val inherited = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .exists(s => !s.sparkContext.isStopped)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // an inherited session is reused AS-IS: getOrCreate() applies
+    // builder .config() runtime confs to an existing session, so routing
+    // the inherited case through the configured builder would silently
+    // rewrite the host's shuffle.partitions — the opposite of "leave the
+    // host session untouched"
+    val spark =
+      if (inherited) SparkSession.builder().getOrCreate()
+      else SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val (v, q, d) = a.get("db") match {

@@ -75,6 +75,33 @@ object SparkEntry {
   private def fix128(s: SparkSession, dir: String): DataFrame =
     Fixture.fp16VectorsModCached(s, dir, D128, KeepM, D128KeyMod)
 
+  /** MS MARCO-class width on the ORACLE surface: the reference's largest
+    * evaluated embedding width is D=3072 and its mid tier D=1024
+    * (README.md:40-42, paper Table 3); tests prove both widths
+    * (GaussianSpec), but until round 8 the driver's hash-matched gate
+    * topped out at D=128. This query runs the relational refine at
+    * D=1024 on a tiny deterministic slice — width is what it proves, so
+    * N stays small (~300 rows at sf0.01, ~3k at sf0.1) and the fixture
+    * synthesis (3x1024 CASE trees) is parquet-materialized once like the
+    * D=128 fixtures. The fp16-exact domain stays bit-reproducible at
+    * this width: pairwise products carry <= 24 significant bits with
+    * magnitude <= 16, so 1024-term sums span < 40 bits — exact in
+    * DOUBLE, hash-matched against DuckDB. */
+  final val D1024 = 1024
+  final val D1024KeyMod = 128
+
+  private def fix1024(s: SparkSession, dir: String): DataFrame =
+    Fixture.fp16VectorsModCached(s, dir, D1024, KeepM, D1024KeyMod)
+
+  /** Relational refine at D=1024 — cos_l2 (same worst codegen path as
+    * [[qRefineD128]]: the bb stat dots vec against rvec on top of the
+    * synthesis trees). */
+  def qRefineD1024(s: SparkSession, dir: String): DataFrame = {
+    val v = fix1024(s, dir)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    Refine.topk(v, q, refineParams("cos_l2"))
+  }
+
   /** Relational refine at D=128 — cos_l2 is the worst codegen path (its
     * bb stat dots vec against rvec on top of the synthesis trees; the
     * round-4 Janino 64KB blow-up was exactly this shape at width). */
@@ -352,21 +379,17 @@ object SparkEntry {
 
   /** Record-index -> fixture-id mapping for index-addressed sources
     * (.fvecs / header-binary carry no row key): the fixture files are
-    * written sorted by id, so record i is the i-th smallest id. Indices
-    * come from zipWithIndex over the range-sorted id column — contiguous
-    * global indices with NO single-partition window (a real export would
-    * carry ids in a sidecar or parquet). */
+    * written sorted by id, so record i is the i-th smallest id. The
+    * idx->id map is the session-cached [[Fixture.idxToIdCached]] (one
+    * skinny sort per session, shared by all three source queries) and is
+    * BROADCAST into the join, so the wide vec side never shuffles — the
+    * map is two BIGINTs per record, and at genuinely large N a real
+    * export would carry ids in a sidecar column instead of remapping. */
   private def withFixtureIds(spark: SparkSession, dir: String,
-                             raw: DataFrame): DataFrame = {
-    import spark.implicits._
-    val ids = Fixture.vectorsCached(spark, dir, D)
-      .select(col("id")).orderBy(col("id")).as[Long].rdd
-      .zipWithIndex()
-      .map { case (id, idx) => (idx, id) }
-      .toDF("idx", "id")
-    raw.withColumnRenamed("id", "idx").join(ids, "idx")
+                             raw: DataFrame): DataFrame =
+    raw.withColumnRenamed("id", "idx")
+      .join(broadcast(Fixture.idxToIdCached(spark, dir)), "idx")
       .select(col("id"), col("vec"))
-  }
 
   /** Exact cosine top-K fed from the `.vec` TEXT source (S1): the
     * fixture is materialized as a FastText-style file once per sf-dir
@@ -846,6 +869,8 @@ object SparkEntry {
     "q_refine_d128"         -> q((s, dir) => qRefineD128(s, dir)),
     "q_refine_kernel_d128"  -> q((s, dir) => qRefineKernelD128(s, dir)),
     "q_refine_metrics_d128" -> q((s, dir) => qRefineMetricsD128(s, dir)),
+    // MS MARCO-class width (reference mid tier D=1024) on a tiny slice
+    "q_refine_d1024"        -> q((s, dir) => qRefineD1024(s, dir)),
     // running-tau Hoeffding kernel: provable invariants as constants
     "q_kernel_hoeff" -> q((s, dir) => qKernelHoeffInvariants(s, dir)),
     // at-rest disaggregated layout: cheap pass scans only reduced columns
@@ -878,6 +903,11 @@ object SparkEntry {
     // equals the batch refine, same oracle
     "q_stream_refine" -> q((s, dir) => graft.streaming.StreamOps
       .refineOverStream(s, dir, D, KeepM, refineParams("cos_l1"))),
+    // streaming INGESTION DEDUP: documents drained one file per trigger
+    // through a running digest aggregate (the dedup state), update-mode
+    // upsert log; equals the batch exact dedup, same oracle
+    "q_stream_dedup" -> q((s, dir) =>
+      graft.streaming.StreamOps.streamDedupOnce(s, dir)),
     // bucketed (pre-partitioned) layout: equi-join with no exchange on
     // either side (PlanSpec asserts the plan shape)
     "q_bucketed_join" -> q((s, dir) =>
@@ -1011,6 +1041,7 @@ object SparkEntry {
     "q_events_sessions" -> MiscOracle.eventsSessionsSql(SessionGapSec),
     "q_stream_sessions" -> MiscOracle.eventsSessionsSql(SessionGapSec),
     "q_stream_refine"   -> RefineOracle.topkSql(D, NQ, refineParams("cos_l1")),
+    "q_stream_dedup"    -> DocOracle.dedupExactSql,
     "q_bucketed_join" ->
       """SELECT c_mktsegment,
         |  COUNT(*) AS n_orders,
@@ -1038,6 +1069,7 @@ object SparkEntry {
     // D=128: the oracle generators are dimension-generic (dims table +
     // SUM over j), so realistic width rides the same SQL
     "q_refine_d128"         -> RefineOracle.topkSql(D128, NQ, refineParams("cos_l2"), D128KeyMod),
+    "q_refine_d1024"        -> RefineOracle.topkSql(D1024, NQ, refineParams("cos_l2"), D1024KeyMod),
     "q_refine_kernel_d128"  -> RefineOracle.topkSql(D128, NQ, refineParams("l2_tz"), D128KeyMod),
     "q_refine_metrics_d128" -> RefineOracle.metricsSql(D128, NQ, refineParams("cos_hoeff"), D128KeyMod),
     // provable invariants stated as constants (see qKernelHoeffInvariants)

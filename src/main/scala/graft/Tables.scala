@@ -216,6 +216,26 @@ object Fixture {
   def vectorsCached(spark: SparkSession, sfDir: String, d: Int): DataFrame =
     cached(spark, "int", sfDir, d, 0)(vectors(spark, sfDir, d))
 
+  /** Positional-record-index -> fixture-id map (idx i = i-th smallest
+    * id): the remap key for index-addressed sources (.fvecs / header-bin
+    * / positional .vec carry no row key; the fixture exports are written
+    * id-sorted). One SKINNY global sort of the distinct key column —
+    * never the D-wide vectors — computed once per (session, sf-dir) and
+    * persisted; before this existed every source query re-ran the sort +
+    * zipWithIndex + an uncached shuffle join per invocation (the r7
+    * q_topk_cos_dispatch 98 s outlier). Dimension-independent: the id
+    * set comes from the key column alone. */
+  def idxToIdCached(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, "idxmap", sfDir, 0, 0) {
+      import spark.implicits._
+      Tables.lineitem(spark, sfDir)
+        .select(lineitemKey.as("id")).distinct()
+        .orderBy(col("id")).select(col("id")).as[Long].rdd
+        .zipWithIndex()
+        .map { case (id, idx) => (idx, id) }
+        .toDF("idx", "id")
+    }
+
   /** Parquet-backed like [[fp16VectorsModCached]]: every refine-family
     * query touches this fixture, so each fresh session previously re-paid
     * the full-corpus synthesis once before the in-memory cache took over;
@@ -238,17 +258,42 @@ object Fixture {
     * participates in the cache path so stale tables can never be reused. */
   private val FixtureLayoutVersion = 1
 
+  /** Source freshness stamp: the max mtime over the source table's FILES
+    * (plus the dir itself). A directory's own lastModified only changes
+    * when entries are added/removed — rewriting existing part files in
+    * place updates file mtimes but can leave the dir mtime untouched, so
+    * a dir-only stamp could silently serve a stale machine-wide cache. */
+  private[graft] def srcVersion(sfDir: String): Long = {
+    val dir = new java.io.File(s"$sfDir/lineitem.parquet")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    (dir.lastModified +: files.map(_.lastModified)).max
+  }
+
   private def parquetBacked(spark: SparkSession, tag: String, sfDir: String)
                            (mk: => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/" +
-      s"graft_fixture_v${FixtureLayoutVersion}_${tag}_$safe"
-    val marker = new java.io.File(path, "_SUCCESS")
-    // rewrite when the source table is newer than the materialized fixture
-    val src = new java.io.File(s"$sfDir/lineitem.parquet")
-    if (!marker.exists() || marker.lastModified < src.lastModified)
-      mk.write.mode("overwrite").option("compression", "zstd").parquet(path)
-    spark.read.parquet(path)
+    // the source version is baked into the dir NAME, so a published cache
+    // dir is IMMUTABLE: fresh == exists, and no writer ever touches a dir
+    // another process may be scanning. An in-place mode("overwrite") into
+    // a fixed path would let two JVMs racing here (bench + verify share
+    // the tmpdir) interleave their overwrite jobs and publish a mixed
+    // parquet dir under _SUCCESS that every later session silently reuses.
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_fixture_v${FixtureLayoutVersion}_${tag}_${safe}_v${srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      // unique scratch dir + one atomic rename; losing a cross-JVM
+      // publish race just discards byte-identical work (deterministic mk)
+      val tmp = Files.createTempDirectory(path.getParent, s"$tag-")
+      mk.write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"fixture cache publish failed: $path")
+    }
+    spark.read.parquet(path.toString)
   }
 
   /** Deterministic `id % mod == 0` slice of the fp16 fixture, parquet-

@@ -48,6 +48,17 @@ object Dedup {
     * enclosing [[scopedRelease]]. */
   def persistScoped(df: DataFrame): DataFrame = persistTracked(df)
 
+  /** True while the calling thread is constructing under
+    * [[scopedRelease]] — operators use this to tell managed callers
+    * (Bench/Verify, which release per query) from bare library callers
+    * (who get self-contained results instead of a leak; see
+    * Refine.fetchedSplit). */
+  def scopeActive: Boolean = scope.value.isDefined
+
+  /** Globally-tracked intermediates currently awaiting release —
+    * test hook for the no-leak contract. */
+  private[graft] def trackedCount: Int = tracked.size
+
   /** Run `f` (a pipeline construction) with its persisted intermediates
     * tracked in a private scope; returns the result plus a release
     * callback that unpersists ONLY that scope's intermediates. */

@@ -85,16 +85,35 @@ object Ivf {
    */
   def ensureIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                   nCells: Int, d: Int): String = {
+    import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/" +
-      s"graft_ivf_v${IndexVersion}_${safe}_c${nCells}_d$d"
-    val marker = new java.io.File(path, "_SUCCESS")
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    if (!marker.exists() || marker.lastModified < src.lastModified)
+    // source version (max file mtime) in the dir NAME: published indexes
+    // are immutable — fresh == exists — and racing processes each build a
+    // private scratch dir and atomically rename, so an interleaved
+    // in-place overwrite can never publish a mixed layout under _SUCCESS
+    val ver = maxMtime(s"$sfDir/embeddings.parquet")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ivf_v${IndexVersion}_${safe}_c${nCells}_d${d}_v$ver")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "ivf-")
       assign(graft.Tables.embeddings(spark, sfDir), nCells, d)
         .withColumn("n2", graft.functions.VectorOps.norm2Sq(col("embedding")))
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
-    path
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"ivf index publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** Max mtime over a source table's files + the path itself (a dir's own
+    * mtime misses in-place part rewrites — see Fixture.srcVersion). */
+  private def maxMtime(src: String): Long = {
+    val f = new java.io.File(src)
+    val files = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    (f.lastModified +: files.map(_.lastModified)).max
   }
 
   /**

@@ -178,12 +178,14 @@ object Refine {
    * CACHE LIFECYCLE: construction eagerly persists two Q*k-row
    * intermediates (seed ids + rescored seeds) registered with
    * [[Dedup]]'s release tracker — Spark's CacheManager holds them
-   * strongly, so they are NOT garbage-collected. Library callers must
-   * either build under [[Dedup.scopedRelease]] (and invoke the returned
-   * release callback after consuming the result) or call
-   * [[Dedup.releaseIntermediates]] once the returned DataFrame has been
-   * consumed; Bench/Verify do the former per query. Applies equally to
-   * [[fetchedSplit]], [[topk]], and [[topkSplit]].
+   * strongly, so they are NOT garbage-collected. Under an enclosing
+   * [[Dedup.scopedRelease]] (Bench/Verify do this per query) the caller
+   * frees them via the returned release callback and gets the fully-lazy
+   * plan. WITHOUT a scope, the operator runs its pipeline eagerly,
+   * returns a self-contained checkpointed result, and releases all of
+   * its own intermediates before returning — a bare
+   * `Refine.topk(...).count()` leaves no cached blocks behind. Applies
+   * equally to [[fetchedSplit]], [[topk]], and [[topkSplit]].
    */
   def fetched(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame =
     fetchedSplit(cheapSide(vectors, p), vectors, queries, p)
@@ -203,7 +205,27 @@ object Refine {
     * shuffled; at rest the id-sorted layout additionally gives parquet
     * row-group skipping on the fetch. */
   def fetchedSplit(cheap: DataFrame, full: DataFrame, queries: DataFrame,
-                   p: Params): DataFrame = {
+                   p: Params): DataFrame =
+    if (Dedup.scopeActive) fetchedSplitImpl(cheap, full, queries, p)
+    else {
+      // BARE library caller (no enclosing Dedup.scopedRelease): the
+      // caller has no reason to know the release contract, so return a
+      // SELF-CONTAINED result instead of leaking the eager Q*k persists
+      // into the session's CacheManager. The pipeline runs under an
+      // internal scope, the small result (Q*k seeds + survivors) is
+      // pinned eagerly via localCheckpoint — acceptable lineage
+      // truncation: the pin materializes immediately and holds only the
+      // final rows — and every intermediate is released before
+      // returning. Managed callers (Bench/Verify, anything under
+      // scopedRelease) keep the fully-lazy plan above.
+      val (df, release) = Dedup.scopedRelease(
+        fetchedSplitImpl(cheap, full, queries, p))
+      try df.localCheckpoint(true)
+      finally release()
+    }
+
+  private def fetchedSplitImpl(cheap: DataFrame, full: DataFrame,
+                               queries: DataFrame, p: Params): DataFrame = {
     val cand = candidates(cheap, queries, p)
     val vSel = full.select(col("id"), col("vec"))
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),

@@ -39,32 +39,54 @@ object Bucketed {
     val base = s"${sys.props("java.io.tmpdir")}/graft_buckets$safe"
     val ot = s"graft_orders_bkt$safe"
     val ct = s"graft_customer_bkt$safe"
-    ensure(spark, ot, s"$base/orders", "o_custkey",
-      s"$sfDir/orders.parquet", graft.Tables.orders(spark, sfDir))
-    ensure(spark, ct, s"$base/customer", "c_custkey",
-      s"$sfDir/customer.parquet", graft.Tables.customer(spark, sfDir))
+    // source version (max file mtime) in the DIRECTORY name: published
+    // bucket layouts are immutable, so fresh == exists and two processes
+    // racing the one-time write can never interleave overwrite jobs into
+    // the same dir (each builds a scratch dir and atomically renames)
+    def ver(p: String): Long = {
+      val f = new java.io.File(p)
+      val fs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      (f.lastModified +: fs.map(_.lastModified)).max
+    }
+    ensure(spark, ot, s"$base/orders_v${ver(s"$sfDir/orders.parquet")}",
+      "o_custkey", graft.Tables.orders(spark, sfDir))
+    ensure(spark, ct, s"$base/customer_v${ver(s"$sfDir/customer.parquet")}",
+      "c_custkey", graft.Tables.customer(spark, sfDir))
     (ot, ct)
   }
 
   private def ensure(spark: SparkSession, tbl: String, path: String,
-                     key: String, srcPath: String, src: => DataFrame): Unit =
+                     key: String, src: => DataFrame): Unit =
     synchronized {
+      import java.nio.file.{Files, Paths}
       if (spark.catalog.tableExists(tbl)) return
-      val marker = new java.io.File(path, "_SUCCESS")
-      val srcFile = new java.io.File(srcPath)
-      if (marker.exists() && marker.lastModified >= srcFile.lastModified) {
-        // files are current: attach them metadata-only (bucketed CREATE
-        // TABLE requires an explicit column list — read it off the files;
-        // bucket spec re-declared to match what the writer produced)
-        val cols = spark.read.parquet(path).schema.toDDL
-        spark.sql(s"CREATE TABLE $tbl ($cols) USING parquet " +
-          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS " +
-          s"LOCATION '$path'")
-      } else {
-        src.write.mode("overwrite").option("path", path)
+      val dst = Paths.get(path)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst.resolve("_SUCCESS"))) {
+        // build the bucketed files under a scratch EXTERNAL table, drop
+        // the table (external: files stay), and publish the file set with
+        // one atomic rename; losing a cross-process race just discards
+        // byte-identical work
+        val tmp = Files.createTempDirectory(dst.getParent, "bkt-")
+        val tmpTbl = s"${tbl}_build"
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+        src.write.mode("overwrite").option("path", tmp.toString)
           .bucketBy(NumBuckets, key).sortBy(key)
-          .format("parquet").saveAsTable(tbl)
+          .format("parquet").saveAsTable(tmpTbl)
+        spark.sql(s"DROP TABLE $tmpTbl")
+        try Files.move(tmp, dst)
+        catch { case _: java.nio.file.FileSystemException =>
+          VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(dst.resolve("_SUCCESS")),
+          s"bucketed layout publish failed: $dst")
       }
+      // attach the published files metadata-only (bucketed CREATE TABLE
+      // requires an explicit column list — read it off the files; bucket
+      // spec re-declared to match what the writer produced)
+      val cols = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"CREATE TABLE $tbl ($cols) USING parquet " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS " +
+        s"LOCATION '$path'")
     }
 
   /** Orders-per-segment revenue over the bucketed layout. The `merge`

@@ -60,21 +60,30 @@ object Disaggregated {
 
   def ensureFixture(spark: SparkSession, sfDir: String, d: Int,
                     keepM: Int): String = {
+    import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/" +
-      s"graft_disagg_v${LayoutVersion}_${safe}_d${d}_m$keepM"
-    val marker = new java.io.File(path, "_SUCCESS")
-    // rewrite when the source fixture data is newer than the cached table
-    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    // source version in the dir NAME (immutable published layouts, atomic
+    // scratch-dir publish — same discipline as Fixture.parquetBacked):
+    // fresh == exists, racing processes discard byte-identical work
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_disagg_v${LayoutVersion}_${safe}_d${d}_m${keepM}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
     // derive from the CACHED fixture: composing reduceVec/cosL2Stat over
     // the raw synthesis CASE-WHEN trees would fuse them into one hashAgg
     // codegen method beyond Janino's 64KB limit (interpreted fallback);
     // over the cache boundary `vec` is a plain attribute and every
     // derivation stage stays whole-stage-compiled
-    if (!marker.exists() || marker.lastModified < src.lastModified)
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "disagg-")
       write(graft.Fixture.fp16VectorsCached(spark, sfDir, d, keepM)
-        .select(col("id"), col("vec")), path, keepM)
-    path
+        .select(col("id"), col("vec")), tmp.toString, keepM)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"disagg fixture publish failed: $path")
+    }
+    path.toString
   }
 
   /**

@@ -59,13 +59,13 @@ object VecFiles {
     import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     // "_s": id-SORTED layout (record i = i-th smallest id, the contract
-    // positional-id readers remap through) — a new name, so a stale
-    // partition-ordered fixture from an older build can never satisfy
-    // the freshness check
-    val f = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixture_${safe}_d${d}_s.vec")
-    val src = Paths.get(s"$sfDir/lineitem.parquet")
-    if (!Files.exists(f) ||
-        Files.getLastModifiedTime(f).compareTo(Files.getLastModifiedTime(src)) < 0) {
+    // positional-id readers remap through). The source version (max file
+    // mtime — a dir's own mtime misses in-place part rewrites) is baked
+    // into the NAME, so a published fixture is immutable and fresh ==
+    // exists; older versions are simply never looked at again.
+    val f = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_fixture_${safe}_d${d}_s_v${graft.Fixture.srcVersion(sfDir)}.vec")
+    if (!Files.exists(f)) {
       // unique temp name in the SAME directory + atomic rename: two JVMs
       // racing here (bench + verify share the tmpdir) each write their own
       // file and publish whole-file-or-nothing — a fixed ".tmp" path would
@@ -377,12 +377,13 @@ object VecFiles {
     synchronized {
       import java.nio.file.{Files, Paths}
       val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val src = Paths.get(s"$sfDir/lineitem.parquet")
-      // the source mtime is baked into the dir name, so a published
+      // the source version is baked into the dir name, so a published
       // layout is IMMUTABLE: fresh == exists, nothing ever deletes a dir
       // a concurrent reader (this JVM or another sharing tmpdir) may be
-      // scanning, and staleness is just a new version-suffixed dir
-      val ver = Files.getLastModifiedTime(src).toMillis
+      // scanning, and staleness is just a new version-suffixed dir.
+      // Version = max mtime over the source table's FILES, not the dir
+      // (in-place part rewrites can leave the dir mtime untouched).
+      val ver = graft.Fixture.srcVersion(sfDir)
       val dst = Paths.get(sys.props("java.io.tmpdir"),
         s"graft_fixture_${safe}_d${d}_v$ver.$ext.shards")
       val manifest = dst.resolve("_manifest")

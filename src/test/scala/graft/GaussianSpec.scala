@@ -128,7 +128,12 @@ class GaussianSpec extends AnyFunSuite {
         .select(col("id").as("qid"), col("vec").as("qvec"))
       for (mode <- Seq("cos_l2", "l2_tz")) {
         val p = Refine.Params(mode, k = 10, keepM = KeepM)
-        val df = Refine.topk(vw, qw, p)
+        // build under a scope: a bare (scope-less) Refine.topk returns a
+        // self-contained CHECKPOINTED result whose visible plan is just
+        // the final window — the codegen inspection below needs the full
+        // lazy refine plan
+        val (df, release) =
+          graft.operators.Dedup.scopedRelease(Refine.topk(vw, qw, p))
         // collect df ITSELF (not a derived projection) so ITS adaptive
         // plan is finalized before the codegen inspection below
         val got = df.collect()
@@ -149,6 +154,7 @@ class GaussianSpec extends AnyFunSuite {
           assert(stats != ByteCodeStats.UNAVAILABLE,
             s"D=$d2 whole-stage codegen fell back to interpretation:\n$subtree")
         }
+        release()
       }
       graft.operators.Dedup.releaseIntermediates()
       vw.unpersist(blocking = false)

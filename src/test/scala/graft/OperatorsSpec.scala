@@ -342,6 +342,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming ingestion dedup equals batch exact dedup across real batches") {
+    // the sharded landing must hold >1 file so maxFilesPerTrigger=1
+    // yields multiple microbatches — duplicates spanning triggers have to
+    // collapse through the state store, not within one batch
+    val landing = StreamOps.ensureShardedDocsLanding(spark, dir)
+    val parts = Option(new java.io.File(landing).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"expected a multi-file landing, got $parts files")
+    val got = StreamOps.streamDedupOnce(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.Dedup.exact(Tables.documents(spark, dir))
+      .select(col("text_hash"), col("keep_id"), col("dup_count"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("binned interval join equals the direct theta join") {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),

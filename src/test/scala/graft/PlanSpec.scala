@@ -63,19 +63,24 @@ class PlanSpec extends AnyFunSuite {
     }
     // every window in the refine plan must sit above a group-limit: a
     // bare WindowExec would mean the full N*Q candidate relation is
-    // being ranked again (the shape this redesign removed)
-    val nodes = walk(SparkEntry.qRefine(spark, dir, "cos_l1")
-      .queryExecution.executedPlan)
+    // being ranked again (the shape this redesign removed).
+    // Built under a scope: scope-less refine returns a self-contained
+    // checkpointed result whose plan hides the candidate pass.
+    val (refined, release) =
+      graft.operators.Dedup.scopedRelease(SparkEntry.qRefine(spark, dir, "cos_l1"))
+    val nodes = walk(refined.queryExecution.executedPlan)
     val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.nonEmpty, "expected at least one window (seed top-K)")
     windows.foreach { w =>
       assert(walk(w).exists(_.isInstanceOf[WindowGroupLimitExec]),
         s"window without group limit:\n$w")
     }
+    release()
   }
 
   test("disaggregated refine: cheap pass never scans the full-precision column") {
-    val df = SparkEntry.qRefineDisagg(spark, dir, "cos_l1")
+    val (df, release) =
+      graft.operators.Dedup.scopedRelease(SparkEntry.qRefineDisagg(spark, dir, "cos_l1"))
     val scans = graft.sources.Disaggregated.scanSchemas(df)
     assert(scans.nonEmpty, "no parquet scan in plan")
     // every scan is either a reduced-column subset (the seeds branch even
@@ -91,6 +96,7 @@ class PlanSpec extends AnyFunSuite {
     val a = df.collect().map(_.toSeq).toSet
     val b = SparkEntry.qRefine(spark, dir, "cos_l1").collect().map(_.toSeq).toSet
     assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+    release()
   }
 
   test("refine pipeline whole-stage code compiles (no Janino fallback)") {
@@ -102,10 +108,12 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
     // qRefineD128 extends the lock to realistic width: 128 CASE-tree
     // synthesis columns x 3 arrays under the cos_l2 bb dot — the widest
-    // codegen the engine emits anywhere
-    for (df <- Seq(SparkEntry.qRefine(spark, dir, "cos_l2"),
-                   SparkEntry.qRefineDisagg(spark, dir, "cos_l1"),
-                   SparkEntry.qRefineD128(spark, dir))) {
+    // codegen the engine emits anywhere. Built under scopes: scope-less
+    // refine checkpoints its result and hides the pipeline plan.
+    for (mk <- Seq(() => SparkEntry.qRefine(spark, dir, "cos_l2"),
+                   () => SparkEntry.qRefineDisagg(spark, dir, "cos_l1"),
+                   () => SparkEntry.qRefineD128(spark, dir))) {
+      val (df, release) = graft.operators.Dedup.scopedRelease(mk())
       df.collect() // finalize AQE so the executed plan holds the real stages
       val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
         df.queryExecution.executedPlan)
@@ -114,6 +122,7 @@ class PlanSpec extends AnyFunSuite {
         assert(stats != ByteCodeStats.UNAVAILABLE,
           s"whole-stage codegen failed to compile for:\n$subtree")
       }
+      release()
     }
   }
 

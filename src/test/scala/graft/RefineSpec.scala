@@ -44,6 +44,24 @@ class RefineSpec extends AnyFunSuite {
       "refine intermediates leaked past the scoped release")
   }
 
+  test("bare (scope-less) refine call is self-contained: no tracked caches") {
+    val (v, q) = fixture
+    v.count() // materialize the session fixture cache OUTSIDE the window
+    val tracked0 = graft.operators.Dedup.trackedCount
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a plain library caller: no scope, no release call, just an action
+    val res = Refine.topk(v, q, Refine.Params("cos_l1", k = 5, keepM = SparkEntry.KeepM))
+    assert(res.count() == 25)
+    assert(graft.operators.Dedup.trackedCount == tracked0,
+      "bare refine registered persists in the global tracker (leak until " +
+        "releaseIntermediates, which a library caller never invokes)")
+    // the operator released its own intermediates before returning; the
+    // one allowed pin is the checkpointed result itself
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1,
+      s"bare refine left ${leftover.size} persisted RDDs behind")
+  }
+
   test("zero-miss modes return exactly the brute-force top-K") {
     val (v, q) = fixture
     for (mode <- Seq("cos_l1", "cos_l2", "l2_sym", "l2_tz")) {
