@@ -20,6 +20,22 @@ object SparkEntry {
   def refineParams(mode: String): Refine.Params =
     Refine.Params(mode, k = K, keepM = KeepM, keepE = 5, delta = 0.7, alpha = 1.0)
 
+  /** Int8 scalar-quantization rung: dequantization scale 2^4 (fixture
+    * |v| < 4 -> codes |k| <= 64). See Fixture.int8Vectors. */
+  final val Int8ScaleLog2 = 4
+
+  /** Two-phase refine over the int8-quantized cheap copy: the cos_l1
+    * cushion algebra runs unchanged with rvec = dequantized codes and
+    * delta = the constant half-step bound — quantization is just another
+    * rung of the precision-on-demand ladder. RefineSpec asserts the
+    * zero-miss property empirically (refined == brute-force top-K). */
+  def qRefineInt8(spark: SparkSession, dir: String): DataFrame = {
+    val v8 = Fixture.int8Vectors(
+      Fixture.fp16VectorsCached(spark, dir, D, KeepM), Int8ScaleLog2)
+    val q = Fixture.queries(v8, NQ).select(col("qid"), col("qvec"))
+    Refine.topk(v8, q, refineParams("cos_l1"))
+  }
+
   /** Refined top-K for one of the six modes (static-tau0 semantics). */
   def qRefine(spark: SparkSession, dir: String, mode: String): DataFrame = {
     val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
@@ -871,6 +887,9 @@ object SparkEntry {
     "q_refine_metrics_d128" -> q((s, dir) => qRefineMetricsD128(s, dir)),
     // MS MARCO-class width (reference mid tier D=1024) on a tiny slice
     "q_refine_d1024"        -> q((s, dir) => qRefineD1024(s, dir)),
+    // int8 scalar quantization as a precision-ladder rung (cos_l1 cushion
+    // over dequantized codes + constant half-step bound)
+    "q_refine_int8"         -> q((s, dir) => qRefineInt8(s, dir)),
     // running-tau Hoeffding kernel: provable invariants as constants
     "q_kernel_hoeff" -> q((s, dir) => qKernelHoeffInvariants(s, dir)),
     // at-rest disaggregated layout: cheap pass scans only reduced columns
@@ -1070,6 +1089,10 @@ object SparkEntry {
     // SUM over j), so realistic width rides the same SQL
     "q_refine_d128"         -> RefineOracle.topkSql(D128, NQ, refineParams("cos_l2"), D128KeyMod),
     "q_refine_d1024"        -> RefineOracle.topkSql(D1024, NQ, refineParams("cos_l2"), D1024KeyMod),
+    "q_refine_int8" -> {
+      val (rv, dv) = RefineOracle.quantRvDv(Int8ScaleLog2)
+      RefineOracle.topkSqlRvDv(D, NQ, refineParams("cos_l1"), 1, rv, dv)
+    },
     "q_refine_kernel_d128"  -> RefineOracle.topkSql(D128, NQ, refineParams("l2_tz"), D128KeyMod),
     "q_refine_metrics_d128" -> RefineOracle.metricsSql(D128, NQ, refineParams("cos_hoeff"), D128KeyMod),
     // provable invariants stated as constants (see qKernelHoeffInvariants)

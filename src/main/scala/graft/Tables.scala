@@ -117,6 +117,34 @@ object Fixture {
     array((0 until d).map(j => fp16DeltaComponent(key, j, keepM)): _*)
 
   /**
+   * Int8 scalar-quantization rung for the precision ladder (beyond the
+   * reference's fp16 truncation tiers — the IVF-SQ8-style cheap copy
+   * vector stores ship): each component is quantized to an integer code
+   * k = floor(v * 2^scaleLog2 + 0.5), dequantized as k / 2^scaleLog2.
+   * The scale is a FIXED power of two (not the per-vector 127/max|v|
+   * rescale a production SQ8 would use) so every dequantized value is an
+   * exact dyadic rational — bit-reproducible across engines, which is
+   * what puts this rung on the hash-matched oracle surface; at scale
+   * you'd store per-block scales beside the codes. The fixture domain
+   * |v| < 4 with scaleLog2 = 4 yields codes |k| <= 64, comfortably int8.
+   *
+   * Output matches the refine contract (id, vec, rvec, delta): rvec is
+   * the dequantized copy, delta the CONSTANT per-component error bound
+   * 0.5 / 2^scaleLog2 — the existing cushion algebra is agnostic to
+   * where the element-wise bound came from, so the whole two-phase
+   * refine pipeline runs unchanged on quantized data.
+   */
+  def int8Vectors(base: DataFrame, scaleLog2: Int): DataFrame = {
+    val s = math.pow(2.0, scaleLog2)
+    val half = (0.5 / s).toFloat
+    base.select(col("id"), col("vec"),
+      transform(col("vec"),
+        x => (floor(x * s + lit(0.5)).cast("double") / s).cast("float"))
+        .as("rvec"),
+      transform(col("vec"), _ => lit(half)).as("delta"))
+  }
+
+  /**
    * Vector table from lineitem: (id BIGINT, vec ARRAY<FLOAT>).
    * `fp16Domain = true` uses the fp16-exact domain (plus reduced/delta cols).
    */

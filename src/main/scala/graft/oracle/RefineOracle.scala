@@ -20,17 +20,35 @@ object RefineOracle {
 
   /** Shared CTEs: synthesized full/reduced/delta components + norms. */
   def baseCtes(d: Int, nq: Int, keepM: Int, keyMod: Int = 1): String =
+    baseCtesRvDv(d, nq, keyMod,
+      s"CAST(${fp16ReducedComp(keepM)} AS DOUBLE)",
+      s"CAST(${fp16DeltaComp(keepM)} AS DOUBLE)")
+
+  /** [[baseCtes]] with caller-supplied SQL for the reduced component and
+    * its element-wise error bound — the cheap-copy derivation is the only
+    * thing the refine pipeline's algebra depends on. `rvSql`/`dvSql` may
+    * reference the full component as `v` (the nested vraw select makes
+    * the alias visible). */
+  def baseCtesRvDv(d: Int, nq: Int, keyMod: Int,
+                   rvSql: String, dvSql: String): String =
     s"""${keysAndDims(d, keyMod)},
-       |vd AS (SELECT key, j,
-       |  CAST($fp16Comp AS DOUBLE) AS v,
-       |  CAST(${fp16ReducedComp(keepM)} AS DOUBLE) AS rv,
-       |  CAST(${fp16DeltaComp(keepM)} AS DOUBLE) AS dv
+       |vraw AS (SELECT key, j, CAST($fp16Comp AS DOUBLE) AS v
        |  FROM keys CROSS JOIN dims),
+       |vd AS (SELECT key, j, v, $rvSql AS rv, $dvSql AS dv FROM vraw),
        |qk AS (SELECT key AS qkey FROM keys ORDER BY key LIMIT $nq),
        |qd AS (SELECT qkey, j, v AS qv FROM vd JOIN qk ON vd.key = qk.qkey),
        |nv AS (SELECT key, SUM(v*v) AS nx2, SUM(rv*rv) AS nr2, SUM(v*rv) AS xr
        |       FROM vd GROUP BY key),
        |nqt AS (SELECT qkey, SUM(qv*qv) AS nq2 FROM qd GROUP BY qkey)""".stripMargin
+
+  /** Reduced/delta SQL for the int8 scalar-quantization rung
+    * (Fixture.int8Vectors): rv = floor(v*2^s + 0.5) / 2^s, dv = the
+    * constant half-step. Both exact dyadic rationals, so the quantized
+    * pipeline stays bit-identical across engines. */
+  def quantRvDv(scaleLog2: Int): (String, String) = {
+    val s = math.pow(2.0, scaleLog2)
+    (s"FLOOR(v * $s + 0.5) / $s", (0.5 / s).toString)
+  }
 
   /** Pairwise aggregates needed by `mode`. */
   private def pairAggs(mode: String): String = {
@@ -97,9 +115,18 @@ object RefineOracle {
   }
 
   /** Full refined-top-K oracle: (qid, rank INT, id, score DOUBLE). */
-  def topkSql(d: Int, nq: Int, p: Refine.Params, keyMod: Int = 1): String = {
+  def topkSql(d: Int, nq: Int, p: Refine.Params, keyMod: Int = 1): String =
+    topkSqlFrom(baseCtes(d, nq, p.keepM, keyMod), p)
+
+  /** [[topkSql]] over a caller-derived cheap copy (e.g. the int8
+    * quantization rung via [[quantRvDv]]). */
+  def topkSqlRvDv(d: Int, nq: Int, p: Refine.Params, keyMod: Int,
+                  rvSql: String, dvSql: String): String =
+    topkSqlFrom(baseCtesRvDv(d, nq, keyMod, rvSql, dvSql), p)
+
+  private def topkSqlFrom(base: String, p: Refine.Params): String = {
     val ord = if (p.isCos) "s_full DESC, id ASC" else "s_full ASC, id ASC"
-    s"""WITH ${baseCtes(d, nq, p.keepM, keyMod)},
+    s"""WITH $base,
        |${pipelineCtes(p)},
        |final AS (SELECT qid, id, s_full,
        |  row_number() OVER (PARTITION BY qid ORDER BY $ord) AS rnk FROM fetchset)

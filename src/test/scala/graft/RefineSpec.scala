@@ -74,6 +74,24 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization rung is zero-miss against the brute-force top-K") {
+    val (v, _) = fixture
+    val v8 = Fixture.int8Vectors(v, SparkEntry.Int8ScaleLog2)
+    val q = Fixture.queries(v8, 5).select(col("qid"), col("qvec"))
+    val p = Refine.Params("cos_l1", k = 5, keepM = SparkEntry.KeepM)
+    val refined = Refine.topk(v8, q, p)
+      .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+    val exact = Refine.exactTopK(v8, q, p)
+      .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+    assert(refined == exact, "int8 rung diverged from exact top-K")
+    // the quantized copy is genuinely coarse (codes k/2^s), not a no-op:
+    // some component must differ from full precision
+    val changed = v8.selectExpr(
+      "exists(zip_with(vec, rvec, (a, b) -> a <> b), x -> x) AS c")
+      .filter(col("c")).count()
+    assert(changed > 0, "quantization changed nothing — scale too fine")
+  }
+
   test("metrics invariants: recall in [0,1], save < 1, fpr in [0,1]") {
     val (v, q) = fixture
     for (mode <- Refine.Modes) {
