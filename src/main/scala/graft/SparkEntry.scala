@@ -36,6 +36,23 @@ object SparkEntry {
     Refine.topk(v8, q, refineParams("cos_l1"))
   }
 
+  /** Int8 rung bytes/vec: 8-bit codes, D components. */
+  final val Int8RedBytes: Double = D * 1.0
+
+  /** Bandwidth accounting for the int8 rung: the naive fp16-bit model is
+    * replaced by the rung's own 1-byte-per-component cost (the same
+    * red_bytes_override composition the measured-compression query uses).
+    * Ground truth is the session GT cache — the exact pass scores full
+    * `vec`, which quantization does not touch. */
+  def qRefineMetricsInt8(spark: SparkSession, dir: String): DataFrame = {
+    val v8 = Fixture.int8Vectors(
+      Fixture.fp16VectorsCached(spark, dir, D, KeepM), Int8ScaleLog2)
+    val q = Fixture.queries(v8, NQ).select(col("qid"), col("qvec"))
+    Refine.metrics(v8, q, refineParams("cos_l1"), D,
+      groundTruth = Some(exactGroundTruths(spark, dir)(true)),
+      redBytesOverride = Some(Int8RedBytes))
+  }
+
   /** Refined top-K for one of the six modes (static-tau0 semantics). */
   def qRefine(spark: SparkSession, dir: String, mode: String): DataFrame = {
     val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
@@ -890,6 +907,7 @@ object SparkEntry {
     // int8 scalar quantization as a precision-ladder rung (cos_l1 cushion
     // over dequantized codes + constant half-step bound)
     "q_refine_int8"         -> q((s, dir) => qRefineInt8(s, dir)),
+    "q_refine_metrics_int8" -> q((s, dir) => qRefineMetricsInt8(s, dir)),
     // running-tau Hoeffding kernel: provable invariants as constants
     "q_kernel_hoeff" -> q((s, dir) => qKernelHoeffInvariants(s, dir)),
     // at-rest disaggregated layout: cheap pass scans only reduced columns
@@ -1092,6 +1110,11 @@ object SparkEntry {
     "q_refine_int8" -> {
       val (rv, dv) = RefineOracle.quantRvDv(Int8ScaleLog2)
       RefineOracle.topkSqlRvDv(D, NQ, refineParams("cos_l1"), 1, rv, dv)
+    },
+    "q_refine_metrics_int8" -> {
+      val (rv, dv) = RefineOracle.quantRvDv(Int8ScaleLog2)
+      RefineOracle.metricsSqlRvDv(D, NQ, refineParams("cos_l1"),
+        Int8RedBytes.toString, 1, rv, dv)
     },
     "q_refine_kernel_d128"  -> RefineOracle.topkSql(D128, NQ, refineParams("l2_tz"), D128KeyMod),
     "q_refine_metrics_d128" -> RefineOracle.metricsSql(D128, NQ, refineParams("cos_hoeff"), D128KeyMod),

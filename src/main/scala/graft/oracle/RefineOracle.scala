@@ -149,13 +149,23 @@ object RefineOracle {
     * side's exact double tree (e.g. `(CAST(c AS DOUBLE) / n)` for
     * `c.toDouble / n`). */
   def metricsSqlWithRedBytes(d: Int, nq: Int, p: Refine.Params,
-                             bRed: String, keyMod: Int = 1): String = {
+                             bRed: String, keyMod: Int = 1): String =
+    metricsSqlFrom(baseCtes(d, nq, p.keepM, keyMod), d, p, bRed)
+
+  /** [[metricsSql]] over a caller-derived cheap copy (the int8 rung):
+    * custom rv/dv SQL plus the rung's own reduced-bytes/vec model. */
+  def metricsSqlRvDv(d: Int, nq: Int, p: Refine.Params, bRed: String,
+                     keyMod: Int, rvSql: String, dvSql: String): String =
+    metricsSqlFrom(baseCtesRvDv(d, nq, keyMod, rvSql, dvSql), d, p, bRed)
+
+  private def metricsSqlFrom(base: String, d: Int, p: Refine.Params,
+                             bRed: String): String = {
     val ord     = if (p.isCos) "s_full DESC, id ASC" else "s_full ASC, id ASC"
     val exactOrd =
       if (p.isCos) "s_exact DESC, id ASC" else "s_exact ASC, id ASC"
     val (_, sFull, _) = scoredExprs(p)
     val bFull = 16.0 * d / 8.0
-    s"""WITH ${baseCtes(d, nq, p.keepM, keyMod)},
+    s"""WITH $base,
        |${pipelineCtes(p)},
        |final AS (SELECT qid, id,
        |  row_number() OVER (PARTITION BY qid ORDER BY $ord) AS rnk FROM fetchset),
