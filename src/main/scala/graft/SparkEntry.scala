@@ -712,6 +712,56 @@ object SparkEntry {
         element_at(col("qs"), 2).as("q50"),
         element_at(col("qs"), 3).as("q75"))
 
+  /** Sketch accuracy for [[qSketches]]: HLL relative-standard-deviation
+    * and the approx_percentile accuracy parameter (rank error <= n/acc). */
+  final val HllRsd = 0.02
+  final val SketchAcc = 10000
+
+  /**
+   * Sketch operators graded via provable invariants: at 100 TB exact
+   * distinct counts and exact quantiles are a full shuffle of the key
+   * set, so the estimating sketches (HyperLogLog++ cardinality,
+   * Greenwald-Khanna quantile summaries) are what actually runs — both
+   * merge commutatively from partial per-partition states, no row set
+   * ever centralized. Hash-matched columns: the EXACT distinct count and
+   * row count (the sketches' yardsticks). Invariant columns: the HLL
+   * estimate within 5x its configured rsd, and for each quantile the
+   * returned element's feasible rank interval [n_lt+1, n_le] overlapping
+   * the GK guarantee window p*n ± (n/acc + 1) — the algorithm's actual
+   * contract, robust to duplicate values, rather than a data-dependent
+   * value tolerance.
+   */
+  def qSketches(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      floor(col("value") * 1000).cast("long").as("vm"))
+    val a = e.agg(
+        count_distinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), HllRsd).as("hll"),
+        expr(s"approx_percentile(vm, array(0.5D, 0.95D), $SketchAcc)").as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("n_users"), col("hll"), col("n"),
+        element_at(col("ap"), 1).as("p50a"), element_at(col("ap"), 2).as("p95a"))
+    def rankOk(p: Double, lt: org.apache.spark.sql.Column,
+               le: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val slack = n.cast("double") / SketchAcc + lit(1.0)
+      (lt.cast("double") + lit(1.0) <= n.cast("double") * p + slack) &&
+        (le.cast("double") >= n.cast("double") * p - slack)
+    }
+    e.crossJoin(broadcast(a))
+      .agg(first(col("n_users")).as("n_users"), first(col("hll")).as("hll"),
+        first(col("n")).as("n_events"),
+        sum(when(col("vm") < col("p50a"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("vm") <= col("p50a"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("vm") < col("p95a"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("vm") <= col("p95a"), 1L).otherwise(0L)).as("le95"))
+      .select(col("n_users"), col("n_events"),
+        (abs(col("hll") - col("n_users")).cast("double") <=
+          col("n_users").cast("double") * (5 * HllRsd)).as("hll_ok"),
+        rankOk(0.5, col("lt50"), col("le50"), col("n_events")).as("p50_ok"),
+        rankOk(0.95, col("lt95"), col("le95"), col("n_events")).as("p95_ok"))
+  }
+
   /** Star join: fact lineitem against broadcast part/supplier/nation
     * dims (the canonical no-shuffle dimensional join at scale), revenue
     * kept in exact integer cents. */
@@ -888,6 +938,9 @@ object SparkEntry {
     "q_top_customers" -> q((s, dir) => qTopCustomers(s, dir)),
     "q_region_stats"  -> q((s, dir) => qRegionStats(s, dir)),
     "q_events_quantiles" -> q((s, dir) => qEventsQuantiles(s, dir)),
+    // sketch ops (HLL cardinality + GK quantiles) graded via provable
+    // rank/error invariants beside the hash-matched exact yardsticks
+    "q_sketches" -> q((s, dir) => qSketches(s, dir)),
     "q_brand_revenue"    -> q((s, dir) => qBrandRevenue(s, dir)),
     "q_set_ops"       -> q((s, dir) => qSetOps(s, dir)),
     "q_rollup"        -> q((s, dir) => qRollup(s, dir)),
@@ -1093,6 +1146,12 @@ object SparkEntry {
     "q_top_customers" -> MiscOracle.topCustomersSql(TopNCustomers),
     "q_region_stats"  -> MiscOracle.regionStatsSql,
     "q_events_quantiles" -> MiscOracle.eventsQuantilesSql,
+    // sketch invariants: exact yardsticks reproduced by DuckDB; the
+    // estimator checks are provable contracts, stated as constants
+    "q_sketches" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events""".stripMargin,
     "q_brand_revenue"    -> MiscOracle.brandRevenueSql,
     "q_set_ops"       -> MiscOracle.setOpsSql("src0", "src1"),
     "q_rollup"        -> MiscOracle.rollupSql,

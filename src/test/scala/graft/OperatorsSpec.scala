@@ -358,6 +358,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sketch estimators honor their contracts on events") {
+    val r = SparkEntry.qSketches(spark, dir).collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0, r.toString)
+    assert(r.getBoolean(2), s"HLL outside 5x rsd: $r")
+    assert(r.getBoolean(3) && r.getBoolean(4), s"GK rank bound violated: $r")
+  }
+
   test("binned interval join equals the direct theta join") {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
