@@ -19,6 +19,8 @@ import graft.sources.VecFiles
  * --mode cos-hoeff|cos-l1|cos-l2|l2-tz|l2-sym|l2-hoeff   (default cos-hoeff)
  * --k 20  --keep 6  --ekeep 5  --delta 0.7  --maxrows 100000
  * --db <path.vec|.fvecs|header-bin>   --q <path>   --compress <zlib level>
+ * --quant fp16|int8  --qscale 4    (int8: scalar-quantized cheap copy,
+ *                                   engine extension beyond the reference)
  * }}}
  * Without `--db`, synthesizes the seeded Gaussian demo corpus
  * (N=2000, D=128, Qn=30 — `ANNCode.py:816-822`). Loaded matrices get the
@@ -29,7 +31,7 @@ import graft.sources.VecFiles
 object Demo {
 
   private val Known = Set("mode", "k", "keep", "ekeep", "delta", "maxrows",
-    "db", "q", "compress", "n", "d")
+    "db", "q", "compress", "n", "d", "quant", "qscale")
 
   private def parse(args: Array[String]): Map[String, String] = {
     require(args.length % 2 == 0,
@@ -61,6 +63,20 @@ object Demo {
       keepE = a.getOrElse("ekeep", "5").toInt,
       delta = a.getOrElse("delta", "0.7").toDouble)
     val maxRows = a.getOrElse("maxrows", "100000").toInt
+    // --quant int8 [--qscale j]: swap the fp16-truncation cheap copy for
+    // the int8 scalar-quantization rung (dequantized codes k/2^j +
+    // constant half-step bound — Fixture.int8Vectors). Every cushion
+    // consumes an arbitrary element-wise bound EXCEPT l2-tz, whose
+    // sign-aware per-coordinate bound assumes a truncated-toward-zero
+    // copy (|rv| <= |v|, same sign) — rounding-to-nearest breaks both.
+    val quant = a.getOrElse("quant", "fp16")
+    require(quant == "fp16" || quant == "int8", s"unknown --quant $quant")
+    require(quant == "fp16" || mode != "l2_tz",
+      "--quant int8 is incompatible with --mode l2-tz (the sign-aware " +
+        "bound assumes a truncated copy); use l2-sym or l2-hoeff")
+    require(quant == "fp16" || !a.contains("compress"),
+      "--compress models the fp16 bit-plane layout; undefined for --quant int8")
+    val qscale = a.getOrElse("qscale", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
     // adopt a live session when one exists (embedded use: tests, REPLs,
@@ -83,7 +99,7 @@ object Demo {
         .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (v, q, d) = a.get("db") match {
+    val (v0, q, d) = a.get("db") match {
       case Some(db) =>
         // probe d BEFORE the subsample's keyed global sort (one cheap
         // unsorted limit(1), not a full sort pass), and fail with the
@@ -111,12 +127,28 @@ object Demo {
         (vv, Fixture.queries(vv, 30).select(col("qid"), col("qvec")), d)
     }
 
+    val v =
+      if (quant == "fp16") v0
+      else {
+        val v8 = Fixture.int8Vectors(v0.select(col("id"), col("vec")), qscale)
+        // fail loudly if the data outruns the int8 code range at this
+        // scale (|code| <= 127) instead of silently clipping semantics
+        val maxAbsRv = v8.select(max(expr(
+          "aggregate(rvec, CAST(0.0 AS DOUBLE), (acc, x) -> " +
+            "greatest(acc, abs(CAST(x AS DOUBLE))))"))).first().getDouble(0)
+        require(maxAbsRv * (1 << qscale) <= 127.5,
+          f"--qscale $qscale overflows int8 codes (max |code| = " +
+            f"${maxAbsRv * (1 << qscale)}%.0f > 127); lower --qscale")
+        v8
+      }
+
     // §4.3 composition: measured compressed reduced-page bytes replace the
-    // modeled bit count in the saving (reference red_bytes_override)
+    // modeled bit count in the saving (reference red_bytes_override);
+    // for the int8 rung the model is its own 1 byte per component
     val redOverride = a.get("compress").map { lvl =>
       BitplaneCompress.measure(v.select(col("id"), col("vec")), d,
         p.keepE, p.keepM, level = lvl.toInt).first().getDouble(4)
-    }
+    }.orElse(if (quant == "int8") Some(d * 1.0) else None)
 
     val row = Refine.metrics(v, q, p, d, redBytesOverride = redOverride).first()
     val (recall, save, fpr) =
@@ -124,6 +156,7 @@ object Demo {
     // the reference's stdout report shape (ANNCode.py:864-867)
     println(f"mode=$mode recall@${p.k}=$recall%.4f save=${save * 100}%.2f%% " +
       f"fpr=${fpr * 100}%.2f%%" +
+      (if (quant == "int8") s" quant=int8/2^$qscale" else "") +
       redOverride.map(b => f" reduced_bytes_per_vec=$b%.2f").getOrElse(""))
     if (!inherited) spark.stop()
   }

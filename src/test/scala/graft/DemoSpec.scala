@@ -72,4 +72,19 @@ class DemoSpec extends AnyFunSuite {
     val out = run("--n", "300", "--d", "16", "--k", "5", "--mode", "cos-l1")
     assert(out.contains("mode=cos_l1 recall@5=1.0000"), s"report line wrong:\n$out")
   }
+
+  test("demo CLI --quant int8 reports the quantized rung") {
+    spark.sparkContext
+    val out = run("--n", "300", "--d", "16", "--k", "5", "--mode", "cos-l1",
+      "--quant", "int8")
+    assert(out.contains("mode=cos_l1 recall@5=1.0000"), s"report line wrong:\n$out")
+    assert(out.contains("quant=int8/2^4"), s"no quant tag:\n$out")
+    assert(out.contains("reduced_bytes_per_vec=16.00"), s"no byte model:\n$out")
+    // l2-tz must refuse int8 (its bound assumes a truncated copy)
+    val err = intercept[IllegalArgumentException] {
+      Demo.main(Array("--n", "100", "--d", "8", "--mode", "l2-tz",
+        "--quant", "int8"))
+    }
+    assert(err.getMessage.contains("l2-tz"), err.getMessage)
+  }
 }
