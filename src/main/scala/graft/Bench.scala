@@ -144,19 +144,22 @@ object Bench {
                  loadAtStart: Double): String = {
       // bounded precision: full-double times made the r6 line ~2.5KB and
       // the driver's 2000-char captured tail truncated it mid-line
-      // (parsed: null). Per-query times at centiseconds keep the line
-      // comfortably inside the window with headroom for more queries;
-      // the headline total keeps milliseconds.
+      // (parsed: null). Sub-second queries keep centiseconds; >= 1s
+      // queries carry deciseconds (<= 5% resolution loss, one char less
+      // each) — at 78 queries the uniform-centisecond line was back
+      // within ~90 chars of the window, one more round of query growth
+      // from truncating again.
       def jnum(d: Double) = f"$d%.3f"
+      def qnum(v: Double) = if (v >= 0.995) f"$v%.1f" else f"$v%.2f"
       val qs = qtimes.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .map { case (k, v) => "\"" + k + "\":" + qnum(v) }
         .mkString("{", ",", "}")
       // 1-min system load at BOTH edges of the timed window: this box
       // shows 2x+ wall variance from co-tenant CPU steal, so the snapshot
       // records the conditions it was taken under
       s"""{"metric":"$metric","value":${jnum(value)},"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","sys_load_1m_start":${jnum(loadAtStart)},""" +
-        s""""sys_load_1m":${jnum(sysLoad())}}"""
+        s""""sf":"$sfDir","sys_load_1m_start":${qnum(loadAtStart)},""" +
+        s""""sys_load_1m":${qnum(sysLoad())}}"""
     }
     val line = jsonLine("total", wall, results, loadStart)
     // file first, then stdout — and the stdout print is deferred to the
