@@ -82,6 +82,8 @@ object Bench {
       graft.sources.VecFiles.ensureHeaderBinFixture(spark, sfDir, SparkEntry.D)
       graft.sources.Disaggregated.ensureFixture(spark, sfDir, SparkEntry.D,
         SparkEntry.KeepM)
+      graft.sources.Disaggregated.ensureInt8Fixture(spark, sfDir,
+        SparkEntry.D, SparkEntry.Int8ScaleLog2)
       graft.operators.Ivf.ensureIndex(spark, sfDir, SparkEntry.IvfCells,
         SparkEntry.EmbD)
       graft.sources.Bucketed.ensureTables(spark, sfDir)

@@ -39,6 +39,19 @@ object SparkEntry {
   /** Int8 rung bytes/vec: 8-bit codes, D components. */
   final val Int8RedBytes: Double = D * 1.0
 
+  /** The int8 rung AT REST: codes live as a real ARRAY<TINYINT> parquet
+    * column (1 byte/component on disk), the cheap pass scans only
+    * (id, code) — PlanSpec asserts the pruning — and the result is
+    * hash-equal to the in-memory [[qRefineInt8]], sharing its oracle. */
+  def qRefineInt8AtRest(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Disaggregated
+      .ensureInt8Fixture(spark, dir, D, Int8ScaleLog2)
+    val q = Fixture.queries(spark.read.parquet(path), NQ)
+      .select(col("qid"), col("qvec"))
+    graft.sources.Disaggregated.refineInt8TopK(spark, path, q,
+      refineParams("cos_l1"), Int8ScaleLog2)
+  }
+
   /** Bandwidth accounting for the int8 rung: the naive fp16-bit model is
     * replaced by the rung's own 1-byte-per-component cost (the same
     * red_bytes_override composition the measured-compression query uses).
@@ -961,6 +974,7 @@ object SparkEntry {
     // over dequantized codes + constant half-step bound)
     "q_refine_int8"         -> q((s, dir) => qRefineInt8(s, dir)),
     "q_refine_metrics_int8" -> q((s, dir) => qRefineMetricsInt8(s, dir)),
+    "q_refine_int8_at_rest" -> q((s, dir) => qRefineInt8AtRest(s, dir)),
     // running-tau Hoeffding kernel: provable invariants as constants
     "q_kernel_hoeff" -> q((s, dir) => qKernelHoeffInvariants(s, dir)),
     // at-rest disaggregated layout: cheap pass scans only reduced columns
@@ -1174,6 +1188,11 @@ object SparkEntry {
       val (rv, dv) = RefineOracle.quantRvDv(Int8ScaleLog2)
       RefineOracle.metricsSqlRvDv(D, NQ, refineParams("cos_l1"),
         Int8RedBytes.toString, 1, rv, dv)
+    },
+    // at-rest twin: same dequantized values k/2^s -> same oracle
+    "q_refine_int8_at_rest" -> {
+      val (rv, dv) = RefineOracle.quantRvDv(Int8ScaleLog2)
+      RefineOracle.topkSqlRvDv(D, NQ, refineParams("cos_l1"), 1, rv, dv)
     },
     "q_refine_kernel_d128"  -> RefineOracle.topkSql(D128, NQ, refineParams("l2_tz"), D128KeyMod),
     "q_refine_metrics_d128" -> RefineOracle.metricsSql(D128, NQ, refineParams("cos_hoeff"), D128KeyMod),

@@ -101,6 +101,81 @@ object Disaggregated {
       queries, p)
   }
 
+  // --- int8 at-rest layout --------------------------------------------
+
+  /** Bump when [[writeInt8]]'s layout changes. */
+  private val Int8LayoutVersion = 1
+
+  /** The int8 rung at rest: quantized codes stored as a REAL
+    * `ARRAY<TINYINT>` column — one byte per component on disk, a quarter
+    * of the float-encoded reduced copy — beside the full-precision
+    * vector. A cheap pass selecting (id, code) physically reads only
+    * those column chunks, so the rung's 1-byte-per-component bandwidth
+    * model is what the scan actually pays. Sorted by id within files for
+    * row-group skipping on the rescore fetch, like [[write]]. Codes must
+    * fit int8 at this scale (|v| * 2^scaleLog2 <= 127) — the fixture
+    * domain guarantees it; general loaders should guard like Demo does. */
+  def writeInt8(vectors: DataFrame, path: String, scaleLog2: Int): Unit = {
+    val s = math.pow(2.0, scaleLog2)
+    vectors.select(col("id"), col("vec"),
+        transform(col("vec"),
+          x => floor(x * s + lit(0.5)).cast("byte")).as("code"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
+  /** Materialize the int8 at-rest fixture once per machine (immutable
+    * version-named dir, atomic scratch publish — same discipline as
+    * [[ensureFixture]]). */
+  def ensureInt8Fixture(spark: SparkSession, sfDir: String, d: Int,
+                        scaleLog2: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_int8_v${Int8LayoutVersion}_${safe}_d${d}_s${scaleLog2}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "int8-")
+      // keepM=6 only picks WHICH cached fixture to derive from (the
+      // engine-wide default, so no extra synthesis); `vec` itself is
+      // keepM-independent and the fp16 rvec/delta columns are unused here
+      writeInt8(graft.Fixture.fp16VectorsCached(spark, sfDir, d, 6)
+        .select(col("id"), col("vec")), tmp.toString, scaleLog2)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"int8 fixture publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** Refined top-K off the int8 at-rest table: the cheap pass scans only
+    * (id, code) — dequantization and the constant half-step bound are
+    * map-side derivations, never stored — and the rescore fetch scans
+    * (id, vec). Hash-equal to the in-memory int8 rung (same dequantized
+    * values k/2^s). cos_l2 needs the stored `bb` stat and l2_tz a
+    * truncated copy; both are refused. */
+  def refineInt8TopK(spark: SparkSession, path: String, queries: DataFrame,
+                     p: graft.operators.Refine.Params,
+                     scaleLog2: Int): DataFrame = {
+    require(p.mode != "l2_tz" && p.mode != "cos_l2",
+      s"${p.mode} is incompatible with the int8 cheap copy")
+    val s = math.pow(2.0, scaleLog2)
+    val half = (0.5 / s).toFloat
+    val stored = spark.read.parquet(path)
+    val cheap = stored.select(col("id"),
+        transform(col("code"),
+          c => (c.cast("double") / s).cast("float")).as("rvec"))
+      .withColumn("delta", transform(col("rvec"), _ => lit(half)))
+      .select(col("id"), col("rvec"), col("delta"),
+        VectorOps.norm2Sq(col("rvec")).as("nr2"))
+    graft.operators.Refine.topkSplit(cheap,
+      stored.select(col("id"), col("vec")), queries, p)
+  }
+
   /** Column sets read by every parquet scan in the physical plan,
     * descending into AQE wrappers (plans with exchanges live under
     * AdaptiveSparkPlanExec, which hides its subtree from `collect`). */

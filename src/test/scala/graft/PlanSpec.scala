@@ -99,6 +99,28 @@ class PlanSpec extends AnyFunSuite {
     release()
   }
 
+  test("int8 at-rest cheap pass scans only the code column") {
+    val path = graft.sources.Disaggregated.ensureInt8Fixture(
+      spark, dir, SparkEntry.D, SparkEntry.Int8ScaleLog2)
+    val (df, release) = graft.operators.Dedup.scopedRelease(
+      SparkEntry.qRefineInt8AtRest(spark, dir))
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    // every scan reads either the 1-byte code column (cheap pass /
+    // queries) or the full-precision fetch — never both
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("id", "code")) || read.subsetOf(Set("id", "vec")),
+        s"scan reads $read")
+    }
+    assert(scans.exists(_.contains("code")), s"no code-only scan: $scans")
+    // hash-equal to the in-memory int8 rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = SparkEntry.qRefineInt8(spark, dir).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+    release()
+    assert(new java.io.File(path, "_SUCCESS").exists)
+  }
+
   test("refine pipeline whole-stage code compiles (no Janino fallback)") {
     // codegenStringSeq compiles every WholeStageCodegen subtree and maps a
     // Janino failure to ByteCodeStats.UNAVAILABLE — the silent interpreted
