@@ -152,7 +152,10 @@ object Bench {
       // within ~90 chars of the window, one more round of query growth
       // from truncating again.
       def jnum(d: Double) = f"$d%.3f"
-      def qnum(v: Double) = if (v >= 0.995) f"$v%.1f" else f"$v%.2f"
+      // >= 0.095s: deciseconds (covers nearly every query, one char less
+      // than centiseconds); below that centiseconds so a fast query never
+      // prints as a suspicious 0.0
+      def qnum(v: Double) = if (v >= 0.095) f"$v%.1f" else f"$v%.2f"
       val qs = qtimes.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + qnum(v) }
         .mkString("{", ",", "}")
@@ -164,6 +167,11 @@ object Bench {
         s""""sys_load_1m":${qnum(sysLoad())}}"""
     }
     val line = jsonLine("total", wall, results, loadStart)
+    // the driver parses this line out of a bounded captured tail; warn
+    // loudly (stderr, not the parsed stream) before growth truncates it
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
+        "— approaching the driver's ~2000-char capture window")
     // file first, then stdout — and the stdout print is deferred to the
     // very END of main (after the optional seq profile) so the summary is
     // the last thing in the driver's captured tail
