@@ -512,6 +512,10 @@ object SparkEntry {
   final val MinCos = 0.25
   final val IvfCells = 8
   final val IvfProbe = 2
+  // IVF-SQ8: embeddings are unit vectors (|v| < 1), so scale 2^7 keeps
+  // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
+  final val EmbSq8ScaleLog2 = 7
+  final val Sq8Rerank = 30
   final val SessionGapSec = 1800
   final val PricingCutoff = "1998-09-02"
   final val TopNCustomers = 3
@@ -925,6 +929,10 @@ object SparkEntry {
     // into the scan as a partition filter (PlanSpec asserts the pruning)
     "q_ann_ivf_at_rest" -> q((s, dir) => graft.operators.Ivf.topkIndexed(
       s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
+    // IVF-SQ8: cell pruning + int8 quantized cheap rank + rerank-deep
+    // exact rescore — the canonical vector-DB bandwidth configuration
+    "q_ann_ivf_sq8" -> q((s, dir) => graft.operators.Ivf.topkSq8(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, EmbSq8ScaleLog2, Sq8Rerank)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // ANN quality evaluation: recall of the IVF index against the brute
     // scan — the standard index-tuning workflow (one row: hits, recall)
@@ -1130,6 +1138,8 @@ object SparkEntry {
     // identical semantics to q_ann_ivf_index; only the physical path
     // (partition-pruned scan of the at-rest index) differs
     "q_ann_ivf_at_rest" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
+    "q_ann_ivf_sq8" -> IvfOracle.sq8Sql(EmbD, NQ, K, IvfCells, IvfProbe,
+      EmbSq8ScaleLog2, Sq8Rerank),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_recall" ->
       s"""SELECT CAST(hits AS BIGINT) AS hits,

@@ -141,6 +141,50 @@ object Ivf {
   }
 
   /**
+   * IVF-SQ8: the canonical vector-database bandwidth configuration —
+   * cell-pruned candidate generation, a CHEAP ranking pass over int8
+   * scalar-quantized codes (asymmetric: candidate side dequantized
+   * k/2^s, query side full precision), a `rerank`-deep cut, and an exact
+   * full-precision rescore of only the survivors. At rest the codes are
+   * the 1-byte column [[graft.sources.Disaggregated.writeInt8]] stores —
+   * the cheap pass reads a quarter of the float bytes; here they are
+   * derived map-side so the oracle twin stays a pure expression mirror.
+   * Dequantized values are exact dyadic rationals (float-exact at
+   * |v| * 2^s <= 127), so both passes are bit-reproducible in DuckDB.
+   * Output (qid, rank, id, score) with full-precision scores;
+   * approximation comes from nprobe pruning and the rerank cut only.
+   */
+  def topkSq8(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+              nprobe: Int, scaleLog2: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val V = graft.functions.VectorOps
+    val s = math.pow(2.0, scaleLog2)
+    val assigned = assign(emb, nCells, d)
+      .withColumn("q8", transform(col("embedding"),
+        x => (floor(x * s + lit(0.5)).cast("double") / s).cast("float")))
+      .withColumn("n2q8", V.norm2Sq(col("q8")))
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    // cheap pass: quantized cosine — at rest this scan touches only the
+    // code bytes, never the float embedding
+    val cheap = assigned.join(probes, Seq("cell"))
+      .withColumn("score", V.dot(col("q8"), col("qvec")) /
+        (V.fnorm(col("n2q8")) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    // exact rescore: only rerank*NQ survivors fetch the full vector
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  /**
    * IVF cosine top-k: candidates restricted to the query's probe cells.
    * Output (qid, rank, id, score) — approximate by construction (recall
    * governed by nprobe/nCells).

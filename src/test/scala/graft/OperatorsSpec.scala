@@ -358,6 +358,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("IVF-SQ8 with full-depth rerank equals the plain IVF scan") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, dir)
+    // code-range safety at the configured scale (|k| <= 127)
+    val maxAbs = e.select(max(expr("aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+      " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))).first().getDouble(0)
+    assert(maxAbs * (1 << SparkEntry.EmbSq8ScaleLog2) <= 127.5,
+      s"embeddings overflow int8 codes: max |v| = $maxAbs")
+    // with rerank covering every candidate, the exact rescore must give
+    // exactly the plain IVF result — the quantized pass then only orders
+    // candidates, never drops one
+    val n = e.count().toInt
+    val a = Ivf.topkSq8(e, 5, 5, SparkEntry.IvfCells, SparkEntry.EmbD,
+        SparkEntry.IvfProbe, SparkEntry.EmbSq8ScaleLog2, rerank = n)
+      .collect().map(_.toSeq).toSet
+    val b = Ivf.topk(e, 5, 5, SparkEntry.IvfCells, SparkEntry.EmbD,
+        SparkEntry.IvfProbe)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "SQ8 full-rerank diverged from plain IVF")
+  }
+
   test("sketch estimators honor their contracts on events") {
     val r = SparkEntry.qSketches(spark, dir).collect()(0)
     assert(r.getLong(0) > 0 && r.getLong(1) > 0, r.toString)
