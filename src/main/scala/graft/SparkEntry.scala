@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps._
 import graft.operators.{TopK, Refine, RefineKernel, Dedup, TextOps, Ann}
-import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle, IvfOracle}
+import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle, IvfOracle, SearchOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -359,6 +359,13 @@ object SparkEntry {
   private val measuredComp =
     new java.util.concurrent.atomic.AtomicReference[Option[(Long, Long)]](None)
 
+  /** BM25 corpus stats measured when q_bm25/q_hybrid_rrf last planned;
+    * the oracle embeds the driver-side idf doubles (ln is the one
+    * transcendental DuckDB and the JVM disagree on in the last ulp)
+    * guarded by the oracle's own df recomputation — see SearchOracle. */
+  private val measuredBm25 = new java.util.concurrent.atomic.AtomicReference[
+    Option[graft.operators.Search.Bm25Stats]](None)
+
   /**
    * Bandwidth accounting with MEASURED compression composed in (reference
    * ANNCode.py:831-833 feeding :317-318, paper §4.3 combined saving): the
@@ -516,6 +523,16 @@ object SparkEntry {
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
   final val Sq8Rerank = 30
+  // search surface beyond plain top-k (Search.scala)
+  final val FilterLangs = Seq("fr", "de") // metadata predicate for filtered ANN
+  final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
+  final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
+  final val Bm25K1 = 1.2
+  final val Bm25B = 0.75
+  final val Bm25TopN = 20
+  final val RrfPoolN = 50     // per-retriever candidate list depth
+  final val RrfKConst = 60    // the standard RRF dampening constant
+  final val HybridK = 10
   final val SessionGapSec = 1800
   final val PricingCutoff = "1998-09-02"
   final val TopNCustomers = 3
@@ -934,6 +951,31 @@ object SparkEntry {
     "q_ann_ivf_sq8" -> q((s, dir) => graft.operators.Ivf.topkSq8(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, EmbSq8ScaleLog2, Sq8Rerank)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
+    // metadata-filtered search: predicate applied BEFORE any distance
+    // arithmetic (pre-filter strategy); the metadata join is an id
+    // equi-join, bucketable to exchange-free at rest
+    "q_ann_filtered" -> q((s, dir) => graft.operators.Search.filteredTopK(
+      emb(s, dir), docs(s, dir), NQ, K, FilterLangs)),
+    // range (radius) search: every candidate with cosine >= tau
+    "q_ann_range" -> q((s, dir) =>
+      graft.operators.Search.rangeSearch(emb(s, dir), NQ, RangeTau)),
+    // BM25 lexical retrieval: one tiny corpus-stats aggregate, then a
+    // map-side scoring pass with idf constants baked in as literals
+    "q_bm25" -> q((s, dir) => {
+      val (ranked, st) = graft.operators.Search.bm25(
+        docs(s, dir), Bm25Terms, Bm25K1, Bm25B, Bm25TopN)
+      measuredBm25.set(Some(st))
+      ranked
+    }),
+    // hybrid retrieval: reciprocal rank fusion of the BM25 top-N list
+    // and the brute cosine top-N list (query = vector of doc 0)
+    "q_hybrid_rrf" -> q((s, dir) => {
+      val (text, st) = graft.operators.Search.bm25(
+        docs(s, dir), Bm25Terms, Bm25K1, Bm25B, RrfPoolN)
+      measuredBm25.set(Some(st))
+      graft.operators.Search.hybridRrf(text, emb(s, dir),
+        RrfPoolN, RrfKConst, HybridK)
+    }),
     // ANN quality evaluation: recall of the IVF index against the brute
     // scan — the standard index-tuning workflow (one row: hits, recall)
     "q_ann_recall" -> q((s, dir) => {
@@ -1141,6 +1183,15 @@ object SparkEntry {
     "q_ann_ivf_sq8" -> IvfOracle.sq8Sql(EmbD, NQ, K, IvfCells, IvfProbe,
       EmbSq8ScaleLog2, Sq8Rerank),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
+    "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
+    "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
+    // idf constants come from the measured corpus stats when the query
+    // has run (Verify's flow); the pure-ln fallback differs from the JVM
+    // only in the last ulp on ~0.1% of df values
+    "q_bm25" -> SearchOracle.bm25Sql(Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
+      measuredBm25.get()),
+    "q_hybrid_rrf" -> SearchOracle.hybridSql(EmbD, Bm25Terms, Bm25K1, Bm25B,
+      RrfPoolN, RrfKConst, HybridK, measuredBm25.get()),
     "q_ann_recall" ->
       s"""SELECT CAST(hits AS BIGINT) AS hits,
          |  CAST(hits AS DOUBLE) / ${K * NQ} AS recall

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/**
+ * The query-side search surface a vector database exposes beyond plain
+ * top-k: metadata-filtered search, range (radius) search, lexical BM25
+ * retrieval, and hybrid rank fusion. The reference engine serves the
+ * vector half of this surface (ANNCode.py top-k scans); filtered/range
+ * search and lexical+hybrid retrieval are the canonical companions every
+ * production deployment pairs with it.
+ *
+ * Scale notes (100 TB):
+ *  - [[filteredTopK]] applies the metadata predicate BEFORE any distance
+ *    arithmetic — the pre-filter strategy. The metadata join is an
+ *    equi-join on the vector id (bucket both sides by id at rest and it
+ *    is exchange-free); the predicate then prunes candidates so scoring
+ *    work scales with selectivity, not corpus size. With metadata stored
+ *    in the index layout (see [[Ivf.ensureIndex]]) the predicate pushes
+ *    into the Parquet scan itself.
+ *  - [[rangeSearch]] is a broadcast scan: NQ query vectors broadcast,
+ *    the corpus streams once, no shuffle before the final (small) result.
+ *    For *pair-wise* radius search over the whole corpus use
+ *    [[Ann.nearDupPairs]]' banded equi-join instead — never all-pairs.
+ *  - [[bm25]] is two passes: one tiny global aggregate (corpus stats, a
+ *    handful of longs) and one map-side scoring pass with the stats
+ *    broadcast as literals. Per-term tf is computed inside the row —
+ *    no posting-list shuffle at all for a fixed query's term set.
+ *  - [[hybridRrf]] fuses bounded top-N lists (N rows per retriever), so
+ *    the fusion join is trivially broadcast-able regardless of corpus
+ *    size.
+ *
+ * Determinism: BM25's idf is the one transcendental (ln) in the engine's
+ * scoring surface, and DuckDB's `ln` is not bit-identical to the JVM's
+ * `Math.log` (measured: 6/5001 inputs differ in the last ulp). The idf
+ * constants are therefore computed ONCE driver-side from the collected
+ * (N, df) corpus stats and embedded as double literals in both engines'
+ * plans — the same shared-constant discipline as `Refine.hoeffConst`.
+ * Everything else is exact-integer arithmetic, IEEE mul/div trees
+ * written with identical association in both engines, or two-term sums
+ * of such — all bit-reproducible.
+ */
+object Search {
+
+  // ---- shared scoring helpers -----------------------------------------
+
+  private def fn(c: Column): Column = graft.functions.VectorOps.fnorm(c)
+
+  private def cosScore: Column =
+    dot(col("embedding"), col("qvec")) / (fn(col("n2")) * fn(col("qn2")))
+
+  private def candSide(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("id"), col("embedding"),
+      norm2Sq(col("embedding")).as("n2"))
+
+  // ---- filtered ANN ----------------------------------------------------
+
+  /**
+   * Metadata-filtered exact top-k: only candidates whose joined metadata
+   * passes the predicate are scored; queries search the unfiltered space.
+   * Returns (qid, rank, id, score, lang), rank 1..k within the filtered
+   * candidate set.
+   */
+  def filteredTopK(emb: DataFrame, docMeta: DataFrame, nq: Int, k: Int,
+                   langs: Seq[String]): DataFrame = {
+    val meta = docMeta.select(col("doc_id").as("id"), col("lang"))
+    val q = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")))
+    val cand = candSide(emb)
+      .join(meta, Seq("id"))
+      .filter(col("lang").isin(langs: _*))
+    val scored = cand.crossJoin(q).withColumn("score", cosScore)
+    val ranked = TopK.window(scored, k)
+    // re-attach the (tiny, filtered) metadata for the result surface
+    ranked.join(meta.filter(col("lang").isin(langs: _*)), Seq("id"))
+      .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
+  }
+
+  // ---- range (radius) search ------------------------------------------
+
+  /** All (qid, id, score) with cosine >= tau — the radius twin of top-k.
+    * Includes the query row itself (score 1.0), as range search does. */
+  def rangeSearch(emb: DataFrame, nq: Int, tau: Double): DataFrame = {
+    val q = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")))
+    candSide(emb).crossJoin(q)
+      .withColumn("score", cosScore)
+      .filter(col("score") >= tau)
+      .select(col("qid"), col("id"), col("score"))
+  }
+
+  // ---- BM25 lexical retrieval -----------------------------------------
+
+  /** Corpus stats collected once at plan-build: doc count, total token
+    * count (avgdl = sumDl.toDouble / n, exact), per-term df. */
+  final case class Bm25Stats(n: Long, sumDl: Long, df: Map[String, Long]) {
+    def avgdl: Double = sumDl.toDouble / n
+    def idf(t: String): Double = {
+      val d = df(t)
+      math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+    }
+  }
+
+  /** One small aggregate job: (count, sum dl, df per term). */
+  def bm25Stats(docs: DataFrame, terms: Seq[String]): Bm25Stats = {
+    val tk = docs.select(split(col("text"), " ").as("tk"))
+    val aggs = count(lit(1)).as("n") +: sum(size(col("tk"))).as("sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val r = tk.agg(aggs.head, aggs.tail: _*).collect()(0)
+    Bm25Stats(r.getLong(0), r.getLong(1),
+      terms.zipWithIndex.map { case (t, i) => t -> r.getLong(2 + i) }.toMap)
+  }
+
+  /** Per-term BM25 contribution as a Column over (tk, dl) with all
+    * corpus-level constants baked in as literals. The expression tree —
+    * idf * ((tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl / avgdl)))) —
+    * is mirrored token-for-token by the oracle SQL. */
+  private def termScore(t: String, st: Bm25Stats, k1: Double, b: Double): Column = {
+    val tf = size(filter(col("tk"), x => x === lit(t))).cast("double")
+    val dl = size(col("tk")).cast("double")
+    lit(st.idf(t)) * ((tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(st.avgdl)))))
+  }
+
+  /**
+   * BM25 top-n over the corpus for a fixed term set: (doc_id, rank,
+   * score), rank 1..n by (score desc, doc_id asc). Score is the explicit
+   * left-fold sum of per-term contributions in `terms` order.
+   *
+   * Returns the stats alongside so callers (and the oracle generator)
+   * share the exact idf constants this plan scored with.
+   */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double, b: Double,
+           topN: Int): (DataFrame, Bm25Stats) = {
+    val st = bm25Stats(docs, terms)
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val score = terms.map(termScore(_, st, k1, b)).reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val ranked = tk.withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("score"))
+    (ranked, st)
+  }
+
+  // ---- hybrid retrieval: reciprocal rank fusion -----------------------
+
+  /**
+   * RRF over a lexical top-N list and a vector top-N list:
+   * rrf = 1/(rrfK + text_rank) + 1/(rrfK + vec_rank), with an absent
+   * list contributing 0 — the standard union fusion. `text` is a
+   * [[bm25]] result (doc_id, rank, score) already limited to poolN; the
+   * vector list is the brute cosine top-poolN for the single query
+   * vector `qid = 0` (the corpus embedding aligned with doc_id).
+   * Returns the fused top-k: (doc_id, rank, rrf, text_rank, vec_rank) —
+   * absent ranks are null.
+   *
+   * All fusion arithmetic is 1.0/(int) divisions summed once — exact in
+   * both engines; ranks come from already-deterministic sub-pipelines.
+   */
+  def hybridRrf(text: DataFrame, emb: DataFrame, poolN: Int, rrfK: Int,
+                k: Int): DataFrame = {
+    val vec = Ann.bruteTopK(emb, nq = 1, k = poolN)
+      .select(col("id").as("doc_id"), col("rank").as("vec_rank"))
+    val t = text.select(col("doc_id"), col("rank").as("text_rank"))
+    val fused = t.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("rrf"),
+        col("text_rank"), col("vec_rank"))
+  }
+}

@@ -17,6 +17,13 @@ import graft.Fixture
 object OracleGen {
   import Fixture.{HMul, JMul, SgnMul, SgnJ, ScMul, ScJ, BigP}
 
+  /** Exact DOUBLE literal: a bare decimal literal lands as DECIMAL and
+    * its later DECIMAL->DOUBLE conversion double-rounds (measured: 7.5%
+    * of random 17-digit constants off by one ulp); string->DOUBLE casts
+    * are correctly rounded, and Java's `Double.toString` is shortest
+    * round-trip, so this reproduces the JVM double bit-for-bit. */
+  def dlit(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
   /** VALUES list (0),(1),...,(d-1) for the dims CTE. */
   def dimsValues(d: Int): String = (0 until d).map(j => s"($j)").mkString(",")
 

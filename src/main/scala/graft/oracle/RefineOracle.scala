@@ -84,15 +84,17 @@ object RefineOracle {
     val sHatCos  = s"p.drq / (${fn("nv.nr2")} * ${fn("q.nq2")})"
     p.mode match {
       case "cos_l1" =>
-        (sHatCos, sFullCos, s"${p.alpha} * p.l1c / ${fn("q.nq2")}")
+        (sHatCos, sFullCos, s"${OracleGen.dlit(p.alpha)} * p.l1c / ${fn("q.nq2")}")
       case "cos_hoeff" =>
-        (sHatCos, sFullCos, s"${p.hoeffConst} * sqrt(p.hs2) / ${fn("q.nq2")}")
+        (sHatCos, sFullCos,
+          s"${OracleGen.dlit(p.hoeffConst)} * sqrt(p.hs2) / ${fn("q.nq2")}")
       case "cos_l2" =>
         (sHatCos, sFullCos,
-          s"${p.alpha} * sqrt($g(0.0, 2.0 - 2.0 * nv.xr / (${fn("nv.nx2")} * ${fn("nv.nr2")})))")
+          s"${OracleGen.dlit(p.alpha)} * sqrt($g(0.0, 2.0 - 2.0 * nv.xr / (${fn("nv.nx2")} * ${fn("nv.nr2")})))")
       case "l2_sym" | "l2_tz" => ("p.d2h", "p.d2f", "p.lb")
       case "l2_hoeff" =>
-        ("p.d2h", "p.d2f", s"p.d2h - ${2.0 * p.hoeffConst} * sqrt(p.ah2)")
+        ("p.d2h", "p.d2f",
+          s"p.d2h - ${OracleGen.dlit(2.0 * p.hoeffConst)} * sqrt(p.ah2)")
     }
   }
 
@@ -181,7 +183,7 @@ object RefineOracle {
        |     ON f.qid = e.qid AND f.id = e.id
        |     WHERE f.rnk <= ${p.k} AND e.rnk <= ${p.k}) AS hits)
        |SELECT '${p.mode}' AS mode, ${p.keepM} AS m_keep,
-       |  CAST(${p.delta} AS DOUBLE) AS delta,
+       |  ${OracleGen.dlit(p.delta)} AS delta,
        |  CAST(hits AS DOUBLE) / (${p.k} * nq_cnt) AS recall,
        |  1.0 - ($bRed * nv_cnt * nq_cnt + $bFull * fetched) /
        |        ($bFull * nv_cnt * nq_cnt) AS save,
@@ -206,10 +208,10 @@ object RefineOracle {
       Refine.Params(mode, k = k, keepM = keepM, delta = dl))
     s"""WITH m AS (${allMetricsSql(d, nq, params)}),
        |flag AS (SELECT CASE
-       |    WHEN MAX(CASE WHEN recall >= $recallFloor THEN 1 ELSE 0 END) = 1
+       |    WHEN MAX(CASE WHEN recall >= ${OracleGen.dlit(recallFloor)} THEN 1 ELSE 0 END) = 1
        |    THEN 1 ELSE 0 END AS any_meet FROM m),
        |sel AS (SELECT m.delta FROM m, flag
-       |  WHERE flag.any_meet = 0 OR m.recall >= $recallFloor
+       |  WHERE flag.any_meet = 0 OR m.recall >= ${OracleGen.dlit(recallFloor)}
        |  ORDER BY CASE WHEN flag.any_meet = 1 THEN m.save ELSE m.recall END DESC,
        |    m.delta ASC
        |  LIMIT 1)

@@ -1,0 +1,137 @@
+package graft.oracle
+
+import graft.operators.Search.Bm25Stats
+
+/**
+ * DuckDB oracle SQL for [[graft.operators.Search]]: filtered / range
+ * vector search, BM25 lexical retrieval, and hybrid RRF fusion.
+ *
+ * Vector scores reuse [[EmbOracle]]'s explicit left-fold dot product so
+ * doubles are bit-identical. BM25's idf constants are embedded as
+ * double literals from the SAME driver-side `Math.log` the Spark plan
+ * baked in (DuckDB's `ln` differs from the JVM's in the last ulp on
+ * ~0.1% of inputs); the oracle still recomputes df itself and only
+ * applies the literal when its own df agrees — a wrong df falls through
+ * to the ln form and hash-mismatches, so the shared constant never masks
+ * a data defect.
+ */
+object SearchOracle {
+  import OracleGen.dlit
+
+  private def fn(x: String) = s"GREATEST(sqrt($x), 1e-12)"
+
+  /** Metadata-filtered top-k (pre-filter semantics): candidates joined to
+    * documents on vec_id = doc_id, lang IN (...), then ranked per query. */
+  def filteredSql(d: Int, nq: Int, k: Int, langs: Seq[String]): String = {
+    val inList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |${EmbOracle.nrmCte(d)},
+       |cand AS (SELECT e.vec_id AS id, e.embedding, dm.lang
+       |  FROM embeddings e JOIN documents dm ON e.vec_id = dm.doc_id
+       |  WHERE dm.lang IN ($inList)),
+       |sc AS (SELECT q.qid, c.id, c.lang,
+       |    ${EmbOracle.dotE("c.embedding", "q.qv", d)} AS dp
+       |  FROM cand c CROSS JOIN q),
+       |scored AS (SELECT sc.qid, sc.id, sc.lang,
+       |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM sc JOIN nrm ni ON sc.id = ni.vec_id
+       |          JOIN nrm nq2 ON sc.qid = nq2.vec_id),
+       |ranked AS (SELECT qid, id, lang, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score, lang
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Range (radius) search: every candidate with cosine >= tau. */
+  def rangeSql(d: Int, nq: Int, tau: Double): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |${EmbOracle.nrmCte(d)},
+       |sc AS (SELECT q.qid, e.vec_id AS id,
+       |    ${EmbOracle.dotE("e.embedding", "q.qv", d)} AS dp
+       |  FROM embeddings e CROSS JOIN q),
+       |scored AS (SELECT sc.qid, sc.id,
+       |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM sc JOIN nrm ni ON sc.id = ni.vec_id
+       |          JOIN nrm nq2 ON sc.qid = nq2.vec_id)
+       |SELECT qid, id, score FROM scored WHERE score >= ${dlit(tau)}""".stripMargin
+
+  /** Per-term df column list for the df CTE. */
+  private def dfCols(terms: Seq[String]): String =
+    terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n|  ")
+
+  /** idf expression for term i: the embedded driver-side constant guarded
+    * by the oracle's own df recomputation, ln fallback otherwise. */
+  private def idfExpr(i: Int, t: String, st: Option[Bm25Stats]): String = {
+    val lnForm = s"ln(1.0 + (st.n - df.df$i + 0.5) / (df.df$i + 0.5))"
+    st match {
+      case Some(s) =>
+        s"CASE WHEN df.df$i = ${s.df(t)} THEN ${dlit(s.idf(t))} ELSE $lnForm END"
+      case None => lnForm
+    }
+  }
+
+  /** The BM25 scoring CTEs shared by [[bm25Sql]] and [[hybridSql]]:
+    * tk / st / df / bsc(doc_id, score). The score expression mirrors
+    * [[graft.operators.Search.termScore]]'s tree token-for-token. */
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double,
+                       st: Option[Bm25Stats]): String = {
+    val termExprs = terms.zipWithIndex.map { case (t, i) =>
+      s"(${idfExpr(i, t, st)} * ((CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) * ${dlit(k1 + 1.0)}) / " +
+        s"(CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) + ${dlit(k1)} * " +
+        s"(${dlit(1.0 - b)} + ${dlit(b)} * (CAST(len(tk) AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))))"
+    }
+    val score = termExprs.reduceLeft((a, c) => s"($a + $c)")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl FROM tk),
+       |df AS (SELECT ${dfCols(terms)} FROM tk),
+       |bsc AS (SELECT doc_id, $score AS score FROM tk, st, df)""".stripMargin
+  }
+
+  /** BM25 top-n: (doc_id, rank, score). */
+  def bm25Sql(terms: Seq[String], k1: Double, b: Double, topN: Int,
+              st: Option[Bm25Stats]): String =
+    s"""WITH ${bm25Ctes(terms, k1, b, st)},
+       |ranked AS (SELECT doc_id, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM bsc)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score
+       |FROM ranked WHERE rnk <= $topN""".stripMargin
+
+  /** Hybrid RRF fusion of the BM25 top-poolN list and the brute cosine
+    * top-poolN list for query qid = 0:
+    * (doc_id, rank, rrf, text_rank, vec_rank). */
+  def hybridSql(d: Int, terms: Seq[String], k1: Double, b: Double,
+                poolN: Int, rrfK: Int, k: Int, st: Option[Bm25Stats]): String =
+    s"""WITH ${bm25Ctes(terms, k1, b, st)},
+       |btop AS (SELECT doc_id, CAST(rnk AS INTEGER) AS text_rank FROM (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM bsc)
+       |  WHERE rnk <= $poolN),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      ORDER BY vec_id LIMIT 1),
+       |${EmbOracle.nrmCte(d)},
+       |vsc AS (SELECT e.vec_id AS id,
+       |    ${EmbOracle.dotE("e.embedding", "q.qv", d)} AS dp
+       |  FROM embeddings e CROSS JOIN q),
+       |vscored AS (SELECT vsc.id,
+       |    vsc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM vsc JOIN nrm ni ON vsc.id = ni.vec_id
+       |           CROSS JOIN q JOIN nrm nq2 ON q.qid = nq2.vec_id),
+       |vtop AS (SELECT id, CAST(rnk AS INTEGER) AS vec_rank FROM (
+       |  SELECT id,
+       |    row_number() OVER (ORDER BY score DESC, id ASC) AS rnk FROM vscored)
+       |  WHERE rnk <= $poolN),
+       |fused AS (SELECT COALESCE(btop.doc_id, vtop.id) AS doc_id,
+       |    btop.text_rank, vtop.vec_rank,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + btop.text_rank), CAST(0.0 AS DOUBLE)) +
+       |      COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + vtop.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM btop FULL OUTER JOIN vtop ON btop.doc_id = vtop.id),
+       |ranked AS (SELECT doc_id, rrf, text_rank, vec_rank,
+       |  row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk FROM fused)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, rrf, text_rank, vec_rank
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+}

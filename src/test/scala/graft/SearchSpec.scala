@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Search, Ann}
+
+class SearchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, dir)
+  private def docs = Tables.documents(spark, dir)
+
+  test("filteredTopK returns only candidates passing the metadata predicate") {
+    val langs = Seq("fr", "de")
+    val r = Search.filteredTopK(emb, docs, nq = 5, k = 10, langs).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => langs.contains(row.getAs[String]("lang"))))
+    // parity: equals brute top-k over the pre-filtered candidate subset
+    val allowed = docs.filter(col("lang").isin(langs: _*))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val brute = Ann.bruteTopK(
+      emb, nq = 5, k = emb.count().toInt) // full ranking
+      .filter(col("id").isin(allowed.toSeq.map(Long.box): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    val want = brute.withColumn("r2", row_number().over(w))
+      .filter(col("r2") <= 10)
+      .select(col("qid"), col("r2").as("rank"), col("id"), col("score"))
+      .collect().map(_.toSeq).toSet
+    val got = r.map(row => Seq(row.getAs[Long]("qid"), row.getAs[Int]("rank"),
+      row.getAs[Long]("id"), row.getAs[Double]("score"))).toSet
+    assert(got == want, "filtered top-k != rank-over-filtered-subset")
+  }
+
+  test("rangeSearch returns exactly the pairs with cosine >= tau") {
+    val tau = 0.3
+    val r = Search.rangeSearch(emb, nq = 5, tau).collect()
+    assert(r.forall(_.getAs[Double]("score") >= tau))
+    // every query matches itself at score ~1.0
+    val selfRows = r.filter(row => row.getAs[Long]("qid") == row.getAs[Long]("id"))
+    assert(selfRows.length == 5)
+    // count parity vs an unfiltered scored scan
+    val n = Search.rangeSearch(emb, nq = 5, tau = -2.0).count()
+    assert(n == 5 * emb.count(), "tau=-2 must keep every scored pair")
+  }
+
+  test("bm25 matches a hand-computed score on a constructed corpus") {
+    import spark.implicits._
+    // 3 docs; term 'x': tf 2/1/0, df 2; term 'y': tf 0/1/1, df 2
+    val d = Seq((0L, "x x z"), (1L, "x y"), (2L, "y z z z")).toDF("doc_id", "text")
+    val (ranked, st) = Search.bm25(d, Seq("x", "y"), k1 = 1.2, b = 0.75, topN = 3)
+    assert(st.n == 3 && st.sumDl == 9 && st.df == Map("x" -> 2L, "y" -> 2L))
+    val avgdl = 9.0 / 3
+    def score(tf: Double, dl: Double, idf: Double): Double =
+      idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    val want = Map(
+      0L -> (score(2, 3, idf) + score(0, 3, idf)),
+      1L -> (score(1, 2, idf) + score(1, 2, idf)),
+      2L -> (score(0, 4, idf) + score(1, 4, idf)))
+    val got = ranked.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(got(k) == v, s"doc $k: ${got(k)} != $v")
+  }
+
+  test("bm25 ranking is invariant under repartitioning") {
+    val (r1, _) = Search.bm25(docs, SparkEntry.Bm25Terms, 1.2, 0.75, 20)
+    val (r2, _) = Search.bm25(docs.repartition(7), SparkEntry.Bm25Terms, 1.2, 0.75, 20)
+    assert(r1.collect().map(_.toSeq).toSet == r2.collect().map(_.toSeq).toSet)
+  }
+
+  test("hybridRrf fuses ranks with exact 1/(K+r) arithmetic") {
+    val (text, _) = Search.bm25(docs, SparkEntry.Bm25Terms, 1.2, 0.75, 50)
+    val fused = Search.hybridRrf(text, emb, poolN = 50, rrfK = 60, k = 10)
+      .collect()
+    assert(fused.length == 10)
+    val textRanks = text.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    val vecRanks = Ann.bruteTopK(emb, 1, 50).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("rank")).toMap
+    fused.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val tTerm = textRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val vTerm = vecRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(row.getAs[Double]("rrf") == tTerm + vTerm, s"rrf mismatch for $id")
+      assert(row.getAs[java.lang.Integer]("text_rank") ==
+        textRanks.get(id).map(Int.box).orNull)
+      assert(row.getAs[java.lang.Integer]("vec_rank") ==
+        vecRanks.get(id).map(Int.box).orNull)
+    }
+    // rank order must follow rrf desc with doc_id tie-break
+    val byRank = fused.sortBy(_.getAs[Int]("rank"))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val (ra, rb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+      assert(ra > rb || (ra == rb &&
+        a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+  }
+}
