@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps._
 import graft.operators.{TopK, Refine, RefineKernel, Dedup, TextOps, Ann}
-import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle, IvfOracle, SearchOracle}
+import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle, IvfOracle, SearchOracle, PqOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -523,6 +523,11 @@ object SparkEntry {
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
   final val Sq8Rerank = 30
+  // IVF-PQ: 8 subspaces x 16 codes = 32-bit code words (64x cheap-pass
+  // bandwidth cut vs the float vector); rerank as for SQ8
+  final val PqM = 8
+  final val PqCodes = 16
+  final val PqRerank = 30
   // search surface beyond plain top-k (Search.scala)
   final val FilterLangs = Seq("fr", "de") // metadata predicate for filtered ANN
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
@@ -950,6 +955,10 @@ object SparkEntry {
     // exact rescore — the canonical vector-DB bandwidth configuration
     "q_ann_ivf_sq8" -> q((s, dir) => graft.operators.Ivf.topkSq8(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, EmbSq8ScaleLog2, Sq8Rerank)),
+    // IVF-PQ: product-quantized ADC cheap rank (query-side lookup table,
+    // candidate-side code picks) + rerank-deep exact rescore
+    "q_ann_ivf_pq" -> q((s, dir) => graft.operators.Pq.topk(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
@@ -1182,6 +1191,8 @@ object SparkEntry {
     "q_ann_ivf_at_rest" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     "q_ann_ivf_sq8" -> IvfOracle.sq8Sql(EmbD, NQ, K, IvfCells, IvfProbe,
       EmbSq8ScaleLog2, Sq8Rerank),
+    "q_ann_ivf_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe,
+      PqM, PqCodes, PqRerank),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VecExprs
+
+/**
+ * IVF-PQ: product quantization as the cheap-rank rung under the same
+ * two-phase discipline as [[Ivf.topkSq8]] — cell-pruned candidates, an
+ * ADC (asymmetric distance computation) ranking pass over 4-bit PQ
+ * codes, a rerank-deep cut, and an exact full-precision rescore of the
+ * survivors.
+ *
+ * The vector is split into `m` subspaces of `d/m` dims; each subspace
+ * is encoded as the argmin code over a fixed per-subspace codebook
+ * (deterministic dyadic centroids — k/2048 in [-0.25, 0.25), matching
+ * the corpus component spread — derived from the same portable hash
+ * family as [[Ivf.centroidComponent]], so the DuckDB oracle reproduces
+ * the assignment bit-for-bit). At rest the code word is m * log2(codes)
+ * = 32 bits/vector vs 256 float bytes — a 64x cheap-pass bandwidth cut;
+ * here codes stay columns so the oracle twin is a pure expression
+ * mirror, exactly like the SQ8 rung.
+ *
+ * The ADC trick is expressed relationally: the QUERY side precomputes
+ * the m x codes lookup table t_{m,c} = dot(q_sub_m, cb(m,c)) — one tiny
+ * broadcast row per query — and the candidate side only SELECTS from
+ * that table by its stored code (a CASE chain over integer codes, fully
+ * codegen-friendly); the quantized score is the left-fold sum over
+ * subspaces divided by the reconstruction and query norms. No float
+ * work per candidate beyond m table picks and one division — the
+ * classic PQ scan, Catalyst-style.
+ *
+ * Reference context: the paper's precision ladder (fp16/int8/bit-plane,
+ * ANNCode.py:288-318) stops at scalar codes; PQ is the standard next
+ * rung every production IVF deploys (Jégou et al., TPAMI 2011).
+ */
+object Pq {
+
+  /** Deterministic dyadic codebook component for (subspace m, code c,
+    * within-subspace dim j), in [-0.25, 0.25): k/2048, |k| <= 512 —
+    * float-exact (<= 10 significand bits). */
+  def component(m: Int, c: Int, j: Int, sub: Int): Double = {
+    val h = (c.toLong * Dedup.AMul + (m.toLong * sub + j + 1) * 48271L +
+      1299709L) % 2147483647L
+    ((h % 1024L) - 512L).toDouble / 2048.0
+  }
+
+  /** Codebook centroid for (m, c) as floats (exact). */
+  def centroid(m: Int, c: Int, sub: Int): Array[Float] =
+    Array.tabulate(sub)(j => component(m, c, j, sub).toFloat)
+
+  /** ||cb(m,c)||^2 — exact dyadic double (sum of k^2/2048^2 terms). */
+  def centroidN2(m: Int, c: Int, sub: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < sub) { val v = component(m, c, j, sub); s += v * v; j += 1 }
+    s
+  }
+
+  /** The m-th subvector of an ARRAY<FLOAT> column (1-based slice). */
+  private def subvec(v: Column, m: Int, sub: Int): Column =
+    slice(v, m * sub + 1, sub)
+
+  /** Subspace-distance columns d_{m}_{c} (named so each l2Sq fold is
+    * evaluated once; the argmin then references the columns). */
+  private def distCols(v: Column, mSub: Int, codes: Int, sub: Int): Seq[Column] =
+    for (m <- 0 until mSub; c <- 0 until codes)
+      yield VecExprs.l2Sq(subvec(v, m, sub),
+        typedlit(centroid(m, c, sub).toSeq)).as(s"d_${m}_$c")
+
+  /** code_m: per-subspace argmin over the d_{m}_* columns, ties to the
+    * smaller code id (LEAST + first-match CASE, mirroring Ivf.assign). */
+  private def argminCode(m: Int, codes: Int): Column = {
+    val least0 = least((0 until codes).map(c => col(s"d_${m}_$c")): _*)
+    (0 until codes).foldRight(lit(-1)) { (c, rest) =>
+      when(col(s"d_${m}_$c") === least0, lit(c)).otherwise(rest)
+    }.as(s"code_$m")
+  }
+
+  /** ADC lookup-table columns t_{m}_{c} = dot(q_sub_m, cb(m,c)). */
+  private def adcTable(qv: Column, mSub: Int, codes: Int, sub: Int): Seq[Column] =
+    for (m <- 0 until mSub; c <- 0 until codes)
+      yield VecExprs.dotD(subvec(qv, m, sub),
+        typedlit(centroid(m, c, sub).toSeq)).as(s"t_${m}_$c")
+
+  /** CASE chain selecting t_{m}_{code_m} from the broadcast ADC table. */
+  private def pick(m: Int, codes: Int): Column =
+    (0 until codes).foldRight(lit(0.0)) { (c, rest) =>
+      when(col(s"code_$m") === c, col(s"t_${m}_$c")).otherwise(rest)
+    }
+
+  /** CASE chain for the reconstruction norm contribution of subspace m. */
+  private def pickN2(m: Int, codes: Int, sub: Int): Column =
+    (0 until codes).foldRight(lit(0.0)) { (c, rest) =>
+      when(col(s"code_$m") === c, lit(centroidN2(m, c, sub))).otherwise(rest)
+    }
+
+  /**
+   * IVF-PQ top-k: (qid, rank, id, score) with full-precision scores;
+   * approximation comes from nprobe pruning and the rerank cut only.
+   */
+  def topk(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+           nprobe: Int, mSub: Int, codes: Int, rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val enc = Ivf.assign(emb, nCells, d)
+      .select(col("id") +: col("cell") +:
+        distCols(col("embedding"), mSub, codes, sub): _*)
+      .select(col("id") +: col("cell") +:
+        (0 until mSub).map(argminCode(_, codes)): _*)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+      .join(q, Seq("qid"))
+      .select(col("qid") +: col("cell") +: col("qn2") +:
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+    // cheap pass: m table picks + one division per candidate — the
+    // float vector is never touched
+    val sHatNum = (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2(_, codes, sub)).reduceLeft(_ + _)
+    val cheap = enc.join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    // exact rescore: only rerank*NQ survivors fetch the full vector
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+}
