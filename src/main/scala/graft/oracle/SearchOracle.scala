@@ -58,6 +58,63 @@ object SearchOracle {
        |          JOIN nrm nq2 ON sc.qid = nq2.vec_id)
        |SELECT qid, id, score FROM scored WHERE score >= ${dlit(tau)}""".stripMargin
 
+  /**
+   * MMR diversification as a recursive CTE: the working table carries
+   * one row per (qid, step) with the selected pool positions as a LIST;
+   * each iteration scores the unselected candidates as
+   * lambda * rel - (1-lambda) * max sim-to-selected (list_transform
+   * into each candidate's sim list) and keeps the per-query argmax with
+   * the id tie-break. Pool positions are id-ordered so the engine's
+   * array indices and this CTE's `pos` agree.
+   */
+  def mmrSql(d: Int, nq: Int, poolN: Int, k: Int, lambda: Double): String = {
+    val lam = dlit(lambda)
+    val om = dlit(1.0 - lambda)
+    s"""WITH RECURSIVE
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      ORDER BY vec_id LIMIT $nq),
+       |${EmbOracle.nrmCte(d)},
+       |sc AS (SELECT q.qid, e.vec_id AS id, e.embedding,
+       |    ${EmbOracle.dotE("e.embedding", "q.qv", d)} /
+       |      (${fn("ni.n2")} * ${fn("nq2.n2")}) AS rel
+       |  FROM embeddings e CROSS JOIN q
+       |  JOIN nrm ni ON e.vec_id = ni.vec_id
+       |  JOIN nrm nq2 ON q.qid = nq2.vec_id),
+       |pool AS (SELECT qid, id, embedding, rel,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY id ASC) AS INTEGER) AS pos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY rel DESC, id ASC) AS rk FROM sc)
+       |  WHERE rk <= $poolN),
+       |sims AS (SELECT a.qid, a.pos AS pos_a,
+       |    list(${EmbOracle.dotE("a.embedding", "b.embedding", d)} /
+       |      (${fn("na.n2")} * ${fn("nb.n2")}) ORDER BY b.pos) AS simlist
+       |  FROM pool a JOIN pool b ON a.qid = b.qid
+       |  JOIN nrm na ON a.id = na.vec_id JOIN nrm nb ON b.id = nb.vec_id
+       |  GROUP BY a.qid, a.pos),
+       |sel AS (
+       |  SELECT qid, 1 AS step, [pos] AS sel_pos, id,
+       |    ($lam * rel) - ($om * CAST(0.0 AS DOUBLE)) AS mmr
+       |  FROM (SELECT p.*, row_number() OVER (PARTITION BY qid
+       |      ORDER BY ($lam * rel) - ($om * CAST(0.0 AS DOUBLE)) DESC, id ASC) AS rn
+       |    FROM pool p) WHERE rn = 1
+       |  UNION ALL
+       |  SELECT qid, step, sel_pos, id, mmr FROM (
+       |    SELECT p.qid, s.step + 1 AS step,
+       |      list_append(s.sel_pos, p.pos) AS sel_pos, p.id,
+       |      ($lam * p.rel) - ($om *
+       |        list_max(list_transform(s.sel_pos, sp -> sm.simlist[sp]))) AS mmr,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY
+       |        ($lam * p.rel) - ($om *
+       |          list_max(list_transform(s.sel_pos, sp -> sm.simlist[sp]))) DESC,
+       |        p.id ASC) AS rn
+       |    FROM sel s JOIN pool p
+       |      ON p.qid = s.qid AND NOT list_contains(s.sel_pos, p.pos)
+       |    JOIN sims sm ON sm.qid = p.qid AND sm.pos_a = p.pos
+       |    WHERE s.step < $k)
+       |  WHERE rn = 1)
+       |SELECT qid, CAST(step AS INTEGER) AS sel_rank, id, mmr FROM sel""".stripMargin
+  }
+
   /** Per-term df column list for the df CTE. */
   private def dfCols(terms: Seq[String]): String =
     terms.zipWithIndex.map { case (t, i) =>

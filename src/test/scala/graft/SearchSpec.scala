@@ -103,4 +103,52 @@ class SearchSpec extends AnyFunSuite {
         a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
     }
   }
+
+  test("mmr matches an independent greedy reimplementation") {
+    val (nq, poolN, k, lam) = (5, 12, 6, 0.7)
+    val got = Search.mmr(emb, nq, poolN, k, lam).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("sel_rank")) ->
+        (r.getAs[Long]("id"), r.getAs[Double]("mmr"))).toMap
+    assert(got.size == nq * k)
+    // reference: collect pool + embeddings, run the greedy independently
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val pool = Ann.bruteTopK(emb, nq, poolN).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"), r.getAs[Double]("score")))
+      .groupBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def f(x: Array[Float], y: Array[Float]) = {
+        var s = 0.0; var j = 0
+        while (j < x.length) { s += x(j).toDouble * y(j).toDouble; j += 1 }; s
+      }
+      f(a, b) / (math.max(math.sqrt(f(a, a)), 1e-12) *
+        math.max(math.sqrt(f(b, b)), 1e-12))
+    }
+    for ((qid, rows) <- pool) {
+      val cand = rows.sortBy(_._2)
+      var selected = List.empty[Long]
+      for (step <- 1 to k) {
+        val scored = cand.filterNot(c => selected.contains(c._2)).map { c =>
+          val maxSim = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(vecs(c._2), vecs(s))).max
+          (c._2, (lam * c._3) - ((1.0 - lam) * maxSim))
+        }
+        val best = scored.maxBy { case (id, s) => (s, -id) }
+        assert(got((qid, step)) == best,
+          s"qid=$qid step=$step: ${got((qid, step))} != $best")
+        selected ::= best._1
+      }
+    }
+  }
+
+  test("mmr first pick is the relevance argmax and ids are distinct") {
+    val r = Search.mmr(emb, 5, 12, 6, 0.7).collect()
+    val top1 = Ann.bruteTopK(emb, 5, 1).collect()
+      .map(x => x.getAs[Long]("qid") -> x.getAs[Long]("id")).toMap
+    r.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Long]("id")).distinct.length == rows.length)
+      val first = rows.find(_.getAs[Int]("sel_rank") == 1).get
+      assert(first.getAs[Long]("id") == top1(qid))
+    }
+  }
 }
