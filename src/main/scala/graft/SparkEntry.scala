@@ -528,6 +528,9 @@ object SparkEntry {
   final val PqM = 8
   final val PqCodes = 16
   final val PqRerank = 30
+  // binary quantization: one 64-bit sign word per vector, Hamming cheap
+  // rank; deeper rerank than SQ8/PQ (1-bit codes are the coarsest rung)
+  final val BqRerank = 60
   // search surface beyond plain top-k (Search.scala)
   final val FilterLangs = Seq("fr", "de") // metadata predicate for filtered ANN
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
@@ -962,6 +965,10 @@ object SparkEntry {
     // candidate-side code picks) + rerank-deep exact rescore
     "q_ann_ivf_pq" -> q((s, dir) => graft.operators.Pq.topk(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // binary quantization: 64-bit sign codes, Hamming cheap rank + exact
+    // rescore — the most aggressive rung of the precision ladder
+    "q_ann_bq" -> q((s, dir) => graft.operators.Bq.topk(
+      emb(s, dir), NQ, K, BqRerank)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
@@ -1200,6 +1207,7 @@ object SparkEntry {
       EmbSq8ScaleLog2, Sq8Rerank),
     "q_ann_ivf_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe,
       PqM, PqCodes, PqRerank),
+    "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),

@@ -31,6 +31,44 @@ object PqOracle {
       s"CAST($alias.embedding[${m * sub + j + 1}] AS DOUBLE)*${cb(m, c, j, sub)}"
     }.mkString("(", " + ", ")")
 
+  /**
+   * Binary-quantization pipeline ([[graft.operators.Bq]]): sign-bit
+   * code words as exact integer CASE sums (bit 63's 1L<<63 term is the
+   * negative two's-complement literal; left-fold partial sums stay in
+   * BIGINT range because bits 0..62 total 2^63 - 1), Hamming cheap rank
+   * via bit_count(xor(...)), rerank cut, exact rescore.
+   */
+  def bqSql(d: Int, nq: Int, k: Int, rerank: Int): String = {
+    require(d <= 64, s"sign-pack code is one 64-bit word, d=$d")
+    val codeExpr = (0 until d).map { j =>
+      s"CASE WHEN e.embedding[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+    s"""WITH codes AS (SELECT e.vec_id AS id, $codeExpr AS code FROM embeddings e),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qc AS (SELECT q.qid, c.code AS qcode FROM q JOIN codes c ON c.id = q.qid),
+       |cheap AS (SELECT qc.qid, c.id,
+       |    bit_count(xor(c.code, qc.qcode)) AS ham
+       |  FROM codes c CROSS JOIN qc),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham ASC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** IVF-PQ pipeline: coarse probe -> ADC cheap rank -> rerank cut ->
     * exact rescore (tail identical to [[IvfOracle.sq8Sql]]). */
   def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,

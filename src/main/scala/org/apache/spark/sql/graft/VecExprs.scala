@@ -42,6 +42,11 @@ object VecExprs {
     if (n1 != n2) throw new IllegalArgumentException(
       s"graft vector fold: length mismatch ($n1 vs $n2)")
 
+  // public: called from generated Java via the static forwarder
+  def checkBits(n: Int): Unit =
+    if (n > 64) throw new IllegalArgumentException(
+      s"graft sign-pack: $n dims exceed one 64-bit word")
+
   abstract class VecFold2 extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(arrF, arrF)
     override def dataType: DataType = DoubleType
@@ -122,6 +127,45 @@ object VecExprs {
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
+  }
+
+  /**
+   * Sign-bit pack: ARRAY<FLOAT> (length <= 64) -> BIGINT with bit i set
+   * iff x_i > 0 — the binary-quantization code word. One fused loop,
+   * no allocation; the DuckDB oracle mirrors it as an exact integer sum
+   * of CASE WHEN embedding[i+1] > 0 THEN 1<<i terms.
+   */
+  case class SignPack(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(arrF)
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      checkBits(n)
+      var acc = 0L; var i = 0
+      while (i < n) { if (a.getFloat(i) > 0f) acc |= 1L << i; i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("vfN"); val acc = ctx.freshName("vfAcc")
+        val i = ctx.freshName("vfI")
+        s"""
+           |int $n = $a.numElements();
+           |org.apache.spark.sql.graft.VecExprs.checkBits($n);
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getFloat($i) > 0f) $acc |= 1L << $i;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   abstract class VecFold3 extends TernaryExpression with ExpectsInputTypes {
@@ -228,6 +272,7 @@ object VecExprs {
   def l2Sq(a: Column, b: Column): Column     = c(L2Sq(x(a), x(b)))
   def absDot(a: Column, b: Column): Column   = c(AbsDot(x(a), x(b)))
   def hoeffSum(a: Column, b: Column): Column = c(HoeffSum(x(a), x(b)))
+  def signPack(a: Column): Column            = c(SignPack(x(a)))
   def hoeffDiffSum(q: Column, r: Column, d: Column): Column =
     c(HoeffDiffSum(x(q), x(r), x(d)))
   def lbSymE(q: Column, r: Column, d: Column): Column =

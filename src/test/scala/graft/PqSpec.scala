@@ -67,6 +67,41 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("signPack packs sign bits exactly (incl. the sign bit at dim 63)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VecExprs
+    val v0 = Array.fill(64)(-1.0f)                       // code 0
+    val v1 = Array.tabulate(64)(j => if (j % 2 == 0) 1.0f else -1.0f)
+    val v2 = Array.tabulate(64)(j => if (j == 63) 1.0f else 0.0f) // only bit 63
+    val vz = Array.fill(64)(0.0f)                        // zeros are NOT positive
+    val df = Seq((0L, v0), (1L, v1), (2L, v2), (3L, vz)).toDF("id", "embedding")
+    val got = df.select(col("id"), VecExprs.signPack(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(0L -> 0L, 1L -> 0x5555555555555555L,
+      2L -> Long.MinValue, 3L -> 0L)
+    assert(got == expect)
+    intercept[Exception] {
+      Seq((0L, Array.fill(65)(1.0f))).toDF("id", "embedding")
+        .select(VecExprs.signPack(col("embedding"))).collect()
+    }
+  }
+
+  test("bq top-k: rescored scores are the exact full-precision scores") {
+    import SparkEntry.BqRerank
+    val r = graft.operators.Bq.topk(emb, NQ, K, BqRerank).collect()
+    assert(r.length == NQ * K)
+    val brute = Ann.bruteTopK(emb, NQ, emb.count().toInt).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id")) ->
+        x.getAs[Double]("score")).toMap
+    r.foreach { row =>
+      val key = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
+      assert(row.getAs[Double]("score") == brute(key))
+    }
+    val b = graft.operators.Bq.topk(emb.repartition(7), NQ, K, BqRerank)
+      .collect().map(_.toSeq).toSet
+    assert(b == r.map(_.toSeq).toSet, "bq not invariant under repartitioning")
+  }
+
   test("ivf-pq is invariant under repartitioning") {
     val a = Pq.topk(emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
       .collect().map(_.toSeq).toSet
