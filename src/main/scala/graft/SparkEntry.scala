@@ -544,6 +544,7 @@ object SparkEntry {
   final val MmrPoolN = 20     // bounded rerank pool per query
   final val MmrLambda = 0.7   // relevance/diversity trade-off
   final val MmrK = 10
+  final val MaxSimGroup = 5   // vectors per multi-vector passage
   final val SessionGapSec = 1800
   final val PricingCutoff = "1998-09-02"
   final val TopNCustomers = 3
@@ -982,6 +983,10 @@ object SparkEntry {
     // bounded per-query pool (parallel across queries)
     "q_ann_mmr" -> q((s, dir) => graft.operators.Search.mmr(
       emb(s, dir), NQ, MmrPoolN, MmrK, MmrLambda)),
+    // late-interaction multi-vector retrieval: sum-of-max-sims scoring
+    // over passages of MaxSimGroup vectors
+    "q_ann_maxsim" -> q((s, dir) => graft.operators.Search.maxSimTopK(
+      emb(s, dir), NQ, K, MaxSimGroup)),
     // BM25 lexical retrieval: one tiny corpus-stats aggregate, then a
     // map-side scoring pass with idf constants baked in as literals
     "q_bm25" -> q((s, dir) => {
@@ -1212,6 +1217,7 @@ object SparkEntry {
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
     "q_ann_mmr"       -> SearchOracle.mmrSql(EmbD, NQ, MmrPoolN, MmrK, MmrLambda),
+    "q_ann_maxsim"    -> SearchOracle.maxSimSql(EmbD, NQ, K, MaxSimGroup),
     // idf constants come from the measured corpus stats when the query
     // has run (Verify's flow); the pure-ln fallback differs from the JVM
     // only in the last ulp on ~0.1% of df values

@@ -181,6 +181,46 @@ object Search {
         col("text_rank"), col("vec_rank"))
   }
 
+  // ---- late-interaction (maxsim) multi-vector retrieval ----------------
+
+  /**
+   * ColBERT-style late interaction: entities are GROUPS of vectors
+   * (here: `groupSize` consecutive vec_ids = one multi-vector passage),
+   * and score(Q, G) = sum over Q's member vectors of the max cosine
+   * against G's members. The first `nq` groups are the queries; returns
+   * (qid, rank, id, score) over candidate groups.
+   *
+   * Scale design: one broadcast of the query groups' vectors against a
+   * streaming corpus scan scores all pairs; the per-query-member max is
+   * an order-independent aggregate (safe under any partitioning), and
+   * the sum over query members is an explicit left fold over a
+   * conditional-aggregation pivot — deterministic doubles, never a
+   * float SUM whose order the shuffle picks. Two hash aggregations,
+   * both with map-side partial aggregation.
+   */
+  def maxSimTopK(emb: DataFrame, nq: Int, k: Int, groupSize: Int): DataFrame = {
+    val qside = broadcast(emb
+      .withColumn("qid", expr(s"vec_id div $groupSize"))
+      .filter(col("qid") < nq)
+      .select(col("qid"), (col("vec_id") % groupSize).cast("int").as("qpos"),
+        col("embedding").as("qvec"), norm2Sq(col("embedding")).as("qn2")))
+    val cside = emb.select(
+      expr(s"vec_id div $groupSize").as("id"),
+      col("embedding"), norm2Sq(col("embedding")).as("n2"))
+    val pair = cside.crossJoin(qside).withColumn("cos", cosScore)
+    // max over the candidate group's members, per query member
+    val mx = pair.groupBy(col("qid"), col("id"), col("qpos"))
+      .agg(max(col("cos")).as("m"))
+    // pivot query members to columns, then an explicit left-fold sum
+    val pivots = (0 until groupSize).map(p =>
+      max(when(col("qpos") === p, col("m"))).as(s"m$p"))
+    val score = (0 until groupSize).map(p => col(s"m$p")).reduceLeft(_ + _)
+    val scored = mx.groupBy(col("qid"), col("id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("score", score)
+    TopK.window(scored, k)
+  }
+
   // ---- MMR diversification --------------------------------------------
 
   /**

@@ -115,6 +115,35 @@ object SearchOracle {
        |SELECT qid, CAST(step AS INTEGER) AS sel_rank, id, mmr FROM sel""".stripMargin
   }
 
+  /** Late-interaction maxsim over multi-vector groups of `gs`
+    * consecutive vec_ids: per-query-member max, conditional-aggregation
+    * pivot, explicit left-fold sum — all order-independent or
+    * explicitly associated, mirroring Search.maxSimTopK. */
+  def maxSimSql(d: Int, nq: Int, k: Int, gs: Int): String = {
+    val pivCols = (0 until gs)
+      .map(p => s"MAX(CASE WHEN qpos = $p THEN m END) AS m$p").mkString(", ")
+    val score = (0 until gs).map(p => s"m$p").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH ${EmbOracle.nrmCte(d)},
+       |qs AS (SELECT vec_id // $gs AS qid, CAST(vec_id % $gs AS INTEGER) AS qpos,
+       |    embedding AS qvec, vec_id AS qvid
+       |  FROM embeddings WHERE vec_id // $gs < $nq),
+       |cs AS (SELECT vec_id // $gs AS id, embedding, vec_id AS cvid FROM embeddings),
+       |pair AS (SELECT q.qid, c.id, q.qpos,
+       |    ${EmbOracle.dotE("c.embedding", "q.qvec", d)} /
+       |      (${fn("nc.n2")} * ${fn("nq2.n2")}) AS cos
+       |  FROM cs c CROSS JOIN qs q
+       |  JOIN nrm nc ON c.cvid = nc.vec_id
+       |  JOIN nrm nq2 ON q.qvid = nq2.vec_id),
+       |mx AS (SELECT qid, id, qpos, MAX(cos) AS m FROM pair GROUP BY qid, id, qpos),
+       |piv AS (SELECT qid, id, $pivCols FROM mx GROUP BY qid, id),
+       |scored AS (SELECT qid, id, $score AS score FROM piv),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** Per-term df column list for the df CTE. */
   private def dfCols(terms: Seq[String]): String =
     terms.zipWithIndex.map { case (t, i) =>

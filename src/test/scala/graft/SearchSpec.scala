@@ -141,6 +141,41 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("maxsim matches an independent reimplementation and self-ranks first") {
+    val (nq, k, gs) = (4, 5, 5)
+    val got = Search.maxSimTopK(emb, nq, k, gs).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("id"), r.getAs[Double]("score"))).toMap
+    assert(got.size == nq * k)
+    // independent: collect vectors, group, score sum-of-max in plain Scala
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def f(x: Array[Float], y: Array[Float]) = {
+        var s = 0.0; var j = 0
+        while (j < x.length) { s += x(j).toDouble * y(j).toDouble; j += 1 }; s
+      }
+      f(a, b) / (math.max(math.sqrt(f(a, a)), 1e-12) *
+        math.max(math.sqrt(f(b, b)), 1e-12))
+    }
+    val groups = vecs.keys.groupBy(_ / gs)
+      .map { case (g, ids) => g -> ids.toSeq.sorted.map(vecs) }
+    for (qid <- 0L until nq) {
+      val ranked = groups.toSeq.map { case (id, dv) =>
+        // sum over query members IN POSITION ORDER of max over dv
+        val s = groups(qid).map(qv => dv.map(c => cos(c, qv)).max)
+          .reduceLeft(_ + _)
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+      ranked.zipWithIndex.foreach { case ((id, s), i) =>
+        assert(got((qid, i + 1)) == ((id, s)),
+          s"qid=$qid rank=${i + 1}: ${got((qid, i + 1))} != ${(id, s)}")
+      }
+      // the query group itself scores gs perfect matches -> rank 1
+      assert(got((qid, 1))._1 == qid, s"qid=$qid should self-rank first")
+    }
+  }
+
   test("mmr first pick is the relevance argmax and ids are distinct") {
     val r = Search.mmr(emb, 5, 12, 6, 0.7).collect()
     val top1 = Ann.bruteTopK(emb, 5, 1).collect()
