@@ -139,12 +139,18 @@ object Search {
     val st = bm25Stats(docs, terms)
     val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
     val score = terms.map(termScore(_, st, k1, b)).reduceLeft(_ + _)
+    // global top-N as orderBy+limit -> TakeOrderedAndProject (bounded
+    // per-partition top-N, merged), NOT a corpus-wide row_number window
+    // (InferWindowGroupLimit does not fire on an empty partition spec, so
+    // that shape would sort the whole corpus in one task); ranks are then
+    // assigned by a window over only the <= topN survivors
+    val top = tk.withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id").asc)
-    val ranked = tk.withColumn("score", score)
-      .select(col("doc_id"), col("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
+    val ranked = top.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("rank"), col("score"))
     (ranked, st)
   }

@@ -36,6 +36,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("dotd("), s"codegen dot not in plan:\n$plan")
   }
 
+  test("filtered search: the metadata predicate sits below the scoring join") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Search.filteredTopK(
+      Tables.embeddings(spark, dir), Tables.documents(spark, dir),
+      SparkEntry.NQ, SparkEntry.K, SparkEntry.FilterLangs)
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang IN (...) predicate must be PUSHED INTO the parquet scan
+    // (pre-filter strategy), not applied after the cross join scored
+    // everything — and therefore sit below the scoring join in the tree
+    val scoreJoinIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    val pushedIdx = plan.indexOf("In(lang")
+    assert(pushedIdx >= 0, s"lang predicate not pushed to the scan:\n${plan.take(3000)}")
+    assert(scoreJoinIdx >= 0 && pushedIdx > scoreJoinIdx,
+      "lang pushdown not below the scoring join (tree prints top-down, " +
+        s"so below = larger index):\n${plan.take(3000)}")
+  }
+
+  test("bm25 top-N is TakeOrderedAndProject, never a corpus-wide window sort") {
+    val (ranked, _) = graft.operators.Search.bm25(
+      Tables.documents(spark, dir), SparkEntry.Bm25Terms,
+      SparkEntry.Bm25K1, SparkEntry.Bm25B, SparkEntry.Bm25TopN)
+    val plan = ranked.queryExecution.executedPlan.toString
+    // bounded per-partition top-N + merge; the rank window runs over
+    // only the <= topN survivors
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"no TakeOrderedAndProject:\n$plan")
+  }
+
+  test("maxsim aggregates carry map-side partials") {
+    val df = graft.operators.Search.maxSimTopK(
+      Tables.embeddings(spark, dir), 4, 5, SparkEntry.MaxSimGroup)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("Partial"),
+      s"no partial aggregation before the shuffle:\n${plan.take(3000)}")
+  }
+
   test("custom physical operator plans and matches the Dataset kernel") {
     import org.apache.spark.sql.graft.KernelPlan
     import graft.operators.{Refine, RefineKernel}
