@@ -976,6 +976,12 @@ object SparkEntry {
     // equi-join, bucketable to exchange-free at rest
     "q_ann_filtered" -> q((s, dir) => graft.operators.Search.filteredTopK(
       emb(s, dir), docs(s, dir), NQ, K, FilterLangs)),
+    // the same predicate against the AT-REST index: metadata lives in
+    // the layout, so one scan gets cell partition-pruning AND the lang
+    // predicate pushed (PlanSpec asserts both on the same scan)
+    "q_ann_filtered_at_rest" -> q((s, dir) =>
+      graft.operators.Search.filteredTopKIndexed(s, dir, emb(s, dir),
+        NQ, K, IvfCells, EmbD, IvfProbe, FilterLangs)),
     // range (radius) search: every candidate with cosine >= tau
     "q_ann_range" -> q((s, dir) =>
       graft.operators.Search.rangeSearch(emb(s, dir), NQ, RangeTau)),
@@ -1215,6 +1221,11 @@ object SparkEntry {
     "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
+    // filtered + probe-pruned: the at-rest twin restricts candidates to
+    // the probed cells, so its oracle is the IVF probe pipeline with the
+    // metadata predicate folded into candidate generation
+    "q_ann_filtered_at_rest" ->
+      IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe, FilterLangs),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
     "q_ann_mmr"       -> SearchOracle.mmrSql(EmbD, NQ, MmrPoolN, MmrK, MmrLambda),
     "q_ann_maxsim"    -> SearchOracle.maxSimSql(EmbD, NQ, K, MaxSimGroup),

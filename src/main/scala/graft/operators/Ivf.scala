@@ -74,14 +74,19 @@ object Ivf {
       (graft.functions.VectorOps.fnorm(col("n2")) *
         graft.functions.VectorOps.fnorm(col("qn2")))
 
-  /** Bump when the index layout or the assignment expression changes. */
-  private val IndexVersion = 1
+  /** Bump when the index layout or the assignment expression changes.
+    * v2: row metadata (lang, via vec_id = doc_id) stored WITH the
+    * vectors so filtered search pushes its predicate into the scan. */
+  private val IndexVersion = 2
 
   /**
-   * Materialize the inverted file AT REST: (id, embedding, n2) written
-   * once, `partitionBy("cell")` — the write-time layout that turns
-   * probe-cell selection into Parquet partition pruning. Cached per
-   * tmpdir with the same staleness discipline as the other fixtures.
+   * Materialize the inverted file AT REST: (id, embedding, n2, lang)
+   * written once, `partitionBy("cell")` — the write-time layout that
+   * turns probe-cell selection into Parquet partition pruning, with row
+   * metadata (lang, joined from documents on vec_id = doc_id) stored
+   * beside the vectors so filtered search pushes its predicate into the
+   * same scan. Cached per tmpdir with the same staleness discipline as
+   * the other fixtures.
    */
   def ensureIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                   nCells: Int, d: Int): String = {
@@ -91,13 +96,16 @@ object Ivf {
     // are immutable — fresh == exists — and racing processes each build a
     // private scratch dir and atomically rename, so an interleaved
     // in-place overwrite can never publish a mixed layout under _SUCCESS
-    val ver = maxMtime(s"$sfDir/embeddings.parquet")
+    val ver = math.max(maxMtime(s"$sfDir/embeddings.parquet"),
+      maxMtime(s"$sfDir/documents.parquet"))
     val path = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_ivf_v${IndexVersion}_${safe}_c${nCells}_d${d}_v$ver")
     if (!Files.exists(path.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(path.getParent, "ivf-")
       assign(graft.Tables.embeddings(spark, sfDir), nCells, d)
         .withColumn("n2", graft.functions.VectorOps.norm2Sq(col("embedding")))
+        .join(graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), col("lang")), Seq("id"), "left")
         .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
       try Files.move(tmp, path)
       catch { case _: java.nio.file.FileSystemException =>

@@ -78,6 +78,39 @@ object Search {
       .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
   }
 
+  /**
+   * Filtered search against the AT-REST IVF index: the layout stores
+   * row metadata (lang) beside the vectors ([[Ivf.ensureIndex]] v2), so
+   * ONE scan serves both prunings — probe cells as a Parquet partition
+   * filter and the metadata predicate as a pushed row-group filter
+   * (PlanSpec asserts both on the same scan). This is the 100 TB shape
+   * of [[filteredTopK]]: no metadata join at query time at all.
+   */
+  def filteredTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String, emb: DataFrame, nq: Int, k: Int,
+                          nCells: Int, d: Int, nprobe: Int,
+                          langs: Seq[String]): DataFrame = {
+    val path = Ivf.ensureIndex(spark, sfDir, nCells, d)
+    val stored = spark.read.parquet(path) // (id, embedding, n2, lang, cell)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .filter(col("lang").isin(langs: _*))
+      .join(probes, Seq("cell"))
+      .withColumn("score", cosScore)
+    // rank in place (keeping lang): WindowGroupLimit still applies
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    scored.select(col("qid"), col("id"), col("lang"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
+  }
+
   // ---- range (radius) search ------------------------------------------
 
   /** All (qid, id, score) with cosine >= tau — the radius twin of top-k.

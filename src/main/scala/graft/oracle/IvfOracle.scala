@@ -90,7 +90,18 @@ object IvfOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
-  def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int): String = {
+  /** `langs` nonempty = the filtered-index variant: candidates restricted
+    * to the metadata predicate (joined on vec_id = doc_id, exactly the
+    * rows the at-rest layout stores beside the vectors), lang in the
+    * output. Empty = the plain probe scan. */
+  def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+              langs: Seq[String] = Nil): String = {
+    val candFilter =
+      if (langs.isEmpty) ""
+      else s"\n  JOIN documents dm ON a.vec_id = dm.doc_id" +
+        s" AND dm.lang IN (${langs.map(l => s"'$l'").mkString(", ")})"
+    val candSel = if (langs.isEmpty) "" else ", dm.lang"
+    val langSel = if (langs.isEmpty) "" else ", lang"
     val distCols = (0 until nCells)
       .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
     val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
@@ -111,8 +122,9 @@ object IvfOracle {
        |    SELECT qid, cell,
        |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
        |    FROM qp0) WHERE pr <= $nprobe),
-       |cand AS (SELECT qp.qid, a.vec_id AS id FROM qp JOIN asg a ON a.cell = qp.cell),
-       |scored AS (SELECT c.qid, c.id,
+       |cand AS (SELECT qp.qid, a.vec_id AS id$candSel
+       |  FROM qp JOIN asg a ON a.cell = qp.cell$candFilter),
+       |scored AS (SELECT c.qid, c.id$langSel,
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
        |  FROM cand c
@@ -120,10 +132,10 @@ object IvfOracle {
        |  JOIN embeddings qe ON qe.vec_id = c.qid
        |  JOIN nrm ne ON ne.vec_id = c.id
        |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
-       |ranked AS (SELECT qid, id, score,
+       |ranked AS (SELECT qid, id$langSel, score,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
        |  FROM scored)
-       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score$langSel
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 }

@@ -53,6 +53,22 @@ class PlanSpec extends AnyFunSuite {
         s"so below = larger index):\n${plan.take(3000)}")
   }
 
+  test("filtered at-rest scan carries BOTH the cell partition filter and the lang pushed filter") {
+    val df = graft.operators.Search.filteredTopKIndexed(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.FilterLangs)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanIdx = plan.indexOf("FileScan parquet")
+    assert(scanIdx >= 0, s"no parquet scan:\n${plan.take(2000)}")
+    val scanLine = plan.substring(scanIdx,
+      math.min(plan.length, plan.indexOf('\n', scanIdx) max (scanIdx + 400)))
+    assert(scanLine.contains("PartitionFilters: [cell"),
+      s"no cell partition filter on the index scan:\n$scanLine")
+    assert(scanLine.contains("In(lang"),
+      s"lang predicate not pushed into the index scan:\n$scanLine")
+  }
+
   test("bm25 top-N is TakeOrderedAndProject, never a corpus-wide window sort") {
     val (ranked, _) = graft.operators.Search.bm25(
       Tables.documents(spark, dir), SparkEntry.Bm25Terms,
