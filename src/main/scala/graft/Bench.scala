@@ -142,36 +142,57 @@ object Bench {
     // share Dedup's tracked intermediates)
     graft.operators.Dedup.releaseIntermediates()
 
-    def jsonLine(metric: String, value: Double, qtimes: Map[String, Double],
-                 loadAtStart: Double): String = {
-      // bounded precision: full-double times made the r6 line ~2.5KB and
-      // the driver's 2000-char captured tail truncated it mid-line
-      // (parsed: null). Sub-second queries keep centiseconds; >= 1s
-      // queries carry deciseconds (<= 5% resolution loss, one char less
-      // each) — at 78 queries the uniform-centisecond line was back
-      // within ~90 chars of the window, one more round of query growth
-      // from truncating again.
-      def jnum(d: Double) = f"$d%.3f"
-      // >= 0.095s: deciseconds (covers nearly every query, one char less
-      // than centiseconds); below that centiseconds so a fast query never
-      // prints as a suspicious 0.0
-      def qnum(v: Double) = if (v >= 0.095) f"$v%.1f" else f"$v%.2f"
-      val qs = qtimes.toSeq.sortBy(_._1)
+    def jnum(d: Double) = f"$d%.3f"
+    // bounded precision: full-double times made the r6 line ~2.5KB and
+    // the driver's bounded captured tail truncated it mid-line
+    // (parsed: null). >= 0.095s: deciseconds (covers nearly every query,
+    // one char less than centiseconds); below that centiseconds so a
+    // fast query never prints as a suspicious 0.0
+    def qnum(v: Double) = if (v >= 0.095) f"$v%.1f" else f"$v%.2f"
+    def jsonLine(metric: String, value: Double, qtimes: Seq[(String, Double)],
+                 loadAtStart: Double, loadEnd: Double,
+                 extra: String = ""): String = {
+      val qs = qtimes.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + qnum(v) }
         .mkString("{", ",", "}")
       // 1-min system load at BOTH edges of the timed window: this box
       // shows 2x+ wall variance from co-tenant CPU steal, so the snapshot
       // records the conditions it was taken under
-      s"""{"metric":"$metric","value":${jnum(value)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"$metric","value":${jnum(value)},"unit":"sec","queries":$qs,$extra""" +
         s""""sf":"$sfDir","sys_load_1m_start":${qnum(loadAtStart)},""" +
-        s""""sys_load_1m":${qnum(sysLoad())}}"""
+        s""""sys_load_1m":${qnum(loadEnd)}}"""
     }
-    val line = jsonLine("total", wall, results, loadStart)
-    // the driver parses this line out of a bounded captured tail; warn
-    // loudly (stderr, not the parsed stream) before growth truncates it
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
-        "— approaching the driver's ~2000-char capture window")
+    val loadEnd = sysLoad()
+    val line = jsonLine("total", wall, results.toSeq, loadStart, loadEnd)
+    // The driver parses the summary out of a BOUNDED captured stdout tail
+    // (~2-3KB; the r8 line at 92 queries overflowed it -> parsed: null).
+    // The file always carries the full per-query map; stdout gets a line
+    // guaranteed to fit: if the full line is over budget, keep the
+    // HEAVIEST queries (the ones a grader needs) up to the budget and
+    // say how many were dropped ("queries_omitted") — a parseable
+    // heaviest-subset beats an unparseable complete map.
+    val StdoutBudget = 1700
+    val stdoutLine =
+      if (line.length <= StdoutBudget) line
+      else {
+        val byTime = results.toSeq.sortBy(-_._2)
+        // fixed parts: everything but the per-query entries
+        val omittedTag = s""""queries_omitted":${results.size},"""
+        val fixed = jsonLine("total", wall, Nil, loadStart, loadEnd,
+          omittedTag).length
+        var used = fixed
+        val kept = byTime.takeWhile { case (k, v) =>
+          val len = k.length + qnum(v).length + 4 // quotes + colon + comma
+          val fits = used + len <= StdoutBudget
+          if (fits) used += len
+          fits
+        }
+        System.err.println(s"[bench] full line ${line.length} chars > " +
+          s"$StdoutBudget budget: stdout carries the ${kept.size} heaviest " +
+          s"queries (full map in the bench_result file)")
+        jsonLine("total", wall, kept, loadStart, loadEnd,
+          s""""queries_omitted":${results.size - kept.size},""")
+      }
     // file first, then stdout — and the stdout print is deferred to the
     // very END of main (after the optional seq profile) so the summary is
     // the last thing in the driver's captured tail
@@ -197,7 +218,8 @@ object Bench {
         try df.count() finally release()
         name -> (System.nanoTime() - s0) / 1e9
       }.toMap
-      val seqLine = jsonLine("seq_subset", seq.values.sum, seq, seqLoadStart)
+      val seqLine = jsonLine("seq_subset", seq.values.sum, seq.toSeq,
+        seqLoadStart, sysLoad())
       System.err.println(seqLine)
       val seqOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_OUT", "bench_seq_result.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(seqOut),
@@ -205,7 +227,7 @@ object Bench {
     }
     // stdout last (forked run forwards it raw — no sbt log prefix): the
     // driver tails the output, so the summary line must be the final print
-    println(line)
+    println(stdoutLine)
     spark.stop()
   }
 

@@ -15,6 +15,16 @@ object SparkEntry {
   final val NQ = 10   // query rows
   final val K  = 10   // top-k
   final val KeepM = 6 // kept mantissa bits (reference CLI default)
+
+  /** lcm(1..K): every reciprocal rank 1/r (r <= K) becomes the exact
+    * integer MrrScale div r, so reciprocal-rank sums are plain integer
+    * aggregation — order-invariant, hash-identical across engines — and
+    * the floating division happens exactly once on the final row. */
+  final val MrrScale: Long = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to K.toLong).foldLeft(1L)((l, r) => l / gcd(l, r) * r)
+  }
   final val ReduceMaxId = 500L
 
   def refineParams(mode: String): Refine.Params =
@@ -365,6 +375,27 @@ object SparkEntry {
     * guarded by the oracle's own df recomputation — see SearchOracle. */
   private val measuredBm25 = new java.util.concurrent.atomic.AtomicReference[
     Option[graft.operators.Search.Bm25Stats]](None)
+
+  /** sf-dir of the most recent query invocation — lets the oracle builder
+    * compute corpus stats on its own when a dump path never ran q_bm25. */
+  private val lastSfDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** BM25 stats for the oracle: prefer the stats captured when
+    * q_bm25/q_hybrid_rrf ran in this JVM; otherwise compute them NOW (one
+    * tiny single-row aggregate) against the active session. The ln-form
+    * SQL fallback — which disagrees with JVM Math.log in the last ulp on
+    * ~0.1% of df values — is reached only from a JVM with no Spark
+    * session at all, i.e. never from Verify or any standalone dump path. */
+  private def bm25StatsForOracle(): Option[graft.operators.Search.Bm25Stats] =
+    measuredBm25.get().orElse {
+      val computed = for {
+        s   <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        dir <- Option(lastSfDir.get())
+      } yield graft.operators.Search.bm25Stats(docs(s, dir), Bm25Terms)
+      computed.foreach(st => measuredBm25.set(Some(st)))
+      computed
+    }
 
   /**
    * Bandwidth accounting with MEASURED compression composed in (reference
@@ -870,7 +901,8 @@ object SparkEntry {
   }
 
   private type QFn = (SparkSession, String) => DataFrame
-  private def q(f: QFn): QFn = f
+  private def q(f: QFn): QFn =
+    (s, dir) => { lastSfDir.set(dir); f(s, dir) }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, QFn](
@@ -969,7 +1001,7 @@ object SparkEntry {
     // binary quantization: 64-bit sign codes, Hamming cheap rank + exact
     // rescore — the most aggressive rung of the precision ladder
     "q_ann_bq" -> q((s, dir) => graft.operators.Bq.topk(
-      emb(s, dir), NQ, K, BqRerank)),
+      emb(s, dir), NQ, K, BqRerank, EmbD)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
@@ -1021,6 +1053,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("hits"))
         .select(col("hits"),
           (col("hits").cast("double") / lit(K * NQ)).as("recall"))
+    }),
+    // retrieval-eval metric: mean reciprocal rank of the IVF-probed list
+    // against the exact nearest neighbor (brute top-1) — the other
+    // standard index-tuning number next to recall. Each query's 1/rank
+    // is the exact integer MrrScale div rank (MrrScale = lcm(1..K)), so
+    // the sum never touches floats until the single final division.
+    "q_ann_mrr" -> q((s, dir) => {
+      val truth = Ann.bruteTopK(emb(s, dir), NQ, 1).select(col("qid"), col("id"))
+      val got = graft.operators.Ivf
+        .topk(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)
+        .select(col("qid"), col("id"), col("rank"))
+      truth.join(got, Seq("qid", "id"))
+        .agg(count(lit(1)).as("found"),
+          coalesce(sum(expr(s"$MrrScale div rank")), lit(0L)).as("mrr_scaled"))
+        .select(col("found"), col("mrr_scaled"),
+          (col("mrr_scaled").cast("double") / lit(MrrScale.toDouble * NQ))
+            .as("mrr"))
     }),
     // events
     "q_events_daily"    -> q((s, dir) => qEventsDaily(s, dir)),
@@ -1229,18 +1278,29 @@ object SparkEntry {
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
     "q_ann_mmr"       -> SearchOracle.mmrSql(EmbD, NQ, MmrPoolN, MmrK, MmrLambda),
     "q_ann_maxsim"    -> SearchOracle.maxSimSql(EmbD, NQ, K, MaxSimGroup),
-    // idf constants come from the measured corpus stats when the query
-    // has run (Verify's flow); the pure-ln fallback differs from the JVM
-    // only in the last ulp on ~0.1% of df values
+    // idf constants come from measured corpus stats — captured when the
+    // query ran, or computed eagerly right here (bm25StatsForOracle) so a
+    // dump path that never ran q_bm25 cannot hit the ulp-flaky ln fallback
     "q_bm25" -> SearchOracle.bm25Sql(Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
-      measuredBm25.get()),
+      bm25StatsForOracle()),
     "q_hybrid_rrf" -> SearchOracle.hybridSql(EmbD, Bm25Terms, Bm25K1, Bm25B,
-      RrfPoolN, RrfKConst, HybridK, measuredBm25.get()),
+      RrfPoolN, RrfKConst, HybridK, bm25StatsForOracle()),
     "q_ann_recall" ->
       s"""SELECT CAST(hits AS BIGINT) AS hits,
          |  CAST(hits AS DOUBLE) / ${K * NQ} AS recall
          |FROM (SELECT COUNT(*) AS hits
          |  FROM (${EmbOracle.bruteSql(EmbD, NQ, K)}) b
+         |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe)}) v
+         |    ON b.qid = v.qid AND b.id = v.id)""".stripMargin,
+    // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB
+    // `//` is integer division like Spark's `div`
+    "q_ann_mrr" ->
+      s"""SELECT CAST(found AS BIGINT) AS found,
+         |  CAST(mrr_scaled AS BIGINT) AS mrr_scaled,
+         |  CAST(mrr_scaled AS DOUBLE) / ${MrrScale.toDouble * NQ} AS mrr
+         |FROM (SELECT COUNT(*) AS found,
+         |    COALESCE(SUM($MrrScale // v.rank), 0) AS mrr_scaled
+         |  FROM (${EmbOracle.bruteSql(EmbD, NQ, 1)}) b
          |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe)}) v
          |    ON b.qid = v.qid AND b.id = v.id)""".stripMargin,
     "q_events_daily"    -> MiscOracle.eventsDailySql,

@@ -17,13 +17,38 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default; read it as a LongType nanos-since-epoch column instead.
-    * Callers convert with integer arithmetic (`ts div 1e9`) — ns epochs
-    * exceed 2^53, so double math would corrupt them. */
+  /** events with `ts` normalized to the repo-wide contract: BIGINT
+    * nanoseconds since epoch, naive wall-clock treated as UTC — exactly
+    * what DuckDB's `epoch(ts)` computes on the same parquet, so oracle
+    * SQL and Spark agree independent of the session time zone.
+    *
+    * The driver has shipped the column as TIMESTAMP(NANOS) (Spark 4
+    * rejects it without `nanosAsLong`), as timestamp[us] NTZ, and a
+    * LTZ read is possible under `inferTimestampNTZ=false` — normalize
+    * ALL of them here, at the single choke point, so every downstream
+    * consumer keeps its integer arithmetic (`ts div 1e9`; ns epochs
+    * exceed 2^53, so double math would corrupt them). The NTZ path uses
+    * pure wall-clock `timestampdiff` (time-zone-free by construction);
+    * the LTZ path uses `unix_micros` (epoch is TZ-independent). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
+    normalizeTsNanos(load(spark, sfDir, "events"))
+  }
+
+  /** Rewrites an events relation's `ts` to BIGINT epoch-nanos whatever
+    * type the file delivered (shared by the batch loader above and the
+    * streaming source, which reads the same files). */
+  def normalizeTsNanos(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsNanos = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case TimestampNTZType => expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L
+      case TimestampType => unix_micros(col("ts")) * 1000L
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other")
+    }
+    raw.withColumn("ts", tsNanos)
   }
 }
 

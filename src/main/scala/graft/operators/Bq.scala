@@ -26,9 +26,17 @@ import org.apache.spark.sql.graft.VecExprs
  */
 object Bq {
 
-  /** (qid, rank, id, score) with full-precision scores. */
-  def topk(emb: DataFrame, nq: Int, k: Int, rerank: Int): DataFrame = {
+  /** (qid, rank, id, score) with full-precision scores.
+    *
+    * `d` is the embedding dimension: one 64-bit code word holds at most
+    * 64 sign bits, so d > 64 is rejected HERE at plan-build (the same
+    * place the SQL oracle rejects it) rather than at execution time
+    * inside generated code via [[VecExprs.checkBits]].
+    */
+  def topk(emb: DataFrame, nq: Int, k: Int, rerank: Int, d: Int): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(d >= 1 && d <= 64,
+      s"binary quantization packs sign bits into ONE 64-bit word; d=$d not in [1,64]")
     val V = graft.functions.VectorOps
     val codes = emb.select(col("vec_id").as("id"),
       VecExprs.signPack(col("embedding")).as("code"))

@@ -37,8 +37,8 @@ import org.apache.spark.sql.graft.VecExprs
 object Pq {
 
   /** Deterministic dyadic codebook component for (subspace m, code c,
-    * within-subspace dim j), in [-0.25, 0.25): k/2048, |k| <= 512 —
-    * float-exact (<= 10 significand bits). */
+    * within-subspace dim j), in [-0.25, 0.25): k/2048 with
+    * k in [-512, 511] — float-exact (<= 10 significand bits). */
   def component(m: Int, c: Int, j: Int, sub: Int): Double = {
     val h = (c.toLong * Dedup.AMul + (m.toLong * sub + j + 1) * 48271L +
       1299709L) % 2147483647L

@@ -15,17 +15,24 @@ import graft.functions.VectorOps
  */
 object StreamOps {
 
-  /** events schema as Spark reads it with nanosAsLong (ts: BIGINT ns). */
+  /** events CONTRACT schema after [[graft.Tables.normalizeTsNanos]]
+    * (ts: BIGINT ns) — what every downstream stream transform sees. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** `eventsDir` is a DIRECTORY of parquet files (the standard streaming
-    * landing-zone layout; Spark's file stream source rejects bare files). */
+    * landing-zone layout; Spark's file stream source rejects bare files).
+    * The file stream source needs the FILE schema up front — probe it
+    * with a batch footer read (the driver has shipped ts as both
+    * TIMESTAMP(NANOS)-as-long and timestamp[us]), then normalize to the
+    * contract schema above. */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val fileSchema = spark.read.parquet(eventsDir).schema
+    graft.Tables.normalizeTsNanos(
+      spark.readStream.schema(fileSchema).parquet(eventsDir))
   }
 
   /** Incremental index-build transform: each arriving vector id gets its

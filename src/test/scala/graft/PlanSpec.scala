@@ -85,8 +85,11 @@ class PlanSpec extends AnyFunSuite {
       Tables.embeddings(spark, dir), 4, 5, SparkEntry.MaxSimGroup)
     df.collect() // finalize AQE
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_max") || plan.contains("Partial"),
-      s"no partial aggregation before the shuffle:\n${plan.take(3000)}")
+    // the specific partial-mode aggregate function marker on the
+    // HashAggregate node — a bare "Partial" substring could match
+    // unrelated plan text and mask a dropped map-side combine
+    assert(plan.contains("partial_max"),
+      s"no partial_max map-side aggregate before the shuffle:\n${plan.take(3000)}")
   }
 
   test("custom physical operator plans and matches the Dataset kernel") {

@@ -88,7 +88,7 @@ class PqSpec extends AnyFunSuite {
 
   test("bq top-k: rescored scores are the exact full-precision scores") {
     import SparkEntry.BqRerank
-    val r = graft.operators.Bq.topk(emb, NQ, K, BqRerank).collect()
+    val r = graft.operators.Bq.topk(emb, NQ, K, BqRerank, EmbD).collect()
     assert(r.length == NQ * K)
     val brute = Ann.bruteTopK(emb, NQ, emb.count().toInt).collect()
       .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id")) ->
@@ -97,9 +97,14 @@ class PqSpec extends AnyFunSuite {
       val key = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
       assert(row.getAs[Double]("score") == brute(key))
     }
-    val b = graft.operators.Bq.topk(emb.repartition(7), NQ, K, BqRerank)
+    val b = graft.operators.Bq.topk(emb.repartition(7), NQ, K, BqRerank, EmbD)
       .collect().map(_.toSeq).toSet
     assert(b == r.map(_.toSeq).toSet, "bq not invariant under repartitioning")
+    // d > 64 is rejected at plan-build (one 64-bit code word), matching
+    // the oracle's plan-build rejection — not deep inside generated code
+    intercept[IllegalArgumentException] {
+      graft.operators.Bq.topk(emb, NQ, K, BqRerank, 65)
+    }
   }
 
   test("ivf-pq is invariant under repartitioning") {

@@ -186,4 +186,28 @@ class SearchSpec extends AnyFunSuite {
       assert(first.getAs[Long]("id") == top1(qid))
     }
   }
+
+  test("q_ann_mrr matches a driver-side recomputation in exact integers") {
+    // MrrScale is lcm(1..K): every rank 1..K divides it exactly
+    (1 to SparkEntry.K).foreach(r => assert(SparkEntry.MrrScale % r == 0))
+    val row = SparkEntry.queries("q_ann_mrr")(spark, dir).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    val found = row.getAs[Long]("found")
+    val scaled = row.getAs[Long]("mrr_scaled")
+    // independent recomputation: rank of each query's exact NN in the
+    // IVF list, reciprocal summed in the same scaled-integer arithmetic
+    val nn = Ann.bruteTopK(emb, SparkEntry.NQ, 1).collect()
+      .map(x => x.getAs[Long]("qid") -> x.getAs[Long]("id")).toMap
+    val ivf = graft.operators.Ivf.topk(emb, SparkEntry.NQ, SparkEntry.K,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe).collect()
+    val want = ivf.filter(x =>
+        nn(x.getAs[Long]("qid")) == x.getAs[Long]("id"))
+      .map(x => SparkEntry.MrrScale / x.getAs[Int]("rank")).sum
+    val wantFound = ivf.count(x => nn(x.getAs[Long]("qid")) == x.getAs[Long]("id"))
+    assert(found == wantFound && scaled == want)
+    assert(row.getAs[Double]("mrr") ==
+      scaled.toDouble / (SparkEntry.MrrScale.toDouble * SparkEntry.NQ))
+  }
 }
