@@ -808,4 +808,29 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("events loader upholds the ts contract at every sf dir") {
+    // the driver has regenerated testdata with a DIFFERENT ts physical
+    // type mid-build (TIMESTAMP(NANOS) -> timestamp[us]); this contract
+    // test makes the next drift fail loudly here instead of deep inside
+    // an events query. Contract: ts is BIGINT epoch-nanos, naive
+    // wall-clock read as UTC, batch and streaming sources agreeing.
+    import org.apache.spark.sql.types.LongType
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = Tables.events(spark, s"/root/testdata/$sf")
+      assert(e.schema("ts").dataType == LongType, s"$sf ts type")
+      val Array(lo, hi) = e.agg(min("ts"), max("ts")).collect()
+        .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+      // generator epoch starts 2024-01-01; sanity-bound to [2020, 2040)
+      assert(lo >= 1577836800L * 1000000000L && hi < 2208988800L * 1000000000L,
+        s"$sf ts range [$lo, $hi] outside nanos sanity window")
+    }
+    // streaming source must deliver the same normalized rows
+    val landing = StreamOps.ensureLanding("/root/testdata/sf0.001")
+    val stream = StreamOps.readEventsStream(spark, landing)
+    assert(stream.schema("ts").dataType == LongType)
+    // name/type agreement with the contract schema (metadata-insensitive)
+    assert(stream.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      StreamOps.eventsSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
 }
