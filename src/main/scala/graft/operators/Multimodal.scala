@@ -277,6 +277,162 @@ object Multimodal {
       .toDF("doc_id", "frame", "psum", "n")
   }
 
+  // ---- inter-frame (temporal-predictive) video codec --------------------
+  //
+  // The intra path above stores every frame as an independent PNG. Real
+  // video codecs exploit TEMPORAL redundancy: predict each frame from the
+  // previous reconstruction and entropy-code only the residual. The JDK
+  // ships no H.264-class codec, but the predictive STRUCTURE is fully
+  // buildable with JDK parts: key frame as a real PNG, then per-pixel
+  // mod-256 residuals against the previously RECONSTRUCTED frame,
+  // Deflate-entropy-coded. Decode carries the sequential frame dependency
+  // every temporal codec imposes (a P-frame is meaningless without its
+  // predecessor), and the round-trip is lossless.
+
+  /** Temporally-correlated pixel stream: a static base image with one
+    * inverted column sweeping across the frame (the classic test-pattern
+    * sprite) — consecutive frames differ in at most 2 of [[FrameW]]
+    * columns, so P-frame residuals are sparse and genuinely compress. */
+  def interPixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val b = framePixel(id, 0, x, y)
+    if (x == f % FrameW) (b + 128) % 256 else b
+  }
+
+  private def interFramePixels(id: Long, f: Int): Array[Byte] = {
+    val px = new Array[Byte](FrameW * FrameH)
+    var y = 0
+    while (y < FrameH) {
+      var x = 0
+      while (x < FrameW) {
+        px(y * FrameW + x) = interPixel(id, f, x, y).toByte; x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** (doc_id) -> (doc_id, video BINARY): [int32-BE len][byte type]
+    * [payload] per frame, where type 'K' payload is a PNG key frame and
+    * type 'P' payload is the Deflate-coded mod-256 residual against the
+    * previous reconstructed frame. */
+  def renderVideoBlobsInter(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          var prev: Array[Byte] = null
+          var f = 0
+          while (f < VideoFrames) {
+            val cur = interFramePixels(id, f)
+            if (f == 0) {
+              val img = new java.awt.image.BufferedImage(
+                FrameW, FrameH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val r = img.getRaster
+              var i = 0
+              while (i < cur.length) {
+                r.setSample(i % FrameW, i / FrameW, 0, cur(i) & 0xFF); i += 1
+              }
+              val png = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", png)
+              val bytes = png.toByteArray
+              out.writeInt(bytes.length); out.writeByte('K'); out.write(bytes)
+            } else {
+              val resid = new Array[Byte](cur.length)
+              var i = 0
+              while (i < cur.length) {
+                resid(i) = ((cur(i) - prev(i)) & 0xFF).toByte; i += 1
+              }
+              val d = new java.util.zip.Deflater(
+                java.util.zip.Deflater.BEST_SPEED)
+              d.setInput(resid); d.finish()
+              val buf = new Array[Byte](resid.length * 2 + 64)
+              val n = d.deflate(buf)
+              require(d.finished(), s"residual deflate overflow doc_id=$id")
+              d.end()
+              out.writeInt(n); out.writeByte('P'); out.write(buf, 0, n)
+            }
+            prev = cur
+            f += 1
+          }
+          out.flush()
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "video")
+  }
+
+  /** REAL temporal decode: PNG-decode the key frame, then sequentially
+    * inflate each P-frame residual and add it mod 256 to the previous
+    * reconstruction — the frame-dependency chain of a real inter-frame
+    * codec. Emits the same (doc_id, frame, psum, n) feature rows as the
+    * intra path; fails loudly on a truncated container, an unknown frame
+    * type, or a residual of the wrong size. */
+  def decodeVideoFeaturesInter(videos: DataFrame): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("doc_id"), col("video"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, blob) =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          var prev: Array[Byte] = null
+          Iterator.continually(in.available())
+            .takeWhile(_ > 0)
+            .zipWithIndex
+            .map { case (_, f) =>
+              val len = in.readInt()
+              val kind = in.readByte()
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              val cur: Array[Byte] = kind.toChar match {
+                case 'K' =>
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes))
+                  require(img != null, s"undecodable key frame for doc_id=$id")
+                  val px = new Array[Byte](img.getWidth * img.getHeight)
+                  val r = img.getRaster
+                  var i = 0
+                  while (i < px.length) {
+                    px(i) = r.getSample(i % img.getWidth, i / img.getWidth, 0)
+                      .toByte
+                    i += 1
+                  }
+                  px
+                case 'P' =>
+                  require(prev != null, s"P-frame before key frame doc_id=$id")
+                  val inf = new java.util.zip.Inflater()
+                  inf.setInput(bytes)
+                  val resid = new Array[Byte](prev.length)
+                  val n = inf.inflate(resid)
+                  require(n == prev.length && inf.finished(),
+                    s"residual size $n != ${prev.length} doc_id=$id frame=$f")
+                  inf.end()
+                  val px = new Array[Byte](prev.length)
+                  var i = 0
+                  while (i < px.length) {
+                    px(i) = ((prev(i) + resid(i)) & 0xFF).toByte; i += 1
+                  }
+                  px
+                case other =>
+                  sys.error(s"unknown frame type $other doc_id=$id frame=$f")
+              }
+              prev = cur
+              var psum = 0L
+              var i = 0
+              while (i < cur.length) { psum += cur(i) & 0xFF; i += 1 }
+              (id, f.toLong, psum, cur.length.toLong)
+            }.toList
+        }
+      }
+      .toDF("doc_id", "frame", "psum", "n")
+  }
+
   // ---- real audio decode (JDK javax.sound.sampled; WAV/PCM built in) ----
 
   final val AudioSamples = 256   // samples per document

@@ -199,6 +199,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("inter-frame video codec round-trips through the P-frame chain") {
+    val docs = Tables.documents(spark, dir).limit(20)
+    val vids = Multimodal.renderVideoBlobsInter(docs)
+    val blob = vids.limit(1).collect()(0).getAs[Array[Byte]]("video")
+    // container: [len]['K'][PNG] for the key frame...
+    val len0 = java.nio.ByteBuffer.wrap(blob, 0, 4).getInt
+    assert((blob(4) & 0xFF) == 'K'.toInt && (blob(5) & 0xFF) == 0x89 &&
+      blob(6) == 'P', "no length-prefixed PNG key frame")
+    // ...then [len]['P'][deflated residual]; the P-frame payload must be
+    // SMALLER than the PNG key frame — temporal prediction + entropy
+    // coding earning real compression, not just a relabeled intra frame
+    val len1 = java.nio.ByteBuffer.wrap(blob, 5 + len0, 4).getInt
+    assert((blob(5 + len0 + 4) & 0xFF) == 'P'.toInt && len1 < len0,
+      s"P-frame $len1 bytes not smaller than key frame $len0 bytes")
+    val got = Multimodal.decodeVideoFeaturesInter(vids)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = docs.collect().map(_.getAs[Long]("doc_id")).flatMap { id =>
+      (0 until Multimodal.VideoFrames).map { f =>
+        val psum = (for (y <- 0 until Multimodal.FrameH;
+                         x <- 0 until Multimodal.FrameW)
+          yield Multimodal.interPixel(id, f, x, y).toLong).sum
+        (id, f.toLong) ->
+          (psum, (Multimodal.FrameW * Multimodal.FrameH).toLong)
+      }
+    }.toMap
+    assert(got == want)
+    // a truncated container fails loudly, never silently drops frames
+    intercept[Exception] {
+      import spark.implicits._
+      Multimodal.decodeVideoFeaturesInter(
+        Seq((1L, blob.take(blob.length - 3))).toDF("doc_id", "video"))
+        .collect()
+    }
+  }
+
   test("pii scrub redacts emails before digit runs and counts both") {
     import spark.implicits._
     val docs = Seq(
