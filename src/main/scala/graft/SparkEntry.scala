@@ -550,6 +550,9 @@ object SparkEntry {
   final val MinCos = 0.25
   final val IvfCells = 8
   final val IvfProbe = 2
+  // recall/nprobe tuning grid (q_tune_nprobe); max = IvfCells makes the
+  // last row provably recall = 1.0
+  final val TuneNprobes = Seq(1, 2, 4, 8)
   // IVF-SQ8: embeddings are unit vectors (|v| < 1), so scale 2^7 keeps
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
@@ -1054,6 +1057,10 @@ object SparkEntry {
         .select(col("hits"),
           (col("hits").cast("double") / lit(K * NQ)).as("recall"))
     }),
+    // recall-vs-nprobe tuning sweep: every grid point derived from one
+    // shared scored candidate scan (the nprobe analog of q_tune_delta)
+    "q_tune_nprobe" -> q((s, dir) => graft.operators.Ivf.tuneNprobe(
+      emb(s, dir), NQ, K, IvfCells, EmbD, TuneNprobes)),
     // retrieval-eval metric: mean reciprocal rank of the IVF-probed list
     // against the exact nearest neighbor (brute top-1) — the other
     // standard index-tuning number next to recall. Each query's 1/rank
@@ -1299,6 +1306,15 @@ object SparkEntry {
          |  FROM (${EmbOracle.bruteSql(EmbD, NQ, K)}) b
          |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe)}) v
          |    ON b.qid = v.qid AND b.id = v.id)""".stripMargin,
+    // each grid point is the q_ann_recall composition at its own nprobe
+    "q_tune_nprobe" -> TuneNprobes.sorted.map { np =>
+      s"""SELECT CAST($np AS INTEGER) AS nprobe, CAST(hits AS BIGINT) AS hits,
+         |  CAST(hits AS DOUBLE) / ${K * NQ} AS recall
+         |FROM (SELECT COUNT(*) AS hits
+         |  FROM (${EmbOracle.bruteSql(EmbD, NQ, K)}) b
+         |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, np)}) v
+         |    ON b.qid = v.qid AND b.id = v.id)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB
     // `//` is integer division like Spark's `div`
     "q_ann_mrr" ->

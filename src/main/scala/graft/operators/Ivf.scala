@@ -209,4 +209,52 @@ object Ivf {
       .withColumn("score", cosScore)
     TopK.window(scored, k)
   }
+
+  /**
+   * Recall-vs-nprobe tuning sweep — the standard IVF index-tuning
+   * workflow (pick the smallest probe depth that clears a recall floor,
+   * the nprobe analog of the reference's Hoeffding delta grid-search,
+   * `ANNCode.py:663-690`). Every grid point derives from ONE scored
+   * candidate scan: per-query probe cells are ranked once to
+   * `nprobes.max`, candidates in those cells are scored once (kept
+   * narrow and persisted), and each grid point is just a proberank
+   * filter + top-K + hits join against the exact ground truth (also
+   * computed once) — no per-grid-point rescans of the corpus.
+   * Output: one row per nprobe (nprobe, hits, recall).
+   */
+  def tuneNprobe(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                 nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= nCells),
+      s"nprobes $nprobes out of [1, $nCells]")
+    val npMax = nprobes.max
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val withD = q.select(col("qid") +: col("qvec") +: col("qn2") +:
+      cellDists(col("qvec"), nCells, d): _*)
+    val stacked = withD.select(col("qid"), col("qvec"), col("qn2"),
+      explode(array((0 until nCells).map(c =>
+        struct(lit(c).as("cell"), col(s"c$c").as("d2"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"), col("p.cell"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val probes = broadcast(stacked
+      .withColumn("proberank", row_number().over(w))
+      .filter(col("proberank") <= npMax)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell"),
+        col("proberank")))
+    val assigned = assign(emb, nCells, d)
+      .withColumn("n2", graft.functions.VectorOps.norm2Sq(col("embedding")))
+    val cand = Dedup.persistScoped(assigned.join(probes, Seq("cell"))
+      .withColumn("score", cosScore)
+      .select(col("qid"), col("id"), col("score"), col("proberank")))
+    val truth = Dedup.persistScoped(
+      Ann.bruteTopK(emb, nq, k).select(col("qid"), col("id")))
+    nprobes.sorted.map { np =>
+      TopK.window(cand.filter(col("proberank") <= np), k)
+        .select(col("qid"), col("id"))
+        .join(truth, Seq("qid", "id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("nprobe"), col("hits"),
+          (col("hits").cast("double") / lit(k * nq)).as("recall"))
+    }.reduce(_.union(_))
+  }
 }

@@ -107,6 +107,29 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("tuneNprobe grid matches independent per-nprobe scans, exact at full probe") {
+    import SparkEntry.TuneNprobes
+    try {
+      val rows = Ivf.tuneNprobe(emb, NQ, K, IvfCells, EmbD, TuneNprobes)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows.keySet == TuneNprobes.toSet)
+      val truth = Ann.bruteTopK(emb, NQ, K).collect()
+        .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id"))).toSet
+      TuneNprobes.foreach { np =>
+        // the shared-scan grid point must equal a from-scratch scan at np
+        val ind = Ivf.topk(emb, NQ, K, IvfCells, EmbD, np).collect()
+          .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id"))).toSet
+        val hits = ind.intersect(truth).size
+        assert(rows(np) == ((hits.toLong, hits.toDouble / (K * NQ))), s"np=$np")
+      }
+      // candidate sets are nested in np and tie-breaks total-ordered, so
+      // hits are monotone; probing every cell IS the exact scan
+      val hitsAsc = TuneNprobes.sorted.map(rows(_)._1)
+      assert(hitsAsc == hitsAsc.sorted)
+      assert(rows(IvfCells)._2 == 1.0)
+    } finally graft.operators.Dedup.releaseIntermediates()
+  }
+
   test("ivf-pq is invariant under repartitioning") {
     val a = Pq.topk(emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
       .collect().map(_.toSeq).toSet
