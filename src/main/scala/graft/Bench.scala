@@ -76,6 +76,8 @@ object Bench {
         SparkEntry.KeepM, SparkEntry.D128KeyMod).count()
       graft.Fixture.fp16VectorsModCached(spark, sfDir, SparkEntry.D1024,
         SparkEntry.KeepM, SparkEntry.D1024KeyMod).count()
+      graft.Fixture.fp16VectorsModCached(spark, sfDir, SparkEntry.D3072,
+        SparkEntry.KeepM, SparkEntry.D3072KeyMod).count()
       graft.Fixture.idxToIdCached(spark, sfDir).count()
       graft.sources.VecFiles.ensureVecFixture(spark, sfDir, SparkEntry.D)
       graft.sources.VecFiles.ensureFvecsFixture(spark, sfDir, SparkEntry.D)

@@ -158,6 +158,26 @@ object SparkEntry {
     Refine.topk(v, q, refineParams("cos_l2"))
   }
 
+  /** The reference's LARGEST evaluated width (D=3072, README.md:40-42,
+    * paper Table 3) on the hash-matched oracle surface. Same discipline
+    * as [[qRefineD1024]]: width is what this row proves, so the key mod
+    * keeps N tiny (~75 rows at sf0.01, ~750 at sf0.1). Exactness holds a
+    * fortiori: 3072-term sums of <= 24-significant-bit products span
+    * well under DOUBLE's 53 bits, and GaussianSpec proves zero-miss
+    * refine + compiled (non-Janino-fallback) codegen at this width. */
+  final val D3072 = 3072
+  final val D3072KeyMod = 512
+
+  private def fix3072(s: SparkSession, dir: String): DataFrame =
+    Fixture.fp16VectorsModCached(s, dir, D3072, KeepM, D3072KeyMod)
+
+  /** Relational refine at D=3072 — cos_l2, the worst codegen path. */
+  def qRefineD3072(s: SparkSession, dir: String): DataFrame = {
+    val v = fix3072(s, dir)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    Refine.topk(v, q, refineParams("cos_l2"))
+  }
+
   /** Relational refine at D=128 — cos_l2 is the worst codegen path (its
     * bb stat dots vec against rvec on top of the synthesis trees; the
     * round-4 Janino 64KB blow-up was exactly this shape at width). */
@@ -1110,6 +1130,7 @@ object SparkEntry {
     "q_refine_metrics_d128" -> q((s, dir) => qRefineMetricsD128(s, dir)),
     // MS MARCO-class width (reference mid tier D=1024) on a tiny slice
     "q_refine_d1024"        -> q((s, dir) => qRefineD1024(s, dir)),
+    "q_refine_d3072"        -> q((s, dir) => qRefineD3072(s, dir)),
     // int8 scalar quantization as a precision-ladder rung (cos_l1 cushion
     // over dequantized codes + constant half-step bound)
     "q_refine_int8"         -> q((s, dir) => qRefineInt8(s, dir)),
@@ -1368,6 +1389,7 @@ object SparkEntry {
     // SUM over j), so realistic width rides the same SQL
     "q_refine_d128"         -> RefineOracle.topkSql(D128, NQ, refineParams("cos_l2"), D128KeyMod),
     "q_refine_d1024"        -> RefineOracle.topkSql(D1024, NQ, refineParams("cos_l2"), D1024KeyMod),
+    "q_refine_d3072"        -> RefineOracle.topkSql(D3072, NQ, refineParams("cos_l2"), D3072KeyMod),
     "q_refine_int8" -> {
       val (rv, dv) = RefineOracle.quantRvDv(Int8ScaleLog2)
       RefineOracle.topkSqlRvDv(D, NQ, refineParams("cos_l1"), 1, rv, dv)
