@@ -92,6 +92,22 @@ class PlanSpec extends AnyFunSuite {
       s"no partial_max map-side aggregate before the shuffle:\n${plan.take(3000)}")
   }
 
+  test("tuneNprobe grid points consume the shared cached candidate scan") {
+    import graft.operators.{Ivf, Dedup}
+    val (df, release) = Dedup.scopedRelease(Ivf.tuneNprobe(
+      Tables.embeddings(spark, dir), 4, 5, SparkEntry.IvfCells,
+      SparkEntry.EmbD, Seq(1, 2, 4)))
+    try {
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      // the sweep's scale property: grid points filter the persisted
+      // candidate relation instead of rescoring the corpus per point
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage"),
+        s"grid points do not read the cached scan:\n${plan.take(2500)}")
+    } finally release()
+  }
+
   test("custom physical operator plans and matches the Dataset kernel") {
     import org.apache.spark.sql.graft.KernelPlan
     import graft.operators.{Refine, RefineKernel}
