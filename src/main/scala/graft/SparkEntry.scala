@@ -1021,6 +1021,11 @@ object SparkEntry {
     // candidate-side code picks) + rerank-deep exact rescore
     "q_ann_ivf_pq" -> q((s, dir) => graft.operators.Pq.topk(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // residual IVF-PQ: codes quantize x - c_cell (the production form —
+    // the codebook only covers the within-cell spread); ADC score adds
+    // the per-cell query dot to the table picks
+    "q_ann_ivf_pq_res" -> q((s, dir) => graft.operators.Pq.topkResidual(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // binary quantization: 64-bit sign codes, Hamming cheap rank + exact
     // rescore — the most aggressive rung of the precision ladder
     "q_ann_bq" -> q((s, dir) => graft.operators.Bq.topk(
@@ -1302,6 +1307,8 @@ object SparkEntry {
       EmbSq8ScaleLog2, Sq8Rerank),
     "q_ann_ivf_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe,
       PqM, PqCodes, PqRerank),
+    "q_ann_ivf_pq_res" -> PqOracle.topkResidualSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),

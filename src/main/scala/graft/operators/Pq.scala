@@ -95,6 +95,33 @@ object Pq {
       when(col(s"code_$m") === c, lit(centroidN2(m, c, sub))).otherwise(rest)
     }
 
+  /** ||cellCentroid(g)||^2 — exact dyadic double (sum of (k/512)^2
+    * terms: 2^-18 granularity, bounded magnitude -> exact). */
+  def cellN2(g: Int, d: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < d) { val v = Ivf.centroidComponent(g, j); s += v * v; j += 1 }
+    s
+  }
+
+  /** dot(cellCentroid(g) subspace m, cb(m,c)) — exact dyadic double
+    * ((k/512)*(k'/2048) products on a 2^-20 grid, bounded sums). */
+  def crossDot(g: Int, m: Int, c: Int, sub: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < sub) {
+      s += Ivf.centroidComponent(g, m * sub + j) * component(m, c, j, sub)
+      j += 1
+    }
+    s
+  }
+
+  /** Combined reconstruction-norm term for (cell g, subspace m, code c):
+    * 2*dot(c_g_sub, cb) + ||cb||^2 — every addend is an exact dyadic on
+    * the 2^-20 grid, so the combination is one exact literal. */
+  def reconN2Term(g: Int, m: Int, c: Int, sub: Int): Double =
+    2.0 * crossDot(g, m, c, sub) + centroidN2(m, c, sub)
+
   /**
    * IVF-PQ top-k: (qid, rank, id, score) with full-precision scores;
    * approximation comes from nprobe pruning and the rerank cut only.
@@ -124,6 +151,81 @@ object Pq {
       .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
     val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
     // exact rescore: only rerank*NQ survivors fetch the full vector
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  /**
+   * RESIDUAL IVF-PQ — the form production IVF-PQ actually ships (Jégou
+   * et al. §IV-A: quantize r = x - c_cell, not x, so the codebook only
+   * has to cover the within-cell spread): codes are assigned over the
+   * residual, and the ADC score decomposes as
+   * dot(q, x_hat) = dot(q, c_cell) + sum_m t[m, code_m] with
+   * ||x_hat||^2 = ||c_cell||^2 + sum_m (2 dot(c_cell_sub, cb) + ||cb||^2).
+   *
+   * Exactness discipline: the residual has ONE rounding step — each
+   * element (x_j as double) - c_j is cast back to FLOAT — which both
+   * engines perform with the same IEEE round-to-nearest, so codes agree
+   * bit-for-bit; every reconstruction-norm term is a driver-computed
+   * exact dyadic literal (2^-20 grid), selected per (cell, code_m) from
+   * a literal lookup array; the query-side per-cell dot and the ADC
+   * table are the same fixed-order folds as [[topk]].
+   */
+  def topkResidual(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                   nprobe: Int, mSub: Int, codes: Int, rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    // r = x - c_cell, element-rounded to float (the mirrored cast)
+    val rvecCase = (0 until nCells).foldRight(
+      lit(null).cast("array<float>")) { (g, rest) =>
+      when(col("cell") === g,
+        zip_with(col("embedding"), typedlit(Ivf.centroid(g, d).toSeq),
+          (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
+        .otherwise(rest)
+    }
+    val enc = Ivf.assign(emb, nCells, d)
+      .withColumn("rvec", rvecCase)
+      .select(col("id") +: col("cell") +:
+        distCols(col("rvec"), mSub, codes, sub): _*)
+      .select(col("id") +: col("cell") +:
+        (0 until mSub).map(argminCode(_, codes)): _*)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    // per-cell dot(q, c_cell) precomputed on the tiny broadcast side
+    val qcCols = (0 until nCells).map(g =>
+      VecExprs.dotD(col("qvec"), typedlit(Ivf.centroid(g, d).toSeq))
+        .as(s"qc_$g"))
+    val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+      .join(q, Seq("qid"))
+      .select(Seq(col("qid"), col("cell"), col("qn2")) ++ qcCols ++
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+    val qcCase = (0 until nCells).foldRight(lit(0.0)) { (g, rest) =>
+      when(col("cell") === g, col(s"qc_$g")).otherwise(rest)
+    }
+    val sHatNum = qcCase + (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2cellCase = (0 until nCells).foldRight(lit(0.0)) { (g, rest) =>
+      when(col("cell") === g, lit(cellN2(g, d))).otherwise(rest)
+    }
+    // literal lookup per subspace: index = cell*codes + code_m (1-based
+    // for element_at); values are the exact dyadic reconN2 terms
+    val n2hat = n2cellCase + (0 until mSub).map { m =>
+      val table = for (g <- 0 until nCells; c <- 0 until codes)
+        yield reconN2Term(g, m, c, sub)
+      element_at(typedlit(table),
+        (col("cell") * codes + col(s"code_$m") + 1).cast("int"))
+    }.reduceLeft(_ + _)
+    val cheap = enc.join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
     val rescored = emb
       .select(col("vec_id").as("id"), col("embedding"),
         V.norm2Sq(col("embedding")).as("n2"))

@@ -69,6 +69,125 @@ object PqOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** Cell-centroid literal for (g, j), float-cast like the engine. */
+  private def cc(g: Int, j: Int): String =
+    s"CAST(CAST(${Ivf.centroidComponent(g, j)} AS FLOAT) AS DOUBLE)"
+
+  /**
+   * RESIDUAL IVF-PQ mirror ([[graft.operators.Pq.topkResidual]]): the
+   * residual elements r_j = CAST((x_j as double) - c_cell_j AS FLOAT)
+   * are materialized as columns with the SAME single rounding step the
+   * engine performs, codes are the argmin folds over those columns, and
+   * the cheap score adds the per-cell dot(q, c_cell) fold and the exact
+   * dyadic reconstruction-norm literals selected by (cell, code_m).
+   */
+  def topkResidualSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+                      mSub: Int, codes: Int, rerank: Int): String = {
+    val sub = d / mSub
+    def cellDistExpr(cell: Int): String =
+      (0 until d).map { j =>
+        val c = cc(cell, j)
+        s"(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)*(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)"
+      }.mkString("(", " + ", ")")
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr(c)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    val probeCase = "CASE t.cell " + (0 until nCells)
+      .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
+    val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
+    // residual columns r1..rd: one float-rounding step, cell-selected
+    val rCols = (0 until d).map { j =>
+      val cellCase = "CASE a.cell " + (0 until nCells)
+        .map(g => s"WHEN $g THEN ${cc(g, j)}").mkString(" ") + " END"
+      s"CAST(CAST(CAST(e.embedding[${j + 1}] AS DOUBLE) - ($cellCase) AS FLOAT) AS DOUBLE) AS r${j + 1}"
+    }.mkString(",\n  ")
+    def subDistExprR(m: Int, c: Int): String =
+      (0 until sub).map { j =>
+        val x = s"rv.r${m * sub + j + 1}"
+        s"($x - ${cb(m, c, j, sub)})*($x - ${cb(m, c, j, sub)})"
+      }.mkString("(", " + ", ")")
+    val pqDistCols = (for (m <- 0 until mSub; c <- 0 until codes)
+      yield s"${subDistExprR(m, c)} AS d_${m}_$c").mkString(",\n  ")
+    val codeCols = (0 until mSub).map { m =>
+      val least0 = "LEAST(" +
+        (0 until codes).map(c => s"d_${m}_$c").mkString(", ") + ")"
+      s"CASE " + (0 until codes)
+        .map(c => s"WHEN d_${m}_$c = $least0 THEN $c").mkString(" ") +
+        s" END AS code_$m"
+    }.mkString(",\n  ")
+    val adcCols = (for (m <- 0 until mSub; c <- 0 until codes)
+      yield s"${adcExpr("qe", m, c, sub)} AS t_${m}_$c").mkString(",\n  ")
+    // per-cell dot(q, c_cell) folds on the query side
+    val qcCols = (0 until nCells).map { g =>
+      (0 until d).map { j =>
+        s"CAST(qe.embedding[${j + 1}] AS DOUBLE)*${cc(g, j)}"
+      }.mkString("(", " + ", ")") + s" AS qc_$g"
+    }.mkString(",\n  ")
+    val qcCase = "CASE en.cell " + (0 until nCells)
+      .map(g => s"WHEN $g THEN qt.qc_$g").mkString(" ") + " END"
+    val pickSum = (0 until mSub).map { m =>
+      "CASE en.code_" + m + " " + (0 until codes)
+        .map(c => s"WHEN $c THEN qt.t_${m}_$c").mkString(" ") + " END"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    val n2cellCase = "CASE en.cell " + (0 until nCells)
+      .map(g => s"WHEN $g THEN ${OracleGen.dlit(Pq.cellN2(g, d))}")
+      .mkString(" ") + " END"
+    val n2termSum = (0 until mSub).map { m =>
+      "CASE en.cell*" + codes + " + en.code_" + m + " " +
+        (for (g <- 0 until nCells; c <- 0 until codes)
+          yield s"WHEN ${g * codes + c} THEN " +
+            OracleGen.dlit(Pq.reconN2Term(g, m, c, sub))).mkString(" ") +
+        " END"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |rv AS (SELECT e.vec_id, a.cell, $rCols
+       |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+       |pqd AS (SELECT rv.vec_id, rv.cell, $pqDistCols FROM rv),
+       |enc AS (SELECT vec_id, cell, $codeCols FROM pqd),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qt AS (SELECT q.qid, $qcCols,
+       |  $adcCols
+       |  FROM q JOIN embeddings qe ON qe.vec_id = q.qid),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |cand AS (SELECT qp.qid, en.vec_id AS id, en.cell,
+       |    ${(0 until mSub).map(m => s"en.code_$m").mkString(", ")}
+       |  FROM qp JOIN enc en ON en.cell = qp.cell),
+       |cheap AS (SELECT en.qid, en.id,
+       |    (($qcCase) + $pickSum) /
+       |      (${fn(s"(($n2cellCase) + $n2termSum)")} * ${fn("nq2.n2")}) AS s_hat
+       |  FROM cand en
+       |  JOIN qt ON qt.qid = en.qid
+       |  JOIN nrm nq2 ON nq2.vec_id = en.qid),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** IVF-PQ pipeline: coarse probe -> ADC cheap rank -> rerank cut ->
     * exact rescore (tail identical to [[IvfOracle.sq8Sql]]). */
   def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,

@@ -107,6 +107,32 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("residual ivf-pq: exact rescores, invariant, full-depth equals plain IVF") {
+    import SparkEntry.PqRerank
+    val r = Pq.topkResidual(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, PqRerank).collect()
+    assert(r.length == NQ * K)
+    val brute = Ann.bruteTopK(emb, NQ, emb.count().toInt).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id")) ->
+        x.getAs[Double]("score")).toMap
+    r.foreach { row =>
+      val key = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
+      assert(row.getAs[Double]("score") == brute(key))
+    }
+    val b = Pq.topkResidual(emb.repartition(7), NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(b == r.map(_.toSeq).toSet,
+      "residual pq not invariant under repartitioning")
+    // approximation comes ONLY from the rerank cut: at full rerank depth
+    // the survivors are the whole probed candidate set, so the exact
+    // rescore must reproduce the plain IVF scan row-for-row
+    val full = Pq.topkResidual(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, emb.count().toInt).collect().map(_.toSeq).toSet
+    val plain = Ivf.topk(emb, NQ, K, IvfCells, EmbD, IvfProbe)
+      .collect().map(_.toSeq).toSet
+    assert(full == plain, "full-depth residual rerank != plain IVF")
+  }
+
   test("tuneNprobe grid matches independent per-nprobe scans, exact at full probe") {
     import SparkEntry.TuneNprobes
     try {
