@@ -88,6 +88,9 @@ object Bench {
         SparkEntry.D, SparkEntry.Int8ScaleLog2)
       graft.operators.Ivf.ensureIndex(spark, sfDir, SparkEntry.IvfCells,
         SparkEntry.EmbD)
+      graft.operators.Pq.ensureCodesFixture(spark, sfDir, SparkEntry.IvfCells,
+        SparkEntry.EmbD, SparkEntry.PqM, SparkEntry.PqCodes)
+      graft.operators.Bq.ensureCodesFixture(spark, sfDir, SparkEntry.EmbD)
       graft.sources.Bucketed.ensureTables(spark, sfDir)
       graft.streaming.StreamOps.ensureLanding(sfDir)
       graft.streaming.StreamOps.ensureShardedDocsLanding(spark, sfDir)
@@ -182,11 +185,15 @@ object Bench {
         val omittedTag = s""""queries_omitted":${results.size},"""
         val fixed = jsonLine("total", wall, Nil, loadStart, loadEnd,
           omittedTag).length
+        // keep trying past a non-fitting name (a takeWhile would let one
+        // long-named heavy query block many short ones that still fit);
+        // first entry pays no comma
         var used = fixed
-        val kept = byTime.takeWhile { case (k, v) =>
-          val len = k.length + qnum(v).length + 4 // quotes + colon + comma
+        var first = true
+        val kept = byTime.filter { case (k, v) =>
+          val len = k.length + qnum(v).length + 3 + (if (first) 0 else 1)
           val fits = used + len <= StdoutBudget
-          if (fits) used += len
+          if (fits) { used += len; first = false }
           fits
         }
         System.err.println(s"[bench] full line ${line.length} chars > " +
@@ -209,9 +216,23 @@ object Bench {
     // the driver's timed run doesn't pay for it.
     if (sys.env.get("SPARK_GRAFT_BENCH_SEQ").exists(_ != "0")) {
       val nSeq = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_N", "12").toInt
-      val heaviest = results.toSeq.filter(_._2 > 0).sortBy(-_._2)
-        .take(nSeq).map(_._1)
+      // pinned queries are ALWAYS in the seq profile regardless of their
+      // concurrent time — a query that regresses only under concurrent
+      // load needs an attributable sequential row to clear (or confirm) it
+      val pinned = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_PIN",
+          "q_topk_cos_vecsrc,q_refine_cos_l2,q_refine_metrics")
+        .split(",").map(_.trim).filter(n => n.nonEmpty && results.contains(n))
+      val heaviest = (results.toSeq.filter(_._2 > 0).sortBy(-_._2)
+        .take(nSeq).map(_._1) ++ pinned).distinct
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      // optional settle window before the seq profile: the 1-min load
+      // average still carries our OWN just-finished concurrent phase
+      // (local[32] at full tilt reads as load ~10-15), so a seq start
+      // stamp taken immediately would look co-tenant-confounded when the
+      // box is actually idle. ~2 min lets the average decay to the true
+      // ambient load before it is recorded.
+      sys.env.get("SPARK_GRAFT_BENCH_SEQ_SETTLE").map(_.toInt)
+        .filter(_ > 0).foreach(s => Thread.sleep(s * 1000L))
       val seqLoadStart = sysLoad()
       val seq = heaviest.map { name =>
         val s0 = System.nanoTime()

@@ -389,12 +389,14 @@ object SparkEntry {
   private val measuredComp =
     new java.util.concurrent.atomic.AtomicReference[Option[(Long, Long)]](None)
 
-  /** BM25 corpus stats measured when q_bm25/q_hybrid_rrf last planned;
-    * the oracle embeds the driver-side idf doubles (ln is the one
+  /** BM25 corpus stats measured when q_bm25/q_hybrid_rrf last planned,
+    * KEYED BY SF DIR — a JVM that touches two sf dirs (tests do) must
+    * not serve one dir's idf constants for the other's oracle. The
+    * oracle embeds the driver-side idf doubles (ln is the one
     * transcendental DuckDB and the JVM disagree on in the last ulp)
     * guarded by the oracle's own df recomputation — see SearchOracle. */
-  private val measuredBm25 = new java.util.concurrent.atomic.AtomicReference[
-    Option[graft.operators.Search.Bm25Stats]](None)
+  private val measuredBm25 = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Search.Bm25Stats]()
 
   /** sf-dir of the most recent query invocation — lets the oracle builder
     * compute corpus stats on its own when a dump path never ran q_bm25. */
@@ -408,13 +410,14 @@ object SparkEntry {
     * ~0.1% of df values — is reached only from a JVM with no Spark
     * session at all, i.e. never from Verify or any standalone dump path. */
   private def bm25StatsForOracle(): Option[graft.operators.Search.Bm25Stats] =
-    measuredBm25.get().orElse {
-      val computed = for {
-        s   <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-        dir <- Option(lastSfDir.get())
-      } yield graft.operators.Search.bm25Stats(docs(s, dir), Bm25Terms)
-      computed.foreach(st => measuredBm25.set(Some(st)))
-      computed
+    Option(lastSfDir.get()).flatMap { dir =>
+      Option(measuredBm25.get(dir)).orElse {
+        val computed = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(s => graft.operators.Search.bm25Stats(docs(s, dir), Bm25Terms))
+        computed.foreach(st => measuredBm25.put(dir, st))
+        computed
+      }
     }
 
   /**
@@ -1021,6 +1024,13 @@ object SparkEntry {
     // candidate-side code picks) + rerank-deep exact rescore
     "q_ann_ivf_pq" -> q((s, dir) => graft.operators.Pq.topk(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // the same PQ pipeline AT REST: packed 32-bit code words in a
+    // cell-partitioned parquet layout — the cheap pass is partition-pruned
+    // to the probe cells and reads ONLY the code column (PlanSpec asserts
+    // both); hash-equal to q_ann_ivf_pq
+    "q_ann_ivf_pq_at_rest" -> q((s, dir) => graft.operators.Pq.topkAtRest(
+      s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+      PqRerank)),
     // residual IVF-PQ: codes quantize x - c_cell (the production form —
     // the codebook only covers the within-cell spread); ADC score adds
     // the per-cell query dot to the table picks
@@ -1030,6 +1040,11 @@ object SparkEntry {
     // rescore — the most aggressive rung of the precision ladder
     "q_ann_bq" -> q((s, dir) => graft.operators.Bq.topk(
       emb(s, dir), NQ, K, BqRerank, EmbD)),
+    // the same BQ pipeline AT REST: the 64-bit sign word as a stored
+    // BIGINT column, Hamming cheap pass over 8 bytes/row with the float
+    // vector untouched (PlanSpec asserts); hash-equal to q_ann_bq
+    "q_ann_bq_at_rest" -> q((s, dir) => graft.operators.Bq.topkAtRest(
+      s, dir, emb(s, dir), NQ, K, BqRerank, EmbD)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
@@ -1058,7 +1073,7 @@ object SparkEntry {
     "q_bm25" -> q((s, dir) => {
       val (ranked, st) = graft.operators.Search.bm25(
         docs(s, dir), Bm25Terms, Bm25K1, Bm25B, Bm25TopN)
-      measuredBm25.set(Some(st))
+      measuredBm25.put(dir, st)
       ranked
     }),
     // hybrid retrieval: reciprocal rank fusion of the BM25 top-N list
@@ -1066,7 +1081,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> q((s, dir) => {
       val (text, st) = graft.operators.Search.bm25(
         docs(s, dir), Bm25Terms, Bm25K1, Bm25B, RrfPoolN)
-      measuredBm25.set(Some(st))
+      measuredBm25.put(dir, st)
       graft.operators.Search.hybridRrf(text, emb(s, dir),
         RrfPoolN, RrfKConst, HybridK)
     }),
@@ -1083,9 +1098,17 @@ object SparkEntry {
           (col("hits").cast("double") / lit(K * NQ)).as("recall"))
     }),
     // recall-vs-nprobe tuning sweep: every grid point derived from one
-    // shared scored candidate scan (the nprobe analog of q_tune_delta)
+    // shared scored candidate scan (the nprobe analog of q_tune_delta),
+    // now carrying the (recall, save) pair of the reference's sweep CSV
     "q_tune_nprobe" -> q((s, dir) => graft.operators.Ivf.tuneNprobe(
       emb(s, dir), NQ, K, IvfCells, EmbD, TuneNprobes)),
+    // the same sweep over the two-phase IVF-SQ8 rung: per grid point the
+    // cheap pass pays 1 byte/dim, the rescore 4 bytes/dim for <= rerank*Q
+    // survivors — the end-to-end operating-point chooser (recall AND
+    // bytes_cheap + bytes_rescore + save per nprobe)
+    "q_tune_nprobe_sq8" -> q((s, dir) => graft.operators.Ivf.tuneNprobeSq8(
+      emb(s, dir), NQ, K, IvfCells, EmbD, TuneNprobes, EmbSq8ScaleLog2,
+      Sq8Rerank)),
     // retrieval-eval metric: mean reciprocal rank of the IVF-probed list
     // against the exact nearest neighbor (brute top-1) — the other
     // standard index-tuning number next to recall. Each query's 1/rank
@@ -1309,7 +1332,13 @@ object SparkEntry {
       PqM, PqCodes, PqRerank),
     "q_ann_ivf_pq_res" -> PqOracle.topkResidualSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),
+    // identical semantics to q_ann_ivf_pq; only the physical path (code
+    // column + partition pruning off the at-rest layout) differs
+    "q_ann_ivf_pq_at_rest" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
+    // identical semantics to q_ann_bq off the stored sign-word column
+    "q_ann_bq_at_rest" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     // filtered + probe-pruned: the at-rest twin restricts candidates to
@@ -1334,15 +1363,30 @@ object SparkEntry {
          |  FROM (${EmbOracle.bruteSql(EmbD, NQ, K)}) b
          |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe)}) v
          |    ON b.qid = v.qid AND b.id = v.id)""".stripMargin,
-    // each grid point is the q_ann_recall composition at its own nprobe
-    "q_tune_nprobe" -> TuneNprobes.sorted.map { np =>
-      s"""SELECT CAST($np AS INTEGER) AS nprobe, CAST(hits AS BIGINT) AS hits,
-         |  CAST(hits AS DOUBLE) / ${K * NQ} AS recall
-         |FROM (SELECT COUNT(*) AS hits
-         |  FROM (${EmbOracle.bruteSql(EmbD, NQ, K)}) b
-         |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, np)}) v
-         |    ON b.qid = v.qid AND b.id = v.id)""".stripMargin
-    }.mkString("\nUNION ALL\n"),
+    // each grid point is the q_ann_recall composition at its own nprobe,
+    // plus the byte accounting: this rung reads the full float vector of
+    // every probed candidate (4d bytes), measured against the brute
+    // baseline 4d*N*Q
+    "q_tune_nprobe" -> {
+      val bFull = 4L * EmbD
+      val denom = OracleGen.dlit((bFull * NQ).toDouble)
+      TuneNprobes.sorted.map { np =>
+        s"""SELECT CAST($np AS INTEGER) AS nprobe, CAST(hits AS BIGINT) AS hits,
+           |  CAST(hits AS DOUBLE) / ${K * NQ} AS recall,
+           |  CAST(cand_n AS BIGINT) AS cand,
+           |  CAST(cand_n * $bFull AS BIGINT) AS bytes_cheap,
+           |  1.0 - (CAST(cand_n * $bFull AS DOUBLE) /
+           |         (CAST(n_total AS DOUBLE) * $denom)) AS save
+           |FROM (SELECT COUNT(*) AS hits
+           |  FROM (${EmbOracle.bruteSql(EmbD, NQ, K)}) b
+           |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, np)}) v
+           |    ON b.qid = v.qid AND b.id = v.id) h,
+           |  (${IvfOracle.candCountSql(EmbD, NQ, IvfCells, np)}) c,
+           |  (SELECT COUNT(*) AS n_total FROM embeddings) n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    "q_tune_nprobe_sq8" -> IvfOracle.tuneSq8Sql(EmbD, NQ, K, IvfCells,
+      TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank),
     // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB
     // `//` is integer division like Spark's `div`
     "q_ann_mrr" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VecExprs
 
@@ -38,8 +38,16 @@ object Bq {
     require(d >= 1 && d <= 64,
       s"binary quantization packs sign bits into ONE 64-bit word; d=$d not in [1,64]")
     val V = graft.functions.VectorOps
-    val codes = emb.select(col("vec_id").as("id"),
-      VecExprs.signPack(col("embedding")).as("code"))
+    // d is a CONTRACT with the data, not just a plan-build bound: a
+    // caller passing d=64 over wider embeddings would otherwise sail
+    // past the [1,64] check and only trip VecExprs.checkBits inside
+    // generated code. The filter passes every row (assert_true yields
+    // NULL) or fails the job with the width mismatch spelled out.
+    val codes = emb
+      .filter(assert_true(size(col("embedding")) === d,
+        lit(s"binary quantization: embedding width != declared d=$d")).isNull)
+      .select(col("vec_id").as("id"),
+        VecExprs.signPack(col("embedding")).as("code"))
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val qc = broadcast(q.select(col("qid"),
       VecExprs.signPack(col("qvec")).as("qcode")))
@@ -54,6 +62,76 @@ object Bq {
       .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
         .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
       .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  // --- codes at rest ----------------------------------------------------
+
+  /** Bump when the at-rest code layout changes. */
+  private val CodesLayoutVersion = 1
+
+  /**
+   * Materialize the sign codes AT REST: (id, vec, code) with the 64-bit
+   * sign word as a real BIGINT column beside the full-precision vector —
+   * the cheap Hamming pass reads 8 bytes/row of column chunks and never
+   * touches the float vector (the [[graft.sources.Disaggregated
+   * .writeInt8]] discipline at the ladder's coarsest rung). Sorted by id
+   * within files for row-group skipping on the rescore fetch. Immutable
+   * version-named dir, atomic scratch publish.
+   */
+  def ensureCodesFixture(spark: SparkSession, sfDir: String, d: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(d >= 1 && d <= 64,
+      s"binary quantization packs sign bits into ONE 64-bit word; d=$d not in [1,64]")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_bqcodes_v${CodesLayoutVersion}_${safe}_d${d}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "bqcodes-")
+      graft.Tables.embeddings(spark, sfDir)
+        .filter(assert_true(size(col("embedding")) === d,
+          lit(s"binary quantization: embedding width != declared d=$d")).isNull)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          VecExprs.signPack(col("embedding")).as("code"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"bq codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * BQ top-k OFF THE AT-REST CODES — the at-rest twin of [[topk]],
+   * returning identical rows: the cheap pass scans only (id, code), the
+   * rescore fetch only (id, vec) for the rerank*NQ survivors. PlanSpec
+   * asserts no scan reads both columns.
+   */
+  def topkAtRest(spark: SparkSession, sfDir: String, emb: DataFrame,
+                 nq: Int, k: Int, rerank: Int, d: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val V = graft.functions.VectorOps
+    val path = ensureCodesFixture(spark, sfDir, d)
+    val stored = spark.read.parquet(path) // (id, vec, code)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val qc = broadcast(q.select(col("qid"),
+      VecExprs.signPack(col("qvec")).as("qcode")))
+    val cheap = stored.select(col("id"), col("code")).crossJoin(qc)
+      .withColumn("score", bit_count(col("code").bitwiseXOR(col("qcode"))))
+    val cand = TopK.window(cheap, rerank, ascending = true)
+      .select(col("qid"), col("id"))
+    val rescored = stored
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
         (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
     TopK.window(rescored, k)
   }

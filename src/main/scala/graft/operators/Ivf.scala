@@ -220,7 +220,14 @@ object Ivf {
    * narrow and persisted), and each grid point is just a proberank
    * filter + top-K + hits join against the exact ground truth (also
    * computed once) — no per-grid-point rescans of the corpus.
-   * Output: one row per nprobe (nprobe, hits, recall).
+   * Output: one row per nprobe (nprobe, hits, recall, cand, bytes_cheap,
+   * save) — the reference's tuning artifact reports (recall, save) pairs
+   * (sweep CSV, `ANNCode.py:735,779-780`), so each grid point also
+   * carries the bytes model (`ANNCode.py:316-318`): this rung scans the
+   * full float vector of every candidate in the probed cells, so
+   * bytes_cheap = 4d * candidates, and save is measured against the
+   * brute baseline 4d * N * Q. Counts are exact integers; save is one
+   * double division both engines evaluate identically.
    */
   def tuneNprobe(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
                  nprobes: Seq[Int]): DataFrame = {
@@ -248,13 +255,107 @@ object Ivf {
       .select(col("qid"), col("id"), col("score"), col("proberank")))
     val truth = Dedup.persistScoped(
       Ann.bruteTopK(emb, nq, k).select(col("qid"), col("id")))
+    // 1-row relations cross-joined under every grid point (constant-fold
+    // cheap: the corpus count is one agg, shared via the persisted scan's
+    // session)
+    val nTot = emb.agg(count(lit(1)).as("n_total"))
+    val bFull = 4L * d  // float32 bytes/vector
+    val denom = (bFull * nq).toDouble
     nprobes.sorted.map { np =>
-      TopK.window(cand.filter(col("proberank") <= np), k)
+      val flt = cand.filter(col("proberank") <= np)
+      val candN = flt.agg(count(lit(1)).as("cand_n"))
+      TopK.window(flt, k)
         .select(col("qid"), col("id"))
         .join(truth, Seq("qid", "id"))
         .agg(count(lit(1)).as("hits"))
+        .crossJoin(candN).crossJoin(nTot)
         .select(lit(np).as("nprobe"), col("hits"),
-          (col("hits").cast("double") / lit(k * nq)).as("recall"))
+          (col("hits").cast("double") / lit(k * nq)).as("recall"),
+          col("cand_n").as("cand"),
+          (col("cand_n") * lit(bFull)).as("bytes_cheap"),
+          (lit(1.0) - (col("cand_n") * lit(bFull)).cast("double") /
+            (col("n_total").cast("double") * lit(denom))).as("save"))
+    }.reduce(_.union(_))
+  }
+
+  /**
+   * The [[tuneNprobe]] sweep over the IVF-SQ8 rung — the operating-point
+   * chooser for the canonical two-phase configuration: per grid point the
+   * CHEAP pass reads 1 byte/dim of int8 codes for every candidate in the
+   * probed cells, the rerank cut fetches full vectors for at most
+   * rerank*Q survivors, and recall is that pipeline's end-to-end quality
+   * against the exact ground truth. One persisted sq8-scored candidate
+   * scan feeds every grid point (same shared-scan discipline as
+   * [[tuneNprobe]]); the rescore per point touches only the bounded
+   * survivor set. Output: (nprobe, hits, recall, cand, fetched,
+   * bytes_cheap, bytes_rescore, save) with
+   * save = 1 - (1d*cand + 4d*fetched) / (4d*N*Q) — the reference's
+   * accounting shape (`ANNCode.py:316-318`) with the int8 rung's byte
+   * widths.
+   */
+  def tuneNprobeSq8(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                    nprobes: Seq[Int], scaleLog2: Int, rerank: Int): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= nCells),
+      s"nprobes $nprobes out of [1, $nCells]")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val V = graft.functions.VectorOps
+    val npMax = nprobes.max
+    val s = math.pow(2.0, scaleLog2)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val withD = q.select(col("qid") +: col("qvec") +: col("qn2") +:
+      cellDists(col("qvec"), nCells, d): _*)
+    val stacked = withD.select(col("qid"), col("qvec"), col("qn2"),
+      explode(array((0 until nCells).map(c =>
+        struct(lit(c).as("cell"), col(s"c$c").as("d2"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"), col("p.cell"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val probes = broadcast(stacked
+      .withColumn("proberank", row_number().over(w))
+      .filter(col("proberank") <= npMax)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell"),
+        col("proberank")))
+    val assigned = assign(emb, nCells, d)
+      .withColumn("q8", transform(col("embedding"),
+        x => (floor(x * s + lit(0.5)).cast("double") / s).cast("float")))
+      .withColumn("n2q8", V.norm2Sq(col("q8")))
+    val cand = Dedup.persistScoped(assigned.join(probes, Seq("cell"))
+      .withColumn("score", V.dot(col("q8"), col("qvec")) /
+        (V.fnorm(col("n2q8")) * V.fnorm(col("qn2"))))
+      .select(col("qid"), col("id"), col("score"), col("proberank")))
+    val truth = Dedup.persistScoped(
+      Ann.bruteTopK(emb, nq, k).select(col("qid"), col("id")))
+    val nTot = emb.agg(count(lit(1)).as("n_total"))
+    val vFull = emb.select(col("vec_id").as("id"), col("embedding"),
+      V.norm2Sq(col("embedding")).as("n2"))
+    val qFull = broadcast(q.withColumnRenamed("qvec", "qvec_")
+      .withColumnRenamed("qn2", "qn2_"))
+    val bCode = d.toLong       // int8: 1 byte/dim cheap read
+    val bFull = 4L * d         // float32 rescore fetch
+    val denom = (bFull * nq).toDouble
+    nprobes.sorted.map { np =>
+      val flt = cand.filter(col("proberank") <= np)
+      val candN = flt.agg(count(lit(1)).as("cand_n"))
+      val fetchedIds = TopK.window(flt, rerank).select(col("qid"), col("id"))
+      val fetchedN = fetchedIds.agg(count(lit(1)).as("fetched_n"))
+      val rescored = vFull.join(broadcast(fetchedIds), Seq("id"))
+        .join(qFull, Seq("qid"))
+        .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+          (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+      TopK.window(rescored, k)
+        .select(col("qid"), col("id"))
+        .join(truth, Seq("qid", "id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(candN).crossJoin(fetchedN).crossJoin(nTot)
+        .select(lit(np).as("nprobe"), col("hits"),
+          (col("hits").cast("double") / lit(k * nq)).as("recall"),
+          col("cand_n").as("cand"), col("fetched_n").as("fetched"),
+          (col("cand_n") * lit(bCode)).as("bytes_cheap"),
+          (col("fetched_n") * lit(bFull)).as("bytes_rescore"),
+          (lit(1.0) -
+            (col("cand_n") * lit(bCode) + col("fetched_n") * lit(bFull))
+              .cast("double") /
+            (col("n_total").cast("double") * lit(denom))).as("save"))
     }.reduce(_.union(_))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VecExprs
 
@@ -158,6 +158,112 @@ object Pq {
       .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
         .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
       .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  // --- codes at rest ----------------------------------------------------
+
+  /** Bump when the at-rest code layout or the encoding changes. */
+  private val CodesLayoutVersion = 1
+
+  /** The packed code word: code_m occupies bits [4m, 4m+4) of ONE INT —
+    * 32 bits/vector at rest vs 256 float bytes, the 64x cheap-pass read
+    * cut the rung claims (`ANNCode.py:668-690` is the reference's
+    * at-rest §3.3 thesis; PQ extends it to sub-byte codes). */
+  private def packedCode(mSub: Int, codes: Int): Column = {
+    require(codes <= 16 && mSub * 4 <= 32,
+      s"packed code word needs codes<=16 and mSub<=8, got $mSub x $codes")
+    (0 until mSub).map(m => shiftleft(col(s"code_$m"), 4 * m))
+      .reduceLeft(_.bitwiseOR(_)).cast("int")
+  }
+
+  /** code_m columns recovered from the packed word (exact integer ops —
+    * the unpacked values are the argmin codes bit-for-bit). */
+  private def unpackedCodes(mSub: Int): Seq[Column] =
+    (0 until mSub).map(m =>
+      shiftrightunsigned(col("code"), 4 * m).bitwiseAND(lit(15)).as(s"code_$m"))
+
+  /**
+   * Materialize the PQ codes AT REST: (id, vec, code) written once,
+   * `partitionBy("cell")` — the same write-time layout as
+   * [[Ivf.ensureIndex]], so probe-cell selection is Parquet partition
+   * pruning AND the cheap pass reads only the 4-byte packed-code column
+   * chunks (the float vector column is physically untouched until the
+   * rescore fetch). Immutable version-named dir, atomic scratch publish —
+   * the [[graft.sources.Disaggregated.ensureInt8Fixture]] discipline.
+   */
+  def ensureCodesFixture(spark: SparkSession, sfDir: String, nCells: Int,
+                         d: Int, mSub: Int, codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val sub = d / mSub
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqcodes_v${CodesLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqcodes-")
+      Ivf.assign(graft.Tables.embeddings(spark, sfDir), nCells, d)
+        .select(col("id") +: col("cell") +: col("embedding") +:
+          distCols(col("embedding"), mSub, codes, sub): _*)
+        .select(col("id") +: col("cell") +: col("embedding") +:
+          (0 until mSub).map(argminCode(_, codes)): _*)
+        .select(col("id"), col("cell"), col("embedding").as("vec"),
+          packedCode(mSub, codes).as("code"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"pq codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * IVF-PQ top-k OFF THE AT-REST CODES — the at-rest twin of [[topk]],
+   * returning identical rows. The cheap pass scans only (id, code) from
+   * the probed cells' files (probe cells collected bounded and pushed as
+   * a static partition filter, codes unpacked with exact integer ops);
+   * the rescore fetch scans only (id, vec) for the rerank*NQ survivors.
+   * PlanSpec asserts both the partition pruning and that no scan reads
+   * the code and vec columns together.
+   */
+  def topkAtRest(spark: SparkSession, sfDir: String, emb: DataFrame,
+                 nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                 mSub: Int, codes: Int, rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val path = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val stored = spark.read.parquet(path) // (id, vec, code) + cell partition
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    // bounded collect (<= nq * nprobe values) -> static partition filter
+    val cells = probeSet.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probes = broadcast(probeSet
+      .join(q, Seq("qid"))
+      .select(col("qid") +: col("cell") +: col("qn2") +:
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+    val sHatNum = (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2(_, codes, sub)).reduceLeft(_ + _)
+    val cheap = stored.select(col("id"), col("cell"), col("code"))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
+      .join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = stored
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
         (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
     TopK.window(rescored, k)
   }

@@ -90,6 +90,119 @@ object IvfOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** Coarse-quantizer SQL snippets shared by the probe pipelines:
+    * (distCols, leastExpr, argmin, probeCase, cellsValues). */
+  private def coarseSnippets(d: Int, nCells: Int)
+      : (String, String, String, String, String) = {
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    val probeCase = "CASE t.cell " + (0 until nCells)
+      .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
+    val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
+    (distCols, leastExpr, argmin, probeCase, cellsValues)
+  }
+
+  /** COUNT of probe-cell candidates — (qid, candidate) pairs at probe
+    * depth `nprobe` — the byte-accounting numerator of the tuning sweep
+    * (one column: cand_n). */
+  def candCountSql(d: Int, nq: Int, nCells: Int, nprobe: Int): String = {
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe)
+       |SELECT COUNT(*) AS cand_n FROM qp JOIN asg a ON a.cell = qp.cell""".stripMargin
+  }
+
+  /**
+   * Recall-vs-nprobe sweep over the IVF-SQ8 rung
+   * ([[graft.operators.Ivf.tuneNprobeSq8]]): ONE set of shared CTEs (the
+   * sq8-scored candidate scan at npMax, the brute ground truth, the
+   * corpus count) and one UNION ALL arm per grid point — each arm is a
+   * proberank filter, a rerank window, an exact rescore of the bounded
+   * survivor set, and the integer byte accounting.
+   */
+  def tuneSq8Sql(d: Int, nq: Int, k: Int, nCells: Int, nprobes: Seq[Int],
+                 scaleLog2: Int, rerank: Int): String = {
+    val scale = math.pow(2.0, scaleLog2)
+    val npMax = nprobes.max
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    val n2q8 = (1 to d).map(i => s"${dq("e", i, scale)}*${dq("e", i, scale)}")
+      .mkString("(", " + ", ")")
+    val bCode = d.toLong
+    val bFull = 4L * d
+    val denom = OracleGen.dlit((bFull * nq).toDouble)
+    val arms = nprobes.sorted.map { np =>
+      s"""SELECT CAST($np AS INTEGER) AS nprobe,
+         |  CAST(h.hits AS BIGINT) AS hits,
+         |  CAST(h.hits AS DOUBLE) / ${k * nq} AS recall,
+         |  CAST(c.cand_n AS BIGINT) AS cand,
+         |  CAST(f.fetched_n AS BIGINT) AS fetched,
+         |  CAST(c.cand_n * $bCode AS BIGINT) AS bytes_cheap,
+         |  CAST(f.fetched_n * $bFull AS BIGINT) AS bytes_rescore,
+         |  1.0 - (CAST(c.cand_n * $bCode + f.fetched_n * $bFull AS DOUBLE) /
+         |         (CAST(n.n_total AS DOUBLE) * $denom)) AS save
+         |FROM
+         | (SELECT COUNT(*) AS hits FROM
+         |    (SELECT qid, id FROM (
+         |       SELECT r.qid, r.id,
+         |         row_number() OVER (PARTITION BY r.qid ORDER BY r.score DESC, r.id ASC) AS rnk
+         |       FROM (SELECT s.qid, s.id,
+         |               ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+         |                 (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+         |             FROM (SELECT qid, id FROM (
+         |                     SELECT qid, id,
+         |                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |                     FROM cand WHERE pr <= $np) WHERE rn <= $rerank) s
+         |             JOIN embeddings e ON e.vec_id = s.id
+         |             JOIN embeddings qe ON qe.vec_id = s.qid
+         |             JOIN nrm ne ON ne.vec_id = s.id
+         |             JOIN nrm nq2 ON nq2.vec_id = s.qid) r) WHERE rnk <= $k) t
+         |    JOIN bt ON bt.qid = t.qid AND bt.id = t.id) h,
+         | (SELECT COUNT(*) AS cand_n FROM cand WHERE pr <= $np) c,
+         | (SELECT COUNT(*) AS fetched_n FROM (
+         |    SELECT qid, id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |    FROM cand WHERE pr <= $np) WHERE rn <= $rerank) f,
+         | ntot n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |q8n AS (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qpr AS (SELECT qid, cell, pr FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $npMax),
+       |cand AS (SELECT qpr.qid, a.vec_id AS id, qpr.pr,
+       |    ${qdotE("e", "qe", d, scale)} / (${fn("q8.n2q8")} * ${fn("nq2.n2")}) AS score
+       |  FROM qpr JOIN asg a ON a.cell = qpr.cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = qpr.qid
+       |  JOIN q8n q8 ON q8.vec_id = a.vec_id
+       |  JOIN nrm nq2 ON nq2.vec_id = qpr.qid),
+       |bt AS (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
+       |ntot AS (SELECT COUNT(*) AS n_total FROM embeddings)
+       |$arms""".stripMargin
+  }
+
   /** `langs` nonempty = the filtered-index variant: candidates restricted
     * to the metadata predicate (joined on vec_id = doc_id, exactly the
     * rows the at-rest layout stores beside the vectors), lang in the

@@ -30,7 +30,12 @@ object StreamOps {
     * contract schema above. */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(eventsDir).schema
+    // an EMPTY landing zone is the normal start state for a file-stream
+    // source: the footer probe has nothing to read then, so fall back to
+    // the contract schema instead of failing the stream start
+    val fileSchema =
+      try spark.read.parquet(eventsDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
     graft.Tables.normalizeTsNanos(
       spark.readStream.schema(fileSchema).parquet(eventsDir))
   }

@@ -269,6 +269,59 @@ class PlanSpec extends AnyFunSuite {
       s"no cell partition filter on the index scan:\n$plan")
   }
 
+  test("PQ at-rest cheap pass: partition-pruned scan reads only the code column") {
+    val df = graft.operators.Pq.topkAtRest(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank)
+    val plan = df.queryExecution.executedPlan.toString
+    // probe cells must reach the codes scan as a partition filter (the
+    // nprobe/nCells read fraction) ...
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no cell partition filter on the codes scan:\n$plan")
+    // ... and no scan may read the packed code word and the float vector
+    // together: the cheap pass pays 4 bytes/row, the rescore fetch pays
+    // the floats for rerank*NQ survivors only — the rung's entire 64x
+    // read-cut claim, held in the physical plan
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("id", "code")) || read.subsetOf(Set("id", "vec")) ||
+        !read.contains("code") && !read.contains("vec"),
+        s"scan reads $read")
+    }
+    assert(scans.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only scan: $scans")
+    // hash-equal to the in-memory PQ rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Pq.topk(Tables.embeddings(spark, dir),
+      SparkEntry.NQ, SparkEntry.K, SparkEntry.IvfCells, SparkEntry.EmbD,
+      SparkEntry.IvfProbe, SparkEntry.PqM, SparkEntry.PqCodes,
+      SparkEntry.PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+  }
+
+  test("BQ at-rest cheap pass scans only the 8-byte sign-word column") {
+    val df = graft.operators.Bq.topkAtRest(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.BqRerank, SparkEntry.EmbD)
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("id", "code")) || read.subsetOf(Set("id", "vec")) ||
+        !read.contains("code") && !read.contains("vec"),
+        s"scan reads $read")
+    }
+    assert(scans.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only scan: $scans")
+    // hash-equal to the in-memory BQ rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Bq.topk(Tables.embeddings(spark, dir),
+      SparkEntry.NQ, SparkEntry.K, SparkEntry.BqRerank, SparkEntry.EmbD)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+  }
+
   test("dedup band join: AQE splits an adversarial hot band bucket") {
     import spark.implicits._
     import org.apache.spark.sql.execution.SparkPlan
