@@ -27,6 +27,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarning()
 
     // SPARK_GRAFT_BENCH_THREADS=1 gives unconfounded per-query times for
     // local profiling; the default 6-way submission saturates local[32]
@@ -257,4 +258,16 @@ object Bench {
   /** 1-minute system load average (co-tenant CPU steal shows up here). */
   private def sysLoad(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** The suite's three empty-partition-spec windows are bounded by
+    * construction (bm25 ranks <= topN survivors of a TakeOrdered, RRF
+    * fuses <= 2*poolN rows, the pack-offset prefix sum runs over
+    * #partitions rows — `Search.scala`, `TextOps.scala`), so WindowExec's
+    * single-partition warning is a false alarm that spams the driver's
+    * bounded stdout capture. Raise just that logger; real warnings from
+    * every other class stay visible. */
+  private[graft] def quietBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -178,6 +178,31 @@ object SparkEntry {
     Refine.topk(v, q, refineParams("cos_l2"))
   }
 
+  /** Binary quantization at REALISTIC width (D=128, two 64-bit sign
+    * words): the reference's evaluated widths all exceed one word, so
+    * [[graft.operators.Bq.topkWide]] sums per-word popcounts — still
+    * exact integer Hamming, still 1 bit/dim at rest. Runs on the same
+    * D=128 fixture slice as [[qRefineD128]]. */
+  def qAnnBqWide(s: SparkSession, dir: String): DataFrame = {
+    val v = fix128(s, dir)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    graft.operators.Bq.topkWide(v.select(col("id"), col("vec")), q, K,
+      BqRerank, D128)
+  }
+
+  /** Residual IVF-PQ at the reference's MS MARCO-class width (D=1024;
+    * mSub=8 -> 128-dim subspaces, 16-code books): proves the exact-
+    * dyadic reconstruction-norm discipline where the fold/lookup trees
+    * get wide — the same shape as the r4 codegen cliff. Tiny-N slicing
+    * like [[qRefineD1024]]; the label column the query selector expects
+    * is a constant (the fixture has none). */
+  def qAnnPqResD1024(s: SparkSession, dir: String): DataFrame = {
+    val v = fix1024(s, dir).select(col("id").as("vec_id"),
+      col("vec").as("embedding"), lit(0).as("label"))
+    graft.operators.Pq.topkResidual(v, NQ, K, IvfCells, D1024, IvfProbe,
+      PqM, PqCodes, PqRerank)
+  }
+
   /** Relational refine at D=128 — cos_l2 is the worst codegen path (its
     * bb stat dots vec against rvec on top of the synthesis trees; the
     * round-4 Janino 64KB blow-up was exactly this shape at width). */
@@ -1045,6 +1070,11 @@ object SparkEntry {
     // vector untouched (PlanSpec asserts); hash-equal to q_ann_bq
     "q_ann_bq_at_rest" -> q((s, dir) => graft.operators.Bq.topkAtRest(
       s, dir, emb(s, dir), NQ, K, BqRerank, EmbD)),
+    // multi-word BQ at realistic width (D=128): two sign words, Hamming
+    // = sum of per-word popcounts — lifts the single-word d<=64 limit
+    "q_ann_bq_wide" -> q((s, dir) => qAnnBqWide(s, dir)),
+    // residual IVF-PQ at the reference's D=1024 width (tiny-N slice)
+    "q_ann_ivf_pq_res_d1024" -> q((s, dir) => qAnnPqResD1024(s, dir)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
@@ -1339,6 +1369,12 @@ object SparkEntry {
     "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     // identical semantics to q_ann_bq off the stored sign-word column
     "q_ann_bq_at_rest" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
+    // multi-word BQ over the synthesized D=128 fixture slice
+    "q_ann_bq_wide" -> PqOracle.bqWideSql(D128, NQ, K, BqRerank, D128KeyMod),
+    // residual IVF-PQ at width: the fully-relational long form (hash
+    // formulas as component relations instead of ~20k wide literals)
+    "q_ann_ivf_pq_res_d1024" -> PqOracle.topkResidualWideSql(D1024, NQ, K,
+      IvfCells, IvfProbe, PqM, PqCodes, PqRerank, D1024KeyMod),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     // filtered + probe-pruned: the at-rest twin restricts candidates to

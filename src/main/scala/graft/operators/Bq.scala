@@ -66,6 +66,45 @@ object Bq {
     TopK.window(rescored, k)
   }
 
+  /**
+   * Multi-word binary quantization — BQ at the engine's REALISTIC widths
+   * (the reference evaluates D=128-3072; one 64-bit word caps [[topk]]
+   * at d<=64): ceil(d/64) sign words per vector, Hamming = the sum of
+   * per-word `bit_count(XOR)` — still exact integer arithmetic, still
+   * 1 bit/dim at rest (8*words bytes/row, a 32x read cut at any width).
+   * Operates on generic (id, vec) / (qid, qvec) frames so the realistic-
+   * width fixtures plug in directly.
+   */
+  def topkWide(vectors: DataFrame, queries: DataFrame, k: Int, rerank: Int,
+               d: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(d >= 1, s"d=$d")
+    val words = (d + 63) / 64
+    val V = graft.functions.VectorOps
+    def wordCols(v: org.apache.spark.sql.Column, prefix: String) =
+      (0 until words).map(w =>
+        VecExprs.signPack(slice(v, w * 64 + 1, 64)).as(s"${prefix}_$w"))
+    val codes = vectors
+      .filter(assert_true(size(col("vec")) === d,
+        lit(s"binary quantization: vec width != declared d=$d")).isNull)
+      .select(col("id") +: wordCols(col("vec"), "c"): _*)
+    val qc = broadcast(queries.select(col("qid") +:
+      wordCols(col("qvec"), "q"): _*))
+    val ham = (0 until words).map(w =>
+      bit_count(col(s"c_$w").bitwiseXOR(col(s"q_$w")))).reduceLeft(_ + _)
+    val cheap = codes.crossJoin(qc).withColumn("score", ham)
+    val cand = TopK.window(cheap, rerank, ascending = true)
+      .select(col("qid"), col("id"))
+    val rescored = vectors
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(queries.select(col("qid"), col("qvec").as("qvec_"),
+        V.norm2Sq(col("qvec")).as("qn2_"))), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
   // --- codes at rest ----------------------------------------------------
 
   /** Bump when the at-rest code layout changes. */

@@ -74,6 +74,166 @@ object PqOracle {
     s"CAST(CAST(${Ivf.centroidComponent(g, j)} AS FLOAT) AS DOUBLE)"
 
   /**
+   * Multi-word BQ at realistic width over the SYNTHESIZED fixture domain
+   * ([[graft.operators.Bq.topkWide]] on `Fixture.fp16VectorsModCached`):
+   * long-form (key, j, v) synthesis like [[RefineOracle]], sign words as
+   * exact integer sums of per-bit literals grouped by word (bit 63's
+   * 1L<<63 term is the negative two's-complement literal, exactly like
+   * [[bqSql]]), per-word popcount Hamming, rerank cut, exact cosine
+   * rescore (fp16-exact dyadic sums — order-independent, so SQL SUM
+   * equals the engine's codegen fold bit-for-bit).
+   */
+  def bqWideSql(d: Int, nq: Int, k: Int, rerank: Int, keyMod: Int): String = {
+    val words = (d + 63) / 64
+    val bitsValues = (0 until d)
+      .map(j => s"($j, CAST(${1L << (j % 64)} AS BIGINT))").mkString(",")
+    // CAST the SUM back to BIGINT: DuckDB widens SUM(BIGINT) to HUGEINT,
+    // and xor/bit_count over int128 operate on a different bit pattern
+    // for negative words (the engine's word is 64-bit two's complement)
+    val cwCols = (0 until words).map { w =>
+      s"CAST(SUM(CASE WHEN vd.j >= ${64 * w} AND vd.j < ${64 * (w + 1)}" +
+        s" AND vd.v > 0 THEN b.bitval ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c_$w"
+    }.mkString(",\n  ")
+    val qCols = (0 until words).map(w => s"cw.c_$w AS q_$w").mkString(", ")
+    // DuckDB's bit_count returns a 1-byte int (C int8_t): two words'
+    // popcounts can sum past 127, so widen each term before adding
+    val hamExpr = (0 until words)
+      .map(w => s"CAST(bit_count(xor(cw.c_$w, qc.q_$w)) AS INTEGER)")
+      .mkString("(", " + ", ")")
+    s"""WITH ${OracleGen.keysAndDims(d, keyMod)},
+       |vd AS (SELECT key, j, CAST(${OracleGen.fp16Comp} AS DOUBLE) AS v
+       |  FROM keys CROSS JOIN dims),
+       |bits AS (SELECT j, bitval FROM (VALUES $bitsValues) AS t(j, bitval)),
+       |cw AS (SELECT vd.key, $cwCols
+       |  FROM vd JOIN bits b ON b.j = vd.j GROUP BY vd.key),
+       |qk AS (SELECT key AS qkey FROM keys ORDER BY key LIMIT $nq),
+       |qc AS (SELECT qk.qkey, $qCols FROM qk JOIN cw ON cw.key = qk.qkey),
+       |nv AS (SELECT key, SUM(v*v) AS n2 FROM vd GROUP BY key),
+       |cheap AS (SELECT qc.qkey AS qid, cw.key AS id, $hamExpr AS ham
+       |  FROM cw CROSS JOIN qc),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham ASC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |qd AS (SELECT qkey, j, v AS qv FROM vd JOIN qk ON vd.key = qk.qkey),
+       |pair AS (SELECT qd.qkey AS qid, vd.key AS id, SUM(qd.qv*vd.v) AS dxq
+       |  FROM qd JOIN vd ON qd.j = vd.j GROUP BY 1, 2),
+       |scored AS (SELECT r.qid, r.id,
+       |    p.dxq / (${fn("nv.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r JOIN pair p ON p.qid = r.qid AND p.id = r.id
+       |  JOIN nv ON nv.key = r.id
+       |  JOIN nv nq2 ON nq2.key = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
+   * RESIDUAL IVF-PQ at realistic width over the SYNTHESIZED fixture
+   * domain ([[graft.operators.Pq.topkResidual]] on
+   * `Fixture.fp16VectorsModCached` slices): the fully-RELATIONAL long
+   * form of [[topkResidualSql]] — at D=1024 the column-indexed form
+   * would embed ~20k wide expressions, so instead the coarse centroids
+   * and PQ codebook are generated as (index, component) relations from
+   * their integer-mod hash formulas (`Ivf.centroidComponent`,
+   * [[Pq.component]] — note m*sub + j' is just the global dim index, so
+   * the codebook is (code, j)-addressable), and every fold becomes a SUM
+   * over exact dyadic products (order-independent, engine-identical).
+   * The residual keeps the engine's ONE rounding step:
+   * r = CAST(v - c AS FLOAT).
+   */
+  def topkResidualWideSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+                          mSub: Int, codes: Int, rerank: Int,
+                          keyMod: Int): String = {
+    val sub = d / mSub
+    val aMul = graft.operators.Dedup.AMul
+    val p = 2147483647L
+    val cellsValues = (0 until nCells).map(g => s"($g)").mkString(",")
+    val codesValues = (0 until codes).map(c => s"($c)").mkString(",")
+    // exact dyadic components from the hash formulas (k/512 and k/2048
+    // are float-exact, so the engine's FLOAT literal cast is a no-op)
+    val ccomp = s"CAST(((g*$aMul + (j+1)*48271) % $p) % 1024 - 512 AS DOUBLE)/512.0"
+    val cbcomp = s"CAST(((code*$aMul + (j+1)*48271 + 1299709) % $p) % 1024 - 512 AS DOUBLE)/2048.0"
+    s"""WITH ${OracleGen.keysAndDims(d, keyMod)},
+       |vd AS (SELECT key, j, CAST(${OracleGen.fp16Comp} AS DOUBLE) AS v
+       |  FROM keys CROSS JOIN dims),
+       |cells AS (SELECT g FROM (VALUES $cellsValues) AS t(g)),
+       |ccomp AS (SELECT g, j, $ccomp AS c FROM cells CROSS JOIN dims),
+       |pqcomp AS (SELECT code, j, (j // $sub) AS m, $cbcomp AS cb
+       |  FROM (VALUES $codesValues) AS t(code) CROSS JOIN dims),
+       |celld AS (SELECT vd.key, cc.g, SUM((vd.v - cc.c)*(vd.v - cc.c)) AS d2
+       |  FROM vd JOIN ccomp cc ON cc.j = vd.j GROUP BY 1, 2),
+       |asg AS (SELECT key, g AS cell FROM (
+       |    SELECT key, g,
+       |      row_number() OVER (PARTITION BY key ORDER BY d2 ASC, g ASC) AS rn
+       |    FROM celld) WHERE rn = 1),
+       |rvd AS (SELECT vd.key, vd.j, (vd.j // $sub) AS m, a.cell,
+       |    CAST(CAST(vd.v - cc.c AS FLOAT) AS DOUBLE) AS r
+       |  FROM vd JOIN asg a ON a.key = vd.key
+       |  JOIN ccomp cc ON cc.g = a.cell AND cc.j = vd.j),
+       |pqd AS (SELECT rv.key, rv.m, pc.code,
+       |    SUM((rv.r - pc.cb)*(rv.r - pc.cb)) AS d2
+       |  FROM rvd rv JOIN pqcomp pc ON pc.j = rv.j GROUP BY 1, 2, 3),
+       |enc AS (SELECT key, m, code FROM (
+       |    SELECT key, m, code,
+       |      row_number() OVER (PARTITION BY key, m ORDER BY d2 ASC, code ASC) AS rn
+       |    FROM pqd) WHERE rn = 1),
+       |qk AS (SELECT key AS qkey FROM keys ORDER BY key LIMIT $nq),
+       |qd AS (SELECT qkey, j, v AS qv FROM vd JOIN qk ON vd.key = qk.qkey),
+       |nqt AS (SELECT qkey, SUM(qv*qv) AS nq2 FROM qd GROUP BY qkey),
+       |qcelld AS (SELECT qd.qkey, cc.g, SUM((qd.qv - cc.c)*(qd.qv - cc.c)) AS d2
+       |  FROM qd JOIN ccomp cc ON cc.j = qd.j GROUP BY 1, 2),
+       |qp AS (SELECT qkey, g AS cell FROM (
+       |    SELECT qkey, g,
+       |      row_number() OVER (PARTITION BY qkey ORDER BY d2 ASC, g ASC) AS pr
+       |    FROM qcelld) WHERE pr <= $nprobe),
+       |qcdot AS (SELECT qd.qkey, cc.g, SUM(qd.qv * cc.c) AS qc
+       |  FROM qd JOIN ccomp cc ON cc.j = qd.j GROUP BY 1, 2),
+       |adc AS (SELECT qd.qkey, pc.m, pc.code, SUM(qd.qv * pc.cb) AS t
+       |  FROM qd JOIN pqcomp pc ON pc.j = qd.j GROUP BY 1, 2, 3),
+       |celln2 AS (SELECT g, SUM(c*c) AS n2c FROM ccomp GROUP BY g),
+       |cbn2 AS (SELECT m, code, SUM(cb*cb) AS n2cb FROM pqcomp GROUP BY 1, 2),
+       |crossd AS (SELECT cc.g, pc.m, pc.code, SUM(cc.c * pc.cb) AS cx
+       |  FROM ccomp cc JOIN pqcomp pc ON pc.j = cc.j GROUP BY 1, 2, 3),
+       |cand AS (SELECT qp.qkey, s.key, s.cell
+       |  FROM qp JOIN asg s ON s.cell = qp.cell),
+       |num AS (SELECT c.qkey, c.key, SUM(a.t) AS tsum,
+       |    SUM(2.0*x.cx + b.n2cb) AS rterm
+       |  FROM cand c JOIN enc e ON e.key = c.key
+       |  JOIN adc a ON a.qkey = c.qkey AND a.m = e.m AND a.code = e.code
+       |  JOIN crossd x ON x.g = c.cell AND x.m = e.m AND x.code = e.code
+       |  JOIN cbn2 b ON b.m = e.m AND b.code = e.code
+       |  GROUP BY 1, 2),
+       |cheap AS (SELECT n.qkey AS qid, n.key AS id,
+       |    (q1.qc + n.tsum) /
+       |      (${fn("c2.n2c + n.rterm")} * ${fn("nqt.nq2")}) AS s_hat
+       |  FROM num n
+       |  JOIN cand cd ON cd.qkey = n.qkey AND cd.key = n.key
+       |  JOIN qcdot q1 ON q1.qkey = n.qkey AND q1.g = cd.cell
+       |  JOIN celln2 c2 ON c2.g = cd.cell
+       |  JOIN nqt ON nqt.qkey = n.qkey),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |nv AS (SELECT key, SUM(v*v) AS nx2 FROM vd GROUP BY key),
+       |pair AS (SELECT qd.qkey AS qid, vd.key AS id, SUM(qd.qv*vd.v) AS dxq
+       |  FROM qd JOIN vd ON qd.j = vd.j GROUP BY 1, 2),
+       |scored AS (SELECT r.qid, r.id,
+       |    p.dxq / (${fn("nv.nx2")} * ${fn("nqt.nq2")}) AS score
+       |  FROM rr r JOIN pair p ON p.qid = r.qid AND p.id = r.id
+       |  JOIN nv ON nv.key = r.id
+       |  JOIN nqt ON nqt.qkey = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
    * RESIDUAL IVF-PQ mirror ([[graft.operators.Pq.topkResidual]]): the
    * residual elements r_j = CAST((x_j as double) - c_cell_j AS FLOAT)
    * are materialized as columns with the SAME single rounding step the

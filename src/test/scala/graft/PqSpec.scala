@@ -67,6 +67,53 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("residual ivf-pq at D=1024 compiles whole-stage (no Janino fallback)") {
+    // the width row's entire point: the encode stage (8-branch residual
+    // CASE over 1024-wide zip_with + 128 l2Sq folds + argmin chains) must
+    // stay COMPILED where wide trees historically hit the 64KB cliff (r4)
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val df = SparkEntry.qAnnPqResD1024(spark, dir)
+    df.collect()
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile for:\n$subtree")
+    }
+  }
+
+  test("wide bq (D=128): exact rescores, agrees with single-word bq on d<=64") {
+    import SparkEntry.BqRerank
+    // parity on the embeddings table at d=64: topkWide's two-word path
+    // degenerates to one word and must return exactly topk's rows
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = Ann.queriesOf(emb, NQ).select(col("qid"), col("qvec"))
+    val wide = graft.operators.Bq.topkWide(vecs, qs, K, BqRerank, EmbD)
+      .collect().map(_.toSeq).toSet
+    val narrow = graft.operators.Bq.topk(emb, NQ, K, BqRerank, EmbD)
+      .collect().map(_.toSeq).toSet
+    assert(wide == narrow, "wide BQ at d=64 must equal single-word BQ")
+    // and the D=128 fixture run returns full rows with exact rescores
+    val r = SparkEntry.qAnnBqWide(spark, dir)
+    val v128 = Fixture.fp16VectorsModCached(spark, dir, SparkEntry.D128,
+      SparkEntry.KeepM, SparkEntry.D128KeyMod)
+    val q128 = Fixture.queries(v128, NQ).select(col("qid"), col("qvec"))
+    val exact = graft.operators.Refine.exactTopK(
+      v128.select(col("id"), col("vec")), q128,
+      SparkEntry.refineParams("cos_l2")).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id")) ->
+        x.getAs[Double]("score")).toMap
+    val rows = r.collect()
+    assert(rows.length == NQ * K)
+    rows.foreach { row =>
+      val key = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
+      exact.get(key).foreach(s =>
+        assert(row.getAs[Double]("score") == s,
+          s"wide-bq rescore for $key is not the exact score"))
+    }
+  }
+
   test("signPack packs sign bits exactly (incl. the sign bit at dim 63)") {
     import spark.implicits._
     import org.apache.spark.sql.graft.VecExprs
