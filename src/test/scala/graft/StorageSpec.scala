@@ -52,6 +52,44 @@ class StorageSpec extends AnyFunSuite {
       s"filter not pushed: ${scan.metadata("PushedFilters")}")
   }
 
+  test("nprobe tuning sweeps round-trip the K1 CSV sink with sane operating points") {
+    import SparkEntry.{NQ, K, IvfCells, EmbD, TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank}
+    val emb = Tables.embeddings(spark, dir)
+    val (plain, release) = graft.operators.Dedup.scopedRelease(
+      graft.operators.Ivf.tuneNprobe(emb, NQ, K, IvfCells, EmbD, TuneNprobes))
+    val rows = plain.orderBy("nprobe").collect()
+    release()
+    assert(rows.length == TuneNprobes.length)
+    // save falls as nprobe grows (more candidates scanned), recall rises
+    // to exactly 1.0 at full probe; save hits exactly 0 there (every
+    // candidate pays full bytes = the brute baseline)
+    val saves = rows.map(_.getAs[Double]("save"))
+    assert(saves.zip(saves.tail).forall { case (a, b) => a >= b })
+    assert(rows.last.getAs[Double]("recall") == 1.0)
+    assert(rows.last.getAs[Double]("save") == 0.0)
+    // the two-phase rung keeps a positive saving even at full probe (its
+    // cheap pass is 1 byte/dim, rescore bounded by rerank*Q)
+    val (sq8, release2) = graft.operators.Dedup.scopedRelease(
+      graft.operators.Ivf.tuneNprobeSq8(emb, NQ, K, IvfCells, EmbD,
+        TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank))
+    val sq8rows = sq8.orderBy("nprobe").collect()
+    release2()
+    assert(sq8rows.last.getAs[Double]("save") > 0.5)
+    sq8rows.foreach { r =>
+      assert(r.getAs[Long]("bytes_cheap") == r.getAs[Long]("cand") * EmbD)
+      assert(r.getAs[Long]("bytes_rescore") == r.getAs[Long]("fetched") * 4L * EmbD)
+      assert(r.getAs[Long]("fetched") <= Sq8Rerank.toLong * NQ)
+    }
+    // the reference persists its sweep as a CSV artifact (sweep CSV,
+    // ANNCode.py:735) — the nprobe sweep rides the same K1 sink
+    val out = java.nio.file.Files.createTempDirectory("nprobe").toString
+    graft.operators.Sweep.writeCsv(sq8, s"$out/csv")
+    val back = spark.read.option("header", "true").csv(s"$out/csv")
+    assert(back.columns.toSet == Set("nprobe", "hits", "recall", "cand",
+      "fetched", "bytes_cheap", "bytes_rescore", "save"))
+    assert(back.count() == TuneNprobes.length)
+  }
+
   test("sweep grid produces one metrics row per config with invariants") {
     val q = Fixture.queries(
       Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, 6), 3)
