@@ -91,7 +91,11 @@ object Bench {
         SparkEntry.EmbD)
       graft.operators.Pq.ensureCodesFixture(spark, sfDir, SparkEntry.IvfCells,
         SparkEntry.EmbD, SparkEntry.PqM, SparkEntry.PqCodes)
+      graft.operators.Pq.ensureResidualCodesFixture(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM, SparkEntry.PqCodes)
       graft.operators.Bq.ensureCodesFixture(spark, sfDir, SparkEntry.EmbD)
+      graft.operators.Bq.ensureWideCodesFixture(spark, sfDir, SparkEntry.D128,
+        SparkEntry.KeepM, SparkEntry.D128KeyMod)
       graft.sources.Bucketed.ensureTables(spark, sfDir)
       graft.streaming.StreamOps.ensureLanding(sfDir)
       graft.streaming.StreamOps.ensureShardedDocsLanding(spark, sfDir)

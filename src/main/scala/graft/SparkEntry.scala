@@ -1061,6 +1061,13 @@ object SparkEntry {
     // the per-cell query dot to the table picks
     "q_ann_ivf_pq_res" -> q((s, dir) => graft.operators.Pq.topkResidual(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // residual codes AT REST: the layout production IVF-PQ deploys —
+    // cell-partitioned packed residual codes, both passes partition-
+    // pruned, cheap scan 4 bytes/row (PlanSpec); hash-equal to
+    // q_ann_ivf_pq_res
+    "q_ann_ivf_pq_res_at_rest" -> q((s, dir) =>
+      graft.operators.Pq.topkResidualAtRest(s, dir, emb(s, dir), NQ, K,
+        IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // binary quantization: 64-bit sign codes, Hamming cheap rank + exact
     // rescore — the most aggressive rung of the precision ladder
     "q_ann_bq" -> q((s, dir) => graft.operators.Bq.topk(
@@ -1073,6 +1080,10 @@ object SparkEntry {
     // multi-word BQ at realistic width (D=128): two sign words, Hamming
     // = sum of per-word popcounts — lifts the single-word d<=64 limit
     "q_ann_bq_wide" -> q((s, dir) => qAnnBqWide(s, dir)),
+    // ... and the same rung AT REST: two BIGINT word columns, 16-byte
+    // cheap scan (PlanSpec asserts); hash-equal to q_ann_bq_wide
+    "q_ann_bq_wide_at_rest" -> q((s, dir) => graft.operators.Bq
+      .topkWideAtRest(s, dir, NQ, K, BqRerank, D128, KeepM, D128KeyMod)),
     // residual IVF-PQ at the reference's D=1024 width (tiny-N slice)
     "q_ann_ivf_pq_res_d1024" -> q((s, dir) => qAnnPqResD1024(s, dir)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
@@ -1366,11 +1377,17 @@ object SparkEntry {
     // column + partition pruning off the at-rest layout) differs
     "q_ann_ivf_pq_at_rest" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),
+    // identical semantics to q_ann_ivf_pq_res off the at-rest layout
+    "q_ann_ivf_pq_res_at_rest" -> PqOracle.topkResidualSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     // identical semantics to q_ann_bq off the stored sign-word column
     "q_ann_bq_at_rest" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     // multi-word BQ over the synthesized D=128 fixture slice
     "q_ann_bq_wide" -> PqOracle.bqWideSql(D128, NQ, K, BqRerank, D128KeyMod),
+    // identical semantics off the at-rest word columns
+    "q_ann_bq_wide_at_rest" ->
+      PqOracle.bqWideSql(D128, NQ, K, BqRerank, D128KeyMod),
     // residual IVF-PQ at width: the fully-relational long form (hash
     // formulas as component relations instead of ~20k wide literals)
     "q_ann_ivf_pq_res_d1024" -> PqOracle.topkResidualWideSql(D1024, NQ, K,

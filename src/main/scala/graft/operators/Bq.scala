@@ -110,6 +110,76 @@ object Bq {
   /** Bump when the at-rest code layout changes. */
   private val CodesLayoutVersion = 1
 
+  /** Bump when the wide at-rest code layout changes. */
+  private val WideCodesLayoutVersion = 1
+
+  /**
+   * Multi-word sign codes AT REST at realistic width: (id, vec, c_0 ..
+   * c_{w-1}) with one BIGINT column per 64-dim word — 8*ceil(d/64)
+   * bytes/row for the cheap Hamming pass (16 at D=128), the float
+   * vector untouched until the rescore fetch. Source is the same
+   * deterministic fixture slice the in-memory wide rung runs on.
+   */
+  def ensureWideCodesFixture(spark: SparkSession, sfDir: String, d: Int,
+                             keepM: Int, keyMod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val words = (d + 63) / 64
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_bqwide_v${WideCodesLayoutVersion}_${safe}_d${d}_mod$keyMod" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "bqwide-")
+      graft.Fixture.fp16VectorsModCached(spark, sfDir, d, keepM, keyMod)
+        .select(col("id") +: col("vec") +: (0 until words).map(w =>
+          VecExprs.signPack(slice(col("vec"), w * 64 + 1, 64)).as(s"c_$w")): _*)
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"bq wide codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * Wide BQ top-k OFF THE AT-REST CODES — the at-rest twin of
+   * [[topkWide]] on the same fixture slice, returning identical rows:
+   * the cheap pass scans only (id, c_*), the rescore only (id, vec).
+   */
+  def topkWideAtRest(spark: SparkSession, sfDir: String, nq: Int, k: Int,
+                     rerank: Int, d: Int, keepM: Int, keyMod: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val words = (d + 63) / 64
+    val V = graft.functions.VectorOps
+    val path = ensureWideCodesFixture(spark, sfDir, d, keepM, keyMod)
+    val stored = spark.read.parquet(path)
+    // queries = the nq smallest ids (Fixture.queries semantics), read
+    // from the same at-rest table
+    val q = stored.orderBy(col("id")).limit(nq)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val qc = broadcast(q.select(col("qid") +: (0 until words).map(w =>
+      VecExprs.signPack(slice(col("qvec"), w * 64 + 1, 64)).as(s"q_$w")): _*))
+    val ham = (0 until words).map(w =>
+      bit_count(col(s"c_$w").bitwiseXOR(col(s"q_$w")))).reduceLeft(_ + _)
+    val cheap = stored
+      .select(col("id") +: (0 until words).map(w => col(s"c_$w")): _*)
+      .crossJoin(qc).withColumn("score", ham)
+    val cand = TopK.window(cheap, rerank, ascending = true)
+      .select(col("qid"), col("id"))
+    val rescored = stored
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("qvec").as("qvec_"),
+        V.norm2Sq(col("qvec")).as("qn2_"))), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
   /**
    * Materialize the sign codes AT REST: (id, vec, code) with the 64-bit
    * sign word as a real BIGINT column beside the full-precision vector —

@@ -258,7 +258,118 @@ object Pq {
       .join(probes, Seq("cell"))
       .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
     val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    // survivors can only live in probed cells, so the rescore fetch gets
+    // the SAME static partition filter — at scale both passes touch
+    // nprobe/nCells of the files, not just the cheap one
     val rescored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  /** Bump when the residual at-rest code layout or encoding changes. */
+  private val ResCodesLayoutVersion = 1
+
+  /**
+   * The residual codes AT REST — the layout production IVF-PQ actually
+   * deploys: (id, vec, code) partitioned by cell, where `code` packs the
+   * per-subspace argmin codes of the RESIDUAL x − c_cell. Everything the
+   * cheap pass needs beyond the code word is (cell, code_m)-addressable
+   * broadcast state (per-cell query dots, ADC table, exact-dyadic
+   * reconstruction-norm literals), so the scan stays 4 bytes/row.
+   */
+  def ensureResidualCodesFixture(spark: SparkSession, sfDir: String,
+                                 nCells: Int, d: Int, mSub: Int,
+                                 codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val sub = d / mSub
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqrescodes_v${ResCodesLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqres-")
+      val rvecCase = (0 until nCells).foldRight(
+        lit(null).cast("array<float>")) { (g, rest) =>
+        when(col("cell") === g,
+          zip_with(col("embedding"), typedlit(Ivf.centroid(g, d).toSeq),
+            (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
+          .otherwise(rest)
+      }
+      Ivf.assign(graft.Tables.embeddings(spark, sfDir), nCells, d)
+        .withColumn("rvec", rvecCase)
+        .select(col("id") +: col("cell") +: col("embedding") +:
+          distCols(col("rvec"), mSub, codes, sub): _*)
+        .select(col("id") +: col("cell") +: col("embedding") +:
+          (0 until mSub).map(argminCode(_, codes)): _*)
+        .select(col("id"), col("cell"), col("embedding").as("vec"),
+          packedCode(mSub, codes).as("code"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"pq residual codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * Residual IVF-PQ top-k OFF THE AT-REST CODES — the at-rest twin of
+   * [[topkResidual]], returning identical rows: probe cells pushed as a
+   * static partition filter on BOTH passes, cheap pass reads only the
+   * packed code word, reconstruction norms selected from the same exact-
+   * dyadic literal tables by (cell, code_m).
+   */
+  def topkResidualAtRest(spark: SparkSession, sfDir: String, emb: DataFrame,
+                         nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                         mSub: Int, codes: Int, rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val path = ensureResidualCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val stored = spark.read.parquet(path)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    val cells = probeSet.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val qcCols = (0 until nCells).map(g =>
+      VecExprs.dotD(col("qvec"), typedlit(Ivf.centroid(g, d).toSeq))
+        .as(s"qc_$g"))
+    val probes = broadcast(probeSet
+      .join(q, Seq("qid"))
+      .select(Seq(col("qid"), col("cell"), col("qn2")) ++ qcCols ++
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+    val qcCase = (0 until nCells).foldRight(lit(0.0)) { (g, rest) =>
+      when(col("cell") === g, col(s"qc_$g")).otherwise(rest)
+    }
+    val sHatNum = qcCase + (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2cellCase = (0 until nCells).foldRight(lit(0.0)) { (g, rest) =>
+      when(col("cell") === g, lit(cellN2(g, d))).otherwise(rest)
+    }
+    val n2hat = n2cellCase + (0 until mSub).map { m =>
+      val table = for (g <- 0 until nCells; c <- 0 until codes)
+        yield reconN2Term(g, m, c, sub)
+      element_at(typedlit(table),
+        (col("cell") * codes + col(s"code_$m") + 1).cast("int"))
+    }.reduceLeft(_ + _)
+    val cheap = stored.select(col("id"), col("cell"), col("code"))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
+      .join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
       .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
       .join(broadcast(cand), Seq("id"))
       .join(broadcast(q.withColumnRenamed("qvec", "qvec_")

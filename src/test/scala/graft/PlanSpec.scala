@@ -275,10 +275,12 @@ class PlanSpec extends AnyFunSuite {
       SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
       SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank)
     val plan = df.queryExecution.executedPlan.toString
-    // probe cells must reach the codes scan as a partition filter (the
-    // nprobe/nCells read fraction) ...
-    assert(plan.contains("PartitionFilters: [cell"),
-      s"no cell partition filter on the codes scan:\n$plan")
+    // probe cells must reach BOTH fixture scans as a partition filter —
+    // the cheap code scan AND the rescore fetch (survivors can only live
+    // in probed cells), so both passes read nprobe/nCells of the files
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected cell partition filters on both fixture scans, found $pruned:\n$plan")
     // ... and no scan may read the packed code word and the float vector
     // together: the cheap pass pays 4 bytes/row, the rescore fetch pays
     // the floats for rerank*NQ survivors only — the rung's entire 64x
@@ -295,6 +297,33 @@ class PlanSpec extends AnyFunSuite {
     // hash-equal to the in-memory PQ rung
     val a = df.collect().map(_.toSeq).toSet
     val b = graft.operators.Pq.topk(Tables.embeddings(spark, dir),
+      SparkEntry.NQ, SparkEntry.K, SparkEntry.IvfCells, SparkEntry.EmbD,
+      SparkEntry.IvfProbe, SparkEntry.PqM, SparkEntry.PqCodes,
+      SparkEntry.PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+  }
+
+  test("residual-PQ at-rest: both passes partition-pruned, code-only cheap scan") {
+    val df = graft.operators.Pq.topkResidualAtRest(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank)
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected cell partition filters on both fixture scans, found $pruned:\n$plan")
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("id", "code")) || read.subsetOf(Set("id", "vec")) ||
+        !read.contains("code") && !read.contains("vec"),
+        s"scan reads $read")
+    }
+    assert(scans.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only scan: $scans")
+    // hash-equal to the in-memory residual rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Pq.topkResidual(Tables.embeddings(spark, dir),
       SparkEntry.NQ, SparkEntry.K, SparkEntry.IvfCells, SparkEntry.EmbD,
       SparkEntry.IvfProbe, SparkEntry.PqM, SparkEntry.PqCodes,
       SparkEntry.PqRerank).collect().map(_.toSeq).toSet
@@ -319,6 +348,26 @@ class PlanSpec extends AnyFunSuite {
     val b = graft.operators.Bq.topk(Tables.embeddings(spark, dir),
       SparkEntry.NQ, SparkEntry.K, SparkEntry.BqRerank, SparkEntry.EmbD)
       .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+  }
+
+  test("wide-BQ at-rest cheap pass scans only the word columns") {
+    val df = graft.operators.Bq.topkWideAtRest(spark, dir,
+      SparkEntry.NQ, SparkEntry.K, SparkEntry.BqRerank, SparkEntry.D128,
+      SparkEntry.KeepM, SparkEntry.D128KeyMod)
+    val wordCols = Set("c_0", "c_1")
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("id") ++ wordCols) ||
+        read.subsetOf(Set("id", "vec")),
+        s"scan reads $read")
+    }
+    assert(scans.exists(s => s.exists(wordCols) && !s.contains("vec")),
+      s"no word-only scan: $scans")
+    // hash-equal to the in-memory wide rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = SparkEntry.qAnnBqWide(spark, dir).collect().map(_.toSeq).toSet
     assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
   }
 
