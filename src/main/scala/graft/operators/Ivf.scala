@@ -253,6 +253,8 @@ object Ivf {
     val cand = Dedup.persistScoped(assigned.join(probes, Seq("cell"))
       .withColumn("score", cosScore)
       .select(col("qid"), col("id"), col("score"), col("proberank")))
+    // K*NQ rows: every grid point's hits join broadcasts it rather than
+    // letting the tiny side pick a sort-merge shuffle
     val truth = Dedup.persistScoped(
       Ann.bruteTopK(emb, nq, k).select(col("qid"), col("id")))
     // 1-row relations cross-joined under every grid point (constant-fold
@@ -266,7 +268,7 @@ object Ivf {
       val candN = flt.agg(count(lit(1)).as("cand_n"))
       TopK.window(flt, k)
         .select(col("qid"), col("id"))
-        .join(truth, Seq("qid", "id"))
+        .join(broadcast(truth), Seq("qid", "id"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(candN).crossJoin(nTot)
         .select(lit(np).as("nprobe"), col("hits"),
@@ -344,7 +346,7 @@ object Ivf {
           (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
       TopK.window(rescored, k)
         .select(col("qid"), col("id"))
-        .join(truth, Seq("qid", "id"))
+        .join(broadcast(truth), Seq("qid", "id"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(candN).crossJoin(fetchedN).crossJoin(nTot)
         .select(lit(np).as("nprobe"), col("hits"),
