@@ -88,6 +88,15 @@ class StorageSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("nprobe", "hits", "recall", "cand",
       "fetched", "bytes_cheap", "bytes_rescore", "save"))
     assert(back.count() == TuneNprobes.length)
+    // ... and the K2 sink renders its recall-vs-save operating curve
+    // (the reference's {mode}_recall_vs_save.png shape, ANNCode.py:782)
+    graft.operators.Plot.writeXyPng(s"$out/nprobe_recall_vs_save.png",
+      sq8rows.map(_.getAs[Double]("save")).toSeq,
+      sq8rows.map(_.getAs[Double]("recall")).toSeq,
+      "Bandwidth saving", s"Recall@$K", "ivf-sq8: recall vs saving")
+    val png = javax.imageio.ImageIO.read(
+      new java.io.File(s"$out/nprobe_recall_vs_save.png"))
+    assert(png.getWidth == 900 && png.getHeight == 600)
   }
 
   test("sweep grid produces one metrics row per config with invariants") {
