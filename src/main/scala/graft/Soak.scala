@@ -169,6 +169,87 @@ object Soak {
       }.sum
     }
 
+    // ---- ANN rung ladder at engineered scale ---------------------------
+    // the IVF/SQ8/PQ/BQ rungs over the SAME multi-million-row corpus:
+    // per-step wall time + two ride-along checks — (1) every surfaced
+    // score is the true full-precision cosine (driver-side mirror of the
+    // engine's double-promoting fold over the same floats), (2) measured
+    // recall vs the exact top-K the refine steps already computed
+    // (kernelSet is the zero-miss cos_l1 result = exact cosine top-K);
+    // the step's reported n IS the recall hit count, so regressions show
+    // in the artifact.
+    val embSoak = v.select(col("id").as("vec_id"), col("vec").as("embedding"),
+      lit(0).as("label"))
+    val kernelPairs = kernelSet.map(s =>
+      (s(0).asInstanceOf[Long], s(2).asInstanceOf[Long]))
+    def cosExact(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dp / (math.max(math.sqrt(na), 1e-12) * math.max(math.sqrt(nb), 1e-12))
+    }
+    def annStep(name: String, corpus: DataFrame, minRecallPct: Long)
+               (df: => DataFrame): Unit =
+      step(name) {
+        val r = df.select("qid", "id", "score").collect()
+        require(r.length == SparkEntry.NQ * SparkEntry.K,
+          s"$name returned ${r.length} rows")
+        val ids = (r.map(_.getLong(0)) ++ r.map(_.getLong(1))).distinct
+        val vecs = corpus.filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(x => x.getLong(0) -> x.getSeq[Float](1).toArray).toMap
+        r.foreach { row =>
+          val s = cosExact(vecs(row.getLong(0)), vecs(row.getLong(1)))
+          require(row.getDouble(2) == s,
+            s"$name rescore not exact at (${row.getLong(0)}, ${row.getLong(1)})")
+        }
+        val hits = r.count(row =>
+          kernelPairs.contains((row.getLong(0), row.getLong(1)))).toLong
+        require(hits * 100 >= minRecallPct * r.length,
+          s"$name recall $hits/${r.length} under ${minRecallPct}% floor")
+        hits
+      }
+    val soakCells = 16
+    annStep("ivf_sq8_topk", embSoak, minRecallPct = 30) {
+      operators.Ivf.topkSq8(embSoak, SparkEntry.NQ, SparkEntry.K, soakCells,
+        dVec, nprobe = 4, scaleLog2 = 5, rerank = 3 * SparkEntry.K)
+    }
+    // the PQ codebook is dyadic in [-0.25, 0.25) — the CORPUS component
+    // spread it was designed for; N(0,1) components sit far outside it
+    // and ADC ranking degrades to noise (measured 18% recall). Scale the
+    // corpus by the exact power 2^-4 (components ~N(0, 1/16), 4 sigma =
+    // the domain edge): cosine is scale-invariant and power-of-4 norm
+    // scaling is exact under sqrt, so scores stay BIT-IDENTICAL to the
+    // unscaled corpus and the kernelPairs recall yardstick still applies.
+    val embPq = v.select(col("id").as("vec_id"),
+      transform(col("vec"),
+        x => (x.cast("double") * 0.0625).cast("float")).as("embedding"),
+      lit(0).as("label"))
+    // 16 codes over 4-dim subspaces is a coarse book for isotropic
+    // gaussian data, so the ADC rank needs a rerank cut that scales WITH
+    // the corpus: a fixed depth is a shrinking fraction of the probed
+    // pool as N grows and recall collapses (measured 52% -> 18% going
+    // 200k -> 4M at a fixed 2000). nVec/100 keeps the fetch fraction
+    // constant (~4% of probed candidates, a ~25x read cut) — the
+    // depth/recall trade is the rung's own tuning knob, scaled the way a
+    // production deployment scales it.
+    annStep("ivf_pq_adc_topk", embPq, minRecallPct = 30) {
+      operators.Pq.topk(embPq, SparkEntry.NQ, SparkEntry.K, soakCells,
+        dVec, nprobe = 4, mSub = 8, codes = 16,
+        rerank = math.max(200 * SparkEntry.K, nVec / 100))
+    }
+    // same scaling for the 1-bit rung: 32 sign bits over 4M vectors put
+    // ~1000 vectors in every exact-code bucket, so a fixed shallow cut is
+    // all ties; nVec/200 holds a 0.5%-of-corpus fetch (a 200x cut)
+    annStep("bq_hamming_topk", embSoak, minRecallPct = 10) {
+      operators.Bq.topk(embSoak, SparkEntry.NQ, SparkEntry.K,
+        rerank = math.max(6 * SparkEntry.K, nVec / 200), d = dVec)
+    }
+
     val total = times.values.sum
     def jnum(d: Double) = f"$d%.3f"
     val qs = times.map { case (k, t) =>
