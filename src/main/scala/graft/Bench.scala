@@ -101,6 +101,8 @@ object Bench {
       graft.streaming.StreamOps.ensureShardedDocsLanding(spark, sfDir)
       graft.streaming.StreamOps.ensureStreamIndex(spark, sfDir, SparkEntry.D,
         SparkEntry.KeepM)
+      graft.streaming.StreamOps.ensureStreamPqCodes(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM, SparkEntry.PqCodes)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the

@@ -1061,6 +1061,13 @@ object SparkEntry {
     // the per-cell query dot to the table picks
     "q_ann_ivf_pq_res" -> q((s, dir) => graft.operators.Pq.topkResidual(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // streaming quantized-index maintenance: embeddings drained through
+    // a file stream, each microbatch PQ-encoded and appended to the
+    // cell-partitioned codes layout; the PQ rung queries the streamed
+    // layout with no rebuild — hash-equal to q_ann_ivf_pq
+    "q_stream_ann_pq" -> q((s, dir) => graft.streaming.StreamOps
+      .pqOverStream(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe,
+        PqM, PqCodes, PqRerank)),
     // residual codes AT REST: the layout production IVF-PQ deploys —
     // cell-partitioned packed residual codes, both passes partition-
     // pruned, cheap scan 4 bytes/row (PlanSpec); hash-equal to
@@ -1380,6 +1387,10 @@ object SparkEntry {
     // identical semantics to q_ann_ivf_pq_res off the at-rest layout
     "q_ann_ivf_pq_res_at_rest" -> PqOracle.topkResidualSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    // the stream-maintained codes layout holds the same rows as the
+    // batch-built one once drained -> q_ann_ivf_pq's oracle
+    "q_stream_ann_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     // identical semantics to q_ann_bq off the stored sign-word column
     "q_ann_bq_at_rest" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),

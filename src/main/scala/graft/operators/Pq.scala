@@ -184,6 +184,23 @@ object Pq {
     (0 until mSub).map(m =>
       shiftrightunsigned(col("code"), 4 * m).bitwiseAND(lit(15)).as(s"code_$m"))
 
+  /** (id, cell, vec, code): the encode projection — coarse assignment,
+    * per-subspace argmin, packed word — shared by the batch layout
+    * writer and the streaming index-maintenance path (each microbatch
+    * runs exactly this over its arriving vectors). */
+  def encodeCodes(emb: DataFrame, nCells: Int, d: Int, mSub: Int,
+                  codes: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    val sub = d / mSub
+    Ivf.assign(emb, nCells, d)
+      .select(col("id") +: col("cell") +: col("embedding") +:
+        distCols(col("embedding"), mSub, codes, sub): _*)
+      .select(col("id") +: col("cell") +: col("embedding") +:
+        (0 until mSub).map(argminCode(_, codes)): _*)
+      .select(col("id"), col("cell"), col("embedding").as("vec"),
+        packedCode(mSub, codes).as("code"))
+  }
+
   /**
    * Materialize the PQ codes AT REST: (id, vec, code) written once,
    * `partitionBy("cell")` — the same write-time layout as
@@ -196,20 +213,13 @@ object Pq {
   def ensureCodesFixture(spark: SparkSession, sfDir: String, nCells: Int,
                          d: Int, mSub: Int, codes: Int): String = {
     import java.nio.file.{Files, Paths}
-    val sub = d / mSub
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_pqcodes_v${CodesLayoutVersion}_${safe}_c${nCells}_d${d}" +
         s"_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
     if (!Files.exists(path.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(path.getParent, "pqcodes-")
-      Ivf.assign(graft.Tables.embeddings(spark, sfDir), nCells, d)
-        .select(col("id") +: col("cell") +: col("embedding") +:
-          distCols(col("embedding"), mSub, codes, sub): _*)
-        .select(col("id") +: col("cell") +: col("embedding") +:
-          (0 until mSub).map(argminCode(_, codes)): _*)
-        .select(col("id"), col("cell"), col("embedding").as("vec"),
-          packedCode(mSub, codes).as("code"))
+      encodeCodes(graft.Tables.embeddings(spark, sfDir), nCells, d, mSub, codes)
         .sortWithinPartitions(col("id"))
         .write.mode("overwrite").partitionBy("cell")
         .option("compression", "zstd").parquet(tmp.toString)
@@ -233,12 +243,20 @@ object Pq {
    */
   def topkAtRest(spark: SparkSession, sfDir: String, emb: DataFrame,
                  nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
-                 mSub: Int, codes: Int, rerank: Int): DataFrame = {
+                 mSub: Int, codes: Int, rerank: Int): DataFrame =
+    topkOffCodes(spark, ensureCodesFixture(spark, sfDir, nCells, d, mSub,
+      codes), emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+
+  /** [[topkAtRest]] off an EXPLICIT codes layout path — the query half,
+    * shared with the streaming-maintained layout
+    * ([[graft.streaming.StreamOps.pqOverStream]]). */
+  def topkOffCodes(spark: SparkSession, path: String, emb: DataFrame,
+                   nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                   mSub: Int, codes: Int, rerank: Int): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val sub = d / mSub
     val V = graft.functions.VectorOps
-    val path = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
     val stored = spark.read.parquet(path) // (id, vec, code) + cell partition
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probeSet = Ivf.probeCells(q, nCells, d, nprobe)

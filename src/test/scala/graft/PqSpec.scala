@@ -114,6 +114,23 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-maintained PQ codes layout equals the batch rung") {
+    val a = graft.streaming.StreamOps.pqOverStream(spark, dir, emb,
+      NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+      .collect().map(_.toSeq).toSet
+    val b = Pq.topk(emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+      PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K,
+      "streamed codes layout diverged from the batch rung")
+    // the drain was genuinely incremental: multi-shard landing at one
+    // file per trigger means the layout accumulated across microbatches
+    val landing =
+      graft.streaming.StreamOps.ensureShardedEmbLanding(spark, dir)
+    val parts = new java.io.File(landing).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"landing has only $parts shard(s)")
+  }
+
   test("signPack packs sign bits exactly (incl. the sign bit at dim 63)") {
     import spark.implicits._
     import org.apache.spark.sql.graft.VecExprs
