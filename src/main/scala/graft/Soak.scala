@@ -244,10 +244,13 @@ object Soak {
     }
     // same scaling for the 1-bit rung: 32 sign bits over 4M vectors put
     // ~1000 vectors in every exact-code bucket, so a fixed shallow cut is
-    // all ties; nVec/200 holds a 0.5%-of-corpus fetch (a 200x cut)
+    // all ties; nVec/200 holds a 0.5%-of-corpus fetch (a 200x cut).
+    // topkWide (not topk) so the SOAK_D=128 profile runs the multi-word
+    // path instead of tripping the single-word d<=64 plan-build check.
     annStep("bq_hamming_topk", embSoak, minRecallPct = 10) {
-      operators.Bq.topk(embSoak, SparkEntry.NQ, SparkEntry.K,
-        rerank = math.max(6 * SparkEntry.K, nVec / 200), d = dVec)
+      operators.Bq.topkWide(v.select(col("id"), col("vec")), q,
+        SparkEntry.K, rerank = math.max(6 * SparkEntry.K, nVec / 200),
+        d = dVec)
     }
 
     val total = times.values.sum

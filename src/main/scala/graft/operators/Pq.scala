@@ -247,6 +247,35 @@ object Pq {
     topkOffCodes(spark, ensureCodesFixture(spark, sfDir, nCells, d, mSub,
       codes), emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
 
+  /**
+   * Compact a codes layout: microbatch appends (the streaming
+   * maintenance path) leave one small file per (trigger, cell) — the
+   * classic small-files problem that turns a partition-pruned scan into
+   * thousands of opens at scale. Rewrites the layout one file per cell,
+   * id-sorted within files (row-group skipping on the rescore fetch),
+   * into a fresh directory published atomically; rows are untouched, so
+   * every query off the compacted path is hash-equal. Returns the new
+   * path (the OPTIMIZE step a production table service runs).
+   */
+  def compactCodesLayout(spark: SparkSession, srcPath: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dst = Paths.get(srcPath + "_compacted")
+    if (!Files.exists(dst.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(dst.getParent, "pqcompact-")
+      spark.read.parquet(srcPath)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, dst)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(dst.resolve("_SUCCESS")),
+        s"compaction publish failed: $dst")
+    }
+    dst.toString
+  }
+
   /** [[topkAtRest]] off an EXPLICIT codes layout path — the query half,
     * shared with the streaming-maintained layout
     * ([[graft.streaming.StreamOps.pqOverStream]]). */

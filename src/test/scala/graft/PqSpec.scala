@@ -131,6 +131,45 @@ class PqSpec extends AnyFunSuite {
     assert(parts >= 2, s"landing has only $parts shard(s)")
   }
 
+  test("compacting the stream-maintained codes layout: fewer files, same rows") {
+    val streamed = graft.streaming.StreamOps.ensureStreamPqCodes(
+      spark, dir, IvfCells, EmbD, PqM, PqCodes)
+    val compacted = graft.operators.Pq.compactCodesLayout(spark, streamed)
+    def dataFiles(p: String): Int = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(root).count(_.getName.endsWith(".parquet"))
+    }
+    val (nS, nC) = (dataFiles(streamed), dataFiles(compacted))
+    // 4 microbatches x cells before; one file per cell after
+    assert(nC < nS, s"compaction did not reduce files: $nS -> $nC")
+    assert(nC <= IvfCells, s"$nC files for $IvfCells cells")
+    val a = Pq.topkOffCodes(spark, compacted, emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    val b = Pq.topkOffCodes(spark, streamed, emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K,
+      "compaction changed query results")
+  }
+
+  test("wide bq rejects a width mismatch at execution, loudly") {
+    import spark.implicits._
+    // declared d=64 over 32-wide vectors: the assert_true filter must
+    // fail the job with the mismatch spelled out, not silently pack a
+    // half-empty word
+    val vs = Seq.tabulate(20)(i => (i.toLong, Array.fill(32)(1.0f)))
+      .toDF("id", "vec")
+    val qs = vs.limit(2).select(col("id").as("qid"), col("vec").as("qvec"))
+    val e = intercept[Exception] {
+      graft.operators.Bq.topkWide(vs, qs, k = 2, rerank = 4, d = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("width")),
+      s"unexpected error: $e")
+  }
+
   test("signPack packs sign bits exactly (incl. the sign bit at dim 63)") {
     import spark.implicits._
     import org.apache.spark.sql.graft.VecExprs
