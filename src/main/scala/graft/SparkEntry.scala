@@ -601,6 +601,9 @@ object SparkEntry {
   // recall/nprobe tuning grid (q_tune_nprobe); max = IvfCells makes the
   // last row provably recall = 1.0
   final val TuneNprobes = Seq(1, 2, 4, 8)
+  // operating-point floor for q_tune_nprobe_pick (at sf0.01 the sq8
+  // sweep's recalls straddle it: 0.33/0.49/0.78/1.0 -> picks nprobe=4)
+  final val TuneNprobeFloor = 0.7
   // IVF-SQ8: embeddings are unit vectors (|v| < 1), so scale 2^7 keeps
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
@@ -1157,6 +1160,12 @@ object SparkEntry {
     "q_tune_nprobe_sq8" -> q((s, dir) => graft.operators.Ivf.tuneNprobeSq8(
       emb(s, dir), NQ, K, IvfCells, EmbD, TuneNprobes, EmbSq8ScaleLog2,
       Sq8Rerank)),
+    // ... and the workflow's END: the chosen operating point — highest
+    // save clearing the recall floor (Tune.tuneDelta's discipline on the
+    // index-side sweep)
+    "q_tune_nprobe_pick" -> q((s, dir) => graft.operators.Ivf.chooseNprobeSq8(
+      emb(s, dir), NQ, K, IvfCells, EmbD, TuneNprobes, EmbSq8ScaleLog2,
+      Sq8Rerank, TuneNprobeFloor)),
     // retrieval-eval metric: mean reciprocal rank of the IVF-probed list
     // against the exact nearest neighbor (brute top-1) — the other
     // standard index-tuning number next to recall. Each query's 1/rank
@@ -1451,6 +1460,8 @@ object SparkEntry {
     },
     "q_tune_nprobe_sq8" -> IvfOracle.tuneSq8Sql(EmbD, NQ, K, IvfCells,
       TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank),
+    "q_tune_nprobe_pick" -> IvfOracle.chooseSq8Sql(EmbD, NQ, K, IvfCells,
+      TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank, TuneNprobeFloor),
     // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB
     // `//` is integer division like Spark's `div`
     "q_ann_mrr" ->

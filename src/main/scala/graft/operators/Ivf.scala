@@ -360,4 +360,34 @@ object Ivf {
             (col("n_total").cast("double") * lit(denom))).as("save"))
     }.reduce(_.union(_))
   }
+
+  /**
+   * [[tuneNprobeSq8]] plus the OPERATING-POINT CHOICE — the end of the
+   * reference's tuning workflow (and [[Tune.tuneDelta]]'s discipline
+   * verbatim): a `chosen` flag on the grid row with the highest
+   * bandwidth saving among those clearing the recall floor, falling back
+   * to the highest-recall row if none do; ties break to the smaller
+   * nprobe (rows are collected ascending). The sweep itself is the
+   * shared-scan pipeline; the choice is driver-side over |grid| rows.
+   */
+  def chooseNprobeSq8(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                      nprobes: Seq[Int], scaleLog2: Int, rerank: Int,
+                      recallFloor: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val rows = tuneNprobeSq8(emb, nq, k, nCells, d, nprobes, scaleLog2,
+      rerank).collect().toList.sortBy(_.getInt(0))
+    val indexed = rows.zipWithIndex
+    val meeting = indexed.filter(_._1.getAs[Double]("recall") >= recallFloor)
+    val chosenIdx =
+      if (meeting.nonEmpty) meeting.maxBy(_._1.getAs[Double]("save"))._2
+      else indexed.maxBy(_._1.getAs[Double]("recall"))._2
+    import spark.implicits._
+    indexed.map { case (r, i) =>
+      (r.getInt(0), r.getAs[Long]("hits"), r.getAs[Double]("recall"),
+        r.getAs[Long]("cand"), r.getAs[Long]("fetched"),
+        r.getAs[Long]("bytes_cheap"), r.getAs[Long]("bytes_rescore"),
+        r.getAs[Double]("save"), i == chosenIdx)
+    }.toDF("nprobe", "hits", "recall", "cand", "fetched", "bytes_cheap",
+      "bytes_rescore", "save", "chosen")
+  }
 }

@@ -203,6 +203,26 @@ object IvfOracle {
        |$arms""".stripMargin
   }
 
+  /** [[tuneSq8Sql]] plus the operating-point choice — the
+    * [[graft.operators.Ivf.chooseNprobeSq8]] mirror, same shape as
+    * `RefineOracle.tuneSql`: highest save among rows clearing the recall
+    * floor (else highest recall), ties to the smaller nprobe. */
+  def chooseSq8Sql(d: Int, nq: Int, k: Int, nCells: Int, nprobes: Seq[Int],
+                   scaleLog2: Int, rerank: Int, recallFloor: Double): String =
+    s"""WITH m AS (${tuneSq8Sql(d, nq, k, nCells, nprobes, scaleLog2, rerank)}),
+       |flag AS (SELECT CASE
+       |    WHEN MAX(CASE WHEN recall >= ${OracleGen.dlit(recallFloor)} THEN 1 ELSE 0 END) = 1
+       |    THEN 1 ELSE 0 END AS any_meet FROM m),
+       |sel AS (SELECT m.nprobe FROM m, flag
+       |  WHERE flag.any_meet = 0 OR m.recall >= ${OracleGen.dlit(recallFloor)}
+       |  ORDER BY CASE WHEN flag.any_meet = 1 THEN m.save ELSE m.recall END DESC,
+       |    m.nprobe ASC
+       |  LIMIT 1)
+       |SELECT nprobe, hits, recall, cand, fetched, bytes_cheap,
+       |  bytes_rescore, save,
+       |  nprobe = (SELECT nprobe FROM sel) AS chosen
+       |FROM m""".stripMargin
+
   /** `langs` nonempty = the filtered-index variant: candidates restricted
     * to the metadata predicate (joined on vec_id = doc_id, exactly the
     * rows the at-rest layout stores beside the vectors), lang in the
