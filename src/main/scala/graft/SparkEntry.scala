@@ -604,6 +604,9 @@ object SparkEntry {
   // operating-point floor for q_tune_nprobe_pick (at sf0.01 the sq8
   // sweep's recalls straddle it: 0.33/0.49/0.78/1.0 -> picks nprobe=4)
   final val TuneNprobeFloor = 0.7
+  // rerank-depth grid for q_tune_rerank (the second tuning axis, swept
+  // at nprobe=IvfProbe; all >= K)
+  final val TuneReranks = Seq(10, 20, 30, 60)
   // IVF-SQ8: embeddings are unit vectors (|v| < 1), so scale 2^7 keeps
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
@@ -616,6 +619,16 @@ object SparkEntry {
   // binary quantization: one 64-bit sign word per vector, Hamming cheap
   // rank; deeper rerank than SQ8/PQ (1-bit codes are the coarsest rung)
   final val BqRerank = 60
+  // precision-on-demand cascade (Cascade.topk): 1-bit Hamming cut to
+  // CascadeR1, int8 mid-rank over those survivors cut to CascadeR2,
+  // exact rescore to K — each tier ~4x the bytes/vector of the previous
+  // over a geometrically shrinking candidate set
+  final val CascadeR1 = 60
+  final val CascadeR2 = 30
+  // merge-on-read deletes (q_ann_pq_delete): ids ≡ 0 (mod 17) tombstoned
+  // out of the at-rest PQ layout — ~6% of the corpus, including query
+  // id 0's own self-hit (the hardest case: the top-1 must change)
+  final val DeleteMod = 17
   // search surface beyond plain top-k (Search.scala)
   final val FilterLangs = Seq("fr", "de") // metadata predicate for filtered ANN
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
@@ -1059,6 +1072,20 @@ object SparkEntry {
     "q_ann_ivf_pq_at_rest" -> q((s, dir) => graft.operators.Pq.topkAtRest(
       s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
       PqRerank)),
+    // merge-on-read DELETES over the at-rest PQ layout: the delete set
+    // is a tiny (id) tombstone sidecar anti-joined by both passes (the
+    // relational form of a deletion vector); compaction later applies it
+    // physically with hash-equal results (PqSpec asserts)
+    "q_ann_pq_delete" -> q((s, dir) => graft.operators.Pq
+      .topkAtRestWithDeletes(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
+        IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
+    // metadata-filtered search at the quantized rung, off the at-rest
+    // codes: ONE cheap scan carries cell partition pruning AND the
+    // pushed lang predicate AND reads only the code word (PlanSpec
+    // asserts all three)
+    "q_ann_ivf_pq_filtered" -> q((s, dir) => graft.operators.Pq
+      .topkAtRestFiltered(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
+        IvfProbe, PqM, PqCodes, PqRerank, FilterLangs)),
     // residual IVF-PQ: codes quantize x - c_cell (the production form —
     // the codebook only covers the within-cell spread); ADC score adds
     // the per-cell query dot to the table picks
@@ -1087,6 +1114,20 @@ object SparkEntry {
     // vector untouched (PlanSpec asserts); hash-equal to q_ann_bq
     "q_ann_bq_at_rest" -> q((s, dir) => graft.operators.Bq.topkAtRest(
       s, dir, emb(s, dir), NQ, K, BqRerank, EmbD)),
+    // the PRECISION-ON-DEMAND CASCADE: all three quantization rungs as
+    // one pipeline — corpus-wide 1-bit Hamming scan, int8 mid-rank over
+    // the survivors, exact rescore of the finalists (the reference's
+    // progressive-refinement thesis across the standard code ladder)
+    "q_ann_cascade" -> q((s, dir) => graft.operators.Cascade.topk(
+      emb(s, dir), NQ, K, EmbD, EmbSq8ScaleLog2, CascadeR1, CascadeR2)),
+    // ... and the same cascade off ONE disaggregated at-rest ladder
+    // (id | sign word | int8 codes | floats as separate column chunks):
+    // tier 1 scans 8 bytes/row, tiers 2-3 point-fetch only their own
+    // column for bounded survivor sets (PlanSpec asserts per-tier
+    // pruning); hash-equal to q_ann_cascade
+    "q_ann_cascade_at_rest" -> q((s, dir) => graft.operators.Cascade
+      .topkAtRest(s, dir, emb(s, dir), NQ, K, EmbD, EmbSq8ScaleLog2,
+        CascadeR1, CascadeR2)),
     // multi-word BQ at realistic width (D=128): two sign words, Hamming
     // = sum of per-word popcounts — lifts the single-word d<=64 limit
     "q_ann_bq_wide" -> q((s, dir) => qAnnBqWide(s, dir)),
@@ -1166,6 +1207,12 @@ object SparkEntry {
     "q_tune_nprobe_pick" -> q((s, dir) => graft.operators.Ivf.chooseNprobeSq8(
       emb(s, dir), NQ, K, IvfCells, EmbD, TuneNprobes, EmbSq8ScaleLog2,
       Sq8Rerank, TuneNprobeFloor)),
+    // the SECOND tuning axis: rerank-depth sweep at fixed nprobe — the
+    // cheap pass is shared verbatim across grid points (one persisted
+    // scan); only the rescore-fetch depth (and its bytes) varies
+    "q_tune_rerank" -> q((s, dir) => graft.operators.Ivf.tuneRerankSq8(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, EmbSq8ScaleLog2,
+      TuneReranks)),
     // retrieval-eval metric: mean reciprocal rank of the IVF-probed list
     // against the exact nearest neighbor (brute top-1) — the other
     // standard index-tuning number next to recall. Each query's 1/rank
@@ -1396,6 +1443,12 @@ object SparkEntry {
     // identical semantics to q_ann_ivf_pq_res off the at-rest layout
     "q_ann_ivf_pq_res_at_rest" -> PqOracle.topkResidualSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    // the PQ pipeline minus the tombstoned ids (vec_id ≡ 0 mod DeleteMod)
+    "q_ann_pq_delete" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, excludeMod = DeleteMod),
+    // the PQ pipeline with candidates restricted to the lang predicate
+    "q_ann_ivf_pq_filtered" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, langs = FilterLangs),
     // the stream-maintained codes layout holds the same rows as the
     // batch-built one once drained -> q_ann_ivf_pq's oracle
     "q_stream_ann_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
@@ -1403,6 +1456,12 @@ object SparkEntry {
     "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     // identical semantics to q_ann_bq off the stored sign-word column
     "q_ann_bq_at_rest" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
+    // three-tier cascade: Hamming cut, int8 mid-rank, exact rescore
+    "q_ann_cascade" -> PqOracle.cascadeSql(EmbD, NQ, K, EmbSq8ScaleLog2,
+      CascadeR1, CascadeR2),
+    // identical semantics off the disaggregated at-rest ladder
+    "q_ann_cascade_at_rest" -> PqOracle.cascadeSql(EmbD, NQ, K,
+      EmbSq8ScaleLog2, CascadeR1, CascadeR2),
     // multi-word BQ over the synthesized D=128 fixture slice
     "q_ann_bq_wide" -> PqOracle.bqWideSql(D128, NQ, K, BqRerank, D128KeyMod),
     // identical semantics off the at-rest word columns
@@ -1462,6 +1521,8 @@ object SparkEntry {
       TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank),
     "q_tune_nprobe_pick" -> IvfOracle.chooseSq8Sql(EmbD, NQ, K, IvfCells,
       TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank, TuneNprobeFloor),
+    "q_tune_rerank" -> IvfOracle.tuneRerankSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, EmbSq8ScaleLog2, TuneReranks),
     // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB
     // `//` is integer division like Spark's `div`
     "q_ann_mrr" ->

@@ -362,6 +362,71 @@ object Ivf {
   }
 
   /**
+   * The OTHER tuning axis: recall-vs-RERANK sweep at a fixed probe depth
+   * over the IVF-SQ8 rung. The cheap pass (and so bytes_cheap) is the
+   * same for every grid point; what varies is how many survivors pay the
+   * full-precision fetch — the cut depth is the knob that trades rescore
+   * bandwidth for recall once nprobe is settled (the reference tunes its
+   * analogous second knob, the cushion delta, the same way:
+   * `ANNCode.py:729-789` sweeps m_keep x delta with mode fixed). ONE
+   * persisted sq8-scored candidate scan and one ground-truth pass feed
+   * every grid point; each point is just a deeper rank cut + a bounded
+   * rescore. Output: (rerank, hits, recall, cand, fetched, bytes_cheap,
+   * bytes_rescore, save) — same accounting shape as [[tuneNprobeSq8]].
+   */
+  def tuneRerankSq8(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                    nprobe: Int, scaleLog2: Int, reranks: Seq[Int]): DataFrame = {
+    require(reranks.nonEmpty && reranks.forall(_ >= k),
+      s"reranks $reranks must all be >= k=$k")
+    val V = graft.functions.VectorOps
+    val s = math.pow(2.0, scaleLog2)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    val assigned = assign(emb, nCells, d)
+      .withColumn("q8", transform(col("embedding"),
+        x => (floor(x * s + lit(0.5)).cast("double") / s).cast("float")))
+      .withColumn("n2q8", V.norm2Sq(col("q8")))
+    val cand = Dedup.persistScoped(assigned.join(probes, Seq("cell"))
+      .withColumn("score", V.dot(col("q8"), col("qvec")) /
+        (V.fnorm(col("n2q8")) * V.fnorm(col("qn2"))))
+      .select(col("qid"), col("id"), col("score")))
+    val truth = Dedup.persistScoped(
+      Ann.bruteTopK(emb, nq, k).select(col("qid"), col("id")))
+    val nTot = emb.agg(count(lit(1)).as("n_total"))
+    val candN = cand.agg(count(lit(1)).as("cand_n"))
+    val vFull = emb.select(col("vec_id").as("id"), col("embedding"),
+      V.norm2Sq(col("embedding")).as("n2"))
+    val qFull = broadcast(q.withColumnRenamed("qvec", "qvec_")
+      .withColumnRenamed("qn2", "qn2_"))
+    val bCode = d.toLong
+    val bFull = 4L * d
+    val denom = (bFull * nq).toDouble
+    reranks.sorted.map { rr =>
+      val fetchedIds = TopK.window(cand, rr).select(col("qid"), col("id"))
+      val fetchedN = fetchedIds.agg(count(lit(1)).as("fetched_n"))
+      val rescored = vFull.join(broadcast(fetchedIds), Seq("id"))
+        .join(qFull, Seq("qid"))
+        .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+          (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+      TopK.window(rescored, k)
+        .select(col("qid"), col("id"))
+        .join(broadcast(truth), Seq("qid", "id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(candN).crossJoin(fetchedN).crossJoin(nTot)
+        .select(lit(rr).as("rerank"), col("hits"),
+          (col("hits").cast("double") / lit(k * nq)).as("recall"),
+          col("cand_n").as("cand"), col("fetched_n").as("fetched"),
+          (col("cand_n") * lit(bCode)).as("bytes_cheap"),
+          (col("fetched_n") * lit(bFull)).as("bytes_rescore"),
+          (lit(1.0) -
+            (col("cand_n") * lit(bCode) + col("fetched_n") * lit(bFull))
+              .cast("double") /
+            (col("n_total").cast("double") * lit(denom))).as("save"))
+    }.reduce(_.union(_))
+  }
+
+  /**
    * [[tuneNprobeSq8]] plus the OPERATING-POINT CHOICE — the end of the
    * reference's tuning workflow (and [[Tune.tuneDelta]]'s discipline
    * verbatim): a `chosen` flag on the grid row with the highest

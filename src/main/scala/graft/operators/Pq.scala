@@ -164,8 +164,11 @@ object Pq {
 
   // --- codes at rest ----------------------------------------------------
 
-  /** Bump when the at-rest code layout or the encoding changes. */
-  private val CodesLayoutVersion = 1
+  /** Bump when the at-rest code layout or the encoding changes.
+    * v2: row metadata (lang, via vec_id = doc_id) stored beside the
+    * code word so filtered search pushes its predicate into the same
+    * 4-byte cheap scan (the [[Ivf.ensureIndex]] v2 discipline). */
+  private val CodesLayoutVersion = 2
 
   /** The packed code word: code_m occupies bits [4m, 4m+4) of ONE INT —
     * 32 bits/vector at rest vs 256 float bytes, the 64x cheap-pass read
@@ -220,6 +223,8 @@ object Pq {
     if (!Files.exists(path.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(path.getParent, "pqcodes-")
       encodeCodes(graft.Tables.embeddings(spark, sfDir), nCells, d, mSub, codes)
+        .join(graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), col("lang")), Seq("id"), "left")
         .sortWithinPartitions(col("id"))
         .write.mode("overwrite").partitionBy("cell")
         .option("compression", "zstd").parquet(tmp.toString)
@@ -246,6 +251,68 @@ object Pq {
                  mSub: Int, codes: Int, rerank: Int): DataFrame =
     topkOffCodes(spark, ensureCodesFixture(spark, sfDir, nCells, d, mSub,
       codes), emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+
+  /**
+   * METADATA-FILTERED IVF-PQ off the at-rest codes — the production
+   * filtered-ANN query shape at the quantized rung: ONE cheap scan
+   * carries the cell partition filter AND the pushed lang predicate AND
+   * reads only the 4-byte code word (+ the lang bytes), with the float
+   * vector untouched until the rescore fetch of the bounded survivor
+   * set. Pre-filter semantics ([[graft.operators.Search.filteredTopK]]):
+   * the predicate restricts candidates BEFORE any distance arithmetic,
+   * so a query is never starved by post-filtering its top-k. Output
+   * (qid, rank, id, score, lang).
+   */
+  def topkAtRestFiltered(spark: SparkSession, sfDir: String, emb: DataFrame,
+                         nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                         mSub: Int, codes: Int, rerank: Int,
+                         langs: Seq[String]): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(langs.nonEmpty, "filtered search needs a predicate")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val path = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val stored = spark.read.parquet(path) // (id, vec, code, lang) + cell
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    val cells = probeSet.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probes = broadcast(probeSet
+      .join(q, Seq("qid"))
+      .select(col("qid") +: col("cell") +: col("qn2") +:
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+    val sHatNum = (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2(_, codes, sub)).reduceLeft(_ + _)
+    val cheap = stored.select(col("id"), col("cell"), col("code"), col("lang"))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .filter(col("lang").isin(langs: _*))
+      .select(Seq(col("id"), col("cell"), col("lang")) ++ unpackedCodes(mSub): _*)
+      .join(probes, Seq("cell"))
+      .withColumn("s_hat", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    // rank in place keeping lang (WindowGroupLimit still applies)
+    val wCut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("s_hat").desc, col("id").asc)
+    val cand = cheap.select(col("qid"), col("id"), col("lang"), col("s_hat"))
+      .withColumn("rn", row_number().over(wCut))
+      .filter(col("rn") <= rerank)
+      .select(col("qid"), col("id"), col("lang"))
+    val rescored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    rescored.select(col("qid"), col("id"), col("lang"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
+  }
 
   /**
    * Compact a codes layout: microbatch appends (the streaming
@@ -281,12 +348,20 @@ object Pq {
     * ([[graft.streaming.StreamOps.pqOverStream]]). */
   def topkOffCodes(spark: SparkSession, path: String, emb: DataFrame,
                    nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
-                   mSub: Int, codes: Int, rerank: Int): DataFrame = {
+                   mSub: Int, codes: Int, rerank: Int): DataFrame =
+    topkOffStored(spark.read.parquet(path), emb, nq, k, nCells, d, nprobe,
+      mSub, codes, rerank)
+
+  /** The probe/cheap/rescore pipeline over an explicit stored frame —
+    * lets delete-aware callers interpose a tombstone anti-join between
+    * the scan and the query (filters still push through it). */
+  private def topkOffStored(stored: DataFrame, emb: DataFrame,
+                            nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                            mSub: Int, codes: Int, rerank: Int): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val sub = d / mSub
     val V = graft.functions.VectorOps
-    val stored = spark.read.parquet(path) // (id, vec, code) + cell partition
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
       .select(col("qid"), col("cell"))
@@ -317,6 +392,98 @@ object Pq {
       .withColumn("score", V.dot(col("vec"), col("qvec_")) /
         (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
     TopK.window(rescored, k)
+  }
+
+  // --- deletes (merge-on-read) ------------------------------------------
+
+  /**
+   * MERGE-ON-READ DELETES over a codes layout: the deletion set is a
+   * tiny (id) sidecar — the relational form of a deletion vector — and
+   * the query anti-joins it (broadcast: the delete set is bounded, the
+   * corpus is not). Nothing in the immutable layout is rewritten at
+   * delete time; [[compactCodesLayoutWithDeletes]] is the table
+   * service's later physical rewrite, after which queries are hash-equal
+   * with an empty sidecar. Probe-cell partition pruning pushes through
+   * the anti-join to the scan (PlanSpec asserts), so both passes still
+   * touch nprobe/nCells of the files.
+   */
+  def topkOffCodesWithDeletes(spark: SparkSession, path: String,
+                              tombs: DataFrame, emb: DataFrame,
+                              nq: Int, k: Int, nCells: Int, d: Int,
+                              nprobe: Int, mSub: Int, codes: Int,
+                              rerank: Int): DataFrame = {
+    val live = spark.read.parquet(path)
+      .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+    topkOffStored(live, emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+  }
+
+  /** Write the deterministic delete set (ids ≡ 0 mod `mod` of the
+    * layout) as a real parquet sidecar beside the codes dir — the
+    * fixture form of a production delete commit. Idempotent. */
+  def ensureTombstones(spark: SparkSession, codesPath: String,
+                       mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val path = Paths.get(codesPath + s"_tomb_mod$mod")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "tomb-")
+      spark.read.parquet(codesPath)
+        .select(col("id")).filter(col("id") % mod === 0)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"tombstone publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** [[topkAtRest]] under a deterministic delete set: builds the codes
+    * layout and the id ≡ 0 (mod `deleteMod`) tombstone sidecar, then
+    * runs the merge-on-read query. Queries still come from the
+    * embeddings TABLE (external probes are unaffected by index
+    * deletes); only the candidate corpus shrinks. */
+  def topkAtRestWithDeletes(spark: SparkSession, sfDir: String,
+                            emb: DataFrame, nq: Int, k: Int, nCells: Int,
+                            d: Int, nprobe: Int, mSub: Int, codes: Int,
+                            rerank: Int, deleteMod: Int): DataFrame = {
+    val path = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val tombs = spark.read.parquet(ensureTombstones(spark, path, deleteMod))
+    topkOffCodesWithDeletes(spark, path, tombs, emb, nq, k, nCells, d,
+      nprobe, mSub, codes, rerank)
+  }
+
+  /**
+   * Compaction WITH delete application — the second half of
+   * merge-on-read: rewrite the layout one file per cell without the
+   * tombstoned rows, published atomically to a content-addressed dir
+   * (suffix keys on the tombstone set's cardinality, so a grown delete
+   * set triggers a fresh rewrite). After this, the same query off the
+   * new path with NO sidecar returns identical rows — asserted in
+   * PqSpec.
+   */
+  def compactCodesLayoutWithDeletes(spark: SparkSession, srcPath: String,
+                                    tombs: DataFrame): String = {
+    import java.nio.file.{Files, Paths}
+    val nDel = tombs.count()
+    val dst = Paths.get(srcPath + s"_compacted_del$nDel")
+    if (!Files.exists(dst.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(dst.getParent, "pqdelcompact-")
+      spark.read.parquet(srcPath)
+        .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, dst)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(dst.resolve("_SUCCESS")),
+        s"delete-compaction publish failed: $dst")
+    }
+    dst.toString
   }
 
   /** Bump when the residual at-rest code layout or encoding changes. */

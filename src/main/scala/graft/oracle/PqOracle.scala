@@ -69,6 +69,67 @@ object PqOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /**
+   * The three-tier precision-on-demand cascade
+   * ([[graft.operators.Cascade.topk]]): tier 1 is [[bqSql]]'s sign-word
+   * Hamming scan cut to rerank1; tier 2 dequantizes int8 codes (the
+   * exact dyadic k/2^s of [[IvfOracle.sq8Sql]]) over those survivors and
+   * cuts to rerank2; tier 3 is the exact cosine rescore. Every tier's
+   * arithmetic is exact, so the oracle mirrors the cascade bit-for-bit.
+   */
+  def cascadeSql(d: Int, nq: Int, k: Int, scaleLog2: Int,
+                 rerank1: Int, rerank2: Int): String = {
+    require(d <= 64, s"sign-pack code is one 64-bit word, d=$d")
+    val scale = math.pow(2.0, scaleLog2)
+    val codeExpr = (0 until d).map { j =>
+      s"CASE WHEN e.embedding[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+    // dequantized component + folds, as in IvfOracle.sq8Sql
+    def dq(alias: String, i: Int): String =
+      s"CAST(CAST(FLOOR(CAST($alias.embedding[$i] AS DOUBLE)*$scale + 0.5)/$scale" +
+        s" AS FLOAT) AS DOUBLE)"
+    val qdot = (1 to d).map(i => s"${dq("e", i)}*CAST(qe.embedding[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    val n2q8 = (1 to d).map(i => s"${dq("e", i)}*${dq("e", i)}")
+      .mkString("(", " + ", ")")
+    s"""WITH codes AS (SELECT e.vec_id AS id, $codeExpr AS code FROM embeddings e),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qc AS (SELECT q.qid, c.code AS qcode FROM q JOIN codes c ON c.id = q.qid),
+       |t1c AS (SELECT qc.qid, c.id,
+       |    bit_count(xor(c.code, qc.qcode)) AS ham
+       |  FROM codes c CROSS JOIN qc),
+       |t1 AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham ASC, id ASC) AS rn
+       |    FROM t1c) WHERE rn <= $rerank1),
+       |q8n AS (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
+       |t2c AS (SELECT s.qid, s.id,
+       |    $qdot / (${fn("q8.n2q8")} * ${fn("nq2.n2")}) AS s_hat
+       |  FROM t1 s
+       |  JOIN embeddings e ON e.vec_id = s.id
+       |  JOIN embeddings qe ON qe.vec_id = s.qid
+       |  JOIN q8n q8 ON q8.vec_id = s.id
+       |  JOIN nrm nq2 ON nq2.vec_id = s.qid),
+       |t2 AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM t2c) WHERE rn <= $rerank2),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM t2 r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** Cell-centroid literal for (g, j), float-cast like the engine. */
   private def cc(g: Int, j: Int): String =
     s"CAST(CAST(${Ivf.centroidComponent(g, j)} AS FLOAT) AS DOUBLE)"
@@ -349,10 +410,25 @@ object PqOracle {
   }
 
   /** IVF-PQ pipeline: coarse probe -> ADC cheap rank -> rerank cut ->
-    * exact rescore (tail identical to [[IvfOracle.sq8Sql]]). */
+    * exact rescore (tail identical to [[IvfOracle.sq8Sql]]).
+    * `excludeMod` > 0 removes candidates with vec_id ≡ 0 (mod m) — the
+    * tombstoned-delete twin; `langs` nonempty restricts candidates to
+    * the metadata predicate and carries lang to the output (the
+    * filtered-at-rest twin, like [[IvfOracle.topkSql]]'s). */
   def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
-              mSub: Int, codes: Int, rerank: Int): String = {
+              mSub: Int, codes: Int, rerank: Int, excludeMod: Int = 0,
+              langs: Seq[String] = Nil): String = {
     val sub = d / mSub
+    val candJoin =
+      if (langs.isEmpty) ""
+      else s"\n  JOIN documents dm ON a.vec_id = dm.doc_id" +
+        s" AND dm.lang IN (${langs.map(l => s"'$l'").mkString(", ")})"
+    val candWhere =
+      if (excludeMod <= 0) "" else s"\n  WHERE a.vec_id % $excludeMod <> 0"
+    val candSel = if (langs.isEmpty) "" else ", dm.lang"
+    val cheapSel = if (langs.isEmpty) "" else ", c.lang"
+    val langSel = if (langs.isEmpty) "" else ", lang"
+    val rLangSel = if (langs.isEmpty) "" else ", r.lang"
     // coarse cells (same as IvfOracle.topkSql)
     def cellDistExpr(cell: Int): String =
       (0 until d).map { j =>
@@ -409,18 +485,19 @@ object PqOracle {
        |    SELECT qid, cell,
        |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
        |    FROM qp0) WHERE pr <= $nprobe),
-       |cand AS (SELECT qp.qid, a.vec_id AS id FROM qp JOIN asg a ON a.cell = qp.cell),
-       |cheap AS (SELECT c.qid, c.id,
+       |cand AS (SELECT qp.qid, a.vec_id AS id$candSel
+       |  FROM qp JOIN asg a ON a.cell = qp.cell$candJoin$candWhere),
+       |cheap AS (SELECT c.qid, c.id$cheapSel,
        |    $pickSum / (${fn(s"($n2hatSum)")} * ${fn("nq2.n2")}) AS s_hat
        |  FROM cand c
        |  JOIN enc en ON en.vec_id = c.id
        |  JOIN qt ON qt.qid = c.qid
        |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
-       |rr AS (SELECT qid, id FROM (
-       |    SELECT qid, id,
+       |rr AS (SELECT qid, id$langSel FROM (
+       |    SELECT qid, id$langSel,
        |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
        |    FROM cheap) WHERE rn <= $rerank),
-       |scored AS (SELECT r.qid, r.id,
+       |scored AS (SELECT r.qid, r.id$rLangSel,
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
        |  FROM rr r
@@ -428,10 +505,10 @@ object PqOracle {
        |  JOIN embeddings qe ON qe.vec_id = r.qid
        |  JOIN nrm ne ON ne.vec_id = r.id
        |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
-       |ranked AS (SELECT qid, id, score,
+       |ranked AS (SELECT qid, id$langSel, score,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
        |  FROM scored)
-       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score$langSel
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 }

@@ -108,6 +108,32 @@ class PlanSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("tuneRerank: shared cached scan; recall monotone in cut depth") {
+    import graft.operators.{Ivf, Dedup}
+    val (df, release) = Dedup.scopedRelease(Ivf.tuneRerankSq8(
+      Tables.embeddings(spark, dir), 4, 5, SparkEntry.IvfCells,
+      SparkEntry.EmbD, SparkEntry.IvfProbe, SparkEntry.EmbSq8ScaleLog2,
+      Seq(5, 10, 20)))
+    try {
+      val rows = df.collect().sortBy(_.getInt(0))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage"),
+        s"grid points do not read the cached scan:\n${plan.take(2500)}")
+      // a deeper cut rescoring a SUPERSET of survivors can never lose a
+      // true hit (any evictor outscores the evictee, so it is itself a
+      // global top-k member) — recall must be non-decreasing
+      val recalls = rows.map(_.getAs[Double]("recall"))
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone in rerank: ${recalls.toSeq}")
+      // bytes_cheap is the same scan for every grid point
+      assert(rows.map(_.getAs[Long]("bytes_cheap")).distinct.length == 1)
+      // fetched grows with the cut (until the candidate pool saturates)
+      val fetched = rows.map(_.getAs[Long]("fetched"))
+      assert(fetched.zip(fetched.tail).forall { case (a, b) => a <= b })
+    } finally release()
+  }
+
   test("custom physical operator plans and matches the Dataset kernel") {
     import org.apache.spark.sql.graft.KernelPlan
     import graft.operators.{Refine, RefineKernel}
@@ -347,6 +373,81 @@ class PlanSpec extends AnyFunSuite {
     val a = df.collect().map(_.toSeq).toSet
     val b = graft.operators.Bq.topk(Tables.embeddings(spark, dir),
       SparkEntry.NQ, SparkEntry.K, SparkEntry.BqRerank, SparkEntry.EmbD)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
+  }
+
+  test("filtered PQ at-rest: one scan gets pruning + pushed lang + no vec") {
+    val df = graft.operators.Pq.topkAtRestFiltered(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank,
+      SparkEntry.FilterLangs)
+    val plan = df.queryExecution.executedPlan.toString
+    // probe cells reach both layout scans as partition filters
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected cell partition filters on both scans, found $pruned:\n$plan")
+    // the lang predicate reaches a parquet scan as a pushed filter
+    assert("PushedFilters: \\[[^\\]]*In\\(lang".r.findFirstIn(plan).nonEmpty,
+      s"lang predicate not pushed to the scan:\n$plan")
+    // cheap pass: code word + lang, never the float vector
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("id", "code", "lang")) ||
+        read.subsetOf(Set("id", "vec")) ||
+        !read.contains("code") && !read.contains("vec"),
+        s"scan reads $read")
+    }
+    assert(scans.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only scan: $scans")
+  }
+
+  test("PQ deletes: partition pruning pushes through the tombstone anti-join") {
+    val mod = SparkEntry.DeleteMod
+    val path = graft.operators.Pq.ensureCodesFixture(spark, dir,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM, SparkEntry.PqCodes)
+    val tombs = spark.read.parquet(
+      graft.operators.Pq.ensureTombstones(spark, path, mod))
+    val df = graft.operators.Pq.topkOffCodesWithDeletes(spark, path, tombs,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank)
+    val plan = df.queryExecution.executedPlan.toString
+    // the anti-join must not defeat the probe-cell partition filter
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected cell partition filters on both layout scans, found $pruned:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti-join in plan:\n$plan")
+  }
+
+  test("cascade at-rest: each tier's scan reads only its own rung column") {
+    val df = graft.operators.Cascade.topkAtRest(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.EmbD, SparkEntry.EmbSq8ScaleLog2, SparkEntry.CascadeR1,
+      SparkEntry.CascadeR2)
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    // the disaggregated ladder holds all three rungs in one table; each
+    // tier may read id plus exactly ONE rung column — a scan combining
+    // rungs would void the ladder's whole bytes-per-tier model
+    val tiers = Seq(Set("id", "code"), Set("id", "c8"), Set("id", "vec"))
+    // the query side reads (vec_id, embedding) from the embeddings table
+    // itself — nq rows, not a ladder scan
+    val querySide = Set("vec_id", "embedding")
+    scans.foreach { read =>
+      assert(tiers.exists(read.subsetOf) || read.subsetOf(querySide),
+        s"scan mixes rung columns: $read")
+    }
+    tiers.foreach { t =>
+      assert(scans.exists(s => s.subsetOf(t) && s.size > 1),
+        s"no ${t.mkString("/")}-only scan among $scans")
+    }
+    // hash-equal to the in-memory cascade
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Cascade.topk(Tables.embeddings(spark, dir),
+      SparkEntry.NQ, SparkEntry.K, SparkEntry.EmbD,
+      SparkEntry.EmbSq8ScaleLog2, SparkEntry.CascadeR1, SparkEntry.CascadeR2)
       .collect().map(_.toSeq).toSet
     assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
   }

@@ -153,6 +153,34 @@ class PqSpec extends AnyFunSuite {
       "compaction changed query results")
   }
 
+  test("merge-on-read deletes: anti-join and physical compaction agree") {
+    import org.apache.spark.sql.functions.col
+    val mod = SparkEntry.DeleteMod
+    val path = Pq.ensureCodesFixture(spark, dir, IvfCells, EmbD, PqM, PqCodes)
+    val tombs = spark.read.parquet(Pq.ensureTombstones(spark, path, mod))
+    assert(tombs.count() > 0, "delete set is empty — mod too large for sf")
+    // merge-on-read: tombstones anti-joined at query time
+    val a = Pq.topkOffCodesWithDeletes(spark, path, tombs, emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+      .collect().map(_.toSeq).toSet
+    // physical: compaction applies the deletes, then NO sidecar
+    val compacted = Pq.compactCodesLayoutWithDeletes(spark, path, tombs)
+    val b = Pq.topkOffCodes(spark, compacted, emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b, "merge-on-read and compacted results diverge")
+    // the tombstoned rows are physically gone...
+    val left = spark.read.parquet(compacted)
+      .filter(col("id") % mod === 0).count()
+    assert(left == 0, s"$left tombstoned rows survive compaction")
+    // ...and no surviving result row is a deleted id
+    assert(a.forall(r => r(2).asInstanceOf[Long] % mod != 0))
+    // deleting id 0 (a query's own self-hit) must change its top-1: the
+    // delete is observable, not vacuous
+    val full = Pq.topkOffCodes(spark, path, emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(a != full, "delete had no observable effect")
+  }
+
   test("wide bq rejects a width mismatch at execution, loudly") {
     import spark.implicits._
     // declared d=64 over 32-wide vectors: the assert_true filter must
