@@ -252,6 +252,16 @@ object Soak {
         SparkEntry.K, rerank = math.max(6 * SparkEntry.K, nVec / 200),
         d = dVec)
     }
+    // the full precision-on-demand ladder as ONE pipeline at soak scale:
+    // 1-bit Hamming cut, int8 mid-rank over the survivors, exact rescore
+    // — both cuts scale with the corpus like the single rungs above
+    // (tier 1 the BQ fetch fraction, tier 2 half of it). Single-word
+    // tier 1, so only on d<=64 profiles (the default SOAK_D=32).
+    if (dVec <= 64) annStep("cascade_topk", embSoak, minRecallPct = 10) {
+      operators.Cascade.topk(embSoak, SparkEntry.NQ, SparkEntry.K, dVec,
+        scaleLog2 = 5, rerank1 = math.max(6 * SparkEntry.K, nVec / 200),
+        rerank2 = math.max(3 * SparkEntry.K, nVec / 400))
+    }
 
     val total = times.values.sum
     def jnum(d: Double) = f"$d%.3f"

@@ -607,6 +607,11 @@ object SparkEntry {
   // rerank-depth grid for q_tune_rerank (the second tuning axis, swept
   // at nprobe=IvfProbe; all >= K)
   final val TuneReranks = Seq(10, 20, 30, 60)
+  // the 2-D grid for q_tune_grid (both knobs together — their bytes
+  // trade against each other, so the frontier is not on either 1-D
+  // slice); kept 2x3 to bound the oracle arm count
+  final val TuneGridNprobes = Seq(2, 4)
+  final val TuneGridReranks = Seq(10, 30, 60)
   // IVF-SQ8: embeddings are unit vectors (|v| < 1), so scale 2^7 keeps
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
@@ -1098,6 +1103,13 @@ object SparkEntry {
     "q_stream_ann_pq" -> q((s, dir) => graft.streaming.StreamOps
       .pqOverStream(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe,
         PqM, PqCodes, PqRerank)),
+    // streaming DELETE maintenance: delete commits drained through a
+    // file stream, each microbatch appending ids to the tombstone
+    // sidecar (the layout itself untouched); the delete-aware query
+    // reflects them with no rebuild — hash-equal to q_ann_pq_delete
+    "q_stream_ann_delete" -> q((s, dir) => graft.streaming.StreamOps
+      .pqDeletesOverStream(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
+        IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
     // residual codes AT REST: the layout production IVF-PQ deploys —
     // cell-partitioned packed residual codes, both passes partition-
     // pruned, cheap scan 4 bytes/row (PlanSpec); hash-equal to
@@ -1213,6 +1225,12 @@ object SparkEntry {
     "q_tune_rerank" -> q((s, dir) => graft.operators.Ivf.tuneRerankSq8(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, EmbSq8ScaleLog2,
       TuneReranks)),
+    // ... and BOTH knobs together: the 2-D (nprobe x rerank) grid — the
+    // full analog of the reference's 2-D m_keep x delta sweep — still
+    // from one persisted scored scan + one ground-truth pass
+    "q_tune_grid" -> q((s, dir) => graft.operators.Ivf.tuneGridSq8(
+      emb(s, dir), NQ, K, IvfCells, EmbD, TuneGridNprobes, TuneGridReranks,
+      EmbSq8ScaleLog2)),
     // retrieval-eval metric: mean reciprocal rank of the IVF-probed list
     // against the exact nearest neighbor (brute top-1) — the other
     // standard index-tuning number next to recall. Each query's 1/rank
@@ -1446,6 +1464,10 @@ object SparkEntry {
     // the PQ pipeline minus the tombstoned ids (vec_id ≡ 0 mod DeleteMod)
     "q_ann_pq_delete" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, excludeMod = DeleteMod),
+    // the stream-maintained sidecar holds the same delete set once
+    // drained -> q_ann_pq_delete's oracle
+    "q_stream_ann_delete" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, excludeMod = DeleteMod),
     // the PQ pipeline with candidates restricted to the lang predicate
     "q_ann_ivf_pq_filtered" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, langs = FilterLangs),
@@ -1523,6 +1545,8 @@ object SparkEntry {
       TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank, TuneNprobeFloor),
     "q_tune_rerank" -> IvfOracle.tuneRerankSql(EmbD, NQ, K, IvfCells,
       IvfProbe, EmbSq8ScaleLog2, TuneReranks),
+    "q_tune_grid" -> IvfOracle.tuneGridSql(EmbD, NQ, K, IvfCells,
+      TuneGridNprobes, TuneGridReranks, EmbSq8ScaleLog2),
     // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB
     // `//` is integer division like Spark's `div`
     "q_ann_mrr" ->

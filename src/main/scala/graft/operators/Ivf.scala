@@ -362,6 +362,86 @@ object Ivf {
   }
 
   /**
+   * The FULL 2-D TUNING GRID (nprobe x rerank) over the IVF-SQ8 rung —
+   * the complete analog of the reference's 2-D sweep (mode fixed,
+   * m_keep x delta grid, `ANNCode.py:729-789`): both knobs swept
+   * together because their bytes trade against each other (a deeper
+   * probe pays cheap-scan bytes, a deeper cut pays rescore bytes) and
+   * the best operating point is NOT on either 1-D slice in general.
+   * Still ONE persisted scored candidate scan at max(nprobes) carrying
+   * proberank, one ground-truth pass; every grid point is a proberank
+   * filter + a rank cut + a bounded rescore. Output one row per
+   * (nprobe, rerank) with the [[tuneNprobeSq8]] accounting columns.
+   */
+  def tuneGridSq8(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                  nprobes: Seq[Int], reranks: Seq[Int],
+                  scaleLog2: Int): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= nCells),
+      s"nprobes $nprobes out of [1, $nCells]")
+    require(reranks.nonEmpty && reranks.forall(_ >= k),
+      s"reranks $reranks must all be >= k=$k")
+    val V = graft.functions.VectorOps
+    val npMax = nprobes.max
+    val s = math.pow(2.0, scaleLog2)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val withD = q.select(col("qid") +: col("qvec") +: col("qn2") +:
+      cellDists(col("qvec"), nCells, d): _*)
+    val stacked = withD.select(col("qid"), col("qvec"), col("qn2"),
+      explode(array((0 until nCells).map(c =>
+        struct(lit(c).as("cell"), col(s"c$c").as("d2"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"), col("p.cell"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val probes = broadcast(stacked
+      .withColumn("proberank", row_number().over(w))
+      .filter(col("proberank") <= npMax)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell"),
+        col("proberank")))
+    val assigned = assign(emb, nCells, d)
+      .withColumn("q8", transform(col("embedding"),
+        x => (floor(x * s + lit(0.5)).cast("double") / s).cast("float")))
+      .withColumn("n2q8", V.norm2Sq(col("q8")))
+    val cand = Dedup.persistScoped(assigned.join(probes, Seq("cell"))
+      .withColumn("score", V.dot(col("q8"), col("qvec")) /
+        (V.fnorm(col("n2q8")) * V.fnorm(col("qn2"))))
+      .select(col("qid"), col("id"), col("score"), col("proberank")))
+    val truth = Dedup.persistScoped(
+      Ann.bruteTopK(emb, nq, k).select(col("qid"), col("id")))
+    val nTot = emb.agg(count(lit(1)).as("n_total"))
+    val vFull = emb.select(col("vec_id").as("id"), col("embedding"),
+      V.norm2Sq(col("embedding")).as("n2"))
+    val qFull = broadcast(q.withColumnRenamed("qvec", "qvec_")
+      .withColumnRenamed("qn2", "qn2_"))
+    val bCode = d.toLong
+    val bFull = 4L * d
+    val denom = (bFull * nq).toDouble
+    (for (np <- nprobes.sorted; rr <- reranks.sorted) yield {
+      val flt = cand.filter(col("proberank") <= np)
+      val candN = flt.agg(count(lit(1)).as("cand_n"))
+      val fetchedIds = TopK.window(flt, rr).select(col("qid"), col("id"))
+      val fetchedN = fetchedIds.agg(count(lit(1)).as("fetched_n"))
+      val rescored = vFull.join(broadcast(fetchedIds), Seq("id"))
+        .join(qFull, Seq("qid"))
+        .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+          (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+      TopK.window(rescored, k)
+        .select(col("qid"), col("id"))
+        .join(broadcast(truth), Seq("qid", "id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(candN).crossJoin(fetchedN).crossJoin(nTot)
+        .select(lit(np).as("nprobe"), lit(rr).as("rerank"), col("hits"),
+          (col("hits").cast("double") / lit(k * nq)).as("recall"),
+          col("cand_n").as("cand"), col("fetched_n").as("fetched"),
+          (col("cand_n") * lit(bCode)).as("bytes_cheap"),
+          (col("fetched_n") * lit(bFull)).as("bytes_rescore"),
+          (lit(1.0) -
+            (col("cand_n") * lit(bCode) + col("fetched_n") * lit(bFull))
+              .cast("double") /
+            (col("n_total").cast("double") * lit(denom))).as("save"))
+    }).reduce(_.union(_))
+  }
+
+  /**
    * The OTHER tuning axis: recall-vs-RERANK sweep at a fixed probe depth
    * over the IVF-SQ8 rung. The cheap pass (and so bytes_cheap) is the
    * same for every grid point; what varies is how many survivors pay the

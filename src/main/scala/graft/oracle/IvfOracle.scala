@@ -204,6 +204,83 @@ object IvfOracle {
   }
 
   /**
+   * The 2-D (nprobe x rerank) grid ([[graft.operators.Ivf.tuneGridSq8]]):
+   * [[tuneSq8Sql]]'s shared CTEs, one UNION ALL arm per grid point —
+   * each arm a proberank filter, a rank cut at its own depth, a bounded
+   * exact rescore, and the byte accounting.
+   */
+  def tuneGridSql(d: Int, nq: Int, k: Int, nCells: Int, nprobes: Seq[Int],
+                  reranks: Seq[Int], scaleLog2: Int): String = {
+    val scale = math.pow(2.0, scaleLog2)
+    val npMax = nprobes.max
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    val n2q8 = (1 to d).map(i => s"${dq("e", i, scale)}*${dq("e", i, scale)}")
+      .mkString("(", " + ", ")")
+    val bCode = d.toLong
+    val bFull = 4L * d
+    val denom = OracleGen.dlit((bFull * nq).toDouble)
+    val arms = (for (np <- nprobes.sorted; rr <- reranks.sorted) yield {
+      s"""SELECT CAST($np AS INTEGER) AS nprobe,
+         |  CAST($rr AS INTEGER) AS rerank,
+         |  CAST(h.hits AS BIGINT) AS hits,
+         |  CAST(h.hits AS DOUBLE) / ${k * nq} AS recall,
+         |  CAST(c.cand_n AS BIGINT) AS cand,
+         |  CAST(f.fetched_n AS BIGINT) AS fetched,
+         |  CAST(c.cand_n * $bCode AS BIGINT) AS bytes_cheap,
+         |  CAST(f.fetched_n * $bFull AS BIGINT) AS bytes_rescore,
+         |  1.0 - (CAST(c.cand_n * $bCode + f.fetched_n * $bFull AS DOUBLE) /
+         |         (CAST(n.n_total AS DOUBLE) * $denom)) AS save
+         |FROM
+         | (SELECT COUNT(*) AS hits FROM
+         |    (SELECT qid, id FROM (
+         |       SELECT r.qid, r.id,
+         |         row_number() OVER (PARTITION BY r.qid ORDER BY r.score DESC, r.id ASC) AS rnk
+         |       FROM (SELECT s.qid, s.id,
+         |               ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+         |                 (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+         |             FROM (SELECT qid, id FROM (
+         |                     SELECT qid, id,
+         |                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |                     FROM cand WHERE pr <= $np) WHERE rn <= $rr) s
+         |             JOIN embeddings e ON e.vec_id = s.id
+         |             JOIN embeddings qe ON qe.vec_id = s.qid
+         |             JOIN nrm ne ON ne.vec_id = s.id
+         |             JOIN nrm nq2 ON nq2.vec_id = s.qid) r) WHERE rnk <= $k) t
+         |    JOIN bt ON bt.qid = t.qid AND bt.id = t.id) h,
+         | (SELECT COUNT(*) AS cand_n FROM cand WHERE pr <= $np) c,
+         | (SELECT COUNT(*) AS fetched_n FROM (
+         |    SELECT qid, id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |    FROM cand WHERE pr <= $np) WHERE rn <= $rr) f,
+         | ntot n""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |q8n AS (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qpr AS (SELECT qid, cell, pr FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $npMax),
+       |cand AS (SELECT qpr.qid, a.vec_id AS id, qpr.pr,
+       |    ${qdotE("e", "qe", d, scale)} / (${fn("q8.n2q8")} * ${fn("nq2.n2")}) AS score
+       |  FROM qpr JOIN asg a ON a.cell = qpr.cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = qpr.qid
+       |  JOIN q8n q8 ON q8.vec_id = a.vec_id
+       |  JOIN nrm nq2 ON nq2.vec_id = qpr.qid),
+       |bt AS (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
+       |ntot AS (SELECT COUNT(*) AS n_total FROM embeddings)
+       |$arms""".stripMargin
+  }
+
+  /**
    * Recall-vs-rerank sweep at fixed probe depth
    * ([[graft.operators.Ivf.tuneRerankSq8]]): the same shared CTEs as
    * [[tuneSq8Sql]] with the probe filter pinned at `nprobe`, one UNION

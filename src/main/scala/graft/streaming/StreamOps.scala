@@ -514,6 +514,73 @@ object StreamOps {
       ensureStreamPqCodes(spark, sfDir, nCells, d, mSub, codes),
       emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
 
+  /**
+   * Streaming DELETE maintenance for the quantized index: delete commits
+   * arrive as a real file stream of (id) rows — one landing shard per
+   * trigger — and each microbatch APPENDS its ids to the tombstone
+   * sidecar of the codes layout. Merge-on-read discipline
+   * ([[graft.operators.Pq.topkOffCodesWithDeletes]]): the immutable
+   * layout itself is never touched, queries anti-join the growing
+   * sidecar, and the table service's later compaction applies it
+   * physically. The landing holds the deterministic id ≡ 0 (mod `mod`)
+   * delete set sharded 4 ways, so the drain is genuinely incremental.
+   */
+  def ensureStreamTombstones(spark: SparkSession, codesPath: String,
+                             mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val landingP = Paths.get(codesPath + s"_tomb_landing_mod$mod")
+    val outDir = Paths.get(codesPath + s"_tomb_stream_mod$mod")
+    synchronized {
+      if (!Files.exists(landingP.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landingP.getParent, "tomb-land-")
+        spark.read.parquet(codesPath)
+          .select(col("id")).filter(col("id") % mod === 0)
+          .repartition(4)
+          .write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, landingP)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landingP.resolve("_SUCCESS")),
+          s"tombstone landing publish failed: $landingP")
+      }
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "tomb-stream-")
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("id", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landingP.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(tmp.toString)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream tombstone publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** The delete-aware PQ query off the STREAM-MAINTAINED sidecar —
+    * hash-equal to the batch-tombstoned q_ann_pq_delete once drained. */
+  def pqDeletesOverStream(spark: SparkSession, sfDir: String, emb: DataFrame,
+                          nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                          mSub: Int, codes: Int, rerank: Int,
+                          mod: Int): DataFrame = {
+    val path = graft.operators.Pq.ensureCodesFixture(spark, sfDir, nCells,
+      d, mSub, codes)
+    val tombs = spark.read.parquet(ensureStreamTombstones(spark, path, mod))
+    graft.operators.Pq.topkOffCodesWithDeletes(spark, path, tombs, emb,
+      nq, k, nCells, d, nprobe, mSub, codes, rerank)
+  }
+
   /** Streaming near-duplicate gate: score incoming vectors against a
     * static broadcast query set and flag matches above threshold
     * (stream-static join; the static side is broadcast each microbatch). */

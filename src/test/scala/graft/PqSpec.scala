@@ -181,6 +181,21 @@ class PqSpec extends AnyFunSuite {
     assert(a != full, "delete had no observable effect")
   }
 
+  test("stream-maintained tombstone sidecar equals the batch delete set") {
+    val mod = SparkEntry.DeleteMod
+    val path = Pq.ensureCodesFixture(spark, dir, IvfCells, EmbD, PqM, PqCodes)
+    val streamed = graft.streaming.StreamOps
+      .ensureStreamTombstones(spark, path, mod)
+    val batch = Pq.ensureTombstones(spark, path, mod)
+    val a = spark.read.parquet(streamed).collect().map(_.getLong(0)).toSet
+    val b = spark.read.parquet(batch).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty, "streamed delete set diverged from batch")
+    // the drain was genuinely incremental: one appended file per trigger
+    val parts = new java.io.File(streamed).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"streamed sidecar has only $parts file(s)")
+  }
+
   test("wide bq rejects a width mismatch at execution, loudly") {
     import spark.implicits._
     // declared d=64 over 32-wide vectors: the assert_true filter must
