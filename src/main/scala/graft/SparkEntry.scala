@@ -1231,6 +1231,16 @@ object SparkEntry {
     "q_tune_grid" -> q((s, dir) => graft.operators.Ivf.tuneGridSq8(
       emb(s, dir), NQ, K, IvfCells, EmbD, TuneGridNprobes, TuneGridReranks,
       EmbSq8ScaleLog2)),
+    // the 2-D workflow's END: the chosen (nprobe, rerank) operating
+    // point — highest save clearing the recall floor, off the grid above
+    "q_tune_grid_pick" -> q((s, dir) => graft.operators.Ivf.chooseGridSq8(
+      emb(s, dir), NQ, K, IvfCells, EmbD, TuneGridNprobes, TuneGridReranks,
+      EmbSq8ScaleLog2, TuneNprobeFloor)),
+    // the reference's (preds, saving) contract applied to the cascade:
+    // end-to-end recall + the per-tier byte ledger (8/1/4d bytes over
+    // geometrically shrinking sets) + save vs the brute 4d*N*Q baseline
+    "q_cascade_metrics" -> q((s, dir) => graft.operators.Cascade.metrics(
+      emb(s, dir), NQ, K, EmbD, EmbSq8ScaleLog2, CascadeR1, CascadeR2)),
     // retrieval-eval metric: mean reciprocal rank of the IVF-probed list
     // against the exact nearest neighbor (brute top-1) — the other
     // standard index-tuning number next to recall. Each query's 1/rank
@@ -1547,6 +1557,10 @@ object SparkEntry {
       IvfProbe, EmbSq8ScaleLog2, TuneReranks),
     "q_tune_grid" -> IvfOracle.tuneGridSql(EmbD, NQ, K, IvfCells,
       TuneGridNprobes, TuneGridReranks, EmbSq8ScaleLog2),
+    "q_tune_grid_pick" -> IvfOracle.chooseGridSql(EmbD, NQ, K, IvfCells,
+      TuneGridNprobes, TuneGridReranks, EmbSq8ScaleLog2, TuneNprobeFloor),
+    "q_cascade_metrics" -> PqOracle.cascadeMetricsSql(EmbD, NQ, K,
+      EmbSq8ScaleLog2, CascadeR1, CascadeR2),
     // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB
     // `//` is integer division like Spark's `div`
     "q_ann_mrr" ->

@@ -87,6 +87,79 @@ object Cascade {
     TopK.window(rescored, k)
   }
 
+  /**
+   * The reference's bandwidth accounting (`ANNCode.py:316-318`: every
+   * refine op returns (preds, saving, fpr)) applied to the CASCADE: one
+   * row with the end-to-end recall against the exact top-k and the
+   * per-tier byte ledger — tier 1 pays 8 bytes for every (query,
+   * vector) pair, tier 2 d bytes for each tier-1 survivor, tier 3 4d
+   * bytes for each tier-2 survivor — and the saving vs the brute
+   * baseline 4d*N*Q. Counts are exact integers off the same persisted
+   * scans the result ranking consumes; save is one double division both
+   * engines evaluate identically.
+   */
+  def metrics(emb: DataFrame, nq: Int, k: Int, d: Int, scaleLog2: Int,
+              rerank1: Int, rerank2: Int): DataFrame = {
+    require(rerank1 >= rerank2 && rerank2 >= k,
+      s"cascade cuts must narrow: rerank1 $rerank1 >= rerank2 $rerank2 >= k $k")
+    require(d >= 1 && d <= 64,
+      s"tier-1 sign code is ONE 64-bit word; d=$d not in [1,64]")
+    val V = graft.functions.VectorOps
+    val s = math.pow(2.0, scaleLog2)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val qc = broadcast(q.select(col("qid"),
+      VecExprs.signPack(col("qvec")).as("qcode")))
+    val codes = emb.select(col("vec_id").as("id"),
+      VecExprs.signPack(col("embedding")).as("code"))
+    val t1 = Dedup.persistScoped(TopK.window(
+        codes.crossJoin(qc)
+          .withColumn("score", bit_count(col("code").bitwiseXOR(col("qcode")))),
+        rerank1, ascending = true)
+      .select(col("qid"), col("id")))
+    val mid = emb
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"),
+          x => (floor(x * s + lit(0.5)).cast("double") / s).cast("float"))
+          .as("q8"))
+      .withColumn("n2q8", V.norm2Sq(col("q8")))
+      .join(broadcast(t1), Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("score", V.dot(col("q8"), col("qvec")) /
+        (V.fnorm(col("n2q8")) * V.fnorm(col("qn2"))))
+    val t2 = Dedup.persistScoped(
+      TopK.window(mid, rerank2).select(col("qid"), col("id")))
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(t2), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    val truth = Ann.bruteTopK(emb, nq, k).select(col("qid"), col("id"))
+    val nTot = emb.agg(count(lit(1)).as("n_total"))
+    val t1N = t1.agg(count(lit(1)).as("fetched_mid"))
+    val t2N = t2.agg(count(lit(1)).as("fetched_full"))
+    val bFull = 4L * d
+    val denom = (bFull * nq).toDouble
+    TopK.window(rescored, k)
+      .select(col("qid"), col("id"))
+      .join(broadcast(truth), Seq("qid", "id"))
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(nTot).crossJoin(t1N).crossJoin(t2N)
+      .select(col("hits"),
+        (col("hits").cast("double") / lit(k * nq)).as("recall"),
+        (col("n_total") * lit(nq.toLong)).as("cand"),
+        col("fetched_mid"), col("fetched_full"),
+        (col("n_total") * lit(8L * nq)).as("bytes_t1"),
+        (col("fetched_mid") * lit(d.toLong)).as("bytes_t2"),
+        (col("fetched_full") * lit(bFull)).as("bytes_t3"),
+        (lit(1.0) -
+          (col("n_total") * lit(8L * nq) + col("fetched_mid") * lit(d.toLong) +
+            col("fetched_full") * lit(bFull)).cast("double") /
+          (col("n_total").cast("double") * lit(denom))).as("save"))
+  }
+
   // --- the full ladder at rest ------------------------------------------
 
   /** Bump when the ladder layout changes. */

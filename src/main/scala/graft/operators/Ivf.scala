@@ -442,6 +442,37 @@ object Ivf {
   }
 
   /**
+   * [[tuneGridSq8]] plus the OPERATING-POINT CHOICE over the full 2-D
+   * grid: the `chosen` flag lands on the row with the highest bandwidth
+   * saving among those clearing the recall floor (else highest recall),
+   * ties to the smaller (nprobe, rerank) — rows are collected in that
+   * ascending order, so `maxBy`'s first-wins tie-break matches the
+   * oracle's ORDER BY. The sweep is the shared-scan pipeline; the choice
+   * is driver-side over |grid| rows.
+   */
+  def chooseGridSq8(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                    nprobes: Seq[Int], reranks: Seq[Int], scaleLog2: Int,
+                    recallFloor: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val rows = tuneGridSq8(emb, nq, k, nCells, d, nprobes, reranks,
+      scaleLog2).collect().toList.sortBy(r => (r.getInt(0), r.getInt(1)))
+    val indexed = rows.zipWithIndex
+    val meeting = indexed.filter(_._1.getAs[Double]("recall") >= recallFloor)
+    val chosenIdx =
+      if (meeting.nonEmpty) meeting.maxBy(_._1.getAs[Double]("save"))._2
+      else indexed.maxBy(_._1.getAs[Double]("recall"))._2
+    import spark.implicits._
+    indexed.map { case (r, i) =>
+      (r.getInt(0), r.getInt(1), r.getAs[Long]("hits"),
+        r.getAs[Double]("recall"), r.getAs[Long]("cand"),
+        r.getAs[Long]("fetched"), r.getAs[Long]("bytes_cheap"),
+        r.getAs[Long]("bytes_rescore"), r.getAs[Double]("save"),
+        i == chosenIdx)
+    }.toDF("nprobe", "rerank", "hits", "recall", "cand", "fetched",
+      "bytes_cheap", "bytes_rescore", "save", "chosen")
+  }
+
+  /**
    * The OTHER tuning axis: recall-vs-RERANK sweep at a fixed probe depth
    * over the IVF-SQ8 rung. The cheap pass (and so bytes_cheap) is the
    * same for every grid point; what varies is how many survivors pay the

@@ -280,6 +280,28 @@ object IvfOracle {
        |$arms""".stripMargin
   }
 
+  /** [[tuneGridSql]] plus the 2-D operating-point choice — the
+    * [[graft.operators.Ivf.chooseGridSq8]] mirror: highest save among
+    * rows clearing the recall floor (else highest recall), ties to the
+    * smaller (nprobe, rerank). */
+  def chooseGridSql(d: Int, nq: Int, k: Int, nCells: Int,
+                    nprobes: Seq[Int], reranks: Seq[Int], scaleLog2: Int,
+                    recallFloor: Double): String =
+    s"""WITH m AS (${tuneGridSql(d, nq, k, nCells, nprobes, reranks, scaleLog2)}),
+       |flag AS (SELECT CASE
+       |    WHEN MAX(CASE WHEN recall >= ${OracleGen.dlit(recallFloor)} THEN 1 ELSE 0 END) = 1
+       |    THEN 1 ELSE 0 END AS any_meet FROM m),
+       |sel AS (SELECT m.nprobe, m.rerank FROM m, flag
+       |  WHERE flag.any_meet = 0 OR m.recall >= ${OracleGen.dlit(recallFloor)}
+       |  ORDER BY CASE WHEN flag.any_meet = 1 THEN m.save ELSE m.recall END DESC,
+       |    m.nprobe ASC, m.rerank ASC
+       |  LIMIT 1)
+       |SELECT nprobe, rerank, hits, recall, cand, fetched, bytes_cheap,
+       |  bytes_rescore, save,
+       |  (nprobe = (SELECT nprobe FROM sel) AND
+       |   rerank = (SELECT rerank FROM sel)) AS chosen
+       |FROM m""".stripMargin
+
   /**
    * Recall-vs-rerank sweep at fixed probe depth
    * ([[graft.operators.Ivf.tuneRerankSq8]]): the same shared CTEs as

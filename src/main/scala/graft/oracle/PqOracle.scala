@@ -78,7 +78,25 @@ object PqOracle {
    * arithmetic is exact, so the oracle mirrors the cascade bit-for-bit.
    */
   def cascadeSql(d: Int, nq: Int, k: Int, scaleLog2: Int,
-                 rerank1: Int, rerank2: Int): String = {
+                 rerank1: Int, rerank2: Int): String =
+    s"""WITH ${cascadeCtes(d, nq, scaleLog2, rerank1, rerank2)},
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM t2 r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** Shared CTE chain of the cascade oracle, through the tier-2 cut. */
+  private def cascadeCtes(d: Int, nq: Int, scaleLog2: Int,
+                          rerank1: Int, rerank2: Int): String = {
     require(d <= 64, s"sign-pack code is one 64-bit word, d=$d")
     val scale = math.pow(2.0, scaleLog2)
     val codeExpr = (0 until d).map { j =>
@@ -92,7 +110,7 @@ object PqOracle {
       .mkString("(", " + ", ")")
     val n2q8 = (1 to d).map(i => s"${dq("e", i)}*${dq("e", i)}")
       .mkString("(", " + ", ")")
-    s"""WITH codes AS (SELECT e.vec_id AS id, $codeExpr AS code FROM embeddings e),
+    s"""codes AS (SELECT e.vec_id AS id, $codeExpr AS code FROM embeddings e),
        |${EmbOracle.nrmCte(d)},
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qc AS (SELECT q.qid, c.code AS qcode FROM q JOIN codes c ON c.id = q.qid),
@@ -114,7 +132,21 @@ object PqOracle {
        |t2 AS (SELECT qid, id FROM (
        |    SELECT qid, id,
        |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
-       |    FROM t2c) WHERE rn <= $rerank2),
+       |    FROM t2c) WHERE rn <= $rerank2)""".stripMargin
+  }
+
+  /**
+   * The cascade's bandwidth ledger ([[graft.operators.Cascade.metrics]]):
+   * end-to-end recall against the exact top-k plus exact per-tier byte
+   * counts — tier 1 8 bytes per (query, vector) pair, tier 2 d bytes per
+   * tier-1 survivor, tier 3 4d bytes per tier-2 survivor — and the
+   * saving vs the brute 4d*N*Q baseline.
+   */
+  def cascadeMetricsSql(d: Int, nq: Int, k: Int, scaleLog2: Int,
+                        rerank1: Int, rerank2: Int): String = {
+    val bFull = 4L * d
+    val denom = OracleGen.dlit((bFull * nq).toDouble)
+    s"""WITH ${cascadeCtes(d, nq, scaleLog2, rerank1, rerank2)},
        |scored AS (SELECT r.qid, r.id,
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
@@ -123,11 +155,28 @@ object PqOracle {
        |  JOIN embeddings qe ON qe.vec_id = r.qid
        |  JOIN nrm ne ON ne.vec_id = r.id
        |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
-       |ranked AS (SELECT qid, id, score,
-       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
-       |  FROM scored)
-       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
-       |FROM ranked WHERE rnk <= $k""".stripMargin
+       |fin AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |    FROM scored) WHERE rnk <= $k),
+       |bt AS (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
+       |h AS (SELECT COUNT(*) AS hits FROM fin JOIN bt
+       |  ON bt.qid = fin.qid AND bt.id = fin.id),
+       |n AS (SELECT COUNT(*) AS n_total FROM embeddings),
+       |m1 AS (SELECT COUNT(*) AS fetched_mid FROM t1),
+       |m2 AS (SELECT COUNT(*) AS fetched_full FROM t2)
+       |SELECT CAST(h.hits AS BIGINT) AS hits,
+       |  CAST(h.hits AS DOUBLE) / ${k * nq} AS recall,
+       |  CAST(n.n_total * $nq AS BIGINT) AS cand,
+       |  CAST(m1.fetched_mid AS BIGINT) AS fetched_mid,
+       |  CAST(m2.fetched_full AS BIGINT) AS fetched_full,
+       |  CAST(n.n_total * ${8L * nq} AS BIGINT) AS bytes_t1,
+       |  CAST(m1.fetched_mid * $d AS BIGINT) AS bytes_t2,
+       |  CAST(m2.fetched_full * $bFull AS BIGINT) AS bytes_t3,
+       |  1.0 - (CAST(n.n_total * ${8L * nq} + m1.fetched_mid * $d +
+       |              m2.fetched_full * $bFull AS DOUBLE) /
+       |         (CAST(n.n_total AS DOUBLE) * $denom)) AS save
+       |FROM h, n, m1, m2""".stripMargin
   }
 
   /** Cell-centroid literal for (g, j), float-cast like the engine. */
