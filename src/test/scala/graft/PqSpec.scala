@@ -153,6 +153,25 @@ class PqSpec extends AnyFunSuite {
       "compaction changed query results")
   }
 
+  test("cascade: approximation comes only from the cuts — full depth is exact") {
+    import graft.operators.Cascade
+    val n = emb.count().toInt
+    // both cuts at corpus depth: every tier passes everything through,
+    // so the exact rescore must reproduce the brute scan row-for-row
+    val full = Cascade.topk(emb, NQ, K, EmbD, scaleLog2 = 7,
+      rerank1 = n, rerank2 = n).collect().map(_.toSeq).toSet
+    val brute = Ann.bruteTopK(emb, NQ, K).collect().map(_.toSeq).toSet
+    assert(full == brute && full.size == NQ * K,
+      "full-depth cascade diverged from brute")
+    // and the cascade is invariant under repartitioning
+    val a = Cascade.topk(emb, NQ, K, EmbD, 7, 60, 30)
+      .collect().map(_.toSeq).toSet
+    val b = Cascade.topk(emb.repartition(7), NQ, K, EmbD, 7, 60, 30)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K,
+      "cascade not invariant under repartitioning")
+  }
+
   test("merge-on-read deletes: anti-join and physical compaction agree") {
     import org.apache.spark.sql.functions.col
     val mod = SparkEntry.DeleteMod

@@ -99,6 +99,46 @@ class StorageSpec extends AnyFunSuite {
     assert(png.getWidth == 900 && png.getHeight == 600)
   }
 
+  test("2-D tuning grid: monotone frontier, CSV round-trip, K2 curve") {
+    import SparkEntry.{NQ, K, IvfCells, EmbD, TuneGridNprobes, TuneGridReranks,
+      EmbSq8ScaleLog2}
+    val emb = Tables.embeddings(spark, dir)
+    val (grid, release) = graft.operators.Dedup.scopedRelease(
+      graft.operators.Ivf.tuneGridSq8(emb, NQ, K, IvfCells, EmbD,
+        TuneGridNprobes, TuneGridReranks, EmbSq8ScaleLog2))
+    val rows = grid.orderBy("nprobe", "rerank").collect()
+    release()
+    assert(rows.length == TuneGridNprobes.length * TuneGridReranks.length)
+    val byKey = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    // recall is non-decreasing along BOTH axes (superset candidates /
+    // superset survivors under an exact rescore can never lose a hit),
+    // and save strictly falls with rerank at fixed nprobe (same cheap
+    // bytes, more rescore bytes — until the fetch saturates)
+    for (np <- TuneGridNprobes; Seq(r1, r2) <- TuneGridReranks.sorted.sliding(2)) {
+      assert(byKey((np, r1)).getAs[Double]("recall") <=
+        byKey((np, r2)).getAs[Double]("recall"))
+      assert(byKey((np, r1)).getAs[Double]("save") >=
+        byKey((np, r2)).getAs[Double]("save"))
+    }
+    for (rr <- TuneGridReranks; Seq(n1, n2) <- TuneGridNprobes.sorted.sliding(2))
+      assert(byKey((n1, rr)).getAs[Double]("recall") <=
+        byKey((n2, rr)).getAs[Double]("recall"))
+    // K1 CSV artifact + K2 operating-surface curve, like the 1-D sweeps
+    val out = java.nio.file.Files.createTempDirectory("grid").toString
+    graft.operators.Sweep.writeCsv(grid, s"$out/csv")
+    val back = spark.read.option("header", "true").csv(s"$out/csv")
+    assert(back.columns.toSet == Set("nprobe", "rerank", "hits", "recall",
+      "cand", "fetched", "bytes_cheap", "bytes_rescore", "save"))
+    assert(back.count() == rows.length)
+    graft.operators.Plot.writeXyPng(s"$out/grid_recall_vs_save.png",
+      rows.map(_.getAs[Double]("save")).toSeq,
+      rows.map(_.getAs[Double]("recall")).toSeq,
+      "Bandwidth saving", s"Recall@$K", "ivf-sq8 2-D grid: recall vs saving")
+    val png = javax.imageio.ImageIO.read(
+      new java.io.File(s"$out/grid_recall_vs_save.png"))
+    assert(png.getWidth == 900 && png.getHeight == 600)
+  }
+
   test("sweep grid produces one metrics row per config with invariants") {
     val q = Fixture.queries(
       Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, 6), 3)
