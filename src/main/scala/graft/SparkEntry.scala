@@ -612,6 +612,9 @@ object SparkEntry {
   // slice); kept 2x3 to bound the oracle arm count
   final val TuneGridNprobes = Seq(2, 4)
   final val TuneGridReranks = Seq(10, 30, 60)
+  // k-NN graph degree (q_knn_graph / q_knn_descent): every vector gets
+  // its KnnJ probed-cell nearest neighbors as edges
+  final val KnnJ = 5
   // IVF-SQ8: embeddings are unit vectors (|v| < 1), so scale 2^7 keeps
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
@@ -1150,6 +1153,21 @@ object SparkEntry {
     // residual IVF-PQ at the reference's D=1024 width (tiny-N slice)
     "q_ann_ivf_pq_res_d1024" -> q((s, dir) => qAnnPqResD1024(s, dir)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
+    // the K-NN GRAPH build (the construction seed of NSW/HNSW and
+    // NN-descent): every vector is its own query over its probed cells;
+    // the N x N product never materializes — candidate generation is the
+    // same bounded cell equi-join as the query path, shuffle-joined (not
+    // broadcast: the node side IS the corpus)
+    "q_knn_graph" -> q((s, dir) => graft.operators.Ivf.knnGraph(
+      emb(s, dir), KnnJ, IvfCells, EmbD, IvfProbe)),
+    // ... and one NN-descent refinement round: current edges UNION
+    // two-hop edges (a neighbor of a neighbor is likely a neighbor),
+    // exactly rescored and re-cut — a j^2*N self-join, never all-pairs
+    "q_knn_descent" -> q((s, dir) => {
+      val g = graft.operators.Ivf.knnGraph(emb(s, dir), KnnJ, IvfCells,
+        EmbD, IvfProbe)
+      graft.operators.Ivf.knnDescend(emb(s, dir), g, KnnJ)
+    }),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
     // equi-join, bucketable to exchange-free at rest
@@ -1504,6 +1522,9 @@ object SparkEntry {
     "q_ann_ivf_pq_res_d1024" -> PqOracle.topkResidualWideSql(D1024, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank, D1024KeyMod),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
+    "q_knn_graph" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells, IvfProbe),
+    "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
+      IvfProbe),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     // filtered + probe-pruned: the at-rest twin restricts candidates to
     // the probed cells, so its oracle is the IVF probe pipeline with the

@@ -211,6 +211,67 @@ object Ivf {
   }
 
   /**
+   * The K-NN GRAPH build — every vector is its own query: candidates are
+   * the vectors sharing its `nprobe` closest cells (self excluded), its
+   * edges the top-`j` by exact cosine. This is the construction seed
+   * every graph-ANN index starts from (NSW/HNSW insertion heuristics,
+   * NN-descent initialization), expressed with the same bounded cell
+   * equi-join as the query path so the N x N product NEVER materializes:
+   * work is N x (probed-cell occupancy), linear in N at fixed occupancy,
+   * and the probe relation (N*nprobe rows) is shuffle-joined on cell —
+   * not broadcast, because at 100 TB the node side is the corpus itself.
+   * Output (qid, rank, id, score), rank 1..j per node.
+   */
+  def knnGraph(emb: DataFrame, j: Int, nCells: Int, d: Int,
+               nprobe: Int): DataFrame = {
+    require(j >= 1, s"j=$j")
+    val V = graft.functions.VectorOps
+    val q = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"),
+      V.norm2Sq(col("embedding")).as("qn2"))
+    val probes = probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid"))
+    val assigned = assign(emb, nCells, d)
+      .withColumn("n2", V.norm2Sq(col("embedding")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, j)
+  }
+
+  /**
+   * One NN-DESCENT refinement round over a k-NN graph (Dong et al.,
+   * WWW 2011: "a neighbor of a neighbor is likely a neighbor"): the
+   * candidate set becomes current edges UNION two-hop edges (each
+   * node's neighbors' neighbors, self excluded), exactly rescored and
+   * re-cut to `j`. Under an exact rescore a superset of candidates can
+   * never lose a true edge, so graph quality is monotonically
+   * non-decreasing per round (asserted in OperatorsSpec). At scale each
+   * round is a self-join of the BOUNDED edge list (j^2 * N pairs) plus
+   * two shuffle equi-joins against the corpus — never broadcast (both
+   * sides are corpus-sized), never all-pairs.
+   */
+  def knnDescend(emb: DataFrame, graph: DataFrame, j: Int): DataFrame = {
+    require(j >= 1, s"j=$j")
+    val V = graft.functions.VectorOps
+    val edges = graph.select(col("qid"), col("id"))
+    val hop2 = edges.as("a")
+      .join(edges.select(col("qid").as("mid"), col("id").as("nid")),
+        col("id") === col("mid"))
+      .select(col("qid"), col("nid").as("id"))
+      .filter(col("id") =!= col("qid"))
+    val cand = edges.union(hop2).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2")), Seq("id"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"),
+        V.norm2Sq(col("embedding")).as("qn2")), Seq("qid"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, j)
+  }
+
+  /**
    * Recall-vs-nprobe tuning sweep — the standard IVF index-tuning
    * workflow (pick the smallest probe depth that clears a recall floor,
    * the nprobe analog of the reference's Hoeffding delta grid-search,

@@ -399,6 +399,71 @@ object IvfOracle {
        |  nprobe = (SELECT nprobe FROM sel) AS chosen
        |FROM m""".stripMargin
 
+  /** Shared CTE chain of the k-NN graph build, through `gfull`
+    * (qid, id, score, rnk <= j) — the graph edge list with scores. */
+  private def knnGraphCtes(d: Int, j: Int, nCells: Int, nprobe: Int): String = {
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    s"""asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id
+       |  FROM qp JOIN asg a ON a.cell = qp.cell
+       |  WHERE a.vec_id <> qp.qid),
+       |scored AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |gfull AS (SELECT qid, id, score, rnk FROM (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $j)""".stripMargin
+  }
+
+  /** The k-NN graph build ([[graft.operators.Ivf.knnGraph]]): the probe
+    * pipeline with EVERY vector as its own query and the self-edge
+    * excluded from candidates. */
+  def knnGraphSql(d: Int, j: Int, nCells: Int, nprobe: Int): String =
+    s"""WITH ${knnGraphCtes(d, j, nCells, nprobe)}
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM gfull""".stripMargin
+
+  /** One NN-descent round ([[graft.operators.Ivf.knnDescend]]) over the
+    * [[knnGraphSql]] graph: current edges UNION two-hop edges, exact
+    * rescore, re-cut to j. */
+  def knnDescentSql(d: Int, j: Int, nCells: Int, nprobe: Int): String =
+    s"""WITH ${knnGraphCtes(d, j, nCells, nprobe)},
+       |hop2 AS (SELECT a.qid, b.id FROM gfull a JOIN gfull b ON b.qid = a.id
+       |  WHERE b.id <> a.qid),
+       |cand2 AS (SELECT DISTINCT qid, id FROM (
+       |  SELECT qid, id FROM gfull UNION ALL SELECT qid, id FROM hop2)),
+       |scored2 AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand2 c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |ranked2 AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored2)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked2 WHERE rnk <= $j""".stripMargin
+
   /** `langs` nonempty = the filtered-index variant: candidates restricted
     * to the metadata predicate (joined on vec_id = doc_id, exactly the
     * rows the at-rest layout stores beside the vectors), lang in the

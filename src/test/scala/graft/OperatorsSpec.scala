@@ -69,6 +69,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"banded ${banded.size} pairs vs brute ${brute.size}")
   }
 
+  test("knn graph: bounded degree, no self-edges; NN-descent never degrades") {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(spark, dir)
+    val j = SparkEntry.KnnJ
+    val g = Ivf.knnGraph(emb, j, SparkEntry.IvfCells, SparkEntry.EmbD,
+      SparkEntry.IvfProbe)
+    val base = g.collect()
+    assert(base.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("id")),
+      "self-edge in knn graph")
+    val deg = base.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    assert(deg.values.forall(_ <= j), "node degree exceeds j")
+    assert(deg.size == emb.count(), "some node has no edges")
+    // one descent round: rank-wise scores dominate the base graph (a
+    // superset of candidates under an exact rescore can never be worse
+    // at any rank)
+    val desc = Ivf.knnDescend(emb, g, j).collect()
+    val bBy = base.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(r => r.getAs[Int]("rank") -> r.getAs[Double]("score")).toMap)
+    desc.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      rows.foreach { r =>
+        bBy(qid).get(r.getAs[Int]("rank")).foreach { b =>
+          assert(r.getAs[Double]("score") >= b,
+            s"descent degraded node $qid at rank ${r.getAs[Int]("rank")}")
+        }
+      }
+    }
+  }
+
   test(".vec reader parses header, rows, and skips short lines") {
     val f = Files.createTempFile("test", ".vec")
     Files.writeString(f,
