@@ -615,6 +615,10 @@ object SparkEntry {
   // k-NN graph degree (q_knn_graph / q_knn_descent): every vector gets
   // its KnnJ probed-cell nearest neighbors as edges
   final val KnnJ = 5
+  // graph beam search (q_ann_graph_search): beam width and synchronized
+  // round count — each query reads <= rounds*beam*(KnnJ+1) vectors
+  final val GraphBeam = 10
+  final val GraphRounds = 4
   // IVF-SQ8: embeddings are unit vectors (|v| < 1), so scale 2^7 keeps
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
@@ -1168,6 +1172,15 @@ object SparkEntry {
         EmbD, IvfProbe)
       graft.operators.Ivf.knnDescend(emb(s, dir), g, KnnJ)
     }),
+    // ... and the graph-ANN QUERY path: beam search over that graph —
+    // fixed synchronized rounds from a deterministic entry node; each
+    // query reads rounds*beam*degree vectors, never the corpus
+    "q_ann_graph_search" -> q((s, dir) => {
+      val g = graft.operators.Ivf.knnGraph(emb(s, dir), KnnJ, IvfCells,
+        EmbD, IvfProbe)
+      graft.operators.Ivf.graphSearch(emb(s, dir), g, NQ, K, GraphBeam,
+        GraphRounds)
+    }),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
     // equi-join, bucketable to exchange-free at rest
@@ -1525,6 +1538,8 @@ object SparkEntry {
     "q_knn_graph" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells, IvfProbe),
     "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
+    "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,
+      IvfProbe, NQ, K, GraphBeam, GraphRounds),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     // filtered + probe-pruned: the at-rest twin restricts candidates to
     // the probed cells, so its oracle is the IVF probe pipeline with the

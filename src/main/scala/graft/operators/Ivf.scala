@@ -272,6 +272,46 @@ object Ivf {
   }
 
   /**
+   * BEAM SEARCH over the k-NN graph — the graph-ANN query path (HNSW's
+   * layer-0 descent, simplified to a fixed number of SYNCHRONIZED beam
+   * rounds, which keeps it deterministic, relational, and oracle-
+   * mirrorable): the beam starts at a fixed entry node (the minimum id,
+   * the deterministic stand-in for HNSW's entry point), each round
+   * expands the current beam by its graph neighbors, exactly scores
+   * beam ∪ neighbors against the query, and keeps the best `beam`;
+   * after `rounds` rounds the top-k of the final beam is the answer.
+   * Per query each round touches at most beam*(degree+1) vectors — the
+   * whole search reads rounds*beam*degree vectors, NEVER the corpus;
+   * every expansion is a bounded equi-join against the edge list.
+   */
+  def graphSearch(emb: DataFrame, graph: DataFrame, nq: Int, k: Int,
+                  beam: Int, rounds: Int): DataFrame = {
+    require(beam >= k, s"beam $beam must be >= k $k")
+    require(rounds >= 1, s"rounds=$rounds")
+    val V = graft.functions.VectorOps
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val edges = graph.select(col("qid").as("src"), col("id").as("dst"))
+    // bounded driver-side seed (one value): the deterministic entry node
+    val entry = emb.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    val scoreSide = emb.select(col("vec_id").as("id"), col("embedding"),
+      V.norm2Sq(col("embedding")).as("n2"))
+    def rescore(frontier: DataFrame): DataFrame = frontier
+      .join(scoreSide, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("score", cosScore)
+    var beamDf: DataFrame = q.select(col("qid")).withColumn("id", lit(entry))
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf.union(
+          beamDf.join(edges, beamDf("id") === edges("src"))
+            .select(col("qid"), col("dst").as("id")))
+        .distinct()
+      beamDf = TopK.window(rescore(expanded), beam)
+        .select(col("qid"), col("id"))
+    }
+    TopK.window(rescore(beamDf), k)
+  }
+
+  /**
    * Recall-vs-nprobe tuning sweep — the standard IVF index-tuning
    * workflow (pick the smallest probe depth that clears a recall floor,
    * the nprobe analog of the reference's Hoeffding delta grid-search,

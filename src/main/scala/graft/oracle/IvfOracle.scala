@@ -464,6 +464,47 @@ object IvfOracle {
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
        |FROM ranked2 WHERE rnk <= $j""".stripMargin
 
+  /** Beam search over the [[knnGraphSql]] graph
+    * ([[graft.operators.Ivf.graphSearch]]): `rounds` synchronized beam
+    * rounds unrolled as chained CTEs — each round expands the beam by
+    * its graph neighbors, exactly scores the union, keeps the best
+    * `beam`; the final SELECT is the top-k of the last beam. */
+  def graphSearchSql(d: Int, j: Int, nCells: Int, nprobe: Int, nq: Int,
+                     k: Int, beam: Int, rounds: Int): String = {
+    def scoreBlock(src: String, out: String) =
+      s"""$out AS (SELECT c.qid, c.id,
+         |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+         |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+         |  FROM $src c
+         |  JOIN embeddings e ON e.vec_id = c.id
+         |  JOIN embeddings qe ON qe.vec_id = c.qid
+         |  JOIN nrm ne ON ne.vec_id = c.id
+         |  JOIN nrm nq2 ON nq2.vec_id = c.qid)""".stripMargin
+    val roundsCtes = (1 to rounds).map { r =>
+      val prev = s"b${r - 1}"
+      s"""x$r AS (SELECT DISTINCT qid, id FROM (
+         |  SELECT qid, id FROM $prev
+         |  UNION ALL
+         |  SELECT p.qid, g.id FROM $prev p JOIN gfull g ON g.qid = p.id)),
+         |${scoreBlock(s"x$r", s"s$r")},
+         |b$r AS (SELECT qid, id FROM (
+         |    SELECT qid, id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |    FROM s$r) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphCtes(d, j, nCells, nprobe)},
+       |qs AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |ent AS (SELECT MIN(vec_id) AS eid FROM embeddings),
+       |b0 AS (SELECT qs.qid, ent.eid AS id FROM qs, ent),
+       |$roundsCtes,
+       |${scoreBlock(s"b$rounds", "sfin")},
+       |rfin AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM sfin)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM rfin WHERE rnk <= $k""".stripMargin
+  }
+
   /** `langs` nonempty = the filtered-index variant: candidates restricted
     * to the metadata predicate (joined on vec_id = doc_id, exactly the
     * rows the at-rest layout stores beside the vectors), lang in the

@@ -97,6 +97,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph beam search: per-round monotone, bounded reads, sane recall") {
+    import graft.operators.{Ivf, Ann}
+    val emb = Tables.embeddings(spark, dir)
+    val j = SparkEntry.KnnJ
+    val g = Ivf.knnGraph(emb, j, SparkEntry.IvfCells, SparkEntry.EmbD,
+      SparkEntry.IvfProbe)
+    val nq = 5; val k = 5; val beam = 10
+    def run(rounds: Int) = Ivf.graphSearch(emb, g, nq, k, beam, rounds)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Int]("rank") -> r.getAs[Double]("score")).toMap).toMap
+    val r3 = run(3); val r4 = run(4)
+    // an extra round expands a superset under exact scoring: rank-wise
+    // scores can only improve or hold
+    r4.foreach { case (qid, rows) =>
+      rows.foreach { case (rank, s) =>
+        r3(qid).get(rank).foreach(prev => assert(s >= prev,
+          s"round 4 degraded query $qid at rank $rank")) } }
+    // loose recall floor vs brute (degree-5 graph, one entry node)
+    val brute = Ann.bruteTopK(emb, nq, k).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val got = Ivf.graphSearch(emb, g, nq, k, beam, 4).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    assert((brute & got).size * 5 >= brute.size,
+      s"graph search recall ${(brute & got).size}/${brute.size} under 20%")
+  }
+
   test(".vec reader parses header, rows, and skips short lines") {
     val f = Files.createTempFile("test", ".vec")
     Files.writeString(f,
