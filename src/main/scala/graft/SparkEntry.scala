@@ -619,6 +619,10 @@ object SparkEntry {
   // round count — each query reads <= rounds*beam*(KnnJ+1) vectors
   final val GraphBeam = 10
   final val GraphRounds = 4
+  // semantic-cluster edge threshold (q_semantic_clusters): knn edges at
+  // cosine >= tau feed connected components (sf0.01 edge scores span
+  // 0.17-0.48; 0.35 keeps a few hundred edges -> nontrivial clusters)
+  final val SemClusterTau = 0.35
   // IVF-SQ8: embeddings are unit vectors (|v| < 1), so scale 2^7 keeps
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
@@ -1181,6 +1185,19 @@ object SparkEntry {
       graft.operators.Ivf.graphSearch(emb(s, dir), g, NQ, K, GraphBeam,
         GraphRounds)
     }),
+    // SEMANTIC CLUSTERS: the knn edge set thresholded at cosine >= tau,
+    // resolved by the same pointer-jumped connected components the text
+    // dedup uses — embedding-space cluster assignment as a composition
+    // of two graded operators (bounded edges in, O(log n) CC rounds)
+    "q_semantic_clusters" -> q((s, dir) => {
+      val g = graft.operators.Ivf.knnGraph(emb(s, dir), KnnJ, IvfCells,
+        EmbD, IvfProbe)
+      graft.operators.Dedup.connectedComponents(
+        g.filter(col("score") >= SemClusterTau)
+          .select(least(col("qid"), col("id")).as("doc_a"),
+            greatest(col("qid"), col("id")).as("doc_b"))
+          .distinct())
+    }),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
     // equi-join, bucketable to exchange-free at rest
@@ -1540,6 +1557,8 @@ object SparkEntry {
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,
       IvfProbe, NQ, K, GraphBeam, GraphRounds),
+    "q_semantic_clusters" -> IvfOracle.semanticClustersSql(EmbD, KnnJ,
+      IvfCells, IvfProbe, SemClusterTau),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     // filtered + probe-pruned: the at-rest twin restricts candidates to
     // the probed cells, so its oracle is the IVF probe pipeline with the

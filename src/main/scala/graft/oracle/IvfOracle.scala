@@ -464,6 +464,23 @@ object IvfOracle {
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
        |FROM ranked2 WHERE rnk <= $j""".stripMargin
 
+  /** Semantic clusters ([[graft.operators.Dedup.connectedComponents]]
+    * over the thresholded [[knnGraphSql]] edge set): transitive closure
+    * via a recursive CTE, component labeled by its min id. */
+  def semanticClustersSql(d: Int, j: Int, nCells: Int, nprobe: Int,
+                          tau: Double): String =
+    s"""WITH RECURSIVE ${knnGraphCtes(d, j, nCells, nprobe)},
+       |p AS (SELECT DISTINCT LEAST(qid, id) AS doc_a, GREATEST(qid, id) AS doc_b
+       |  FROM gfull WHERE score >= ${OracleGen.dlit(tau)}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.src AS doc_id, r.lab
+       |  FROM edges e JOIN reach r ON r.doc_id = e.dst)
+       |SELECT doc_id, MIN(lab) AS comp FROM reach GROUP BY doc_id""".stripMargin
+
   /** Beam search over the [[knnGraphSql]] graph
     * ([[graft.operators.Ivf.graphSearch]]): `rounds` synchronized beam
     * rounds unrolled as chained CTEs — each round expands the beam by
