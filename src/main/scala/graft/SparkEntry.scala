@@ -1185,6 +1185,13 @@ object SparkEntry {
       graft.operators.Ivf.graphSearch(emb(s, dir), g, NQ, K, GraphBeam,
         GraphRounds)
     }),
+    // streaming GRAPH-index maintenance — the hard case: an arrival can
+    // displace edges of existing nodes, so each microbatch recomputes
+    // its arrivals PLUS the affected nodes (probed cells intersecting
+    // the arrivals' cells) and appends versioned edges, latest batch
+    // winning per node; drained graph hash-equal to the batch build
+    "q_stream_knn_graph" -> q((s, dir) => graft.streaming.StreamOps
+      .knnGraphOverStream(s, dir, KnnJ, IvfCells, EmbD, IvfProbe)),
     // SEMANTIC CLUSTERS: the knn edge set thresholded at cosine >= tau,
     // resolved by the same pointer-jumped connected components the text
     // dedup uses — embedding-space cluster assignment as a composition
@@ -1553,6 +1560,10 @@ object SparkEntry {
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank, D1024KeyMod),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
     "q_knn_graph" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells, IvfProbe),
+    // the drained stream-maintained graph holds the same edges as the
+    // batch build -> q_knn_graph's oracle
+    "q_stream_knn_graph" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells,
+      IvfProbe),
     "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,

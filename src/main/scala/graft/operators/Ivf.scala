@@ -223,21 +223,39 @@ object Ivf {
    * Output (qid, rank, id, score), rank 1..j per node.
    */
   def knnGraph(emb: DataFrame, j: Int, nCells: Int, d: Int,
-               nprobe: Int): DataFrame = {
+               nprobe: Int): DataFrame =
+    knnGraphFor(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      emb, j, nCells, d, nprobe)
+
+  /** [[knnGraph]] for an EXPLICIT node set over an explicit corpus —
+    * the incremental-maintenance primitive: a microbatch recomputes
+    * edges only for its arriving nodes plus the existing nodes whose
+    * probed cells received arrivals
+    * ([[graft.streaming.StreamOps.ensureStreamKnnGraph]]). `nodes` is
+    * (qid, qvec); `corpus` is (vec_id, embedding). */
+  def knnGraphFor(nodes: DataFrame, corpus: DataFrame, j: Int, nCells: Int,
+                  d: Int, nprobe: Int): DataFrame = {
     require(j >= 1, s"j=$j")
     val V = graft.functions.VectorOps
-    val q = emb.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec"),
-      V.norm2Sq(col("embedding")).as("qn2"))
+    val q = nodes.select(col("qid"), col("qvec"),
+      V.norm2Sq(col("qvec")).as("qn2"))
     val probes = probeCells(q, nCells, d, nprobe)
       .join(q.select(col("qid"), col("qn2")), Seq("qid"))
-    val assigned = assign(emb, nCells, d)
+    val assigned = assign(corpus, nCells, d)
       .withColumn("n2", V.norm2Sq(col("embedding")))
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("score", cosScore)
     TopK.window(scored, j)
   }
+
+  /** (qid, cell) probe pairs for a (qid, qvec) node set — exposed for
+    * the streaming maintenance path's affected-node computation. */
+  def probePairs(nodes: DataFrame, nCells: Int, d: Int,
+                 nprobe: Int): DataFrame =
+    probeCells(nodes.select(col("qid"), col("qvec")), nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
 
   /**
    * One NN-DESCENT refinement round over a k-NN graph (Dong et al.,

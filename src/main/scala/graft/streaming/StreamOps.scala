@@ -581,6 +581,98 @@ object StreamOps {
       nq, k, nCells, d, nprobe, mSub, codes, rerank)
   }
 
+  /**
+   * Streaming K-NN-GRAPH maintenance — the hard index-maintenance case:
+   * an arriving vector does not just need its OWN edges, it can also
+   * displace an edge of any existing node that probes its cell. Each
+   * microbatch therefore recomputes edges for (a) its arriving nodes
+   * and (b) the AFFECTED existing nodes — those whose probed cells
+   * intersect the arrivals' cells — over all vectors ingested so far,
+   * appending versioned edge rows (latest batch wins per node). By
+   * induction every node's final edge set is the top-j over everything
+   * in its probed cells, so the drained graph is HASH-EQUAL to the
+   * batch build ([[graft.operators.Ivf.knnGraph]]) with no rebuild.
+   * The affected-set recompute is the true write amplification of
+   * graph indexes (hot cells touch many nodes); both halves stay
+   * bounded cell equi-joins.
+   */
+  def ensureStreamKnnGraph(spark: SparkSession, sfDir: String, j: Int,
+                           nCells: Int, d: Int, nprobe: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val landing = ensureShardedEmbLanding(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_knn_${safe}_j${j}_c${nCells}_d${d}_p$nprobe" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "stream-knn-")
+        val vecsDir = tmp.resolve("vecs").toString
+        val edgesDir = tmp.resolve("edges").toString
+        def readOr(path: String, empty: => org.apache.spark.sql.DataFrame) =
+          try spark.read.parquet(path)
+          catch { case _: org.apache.spark.sql.AnalysisException => empty }
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("label", IntegerType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            import org.apache.spark.sql.functions.{col, lit}
+            val arrivals = batch.select(col("vec_id"), col("embedding"))
+            val prev = readOr(vecsDir, arrivals.limit(0))
+            val all = prev.unionByName(arrivals)
+            // cells receiving arrivals: bounded collect (<= nCells values)
+            val aCells = graft.operators.Ivf
+              .assign(arrivals, nCells, d).select(col("cell")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            // affected existing nodes: probed cells intersect aCells
+            val prevNodes = prev.select(col("vec_id").as("qid"),
+              col("embedding").as("qvec"))
+            val affected = graft.operators.Ivf
+              .probePairs(prevNodes, nCells, d, nprobe)
+              .filter(col("cell").isin(aCells: _*))
+              .select(col("qid")).distinct()
+            val nodes = arrivals
+              .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+              .unionByName(prevNodes.join(affected, Seq("qid")))
+            graft.operators.Ivf
+              .knnGraphFor(nodes, all, j, nCells, d, nprobe)
+              .withColumn("b", lit(bid))
+              .write.mode("append").parquet(edgesDir)
+            arrivals.write.mode("append").parquet(vecsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream knn graph publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** The stream-maintained graph's CURRENT edges: latest batch wins per
+    * node (the superseded versions are compaction fodder, exactly like
+    * the update-mode upsert-log sinks). Hash-equal to the batch
+    * [[graft.operators.Ivf.knnGraph]] once drained. */
+  def knnGraphOverStream(spark: SparkSession, sfDir: String, j: Int,
+                         nCells: Int, d: Int, nprobe: Int): DataFrame = {
+    val dir = ensureStreamKnnGraph(spark, sfDir, j, nCells, d, nprobe)
+    val edges = spark.read.parquet(s"$dir/edges")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+    edges.withColumn("bmax", max(col("b")).over(w))
+      .filter(col("b") === col("bmax"))
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** Streaming near-duplicate gate: score incoming vectors against a
     * static broadcast query set and flag matches above threshold
     * (stream-static join; the static side is broadcast each microbatch). */

@@ -200,6 +200,29 @@ class PqSpec extends AnyFunSuite {
     assert(a != full, "delete had no observable effect")
   }
 
+  test("stream-maintained knn graph equals the batch build, incrementally") {
+    import org.apache.spark.sql.functions.col
+    val j = SparkEntry.KnnJ
+    val a = graft.streaming.StreamOps.knnGraphOverStream(spark, dir,
+      j, IvfCells, EmbD, IvfProbe).collect().map(_.toSeq).toSet
+    val b = graft.operators.Ivf.knnGraph(emb, j, IvfCells, EmbD, IvfProbe)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty,
+      "stream-maintained knn graph diverged from the batch build")
+    // the maintenance was genuinely incremental: edges landed across
+    // multiple batches, AND some node was re-ranked in a later batch
+    // than its first (the affected-node displacement path fired)
+    val edgesDir = graft.streaming.StreamOps.ensureStreamKnnGraph(
+      spark, dir, j, IvfCells, EmbD, IvfProbe) + "/edges"
+    val ed = spark.read.parquet(edgesDir)
+    val batches = ed.select(col("b")).distinct().count()
+    assert(batches >= 2, s"graph built in $batches batch(es)")
+    val reranked = ed.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("b")).as("nb"))
+      .filter(col("nb") >= 2).count()
+    assert(reranked > 0, "no node was ever re-ranked by a later arrival")
+  }
+
   test("stream-maintained tombstone sidecar equals the batch delete set") {
     val mod = SparkEntry.DeleteMod
     val path = Pq.ensureCodesFixture(spark, dir, IvfCells, EmbD, PqM, PqCodes)
