@@ -190,6 +190,17 @@ object SparkEntry {
       BqRerank, D128)
   }
 
+  /** The precision-on-demand cascade at REALISTIC width (D=128): two
+    * sign words in tier 1, int8 mid-rank at the fixture-domain scale
+    * (Int8ScaleLog2 — the established safe |v|*2^s <= 127 pairing),
+    * exact rescore. Same fixture slice as [[qAnnBqWide]]. */
+  def qAnnCascadeWide(s: SparkSession, dir: String): DataFrame = {
+    val v = fix128(s, dir)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    graft.operators.Cascade.topkWide(v.select(col("id"), col("vec")), q,
+      K, D128, Int8ScaleLog2, CascadeR1, CascadeR2)
+  }
+
   /** Residual IVF-PQ at the reference's MS MARCO-class width (D=1024;
     * mSub=8 -> 128-dim subspaces, 16-code books): proves the exact-
     * dyadic reconstruction-norm discipline where the fold/lookup trees
@@ -1151,6 +1162,10 @@ object SparkEntry {
     "q_ann_cascade_at_rest" -> q((s, dir) => graft.operators.Cascade
       .topkAtRest(s, dir, emb(s, dir), NQ, K, EmbD, EmbSq8ScaleLog2,
         CascadeR1, CascadeR2)),
+    // the cascade at realistic width (D=128): multi-word tier 1, int8
+    // mid-rank, exact rescore — the full ladder where one sign word no
+    // longer suffices
+    "q_ann_cascade_wide" -> q((s, dir) => qAnnCascadeWide(s, dir)),
     // multi-word BQ at realistic width (D=128): two sign words, Hamming
     // = sum of per-word popcounts — lifts the single-word d<=64 limit
     "q_ann_bq_wide" -> q((s, dir) => qAnnBqWide(s, dir)),
@@ -1549,6 +1564,9 @@ object SparkEntry {
     // identical semantics off the disaggregated at-rest ladder
     "q_ann_cascade_at_rest" -> PqOracle.cascadeSql(EmbD, NQ, K,
       EmbSq8ScaleLog2, CascadeR1, CascadeR2),
+    // the cascade at width over the synthesized D=128 fixture slice
+    "q_ann_cascade_wide" -> PqOracle.cascadeWideSql(D128, NQ, K,
+      Int8ScaleLog2, CascadeR1, CascadeR2, D128KeyMod),
     // multi-word BQ over the synthesized D=128 fixture slice
     "q_ann_bq_wide" -> PqOracle.bqWideSql(D128, NQ, K, BqRerank, D128KeyMod),
     // identical semantics off the at-rest word columns

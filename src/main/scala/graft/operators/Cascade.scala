@@ -88,6 +88,58 @@ object Cascade {
   }
 
   /**
+   * The cascade at REALISTIC width (d > 64): tier 1 uses ceil(d/64)
+   * sign words per vector ([[Bq.topkWide]]'s multi-word Hamming — the
+   * sum of per-word popcounts, still exact integer arithmetic, still
+   * 1 bit/dim), tiers 2-3 as [[topk]]. Operates on generic (id, vec) /
+   * (qid, qvec) frames so the realistic-width fixture slices plug in.
+   */
+  def topkWide(vectors: DataFrame, queries: DataFrame, k: Int, d: Int,
+               scaleLog2: Int, rerank1: Int, rerank2: Int): DataFrame = {
+    require(rerank1 >= rerank2 && rerank2 >= k,
+      s"cascade cuts must narrow: rerank1 $rerank1 >= rerank2 $rerank2 >= k $k")
+    require(d >= 1, s"d=$d")
+    val words = (d + 63) / 64
+    val V = graft.functions.VectorOps
+    val s = math.pow(2.0, scaleLog2)
+    def wordCols(v: org.apache.spark.sql.Column, prefix: String) =
+      (0 until words).map(w =>
+        VecExprs.signPack(slice(v, w * 64 + 1, 64)).as(s"${prefix}_$w"))
+    val codes = vectors
+      .filter(assert_true(size(col("vec")) === d,
+        lit(s"cascade tier 1: vec width != declared d=$d")).isNull)
+      .select(col("id") +: wordCols(col("vec"), "c"): _*)
+    val qc = broadcast(queries.select(col("qid") +:
+      wordCols(col("qvec"), "q"): _*))
+    val ham = (0 until words).map(w =>
+      bit_count(col(s"c_$w").bitwiseXOR(col(s"q_$w")))).reduceLeft(_ + _)
+    val t1 = TopK.window(codes.crossJoin(qc).withColumn("score", ham),
+        rerank1, ascending = true)
+      .select(col("qid"), col("id"))
+    val q = queries.select(col("qid"), col("qvec"),
+      V.norm2Sq(col("qvec")).as("qn2"))
+    val mid = vectors
+      .select(col("id"),
+        transform(col("vec"),
+          x => (floor(x * s + lit(0.5)).cast("double") / s).cast("float"))
+          .as("q8"))
+      .withColumn("n2q8", V.norm2Sq(col("q8")))
+      .join(broadcast(t1), Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("score", V.dot(col("q8"), col("qvec")) /
+        (V.fnorm(col("n2q8")) * V.fnorm(col("qn2"))))
+    val t2 = TopK.window(mid, rerank2).select(col("qid"), col("id"))
+    val rescored = vectors
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(t2), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  /**
    * The reference's bandwidth accounting (`ANNCode.py:316-318`: every
    * refine op returns (preds, saving, fpr)) applied to the CASCADE: one
    * row with the end-to-end recall against the exact top-k and the

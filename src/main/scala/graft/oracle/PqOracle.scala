@@ -241,6 +241,76 @@ object PqOracle {
   }
 
   /**
+   * The cascade at REALISTIC width over the SYNTHESIZED fixture domain
+   * ([[graft.operators.Cascade.topkWide]] on `Fixture.fp16VectorsModCached`):
+   * [[bqWideSql]]'s multi-word sign-code tier 1, an int8-dequant mid
+   * tier (the exact dyadic k/2^s of [[IvfOracle.sq8Sql]], here as a SUM
+   * over (key, j) rows — dequant products have <= 19 significant bits
+   * on a bounded exponent range, so the unordered SUM is exact and
+   * equals the engine's ordered fold bit-for-bit, the same argument as
+   * this file's fp16 rescore SUMs), and the exact cosine rescore.
+   */
+  def cascadeWideSql(d: Int, nq: Int, k: Int, scaleLog2: Int,
+                     rerank1: Int, rerank2: Int, keyMod: Int): String = {
+    val words = (d + 63) / 64
+    val scale = math.pow(2.0, scaleLog2)
+    val bitsValues = (0 until d)
+      .map(j => s"($j, CAST(${1L << (j % 64)} AS BIGINT))").mkString(",")
+    val cwCols = (0 until words).map { w =>
+      s"CAST(SUM(CASE WHEN vd.j >= ${64 * w} AND vd.j < ${64 * (w + 1)}" +
+        s" AND vd.v > 0 THEN b.bitval ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c_$w"
+    }.mkString(",\n  ")
+    val qCols = (0 until words).map(w => s"cw.c_$w AS q_$w").mkString(", ")
+    val hamExpr = (0 until words)
+      .map(w => s"CAST(bit_count(xor(cw.c_$w, qc.q_$w)) AS INTEGER)")
+      .mkString("(", " + ", ")")
+    s"""WITH ${OracleGen.keysAndDims(d, keyMod)},
+       |vd AS (SELECT key, j, CAST(${OracleGen.fp16Comp} AS DOUBLE) AS v
+       |  FROM keys CROSS JOIN dims),
+       |bits AS (SELECT j, bitval FROM (VALUES $bitsValues) AS t(j, bitval)),
+       |cw AS (SELECT vd.key, $cwCols
+       |  FROM vd JOIN bits b ON b.j = vd.j GROUP BY vd.key),
+       |qk AS (SELECT key AS qkey FROM keys ORDER BY key LIMIT $nq),
+       |qc AS (SELECT qk.qkey, $qCols FROM qk JOIN cw ON cw.key = qk.qkey),
+       |t1c AS (SELECT qc.qkey AS qid, cw.key AS id, $hamExpr AS ham
+       |  FROM cw CROSS JOIN qc),
+       |t1 AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham ASC, id ASC) AS rn
+       |    FROM t1c) WHERE rn <= $rerank1),
+       |dqd AS (SELECT key, j,
+       |    CAST(CAST(FLOOR(v*$scale + 0.5)/$scale AS FLOAT) AS DOUBLE) AS dq
+       |  FROM vd),
+       |q8n AS (SELECT key, SUM(dq*dq) AS n2q8 FROM dqd GROUP BY key),
+       |qd AS (SELECT qkey, j, v AS qv FROM vd JOIN qk ON vd.key = qk.qkey),
+       |nqt AS (SELECT qkey, SUM(qv*qv) AS nq2 FROM qd GROUP BY qkey),
+       |mpair AS (SELECT qd.qkey AS qid, dqd.key AS id, SUM(qd.qv*dqd.dq) AS dpq
+       |  FROM qd JOIN dqd ON qd.j = dqd.j GROUP BY 1, 2),
+       |t2c AS (SELECT r.qid, r.id,
+       |    p.dpq / (${fn("q8.n2q8")} * ${fn("nqt.nq2")}) AS s_hat
+       |  FROM t1 r JOIN mpair p ON p.qid = r.qid AND p.id = r.id
+       |  JOIN q8n q8 ON q8.key = r.id
+       |  JOIN nqt ON nqt.qkey = r.qid),
+       |t2 AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM t2c) WHERE rn <= $rerank2),
+       |nv AS (SELECT key, SUM(v*v) AS n2 FROM vd GROUP BY key),
+       |pair AS (SELECT qd.qkey AS qid, vd.key AS id, SUM(qd.qv*vd.v) AS dxq
+       |  FROM qd JOIN vd ON qd.j = vd.j GROUP BY 1, 2),
+       |scored AS (SELECT r.qid, r.id,
+       |    p.dxq / (${fn("nv.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM t2 r JOIN pair p ON p.qid = r.qid AND p.id = r.id
+       |  JOIN nv ON nv.key = r.id
+       |  JOIN nv nq2 ON nq2.key = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
    * RESIDUAL IVF-PQ at realistic width over the SYNTHESIZED fixture
    * domain ([[graft.operators.Pq.topkResidual]] on
    * `Fixture.fp16VectorsModCached` slices): the fully-RELATIONAL long
