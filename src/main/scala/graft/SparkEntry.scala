@@ -656,6 +656,10 @@ object SparkEntry {
   // out of the at-rest PQ layout — ~6% of the corpus, including query
   // id 0's own self-hit (the hardest case: the top-1 must change)
   final val DeleteMod = 17
+  // merge-on-read upserts (q_ann_pq_upsert): ids ≡ 0 (mod 13) updated to
+  // v' = -v — cells, codes, and rescore values all change; norms do not
+  // (which keeps the oracle's shared norm relation valid)
+  final val UpsertMod = 13
   // search surface beyond plain top-k (Search.scala)
   final val FilterLangs = Seq("fr", "de") // metadata predicate for filtered ANN
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
@@ -1106,6 +1110,13 @@ object SparkEntry {
     "q_ann_pq_delete" -> q((s, dir) => graft.operators.Pq
       .topkAtRestWithDeletes(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
         IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
+    // merge-on-read UPSERT — the last letter of CRUD on the quantized
+    // index: updated ids re-encoded (new cells, new codes, new rescore
+    // values) in their own cell-partitioned delta layer; the base is
+    // anti-joined on the delta's id set and never rewritten
+    "q_ann_pq_upsert" -> q((s, dir) => graft.operators.Pq
+      .topkAtRestUpserted(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
+        IvfProbe, PqM, PqCodes, PqRerank, UpsertMod)),
     // metadata-filtered search at the quantized rung, off the at-rest
     // codes: ONE cheap scan carries cell partition pruning AND the
     // pushed lang predicate AND reads only the code word (PlanSpec
@@ -1551,6 +1562,10 @@ object SparkEntry {
     // the PQ pipeline with candidates restricted to the lang predicate
     "q_ann_ivf_pq_filtered" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, langs = FilterLangs),
+    // the PQ pipeline with candidate-side vectors updated to -v for
+    // vec_id ≡ 0 mod UpsertMod (query side untouched)
+    "q_ann_pq_upsert" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, updatedNegMod = UpsertMod),
     // the stream-maintained codes layout holds the same rows as the
     // batch-built one once drained -> q_ann_ivf_pq's oracle
     "q_stream_ann_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,

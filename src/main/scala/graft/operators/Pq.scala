@@ -486,6 +486,71 @@ object Pq {
     dst.toString
   }
 
+  // --- upserts (update = delete + re-encoded delta) ---------------------
+
+  /** Bump when the upsert delta layout changes. */
+  private val UpsertLayoutVersion = 1
+
+  /**
+   * The UPDATE commit of a merge-on-read upsert: the updated rows
+   * (ids ≡ 0 mod `mod`, new value v' = −v — the deterministic update
+   * transform; negation is float-exact and norm-preserving, which keeps
+   * the oracle's shared norm relation valid while flipping cells and
+   * codes) are RE-ENCODED with the batch writer's exact projection and
+   * published as their own cell-partitioned delta layout. The base
+   * layout is never touched.
+   */
+  def ensureUpsertDelta(spark: SparkSession, sfDir: String, nCells: Int,
+                        d: Int, mSub: Int, codes: Int, mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqupsert_v${UpsertLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_m${mSub}_k${codes}_u${mod}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqupsert-")
+      encodeCodes(graft.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % mod === 0)
+          .withColumn("embedding", transform(col("embedding"), x => -x)),
+          nCells, d, mSub, codes)
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"pq upsert delta publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * MERGE-ON-READ UPSERT over the at-rest PQ codes — the last letter of
+   * CRUD on the quantized index (insert = the streaming append path,
+   * delete = the tombstone path): the delta's own id set anti-joins the
+   * base (broadcast — the delta is bounded), then the delta's
+   * re-encoded rows union in, and the standard probe/cheap/rescore
+   * pipeline runs over the merged view. Updated vectors are found in
+   * their NEW cells with their NEW codes, and the rescore fetches the
+   * NEW values — with no rewrite of the base layout.
+   */
+  def topkAtRestUpserted(spark: SparkSession, sfDir: String, emb: DataFrame,
+                         nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                         mSub: Int, codes: Int, rerank: Int,
+                         mod: Int): DataFrame = {
+    val basePath = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val deltaPath = ensureUpsertDelta(spark, sfDir, nCells, d, mSub, codes, mod)
+    val cols = Seq(col("id"), col("cell"), col("vec"), col("code"))
+    val base = spark.read.parquet(basePath).select(cols: _*)
+    val delta = spark.read.parquet(deltaPath).select(cols: _*)
+    val live = base
+      .join(broadcast(delta.select(col("id"))), Seq("id"), "left_anti")
+      .unionByName(delta)
+    topkOffStored(live, emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+  }
+
   /** Bump when the residual at-rest code layout or encoding changes. */
   private val ResCodesLayoutVersion = 1
 

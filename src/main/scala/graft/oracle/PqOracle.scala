@@ -533,10 +533,17 @@ object PqOracle {
     * `excludeMod` > 0 removes candidates with vec_id ≡ 0 (mod m) — the
     * tombstoned-delete twin; `langs` nonempty restricts candidates to
     * the metadata predicate and carries lang to the output (the
-    * filtered-at-rest twin, like [[IvfOracle.topkSql]]'s). */
+    * filtered-at-rest twin, like [[IvfOracle.topkSql]]'s);
+    * `updatedNegMod` > 0 is the upsert twin — candidate-side vectors
+    * with vec_id ≡ 0 (mod m) read as −v (cells, codes, and the rescore
+    * fetch all see the update; negation preserves norms, so the shared
+    * nrm relation and the UNTOUCHED query side stay exact). */
   def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
               mSub: Int, codes: Int, rerank: Int, excludeMod: Int = 0,
-              langs: Seq[String] = Nil): String = {
+              langs: Seq[String] = Nil, updatedNegMod: Int = 0): String = {
+    if (updatedNegMod > 0)
+      require(excludeMod == 0 && langs.isEmpty,
+        "updatedNegMod composes with the plain pipeline only")
     val sub = d / mSub
     val candJoin =
       if (langs.isEmpty) ""
@@ -588,17 +595,34 @@ object PqOracle {
         .map(c => s"WHEN $c THEN ${OracleGen.dlit(Pq.centroidN2(m, c, sub))}")
         .mkString(" ") + " END"
     }.reduceLeft((a, b) => s"($a + $b)")
-    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+    // the upsert twin: candidate-side reads (coarse assignment, PQ
+    // encode, rescore fetch) switch to the updated view `embu`; the
+    // query side (q, qe, and its probe distances via asgq) and the
+    // shared norm relation (negation preserves norms) stay on the base
+    val src = if (updatedNegMod > 0) "embu" else "embeddings"
+    val embuCte =
+      if (updatedNegMod <= 0) ""
+      else s"""embu AS (SELECT vec_id,
+              |    CASE WHEN vec_id % $updatedNegMod = 0
+              |      THEN list_transform(embedding, x -> -x)
+              |      ELSE embedding END AS embedding
+              |  FROM embeddings),
+              |""".stripMargin
+    val qsideAsgCte =
+      if (updatedNegMod <= 0) ""
+      else s"asgq AS (SELECT e.vec_id, $distCols FROM embeddings e),\n"
+    val qsideAsg = if (updatedNegMod > 0) "asgq" else "asg0"
+    s"""WITH ${embuCte}asg0 AS (SELECT e.vec_id, $distCols FROM $src e),
        |asg AS (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
-       |pqd AS (SELECT e.vec_id, $pqDistCols FROM embeddings e),
+       |pqd AS (SELECT e.vec_id, $pqDistCols FROM $src e),
        |enc AS (SELECT vec_id, $codeCols FROM pqd),
-       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |${qsideAsgCte}q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qt AS (SELECT q.qid, $adcCols
        |  FROM q JOIN embeddings qe ON qe.vec_id = q.qid),
        |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
-       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  FROM q JOIN $qsideAsg a ON a.vec_id = q.qid
        |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
        |qp AS (SELECT qid, cell FROM (
        |    SELECT qid, cell,
@@ -620,7 +644,7 @@ object PqOracle {
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
        |  FROM rr r
-       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN $src e ON e.vec_id = r.id
        |  JOIN embeddings qe ON qe.vec_id = r.qid
        |  JOIN nrm ne ON ne.vec_id = r.id
        |  JOIN nrm nq2 ON nq2.vec_id = r.qid),

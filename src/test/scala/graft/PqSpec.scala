@@ -83,6 +83,21 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("wide cascade (D=128) compiles whole-stage (no Janino fallback)") {
+    // two sign-pack folds + the 128-wide dequant transform + norm folds
+    // stacked over the synthesis trees — the cascade's widest codegen
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val df = SparkEntry.qAnnCascadeWide(spark, dir)
+    df.collect()
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile for:\n$subtree")
+    }
+  }
+
   test("wide bq (D=128): exact rescores, agrees with single-word bq on d<=64") {
     import SparkEntry.BqRerank
     // parity on the embeddings table at d=64: topkWide's two-word path
