@@ -201,6 +201,17 @@ object SparkEntry {
       K, D128, Int8ScaleLog2, CascadeR1, CascadeR2)
   }
 
+  /** The cascade at the reference's MS MARCO-class width (D=1024,
+    * SIXTEEN sign words in tier 1): proves the multi-word Hamming and
+    * the dequant-mid arithmetic hold where the fold trees get wide —
+    * tiny-N slicing like [[qRefineD1024]]. */
+  def qAnnCascadeD1024(s: SparkSession, dir: String): DataFrame = {
+    val v = fix1024(s, dir)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    graft.operators.Cascade.topkWide(v.select(col("id"), col("vec")), q,
+      K, D1024, Int8ScaleLog2, CascadeR1, CascadeR2)
+  }
+
   /** Residual IVF-PQ at the reference's MS MARCO-class width (D=1024;
     * mSub=8 -> 128-dim subspaces, 16-code books): proves the exact-
     * dyadic reconstruction-norm discipline where the fold/lookup trees
@@ -1186,6 +1197,9 @@ object SparkEntry {
       .topkWideAtRest(s, dir, NQ, K, BqRerank, D128, KeepM, D128KeyMod)),
     // residual IVF-PQ at the reference's D=1024 width (tiny-N slice)
     "q_ann_ivf_pq_res_d1024" -> q((s, dir) => qAnnPqResD1024(s, dir)),
+    // the cascade at D=1024: sixteen sign words, dequant mid, exact
+    // rescore — the ladder at the reference's MS MARCO-class width
+    "q_ann_cascade_d1024" -> q((s, dir) => qAnnCascadeD1024(s, dir)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // the K-NN GRAPH build (the construction seed of NSW/HNSW and
     // NN-descent): every vector is its own query over its probed cells;
@@ -1582,6 +1596,9 @@ object SparkEntry {
     // the cascade at width over the synthesized D=128 fixture slice
     "q_ann_cascade_wide" -> PqOracle.cascadeWideSql(D128, NQ, K,
       Int8ScaleLog2, CascadeR1, CascadeR2, D128KeyMod),
+    // ... and over the D=1024 slice (16 sign words)
+    "q_ann_cascade_d1024" -> PqOracle.cascadeWideSql(D1024, NQ, K,
+      Int8ScaleLog2, CascadeR1, CascadeR2, D1024KeyMod),
     // multi-word BQ over the synthesized D=128 fixture slice
     "q_ann_bq_wide" -> PqOracle.bqWideSql(D128, NQ, K, BqRerank, D128KeyMod),
     // identical semantics off the at-rest word columns
