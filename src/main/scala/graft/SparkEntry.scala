@@ -1225,6 +1225,19 @@ object SparkEntry {
       graft.operators.Ivf.graphSearch(emb(s, dir), g, NQ, K, GraphBeam,
         GraphRounds)
     }),
+    // DELETE maintenance on the graph: affected survivors (those holding
+    // an edge to a deleted id) re-ranked over the live corpus from their
+    // probed cells — edge lists alone cannot backfill the j-th slot;
+    // unaffected nodes keep their edges verbatim. Identical to a rebuild
+    // over the live corpus at |affected| x occupancy cost
+    "q_knn_graph_delete" -> q((s, dir) => {
+      val e = emb(s, dir)
+      val g = graft.operators.Ivf.knnGraph(e, KnnJ, IvfCells, EmbD, IvfProbe)
+      val tombs = e.select(col("vec_id").as("id"))
+        .filter(col("id") % DeleteMod === 0)
+      graft.operators.Ivf.knnGraphDelete(e, g, tombs, KnnJ, IvfCells,
+        EmbD, IvfProbe)
+    }),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
     // its arrivals PLUS the affected nodes (probed cells intersecting
@@ -1614,6 +1627,9 @@ object SparkEntry {
     // batch build -> q_knn_graph's oracle
     "q_stream_knn_graph" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
+    // delete maintenance == the graph rebuilt over the live corpus
+    "q_knn_graph_delete" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells,
+      IvfProbe, excludeMod = DeleteMod),
     "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,

@@ -250,6 +250,38 @@ object Ivf {
     TopK.window(scored, j)
   }
 
+  /**
+   * DELETE maintenance on the k-NN graph: removing ids drops their
+   * nodes AND their incoming edges, and a survivor that held an edge to
+   * a deleted id cannot backfill its j-th slot from the edge list alone
+   * — the (j+1)-th neighbor was never stored. Affected survivors are
+   * therefore RE-RANKED over the live corpus from their probed cells;
+   * unaffected nodes keep their edges verbatim (deleting candidates
+   * they never referenced cannot change their top-j). The result is
+   * identical to rebuilding over the live corpus, at the cost of
+   * |affected| x cell-occupancy instead of N — the bounded
+   * write-amplification of a real graph-index delete.
+   */
+  def knnGraphDelete(emb: DataFrame, graph: DataFrame, tombs: DataFrame,
+                     j: Int, nCells: Int, d: Int, nprobe: Int): DataFrame = {
+    val live = emb.join(broadcast(tombs.select(col("id").as("vec_id"))),
+      Seq("vec_id"), "left_anti")
+    val tombNodes = tombs.select(col("id").as("qid"))
+    // survivors holding an edge to a deleted id
+    val affected = graph
+      .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_semi")
+      .select(col("qid")).distinct()
+      .join(broadcast(tombNodes), Seq("qid"), "left_anti")
+    val keep = graph
+      .join(broadcast(tombNodes), Seq("qid"), "left_anti")
+      .join(broadcast(affected), Seq("qid"), "left_anti")
+    val recomputed = knnGraphFor(
+      live.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .join(broadcast(affected), Seq("qid"), "left_semi"),
+      live, j, nCells, d, nprobe)
+    keep.unionByName(recomputed)
+  }
+
   /** (qid, cell) probe pairs for a (qid, qvec) node set — exposed for
     * the streaming maintenance path's affected-node computation. */
   def probePairs(nodes: DataFrame, nCells: Int, d: Int,

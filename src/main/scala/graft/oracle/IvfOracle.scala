@@ -400,15 +400,22 @@ object IvfOracle {
        |FROM m""".stripMargin
 
   /** Shared CTE chain of the k-NN graph build, through `gfull`
-    * (qid, id, score, rnk <= j) — the graph edge list with scores. */
-  private def knnGraphCtes(d: Int, j: Int, nCells: Int, nprobe: Int): String = {
+    * (qid, id, score, rnk <= j) — the graph edge list with scores.
+    * `excludeMod` > 0 removes vec_id ≡ 0 (mod m) from BOTH the node set
+    * and the candidate pool (the deleted-graph twin). */
+  private def knnGraphCtes(d: Int, j: Int, nCells: Int, nprobe: Int,
+                           excludeMod: Int = 0): String = {
     val (distCols, leastExpr, argmin, probeCase, cellsValues) =
       coarseSnippets(d, nCells)
+    val qWhere =
+      if (excludeMod <= 0) "" else s" WHERE vec_id % $excludeMod <> 0"
+    val candWhere =
+      if (excludeMod <= 0) "" else s" AND a.vec_id % $excludeMod <> 0"
     s"""asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
        |asg AS (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
-       |q AS (SELECT vec_id AS qid FROM embeddings),
+       |q AS (SELECT vec_id AS qid FROM embeddings$qWhere),
        |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
        |  FROM q JOIN asg0 a ON a.vec_id = q.qid
        |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
@@ -418,7 +425,7 @@ object IvfOracle {
        |    FROM qp0) WHERE pr <= $nprobe),
        |cand AS (SELECT qp.qid, a.vec_id AS id
        |  FROM qp JOIN asg a ON a.cell = qp.cell
-       |  WHERE a.vec_id <> qp.qid),
+       |  WHERE a.vec_id <> qp.qid$candWhere),
        |scored AS (SELECT c.qid, c.id,
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
@@ -435,9 +442,11 @@ object IvfOracle {
 
   /** The k-NN graph build ([[graft.operators.Ivf.knnGraph]]): the probe
     * pipeline with EVERY vector as its own query and the self-edge
-    * excluded from candidates. */
-  def knnGraphSql(d: Int, j: Int, nCells: Int, nprobe: Int): String =
-    s"""WITH ${knnGraphCtes(d, j, nCells, nprobe)}
+    * excluded from candidates. `excludeMod` > 0 is the deleted-graph
+    * twin ([[graft.operators.Ivf.knnGraphDelete]]). */
+  def knnGraphSql(d: Int, j: Int, nCells: Int, nprobe: Int,
+                  excludeMod: Int = 0): String =
+    s"""WITH ${knnGraphCtes(d, j, nCells, nprobe, excludeMod)}
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
        |FROM gfull""".stripMargin
 

@@ -97,6 +97,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph delete: incremental repair equals the live-corpus rebuild") {
+    import graft.operators.Ivf
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val j = SparkEntry.KnnJ
+    val mod = SparkEntry.DeleteMod
+    val g = Ivf.knnGraph(e, j, SparkEntry.IvfCells, SparkEntry.EmbD,
+      SparkEntry.IvfProbe)
+    val tombs = e.select(col("vec_id").as("id")).filter(col("id") % mod === 0)
+    val a = Ivf.knnGraphDelete(e, g, tombs, j, SparkEntry.IvfCells,
+      SparkEntry.EmbD, SparkEntry.IvfProbe).collect().map(_.toSeq).toSet
+    val b = Ivf.knnGraph(e.filter(col("vec_id") % mod =!= 0), j,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "incremental repair diverged from rebuild")
+    // non-vacuous: some survivor actually held an edge to a deleted id,
+    // so the backfill path did real work
+    val affected = g.join(tombs, Seq("id"), "left_semi")
+      .filter(col("qid") % mod =!= 0).count()
+    assert(affected > 0, "no survivor referenced a deleted id")
+  }
+
   test("graph beam search: per-round monotone, bounded reads, sane recall") {
     import graft.operators.{Ivf, Ann}
     val emb = Tables.embeddings(spark, dir)
