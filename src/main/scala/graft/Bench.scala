@@ -251,6 +251,14 @@ object Bench {
       val heaviest = (results.toSeq.filter(_._2 > 0).sortBy(-_._2)
         .take(nSeq).map(_._1) ++ pinned).distinct
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      // the concurrent phase leaves the JVM loaded with session-shared
+      // cached relations from 100+ queries; a single-threaded walk timed
+      // in that state reads 3-6x its true cost (GC pressure), which
+      // would masquerade as a regression in the figure-of-record file.
+      // Clear the block store so every seq row is SELF-CONTAINED: it
+      // pays (and owns) exactly its own cache builds
+      spark.catalog.clearCache()
+      System.gc()
       // optional settle window before the seq profile: the 1-min load
       // average still carries our OWN just-finished concurrent phase
       // (local[32] at full tilt reads as load ~10-15), so a seq start

@@ -21,6 +21,18 @@ object PlanAudit {
     audit("pq_res_at_rest")(graft.operators.Pq.topkResidualAtRest(spark, dir, emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank))
     audit("bq_at_rest")(graft.operators.Bq.topkAtRest(spark, dir, emb, NQ, K, BqRerank, EmbD))
     audit("bq_wide_at_rest")(graft.operators.Bq.topkWideAtRest(spark, dir, NQ, K, BqRerank, D128, KeepM, D128KeyMod))
+    audit("cascade_at_rest")(graft.operators.Cascade.topkAtRest(spark, dir, emb, NQ, K, EmbD, EmbSq8ScaleLog2, CascadeR1, CascadeR2))
+    audit("pq_delete") {
+      val p = graft.operators.Pq.ensureCodesFixture(spark, dir, IvfCells, EmbD, PqM, PqCodes)
+      val t = spark.read.parquet(graft.operators.Pq.ensureTombstones(spark, p, DeleteMod))
+      graft.operators.Pq.topkOffCodesWithDeletes(spark, p, t, emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+    }
+    audit("pq_upsert")(graft.operators.Pq.topkAtRestUpserted(spark, dir, emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, UpsertMod))
+    audit("knn_graph")(graft.operators.Ivf.knnGraph(emb, KnnJ, IvfCells, EmbD, IvfProbe))
+    audit("graph_search") {
+      val g = graft.operators.Ivf.knnGraph(emb, KnnJ, IvfCells, EmbD, IvfProbe)
+      graft.operators.Ivf.graphSearch(emb, g, NQ, K, GraphBeam, GraphRounds)
+    }
     spark.stop()
   }
 }
