@@ -1135,6 +1135,12 @@ object SparkEntry {
     "q_ann_ivf_pq_filtered" -> q((s, dir) => graft.operators.Pq
       .topkAtRestFiltered(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
         IvfProbe, PqM, PqCodes, PqRerank, FilterLangs)),
+    // OPQ-style pre-transform: coarse cells, PQ codes, and the ADC rank
+    // all run on t = P·v (a deterministic SIGNED PERMUTATION — exactly
+    // orthogonal, so the exact rescore stays on the original vectors);
+    // the production pre-transform stage with an oracle-exact transform
+    "q_ann_ivf_pq_opq" -> q((s, dir) => graft.operators.Pq.topkPermuted(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // residual IVF-PQ: codes quantize x - c_cell (the production form —
     // the codebook only covers the within-cell spread); ADC score adds
     // the per-cell query dot to the table picks
@@ -1593,6 +1599,9 @@ object SparkEntry {
     // vec_id ≡ 0 mod UpsertMod (query side untouched)
     "q_ann_pq_upsert" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, updatedNegMod = UpsertMod),
+    // the PQ pipeline in signed-permutation-transformed space
+    "q_ann_ivf_pq_opq" -> PqOracle.topkPermutedSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank),
     // the stream-maintained codes layout holds the same rows as the
     // batch-built one once drained -> q_ann_ivf_pq's oracle
     "q_stream_ann_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,

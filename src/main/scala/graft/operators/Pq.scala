@@ -162,6 +162,80 @@ object Pq {
     TopK.window(rescored, k)
   }
 
+  // --- OPQ-style pre-transform ------------------------------------------
+
+  /** Deterministic SIGNED PERMUTATION (perm, sign): the exactly-
+    * orthogonal pre-transform — OPQ's rotation replaced by a transform
+    * both engines reproduce bit-for-bit (a true rotation's cos/sin are
+    * not exactly representable). Derived from a fixed mixing hash;
+    * ties broken by dimension index. */
+  def permutation(d: Int): (Array[Int], Array[Int]) = {
+    def h(j: Int): Long = (j.toLong * 2654435761L + 1013904223L) % 1000003L
+    val perm = (0 until d).sortBy(j => (h(j), j)).toArray
+    val sign = Array.tabulate(d)(j => if ((h(j) & 1L) == 0L) 1 else -1)
+    (perm, sign)
+  }
+
+  /** The transformed vector t_j = sign_j * v[perm_j] as a FLOAT array
+    * column (negation is float-exact). */
+  private def permuteVec(v: Column, perm: Array[Int],
+                         sign: Array[Int]): Column =
+    array(perm.indices.map { j =>
+      val e = element_at(v, perm(j) + 1)
+      if (sign(j) < 0) -e else e
+    }: _*)
+
+  /**
+   * IVF-PQ with the OPQ-STYLE PRE-TRANSFORM: coarse cells, PQ codes,
+   * and the ADC cheap rank all operate on t = P·v (the signed
+   * permutation — exactly orthogonal, so cosine and norms are
+   * INVARIANT and the exact rescore runs on the ORIGINAL vectors
+   * unchanged). This is the production OPQ pipeline shape (FAISS's
+   * OPQ/PCAR pre-transform stage) with a transform the DuckDB oracle
+   * mirrors exactly: decorrelating dims across subspaces costs nothing
+   * at query time beyond the same m table picks.
+   */
+  def topkPermuted(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                   nprobe: Int, mSub: Int, codes: Int,
+                   rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val (perm, sign) = permutation(d)
+    val tEmb = emb.select(col("vec_id"),
+      permuteVec(col("embedding"), perm, sign).as("embedding"))
+    val enc = Ivf.assign(tEmb, nCells, d)
+      .select(col("id") +: col("cell") +:
+        distCols(col("embedding"), mSub, codes, sub): _*)
+      .select(col("id") +: col("cell") +:
+        (0 until mSub).map(argminCode(_, codes)): _*)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val tq = q.select(col("qid"),
+      permuteVec(col("qvec"), perm, sign).as("qvec"), col("qn2"))
+    val probes = broadcast(Ivf.probeCells(tq, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+      .join(tq, Seq("qid"))
+      .select(col("qid") +: col("cell") +: col("qn2") +:
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+    val sHatNum = (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2(_, codes, sub)).reduceLeft(_ + _)
+    val cheap = enc.join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    // exact rescore on the ORIGINAL vectors (orthogonal transform:
+    // scores identical either way, so skip the per-row permute)
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
   // --- codes at rest ----------------------------------------------------
 
   /** Bump when the at-rest code layout or the encoding changes.

@@ -528,6 +528,108 @@ object PqOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /**
+   * IVF-PQ with the OPQ-style signed-permutation pre-transform
+   * ([[graft.operators.Pq.topkPermuted]]): every candidate/query-side
+   * component e.embedding[j] is replaced by sign_j * e.embedding[perm_j]
+   * (negation is float-exact), the coarse/PQ/ADC arithmetic runs in
+   * transformed space, and the exact rescore stays on the ORIGINAL
+   * vectors (the transform is orthogonal — cosine and norms invariant).
+   */
+  def topkPermutedSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+                      mSub: Int, codes: Int, rerank: Int): String = {
+    val sub = d / mSub
+    val (perm, sign) = Pq.permutation(d)
+    // transformed component t_j of alias's embedding, widened to DOUBLE
+    def tc(alias: String, j: Int): String = {
+      val neg = if (sign(j) < 0) "-" else ""
+      s"${neg}CAST($alias.embedding[${perm(j) + 1}] AS DOUBLE)"
+    }
+    def cellDistExprT(cell: Int): String =
+      (0 until d).map { j =>
+        val c = cc(cell, j)
+        s"(${tc("e", j)} - $c)*(${tc("e", j)} - $c)"
+      }.mkString("(", " + ", ")")
+    def subDistExprT(m: Int, c: Int): String =
+      (0 until sub).map { j =>
+        val x = tc("e", m * sub + j)
+        s"($x - ${cb(m, c, j, sub)})*($x - ${cb(m, c, j, sub)})"
+      }.mkString("(", " + ", ")")
+    def adcExprT(m: Int, c: Int): String =
+      (0 until sub).map { j =>
+        s"${tc("qe", m * sub + j)}*${cb(m, c, j, sub)}"
+      }.mkString("(", " + ", ")")
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExprT(c)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    val probeCase = "CASE t.cell " + (0 until nCells)
+      .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
+    val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
+    val pqDistCols = (for (m <- 0 until mSub; c <- 0 until codes)
+      yield s"${subDistExprT(m, c)} AS d_${m}_$c").mkString(",\n  ")
+    val codeCols = (0 until mSub).map { m =>
+      val least0 = "LEAST(" +
+        (0 until codes).map(c => s"d_${m}_$c").mkString(", ") + ")"
+      s"CASE " + (0 until codes)
+        .map(c => s"WHEN d_${m}_$c = $least0 THEN $c").mkString(" ") +
+        s" END AS code_$m"
+    }.mkString(",\n  ")
+    val adcCols = (for (m <- 0 until mSub; c <- 0 until codes)
+      yield s"${adcExprT(m, c)} AS t_${m}_$c").mkString(",\n  ")
+    val pickSum = (0 until mSub).map { m =>
+      "CASE en.code_" + m + " " + (0 until codes)
+        .map(c => s"WHEN $c THEN qt.t_${m}_$c").mkString(" ") + " END"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    val n2hatSum = (0 until mSub).map { m =>
+      "CASE en.code_" + m + " " + (0 until codes)
+        .map(c => s"WHEN $c THEN ${OracleGen.dlit(Pq.centroidN2(m, c, sub))}")
+        .mkString(" ") + " END"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |pqd AS (SELECT e.vec_id, $pqDistCols FROM embeddings e),
+       |enc AS (SELECT vec_id, $codeCols FROM pqd),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qt AS (SELECT q.qid, $adcCols
+       |  FROM q JOIN embeddings qe ON qe.vec_id = q.qid),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id
+       |  FROM qp JOIN asg a ON a.cell = qp.cell),
+       |cheap AS (SELECT c.qid, c.id,
+       |    $pickSum / (${fn(s"($n2hatSum)")} * ${fn("nq2.n2")}) AS s_hat
+       |  FROM cand c
+       |  JOIN enc en ON en.vec_id = c.id
+       |  JOIN qt ON qt.qid = c.qid
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** IVF-PQ pipeline: coarse probe -> ADC cheap rank -> rerank cut ->
     * exact rescore (tail identical to [[IvfOracle.sq8Sql]]).
     * `excludeMod` > 0 removes candidates with vec_id ≡ 0 (mod m) — the
