@@ -120,6 +120,8 @@ object Bench {
       graft.streaming.StreamOps.ensureStreamKnnGraph(spark, sfDir,
         SparkEntry.KnnJ, SparkEntry.IvfCells, SparkEntry.EmbD,
         SparkEntry.IvfProbe)
+      graft.operators.Ivf.ensureKnnGraph(spark, sfDir, SparkEntry.KnnJ,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the
@@ -146,9 +148,22 @@ object Bench {
     val rank = heavyFirst.zipWithIndex.toMap
     val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }
 
+    // The shared-GT heavies are MUTUAL contention under full-width
+    // submission (r10: metrics trio + kernel at 88-101 s concurrent vs
+    // 13-24 s solo — pure thrash, not work): admit at most 2 of them at
+    // a time. The light majority keeps the other submission slots
+    // saturated, and serializing the metrics family actually helps it —
+    // the first to run fills the session GT cache the rest reuse.
+    val superHeavy = Set("q_refine_metrics", "q_refine_metrics_compressed",
+      "q_refine_metrics_int8", "q_kernel_hoeff", "q_corpus_clean",
+      "q_refine_disagg")
+    val heavyGate = new java.util.concurrent.Semaphore(2)
+
     val futures = ordered.map { case (name, fn) =>
       Future {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        val gated = superHeavy.contains(name)
+        if (gated) heavyGate.acquire()
         val s0 = System.nanoTime()
         try {
           // scope the pipeline-persisted intermediates (Dedup) to this
@@ -163,7 +178,7 @@ object Bench {
             // the sentinel -1 and say so on stderr
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             name -> -1.0
-        }
+        } finally if (gated) heavyGate.release()
       }
     }
     val results = Await.result(Future.sequence(futures), Duration.Inf).toMap

@@ -426,15 +426,38 @@ object SparkEntry {
 
   /** Mode for the measured-compression metrics composition. */
   final val CompressedMetricsMode = "cos_l1"
-  /** (n_vecs, compressed_bytes) measured by the last
-    * [[qRefineMetricsCompressed]] construction in this JVM. Recorded so
-    * [[oracleSql]] can embed the same constants: zlib has no DuckDB twin,
-    * so the oracle reproduces the accounting arithmetic around the
-    * measured value rather than the measurement itself. Verify runs every
-    * query before dumping oracle_sql.json, so the holder is populated by
-    * the time it is read. */
+  /** (n_vecs, compressed_bytes) per sf dir — measured by
+    * [[qRefineMetricsCompressed]] or computed on demand by
+    * [[measuredCompForOracle]]. Recorded so [[oracleSql]] can embed the
+    * same constants: zlib has no DuckDB twin, so the oracle reproduces
+    * the accounting arithmetic around the measured value rather than the
+    * measurement itself. Keyed by dir like [[measuredBm25]], and computed
+    * eagerly at oracle-build time when the query didn't run in this JVM —
+    * so the oracle is present under ANY Verify filter selection, not just
+    * the run-everything path. */
   private val measuredComp =
-    new java.util.concurrent.atomic.AtomicReference[Option[(Long, Long)]](None)
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Measure (or reuse) the compression totals for `dir`. */
+  private def measuredCompFor(spark: SparkSession, dir: String): (Long, Long) =
+    measuredComp.computeIfAbsent(dir, _ => {
+      val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
+      graft.operators.BitplaneCompress.measureTotals(
+        v.select(col("id"), col("vec")), D, keepE = 5, keepM = KeepM)
+    })
+
+  /** Compression totals for the oracle: prefer the value captured when
+    * the query ran; otherwise measure NOW against the active session —
+    * the [[bm25StatsForOracle]] discipline. None only from a JVM with no
+    * Spark session at all (never Verify or any standalone dump path). */
+  private def measuredCompForOracle(): Option[(Long, Long)] =
+    Option(lastSfDir.get()).flatMap { dir =>
+      Option(measuredComp.get(dir)).orElse {
+        SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(s => measuredCompFor(s, dir))
+      }
+    }
 
   /** BM25 corpus stats measured when q_bm25/q_hybrid_rrf last planned,
     * KEYED BY SF DIR — a JVM that touches two sf dirs (tests do) must
@@ -477,9 +500,7 @@ object SparkEntry {
   def qRefineMetricsCompressed(spark: SparkSession, dir: String): DataFrame = {
     val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
-    val (n, comp) = graft.operators.BitplaneCompress.measureTotals(
-      v.select(col("id"), col("vec")), D, keepE = 5, keepM = KeepM)
-    measuredComp.set(Some((n, comp)))
+    val (n, comp) = measuredCompFor(spark, dir)
     val p = refineParams(CompressedMetricsMode)
     Refine.metrics(v, q, p, D,
       groundTruth = Some(exactGroundTruths(spark, dir)(p.isCos)),
@@ -714,6 +735,13 @@ object SparkEntry {
     TopK.window(scored, K)
   }
   private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
+
+  /** The k-NN graph AT REST: one build per (sf, params) — every
+    * graph-family query (build/descent/beam-search/clusters/delete)
+    * reads this layout instead of rebuilding the same graph. */
+  private def knnGraphAtRest(s: SparkSession, dir: String) =
+    s.read.parquet(graft.operators.Ivf.ensureKnnGraph(
+      s, dir, KnnJ, IvfCells, EmbD, IvfProbe))
 
   /** ts arrives as LongType nanos (see Tables.events); whole seconds via
     * integer `div`, day string via from_unixtime in the UTC session. */
@@ -1212,25 +1240,19 @@ object SparkEntry {
     // the N x N product never materializes — candidate generation is the
     // same bounded cell equi-join as the query path, shuffle-joined (not
     // broadcast: the node side IS the corpus)
-    "q_knn_graph" -> q((s, dir) => graft.operators.Ivf.knnGraph(
-      emb(s, dir), KnnJ, IvfCells, EmbD, IvfProbe)),
+    "q_knn_graph" -> q((s, dir) => knnGraphAtRest(s, dir)),
     // ... and one NN-descent refinement round: current edges UNION
     // two-hop edges (a neighbor of a neighbor is likely a neighbor),
     // exactly rescored and re-cut — a j^2*N self-join, never all-pairs
-    "q_knn_descent" -> q((s, dir) => {
-      val g = graft.operators.Ivf.knnGraph(emb(s, dir), KnnJ, IvfCells,
-        EmbD, IvfProbe)
-      graft.operators.Ivf.knnDescend(emb(s, dir), g, KnnJ)
-    }),
+    "q_knn_descent" -> q((s, dir) =>
+      graft.operators.Ivf.knnDescend(emb(s, dir), knnGraphAtRest(s, dir),
+        KnnJ)),
     // ... and the graph-ANN QUERY path: beam search over that graph —
-    // fixed synchronized rounds from a deterministic entry node; each
-    // query reads rounds*beam*degree vectors, never the corpus
-    "q_ann_graph_search" -> q((s, dir) => {
-      val g = graft.operators.Ivf.knnGraph(emb(s, dir), KnnJ, IvfCells,
-        EmbD, IvfProbe)
-      graft.operators.Ivf.graphSearch(emb(s, dir), g, NQ, K, GraphBeam,
-        GraphRounds)
-    }),
+    // fixed synchronized rounds from a per-query coarse-quantizer entry
+    // node; each query reads rounds*beam*degree vectors, never the corpus
+    "q_ann_graph_search" -> q((s, dir) =>
+      graft.operators.Ivf.graphSearch(emb(s, dir), knnGraphAtRest(s, dir),
+        NQ, K, GraphBeam, GraphRounds, IvfCells, EmbD)),
     // DELETE maintenance on the graph: affected survivors (those holding
     // an edge to a deleted id) re-ranked over the live corpus from their
     // probed cells — edge lists alone cannot backfill the j-th slot;
@@ -1238,11 +1260,10 @@ object SparkEntry {
     // over the live corpus at |affected| x occupancy cost
     "q_knn_graph_delete" -> q((s, dir) => {
       val e = emb(s, dir)
-      val g = graft.operators.Ivf.knnGraph(e, KnnJ, IvfCells, EmbD, IvfProbe)
       val tombs = e.select(col("vec_id").as("id"))
         .filter(col("id") % DeleteMod === 0)
-      graft.operators.Ivf.knnGraphDelete(e, g, tombs, KnnJ, IvfCells,
-        EmbD, IvfProbe)
+      graft.operators.Ivf.knnGraphDelete(e, knnGraphAtRest(s, dir), tombs,
+        KnnJ, IvfCells, EmbD, IvfProbe)
     }),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
@@ -1256,8 +1277,7 @@ object SparkEntry {
     // dedup uses — embedding-space cluster assignment as a composition
     // of two graded operators (bounded edges in, O(log n) CC rounds)
     "q_semantic_clusters" -> q((s, dir) => {
-      val g = graft.operators.Ivf.knnGraph(emb(s, dir), KnnJ, IvfCells,
-        EmbD, IvfProbe)
+      val g = knnGraphAtRest(s, dir)
       graft.operators.Dedup.connectedComponents(
         g.filter(col("score") >= SemClusterTau)
           .select(least(col("qid"), col("id")).as("doc_a"),
@@ -1503,15 +1523,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * q_refine_metrics_compressed is conditional: zlib has no DuckDB twin,
-    * so its oracle embeds the (n_vecs, compressed_bytes) measured when the
-    * query ran in THIS JVM. If the query has not run (or failed), the key
-    * is omitted — the driver records a rows-only check — rather than
-    * silently emitting the naive bit-count model, which is a semantically
-    * different oracle that would fail verification. Verify runs every
-    * query before dumping oracle_sql.json, so the measured path is the
-    * normal one. */
-  def oracleSql: Map[String, String] = (measuredComp.get() match {
+    * q_refine_metrics_compressed embeds MEASURED constants: zlib has no
+    * DuckDB twin, so its oracle embeds the (n_vecs, compressed_bytes)
+    * captured when the query ran — or measured eagerly right here when it
+    * didn't (any Verify filter selection still gets the oracle). The key
+    * is omitted — driver records a rows-only check — only from a JVM with
+    * no Spark session at all. */
+  def oracleSql: Map[String, String] = (measuredCompForOracle() match {
     case Some((n, comp)) => Map(
       // same division tree as the Spark side's comp.toDouble / n
       "q_refine_metrics_compressed" -> RefineOracle.metricsSqlWithRedBytes(
@@ -1671,25 +1689,9 @@ object SparkEntry {
     // each grid point is the q_ann_recall composition at its own nprobe,
     // plus the byte accounting: this rung reads the full float vector of
     // every probed candidate (4d bytes), measured against the brute
-    // baseline 4d*N*Q
-    "q_tune_nprobe" -> {
-      val bFull = 4L * EmbD
-      val denom = OracleGen.dlit((bFull * NQ).toDouble)
-      TuneNprobes.sorted.map { np =>
-        s"""SELECT CAST($np AS INTEGER) AS nprobe, CAST(hits AS BIGINT) AS hits,
-           |  CAST(hits AS DOUBLE) / ${K * NQ} AS recall,
-           |  CAST(cand_n AS BIGINT) AS cand,
-           |  CAST(cand_n * $bFull AS BIGINT) AS bytes_cheap,
-           |  1.0 - (CAST(cand_n * $bFull AS DOUBLE) /
-           |         (CAST(n_total AS DOUBLE) * $denom)) AS save
-           |FROM (SELECT COUNT(*) AS hits
-           |  FROM (${EmbOracle.bruteSql(EmbD, NQ, K)}) b
-           |  JOIN (${IvfOracle.topkSql(EmbD, NQ, K, IvfCells, np)}) v
-           |    ON b.qid = v.qid AND b.id = v.id) h,
-           |  (${IvfOracle.candCountSql(EmbD, NQ, IvfCells, np)}) c,
-           |  (SELECT COUNT(*) AS n_total FROM embeddings) n""".stripMargin
-      }.mkString("\nUNION ALL\n")
-    },
+    // baseline 4d*N*Q; shared MATERIALIZED scan + GT CTEs across arms
+    "q_tune_nprobe" -> IvfOracle.tuneNprobeSql(EmbD, NQ, K, IvfCells,
+      TuneNprobes),
     "q_tune_nprobe_sq8" -> IvfOracle.tuneSq8Sql(EmbD, NQ, K, IvfCells,
       TuneNprobes, EmbSq8ScaleLog2, Sq8Rerank),
     "q_tune_nprobe_pick" -> IvfOracle.chooseSq8Sql(EmbD, NQ, K, IvfCells,

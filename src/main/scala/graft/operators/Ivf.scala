@@ -250,6 +250,44 @@ object Ivf {
     TopK.window(scored, j)
   }
 
+  /** Bump when the graph build or layout changes: the version is part of
+    * the cache path, so stale graphs can never be silently reused. */
+  private val KnnGraphLayoutVersion = 1
+
+  /**
+   * The k-NN graph AT REST: built once per (sf, j, nCells, d, nprobe)
+   * into an immutable version-named parquet dir (atomic scratch-dir
+   * publish — the [[graft.operators.Pq.ensureCodesFixture]] discipline)
+   * and returned as a path every graph consumer reads. The build is the
+   * expensive step (a corpus-sized probe join); queries, NN-descent,
+   * clustering, and delete maintenance are all bounded reads of the
+   * edge list — exactly how a graph index ships at 100 TB: build once,
+   * serve many. Edge rows are id-sorted within files for row-group
+   * skipping on src-id probes.
+   */
+  def ensureKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String, j: Int,
+                     nCells: Int, d: Int, nprobe: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_knngraph_v${KnnGraphLayoutVersion}_${safe}_j${j}_c${nCells}" +
+        s"_d${d}_p${nprobe}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "knng-")
+      knnGraph(graft.Tables.embeddings(spark, sfDir), j, nCells, d, nprobe)
+        .sortWithinPartitions(col("qid"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"knn graph publish failed: $path")
+    }
+    path.toString
+  }
+
   /**
    * DELETE maintenance on the k-NN graph: removing ids drops their
    * nodes AND their incoming edges, and a survivor that held an edge to
@@ -325,31 +363,47 @@ object Ivf {
    * BEAM SEARCH over the k-NN graph — the graph-ANN query path (HNSW's
    * layer-0 descent, simplified to a fixed number of SYNCHRONIZED beam
    * rounds, which keeps it deterministic, relational, and oracle-
-   * mirrorable): the beam starts at a fixed entry node (the minimum id,
-   * the deterministic stand-in for HNSW's entry point), each round
-   * expands the current beam by its graph neighbors, exactly scores
-   * beam ∪ neighbors against the query, and keeps the best `beam`;
-   * after `rounds` rounds the top-k of the final beam is the answer.
-   * Per query each round touches at most beam*(degree+1) vectors — the
+   * mirrorable): the beam starts at a PER-QUERY entry node — the
+   * minimum id among members of the query's nearest coarse cell (the
+   * coarse quantizer is the deterministic stand-in for HNSW's upper
+   * layers; at 100x scale a single global entry wastes early rounds
+   * crossing the space, while the nearest-cell entry starts the walk in
+   * the query's neighborhood), falling back to the global minimum id
+   * when that cell holds no corpus point — each round expands the
+   * current beam by its graph neighbors, exactly scores beam ∪
+   * neighbors against the query, and keeps the best `beam`; after
+   * `rounds` rounds the top-k of the final beam is the answer. Per
+   * query each round touches at most beam*(degree+1) vectors — the
    * whole search reads rounds*beam*degree vectors, NEVER the corpus;
-   * every expansion is a bounded equi-join against the edge list.
+   * every expansion is a bounded equi-join against the edge list. Each
+   * round's beam (nq*beam rows) is eagerly localCheckpoint-ed — the
+   * Dedup.connectedComponents lineage discipline — so the operator
+   * survives rounds >> 4 without an iterative-plan blow-up.
    */
   def graphSearch(emb: DataFrame, graph: DataFrame, nq: Int, k: Int,
-                  beam: Int, rounds: Int): DataFrame = {
+                  beam: Int, rounds: Int, nCells: Int, d: Int): DataFrame = {
     require(beam >= k, s"beam $beam must be >= k $k")
     require(rounds >= 1, s"rounds=$rounds")
     val V = graft.functions.VectorOps
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val edges = graph.select(col("qid").as("src"), col("id").as("dst"))
-    // bounded driver-side seed (one value): the deterministic entry node
-    val entry = emb.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    // bounded driver-side seed (one row): the global fallback entry —
+    // and the empty-corpus guard (a null aggregate means no entry node)
+    val gminRow = emb.agg(min(col("vec_id"))).collect()(0)
+    require(!gminRow.isNullAt(0),
+      "graphSearch: empty corpus — no entry node to start the beam from")
+    val gmin = gminRow.getLong(0)
+    val top1 = probeCells(q, nCells, d, 1).select(col("qid"), col("cell"))
+    val cellMin = assign(emb, nCells, d).groupBy(col("cell"))
+      .agg(min(col("id")).as("mid"))
     val scoreSide = emb.select(col("vec_id").as("id"), col("embedding"),
       V.norm2Sq(col("embedding")).as("n2"))
     def rescore(frontier: DataFrame): DataFrame = frontier
       .join(scoreSide, Seq("id"))
       .join(broadcast(q), Seq("qid"))
       .withColumn("score", cosScore)
-    var beamDf: DataFrame = q.select(col("qid")).withColumn("id", lit(entry))
+    var beamDf: DataFrame = top1.join(cellMin, Seq("cell"), "left")
+      .select(col("qid"), coalesce(col("mid"), lit(gmin)).as("id"))
     for (_ <- 1 to rounds) {
       val expanded = beamDf.union(
           beamDf.join(edges, beamDf("id") === edges("src"))
@@ -357,6 +411,7 @@ object Ivf {
         .distinct()
       beamDf = TopK.window(rescore(expanded), beam)
         .select(col("qid"), col("id"))
+        .localCheckpoint(true)
     }
     TopK.window(rescore(beamDf), k)
   }

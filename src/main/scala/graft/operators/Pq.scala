@@ -541,8 +541,20 @@ object Pq {
   def compactCodesLayoutWithDeletes(spark: SparkSession, srcPath: String,
                                     tombs: DataFrame): String = {
     import java.nio.file.{Files, Paths}
-    val nDel = tombs.count()
-    val dst = Paths.get(srcPath + s"_compacted_del$nDel")
+    // content-address the output on a HASH of the tombstone id set, not
+    // its cardinality: two equal-sized delete sets against the same
+    // source layout must not silently reuse each other's compaction.
+    // Order-insensitive digest: bit_xor of per-id md5-derived 60-bit
+    // hashes plus count (xor can't overflow under ANSI arithmetic) — one
+    // tiny aggregate over the bounded tombstone set.
+    val dig = tombs.agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(graft.operators.Dedup.strHash(col("id").cast("string"))),
+          lit(0L)).as("h"))
+      .collect()(0)
+    val nDel = dig.getLong(0)
+    val hDel = java.lang.Long.toHexString(dig.getLong(1))
+    val dst = Paths.get(srcPath + s"_compacted_del${nDel}_$hDel")
     if (!Files.exists(dst.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(dst.getParent, "pqdelcompact-")
       spark.read.parquet(srcPath)

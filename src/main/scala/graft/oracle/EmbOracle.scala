@@ -17,19 +17,23 @@ object EmbOracle {
 
   private def fn(x: String) = s"GREATEST(sqrt($x), 1e-12)"
 
-  /** norms CTE: nrm(vec_id, n2). */
-  def nrmCte(d: Int): String =
-    s"nrm AS (SELECT vec_id, ${dotE("embedding", "embedding", d)} AS n2 FROM embeddings)"
+  /** norms CTE: nrm(vec_id, n2). MATERIALIZED — every consumer joins it
+    * at least twice (candidate side + query side) and DuckDB re-evaluates
+    * plain CTEs per reference. `name` lets a nested sub-oracle (e.g.
+    * [[bruteSql]] embedded inside a sweep) avoid the duplicate-alias
+    * error DuckDB raises for same-named materialized CTEs in scope. */
+  def nrmCte(d: Int, name: String = "nrm"): String =
+    s"$name AS MATERIALIZED (SELECT vec_id, ${dotE("embedding", "embedding", d)} AS n2 FROM embeddings)"
 
   def bruteSql(d: Int, nq: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |           ORDER BY vec_id LIMIT $nq),
-       |${nrmCte(d)},
+       |${nrmCte(d, "nrmb")},
        |sc AS (SELECT q.qid, e.vec_id AS id, ${dotE("e.embedding", "q.qv", d)} AS dp
        |       FROM embeddings e CROSS JOIN q),
        |scored AS (SELECT sc.qid, sc.id,
        |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
-       |  FROM sc JOIN nrm ni ON sc.id = ni.vec_id JOIN nrm nq2 ON sc.qid = nq2.vec_id),
+       |  FROM sc JOIN nrmb ni ON sc.id = ni.vec_id JOIN nrmb nq2 ON sc.qid = nq2.vec_id),
        |ranked AS (SELECT qid, id, score,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
        |  FROM scored)

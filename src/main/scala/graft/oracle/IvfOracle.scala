@@ -50,11 +50,11 @@ object IvfOracle {
     val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
     val n2q8 = (1 to d).map(i => s"${dq("e", i, scale)}*${dq("e", i, scale)}")
       .mkString("(", " + ", ")")
-    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
-       |asg AS (SELECT vec_id, $argmin AS cell
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
-       |q8n AS (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
+       |q8n AS MATERIALIZED (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
        |  FROM q JOIN asg0 a ON a.vec_id = q.qid
@@ -111,7 +111,7 @@ object IvfOracle {
   def candCountSql(d: Int, nq: Int, nCells: Int, nprobe: Int): String = {
     val (distCols, leastExpr, argmin, probeCase, cellsValues) =
       coarseSnippets(d, nCells)
-    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
        |asg AS (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
@@ -178,11 +178,11 @@ object IvfOracle {
          |    FROM cand WHERE pr <= $np) WHERE rn <= $rerank) f,
          | ntot n""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
-       |asg AS (SELECT vec_id, $argmin AS cell
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
-       |q8n AS (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
+       |q8n AS MATERIALIZED (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
        |  FROM q JOIN asg0 a ON a.vec_id = q.qid
@@ -191,15 +191,72 @@ object IvfOracle {
        |    SELECT qid, cell,
        |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
        |    FROM qp0) WHERE pr <= $npMax),
-       |cand AS (SELECT qpr.qid, a.vec_id AS id, qpr.pr,
+       |cand AS MATERIALIZED (SELECT qpr.qid, a.vec_id AS id, qpr.pr,
        |    ${qdotE("e", "qe", d, scale)} / (${fn("q8.n2q8")} * ${fn("nq2.n2")}) AS score
        |  FROM qpr JOIN asg a ON a.cell = qpr.cell
        |  JOIN embeddings e ON e.vec_id = a.vec_id
        |  JOIN embeddings qe ON qe.vec_id = qpr.qid
        |  JOIN q8n q8 ON q8.vec_id = a.vec_id
        |  JOIN nrm nq2 ON nq2.vec_id = qpr.qid),
-       |bt AS (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
-       |ntot AS (SELECT COUNT(*) AS n_total FROM embeddings)
+       |bt AS MATERIALIZED (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
+       |ntot AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM embeddings)
+       |$arms""".stripMargin
+  }
+
+  /**
+   * Recall-vs-nprobe sweep over the full-precision IVF rung
+   * ([[graft.operators.Ivf.tuneNprobe]]): ONE materialized exact-scored
+   * candidate scan at npMax + one brute GT, one UNION ALL arm per grid
+   * point (a probe-rank filter + rank cut + hit count + byte accounting).
+   * Replaces the per-arm re-statement of the whole IVF pipeline that made
+   * the round-10 oracle 728 KB of SQL and a DuckDB re-evaluation hazard.
+   */
+  def tuneNprobeSql(d: Int, nq: Int, k: Int, nCells: Int,
+                    nprobes: Seq[Int]): String = {
+    val npMax = nprobes.max
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    val bFull = 4L * d
+    val denom = OracleGen.dlit((bFull * nq).toDouble)
+    val arms = nprobes.sorted.map { np =>
+      s"""SELECT CAST($np AS INTEGER) AS nprobe, CAST(h.hits AS BIGINT) AS hits,
+         |  CAST(h.hits AS DOUBLE) / ${k * nq} AS recall,
+         |  CAST(c.cand_n AS BIGINT) AS cand,
+         |  CAST(c.cand_n * $bFull AS BIGINT) AS bytes_cheap,
+         |  1.0 - (CAST(c.cand_n * $bFull AS DOUBLE) /
+         |         (CAST(n.n_total AS DOUBLE) * $denom)) AS save
+         |FROM
+         | (SELECT COUNT(*) AS hits FROM
+         |    (SELECT qid, id FROM (
+         |       SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+         |       FROM cand WHERE pr <= $np) WHERE rnk <= $k) t
+         |    JOIN bt ON bt.qid = t.qid AND bt.id = t.id) h,
+         | (SELECT COUNT(*) AS cand_n FROM cand WHERE pr <= $np) c,
+         | ntot n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qpr AS (SELECT qid, cell, pr FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $npMax),
+       |cand AS MATERIALIZED (SELECT qpr.qid, a.vec_id AS id, qpr.pr,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM qpr JOIN asg a ON a.cell = qpr.cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = qpr.qid
+       |  JOIN nrm ne ON ne.vec_id = a.vec_id
+       |  JOIN nrm nq2 ON nq2.vec_id = qpr.qid),
+       |bt AS MATERIALIZED (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
+       |ntot AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM embeddings)
        |$arms""".stripMargin
   }
 
@@ -255,11 +312,11 @@ object IvfOracle {
          |    FROM cand WHERE pr <= $np) WHERE rn <= $rr) f,
          | ntot n""".stripMargin
     }).mkString("\nUNION ALL\n")
-    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
-       |asg AS (SELECT vec_id, $argmin AS cell
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
-       |q8n AS (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
+       |q8n AS MATERIALIZED (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
        |  FROM q JOIN asg0 a ON a.vec_id = q.qid
@@ -268,15 +325,15 @@ object IvfOracle {
        |    SELECT qid, cell,
        |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
        |    FROM qp0) WHERE pr <= $npMax),
-       |cand AS (SELECT qpr.qid, a.vec_id AS id, qpr.pr,
+       |cand AS MATERIALIZED (SELECT qpr.qid, a.vec_id AS id, qpr.pr,
        |    ${qdotE("e", "qe", d, scale)} / (${fn("q8.n2q8")} * ${fn("nq2.n2")}) AS score
        |  FROM qpr JOIN asg a ON a.cell = qpr.cell
        |  JOIN embeddings e ON e.vec_id = a.vec_id
        |  JOIN embeddings qe ON qe.vec_id = qpr.qid
        |  JOIN q8n q8 ON q8.vec_id = a.vec_id
        |  JOIN nrm nq2 ON nq2.vec_id = qpr.qid),
-       |bt AS (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
-       |ntot AS (SELECT COUNT(*) AS n_total FROM embeddings)
+       |bt AS MATERIALIZED (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
+       |ntot AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM embeddings)
        |$arms""".stripMargin
   }
 
@@ -287,11 +344,11 @@ object IvfOracle {
   def chooseGridSql(d: Int, nq: Int, k: Int, nCells: Int,
                     nprobes: Seq[Int], reranks: Seq[Int], scaleLog2: Int,
                     recallFloor: Double): String =
-    s"""WITH m AS (${tuneGridSql(d, nq, k, nCells, nprobes, reranks, scaleLog2)}),
-       |flag AS (SELECT CASE
+    s"""WITH m AS MATERIALIZED (${tuneGridSql(d, nq, k, nCells, nprobes, reranks, scaleLog2)}),
+       |flag AS MATERIALIZED (SELECT CASE
        |    WHEN MAX(CASE WHEN recall >= ${OracleGen.dlit(recallFloor)} THEN 1 ELSE 0 END) = 1
        |    THEN 1 ELSE 0 END AS any_meet FROM m),
-       |sel AS (SELECT m.nprobe, m.rerank FROM m, flag
+       |sel AS MATERIALIZED (SELECT m.nprobe, m.rerank FROM m, flag
        |  WHERE flag.any_meet = 0 OR m.recall >= ${OracleGen.dlit(recallFloor)}
        |  ORDER BY CASE WHEN flag.any_meet = 1 THEN m.save ELSE m.recall END DESC,
        |    m.nprobe ASC, m.rerank ASC
@@ -354,11 +411,11 @@ object IvfOracle {
          |    FROM cand) WHERE rn <= $rr) f,
          | ntot n""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
-       |asg AS (SELECT vec_id, $argmin AS cell
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
-       |q8n AS (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
+       |q8n AS MATERIALIZED (SELECT e.vec_id, $n2q8 AS n2q8 FROM embeddings e),
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
        |  FROM q JOIN asg0 a ON a.vec_id = q.qid
@@ -367,15 +424,15 @@ object IvfOracle {
        |    SELECT qid, cell,
        |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
        |    FROM qp0) WHERE pr <= $nprobe),
-       |cand AS (SELECT qpr.qid, a.vec_id AS id,
+       |cand AS MATERIALIZED (SELECT qpr.qid, a.vec_id AS id,
        |    ${qdotE("e", "qe", d, scale)} / (${fn("q8.n2q8")} * ${fn("nq2.n2")}) AS score
        |  FROM qpr JOIN asg a ON a.cell = qpr.cell
        |  JOIN embeddings e ON e.vec_id = a.vec_id
        |  JOIN embeddings qe ON qe.vec_id = qpr.qid
        |  JOIN q8n q8 ON q8.vec_id = a.vec_id
        |  JOIN nrm nq2 ON nq2.vec_id = qpr.qid),
-       |bt AS (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
-       |ntot AS (SELECT COUNT(*) AS n_total FROM embeddings)
+       |bt AS MATERIALIZED (SELECT qid, id FROM (${EmbOracle.bruteSql(d, nq, k)})),
+       |ntot AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM embeddings)
        |$arms""".stripMargin
   }
 
@@ -385,11 +442,11 @@ object IvfOracle {
     * floor (else highest recall), ties to the smaller nprobe. */
   def chooseSq8Sql(d: Int, nq: Int, k: Int, nCells: Int, nprobes: Seq[Int],
                    scaleLog2: Int, rerank: Int, recallFloor: Double): String =
-    s"""WITH m AS (${tuneSq8Sql(d, nq, k, nCells, nprobes, scaleLog2, rerank)}),
-       |flag AS (SELECT CASE
+    s"""WITH m AS MATERIALIZED (${tuneSq8Sql(d, nq, k, nCells, nprobes, scaleLog2, rerank)}),
+       |flag AS MATERIALIZED (SELECT CASE
        |    WHEN MAX(CASE WHEN recall >= ${OracleGen.dlit(recallFloor)} THEN 1 ELSE 0 END) = 1
        |    THEN 1 ELSE 0 END AS any_meet FROM m),
-       |sel AS (SELECT m.nprobe FROM m, flag
+       |sel AS MATERIALIZED (SELECT m.nprobe FROM m, flag
        |  WHERE flag.any_meet = 0 OR m.recall >= ${OracleGen.dlit(recallFloor)}
        |  ORDER BY CASE WHEN flag.any_meet = 1 THEN m.save ELSE m.recall END DESC,
        |    m.nprobe ASC
@@ -411,8 +468,8 @@ object IvfOracle {
       if (excludeMod <= 0) "" else s" WHERE vec_id % $excludeMod <> 0"
     val candWhere =
       if (excludeMod <= 0) "" else s" AND a.vec_id % $excludeMod <> 0"
-    s"""asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
-       |asg AS (SELECT vec_id, $argmin AS cell
+    s"""asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
        |q AS (SELECT vec_id AS qid FROM embeddings$qWhere),
@@ -434,7 +491,7 @@ object IvfOracle {
        |  JOIN embeddings qe ON qe.vec_id = c.qid
        |  JOIN nrm ne ON ne.vec_id = c.id
        |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
-       |gfull AS (SELECT qid, id, score, rnk FROM (
+       |gfull AS MATERIALIZED (SELECT qid, id, score, rnk FROM (
        |  SELECT qid, id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
        |  FROM scored) WHERE rnk <= $j)""".stripMargin
@@ -494,7 +551,10 @@ object IvfOracle {
     * ([[graft.operators.Ivf.graphSearch]]): `rounds` synchronized beam
     * rounds unrolled as chained CTEs — each round expands the beam by
     * its graph neighbors, exactly scores the union, keeps the best
-    * `beam`; the final SELECT is the top-k of the last beam. */
+    * `beam`; the final SELECT is the top-k of the last beam. The entry
+    * node is per-query: the minimum id among members of the query's
+    * nearest coarse cell, global-min fallback for an empty cell —
+    * mirroring the engine's coarse-quantizer entry rule. */
   def graphSearchSql(d: Int, j: Int, nCells: Int, nprobe: Int, nq: Int,
                      k: Int, beam: Int, rounds: Int): String = {
     def scoreBlock(src: String, out: String) =
@@ -513,7 +573,7 @@ object IvfOracle {
          |  UNION ALL
          |  SELECT p.qid, g.id FROM $prev p JOIN gfull g ON g.qid = p.id)),
          |${scoreBlock(s"x$r", s"s$r")},
-         |b$r AS (SELECT qid, id FROM (
+         |b$r AS MATERIALIZED (SELECT qid, id FROM (
          |    SELECT qid, id,
          |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
          |    FROM s$r) WHERE rn <= $beam)""".stripMargin
@@ -521,7 +581,13 @@ object IvfOracle {
     s"""WITH ${knnGraphCtes(d, j, nCells, nprobe)},
        |qs AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |ent AS (SELECT MIN(vec_id) AS eid FROM embeddings),
-       |b0 AS (SELECT qs.qid, ent.eid AS id FROM qs, ent),
+       |qtop1 AS (SELECT qid, cell FROM (
+       |    SELECT p.qid, p.cell,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY p.d2 ASC, p.cell ASC) AS pr
+       |    FROM qp0 p JOIN qs ON qs.qid = p.qid) WHERE pr = 1),
+       |cellmin AS (SELECT cell, MIN(vec_id) AS mid FROM asg GROUP BY cell),
+       |b0 AS MATERIALIZED (SELECT t.qid, COALESCE(c.mid, ent.eid) AS id
+       |  FROM qtop1 t LEFT JOIN cellmin c ON c.cell = t.cell CROSS JOIN ent),
        |$roundsCtes,
        |${scoreBlock(s"b$rounds", "sfin")},
        |rfin AS (SELECT qid, id, score,
@@ -551,8 +617,8 @@ object IvfOracle {
     val probeCase = "CASE t.cell " + (0 until nCells)
       .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
     val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
-    s"""WITH asg0 AS (SELECT e.vec_id, $distCols FROM embeddings e),
-       |asg AS (SELECT vec_id, $argmin AS cell
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),

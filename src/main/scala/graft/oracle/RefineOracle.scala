@@ -206,11 +206,11 @@ object RefineOracle {
               grid: Seq[Double], recallFloor: Double): String = {
     val params = grid.map(dl =>
       Refine.Params(mode, k = k, keepM = keepM, delta = dl))
-    s"""WITH m AS (${allMetricsSql(d, nq, params)}),
-       |flag AS (SELECT CASE
+    s"""WITH m AS MATERIALIZED (${allMetricsSql(d, nq, params)}),
+       |flag AS MATERIALIZED (SELECT CASE
        |    WHEN MAX(CASE WHEN recall >= ${OracleGen.dlit(recallFloor)} THEN 1 ELSE 0 END) = 1
        |    THEN 1 ELSE 0 END AS any_meet FROM m),
-       |sel AS (SELECT m.delta FROM m, flag
+       |sel AS MATERIALIZED (SELECT m.delta FROM m, flag
        |  WHERE flag.any_meet = 0 OR m.recall >= ${OracleGen.dlit(recallFloor)}
        |  ORDER BY CASE WHEN flag.any_meet = 1 THEN m.save ELSE m.recall END DESC,
        |    m.delta ASC

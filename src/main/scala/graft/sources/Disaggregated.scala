@@ -95,8 +95,26 @@ object Disaggregated {
   def refineTopK(spark: SparkSession, path: String, queries: DataFrame,
                  p: graft.operators.Refine.Params): DataFrame = {
     val stored = spark.read.parquet(path)
+    // The pruned cheap tier (id, rvec, delta[, bb] — the reduced column
+    // chunks only) is consumed by BOTH refine passes: the seed window
+    // pass and the survivor filter. Without a pin each consumer re-scans
+    // and re-decompresses the zstd parquet chunks — measured at 2x the
+    // whole cheap-tier scan cost per query (the in-memory twin reads a
+    // cached fixture and never pays this). Persist the cheap tier once
+    // under the caller's release scope: this is the tier you'd pin in
+    // cluster cache at 100 TB (it is the small fraction of the table by
+    // bytes), while the full-precision side stays streaming as the
+    // topkSplit contract requires. The seed pass runs eagerly first
+    // inside fetchedSplitImpl, so it fills the cache before the survivor
+    // pass reads it — no concurrent-fill race. Bare callers (no scope)
+    // keep the plain lazy scan: no leak into the session CacheManager.
+    val cheap0 = graft.operators.Refine.cheapSideStored(stored, p)
+    val cheap =
+      if (graft.operators.Dedup.scopeActive)
+        graft.operators.Dedup.persistScoped(cheap0)
+      else cheap0
     graft.operators.Refine.topkSplit(
-      graft.operators.Refine.cheapSideStored(stored, p),
+      cheap,
       stored.select(col("id"), col("vec")),
       queries, p)
   }
@@ -166,29 +184,39 @@ object Disaggregated {
     val s = math.pow(2.0, scaleLog2)
     val half = (0.5 / s).toFloat
     val stored = spark.read.parquet(path)
-    val cheap = stored.select(col("id"),
+    val cheap0 = stored.select(col("id"),
         transform(col("code"),
           c => (c.cast("double") / s).cast("float")).as("rvec"))
       .withColumn("delta", transform(col("rvec"), _ => lit(half)))
       .select(col("id"), col("rvec"), col("delta"),
         VectorOps.norm2Sq(col("rvec")).as("nr2"))
+    // same cheap-tier pin as [[refineTopK]]: dequantized codes feed both
+    // refine passes; persist once under the caller's scope
+    val cheap =
+      if (graft.operators.Dedup.scopeActive)
+        graft.operators.Dedup.persistScoped(cheap0)
+      else cheap0
     graft.operators.Refine.topkSplit(cheap,
       stored.select(col("id"), col("vec")), queries, p)
   }
 
   /** Column sets read by every parquet scan in the physical plan,
     * descending into AQE wrappers (plans with exchanges live under
-    * AdaptiveSparkPlanExec, which hides its subtree from `collect`). */
+    * AdaptiveSparkPlanExec, which hides its subtree from `collect`) and
+    * into cached relations (a persisted cheap tier hides its pruned file
+    * scan inside the InMemoryRelation's cache-fill plan). */
   def scanSchemas(df: DataFrame): Seq[Set[String]] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def walk(p: SparkPlan): Seq[Set[String]] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)
       case f: FileSourceScanExec => Seq(f.requiredSchema.fieldNames.toSet)
       case other => other.children.flatMap(walk)
     }
-    walk(df.queryExecution.executedPlan)
+    walk(df.queryExecution.executedPlan).distinct
   }
 
   /** Throw unless the optimized plan's Parquet ReadSchema contains

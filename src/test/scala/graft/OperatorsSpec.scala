@@ -126,21 +126,27 @@ class OperatorsSpec extends AnyFunSuite {
     val g = Ivf.knnGraph(emb, j, SparkEntry.IvfCells, SparkEntry.EmbD,
       SparkEntry.IvfProbe)
     val nq = 5; val k = 5; val beam = 10
-    def run(rounds: Int) = Ivf.graphSearch(emb, g, nq, k, beam, rounds)
+    def run(rounds: Int) = Ivf.graphSearch(emb, g, nq, k, beam, rounds,
+        SparkEntry.IvfCells, SparkEntry.EmbD)
       .collect().groupBy(_.getAs[Long]("qid"))
       .view.mapValues(_.map(r =>
         r.getAs[Int]("rank") -> r.getAs[Double]("score")).toMap).toMap
     val r3 = run(3); val r4 = run(4)
+    // rounds >> 4 must not blow up the iterative plan: each round's beam
+    // is localCheckpoint-ed (lineage truncation), so 16 rounds stays flat
+    val r16 = run(16)
+    assert(r16.nonEmpty && r16.values.forall(_.size == k))
     // an extra round expands a superset under exact scoring: rank-wise
     // scores can only improve or hold
     r4.foreach { case (qid, rows) =>
       rows.foreach { case (rank, s) =>
         r3(qid).get(rank).foreach(prev => assert(s >= prev,
           s"round 4 degraded query $qid at rank $rank")) } }
-    // loose recall floor vs brute (degree-5 graph, one entry node)
+    // loose recall floor vs brute (degree-5 graph, nearest-cell entry)
     val brute = Ann.bruteTopK(emb, nq, k).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
-    val got = Ivf.graphSearch(emb, g, nq, k, beam, 4).collect()
+    val got = Ivf.graphSearch(emb, g, nq, k, beam, 4,
+        SparkEntry.IvfCells, SparkEntry.EmbD).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
     assert((brute & got).size * 5 >= brute.size,
       s"graph search recall ${(brute & got).size}/${brute.size} under 20%")

@@ -31,7 +31,8 @@ object PlanAudit {
     audit("knn_graph")(graft.operators.Ivf.knnGraph(emb, KnnJ, IvfCells, EmbD, IvfProbe))
     audit("graph_search") {
       val g = graft.operators.Ivf.knnGraph(emb, KnnJ, IvfCells, EmbD, IvfProbe)
-      graft.operators.Ivf.graphSearch(emb, g, NQ, K, GraphBeam, GraphRounds)
+      graft.operators.Ivf.graphSearch(emb, g, NQ, K, GraphBeam, GraphRounds,
+        IvfCells, EmbD)
     }
     spark.stop()
   }

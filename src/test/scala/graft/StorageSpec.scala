@@ -120,9 +120,21 @@ class StorageSpec extends AnyFunSuite {
       assert(byKey((np, r1)).getAs[Double]("save") >=
         byKey((np, r2)).getAs[Double]("save"))
     }
-    for (rr <- TuneGridReranks; Seq(n1, n2) <- TuneGridNprobes.sorted.sliding(2))
-      assert(byKey((n1, rr)).getAs[Double]("recall") <=
-        byKey((n2, rr)).getAs[Double]("recall"))
+    // NOT asserted along the nprobe axis at fixed rerank: a deeper probe
+    // adds candidates to the approximate sq8 cheap ranking, and a
+    // fixed-depth rerank cut over that ranking can DISPLACE a true hit
+    // from the cut — superset-of-candidates only implies monotone recall
+    // when the cut depth grows with the candidate set (the rerank axis).
+    // Empirically recall rises with nprobe on this fixture, but it is a
+    // fixture property, not an invariant; assert only a loose no-collapse
+    // expectation (deepest probe within 2 hits of the shallowest).
+    for (rr <- TuneGridReranks) {
+      val ns = TuneGridNprobes.sorted
+      val first = byKey((ns.head, rr)).getAs[Long]("hits")
+      val last = byKey((ns.last, rr)).getAs[Long]("hits")
+      assert(last >= first - 2,
+        s"rerank=$rr: hits collapsed ${first} -> ${last} as nprobe grew")
+    }
     // K1 CSV artifact + K2 operating-surface curve, like the 1-D sweeps
     val out = java.nio.file.Files.createTempDirectory("grid").toString
     graft.operators.Sweep.writeCsv(grid, s"$out/csv")
