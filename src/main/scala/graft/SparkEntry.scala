@@ -407,6 +407,29 @@ object SparkEntry {
       gt
     })
 
+  /** The 2-D sweep rows + schema, computed ONCE per (session, dir) and
+    * shared by q_tune_grid / q_tune_grid_pick / q_tune_pareto — the
+    * cross-query twin of the per-query shared-scan discipline (three
+    * queries re-running the identical sweep were pure mutual contention
+    * in the concurrent bench). |grid| rows; sorted by (nprobe, rerank)
+    * — the choice tie-break order. */
+  private val tuneGridCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+
+  private def tuneGridCached(s: SparkSession, dir: String)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) =
+    tuneGridCache.computeIfAbsent((s, dir), _ => {
+      val df = graft.operators.Ivf.tuneGridSq8(emb(s, dir), NQ, K, IvfCells,
+        EmbD, TuneGridNprobes, TuneGridReranks, EmbSq8ScaleLog2)
+      (df.collect().sortBy(r => (r.getInt(0), r.getInt(1))), df.schema)
+    })
+
+  private def tuneGridDf(s: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = tuneGridCached(s, dir)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Accounting metrics (recall/save/fpr) for all six modes. The fixture
     * and per-family ground truth are computed once and reused; within each
     * family the reduced pass / window / seeds / tau0 are shared
@@ -670,6 +693,18 @@ object SparkEntry {
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
   final val Sq8Rerank = 30
+  // query-adaptive probe depth (q_ann_adaptive): probe cells within
+  // ratio x the nearest centroid distance, capped; 1.5 is dyadic so the
+  // oracle's decimal literal parses to the identical double
+  final val AdaptiveRatio = 1.5
+  final val AdaptiveRatioLit = "1.5"
+  final val AdaptiveNpMax = 4
+  // recall@R curve depths (q_ann_recall_curve); max = K reuses the
+  // standard ground-truth depth
+  final val RecallRs = Seq(1, 5, 10)
+  // score-histogram bucket scale (q_score_hist): floor(score*16) over
+  // cosine in [-1,1] -> at most 33 buckets
+  final val HistBinScale = 16
   // IVF-PQ: 8 subspaces x 16 codes = 32-bit code words (64x cheap-pass
   // bandwidth cut vs the float vector); rerank as for SQ8
   final val PqM = 8
@@ -1362,14 +1397,42 @@ object SparkEntry {
     // ... and BOTH knobs together: the 2-D (nprobe x rerank) grid — the
     // full analog of the reference's 2-D m_keep x delta sweep — still
     // from one persisted scored scan + one ground-truth pass
-    "q_tune_grid" -> q((s, dir) => graft.operators.Ivf.tuneGridSq8(
-      emb(s, dir), NQ, K, IvfCells, EmbD, TuneGridNprobes, TuneGridReranks,
-      EmbSq8ScaleLog2)),
+    "q_tune_grid" -> q((s, dir) => tuneGridDf(s, dir)),
     // the 2-D workflow's END: the chosen (nprobe, rerank) operating
     // point — highest save clearing the recall floor, off the grid above
-    "q_tune_grid_pick" -> q((s, dir) => graft.operators.Ivf.chooseGridSq8(
-      emb(s, dir), NQ, K, IvfCells, EmbD, TuneGridNprobes, TuneGridReranks,
-      EmbSq8ScaleLog2, TuneNprobeFloor)),
+    "q_tune_grid_pick" -> q((s, dir) => graft.operators.Ivf
+      .chooseGridFromRows(s, tuneGridCached(s, dir)._1.toList,
+        TuneNprobeFloor)),
+    // ... and the grid's PARETO FRONTIER on (recall, save): the menu of
+    // efficient operating points — every dominated row is strictly
+    // wasted bandwidth at its recall; dominance — like the choice — is
+    // driver-side over the session-shared |grid| sweep rows
+    "q_tune_pareto" -> q((s, dir) => graft.operators.Ivf
+      .paretoFromRows(s, tuneGridCached(s, dir)._1.toList)),
+    // index introspection (the ANALYZE surface): per-cell occupancy, id
+    // range, and corpus fraction — one map-side assignment pass folding
+    // into nCells rows; what an operator reads before tuning nprobe or
+    // re-training skewed centroids
+    "q_ivf_stats" -> q((s, dir) => graft.operators.Ivf.indexStats(
+      emb(s, dir), IvfCells, EmbD)),
+    // QUERY-ADAPTIVE probe depth: each query probes the cells within a
+    // fixed ratio of its nearest centroid distance (capped) — easy
+    // queries pay one cell, boundary queries widen automatically; the
+    // per-query probe count rides the result as its observable behavior
+    "q_ann_adaptive" -> q((s, dir) => graft.operators.Ivf.topkAdaptive(
+      emb(s, dir), NQ, K, IvfCells, EmbD, AdaptiveRatio, AdaptiveNpMax)),
+    // recall@R curve for the probe rung: one ranked pass per side at
+    // max(R), each curve point a rank cut + a hit count — the standard
+    // ANN benchmark artifact (recall@1 vs recall@k disagreements are
+    // what distinguish a bad candidate pool from a bad final ordering)
+    "q_ann_recall_curve" -> q((s, dir) => graft.operators.Ivf.recallAtR(
+      emb(s, dir), NQ, IvfCells, EmbD, IvfProbe, RecallRs)),
+    // score-distribution histogram over the query-corpus cosines: the
+    // calibration artifact behind every threshold (cascade cuts, dedup
+    // tau, range radius) — a full-corpus statistic that reduces map-side
+    // to <= 2*binScale+1 groups, the cheapest 100 TB-scale scan there is
+    "q_score_hist" -> q((s, dir) => graft.operators.Ann.scoreHistogram(
+      emb(s, dir), NQ, HistBinScale)),
     // the reference's (preds, saving) contract applied to the cascade:
     // end-to-end recall + the per-tier byte ledger (8/1/4d bytes over
     // geometrically shrinking sets) + save vs the brute 4d*N*Q baseline
@@ -1702,6 +1765,14 @@ object SparkEntry {
       TuneGridNprobes, TuneGridReranks, EmbSq8ScaleLog2),
     "q_tune_grid_pick" -> IvfOracle.chooseGridSql(EmbD, NQ, K, IvfCells,
       TuneGridNprobes, TuneGridReranks, EmbSq8ScaleLog2, TuneNprobeFloor),
+    "q_tune_pareto" -> IvfOracle.paretoGridSql(EmbD, NQ, K, IvfCells,
+      TuneGridNprobes, TuneGridReranks, EmbSq8ScaleLog2),
+    "q_ivf_stats" -> IvfOracle.indexStatsSql(EmbD, IvfCells),
+    "q_ann_adaptive" -> IvfOracle.adaptiveTopkSql(EmbD, NQ, K, IvfCells,
+      AdaptiveRatioLit, AdaptiveNpMax),
+    "q_ann_recall_curve" -> IvfOracle.recallAtRSql(EmbD, NQ, IvfCells,
+      IvfProbe, RecallRs),
+    "q_score_hist" -> EmbOracle.scoreHistogramSql(EmbD, NQ, HistBinScale),
     "q_cascade_metrics" -> PqOracle.cascadeMetricsSql(EmbD, NQ, K,
       EmbSq8ScaleLog2, CascadeR1, CascadeR2),
     // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB

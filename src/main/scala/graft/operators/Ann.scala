@@ -43,6 +43,26 @@ object Ann {
     TopK.window(scored, k)
   }
 
+  /**
+   * SCORE-DISTRIBUTION HISTOGRAM over the query-corpus cosine scores —
+   * the calibration artifact for every threshold in the engine (cascade
+   * tier cuts, near-dup tau, range-search radius): bucket =
+   * floor(score * binScale), counted. One streaming pass over the
+   * broadcast-cross-join scores folding map-side into at most
+   * 2*binScale+1 groups — the reduction is a few hundred bytes per
+   * partition regardless of corpus size, which is why this is the
+   * cheapest possible full-corpus statistic at 100 TB. floor of the
+   * same exact score doubles both engines compute, so the bucketing is
+   * bit-deterministic. Output: (bucket, n).
+   */
+  def scoreHistogram(emb: DataFrame, nq: Int, binScale: Int): DataFrame = {
+    require(binScale >= 1, s"binScale $binScale")
+    val q = broadcast(queriesOf(emb, nq))
+    candSide(emb).crossJoin(q).withColumn("score", score)
+      .select(floor(col("score") * lit(binScale)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
   /** IVF-style: only candidates in the query's cell are scored. */
   def ivfTopK(emb: DataFrame, nq: Int, k: Int): DataFrame = {
     val q = broadcast(queriesOf(emb, nq))

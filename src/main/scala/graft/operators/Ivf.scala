@@ -658,11 +658,18 @@ object Ivf {
    */
   def chooseGridSq8(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
                     nprobes: Seq[Int], reranks: Seq[Int], scaleLog2: Int,
-                    recallFloor: Double): DataFrame = {
-    val spark = emb.sparkSession
-    val rows = tuneGridSq8(emb, nq, k, nCells, d, nprobes, reranks,
-      scaleLog2).collect().toList.sortBy(r => (r.getInt(0), r.getInt(1)))
-    val indexed = rows.zipWithIndex
+                    recallFloor: Double): DataFrame =
+    chooseGridFromRows(emb.sparkSession,
+      tuneGridSq8(emb, nq, k, nCells, d, nprobes, reranks, scaleLog2)
+        .collect().toList.sortBy(r => (r.getInt(0), r.getInt(1))),
+      recallFloor)
+
+  /** [[chooseGridSq8]] over precollected sweep rows (MUST be sorted by
+    * (nprobe, rerank) ascending — the tie-break order). */
+  def chooseGridFromRows(spark: org.apache.spark.sql.SparkSession,
+                         rows: Seq[org.apache.spark.sql.Row],
+                         recallFloor: Double): DataFrame = {
+    val indexed = rows.toList.zipWithIndex
     val meeting = indexed.filter(_._1.getAs[Double]("recall") >= recallFloor)
     val chosenIdx =
       if (meeting.nonEmpty) meeting.maxBy(_._1.getAs[Double]("save"))._2
@@ -676,6 +683,139 @@ object Ivf {
         i == chosenIdx)
     }.toDF("nprobe", "rerank", "hits", "recall", "cand", "fetched",
       "bytes_cheap", "bytes_rescore", "save", "chosen")
+  }
+
+  /**
+   * INDEX INTROSPECTION — the ANALYZE surface of the IVF index: per-cell
+   * occupancy (count, id range, corpus fraction). This is what an
+   * operator looks at before choosing nprobe or deciding to re-train
+   * centroids: a skewed occupancy histogram means probe cost varies
+   * wildly per query and the biggest cells dominate every scan. One
+   * map-side assignment pass + a partial-aggregating groupBy into
+   * nCells rows — at 100 TB this is a single cheap scan, and at rest
+   * the stats come free from the cell-partitioned layout's footer
+   * counts. Output: (cell, n, min_id, max_id, frac).
+   */
+  def indexStats(emb: DataFrame, nCells: Int, d: Int): DataFrame = {
+    val nTot = emb.agg(count(lit(1)).as("n_total"))
+    assign(emb, nCells, d)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .crossJoin(nTot)
+      .select(col("cell"), col("n"), col("min_id"), col("max_id"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("frac"))
+  }
+
+  /**
+   * PARETO FRONTIER of the 2-D tuning grid — the rows not dominated on
+   * (recall, save): a grid point is dropped iff some other point has
+   * recall >= AND save >= with at least one strict. This is the tuning
+   * artifact an operator actually wants (the menu of efficient
+   * operating points; every dominated row is strictly wasted bandwidth
+   * at its recall). The sweep is the shared-scan [[tuneGridSq8]]
+   * pipeline; dominance — like [[chooseGridSq8]]'s choice — is
+   * driver-side over the |grid| collected rows, never touching the
+   * corpus again. [[paretoFromRows]] takes precollected sweep rows so a
+   * session can run the sweep ONCE and feed grid/choice/frontier.
+   */
+  def paretoGridSq8(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                    nprobes: Seq[Int], reranks: Seq[Int],
+                    scaleLog2: Int): DataFrame =
+    paretoFromRows(emb.sparkSession,
+      tuneGridSq8(emb, nq, k, nCells, d, nprobes, reranks, scaleLog2)
+        .collect().toList.sortBy(r => (r.getInt(0), r.getInt(1))))
+
+  /** [[paretoGridSq8]] over precollected sweep rows. */
+  def paretoFromRows(spark: org.apache.spark.sql.SparkSession,
+                     rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    def rec(r: org.apache.spark.sql.Row) = r.getAs[Double]("recall")
+    def sv(r: org.apache.spark.sql.Row) = r.getAs[Double]("save")
+    rows.filterNot(a => rows.exists(b =>
+        rec(b) >= rec(a) && sv(b) >= sv(a) &&
+          (rec(b) > rec(a) || sv(b) > sv(a))))
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Long]("hits"),
+        rec(r), sv(r)))
+      .toDF("nprobe", "rerank", "hits", "recall", "save")
+  }
+
+  /**
+   * QUERY-ADAPTIVE PROBE DEPTH — per-query early termination on the
+   * coarse quantizer (the FAISS-style adaptive-nprobe heuristic made
+   * deterministic): instead of a fixed nprobe, each query probes the
+   * cells whose centroid distance is within `ratio` of its NEAREST
+   * centroid distance (capped at `npMax`). An easy query — one clearly
+   * closest cell — pays one cell's scan; an ambiguous query near a cell
+   * boundary automatically widens. Pure comparisons on the same exact
+   * centroid-distance doubles both engines compute, so the probe set is
+   * oracle-mirrorable. Output: (qid, rank, id, score, n_probed) — the
+   * per-query probe count is part of the result, it IS the knob's
+   * observable behavior.
+   */
+  def topkAdaptive(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                   ratio: Double, npMax: Int): DataFrame = {
+    require(ratio >= 1.0, s"ratio $ratio must be >= 1")
+    require(npMax >= 1 && npMax <= nCells, s"npMax $npMax out of [1, $nCells]")
+    val V = graft.functions.VectorOps
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val withD = q.select(col("qid") +: col("qvec") +: col("qn2") +:
+      cellDists(col("qvec"), nCells, d): _*)
+    val stacked = withD.select(col("qid"), col("qvec"), col("qn2"),
+      explode(array((0 until nCells).map(c =>
+        struct(lit(c).as("cell"), col(s"c$c").as("d2"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"), col("p.cell"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+    val probes = broadcast(stacked
+      .withColumn("proberank", row_number().over(w))
+      .withColumn("d2min", min(col("d2")).over(wq))
+      .filter(col("proberank") <= npMax &&
+        col("d2") <= col("d2min") * lit(ratio))
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell")))
+    val nProbed = broadcast(probes.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_probed")))
+    val assigned = assign(emb, nCells, d)
+      .withColumn("n2", V.norm2Sq(col("embedding")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k).join(nProbed, Seq("qid"))
+  }
+
+  /**
+   * RECALL@R CURVE for the probe rung — recall at several result depths
+   * from ONE ranked pass each side (the standard ANN benchmark artifact:
+   * recall@1 says whether the top hit survives, recall@rMax whether the
+   * candidate pool is deep enough; a rung can be good at one and bad at
+   * the other). The approximate side is ranked once to max(rs), the
+   * brute ground truth once to max(rs); each curve point is a rank cut +
+   * a count — no per-point rescans. Output: (r, hits, recall).
+   */
+  def recallAtR(emb: DataFrame, nq: Int, nCells: Int, d: Int, nprobe: Int,
+                rs: Seq[Int]): DataFrame = {
+    require(rs.nonEmpty && rs.forall(_ >= 1), s"rs $rs must be >= 1")
+    val rMax = rs.max
+    val V = graft.functions.VectorOps
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    val assigned = assign(emb, nCells, d)
+      .withColumn("n2", V.norm2Sq(col("embedding")))
+    val appr = Dedup.persistScoped(TopK.window(
+      assigned.join(probes, Seq("cell")).withColumn("score", cosScore), rMax)
+      .select(col("qid"), col("rank"), col("id")))
+    val truth = Dedup.persistScoped(Ann.bruteTopK(emb, nq, rMax)
+      .select(col("qid"), col("rank"), col("id")))
+    appr.count(); truth.count()   // fill once; every cut reads the cache
+    rs.sorted.map { r =>
+      appr.filter(col("rank") <= r).select(col("qid"), col("id"))
+        .join(truth.filter(col("rank") <= r).select(col("qid"), col("id")),
+          Seq("qid", "id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(r).as("r"), col("hits"),
+          (col("hits").cast("double") / lit((r * nq).toDouble)).as("recall"))
+    }.reduce(_.union(_))
   }
 
   /**

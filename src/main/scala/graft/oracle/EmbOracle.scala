@@ -39,6 +39,23 @@ object EmbOracle {
        |  FROM scored)
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score FROM ranked WHERE rnk <= $k""".stripMargin
 
+  /** Score-distribution histogram ([[graft.operators.Ann
+    * .scoreHistogram]]): bucket = floor(score * binScale) over every
+    * query-corpus cosine — floor of the identical score doubles, so the
+    * bucketing is bit-deterministic. */
+  def scoreHistogramSql(d: Int, nq: Int, binScale: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |${nrmCte(d)},
+       |sc AS (SELECT q.qid, e.vec_id AS id, ${dotE("e.embedding", "q.qv", d)} AS dp
+       |       FROM embeddings e CROSS JOIN q),
+       |scored AS (SELECT sc.qid, sc.id,
+       |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM sc JOIN nrm ni ON sc.id = ni.vec_id JOIN nrm nq2 ON sc.qid = nq2.vec_id)
+       |SELECT CAST(FLOOR(score * $binScale) AS INTEGER) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM scored GROUP BY 1""".stripMargin
+
   def ivfSql(d: Int, nq: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel FROM embeddings
        |           ORDER BY vec_id LIMIT $nq),

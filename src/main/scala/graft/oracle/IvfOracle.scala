@@ -597,6 +597,122 @@ object IvfOracle {
        |FROM rfin WHERE rnk <= $k""".stripMargin
   }
 
+  /** Index introspection ([[graft.operators.Ivf.indexStats]]): per-cell
+    * occupancy, id range, and corpus fraction. */
+  def indexStatsSql(d: Int, nCells: Int): String = {
+    val (distCols, leastExpr, argmin, _, _) = coarseSnippets(d, nCells)
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |ntot AS (SELECT COUNT(*) AS n_total FROM embeddings)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(n.n_total AS DOUBLE) AS frac
+       |FROM asg, ntot n GROUP BY cell, n.n_total""".stripMargin
+  }
+
+  /** Pareto frontier of the 2-D grid
+    * ([[graft.operators.Ivf.paretoGridSq8]]): rows of [[tuneGridSql]]
+    * not dominated on (recall, save). */
+  def paretoGridSql(d: Int, nq: Int, k: Int, nCells: Int,
+                    nprobes: Seq[Int], reranks: Seq[Int],
+                    scaleLog2: Int): String =
+    s"""WITH m AS MATERIALIZED (${tuneGridSql(d, nq, k, nCells, nprobes, reranks, scaleLog2)})
+       |SELECT nprobe, rerank, hits, recall, save FROM m a
+       |WHERE NOT EXISTS (SELECT 1 FROM m b
+       |  WHERE b.recall >= a.recall AND b.save >= a.save
+       |    AND (b.recall > a.recall OR b.save > a.save))""".stripMargin
+
+  /** Query-adaptive probe depth ([[graft.operators.Ivf.topkAdaptive]]):
+    * probe the cells within `ratioLit` of the query's nearest centroid
+    * distance, capped at npMax; exact-scored top-k plus the per-query
+    * probe count. `ratioLit` is the decimal literal of a dyadic ratio so
+    * both engines multiply by the identical double. */
+  def adaptiveTopkSql(d: Int, nq: Int, k: Int, nCells: Int,
+                      ratioLit: String, npMax: Int): String = {
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qmin AS (SELECT qid, MIN(d2) AS d2min FROM qp0 GROUP BY qid),
+       |qp AS MATERIALIZED (SELECT r.qid, r.cell FROM (
+       |    SELECT qid, cell, d2,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) r JOIN qmin mn ON mn.qid = r.qid
+       |  WHERE r.pr <= $npMax AND r.d2 <= mn.d2min * $ratioLit),
+       |npb AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_probed
+       |  FROM qp GROUP BY qid),
+       |cand AS (SELECT qp.qid, a.vec_id AS id
+       |  FROM qp JOIN asg a ON a.cell = qp.cell),
+       |scored AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT r.qid, CAST(r.rnk AS INTEGER) AS rank, r.id, r.score,
+       |  npb.n_probed
+       |FROM ranked r JOIN npb ON npb.qid = r.qid WHERE r.rnk <= $k""".stripMargin
+  }
+
+  /** Recall@R curve ([[graft.operators.Ivf.recallAtR]]): one ranked
+    * probe-rung pass + one brute pass at max(rs); each curve point a
+    * rank cut + a hit count. */
+  def recallAtRSql(d: Int, nq: Int, nCells: Int, nprobe: Int,
+                   rs: Seq[Int]): String = {
+    val rMax = rs.max
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    val arms = rs.sorted.map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS r, CAST(h.hits AS BIGINT) AS hits,
+         |  CAST(h.hits AS DOUBLE) / ${r * nq} AS recall
+         |FROM (SELECT COUNT(*) AS hits FROM
+         |  (SELECT qid, id FROM rankedp WHERE rnk <= $r) t
+         |  JOIN (SELECT qid, id FROM bt WHERE rank <= $r) b
+         |    ON b.qid = t.qid AND b.id = t.id) h""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |candp AS (SELECT qp.qid, a.vec_id AS id
+       |  FROM qp JOIN asg a ON a.cell = qp.cell),
+       |scoredp AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM candp c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |rankedp AS MATERIALIZED (SELECT qid, id, rnk FROM (
+       |  SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scoredp) WHERE rnk <= $rMax),
+       |bt AS MATERIALIZED (SELECT qid, id, rank
+       |  FROM (${EmbOracle.bruteSql(d, nq, rMax)}))
+       |$arms""".stripMargin
+  }
+
   /** `langs` nonempty = the filtered-index variant: candidates restricted
     * to the metadata predicate (joined on vec_id = doc_id, exactly the
     * rows the at-rest layout stores beside the vectors), lang in the

@@ -952,4 +952,90 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stream.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       StreamOps.eventsSchema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
+
+  test("index stats: occupancy partitions the corpus, fractions sum to 1") {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val rows = Ivf.indexStats(emb, SparkEntry.IvfCells, SparkEntry.EmbD).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    assert(rows.forall { r =>
+      val c = r.getAs[Int]("cell")
+      c >= 0 && c < SparkEntry.IvfCells &&
+        r.getAs[Long]("min_id") <= r.getAs[Long]("max_id")
+    })
+    assert(math.abs(rows.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-9)
+  }
+
+  test("pareto frontier: exactly the non-dominated grid rows") {
+    import graft.operators.{Ivf, Dedup}
+    import SparkEntry.{NQ, K, IvfCells, EmbD, TuneGridNprobes, TuneGridReranks,
+      EmbSq8ScaleLog2}
+    val emb = Tables.embeddings(spark, dir)
+    val ((grid, front), release) = Dedup.scopedRelease {
+      (Ivf.tuneGridSq8(emb, NQ, K, IvfCells, EmbD, TuneGridNprobes,
+          TuneGridReranks, EmbSq8ScaleLog2)
+          .collect().map(r => (r.getInt(0), r.getInt(1),
+            r.getAs[Double]("recall"), r.getAs[Double]("save"))),
+        Ivf.paretoGridSq8(emb, NQ, K, IvfCells, EmbD, TuneGridNprobes,
+          TuneGridReranks, EmbSq8ScaleLog2)
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSet)
+    }
+    release()
+    def dominated(a: (Int, Int, Double, Double)) = grid.exists(b =>
+      b._3 >= a._3 && b._4 >= a._4 && (b._3 > a._3 || b._4 > a._4))
+    val expected = grid.filterNot(dominated).map(r => (r._1, r._2)).toSet
+    assert(front == expected && front.nonEmpty)
+  }
+
+  test("adaptive probe depth: bounded probes; wide ratio equals fixed npMax") {
+    import graft.operators.Ivf
+    import SparkEntry.{NQ, K, IvfCells, EmbD, AdaptiveNpMax}
+    val emb = Tables.embeddings(spark, dir)
+    val got = Ivf.topkAdaptive(emb, NQ, K, IvfCells, EmbD,
+      SparkEntry.AdaptiveRatio, AdaptiveNpMax).collect()
+    assert(got.nonEmpty)
+    assert(got.forall { r =>
+      val np = r.getAs[Long]("n_probed"); np >= 1 && np <= AdaptiveNpMax })
+    // a ratio admitting every cell degenerates to the fixed-depth scan
+    val wide = Ivf.topkAdaptive(emb, NQ, K, IvfCells, EmbD, 1e18, AdaptiveNpMax)
+      .select("qid", "rank", "id", "score").collect().map(_.toSeq).toSet
+    val fixed = Ivf.topk(emb, NQ, K, IvfCells, EmbD, AdaptiveNpMax)
+      .select("qid", "rank", "id", "score").collect().map(_.toSeq).toSet
+    assert(wide == fixed)
+  }
+
+  test("recall@R curve: bounded, and the R=k point matches the recall join") {
+    import graft.operators.{Ivf, Ann, Dedup}
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, RecallRs}
+    val emb = Tables.embeddings(spark, dir)
+    val (rows, release) = Dedup.scopedRelease(
+      Ivf.recallAtR(emb, NQ, IvfCells, EmbD, IvfProbe, RecallRs).collect())
+    release()
+    assert(rows.length == RecallRs.length)
+    rows.foreach { r =>
+      val rr = r.getAs[Int]("r"); val hits = r.getAs[Long]("hits")
+      assert(hits >= 0 && hits <= rr.toLong * NQ)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the R=K point is the classic recall join computed independently
+    val approx = Ivf.topk(emb, NQ, K, IvfCells, EmbD, IvfProbe).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val brute = Ann.bruteTopK(emb, NQ, K).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val atK = rows.find(_.getAs[Int]("r") == K).get.getAs[Long]("hits")
+    assert(atK == (approx & brute).size.toLong)
+  }
+
+  test("score histogram: counts partition the cross join, buckets bounded") {
+    import graft.operators.Ann
+    import SparkEntry.{NQ, HistBinScale}
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Ann.scoreHistogram(emb, NQ, HistBinScale).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == emb.count() * NQ)
+    assert(rows.forall { r =>
+      val b = r.getAs[Int]("bucket")
+      b >= -HistBinScale - 1 && b <= HistBinScale })
+  }
 }
