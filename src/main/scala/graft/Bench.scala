@@ -122,6 +122,8 @@ object Bench {
         SparkEntry.IvfProbe)
       graft.operators.Ivf.ensureKnnGraph(spark, sfDir, SparkEntry.KnnJ,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+      graft.operators.Ivf.ensureSq4Codes(spark, sfDir, SparkEntry.IvfCells,
+        SparkEntry.EmbD, SparkEntry.EmbSq4ScaleLog2)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the

@@ -693,6 +693,12 @@ object SparkEntry {
   // codes |k| <= 127 = int8; rerank depth 3K before the exact rescore
   final val EmbSq8ScaleLog2 = 7
   final val Sq8Rerank = 30
+  // IVF-SQ4 (q_ann_ivf_sq4 / _at_rest): 16-level 4-bit codes, two per
+  // stored byte — the sub-byte rung between BQ and SQ8; scale 2^3 maps
+  // |v| < 1 into the clamp range, rerank as deep as BQ (coarse codes
+  // need a wide exact net)
+  final val EmbSq4ScaleLog2 = 3
+  final val Sq4Rerank = 60
   // query-adaptive probe depth (q_ann_adaptive): probe cells within
   // ratio x the nearest centroid distance, capped; 1.5 is dyadic so the
   // oracle's decimal literal parses to the identical double
@@ -1166,6 +1172,16 @@ object SparkEntry {
     // exact rescore — the canonical vector-DB bandwidth configuration
     "q_ann_ivf_sq8" -> q((s, dir) => graft.operators.Ivf.topkSq8(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, EmbSq8ScaleLog2, Sq8Rerank)),
+    // IVF-SQ4: the 4-bit rung between BQ and SQ8 — 16-level clamped
+    // codes, cheap rank at half SQ8's bytes, deeper rerank; at rest two
+    // codes pack per byte so the cheap scan reads d/2 bytes/row
+    "q_ann_ivf_sq4" -> q((s, dir) => graft.operators.Ivf.topkSq4(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, EmbSq4ScaleLog2, Sq4Rerank)),
+    // ... and the packed at-rest twin (identical rows; the cheap scan
+    // reads only the packed nibble column with cell partition pruning)
+    "q_ann_sq4_at_rest" -> q((s, dir) => graft.operators.Ivf.topkSq4AtRest(
+      s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, EmbSq4ScaleLog2,
+      Sq4Rerank)),
     // IVF-PQ: product-quantized ADC cheap rank (query-side lookup table,
     // candidate-side code picks) + rerank-deep exact rescore
     "q_ann_ivf_pq" -> q((s, dir) => graft.operators.Pq.topk(
@@ -1655,6 +1671,12 @@ object SparkEntry {
     "q_ann_ivf_at_rest" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     "q_ann_ivf_sq8" -> IvfOracle.sq8Sql(EmbD, NQ, K, IvfCells, IvfProbe,
       EmbSq8ScaleLog2, Sq8Rerank),
+    "q_ann_ivf_sq4" -> IvfOracle.sq4Sql(EmbD, NQ, K, IvfCells, IvfProbe,
+      EmbSq4ScaleLog2, Sq4Rerank),
+    // identical semantics off the packed at-rest layout (nibble
+    // round-trip is the identity) — same oracle
+    "q_ann_sq4_at_rest" -> IvfOracle.sq4Sql(EmbD, NQ, K, IvfCells, IvfProbe,
+      EmbSq4ScaleLog2, Sq4Rerank),
     "q_ann_ivf_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe,
       PqM, PqCodes, PqRerank),
     "q_ann_ivf_pq_res" -> PqOracle.topkResidualSql(EmbD, NQ, K, IvfCells,

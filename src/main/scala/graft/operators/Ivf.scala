@@ -192,6 +192,139 @@ object Ivf {
     TopK.window(rescored, k)
   }
 
+  /** 4-bit scalar quantization code: clamp(floor(v*2^s + 0.5), -8, 7) —
+    * the clamp is what distinguishes the 4-bit rung (16 levels) from
+    * SQ8's unclamped int8 range; dequantized k/2^s stays an exact dyadic
+    * rational, so the rung is bit-reproducible in DuckDB. */
+  private def sq4Code(x: Column, s: Double): Column =
+    least(lit(7L), greatest(lit(-8L), floor(x * s + lit(0.5))))
+
+  /**
+   * IVF-SQ4 — the 4-bit rung of the precision ladder, between BQ's sign
+   * bit and SQ8's byte: cell-pruned candidates, a cheap ranking pass
+   * over 4-bit scalar-quantized codes (16 levels, candidate side
+   * dequantized k/2^s, query side full precision), a deeper rerank cut
+   * than SQ8 (coarser codes need a wider exact net), and an exact
+   * rescore of the survivors. At rest the codes pack TWO per byte
+   * ([[ensureSq4Codes]]) — the cheap pass reads d/2 bytes per row, an
+   * 8x cut vs the float vector and half of SQ8. Here they are derived
+   * map-side so the oracle twin stays a pure expression mirror; the
+   * at-rest twin [[topkSq4AtRest]] returns identical rows.
+   */
+  def topkSq4(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+              nprobe: Int, scaleLog2: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val V = graft.functions.VectorOps
+    val s = math.pow(2.0, scaleLog2)
+    val assigned = assign(emb, nCells, d)
+      .withColumn("q4", transform(col("embedding"),
+        x => (sq4Code(x, s).cast("double") / s).cast("float")))
+      .withColumn("n2q4", V.norm2Sq(col("q4")))
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    val cheap = assigned.join(probes, Seq("cell"))
+      .withColumn("score", V.dot(col("q4"), col("qvec")) /
+        (V.fnorm(col("n2q4")) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  /** Bump when the SQ4 packing or layout changes. */
+  private val Sq4LayoutVersion = 1
+
+  /**
+   * SQ4 codes AT REST: two 4-bit codes per stored byte — an
+   * ARRAY<TINYINT> of d/2 bytes per row ((hi+8)*16 + (lo+8) - 128, the
+   * offset keeping the packed value in signed-byte range), cell-
+   * partitioned like every other index layout so probe-cell selection is
+   * parquet partition pruning. The cheap pass over this layout reads
+   * d/2 bytes/row: the sub-byte rung the bandwidth ladder was missing
+   * between BQ (d/8 bytes wide-word) and int8 (d bytes).
+   */
+  def ensureSq4Codes(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String, nCells: Int, d: Int,
+                     scaleLog2: Int): String = {
+    require(d % 2 == 0, s"d=$d must be even for nibble packing")
+    import java.nio.file.{Files, Paths}
+    val s = math.pow(2.0, scaleLog2)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sq4_v${Sq4LayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_s${scaleLog2}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "sq4-")
+      val packed = array((0 until d / 2).map { i =>
+        val hi = sq4Code(element_at(col("embedding"), 2 * i + 1), s)
+        val lo = sq4Code(element_at(col("embedding"), 2 * i + 2), s)
+        ((hi + 8) * 16 + (lo + 8) - 128).cast("byte")
+      }: _*)
+      assign(graft.Tables.embeddings(spark, sfDir), nCells, d)
+        .select(col("id"), col("cell"), packed.as("packed"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"sq4 codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** [[topkSq4]] off the packed at-rest layout — identical rows: the
+    * nibble round-trip (code -> packed byte -> code) is the identity, so
+    * dequantization from the unpacked nibble equals the map-side
+    * derivation. Probe cells are a static partition filter (bounded
+    * collect, <= nq*nprobe values); the cheap scan reads only
+    * (id, packed) — never the float embedding. */
+  def topkSq4AtRest(spark: org.apache.spark.sql.SparkSession,
+                    sfDir: String, emb: DataFrame, nq: Int, k: Int,
+                    nCells: Int, d: Int, nprobe: Int, scaleLog2: Int,
+                    rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val V = graft.functions.VectorOps
+    val s = math.pow(2.0, scaleLog2)
+    val path = ensureSq4Codes(spark, sfDir, nCells, d, scaleLog2)
+    val stored = spark.read.parquet(path) // (id, packed, cell)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val unpacked = array((1 to d).map { j =>
+      val b = element_at(col("packed"), (j + 1) / 2).cast("int") + lit(128)
+      val nib = if (j % 2 == 1) shiftright(b, 4) else b.bitwiseAND(lit(15))
+      ((nib - lit(8)).cast("double") / s).cast("float")
+    }: _*)
+    val cheap = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("q4", unpacked)
+      .withColumn("n2q4", V.norm2Sq(col("q4")))
+      .withColumn("score", V.dot(col("q4"), col("qvec")) /
+        (V.fnorm(col("n2q4")) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
   /**
    * IVF cosine top-k: candidates restricted to the query's probe cells.
    * Output (qid, rank, id, score) — approximate by construction (recall

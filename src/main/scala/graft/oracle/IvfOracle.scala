@@ -90,6 +90,67 @@ object IvfOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** 4-bit dequantized component: clamp(floor(v*2^s + 0.5), -8, 7)/2^s,
+    * widened like [[dq]] — [[graft.operators.Ivf.topkSq4]]'s code value. */
+  private def dq4(alias: String, i: Int, scale: Double): String =
+    s"CAST(CAST(LEAST(7, GREATEST(-8, FLOOR(CAST($alias.embedding[$i] AS DOUBLE)*$scale" +
+      s" + 0.5)))/$scale AS FLOAT) AS DOUBLE)"
+
+  /** Left-fold dot of the 4-bit-dequantized a side against the full b. */
+  private def q4dotE(a: String, b: String, d: Int, scale: Double): String =
+    (1 to d).map(i => s"${dq4(a, i, scale)}*CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  /** [[sq8Sql]]'s twin for the 4-bit rung ([[graft.operators.Ivf
+    * .topkSq4]] and its packed at-rest twin — the nibble round-trip is
+    * the identity, so ONE oracle serves both). */
+  def sq4Sql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+             scaleLog2: Int, rerank: Int): String = {
+    val scale = math.pow(2.0, scaleLog2)
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    val n2q4 = (1 to d).map(i => s"${dq4("e", i, scale)}*${dq4("e", i, scale)}")
+      .mkString("(", " + ", ")")
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |q4n AS MATERIALIZED (SELECT e.vec_id, $n2q4 AS n2q4 FROM embeddings e),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id FROM qp JOIN asg a ON a.cell = qp.cell),
+       |cheap AS (SELECT c.qid, c.id,
+       |    ${q4dotE("e", "qe", d, scale)} / (${fn("q4.n2q4")} * ${fn("nq2.n2")}) AS s_hat
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN q4n q4 ON q4.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** Coarse-quantizer SQL snippets shared by the probe pipelines:
     * (distCols, leastExpr, argmin, probeCase, cellsValues). */
   private def coarseSnippets(d: Int, nCells: Int)

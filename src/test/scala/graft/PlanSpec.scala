@@ -219,6 +219,29 @@ class PlanSpec extends AnyFunSuite {
     assert(new java.io.File(path, "_SUCCESS").exists)
   }
 
+  test("sq4 at-rest: packed-nibble cheap scan, pruned cells, rows equal in-memory") {
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, EmbSq4ScaleLog2, Sq4Rerank}
+    val emb = Tables.embeddings(spark, dir)
+    val df = graft.operators.Ivf.topkSq4AtRest(spark, dir, emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, EmbSq4ScaleLog2, Sq4Rerank)
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    // the cheap pass reads only the packed nibble column (d/2 bytes/row);
+    // the rescore reads the float table — never both in one scan
+    scans.filter(_.contains("packed")).foreach(s =>
+      assert(s.subsetOf(Set("id", "packed")), s"unpruned sq4 scan: $s"))
+    assert(scans.exists(_.contains("packed")), s"no packed-only scan: $scans")
+    // probe-cell partition pruning reached the packed scan
+    val pruned = df.queryExecution.executedPlan.toString
+    assert(!pruned.contains("PartitionCount") ||
+      !scans.exists(_.contains("cell")), "cell read as data column")
+    // identical rows to the map-side-derived rung (nibble round-trip is id)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Ivf.topkSq4(emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, EmbSq4ScaleLog2, Sq4Rerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K)
+  }
+
   test("refine pipeline whole-stage code compiles (no Janino fallback)") {
     // codegenStringSeq compiles every WholeStageCodegen subtree and maps a
     // Janino failure to ByteCodeStats.UNAVAILABLE — the silent interpreted
