@@ -152,14 +152,17 @@ object Bench {
 
     // The shared-GT heavies are MUTUAL contention under full-width
     // submission (r10: metrics trio + kernel at 88-101 s concurrent vs
-    // 13-24 s solo — pure thrash, not work): admit at most 2 of them at
-    // a time. The light majority keeps the other submission slots
-    // saturated, and serializing the metrics family actually helps it —
-    // the first to run fills the session GT cache the rest reuse.
+    // 13-24 s solo — pure thrash, not work): admit ONE of them at a
+    // time. The light majority keeps the other submission slots
+    // saturated; serializing the metrics family actively helps it (the
+    // first to run fills the session GT cache the rest reuse), and each
+    // heavy runs its wide stages against light-query contention only,
+    // so its recorded time stays attributable. (r11 measured the gate at
+    // 2: the co-admitted pair still inflated 4-6x over its seq time.)
     val superHeavy = Set("q_refine_metrics", "q_refine_metrics_compressed",
       "q_refine_metrics_int8", "q_kernel_hoeff", "q_corpus_clean",
       "q_refine_disagg")
-    val heavyGate = new java.util.concurrent.Semaphore(2)
+    val heavyGate = new java.util.concurrent.Semaphore(1)
 
     val futures = ordered.map { case (name, fn) =>
       Future {
@@ -263,7 +266,7 @@ object Bench {
       // concurrent time — a query that regresses only under concurrent
       // load needs an attributable sequential row to clear (or confirm) it
       val pinned = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_PIN",
-          "q_topk_cos_vecsrc,q_refine_cos_l2,q_refine_metrics")
+          "q_topk_cos_vecsrc,q_refine_cos_l2,q_refine_metrics,q_refine_disagg")
         .split(",").map(_.trim).filter(n => n.nonEmpty && results.contains(n))
       val heaviest = (results.toSeq.filter(_._2 > 0).sortBy(-_._2)
         .take(nSeq).map(_._1) ++ pinned).distinct

@@ -19,7 +19,8 @@ import graft.sources.VecFiles
  * --mode cos-hoeff|cos-l1|cos-l2|l2-tz|l2-sym|l2-hoeff   (default cos-hoeff)
  * --k 20  --keep 6  --ekeep 5  --delta 0.7  --maxrows 100000
  * --db <path.vec|.fvecs|header-bin>   --q <path>   --compress <zlib level>
- * --quant fp16|int8  --qscale 4    (int8: scalar-quantized cheap copy,
+ * --quant fp16|int8|sq4  --qscale 4  (int8/sq4: scalar-quantized cheap
+ *                                   copy at 8 or 4 bits per component,
  *                                   engine extension beyond the reference)
  * }}}
  * Without `--db`, synthesizes the seeded Gaussian demo corpus
@@ -70,12 +71,12 @@ object Demo {
     // sign-aware per-coordinate bound assumes a truncated-toward-zero
     // copy (|rv| <= |v|, same sign) — rounding-to-nearest breaks both.
     val quant = a.getOrElse("quant", "fp16")
-    require(quant == "fp16" || quant == "int8", s"unknown --quant $quant")
+    require(Set("fp16", "int8", "sq4")(quant), s"unknown --quant $quant")
     require(quant == "fp16" || mode != "l2_tz",
-      "--quant int8 is incompatible with --mode l2-tz (the sign-aware " +
+      s"--quant $quant is incompatible with --mode l2-tz (the sign-aware " +
         "bound assumes a truncated copy); use l2-sym or l2-hoeff")
     require(quant == "fp16" || !a.contains("compress"),
-      "--compress models the fp16 bit-plane layout; undefined for --quant int8")
+      s"--compress models the fp16 bit-plane layout; undefined for --quant $quant")
     val qscale = a.getOrElse("qscale", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
@@ -130,16 +131,22 @@ object Demo {
     val v =
       if (quant == "fp16") v0
       else {
-        val v8 = Fixture.int8Vectors(v0.select(col("id"), col("vec")), qscale)
-        // fail loudly if the data outruns the int8 code range at this
-        // scale (|code| <= 127) instead of silently clipping semantics
-        val maxAbsRv = v8.select(max(expr(
-          "aggregate(rvec, CAST(0.0 AS DOUBLE), (acc, x) -> " +
+        // int8 (|code| <= 127) or the 4-bit rung (16 levels, |code| <= 7
+        // — the half-step bound is only valid when nothing clamps)
+        val codeMax = if (quant == "sq4") 7.5 else 127.5
+        val vq =
+          if (quant == "sq4")
+            Fixture.sq4Vectors(v0.select(col("id"), col("vec")), qscale)
+          else Fixture.int8Vectors(v0.select(col("id"), col("vec")), qscale)
+        // fail loudly if the data outruns the code range at this scale
+        // instead of silently clipping semantics
+        val maxAbsRv = vq.select(max(expr(
+          "aggregate(vec, CAST(0.0 AS DOUBLE), (acc, x) -> " +
             "greatest(acc, abs(CAST(x AS DOUBLE))))"))).first().getDouble(0)
-        require(maxAbsRv * (1 << qscale) <= 127.5,
-          f"--qscale $qscale overflows int8 codes (max |code| = " +
-            f"${maxAbsRv * (1 << qscale)}%.0f > 127); lower --qscale")
-        v8
+        require(maxAbsRv * (1 << qscale) <= codeMax,
+          f"--qscale $qscale overflows $quant codes (max |code| = " +
+            f"${maxAbsRv * (1 << qscale)}%.0f); lower --qscale")
+        vq
       }
 
     // §4.3 composition: measured compressed reduced-page bytes replace the
@@ -148,7 +155,11 @@ object Demo {
     val redOverride = a.get("compress").map { lvl =>
       BitplaneCompress.measure(v.select(col("id"), col("vec")), d,
         p.keepE, p.keepM, level = lvl.toInt).first().getDouble(4)
-    }.orElse(if (quant == "int8") Some(d * 1.0) else None)
+    }.orElse(quant match {
+      case "int8" => Some(d * 1.0)       // 1 byte per component
+      case "sq4"  => Some(d * 0.5)       // two 4-bit codes per byte
+      case _      => None
+    })
 
     val row = Refine.metrics(v, q, p, d, redBytesOverride = redOverride).first()
     val (recall, save, fpr) =
@@ -156,7 +167,7 @@ object Demo {
     // the reference's stdout report shape (ANNCode.py:864-867)
     println(f"mode=$mode recall@${p.k}=$recall%.4f save=${save * 100}%.2f%% " +
       f"fpr=${fpr * 100}%.2f%%" +
-      (if (quant == "int8") s" quant=int8/2^$qscale" else "") +
+      (if (quant != "fp16") s" quant=$quant/2^$qscale" else "") +
       redOverride.map(b => f" reduced_bytes_per_vec=$b%.2f").getOrElse(""))
     if (!inherited) spark.stop()
   }

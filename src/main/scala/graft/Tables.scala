@@ -169,6 +169,22 @@ object Fixture {
       transform(col("vec"), _ => lit(half)).as("delta"))
   }
 
+  /** The 4-bit rung's cheap copy: clamped 16-level codes
+    * clamp(floor(v*2^s + 0.5), -8, 7) dequantized k/2^s, constant
+    * half-step bound. The bound is only valid when no value actually
+    * clamps (|v|*2^s <= 7.5) — callers must range-check like Demo does
+    * for int8. */
+  def sq4Vectors(base: DataFrame, scaleLog2: Int): DataFrame = {
+    val s = math.pow(2.0, scaleLog2)
+    val half = (0.5 / s).toFloat
+    base.select(col("id"), col("vec"),
+      transform(col("vec"),
+        x => (least(lit(7L), greatest(lit(-8L), floor(x * s + lit(0.5))))
+          .cast("double") / s).cast("float"))
+        .as("rvec"),
+      transform(col("vec"), _ => lit(half)).as("delta"))
+  }
+
   /**
    * Vector table from lineitem: (id BIGINT, vec ARRAY<FLOAT>).
    * `fp16Domain = true` uses the fp16-exact domain (plus reduced/delta cols).

@@ -87,4 +87,24 @@ class DemoSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("l2-tz"), err.getMessage)
   }
+
+  test("demo CLI --quant sq4 reports the 4-bit rung") {
+    spark.sparkContext
+    // qscale 0 keeps the standard-normal domain inside the 16-level
+    // range (|v| <= 7.5 — virtually certain at n*d = 4800 draws), so
+    // the half-step bound stays valid and the zero-miss mode still hits
+    // full recall despite integer-coarse codes
+    val out = run("--n", "300", "--d", "16", "--k", "5", "--mode", "cos-l1",
+      "--quant", "sq4", "--qscale", "0")
+    assert(out.contains("mode=cos_l1 recall@5=1.0000"), s"report line wrong:\n$out")
+    assert(out.contains("quant=sq4/2^0"), s"no quant tag:\n$out")
+    assert(out.contains("reduced_bytes_per_vec=8.00"), s"no byte model:\n$out")
+    // default qscale 4 overflows the 4-bit range on this domain — the
+    // range check must refuse instead of silently clipping semantics
+    val err = intercept[IllegalArgumentException] {
+      Demo.main(Array("--n", "100", "--d", "8", "--mode", "cos-l1",
+        "--quant", "sq4"))
+    }
+    assert(err.getMessage.contains("overflows sq4"), err.getMessage)
+  }
 }
