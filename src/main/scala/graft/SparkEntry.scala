@@ -711,6 +711,9 @@ object SparkEntry {
   // score-histogram bucket scale (q_score_hist): floor(score*16) over
   // cosine in [-1,1] -> at most 33 buckets
   final val HistBinScale = 16
+  // grouped (faceted) retrieval depth (q_ann_grouped): best k per
+  // (query, lang) facet
+  final val GroupedK = 3
   // IVF-PQ: 8 subspaces x 16 codes = 32-bit code words (64x cheap-pass
   // bandwidth cut vs the float vector); rerank as for SQ8
   final val PqM = 8
@@ -1340,6 +1343,17 @@ object SparkEntry {
     // equi-join, bucketable to exchange-free at rest
     "q_ann_filtered" -> q((s, dir) => graft.operators.Search.filteredTopK(
       emb(s, dir), docs(s, dir), NQ, K, FilterLangs)),
+    // GROUPED (faceted) retrieval: best k per (query, lang) in ONE
+    // scored pass — the per-facet result surface; the window over
+    // (qid, lang) still gets the map-side WindowGroupLimit cut
+    "q_ann_grouped" -> q((s, dir) => graft.operators.Search.groupedTopK(
+      emb(s, dir), docs(s, dir), NQ, GroupedK)),
+    // SQ8 with PER-DIMENSION TRAINED ranges (the FAISS-style trained
+    // scalar quantizer): one map-side min/max training aggregate over
+    // the corpus, broadcast into the cheap pass — the one-pass-train /
+    // map-side-apply split a 100 TB quantizer ships with
+    "q_ann_ivf_sq8t" -> q((s, dir) => graft.operators.Ivf.topkSq8Trained(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, Sq8Rerank)),
     // the same predicate against the AT-REST index: metadata lives in
     // the layout, so one scan gets cell partition-pruning AND the lang
     // predicate pushed (PlanSpec asserts both on the same scan)
@@ -1673,6 +1687,9 @@ object SparkEntry {
       EmbSq8ScaleLog2, Sq8Rerank),
     "q_ann_ivf_sq4" -> IvfOracle.sq4Sql(EmbD, NQ, K, IvfCells, IvfProbe,
       EmbSq4ScaleLog2, Sq4Rerank),
+    "q_ann_ivf_sq8t" -> IvfOracle.sq8TrainedSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, Sq8Rerank),
+    "q_ann_grouped" -> SearchOracle.groupedSql(EmbD, NQ, GroupedK),
     // identical semantics off the packed at-rest layout (nibble
     // round-trip is the identity) — same oracle
     "q_ann_sq4_at_rest" -> IvfOracle.sq4Sql(EmbD, NQ, K, IvfCells, IvfProbe,

@@ -192,6 +192,61 @@ object Ivf {
     TopK.window(rescored, k)
   }
 
+  /**
+   * IVF-SQ8 with PER-DIMENSION TRAINED RANGES — the production form of
+   * scalar quantization (FAISS `SQ8`'s trained variant): instead of one
+   * global power-of-two scale, each dimension j quantizes into its own
+   * observed [min_j, max_j] range with 256 levels —
+   * code = floor((v - mn_j) * 255 / (mx_j - mn_j) + 0.5), dequantized
+   * mn_j + code * (mx_j - mn_j)/255. TRAINING is one map-side-combining
+   * aggregate over the corpus (2d doubles — min/max are order-
+   * independent, so the stats are deterministic at any parallelism) and
+   * APPLYING is a broadcast of that 1-row stats relation into the scan:
+   * the one-pass train / map-side apply split a 100 TB quantizer
+   * actually ships with. Degenerate dimensions (mx = mn) dequantize to
+   * the constant. Every arithmetic step is exactly-rounded IEEE double
+   * math both engines perform identically, so the rung is oracle-exact
+   * without dyadic scales. Pipeline shape is [[topkSq8]]'s: cell-pruned
+   * cheap rank over dequantized codes, rerank cut, exact rescore.
+   */
+  def topkSq8Trained(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                     nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val V = graft.functions.VectorOps
+    val statCols = (1 to d).flatMap(j => Seq(
+      min(element_at(col("embedding"), j).cast("double")).as(s"mn$j"),
+      max(element_at(col("embedding"), j).cast("double")).as(s"mx$j")))
+    val stats = emb.agg(statCols.head, statCols.tail: _*)
+    def deq(j: Int): Column = {
+      val v = element_at(col("embedding"), j).cast("double")
+      val mn = col(s"mn$j"); val mx = col(s"mx$j")
+      when(mx === mn, mn).otherwise(
+        mn + floor((v - mn) * lit(255.0) / (mx - mn) + lit(0.5))
+          .cast("double") * ((mx - mn) / lit(255.0)))
+    }
+    val q8t = array((1 to d).map(j => deq(j).cast("float")): _*)
+    val assigned = assign(emb, nCells, d)
+      .crossJoin(broadcast(stats))
+      .withColumn("q8t", q8t)
+      .withColumn("n2q8t", V.norm2Sq(col("q8t")))
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    val cheap = assigned.join(probes, Seq("cell"))
+      .withColumn("score", V.dot(col("q8t"), col("qvec")) /
+        (V.fnorm(col("n2q8t")) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
   /** 4-bit scalar quantization code: clamp(floor(v*2^s + 0.5), -8, 7) —
     * the clamp is what distinguishes the 4-bit rung (16 levels) from
     * SQ8's unclamped int8 range; dequantized k/2^s stays an exact dyadic

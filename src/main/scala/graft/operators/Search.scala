@@ -58,6 +58,32 @@ object Search {
   // ---- filtered ANN ----------------------------------------------------
 
   /**
+   * GROUPED (faceted) top-k: the best k per (query, facet) in one pass —
+   * the "top results per language / per source / per category" surface a
+   * retrieval UI asks for. One scored scan ranked by a window over
+   * (qid, facet): Catalyst's WindowGroupLimit pushes the per-group cut
+   * map-side exactly as for the global top-k, so each (partition, qid,
+   * facet) ships ~k rows into the single exchange — no per-facet
+   * rescans, and facet cardinality only widens the (bounded) result.
+   * Returns (qid, lang, rank, id, score), rank 1..k within each facet.
+   */
+  def groupedTopK(emb: DataFrame, docMeta: DataFrame, nq: Int,
+                  k: Int): DataFrame = {
+    val meta = docMeta.select(col("doc_id").as("id"), col("lang"))
+    val q = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")))
+    val scored = candSide(emb).join(meta, Seq("id")).crossJoin(q)
+      .withColumn("score", cosScore)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("lang"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.select(col("qid"), col("lang"), col("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("lang"), col("rank"), col("id"), col("score"))
+  }
+
+  /**
    * Metadata-filtered exact top-k: only candidates whose joined metadata
    * passes the predicate are scored; queries search the unfiltered space.
    * Returns (qid, rank, id, score, lang), rank 1..k within the filtered

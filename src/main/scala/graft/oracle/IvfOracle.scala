@@ -90,6 +90,77 @@ object IvfOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** Per-dimension TRAINED dequantized component
+    * ([[graft.operators.Ivf.topkSq8Trained]]): 256 levels into the
+    * observed [mn_j, mx_j] range (from the `rng` CTE), degenerate dims
+    * collapse to the constant. Pure exactly-rounded IEEE double
+    * arithmetic — identical in DuckDB and the JVM. */
+  private def dqT(alias: String, i: Int): String = {
+    val v = s"CAST($alias.embedding[$i] AS DOUBLE)"
+    val mn = s"rng.mn$i"; val mx = s"rng.mx$i"
+    s"CAST(CAST(CASE WHEN $mx = $mn THEN $mn ELSE " +
+      s"$mn + FLOOR(($v - $mn) * 255.0 / ($mx - $mn) + 0.5) * (($mx - $mn) / 255.0)" +
+      s" END AS FLOAT) AS DOUBLE)"
+  }
+
+  /** [[sq8Sql]]'s twin for the trained-range rung: the `rng` CTE is the
+    * one-pass min/max training aggregate, cross-joined into the cheap
+    * pass exactly as the engine broadcasts its stats row. */
+  def sq8TrainedSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+                    rerank: Int): String = {
+    val (distCols, leastExpr, argmin, probeCase, cellsValues) =
+      coarseSnippets(d, nCells)
+    val rngCols = (1 to d).map(i =>
+      s"MIN(CAST(embedding[$i] AS DOUBLE)) AS mn$i, " +
+        s"MAX(CAST(embedding[$i] AS DOUBLE)) AS mx$i").mkString(",\n  ")
+    val qtDot = (1 to d).map(i =>
+      s"${dqT("e", i)}*CAST(qe.embedding[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    val n2qt = (1 to d).map(i => s"${dqT("e", i)}*${dqT("e", i)}")
+      .mkString("(", " + ", ")")
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |rng AS MATERIALIZED (SELECT $rngCols FROM embeddings),
+       |qtn AS MATERIALIZED (SELECT e.vec_id, $n2qt AS n2qt
+       |  FROM embeddings e CROSS JOIN rng),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id FROM qp JOIN asg a ON a.cell = qp.cell),
+       |cheap AS (SELECT c.qid, c.id,
+       |    $qtDot / (${fn("qt.n2qt")} * ${fn("nq2.n2")}) AS s_hat
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN qtn qt ON qt.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid
+       |  CROSS JOIN rng),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** 4-bit dequantized component: clamp(floor(v*2^s + 0.5), -8, 7)/2^s,
     * widened like [[dq]] — [[graft.operators.Ivf.topkSq4]]'s code value. */
   private def dq4(alias: String, i: Int, scale: Double): String =

@@ -22,6 +22,28 @@ object SearchOracle {
 
   /** Metadata-filtered top-k (pre-filter semantics): candidates joined to
     * documents on vec_id = doc_id, lang IN (...), then ranked per query. */
+  /** Grouped (faceted) top-k ([[graft.operators.Search.groupedTopK]]):
+    * best k per (query, lang) from one scored scan, ranked by a window
+    * over (qid, lang). */
+  def groupedSql(d: Int, nq: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |${EmbOracle.nrmCte(d)},
+       |cand AS (SELECT e.vec_id AS id, e.embedding, dm.lang
+       |  FROM embeddings e JOIN documents dm ON e.vec_id = dm.doc_id),
+       |sc AS (SELECT q.qid, c.id, c.lang,
+       |    ${EmbOracle.dotE("c.embedding", "q.qv", d)} AS dp
+       |  FROM cand c CROSS JOIN q),
+       |scored AS (SELECT sc.qid, sc.id, sc.lang,
+       |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM sc JOIN nrm ni ON sc.id = ni.vec_id
+       |          JOIN nrm nq2 ON sc.qid = nq2.vec_id),
+       |ranked AS (SELECT qid, id, lang, score,
+       |  row_number() OVER (PARTITION BY qid, lang ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, lang, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+
   def filteredSql(d: Int, nq: Int, k: Int, langs: Seq[String]): String = {
     val inList = langs.map(l => s"'$l'").mkString(", ")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -1028,6 +1028,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(atK == (approx & brute).size.toLong)
   }
 
+  test("grouped top-k: per-facet depth bounded, global winner leads its facet") {
+    import graft.operators.{Search, Ann}
+    import SparkEntry.{NQ, GroupedK}
+    val emb = Tables.embeddings(spark, dir)
+    val doc = Tables.documents(spark, dir)
+    val rows = Search.groupedTopK(emb, doc, NQ, GroupedK).collect()
+    assert(rows.nonEmpty)
+    // each (qid, lang) facet carries at most k rows, ranks 1..n dense
+    rows.groupBy(r => (r.getAs[Long]("qid"), r.getAs[String]("lang")))
+      .foreach { case (_, g) =>
+        val ranks = g.map(_.getAs[Int]("rank")).sorted.toSeq
+        assert(ranks.length <= GroupedK && ranks == (1 to ranks.length))
+      }
+    // the global top-1 (restricted to ids that HAVE metadata) must sit at
+    // rank 1 of its own facet with the same score
+    val withMeta = doc.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val global = Ann.bruteTopK(emb, NQ, 50).collect()
+      .filter(r => withMeta(r.getAs[Long]("id")))
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (qid, g) => qid -> g.minBy(_.getAs[Int]("rank")) }
+    global.foreach { case (qid, top) =>
+      val hit = rows.find(r => r.getAs[Long]("qid") == qid &&
+        r.getAs[Long]("id") == top.getAs[Long]("id"))
+      assert(hit.exists(_.getAs[Int]("rank") == 1),
+        s"global winner of $qid not rank 1 in its facet")
+      assert(hit.get.getAs[Double]("score") == top.getAs[Double]("score"))
+    }
+  }
+
+  test("trained sq8: full-depth rerank recovers the plain IVF scan") {
+    import graft.operators.Ivf
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val full = Ivf.topkSq8Trained(emb, NQ, K, IvfCells, EmbD, IvfProbe, n)
+      .collect().map(_.toSeq).toSet
+    val plain = Ivf.topk(emb, NQ, K, IvfCells, EmbD, IvfProbe)
+      .collect().map(_.toSeq).toSet
+    assert(full == plain && full.nonEmpty,
+      "full-depth trained-sq8 rerank must equal the exact probe scan")
+    // and the trained rung at the production rerank depth is sane: the
+    // quantizer is range-tight enough that recall vs the probe scan holds
+    val got = Ivf.topkSq8Trained(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      SparkEntry.Sq8Rerank).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val base = plain.map(s => (s(0).asInstanceOf[Long], s(2).asInstanceOf[Long]))
+    assert((got & base).size * 10 >= base.size * 9,
+      s"trained-sq8 recall ${(got & base).size}/${base.size} under 90%")
+  }
+
   test("score histogram: counts partition the cross join, buckets bounded") {
     import graft.operators.Ann
     import SparkEntry.{NQ, HistBinScale}
