@@ -218,6 +218,23 @@ object Soak {
       operators.Ivf.topkSq8(embSoak, SparkEntry.NQ, SparkEntry.K, soakCells,
         dVec, nprobe = 4, scaleLog2 = 5, rerank = 3 * SparkEntry.K)
     }
+    // the 4-bit rung at soak scale: scale 2^1 maps N(0,1) into the
+    // 16-level clamp range out to ~3.75 sigma (tails clamp — that only
+    // degrades the cheap rank, the rescore is exact); like BQ, coarse
+    // codes need a corpus-scaled cut to hold the fetch fraction
+    annStep("ivf_sq4_topk", embSoak, minRecallPct = 20) {
+      operators.Ivf.topkSq4(embSoak, SparkEntry.NQ, SparkEntry.K, soakCells,
+        dVec, nprobe = 4, scaleLog2 = 1,
+        rerank = math.max(3 * SparkEntry.K, nVec / 200))
+    }
+    // the trained-range rung: min/max training runs over the full
+    // multi-million-row corpus in one map-side aggregate — the step that
+    // actually exercises "train at scale"; ranges adapt to the N(0,1)
+    // domain, so the fixed-sq8 rerank depth suffices
+    annStep("ivf_sq8t_topk", embSoak, minRecallPct = 30) {
+      operators.Ivf.topkSq8Trained(embSoak, SparkEntry.NQ, SparkEntry.K,
+        soakCells, dVec, nprobe = 4, rerank = 3 * SparkEntry.K)
+    }
     // the PQ codebook is dyadic in [-0.25, 0.25) — the CORPUS component
     // spread it was designed for; N(0,1) components sit far outside it
     // and ADC ranking degrades to noise (measured 18% recall). Scale the
