@@ -219,6 +219,28 @@ class PlanSpec extends AnyFunSuite {
     assert(new java.io.File(path, "_SUCCESS").exists)
   }
 
+  test("grouped top-k: the per-facet window gets a map-side group limit") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val df = graft.operators.Search.groupedTopK(Tables.embeddings(spark, dir),
+      Tables.documents(spark, dir), SparkEntry.NQ, SparkEntry.GroupedK)
+    val nodes = walk(df.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the per-facet ranking window")
+    // the (qid, lang) rank cut must be pushed map-side: without the
+    // group limit every scored (candidate, query) row would cross the
+    // exchange instead of ~k per (partition, qid, facet)
+    windows.foreach { w =>
+      assert(walk(w).exists(_.isInstanceOf[WindowGroupLimitExec]),
+        s"faceted window without group limit:\n$w")
+    }
+  }
+
   test("sq4 at-rest: packed-nibble cheap scan, pruned cells, rows equal in-memory") {
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, EmbSq4ScaleLog2, Sq4Rerank}
     val emb = Tables.embeddings(spark, dir)
