@@ -699,6 +699,13 @@ object SparkEntry {
   // need a wide exact net)
   final val EmbSq4ScaleLog2 = 3
   final val Sq4Rerank = 60
+  // Matryoshka prefix rung (q_ann_prefix / _at_rest): cheap rank over
+  // the first PrefixD of EmbD components — 4*PrefixD of 4*EmbD bytes per
+  // row on the cheap pass — then exact full-width rescore of
+  // PrefixRerank survivors (as deep as SQ4's net: a 16-dim prefix is a
+  // coarse ranker on these near-isotropic synthetic vectors)
+  final val PrefixD = 16
+  final val PrefixRerank = 60
   // query-adaptive probe depth (q_ann_adaptive): probe cells within
   // ratio x the nearest centroid distance, capped; 1.5 is dyadic so the
   // oracle's decimal literal parses to the identical double
@@ -1164,6 +1171,14 @@ object SparkEntry {
     "q_repetition"  -> q((s, dir) => TextOps.repetition(docs(s, dir), JaccardN)),
     // similarity search over embeddings
     "q_ann_brute"   -> q((s, dir) => Ann.bruteTopK(emb(s, dir), NQ, K)),
+    // Matryoshka prefix rung: cheap rank over the first PrefixD of EmbD
+    // components (the dimension-axis bandwidth knob), exact full-width
+    // rescore of the bounded survivor set; at rest the prefix is its own
+    // column chunk so the byte saving is physical column pruning
+    "q_ann_prefix"  -> q((s, dir) =>
+      Ann.prefixTopK(emb(s, dir), NQ, K, PrefixD, PrefixRerank)),
+    "q_ann_prefix_at_rest" -> q((s, dir) =>
+      Ann.prefixTopKAtRest(s, dir, emb(s, dir), NQ, K, PrefixD, PrefixRerank)),
     "q_ann_ivf"     -> q((s, dir) => Ann.ivfTopK(emb(s, dir), NQ, K)),
     "q_ann_ivf_index" -> q((s, dir) =>
       graft.operators.Ivf.topk(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
@@ -1678,6 +1693,10 @@ object SparkEntry {
     "q_token_bpe"     -> DocOracle.bpeUnitsSql,
     "q_repetition"    -> DocOracle.repetitionSql(JaccardN),
     "q_ann_brute"     -> EmbOracle.bruteSql(EmbD, NQ, K),
+    "q_ann_prefix"    -> EmbOracle.prefixSql(EmbD, PrefixD, NQ, K, PrefixRerank),
+    // identical rows off the at-rest layout (the stored prefix column
+    // holds the same floats the map-side slice derives) — same oracle
+    "q_ann_prefix_at_rest" -> EmbOracle.prefixSql(EmbD, PrefixD, NQ, K, PrefixRerank),
     "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     // identical semantics to q_ann_ivf_index; only the physical path

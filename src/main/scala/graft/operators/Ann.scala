@@ -72,6 +72,119 @@ object Ann {
   }
 
   /**
+   * MATRYOSHKA (prefix-dimension) rung — precision on demand along the
+   * DIMENSION axis rather than the bits-per-dimension axis the
+   * SQ8/SQ4/PQ/BQ rungs walk: the cheap pass ranks every candidate by
+   * cosine over only the FIRST `dPrefix` components (nested "matryoshka"
+   * embeddings are trained so prefixes rank well under truncation; for
+   * the reference's bandwidth thesis — ANNCode.py's reduced-precision
+   * first pass — this is the complementary reduced-WIDTH first pass),
+   * then rescores the bounded `rerank` survivor set at full width.
+   * Bandwidth: the cheap scan touches dPrefix/d of the float bytes;
+   * [[prefixTopKAtRest]] makes that saving physical by storing the
+   * prefix as its own parquet column chunk. Approximation comes only
+   * from the rerank cut — at rerank = corpus size the result equals
+   * [[bruteTopK]] exactly (spec-asserted).
+   */
+  def prefixTopK(emb: DataFrame, nq: Int, k: Int, dPrefix: Int,
+                 rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val q = broadcast(queriesOf(emb, nq)
+      .withColumn("qp", slice(col("qvec"), 1, dPrefix))
+      .withColumn("qn2p", norm2Sq(col("qp")))
+      .select(col("qid"), col("qvec"), col("qn2"), col("qp"), col("qn2p")))
+    val cheap = emb
+      .select(col("vec_id").as("id"),
+        slice(col("embedding"), 1, dPrefix).as("vp"))
+      .withColumn("n2p", norm2Sq(col("vp")))
+      .crossJoin(q.select(col("qid"), col("qp"), col("qn2p")))
+      .withColumn("score",
+        dot(col("vp"), col("qp")) / (fn(col("n2p")) * fn(col("qn2p"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    rescoreExact(emb, cand, q, k)
+  }
+
+  /** Exact full-width rescore of a bounded (qid, id) survivor set —
+    * broadcast point-fetches against the corpus, the shared tail of
+    * every two-phase rung. */
+  private def rescoreExact(emb: DataFrame, cand: DataFrame, q: DataFrame,
+                           k: Int): DataFrame = {
+    val rescored = candSide(emb)
+      .join(broadcast(cand), Seq("id"))
+      .join(q.select(col("qid"), col("qvec"), col("qn2")), Seq("qid"))
+      .withColumn("score", score)
+    TopK.window(rescored, k)
+  }
+
+  /** Bump when [[ensurePrefixLayout]]'s schema changes. */
+  private val PrefixLayoutVersion = 1
+
+  /**
+   * The prefix rung AT REST: (id, vp FLOAT[dPrefix], vec FLOAT[d])
+   * sorted by id within files. `vp` is a SEPARATE column chunk, so the
+   * cheap pass's dPrefix/d byte saving is physical parquet column
+   * pruning (plan-asserted: the cheap scan's ReadSchema carries vp and
+   * never vec), and the survivor rescore's id-equi-join benefits from
+   * row-group min/max skipping on the sorted id. Published once per
+   * (sfDir, dPrefix, source version) under a content-addressed tmpdir
+   * with an atomic rename — the write-once immutable-layout discipline
+   * every other index layout here follows.
+   */
+  def ensurePrefixLayout(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, dPrefix: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_prefix_v${PrefixLayoutVersion}_${safe}_p${dPrefix}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "prefix-")
+      graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, dPrefix).as("vp"),
+          col("embedding").as("vec"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"prefix layout publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** [[prefixTopK]] off the at-rest layout — identical rows: `vp` stores
+    * the same floats the map-side slice derives, and the rescore reads
+    * the full `vec` column of the SAME layout (self-contained: the
+    * original table is never touched at query time). */
+  def prefixTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String, emb: DataFrame, nq: Int, k: Int,
+                       dPrefix: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val path = ensurePrefixLayout(spark, sfDir, dPrefix)
+    val stored = spark.read.parquet(path)
+    val q = broadcast(queriesOf(emb, nq)
+      .withColumn("qp", slice(col("qvec"), 1, dPrefix))
+      .withColumn("qn2p", norm2Sq(col("qp")))
+      .select(col("qid"), col("qvec"), col("qn2"), col("qp"), col("qn2p")))
+    val cheap = stored.select(col("id"), col("vp"))
+      .withColumn("n2p", norm2Sq(col("vp")))
+      .crossJoin(q.select(col("qid"), col("qp"), col("qn2p")))
+      .withColumn("score",
+        dot(col("vp"), col("qp")) / (fn(col("n2p")) * fn(col("qn2p"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = stored.select(col("id"), col("vec"),
+        norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(q.select(col("qid"), col("qvec"), col("qn2")), Seq("qid"))
+      .withColumn("score",
+        dot(col("vec"), col("qvec")) / (fn(col("n2")) * fn(col("qn2"))))
+    TopK.window(rescored, k)
+  }
+
+  /**
    * Same-cell pairs with cosine >= threshold: (id_a, id_b, cos).
    *
    * Candidate generation blocks on (cell, angle-to-pivot band) — the

@@ -56,6 +56,36 @@ object EmbOracle {
        |  CAST(COUNT(*) AS BIGINT) AS n
        |FROM scored GROUP BY 1""".stripMargin
 
+  /** Matryoshka prefix rung ([[graft.operators.Ann.prefixTopK]] and its
+    * at-rest twin — the stored prefix column holds the identical floats,
+    * so ONE oracle serves both): cheap rank by cosine over the first
+    * `dp` components (the same left-fold chain truncated at dp terms),
+    * cut to `rerank` per query under the (score DESC, id ASC) total
+    * order, then exact full-width rescore. Prefix norms are their own
+    * MATERIALIZED CTE — referenced twice (candidate + query side). */
+  def prefixSql(d: Int, dp: Int, nq: Int, k: Int, rerank: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |npfx AS MATERIALIZED (SELECT vec_id, ${dotE("embedding", "embedding", dp)} AS n2p FROM embeddings),
+       |${nrmCte(d)},
+       |cs AS (SELECT q.qid, e.vec_id AS id, ${dotE("e.embedding", "q.qv", dp)} AS dpp
+       |       FROM embeddings e CROSS JOIN q),
+       |cscore AS (SELECT cs.qid, cs.id,
+       |    cs.dpp / (${fn("ni.n2p")} * ${fn("nq2.n2p")}) AS cscore
+       |  FROM cs JOIN npfx ni ON cs.id = ni.vec_id JOIN npfx nq2 ON cs.qid = nq2.vec_id),
+       |cand AS (SELECT qid, id FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, id ASC) AS crnk
+       |  FROM cscore) t WHERE t.crnk <= $rerank),
+       |resc AS (SELECT c.qid, c.id,
+       |    ${dotE("e.embedding", "q.qv", d)} / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand c JOIN embeddings e ON c.id = e.vec_id
+       |    JOIN q ON c.qid = q.qid
+       |    JOIN nrm ni ON c.id = ni.vec_id JOIN nrm nq2 ON c.qid = nq2.vec_id),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM resc)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score FROM ranked WHERE rnk <= $k""".stripMargin
+
   def ivfSql(d: Int, nq: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel FROM embeddings
        |           ORDER BY vec_id LIMIT $nq),

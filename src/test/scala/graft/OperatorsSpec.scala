@@ -953,6 +953,32 @@ class OperatorsSpec extends AnyFunSuite {
       StreamOps.eventsSchema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("matryoshka prefix rung: full depth equals brute, production recall floor") {
+    import graft.operators.Ann
+    import SparkEntry.{NQ, K, PrefixD, PrefixRerank}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    // approximation comes only from the rerank cut: at corpus depth the
+    // full-width rescore must reproduce the brute scan row-for-row
+    val full = Ann.prefixTopK(emb, NQ, K, PrefixD, n)
+      .collect().map(_.toSeq).toSet
+    val brute = Ann.bruteTopK(emb, NQ, K).collect().map(_.toSeq).toSet
+    assert(full == brute && full.size == NQ * K,
+      "full-depth prefix rung diverged from brute")
+    // production depth: the PrefixD-dim cheap net at PrefixRerank must
+    // recover most of the exact top-k, and be partitioning-invariant
+    val gt = brute.map(r => (r(0), r(2))) // (qid, id)
+    val approx = Ann.prefixTopK(emb, NQ, K, PrefixD, PrefixRerank)
+    val hits = approx.select("qid", "id").collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    val recall = gt.count(hits.contains).toDouble / (NQ * K)
+    assert(recall >= 0.5, s"prefix rung recall $recall below floor")
+    val b = Ann.prefixTopK(emb.repartition(7), NQ, K, PrefixD, PrefixRerank)
+      .collect().map(_.toSeq).toSet
+    assert(approx.collect().map(_.toSeq).toSet == b,
+      "prefix rung not invariant under repartitioning")
+  }
+
   test("index stats: occupancy partitions the corpus, fractions sum to 1") {
     import graft.operators.Ivf
     val emb = Tables.embeddings(spark, dir)

@@ -264,6 +264,26 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.size == NQ * K)
   }
 
+  test("prefix at-rest: cheap scan reads only the prefix column chunk") {
+    import SparkEntry.{NQ, K, PrefixD, PrefixRerank}
+    val emb = Tables.embeddings(spark, dir)
+    val df = graft.operators.Ann.prefixTopKAtRest(spark, dir, emb, NQ, K,
+      PrefixD, PrefixRerank)
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    // the cheap pass must read the dPrefix-float column chunk and NEVER
+    // the full vector — that column pruning IS the rung's byte saving
+    scans.filter(_.contains("vp")).foreach(s =>
+      assert(s.subsetOf(Set("id", "vp")), s"unpruned prefix scan: $s"))
+    assert(scans.exists(_.contains("vp")), s"no prefix-only scan: $scans")
+    // identical rows to the map-side-derived rung (the stored prefix
+    // column holds the same floats the slice derives)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Ann.prefixTopK(emb, NQ, K, PrefixD, PrefixRerank)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K)
+  }
+
   test("refine pipeline whole-stage code compiles (no Janino fallback)") {
     // codegenStringSeq compiles every WholeStageCodegen subtree and maps a
     // Janino failure to ByteCodeStats.UNAVAILABLE — the silent interpreted
