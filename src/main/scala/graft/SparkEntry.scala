@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps._
 import graft.operators.{TopK, Refine, RefineKernel, Dedup, TextOps, Ann}
-import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle, IvfOracle, SearchOracle, PqOracle}
+import graft.oracle.{OracleGen, RefineOracle, DocOracle, EmbOracle, MiscOracle, IvfOracle, SearchOracle, PqOracle, LadderOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -1179,6 +1179,26 @@ object SparkEntry {
       Ann.prefixTopK(emb(s, dir), NQ, K, PrefixD, PrefixRerank)),
     "q_ann_prefix_at_rest" -> q((s, dir) =>
       Ann.prefixTopKAtRest(s, dir, emb(s, dir), NQ, K, PrefixD, PrefixRerank)),
+    // the RUNG LADDER — the reference's headline figure as one table:
+    // recall@k vs cheap-pass bytes/vec for every precision rung (PQ 4 B,
+    // BQ 8 B, SQ4 d/2, SQ8 d, prefix 4*PrefixD, exact 4*d); every arm is
+    // a bounded top-k result, so the comparison costs no more than the
+    // rungs themselves
+    "q_rung_ladder" -> q((s, dir) => {
+      val e = emb(s, dir)
+      val gt = Ann.bruteTopK(e, NQ, K)
+      graft.operators.Ladder.recallTable(s, Seq(
+        ("pq_4b_code", 4, graft.operators.Pq.topk(
+          e, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+        ("bq_1bit", 8, graft.operators.Bq.topk(e, NQ, K, BqRerank, EmbD)),
+        ("sq4_nibble", EmbD / 2, graft.operators.Ivf.topkSq4(
+          e, NQ, K, IvfCells, EmbD, IvfProbe, EmbSq4ScaleLog2, Sq4Rerank)),
+        ("sq8_int8", EmbD, graft.operators.Ivf.topkSq8(
+          e, NQ, K, IvfCells, EmbD, IvfProbe, EmbSq8ScaleLog2, Sq8Rerank)),
+        (s"prefix${PrefixD}_fp32", 4 * PrefixD,
+          Ann.prefixTopK(e, NQ, K, PrefixD, PrefixRerank)),
+        ("exact_fp32", 4 * EmbD, gt)), gt, NQ * K)
+    }),
     "q_ann_ivf"     -> q((s, dir) => Ann.ivfTopK(emb(s, dir), NQ, K)),
     "q_ann_ivf_index" -> q((s, dir) =>
       graft.operators.Ivf.topk(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
@@ -1697,6 +1717,9 @@ object SparkEntry {
     // identical rows off the at-rest layout (the stored prefix column
     // holds the same floats the map-side slice derives) — same oracle
     "q_ann_prefix_at_rest" -> EmbOracle.prefixSql(EmbD, PrefixD, NQ, K, PrefixRerank),
+    "q_rung_ladder" -> LadderOracle.rungLadderSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, BqRerank, EmbSq4ScaleLog2, Sq4Rerank,
+      EmbSq8ScaleLog2, Sq8Rerank, PrefixD, PrefixRerank),
     "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     // identical semantics to q_ann_ivf_index; only the physical path

@@ -979,6 +979,24 @@ class OperatorsSpec extends AnyFunSuite {
       "prefix rung not invariant under repartitioning")
   }
 
+  test("rung ladder: exact anchor at recall 1, bounded hits, one row per rung") {
+    import graft.operators.{Ann, Ladder}
+    import SparkEntry.{NQ, K, PrefixD, PrefixRerank}
+    val emb = Tables.embeddings(spark, dir)
+    val gt = Ann.bruteTopK(emb, NQ, K)
+    val rows = Ladder.recallTable(spark, Seq(
+      ("prefix", 4 * PrefixD, Ann.prefixTopK(emb, NQ, K, PrefixD, PrefixRerank)),
+      ("exact", 4 * SparkEntry.EmbD, gt)), gt, NQ * K).collect()
+    assert(rows.length == 2)
+    val byRung = rows.map(r => r.getAs[String]("rung") -> r).toMap
+    // the exact arm IS the ground truth: every row hits
+    assert(byRung("exact").getAs[Long]("hits") == NQ * K &&
+      byRung("exact").getAs[Double]("recall") == 1.0)
+    val p = byRung("prefix")
+    assert(p.getAs[Long]("hits") >= 0 && p.getAs[Long]("hits") <= NQ * K &&
+      p.getAs[Double]("recall") == p.getAs[Long]("hits").toDouble / (NQ * K))
+  }
+
   test("index stats: occupancy partitions the corpus, fractions sum to 1") {
     import graft.operators.Ivf
     val emb = Tables.embeddings(spark, dir)
