@@ -269,6 +269,15 @@ object Soak {
         SparkEntry.K, rerank = math.max(6 * SparkEntry.K, nVec / 200),
         d = dVec)
     }
+    // the dimension-axis rung at soak scale: cheap rank over the first
+    // d/4 components (a 4x byte cut), corpus-scaled survivor cut like
+    // BQ's. A gaussian prefix is a weak-but-unbiased ranker (it keeps
+    // d/4 of the signal instead of quantizing all of it), so the floor
+    // sits with the other coarse rungs; the rescore stays exact.
+    annStep("prefix_topk", embSoak, minRecallPct = 10) {
+      operators.Ann.prefixTopK(embSoak, SparkEntry.NQ, SparkEntry.K,
+        dVec / 4, rerank = math.max(6 * SparkEntry.K, nVec / 200))
+    }
     // the full precision-on-demand ladder as ONE pipeline at soak scale:
     // 1-bit Hamming cut, int8 mid-rank over the survivors, exact rescore
     // — both cuts scale with the corpus like the single rungs above
