@@ -151,6 +151,34 @@ class StorageSpec extends AnyFunSuite {
     assert(png.getWidth == 900 && png.getHeight == 600)
   }
 
+  test("rung ladder rides the CSV and PNG sinks (the headline figure)") {
+    import SparkEntry.{NQ, K, PrefixD, PrefixRerank, BqRerank, EmbD}
+    import graft.operators.{Ann, Bq, Ladder}
+    val emb = Tables.embeddings(spark, dir)
+    val gt = Ann.bruteTopK(emb, NQ, K)
+    val ladder = Ladder.recallTable(spark, Seq(
+      ("bq_1bit", 8, Bq.topk(emb, NQ, K, BqRerank, EmbD)),
+      (s"prefix${PrefixD}_fp32", 4 * PrefixD,
+        Ann.prefixTopK(emb, NQ, K, PrefixD, PrefixRerank)),
+      ("exact_fp32", 4 * EmbD, gt)), gt, NQ * K)
+    val rows = ladder.orderBy("bytes_per_vec").collect()
+    assert(rows.length == 3)
+    val out = java.nio.file.Files.createTempDirectory("ladder").toString
+    // K1: the ladder as a CSV artifact
+    graft.operators.Sweep.writeCsv(ladder, s"$out/csv")
+    val back = spark.read.option("header", "true").csv(s"$out/csv")
+    assert(back.columns.toSet == Set("rung", "bytes_per_vec", "hits", "recall"))
+    assert(back.count() == 3)
+    // K2: recall vs cheap-pass bytes — the reference's headline curve
+    graft.operators.Plot.writeXyPng(s"$out/ladder_recall_vs_bytes.png",
+      rows.map(_.getAs[Int]("bytes_per_vec").toDouble).toSeq,
+      rows.map(_.getAs[Double]("recall")).toSeq,
+      "Cheap-pass bytes/vec", s"Recall@$K", "rung ladder: recall vs bytes")
+    val png = javax.imageio.ImageIO.read(
+      new java.io.File(s"$out/ladder_recall_vs_bytes.png"))
+    assert(png.getWidth == 900 && png.getHeight == 600)
+  }
+
   test("sweep grid produces one metrics row per config with invariants") {
     val q = Fixture.queries(
       Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, 6), 3)
