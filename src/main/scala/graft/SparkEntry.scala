@@ -706,6 +706,12 @@ object SparkEntry {
   // coarse ranker on these near-isotropic synthetic vectors)
   final val PrefixD = 16
   final val PrefixRerank = 60
+  // zero-miss prefix refinement (q_refine_prefix / _at_rest): the
+  // Cauchy-Schwarz tail cushion prunes in proportion to the prefix's
+  // ENERGY share, and this isotropic fixture spreads energy uniformly
+  // (the worst case), so the zero-miss rung runs at 3d/4 — real MRL
+  // embeddings front-load energy and prune deeply at small prefixes
+  final val PrefixRefineD = 48
   // query-adaptive probe depth (q_ann_adaptive): probe cells within
   // ratio x the nearest centroid distance, capped; 1.5 is dyadic so the
   // oracle's decimal literal parses to the identical double
@@ -1178,7 +1184,17 @@ object SparkEntry {
     "q_ann_prefix"  -> q((s, dir) =>
       Ann.prefixTopK(emb(s, dir), NQ, K, PrefixD, PrefixRerank)),
     "q_ann_prefix_at_rest" -> q((s, dir) =>
-      Ann.prefixTopKAtRest(s, dir, emb(s, dir), NQ, K, PrefixD, PrefixRerank)),
+      Ann.prefixTopKAtRest(s, dir, emb(s, dir), NQ, K, EmbD, PrefixD,
+        PrefixRerank)),
+    // ZERO-MISS width-axis refinement: prefix-partial score + a
+    // Cauchy-Schwarz tail cushion, seeds/tau0/early-rejection/exact
+    // rescore — the reference's refine discipline on the dimension axis,
+    // provably equal to the exact scan (the oracle IS the brute oracle)
+    "q_refine_prefix" -> q((s, dir) =>
+      Ann.prefixRefineTopK(emb(s, dir), NQ, K, EmbD, PrefixRefineD)),
+    "q_refine_prefix_at_rest" -> q((s, dir) =>
+      Ann.prefixRefineTopKAtRest(s, dir, emb(s, dir), NQ, K, EmbD,
+        PrefixRefineD)),
     // the RUNG LADDER — the reference's headline figure as one table:
     // recall@k vs cheap-pass bytes/vec for every precision rung (PQ 4 B,
     // BQ 8 B, SQ4 d/2, SQ8 d, prefix 4*PrefixD, exact 4*d); every arm is
@@ -1717,6 +1733,10 @@ object SparkEntry {
     // identical rows off the at-rest layout (the stored prefix column
     // holds the same floats the map-side slice derives) — same oracle
     "q_ann_prefix_at_rest" -> EmbOracle.prefixSql(EmbD, PrefixD, NQ, K, PrefixRerank),
+    // zero-miss by construction: the width-axis refinement provably
+    // reproduces the exact scan, so its oracle IS the brute oracle
+    "q_refine_prefix" -> EmbOracle.bruteSql(EmbD, NQ, K),
+    "q_refine_prefix_at_rest" -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_rung_ladder" -> LadderOracle.rungLadderSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, BqRerank, EmbSq4ScaleLog2, Sq4Rerank,
       EmbSq8ScaleLog2, Sq8Rerank, PrefixD, PrefixRerank),

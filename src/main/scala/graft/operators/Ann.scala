@@ -116,22 +116,130 @@ object Ann {
     TopK.window(rescored, k)
   }
 
+  /**
+   * ZERO-MISS prefix refinement — the reference's early-rejection
+   * discipline (ANNCode.py's reduced-precision pass + cushion + exact
+   * rescore of survivors) applied to the WIDTH axis: the cheap pass
+   * scores only the first `dPrefix` components against the FULL norms,
+   * and Cauchy-Schwarz bounds the unread tail dot —
+   * |dot(v_t, q_t)| <= ||v_t||*||q_t|| — so
+   * s_full <= s_hat + cush with cush = ||v_t||*||q_t|| / (||v||*||q||).
+   * Seeds = top-k by s_hat, exactly rescored; tau0 = their worst exact
+   * score; candidates with s_hat + cush < tau0 are provably outside the
+   * top-k and are rejected WITHOUT their tail bytes ever being read.
+   * The result therefore equals the exact scan row-for-row — its oracle
+   * IS the brute-force oracle — unlike [[prefixTopK]], whose fixed
+   * rerank cut trades recall for a fixed fetch budget.
+   *
+   * The cushion's float rounding is absorbed by a dyadic safety margin
+   * (*(1+2^-20) + 2^-20, both exactly representable): inflation can only
+   * ADMIT extra survivors, never reject a true hit, so exactness is
+   * preserved under floating arithmetic and the margin dwarfs the
+   * <= d*2^-52 fold error by ~26 binary orders.
+   *
+   * Pruning power is the prefix's ENERGY share, not its dimension share:
+   * on this isotropic Gaussian fixture a d/4 prefix carries 1/4 of the
+   * energy and the bound stays loose (the worst case), so the graded
+   * configuration runs at dPrefix = 3d/4; MRL-trained embeddings
+   * front-load energy and turn the same bound into deep pruning at small
+   * prefixes. Plan shape mirrors [[Refine.fetchedSplit]]: map-side
+   * WindowGroupLimit seeds, eager Q*k persists under the scope contract,
+   * broadcast tau0, map-side survive filter, AQE-sized survivor fetch.
+   */
+  def prefixRefineTopK(emb: DataFrame, nq: Int, k: Int, d: Int,
+                       dPrefix: Int): DataFrame = {
+    val cheap = emb.select(col("vec_id").as("id"),
+      slice(col("embedding"), 1, dPrefix).as("vp"),
+      norm2Sq(slice(col("embedding"), dPrefix + 1, d - dPrefix)).as("n2t"),
+      norm2Sq(col("embedding")).as("n2"))
+    val full = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    prefixRefineSplit(cheap, full, queriesOf(emb, nq), k, d, dPrefix)
+  }
+
+  /** [[prefixRefineTopK]] with the cheap columns and the full-precision
+    * fetch side as separate relations — the at-rest entry point. Follows
+    * [[Refine.fetchedSplit]]'s scope contract: under an enclosing
+    * [[Dedup.scopedRelease]] the plan stays lazy with scope-registered
+    * eager seeds; bare callers get a self-contained checkpointed result
+    * with every intermediate released. */
+  def prefixRefineSplit(cheap: DataFrame, full: DataFrame, q0: DataFrame,
+                        k: Int, d: Int, dPrefix: Int): DataFrame =
+    if (Dedup.scopeActive) prefixRefineImpl(cheap, full, q0, k, d, dPrefix)
+    else {
+      val (df, release) = Dedup.scopedRelease(
+        prefixRefineImpl(cheap, full, q0, k, d, dPrefix))
+      try df.localCheckpoint(true)
+      finally release()
+    }
+
+  private def prefixRefineImpl(cheap: DataFrame, full: DataFrame,
+                               q0: DataFrame, k: Int, d: Int,
+                               dPrefix: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val margin = math.pow(2.0, -20) // dyadic: exact in double and in SQL
+    val q = broadcast(q0
+      .withColumn("qp", slice(col("qvec"), 1, dPrefix))
+      .withColumn("qn2t", norm2Sq(slice(col("qvec"), dPrefix + 1, d - dPrefix)))
+      .select(col("qid"), col("qvec"), col("qn2"), col("qp"), col("qn2t")))
+    // candidate pass: prefix-partial score over FULL norms + tail cushion
+    // — pure map-side (broadcast cross join), never ranked or shuffled
+    val cand = cheap
+      .crossJoin(q.select(col("qid"), col("qp"), col("qn2"), col("qn2t")))
+      .withColumn("s_hat",
+        dot(col("vp"), col("qp")) / (fn(col("n2")) * fn(col("qn2"))))
+      .withColumn("cush",
+        (sqrt(col("n2t")) * sqrt(col("qn2t")) * lit(1.0 + margin) +
+          lit(margin)) / (fn(col("n2")) * fn(col("qn2"))))
+      .select(col("qid"), col("id"), col("s_hat"), col("cush"))
+    def eager(df: DataFrame): DataFrame = {
+      val mat = Dedup.persistScoped(df); mat.count(); mat
+    }
+    // seeds: map-side WindowGroupLimit top-k by the cheap score
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("s_hat").desc, col("id").asc)
+    val seedIds = eager(cand.select(col("qid"), col("id"), col("s_hat"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("id")))
+    val qSel = broadcast(q.select(col("qid"), col("qvec"), col("qn2")))
+    def exact(ids: DataFrame): DataFrame =
+      full.join(ids, Seq("id")).join(qSel, Seq("qid"))
+        .withColumn("score", dot(col("vec"), col("qvec")) /
+          (fn(norm2Sq(col("vec"))) * fn(col("qn2"))))
+        .select(col("qid"), col("id"), col("score"))
+    val seeds = eager(exact(broadcast(seedIds)))
+    val tau0 = broadcast(
+      seeds.groupBy(col("qid")).agg(min(col("score")).as("tau0")))
+    // early rejection: map-side filter against the broadcast tau0
+    val survivorIds = cand
+      .join(broadcast(seedIds), Seq("qid", "id"), "left_anti")
+      .join(tau0, Seq("qid"))
+      .filter(col("s_hat") + col("cush") >= col("tau0"))
+      .select(col("qid"), col("id"))
+    // survivor volume is data-dependent (energy share of the tail): no
+    // broadcast hint — AQE sizes the fetch join at runtime
+    TopK.window(seeds.unionByName(exact(survivorIds)), k)
+  }
+
   /** Bump when [[ensurePrefixLayout]]'s schema changes. */
-  private val PrefixLayoutVersion = 1
+  private val PrefixLayoutVersion = 2
 
   /**
-   * The prefix rung AT REST: (id, vp FLOAT[dPrefix], vec FLOAT[d])
-   * sorted by id within files. `vp` is a SEPARATE column chunk, so the
-   * cheap pass's dPrefix/d byte saving is physical parquet column
-   * pruning (plan-asserted: the cheap scan's ReadSchema carries vp and
-   * never vec), and the survivor rescore's id-equi-join benefits from
-   * row-group min/max skipping on the sorted id. Published once per
-   * (sfDir, dPrefix, source version) under a content-addressed tmpdir
-   * with an atomic rename — the write-once immutable-layout discipline
-   * every other index layout here follows.
+   * The prefix rung AT REST: (id, vp FLOAT[dPrefix], n2t, n2, vec
+   * FLOAT[d]) sorted by id within files. `vp` is a SEPARATE column
+   * chunk, so the cheap pass's byte saving is physical parquet column
+   * pruning (plan-asserted: the cheap scans' ReadSchema never carries
+   * vec), and the survivor rescore's id-equi-join benefits from
+   * row-group min/max skipping on the sorted id. `n2t` (tail norm^2)
+   * and `n2` (full norm^2) are query-free per-vector stats — the
+   * Disaggregated `bb` discipline — without which the zero-miss
+   * [[prefixRefineTopKAtRest]] cheap pass would have to fetch `vec` to
+   * compute its own cushion. Published once per (sfDir, dPrefix, source
+   * version) under a content-addressed tmpdir with an atomic rename —
+   * the write-once immutable-layout discipline every other index layout
+   * here follows.
    */
   def ensurePrefixLayout(spark: org.apache.spark.sql.SparkSession,
-                         sfDir: String, dPrefix: Int): String = {
+                         sfDir: String, d: Int, dPrefix: Int): String = {
     import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = Paths.get(sys.props("java.io.tmpdir"),
@@ -142,6 +250,8 @@ object Ann {
       graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"),
           slice(col("embedding"), 1, dPrefix).as("vp"),
+          norm2Sq(slice(col("embedding"), dPrefix + 1, d - dPrefix)).as("n2t"),
+          norm2Sq(col("embedding")).as("n2"),
           col("embedding").as("vec"))
         .sortWithinPartitions(col("id"))
         .write.mode("overwrite")
@@ -161,9 +271,9 @@ object Ann {
     * original table is never touched at query time). */
   def prefixTopKAtRest(spark: org.apache.spark.sql.SparkSession,
                        sfDir: String, emb: DataFrame, nq: Int, k: Int,
-                       dPrefix: Int, rerank: Int): DataFrame = {
+                       d: Int, dPrefix: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val path = ensurePrefixLayout(spark, sfDir, dPrefix)
+    val path = ensurePrefixLayout(spark, sfDir, d, dPrefix)
     val stored = spark.read.parquet(path)
     val q = broadcast(queriesOf(emb, nq)
       .withColumn("qp", slice(col("qvec"), 1, dPrefix))
@@ -182,6 +292,23 @@ object Ann {
       .withColumn("score",
         dot(col("vec"), col("qvec")) / (fn(col("n2")) * fn(col("qn2"))))
     TopK.window(rescored, k)
+  }
+
+  /** [[prefixRefineTopK]] off the at-rest layout: the cheap pass reads
+    * (id, vp, n2t, n2) — the prefix column chunk plus two stored scalar
+    * stats, never the full vector (plan-asserted) — and the seed/
+    * survivor rescores read (id, vec) from the SAME layout. Rows are
+    * identical to the in-memory form AND to the exact scan (zero-miss),
+    * so all three share the brute-force oracle. */
+  def prefixRefineTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String, emb: DataFrame, nq: Int, k: Int,
+                             d: Int, dPrefix: Int): DataFrame = {
+    val path = ensurePrefixLayout(spark, sfDir, d, dPrefix)
+    val stored = spark.read.parquet(path)
+    prefixRefineSplit(
+      stored.select(col("id"), col("vp"), col("n2t"), col("n2")),
+      stored.select(col("id"), col("vec")),
+      queriesOf(emb, nq), k, d, dPrefix)
   }
 
   /**

@@ -979,6 +979,21 @@ class OperatorsSpec extends AnyFunSuite {
       "prefix rung not invariant under repartitioning")
   }
 
+  test("zero-miss prefix refinement equals the exact scan at any width") {
+    import graft.operators.Ann
+    import SparkEntry.{NQ, K, EmbD}
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Ann.bruteTopK(emb, NQ, K).collect().map(_.toSeq).toSet
+    // the Cauchy-Schwarz tail cushion guarantees exactness at ANY prefix
+    // width — the width only moves the pruning power, never the rows
+    for (dp <- Seq(SparkEntry.PrefixD, SparkEntry.PrefixRefineD)) {
+      val r = Ann.prefixRefineTopK(emb, NQ, K, EmbD, dp)
+        .collect().map(_.toSeq).toSet
+      assert(r == brute && r.size == NQ * K,
+        s"zero-miss prefix refine diverged from brute at dPrefix=$dp")
+    }
+  }
+
   test("rung ladder: exact anchor at recall 1, bounded hits, one row per rung") {
     import graft.operators.{Ann, Ladder}
     import SparkEntry.{NQ, K, PrefixD, PrefixRerank}

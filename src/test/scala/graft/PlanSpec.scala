@@ -268,7 +268,7 @@ class PlanSpec extends AnyFunSuite {
     import SparkEntry.{NQ, K, PrefixD, PrefixRerank}
     val emb = Tables.embeddings(spark, dir)
     val df = graft.operators.Ann.prefixTopKAtRest(spark, dir, emb, NQ, K,
-      PrefixD, PrefixRerank)
+      SparkEntry.EmbD, PrefixD, PrefixRerank)
     val scans = graft.sources.Disaggregated.scanSchemas(df)
     assert(scans.nonEmpty, "no parquet scan in plan")
     // the cheap pass must read the dPrefix-float column chunk and NEVER
@@ -282,6 +282,29 @@ class PlanSpec extends AnyFunSuite {
     val b = graft.operators.Ann.prefixTopK(emb, NQ, K, PrefixD, PrefixRerank)
       .collect().map(_.toSeq).toSet
     assert(a == b && a.size == NQ * K)
+  }
+
+  test("prefix refine at-rest: cheap pass reads prefix + stats, never vec") {
+    import SparkEntry.{NQ, K, EmbD, PrefixRefineD}
+    val emb = Tables.embeddings(spark, dir)
+    val (df, release) = graft.operators.Dedup.scopedRelease(
+      graft.operators.Ann.prefixRefineTopKAtRest(spark, dir, emb, NQ, K,
+        EmbD, PrefixRefineD))
+    try {
+      val scans = graft.sources.Disaggregated.scanSchemas(df)
+      assert(scans.nonEmpty, "no parquet scan in plan")
+      // the candidate pass must read the prefix column chunk and the two
+      // stored scalar stats — the full vector only on the bounded fetches
+      scans.filter(_.contains("vp")).foreach(s =>
+        assert(s.subsetOf(Set("id", "vp", "n2t", "n2")),
+          s"unpruned prefix-refine scan: $s"))
+      assert(scans.exists(_.contains("vp")), s"no prefix-only scan: $scans")
+      // zero-miss: rows equal BOTH the in-memory form and the exact scan
+      val a = df.collect().map(_.toSeq).toSet
+      val b = graft.operators.Ann.bruteTopK(emb, NQ, K)
+        .collect().map(_.toSeq).toSet
+      assert(a == b && a.size == NQ * K)
+    } finally release()
   }
 
   test("refine pipeline whole-stage code compiles (no Janino fallback)") {
