@@ -1213,6 +1213,11 @@ object SparkEntry {
           e, NQ, K, IvfCells, EmbD, IvfProbe, EmbSq8ScaleLog2, Sq8Rerank)),
         (s"prefix${PrefixD}_fp32", 4 * PrefixD,
           Ann.prefixTopK(e, NQ, K, PrefixD, PrefixRerank)),
+        // the zero-miss width rung: recall is 1.0 BY PROOF (its oracle
+        // arm is literally the brute arm), at 4*PrefixRefineD + 16
+        // cheap-pass bytes — the "free lunch" point of the ladder
+        (s"prefix${PrefixRefineD}_zeromiss", 4 * PrefixRefineD + 16,
+          Ann.prefixRefineTopK(e, NQ, K, EmbD, PrefixRefineD)),
         ("exact_fp32", 4 * EmbD, gt)), gt, NQ * K)
     }),
     "q_ann_ivf"     -> q((s, dir) => Ann.ivfTopK(emb(s, dir), NQ, K)),
@@ -1739,7 +1744,7 @@ object SparkEntry {
     "q_refine_prefix_at_rest" -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_rung_ladder" -> LadderOracle.rungLadderSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, BqRerank, EmbSq4ScaleLog2, Sq4Rerank,
-      EmbSq8ScaleLog2, Sq8Rerank, PrefixD, PrefixRerank),
+      EmbSq8ScaleLog2, Sq8Rerank, PrefixD, PrefixRerank, PrefixRefineD),
     "q_ann_ivf"       -> EmbOracle.ivfSql(EmbD, NQ, K),
     "q_ann_ivf_index" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
     // identical semantics to q_ann_ivf_index; only the physical path

@@ -14,9 +14,15 @@ object LadderOracle {
                     pqM: Int, pqCodes: Int, pqRerank: Int, bqRerank: Int,
                     sq4ScaleLog2: Int, sq4Rerank: Int,
                     sq8ScaleLog2: Int, sq8Rerank: Int,
-                    dPrefix: Int, prefixRerank: Int): String = {
+                    dPrefix: Int, prefixRerank: Int,
+                    dPrefixZm: Int): String = {
     val nqK = nq * k
     val pfxName = s"prefix${dPrefix}_fp32"
+    // the zero-miss width rung provably reproduces the exact scan
+    // (Cauchy-Schwarz tail cushion — see Ann.prefixRefineTopK), so its
+    // oracle arm IS the brute arm under its own rung key
+    val zmName = s"prefix${dPrefixZm}_zeromiss"
+    val zmBytes = 4 * dPrefixZm + 16
     def arm(sql: String) = s"(SELECT qid, id FROM ($sql))"
     s"""WITH lad_gt AS MATERIALIZED ${arm(EmbOracle.bruteSql(d, nq, k))},
        |lad_pq AS ${arm(PqOracle.topkSql(d, nq, k, nCells, nprobe, pqM, pqCodes, pqRerank))},
@@ -30,6 +36,7 @@ object LadderOracle {
        |  UNION ALL SELECT 'sq4_nibble', ${d / 2}, qid, id FROM lad_sq4
        |  UNION ALL SELECT 'sq8_int8', $d, qid, id FROM lad_sq8
        |  UNION ALL SELECT '$pfxName', ${4 * dPrefix}, qid, id FROM lad_pfx
+       |  UNION ALL SELECT '$zmName', $zmBytes, qid, id FROM lad_gt
        |  UNION ALL SELECT 'exact_fp32', ${4 * d}, qid, id FROM lad_gt),
        |lad_hits AS (SELECT rung, bytes_per_vec, COUNT(*) AS hits
        |  FROM lad_u u JOIN lad_gt g ON u.qid = g.qid AND u.id = g.id
@@ -38,7 +45,8 @@ object LadderOracle {
        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST($nqK AS DOUBLE) AS recall
        |FROM (VALUES ('pq_4b_code', 4), ('bq_1bit', 8),
        |  ('sq4_nibble', ${d / 2}), ('sq8_int8', $d),
-       |  ('$pfxName', ${4 * dPrefix}), ('exact_fp32', ${4 * d}))
+       |  ('$pfxName', ${4 * dPrefix}), ('$zmName', $zmBytes),
+       |  ('exact_fp32', ${4 * d}))
        |  AS r(rung, bytes_per_vec)
        |LEFT JOIN lad_hits h
        |  ON h.rung = r.rung AND h.bytes_per_vec = r.bytes_per_vec""".stripMargin
