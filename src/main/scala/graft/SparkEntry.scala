@@ -1195,6 +1195,10 @@ object SparkEntry {
     "q_refine_prefix_at_rest" -> q((s, dir) =>
       Ann.prefixRefineTopKAtRest(s, dir, emb(s, dir), NQ, K, EmbD,
         PrefixRefineD)),
+    // ... and its bandwidth ledger: fetched count, measured recall
+    // (provably 1.0), save vs the 4dNQ exact baseline, survivor fpr
+    "q_refine_prefix_metrics" -> q((s, dir) =>
+      Ann.prefixRefineMetrics(emb(s, dir), NQ, K, EmbD, PrefixRefineD)),
     // the RUNG LADDER — the reference's headline figure as one table:
     // recall@k vs cheap-pass bytes/vec for every precision rung (PQ 4 B,
     // BQ 8 B, SQ4 d/2, SQ8 d, prefix 4*PrefixD, exact 4*d); every arm is
@@ -1742,6 +1746,8 @@ object SparkEntry {
     // reproduces the exact scan, so its oracle IS the brute oracle
     "q_refine_prefix" -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_refine_prefix_at_rest" -> EmbOracle.bruteSql(EmbD, NQ, K),
+    "q_refine_prefix_metrics" ->
+      EmbOracle.prefixRefineMetricsSql(EmbD, PrefixRefineD, NQ, K),
     "q_rung_ladder" -> LadderOracle.rungLadderSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, BqRerank, EmbSq4ScaleLog2, Sq4Rerank,
       EmbSq8ScaleLog2, Sq8Rerank, PrefixD, PrefixRerank, PrefixRefineD),

@@ -175,6 +175,17 @@ object Ann {
   private def prefixRefineImpl(cheap: DataFrame, full: DataFrame,
                                q0: DataFrame, k: Int, d: Int,
                                dPrefix: Int): DataFrame = {
+    val (seeds, survivorIds, exact) =
+      prefixRefineParts(cheap, full, q0, k, d, dPrefix)
+    TopK.window(seeds.unionByName(exact(survivorIds)), k)
+  }
+
+  /** The shared spine of the zero-miss width refinement: (exactly
+    * rescored seeds, surviving candidate ids, the exact-rescore fn) —
+    * consumed by both the top-k tail and the accounting row. */
+  private def prefixRefineParts(cheap: DataFrame, full: DataFrame,
+                                q0: DataFrame, k: Int, d: Int, dPrefix: Int)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val margin = math.pow(2.0, -20) // dyadic: exact in double and in SQL
     val q = broadcast(q0
@@ -217,7 +228,79 @@ object Ann {
       .select(col("qid"), col("id"))
     // survivor volume is data-dependent (energy share of the tail): no
     // broadcast hint — AQE sizes the fetch join at runtime
-    TopK.window(seeds.unionByName(exact(survivorIds)), k)
+    (seeds, survivorIds, exact)
+  }
+
+  /** The MRL-style energy profile: every 8-dim block scaled by the next
+    * power of two down (2^0, 2^-1, ..., 2^-7 at d=64). Power-of-two
+    * float multiplies are EXACT (pure exponent shifts, no mantissa
+    * rounding), so the oracle mirrors the corpus with exact decimal
+    * weight literals and every downstream double is bit-identical. */
+  def mrlWeights(d: Int): Seq[Float] = (0 until d).map(j => 1.0f / (1 << (j / 8)))
+
+  /** `emb` with the [[mrlWeights]] energy decay applied to the embedding
+    * (queries included — they are rows of the corpus). */
+  def mrlCorpus(emb: DataFrame, d: Int): DataFrame = {
+    val w = mrlWeights(d)
+    emb.select(col("vec_id"),
+      array((1 to d).map(j =>
+        (element_at(col("embedding"), j) * lit(w(j - 1))).cast("float")): _*)
+        .as("embedding"),
+      col("label"))
+  }
+
+  /**
+   * The zero-miss width rung's BANDWIDTH LEDGER — one row per corpus,
+   * (corpus, mode, d_prefix, n_fetched, recall, save, fpr) in the
+   * refine-metrics convention: bytes = (4*dPrefix + 16) per corpus
+   * vector on the cheap pass (prefix floats + the two stored stats)
+   * plus 4*d per fetched vector, save measured against the 4*d*N*Q
+   * exact baseline, fpr = the survivor fraction. recall is MEASURED
+   * against the exact scan (and provably 1.0 — a value below 1.0 here
+   * means the cushion algebra broke, which the hash-compare catches).
+   *
+   * TWO corpora make the rung's thesis a data point: `iso` (the raw
+   * isotropic fixture — energy spread uniformly, the Cauchy-Schwarz
+   * tail bound at its loosest, save goes NEGATIVE) vs `mrl` (the
+   * [[mrlCorpus]] energy decay real Matryoshka embeddings are trained
+   * for — the tail carries ~0.02% of the energy, the same bound prunes
+   * nearly everything, and the ledger turns positive). Pruning power is
+   * the prefix's energy share, measured, not asserted.
+   */
+  def prefixRefineMetrics(emb: DataFrame, nq: Int, k: Int, d: Int,
+                          dPrefix: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def run(corpus: String, e: DataFrame)
+        : (String, String, Int, Long, Double, Double, Double) = {
+      val cheap = e.select(col("vec_id").as("id"),
+        slice(col("embedding"), 1, dPrefix).as("vp"),
+        norm2Sq(slice(col("embedding"), dPrefix + 1, d - dPrefix)).as("n2t"),
+        norm2Sq(col("embedding")).as("n2"))
+      val full = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (seeds, survivorIds0, exact) =
+        prefixRefineParts(cheap, full, queriesOf(e, nq), k, d, dPrefix)
+      val survivorIds = Dedup.persistScoped(survivorIds0)
+      val nSurv = survivorIds.count()
+      val nFetched = nq.toLong * k + nSurv
+      val fin = TopK.window(seeds.unionByName(exact(survivorIds)), k)
+      val hits = fin.join(bruteTopK(e, nq, k).select(col("qid"), col("id")),
+        Seq("qid", "id")).count()
+      val nV = e.count()
+      val bRed = (4 * dPrefix + 16).toDouble
+      val bFull = (4 * d).toDouble
+      val total = bRed * nV * nq + bFull * nFetched
+      val save = 1.0 - total / (bFull * nV * nq)
+      val fpr = (nFetched - k.toLong * nq).toDouble / (nV.toDouble * nq)
+      val recall = hits.toDouble / (k.toLong * nq)
+      (corpus, "cos_prefix", dPrefix, nFetched, recall, save, fpr)
+    }
+    def both() = Seq(run("iso", emb), run("mrl", mrlCorpus(emb, d)))
+    val rows =
+      if (Dedup.scopeActive) both()
+      else { val (r, rel) = Dedup.scopedRelease(both()); rel(); r }
+    rows.toDF("corpus", "mode", "d_prefix", "n_fetched", "recall", "save",
+      "fpr")
   }
 
   /** Bump when [[ensurePrefixLayout]]'s schema changes. */

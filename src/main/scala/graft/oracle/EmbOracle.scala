@@ -15,6 +15,12 @@ object EmbOracle {
     (1 to d).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString("(", " + ", ")")
 
+  /** [[dotE]] over an index sub-range (1-based, inclusive) — the tail
+    * fold of the width-axis refinement. */
+  def dotERange(a: String, b: String, from: Int, to: Int): String =
+    (from to to).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
   private def fn(x: String) = s"GREATEST(sqrt($x), 1e-12)"
 
   /** norms CTE: nrm(vec_id, n2). MATERIALIZED — every consumer joins it
@@ -85,6 +91,84 @@ object EmbOracle {
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
        |  FROM resc)
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** Weighted fold term: the engine's MRL corpus applies EXACT
+    * power-of-two float scalings, so `CAST(a[i] AS DOUBLE) * w_i` (w_i
+    * an exact decimal) equals the double of the scaled float. */
+  private def wTerm(a: String, i: Int, w: Option[Seq[String]]): String =
+    w match {
+      case Some(ws) => s"(CAST($a[$i] AS DOUBLE)*${ws(i - 1)})"
+      case None     => s"CAST($a[$i] AS DOUBLE)"
+    }
+
+  /** [[dotERange]] with optional exact per-dimension weights. */
+  def dotEWRange(a: String, b: String, from: Int, to: Int,
+                 w: Option[Seq[String]]): String =
+    (from to to).map(i => s"${wTerm(a, i, w)}*${wTerm(b, i, w)}")
+      .mkString("(", " + ", ")")
+
+  /** Bandwidth ledger of the ZERO-MISS width refinement
+    * ([[graft.operators.Ann.prefixRefineMetrics]]): the seed/tau0/
+    * survive pipeline mirrored relationally — the cushion's dyadic
+    * safety constants (1+2^-20, 2^-20) written as their exact finite
+    * decimals so both engines hold the identical doubles — then the
+    * same driver-side accounting arithmetic in the same operation
+    * order. recall is the literal 1.0 the zero-miss proof guarantees:
+    * an engine value below it hash-mismatches, which is the point.
+    * Two arms, composed as sibling subqueries: the raw isotropic corpus
+    * and the MRL energy-decayed corpus (exact decimal weights). */
+  def prefixRefineMetricsSql(d: Int, dp: Int, nq: Int, k: Int): String = {
+    val wMrl = (0 until d).map(j =>
+      new java.math.BigDecimal(1.0 / (1L << (j / 8))).toPlainString)
+    s"""WITH a_iso AS (SELECT * FROM (${metricsArmSql(d, dp, nq, k, "iso", None)})),
+       |a_mrl AS (SELECT * FROM (${metricsArmSql(d, dp, nq, k, "mrl", Some(wMrl))}))
+       |SELECT * FROM a_iso UNION ALL SELECT * FROM a_mrl""".stripMargin
+  }
+
+  private def metricsArmSql(d: Int, dp: Int, nq: Int, k: Int,
+                            corpus: String, w: Option[Seq[String]]): String = {
+    val nqK = nq * k
+    val bRed = s"${4 * dp + 16}.0"
+    val bFull = s"${4 * d}.0"
+    val c1 = "1.00000095367431640625"  // 1 + 2^-20, exact
+    val c2 = "0.00000095367431640625"  // 2^-20, exact
+    def dotW(a: String, b: String, to: Int) = dotEWRange(a, b, 1, to, w)
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |nrm AS MATERIALIZED (SELECT vec_id,
+       |    ${dotW("embedding", "embedding", d)} AS n2 FROM embeddings),
+       |ntl AS MATERIALIZED (SELECT vec_id,
+       |    ${dotEWRange("embedding", "embedding", dp + 1, d, w)} AS n2t FROM embeddings),
+       |sc AS MATERIALIZED (SELECT q.qid, e.vec_id AS id,
+       |    ${dotW("e.embedding", "q.qv", dp)} / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS s_hat,
+       |    (sqrt(nt.n2t) * sqrt(ntq.n2t) * $c1 + $c2)
+       |      / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS cush
+       |  FROM embeddings e CROSS JOIN q
+       |  JOIN nrm ni ON e.vec_id = ni.vec_id JOIN nrm nq2 ON q.qid = nq2.vec_id
+       |  JOIN ntl nt ON e.vec_id = nt.vec_id JOIN ntl ntq ON q.qid = ntq.vec_id),
+       |seeds AS MATERIALIZED (SELECT qid, id FROM (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |  FROM sc) t WHERE t.rn <= $k),
+       |tau AS MATERIALIZED (SELECT s.qid,
+       |    MIN(${dotW("e.embedding", "q.qv", d)} / (${fn("ni.n2")} * ${fn("nq2.n2")})) AS tau0
+       |  FROM seeds s JOIN embeddings e ON s.id = e.vec_id
+       |    JOIN q ON s.qid = q.qid
+       |    JOIN nrm ni ON s.id = ni.vec_id JOIN nrm nq2 ON s.qid = nq2.vec_id
+       |  GROUP BY s.qid),
+       |surv AS (SELECT COUNT(*) AS n_surv
+       |  FROM sc LEFT JOIN seeds ON sc.qid = seeds.qid AND sc.id = seeds.id
+       |  JOIN tau ON sc.qid = tau.qid
+       |  WHERE seeds.id IS NULL AND sc.s_hat + sc.cush >= tau.tau0),
+       |nv AS (SELECT COUNT(*) AS n_v FROM embeddings)
+       |SELECT '$corpus' AS corpus, 'cos_prefix' AS mode, $dp AS d_prefix,
+       |  CAST($nqK + surv.n_surv AS BIGINT) AS n_fetched,
+       |  CAST(1.0 AS DOUBLE) AS recall,
+       |  1.0 - (($bRed * CAST(nv.n_v AS DOUBLE)) * $nq
+       |           + $bFull * CAST($nqK + surv.n_surv AS DOUBLE))
+       |        / (($bFull * CAST(nv.n_v AS DOUBLE)) * $nq) AS save,
+       |  CAST(surv.n_surv AS DOUBLE) / (CAST(nv.n_v AS DOUBLE) * $nq) AS fpr
+       |FROM surv, nv""".stripMargin
+  }
 
   def ivfSql(d: Int, nq: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel FROM embeddings

@@ -994,6 +994,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix refine ledger: pruning power tracks the energy profile") {
+    import graft.operators.Ann
+    import SparkEntry.{NQ, K, EmbD, PrefixRefineD}
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Ann.prefixRefineMetrics(emb, NQ, K, EmbD, PrefixRefineD)
+      .collect().map(r => r.getAs[String]("corpus") -> r).toMap
+    // zero-miss holds on BOTH corpora (measured, not asserted)
+    assert(rows("iso").getAs[Double]("recall") == 1.0)
+    assert(rows("mrl").getAs[Double]("recall") == 1.0)
+    // the thesis as data: the energy-decayed corpus prunes far deeper
+    // than the isotropic worst case under the SAME cushion algebra
+    val (fIso, fMrl) = (rows("iso").getAs[Double]("fpr"),
+      rows("mrl").getAs[Double]("fpr"))
+    assert(fMrl < fIso, s"mrl fpr $fMrl not below iso fpr $fIso")
+    assert(rows("mrl").getAs[Double]("save") > 0.0,
+      "mrl ledger should net a positive saving")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_fetched") >= NQ.toLong * K)
+      assert(r.getAs[Double]("fpr") >= 0.0 && r.getAs[Double]("fpr") <= 1.0)
+    }
+  }
+
   test("rung ladder: exact anchor at recall 1, bounded hits, one row per rung") {
     import graft.operators.{Ann, Ladder}
     import SparkEntry.{NQ, K, PrefixD, PrefixRerank}
