@@ -29,6 +29,15 @@ object PlanAudit {
     }
     audit("pq_upsert")(graft.operators.Pq.topkAtRestUpserted(spark, dir, emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, UpsertMod))
     audit("knn_graph")(graft.operators.Ivf.knnGraph(emb, KnnJ, IvfCells, EmbD, IvfProbe))
+    audit("prefix_at_rest")(graft.operators.Ann.prefixTopKAtRest(spark, dir, emb, NQ, K, EmbD, PrefixD, PrefixRerank))
+    locally {
+      // under a scope so the audit sees the live pipeline plan instead
+      // of the bare-caller localCheckpoint pin
+      val (df, rel) = graft.operators.Dedup.scopedRelease(
+        graft.operators.Ann.prefixRefineTopKAtRest(spark, dir, emb, NQ, K,
+          EmbD, PrefixRefineD))
+      try audit("prefix_refine_at_rest")(df) finally rel()
+    }
     audit("graph_search") {
       val g = graft.operators.Ivf.knnGraph(emb, KnnJ, IvfCells, EmbD, IvfProbe)
       graft.operators.Ivf.graphSearch(emb, g, NQ, K, GraphBeam, GraphRounds,
