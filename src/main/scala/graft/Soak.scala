@@ -278,6 +278,27 @@ object Soak {
       operators.Ann.prefixTopK(embSoak, SparkEntry.NQ, SparkEntry.K,
         dVec / 4, rerank = math.max(6 * SparkEntry.K, nVec / 200))
     }
+    // the ZERO-MISS width rung at soak scale, over the energy profile it
+    // is designed for (the MRL power-of-two decay — exact float
+    // scalings): the contract is exactness, so the ride-alongs are the
+    // contract itself — measured recall against a real brute pass over
+    // the 4M-row decayed corpus must be EXACTLY 1.0, and the survivor
+    // fetch must stay a small fraction of the corpus (the cheap pass
+    // must have pruned, not forwarded). No floors with slack: a single
+    // missed row means the cushion algebra broke at scale.
+    step("prefix_refine_zm") {
+      val dp = 3 * dVec / 4
+      val ((_, _, _, nFetched, zmRecall, zmSave, zmFpr), release) =
+        operators.Dedup.scopedRelease(operators.Ann.prefixRefineLedger(
+          "mrl", operators.Ann.mrlCorpus(embSoak, dVec),
+          SparkEntry.NQ, SparkEntry.K, dVec, dp))
+      release()
+      require(zmRecall == 1.0,
+        s"zero-miss width rung lost rows at soak scale: recall=$zmRecall")
+      require(zmFpr <= 0.2, s"survivor fraction $zmFpr — cushion not pruning")
+      require(zmSave > 0.0, s"ledger save $zmSave not positive on mrl corpus")
+      nFetched
+    }
     // the full precision-on-demand ladder as ONE pipeline at soak scale:
     // 1-bit Hamming cut, int8 mid-rank over the survivors, exact rescore
     // — both cuts scale with the corpus like the single rungs above

@@ -271,8 +271,21 @@ object Ann {
                           dPrefix: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    def run(corpus: String, e: DataFrame)
-        : (String, String, Int, Long, Double, Double, Double) = {
+    def both() = Seq(prefixRefineLedger("iso", emb, nq, k, d, dPrefix),
+      prefixRefineLedger("mrl", mrlCorpus(emb, d), nq, k, d, dPrefix))
+    val rows =
+      if (Dedup.scopeActive) both()
+      else { val (r, rel) = Dedup.scopedRelease(both()); rel(); r }
+    rows.toDF("corpus", "mode", "d_prefix", "n_fetched", "recall", "save",
+      "fpr")
+  }
+
+  /** One ledger row of [[prefixRefineMetrics]] for a single corpus —
+    * also the soak's scale probe (callers run it under a
+    * [[Dedup.scopedRelease]] or accept tracked persists). */
+  def prefixRefineLedger(corpus: String, e: DataFrame, nq: Int, k: Int,
+                         d: Int, dPrefix: Int)
+      : (String, String, Int, Long, Double, Double, Double) = {
       val cheap = e.select(col("vec_id").as("id"),
         slice(col("embedding"), 1, dPrefix).as("vp"),
         norm2Sq(slice(col("embedding"), dPrefix + 1, d - dPrefix)).as("n2t"),
@@ -294,13 +307,6 @@ object Ann {
       val fpr = (nFetched - k.toLong * nq).toDouble / (nV.toDouble * nq)
       val recall = hits.toDouble / (k.toLong * nq)
       (corpus, "cos_prefix", dPrefix, nFetched, recall, save, fpr)
-    }
-    def both() = Seq(run("iso", emb), run("mrl", mrlCorpus(emb, d)))
-    val rows =
-      if (Dedup.scopeActive) both()
-      else { val (r, rel) = Dedup.scopedRelease(both()); rel(); r }
-    rows.toDF("corpus", "mode", "d_prefix", "n_fetched", "recall", "save",
-      "fpr")
   }
 
   /** Bump when [[ensurePrefixLayout]]'s schema changes. */
