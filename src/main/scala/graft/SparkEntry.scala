@@ -171,6 +171,19 @@ object SparkEntry {
   private def fix3072(s: SparkSession, dir: String): DataFrame =
     Fixture.fp16VectorsModCached(s, dir, D3072, KeepM, D3072KeyMod)
 
+  /** The ZERO-MISS width rung at the reference's MS MARCO-class width
+    * (D=1024, prefix 768): proves the Cauchy-Schwarz tail-cushion
+    * algebra holds where the slice/fold trees get wide — 768- and
+    * 256-term dot folds on the cheap side, 1024-term rescores. Same
+    * tiny-N slicing as [[qRefineD1024]], and the same oracle: zero-miss
+    * refine at any axis equals the exact top-k of the slice, so the
+    * cos_l2 refine oracle (itself zero-miss) serves both queries. */
+  def qRefinePrefixD1024(s: SparkSession, dir: String): DataFrame = {
+    val e = fix1024(s, dir).select(col("id").as("vec_id"),
+      col("vec").as("embedding"), lit(0).as("label"))
+    graft.operators.Ann.prefixRefineTopK(e, NQ, K, D1024, 3 * D1024 / 4)
+  }
+
   /** Relational refine at D=3072 — cos_l2, the worst codegen path. */
   def qRefineD3072(s: SparkSession, dir: String): DataFrame = {
     val v = fix3072(s, dir)
@@ -1577,6 +1590,7 @@ object SparkEntry {
     "q_refine_metrics_d128" -> q((s, dir) => qRefineMetricsD128(s, dir)),
     // MS MARCO-class width (reference mid tier D=1024) on a tiny slice
     "q_refine_d1024"        -> q((s, dir) => qRefineD1024(s, dir)),
+    "q_refine_prefix_d1024" -> q((s, dir) => qRefinePrefixD1024(s, dir)),
     "q_refine_d3072"        -> q((s, dir) => qRefineD3072(s, dir)),
     // int8 scalar quantization as a precision-ladder rung (cos_l1 cushion
     // over dequantized codes + constant half-step bound)
@@ -1940,6 +1954,9 @@ object SparkEntry {
     // SUM over j), so realistic width rides the same SQL
     "q_refine_d128"         -> RefineOracle.topkSql(D128, NQ, refineParams("cos_l2"), D128KeyMod),
     "q_refine_d1024"        -> RefineOracle.topkSql(D1024, NQ, refineParams("cos_l2"), D1024KeyMod),
+    // zero-miss at any axis = the exact top-k of the slice: the cos_l2
+    // refine oracle (itself zero-miss) serves the width rung unchanged
+    "q_refine_prefix_d1024" -> RefineOracle.topkSql(D1024, NQ, refineParams("cos_l2"), D1024KeyMod),
     "q_refine_d3072"        -> RefineOracle.topkSql(D3072, NQ, refineParams("cos_l2"), D3072KeyMod),
     "q_refine_int8" -> {
       val (rv, dv) = RefineOracle.quantRvDv(Int8ScaleLog2)
