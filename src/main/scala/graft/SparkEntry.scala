@@ -1199,6 +1199,11 @@ object SparkEntry {
     "q_ann_prefix_at_rest" -> q((s, dir) =>
       Ann.prefixTopKAtRest(s, dir, emb(s, dir), NQ, K, EmbD, PrefixD,
         PrefixRerank)),
+    // IVF x PREFIX: the production two-stage configuration — the coarse
+    // quantizer prunes cells, the width axis prunes bytes within them;
+    // scan cost ~ (nprobe/nCells) * (dPrefix/d) of the brute pass
+    "q_ann_ivf_prefix" -> q((s, dir) => graft.operators.Ivf.topkPrefix(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PrefixD, PrefixRerank)),
     // ZERO-MISS width-axis refinement: prefix-partial score + a
     // Cauchy-Schwarz tail cushion, seeds/tau0/early-rejection/exact
     // rescore — the reference's refine discipline on the dimension axis,
@@ -1756,6 +1761,8 @@ object SparkEntry {
     // identical rows off the at-rest layout (the stored prefix column
     // holds the same floats the map-side slice derives) — same oracle
     "q_ann_prefix_at_rest" -> EmbOracle.prefixSql(EmbD, PrefixD, NQ, K, PrefixRerank),
+    "q_ann_ivf_prefix" -> IvfOracle.prefixIvfSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PrefixD, PrefixRerank),
     // zero-miss by construction: the width-axis refinement provably
     // reproduces the exact scan, so its oracle IS the brute oracle
     "q_refine_prefix" -> EmbOracle.bruteSql(EmbD, NQ, K),

@@ -89,6 +89,7 @@ object Ann {
   def prefixTopK(emb: DataFrame, nq: Int, k: Int, dPrefix: Int,
                  rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(dPrefix >= 1, s"dPrefix $dPrefix must be >= 1")
     val q = broadcast(queriesOf(emb, nq)
       .withColumn("qp", slice(col("qvec"), 1, dPrefix))
       .withColumn("qn2p", norm2Sq(col("qp")))
@@ -186,6 +187,7 @@ object Ann {
   private def prefixRefineParts(cheap: DataFrame, full: DataFrame,
                                 q0: DataFrame, k: Int, d: Int, dPrefix: Int)
       : (DataFrame, DataFrame, DataFrame => DataFrame) = {
+    require(dPrefix >= 1 && dPrefix < d, s"dPrefix $dPrefix not in [1, $d)")
     import org.apache.spark.sql.expressions.Window
     val margin = math.pow(2.0, -20) // dyadic: exact in double and in SQL
     val q = broadcast(q0
@@ -329,6 +331,7 @@ object Ann {
    */
   def ensurePrefixLayout(spark: org.apache.spark.sql.SparkSession,
                          sfDir: String, d: Int, dPrefix: Int): String = {
+    require(dPrefix >= 1 && dPrefix < d, s"dPrefix $dPrefix not in [1, $d)")
     import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = Paths.get(sys.props("java.io.tmpdir"),

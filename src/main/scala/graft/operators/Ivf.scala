@@ -255,6 +255,45 @@ object Ivf {
     TopK.window(rescored, k)
   }
 
+  /**
+   * IVF x PREFIX — the production two-stage configuration a vector DB
+   * ships with Matryoshka embeddings: the coarse quantizer prunes CELLS
+   * (only nprobe of nCells are read at all) and the width axis prunes
+   * BYTES within them (the cheap rank reads only the first dPrefix
+   * float components — [[graft.operators.Ann.prefixTopK]]'s scoring
+   * over prefix norms), then the bounded survivor set is rescored at
+   * full width. The two pruning axes compose multiplicatively:
+   * scan cost ~ (nprobe/nCells) * (dPrefix/d) of the brute pass.
+   */
+  def topkPrefix(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                 nprobe: Int, dPrefix: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(dPrefix >= 1 && dPrefix < d, s"dPrefix $dPrefix not in [1, $d)")
+    val V = graft.functions.VectorOps
+    val assigned = assign(emb, nCells, d)
+      .withColumn("vp", slice(col("embedding"), 1, dPrefix))
+      .withColumn("n2p", V.norm2Sq(col("vp")))
+    val q = Ann.queriesOf(emb, nq)
+      .withColumn("qp", slice(col("qvec"), 1, dPrefix))
+      .withColumn("qn2p", V.norm2Sq(col("qp")))
+      .select(col("qid"), col("qvec"), col("qn2"), col("qp"), col("qn2p"))
+    val probes = broadcast(probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qp"), col("qn2p")), Seq("qid")))
+    val cheap = assigned.join(probes, Seq("cell"))
+      .withColumn("score", V.dot(col("vp"), col("qp")) /
+        (V.fnorm(col("n2p")) * V.fnorm(col("qn2p"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("qvec"), col("qn2"))),
+        Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2"))))
+    TopK.window(rescored, k)
+  }
+
   /** 4-bit scalar quantization code: clamp(floor(v*2^s + 0.5), -8, 7) —
     * the clamp is what distinguishes the 4-bit rung (16 levels) from
     * SQ8's unclamped int8 range; dequantized k/2^s stays an exact dyadic

@@ -35,6 +35,62 @@ object IvfOracle {
     (1 to d).map(i => s"${dq(a, i, scale)}*CAST($b.embedding[$i] AS DOUBLE)")
       .mkString("(", " + ", ")")
 
+  /** IVF x PREFIX ([[graft.operators.Ivf.topkPrefix]]): the coarse-
+    * quantizer probe scaffold of [[sq8Sql]] with the width-truncated
+    * cheap rank of [[EmbOracle.prefixSql]] — prefix-cosine over prefix
+    * norms within probed cells, rerank cut, exact full-width rescore. */
+  def prefixIvfSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+                   dPrefix: Int, rerank: Int): String = {
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    val probeCase = "CASE t.cell " + (0 until nCells)
+      .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
+    val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |npfx AS MATERIALIZED (SELECT vec_id,
+       |    ${EmbOracle.dotE("embedding", "embedding", dPrefix)} AS n2p FROM embeddings),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id FROM qp JOIN asg a ON a.cell = qp.cell),
+       |cheap AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", dPrefix)}
+       |      / (${fn("np.n2p")} * ${fn("nqp.n2p")}) AS s_hat
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN npfx np ON np.vec_id = c.id
+       |  JOIN npfx nqp ON nqp.vec_id = c.qid),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** [[topkSql]] with the IVF-SQ8 cheap/rerank/rescore pipeline
     * (Ivf.topkSq8): quantized-cosine rank to `rerank`, exact rescore. */
   def sq8Sql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,

@@ -994,6 +994,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf x prefix: full-depth rerank equals the plain IVF probe scan") {
+    import graft.operators.Ivf
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, PrefixD, PrefixRerank}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    // approximation comes only from the width-truncated rerank cut: at
+    // probed-pool depth the exact rescore must equal the probe scan
+    val full = Ivf.topkPrefix(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PrefixD, rerank = n).collect().map(_.toSeq).toSet
+    val plain = Ivf.topk(emb, NQ, K, IvfCells, EmbD, IvfProbe)
+      .collect().map(_.toSeq).toSet
+    assert(full == plain && full.size == NQ * K,
+      "full-depth ivf-prefix diverged from the plain probe scan")
+    // production depth stays well-formed
+    val prod = Ivf.topkPrefix(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PrefixD, PrefixRerank)
+    assert(prod.count() == NQ * K)
+  }
+
   test("prefix refine ledger: pruning power tracks the energy profile") {
     import graft.operators.Ann
     import SparkEntry.{NQ, K, EmbD, PrefixRefineD}
