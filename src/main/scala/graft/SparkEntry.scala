@@ -1213,6 +1213,13 @@ object SparkEntry {
     "q_refine_prefix_at_rest" -> q((s, dir) =>
       Ann.prefixRefineTopKAtRest(s, dir, emb(s, dir), NQ, K, EmbD,
         PrefixRefineD)),
+    // the zero-miss width rung over the STREAM-MAINTAINED prefix layout
+    // (arrivals drained shard-per-trigger, batch writer's projection
+    // applied per microbatch) — content equals the batch layout, and
+    // zero-miss equals the exact scan regardless: brute oracle
+    "q_stream_ann_prefix" -> q((s, dir) => graft.streaming.StreamOps
+      .prefixRefineOverStream(s, dir, emb(s, dir), NQ, K, EmbD,
+        PrefixRefineD)),
     // ... and its bandwidth ledger: fetched count, measured recall
     // (provably 1.0), save vs the 4dNQ exact baseline, survivor fpr
     "q_refine_prefix_metrics" -> q((s, dir) =>
@@ -1767,6 +1774,7 @@ object SparkEntry {
     // reproduces the exact scan, so its oracle IS the brute oracle
     "q_refine_prefix" -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_refine_prefix_at_rest" -> EmbOracle.bruteSql(EmbD, NQ, K),
+    "q_stream_ann_prefix" -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_refine_prefix_metrics" ->
       EmbOracle.prefixRefineMetricsSql(EmbD, PrefixRefineD, NQ, K),
     "q_rung_ladder" -> LadderOracle.rungLadderSql(EmbD, NQ, K, IvfCells,

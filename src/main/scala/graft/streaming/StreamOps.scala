@@ -502,6 +502,81 @@ object StreamOps {
     outDir.toString
   }
 
+  /**
+   * Streaming maintenance of the PREFIX (Matryoshka) layout: arrivals
+   * drain through a real file stream one landing shard per trigger, and
+   * each microbatch applies exactly the batch writer's projection
+   * ([[graft.operators.Ann.ensurePrefixLayout]] — prefix column chunk +
+   * the tail/full norm stats + the float vector) and appends to the
+   * layout. Fresh vectors are immediately queryable by both width rungs
+   * with no rebuild; microbatch appends aren't id-sorted within files
+   * (the batch layout is), which costs row-group skipping on the fetch
+   * until the table service's compaction re-sorts — content is
+   * identical, so results are too.
+   */
+  def ensureStreamPrefixLayout(spark: SparkSession, sfDir: String, d: Int,
+                               dPrefix: Int): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val V = graft.functions.VectorOps
+    val landing = ensureShardedEmbLanding(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_prefix_${safe}_d${d}_p${dPrefix}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "stream-prefix-")
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("label", IntegerType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(col("vec_id").as("id"),
+                slice(col("embedding"), 1, dPrefix).as("vp"),
+                V.norm2Sq(slice(col("embedding"), dPrefix + 1, d - dPrefix))
+                  .as("n2t"),
+                V.norm2Sq(col("embedding")).as("n2"),
+                col("embedding").as("vec"))
+              .write.mode("append")
+              .option("compression", "zstd")
+              .parquet(tmp.toString)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream prefix layout publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** The ZERO-MISS width rung over the STREAM-MAINTAINED prefix layout:
+    * the drained layout holds the same rows as the batch-built one, and
+    * zero-miss equals the exact scan regardless, so this shares the
+    * brute-force oracle with its batch twins. */
+  def prefixRefineOverStream(spark: SparkSession, sfDir: String,
+                             emb: org.apache.spark.sql.DataFrame, nq: Int,
+                             k: Int, d: Int, dPrefix: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stored = spark.read.parquet(
+      ensureStreamPrefixLayout(spark, sfDir, d, dPrefix))
+    graft.operators.Ann.prefixRefineSplit(
+      stored.select(col("id"), col("vp"), col("n2t"), col("n2")),
+      stored.select(col("id"), col("vec")),
+      graft.operators.Ann.queriesOf(emb, nq), k, d, dPrefix)
+  }
+
   /** The PQ rung over the STREAM-MAINTAINED codes layout: with the drain
     * complete the layout holds the same (id, vec, code) rows as the
     * batch-built one, so this is hash-equal to `q_ann_ivf_pq` and shares

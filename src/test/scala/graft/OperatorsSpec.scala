@@ -994,6 +994,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-maintained prefix layout matches the batch layout row-for-row") {
+    import graft.operators.Ann
+    import SparkEntry.{EmbD, PrefixRefineD}
+    val streamed = StreamOps.ensureStreamPrefixLayout(spark, dir, EmbD,
+      PrefixRefineD)
+    // genuinely incremental: the 4-shard landing drains one file per
+    // trigger, so the layout must hold multiple appended part files
+    val parts = new java.io.File(streamed).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts >= 2, s"drain was not incremental: $parts part files")
+    // the microbatch projection IS the batch writer's projection
+    val a = spark.read.parquet(streamed).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(
+        Ann.ensurePrefixLayout(spark, dir, EmbD, PrefixRefineD))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "streamed layout diverged from batch layout")
+  }
+
   test("ivf x prefix: full-depth rerank equals the plain IVF probe scan") {
     import graft.operators.Ivf
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, PrefixD, PrefixRerank}
