@@ -1199,6 +1199,11 @@ object SparkEntry {
     "q_ann_prefix_at_rest" -> q((s, dir) =>
       Ann.prefixTopKAtRest(s, dir, emb(s, dir), NQ, K, EmbD, PrefixD,
         PrefixRerank)),
+    // index TRAINING: one Lloyd iteration of the coarse quantizer —
+    // nearest-centroid assignment, then the retrained centroid
+    // components as per-(cell, dim) means (order-deterministic fold)
+    "q_kmeans_step" -> q((s, dir) => graft.operators.Ivf.kmeansStep(
+      emb(s, dir), IvfCells, EmbD)),
     // IVF x PREFIX: the production two-stage configuration — the coarse
     // quantizer prunes cells, the width axis prunes bytes within them;
     // scan cost ~ (nprobe/nCells) * (dPrefix/d) of the brute pass
@@ -1770,6 +1775,7 @@ object SparkEntry {
     "q_ann_prefix_at_rest" -> EmbOracle.prefixSql(EmbD, PrefixD, NQ, K, PrefixRerank),
     "q_ann_ivf_prefix" -> IvfOracle.prefixIvfSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PrefixD, PrefixRerank),
+    "q_kmeans_step" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
     // zero-miss by construction: the width-axis refinement provably
     // reproduces the exact scan, so its oracle IS the brute oracle
     "q_refine_prefix" -> EmbOracle.bruteSql(EmbD, NQ, K),

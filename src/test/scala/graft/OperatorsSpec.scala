@@ -994,6 +994,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans step: deterministic fold at any parallelism, occupancy sums to N") {
+    import graft.operators.Ivf
+    import SparkEntry.{IvfCells, EmbD}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val a = Ivf.kmeansStep(emb, IvfCells, EmbD).collect().map(_.toSeq).toSet
+    // the ordered fold makes the float mean partition-count-invariant —
+    // the property a naive float SUM would lose
+    val b = Ivf.kmeansStep(emb.repartition(7), IvfCells, EmbD)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "Lloyd means not invariant under repartitioning")
+    val rows = a.toSeq.map(s => (s(0).asInstanceOf[Int],
+      s(1).asInstanceOf[Int], s(2).asInstanceOf[Long],
+      s(3).asInstanceOf[Double]))
+    // each dimension's occupancies partition the corpus
+    rows.groupBy(_._2).foreach { case (_, g) => assert(g.map(_._3).sum == n) }
+    // a mean lies inside its components' range: |x| < 1 on this fixture
+    assert(rows.forall(r => math.abs(r._4) < 1.0))
+    assert(rows.map(_._2).distinct.sorted == (1 to EmbD))
+  }
+
   test("stream-maintained prefix layout matches the batch layout row-for-row") {
     import graft.operators.Ann
     import SparkEntry.{EmbD, PrefixRefineD}
