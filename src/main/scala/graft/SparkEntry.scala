@@ -1204,6 +1204,11 @@ object SparkEntry {
     // components as per-(cell, dim) means (order-deterministic fold)
     "q_kmeans_step" -> q((s, dir) => graft.operators.Ivf.kmeansStep(
       emb(s, dir), IvfCells, EmbD)),
+    // ... and SERVE with the retrained centroids: the Lloyd means baked
+    // into a full IVF query path (bounded model collect, cell-pruned
+    // exact cosine) — training that actually serves
+    "q_ann_ivf_lloyd" -> q((s, dir) => graft.operators.Ivf.topkLloyd(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
     // IVF x PREFIX: the production two-stage configuration — the coarse
     // quantizer prunes cells, the width axis prunes bytes within them;
     // scan cost ~ (nprobe/nCells) * (dPrefix/d) of the brute pass
@@ -1776,6 +1781,8 @@ object SparkEntry {
     "q_ann_ivf_prefix" -> IvfOracle.prefixIvfSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PrefixD, PrefixRerank),
     "q_kmeans_step" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
+    "q_ann_ivf_lloyd" -> IvfOracle.lloydTopkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe),
     // zero-miss by construction: the width-axis refinement provably
     // reproduces the exact scan, so its oracle IS the brute oracle
     "q_refine_prefix" -> EmbOracle.bruteSql(EmbD, NQ, K),

@@ -288,6 +288,59 @@ object Ivf {
           col("n").cast("double")).as("mean"))
 
   /**
+   * Serve with the RETRAINED coarse quantizer — [[kmeansStep]]'s means
+   * become the centroids of a full IVF query path: assignment, probe
+   * selection, cell-pruned cosine top-k. The trained model is a BOUNDED
+   * driver-side collect (occupied cells x d doubles — the "broadcast
+   * the model, not the data" shape every trained quantizer here uses),
+   * baked into the distance expressions as literals; distances fold
+   * left-to-right over dimensions so the DuckDB mirror (ordered list +
+   * list_reduce over the SAME retrained means) is bit-identical.
+   * Probing every occupied cell provably recovers the exact scan
+   * (spec-asserted) — approximation comes only from nprobe.
+   */
+  def topkLloyd(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                nprobe: Int): DataFrame = {
+    val V = graft.functions.VectorOps
+    val means = kmeansStep(emb, nCells, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val cells = means.keys.map(_._1).toSeq.distinct.sorted
+    def dist(vecCol: Column, c: Int): Column =
+      (1 to d).map { j =>
+        val diff = element_at(vecCol, j).cast("double") - lit(means((c, j)))
+        diff * diff
+      }.reduce(_ + _)
+    def argmin(prefix: String): Column = {
+      val m = least(cells.map(c => col(s"$prefix$c")): _*)
+      cells.foldRight(lit(-1)) { (c, rest) =>
+        when(col(s"$prefix$c") === m, lit(c)).otherwise(rest)
+      }
+    }
+    val assigned = emb.select(col("vec_id").as("id") +: col("embedding") +:
+        cells.map(c => dist(col("embedding"), c).as(s"c$c")): _*)
+      .withColumn("cell", argmin("c"))
+      .select(col("id"), col("embedding"), col("cell"))
+      .withColumn("n2", V.norm2Sq(col("embedding")))
+    val q0 = Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2"))
+    val stacked = q0.select(col("qid") +: col("qvec") +: col("qn2") +:
+        cells.map(c => dist(col("qvec"), c).as(s"c$c")): _*)
+      .select(col("qid"), col("qvec"), col("qn2"),
+        explode(array(cells.map(c =>
+          struct(lit(c).as("cell"), col(s"c$c").as("d2"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        col("p.cell"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val probes = broadcast(stacked
+      .withColumn("pr", row_number().over(w)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k)
+  }
+
+  /**
    * IVF x PREFIX — the production two-stage configuration a vector DB
    * ships with Matryoshka embeddings: the coarse quantizer prunes CELLS
    * (only nprobe of nCells are read at all) and the width axis prunes

@@ -58,6 +58,47 @@ object IvfOracle {
        |GROUP BY a.cell, t.j""".stripMargin
   }
 
+  /** IVF served with the RETRAINED centroids
+    * ([[graft.operators.Ivf.topkLloyd]]): the Lloyd means re-derived as
+    * a CTE (the same doubles the engine collects and bakes in as
+    * literals — [[kmeansStepSql]] hash-matches them), then assignment /
+    * probe / cell-pruned exact cosine, every distance a j-ordered left
+    * fold so both engines round identically. */
+  def lloydTopkSql(d: Int, nq: Int, k: Int, nCells: Int,
+                   nprobe: Int): String = {
+    s"""WITH km AS MATERIALIZED (SELECT * FROM (${kmeansStepSql(d, nCells)})),
+       |${EmbOracle.nrmCte(d)},
+       |cd AS MATERIALIZED (SELECT e.vec_id, km.cell,
+       |    list_reduce(list(
+       |      (CAST(e.embedding[km.j] AS DOUBLE) - km.mean)
+       |        * (CAST(e.embedding[km.j] AS DOUBLE) - km.mean)
+       |      ORDER BY km.j), (acc, v) -> acc + v) AS d2
+       |  FROM embeddings e CROSS JOIN km
+       |  GROUP BY e.vec_id, km.cell),
+       |asg2 AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+       |  FROM cd) t WHERE t.rn = 1),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp AS (SELECT qid, cell FROM (SELECT c.vec_id AS qid, c.cell,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY c.d2 ASC, c.cell ASC) AS pr
+       |  FROM cd c JOIN q ON c.vec_id = q.qid) t WHERE t.pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id
+       |  FROM qp JOIN asg2 a ON a.cell = qp.cell),
+       |scored AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** IVF x PREFIX ([[graft.operators.Ivf.topkPrefix]]): the coarse-
     * quantizer probe scaffold of [[sq8Sql]] with the width-truncated
     * cheap rank of [[EmbOracle.prefixSql]] — prefix-cosine over prefix

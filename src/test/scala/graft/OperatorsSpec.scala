@@ -1015,6 +1015,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.sorted == (1 to EmbD))
   }
 
+  test("lloyd-served ivf: probing every trained cell recovers the exact scan") {
+    import graft.operators.{Ann, Ivf}
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe}
+    val emb = Tables.embeddings(spark, dir)
+    // with nprobe >= every occupied cell the candidate set is the whole
+    // corpus, so the trained quantizer must reproduce brute exactly —
+    // approximation comes only from nprobe
+    val full = Ivf.topkLloyd(emb, NQ, K, IvfCells, EmbD, nprobe = IvfCells)
+      .collect().map(_.toSeq).toSet
+    val brute = Ann.bruteTopK(emb, NQ, K).collect().map(_.toSeq).toSet
+    assert(full == brute && full.size == NQ * K,
+      "full-probe lloyd scan diverged from brute")
+    assert(Ivf.topkLloyd(emb, NQ, K, IvfCells, EmbD, IvfProbe)
+      .count() == NQ * K)
+  }
+
   test("stream-maintained prefix layout matches the batch layout row-for-row") {
     import graft.operators.Ann
     import SparkEntry.{EmbD, PrefixRefineD}
