@@ -782,6 +782,8 @@ object SparkEntry {
   final val SubsampleN = 100
   final val VocabN = 50
   final val StrataN = 20
+  final val BpeTopN = 30
+  final val TempTotal = 200
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
@@ -1157,6 +1159,15 @@ object SparkEntry {
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(VocabN)),
+    // BPE vocabulary induction, merge round 1: frequency-weighted
+    // adjacent-pair counts over the word-frequency table (corpus read
+    // once; pair counting runs over the bounded vocabulary)
+    "q_bpe_merge" -> q((s, dir) =>
+      TextOps.bpePairCounts(docs(s, dir), BpeTopN)),
+    // temperature-flattened multilingual sampling (α = 0.5): per-lang
+    // √n budgets, exact-count md5-keyed selection per language
+    "q_temp_sample" -> q((s, dir) =>
+      TextOps.temperatureSample(docs(s, dir), TempTotal)),
     // stratified sample: exact-count md5-keyed selection per lang stratum
     "q_stratified_sample" -> q((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1209,6 +1220,17 @@ object SparkEntry {
     // exact cosine) — training that actually serves
     "q_ann_ivf_lloyd" -> q((s, dir) => graft.operators.Ivf.topkLloyd(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
+    // PQ codebook training (the FAISS ProductQuantizer::train step):
+    // one Lloyd iteration of the per-subspace codebooks off the dyadic
+    // init — (m, code, j, n, mean) with the order-deterministic fold
+    "q_pq_train" -> q((s, dir) => graft.operators.Pq.trainStep(
+      emb(s, dir), PqM, PqCodes, EmbD)),
+    // ... and the IVF-PQ rung served with the RETRAINED codebooks:
+    // trained encode + trained ADC table (bounded model collect),
+    // rerank cut, exact rescore
+    "q_ann_ivf_pq_trained" -> q((s, dir) => graft.operators.Pq.topkTrained(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+      PqRerank)),
     // IVF x PREFIX: the production two-stage configuration — the coarse
     // quantizer prunes cells, the width axis prunes bytes within them;
     // scan cost ~ (nprobe/nCells) * (dPrefix/d) of the brute pass
@@ -1748,6 +1770,8 @@ object SparkEntry {
     "q_token_stats"   -> DocOracle.tokenStatsSql,
     "q_vocab"              -> DocOracle.vocabSql(VocabN),
     "q_stratified_sample"  -> DocOracle.stratifiedSampleSql(StrataN),
+    "q_bpe_merge"          -> DocOracle.bpeMergeSql(BpeTopN),
+    "q_temp_sample"        -> DocOracle.temperatureSampleSql(TempTotal),
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),
     "q_fingerprint"   -> DocOracle.fingerprintSql(Shingle),
@@ -1783,6 +1807,9 @@ object SparkEntry {
     "q_kmeans_step" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
     "q_ann_ivf_lloyd" -> IvfOracle.lloydTopkSql(EmbD, NQ, K, IvfCells,
       IvfProbe),
+    "q_pq_train" -> PqOracle.trainStepSql(EmbD, PqM, PqCodes),
+    "q_ann_ivf_pq_trained" -> PqOracle.trainedTopkSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // zero-miss by construction: the width-axis refinement provably
     // reproduces the exact scan, so its oracle IS the brute oracle
     "q_refine_prefix" -> EmbOracle.bruteSql(EmbD, NQ, K),

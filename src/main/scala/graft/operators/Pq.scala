@@ -818,4 +818,145 @@ object Pq {
         (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
     TopK.window(rescored, k)
   }
+
+  // --- codebook training ------------------------------------------------
+
+  /**
+   * One Lloyd iteration of the PRODUCT-QUANTIZER codebooks — the FAISS
+   * `ProductQuantizer::train` step the deterministic dyadic codebooks
+   * above stand in for: assign every vector's m-th subvector to its
+   * nearest current code (the dyadic init), then emit the retrained
+   * centroid components as per-(subspace, code, dimension) means —
+   * rows (m, code, j, n, mean); codes that attract no subvectors drop,
+   * exactly as empty cells do in [[Ivf.kmeansStep]].
+   *
+   * A float mean is order-dependent, so the sum is an explicit left
+   * fold in id order (sort_array over collected (id, x) pairs) —
+   * bit-identical at any parallelism and mirrored in DuckDB by
+   * list(x ORDER BY vec_id) + list_reduce. At 100 TB the same
+   * statistic is a fixed-boundary tree reduction (id-ordered chunks,
+   * chunk results in chunk order) — and PQ training runs on a bounded
+   * SAMPLE anyway (FAISS defaults to ~256 training vectors per
+   * centroid), so the collected component lists never approach corpus
+   * scale.
+   *
+   * Reference context: ANNCode.py:288-318's precision rungs are
+   * data-independent bit manipulations; a trained codebook is how the
+   * PQ rung earns its bits on a real distribution.
+   */
+  def trainStep(emb: DataFrame, mSub: Int, codes: Int, d: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    val sub = d / mSub
+    val enc = emb
+      .select(col("vec_id").as("id") +: col("embedding") +:
+        distCols(col("embedding"), mSub, codes, sub): _*)
+      .select(col("id") +: col("embedding") +:
+        (0 until mSub).map(argminCode(_, codes)): _*)
+    enc
+      .select(col("id"),
+        array((0 until mSub).map(m => col(s"code_$m")): _*).as("cds"),
+        posexplode(col("embedding")))
+      .select(
+        (col("pos") / lit(sub)).cast("int").as("m"),
+        element_at(col("cds"),
+          (col("pos") / lit(sub)).cast("int") + 1).as("code"),
+        (col("pos") % lit(sub) + 1).cast("int").as("j"),
+        col("id"), col("col").cast("double").as("x"))
+      .groupBy(col("m"), col("code"), col("j"))
+      .agg(collect_list(struct(col("id"), col("x"))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("code"), col("j"), col("n"),
+        (aggregate(sort_array(col("xs")), lit(0.0),
+          (acc, s) => acc + s.getField("x")) /
+          col("n").cast("double")).as("mean"))
+  }
+
+  /**
+   * IVF-PQ served with the RETRAINED codebooks — [[trainStep]]'s means
+   * become the quantizer of the full query path: per-subspace encode
+   * (argmin over the trained centroids, ties to the smaller code),
+   * trained query-side ADC table, rerank-deep cut, exact rescore. The
+   * trained model is a BOUNDED driver-side collect (<= m·codes·sub
+   * doubles — broadcast the model, never the data) baked into the
+   * encode/ADC expressions as literals; every distance, table entry,
+   * and reconstruction norm folds left-to-right (subspaces in m order,
+   * dims in j order) so the DuckDB mirror — which re-derives the same
+   * means as a CTE — rounds identically. Coarse cells stay the
+   * untrained quantizer ([[Ivf.topkLloyd]] covers the trained coarse
+   * rung); approximation comes from nprobe and the rerank cut only
+   * (spec: full-depth rerank over full probes recovers the exact scan).
+   */
+  def topkTrained(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                  nprobe: Int, mSub: Int, codes: Int,
+                  rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val tr = trainStep(emb, mSub, codes, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(4))
+      .toMap
+    require(tr.nonEmpty, "topkTrained: empty corpus — no trained codebook")
+    val live: Map[Int, Seq[Int]] = (0 until mSub).map(m =>
+      m -> tr.keys.collect { case (`m`, c, _) => c }.toSeq.distinct.sorted)
+      .toMap
+    def tDist(v: Column, m: Int, c: Int): Column =
+      (1 to sub).map { j =>
+        val x = element_at(v, m * sub + j).cast("double") - lit(tr((m, c, j)))
+        x * x
+      }.reduce(_ + _)
+    def tAdc(qv: Column, m: Int, c: Int): Column =
+      (1 to sub).map { j =>
+        element_at(qv, m * sub + j).cast("double") * lit(tr((m, c, j)))
+      }.reduce(_ + _)
+    def tN2(m: Int, c: Int): Double = {
+      var s = 0.0
+      var j = 1
+      while (j <= sub) { val v = tr((m, c, j)); s += v * v; j += 1 }
+      s
+    }
+    def argminLive(m: Int): Column = live(m) match {
+      case Seq(only) => lit(only).as(s"code_$m")
+      case cs =>
+        val least0 = least(cs.map(c => col(s"d_${m}_$c")): _*)
+        cs.foldRight(lit(-1)) { (c, rest) =>
+          when(col(s"d_${m}_$c") === least0, lit(c)).otherwise(rest)
+        }.as(s"code_$m")
+    }
+    val enc = Ivf.assign(emb, nCells, d)
+      .select(col("id") +: col("cell") +:
+        (for (m <- 0 until mSub; c <- live(m))
+          yield tDist(col("embedding"), m, c).as(s"d_${m}_$c")): _*)
+      .select(col("id") +: col("cell") +:
+        (0 until mSub).map(argminLive): _*)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+      .join(q, Seq("qid"))
+      .select(col("qid") +: col("cell") +: col("qn2") +:
+        (for (m <- 0 until mSub; c <- live(m))
+          yield tAdc(col("qvec"), m, c).as(s"t_${m}_$c")): _*))
+    def pickLive(m: Int): Column =
+      live(m).foldRight(lit(0.0)) { (c, rest) =>
+        when(col(s"code_$m") === c, col(s"t_${m}_$c")).otherwise(rest)
+      }
+    def pickN2Live(m: Int): Column =
+      live(m).foldRight(lit(0.0)) { (c, rest) =>
+        when(col(s"code_$m") === c, lit(tN2(m, c))).otherwise(rest)
+      }
+    val sHatNum = (0 until mSub).map(pickLive).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2Live).reduceLeft(_ + _)
+    val cheap = enc.join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
 }

@@ -261,4 +261,73 @@ object TextOps {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .withColumn("fill_ratio", col("n_tokens").cast("double") / budget)
   }
+
+  /**
+   * One BPE merge round — the pair-count statistic byte-pair-encoding
+   * vocabulary induction (Sennrich et al., ACL 2016) ranks its merges
+   * by: count every ADJACENT SYMBOL PAIR across the corpus (symbols =
+   * characters before the first merge), weighted by word frequency,
+   * and surface the top candidates under a (count desc, pair asc)
+   * total order.
+   *
+   * The scale shape is the whole point: the corpus collapses to its
+   * WORD-FREQUENCY table first (one hash agg — the vocabulary is
+   * bounded regardless of corpus size: ~millions of types for 100 TB
+   * of text), and pair generation explodes positions over unique words
+   * only — corpus bytes are read exactly once, pair counting runs over
+   * the vocabulary. This is why real BPE trainers (HF tokenizers,
+   * SentencePiece) train from word counts, not raw text.
+   */
+  def bpePairCounts(docs: DataFrame, topN: Int): DataFrame = {
+    val wf = docs
+      .select(explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wf
+      // Spark's sequence(1, n) flips to DESCENDING when n < 1 — guard
+      // short words out before generating positions
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /**
+   * Temperature-flattened MULTILINGUAL SAMPLING (the mT5/XLM-R α-
+   * smoothing, α = 0.5): per-language budgets take_l = floor(total ·
+   * √n_l / Σ√n_l) — up-weighting low-resource languages relative to
+   * proportional sampling — then an exact-count md5-keyed selection
+   * per language (the [[graft.sources.VecFiles.subsample]] discipline:
+   * deterministic, partitioning-invariant, no Bernoulli variance).
+   *
+   * The language histogram is a tiny aggregate collected driver-side
+   * (|langs| rows — the model, not the data); budgets are baked in as
+   * literals. Σ√n folds in lang order so the DuckDB mirror's ordered
+   * list_reduce rounds identically (√ is correctly rounded in both
+   * engines). At 100 TB the selection window per language is the same
+   * one-exchange rank the stratified sampler pays.
+   */
+  def temperatureSample(docs: DataFrame, total: Int): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureSample: empty corpus")
+    val weights = counts.map { case (l, n) => l -> math.sqrt(n.toDouble) }
+    val tot = weights.map(_._2).reduceLeft(_ + _)
+    val takes = weights.map { case (l, w) =>
+      l -> math.floor(total * w / tot).toLong }
+    val takeCase = takes.foldRight(lit(0L)) { case ((l, t), rest) =>
+      when(col("lang") === l, lit(t)).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":temp"))),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= takeCase)
+      .select(col("doc_id"), col("lang"))
+  }
 }

@@ -304,6 +304,38 @@ object DocOracle {
        |FROM t GROUP BY tok
        |ORDER BY n_occurrences DESC, tok LIMIT $n""".stripMargin
 
+  /** Twin of [[graft.operators.TextOps.bpePairCounts]]: word-frequency
+    * table, per-position adjacent character pairs over unique words
+    * (unnest(range) — empty for words shorter than 2, matching the
+    * engine's length guard), frequency-weighted counts, (n desc, pair)
+    * total order. */
+  def bpeMergeSql(topN: Int): String =
+    s"""WITH wf AS (SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |p AS (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wf)
+       |SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+       |  CAST(SUM(freq) AS BIGINT) AS n
+       |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT $topN""".stripMargin
+
+  /** Twin of [[graft.operators.TextOps.temperatureSample]]: α = 0.5
+    * temperature weights (√n, correctly rounded in both engines), the
+    * Σ√n fold in lang order via ordered list_reduce (matching the
+    * engine's driver-side reduceLeft), floor'd per-lang budgets, then
+    * the md5-keyed exact-count rank per language. */
+  def temperatureSampleSql(total: Int): String =
+    s"""WITH lc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       |s AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+       |    (a, v) -> a + v) AS tot FROM lc),
+       |tk AS (SELECT lang,
+       |    CAST(floor($total * sqrt(CAST(n AS DOUBLE)) / s.tot) AS BIGINT) AS take
+       |  FROM lc, s),
+       |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':temp'), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.doc_id, r.lang FROM r JOIN tk ON tk.lang = r.lang
+       |WHERE r.rn <= tk.take""".stripMargin
+
   /** Stratified sample: exact-count md5-keyed selection per lang. */
   def stratifiedSampleSql(nPer: Int): String =
     s"""SELECT doc_id, lang FROM (

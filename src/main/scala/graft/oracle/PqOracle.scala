@@ -32,6 +32,132 @@ object PqOracle {
     }.mkString("(", " + ", ")")
 
   /**
+   * Twin of [[graft.operators.Pq.trainStep]]: per-subspace code
+   * assignment over the dyadic init codebooks (the same exact-literal
+   * CASE/LEAST chains as [[topkSql]]), then per-(m, code, j) means with
+   * the sum as list_reduce over vec_id-ordered component lists — the
+   * same left fold the engine's sort_array + aggregate performs.
+   */
+  def trainStepSql(d: Int, mSub: Int, codes: Int): String = {
+    val sub = d / mSub
+    val pqDistCols = (for (m <- 0 until mSub; c <- 0 until codes)
+      yield s"${subDistExpr("e", m, c, sub)} AS d_${m}_$c").mkString(",\n  ")
+    val codeCols = (0 until mSub).map { m =>
+      val least0 = "LEAST(" +
+        (0 until codes).map(c => s"d_${m}_$c").mkString(", ") + ")"
+      s"CASE " + (0 until codes)
+        .map(c => s"WHEN d_${m}_$c = $least0 THEN $c").mkString(" ") +
+        s" END AS code_$m"
+    }.mkString(",\n  ")
+    val codeCase = "CASE CAST(tm.m AS INTEGER) " + (0 until mSub)
+      .map(m => s"WHEN $m THEN en.code_$m").mkString(" ") + " END"
+    s"""WITH pqd AS MATERIALIZED (SELECT e.vec_id, $pqDistCols FROM embeddings e),
+       |enc AS MATERIALIZED (SELECT vec_id, $codeCols FROM pqd)
+       |SELECT CAST(tm.m AS INTEGER) AS m, $codeCase AS code,
+       |  CAST(tj.j AS INTEGER) AS j, COUNT(*) AS n,
+       |  list_reduce(list(CAST(e.embedding[tm.m * $sub + tj.j] AS DOUBLE)
+       |      ORDER BY e.vec_id), (acc, v) -> acc + v)
+       |    / CAST(COUNT(*) AS DOUBLE) AS mean
+       |FROM enc en JOIN embeddings e ON e.vec_id = en.vec_id
+       |CROSS JOIN generate_series(0, ${mSub - 1}) AS tm(m)
+       |CROSS JOIN generate_series(1, $sub) AS tj(j)
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /**
+   * IVF-PQ served with the RETRAINED codebooks
+   * ([[graft.operators.Pq.topkTrained]]): the trained means re-derived
+   * as a CTE ([[trainStepSql]] hash-matches them — the same doubles the
+   * engine collects and bakes in as literals), then trained encode
+   * (argmin over j-ordered distance folds, ties to the smaller code),
+   * trained ADC table, rerank cut, exact rescore. Every float chain —
+   * subspace distances, table entries, reconstruction norms, the
+   * over-subspace sums — is a list_reduce in the engine's fold order
+   * (j within subspace, m across), so both engines round identically.
+   */
+  def trainedTopkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+                     mSub: Int, codes: Int, rerank: Int): String = {
+    val sub = d / mSub
+    def cellDistExpr(cell: Int): String =
+      (0 until d).map { j =>
+        val cv = Ivf.centroidComponent(cell, j)
+        val c = s"CAST(CAST($cv AS FLOAT) AS DOUBLE)"
+        s"(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)*(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)"
+      }.mkString("(", " + ", ")")
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr(c)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    val probeCase = "CASE t.cell " + (0 until nCells)
+      .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
+    val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
+    s"""WITH km AS MATERIALIZED (SELECT * FROM (${trainStepSql(d, mSub, codes)})),
+       |asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |${EmbOracle.nrmCte(d)},
+       |cdp AS MATERIALIZED (SELECT e.vec_id, km.m, km.code,
+       |    list_reduce(list(
+       |      (CAST(e.embedding[km.m * $sub + km.j] AS DOUBLE) - km.mean)
+       |        * (CAST(e.embedding[km.m * $sub + km.j] AS DOUBLE) - km.mean)
+       |      ORDER BY km.j), (acc, v) -> acc + v) AS d2
+       |  FROM embeddings e CROSS JOIN km
+       |  GROUP BY e.vec_id, km.m, km.code),
+       |encT AS MATERIALIZED (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM cdp) t WHERE t.rn = 1),
+       |n2c AS MATERIALIZED (SELECT m, code,
+       |    list_reduce(list(mean * mean ORDER BY j), (acc, v) -> acc + v) AS n2
+       |  FROM km GROUP BY m, code),
+       |n2v AS MATERIALIZED (SELECT en.vec_id,
+       |    list_reduce(list(n2c.n2 ORDER BY en.m), (acc, v) -> acc + v) AS n2hat
+       |  FROM encT en JOIN n2c ON n2c.m = en.m AND n2c.code = en.code
+       |  GROUP BY en.vec_id),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qt AS MATERIALIZED (SELECT q.qid, km.m, km.code,
+       |    list_reduce(list(CAST(qe.embedding[km.m * $sub + km.j] AS DOUBLE) * km.mean
+       |      ORDER BY km.j), (acc, v) -> acc + v) AS tv
+       |  FROM q JOIN embeddings qe ON qe.vec_id = q.qid CROSS JOIN km
+       |  GROUP BY q.qid, km.m, km.code),
+       |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |qp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM qp0) WHERE pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id
+       |  FROM qp JOIN asg a ON a.cell = qp.cell),
+       |cheap AS (SELECT c.qid, c.id,
+       |    list_reduce(list(qt.tv ORDER BY en.m), (acc, v) -> acc + v)
+       |      / (${fn("n2v.n2hat")} * ${fn("nq2.n2")}) AS s_hat
+       |  FROM cand c
+       |  JOIN encT en ON en.vec_id = c.id
+       |  JOIN qt ON qt.qid = c.qid AND qt.m = en.m AND qt.code = en.code
+       |  JOIN n2v ON n2v.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid
+       |  GROUP BY c.qid, c.id, n2v.n2hat, nq2.n2),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
    * Binary-quantization pipeline ([[graft.operators.Bq]]): sign-bit
    * code words as exact integer CASE sums (bit 63's 1L<<63 term is the
    * negative two's-complement literal; left-fold partial sums stay in

@@ -1243,4 +1243,55 @@ class OperatorsSpec extends AnyFunSuite {
       val b = r.getAs[Int]("bucket")
       b >= -HistBinScale - 1 && b <= HistBinScale })
   }
+
+  test("bpe merge round: counts equal a driver-side recount, total order holds") {
+    import graft.operators.{TextOps, Dedup}
+    import SparkEntry.BpeTopN
+    val docs = Tables.documents(spark, dir)
+    val got = TextOps.bpePairCounts(docs, BpeTopN).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // independent recount: word frequencies then per-position pairs
+    val wf = docs.select(explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val expect = wf.iterator.flatMap { case (w, f) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> f)
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(BpeTopN)
+    assert(got.toSeq == expect, "bpe pair counts diverge from recount")
+    // ranking is a total order and invariant under repartitioning
+    val again = TextOps.bpePairCounts(docs.repartition(7), BpeTopN)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("temperature sampling: exact per-lang budgets, flattens the lang skew") {
+    import graft.operators.TextOps
+    import SparkEntry.TempTotal
+    val docs = Tables.documents(spark, dir)
+    val langN = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = langN.keys.toSeq.sorted.map(l => math.sqrt(langN(l).toDouble))
+      .reduceLeft(_ + _)
+    val got = TextOps.temperatureSample(docs, TempTotal).collect()
+    val byLang = got.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    // every language hits exactly its floor'd √-weighted budget (capped
+    // by its population)
+    langN.foreach { case (l, n) =>
+      val take = math.floor(TempTotal * math.sqrt(n.toDouble) / tot).toLong
+      assert(byLang.getOrElse(l, 0L) == math.min(take, n),
+        s"lang $l budget mismatch")
+    }
+    // α = 0.5 flattening: the dominant language's sample share is
+    // strictly below its corpus share (that is the point of the α)
+    val top = langN.maxBy(_._2)._1
+    val corpusShare = langN(top).toDouble / langN.values.sum
+    val sampleShare = byLang(top).toDouble / got.length
+    assert(sampleShare < corpusShare,
+      "temperature sampling failed to flatten the dominant language")
+    // deterministic under repartitioning
+    val again = TextOps.temperatureSample(docs.repartition(7), TempTotal)
+      .collect().map(_.toSeq).toSet
+    assert(again == got.map(_.toSeq).toSet)
+  }
 }

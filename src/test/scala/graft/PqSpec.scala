@@ -366,4 +366,45 @@ class PqSpec extends AnyFunSuite {
       PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("pq train step: deterministic fold at any parallelism, occupancy sums to N") {
+    val n = emb.count()
+    val a = Pq.trainStep(emb, PqM, PqCodes, EmbD).collect().map(_.toSeq).toSet
+    // the ordered fold makes the float mean partition-count-invariant
+    val b = Pq.trainStep(emb.repartition(7), PqM, PqCodes, EmbD)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "trained PQ means not invariant under repartitioning")
+    val rows = a.toSeq.map(s => (s(0).asInstanceOf[Int],
+      s(1).asInstanceOf[Int], s(2).asInstanceOf[Int],
+      s(3).asInstanceOf[Long], s(4).asInstanceOf[Double]))
+    // within every (subspace, dim) slice the code occupancies partition
+    // the corpus
+    rows.groupBy(r => (r._1, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sum == n) }
+    assert(rows.map(_._1).distinct.sorted == (0 until PqM))
+    assert(rows.map(_._3).distinct.sorted == (1 to EmbD / PqM))
+    assert(rows.forall(r => math.abs(r._5) < 1.0))
+  }
+
+  test("trained ivf-pq: exact rescores, full-depth over full probes equals plain IVF") {
+    val r = Pq.topkTrained(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, PqRerank).collect()
+    assert(r.length == NQ * K)
+    val brute = Ann.bruteTopK(emb, NQ, emb.count().toInt).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id")) ->
+        x.getAs[Double]("score")).toMap
+    r.foreach { row =>
+      val key = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
+      assert(row.getAs[Double]("score") == brute(key),
+        s"trained-pq rescore for $key is not the exact score")
+    }
+    // approximation comes only from nprobe and the rerank cut: with
+    // every cell probed and full-depth rerank the retrained quantizer
+    // must reproduce the plain exact IVF scan row-for-row
+    val full = Pq.topkTrained(emb, NQ, K, IvfCells, EmbD, IvfCells,
+      PqM, PqCodes, emb.count().toInt).collect().map(_.toSeq).toSet
+    val plain = Ivf.topk(emb, NQ, K, IvfCells, EmbD, IvfCells)
+      .collect().map(_.toSeq).toSet
+    assert(full == plain, "full-depth trained rerank != plain IVF")
+  }
 }
