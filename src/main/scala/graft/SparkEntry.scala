@@ -783,6 +783,7 @@ object SparkEntry {
   final val VocabN = 50
   final val StrataN = 20
   final val BpeTopN = 30
+  final val BpeRounds = 4
   final val TempTotal = 200
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1164,6 +1165,11 @@ object SparkEntry {
     // once; pair counting runs over the bounded vocabulary)
     "q_bpe_merge" -> q((s, dir) =>
       TextOps.bpePairCounts(docs(s, dir), BpeTopN)),
+    // ... and the full iterative BPE TRAINING LOOP: per round, count
+    // pairs over the symbolized vocabulary, pick the top merge (1-row
+    // collect — the model), apply it, repeat — the trained merge table
+    "q_bpe_train" -> q((s, dir) =>
+      TextOps.bpeTrain(docs(s, dir), BpeRounds)),
     // temperature-flattened multilingual sampling (α = 0.5): per-lang
     // √n budgets, exact-count md5-keyed selection per language
     "q_temp_sample" -> q((s, dir) =>
@@ -1231,6 +1237,10 @@ object SparkEntry {
     "q_ann_ivf_pq_trained" -> q((s, dir) => graft.operators.Pq.topkTrained(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
       PqRerank)),
+    // quantization-error ANALYZE: per-subspace init vs retrained SSE —
+    // Lloyd monotonicity makes trained <= init in every subspace
+    "q_pq_distortion" -> q((s, dir) => graft.operators.Pq.distortion(
+      emb(s, dir), PqM, PqCodes, EmbD)),
     // IVF x PREFIX: the production two-stage configuration — the coarse
     // quantizer prunes cells, the width axis prunes bytes within them;
     // scan cost ~ (nprobe/nCells) * (dPrefix/d) of the brute pass
@@ -1771,6 +1781,7 @@ object SparkEntry {
     "q_vocab"              -> DocOracle.vocabSql(VocabN),
     "q_stratified_sample"  -> DocOracle.stratifiedSampleSql(StrataN),
     "q_bpe_merge"          -> DocOracle.bpeMergeSql(BpeTopN),
+    "q_bpe_train"          -> DocOracle.bpeTrainSql(BpeRounds),
     "q_temp_sample"        -> DocOracle.temperatureSampleSql(TempTotal),
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),
@@ -1808,6 +1819,7 @@ object SparkEntry {
     "q_ann_ivf_lloyd" -> IvfOracle.lloydTopkSql(EmbD, NQ, K, IvfCells,
       IvfProbe),
     "q_pq_train" -> PqOracle.trainStepSql(EmbD, PqM, PqCodes),
+    "q_pq_distortion" -> PqOracle.distortionSql(EmbD, PqM, PqCodes),
     "q_ann_ivf_pq_trained" -> PqOracle.trainedTopkSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // zero-miss by construction: the width-axis refinement provably

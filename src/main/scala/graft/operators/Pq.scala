@@ -872,6 +872,63 @@ object Pq {
   }
 
   /**
+   * Quantization-error ANALYZE for the PQ rung: per-subspace sum of
+   * squared reconstruction errors under the dyadic INIT codebooks vs
+   * the [[trainStep]]-RETRAINED ones (each vector re-assigned to its
+   * nearest trained code) — rows (m, n, init_sse, trained_sse). This
+   * quantifies what training buys: by Lloyd's monotonicity
+   * (means minimize within-cluster SSE, re-assignment only shrinks
+   * it), trained_sse <= init_sse in every subspace (spec-asserted).
+   *
+   * Both SSE sums are id-ordered left folds (the [[trainStep]]
+   * discipline) so the statistic is partition-count-invariant and the
+   * DuckDB twin rounds identically; at 100 TB the same number comes
+   * from a fixed-boundary tree reduction over a bounded training
+   * sample.
+   */
+  def distortion(emb: DataFrame, mSub: Int, codes: Int, d: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    val sub = d / mSub
+    val tr = trainStep(emb, mSub, codes, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(4))
+      .toMap
+    require(tr.nonEmpty, "distortion: empty corpus — nothing was trained")
+    val live: Map[Int, Seq[Int]] = (0 until mSub).map(m =>
+      m -> tr.keys.collect { case (`m`, c, _) => c }.toSeq.distinct.sorted)
+      .toMap
+    def tDist(v: Column, m: Int, c: Int): Column =
+      (1 to sub).map { j =>
+        val x = element_at(v, m * sub + j).cast("double") - lit(tr((m, c, j)))
+        x * x
+      }.reduce(_ + _)
+    def minOf(cols: Seq[Column]): Column =
+      if (cols.size == 1) cols.head else least(cols: _*)
+    val scored = emb
+      .select(col("vec_id").as("id") +: col("embedding") +:
+        distCols(col("embedding"), mSub, codes, sub): _*)
+      .select(col("id") +: col("embedding") +:
+        (0 until mSub).map(m => minOf((0 until codes)
+          .map(c => col(s"d_${m}_$c"))).as(s"di_$m")): _*)
+      .select(col("id") +:
+        (0 until mSub).map(m => col(s"di_$m")) ++:
+        (for (m <- 0 until mSub; c <- live(m))
+          yield tDist(col("embedding"), m, c).as(s"dt_${m}_$c")): _*)
+      .select(col("id"), explode(array((0 until mSub).map(m =>
+        struct(lit(m).as("m"), col(s"di_$m").as("di"),
+          minOf(live(m).map(c => col(s"dt_${m}_$c"))).as("dt"))): _*)).as("e"))
+      .select(col("id"), col("e.m").as("m"), col("e.di"), col("e.dt"))
+    scored.groupBy(col("m"))
+      .agg(count(lit(1)).as("n"),
+        collect_list(struct(col("id"), col("di"))).as("xi"),
+        collect_list(struct(col("id"), col("dt"))).as("xt"))
+      .select(col("m"), col("n"),
+        aggregate(sort_array(col("xi")), lit(0.0),
+          (acc, s) => acc + s.getField("di")).as("init_sse"),
+        aggregate(sort_array(col("xt")), lit(0.0),
+          (acc, s) => acc + s.getField("dt")).as("trained_sse"))
+  }
+
+  /**
    * IVF-PQ served with the RETRAINED codebooks — [[trainStep]]'s means
    * become the quantizer of the full query path: per-subspace encode
    * (argmin over the trained centroids, ties to the smaller code),

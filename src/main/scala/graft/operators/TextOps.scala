@@ -295,6 +295,75 @@ object TextOps {
   }
 
   /**
+   * The full iterative BPE TRAINING LOOP over `rounds` merge rounds —
+   * what [[bpePairCounts]]'s single round unrolls into a trained merge
+   * table (round, pair, n): symbolize the word-frequency vocabulary
+   * (characters joined by a '·' separator that cannot occur in the
+   * corpus — words containing it are excluded), then per round count
+   * adjacent symbol pairs weighted by word frequency, pick the top
+   * pair under the (count desc, pair asc) total order, and apply the
+   * merge to every vocabulary entry.
+   *
+   * The merge applies via boundary-padded literal replace
+   * ('·a·b·' -> '·ab·' on '·'+sym+'·'), which (a) can never fuse
+   * across a symbol boundary and (b) has IDENTICAL left-to-right
+   * non-overlapping continuation semantics in the JVM and DuckDB
+   * (verified: '·l·l·l·l·' -> '·ll·l·l·' in both). On a run of 2k+
+   * identical merge-adjacent symbols this applies ceil(k/2)-ish merges
+   * per round rather than the per-run greedy pairing some trainers
+   * use — a documented corner where BPE implementations already
+   * differ; later rounds converge the same vocabulary.
+   *
+   * Scale shape: the corpus is read ONCE into the word-frequency
+   * table; every round is one hash agg over pairs exploded from
+   * UNIQUE words plus a 1-row driver collect (the chosen merge — the
+   * model, not the data) folded back in as literals. This is exactly
+   * the distributed-BPE structure (HF tokenizers / SentencePiece train
+   * from word counts), and why the loop costs |vocab|·rounds, not
+   * corpus·rounds.
+   */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val sep = "·"
+    // Spark's split keeps a trailing "" on zero-width matches — filter
+    // empties so symbolization matches DuckDB's string_split(w, '')
+    val chars = filter(split(col("w"), ""), x => x =!= lit(""))
+    var wf = docs.select(explode(Dedup.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains(sep))
+      .select(concat_ws(sep, chars).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("freq"))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val top = wf
+        .withColumn("s", split(col("sym"), sep))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"),
+          explode(sequence(lit(1), size(col("s")) - 1)).as("i"),
+          col("s"))
+        .select(concat(element_at(col("s"), col("i")), lit(sep),
+          element_at(col("s"), col("i") + 1)).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (pair, n) = (top(0).getString(0), top(0).getLong(1))
+        out += ((r, pair, n))
+        val padded = concat(lit(sep), col("sym"), lit(sep))
+        val replaced = call_function("replace", padded,
+          lit(sep + pair + sep), lit(sep + pair.replace(sep, "") + sep))
+        wf = wf.withColumn("sym",
+          replaced.substr(lit(2), length(replaced) - 2))
+        r += 1
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("round", "pair", "n")
+  }
+
+  /**
    * Temperature-flattened MULTILINGUAL SAMPLING (the mT5/XLM-R α-
    * smoothing, α = 0.5): per-language budgets take_l = floor(total ·
    * √n_l / Σ√n_l) — up-weighting low-resource languages relative to

@@ -318,6 +318,41 @@ object DocOracle {
        |  CAST(SUM(freq) AS BIGINT) AS n
        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT $topN""".stripMargin
 
+  /** Twin of [[graft.operators.TextOps.bpeTrain]]: the iterative merge
+    * loop unrolled as one CTE chain per round — pair counts over the
+    * ·-symbolized word-frequency table, the (n desc, pair) top-1 pick,
+    * and the boundary-padded literal-replace merge (replace has the
+    * same left-to-right non-overlapping continuation semantics in
+    * DuckDB and the JVM). Integer counts only — no float anywhere. */
+  def bpeTrainSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wf0 AS MATERIALIZED (
+        |  SELECT array_to_string(string_split(w, ''), '·') AS sym,
+        |    COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 1 AND w NOT LIKE '%·%'
+        |  GROUP BY 1)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS (SELECT s, freq, unnest(range(1, len(s))) AS i FROM
+        |    (SELECT string_split(sym, '·') AS s, freq FROM wf${r - 1}
+        |     WHERE len(string_split(sym, '·')) >= 2)),
+        |pc$r AS (SELECT s[CAST(i AS INTEGER)] || '·' || s[CAST(i AS INTEGER) + 1] AS pair,
+        |    CAST(SUM(freq) AS BIGINT) AS n FROM p$r GROUP BY 1),
+        |m$r AS MATERIALIZED (SELECT $r AS round, pair, n FROM pc$r
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |wf$r AS MATERIALIZED (SELECT substr(rp, 2, length(rp) - 2) AS sym, freq FROM (
+        |    SELECT replace('·' || w.sym || '·', '·' || m.pair || '·',
+        |      '·' || replace(m.pair, '·', '') || '·') AS rp, w.freq
+        |    FROM wf${r - 1} w CROSS JOIN m$r m))""".stripMargin)
+    }
+    sb.append("\n" + (1 to rounds)
+      .map(r => s"SELECT round, pair, n FROM m$r")
+      .mkString("", "\nUNION ALL ", ""))
+    sb.toString
+  }
+
   /** Twin of [[graft.operators.TextOps.temperatureSample]]: α = 0.5
     * temperature weights (√n, correctly rounded in both engines), the
     * Σ√n fold in lang order via ordered list_reduce (matching the

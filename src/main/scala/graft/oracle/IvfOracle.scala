@@ -19,8 +19,8 @@ object IvfOracle {
       val c = Ivf.centroidComponent(cell, j)
       // centroid stored as FLOAT in the engine literal; cast the printed
       // double through FLOAT for identical widening
-      s"(CAST($alias.embedding[${j + 1}] AS DOUBLE) - CAST(CAST($c AS FLOAT) AS DOUBLE))" +
-        s"*(CAST($alias.embedding[${j + 1}] AS DOUBLE) - CAST(CAST($c AS FLOAT) AS DOUBLE))"
+      s"(CAST($alias.embedding[${j + 1}] AS DOUBLE) - CAST(CAST(${OracleGen.dlit(c)} AS FLOAT) AS DOUBLE))" +
+        s"*(CAST($alias.embedding[${j + 1}] AS DOUBLE) - CAST(CAST(${OracleGen.dlit(c)} AS FLOAT) AS DOUBLE))"
     }.mkString("(", " + ", ")")
 
   /** Dequantized component: CAST(FLOOR(v*2^s + 0.5)/2^s AS FLOAT) — the

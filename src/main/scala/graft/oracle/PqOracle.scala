@@ -14,9 +14,13 @@ object PqOracle {
 
   private def fn(x: String) = s"GREATEST(sqrt($x), 1e-12)"
 
-  /** Codebook literal for (m,c,j), float-cast like the engine stores it. */
+  /** Codebook literal for (m,c,j), float-cast like the engine stores it.
+    * The printed double must parse as DOUBLE first — a bare decimal
+    * literal is DECIMAL in DuckDB, and DECIMAL -> FLOAT can land 1 ulp
+    * off the float the engine stores (the component is float-exact, so
+    * DOUBLE -> FLOAT is). */
   private def cb(m: Int, c: Int, j: Int, sub: Int): String =
-    s"CAST(CAST(${Pq.component(m, c, j, sub)} AS FLOAT) AS DOUBLE)"
+    s"CAST(CAST(${OracleGen.dlit(Pq.component(m, c, j, sub))} AS FLOAT) AS DOUBLE)"
 
   /** Left-fold ||x_sub_m - cb(m,c)||^2 chain over alias's embedding. */
   private def subDistExpr(alias: String, m: Int, c: Int, sub: Int): String =
@@ -65,6 +69,41 @@ object PqOracle {
   }
 
   /**
+   * Twin of [[graft.operators.Pq.distortion]]: per-subspace init vs
+   * retrained SSE — init distances off the dyadic-codebook LEAST,
+   * trained distances re-derived from the [[trainStepSql]] means CTE
+   * with a per-(vector, subspace) MIN, both summed as vec_id-ordered
+   * list_reduce folds (matching the engine's sort_array + aggregate).
+   */
+  def distortionSql(d: Int, mSub: Int, codes: Int): String = {
+    val sub = d / mSub
+    val pqDistCols = (for (m <- 0 until mSub; c <- 0 until codes)
+      yield s"${subDistExpr("e", m, c, sub)} AS d_${m}_$c").mkString(",\n  ")
+    val diArms = (0 until mSub).map { m =>
+      val least0 = "LEAST(" +
+        (0 until codes).map(c => s"d_${m}_$c").mkString(", ") + ")"
+      s"SELECT vec_id, $m AS m, $least0 AS di FROM pqd"
+    }.mkString("\nUNION ALL ")
+    s"""WITH km AS MATERIALIZED (SELECT * FROM (${trainStepSql(d, mSub, codes)})),
+       |pqd AS MATERIALIZED (SELECT e.vec_id, $pqDistCols FROM embeddings e),
+       |di AS MATERIALIZED ($diArms),
+       |cdp AS MATERIALIZED (SELECT e.vec_id, km.m, km.code,
+       |    list_reduce(list(
+       |      (CAST(e.embedding[km.m * $sub + km.j] AS DOUBLE) - km.mean)
+       |        * (CAST(e.embedding[km.m * $sub + km.j] AS DOUBLE) - km.mean)
+       |      ORDER BY km.j), (acc, v) -> acc + v) AS d2
+       |  FROM embeddings e CROSS JOIN km
+       |  GROUP BY e.vec_id, km.m, km.code),
+       |dt AS MATERIALIZED (SELECT vec_id, m, MIN(d2) AS dt FROM cdp
+       |  GROUP BY vec_id, m)
+       |SELECT di.m AS m, COUNT(*) AS n,
+       |  list_reduce(list(di.di ORDER BY di.vec_id), (a, v) -> a + v) AS init_sse,
+       |  list_reduce(list(dt.dt ORDER BY di.vec_id), (a, v) -> a + v) AS trained_sse
+       |FROM di JOIN dt ON dt.vec_id = di.vec_id AND dt.m = di.m
+       |GROUP BY di.m""".stripMargin
+  }
+
+  /**
    * IVF-PQ served with the RETRAINED codebooks
    * ([[graft.operators.Pq.topkTrained]]): the trained means re-derived
    * as a CTE ([[trainStepSql]] hash-matches them — the same doubles the
@@ -81,7 +120,7 @@ object PqOracle {
     def cellDistExpr(cell: Int): String =
       (0 until d).map { j =>
         val cv = Ivf.centroidComponent(cell, j)
-        val c = s"CAST(CAST($cv AS FLOAT) AS DOUBLE)"
+        val c = s"CAST(CAST(${OracleGen.dlit(cv)} AS FLOAT) AS DOUBLE)"
         s"(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)*(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)"
       }.mkString("(", " + ", ")")
     val distCols = (0 until nCells)
@@ -307,7 +346,7 @@ object PqOracle {
 
   /** Cell-centroid literal for (g, j), float-cast like the engine. */
   private def cc(g: Int, j: Int): String =
-    s"CAST(CAST(${Ivf.centroidComponent(g, j)} AS FLOAT) AS DOUBLE)"
+    s"CAST(CAST(${OracleGen.dlit(Ivf.centroidComponent(g, j))} AS FLOAT) AS DOUBLE)"
 
   /**
    * Multi-word BQ at realistic width over the SYNTHESIZED fixture domain
@@ -787,7 +826,7 @@ object PqOracle {
     def cellDistExpr(cell: Int): String =
       (0 until d).map { j =>
         val cv = Ivf.centroidComponent(cell, j)
-        val c = s"CAST(CAST($cv AS FLOAT) AS DOUBLE)"
+        val c = s"CAST(CAST(${OracleGen.dlit(cv)} AS FLOAT) AS DOUBLE)"
         s"(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)*(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)"
       }.mkString("(", " + ", ")")
     val distCols = (0 until nCells)

@@ -1265,6 +1265,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("bpe training loop: rounds match a driver-side reference trainer") {
+    import graft.operators.{TextOps, Dedup}
+    val docs = Tables.documents(spark, dir)
+    val got = TextOps.bpeTrain(docs, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // reference implementation: same symbolization, same padded-replace
+    // merge, pure Scala over the collected word-frequency table
+    var wf = docs.select(explode(Dedup.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("·"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0).toSeq.mkString("·") -> r.getLong(1)).toMap
+    val expect = (1 to 4).map { r =>
+      val counts = scala.collection.mutable.Map[String, Long]()
+      wf.foreach { case (sym, f) =>
+        val s = sym.split('·')
+        (0 until s.length - 1).foreach { i =>
+          val p = s(i) + "·" + s(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      wf = wf.map { case (sym, f) =>
+        val rp = ("·" + sym + "·").replace("·" + pair + "·",
+          "·" + pair.replace("·", "") + "·")
+        rp.substring(1, rp.length - 1) -> f
+      }
+      (r, pair, n)
+    }
+    assert(got.toSeq == expect, "bpe rounds diverge from reference trainer")
+    // merge counts are non-increasing across rounds on this fixture
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
+    // round 1 is exactly bpePairCounts' top-1 (modulo the · separator
+    // the trainer keeps between the two merged symbols)
+    val top1 = TextOps.bpePairCounts(docs, 1).collect()(0)
+    assert((got(0)._2.replace("·", ""), got(0)._3) ==
+      (top1.getString(0), top1.getLong(1)))
+  }
+
   test("temperature sampling: exact per-lang budgets, flattens the lang skew") {
     import graft.operators.TextOps
     import SparkEntry.TempTotal

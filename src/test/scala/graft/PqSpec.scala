@@ -386,6 +386,30 @@ class PqSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r._5) < 1.0))
   }
 
+  test("pq distortion: training strictly reduces SSE in every subspace") {
+    val rows = Pq.distortion(emb, PqM, PqCodes, EmbD).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == PqM)
+    val n = emb.count()
+    rows.foreach { case (m, cnt, init, trained) =>
+      assert(cnt == n, s"subspace $m counted $cnt of $n vectors")
+      assert(init > 0.0 && trained > 0.0)
+      // Lloyd monotonicity: means minimize within-cluster SSE and
+      // re-assignment only shrinks it further
+      assert(trained <= init,
+        s"subspace $m: training worsened SSE ($init -> $trained)")
+    }
+    // on this fixture the improvement is substantial, not epsilon
+    val totalInit = rows.map(_._3).sum
+    val totalTrained = rows.map(_._4).sum
+    assert(totalTrained < 0.9 * totalInit,
+      "training bought < 10% SSE — suspicious for a first Lloyd round")
+    // deterministic at any parallelism (id-ordered folds)
+    val again = Pq.distortion(emb.repartition(7), PqM, PqCodes, EmbD)
+      .collect().map(_.toSeq).toSet
+    assert(again == rows.map(r => Seq(r._1, r._2, r._3, r._4)).toSet)
+  }
+
   test("trained ivf-pq: exact rescores, full-depth over full probes equals plain IVF") {
     val r = Pq.topkTrained(emb, NQ, K, IvfCells, EmbD, IvfProbe,
       PqM, PqCodes, PqRerank).collect()
