@@ -784,6 +784,7 @@ object SparkEntry {
   final val StrataN = 20
   final val BpeTopN = 30
   final val BpeRounds = 4
+  final val KmeansIters = 2
   final val TempTotal = 200
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1226,6 +1227,11 @@ object SparkEntry {
     // exact cosine) — training that actually serves
     "q_ann_ivf_lloyd" -> q((s, dir) => graft.operators.Ivf.topkLloyd(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
+    // ... and the CONVERGENCE LEDGER: the Lloyd loop run for 2
+    // iterations, per-iteration (sse, occupied cells) — monotone
+    // non-increasing by Lloyd's two half-steps
+    "q_kmeans_converge" -> q((s, dir) => graft.operators.Ivf.kmeansConverge(
+      emb(s, dir), IvfCells, EmbD, KmeansIters)),
     // PQ codebook training (the FAISS ProductQuantizer::train step):
     // one Lloyd iteration of the per-subspace codebooks off the dyadic
     // init — (m, code, j, n, mean) with the order-deterministic fold
@@ -1818,6 +1824,8 @@ object SparkEntry {
     "q_kmeans_step" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
     "q_ann_ivf_lloyd" -> IvfOracle.lloydTopkSql(EmbD, NQ, K, IvfCells,
       IvfProbe),
+    "q_kmeans_converge" -> IvfOracle.kmeansConvergeSql(EmbD, IvfCells,
+      KmeansIters),
     "q_pq_train" -> PqOracle.trainStepSql(EmbD, PqM, PqCodes),
     "q_pq_distortion" -> PqOracle.distortionSql(EmbD, PqM, PqCodes),
     "q_ann_ivf_pq_trained" -> PqOracle.trainedTopkSql(EmbD, NQ, K,

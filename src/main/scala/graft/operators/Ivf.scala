@@ -288,6 +288,82 @@ object Ivf {
           col("n").cast("double")).as("mean"))
 
   /**
+   * The k-means CONVERGENCE LEDGER — `iters + 1` rows
+   * (iter, sse, cells): the coarse quantizer's total within-cluster SSE
+   * and occupied-cell count under the model of each training iteration
+   * (iter 0 = the dyadic init centroids, iter i = means retrained from
+   * iter i-1's assignment). Lloyd's two half-steps each monotonically
+   * shrink SSE, so the ledger is non-increasing — the textbook
+   * convergence certificate, spec-asserted and hash-checked.
+   *
+   * Per iteration: one corpus scan computes assignment distances (the
+   * per-vector min folds j-ordered), the SSE sums id-ordered (the
+   * [[kmeansStep]] discipline), and the retrained model is a bounded
+   * driver-side collect (occupied cells x d doubles) folded back into
+   * the next iteration's distance expressions as literals. The loop is
+   * driver-orchestrated but the work is all cluster-side — iters scans
+   * total, the shape a 100 TB trainer has no way around (and trims by
+   * training on a bounded sample).
+   */
+  def kmeansConverge(emb: DataFrame, nCells: Int, d: Int,
+                     iters: Int): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    // iter-0 model: the dyadic init centroids (float-exact doubles)
+    var means: Map[(Int, Int), Double] =
+      (for (g <- 0 until nCells; j <- 1 to d)
+        yield (g, j) -> centroidComponent(g, j - 1).toFloat.toDouble).toMap
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
+    for (it <- 0 to iters) {
+      val cells = means.keys.map(_._1).toSeq.distinct.sorted
+      def dist(vecCol: Column, c: Int): Column =
+        (1 to d).map { j =>
+          val diff = element_at(vecCol, j).cast("double") - lit(means((c, j)))
+          diff * diff
+        }.reduce(_ + _)
+      def argmin(): Column = {
+        val m = least(cells.map(c => col(s"c$c")): _*)
+        cells.foldRight(lit(-1)) { (c, rest) =>
+          when(col(s"c$c") === m, lit(c)).otherwise(rest)
+        }
+      }
+      val assigned = emb.select(col("vec_id").as("id") +: col("embedding") +:
+          cells.map(c => dist(col("embedding"), c).as(s"c$c")): _*)
+        .withColumn("di", least(cells.map(c => col(s"c$c")): _*))
+        .withColumn("cell", argmin())
+        .select(col("id"), col("embedding"), col("cell"), col("di"))
+      // SSE under the CURRENT model + its occupied-cell count: one
+      // id-ordered fold (the statistic) off one bounded-row aggregate
+      val r = assigned
+        .agg(collect_list(struct(col("id"), col("di"))).as("xs"),
+          countDistinct(col("cell")).as("cells"))
+        .select(aggregate(sort_array(col("xs")), lit(0.0),
+          (acc, s) => acc + s.getField("di")).as("sse"), col("cells"))
+        .collect()(0)
+      out += ((it, r.getDouble(0), r.getLong(1)))
+      if (it < iters) {
+        // retrain: per-(cell, j) id-ordered means off this assignment
+        means = assigned
+          .select(col("cell"), col("id"), posexplode(col("embedding")))
+          .select(col("cell"), (col("pos") + 1).cast("int").as("j"),
+            col("id"), col("col").cast("double").as("x"))
+          .groupBy(col("cell"), col("j"))
+          .agg(collect_list(struct(col("id"), col("x"))).as("xs"),
+            count(lit(1)).as("n"))
+          .select(col("cell"), col("j"),
+            (aggregate(sort_array(col("xs")), lit(0.0),
+              (acc, s) => acc + s.getField("x")) /
+              col("n").cast("double")).as("mean"))
+          .collect()
+          .map(row => (row.getInt(0), row.getInt(1)) -> row.getDouble(2))
+          .toMap
+      }
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("iter", "sse", "cells")
+  }
+
+  /**
    * Serve with the RETRAINED coarse quantizer — [[kmeansStep]]'s means
    * become the centroids of a full IVF query path: assignment, probe
    * selection, cell-pruned cosine top-k. The trained model is a BOUNDED

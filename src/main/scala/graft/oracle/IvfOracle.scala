@@ -58,6 +58,56 @@ object IvfOracle {
        |GROUP BY a.cell, t.j""".stripMargin
   }
 
+  /** Twin of [[graft.operators.Ivf.kmeansConverge]]: the Lloyd loop
+    * unrolled — per iteration an assignment CTE (j-ordered distance
+    * folds, min/argmin with ties to the smaller cell), the SSE as a
+    * vec_id-ordered list_reduce, and the retrained means CTE feeding
+    * the next iteration. Rows (iter, sse, cells) via UNION ALL. */
+  def kmeansConvergeSql(d: Int, nCells: Int, iters: Int): String = {
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH a0 AS MATERIALIZED (SELECT vec_id, $argmin AS cell, m AS di
+         |  FROM (SELECT e.vec_id, $distCols,
+         |          $leastExpr AS m
+         |        FROM embeddings e)),
+         |s0 AS (SELECT 0 AS iter,
+         |    list_reduce(list(di ORDER BY vec_id), (a, v) -> a + v) AS sse,
+         |    COUNT(DISTINCT cell) AS cells FROM a0)""".stripMargin)
+    for (it <- 1 to iters) {
+      val prev = s"a${it - 1}"
+      sb.append(s""",
+        |km$it AS MATERIALIZED (SELECT p.cell, CAST(t.j AS INTEGER) AS j,
+        |    list_reduce(list(CAST(e.embedding[t.j] AS DOUBLE) ORDER BY e.vec_id),
+        |      (acc, v) -> acc + v) / CAST(COUNT(*) AS DOUBLE) AS mean
+        |  FROM $prev p JOIN embeddings e ON e.vec_id = p.vec_id
+        |  CROSS JOIN generate_series(1, $d) AS t(j)
+        |  GROUP BY p.cell, t.j),
+        |cd$it AS MATERIALIZED (SELECT e.vec_id, km$it.cell,
+        |    list_reduce(list(
+        |      (CAST(e.embedding[km$it.j] AS DOUBLE) - km$it.mean)
+        |        * (CAST(e.embedding[km$it.j] AS DOUBLE) - km$it.mean)
+        |      ORDER BY km$it.j), (acc, v) -> acc + v) AS d2
+        |  FROM embeddings e CROSS JOIN km$it
+        |  GROUP BY e.vec_id, km$it.cell),
+        |a$it AS MATERIALIZED (SELECT vec_id, cell, d2 AS di FROM (
+        |    SELECT vec_id, cell, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |    FROM cd$it) t WHERE t.rn = 1),
+        |s$it AS (SELECT $it AS iter,
+        |    list_reduce(list(di ORDER BY vec_id), (a, v) -> a + v) AS sse,
+        |    COUNT(DISTINCT cell) AS cells FROM a$it)""".stripMargin)
+    }
+    sb.append("\n" + (0 to iters)
+      .map(it => s"SELECT iter, sse, cells FROM s$it")
+      .mkString("", "\nUNION ALL ", ""))
+    sb.toString
+  }
+
   /** IVF served with the RETRAINED centroids
     * ([[graft.operators.Ivf.topkLloyd]]): the Lloyd means re-derived as
     * a CTE (the same doubles the engine collects and bakes in as

@@ -1015,6 +1015,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.sorted == (1 to EmbD))
   }
 
+  test("kmeans convergence ledger: monotone non-increasing SSE, invariant") {
+    import graft.operators.Ivf
+    import SparkEntry.{IvfCells, EmbD}
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Ivf.kmeansConverge(emb, IvfCells, EmbD, 2).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    // Lloyd: each iteration's two half-steps can only shrink SSE
+    assert(rows(1)._2 <= rows(0)._2 && rows(2)._2 <= rows(1)._2,
+      s"SSE not monotone: ${rows.map(_._2).mkString(", ")}")
+    // the first retrain off the data-independent init is a big step
+    assert(rows(1)._2 < 0.5 * rows(0)._2,
+      "first Lloyd iteration bought < 2x — init centroids suspiciously good")
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= IvfCells))
+    // id-ordered folds make the ledger partition-count-invariant
+    val again = Ivf.kmeansConverge(emb.repartition(7), IvfCells, EmbD, 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("lloyd-served ivf: probing every trained cell recovers the exact scan") {
     import graft.operators.{Ann, Ivf}
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe}
