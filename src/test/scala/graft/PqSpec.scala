@@ -386,6 +386,25 @@ class PqSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r._5) < 1.0))
   }
 
+  test("trained ivf-pq compiles whole-stage (no Janino fallback)") {
+    // the trained encode projection is the widest tree of the training
+    // family: up to 128 eight-term literal-chain distance folds + 8
+    // argmin CASE chains over LIVE codes — a silent fallback to
+    // interpreted mode would cost 10-40x at scale (the r11 trained-SQ8
+    // lesson), so pin compilation
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val df = Pq.topkTrained(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, PqRerank)
+    df.collect()
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile for:\n$subtree")
+    }
+  }
+
   test("pq distortion: training strictly reduces SSE in every subspace") {
     val rows = Pq.distortion(emb, PqM, PqCodes, EmbD).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
