@@ -310,6 +310,49 @@ object Soak {
         rerank2 = math.max(3 * SparkEntry.K, nVec / 400))
     }
 
+    // ---- index training at soak scale ----------------------------------
+    // The documented 100 TB training path: train on a BOUNDED sample
+    // (FAISS-style ~256 vectors/centroid — here an even-spaced slice of
+    // the counter-based fixture), then prove the trained model on the
+    // FULL corpus. Ride-alongs: (1) the Lloyd loop on the sample
+    // converges (monotone SSE over 2 iterations), (2) the sample-trained
+    // model beats the data-independent init on the ENTIRE multi-million-
+    // row corpus — one wide scan computing both models' assignment
+    // distortions side by side (plain float SUM: this is an invariant
+    // check with a large margin, not a hash-graded statistic; the graded
+    // ordered-fold form is q_kmeans_converge / q_pq_distortion).
+    step("kmeans_train_sampled") {
+      val soakTrainCells = 16
+      val every = math.max(1, nVec / (soakTrainCells * 256))
+      val train = embSoak.filter(col("vec_id") % every === 0)
+      val conv = operators.Ivf.kmeansConverge(train, soakTrainCells, dVec, 2)
+        .collect().sortBy(_.getInt(0))
+      val sses = conv.map(_.getDouble(1))
+      require(sses(1) <= sses(0) && sses(2) <= sses(1),
+        s"sampled Lloyd not monotone: ${sses.mkString(", ")}")
+      val means = operators.Ivf.kmeansStep(train, soakTrainCells, dVec)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+      val cells = means.keys.map(_._1).toSeq.distinct.sorted
+      def dist(c: Int, trained: Boolean) = (1 to dVec).map { j =>
+        val ctr =
+          if (trained) means((c, j))
+          else operators.Ivf.centroidComponent(c, j - 1).toFloat.toDouble
+        val diff = element_at(col("embedding"), j).cast("double") - lit(ctr)
+        diff * diff
+      }.reduce(_ + _)
+      val r = embSoak.select(
+        least((0 until soakTrainCells).map(c => dist(c, trained = false)): _*)
+          .as("di"),
+        least(cells.map(c => dist(c, trained = true)): _*).as("dt"))
+        .agg(sum(col("di")).as("init"), sum(col("dt")).as("trained"))
+        .collect()(0)
+      require(r.getDouble(1) < r.getDouble(0),
+        s"sample-trained model (${r.getDouble(1)}) not better than the " +
+          s"init (${r.getDouble(0)}) on the full corpus")
+      train.count()
+    }
+
     val total = times.values.sum
     def jnum(d: Double) = f"$d%.3f"
     val qs = times.map { case (k, t) =>
