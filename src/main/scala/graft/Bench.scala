@@ -137,7 +137,8 @@ object Bench {
     // FAIR pool so an iterative query's many small jobs are not starved
     // behind another query's wide stages.
     val heavyFirst = Seq("q_refine_metrics", "q_refine_metrics_compressed",
-      "q_refine_metrics_int8", "q_refine_int8",
+      "q_refine_metrics_int8", "q_ann_ivf_pq_trained", "q_kmeans_converge",
+      "q_refine_int8",
       "q_refine_kernel_d128", "q_refine_d128", "q_kernel_hoeff",
       "q_dedup_groups", "q_corpus_clean", "q_refine_disagg",
       "q_minhash_lsh", "q_ngram_jaccard", "q_token_bpe", "q_refine_cos_l1",
