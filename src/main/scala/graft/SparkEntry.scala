@@ -1329,6 +1329,14 @@ object SparkEntry {
     "q_ann_ivf_pq_at_rest" -> q((s, dir) => graft.operators.Pq.topkAtRest(
       s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
       PqRerank)),
+    // the full index lifecycle COMPOSED: train codebooks, persist the
+    // TRAINED codes cell-partitioned, serve off the layout — hash-equal
+    // to the in-memory trained rung q_ann_ivf_pq_trained (training is
+    // deterministic, so layout and re-derived ADC model agree)
+    "q_ann_ivf_pq_trained_at_rest" -> q((s, dir) =>
+      graft.operators.Pq.topkTrainedAtRest(
+        s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+        PqRerank)),
     // merge-on-read DELETES over the at-rest PQ layout: the delete set
     // is a tiny (id) tombstone sidecar anti-joined by both passes (the
     // relational form of a deletion vector); compaction later applies it
@@ -1829,6 +1837,10 @@ object SparkEntry {
     "q_pq_train" -> PqOracle.trainStepSql(EmbD, PqM, PqCodes),
     "q_pq_distortion" -> PqOracle.distortionSql(EmbD, PqM, PqCodes),
     "q_ann_ivf_pq_trained" -> PqOracle.trainedTopkSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    // identical semantics to q_ann_ivf_pq_trained; only the physical
+    // path (persisted trained codes + partition pruning) differs
+    "q_ann_ivf_pq_trained_at_rest" -> PqOracle.trainedTopkSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // zero-miss by construction: the width-axis refinement provably
     // reproduces the exact scan, so its oracle IS the brute oracle

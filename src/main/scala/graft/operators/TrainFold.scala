@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic ordered SUM with O(1) per-group state — the streaming
+ * sorted-group fold behind every hash-graded trained statistic (Lloyd
+ * means, convergence SSE, PQ codebook means, distortion ledgers).
+ *
+ * A float sum is order-dependent, so a bit-stable statistic must pin
+ * its fold order. The naive pin — `collect_list` the whole group,
+ * `sort_array`, left-fold — is bit-deterministic but holds one GROUP's
+ * ENTIRE occupancy in a single aggregation buffer: fine at verify
+ * scale, an OOM at 100 TB. This helper pins the same order through
+ * Spark's own sort machinery instead: `groupByKey` +
+ * `flatMapSortedGroups(id)` hash-partitions rows by group, sorts each
+ * partition with the EXTERNAL (spillable) sort, and streams every
+ * group's rows to a running accumulator in id order — one shuffle,
+ * constant accumulator state, disk-backed sorting. The fold is the
+ * identical left fold `((0.0 + x_1) + x_2) + ...` the collect_list
+ * form computed, so results are bit-for-bit unchanged — same DuckDB
+ * mirror (`list_reduce(list(x ORDER BY id), (a,v) -> a + v)`), same
+ * driver hashes — while the graded plan becomes the plan a 100 TB
+ * trainer actually runs.
+ *
+ * Partitioning-invariant and executor-count-invariant by
+ * construction: the shuffle routes each group to one task and the
+ * in-group order is data (id), not placement.
+ */
+object TrainFold {
+
+  /** Per-(group, value) ordered sums of `vals` (in→out names) over
+    * `df`, ordered by `idCol`, grouped by `groupCols` (Int-typed
+    * columns; may be empty → one global row). Output columns:
+    * groupCols, `n` (group row count), then one DOUBLE sum per `out`
+    * name, each the id-ordered left fold of its input column. */
+  def orderedSums(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  vals: Seq[(String, String)]): DataFrame = {
+    require(vals.nonEmpty, "orderedSums: no value columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nv = vals.size
+    val keyed = df.select(
+      array(groupCols.map(c => col(c).cast("int")) :+ lit(0): _*).as("k"),
+      col(idCol).cast("long").as("id"),
+      array(vals.map { case (in, _) => col(in).cast("double") }: _*)
+        .as("vs"))
+      .as[(Seq[Int], Long, Seq[Double])]
+    val folded = keyed.groupByKey(_._1)
+      .flatMapSortedGroups(col("id")) { (k, it) =>
+        var n = 0L
+        val acc = Array.fill(nv)(0.0)
+        it.foreach { case (_, _, xs) =>
+          n += 1
+          var i = 0
+          while (i < nv) { acc(i) += xs(i); i += 1 }
+        }
+        Iterator.single((k, n, acc.toSeq))
+      }
+    folded.toDF("k", "n", "sums").select(
+      groupCols.zipWithIndex.map { case (g, i) =>
+        element_at(col("k"), i + 1).as(g)
+      } ++ Seq(col("n")) ++
+        vals.zipWithIndex.map { case ((_, out), i) =>
+          element_at(col("sums"), i + 1).as(out)
+        }: _*)
+  }
+}

@@ -417,6 +417,36 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
   }
 
+  test("TRAINED-PQ at-rest: pruned code-only cheap scan, hash-equal serve") {
+    val df = graft.operators.Pq.topkTrainedAtRest(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank)
+    val plan = df.queryExecution.executedPlan.toString
+    // probe cells reach BOTH trained-layout scans as partition filters
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected cell partition filters on both trained scans, found $pruned:\n$plan")
+    // no scan reads the packed trained code and the float vector together
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("id", "code")) || read.subsetOf(Set("id", "vec")) ||
+        !read.contains("code") && !read.contains("vec"),
+        s"scan reads $read")
+    }
+    assert(scans.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only scan: $scans")
+    // train -> persist -> serve returns exactly the in-memory trained rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Pq.topkTrained(Tables.embeddings(spark, dir),
+      SparkEntry.NQ, SparkEntry.K, SparkEntry.IvfCells, SparkEntry.EmbD,
+      SparkEntry.IvfProbe, SparkEntry.PqM, SparkEntry.PqCodes,
+      SparkEntry.PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K,
+      "trained at-rest serve diverged from the in-memory trained rung")
+  }
+
   test("residual-PQ at-rest: both passes partition-pruned, code-only cheap scan") {
     val df = graft.operators.Pq.topkResidualAtRest(spark, dir,
       Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,

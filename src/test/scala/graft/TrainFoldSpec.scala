@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, TrainFold}
+
+/**
+ * The streaming sorted-group fold behind every hash-graded trained
+ * statistic: O(1) per-group state (the scale contract — no
+ * whole-occupancy collect_list buffer anywhere in the plan), bit-exact
+ * agreement with the pinned id-ordered left fold (the determinism /
+ * oracle contract), and partitioning invariance.
+ */
+class TrainFoldSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // one group holding 50k ids — the shape whose whole-group
+  // collect_list is the 100 TB OOM the sorted-group fold avoids;
+  // 1/(id+1) values make the sum order-sensitive in the last ulps
+  private val N = 50000
+  private def corpus = spark.range(N).select(
+    col("id"),
+    (col("id") % 3).cast("int").as("g"),
+    (lit(1.0) / (col("id") + 1).cast("double")).as("x"))
+
+  test("bit-equal to the pinned id-ordered left fold; n correct") {
+    val rows = TrainFold.orderedSums(corpus, Seq("g"), "id",
+      Seq("x" -> "s")).collect()
+      .map(r => r.getAs[Int]("g") -> (r.getAs[Long]("n"), r.getAs[Double]("s")))
+      .toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    for (g <- 0 to 2) {
+      // the contract fold, replayed exactly: 0.0-init left fold in id order
+      var expect = 0.0
+      var cnt = 0L
+      (0 until N).foreach { i =>
+        if (i % 3 == g) { expect += 1.0 / (i + 1); cnt += 1 }
+      }
+      assert(rows(g)._1 == cnt)
+      assert(rows(g)._2 == expect,
+        s"group $g fold not bit-equal to the pinned left fold")
+    }
+  }
+
+  test("no whole-group collect buffer in the plan (O(1) state)") {
+    // the scale contract, pinned at the plan level: the fold must run
+    // as a sorted-group streaming MapGroups over an external sort, not
+    // as a collect_list aggregation whose buffer is the group
+    val plan = TrainFold.orderedSums(corpus, Seq("g"), "id",
+      Seq("x" -> "s")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "orderedSums plan materializes a whole group in one buffer")
+    assert(plan.contains("MapGroups"), "expected a streaming group fold")
+    val phys = Ivf.kmeansStep(Tables.embeddings(spark,
+      "/root/testdata/sf0.001"), SparkEntry.IvfCells, SparkEntry.EmbD)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("collect_list"),
+      "kmeansStep still collects whole cells into aggregation buffers")
+    assert(phys.contains("Sort"), "expected the external sort under the fold")
+  }
+
+  test("bit-exact under any partitioning; multi-value; empty group list") {
+    val df = corpus.withColumn("y", col("x") * col("x"))
+    val base = TrainFold.orderedSums(df, Seq.empty, "id",
+      Seq("x" -> "sx", "y" -> "sy")).collect()(0)
+    assert(base.getAs[Long]("n") == N)
+    for (p <- Seq(1, 57)) {
+      val r = TrainFold.orderedSums(df.repartition(p), Seq.empty, "id",
+        Seq("x" -> "sx", "y" -> "sy")).collect()(0)
+      assert(r.getAs[Double]("sx") == base.getAs[Double]("sx") &&
+        r.getAs[Double]("sy") == base.getAs[Double]("sy"),
+        s"sorted-group fold not bit-stable at $p partitions")
+    }
+  }
+}
