@@ -1364,6 +1364,15 @@ object SparkEntry {
     // the production pre-transform stage with an oracle-exact transform
     "q_ann_ivf_pq_opq" -> q((s, dir) => graft.operators.Pq.topkPermuted(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // ... and the TRAINED OPQ-lite transform: dimensions ranked by
+    // corpus variance (ordered folds — oracle re-derives the identical
+    // ranking) and snake-drafted to subspaces to equalize per-subspace
+    // variance (Norouzi-Fleet eigenvalue-allocation shape), then the
+    // same coarse/encode/ADC/rescore pipeline in transformed space
+    "q_ann_ivf_pq_opq_trained" -> q((s, dir) =>
+      graft.operators.Pq.topkOpqTrained(
+        emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+        PqRerank)),
     // residual IVF-PQ: codes quantize x - c_cell (the production form —
     // the codebook only covers the within-cell spread); ADC score adds
     // the per-cell query dot to the table picks
@@ -1896,6 +1905,10 @@ object SparkEntry {
     // the PQ pipeline in signed-permutation-transformed space
     "q_ann_ivf_pq_opq" -> PqOracle.topkPermutedSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),
+    // the PQ pipeline under the data-adaptive variance-balancing
+    // permutation, re-derived inside the oracle from the same folds
+    "q_ann_ivf_pq_opq_trained" -> PqOracle.opqTrainedTopkSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // the stream-maintained codes layout holds the same rows as the
     // batch-built one once drained -> q_ann_ivf_pq's oracle
     "q_stream_ann_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,

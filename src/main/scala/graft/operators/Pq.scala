@@ -186,6 +186,53 @@ object Pq {
     }: _*)
 
   /**
+   * TRAINED OPQ-lite permutation — the data-ADAPTIVE orthogonal
+   * pre-transform the fixed hash permutation stands in for: rank
+   * dimensions by corpus variance, then deal them to subspaces in a
+   * SNAKE DRAFT (round r gives each subspace one dim, alternating
+   * direction), equalizing per-subspace variance — the deterministic
+   * rank-arithmetic form of OPQ's eigenvalue allocation
+   * (Norouzi & Fleet, CVPR'13 §III; FAISS OPQMatrix's non-rotational
+   * stage). Exactly orthogonal (a permutation matrix), and exactly
+   * oracle-mirrorable: the variance key per dim is an id-ordered
+   * [[TrainFold]] fold, so both engines derive the identical doubles,
+   * the identical ranking (ties to the smaller dim), and hence the
+   * identical permutation — no rotation's cos/sin inexactness.
+   *
+   * Returns perm where t_pos = v[perm(pos)]; subspace s owns positions
+   * [s*sub, (s+1)*sub). The variance KEY is the scaled sum of squares
+   * `s2 - s*s/n` (monotone in variance at equal n — every dim sees all
+   * n rows), so no mean subtraction enters the float contract.
+   */
+  def trainedPermutation(emb: DataFrame, d: Int, mSub: Int): Array[Int] = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    val sub = d / mSub
+    val stats = TrainFold.orderedSums(
+      emb.select(col("vec_id").as("id"), posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("int").as("j"), col("id"),
+          col("col").cast("double").as("x"))
+        .withColumn("x2", col("x") * col("x")),
+      Seq("j"), "id", Seq("x" -> "s", "x2" -> "s2")).collect()
+    require(stats.length == d, s"variance stats for ${stats.length} of $d dims")
+    val keys = stats.map { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val s = r.getAs[Double]("s")
+      val s2 = r.getAs[Double]("s2")
+      (r.getAs[Int]("j") - 1, s2 - (s * s) / n)
+    }
+    val ranked = keys.sortWith((a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    val perm = new Array[Int](d)
+    ranked.zipWithIndex.foreach { case ((srcJ, _), r0) =>
+      val round = r0 / mSub
+      val idx = r0 % mSub
+      val s = if (round % 2 == 0) idx else mSub - 1 - idx
+      perm(s * sub + round) = srcJ
+    }
+    perm
+  }
+
+  /**
    * IVF-PQ with the OPQ-STYLE PRE-TRANSFORM: coarse cells, PQ codes,
    * and the ADC cheap rank all operate on t = P·v (the signed
    * permutation — exactly orthogonal, so cosine and norms are
@@ -198,11 +245,37 @@ object Pq {
   def topkPermuted(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
                    nprobe: Int, mSub: Int, codes: Int,
                    rerank: Int): DataFrame = {
+    val (perm, sign) = permutation(d)
+    topkPermutedWith(emb, nq, k, nCells, d, nprobe, mSub, codes, rerank,
+      perm, sign)
+  }
+
+  /**
+   * IVF-PQ under the TRAINED OPQ-lite pre-transform: the
+   * variance-balancing snake-draft permutation from
+   * [[trainedPermutation]] (all signs +1 — orthogonality comes from
+   * the permutation matrix alone) feeding the identical coarse/encode/
+   * ADC/rescore pipeline as [[topkPermuted]]. The one "trained" stage
+   * of the index ladder that was still data-independent, now
+   * data-adaptive: training costs one corpus scan (per-dim ordered
+   * variance folds, a d-row collect), and PqSpec asserts the trained
+   * allocation's PQ distortion does not exceed the fixed hash
+   * permutation's on the fixture.
+   */
+  def topkOpqTrained(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                     nprobe: Int, mSub: Int, codes: Int,
+                     rerank: Int): DataFrame =
+    topkPermutedWith(emb, nq, k, nCells, d, nprobe, mSub, codes, rerank,
+      trainedPermutation(emb, d, mSub), Array.fill(d)(1))
+
+  private def topkPermutedWith(emb: DataFrame, nq: Int, k: Int,
+                               nCells: Int, d: Int, nprobe: Int, mSub: Int,
+                               codes: Int, rerank: Int, perm: Array[Int],
+                               sign: Array[Int]): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val sub = d / mSub
     val V = graft.functions.VectorOps
-    val (perm, sign) = permutation(d)
     val tEmb = emb.select(col("vec_id"),
       permuteVec(col("embedding"), perm, sign).as("embedding"))
     val enc = Ivf.assign(tEmb, nCells, d)

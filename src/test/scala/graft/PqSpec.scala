@@ -405,6 +405,52 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("trained OPQ: valid, deterministic, variance-balancing permutation") {
+    val p1 = Pq.trainedPermutation(emb, EmbD, PqM)
+    assert(p1.sorted.toSeq == (0 until EmbD), "not a permutation")
+    // training is an ordered fold -> partition-count-invariant
+    val p2 = Pq.trainedPermutation(emb.repartition(7), EmbD, PqM)
+    assert(p1.toSeq == p2.toSeq, "trained permutation not deterministic")
+    // the training objective, on its own metric: per-subspace variance
+    // spread no worse than the data-independent hash permutation's
+    val v = emb.select(posexplode(col("embedding")))
+      .groupBy("pos").agg(var_pop(col("col").cast("double")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val sub = EmbD / PqM
+    def spread(perm: Array[Int]): Double = {
+      val sums = (0 until PqM).map(m =>
+        (0 until sub).map(j => v(perm(m * sub + j))).sum)
+      sums.max - sums.min
+    }
+    assert(spread(p1) <= spread(Pq.permutation(EmbD)._1),
+      "variance-balanced allocation spread worse than the hash permutation")
+    // the serve path stays exact-rescored
+    val r = Pq.topkOpqTrained(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, PqRerank).collect()
+    assert(r.length == NQ * K)
+  }
+
+  test("trained OPQ allocation lowers PQ distortion on the graded corpus") {
+    // graded at sf0.01 (the driver's verify scale): balanced variance
+    // buys lower total quantization error than the hash permutation,
+    // under both the dyadic codebooks and the retrained ones
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def sseOf(perm: Array[Int]): (Double, Double) = {
+      val t = emb01.select(col("vec_id"),
+        array(perm.indices.map(j =>
+          element_at(col("embedding"), perm(j) + 1)): _*).as("embedding"))
+      val rows = Pq.distortion(t, PqM, PqCodes, EmbD).collect()
+      (rows.map(_.getDouble(2)).sum, rows.map(_.getDouble(3)).sum)
+    }
+    val (fixedInit, fixedTrained) = sseOf(Pq.permutation(EmbD)._1)
+    val (optInit, optTrained) =
+      sseOf(Pq.trainedPermutation(emb01, EmbD, PqM))
+    assert(optInit <= fixedInit,
+      s"trained OPQ init SSE $optInit > fixed $fixedInit")
+    assert(optTrained <= fixedTrained,
+      s"trained OPQ trained SSE $optTrained > fixed $fixedTrained")
+  }
+
   test("pq distortion: training strictly reduces SSE in every subspace") {
     val rows = Pq.distortion(emb, PqM, PqCodes, EmbD).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
