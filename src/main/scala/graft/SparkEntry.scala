@@ -1757,7 +1757,8 @@ object SparkEntry {
       graft.operators.BitplaneCompress.planePopcounts(
         Fixture.fp16VectorsCached(s, dir, D, KeepM).select(col("id"), col("vec")),
         D, keepE = 5, keepM = KeepM)),
-    // ... so only the zlib call itself remains rows-only
+    // ... and the zlib totals ride into the oracle as MEASURED constants
+    // (the measuredComp discipline), so the ratio row hash-checks too
     "q_compress_ratio" -> q((s, dir) =>
       graft.operators.BitplaneCompress.measure(
         Fixture.fp16VectorsCached(s, dir, D, KeepM).select(col("id"), col("vec")),
@@ -1774,11 +1775,21 @@ object SparkEntry {
     * is omitted — driver records a rows-only check — only from a JVM with
     * no Spark session at all. */
   def oracleSql: Map[String, String] = (measuredCompForOracle() match {
-    case Some((n, comp)) => Map(
-      // same division tree as the Spark side's comp.toDouble / n
-      "q_refine_metrics_compressed" -> RefineOracle.metricsSqlWithRedBytes(
-        D, NQ, refineParams(CompressedMetricsMode),
-        s"(CAST($comp AS DOUBLE) / $n)"))
+    case Some((n, comp)) =>
+      // same arithmetic trees as the Spark side, around the measured
+      // (n_vecs, comp_bytes) constants — the zlib measurement itself is
+      // the only non-mirrorable step, so it rides in as literals
+      val naive = (1 + 5 + KeepM) * D / 8.0
+      Map(
+        "q_refine_metrics_compressed" -> RefineOracle.metricsSqlWithRedBytes(
+          D, NQ, refineParams(CompressedMetricsMode),
+          s"(CAST($comp AS DOUBLE) / $n)"),
+        "q_compress_ratio" ->
+          s"""SELECT 5 AS keep_e, $KeepM AS keep_m,
+             |  CAST($n AS BIGINT) AS n_vecs,
+             |  ${OracleGen.dlit(naive)} AS naive_bytes_per_vec,
+             |  CAST($comp AS DOUBLE) / CAST($n AS DOUBLE) AS comp_bytes_per_vec,
+             |  (${OracleGen.dlit(naive)} * CAST($n AS DOUBLE)) / CAST($comp AS DOUBLE) AS ratio""".stripMargin)
     case None => Map.empty[String, String]
   }) ++ Map(
     "q_topk_cos" -> OracleGen.topkSql(D, NQ, K, "cos"),
