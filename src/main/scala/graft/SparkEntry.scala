@@ -1476,6 +1476,12 @@ object SparkEntry {
     // winning per node; drained graph hash-equal to the batch build
     "q_stream_knn_graph" -> q((s, dir) => graft.streaming.StreamOps
       .knnGraphOverStream(s, dir, KnnJ, IvfCells, EmbD, IvfProbe)),
+    // STREAMING MODEL REFRESH (train -> serve -> MAINTAIN): every
+    // microbatch retrains the coarse quantizer on the accumulated
+    // corpus and appends the model under the batch version; the served
+    // latest-wins model equals the batch-trained twin once drained
+    "q_stream_ivf_retrain" -> q((s, dir) => graft.streaming.StreamOps
+      .lloydModelOverStream(s, dir, IvfCells, EmbD)),
     // SEMANTIC CLUSTERS: the knn edge set thresholded at cosine >= tau,
     // resolved by the same pointer-jumped connected components the text
     // dedup uses — embedding-space cluster assignment as a composition
@@ -1963,6 +1969,8 @@ object SparkEntry {
       IvfProbe, NQ, K, GraphBeam, GraphRounds),
     "q_semantic_clusters" -> IvfOracle.semanticClustersSql(EmbD, KnnJ,
       IvfCells, IvfProbe, SemClusterTau),
+    // the drained stream-refreshed model is the batch Lloyd step's
+    "q_stream_ivf_retrain" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     // filtered + probe-pruned: the at-rest twin restricts candidates to
     // the probed cells, so its oracle is the IVF probe pipeline with the

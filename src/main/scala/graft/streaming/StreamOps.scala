@@ -748,6 +748,80 @@ object StreamOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /**
+   * STREAMING MODEL REFRESH — the index lifecycle's last stage
+   * (train → serve → MAINTAIN): embeddings drained through a real file
+   * stream one landing shard per trigger; each microbatch appends its
+   * arrivals to the accumulated corpus and RETRAINS the coarse
+   * quantizer over it (one [[graft.operators.Ivf.kmeansStep]] —
+   * sorted-group folds, bounded state), appending the refreshed
+   * (cell, j, n, mean) model under the batch version. Serving reads
+   * LATEST-WINS (the versioned-model discipline of
+   * [[ensureStreamKnnGraph]]'s edges); superseded versions are the
+   * model history a production trainer keeps for rollback. Once
+   * drained, the current model is bit-identical to the batch-trained
+   * twin on the full corpus — kmeansStep is partitioning-invariant, so
+   * training over "everything that has arrived" equals training over
+   * the table (the driver hash-checks exactly this).
+   */
+  def ensureStreamLloydModels(spark: SparkSession, sfDir: String,
+                              nCells: Int, d: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val landing = ensureShardedEmbLanding(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_lloyd_${safe}_c${nCells}_d${d}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "stream-lloyd-")
+        val vecsDir = tmp.resolve("vecs").toString
+        val modelsDir = tmp.resolve("models").toString
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("label", IntegerType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            import org.apache.spark.sql.functions.{col, lit}
+            batch.select(col("vec_id"), col("embedding"))
+              .write.mode("append").parquet(vecsDir)
+            // retrain on everything that has arrived (arrivals included)
+            graft.operators.Ivf
+              .kmeansStep(spark.read.parquet(vecsDir), nCells, d)
+              .withColumn("b", lit(bid))
+              .write.mode("append").parquet(modelsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream lloyd models publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** The stream-maintained quantizer's CURRENT model: the latest
+    * version in the refresh log (bounded 1-row collect for the max
+    * version). Hash-equal to the batch [[graft.operators.Ivf.kmeansStep]]
+    * once drained. */
+  def lloydModelOverStream(spark: SparkSession, sfDir: String,
+                           nCells: Int, d: Int): DataFrame = {
+    val dir = ensureStreamLloydModels(spark, sfDir, nCells, d)
+    val models = spark.read.parquet(s"$dir/models")
+    val bmax = models.agg(max(col("b"))).collect()(0).getLong(0)
+    models.filter(col("b") === bmax)
+      .select(col("cell"), col("j"), col("n"), col("mean"))
+  }
+
   /** Streaming near-duplicate gate: score incoming vectors against a
     * static broadcast query set and flag matches above threshold
     * (stream-static join; the static side is broadcast each microbatch). */

@@ -994,6 +994,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream model refresh: versioned history, drained model = batch Lloyd") {
+    import graft.streaming.StreamOps
+    import SparkEntry.{IvfCells, EmbD}
+    val dir0 = "/root/testdata/sf0.001"
+    val served = StreamOps.lloydModelOverStream(spark, dir0, IvfCells, EmbD)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Ivf.kmeansStep(
+      Tables.embeddings(spark, dir0), IvfCells, EmbD)
+      .collect().map(_.toSeq).toSet
+    assert(served == batch,
+      "drained stream-refreshed model diverged from the batch-trained twin")
+    // the refresh log holds one model per microbatch (4 landing shards)
+    val models = spark.read.parquet(StreamOps.ensureStreamLloydModels(
+      spark, dir0, IvfCells, EmbD) + "/models")
+    assert(models.select("b").distinct().count() >= 2,
+      "expected a multi-version model history")
+  }
+
   test("kmeans step: deterministic fold at any parallelism, occupancy sums to N") {
     import graft.operators.Ivf
     import SparkEntry.{IvfCells, EmbD}
