@@ -698,6 +698,19 @@ object SparkEntry {
   // round count — each query reads <= rounds*beam*(KnnJ+1) vectors
   final val GraphBeam = 10
   final val GraphRounds = 4
+  // HNSW-style layered graph (q_ann_graph_layered): upper layer l keeps
+  // every LayeredStride^l-th id with degree LayeredJ; descent runs
+  // LayeredUpperRounds width-LayeredUpperBeam rounds per layer, then
+  // LayeredRounds base rounds. Chosen on the fixture's measured
+  // reads/recall frontier: recall 0.54 at 1682 vector reads vs the flat
+  // beam's 0.54 at 2919 (rounds=8) — equal recall, 42% fewer reads
+  // (OperatorsSpec asserts the dominance)
+  final val LayeredStride = 4
+  final val LayeredLayers = 2
+  final val LayeredJ = 10
+  final val LayeredUpperBeam = 4
+  final val LayeredUpperRounds = 2
+  final val LayeredRounds = 2
   // semantic-cluster edge threshold (q_semantic_clusters): knn edges at
   // cosine >= tau feed connected components (sf0.01 edge scores span
   // 0.17-0.48; 0.35 keeps a few hundred edges -> nontrivial clusters)
@@ -1457,6 +1470,17 @@ object SparkEntry {
     "q_ann_graph_search" -> q((s, dir) =>
       graft.operators.Ivf.graphSearch(emb(s, dir), knnGraphAtRest(s, dir),
         NQ, K, GraphBeam, GraphRounds, IvfCells, EmbD)),
+    // HNSW-style LAYERED search: sparse upper layers (every stride^l-th
+    // id, degree LayeredJ, at rest beside the base graph) descended
+    // greedily to seed the base beam — same recall as the flat beam at
+    // 42% fewer vector reads on the fixture (spec-asserted frontier)
+    "q_ann_graph_layered" -> q((s, dir) =>
+      graft.operators.Ivf.graphSearchLayered(emb(s, dir),
+        knnGraphAtRest(s, dir),
+        s.read.parquet(graft.operators.Ivf.ensureLayeredUpper(s, dir,
+          LayeredJ, IvfCells, EmbD, IvfProbe, LayeredStride, LayeredLayers)),
+        NQ, K, GraphBeam, LayeredRounds, LayeredUpperRounds,
+        LayeredUpperBeam, LayeredStride, LayeredLayers)),
     // DELETE maintenance on the graph: affected survivors (those holding
     // an edge to a deleted id) re-ranked over the live corpus from their
     // probed cells — edge lists alone cannot backfill the j-th slot;
@@ -1967,6 +1991,9 @@ object SparkEntry {
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,
       IvfProbe, NQ, K, GraphBeam, GraphRounds),
+    "q_ann_graph_layered" -> IvfOracle.layeredGraphSearchSql(EmbD, KnnJ,
+      LayeredJ, IvfCells, IvfProbe, NQ, K, GraphBeam, LayeredRounds,
+      LayeredUpperRounds, LayeredUpperBeam, LayeredStride, LayeredLayers),
     "q_semantic_clusters" -> IvfOracle.semanticClustersSql(EmbD, KnnJ,
       IvfCells, IvfProbe, SemClusterTau),
     // the drained stream-refreshed model is the batch Lloyd step's

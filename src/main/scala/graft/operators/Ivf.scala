@@ -776,7 +776,9 @@ object Ivf {
    * survives rounds >> 4 without an iterative-plan blow-up.
    */
   def graphSearch(emb: DataFrame, graph: DataFrame, nq: Int, k: Int,
-                  beam: Int, rounds: Int, nCells: Int, d: Int): DataFrame = {
+                  beam: Int, rounds: Int, nCells: Int, d: Int,
+                  meter: Option[java.util.concurrent.atomic.LongAdder] =
+                    None): DataFrame = {
     require(beam >= k, s"beam $beam must be >= k $k")
     require(rounds >= 1, s"rounds=$rounds")
     val V = graft.functions.VectorOps
@@ -804,6 +806,133 @@ object Ivf {
           beamDf.join(edges, beamDf("id") === edges("src"))
             .select(col("qid"), col("dst").as("id")))
         .distinct()
+      meter.foreach(_.add(expanded.count()))
+      beamDf = TopK.window(rescore(expanded), beam)
+        .select(col("qid"), col("id"))
+        .localCheckpoint(true)
+    }
+    TopK.window(rescore(beamDf), k)
+  }
+
+  // --- HNSW-style layered graph -----------------------------------------
+
+  /**
+   * The UPPER LAYERS of an HNSW-style hierarchy over the k-NN graph:
+   * layer `l` (1..layers) keeps every `stride^l`-th id (the
+   * deterministic analog of HNSW's geometric level draw — same
+   * expected 1/stride thinning per level, but derived from the id so
+   * both engines and every executor agree), and connects each member
+   * to its top-`j` nearest members via the SAME bounded probed-cell
+   * join as the base graph ([[knnGraphFor]] — at 100 TB layer 1 is
+   * still corpus/stride nodes, so the build must stay a cell equi-join,
+   * never all-pairs). Output (layer, qid, rank, id, score).
+   */
+  def layeredUpper(emb: DataFrame, j: Int, nCells: Int, d: Int,
+                   nprobe: Int, stride: Int, layers: Int): DataFrame = {
+    require(stride >= 2 && layers >= 1, s"stride=$stride layers=$layers")
+    (1 to layers).map { l =>
+      val mod = math.pow(stride.toDouble, l.toDouble).toLong
+      val mem = emb.filter(col("vec_id") % mod === 0)
+      knnGraphFor(
+        mem.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        mem, j, nCells, d, nprobe)
+        .withColumn("layer", lit(l))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The upper layers AT REST (layer-partitioned, id-sorted within
+    * files), beside the [[ensureKnnGraph]] base layer — together the
+    * standard production graph topology, built once, served many. */
+  def ensureLayeredUpper(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, j: Int, nCells: Int, d: Int,
+                         nprobe: Int, stride: Int, layers: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_knnupper_v${KnnGraphLayoutVersion}_${safe}_j${j}_c${nCells}" +
+        s"_d${d}_p${nprobe}_s${stride}_l${layers}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "knnu-")
+      layeredUpper(graft.Tables.embeddings(spark, sfDir), j, nCells, d,
+        nprobe, stride, layers)
+        .sortWithinPartitions(col("qid"))
+        .write.mode("overwrite").partitionBy("layer")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"layered graph publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * LAYERED BEAM SEARCH — HNSW's full query shape: enter at the
+   * sparse top layer's minimum member id (global-min fallback),
+   * GREEDILY descend (per upper layer, `upperRounds` width-1 beam
+   * rounds over that layer's edges — HNSW's ef=1 descent), then run
+   * the usual width-`beam` rounds on the base graph from the descended
+   * entry. Because the descent already lands the walk in the query's
+   * neighborhood, the base search needs FEWER rounds than the flat
+   * beam for the same recall — each upper round reads at most
+   * (j+1) vectors per query, each base round at most beam*(j+1), and
+   * the spec measures exactly this reads-vs-recall trade
+   * (OperatorsSpec: recall >= flat at fewer total vector reads).
+   * Deterministic, relational, and oracle-mirrorable like
+   * [[graphSearch]]; `meter` (tests) accumulates rescored-pair counts.
+   */
+  def graphSearchLayered(emb: DataFrame, graph0: DataFrame,
+                         upper: DataFrame, nq: Int, k: Int, beam: Int,
+                         rounds: Int, upperRounds: Int, upperBeam: Int,
+                         stride: Int, layers: Int,
+                         meter: Option[java.util.concurrent.atomic.LongAdder] =
+                           None): DataFrame = {
+    require(beam >= k, s"beam $beam must be >= k $k")
+    require(rounds >= 1 && upperRounds >= 1 && upperBeam >= 1 && layers >= 1,
+      s"rounds=$rounds upperRounds=$upperRounds upperBeam=$upperBeam layers=$layers")
+    val V = graft.functions.VectorOps
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val scoreSide = emb.select(col("vec_id").as("id"), col("embedding"),
+      V.norm2Sq(col("embedding")).as("n2"))
+    def rescore(frontier: DataFrame): DataFrame = frontier
+      .join(scoreSide, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("score", cosScore)
+    // bounded driver-side entry seed: top layer's min member id,
+    // global min when the top layer is empty
+    val modTop = math.pow(stride.toDouble, layers.toDouble).toLong
+    val entRow = emb.agg(
+      min(when(col("vec_id") % modTop === 0, col("vec_id"))).as("e"),
+      min(col("vec_id")).as("g")).collect()(0)
+    require(!entRow.isNullAt(1),
+      "graphSearchLayered: empty corpus — no entry node")
+    val entry = if (entRow.isNullAt(0)) entRow.getLong(1)
+      else entRow.getLong(0)
+    var cur: DataFrame = q.select(col("qid"), lit(entry).as("id"))
+    for (l <- layers to 1 by -1) {
+      val edgesL = upper.filter(col("layer") === l)
+        .select(col("qid").as("src"), col("id").as("dst"))
+      for (_ <- 1 to upperRounds) {
+        val expanded = cur.union(
+            cur.join(edgesL, cur("id") === edgesL("src"))
+              .select(col("qid"), col("dst").as("id")))
+          .distinct()
+        meter.foreach(_.add(expanded.count()))
+        cur = TopK.window(rescore(expanded), upperBeam)
+          .select(col("qid"), col("id"))
+          .localCheckpoint(true)
+      }
+    }
+    val edges0 = graph0.select(col("qid").as("src"), col("id").as("dst"))
+    var beamDf = cur
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf.union(
+          beamDf.join(edges0, beamDf("id") === edges0("src"))
+            .select(col("qid"), col("dst").as("id")))
+        .distinct()
+      meter.foreach(_.add(expanded.count()))
       beamDf = TopK.window(rescore(expanded), beam)
         .select(col("qid"), col("id"))
         .localCheckpoint(true)

@@ -899,6 +899,94 @@ object IvfOracle {
        |FROM rfin WHERE rnk <= $k""".stripMargin
   }
 
+  /**
+   * LAYERED beam search ([[graft.operators.Ivf.graphSearchLayered]]):
+   * the [[graphSearchSql]] base walk entered via an HNSW-style descent.
+   * Upper layer `l` keeps ids ≡ 0 (mod stride^l) and connects each
+   * member to its top-`jUp` nearest members through the same probe
+   * pipeline (node and candidate sides both member-restricted); the
+   * descent starts at the top layer's min member id (global-min
+   * fallback) and runs `upperRounds` width-`upperBeam` rounds per
+   * layer, then the base rounds run from the descended entry.
+   */
+  def layeredGraphSearchSql(d: Int, j: Int, jUp: Int, nCells: Int,
+                            nprobe: Int, nq: Int, k: Int, beam: Int,
+                            rounds: Int, upperRounds: Int, upperBeam: Int,
+                            stride: Int, layers: Int): String = {
+    def scoreBlock(src: String, out: String) =
+      s"""$out AS (SELECT c.qid, c.id,
+         |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+         |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+         |  FROM $src c
+         |  JOIN embeddings e ON e.vec_id = c.id
+         |  JOIN embeddings qe ON qe.vec_id = c.qid
+         |  JOIN nrm ne ON ne.vec_id = c.id
+         |  JOIN nrm nq2 ON nq2.vec_id = c.qid)""".stripMargin
+    val modTop = math.pow(stride.toDouble, layers.toDouble).toLong
+    val upperCtes = (1 to layers).map { l =>
+      val mod = math.pow(stride.toDouble, l.toDouble).toLong
+      s"""qU$l AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % $mod = 0),
+         |qpU$l AS (SELECT qid, cell FROM (
+         |    SELECT q0.qid, q0.cell,
+         |      row_number() OVER (PARTITION BY q0.qid ORDER BY q0.d2 ASC, q0.cell ASC) AS pr
+         |    FROM qp0 q0 JOIN qU$l u ON u.qid = q0.qid) WHERE pr <= $nprobe),
+         |candU$l AS (SELECT qp.qid, a.vec_id AS id
+         |  FROM qpU$l qp JOIN asg a ON a.cell = qp.cell
+         |  WHERE a.vec_id <> qp.qid AND a.vec_id % $mod = 0),
+         |${scoreBlock(s"candU$l", s"scoredU$l")},
+         |gU$l AS MATERIALIZED (SELECT qid, id FROM (
+         |  SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+         |  FROM scoredU$l) WHERE rnk <= $jUp)""".stripMargin
+    }.mkString(",\n")
+    // descent: upperRounds width-upperBeam rounds per layer, top down
+    var prev = "u0"
+    val descentCtes = (layers to 1 by -1).flatMap { l =>
+      (1 to upperRounds).map { r =>
+        val cte =
+          s"""xu${l}_$r AS (SELECT DISTINCT qid, id FROM (
+             |  SELECT qid, id FROM $prev
+             |  UNION ALL
+             |  SELECT p.qid, g.id FROM $prev p JOIN gU$l g ON g.qid = p.id)),
+             |${scoreBlock(s"xu${l}_$r", s"su${l}_$r")},
+             |du${l}_$r AS MATERIALIZED (SELECT qid, id FROM (
+             |    SELECT qid, id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+             |    FROM su${l}_$r) WHERE rn <= $upperBeam)""".stripMargin
+        prev = s"du${l}_$r"
+        cte
+      }
+    }.mkString(",\n")
+    val b0Src = prev
+    val roundsCtes = (1 to rounds).map { r =>
+      val p = if (r == 1) b0Src else s"b${r - 1}"
+      s"""x$r AS (SELECT DISTINCT qid, id FROM (
+         |  SELECT qid, id FROM $p
+         |  UNION ALL
+         |  SELECT p.qid, g.id FROM $p p JOIN gfull g ON g.qid = p.id)),
+         |${scoreBlock(s"x$r", s"s$r")},
+         |b$r AS MATERIALIZED (SELECT qid, id FROM (
+         |    SELECT qid, id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+         |    FROM s$r) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphCtes(d, j, nCells, nprobe)},
+       |qs AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |$upperCtes,
+       |entL AS (SELECT COALESCE(
+       |    MIN(CASE WHEN vec_id % $modTop = 0 THEN vec_id END),
+       |    MIN(vec_id)) AS eid FROM embeddings),
+       |u0 AS (SELECT qs.qid, e.eid AS id FROM qs CROSS JOIN entL e),
+       |$descentCtes,
+       |$roundsCtes,
+       |${scoreBlock(s"b$rounds", "sfin")},
+       |rfin AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM sfin)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM rfin WHERE rnk <= $k""".stripMargin
+  }
+
   /** Index introspection ([[graft.operators.Ivf.indexStats]]): per-cell
     * occupancy, id range, and corpus fraction. */
   def indexStatsSql(d: Int, nCells: Int): String = {

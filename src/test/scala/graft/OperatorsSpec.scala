@@ -994,6 +994,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("layered graph search dominates the flat beam on the reads/recall frontier") {
+    import java.util.concurrent.atomic.LongAdder
+    import graft.operators.{Ann, Ivf}
+    import SparkEntry._
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Ann.bruteTopK(emb, NQ, K).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val g0 = Ivf.knnGraph(emb, KnnJ, IvfCells, EmbD, IvfProbe)
+    val up = Ivf.layeredUpper(emb, LayeredJ, IvfCells, EmbD, IvfProbe,
+      LayeredStride, LayeredLayers)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    // upper layers are valid graphs: members only, both endpoints
+    (1 to LayeredLayers).foreach { l =>
+      val mod = math.pow(LayeredStride.toDouble, l.toDouble).toLong
+      val bad = up.filter(col("layer") === l)
+        .filter(col("qid") % mod =!= 0 || col("id") % mod =!= 0).count()
+      assert(bad == 0, s"layer $l holds non-member endpoints")
+    }
+    val mLay = new LongAdder
+    val layered = recallOf(Ivf.graphSearchLayered(emb, g0, up, NQ, K,
+      GraphBeam, LayeredRounds, LayeredUpperRounds, LayeredUpperBeam,
+      LayeredStride, LayeredLayers, Some(mLay)))
+    // flat beam given MORE reads (rounds=8 of the same base graph)
+    val mFlat = new LongAdder
+    val flat = recallOf(Ivf.graphSearch(emb, g0, NQ, K, GraphBeam, 8,
+      IvfCells, EmbD, Some(mFlat)))
+    // the HNSW claim, held on measured counts: >= recall, fewer reads
+    assert(layered >= flat,
+      s"layered recall $layered < flat $flat despite the descent entry")
+    assert(mLay.sum < mFlat.sum,
+      s"layered read ${mLay.sum} vectors, flat ${mFlat.sum} — no saving")
+  }
+
   test("stream model refresh: versioned history, drained model = batch Lloyd") {
     import graft.streaming.StreamOps
     import SparkEntry.{IvfCells, EmbD}
