@@ -163,13 +163,18 @@ object Bench {
     val superHeavy = Set("q_refine_metrics", "q_refine_metrics_compressed",
       "q_refine_metrics_int8", "q_kernel_hoeff", "q_corpus_clean",
       "q_refine_disagg")
-    val heavyGate = new java.util.concurrent.Semaphore(1)
+    // super-heavies get a DEDICATED single-thread lane: one at a time
+    // (the r11 semaphore's admission policy) WITHOUT parking fixed-pool
+    // threads on an acquire — with 6 gated queries and a 6-thread pool,
+    // up to 5 parked threads used to serialize the light majority queued
+    // behind them (r11 advice); a separate executor keeps every pool
+    // slot running light queries while the heavy lane drains in LPT order
+    val heavyExec = Executors.newSingleThreadExecutor()
+    val heavyEc = ExecutionContext.fromExecutor(heavyExec)
 
     val futures = ordered.map { case (name, fn) =>
       Future {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-        val gated = superHeavy.contains(name)
-        if (gated) heavyGate.acquire()
         val s0 = System.nanoTime()
         try {
           // scope the pipeline-persisted intermediates (Dedup) to this
@@ -184,12 +189,13 @@ object Bench {
             // the sentinel -1 and say so on stderr
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             name -> -1.0
-        } finally if (gated) heavyGate.release()
-      }
+        }
+      }(if (superHeavy.contains(name)) heavyEc else ec)
     }
     val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
+    heavyExec.shutdown()
     // release after ALL queries finish (they run concurrently and may
     // share Dedup's tracked intermediates)
     graft.operators.Dedup.releaseIntermediates()
@@ -267,7 +273,9 @@ object Bench {
       // concurrent time — a query that regresses only under concurrent
       // load needs an attributable sequential row to clear (or confirm) it
       val pinned = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_PIN",
-          "q_topk_cos_vecsrc,q_refine_cos_l2,q_refine_metrics,q_refine_disagg")
+          "q_topk_cos_vecsrc,q_refine_cos_l2,q_refine_metrics,q_refine_disagg," +
+            "q_ann_ivf_pq_res_d1024,q_corpus_clean,q_topk_cos_binsrc," +
+            "q_ann_cascade_at_rest")
         .split(",").map(_.trim).filter(n => n.nonEmpty && results.contains(n))
       val heaviest = (results.toSeq.filter(_._2 > 0).sortBy(-_._2)
         .take(nSeq).map(_._1) ++ pinned).distinct

@@ -224,6 +224,8 @@ object Ivf {
       min(element_at(col("embedding"), j).cast("double")).as(s"mn$j"),
       max(element_at(col("embedding"), j).cast("double")).as(s"mx$j")))
     val statsRow = emb.agg(statCols.head, statCols.tail: _*).collect()(0)
+    require(!statsRow.isNullAt(0),
+      "topkSq8Trained: empty corpus — no range to train the quantizer on")
     val mns = typedlit((0 until d).map(j => statsRow.getDouble(2 * j)))
     val mxs = typedlit((0 until d).map(j => statsRow.getDouble(2 * j + 1)))
     val q8t = transform(col("embedding"), (x, i) => {

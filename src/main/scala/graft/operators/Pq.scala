@@ -617,17 +617,26 @@ object Pq {
     // content-address the output on a HASH of the tombstone id set, not
     // its cardinality: two equal-sized delete sets against the same
     // source layout must not silently reuse each other's compaction.
-    // Order-insensitive digest: bit_xor of per-id md5-derived 60-bit
-    // hashes plus count (xor can't overflow under ANSI arithmetic) — one
-    // tiny aggregate over the bounded tombstone set.
-    val dig = tombs.agg(
+    // TWO independent order-insensitive reductions — bit_xor AND a
+    // wrapping sum (mod 2^60, so ANSI arithmetic can't overflow) of the
+    // per-id md5-derived hashes — plus count: xor alone lets pairwise
+    // cancellation collide ({a,b} vs {c,d} with h(a)^h(b) == h(c)^h(d));
+    // a set must now collide both reductions at equal size to be
+    // silently reused. One tiny aggregate over the bounded set.
+    val dig = tombs
+      .select(graft.operators.Dedup.strHash(col("id").cast("string")).as("h"))
+      .agg(
         count(lit(1)).as("n"),
-        coalesce(bit_xor(graft.operators.Dedup.strHash(col("id").cast("string"))),
-          lit(0L)).as("h"))
+        coalesce(bit_xor(col("h")), lit(0L)).as("hx"),
+        coalesce(sum(pmod(col("h"), lit(1L << 60)).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("hs"))
       .collect()(0)
     val nDel = dig.getLong(0)
     val hDel = java.lang.Long.toHexString(dig.getLong(1))
-    val dst = Paths.get(srcPath + s"_compacted_del${nDel}_$hDel")
+    val sDel = java.lang.Long.toHexString(
+      dig.getDecimal(2).remainder(new java.math.BigDecimal(1L << 60))
+        .longValueExact())
+    val dst = Paths.get(srcPath + s"_compacted_del${nDel}_${hDel}_$sDel")
     if (!Files.exists(dst.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(dst.getParent, "pqdelcompact-")
       spark.read.parquet(srcPath)

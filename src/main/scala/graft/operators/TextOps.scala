@@ -377,6 +377,14 @@ object TextOps {
    * list_reduce rounds identically (√ is correctly rounded in both
    * engines). At 100 TB the selection window per language is the same
    * one-exchange rank the stratified sampler pays.
+   *
+   * CONTRACT NOTE: `total` is a CEILING, not an exact size — per-
+   * language floors under-deliver by up to |langs|-1 rows (further when
+   * a language's population caps its take), exactly as mT5's sampler
+   * does; the budgets stay floor-exact rather than redistributing the
+   * remainder so every per-language take is a pure function of the
+   * histogram (the property the DuckDB mirror and the driver hash rely
+   * on).
    */
   def temperatureSample(docs: DataFrame, total: Int): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))

@@ -451,6 +451,24 @@ class PqSpec extends AnyFunSuite {
       s"trained OPQ trained SSE $optTrained > fixed $fixedTrained")
   }
 
+  test("D=1024 residual ivf-pq compiles whole-stage (no Janino fallback)") {
+    // the widest expression trees in the suite: 128-dim subspace
+    // distance folds, reconstruction norms, and ADC picks at D=1024 —
+    // the exact shape of the r4 codegen cliff and the suspect for the
+    // r11 48s concurrent bench row; pin compilation so a silent
+    // interpreted-mode fallback can never masquerade as contention
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val df = SparkEntry.qAnnPqResD1024(spark, dir)
+    df.collect()
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile for:\n$subtree")
+    }
+  }
+
   test("pq distortion: training strictly reduces SSE in every subspace") {
     val rows = Pq.distortion(emb, PqM, PqCodes, EmbD).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
