@@ -1350,6 +1350,14 @@ object SparkEntry {
       graft.operators.Pq.topkTrainedAtRest(
         s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
         PqRerank)),
+    // the scalar-quantizer lifecycle composed the same way: trained
+    // per-dimension ranges encode the corpus once, the d-byte codes
+    // persist cell-partitioned, serve re-derives the (deterministic)
+    // ranges and dequantizes off the layout — hash-equal to the
+    // in-memory trained rung q_ann_ivf_sq8t
+    "q_ann_ivf_sq8t_at_rest" -> q((s, dir) =>
+      graft.operators.Ivf.topkSq8TrainedAtRest(
+        s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, Sq8Rerank)),
     // merge-on-read DELETES over the at-rest PQ layout: the delete set
     // is a tiny (id) tombstone sidecar anti-joined by both passes (the
     // relational form of a deletion vector); compaction later applies it
@@ -1913,6 +1921,10 @@ object SparkEntry {
       EmbSq4ScaleLog2, Sq4Rerank),
     "q_ann_ivf_sq8t" -> IvfOracle.sq8TrainedSql(EmbD, NQ, K, IvfCells,
       IvfProbe, Sq8Rerank),
+    // identical semantics off the persisted trained codes (the byte
+    // round-trips the floor'd level exactly) — same oracle
+    "q_ann_ivf_sq8t_at_rest" -> IvfOracle.sq8TrainedSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, Sq8Rerank),
     "q_ann_grouped" -> SearchOracle.groupedSql(EmbD, NQ, GroupedK),
     // identical semantics off the packed at-rest layout (nibble
     // round-trip is the identity) — same oracle

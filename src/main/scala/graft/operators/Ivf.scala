@@ -209,25 +209,35 @@ object Ivf {
    * without dyadic scales. Pipeline shape is [[topkSq8]]'s: cell-pruned
    * cheap rank over dequantized codes, rerank cut, exact rescore.
    */
-  def topkSq8Trained(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
-                     nprobe: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val V = graft.functions.VectorOps
-    // TRAIN: one map-side-combining min/max aggregate, collected driver
-    // side (2d doubles — bounded at any corpus size, the bm25-stats
-    // discipline) and re-broadcast as array LITERALS. Embedding the
-    // ranges as literals keeps the dequantization a single compact
-    // indexed-lambda loop — 64 per-dimension CASE trees fused into the
-    // score fold blow whole-stage codegen into the interpreted fallback
-    // (measured 39x at the 4M-row soak).
+  // TRAIN: one map-side-combining min/max aggregate, collected driver
+  // side (2d doubles — bounded at any corpus size, the bm25-stats
+  // discipline) and re-broadcast as array LITERALS. Embedding the
+  // ranges as literals keeps the dequantization a single compact
+  // indexed-lambda loop — 64 per-dimension CASE trees fused into the
+  // score fold blow whole-stage codegen into the interpreted fallback
+  // (measured 39x at the 4M-row soak). min/max are order-independent,
+  // so the trained model is deterministic at any parallelism — which is
+  // what lets [[topkSq8TrainedAtRest]] re-derive the ranges at serve
+  // time instead of persisting a model sidecar next to the codes.
+  private[graft] def sq8TrainedRanges(
+      emb: DataFrame, d: Int): (IndexedSeq[Double], IndexedSeq[Double]) = {
     val statCols = (1 to d).flatMap(j => Seq(
       min(element_at(col("embedding"), j).cast("double")).as(s"mn$j"),
       max(element_at(col("embedding"), j).cast("double")).as(s"mx$j")))
     val statsRow = emb.agg(statCols.head, statCols.tail: _*).collect()(0)
     require(!statsRow.isNullAt(0),
-      "topkSq8Trained: empty corpus — no range to train the quantizer on")
-    val mns = typedlit((0 until d).map(j => statsRow.getDouble(2 * j)))
-    val mxs = typedlit((0 until d).map(j => statsRow.getDouble(2 * j + 1)))
+      "sq8Trained: empty corpus — no range to train the quantizer on")
+    ((0 until d).map(j => statsRow.getDouble(2 * j)),
+      (0 until d).map(j => statsRow.getDouble(2 * j + 1)))
+  }
+
+  def topkSq8Trained(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                     nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val V = graft.functions.VectorOps
+    val (mnArr, mxArr) = sq8TrainedRanges(emb, d)
+    val mns = typedlit(mnArr)
+    val mxs = typedlit(mxArr)
     val q8t = transform(col("embedding"), (x, i) => {
       val mn = element_at(mns, i + 1); val mx = element_at(mxs, i + 1)
       val v = x.cast("double")
@@ -243,6 +253,111 @@ object Ivf {
     val probes = broadcast(probeCells(q, nCells, d, nprobe)
       .join(q.select(col("qid"), col("qn2")), Seq("qid")))
     val cheap = assigned.join(probes, Seq("cell"))
+      .withColumn("score", V.dot(col("q8t"), col("qvec")) /
+        (V.fnorm(col("n2q8t")) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = emb
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("embedding"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  /** Bump when the trained-SQ8 code layout changes. */
+  private val Sq8TrainedLayoutVersion = 1
+
+  /**
+   * TRAIN, THEN PERSIST the trained-SQ8 codes — the scalar-quantizer
+   * twin of `Pq.ensureTrainedCodesFixture`: the per-dimension trained
+   * ranges ([[sq8TrainedRanges]], a bounded 2d-double collect) encode
+   * the corpus once as an ARRAY<TINYINT> of d bytes per row
+   * (code_j = floor((v - mn_j)*255/(mx_j - mn_j) + 0.5) - 128, the
+   * offset keeping 0..255 in signed-byte range; degenerate dimensions
+   * store 0), cell-partitioned like every other index layout so probe
+   * selection stays Parquet partition pruning. Because the training
+   * aggregate is order-independent, the layout needs no model sidecar:
+   * serve time re-derives bit-identical ranges from the same corpus.
+   * Immutable version-named dir, atomic scratch publish.
+   */
+  def ensureSq8TrainedCodes(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String, nCells: Int, d: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sq8t_v${Sq8TrainedLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val (mnArr, mxArr) = sq8TrainedRanges(emb, d)
+      val code = array((1 to d).map { j =>
+        val mn = mnArr(j - 1); val mx = mxArr(j - 1)
+        if (mx == mn) lit(-128).cast("byte")
+        else {
+          val v = element_at(col("embedding"), j).cast("double")
+          (floor((v - lit(mn)) * lit(255.0) / lit(mx - mn) + lit(0.5))
+            .cast("int") - lit(128)).cast("byte")
+        }
+      }: _*)
+      val tmp = Files.createTempDirectory(path.getParent, "sq8t-")
+      assign(emb, nCells, d)
+        .select(col("id"), col("cell"), code.as("code"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"sq8t codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * [[topkSq8Trained]] OFF THE AT-REST TRAINED CODES — identical rows
+   * (spec-asserted): serve time re-derives the min/max ranges (order-
+   * independent aggregate → bit-identical model) and dequantizes
+   * mn_j + code_j * (mx_j - mn_j)/255 with exactly [[topkSq8Trained]]'s
+   * association, so the cheap scores match bit-for-bit while reading
+   * d code BYTES per row instead of 4d float bytes. Probe cells are a
+   * static partition filter (bounded collect, <= nq*nprobe values);
+   * the cheap scan reads only (id, code); the bounded survivor set
+   * fetches full vectors from the float table via broadcast join.
+   * Train → persist trained codes → serve off the layout: the full
+   * scalar-quantizer lifecycle in the production shape.
+   */
+  def topkSq8TrainedAtRest(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String, emb: DataFrame, nq: Int, k: Int,
+                           nCells: Int, d: Int, nprobe: Int,
+                           rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val V = graft.functions.VectorOps
+    val path = ensureSq8TrainedCodes(spark, sfDir, nCells, d)
+    val (mnArr, mxArr) = sq8TrainedRanges(emb, d)
+    val stored = spark.read.parquet(path) // (id, code, cell)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // dequantize from the stored byte: bit-identical to the in-memory
+    // rung because mn + k*((mx-mn)/255) is the same double expression
+    // tree (the stored byte round-trips the floor'd level exactly)
+    val q8t = array((1 to d).map { j =>
+      val mn = mnArr(j - 1); val mx = mxArr(j - 1)
+      if (mx == mn) lit(mn).cast("float")
+      else (lit(mn) + (element_at(col("code"), j).cast("int") + lit(128))
+        .cast("double") * lit((mx - mn) / 255.0)).cast("float")
+    }: _*)
+    val cheap = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("q8t", q8t)
+      .withColumn("n2q8t", V.norm2Sq(col("q8t")))
       .withColumn("score", V.dot(col("q8t"), col("qvec")) /
         (V.fnorm(col("n2q8t")) * V.fnorm(col("qn2"))))
     val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))

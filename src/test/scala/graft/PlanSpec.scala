@@ -241,6 +241,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("TRAINED-SQ8 at-rest: code-only cheap scan, rows equal in-memory rung") {
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, Sq8Rerank}
+    val emb = Tables.embeddings(spark, dir)
+    val df = graft.operators.Ivf.topkSq8TrainedAtRest(spark, dir, emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, Sq8Rerank)
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    // the cheap pass reads only the d-byte code column — never the float
+    // vector; the rescore reads the float table for the bounded survivors
+    scans.filter(_.contains("code")).foreach(s =>
+      assert(s.subsetOf(Set("id", "code")), s"unpruned sq8t scan: $s"))
+    assert(scans.exists(_.contains("code")), s"no code-only scan: $scans")
+    // train -> persist -> serve returns exactly the in-memory trained rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Ivf.topkSq8Trained(emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, Sq8Rerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K)
+  }
+
   test("sq4 at-rest: packed-nibble cheap scan, pruned cells, rows equal in-memory") {
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, EmbSq4ScaleLog2, Sq4Rerank}
     val emb = Tables.embeddings(spark, dir)
