@@ -124,6 +124,24 @@ object Bench {
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
       graft.operators.Ivf.ensureSq4Codes(spark, sfDir, SparkEntry.IvfCells,
         SparkEntry.EmbD, SparkEntry.EmbSq4ScaleLog2)
+      // round-12 layouts: trained-code persistence (PQ + SQ8), the
+      // Matryoshka prefix layouts (batch + stream-maintained), the
+      // HNSW upper layers, and the streaming Lloyd model drain — the
+      // same one-time /tmp materializations as every row above
+      graft.operators.Ann.ensurePrefixLayout(spark, sfDir, SparkEntry.EmbD,
+        SparkEntry.PrefixD)
+      graft.operators.Pq.ensureTrainedCodesFixture(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes)
+      graft.operators.Ivf.ensureSq8TrainedCodes(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD)
+      graft.operators.Ivf.ensureLayeredUpper(spark, sfDir, SparkEntry.LayeredJ,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+        SparkEntry.LayeredStride, SparkEntry.LayeredLayers)
+      graft.streaming.StreamOps.ensureStreamPrefixLayout(spark, sfDir,
+        SparkEntry.EmbD, SparkEntry.PrefixD)
+      graft.streaming.StreamOps.ensureStreamLloydModels(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the

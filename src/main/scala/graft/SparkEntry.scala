@@ -798,6 +798,10 @@ object SparkEntry {
   final val BpeTopN = 30
   final val BpeRounds = 4
   final val KmeansIters = 2
+  // batched farthest-first seeding (q_kmeans_seed): 7 seeds = min-id
+  // start + 2 rounds of 3 far picks — ceil((k-1)/L) corpus scans
+  final val SeedN = 7
+  final val SeedPerRound = 3
   final val TempTotal = 200
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1235,6 +1239,16 @@ object SparkEntry {
     // components as per-(cell, dim) means (order-deterministic fold)
     "q_kmeans_step" -> q((s, dir) => graft.operators.Ivf.kmeansStep(
       emb(s, dir), IvfCells, EmbD)),
+    // ... and the INIT the Lloyd rounds start from: batched
+    // farthest-first seeding (deterministic k-means++/k-means|| — L far
+    // picks per corpus scan, min-id start, ties to the smaller id)
+    "q_kmeans_seed" -> q((s, dir) => graft.operators.Ivf.kmeansSeed(
+      emb(s, dir), SeedN, SeedPerRound, EmbD)),
+    // ... and SERVE with the seeds as the coarse quantizer — seeding
+    // that actually indexes (assignment + probe ranking against the
+    // picked vectors, exact cosine over probed cells)
+    "q_ann_ivf_seeded" -> q((s, dir) => graft.operators.Ivf.topkSeeded(
+      emb(s, dir), NQ, K, SeedN, SeedPerRound, EmbD, IvfProbe)),
     // ... and SERVE with the retrained centroids: the Lloyd means baked
     // into a full IVF query path (bounded model collect, cell-pruned
     // exact cosine) — training that actually serves
@@ -1888,6 +1902,9 @@ object SparkEntry {
     "q_ann_ivf_prefix" -> IvfOracle.prefixIvfSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PrefixD, PrefixRerank),
     "q_kmeans_step" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
+    "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
+    "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
+      SeedPerRound, IvfProbe),
     "q_ann_ivf_lloyd" -> IvfOracle.lloydTopkSql(EmbD, NQ, K, IvfCells,
       IvfProbe),
     "q_kmeans_converge" -> IvfOracle.kmeansConvergeSql(EmbD, IvfCells,

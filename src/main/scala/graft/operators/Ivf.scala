@@ -533,6 +533,131 @@ object Ivf {
   }
 
   /**
+   * BATCHED FARTHEST-FIRST SEEDING — the deterministic form of
+   * k-means++ init at cluster scale (the k-means|| shape, Bahmani et
+   * al. VLDB'12: oversample a BATCH of far points per round instead of
+   * one point per scan, so k seeds cost ceil(k/L) corpus scans, not k).
+   * Pick 0 is the smallest vec_id (the deterministic "arbitrary" start
+   * of Gonzalez' farthest-first traversal); each round r then takes the
+   * `perRound` vectors maximizing the minimum distance to ALL
+   * previously chosen seeds (ties to the smaller id) — distances to the
+   * in-flight round's picks are deliberately not counted, which is
+   * exactly the oversampling approximation k-means|| trades for the
+   * round reduction. Output (round, pick, id, mindist), `pick` the
+   * within-round rank.
+   *
+   * Scale: each round is ONE corpus scan against |seeds| literal
+   * centroid expressions (the model is a bounded driver collect of at
+   * most nSeeds*d doubles, broadcast back as literals — the "broadcast
+   * the model, never the data" discipline of every trained stage here)
+   * followed by a global top-L TakeOrdered, so the full seeding is
+   * ceil((nSeeds-1)/perRound) scans at any corpus size. Determinism:
+   * per-seed distances fold j-ordered (bit-identical to the DuckDB
+   * mirror's ordered list_reduce); the min over seeds and the
+   * (mindist DESC, id ASC) selection are exact comparisons.
+   *
+   * Reference context: the reference fixes its quantizer grid a priori
+   * (ANNCode.py:288-318); seeding is the standard init every trained
+   * IVF deploys before [[kmeansStep]]'s Lloyd rounds.
+   */
+  def kmeansSeed(emb: DataFrame, nSeeds: Int, perRound: Int,
+                 d: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val picks = seedPicks(emb, nSeeds, perRound, d)
+    picks.map { case (round, pick, id, md, _) => (round, pick, id, md) }
+      .toDF("round", "pick", "id", "mindist")
+  }
+
+  /** The seeding loop shared by [[kmeansSeed]] and [[topkSeeded]]:
+    * (round, pick, id, mindist, embedding-as-doubles) in selection
+    * order. Driver state is bounded at nSeeds*(d+3). */
+  private def seedPicks(emb: DataFrame, nSeeds: Int, perRound: Int,
+                        d: Int): Seq[(Int, Int, Long, Double, IndexedSeq[Double])] = {
+    require(nSeeds >= 2, s"nSeeds $nSeeds must be >= 2")
+    require(perRound >= 1, s"perRound $perRound must be >= 1")
+    val first = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id").asc).limit(1).collect()
+    require(first.nonEmpty, "kmeansSeed: empty corpus")
+    val out = scala.collection.mutable.ArrayBuffer[
+      (Int, Int, Long, Double, IndexedSeq[Double])]()
+    out += ((0, 0, first(0).getLong(0), 0.0,
+      first(0).getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+    var round = 1
+    while (out.size < nSeeds) {
+      val take = math.min(perRound, nSeeds - out.size)
+      // min distance to every ALREADY-CHOSEN seed: per-seed j-ordered
+      // literal folds, reduced by exact pairwise least
+      val md = out.map { case (_, _, _, _, s) =>
+        (1 to d).map { j =>
+          val diff = element_at(col("embedding"), j).cast("double") -
+            lit(s(j - 1))
+          diff * diff
+        }.reduce(_ + _)
+      }.reduceLeft((a, b) => least(a, b))
+      val picked = emb
+        .select(col("vec_id").as("id"), col("embedding"), md.as("md"))
+        .orderBy(col("md").desc, col("id").asc).limit(take).collect()
+      picked.zipWithIndex.foreach { case (r, i) =>
+        out += ((round, i, r.getLong(0), r.getDouble(2),
+          r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+      }
+      round += 1
+    }
+    out.toSeq
+  }
+
+  /**
+   * Serve with the MAXMIN SEEDS as the coarse quantizer — the
+   * composition that makes [[kmeansSeed]] a real index stage rather
+   * than a report: the nSeeds picked vectors become cell centroids
+   * (cell = selection index), assignment and probe ranking run against
+   * them as literals (ties to the smaller cell), and the probed cells
+   * get the exact cosine top-k — [[topkLloyd]]'s shape with the seeded
+   * model instead of the retrained means. Probing every cell provably
+   * recovers the exact scan; approximation comes only from nprobe.
+   */
+  def topkSeeded(emb: DataFrame, nq: Int, k: Int, nSeeds: Int,
+                 perRound: Int, d: Int, nprobe: Int): DataFrame = {
+    val V = graft.functions.VectorOps
+    val seeds = seedPicks(emb, nSeeds, perRound, d).map(_._5)
+    val cells = seeds.indices
+    def dist(vecCol: Column, c: Int): Column =
+      (1 to d).map { j =>
+        val diff = element_at(vecCol, j).cast("double") - lit(seeds(c)(j - 1))
+        diff * diff
+      }.reduce(_ + _)
+    def argmin(prefix: String): Column = {
+      val m = least(cells.map(c => col(s"$prefix$c")): _*)
+      cells.foldRight(lit(-1)) { (c, rest) =>
+        when(col(s"$prefix$c") === m, lit(c)).otherwise(rest)
+      }
+    }
+    val assigned = emb.select(col("vec_id").as("id") +: col("embedding") +:
+        cells.map(c => dist(col("embedding"), c).as(s"c$c")): _*)
+      .withColumn("cell", argmin("c"))
+      .select(col("id"), col("embedding"), col("cell"))
+      .withColumn("n2", V.norm2Sq(col("embedding")))
+    val q0 = Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2"))
+    val stacked = q0.select(col("qid") +: col("qvec") +: col("qn2") +:
+        cells.map(c => dist(col("qvec"), c).as(s"c$c")): _*)
+      .select(col("qid"), col("qvec"), col("qn2"),
+        explode(array(cells.map(c =>
+          struct(lit(c).as("cell"), col(s"c$c").as("d2"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        col("p.cell"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val probes = broadcast(stacked
+      .withColumn("pr", row_number().over(w)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k)
+  }
+
+  /**
    * IVF x PREFIX — the production two-stage configuration a vector DB
    * ships with Matryoshka embeddings: the coarse quantizer prunes CELLS
    * (only nprobe of nCells are read at all) and the width axis prunes

@@ -149,6 +149,105 @@ object IvfOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** The seed-selection CTE chain shared by [[kmeansSeedSql]] and
+    * [[seededTopkSql]] ([[graft.operators.Ivf.kmeansSeed]]): p0 is the
+    * min-id start; per round r, s_r gathers the already-chosen seed
+    * vectors, md_r computes each corpus row's min distance to them
+    * (per-pair d2 a j-ordered list_reduce — the engine's literal fold,
+    * relationally), and p_r takes the top `take` by (md DESC, id ASC).
+    * Returns (sql-prefix, round-count). */
+  private def seedCtes(d: Int, nSeeds: Int, perRound: Int): (String, Int) = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""p0 AS MATERIALIZED (SELECT 0 AS round, 0 AS pick, vec_id AS id,
+         |    CAST(0.0 AS DOUBLE) AS mindist
+         |  FROM embeddings ORDER BY vec_id LIMIT 1)""".stripMargin)
+    var chosen = 1
+    var r = 1
+    while (chosen < nSeeds) {
+      val take = math.min(perRound, nSeeds - chosen)
+      val prior = (0 until r).map(i => s"SELECT id FROM p$i")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+        |s$r AS MATERIALIZED (SELECT p.id AS sid, e.embedding
+        |  FROM ($prior) p JOIN embeddings e ON e.vec_id = p.id),
+        |md$r AS MATERIALIZED (SELECT id, min(d2) AS md FROM (
+        |    SELECT e.vec_id AS id, s.sid,
+        |      list_reduce(list(
+        |        (CAST(e.embedding[t.j] AS DOUBLE) - CAST(s.embedding[t.j] AS DOUBLE))
+        |          * (CAST(e.embedding[t.j] AS DOUBLE) - CAST(s.embedding[t.j] AS DOUBLE))
+        |        ORDER BY t.j), (acc, v) -> acc + v) AS d2
+        |    FROM embeddings e CROSS JOIN s$r s
+        |    CROSS JOIN generate_series(1, $d) AS t(j)
+        |    GROUP BY e.vec_id, s.sid) GROUP BY id),
+        |p$r AS MATERIALIZED (SELECT $r AS round,
+        |    CAST(row_number() OVER (ORDER BY md DESC, id ASC) - 1 AS INTEGER) AS pick,
+        |    id, md AS mindist
+        |  FROM (SELECT id, md FROM md$r ORDER BY md DESC, id ASC LIMIT $take))""".stripMargin)
+      chosen += take
+      r += 1
+    }
+    (sb.toString, r)
+  }
+
+  /** Twin of [[graft.operators.Ivf.kmeansSeed]]: the batched
+    * farthest-first picks, (round, pick, id, mindist). */
+  def kmeansSeedSql(d: Int, nSeeds: Int, perRound: Int): String = {
+    val (ctes, rounds) = seedCtes(d, nSeeds, perRound)
+    val all = (0 until rounds)
+      .map(i => s"SELECT round, pick, id, mindist FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $ctes\n$all"
+  }
+
+  /** Twin of [[graft.operators.Ivf.topkSeeded]]: the maxmin seeds as
+    * coarse centroids — assignment and probe ranking against the seed
+    * vectors (ties to the smaller selection index), exact cosine over
+    * the probed cells. */
+  def seededTopkSql(d: Int, nq: Int, k: Int, nSeeds: Int, perRound: Int,
+                    nprobe: Int): String = {
+    val (ctes, rounds) = seedCtes(d, nSeeds, perRound)
+    val all = (0 until rounds)
+      .map(i => s"SELECT round, pick, id FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $ctes,
+       |sall AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY p.round, p.pick) - 1 AS INTEGER) AS cell,
+       |    e.embedding
+       |  FROM ($all) p JOIN embeddings e ON e.vec_id = p.id),
+       |cds AS MATERIALIZED (SELECT e.vec_id, s.cell,
+       |    list_reduce(list(
+       |      (CAST(e.embedding[t.j] AS DOUBLE) - CAST(s.embedding[t.j] AS DOUBLE))
+       |        * (CAST(e.embedding[t.j] AS DOUBLE) - CAST(s.embedding[t.j] AS DOUBLE))
+       |      ORDER BY t.j), (acc, v) -> acc + v) AS d2
+       |  FROM embeddings e CROSS JOIN sall s
+       |  CROSS JOIN generate_series(1, $d) AS t(j)
+       |  GROUP BY e.vec_id, s.cell),
+       |asgs AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+       |  FROM cds) t WHERE t.rn = 1),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp AS (SELECT qid, cell FROM (SELECT c.vec_id AS qid, c.cell,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY c.d2 ASC, c.cell ASC) AS pr
+       |  FROM cds c JOIN q ON c.vec_id = q.qid) t WHERE t.pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id
+       |  FROM qp JOIN asgs a ON a.cell = qp.cell),
+       |scored AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** IVF x PREFIX ([[graft.operators.Ivf.topkPrefix]]): the coarse-
     * quantizer probe scaffold of [[sq8Sql]] with the width-truncated
     * cheap rank of [[EmbOracle.prefixSql]] — prefix-cosine over prefix

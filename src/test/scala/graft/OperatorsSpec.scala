@@ -1091,6 +1091,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("kmeans seed: farthest-first picks shrink across rounds, invariant") {
+    import graft.operators.Ivf
+    import SparkEntry.{EmbD, SeedN, SeedPerRound}
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Ivf.kmeansSeed(emb, SeedN, SeedPerRound, EmbD).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.length == SeedN)
+    assert(rows.map(_._3).distinct.length == SeedN, "duplicate seed ids")
+    assert(rows(0) == ((0, 0, rows(0)._3, 0.0)))
+    // within a round picks rank by (mindist DESC, id ASC); across rounds
+    // the selection distances can only shrink: round r+1 measures against
+    // a superset of round r's reference set, and round r took the top-L
+    val byRound = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    byRound.foreach { case (_, g) =>
+      assert(g.map(_._4).toSeq == g.map(_._4).sortBy(-_).toSeq) }
+    byRound.sliding(2).foreach {
+      case Seq((r0, g0), (_, g1)) if r0 >= 1 =>
+        assert(g1.map(_._4).max <= g0.map(_._4).min,
+          "batched farthest-first: round maxima not non-increasing")
+      case _ => ()
+    }
+    // selection is a pure function of the set — partition-invariant
+    val again = Ivf.kmeansSeed(emb.repartition(7), SeedN, SeedPerRound, EmbD)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(r => (r._1, r._2))
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("seeded ivf: probing every seeded cell recovers the exact scan") {
+    import graft.operators.{Ann, Ivf}
+    import SparkEntry.{NQ, K, EmbD, SeedN, SeedPerRound}
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Ann.bruteTopK(emb, NQ, K).collect().map(_.toSeq).toSet
+    val all = Ivf.topkSeeded(emb, NQ, K, SeedN, SeedPerRound, EmbD,
+      nprobe = SeedN).collect().map(_.toSeq).toSet
+    assert(all == exact, "full-probe seeded IVF diverged from brute scan")
+  }
+
   test("lloyd-served ivf: probing every trained cell recovers the exact scan") {
     import graft.operators.{Ann, Ivf}
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe}
