@@ -802,6 +802,11 @@ object SparkEntry {
   // start + 2 rounds of 3 far picks — ceil((k-1)/L) corpus scans
   final val SeedN = 7
   final val SeedPerRound = 3
+  // occupancy split (q_ivf_split_stats): cells above 3/20 = 15% of the
+  // corpus (fair share at 8 cells is 12.5%) split around min-id /
+  // farthest-member pivots — exact integer threshold, no float contract
+  final val SplitFracNum = 3
+  final val SplitFracDen = 20
   final val TempTotal = 200
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1249,6 +1254,19 @@ object SparkEntry {
     // picked vectors, exact cosine over probed cells)
     "q_ann_ivf_seeded" -> q((s, dir) => graft.operators.Ivf.topkSeeded(
       emb(s, dir), NQ, K, SeedN, SeedPerRound, EmbD, IvfProbe)),
+    // index MAINTENANCE for cell skew: occupancy-rebalancing split —
+    // hot cells (> 15% of the corpus) split around deterministic
+    // min-id / farthest-member pivots; the report is the post-split
+    // (cell, sub, occ) occupancy table
+    "q_ivf_split_stats" -> q((s, dir) => graft.operators.Ivf.splitStats(
+      emb(s, dir), IvfCells, EmbD, SplitFracNum, SplitFracDen)),
+    // ... and SERVE over the rebalanced cells: probe ranking against
+    // per-(cell, sub) representatives, exact cosine within — at equal
+    // nprobe the probed corpus fraction shrinks by what the split
+    // moved out of the hot cells
+    "q_ann_ivf_split" -> q((s, dir) => graft.operators.Ivf.topkSplit(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, SplitFracNum,
+      SplitFracDen)),
     // ... and SERVE with the retrained centroids: the Lloyd means baked
     // into a full IVF query path (bounded model collect, cell-pruned
     // exact cosine) — training that actually serves
@@ -1905,6 +1923,10 @@ object SparkEntry {
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),
+    "q_ivf_split_stats" -> IvfOracle.splitStatsSql(EmbD, IvfCells,
+      SplitFracNum, SplitFracDen),
+    "q_ann_ivf_split" -> IvfOracle.splitTopkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, SplitFracNum, SplitFracDen),
     "q_ann_ivf_lloyd" -> IvfOracle.lloydTopkSql(EmbD, NQ, K, IvfCells,
       IvfProbe),
     "q_kmeans_converge" -> IvfOracle.kmeansConvergeSql(EmbD, IvfCells,

@@ -657,6 +657,125 @@ object Ivf {
     TopK.window(scored, k)
   }
 
+  // --- occupancy-balanced cell split ------------------------------------
+
+  /**
+   * The SPLIT MODEL for occupancy REBALANCING — the index-maintenance
+   * answer to cell skew (a hot cell makes every probe that hits it pay
+   * its whole occupancy; at 100 TB a 10x-overweight cell is a 10x
+   * latency tail): every cell holding more than num/den of the corpus
+   * is split around a deterministic pivot pair — A = the cell's
+   * smallest-id member, B = the member farthest from A (ties to the
+   * smaller id; degenerately A itself when the cell is a single point
+   * mass, which leaves the split a no-op rather than an error).
+   * Returns (cell, pivotA, pivotB) sorted by cell; empty when nothing
+   * exceeds the threshold. All driver state is bounded: the occupancy
+   * table is nCells rows, the pivots at most 2*nCells vectors.
+   * The threshold compare is exact integer arithmetic (occ*den >
+   * num*n), so both engines agree with no float in the contract.
+   */
+  private[graft] def splitModel(emb: DataFrame, nCells: Int, d: Int,
+      num: Int, den: Int): Seq[(Int, IndexedSeq[Float], IndexedSeq[Float])] = {
+    val n = emb.count()
+    val over = assign(emb, nCells, d).groupBy(col("cell"))
+      .agg(count(lit(1)).as("occ"), min(col("id")).as("aid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .filter { case (_, o, _) => o * den > num * n }
+      .sortBy(_._1).toSeq
+    if (over.isEmpty) return Seq.empty
+    def vecsOf(ids: Seq[Long]): Map[Long, IndexedSeq[Float]] = emb
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq).toMap
+    val aVec = vecsOf(over.map(_._3))
+    val aOf = over.map { case (c, _, a) => c -> aVec(a) }.toMap
+    val cellsSplit = over.map(_._1)
+    // B: within-cell argmax of the distance to A — one scan over the
+    // split cells' rows against the A pivots as literals
+    val distA = cellsSplit.foldRight(lit(0.0)) { (c, rest) =>
+      when(col("cell") === c,
+        VecExprs.l2Sq(col("embedding"), typedlit(aOf(c)))).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("dA").desc, col("id").asc)
+    val bids = assign(emb, nCells, d)
+      .filter(col("cell").isin(cellsSplit: _*))
+      .withColumn("dA", distA)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cell"), col("id")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bVec = vecsOf(bids.values.toSeq.distinct)
+    over.map { case (c, _, a) => (c, aVec(a), bVec(bids(c))) }
+  }
+
+  /** (id, embedding, cell, sub): [[assign]] refined by the split model —
+    * members of split cells go to the nearer pivot (ties to A, sub 0);
+    * unsplit cells keep sub = 0. */
+  private def assignSplit(emb: DataFrame, nCells: Int, d: Int,
+      model: Seq[(Int, IndexedSeq[Float], IndexedSeq[Float])]): DataFrame = {
+    val subCol = model.foldRight(lit(0)) { case ((c, a, b), rest) =>
+      when(col("cell") === c,
+        when(VecExprs.l2Sq(col("embedding"), typedlit(a)) <=
+          VecExprs.l2Sq(col("embedding"), typedlit(b)), lit(0))
+          .otherwise(lit(1))).otherwise(rest)
+    }
+    assign(emb, nCells, d).withColumn("sub", subCol)
+  }
+
+  /** The rebalance REPORT: (cell, sub, occ) occupancies after the
+    * split — the artifact an index operator reads to confirm the hot
+    * cells came apart. Hash-graded (exact integers). */
+  def splitStats(emb: DataFrame, nCells: Int, d: Int, num: Int,
+                 den: Int): DataFrame = {
+    val model = splitModel(emb, nCells, d, num, den)
+    assignSplit(emb, nCells, d, model)
+      .groupBy(col("cell"), col("sub")).agg(count(lit(1)).as("occ"))
+  }
+
+  /**
+   * Serve OVER THE REBALANCED CELLS: probe ranking runs against one
+   * representative per (cell, sub) — the dyadic centroid for unsplit
+   * cells, the pivots for split halves — with ties (d2, cell, sub), and
+   * the probed sub-cells get the exact cosine top-k. Splitting refines
+   * the partition, so probing every (cell, sub) provably recovers the
+   * exact scan (spec-asserted); at equal nprobe the probed fraction of
+   * the corpus shrinks by exactly the occupancy the split moved out of
+   * the hot cells.
+   */
+  def topkSplit(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                nprobe: Int, num: Int, den: Int): DataFrame = {
+    val V = graft.functions.VectorOps
+    val model = splitModel(emb, nCells, d, num, den)
+    val splitSet = model.map(_._1).toSet
+    val assigned = assignSplit(emb, nCells, d, model)
+      .select(col("id"), col("embedding"), col("cell"), col("sub"))
+      .withColumn("n2", V.norm2Sq(col("embedding")))
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val repRows: Seq[Column] =
+      (0 until nCells).filterNot(splitSet).map { c =>
+        struct(lit(c).as("cell"), lit(0).as("sub"),
+          VecExprs.l2Sq(col("qvec"), typedlit(centroid(c, d).toSeq)).as("d2"))
+      } ++ model.flatMap { case (c, a, b) =>
+        Seq(struct(lit(c).as("cell"), lit(0).as("sub"),
+            VecExprs.l2Sq(col("qvec"), typedlit(a)).as("d2")),
+          struct(lit(c).as("cell"), lit(1).as("sub"),
+            VecExprs.l2Sq(col("qvec"), typedlit(b)).as("d2")))
+      }
+    val stacked = q
+      .select(col("qid"), col("qvec"), col("qn2"),
+        explode(array(repRows: _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        col("p.cell"), col("p.sub"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cell").asc, col("sub").asc)
+    val probes = broadcast(stacked.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell"), col("sub")))
+    val scored = assigned.join(probes, Seq("cell", "sub"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k)
+  }
+
   /**
    * IVF x PREFIX — the production two-stage configuration a vector DB
    * ships with Matryoshka embeddings: the coarse quantizer prunes CELLS

@@ -248,6 +248,117 @@ object IvfOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** The occupancy-split CTE chain shared by [[splitStatsSql]] and
+    * [[splitTopkSql]] ([[graft.operators.Ivf.splitModel]]): asg0/asg
+    * the dyadic assignment, sp the over-threshold cells (exact integer
+    * compare occ*den > num*n), av/bv the pivot vectors (A = min-id
+    * member; B = within-cell argmax distance to A, ties to the smaller
+    * id), da/db each split-cell member's pivot distances (j-ordered
+    * list_reduce — the engine's codegen fold, relationally), asgs the
+    * refined (vec_id, cell, sub) assignment. */
+  private def splitCtes(d: Int, nCells: Int, num: Int, den: Int): String = {
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    def pivotDist(pv: String) =
+      s"""list_reduce(list(
+         |      (CAST(e.embedding[t.j] AS DOUBLE) - CAST($pv.embedding[t.j] AS DOUBLE))
+         |        * (CAST(e.embedding[t.j] AS DOUBLE) - CAST($pv.embedding[t.j] AS DOUBLE))
+         |      ORDER BY t.j), (acc, v) -> acc + v)""".stripMargin
+    s"""asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
+       |nn AS (SELECT COUNT(*) AS c FROM embeddings),
+       |sp AS MATERIALIZED (SELECT o.cell, o.aid FROM (
+       |    SELECT cell, COUNT(*) AS occ, MIN(vec_id) AS aid
+       |    FROM asg GROUP BY cell) o, nn
+       |  WHERE o.occ * $den > $num * nn.c),
+       |av AS MATERIALIZED (SELECT sp.cell, e.embedding
+       |  FROM sp JOIN embeddings e ON e.vec_id = sp.aid),
+       |da AS MATERIALIZED (SELECT a.vec_id, a.cell, ${pivotDist("av")} AS dist
+       |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN av ON av.cell = a.cell
+       |  CROSS JOIN generate_series(1, $d) AS t(j)
+       |  GROUP BY a.vec_id, a.cell),
+       |bsel AS MATERIALIZED (SELECT cell, vec_id AS bid FROM (
+       |    SELECT cell, vec_id,
+       |      row_number() OVER (PARTITION BY cell ORDER BY dist DESC, vec_id ASC) AS rn
+       |    FROM da) t WHERE t.rn = 1),
+       |bv AS MATERIALIZED (SELECT b.cell, e.embedding
+       |  FROM bsel b JOIN embeddings e ON e.vec_id = b.bid),
+       |db AS MATERIALIZED (SELECT a.vec_id, a.cell, ${pivotDist("bv")} AS dist
+       |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN bv ON bv.cell = a.cell
+       |  CROSS JOIN generate_series(1, $d) AS t(j)
+       |  GROUP BY a.vec_id, a.cell),
+       |asgs AS MATERIALIZED (SELECT a.vec_id, a.cell,
+       |    CASE WHEN da.dist IS NULL THEN 0
+       |         WHEN da.dist <= db.dist THEN 0 ELSE 1 END AS sub
+       |  FROM asg a
+       |  LEFT JOIN da ON da.vec_id = a.vec_id AND da.cell = a.cell
+       |  LEFT JOIN db ON db.vec_id = a.vec_id AND db.cell = a.cell)""".stripMargin
+  }
+
+  /** Twin of [[graft.operators.Ivf.splitStats]]: (cell, sub, occ)
+    * occupancies after the rebalancing split. */
+  def splitStatsSql(d: Int, nCells: Int, num: Int, den: Int): String =
+    s"""WITH ${splitCtes(d, nCells, num, den)}
+       |SELECT cell, CAST(sub AS INTEGER) AS sub, COUNT(*) AS occ
+       |FROM asgs GROUP BY cell, sub""".stripMargin
+
+  /** Twin of [[graft.operators.Ivf.topkSplit]]: probe ranking against
+    * one representative per (cell, sub) — dyadic centroid for unsplit
+    * cells (reused from the query's asg0 row), pivots for split halves
+    * — ties (d2, cell, sub); exact cosine over the probed sub-cells. */
+  def splitTopkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+                   num: Int, den: Int): String = {
+    val probeCase = "CASE t.cell " + (0 until nCells)
+      .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
+    val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
+    def qPivotDist(pv: String) =
+      s"""list_reduce(list(
+         |      (CAST(qe.embedding[t.j] AS DOUBLE) - CAST($pv.embedding[t.j] AS DOUBLE))
+         |        * (CAST(qe.embedding[t.j] AS DOUBLE) - CAST($pv.embedding[t.j] AS DOUBLE))
+         |      ORDER BY t.j), (acc, v) -> acc + v)""".stripMargin
+    s"""WITH ${splitCtes(d, nCells, num, den)},
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qdu AS (SELECT q.qid, t.cell, 0 AS sub, $probeCase AS d2
+       |  FROM q JOIN asg0 a ON a.vec_id = q.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)
+       |  WHERE t.cell NOT IN (SELECT cell FROM sp)),
+       |qda AS (SELECT q.qid, av.cell, 0 AS sub, ${qPivotDist("av")} AS d2
+       |  FROM q JOIN embeddings qe ON qe.vec_id = q.qid
+       |  CROSS JOIN av CROSS JOIN generate_series(1, $d) AS t(j)
+       |  GROUP BY q.qid, av.cell),
+       |qdb AS (SELECT q.qid, bv.cell, 1 AS sub, ${qPivotDist("bv")} AS d2
+       |  FROM q JOIN embeddings qe ON qe.vec_id = q.qid
+       |  CROSS JOIN bv CROSS JOIN generate_series(1, $d) AS t(j)
+       |  GROUP BY q.qid, bv.cell),
+       |qd AS (SELECT * FROM qdu UNION ALL SELECT * FROM qda
+       |  UNION ALL SELECT * FROM qdb),
+       |qp AS (SELECT qid, cell, sub FROM (SELECT qid, cell, sub,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC, sub ASC) AS pr
+       |  FROM qd) t WHERE t.pr <= $nprobe),
+       |cand AS (SELECT qp.qid, s.vec_id AS id
+       |  FROM qp JOIN asgs s ON s.cell = qp.cell AND s.sub = qp.sub),
+       |scored AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** IVF x PREFIX ([[graft.operators.Ivf.topkPrefix]]): the coarse-
     * quantizer probe scaffold of [[sq8Sql]] with the width-truncated
     * cheap rank of [[EmbOracle.prefixSql]] — prefix-cosine over prefix

@@ -1130,6 +1130,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == exact, "full-probe seeded IVF diverged from brute scan")
   }
 
+  test("ivf split: hot cells come apart, occupancies partition the corpus") {
+    import graft.operators.Ivf
+    import SparkEntry.{IvfCells, EmbD, SplitFracNum, SplitFracDen}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val before = Ivf.assign(emb, IvfCells, EmbD).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hot = before.filter { case (_, o) =>
+      o * SplitFracDen > SplitFracNum * n }.keySet
+    assert(hot.nonEmpty, "fixture has no over-threshold cell — threshold dead")
+    val after = Ivf.splitStats(emb, IvfCells, EmbD, SplitFracNum,
+      SplitFracDen).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(after.map(_._3).sum == n, "split occupancies lost rows")
+    // unsplit cells keep one (cell, 0) row with their old occupancy;
+    // every hot cell's halves each run strictly under the original
+    after.groupBy(_._1).foreach { case (c, g) =>
+      if (hot(c)) {
+        assert(g.map(_._3).sum == before(c))
+        assert(g.forall(_._3 < before(c)),
+          s"cell $c: a split half kept the whole occupancy")
+      } else assert(g.toSeq == Seq((c, 0, before(c))))
+    }
+    // partition-invariant (the model is a pure function of the set)
+    val again = Ivf.splitStats(emb.repartition(7), IvfCells, EmbD,
+      SplitFracNum, SplitFracDen).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSet == after.toSet)
+  }
+
+  test("split ivf: probing every sub-cell recovers the exact scan") {
+    import graft.operators.{Ann, Ivf}
+    import SparkEntry.{NQ, K, IvfCells, EmbD, SplitFracNum, SplitFracDen}
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Ann.bruteTopK(emb, NQ, K).collect().map(_.toSeq).toSet
+    // splitting only refines the partition: nprobe = all (cell, sub)
+    // representatives is the whole corpus
+    val all = Ivf.topkSplit(emb, NQ, K, IvfCells, EmbD,
+      nprobe = 2 * IvfCells, num = SplitFracNum, den = SplitFracDen)
+      .collect().map(_.toSeq).toSet
+    assert(all == brute, "full-probe split IVF diverged from brute scan")
+    assert(Ivf.topkSplit(emb, NQ, K, IvfCells, EmbD, nprobe = 2,
+      num = SplitFracNum, den = SplitFracDen).count() == NQ * K)
+  }
+
   test("lloyd-served ivf: probing every trained cell recovers the exact scan") {
     import graft.operators.{Ann, Ivf}
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe}
