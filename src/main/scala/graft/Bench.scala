@@ -135,6 +135,9 @@ object Bench {
         SparkEntry.PqCodes)
       graft.operators.Ivf.ensureSq8TrainedCodes(spark, sfDir,
         SparkEntry.IvfCells, SparkEntry.EmbD)
+      graft.operators.Pq.ensureOpqCodesFixture(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes)
       graft.operators.Ivf.ensureLayeredUpper(spark, sfDir, SparkEntry.LayeredJ,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
         SparkEntry.LayeredStride, SparkEntry.LayeredLayers)

@@ -1426,6 +1426,13 @@ object SparkEntry {
       graft.operators.Pq.topkOpqTrained(
         emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
         PqRerank)),
+    // ... and the trained transform PERSISTED: permuted-space codes at
+    // rest (cell-partitioned, code-only cheap scan), original vectors
+    // for the rescore — the last trained stage to get its at-rest twin
+    "q_ann_ivf_pq_opq_at_rest" -> q((s, dir) =>
+      graft.operators.Pq.topkOpqAtRest(
+        s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM,
+        PqCodes, PqRerank)),
     // residual IVF-PQ: codes quantize x - c_cell (the production form —
     // the codebook only covers the within-cell spread); ADC score adds
     // the per-cell query dot to the table picks
@@ -2000,6 +2007,10 @@ object SparkEntry {
     // the PQ pipeline under the data-adaptive variance-balancing
     // permutation, re-derived inside the oracle from the same folds
     "q_ann_ivf_pq_opq_trained" -> PqOracle.opqTrainedTopkSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    // identical semantics off the persisted permuted-space codes
+    // (deterministic transform re-derived at serve) — same oracle
+    "q_ann_ivf_pq_opq_at_rest" -> PqOracle.opqTrainedTopkSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // the stream-maintained codes layout holds the same rows as the
     // batch-built one once drained -> q_ann_ivf_pq's oracle

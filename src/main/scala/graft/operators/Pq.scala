@@ -1218,4 +1218,109 @@ object Pq {
         (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
     TopK.window(rescored, k)
   }
+
+  /** (id, cell, vec, code) in the TRAINED-OPQ space: the corpus is
+    * permuted by [[trainedPermutation]] (re-derived — deterministic, so
+    * the layout needs no transform sidecar), coarse-assigned and
+    * PQ-encoded in permuted space, while `vec` keeps the ORIGINAL
+    * embedding (the transform is orthogonal, so the exact rescore
+    * never needs the permuted copy). */
+  def encodeOpqCodes(emb: DataFrame, nCells: Int, d: Int, mSub: Int,
+                     codes: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    val sub = d / mSub
+    val perm = trainedPermutation(emb, d, mSub)
+    val sign = Array.fill(d)(1)
+    val tEmb = emb.select(col("vec_id"), col("embedding").as("orig"),
+      permuteVec(col("embedding"), perm, sign).as("embedding"))
+    Ivf.assign(tEmb.select(col("vec_id"), col("embedding")), nCells, d)
+      .join(tEmb.select(col("vec_id").as("id"), col("orig")), Seq("id"))
+      .select(col("id") +: col("cell") +: col("orig") +:
+        distCols(col("embedding"), mSub, codes, sub): _*)
+      .select(col("id") +: col("cell") +: col("orig") +:
+        (0 until mSub).map(argminCode(_, codes)): _*)
+      .select(col("id"), col("cell"), col("orig").as("vec"),
+        packedCode(mSub, codes).as("code"))
+  }
+
+  /** TRAIN THE TRANSFORM, THEN PERSIST the permuted-space codes — the
+    * OPQ stage of the lifecycle at rest, completing the trained-layout
+    * family ([[ensureTrainedCodesFixture]], `Ivf.ensureSq8TrainedCodes`):
+    * cell-partitioned like every code layout, immutable version-named
+    * dir, atomic scratch publish. */
+  def ensureOpqCodesFixture(spark: SparkSession, sfDir: String,
+                            nCells: Int, d: Int, mSub: Int,
+                            codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqopq_v${CodesLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqopq-")
+      encodeOpqCodes(graft.Tables.embeddings(spark, sfDir), nCells, d,
+        mSub, codes)
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"opq codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * TRAINED-OPQ IVF-PQ OFF THE AT-REST CODES — the at-rest twin of
+   * [[topkOpqTrained]], returning identical rows (the permutation is
+   * deterministic, so the serve-time transform matches the persisted
+   * codes; spec-asserted). Probe selection and the ADC table run in
+   * permuted space against the query's permuted copy; the cheap pass
+   * reads only (id, code) from the probed cells with a static
+   * partition filter; the exact rescore reads the original vectors
+   * for the bounded survivor set — orthogonality makes the two spaces'
+   * cosines identical, so the permuted corpus copy is never stored.
+   */
+  def topkOpqAtRest(spark: SparkSession, sfDir: String, emb: DataFrame,
+                    nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                    mSub: Int, codes: Int, rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val path = ensureOpqCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val perm = trainedPermutation(emb, d, mSub)
+    val sign = Array.fill(d)(1)
+    val stored = spark.read.parquet(path)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val tq = q.select(col("qid"),
+      permuteVec(col("qvec"), perm, sign).as("qvec"), col("qn2"))
+    val probeSet = Ivf.probeCells(tq, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    val cells = probeSet.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probes = broadcast(probeSet
+      .join(tq, Seq("qid"))
+      .select(col("qid") +: col("cell") +: col("qn2") +:
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+    val sHatNum = (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2(_, codes, sub)).reduceLeft(_ + _)
+    val cheap = stored.select(col("id"), col("cell"), col("code"))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
+      .join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
 }

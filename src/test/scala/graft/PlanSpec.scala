@@ -241,6 +241,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("TRAINED-OPQ at-rest: code-only cheap scan, rows equal in-memory rung") {
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank}
+    val emb = Tables.embeddings(spark, dir)
+    val df = graft.operators.Pq.topkOpqAtRest(spark, dir, emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    // the cheap pass reads only the packed code word — never the float
+    // vector; the rescore reads (id, vec) for the bounded survivors
+    scans.filter(_.contains("code")).foreach(s =>
+      assert(s.subsetOf(Set("id", "code")), s"unpruned opq scan: $s"))
+    assert(scans.exists(_.contains("code")), s"no code-only scan: $scans")
+    assert(!scans.exists(s => s.contains("code") && s.contains("vec")),
+      s"a scan reads codes and vectors together: $scans")
+    // train transform -> persist permuted codes -> serve returns exactly
+    // the in-memory trained-OPQ rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Pq.topkOpqTrained(emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K)
+  }
+
   test("TRAINED-SQ8 at-rest: code-only cheap scan, rows equal in-memory rung") {
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, Sq8Rerank}
     val emb = Tables.embeddings(spark, dir)
