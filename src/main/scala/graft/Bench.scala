@@ -138,6 +138,9 @@ object Bench {
       graft.operators.Pq.ensureOpqCodesFixture(spark, sfDir,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
         SparkEntry.PqCodes)
+      graft.operators.Ivf.ensureSplitSidecar(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.SplitFracNum,
+        SparkEntry.SplitFracDen)
       graft.operators.Ivf.ensureLayeredUpper(spark, sfDir, SparkEntry.LayeredJ,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
         SparkEntry.LayeredStride, SparkEntry.LayeredLayers)
@@ -192,6 +195,18 @@ object Bench {
     // slot running light queries while the heavy lane drains in LPT order
     val heavyExec = Executors.newSingleThreadExecutor()
     val heavyEc = ExecutionContext.fromExecutor(heavyExec)
+    // the refine-mode family is the other MUTUAL-contention cluster:
+    // each member is a full two-phase corpus pipeline over the shared
+    // fp16/GT caches, ~7 s solo, but at 6-wide co-residency every row
+    // inflated 4-5x (r12 measured: q_refine_l2_sym 36.3 s concurrent vs
+    // 7.3 s seq, cos_hoeff 34.9 vs 7.5, l2_tz/l2_hoeff/cos_l2 all 27 vs
+    // ~7). A dedicated WIDTH-2 lane drains them in LPT order: enough
+    // parallelism to overlap IO with compute, little enough that the
+    // family's wall is ~sum/2 instead of 5x-inflated rows. Membership by
+    // name prefix; the metrics/disagg rows stay in the stricter
+    // single-width super-heavy lane above.
+    val refineExec = Executors.newFixedThreadPool(2)
+    val refineEc = ExecutionContext.fromExecutor(refineExec)
 
     val futures = ordered.map { case (name, fn) =>
       Future {
@@ -211,12 +226,15 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             name -> -1.0
         }
-      }(if (superHeavy.contains(name)) heavyEc else ec)
+      }(if (superHeavy.contains(name)) heavyEc
+        else if (name.startsWith("q_refine_")) refineEc
+        else ec)
     }
     val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
     heavyExec.shutdown()
+    refineExec.shutdown()
     // release after ALL queries finish (they run concurrently and may
     // share Dedup's tracked intermediates)
     graft.operators.Dedup.releaseIntermediates()

@@ -1267,6 +1267,14 @@ object SparkEntry {
     "q_ann_ivf_split" -> q((s, dir) => graft.operators.Ivf.topkSplit(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, SplitFracNum,
       SplitFracDen)),
+    // ... and the rebalance AT REST: only the hot cells' partitions are
+    // re-written (a (cell, sub)-partitioned sidecar beside the
+    // immutable base index — merge-on-read for maintenance); probed
+    // unsplit cells read the base, probed halves read the sidecar
+    "q_ann_ivf_split_at_rest" -> q((s, dir) =>
+      graft.operators.Ivf.topkSplitAtRest(
+        s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe,
+        SplitFracNum, SplitFracDen)),
     // ... and SERVE with the retrained centroids: the Lloyd means baked
     // into a full IVF query path (bounded model collect, cell-pruned
     // exact cosine) — training that actually serves
@@ -1934,6 +1942,10 @@ object SparkEntry {
       SplitFracNum, SplitFracDen),
     "q_ann_ivf_split" -> IvfOracle.splitTopkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, SplitFracNum, SplitFracDen),
+    // identical semantics off the base index + hot-cell sidecar — same
+    // oracle as the in-memory rebalanced serve
+    "q_ann_ivf_split_at_rest" -> IvfOracle.splitTopkSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, SplitFracNum, SplitFracDen),
     "q_ann_ivf_lloyd" -> IvfOracle.lloydTopkSql(EmbD, NQ, K, IvfCells,
       IvfProbe),
     "q_kmeans_converge" -> IvfOracle.kmeansConvergeSql(EmbD, IvfCells,

@@ -776,6 +776,126 @@ object Ivf {
     TopK.window(scored, k)
   }
 
+  /** Bump when the split-sidecar layout changes. */
+  private val SplitLayoutVersion = 1
+
+  /**
+   * The REBALANCE AT REST — and only the partitions it touches: the
+   * split model's hot cells are re-written ONCE into a (cell, sub)-
+   * partitioned SIDECAR (id, embedding, n2, cell, sub), while the base
+   * index layout ([[ensureIndex]]) stays byte-immutable — the
+   * merge-on-read discipline of the tombstone/upsert sidecars
+   * (`Pq.ensureTombstones`), applied to maintenance. At 100 TB this is
+   * the difference between rewriting the whole inverted file and
+   * rewriting the 2-3 hot cells that actually skewed: the rebalance
+   * I/O is proportional to the occupancy it moves, not the corpus.
+   * Immutable version-named dir, atomic scratch publish. Returns the
+   * sidecar path ("" when nothing exceeds the threshold).
+   */
+  def ensureSplitSidecar(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, nCells: Int, d: Int, num: Int,
+                         den: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ivfsplit_v${SplitLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_f${num}of${den}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val model = splitModel(emb, nCells, d, num, den)
+      val tmp = Files.createTempDirectory(path.getParent, "ivfsplit-")
+      val hot = model.map(_._1)
+      assignSplit(emb, nCells, d, model)
+        .filter(if (hot.isEmpty) lit(false) else col("cell").isin(hot: _*))
+        .withColumn("n2", graft.functions.VectorOps.norm2Sq(col("embedding")))
+        .select(col("id"), col("embedding"), col("n2"), col("cell"),
+          col("sub"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell", "sub")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"split sidecar publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * [[topkSplit]] OFF THE AT-REST LAYOUTS — identical rows
+   * (spec-asserted): probed UNSPLIT cells read the immutable base
+   * index ([[ensureIndex]], cell partition pruning), probed split
+   * halves read the sidecar ((cell, sub) partition pruning), and the
+   * union gets the exact cosine top-k. Both probe sets are bounded
+   * driver collects pushed as static partition filters, so each query
+   * reads exactly its probed partitions — the serve path after a
+   * production rebalance, where maintenance rewrote only the hot
+   * cells' files.
+   */
+  def topkSplitAtRest(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String, emb: DataFrame, nq: Int, k: Int,
+                      nCells: Int, d: Int, nprobe: Int, num: Int,
+                      den: Int): DataFrame = {
+    val V = graft.functions.VectorOps
+    val model = splitModel(emb, nCells, d, num, den)
+    val splitSet = model.map(_._1).toSet
+    val basePath = ensureIndex(spark, sfDir, nCells, d)
+    val sidePath = ensureSplitSidecar(spark, sfDir, nCells, d, num, den)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val repRows: Seq[Column] =
+      (0 until nCells).filterNot(splitSet).map { c =>
+        struct(lit(c).as("cell"), lit(0).as("sub"),
+          VecExprs.l2Sq(col("qvec"), typedlit(centroid(c, d).toSeq)).as("d2"))
+      } ++ model.flatMap { case (c, a, b) =>
+        Seq(struct(lit(c).as("cell"), lit(0).as("sub"),
+            VecExprs.l2Sq(col("qvec"), typedlit(a)).as("d2")),
+          struct(lit(c).as("cell"), lit(1).as("sub"),
+            VecExprs.l2Sq(col("qvec"), typedlit(b)).as("d2")))
+      }
+    val stacked = q
+      .select(col("qid"), col("qvec"), col("qn2"),
+        explode(array(repRows: _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        col("p.cell"), col("p.sub"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cell").asc, col("sub").asc)
+    val probes = stacked.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell"), col("sub"))
+    // bounded collects (<= nq * nprobe pairs) -> static partition filters
+    val probedPairs = probes.select(col("cell"), col("sub")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    val baseCells = probedPairs.map(_._1).distinct.filterNot(splitSet)
+    val sidePairs = probedPairs.filter(p => splitSet(p._1))
+    val bProbes = broadcast(probes)
+    val fromBase =
+      if (baseCells.isEmpty) None
+      else Some(spark.read.parquet(basePath)
+        .filter(col("cell").isin(baseCells.toSeq: _*))
+        .select(col("id"), col("embedding"), col("n2"), col("cell"),
+          lit(0).as("sub"))
+        .join(bProbes, Seq("cell", "sub"))
+        .withColumn("score", cosScore))
+    val fromSide =
+      if (sidePairs.isEmpty) None
+      else Some(spark.read.parquet(sidePath)
+        .filter(sidePairs.map { case (c, s0) =>
+          col("cell") === c && col("sub") === s0 }.reduce(_ || _))
+        .select(col("id"), col("embedding"), col("n2"), col("cell"),
+          col("sub"))
+        .join(bProbes, Seq("cell", "sub"))
+        .withColumn("score", cosScore))
+    val scored = (fromBase, fromSide) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        throw new IllegalStateException("no probed partitions")
+    }
+    TopK.window(scored, k)
+  }
+
   /**
    * IVF x PREFIX — the production two-stage configuration a vector DB
    * ships with Matryoshka embeddings: the coarse quantizer prunes CELLS

@@ -241,6 +241,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SPLIT at-rest: pruned base + sidecar scans, rows equal in-memory") {
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, SplitFracNum,
+      SplitFracDen}
+    val emb = Tables.embeddings(spark, dir)
+    val df = graft.operators.Ivf.topkSplitAtRest(spark, dir, emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, SplitFracNum, SplitFracDen)
+    val plan = df.queryExecution.executedPlan.toString
+    // probed unsplit cells prune the base index scan; probed halves
+    // prune the sidecar's (cell, sub) partitions — rebalance rewrote
+    // only the hot cells, yet every read stays partition-pruned
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(plan).size
+    assert(pruned >= 1,
+      s"no cell partition filter on the split at-rest scans:\n$plan")
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Ivf.topkSplit(emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, SplitFracNum, SplitFracDen).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K,
+      "split at-rest serve diverged from the in-memory rebalanced serve")
+  }
+
   test("TRAINED-OPQ at-rest: code-only cheap scan, rows equal in-memory rung") {
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank}
     val emb = Tables.embeddings(spark, dir)
