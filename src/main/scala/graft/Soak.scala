@@ -353,6 +353,28 @@ object Soak {
       train.count()
     }
 
+    // ---- index init + maintenance at soak scale ------------------------
+    // the round-12 lifecycle stages run their PRODUCTION shapes on the
+    // full multi-million-row corpus: each farthest-first seeding round
+    // is ONE corpus scan against <= 7 literal pivots + a global
+    // TakeOrdered (k seeds in ceil((k-1)/L) scans — the k-means|| batch
+    // structure), and the occupancy-split model is one occupancy
+    // aggregate + one hot-cell argmax scan. All driver state stays
+    // bounded (seeds*d + 2*nCells*d values).
+    step("seed_and_split") {
+      val seeds = operators.Ivf.kmeansSeed(embSoak, 7, 3, dVec).collect()
+      require(seeds.length == 7 &&
+        seeds.map(_.getLong(2)).distinct.length == 7,
+        s"soak seeding: expected 7 distinct seeds, got ${seeds.length}")
+      val soakCells = 16
+      val stats = operators.Ivf.splitStats(embSoak, soakCells, dVec,
+        num = 1, den = 10).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      require(stats.map(_._3).sum == nVec,
+        s"split occupancies sum ${stats.map(_._3).sum} != corpus $nVec")
+      nVec
+    }
+
     val total = times.values.sum
     def jnum(d: Double) = f"$d%.3f"
     val qs = times.map { case (k, t) =>
