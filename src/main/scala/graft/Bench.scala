@@ -141,6 +141,10 @@ object Bench {
       graft.operators.Ivf.ensureSplitSidecar(spark, sfDir,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.SplitFracNum,
         SparkEntry.SplitFracDen)
+      graft.streaming.StreamOps.ensureStreamLayeredUpper(spark, sfDir,
+        SparkEntry.LayeredJ, SparkEntry.IvfCells, SparkEntry.EmbD,
+        SparkEntry.IvfProbe, SparkEntry.LayeredStride,
+        SparkEntry.LayeredLayers)
       graft.operators.Ivf.ensureLayeredUpper(spark, sfDir, SparkEntry.LayeredJ,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
         SparkEntry.LayeredStride, SparkEntry.LayeredLayers)

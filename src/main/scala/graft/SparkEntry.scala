@@ -1555,6 +1555,19 @@ object SparkEntry {
     // winning per node; drained graph hash-equal to the batch build
     "q_stream_knn_graph" -> q((s, dir) => graft.streaming.StreamOps
       .knnGraphOverStream(s, dir, KnnJ, IvfCells, EmbD, IvfProbe)),
+    // ... and the LAYERED search served off STREAM-MAINTAINED upper
+    // layers: per-microbatch per-layer affected-node repair (the
+    // ensureStreamKnnGraph discipline applied to each sparse level),
+    // latest version wins — drained, the layers equal the batch build,
+    // so the full HNSW-style query is hash-equal to its batch twin
+    "q_stream_ann_layered" -> q((s, dir) =>
+      graft.operators.Ivf.graphSearchLayered(emb(s, dir),
+        knnGraphAtRest(s, dir),
+        graft.streaming.StreamOps.layeredUpperOverStream(s, dir,
+          LayeredJ, IvfCells, EmbD, IvfProbe, LayeredStride,
+          LayeredLayers),
+        NQ, K, GraphBeam, LayeredRounds, LayeredUpperRounds,
+        LayeredUpperBeam, LayeredStride, LayeredLayers)),
     // STREAMING MODEL REFRESH (train -> serve -> MAINTAIN): every
     // microbatch retrains the coarse quantizer on the accumulated
     // corpus and appends the model under the batch version; the served
@@ -2066,6 +2079,11 @@ object SparkEntry {
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,
       IvfProbe, NQ, K, GraphBeam, GraphRounds),
     "q_ann_graph_layered" -> IvfOracle.layeredGraphSearchSql(EmbD, KnnJ,
+      LayeredJ, IvfCells, IvfProbe, NQ, K, GraphBeam, LayeredRounds,
+      LayeredUpperRounds, LayeredUpperBeam, LayeredStride, LayeredLayers),
+    // identical semantics off the stream-maintained upper layers
+    // (drained state equals the batch build) — same oracle
+    "q_stream_ann_layered" -> IvfOracle.layeredGraphSearchSql(EmbD, KnnJ,
       LayeredJ, IvfCells, IvfProbe, NQ, K, GraphBeam, LayeredRounds,
       LayeredUpperRounds, LayeredUpperBeam, LayeredStride, LayeredLayers),
     "q_semantic_clusters" -> IvfOracle.semanticClustersSql(EmbD, KnnJ,

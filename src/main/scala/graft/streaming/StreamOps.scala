@@ -734,6 +734,110 @@ object StreamOps {
     outDir.toString
   }
 
+  /**
+   * STREAM-MAINTAINED HNSW UPPER LAYERS — the maintenance story for the
+   * layered graph's sparse levels ([[graft.operators.Ivf.layeredUpper]]):
+   * embeddings drain through the same sharded file stream, and each
+   * microbatch repairs every layer independently — the arriving LAYER
+   * MEMBERS (vec_id % stride^l == 0, the deterministic level rule both
+   * the batch build and every executor agree on) plus the existing
+   * members whose probed cells intersect the arrivals' cells get their
+   * layer-l neighborhoods recomputed over the full accumulated
+   * membership. Exactly [[ensureStreamKnnGraph]]'s affected-node
+   * detection, applied per layer: the repair is a bounded probed-cell
+   * equi-join scoped to affected nodes, never an all-pairs rebuild, and
+   * the layer memberships shrink geometrically so the upper repairs
+   * cost 1/stride^l of the base one. Versioned append (layer, ..., b);
+   * latest batch wins per (layer, node).
+   */
+  def ensureStreamLayeredUpper(spark: SparkSession, sfDir: String, j: Int,
+                               nCells: Int, d: Int, nprobe: Int,
+                               stride: Int, layers: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val landing = ensureShardedEmbLanding(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_knnu_${safe}_j${j}_c${nCells}_d${d}_p${nprobe}" +
+        s"_s${stride}_l${layers}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "stream-knnu-")
+        val vecsDir = tmp.resolve("vecs").toString
+        val edgesDir = tmp.resolve("edges").toString
+        def readOr(path: String, empty: => org.apache.spark.sql.DataFrame) =
+          try spark.read.parquet(path)
+          catch { case _: org.apache.spark.sql.AnalysisException => empty }
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("label", IntegerType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            import org.apache.spark.sql.functions.{col, lit}
+            val arrivals = batch.select(col("vec_id"), col("embedding"))
+            val prev = readOr(vecsDir, arrivals.limit(0))
+            val all = prev.unionByName(arrivals)
+            for (l <- 1 to layers) {
+              val mod = math.pow(stride.toDouble, l.toDouble).toLong
+              val arrMem = arrivals.filter(col("vec_id") % mod === 0)
+              // cells receiving layer-l arrivals: bounded collect
+              val aCells = graft.operators.Ivf
+                .assign(arrMem, nCells, d).select(col("cell")).distinct()
+                .collect().map(_.getInt(0)).toSeq
+              val prevMem = prev.filter(col("vec_id") % mod === 0)
+                .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+              val affected =
+                if (aCells.isEmpty) prevMem.select(col("qid")).limit(0)
+                else graft.operators.Ivf
+                  .probePairs(prevMem, nCells, d, nprobe)
+                  .filter(col("cell").isin(aCells: _*))
+                  .select(col("qid")).distinct()
+              val nodes = arrMem
+                .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+                .unionByName(prevMem.join(affected, Seq("qid")))
+              val allMem = all.filter(col("vec_id") % mod === 0)
+              graft.operators.Ivf
+                .knnGraphFor(nodes, allMem, j, nCells, d, nprobe)
+                .withColumn("layer", lit(l))
+                .withColumn("b", lit(bid))
+                .write.mode("append").parquet(edgesDir)
+            }
+            arrivals.write.mode("append").parquet(vecsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream layered graph publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** The stream-maintained upper layers' CURRENT edges: latest batch
+    * wins per (layer, node). Hash-equal to the batch
+    * [[graft.operators.Ivf.layeredUpper]] once drained (spec-asserted),
+    * so the layered search runs off them unchanged. */
+  def layeredUpperOverStream(spark: SparkSession, sfDir: String, j: Int,
+                             nCells: Int, d: Int, nprobe: Int,
+                             stride: Int, layers: Int): DataFrame = {
+    val dir = ensureStreamLayeredUpper(spark, sfDir, j, nCells, d, nprobe,
+      stride, layers)
+    val edges = spark.read.parquet(s"$dir/edges")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("layer"), col("qid"))
+    edges.withColumn("bmax", max(col("b")).over(w))
+      .filter(col("b") === col("bmax"))
+      .select(col("layer"), col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** The stream-maintained graph's CURRENT edges: latest batch wins per
     * node (the superseded versions are compaction fodder, exactly like
     * the update-mode upsert-log sinks). Hash-equal to the batch

@@ -1091,6 +1091,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("stream-maintained layered upper matches the batch layers row-for-row") {
+    import graft.streaming.StreamOps
+    import SparkEntry.{IvfCells, EmbD, IvfProbe, LayeredJ, LayeredStride,
+      LayeredLayers}
+    val a = StreamOps.layeredUpperOverStream(spark, dir, LayeredJ, IvfCells,
+      EmbD, IvfProbe, LayeredStride, LayeredLayers)
+      .select("layer", "qid", "rank", "id", "score")
+      .collect().map(_.toSeq).toSet
+    val b = graft.operators.Ivf.layeredUpper(Tables.embeddings(spark, dir),
+      LayeredJ, IvfCells, EmbD, IvfProbe, LayeredStride, LayeredLayers)
+      .select("layer", "qid", "rank", "id", "score")
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b,
+      "drained stream upper layers diverged from the batch build")
+  }
+
   test("kmeans seed: farthest-first picks shrink across rounds, invariant") {
     import graft.operators.Ivf
     import SparkEntry.{EmbD, SeedN, SeedPerRound}
