@@ -797,6 +797,9 @@ object SparkEntry {
   final val StrataN = 20
   final val BpeTopN = 30
   final val BpeRounds = 4
+  // exact-substring dedup window: 5 tokens marks 71/500 sf0.01 docs —
+  // boilerplate spans without flagging every common trigram
+  final val SubstrW = 5
   final val KmeansIters = 2
   // batched farthest-first seeding (q_kmeans_seed): 7 seeds = min-id
   // start + 2 rounds of 3 far picks — ceil((k-1)/L) corpus scans
@@ -1193,6 +1196,16 @@ object SparkEntry {
     // collect — the model), apply it, repeat — the trained merge table
     "q_bpe_train" -> q((s, dir) =>
       TextOps.bpeTrain(docs(s, dir), BpeRounds)),
+    // ... and ENCODING with the trained tokenizer (the apply half of
+    // the lifecycle): merges applied over the distinct-word vocabulary,
+    // per-doc token counts via a broadcast word->count join
+    "q_bpe_encode" -> q((s, dir) =>
+      TextOps.bpeEncode(docs(s, dir), BpeRounds)),
+    // exact-substring (span-level) dedup, Lee-et-al-style: w-token
+    // windows occurring >= 2 times corpus-wide, per-doc merged-interval
+    // duplicated-token coverage
+    "q_substring_dedup" -> q((s, dir) =>
+      Dedup.substringDedup(docs(s, dir), SubstrW)),
     // temperature-flattened multilingual sampling (α = 0.5): per-lang
     // √n budgets, exact-count md5-keyed selection per language
     "q_temp_sample" -> q((s, dir) =>
@@ -1914,6 +1927,8 @@ object SparkEntry {
     "q_stratified_sample"  -> DocOracle.stratifiedSampleSql(StrataN),
     "q_bpe_merge"          -> DocOracle.bpeMergeSql(BpeTopN),
     "q_bpe_train"          -> DocOracle.bpeTrainSql(BpeRounds),
+    "q_bpe_encode"         -> DocOracle.bpeEncodeSql(BpeRounds),
+    "q_substring_dedup"    -> DocOracle.substringDedupSql(SubstrW),
     "q_temp_sample"        -> DocOracle.temperatureSampleSql(TempTotal),
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),

@@ -358,6 +358,73 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).as("un"), col("jaccard"))
   }
 
+  // ---- exact-substring (span-level) dedup ---------------------------------
+
+  /**
+   * EXACT-SUBSTRING deduplication statistics — span-level dedup in the
+   * style of Lee et al. 2022 ("Deduplicating Training Data Makes
+   * Language Models Better"), whose suffix-array duplication criterion
+   * is restated here over fixed-width token windows: a w-token window
+   * is DUPLICATED when its exact text occurs >= 2 times anywhere in
+   * the corpus (cross-document or within one document). Where
+   * [[ngramJaccardPairs]] scores document PAIRS, this scores the SPANS
+   * themselves — the operator that finds boilerplate headers, licence
+   * blocks, and copy-pasted passages a doc-level dedup never removes.
+   *
+   * Returns one row per document:
+   * (doc_id, n_toks, dup_starts, dup_tokens, dup_frac) where
+   * `dup_starts` counts duplicated window starts and `dup_tokens` is
+   * the size of the UNION of the duplicated windows (overlapping
+   * windows merged as intervals — not w * dup_starts), i.e. exactly
+   * the token count a span-removal pass would delete.
+   *
+   * Scale design: the position table is one map-side explode (corpus
+   * tokens read once); duplicate detection is ONE hash aggregate on
+   * the window text; marking is an equi-join on that same key — a
+   * SEMI join, so a window occurring f times contributes f rows
+   * (linear), never the f^2 of a pair join — and the interval union is
+   * a per-document running-max window whose partition is bounded by
+   * document length. No all-pairs product at any corpus size.
+   */
+  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, s"window width $w must be >= 2")
+    // split keeps empties on repeated separators — filter them so token
+    // positions match DuckDB's list_filter'd string_split
+    val toksC = filter(split(col("text"), " "), x => length(x) >= 1)
+    val d = docs.select(col("doc_id"), toksC.as("__toks"))
+      .withColumn("n_toks", size(col("__toks")))
+    val g = d.filter(col("n_toks") >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_toks") - w)).as("pos"), col("__toks"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          (0 until w).map(o => element_at(col("__toks"), col("pos") + o + 1)): _*)
+          .as("gram"))
+    // duplicated windows: the gram occurs >= 2 times corpus-wide. min/max
+    // over pre-combined partials would also work for the cross-doc-only
+    // variant; the >= 2 occurrence count matches the suffix-array rule.
+    val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2).select(col("gram"))
+    val m = g.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+    // interval union per doc: a start contributes the part of
+    // [pos, pos+w) past the running max end of all earlier windows
+    val winPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cover = greatest(lit(0), col("pos") + w -
+      greatest(coalesce(max(col("pos") + w).over(winPrev), lit(0)), col("pos")))
+    val agg = m.withColumn("__cover", cover)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_starts"),
+        sum(col("__cover")).cast("long").as("dup_tokens"))
+    d.select(col("doc_id"), col("n_toks").cast("long").as("n_toks"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_toks"))
+          .as("dup_frac"))
+  }
+
   // ---- decontamination ---------------------------------------------------
 
   /**

@@ -364,6 +364,51 @@ object TextOps {
   }
 
   /**
+   * ENCODE the corpus with a TRAINED BPE tokenizer — the apply half of
+   * the [[bpeTrain]] lifecycle (train -> encode), i.e. what an LLM
+   * data pipeline runs over every document once the merge table is
+   * frozen. Per document: whitespace words are ·-symbolized exactly as
+   * in training and the trained merges applied in ranked order; the
+   * document's token count under the trained vocabulary is the sum of
+   * its words' post-merge symbol counts. Returns one row per document
+   * with >= 1 encodable word:
+   * (doc_id, n_words, bpe_tokens, tokens_per_word).
+   *
+   * Scale design: the merge chain applies over the DISTINCT WORD
+   * VOCABULARY only (bounded — ~millions of types at 100 TB), never
+   * the corpus: encode is |vocab| * rounds literal replaces, and the
+   * per-document roll-up is a broadcast join of the (word -> token
+   * count) table onto the exploded corpus — corpus bytes are read
+   * once, with one map-side-combined aggregate per document. This is
+   * the precompute-the-word-encodings structure fast tokenizers use.
+   * Words containing the separator are excluded on both sides, as in
+   * training.
+   */
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val sep = "·"
+    // the trained model: `rounds` merge pairs — a bounded collect
+    val merges = bpeTrain(docs, rounds).orderBy(col("round")).collect()
+      .map(_.getString(1))
+    val chars = filter(split(col("w"), ""), x => x =!= lit(""))
+    val words = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains(sep))
+    val vocab0 = words.select(col("w")).distinct()
+      .withColumn("sym", concat_ws(sep, chars))
+    val encoded = merges.foldLeft(vocab0) { (v, pair) =>
+      val padded = concat(lit(sep), col("sym"), lit(sep))
+      val replaced = call_function("replace", padded,
+        lit(sep + pair + sep), lit(sep + pair.replace(sep, "") + sep))
+      v.withColumn("sym", replaced.substr(lit(2), length(replaced) - 2))
+    }.select(col("w"), size(split(col("sym"), sep)).cast("long").as("n_sym"))
+    words.join(broadcast(encoded), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("bpe_tokens"))
+      .withColumn("tokens_per_word",
+        col("bpe_tokens").cast("double") / col("n_words"))
+  }
+
+  /**
    * Temperature-flattened MULTILINGUAL SAMPLING (the mT5/XLM-R α-
    * smoothing, α = 0.5): per-language budgets take_l = floor(total ·
    * √n_l / Σ√n_l) — up-weighting low-resource languages relative to

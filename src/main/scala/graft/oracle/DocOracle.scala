@@ -353,6 +353,93 @@ object DocOracle {
     sb.toString
   }
 
+  /** Twin of [[graft.operators.Dedup.substringDedup]]: fixed-width
+    * token windows with positions (unnest(range) — empty when the doc
+    * is shorter than w), the >= 2-occurrence duplicate rule as one
+    * aggregate, the semi-join mark, and the same running-max interval
+    * union (a start covers the part of [pos, pos+w) past the max end
+    * of all earlier duplicated windows in the doc). Integer token
+    * arithmetic throughout; the one division is BIGINT -> DOUBLE on
+    * both engines. */
+  def substringDedupSql(w: Int): String = {
+    val gram = (0 until w)
+      .map(o => s"s[CAST(pos+$o+1 AS INTEGER)]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> length(x) >= 1) AS s
+       |  FROM documents),
+       |d AS (SELECT doc_id, len(s) AS n_toks, s FROM t),
+       |p AS (SELECT doc_id, unnest(range(0, n_toks - $w + 1)) AS pos, s
+       |  FROM d WHERE n_toks >= $w),
+       |g AS MATERIALIZED (SELECT doc_id, pos, $gram AS gram FROM p),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |c AS (SELECT doc_id,
+       |    greatest(0, pos + $w - greatest(coalesce(max(pos + $w) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos))
+       |    AS cover
+       |  FROM m),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_starts,
+       |    CAST(SUM(cover) AS BIGINT) AS dup_tokens
+       |  FROM c GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(d.n_toks AS BIGINT) AS n_toks,
+       |  coalesce(agg.dup_starts, 0) AS dup_starts,
+       |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+       |  CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE) / d.n_toks AS dup_frac
+       |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
+  /** Twin of [[graft.operators.TextOps.bpeEncode]]: the training chain
+    * of [[bpeTrainSql]] re-derived verbatim (wf/pc/m per round — the
+    * chooser re-derives the model), plus a parallel voc_r chain that
+    * applies each round's merge to the DISTINCT-WORD vocabulary, then
+    * the per-document roll-up joining exploded words to their encoded
+    * symbol counts. */
+  def bpeEncodeSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wf0 AS MATERIALIZED (
+        |  SELECT array_to_string(string_split(w, ''), '·') AS sym,
+        |    COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 1 AND w NOT LIKE '%·%'
+        |  GROUP BY 1),
+        |voc0 AS MATERIALIZED (
+        |  SELECT w, array_to_string(string_split(w, ''), '·') AS sym
+        |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 1 AND w NOT LIKE '%·%')""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS (SELECT s, freq, unnest(range(1, len(s))) AS i FROM
+        |    (SELECT string_split(sym, '·') AS s, freq FROM wf${r - 1}
+        |     WHERE len(string_split(sym, '·')) >= 2)),
+        |pc$r AS (SELECT s[CAST(i AS INTEGER)] || '·' || s[CAST(i AS INTEGER) + 1] AS pair,
+        |    CAST(SUM(freq) AS BIGINT) AS n FROM p$r GROUP BY 1),
+        |m$r AS MATERIALIZED (SELECT $r AS round, pair, n FROM pc$r
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |wf$r AS MATERIALIZED (SELECT substr(rp, 2, length(rp) - 2) AS sym, freq FROM (
+        |    SELECT replace('·' || w.sym || '·', '·' || m.pair || '·',
+        |      '·' || replace(m.pair, '·', '') || '·') AS rp, w.freq
+        |    FROM wf${r - 1} w CROSS JOIN m$r m)),
+        |voc$r AS MATERIALIZED (SELECT w, substr(rp, 2, length(rp) - 2) AS sym FROM (
+        |    SELECT v.w, replace('·' || v.sym || '·', '·' || m.pair || '·',
+        |      '·' || replace(m.pair, '·', '') || '·') AS rp
+        |    FROM voc${r - 1} v CROSS JOIN m$r m))""".stripMargin)
+    }
+    sb.append(s""",
+      |enc AS (SELECT w, CAST(len(string_split(sym, '·')) AS BIGINT) AS n_sym
+      |  FROM voc$rounds),
+      |dw AS (SELECT doc_id, w FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1 AND w NOT LIKE '%·%')
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_sym) AS BIGINT) AS bpe_tokens,
+      |  CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS tokens_per_word
+      |FROM dw JOIN enc USING (w) GROUP BY doc_id""".stripMargin)
+    sb.toString
+  }
+
   /** Twin of [[graft.operators.TextOps.temperatureSample]]: α = 0.5
     * temperature weights (√n, correctly rounded in both engines), the
     * Σ√n fold in lang order via ordered list_reduce (matching the

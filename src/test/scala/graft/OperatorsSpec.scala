@@ -1479,6 +1479,96 @@ class OperatorsSpec extends AnyFunSuite {
       (top1.getString(0), top1.getLong(1)))
   }
 
+  test("bpe encode: trained-tokenizer token counts match a reference encoder") {
+    import graft.operators.{TextOps, Dedup}
+    val docs = Tables.documents(spark, dir)
+    val got = TextOps.bpeEncode(docs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: the spec'd pure-Scala trainer re-run to 4 merges, then
+    // each word encoded by the same padded-replace chain
+    var wf = docs.select(explode(Dedup.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("·"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0).toSeq.mkString("·") -> r.getLong(1)).toMap
+    val merges = (1 to 4).map { _ =>
+      val counts = scala.collection.mutable.Map[String, Long]()
+      wf.foreach { case (sym, f) =>
+        val s = sym.split('·')
+        (0 until s.length - 1).foreach { i =>
+          val p = s(i) + "·" + s(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (pair, _) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      wf = wf.map { case (sym, f) =>
+        val rp = ("·" + sym + "·").replace("·" + pair + "·",
+          "·" + pair.replace("·", "") + "·")
+        rp.substring(1, rp.length - 1) -> f
+      }
+      pair
+    }
+    def encodeWord(w: String): Int = {
+      var sym = w.toSeq.mkString("·")
+      merges.foreach { pair =>
+        val rp = ("·" + sym + "·").replace("·" + pair + "·",
+          "·" + pair.replace("·", "") + "·")
+        sym = rp.substring(1, rp.length - 1)
+      }
+      sym.split('·').length
+    }
+    val expect = docs.select(col("doc_id"), col("text")).collect().flatMap { r =>
+      val ws = r.getString(1).split(' ').filter(w => w.nonEmpty && !w.contains("·"))
+      if (ws.isEmpty) None
+      else Some(r.getLong(0) -> (ws.length.toLong, ws.map(encodeWord).map(_.toLong).sum))
+    }.toMap
+    assert(got == expect, "per-doc (n_words, bpe_tokens) diverge from reference")
+    // merges only ever shrink token counts: rounds=0 encodes chars 1:1
+    val raw = TextOps.bpeEncode(docs, 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (nw, bt)) =>
+      assert(bt >= nw && bt <= raw(id),
+        s"doc $id: tokens $bt outside [n_words $nw, char count ${raw(id)}]")
+    }
+  }
+
+  test("substring dedup: span marking, interval union, partition invariance") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                   // unique — no dup window
+      (2L, "x1 x2 x3 x4 x5 q r s"),              // shares one 5-window with 3
+      (3L, "p x1 x2 x3 x4 x5 t"),
+      (4L, "y1 y2 y3 y4 y5 y6"),                 // 4 == 5: two OVERLAPPING
+      (5L, "y1 y2 y3 y4 y5 y6"),                 //   windows -> union 6, not 10
+      (6L, "z1 z2 z3 z4 z5 m z1 z2 z3 z4 z5"),   // WITHIN-doc repeat
+      (7L, "u v")                                // shorter than w
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((8L, 0L, 0L)))
+    assert(got(2L) == ((8L, 1L, 5L)))
+    assert(got(3L) == ((7L, 1L, 5L)))
+    assert(got(4L) == ((6L, 2L, 6L)), "overlapping windows must merge")
+    assert(got(5L) == ((6L, 2L, 6L)))
+    assert(got(6L) == ((11L, 2L, 10L)), "within-doc repeats count")
+    assert(got(7L) == ((2L, 0L, 0L)), "short docs report zero, not vanish")
+    val again = Dedup.substringDedup(docs.repartition(7), 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(again == got, "result must be partitioning-invariant")
+    // fixture-level sanity: coverage bounded by doc length and w*starts
+    val fx = Dedup.substringDedup(Tables.documents(spark, dir), 5).collect()
+    assert(fx.length == Tables.documents(spark, dir).count())
+    fx.foreach { r =>
+      val (n, s, t) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t <= n && t <= s * 5 && (s == 0L || t >= 5L),
+        s"doc ${r.getLong(0)}: coverage ($s starts, $t toks, $n len) out of bounds")
+      assert(math.abs(r.getDouble(4) - t.toDouble / n) == 0.0)
+    }
+    assert(fx.exists(_.getLong(2) > 0), "fixture corpus must contain dup spans")
+  }
+
   test("temperature sampling: exact per-lang budgets, flattens the lang skew") {
     import graft.operators.TextOps
     import SparkEntry.TempTotal
