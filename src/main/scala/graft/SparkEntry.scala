@@ -758,6 +758,8 @@ object SparkEntry {
   final val PqM = 8
   final val PqCodes = 16
   final val PqRerank = 30
+  // sharded index build (q_ann_ivf_pq_sharded): 3 slices by id mod
+  final val PqShards = 3
   // binary quantization: one 64-bit sign word per vector, Hamming cheap
   // rank; deeper rerank than SQ8/PQ (1-bit codes are the coarsest rung)
   final val BqRerank = 60
@@ -1395,6 +1397,14 @@ object SparkEntry {
     "q_ann_ivf_pq_at_rest" -> q((s, dir) => graft.operators.Pq.topkAtRest(
       s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
       PqRerank)),
+    // DISTRIBUTED INDEX BUILD: each shard encodes its own slice into its
+    // own cell-partitioned layout, shards merge at rest as pure file
+    // moves (no row decoded), queries serve off the merged layout —
+    // hash-equal to the whole-corpus build q_ann_ivf_pq
+    "q_ann_ivf_pq_sharded" -> q((s, dir) => graft.operators.Pq.topkOffCodes(
+      s, graft.operators.Pq.ensureMergedShardsFixture(s, dir, IvfCells, EmbD,
+        PqM, PqCodes, PqShards),
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // the full index lifecycle COMPOSED: train codebooks, persist the
     // TRAINED codes cell-partitioned, serve off the layout — hash-equal
     // to the in-memory trained rung q_ann_ivf_pq_trained (training is
@@ -2018,6 +2028,10 @@ object SparkEntry {
       EmbSq4ScaleLog2, Sq4Rerank),
     "q_ann_ivf_pq" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe,
       PqM, PqCodes, PqRerank),
+    // the shard-merged layout holds exactly the whole-corpus build's
+    // rows (encode is per-vector deterministic) — same oracle
+    "q_ann_ivf_pq_sharded" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_ivf_pq_res" -> PqOracle.topkResidualSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq; only the physical path (code

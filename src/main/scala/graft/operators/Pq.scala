@@ -490,6 +490,73 @@ object Pq {
     dst.toString
   }
 
+  /**
+   * DISTRIBUTED INDEX BUILD BY SHARD MERGE — how a 100 TB index is
+   * actually built: each ingest shard encodes ITS OWN slice of the
+   * corpus with the shared codebooks and writes its own self-contained
+   * cell-partitioned codes layout; the shards then merge AT REST as a
+   * pure FILE operation — every part file moves under the merged
+   * layout's matching cell directory, no row decoded, no compute job
+   * (in an object store this is a metadata-only rename per file).
+   * Encode is per-vector deterministic, so the merged layout holds
+   * exactly the rows of a whole-corpus build and every query off it is
+   * hash-equal; [[compactCodesLayout]] is the follow-up OPTIMIZE if
+   * many small shards leave many small files.
+   *
+   * Shard s holds the ids with id % nShards == s. Returns the merged
+   * layout path (immutable version-named dir, atomic publish).
+   */
+  def ensureMergedShardsFixture(spark: SparkSession, sfDir: String,
+                                nCells: Int, d: Int, mSub: Int, codes: Int,
+                                nShards: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(nShards >= 2, s"shard merge needs >= 2 shards, got $nShards")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqmerged_v${CodesLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_m${mSub}_k${codes}_s${nShards}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(base.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(base.getParent, "pqmerged-")
+      val lang = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("id"), col("lang"))
+      // 1. per-shard encode + write: each shard is a complete layout of
+      //    its slice (at scale these builds run on different days /
+      //    clusters; nothing here sees another shard's rows)
+      (0 until nShards).foreach { sh =>
+        encodeCodes(graft.Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") % nShards === sh), nCells, d, mSub, codes)
+          .join(lang, Seq("id"), "left")
+          .sortWithinPartitions(col("id"))
+          .write.mode("overwrite").partitionBy("cell")
+          .option("compression", "zstd")
+          .parquet(tmp.resolve(s"shard_$sh").toString)
+      }
+      // 2. the merge itself: file moves into merged/cell=X/, prefixed by
+      //    shard so names can't collide — bytes untouched
+      val merged = tmp.resolve("merged")
+      Files.createDirectories(merged)
+      (0 until nShards).foreach { sh =>
+        val shardDir = tmp.resolve(s"shard_$sh").toFile
+        shardDir.listFiles.filter(_.getName.startsWith("cell=")).foreach { cd =>
+          val dst = merged.resolve(cd.getName)
+          Files.createDirectories(dst)
+          cd.listFiles.filter(_.getName.endsWith(".parquet")).foreach { p =>
+            Files.move(p.toPath, dst.resolve(s"shard${sh}_${p.getName}"))
+          }
+        }
+      }
+      Files.createFile(merged.resolve("_SUCCESS"))
+      try {
+        Files.move(merged, base)
+        graft.sources.VecFiles.deleteRecursively(tmp)
+      } catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(base.resolve("_SUCCESS")),
+        s"shard merge publish failed: $base")
+    }
+    base.toString
+  }
+
   /** [[topkAtRest]] off an EXPLICIT codes layout path — the query half,
     * shared with the streaming-maintained layout
     * ([[graft.streaming.StreamOps.pqOverStream]]). */

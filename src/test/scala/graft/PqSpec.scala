@@ -129,6 +129,38 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("shard-merged codes layout: file-level merge, rows equal the whole-corpus build") {
+    import SparkEntry.PqShards
+    val mergedPath = Pq.ensureMergedShardsFixture(spark, dir, IvfCells, EmbD,
+      PqM, PqCodes, PqShards)
+    // the merge is a FILE operation: parts from >= 2 distinct shards
+    // coexist under the cell directories, bytes untouched
+    val shardsSeen = new java.io.File(mergedPath).listFiles
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles)
+      .map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.takeWhile(_ != '_')).distinct.sorted
+    assert(shardsSeen.length >= 2,
+      s"merged layout must carry parts from >= 2 shards, saw $shardsSeen")
+    // row-identical to the whole-corpus build (encode is deterministic)
+    val whole = Pq.ensureCodesFixture(spark, dir, IvfCells, EmbD, PqM, PqCodes)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("cell"), col("code"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows(mergedPath).toSeq == rows(whole).toSeq,
+      "shard-merged layout diverges from the whole-corpus build")
+    // ... and the query off it equals the in-memory rung
+    val got = Pq.topkOffCodes(spark, mergedPath, emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"), r.getAs[Double]("score"))).sortBy(x => (x._1, x._2))
+    val mem = Pq.topk(emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+      PqRerank).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"), r.getAs[Double]("score"))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == mem.toSeq, "query off merged layout diverges")
+  }
+
   test("stream-maintained PQ codes layout equals the batch rung") {
     val a = graft.streaming.StreamOps.pqOverStream(spark, dir, emb,
       NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
