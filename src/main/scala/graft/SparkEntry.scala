@@ -1208,6 +1208,11 @@ object SparkEntry {
     // duplicated-token coverage
     "q_substring_dedup" -> q((s, dir) =>
       Dedup.substringDedup(docs(s, dir), SubstrW)),
+    // ... and the span-removal CLEAN itself: every duplicated window
+    // deleted everywhere but its canonical min-(doc_id,pos) occurrence —
+    // the cleaned corpus text is the hash-checked artifact
+    "q_substring_clean" -> q((s, dir) =>
+      Dedup.substringClean(docs(s, dir), SubstrW)),
     // temperature-flattened multilingual sampling (α = 0.5): per-lang
     // √n budgets, exact-count md5-keyed selection per language
     "q_temp_sample" -> q((s, dir) =>
@@ -1939,6 +1944,7 @@ object SparkEntry {
     "q_bpe_train"          -> DocOracle.bpeTrainSql(BpeRounds),
     "q_bpe_encode"         -> DocOracle.bpeEncodeSql(BpeRounds),
     "q_substring_dedup"    -> DocOracle.substringDedupSql(SubstrW),
+    "q_substring_clean"    -> DocOracle.substringCleanSql(SubstrW),
     "q_temp_sample"        -> DocOracle.temperatureSampleSql(TempTotal),
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),

@@ -386,10 +386,11 @@ object Dedup {
    * a per-document running-max window whose partition is bounded by
    * document length. No all-pairs product at any corpus size.
    */
-  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
-    require(w >= 2, s"window width $w must be >= 2")
-    // split keeps empties on repeated separators — filter them so token
-    // positions match DuckDB's list_filter'd string_split
+  /** (docs with token arrays, w-window position table) shared by the
+    * span statistics and the span-removal clean. split keeps empties on
+    * repeated separators — filtered so token positions match DuckDB's
+    * list_filter'd string_split. */
+  private def windowTable(docs: DataFrame, w: Int): (DataFrame, DataFrame) = {
     val toksC = filter(split(col("text"), " "), x => length(x) >= 1)
     val d = docs.select(col("doc_id"), toksC.as("__toks"))
       .withColumn("n_toks", size(col("__toks")))
@@ -400,6 +401,12 @@ object Dedup {
         concat_ws(" ",
           (0 until w).map(o => element_at(col("__toks"), col("pos") + o + 1)): _*)
           .as("gram"))
+    (d, g)
+  }
+
+  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, s"window width $w must be >= 2")
+    val (d, g) = windowTable(docs, w)
     // duplicated windows: the gram occurs >= 2 times corpus-wide. min/max
     // over pre-combined partials would also work for the cross-doc-only
     // variant; the >= 2 occurrence count matches the suffix-array rule.
@@ -423,6 +430,48 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_toks"))
           .as("dup_frac"))
+  }
+
+  /**
+   * EXACT-SUBSTRING span-removal CLEAN — the output half of Lee et al.
+   * 2022's dedup: every duplicated w-token window is removed from every
+   * occurrence EXCEPT its canonical first (the min-(doc_id, pos)
+   * occurrence keeps the text, so no content is lost from the corpus —
+   * their keep-one-copy rule). Returns one row per document:
+   * (doc_id, n_toks, removed_tokens, kept_text) where kept_text is the
+   * document with the non-canonical duplicated spans' token coverage
+   * deleted (token-rebuilt: single-space joined).
+   *
+   * Scale design: same bounded shapes as [[substringDedup]] — one hash
+   * window over the gram key ranks occurrences (count + row_number in
+   * one shuffle), removal starts aggregate to ONE array per document
+   * (bounded by the document's own length — no cross-document state),
+   * and the span deletion is a pure map-side higher-order-function
+   * rewrite of the token array.
+   */
+  def substringClean(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, s"window width $w must be >= 2")
+    val (d, g) = windowTable(docs, w)
+    val wg = Window.partitionBy(col("gram"))
+    val ranked = g
+      .withColumn("__occ", count(lit(1)).over(wg))
+      .withColumn("__rn", row_number().over(
+        wg.orderBy(col("doc_id"), col("pos"))))
+    val rm = ranked.filter(col("__occ") >= 2 && col("__rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    val keptToks = filter(
+      transform(sequence(lit(0), col("n_toks") - 1), i =>
+        when(exists(col("__starts"), p => p <= i && i < p + w), lit(null))
+          .otherwise(element_at(col("__toks"), i + 1))),
+      x => x.isNotNull)
+    d.join(rm, Seq("doc_id"), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", keptToks)
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        (col("n_toks") - size(col("__kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("__kept")).as("kept_text"))
   }
 
   // ---- decontamination ---------------------------------------------------

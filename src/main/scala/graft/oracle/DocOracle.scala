@@ -389,6 +389,43 @@ object DocOracle {
        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  /** Twin of [[graft.operators.Dedup.substringClean]]: the same window
+    * table, occurrences ranked per gram by (doc_id, pos) — rank 1 is
+    * the canonical keeper — removal starts gathered to one ordered
+    * list per doc, and the span deletion as the same nested
+    * list_transform/list_filter rewrite of the token array. */
+  def substringCleanSql(w: Int): String = {
+    val gram = (0 until w)
+      .map(o => s"s[CAST(pos+$o+1 AS INTEGER)]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> length(x) >= 1) AS s
+       |  FROM documents),
+       |d AS (SELECT doc_id, len(s) AS n_toks, s FROM t),
+       |p AS (SELECT doc_id, unnest(range(0, n_toks - $w + 1)) AS pos, s
+       |  FROM d WHERE n_toks >= $w),
+       |g AS MATERIALIZED (SELECT doc_id, pos, $gram AS gram FROM p),
+       |o AS (SELECT doc_id, pos,
+       |    COUNT(*) OVER (PARTITION BY gram) AS occ,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM g),
+       |rm AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+       |  FROM o WHERE occ >= 2 AND rn > 1 GROUP BY doc_id),
+       |c AS (SELECT d.doc_id, d.n_toks, d.s,
+       |    coalesce(rm.starts, CAST([] AS BIGINT[])) AS starts
+       |  FROM d LEFT JOIN rm USING (doc_id)),
+       |k AS (SELECT doc_id, n_toks, list_filter(
+       |    list_transform(range(0, n_toks), i -> CASE
+       |      WHEN len(list_filter(starts, q -> q <= i AND i < q + $w)) > 0
+       |      THEN NULL ELSE s[CAST(i + 1 AS INTEGER)] END),
+       |    x -> x IS NOT NULL) AS kept FROM c)
+       |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       |  CAST(n_toks - len(kept) AS BIGINT) AS removed_tokens,
+       |  -- array_to_string([]) is NULL in DuckDB; the engine's concat_ws
+       |  -- of an empty array is '' — align on ''
+       |  coalesce(array_to_string(kept, ' '), '') AS kept_text
+       |FROM k""".stripMargin
+  }
+
   /** Twin of [[graft.operators.TextOps.bpeEncode]]: the training chain
     * of [[bpeTrainSql]] re-derived verbatim (wf/pc/m per round — the
     * chooser re-derives the model), plus a parallel voc_r chain that

@@ -1569,6 +1569,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fx.exists(_.getLong(2) > 0), "fixture corpus must contain dup spans")
   }
 
+  test("substring clean: keeps the canonical occurrence, removes the rest") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "x1 x2 x3 x4 x5 q r s"),              // keeper (smaller doc_id)
+      (3L, "p x1 x2 x3 x4 x5 t"),                // loses the shared span
+      (4L, "y1 y2 y3 y4 y5 y6"),                 // keeper of both windows
+      (5L, "y1 y2 y3 y4 y5 y6"),                 // fully removed
+      (6L, "z1 z2 z3 z4 z5 m z1 z2 z3 z4 z5")    // within-doc: 2nd copy goes
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringClean(docs, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(2L) == ((0L, "x1 x2 x3 x4 x5 q r s")))
+    assert(got(3L) == ((5L, "p t")))
+    assert(got(4L) == ((0L, "y1 y2 y3 y4 y5 y6")))
+    assert(got(5L) == ((6L, "")), "non-canonical exact dup must empty out")
+    assert(got(6L) == ((5L, "z1 z2 z3 z4 z5 m")), "within-doc 2nd copy removed")
+    // the keep-one-copy guarantee on the fixture corpus: total removed ==
+    // sum over docs, and every doc's removal is within its dup coverage
+    val fxDocs = Tables.documents(spark, dir)
+    val stats = Dedup.substringDedup(fxDocs, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val cleaned = Dedup.substringClean(fxDocs, 5).collect()
+    assert(cleaned.length == stats.size)
+    cleaned.foreach { r =>
+      val (id, n, rem) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(rem <= stats(id),
+        s"doc $id removes $rem > its dup coverage ${stats(id)}")
+      assert(r.getString(3).split(' ').count(_.nonEmpty) == n - rem)
+    }
+    // some doc keeps a span another doc loses (the canonical rule bites)
+    assert(cleaned.exists(r => r.getLong(2) > 0 && r.getLong(2) < stats(r.getLong(0)))
+      || cleaned.exists(r => r.getLong(2) == 0 && stats(r.getLong(0)) > 0),
+      "no keeper observed on the fixture")
+  }
+
   test("temperature sampling: exact per-lang budgets, flattens the lang skew") {
     import graft.operators.TextOps
     import SparkEntry.TempTotal
