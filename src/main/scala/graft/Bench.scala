@@ -152,6 +152,9 @@ object Bench {
         SparkEntry.EmbD, SparkEntry.PrefixD)
       graft.streaming.StreamOps.ensureStreamLloydModels(spark, sfDir,
         SparkEntry.IvfCells, SparkEntry.EmbD)
+      graft.operators.Pq.ensureMergedShardsFixture(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes, SparkEntry.PqShards)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the
@@ -267,11 +270,15 @@ object Bench {
     // the driver's bench wall: the walk stops at the deadline and
     // reports what it skipped. The rider's own wall is NOT part of
     // "value" — that stays the concurrent-phase wall.
+    // membership tracks the CURRENT heaviest rows without a quiet twin:
+    // r12 swapped in q_stream_refine (22.4 s concurrent) and
+    // q_ann_ivf_pq_trained (13.7) for q_ann_cascade_at_rest /
+    // q_topk_cos_binsrc, both cleared twice (0.7 / 3.5 s pinned)
     val pinnedDefault =
       "q_refine_metrics,q_refine_cos_l2,q_refine_l2_sym,q_refine_int8," +
         "q_kernel_hoeff,q_refine_disagg,q_ann_ivf_pq_res_d1024," +
-        "q_corpus_clean,q_topk_cos_vecsrc,q_topk_cos_binsrc," +
-        "q_ann_cascade_at_rest,q_kmeans_converge"
+        "q_corpus_clean,q_topk_cos_vecsrc,q_stream_refine," +
+        "q_ann_ivf_pq_trained,q_kmeans_converge"
     val pinBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIN_BUDGET",
       "120").toInt
     val pinnedNames = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_PIN",
