@@ -1837,6 +1837,11 @@ object SparkEntry {
     // upsert log; equals the batch exact dedup, same oracle
     "q_stream_dedup" -> q((s, dir) =>
       graft.streaming.StreamOps.streamDedupOnce(s, dir)),
+    // ... and the SPAN-level ingestion twin: per-gram occurrence counts
+    // merged across microbatches are the substring-dedup state; coverage
+    // served off the drained state equals the batch op, same oracle
+    "q_stream_substring_dedup" -> q((s, dir) =>
+      graft.streaming.StreamOps.streamSubstringDedupOnce(s, dir, SubstrW)),
     // bucketed (pre-partitioned) layout: equi-join with no exchange on
     // either side (PlanSpec asserts the plan shape)
     "q_bucketed_join" -> q((s, dir) =>
@@ -1945,6 +1950,7 @@ object SparkEntry {
     "q_bpe_encode"         -> DocOracle.bpeEncodeSql(BpeRounds),
     "q_substring_dedup"    -> DocOracle.substringDedupSql(SubstrW),
     "q_substring_clean"    -> DocOracle.substringCleanSql(SubstrW),
+    "q_stream_substring_dedup" -> DocOracle.substringDedupSql(SubstrW),
     "q_temp_sample"        -> DocOracle.temperatureSampleSql(TempTotal),
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),

@@ -406,12 +406,21 @@ object Dedup {
 
   def substringDedup(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 2, s"window width $w must be >= 2")
-    val (d, g) = windowTable(docs, w)
+    val (_, g) = windowTable(docs, w)
     // duplicated windows: the gram occurs >= 2 times corpus-wide. min/max
     // over pre-combined partials would also work for the cross-doc-only
     // variant; the >= 2 occurrence count matches the suffix-array rule.
     val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2).select(col("gram"))
+    coverageOffDups(docs, w, dup)
+  }
+
+  /** [[substringDedup]]'s coverage pass against an EXPLICIT duplicated-
+    * gram set — shared with the stream-maintained gram-count state
+    * ([[graft.streaming.StreamOps.streamSubstringDedupOnce]]). */
+  private[graft] def coverageOffDups(docs: DataFrame, w: Int,
+                                     dup: DataFrame): DataFrame = {
+    val (d, g) = windowTable(docs, w)
     val m = g.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
     // interval union per doc: a start contributes the part of
     // [pos, pos+w) past the running max end of all earlier windows

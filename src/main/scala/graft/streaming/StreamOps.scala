@@ -299,6 +299,50 @@ object StreamOps {
       }, schema)
   }
 
+  /** Streaming SUBSTRING-dedup state: the ingestion-time analog of
+    * [[graft.operators.Dedup.substringDedup]]. Documents arrive as an
+    * append stream; each microbatch explodes its w-token windows
+    * statelessly and the running (gram -> occurrence count) aggregate —
+    * the span-dedup state itself — merges incrementally across
+    * microbatches into the update-mode upsert log (duplicate spans
+    * whose occurrences land in different triggers must collapse through
+    * the state store, not within one batch). With the stream drained,
+    * the per-document coverage served OFF the state equals the batch
+    * operator row-for-row, so it shares `q_substring_dedup`'s oracle.
+    *
+    * Scale: state is one row per distinct window text, hash-partitioned
+    * by the state store (the [[streamDedupOnce]] caveat: RocksDB
+    * provider + TTL policy at corpus scale); counts are
+    * order-insensitive, so the result is arrival-order-invariant. */
+  def streamSubstringDedupOnce(spark: SparkSession, sfDir: String,
+                               w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val landing = ensureShardedDocsLanding(spark, sfDir)
+    val docs = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val toksC = filter(split(col("text"), " "), x => length(x) >= 1)
+    val grams = docs.select(toksC.as("__toks"))
+      .withColumn("n_toks", size(col("__toks")))
+      .filter(col("n_toks") >= w)
+      .select(explode(sequence(lit(0), col("n_toks") - w)).as("pos"),
+        col("__toks"))
+      .select(concat_ws(" ", (0 until w).map(o =>
+        element_at(col("__toks"), col("pos") + o + 1)): _*).as("gram"))
+    val schema = StructType(Seq(
+      StructField("gram", StringType), StructField("occ", LongType)))
+    val state = drainUpsertLog(spark,
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("occ")),
+      log => {
+        val wnd = Window.partitionBy(col("gram")).orderBy(col("batch_id").desc)
+        log.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
+          .select(col("gram"), col("occ"))
+      }, schema)
+    graft.operators.Dedup.coverageOffDups(
+      graft.Tables.documents(spark, sfDir), w,
+      state.filter(col("occ") >= 2).select(col("gram")))
+  }
+
   /** Stage `documents` as a MULTI-FILE landing (4 parts): the fixture is
     * a single parquet file, which would drain as one microbatch and never
     * exercise cross-batch state merging — sharding the landing makes

@@ -1569,6 +1569,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fx.exists(_.getLong(2) > 0), "fixture corpus must contain dup spans")
   }
 
+  test("stream-maintained substring-dedup state equals the batch operator") {
+    import graft.operators.Dedup
+    val fxDocs = Tables.documents(spark, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val batch = Dedup.substringDedup(fxDocs, 5).collect().map(key).toMap
+    val streamed = graft.streaming.StreamOps
+      .streamSubstringDedupOnce(spark, dir, 5).collect().map(key).toMap
+    assert(streamed == batch,
+      "drained stream state diverges from the batch substring dedup")
+    // the landing is multi-file, so duplicate spans genuinely merged
+    // across microbatches (one file per trigger)
+    val landing = new java.io.File(
+      graft.streaming.StreamOps.ensureShardedDocsLanding(spark, dir))
+    assert(landing.listFiles.count(_.getName.endsWith(".parquet")) >= 2)
+  }
+
   test("substring clean: keeps the canonical occurrence, removes the rest") {
     import graft.operators.Dedup
     import spark.implicits._
