@@ -119,6 +119,22 @@ object Soak {
       operators.Dedup.ngramJaccardPairs(big, SparkEntry.JaccardN,
         SparkEntry.MinJaccard, SparkEntry.MaxGramDf).count()
     }
+    step("substring_dedup") {
+      // span-level dedup over the flooded corpus: the gram table is
+      // corpus-token-linear and the mark join is a semi join, so this
+      // step's wall time is the scale claim. Invariant: every even
+      // replica is verbatim (all windows duplicated -> full coverage);
+      // an odd replica adds one suffix token, so at most its single
+      // suffix-bearing window is unique -> coverage >= n_toks - 1.
+      val r = operators.Dedup.substringDedup(big, SparkEntry.SubstrW)
+      val n = r.count()
+      require(n == nBig, s"substring dedup lost docs: $n != $nBig")
+      val under = r.filter(col("n_toks") >= SparkEntry.SubstrW + 1 &&
+        col("dup_tokens") < col("n_toks") - 1).count()
+      require(under == 0,
+        s"flooded corpus: $under docs below the replica coverage floor")
+      n
+    }
     operators.Dedup.releaseIntermediates()
     big.unpersist(blocking = false)
 

@@ -389,7 +389,12 @@ object Dedup {
   /** (docs with token arrays, w-window position table) shared by the
     * span statistics and the span-removal clean. split keeps empties on
     * repeated separators — filtered so token positions match DuckDB's
-    * list_filter'd string_split. */
+    * list_filter'd string_split. The window is carried as its FULL md5
+    * digest (`gkey`), never the window text: every downstream shuffle/
+    * group/join keys on 32 bytes regardless of w (at Lee et al.'s
+    * w = 50 the text key would be ~300 bytes), and 128 bits keeps
+    * collisions negligible at any corpus size (the 60-bit [[strHash]]
+    * would birthday-collide past ~2^30 windows). */
   private def windowTable(docs: DataFrame, w: Int): (DataFrame, DataFrame) = {
     val toksC = filter(split(col("text"), " "), x => length(x) >= 1)
     val d = docs.select(col("doc_id"), toksC.as("__toks"))
@@ -398,9 +403,9 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_toks") - w)).as("pos"), col("__toks"))
       .select(col("doc_id"), col("pos"),
-        concat_ws(" ",
-          (0 until w).map(o => element_at(col("__toks"), col("pos") + o + 1)): _*)
-          .as("gram"))
+        md5(concat_ws(" ",
+          (0 until w).map(o => element_at(col("__toks"), col("pos") + o + 1)): _*))
+          .as("gkey"))
     (d, g)
   }
 
@@ -410,8 +415,8 @@ object Dedup {
     // duplicated windows: the gram occurs >= 2 times corpus-wide. min/max
     // over pre-combined partials would also work for the cross-doc-only
     // variant; the >= 2 occurrence count matches the suffix-array rule.
-    val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("__occ"))
-      .filter(col("__occ") >= 2).select(col("gram"))
+    val dup = g.groupBy(col("gkey")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2).select(col("gkey"))
     coverageOffDups(docs, w, dup)
   }
 
@@ -421,7 +426,7 @@ object Dedup {
   private[graft] def coverageOffDups(docs: DataFrame, w: Int,
                                      dup: DataFrame): DataFrame = {
     val (d, g) = windowTable(docs, w)
-    val m = g.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+    val m = g.join(dup, Seq("gkey")).select(col("doc_id"), col("pos"))
     // interval union per doc: a start contributes the part of
     // [pos, pos+w) past the running max end of all earlier windows
     val winPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -461,7 +466,7 @@ object Dedup {
   def substringClean(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 2, s"window width $w must be >= 2")
     val (d, g) = windowTable(docs, w)
-    val wg = Window.partitionBy(col("gram"))
+    val wg = Window.partitionBy(col("gkey"))
     val ranked = g
       .withColumn("__occ", count(lit(1)).over(wg))
       .withColumn("__rn", row_number().over(

@@ -370,9 +370,9 @@ object DocOracle {
        |d AS (SELECT doc_id, len(s) AS n_toks, s FROM t),
        |p AS (SELECT doc_id, unnest(range(0, n_toks - $w + 1)) AS pos, s
        |  FROM d WHERE n_toks >= $w),
-       |g AS MATERIALIZED (SELECT doc_id, pos, $gram AS gram FROM p),
-       |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-       |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |g AS MATERIALIZED (SELECT doc_id, pos, md5($gram) AS gkey FROM p),
+       |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING COUNT(*) >= 2),
+       |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gkey)),
        |c AS (SELECT doc_id,
        |    greatest(0, pos + $w - greatest(coalesce(max(pos + $w) OVER (
        |      PARTITION BY doc_id ORDER BY pos
@@ -403,10 +403,10 @@ object DocOracle {
        |d AS (SELECT doc_id, len(s) AS n_toks, s FROM t),
        |p AS (SELECT doc_id, unnest(range(0, n_toks - $w + 1)) AS pos, s
        |  FROM d WHERE n_toks >= $w),
-       |g AS MATERIALIZED (SELECT doc_id, pos, $gram AS gram FROM p),
+       |g AS MATERIALIZED (SELECT doc_id, pos, md5($gram) AS gkey FROM p),
        |o AS (SELECT doc_id, pos,
-       |    COUNT(*) OVER (PARTITION BY gram) AS occ,
-       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |    COUNT(*) OVER (PARTITION BY gkey) AS occ,
+       |    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rn
        |  FROM g),
        |rm AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
        |  FROM o WHERE occ >= 2 AND rn > 1 GROUP BY doc_id),

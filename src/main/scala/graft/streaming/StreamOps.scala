@@ -327,20 +327,20 @@ object StreamOps {
       .filter(col("n_toks") >= w)
       .select(explode(sequence(lit(0), col("n_toks") - w)).as("pos"),
         col("__toks"))
-      .select(concat_ws(" ", (0 until w).map(o =>
-        element_at(col("__toks"), col("pos") + o + 1)): _*).as("gram"))
+      .select(md5(concat_ws(" ", (0 until w).map(o =>
+        element_at(col("__toks"), col("pos") + o + 1)): _*)).as("gkey"))
     val schema = StructType(Seq(
-      StructField("gram", StringType), StructField("occ", LongType)))
+      StructField("gkey", StringType), StructField("occ", LongType)))
     val state = drainUpsertLog(spark,
-      grams.groupBy(col("gram")).agg(count(lit(1)).as("occ")),
+      grams.groupBy(col("gkey")).agg(count(lit(1)).as("occ")),
       log => {
-        val wnd = Window.partitionBy(col("gram")).orderBy(col("batch_id").desc)
+        val wnd = Window.partitionBy(col("gkey")).orderBy(col("batch_id").desc)
         log.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
-          .select(col("gram"), col("occ"))
+          .select(col("gkey"), col("occ"))
       }, schema)
     graft.operators.Dedup.coverageOffDups(
       graft.Tables.documents(spark, sfDir), w,
-      state.filter(col("occ") >= 2).select(col("gram")))
+      state.filter(col("occ") >= 2).select(col("gkey")))
   }
 
   /** Stage `documents` as a MULTI-FILE landing (4 parts): the fixture is
