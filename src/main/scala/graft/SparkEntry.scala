@@ -1474,6 +1474,11 @@ object SparkEntry {
     // the per-cell query dot to the table picks
     "q_ann_ivf_pq_res" -> q((s, dir) => graft.operators.Pq.topkResidual(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // the composed FAISS production index string "OPQ,IVF,PQ": the OPQ
+    // pre-transform feeding the residual coarse/encode/ADC pipeline,
+    // exact rescore on the original vectors
+    "q_ann_ivf_opq_res" -> q((s, dir) => graft.operators.Pq.topkResidualOpq(
+      emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // streaming quantized-index maintenance: embeddings drained through
     // a file stream, each microbatch PQ-encoded and appended to the
     // cell-partitioned codes layout; the PQ rung queries the streamed
@@ -2045,6 +2050,8 @@ object SparkEntry {
     "q_ann_ivf_pq_sharded" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_ivf_pq_res" -> PqOracle.topkResidualSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank),
+    "q_ann_ivf_opq_res" -> PqOracle.topkResidualOpqSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq; only the physical path (code
     // column + partition pruning off the at-rest layout) differs

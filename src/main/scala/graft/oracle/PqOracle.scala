@@ -587,12 +587,38 @@ object PqOracle {
    * dyadic reconstruction-norm literals selected by (cell, code_m).
    */
   def topkResidualSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
-                      mSub: Int, codes: Int, rerank: Int): String = {
+                      mSub: Int, codes: Int, rerank: Int): String =
+    residualSqlCore(d, nq, k, nCells, nprobe, mSub, codes, rerank,
+      (alias, j) => s"CAST($alias.embedding[${j + 1}] AS DOUBLE)")
+
+  /**
+   * Twin of [[graft.operators.Pq.topkResidualOpq]] — the composed
+   * "OPQ,IVF,PQ" string: [[topkResidualSql]]'s pipeline with every
+   * ENCODE-side component access routed through the fixed signed
+   * permutation (sign_j * embedding[perm_j], negation float-exact);
+   * norms and the exact rescore stay on the original vectors, the
+   * [[topkPermutedSql]] discipline.
+   */
+  def topkResidualOpqSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
+                         mSub: Int, codes: Int, rerank: Int): String = {
+    val (perm, sign) = Pq.permutation(d)
+    residualSqlCore(d, nq, k, nCells, nprobe, mSub, codes, rerank,
+      (alias, j) => {
+        val neg = if (sign(j) < 0) "-" else ""
+        s"${neg}CAST($alias.embedding[${perm(j) + 1}] AS DOUBLE)"
+      })
+  }
+
+  /** [[topkResidualSql]] with transformed-space component rendering
+    * `tc(alias, j)` (identity for the plain residual rung). */
+  private def residualSqlCore(d: Int, nq: Int, k: Int, nCells: Int,
+                              nprobe: Int, mSub: Int, codes: Int, rerank: Int,
+                              tc: (String, Int) => String): String = {
     val sub = d / mSub
     def cellDistExpr(cell: Int): String =
       (0 until d).map { j =>
         val c = cc(cell, j)
-        s"(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)*(CAST(e.embedding[${j + 1}] AS DOUBLE) - $c)"
+        s"(${tc("e", j)} - $c)*(${tc("e", j)} - $c)"
       }.mkString("(", " + ", ")")
     val distCols = (0 until nCells)
       .map(c => s"${cellDistExpr(c)} AS c$c").mkString(",\n  ")
@@ -606,7 +632,7 @@ object PqOracle {
     val rCols = (0 until d).map { j =>
       val cellCase = "CASE a.cell " + (0 until nCells)
         .map(g => s"WHEN $g THEN ${cc(g, j)}").mkString(" ") + " END"
-      s"CAST(CAST(CAST(e.embedding[${j + 1}] AS DOUBLE) - ($cellCase) AS FLOAT) AS DOUBLE) AS r${j + 1}"
+      s"CAST(CAST(${tc("e", j)} - ($cellCase) AS FLOAT) AS DOUBLE) AS r${j + 1}"
     }.mkString(",\n  ")
     def subDistExprR(m: Int, c: Int): String =
       (0 until sub).map { j =>
@@ -622,12 +648,16 @@ object PqOracle {
         .map(c => s"WHEN d_${m}_$c = $least0 THEN $c").mkString(" ") +
         s" END AS code_$m"
     }.mkString(",\n  ")
+    def adcExprT(m: Int, c: Int): String =
+      (0 until sub).map { j =>
+        s"${tc("qe", m * sub + j)}*${cb(m, c, j, sub)}"
+      }.mkString("(", " + ", ")")
     val adcCols = (for (m <- 0 until mSub; c <- 0 until codes)
-      yield s"${adcExpr("qe", m, c, sub)} AS t_${m}_$c").mkString(",\n  ")
+      yield s"${adcExprT(m, c)} AS t_${m}_$c").mkString(",\n  ")
     // per-cell dot(q, c_cell) folds on the query side
     val qcCols = (0 until nCells).map { g =>
       (0 until d).map { j =>
-        s"CAST(qe.embedding[${j + 1}] AS DOUBLE)*${cc(g, j)}"
+        s"${tc("qe", j)}*${cc(g, j)}"
       }.mkString("(", " + ", ")") + s" AS qc_$g"
     }.mkString(",\n  ")
     val qcCase = "CASE en.cell " + (0 until nCells)

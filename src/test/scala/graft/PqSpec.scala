@@ -368,6 +368,35 @@ class PqSpec extends AnyFunSuite {
     assert(full == plain, "full-depth residual rerank != plain IVF")
   }
 
+  test("opq+residual composition: exact rescores, full depth equals the opq rung") {
+    import SparkEntry.PqRerank
+    val r = Pq.topkResidualOpq(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, PqRerank).collect()
+    assert(r.length == NQ * K)
+    val brute = Ann.bruteTopK(emb, NQ, emb.count().toInt).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id")) ->
+        x.getAs[Double]("score")).toMap
+    r.foreach { row =>
+      val key = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
+      assert(row.getAs[Double]("score") == brute(key),
+        s"rescore for $key is not the exact score")
+    }
+    val b = Pq.topkResidualOpq(emb.repartition(7), NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(b == r.map(_.toSeq).toSet,
+      "opq-residual not invariant under repartitioning")
+    // both rungs probe the same transformed-space cells, and at full
+    // rerank depth both exact-rescore the entire probed set — the
+    // residual encode must change NOTHING there (codes only order the
+    // cheap cut)
+    val n = emb.count().toInt
+    val fullRes = Pq.topkResidualOpq(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, n).collect().map(_.toSeq).toSet
+    val fullOpq = Pq.topkPermuted(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, n).collect().map(_.toSeq).toSet
+    assert(fullRes == fullOpq, "full-depth opq-residual != full-depth opq")
+  }
+
   test("tuneNprobe grid matches independent per-nprobe scans, exact at full probe") {
     import SparkEntry.TuneNprobes
     try {
