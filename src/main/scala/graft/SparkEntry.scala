@@ -1847,6 +1847,11 @@ object SparkEntry {
     // served off the drained state equals the batch op, same oracle
     "q_stream_substring_dedup" -> q((s, dir) =>
       graft.streaming.StreamOps.streamSubstringDedupOnce(s, dir, SubstrW)),
+    // ... and the stream-maintained CLEAN: (canonical occurrence, count)
+    // per digest — both order-insensitive, merging in any arrival order;
+    // the clean off the drained state equals the batch op, same oracle
+    "q_stream_substring_clean" -> q((s, dir) =>
+      graft.streaming.StreamOps.streamSubstringCleanOnce(s, dir, SubstrW)),
     // bucketed (pre-partitioned) layout: equi-join with no exchange on
     // either side (PlanSpec asserts the plan shape)
     "q_bucketed_join" -> q((s, dir) =>
@@ -1956,6 +1961,7 @@ object SparkEntry {
     "q_substring_dedup"    -> DocOracle.substringDedupSql(SubstrW),
     "q_substring_clean"    -> DocOracle.substringCleanSql(SubstrW),
     "q_stream_substring_dedup" -> DocOracle.substringDedupSql(SubstrW),
+    "q_stream_substring_clean" -> DocOracle.substringCleanSql(SubstrW),
     "q_temp_sample"        -> DocOracle.temperatureSampleSql(TempTotal),
     "q_lang_id"       -> DocOracle.langIdSql(TextOps.LangMarkers),
     "q_quality"       -> DocOracle.qualitySql(TextOps.Stopwords),

@@ -471,8 +471,31 @@ object Dedup {
       .withColumn("__occ", count(lit(1)).over(wg))
       .withColumn("__rn", row_number().over(
         wg.orderBy(col("doc_id"), col("pos"))))
-    val rm = ranked.filter(col("__occ") >= 2 && col("__rn") > 1)
-      .groupBy(col("doc_id"))
+    val removals = ranked.filter(col("__occ") >= 2 && col("__rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    applyRemovals(d, removals, w)
+  }
+
+  /** [[substringClean]] served off an EXPLICIT keeper state — one row
+    * per window digest with its canonical (min) occurrence and count,
+    * as the stream-maintained state holds it
+    * ([[graft.streaming.StreamOps.streamSubstringCleanOnce]]). */
+  private[graft] def cleanOffState(docs: DataFrame, w: Int,
+                                   state: DataFrame): DataFrame = {
+    val (d, g) = windowTable(docs, w)
+    val removals = g.join(state.filter(col("occ") >= 2), Seq("gkey"))
+      .filter(!(col("doc_id") === col("keep_doc") &&
+        col("pos") === col("keep_pos")))
+      .select(col("doc_id"), col("pos"))
+    applyRemovals(d, removals, w)
+  }
+
+  /** Delete the removal windows' token coverage from each document: the
+    * per-doc starts array is bounded by the doc's own length, the span
+    * deletion a map-side HOF rewrite. */
+  private def applyRemovals(d: DataFrame, removals: DataFrame,
+                            w: Int): DataFrame = {
+    val rm = removals.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     val keptToks = filter(
       transform(sequence(lit(0), col("n_toks") - 1), i =>

@@ -343,6 +343,48 @@ object StreamOps {
       state.filter(col("occ") >= 2).select(col("gkey")))
   }
 
+  /** Streaming SPAN-REMOVAL state: the ingestion twin of
+    * [[graft.operators.Dedup.substringClean]]. The state per window
+    * digest is (canonical occurrence, count) — min over (doc_id, pos)
+    * and count are both order-insensitive, so the state merges across
+    * microbatches in any arrival order. With the stream drained, the
+    * clean served off the state equals the batch operator (rank-1 of
+    * the batch window IS the min occurrence), sharing
+    * `q_substring_clean`'s oracle. */
+  def streamSubstringCleanOnce(spark: SparkSession, sfDir: String,
+                               w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val landing = ensureShardedDocsLanding(spark, sfDir)
+    val docs = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val toksC = filter(split(col("text"), " "), x => length(x) >= 1)
+    val occ = docs.select(col("doc_id"), toksC.as("__toks"))
+      .withColumn("n_toks", size(col("__toks")))
+      .filter(col("n_toks") >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_toks") - w)).as("pos"), col("__toks"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", (0 until w).map(o =>
+          element_at(col("__toks"), col("pos") + o + 1)): _*)).as("gkey"))
+    val schema = StructType(Seq(
+      StructField("gkey", StringType), StructField("keep_doc", LongType),
+      StructField("keep_pos", IntegerType), StructField("occ", LongType)))
+    val state = drainUpsertLog(spark,
+      occ.groupBy(col("gkey"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
+          count(lit(1)).as("occ"))
+        .select(col("gkey"), col("keep.doc_id").as("keep_doc"),
+          col("keep.pos").as("keep_pos"), col("occ")),
+      log => {
+        val wnd = Window.partitionBy(col("gkey")).orderBy(col("batch_id").desc)
+        log.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
+          .select(col("gkey"), col("keep_doc"), col("keep_pos"), col("occ"))
+      }, schema)
+    graft.operators.Dedup.cleanOffState(
+      graft.Tables.documents(spark, sfDir), w, state)
+  }
+
   /** Stage `documents` as a MULTI-FILE landing (4 parts): the fixture is
     * a single parquet file, which would drain as one microbatch and never
     * exercise cross-batch state merging — sharding the landing makes

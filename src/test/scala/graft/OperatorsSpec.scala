@@ -1586,6 +1586,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(landing.listFiles.count(_.getName.endsWith(".parquet")) >= 2)
   }
 
+  test("stream-maintained substring-clean state equals the batch operator") {
+    import graft.operators.Dedup
+    val fxDocs = Tables.documents(spark, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))
+    val batch = Dedup.substringClean(fxDocs, 5).collect().map(key).toMap
+    val streamed = graft.streaming.StreamOps
+      .streamSubstringCleanOnce(spark, dir, 5).collect().map(key).toMap
+    assert(streamed == batch,
+      "clean off the drained keeper state diverges from the batch clean")
+  }
+
   test("substring clean: keeps the canonical occurrence, removes the rest") {
     import graft.operators.Dedup
     import spark.implicits._

@@ -432,6 +432,27 @@ class PlanSpec extends AnyFunSuite {
       s"interval join degenerated to a non-equi join:\n$plan")
   }
 
+  test("substring dedup: digest-keyed equi-joins only, never a nested loop") {
+    val df = graft.operators.Dedup.substringDedup(
+      Tables.documents(spark, dir), SparkEntry.SubstrW)
+    val plan = df.queryExecution.executedPlan.toString
+    // the mark must be an equi-join on the window digest (linear in
+    // occurrences); a BroadcastNestedLoopJoin or CartesianProduct would
+    // mean a theta/all-pairs shape that dies at corpus scale
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"substring dedup degenerated to a non-equi join:\n$plan")
+    // the shuffle key is the 32-byte digest, not the window text:
+    // no shuffle/join operator should carry the concat_ws gram string
+    assert(plan.contains("gkey"), s"digest key missing from plan:\n$plan")
+    val clean = graft.operators.Dedup.substringClean(
+      Tables.documents(spark, dir), SparkEntry.SubstrW)
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("BroadcastNestedLoopJoin") &&
+      !clean.contains("CartesianProduct"),
+      s"substring clean degenerated to a non-equi join:\n$clean")
+  }
+
   test("at-rest IVF probe scan carries a cell partition filter") {
     val df = graft.operators.Ivf.topkIndexed(spark, dir,
       Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
