@@ -155,6 +155,9 @@ object Bench {
       graft.operators.Pq.ensureMergedShardsFixture(spark, sfDir,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
         SparkEntry.PqCodes, SparkEntry.PqShards)
+      graft.operators.Pq.ensureOpqResidualCodesFixture(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the

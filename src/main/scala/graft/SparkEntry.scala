@@ -1479,6 +1479,12 @@ object SparkEntry {
     // exact rescore on the original vectors
     "q_ann_ivf_opq_res" -> q((s, dir) => graft.operators.Pq.topkResidualOpq(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // ... and the composed string AT REST: codes encoded in permuted
+    // space, original vectors stored for the rescore fetch — hash-equal
+    // to the in-memory composed rung, same oracle
+    "q_ann_ivf_opq_res_at_rest" -> q((s, dir) =>
+      graft.operators.Pq.topkResidualOpqAtRest(s, dir, emb(s, dir), NQ, K,
+        IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // streaming quantized-index maintenance: embeddings drained through
     // a file stream, each microbatch PQ-encoded and appended to the
     // cell-partitioned codes layout; the PQ rung queries the streamed
@@ -2059,6 +2065,9 @@ object SparkEntry {
       IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_ivf_opq_res" -> PqOracle.topkResidualOpqSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),
+    // identical semantics off the composed at-rest layout — same oracle
+    "q_ann_ivf_opq_res_at_rest" -> PqOracle.topkResidualOpqSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq; only the physical path (code
     // column + partition pruning off the at-rest layout) differs
     "q_ann_ivf_pq_at_rest" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,

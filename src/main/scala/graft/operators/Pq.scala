@@ -835,6 +835,58 @@ object Pq {
     path.toString
   }
 
+  /** Bump when the OPQ-residual at-rest layout or encoding changes. */
+  private val OpqResCodesLayoutVersion = 1
+
+  /**
+   * The COMPOSED "OPQ,IVF,PQ" codes AT REST: coarse assignment, residual,
+   * and code argmin all computed in the permuted space; the stored `vec`
+   * is the ORIGINAL embedding (the rescore fetch needs it, and the
+   * transform is query-independent broadcast state — nothing transformed
+   * needs persisting beyond the codes themselves).
+   */
+  def ensureOpqResidualCodesFixture(spark: SparkSession, sfDir: String,
+                                    nCells: Int, d: Int, mSub: Int,
+                                    codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val sub = d / mSub
+    val (perm, sign) = permutation(d)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqopqres_v${OpqResCodesLayoutVersion}_${safe}_c${nCells}_d${d}" +
+        s"_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqopqres-")
+      val rvecCase = (0 until nCells).foldRight(
+        lit(null).cast("array<float>")) { (g, rest) =>
+        when(col("cell") === g,
+          zip_with(col("embedding"), typedlit(Ivf.centroid(g, d).toSeq),
+            (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
+          .otherwise(rest)
+      }
+      val tEmb = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"),
+        permuteVec(col("embedding"), perm, sign).as("embedding"))
+      Ivf.assign(tEmb, nCells, d)
+        .withColumn("rvec", rvecCase)
+        .select(col("id") +: col("cell") +:
+          distCols(col("rvec"), mSub, codes, sub): _*)
+        .select(col("id") +: col("cell") +:
+          (0 until mSub).map(argminCode(_, codes)): _*)
+        .select(col("id"), col("cell"), packedCode(mSub, codes).as("code"))
+        .join(graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")), Seq("id"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"opq-residual codes publish failed: $path")
+    }
+    path.toString
+  }
+
   /**
    * Residual IVF-PQ top-k OFF THE AT-REST CODES — the at-rest twin of
    * [[topkResidual]], returning identical rows: probe cells pushed as a
@@ -844,14 +896,38 @@ object Pq {
    */
   def topkResidualAtRest(spark: SparkSession, sfDir: String, emb: DataFrame,
                          nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
-                         mSub: Int, codes: Int, rerank: Int): DataFrame = {
+                         mSub: Int, codes: Int, rerank: Int): DataFrame =
+    residualAtRestCore(spark,
+      ensureResidualCodesFixture(spark, sfDir, nCells, d, mSub, codes),
+      emb, nq, k, nCells, d, nprobe, mSub, codes, rerank, identity)
+
+  /** [[topkResidualOpq]]'s at-rest twin, served off the composed layout —
+    * hash-equal to the in-memory composed rung (same oracle). */
+  def topkResidualOpqAtRest(spark: SparkSession, sfDir: String,
+                            emb: DataFrame, nq: Int, k: Int, nCells: Int,
+                            d: Int, nprobe: Int, mSub: Int, codes: Int,
+                            rerank: Int): DataFrame = {
+    val (perm, sign) = permutation(d)
+    residualAtRestCore(spark,
+      ensureOpqResidualCodesFixture(spark, sfDir, nCells, d, mSub, codes),
+      emb, nq, k, nCells, d, nprobe, mSub, codes, rerank,
+      v => permuteVec(v, perm, sign))
+  }
+
+  private def residualAtRestCore(spark: SparkSession, path: String,
+                                 emb: DataFrame, nq: Int, k: Int, nCells: Int,
+                                 d: Int, nprobe: Int, mSub: Int, codes: Int,
+                                 rerank: Int, t: Column => Column): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val sub = d / mSub
     val V = graft.functions.VectorOps
-    val path = ensureResidualCodesFixture(spark, sfDir, nCells, d, mSub, codes)
     val stored = spark.read.parquet(path)
-    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    // norms fold in ORIGINAL component order; probe distances, qc dots,
+    // and ADC entries run on the transformed qvec (identity for the
+    // plain residual rung)
+    val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val q = q0.select(col("qid"), t(col("qvec")).as("qvec"), col("qn2"))
     val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
       .select(col("qid"), col("cell"))
     val cells = probeSet.select(col("cell")).distinct()
@@ -886,7 +962,8 @@ object Pq {
       .filter(col("cell").isin(cells.toSeq: _*))
       .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
       .join(broadcast(cand), Seq("id"))
-      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+      // exact rescore on the ORIGINAL stored vectors and queries
+      .join(broadcast(q0.withColumnRenamed("qvec", "qvec_")
         .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
       .withColumn("score", V.dot(col("vec"), col("qvec_")) /
         (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))

@@ -556,6 +556,34 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K)
   }
 
+  test("OPQ-residual at-rest: pruned code-only cheap scan, equals in-memory") {
+    val df = graft.operators.Pq.topkResidualOpqAtRest(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank)
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected cell partition filters on both composed scans, found $pruned:\n$plan")
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("id", "code")) || read.subsetOf(Set("id", "vec")) ||
+        !read.contains("code") && !read.contains("vec"),
+        s"scan reads $read")
+    }
+    assert(scans.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only scan: $scans")
+    // hash-equal to the in-memory composed rung
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Pq.topkResidualOpq(Tables.embeddings(spark, dir),
+      SparkEntry.NQ, SparkEntry.K, SparkEntry.IvfCells, SparkEntry.EmbD,
+      SparkEntry.IvfProbe, SparkEntry.PqM, SparkEntry.PqCodes,
+      SparkEntry.PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K,
+      "composed at-rest serve diverged from the in-memory composed rung")
+  }
+
   test("BQ at-rest cheap pass scans only the 8-byte sign-word column") {
     val df = graft.operators.Bq.topkAtRest(spark, dir,
       Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
