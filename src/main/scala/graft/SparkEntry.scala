@@ -1485,6 +1485,12 @@ object SparkEntry {
     "q_ann_ivf_opq_res_at_rest" -> q((s, dir) =>
       graft.operators.Pq.topkResidualOpqAtRest(s, dir, emb(s, dir), NQ, K,
         IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // ... and with the TRAINED permutation: the complete trained
+    // production string (variance-balancing OPQ -> IVF residual -> PQ),
+    // every stage data-adaptive except the dyadic codebooks
+    "q_ann_ivf_opq_res_trained" -> q((s, dir) =>
+      graft.operators.Pq.topkResidualOpqTrained(emb(s, dir), NQ, K,
+        IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // streaming quantized-index maintenance: embeddings drained through
     // a file stream, each microbatch PQ-encoded and appended to the
     // cell-partitioned codes layout; the PQ rung queries the streamed
@@ -2068,6 +2074,8 @@ object SparkEntry {
     // identical semantics off the composed at-rest layout — same oracle
     "q_ann_ivf_opq_res_at_rest" -> PqOracle.topkResidualOpqSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    "q_ann_ivf_opq_res_trained" -> PqOracle.opqTrainedResidualSql(EmbD, NQ,
+      K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq; only the physical path (code
     // column + partition pruning off the at-rest layout) differs
     "q_ann_ivf_pq_at_rest" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,

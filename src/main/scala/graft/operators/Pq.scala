@@ -1010,6 +1010,18 @@ object Pq {
       v => permuteVec(v, perm, sign))
   }
 
+  /** The composed string with the TRAINED transform — variance-balancing
+    * snake-draft permutation ([[trainedPermutation]]) feeding the same
+    * residual core: the complete trained production index, every stage
+    * data-adaptive except the dyadic codebooks. */
+  def topkResidualOpqTrained(emb: DataFrame, nq: Int, k: Int, nCells: Int,
+                             d: Int, nprobe: Int, mSub: Int, codes: Int,
+                             rerank: Int): DataFrame = {
+    val perm = trainedPermutation(emb, d, mSub)
+    topkResidualCore(emb, nq, k, nCells, d, nprobe, mSub, codes, rerank,
+      v => permuteVec(v, perm, Array.fill(d)(1)))
+  }
+
   /** [[topkResidual]] with the cheap phase run in `t`-transformed space
     * (t orthogonal; identity for the plain residual rung). */
   private def topkResidualCore(emb0: DataFrame, nq: Int, k: Int, nCells: Int,

@@ -931,6 +931,124 @@ object PqOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /**
+   * The TRAINED composed production string — trained OPQ permutation +
+   * IVF residual + PQ ([[graft.operators.Pq.topkResidualOpqTrained]]):
+   * [[opqTrainedTopkSql]]'s chain (variance ranking -> snake-draft pmap
+   * -> transformed tvec) with the residual stages inserted — per-position
+   * residual rv = float(tv - c_cell) under the coarse assignment, PQ
+   * encode over rv, and the cheap score's per-cell query dot + exact
+   * dyadic reconstruction norms (cell-independent literals: the centroid
+   * formulas are POSITION-based, so the (cell, m, code) terms are the
+   * same dyadic values in any permuted space). Exact rescore on the
+   * original vectors; every float chain an ordered fold.
+   */
+  def opqTrainedResidualSql(d: Int, nq: Int, k: Int, nCells: Int,
+                            nprobe: Int, mSub: Int, codes: Int,
+                            rerank: Int): String = {
+    val sub = d / mSub
+    val ctabVals = (for (c <- 0 until nCells; p <- 0 until d)
+      yield s"($c, $p, ${cc(c, p)})").mkString(", ")
+    val cbtVals = (for (m <- 0 until mSub; c <- 0 until codes;
+                        j <- 0 until sub)
+      yield s"($m, $c, $j, ${cb(m, c, j, sub)})").mkString(", ")
+    val rn2Vals = (for (g <- 0 until nCells; m <- 0 until mSub;
+                        c <- 0 until codes)
+      yield s"($g, $m, $c, ${OracleGen.dlit(Pq.reconN2Term(g, m, c, sub))})")
+      .mkString(", ")
+    val celln2Vals = (0 until nCells)
+      .map(g => s"($g, ${OracleGen.dlit(Pq.cellN2(g, d))})").mkString(", ")
+    s"""WITH vrows AS MATERIALIZED (SELECT CAST(t.j AS INTEGER) AS j, e.vec_id,
+       |    CAST(e.embedding[t.j] AS DOUBLE) AS x
+       |  FROM embeddings e CROSS JOIN generate_series(1, $d) AS t(j)),
+       |vstats AS MATERIALIZED (SELECT j, COUNT(*) AS n,
+       |    list_reduce(list(x ORDER BY vec_id), (a, v) -> a + v) AS s,
+       |    list_reduce(list(x*x ORDER BY vec_id), (a, v) -> a + v) AS s2
+       |  FROM vrows GROUP BY j),
+       |rd AS (SELECT j - 1 AS src,
+       |    row_number() OVER (
+       |      ORDER BY (s2 - (s*s)/CAST(n AS DOUBLE)) DESC, j ASC) - 1 AS r0
+       |  FROM vstats),
+       |pmap AS MATERIALIZED (SELECT src, CAST(
+       |    (CASE WHEN (r0 // $mSub) % 2 = 0 THEN r0 % $mSub
+       |          ELSE ${mSub - 1} - (r0 % $mSub) END) * $sub + (r0 // $mSub)
+       |    AS INTEGER) AS pos FROM rd),
+       |tvec AS MATERIALIZED (SELECT e.vec_id, pm.pos,
+       |    CAST(e.embedding[pm.src + 1] AS DOUBLE) AS tv
+       |  FROM embeddings e CROSS JOIN pmap pm),
+       |ctab AS MATERIALIZED (SELECT * FROM (VALUES $ctabVals) AS t(cell, pos, cv)),
+       |cbt AS MATERIALIZED (SELECT * FROM (VALUES $cbtVals) AS t(m, code, j, cbv)),
+       |rn2 AS MATERIALIZED (SELECT * FROM (VALUES $rn2Vals) AS t(cell, m, code, v)),
+       |cel AS (SELECT * FROM (VALUES $celln2Vals) AS t(cell, n2v)),
+       |asg0 AS MATERIALIZED (SELECT t.vec_id, c.cell,
+       |    list_reduce(list((t.tv - c.cv)*(t.tv - c.cv) ORDER BY t.pos),
+       |      (a, v) -> a + v) AS d2
+       |  FROM tvec t JOIN ctab c ON c.pos = t.pos
+       |  GROUP BY t.vec_id, c.cell),
+       |asg AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+       |  FROM asg0) WHERE rn = 1),
+       |rv AS MATERIALIZED (SELECT t.vec_id, a.cell, t.pos,
+       |    CAST(CAST(t.tv - c.cv AS FLOAT) AS DOUBLE) AS rv
+       |  FROM tvec t JOIN asg a ON a.vec_id = t.vec_id
+       |  JOIN ctab c ON c.cell = a.cell AND c.pos = t.pos),
+       |pqd2 AS MATERIALIZED (SELECT t.vec_id, cb.m, cb.code,
+       |    list_reduce(list((t.rv - cb.cbv)*(t.rv - cb.cbv) ORDER BY cb.j),
+       |      (a, v) -> a + v) AS d2
+       |  FROM rv t JOIN cbt cb ON t.pos = cb.m * $sub + cb.j
+       |  GROUP BY t.vec_id, cb.m, cb.code),
+       |encr AS MATERIALIZED (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM pqd2) WHERE rn = 1),
+       |${EmbOracle.nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp AS (SELECT qid, cell FROM (SELECT a.vec_id AS qid, a.cell,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id ORDER BY a.d2 ASC, a.cell ASC) AS pr
+       |  FROM asg0 a JOIN q ON a.vec_id = q.qid) WHERE pr <= $nprobe),
+       |adc AS MATERIALIZED (SELECT q.qid, cb.m, cb.code,
+       |    list_reduce(list(t.tv * cb.cbv ORDER BY cb.j), (a, v) -> a + v) AS ad
+       |  FROM q JOIN tvec t ON t.vec_id = q.qid
+       |  JOIN cbt cb ON t.pos = cb.m * $sub + cb.j
+       |  GROUP BY q.qid, cb.m, cb.code),
+       |qc AS MATERIALIZED (SELECT q.qid, c.cell,
+       |    list_reduce(list(t.tv * c.cv ORDER BY t.pos), (a, v) -> a + v) AS qcv
+       |  FROM q JOIN tvec t ON t.vec_id = q.qid
+       |  JOIN ctab c ON c.pos = t.pos
+       |  GROUP BY q.qid, c.cell),
+       |cand AS (SELECT qp.qid, a.vec_id AS id, a.cell
+       |  FROM qp JOIN asg a ON a.cell = qp.cell),
+       |cheap AS MATERIALIZED (SELECT c.qid, c.id,
+       |    qc.qcv + list_reduce(list(ad.ad ORDER BY en.m), (a, v) -> a + v) AS snum,
+       |    cel.n2v + list_reduce(list(rn2.v ORDER BY en.m), (a, v) -> a + v) AS n2hat
+       |  FROM cand c
+       |  JOIN encr en ON en.vec_id = c.id
+       |  JOIN adc ad ON ad.qid = c.qid AND ad.m = en.m AND ad.code = en.code
+       |  JOIN rn2 ON rn2.cell = c.cell AND rn2.m = en.m AND rn2.code = en.code
+       |  JOIN qc ON qc.qid = c.qid AND qc.cell = c.cell
+       |  JOIN cel ON cel.cell = c.cell
+       |  GROUP BY c.qid, c.id, qc.qcv, cel.n2v),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT ch.qid, ch.id,
+       |      row_number() OVER (PARTITION BY ch.qid ORDER BY
+       |        ch.snum / (${fn("ch.n2hat")} * ${fn("nq2.n2")}) DESC,
+       |        ch.id ASC) AS rn
+       |    FROM cheap ch JOIN nrm nq2 ON nq2.vec_id = ch.qid) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** IVF-PQ pipeline: coarse probe -> ADC cheap rank -> rerank cut ->
     * exact rescore (tail identical to [[IvfOracle.sq8Sql]]).
     * `excludeMod` > 0 removes candidates with vec_id ≡ 0 (mod m) — the

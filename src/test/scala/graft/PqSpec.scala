@@ -397,6 +397,28 @@ class PqSpec extends AnyFunSuite {
     assert(fullRes == fullOpq, "full-depth opq-residual != full-depth opq")
   }
 
+  test("trained opq+residual: exact rescores, full depth equals the trained opq rung") {
+    import SparkEntry.PqRerank
+    val r = Pq.topkResidualOpqTrained(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, PqRerank).collect()
+    assert(r.length == NQ * K)
+    val brute = Ann.bruteTopK(emb, NQ, emb.count().toInt).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id")) ->
+        x.getAs[Double]("score")).toMap
+    r.foreach { row =>
+      val key = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
+      assert(row.getAs[Double]("score") == brute(key),
+        s"rescore for $key is not the exact score")
+    }
+    val n = emb.count().toInt
+    val fullRes = Pq.topkResidualOpqTrained(emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, n).collect().map(_.toSeq).toSet
+    val fullOpq = Pq.topkOpqTrained(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, n).collect().map(_.toSeq).toSet
+    assert(fullRes == fullOpq,
+      "full-depth trained opq-residual != full-depth trained opq")
+  }
+
   test("tuneNprobe grid matches independent per-nprobe scans, exact at full probe") {
     import SparkEntry.TuneNprobes
     try {
