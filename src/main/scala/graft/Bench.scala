@@ -158,6 +158,9 @@ object Bench {
       graft.operators.Pq.ensureOpqResidualCodesFixture(spark, sfDir,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
         SparkEntry.PqCodes)
+      graft.operators.Pq.ensureOpqTrainedResidualCodesFixture(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the

@@ -1491,6 +1491,12 @@ object SparkEntry {
     "q_ann_ivf_opq_res_trained" -> q((s, dir) =>
       graft.operators.Pq.topkResidualOpqTrained(emb(s, dir), NQ, K,
         IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // ... and the trained composition PERSISTED: train the permutation,
+    // encode in trained-permuted space, serve off the cell-partitioned
+    // layout — hash-equal to the in-memory trained composition
+    "q_ann_ivf_opq_res_trained_at_rest" -> q((s, dir) =>
+      graft.operators.Pq.topkResidualOpqTrainedAtRest(s, dir, emb(s, dir),
+        NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // streaming quantized-index maintenance: embeddings drained through
     // a file stream, each microbatch PQ-encoded and appended to the
     // cell-partitioned codes layout; the PQ rung queries the streamed
@@ -2076,6 +2082,9 @@ object SparkEntry {
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_ivf_opq_res_trained" -> PqOracle.opqTrainedResidualSql(EmbD, NQ,
       K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    // identical semantics off the trained composed layout — same oracle
+    "q_ann_ivf_opq_res_trained_at_rest" -> PqOracle.opqTrainedResidualSql(
+      EmbD, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq; only the physical path (code
     // column + partition pruning off the at-rest layout) differs
     "q_ann_ivf_pq_at_rest" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,

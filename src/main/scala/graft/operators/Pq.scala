@@ -887,6 +887,70 @@ object Pq {
     path.toString
   }
 
+  /** Bump when the trained-OPQ-residual at-rest layout changes. */
+  private val OpqTrResCodesLayoutVersion = 1
+
+  /** [[ensureOpqResidualCodesFixture]] under the TRAINED permutation —
+    * the layout is data-dependent (the permutation derives from the
+    * corpus variances), like [[ensureTrainedCodesFixture]]. */
+  def ensureOpqTrainedResidualCodesFixture(spark: SparkSession,
+                                           sfDir: String, nCells: Int, d: Int,
+                                           mSub: Int, codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val sub = d / mSub
+    val emb0 = graft.Tables.embeddings(spark, sfDir)
+    val perm = trainedPermutation(emb0, d, mSub)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqopqtrres_v${OpqTrResCodesLayoutVersion}_${safe}_c${nCells}" +
+        s"_d${d}_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqopqtrres-")
+      val rvecCase = (0 until nCells).foldRight(
+        lit(null).cast("array<float>")) { (g, rest) =>
+        when(col("cell") === g,
+          zip_with(col("embedding"), typedlit(Ivf.centroid(g, d).toSeq),
+            (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
+          .otherwise(rest)
+      }
+      val tEmb = emb0.select(col("vec_id"),
+        permuteVec(col("embedding"), perm, Array.fill(d)(1)).as("embedding"))
+      Ivf.assign(tEmb, nCells, d)
+        .withColumn("rvec", rvecCase)
+        .select(col("id") +: col("cell") +:
+          distCols(col("rvec"), mSub, codes, sub): _*)
+        .select(col("id") +: col("cell") +:
+          (0 until mSub).map(argminCode(_, codes)): _*)
+        .select(col("id"), col("cell"), packedCode(mSub, codes).as("code"))
+        .join(emb0.select(col("vec_id").as("id"),
+          col("embedding").as("vec")), Seq("id"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"trained opq-residual codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** [[topkResidualOpqTrained]]'s at-rest twin — train the permutation,
+    * persist the composed codes, serve off the layout (same oracle). */
+  def topkResidualOpqTrainedAtRest(spark: SparkSession, sfDir: String,
+                                   emb: DataFrame, nq: Int, k: Int,
+                                   nCells: Int, d: Int, nprobe: Int,
+                                   mSub: Int, codes: Int,
+                                   rerank: Int): DataFrame = {
+    val perm = trainedPermutation(emb, d, mSub)
+    residualAtRestCore(spark,
+      ensureOpqTrainedResidualCodesFixture(spark, sfDir, nCells, d, mSub,
+        codes),
+      emb, nq, k, nCells, d, nprobe, mSub, codes, rerank,
+      v => permuteVec(v, perm, Array.fill(d)(1)))
+  }
+
   /**
    * Residual IVF-PQ top-k OFF THE AT-REST CODES — the at-rest twin of
    * [[topkResidual]], returning identical rows: probe cells pushed as a

@@ -419,6 +419,16 @@ class PqSpec extends AnyFunSuite {
       "full-depth trained opq-residual != full-depth trained opq")
   }
 
+  test("trained opq+residual at rest: serve off the layout equals in-memory") {
+    import SparkEntry.PqRerank
+    val a = Pq.topkResidualOpqTrainedAtRest(spark, dir, emb, NQ, K, IvfCells,
+      EmbD, IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    val b = Pq.topkResidualOpqTrained(emb, NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == NQ * K,
+      "trained composed at-rest serve diverged from the in-memory rung")
+  }
+
   test("tuneNprobe grid matches independent per-nprobe scans, exact at full probe") {
     import SparkEntry.TuneNprobes
     try {
