@@ -161,6 +161,12 @@ object Bench {
       graft.operators.Pq.ensureOpqTrainedResidualCodesFixture(spark, sfDir,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
         SparkEntry.PqCodes)
+      graft.operators.Lsh.ensureLayout(spark, sfDir, SparkEntry.EmbD,
+        SparkEntry.LshPlanes)
+      graft.streaming.StreamOps.ensureStreamLshLayout(spark, sfDir,
+        SparkEntry.EmbD, SparkEntry.LshPlanes)
+      graft.operators.Search.ensurePostingsLayout(spark, sfDir,
+        SparkEntry.PostBuckets)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the

@@ -677,6 +677,10 @@ object SparkEntry {
   final val MinCos = 0.25
   final val IvfCells = 8
   final val IvfProbe = 2
+  // SRP-LSH: 6 hyperplanes -> 64 buckets; a multi-probe query reads 7
+  // of them (~11% of the corpus expected) — the hash-bucket alternative
+  // to the IVF coarse quantizer as the candidate-generation scale path
+  final val LshPlanes = 6
   // recall/nprobe tuning grid (q_tune_nprobe); max = IvfCells makes the
   // last row provably recall = 1.0
   final val TuneNprobes = Seq(1, 2, 4, 8)
@@ -784,6 +788,14 @@ object SparkEntry {
   final val Bm25K1 = 1.2
   final val Bm25B = 0.75
   final val Bm25TopN = 20
+  // posting-list inverted index: term hash buckets (the lexical twin of
+  // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
+  final val PostBuckets = 16
+  // φ-heavy hitters: word 3-grams with count >= total/5000 (boilerplate
+  // phrases); CMS width 32768 >> relDiv keeps collision noise below the
+  // threshold at any corpus size
+  final val HhN = 3
+  final val HhRelDiv = 5000L
   final val RrfPoolN = 50     // per-retriever candidate list depth
   final val RrfKConst = 60    // the standard RRF dampening constant
   final val HybridK = 10
@@ -1402,6 +1414,14 @@ object SparkEntry {
     "q_ann_ivf_pq_at_rest" -> q((s, dir) => graft.operators.Pq.topkAtRest(
       s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
       PqRerank)),
+    // STREAMING QUERY SERVING: the queries arrive as the stream, the
+    // index is the static at-rest layout; each microbatch serves its
+    // arriving queries through the full PQ pipeline — drained union
+    // row-identical to the batch run (per-query top-k is independent),
+    // so it shares q_ann_ivf_pq_at_rest's oracle
+    "q_stream_ann_serve" -> q((s, dir) => graft.streaming.StreamOps
+      .annServeOverStream(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
+        IvfProbe, PqM, PqCodes, PqRerank)),
     // DISTRIBUTED INDEX BUILD: each shard encodes its own slice into its
     // own cell-partitioned layout, shards merge at rest as pure file
     // moves (no row decoded), queries serve off the merged layout —
@@ -1557,6 +1577,28 @@ object SparkEntry {
     // the cascade at D=1024: sixteen sign words, dequant mid, exact
     // rescore — the ladder at the reference's MS MARCO-class width
     "q_ann_cascade_d1024" -> q((s, dir) => qAnnCascadeD1024(s, dir)),
+    // multi-probe SRP-LSH bucketed retrieval: P-bit sign-hash buckets,
+    // query probes its own bucket + the P Hamming-1 flips, bucket
+    // equi-join candidates, exact cosine rescore — the training-free
+    // hash alternative to the IVF coarse quantizer
+    "q_ann_lsh" -> q((s, dir) => graft.operators.Lsh.topk(
+      emb(s, dir), NQ, K, EmbD, LshPlanes)),
+    // ... and the same pipeline AT REST: bucket-partitioned layout,
+    // probe buckets pushed as a static partition filter (PlanSpec
+    // asserts); hash-equal to q_ann_lsh
+    "q_ann_lsh_at_rest" -> q((s, dir) => graft.operators.Lsh.topkAtRest(
+      s, dir, emb(s, dir), NQ, K, EmbD, LshPlanes)),
+    // the LSH layout STREAM-MAINTAINED: arrivals bucketed map-side per
+    // microbatch, appended to the bucket-partitioned layout — LSH has no
+    // training pass, so this IS its whole maintenance lifecycle;
+    // hash-equal to q_ann_lsh once drained
+    "q_stream_ann_lsh" -> q((s, dir) => graft.streaming.StreamOps
+      .lshOverStream(s, dir, emb(s, dir), NQ, K, EmbD, LshPlanes)),
+    // cursor pagination (search_after): page 2 resumed from page 1's
+    // per-query (score, id) cursor — one corpus pass and a k-deep heap
+    // per page, never a page*k-deep window
+    "q_ann_page2" -> q((s, dir) => graft.operators.Search.searchAfter(
+      emb(s, dir), NQ, K, 2)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // the K-NN GRAPH build (the construction seed of NSW/HNSW and
     // NN-descent): every vector is its own query over its probed cells;
@@ -1678,6 +1720,17 @@ object SparkEntry {
       measuredBm25.put(dir, st)
       ranked
     }),
+    // ... and OFF THE INVERTED INDEX at rest: term-bucket-partitioned
+    // posting lists (pruned scan, stats sidecar, df from the postings) —
+    // candidates are the query terms' posting-list union, the real
+    // retrieval contract (docs matching no term are never scored)
+    "q_bm25_at_rest" -> q((s, dir) => graft.operators.Search.bm25AtRest(
+      s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets)),
+    // φ-heavy hitters (frequent 3-grams): count-min sketch proposes a
+    // provable candidate superset off a bounded counter grid, an exact
+    // pass verifies — output exactly the GROUP BY/HAVING relation
+    "q_heavy_hitters" -> q((s, dir) => TextOps.heavyHitters(
+      docs(s, dir), HhN, HhRelDiv)),
     // hybrid retrieval: reciprocal rank fusion of the BM25 top-N list
     // and the brute cosine top-N list (query = vector of doc 0)
     "q_hybrid_rrf" -> q((s, dir) => {
@@ -2089,6 +2142,9 @@ object SparkEntry {
     // column + partition pruning off the at-rest layout) differs
     "q_ann_ivf_pq_at_rest" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),
+    // the drained query-stream serve is row-identical to the batch run
+    "q_stream_ann_serve" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq_res off the at-rest layout
     "q_ann_ivf_pq_res_at_rest" -> PqOracle.topkResidualSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
@@ -2124,6 +2180,16 @@ object SparkEntry {
     "q_ann_bq" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
     // identical semantics to q_ann_bq off the stored sign-word column
     "q_ann_bq_at_rest" -> PqOracle.bqSql(EmbD, NQ, K, BqRerank),
+    // multi-probe SRP-LSH: sign-hash buckets + Hamming-1 probe set +
+    // exact rescore; one oracle serves the in-memory and at-rest twins
+    // (the stored bucket column holds the identical keys)
+    "q_ann_lsh" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
+    "q_ann_lsh_at_rest" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
+    // the drained stream-maintained layout holds the same rows ->
+    // q_ann_lsh's oracle
+    "q_stream_ann_lsh" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
+    // cursor-resume provably equals the global rank slice (k, 2k]
+    "q_ann_page2" -> EmbOracle.pageSql(EmbD, NQ, K, 2),
     // three-tier cascade: Hamming cut, int8 mid-rank, exact rescore
     "q_ann_cascade" -> PqOracle.cascadeSql(EmbD, NQ, K, EmbSq8ScaleLog2,
       CascadeR1, CascadeR2),
@@ -2184,6 +2250,12 @@ object SparkEntry {
     // dump path that never ran q_bm25 cannot hit the ulp-flaky ln fallback
     "q_bm25" -> SearchOracle.bm25Sql(Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
       bm25StatsForOracle()),
+    // same scoring tree restricted to the posting-list candidate union
+    "q_bm25_at_rest" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, bm25StatsForOracle()),
+    // the CMS propose/exact verify pipeline provably equals the plain
+    // threshold relation (overestimate-only -> no false negatives)
+    "q_heavy_hitters" -> DocOracle.heavyHittersSql(HhN, HhRelDiv),
     "q_hybrid_rrf" -> SearchOracle.hybridSql(EmbD, Bm25Terms, Bm25K1, Bm25B,
       RrfPoolN, RrfKConst, HybridK, bm25StatsForOracle()),
     "q_ann_recall" ->

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * SRP-LSH (signed-random-projection locality-sensitive hashing) bucketed
+ * retrieval — the HASH-bucket alternative to the IVF coarse quantizer as
+ * the candidate-generation scale path (Charikar 2002; multi-probe form
+ * Lv et al. 2007). The reference's two-phase discipline (cheap candidate
+ * cut, exact rescore — `ANNCode.py:300-340`) applied to a bucketing
+ * family the engine's IVF/graph rungs don't cover:
+ *
+ *  - each vector collapses MAP-SIDE to a P-bit bucket key, one sign bit
+ *    per fixed hyperplane (bit p = [dot(v, h_p) > 0]);
+ *  - a query probes its own bucket plus the P Hamming-1 neighbours
+ *    (multi-probe: flip one sign bit — the nearest misclassification is
+ *    overwhelmingly a single near-zero margin, so probing the 1-flip
+ *    shell recovers most boundary loss for P+1 bucket reads instead of
+ *    a 2^P rehash or a second table);
+ *  - candidates come from a bucket EQUI-JOIN (never all-pairs), then a
+ *    bounded exact cosine rescore ranks the survivors.
+ *
+ * At 100 TB the bucket is a write-time partition key ([[ensureLayout]]):
+ * probe-bucket selection becomes Parquet partition pruning and a query
+ * touches ~(P+1)/2^P of the corpus. Assignment is embarrassingly
+ * map-side (no training pass, unlike IVF's centroids) — the property
+ * that makes LSH the standard choice when the corpus distribution
+ * drifts too fast to retrain a quantizer.
+ *
+ * Hyperplane components are deterministic integers in [-500, 500] from
+ * the [[graft.Fixture]] mixing arithmetic on a dedicated plane-key
+ * space; the DuckDB oracle embeds the identical values as exact
+ * literals. Every sign bit is the comparison of a left-fold DOUBLE dot
+ * chain both engines evaluate term-for-term in the same order, so
+ * bucket keys — and therefore candidate sets, scores, and ranks —
+ * hash-match bit-for-bit.
+ */
+object Lsh {
+
+  /** Deterministic integer hyperplane component for (plane p, dim j):
+    * the Fixture hash on key = PlaneKeyBase + p, reduced to [-500, 500].
+    * Integer components times float embeddings are exact in DOUBLE, so
+    * the sign-bit comparison is bit-deterministic across engines. */
+  final val PlaneKeyBase = 7777801L
+
+  def planeComponent(p: Int, j: Int): Double = {
+    val key = PlaneKeyBase + p
+    val h = (key * (graft.Fixture.HMul + (j + 1) * graft.Fixture.JMul) +
+      (j + 1) * 1013904223L) % graft.Fixture.BigP
+    (h % 1001L - 500L).toDouble
+  }
+
+  /** Left-assoc dot chain of a FLOAT[] column against plane p's literal
+    * components — term order matches the oracle's SQL chain exactly. */
+  private def planeDot(v: Column, p: Int, d: Int): Column =
+    (0 until d).map(j =>
+      v.getItem(j).cast("double") * lit(planeComponent(p, j)))
+      .reduceLeft(_ + _)
+
+  /** P-bit bucket key: bit p set iff dot(v, h_p) > 0. */
+  def bucketCol(v: Column, d: Int, nPlanes: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes=$nPlanes not in [1,62]")
+    (0 until nPlanes).map(p =>
+      when(planeDot(v, p, d) > lit(0.0), lit(1L << p)).otherwise(lit(0L)))
+      .reduceLeft(_ + _)
+  }
+
+  /** (qid, qvec, qn2, bucket): each query's multi-probe set — its own
+    * bucket plus the first `nFlips` Hamming-1 flips (the probe-depth
+    * knob, LSH's `nprobe` analogue), all distinct by construction (so no
+    * candidate pair needs de-duplication: a vector lives in exactly one
+    * bucket). */
+  private def probeSet(q: DataFrame, d: Int, nPlanes: Int,
+                       nFlips: Int): DataFrame =
+    q.withColumn("b0", bucketCol(col("qvec"), d, nPlanes))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        explode(array(col("b0") +: (0 until nFlips).map(p =>
+          col("b0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+
+  private def cosScore: Column =
+    graft.functions.VectorOps.dot(col("embedding"), col("qvec")) /
+      (graft.functions.VectorOps.fnorm(col("n2")) *
+        graft.functions.VectorOps.fnorm(col("qn2")))
+
+  /**
+   * Multi-probe SRP-LSH top-k: (qid, rank, id, score) with exact
+   * cosine scores; approximation comes from the probe set only. The
+   * probe relation is nq*(P+1) rows — broadcast — so the corpus scan is
+   * one map-side bucket assignment + broadcast hash join; nothing
+   * all-pairs, nothing shuffled.
+   *
+   * `nFlips` (default: all nPlanes) truncates the 1-flip shell — the
+   * probe-depth knob; `nFlips = 0` probes the exact bucket only.
+   * `probeAllBuckets = true` probes every occupied bucket (spec use:
+   * buckets partition the corpus, so the full-probe result is provably
+   * the brute-force top-k).
+   */
+  def topk(emb: DataFrame, nq: Int, k: Int, d: Int, nPlanes: Int,
+           nFlips: Int = -1, probeAllBuckets: Boolean = false): DataFrame = {
+    val flips = if (nFlips < 0) nPlanes else nFlips
+    require(flips <= nPlanes, s"nFlips=$flips > nPlanes=$nPlanes")
+    val V = graft.functions.VectorOps
+    val codes = emb.select(col("vec_id").as("id"), col("embedding"),
+      V.norm2Sq(col("embedding")).as("n2"),
+      bucketCol(col("embedding"), d, nPlanes).as("bucket"))
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes =
+      if (probeAllBuckets)
+        q.crossJoin(codes.select(col("bucket")).distinct())
+      else probeSet(q, d, nPlanes, flips)
+    val scored = codes.join(broadcast(probes), Seq("bucket"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k)
+  }
+
+  // --- bucket-partitioned layout at rest ---------------------------------
+
+  /** Bump when the at-rest layout or the bucket expression changes. */
+  private val LayoutVersion = 1
+
+  /**
+   * Materialize the LSH table AT REST: (id, embedding, n2) written once,
+   * `partitionBy("bucket")` — probe-bucket selection becomes Parquet
+   * partition pruning (PlanSpec asserts), the 100 TB layout where a
+   * query's I/O is the probed buckets' files only. Immutable
+   * version-named dir, atomic scratch publish (the [[Ivf.ensureIndex]]
+   * discipline).
+   */
+  def ensureLayout(spark: SparkSession, sfDir: String, d: Int,
+                   nPlanes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val files = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+    val ver = (src.lastModified +: files.map(_.lastModified)).max
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_lsh_v${LayoutVersion}_${safe}_p${nPlanes}_d${d}_v$ver")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "lsh-")
+      graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding"),
+          graft.functions.VectorOps.norm2Sq(col("embedding")).as("n2"),
+          bucketCol(col("embedding"), d, nPlanes).as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"lsh layout publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * Multi-probe top-k OFF THE AT-REST LAYOUT — the at-rest twin of
+   * [[topk]], returning identical rows: the probe-bucket set is bounded
+   * (<= nq*(P+1) values), collected, and pushed into the scan as a
+   * STATIC partition filter, so only the probed buckets' files are read.
+   */
+  def topkAtRest(spark: SparkSession, sfDir: String, emb: DataFrame,
+                 nq: Int, k: Int, d: Int, nPlanes: Int): DataFrame =
+    topkOffLayout(spark, ensureLayout(spark, sfDir, d, nPlanes),
+      emb, nq, k, d, nPlanes)
+
+  /** [[topkAtRest]]'s query half against an explicit layout path — shared
+    * by the batch-built and stream-maintained layouts (both hold the
+    * identical (id, embedding, n2, bucket) rows once drained). */
+  def topkOffLayout(spark: SparkSession, path: String, emb: DataFrame,
+                    nq: Int, k: Int, d: Int, nPlanes: Int): DataFrame = {
+    val stored = spark.read.parquet(path) // (id, embedding, n2, bucket)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = probeSet(q, d, nPlanes, nPlanes)
+    val buckets = probes.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = stored
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .join(broadcast(probes), Seq("bucket"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k)
+  }
+}

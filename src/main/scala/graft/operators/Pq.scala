@@ -571,12 +571,24 @@ object Pq {
     * the scan and the query (filters still push through it). */
   private def topkOffStored(stored: DataFrame, emb: DataFrame,
                             nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
-                            mSub: Int, codes: Int, rerank: Int): DataFrame = {
+                            mSub: Int, codes: Int, rerank: Int): DataFrame =
+    topkOffStoredQ(stored,
+      Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2")),
+      k, nCells, d, nprobe, mSub, codes, rerank)
+
+  /** [[topkOffStored]] with an EXPLICIT query frame (qid, qvec, qn2) —
+    * per-query top-k is independent across queries, so callers may
+    * serve any query subset (a streaming microbatch of arriving
+    * queries, a single online request) and the per-query rows are
+    * identical to the all-queries batch run. */
+  private[graft] def topkOffStoredQ(stored: DataFrame, q: DataFrame,
+                                    k: Int, nCells: Int, d: Int, nprobe: Int,
+                                    mSub: Int, codes: Int,
+                                    rerank: Int): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val sub = d / mSub
     val V = graft.functions.VectorOps
-    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
       .select(col("qid"), col("cell"))
     // bounded collect (<= nq * nprobe values) -> static partition filter

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
 
@@ -137,6 +137,54 @@ object Search {
       .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
   }
 
+  // ---- cursor pagination (search_after) ---------------------------------
+
+  /**
+   * Cursor pagination — the `search_after` API every search service
+   * exposes (Elasticsearch/OpenSearch `search_after`, the vector-store
+   * page token): page `page` (1-based) of `k` results per query,
+   * resumed from the PREVIOUS page's last (score, id) cursor instead of
+   * deepening a single top-(page·k) rank.
+   *
+   * The cursor set is the MODEL, not the data: one (score, id) pair per
+   * query — nq rows collected per page hop, broadcast back as a
+   * map-side filter `score < c OR (score = c AND id > cid)` the scan
+   * applies BEFORE the top-k heap. Page N's scan therefore does exactly
+   * page 1's work (one corpus pass, k-deep heap) rather than carrying a
+   * page·k-deep window — the property that makes deep pagination
+   * survive at 100 TB. The (score DESC, id ASC) total order makes the
+   * cursor-resume provably equal to the rank slice
+   * ((page-1)·k, page·k] of one global ranking, which is what the
+   * oracle checks.
+   *
+   * Output: (qid, rank, id, score) with rank 1..k page-local.
+   */
+  def searchAfter(emb: DataFrame, nq: Int, k: Int, page: Int): DataFrame = {
+    require(page >= 1, s"page $page must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")))
+    def scoredAll: DataFrame =
+      candSide(emb).crossJoin(q).withColumn("score", cosScore)
+    var cursor: Option[DataFrame] = None
+    var result: DataFrame = TopK.window(scoredAll, k)
+    for (_ <- 2 to page) {
+      // cursor = each query's k-th row from the page just computed:
+      // nq (score, id) pairs — a bounded model collect
+      val cur = result.filter(col("rank") === k)
+        .select(col("qid"), col("score").as("cscore"), col("id").as("cid"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      cursor = Some(broadcast(cur.toSeq.toDF("qid", "cscore", "cid")))
+      val resumed = scoredAll.join(cursor.get, Seq("qid"))
+        .filter(col("score") < col("cscore") ||
+          (col("score") === col("cscore") && col("id") > col("cid")))
+        .drop("cscore", "cid")
+      result = TopK.window(resumed, k)
+    }
+    result.select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   // ---- range (radius) search ------------------------------------------
 
   /** All (qid, id, score) with cosine >= tau — the radius twin of top-k.
@@ -212,6 +260,117 @@ object Search {
     val ranked = top.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("rank"), col("score"))
     (ranked, st)
+  }
+
+  // ---- posting-list inverted index at rest -----------------------------
+
+  /** Bump when the postings layout shape changes. */
+  private val PostingsLayoutVersion = 1
+
+  /**
+   * Materialize the INVERTED INDEX at rest: one posting row per
+   * (term, doc) — `(term, doc_id, tf, dl)`, with the doc length
+   * denormalized into every posting (Lucene's "norms" discipline: the
+   * scorer never joins back to the document) — partitioned by a term
+   * hash bucket `tb`. Term-bucket partitioning is the lexical twin of
+   * the vector layouts' cell partitioning: a query's terms map to a
+   * bounded bucket set pushed into the scan as a STATIC partition
+   * filter, so retrieval I/O is the probed buckets' files, never the
+   * corpus. A corpus-stats sidecar (`_stats`: one (n, sumdl) row — the
+   * underscore prefix keeps it invisible to readers of the postings
+   * root) makes the layout self-contained: BM25 serves entirely off the
+   * index, the documents table is never read at query time.
+   *
+   * Immutable version-named dir + atomic scratch publish (the
+   * [[graft.operators.Lsh.ensureLayout]] discipline).
+   */
+  def ensurePostingsLayout(spark: SparkSession, sfDir: String,
+                           nBuckets: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_postings_v${PostingsLayoutVersion}_${safe}_b${nBuckets}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "postings-")
+      val tk = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      tk.select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
+      tk.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("sumdl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("_stats").toString)
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"postings layout publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * BM25 OFF THE POSTING LISTS — the at-rest serve path of [[bm25]],
+   * with true posting-list retrieval semantics: candidates are the
+   * UNION OF THE QUERY TERMS' POSTING LISTS (docs matching no term are
+   * never fetched, scored, or ranked — what a real inverted index does),
+   * scored with the identical BM25 expression tree. Corpus stats come
+   * from the layout's sidecar, df from the pruned postings themselves —
+   * the documents table is never read: `(doc_id, rank, score)`.
+   *
+   * Scale shape: term buckets prune the scan (PlanSpec asserts the
+   * partition filter), the pruned postings collapse via ONE map-side
+   * pivot aggregate to a row per candidate doc (at most |terms| posting
+   * rows fold into each), and the stats reads are a 1-row sidecar
+   * collect plus a |terms|-row df aggregate — both models, not data.
+   */
+  def bm25AtRest(spark: SparkSession, sfDir: String, terms: Seq[String],
+                 k1: Double, b: Double, topN: Int,
+                 nBuckets: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val stats = spark.read.parquet(s"$root/_stats").collect()(0)
+    val n = stats.getAs[Long]("n")
+    val avgdl = stats.getAs[Long]("sumdl").toDouble / n
+    // the terms' bucket keys, computed by the same `hash` expression the
+    // writer used (one 1-row job; never re-implement Murmur3 driver-side)
+    val buckets = spark.range(1).select(terms.map(t =>
+        pmod(hash(lit(t)), lit(nBuckets))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct
+    val pruned = spark.read.parquet(root)
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    // df per term off the pruned postings (a posting row exists iff
+    // tf >= 1, so the row count per term IS the document frequency)
+    val dfMap = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = Bm25Stats(n, stats.getAs[Long]("sumdl"),
+      terms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap)
+    // one pivot aggregate: per candidate doc, each term's tf (exact
+    // integers; a (doc, term) has at most one posting row so the SUM is
+    // a singleton pick), then the bm25 tree with tf from the column
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), col("tf")).otherwise(lit(0L)))
+        .as(s"tf$i") }
+    val perDoc = pruned.groupBy(col("doc_id"), col("dl"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"tf$i").cast("double")
+      val dl = col("dl").cast("double")
+      lit(st.idf(t)) * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(st.avgdl)))))
+    }.reduceLeft(_ + _)
+    val top = perDoc.withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank"), col("score"))
   }
 
   // ---- hybrid retrieval: reciprocal rank fusion -----------------------

@@ -452,4 +452,88 @@ object TextOps {
       .filter(col("rn") <= takeCase)
       .select(col("doc_id"), col("lang"))
   }
+
+  /**
+   * φ-HEAVY HITTERS by count-min sketch PROPOSE + exact VERIFY — the
+   * frequent-items member of the sketch family (`q_sketches` covers HLL
+   * cardinality and GK quantiles; Cormode & Muthukrishnan 2005): every
+   * word `n`-gram whose corpus count is at least `ceil(total / relDiv)`
+   * (the φ = 1/relDiv heavy-hitter definition; integer arithmetic:
+   * `(total+relDiv-1) / relDiv`), with its EXACT count — the corpus-
+   * level boilerplate-phrase detector (the per-document twin is
+   * [[repetition]]'s Gopher filters).
+   *
+   * The production shape at 100 TB: the gram multiset is never grouped
+   * at full cardinality on the hot path. Phase 1 folds the stream
+   * map-side into a BOUNDED `rows x width` counter grid (rows·width
+   * longs regardless of corpus size — the model). Phase 2 estimates
+   * each DISTINCT gram as the MIN of its buckets' counters; counters
+   * only ever ADD other grams' counts, so the estimate can only
+   * OVERestimate — candidates (estimate >= threshold) are a PROVABLE
+   * SUPERSET of the true heavy hitters, no false negative possible.
+   * Phase 3 exactly counts the candidates only. The overestimate-only
+   * guarantee makes the output EXACTLY the plain `GROUP BY gram HAVING
+   * count >= T` relation, so the oracle is that simple SQL — the
+   * sketch is load-bearing for cost, provably invisible to the answer.
+   * Pruning holds at ANY scale because both the threshold (total/
+   * relDiv) and the collision noise (total/width) scale linearly with
+   * the stream: width >> relDiv keeps noise below threshold at 1 GB or
+   * 100 TB (the CMS-HH sizing rule, hence the 32768 default for
+   * relDiv = 5000).
+   *
+   * Hashes: row r buckets gram g by the engine's Murmur3 `hash` of
+   * `"r#" + g` mod width — deterministic, but NEVER mirrored in the
+   * oracle (bucket choice moves work, not answers).
+   *
+   * Output: (gram, cnt) — every true heavy hitter with its exact count.
+   */
+  def heavyHitters(docs: DataFrame, n: Int, relDiv: Long, rows: Int = 4,
+                   width: Int = 32768): DataFrame = {
+    val grams = gramStream(docs, n)
+    val total = grams.count()
+    val threshold = (total + relDiv - 1) / relDiv
+    val candidates = hhCandidates(grams, threshold, rows, width)
+    // phase 3: exact counts for the candidate set only
+    grams.join(broadcast(candidates), Seq("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(threshold))
+  }
+
+  /** The gram MULTISET: every window position of every doc with >= n
+    * tokens — [[heavyHitters]]' stream. */
+  private[graft] def gramStream(docs: DataFrame, n: Int): DataFrame = {
+    val tk = col("__toks")
+    val gramsCol = transform(
+      sequence(lit(0), size(tk) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*))
+    docs.withColumn("__toks", Dedup.tokens(col("text")))
+      .filter(size(tk) >= n)
+      .select(explode(gramsCol).as("gram"))
+  }
+
+  /** [[heavyHitters]]' phases 1-2 (the sketch): the bounded counter
+    * grid, then per-distinct-gram min-of-counters estimates, filtered
+    * to the candidate superset — exposed so specs can assert the
+    * sketch's pruning power and overestimate-only bound directly. */
+  private[graft] def hhCandidates(grams: DataFrame, threshold: Long,
+                                  rows: Int, width: Int): DataFrame = {
+    def bucket(r: Int): Column =
+      pmod(hash(concat(lit(s"$r#"), col("gram"))), lit(width))
+    val rb = explode(array((0 until rows).map(r =>
+      struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb")
+    // phase 1: the counter grid (<= rows*width rows after the map-side
+    // combine — the only aggregate that ever sees the full stream)
+    val grid = grams.select(rb)
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // phase 2: estimate = min over rows of the gram's counters; the
+    // probe side is the distinct vocabulary, the grid side is bounded ->
+    // broadcast equi-join, never a shuffle keyed on the grid
+    grams.distinct().select(col("gram"), rb)
+      .select(col("gram"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(grid), Seq("r", "b"))
+      .groupBy(col("gram")).agg(min(col("c")).as("est"))
+      .filter(col("est") >= lit(threshold))
+      .select(col("gram"))
+  }
 }

@@ -197,6 +197,27 @@ object DocOracle {
        |  CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS distinct_ratio
        |FROM tok GROUP BY doc_id""".stripMargin
 
+  /** φ-heavy hitters ([[graft.operators.TextOps.heavyHitters]]): the
+    * engine runs count-min PROPOSE + exact VERIFY, but the sketch's
+    * overestimate-only guarantee (counters only ever add other grams'
+    * counts, so min-of-counters >= true count — no false negative can
+    * exist) makes the output PROVABLY equal to the plain exact
+    * threshold relation, which is all this oracle needs to be. The
+    * threshold is pure integer arithmetic on the gram total (`//` =
+    * DuckDB integer division). The gram MULTISET here is the engine's:
+    * every window position of every doc with >= n tokens. */
+  def heavyHittersSql(n: Int, relDiv: Long): String = {
+    val gram = (0 until n).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""WITH g AS (SELECT $gram AS gram
+       |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+       |        WHERE len(string_split(text, ' ')) >= $n),
+       |       UNNEST(generate_series(1, len(tk) - ${n - 1})) AS t(i)),
+       |tot AS (SELECT COUNT(*) AS total FROM g),
+       |cnt AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+       |SELECT gram, cnt FROM cnt, tot
+       |WHERE cnt >= (total + $relDiv - 1) // $relDiv""".stripMargin
+  }
+
   def langIdSql(markers: Seq[(String, Seq[String])]): String = {
     val hitCols = markers.map { case (code, ws) =>
       val lst = ws.map(w => s"'$w'").mkString(", ")

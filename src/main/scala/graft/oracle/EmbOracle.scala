@@ -45,6 +45,31 @@ object EmbOracle {
        |  FROM scored)
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score FROM ranked WHERE rnk <= $k""".stripMargin
 
+  /**
+   * Cursor pagination ([[graft.operators.Search.searchAfter]]): the
+   * engine resumes page N from the previous page's last (score, id)
+   * cursor; under the (score DESC, id ASC) total order that is provably
+   * the rank slice ((page-1)·k, page·k] of one global ranking, which is
+   * what this oracle emits — rank re-based to the page-local 1..k the
+   * API returns.
+   */
+  def pageSql(d: Int, nq: Int, k: Int, page: Int): String = {
+    val lo = (page - 1) * k
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |${nrmCte(d, "nrmb")},
+       |sc AS (SELECT q.qid, e.vec_id AS id, ${dotE("e.embedding", "q.qv", d)} AS dp
+       |       FROM embeddings e CROSS JOIN q),
+       |scored AS (SELECT sc.qid, sc.id,
+       |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM sc JOIN nrmb ni ON sc.id = ni.vec_id JOIN nrmb nq2 ON sc.qid = nq2.vec_id),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk - $lo AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk > $lo AND rnk <= ${page * k}""".stripMargin
+  }
+
   /** Score-distribution histogram ([[graft.operators.Ann
     * .scoreHistogram]]): bucket = floor(score * binScale) over every
     * query-corpus cosine — floor of the identical score doubles, so the
@@ -183,6 +208,47 @@ object EmbOracle {
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
        |  FROM scored)
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /**
+   * Multi-probe SRP-LSH bucketed retrieval ([[graft.operators.Lsh
+   * .topk]] and its at-rest twin — the stored bucket column holds the
+   * identical keys, so ONE oracle serves both): each vector's P-bit
+   * bucket is a CASE-bit sum over hyperplane sign tests (the engine's
+   * exact integer hyperplane components embedded as string-cast DOUBLE
+   * literals, each dot a left-fold chain matching the Spark column
+   * term-for-term), the probe set is the query's own bucket plus the P
+   * Hamming-1 flips (`xor(b0, 2^p)`), candidates come from the bucket
+   * equi-join, and the exact cosine rescore ranks them.
+   */
+  def lshSql(d: Int, nPlanes: Int, nq: Int, k: Int): String = {
+    def planeDot(a: String, p: Int): String =
+      (1 to d).map(i => s"CAST($a[$i] AS DOUBLE)*" +
+        OracleGen.dlit(graft.operators.Lsh.planeComponent(p, i - 1)))
+        .mkString("(", " + ", ")")
+    val bucketExpr = (0 until nPlanes).map(p =>
+      s"CASE WHEN ${planeDot("e.embedding", p)} > 0.0" +
+        s" THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString("(", " + ", ")")
+    val flips = (0 until nPlanes).map(p =>
+      s"SELECT qid, xor(b0, CAST(${1L << p} AS BIGINT)) AS bucket FROM qb")
+      .mkString(" UNION ALL ")
+    s"""WITH codes AS MATERIALIZED (SELECT e.vec_id AS id, $bucketExpr AS bucket
+       |  FROM embeddings e),
+       |${nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qb AS MATERIALIZED (SELECT q.qid, c.bucket AS b0 FROM q JOIN codes c ON c.id = q.qid),
+       |probes AS (SELECT qid, b0 AS bucket FROM qb UNION ALL $flips),
+       |cand AS (SELECT p.qid, c.id FROM probes p JOIN codes c ON c.bucket = p.bucket),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${dotE("e.embedding", "qe.embedding", d)} / (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand r JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score FROM ranked WHERE rnk <= $k""".stripMargin
+  }
 
   def nearDupSql(d: Int, minCos: Double): String =
     s"""WITH ${nrmCte(d)},

@@ -187,23 +187,41 @@ object SearchOracle {
     * tk / st / df / bsc(doc_id, score). The score expression mirrors
     * [[graft.operators.Search.termScore]]'s tree token-for-token. */
   private def bm25Ctes(terms: Seq[String], k1: Double, b: Double,
-                       st: Option[Bm25Stats]): String = {
+                       st: Option[Bm25Stats],
+                       candOnly: Boolean = false): String = {
     val termExprs = terms.zipWithIndex.map { case (t, i) =>
       s"(${idfExpr(i, t, st)} * ((CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) * ${dlit(k1 + 1.0)}) / " +
         s"(CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) + ${dlit(k1)} * " +
         s"(${dlit(1.0 - b)} + ${dlit(b)} * (CAST(len(tk) AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))))"
     }
     val score = termExprs.reduceLeft((a, c) => s"($a + $c)")
+    // candOnly = posting-list retrieval semantics: only docs matching at
+    // least one query term exist as candidates (bm25AtRest's contract)
+    val cand = if (!candOnly) "" else
+      terms.map(t => s"len(list_filter(tk, x -> x = '$t')) > 0")
+        .mkString("\n|  WHERE (", " OR ", ")")
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl FROM tk),
        |df AS (SELECT ${dfCols(terms)} FROM tk),
-       |bsc AS (SELECT doc_id, $score AS score FROM tk, st, df)""".stripMargin
+       |bsc AS (SELECT doc_id, $score AS score FROM tk, st, df$cand)""".stripMargin
   }
 
   /** BM25 top-n: (doc_id, rank, score). */
   def bm25Sql(terms: Seq[String], k1: Double, b: Double, topN: Int,
               st: Option[Bm25Stats]): String =
     s"""WITH ${bm25Ctes(terms, k1, b, st)},
+       |ranked AS (SELECT doc_id, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM bsc)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score
+       |FROM ranked WHERE rnk <= $topN""".stripMargin
+
+  /** BM25 off the posting lists ([[graft.operators.Search.bm25AtRest]]):
+    * identical scoring tree, but candidates are the union of the query
+    * terms' posting lists — docs matching no term are never ranked (the
+    * inverted index's retrieval contract). */
+  def bm25AtRestSql(terms: Seq[String], k1: Double, b: Double, topN: Int,
+                    st: Option[Bm25Stats]): String =
+    s"""WITH ${bm25Ctes(terms, k1, b, st, candOnly = true)},
        |ranked AS (SELECT doc_id, score,
        |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM bsc)
        |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score

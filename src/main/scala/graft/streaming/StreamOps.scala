@@ -663,6 +663,149 @@ object StreamOps {
       graft.operators.Ann.queriesOf(emb, nq), k, d, dPrefix)
   }
 
+  /**
+   * Streaming LSH-layout maintenance: arrivals drain through a real file
+   * stream one landing shard per trigger, each microbatch applies
+   * exactly the batch writer's projection ([[graft.operators.Lsh
+   * .ensureLayout]] — map-side sign-hash bucket + hoisted norm) and
+   * appends to the bucket-partitioned layout. LSH needs NO training
+   * pass, so streaming maintenance is the whole lifecycle: assignment is
+   * a pure function of the vector, fresh rows are immediately queryable,
+   * and no retrain/re-encode stage can ever drift from the batch build.
+   */
+  def ensureStreamLshLayout(spark: SparkSession, sfDir: String, d: Int,
+                            nPlanes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val landing = ensureShardedEmbLanding(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_lsh_${safe}_p${nPlanes}_d${d}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "stream-lsh-")
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("label", IntegerType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(col("vec_id").as("id"), col("embedding"),
+                graft.functions.VectorOps.norm2Sq(col("embedding")).as("n2"),
+                graft.operators.Lsh.bucketCol(col("embedding"), d, nPlanes)
+                  .as("bucket"))
+              .write.mode("append").partitionBy("bucket")
+              .option("compression", "zstd")
+              .parquet(tmp.toString)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream lsh layout publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /**
+   * STREAMING QUERY SERVING — the other half of the streaming story:
+   * every `q_stream_*` so far streams the CORPUS into a maintained
+   * layout; here the corpus is the static at-rest PQ index and the
+   * QUERIES are what arrives. The nq query vectors land as a sharded
+   * parquet stream, each microbatch runs the full probe/cheap/rescore
+   * pipeline ([[graft.operators.Pq.topkOffStoredQ]]) for just its
+   * arriving queries against the immutable index, and appends its
+   * (qid, rank, id, score) pages to the results log. Per-query top-k is
+   * independent across queries, so the drained union is ROW-IDENTICAL
+   * to the all-queries batch run — `q_stream_ann_serve` shares
+   * `q_ann_ivf_pq_at_rest`'s oracle.
+   *
+   * This is the online-serving shape: the index never moves, request
+   * batches arrive continuously, each pays only its own probe cells'
+   * partition-pruned I/O.
+   */
+  def annServeOverStream(spark: SparkSession, sfDir: String, emb: DataFrame,
+                         nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
+                         mSub: Int, codes: Int, rerank: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val codesPath = graft.operators.Pq.ensureCodesFixture(
+      spark, sfDir, nCells, d, mSub, codes)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // query landing: the nq queries sharded so the drain is a real
+    // multi-trigger stream, not one batch in disguise
+    val qLanding = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_qlanding_${safe}_nq${nq}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(qLanding.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(qLanding.getParent, "qland-")
+        graft.operators.Ann.queriesOf(emb, nq)
+          .select(col("qid"), col("qvec"), col("qn2"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, qLanding)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(qLanding.resolve("_SUCCESS")),
+          s"query landing publish failed: $qLanding")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_serve_${safe}_nq${nq}_k${k}_c${nCells}_d${d}" +
+        s"_p${nprobe}_m${mSub}_cd${codes}_r${rerank}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "serve-")
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("qid", LongType),
+            StructField("qvec", ArrayType(FloatType)),
+            StructField("qn2", DoubleType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(qLanding.toString)
+        val stored = spark.read.parquet(codesPath)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              graft.operators.Pq.topkOffStoredQ(stored, batch, k, nCells,
+                  d, nprobe, mSub, codes, rerank)
+                .write.mode("append").parquet(tmp.toString)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream serve publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(outDir.toString)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /** Multi-probe LSH over the STREAM-MAINTAINED layout — hash-equal to
+    * the batch twins once drained (same rows, same bucket keys), so it
+    * shares `q_ann_lsh`'s oracle. */
+  def lshOverStream(spark: SparkSession, sfDir: String, emb: DataFrame,
+                    nq: Int, k: Int, d: Int, nPlanes: Int): DataFrame =
+    graft.operators.Lsh.topkOffLayout(spark,
+      ensureStreamLshLayout(spark, sfDir, d, nPlanes),
+      emb, nq, k, d, nPlanes)
+
   /** The PQ rung over the STREAM-MAINTAINED codes layout: with the drain
     * complete the layout holds the same (id, vec, code) rows as the
     * batch-built one, so this is hash-equal to `q_ann_ivf_pq` and shares

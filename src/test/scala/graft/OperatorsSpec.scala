@@ -1663,4 +1663,36 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(again == got.map(_.toSeq).toSet)
   }
+
+  test("heavy hitters: CMS propose/exact verify equals the exact relation and prunes") {
+    import SparkEntry.{HhN, HhRelDiv}
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, dir)
+    val got = TextOps.heavyHitters(docs, HhN, HhRelDiv)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ground truth: the plain exact GROUP BY/HAVING relation
+    val tk = col("__toks")
+    val gramsCol = transform(
+      sequence(lit(0), size(tk) - HhN),
+      i => concat_ws(" ", (0 until HhN).map(o =>
+        element_at(tk, i + o + 1)): _*))
+    val grams = docs.withColumn("__toks", split(col("text"), " "))
+      .filter(size(tk) >= HhN).select(explode(gramsCol).as("gram"))
+    val total = grams.count()
+    val threshold = (total + HhRelDiv - 1) / HhRelDiv
+    val exact = grams.groupBy("gram").count()
+      .filter(col("count") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "CMS-verified output must equal the exact relation")
+    assert(got.nonEmpty, "fixture must produce heavy hitters")
+    // the sketch actually PRUNES: the candidate superset the estimate
+    // pass hands to the exact phase is a sliver of the gram universe
+    val cands = TextOps.hhCandidates(grams, threshold, rows = 4,
+        width = 32768).collect().map(_.getString(0)).toSet
+    val vocab = grams.distinct().count()
+    assert(exact.keySet.subsetOf(cands),
+      "overestimate-only: no true heavy hitter may be pruned")
+    assert(cands.size < vocab / 10,
+      s"candidates ${cands.size} should be a sliver of vocab $vocab")
+  }
 }

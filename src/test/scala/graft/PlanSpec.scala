@@ -465,6 +465,30 @@ class PlanSpec extends AnyFunSuite {
       s"no cell partition filter on the index scan:\n$plan")
   }
 
+  test("posting-list bm25 scan carries a term-bucket partition filter") {
+    val df = graft.operators.Search.bm25AtRest(spark, dir,
+      SparkEntry.Bm25Terms, SparkEntry.Bm25K1, SparkEntry.Bm25B,
+      SparkEntry.Bm25TopN, SparkEntry.PostBuckets)
+    val plan = df.queryExecution.executedPlan.toString
+    // the query terms' buckets must prune the postings scan — at scale
+    // this is what makes lexical retrieval read <= |terms| buckets'
+    // files instead of the whole inverted index
+    assert(plan.contains("PartitionFilters: [tb"),
+      s"no term-bucket partition filter on the postings scan:\n$plan")
+  }
+
+  test("at-rest LSH probe scan carries a bucket partition filter") {
+    val df = graft.operators.Lsh.topkAtRest(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.EmbD, SparkEntry.LshPlanes)
+    val plan = df.queryExecution.executedPlan.toString
+    // probe buckets must reach the layout scan as a partition filter —
+    // at scale this is what makes a multi-probe query touch ~(P+1)/2^P
+    // of the corpus instead of the whole table
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"no bucket partition filter on the LSH layout scan:\n$plan")
+  }
+
   test("PQ at-rest cheap pass: partition-pruned scan reads only the code column") {
     val df = graft.operators.Pq.topkAtRest(spark, dir,
       Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,

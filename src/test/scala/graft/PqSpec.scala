@@ -178,6 +178,18 @@ class PqSpec extends AnyFunSuite {
     assert(parts >= 2, s"landing has only $parts shard(s)")
   }
 
+  test("streaming query serving equals the batch at-rest run") {
+    val served = graft.streaming.StreamOps.annServeOverStream(spark, dir,
+      emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+      .collect().map(_.toSeq).toSet
+    val batch = Pq.topkAtRest(spark, dir, emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    // per-query top-k is independent across queries, so the drained
+    // union of per-microbatch pages is row-identical to the batch run
+    assert(served == batch && served.size == NQ * K,
+      "query-stream serve diverged from the batch at-rest run")
+  }
+
   test("compacting the stream-maintained codes layout: fewer files, same rows") {
     val streamed = graft.streaming.StreamOps.ensureStreamPqCodes(
       spark, dir, IvfCells, EmbD, PqM, PqCodes)

@@ -210,4 +210,46 @@ class SearchSpec extends AnyFunSuite {
     assert(row.getAs[Double]("mrr") ==
       scaled.toDouble / (SparkEntry.MrrScale.toDouble * SparkEntry.NQ))
   }
+
+  test("bm25 at rest: posting-list retrieval equals in-memory bm25 on matching docs") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets}
+    val atRest = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
+      Bm25TopN, PostBuckets).collect()
+    assert(atRest.nonEmpty)
+    // every retrieved doc contains at least one query term (the posting
+    // union IS the candidate set)
+    val matched = docs.filter(Bm25Terms.map(t =>
+        array_contains(split(col("text"), " "), t)).reduceLeft(_ || _))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(atRest.forall(r => matched.contains(r.getAs[Long]("doc_id"))))
+    // idf > 0 always (the +1 log form), so matching docs score > 0 and
+    // non-matching exactly 0: when >= topN docs match, the at-rest
+    // top-N is bit-identical to the full-scan bm25 top-N
+    assert(matched.size >= Bm25TopN, "fixture must have enough matches")
+    val (inMem, _) = Search.bm25(docs, Bm25Terms, Bm25K1, Bm25B, Bm25TopN)
+    assert(atRest.map(_.toSeq).toSeq.sortBy(_.toString) ==
+      inMem.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
+  test("search_after: pages are disjoint and their union is the deep top-2k") {
+    import SparkEntry.{NQ, K}
+    val p1 = Search.searchAfter(emb, NQ, K, page = 1).collect()
+    val p2 = Search.searchAfter(emb, NQ, K, page = 2).collect()
+    assert(p1.length == NQ * K && p2.length == NQ * K)
+    // page-local ranks 1..k on both pages
+    assert(p2.forall(r => r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= K))
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    assert((pairs(p1) & pairs(p2)).isEmpty, "pages must not overlap")
+    // union equals one deep top-2k ranking
+    val deep = Ann.bruteTopK(emb, NQ, 2 * K).collect()
+    assert(pairs(p1) ++ pairs(p2) == pairs(deep))
+    // and page 2's rows are exactly deep ranks k+1..2k with rebased rank
+    val deepSlice = deep.filter(_.getAs[Int]("rank") > K)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank") - K,
+        r.getAs[Long]("id"), r.getAs[Double]("score"))).toSet
+    val got = p2.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+      r.getAs[Long]("id"), r.getAs[Double]("score"))).toSet
+    assert(got == deepSlice)
+  }
 }
