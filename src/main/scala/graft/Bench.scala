@@ -167,6 +167,8 @@ object Bench {
         SparkEntry.EmbD, SparkEntry.LshPlanes)
       graft.operators.Search.ensurePostingsLayout(spark, sfDir,
         SparkEntry.PostBuckets)
+      graft.streaming.StreamOps.ensureStreamPostingsLayout(spark, sfDir,
+        SparkEntry.PostBuckets)
     }
     // the timed window starts AFTER the one-time warm-up; load is
     // stamped at both edges so co-tenant CPU-steal conditions during the

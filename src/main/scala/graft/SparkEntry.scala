@@ -1679,6 +1679,19 @@ object SparkEntry {
             greatest(col("qid"), col("id")).as("doc_b"))
           .distinct())
     }),
+    // SemDeDup (Abbas et al. 2023): within each semantic-duplicate
+    // cluster keep the member with the LOWEST cosine to the cluster
+    // centroid (the diversity-preserving rule), drop the rest — the
+    // embedding-space dedup DECISION stage on top of q_semantic_clusters
+    "q_sem_dedup" -> q((s, dir) => {
+      val g = knnGraphAtRest(s, dir)
+      val clusters = graft.operators.Dedup.connectedComponents(
+        g.filter(col("score") >= SemClusterTau)
+          .select(least(col("qid"), col("id")).as("doc_a"),
+            greatest(col("qid"), col("id")).as("doc_b"))
+          .distinct())
+      graft.operators.Dedup.semDedup(emb(s, dir), clusters)
+    }),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
     // equi-join, bucketable to exchange-free at rest
@@ -1726,6 +1739,13 @@ object SparkEntry {
     // retrieval contract (docs matching no term are never scored)
     "q_bm25_at_rest" -> q((s, dir) => graft.operators.Search.bm25AtRest(
       s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets)),
+    // the posting lists STREAM-MAINTAINED: docs drain shard-by-shard,
+    // each microbatch appends its own postings (no cross-batch state to
+    // merge), stats re-aggregated at publish — hash-equal to
+    // q_bm25_at_rest once drained, so it shares that oracle
+    "q_stream_bm25" -> q((s, dir) => graft.streaming.StreamOps
+      .bm25OverStream(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
+        PostBuckets)),
     // φ-heavy hitters (frequent 3-grams): count-min sketch proposes a
     // provable candidate superset off a bounded counter grid, an exact
     // pass verifies — output exactly the GROUP BY/HAVING relation
@@ -2234,6 +2254,9 @@ object SparkEntry {
       LayeredUpperRounds, LayeredUpperBeam, LayeredStride, LayeredLayers),
     "q_semantic_clusters" -> IvfOracle.semanticClustersSql(EmbD, KnnJ,
       IvfCells, IvfProbe, SemClusterTau),
+    // the SemDeDup keeper: ordered centroid + lowest-cosine member
+    "q_sem_dedup" -> IvfOracle.semDedupSql(EmbD, KnnJ,
+      IvfCells, IvfProbe, SemClusterTau),
     // the drained stream-refreshed model is the batch Lloyd step's
     "q_stream_ivf_retrain" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
@@ -2252,6 +2275,9 @@ object SparkEntry {
       bm25StatsForOracle()),
     // same scoring tree restricted to the posting-list candidate union
     "q_bm25_at_rest" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, bm25StatsForOracle()),
+    // drained stream-maintained postings hold the batch layout's rows
+    "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),
     // the CMS propose/exact verify pipeline provably equals the plain
     // threshold relation (overestimate-only -> no false negatives)

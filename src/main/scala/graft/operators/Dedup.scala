@@ -547,4 +547,66 @@ object Dedup {
       .withColumn("contaminated",
         (col("hit_grams") >= minHits).cast("int"))
   }
+
+  // ---- SemDeDup: semantic dedup keeper rule ------------------------------
+
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): within each semantic-
+   * duplicate cluster, KEEP the member with the LOWEST cosine to the
+   * cluster centroid — the paper's diversity-preserving rule (the
+   * centroid-nearest member is the most redundant; the farthest member
+   * carries the most residual information) — and drop the rest.
+   *
+   * `clusters` is a (doc_id, comp) assignment of duplicate-group members
+   * (here: the thresholded-knn-edge connected components the
+   * `q_semantic_clusters` query computes; vectors in no cluster are
+   * implicitly kept and never enter this stage). The centroid is the
+   * bit-deterministic per-(comp, dim) ordered mean
+   * ([[TrainFold.orderedSumsLong]]: streaming sorted-group fold, O(1)
+   * per-group state at any occupancy — comp labels are id-derived longs,
+   * hence the long-keyed fold), assembled into a bounded d-element array
+   * per cluster; the member scores are position-ordered left-fold dots
+   * (HOF form — members are the bounded duplicate-group subset, not the
+   * corpus). Ranking is total ((score asc, doc_id asc)), so the keeper
+   * is unique and partitioning-invariant.
+   *
+   * Output: (comp, kept_id, n_members, kept_score) — one row per
+   * cluster.
+   *
+   * Scale: the corpus-sized work is the clusters join (id equi-join);
+   * everything downstream is proportional to duplicate-group membership.
+   * The mean fold shuffles members once on (comp, j); no step ever
+   * holds more than one running accumulator per group.
+   */
+  def semDedup(emb: DataFrame, clusters: DataFrame): DataFrame = {
+    val V = graft.functions.VectorOps
+    val members = clusters.join(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")),
+      Seq("doc_id"))
+    // per-(comp, j) ordered mean: sums fold in doc_id order, bit-exact
+    val exploded = members.select(col("comp"), col("doc_id"),
+      posexplode(col("embedding")).as(Seq("j", "x")))
+    val sums = TrainFold.orderedSumsLong(exploded, Seq("comp", "j"),
+      "doc_id", Seq("x" -> "sx"))
+    // assemble the bounded d-element centroid array per cluster
+    val means = sums.withColumn("m", col("sx") / col("n"))
+      .groupBy(col("comp"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+          s => s.getField("m")).as("mvec"),
+        max(col("n")).as("n_members"))
+    val scored = members.join(means, Seq("comp"))
+      .withColumn("score",
+        V.asum(zip_with(V.toDouble(col("embedding")), col("mvec"),
+          (a, b) => a * b)) /
+          (V.fnorm(V.norm2Sq(col("embedding"))) *
+            V.fnorm(V.asum(zip_with(col("mvec"), col("mvec"),
+              (a, b) => a * b)))))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("comp"), col("doc_id").as("kept_id"),
+        col("n_members"), col("score").as("kept_score"))
+  }
 }

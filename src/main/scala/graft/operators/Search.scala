@@ -284,6 +284,18 @@ object Search {
    * Immutable version-named dir + atomic scratch publish (the
    * [[graft.operators.Lsh.ensureLayout]] discipline).
    */
+  /** The indexer's projection: docs -> posting rows
+    * (term, doc_id, tf, dl, tb). Per-(term, doc) tf is computed within
+    * each doc alone, so the projection is microbatch-safe (the streaming
+    * maintainer applies it verbatim per trigger). */
+  private[graft] def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+
   def ensurePostingsLayout(spark: SparkSession, sfDir: String,
                            nBuckets: Int): String = {
     import java.nio.file.{Files, Paths}
@@ -295,11 +307,7 @@ object Search {
       val tmp = Files.createTempDirectory(path.getParent, "postings-")
       val tk = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      tk.select(col("doc_id"), size(col("tk")).as("dl"),
-          explode(col("tk")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+      postingsOf(graft.Tables.documents(spark, sfDir), nBuckets)
         .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
       tk.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("sumdl"))
         .coalesce(1).write.mode("overwrite")
@@ -331,11 +339,18 @@ object Search {
    */
   def bm25AtRest(spark: SparkSession, sfDir: String, terms: Seq[String],
                  k1: Double, b: Double, topN: Int,
-                 nBuckets: Int): DataFrame = {
-    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+                 nBuckets: Int): DataFrame =
+    bm25OffPostings(spark, ensurePostingsLayout(spark, sfDir, nBuckets),
+      terms, k1, b, topN, nBuckets)
+
+  /** [[bm25AtRest]]'s query half against an explicit postings layout —
+    * shared by the batch-built and stream-maintained layouts (both hold
+    * identical posting rows and stats once drained). */
+  def bm25OffPostings(spark: SparkSession, root: String,
+                      terms: Seq[String], k1: Double, b: Double, topN: Int,
+                      nBuckets: Int): DataFrame = {
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
-    val avgdl = stats.getAs[Long]("sumdl").toDouble / n
     // the terms' bucket keys, computed by the same `hash` expression the
     // writer used (one 1-row job; never re-implement Murmur3 driver-side)
     val buckets = spark.range(1).select(terms.map(t =>

@@ -66,4 +66,40 @@ object TrainFold {
           element_at(col("sums"), i + 1).as(out)
         }: _*)
   }
+
+  /** [[orderedSums]] with LONG-typed group keys — for callers whose
+    * groups are id-derived labels (e.g. connected-component labels =
+    * min member id) that must not be narrowed to int. Same streaming
+    * sorted-group fold, same bit-exact left-fold semantics. */
+  def orderedSumsLong(df: DataFrame, groupCols: Seq[String], idCol: String,
+                      vals: Seq[(String, String)]): DataFrame = {
+    require(vals.nonEmpty, "orderedSumsLong: no value columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nv = vals.size
+    val keyed = df.select(
+      array(groupCols.map(c => col(c).cast("long")) :+ lit(0L): _*).as("k"),
+      col(idCol).cast("long").as("id"),
+      array(vals.map { case (in, _) => col(in).cast("double") }: _*)
+        .as("vs"))
+      .as[(Seq[Long], Long, Seq[Double])]
+    val folded = keyed.groupByKey(_._1)
+      .flatMapSortedGroups(col("id")) { (k, it) =>
+        var n = 0L
+        val acc = Array.fill(nv)(0.0)
+        it.foreach { case (_, _, xs) =>
+          n += 1
+          var i = 0
+          while (i < nv) { acc(i) += xs(i); i += 1 }
+        }
+        Iterator.single((k, n, acc.toSeq))
+      }
+    folded.toDF("k", "n", "sums").select(
+      groupCols.zipWithIndex.map { case (g, i) =>
+        element_at(col("k"), i + 1).as(g)
+      } ++ Seq(col("n")) ++
+        vals.zipWithIndex.map { case ((_, out), i) =>
+          element_at(col("sums"), i + 1).as(out)
+        }: _*)
+  }
 }

@@ -1059,6 +1059,53 @@ object IvfOracle {
        |  FROM edges e JOIN reach r ON r.doc_id = e.dst)
        |SELECT doc_id, MIN(lab) AS comp FROM reach GROUP BY doc_id""".stripMargin
 
+  /** SemDeDup keeper rule ([[graft.operators.Dedup.semDedup]]): the
+    * [[semanticClustersSql]] components, then per-cluster the bit-
+    * deterministic ordered centroid (per-(comp, j) doc_id-ordered
+    * list_reduce mirroring the engine's sorted-group fold), and the
+    * member with the LOWEST cosine to it ((score asc, doc_id asc) total
+    * order). The member-to-centroid dot casts only the FLOAT side
+    * (centroid components are already DOUBLE), in position order —
+    * exactly the engine's zip_with/asum left fold. */
+  def semDedupSql(d: Int, j: Int, nCells: Int, nprobe: Int,
+                  tau: Double): String = {
+    val dotEm = (1 to d).map(i =>
+      s"CAST(e.embedding[$i] AS DOUBLE)*mv.mvec[$i]")
+      .mkString("(", " + ", ")")
+    val n2m = (1 to d).map(i => s"mv.mvec[$i]*mv.mvec[$i]")
+      .mkString("(", " + ", ")")
+    s"""WITH RECURSIVE ${knnGraphCtes(d, j, nCells, nprobe)},
+       |p AS (SELECT DISTINCT LEAST(qid, id) AS doc_a, GREATEST(qid, id) AS doc_b
+       |  FROM gfull WHERE score >= ${OracleGen.dlit(tau)}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.src AS doc_id, r.lab
+       |  FROM edges e JOIN reach r ON r.doc_id = e.dst),
+       |comp AS MATERIALIZED (SELECT doc_id, MIN(lab) AS comp FROM reach GROUP BY doc_id),
+       |mj AS (SELECT c.comp, t.j, COUNT(*) AS n,
+       |    list_reduce(list(CAST(e.embedding[t.j] AS DOUBLE) ORDER BY e.vec_id),
+       |      (a, v) -> a + v) AS sx
+       |  FROM comp c JOIN embeddings e ON e.vec_id = c.doc_id,
+       |       UNNEST(generate_series(1, $d)) AS t(j)
+       |  GROUP BY c.comp, t.j),
+       |mv AS MATERIALIZED (SELECT comp, list(sx / n ORDER BY j) AS mvec,
+       |    MAX(n) AS n_members
+       |  FROM mj GROUP BY comp),
+       |sc AS (SELECT c.comp, c.doc_id, mv.n_members,
+       |    $dotEm / (${fn(EmbOracle.dotE("e.embedding", "e.embedding", d))}
+       |      * ${fn(n2m)}) AS score
+       |  FROM comp c JOIN embeddings e ON e.vec_id = c.doc_id
+       |  JOIN mv ON mv.comp = c.comp),
+       |ranked AS (SELECT comp, doc_id, n_members, score,
+       |  row_number() OVER (PARTITION BY comp ORDER BY score ASC, doc_id ASC) AS rnk
+       |  FROM sc)
+       |SELECT comp, doc_id AS kept_id, n_members, score AS kept_score
+       |FROM ranked WHERE rnk = 1""".stripMargin
+  }
+
   /** Beam search over the [[knnGraphSql]] graph
     * ([[graft.operators.Ivf.graphSearch]]): `rounds` synchronized beam
     * rounds unrolled as chained CTEs — each round expands the beam by

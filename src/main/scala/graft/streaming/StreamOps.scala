@@ -717,6 +717,76 @@ object StreamOps {
   }
 
   /**
+   * Streaming POSTING-LIST maintenance — the lexical twin of
+   * [[ensureStreamLshLayout]]: documents drain through a real file
+   * stream one landing shard per trigger, each microbatch applies
+   * exactly the batch indexer's projection ([[graft.operators.Search
+   * .ensurePostingsLayout]] — tokenize, per-(term, doc) tf with the doc
+   * length denormalized in, term-bucket key) and appends to the
+   * bucket-partitioned postings. The corpus-stats sidecar (n, sumdl) is
+   * re-aggregated from the drained postings at publish time (one
+   * bounded pass over (doc_id, dl) — distinct docs, not rows), so the
+   * layout stays self-contained. Per-(term, doc) tf is computed within
+   * each arriving doc alone — no cross-batch state exists to merge,
+   * which is what makes lexical indexing embarrassingly incremental.
+   */
+  def ensureStreamPostingsLayout(spark: SparkSession, sfDir: String,
+                                 nBuckets: Int): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val landing = ensureShardedDocsLanding(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_postings_${safe}_b${nBuckets}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent,
+          "stream-postings-")
+        val stream = spark.readStream
+          .schema(graft.Tables.documents(spark, sfDir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.operators.Search.postingsOf(batch, nBuckets)
+              .write.mode("append").partitionBy("tb")
+              .option("compression", "zstd")
+              .parquet(tmp.toString)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // stats sidecar off the drained postings: each doc contributes
+        // one (doc_id, dl) regardless of how many terms it has
+        spark.read.parquet(tmp.toString)
+          .select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(tmp.resolve("_stats").toString)
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream postings publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** BM25 over the STREAM-MAINTAINED posting lists — the drained layout
+    * holds the identical (term, doc_id, tf, dl, tb) rows and stats as
+    * the batch build, so this is hash-equal to `q_bm25_at_rest` and
+    * shares its oracle. */
+  def bm25OverStream(spark: SparkSession, sfDir: String,
+                     terms: Seq[String], k1: Double, b: Double, topN: Int,
+                     nBuckets: Int): DataFrame =
+    graft.operators.Search.bm25OffPostings(spark,
+      ensureStreamPostingsLayout(spark, sfDir, nBuckets),
+      terms, k1, b, topN, nBuckets)
+
+  /**
    * STREAMING QUERY SERVING — the other half of the streaming story:
    * every `q_stream_*` so far streams the CORPUS into a maintained
    * layout; here the corpus is the static at-rest PQ index and the

@@ -1664,6 +1664,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == got.map(_.toSeq).toSet)
   }
 
+  test("semDedup keeps the lowest-centroid-cosine member per cluster") {
+    import graft.operators.{Dedup, Ann}
+    val emb = Tables.embeddings(spark, dir)
+    // clusters from the banded near-dup pairs (tau low enough that the
+    // sf0.001 fixture yields multi-member groups)
+    val pairs = Ann.nearDupPairs(emb, 0.2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = Dedup.connectedComponents(pairs)
+    val kept = Dedup.semDedup(emb, clusters).collect()
+    assert(kept.nonEmpty, "fixture must yield at least one cluster")
+    // driver-side recompute of the SemDeDup rule with the identical
+    // fold orders: id-ordered mean, position-ordered dot, argmin by
+    // (score asc, id asc)
+    val mem = clusters.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("comp"))
+    val byComp = mem.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val d = vecs.head._2.length
+    def fnorm(x: Double) = math.max(math.sqrt(x), 1e-12)
+    val expect = byComp.map { case (comp, ids) =>
+      val mean = Array.tabulate(d) { j =>
+        var s = 0.0
+        ids.foreach(id => s += vecs(id)(j).toDouble) // id order
+        s / ids.length
+      }
+      val scoredMem = ids.map { id =>
+        val v = vecs(id)
+        var dp = 0.0; var n2 = 0.0; var m2 = 0.0
+        (0 until d).foreach { j =>
+          dp += v(j).toDouble * mean(j)
+          n2 += v(j).toDouble * v(j).toDouble
+          m2 += mean(j) * mean(j)
+        }
+        id -> dp / (fnorm(n2) * fnorm(m2))
+      }
+      val (kid, ks) = scoredMem.minBy { case (id, s) => (s, id) }
+      comp -> ((kid, ids.length.toLong, ks))
+    }
+    assert(kept.length == expect.size, "one keeper per cluster")
+    kept.foreach { r =>
+      val (kid, n, ks) = expect(r.getAs[Long]("comp"))
+      assert(r.getAs[Long]("kept_id") == kid, s"wrong keeper in ${r}")
+      assert(r.getAs[Long]("n_members") == n)
+      assert(r.getAs[Double]("kept_score") == ks,
+        "score must be the bit-exact ordered fold")
+      assert(n >= 2, "clusters have at least two members by construction")
+    }
+    // partitioning-invariant
+    val again = Dedup.semDedup(emb.repartition(7), clusters)
+      .collect().map(_.toSeq).toSet
+    assert(again == kept.map(_.toSeq).toSet)
+  }
+
   test("heavy hitters: CMS propose/exact verify equals the exact relation and prunes") {
     import SparkEntry.{HhN, HhRelDiv}
     import graft.operators.TextOps

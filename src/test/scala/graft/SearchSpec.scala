@@ -231,6 +231,17 @@ class SearchSpec extends AnyFunSuite {
       inMem.collect().map(_.toSeq).toSeq.sortBy(_.toString))
   }
 
+  test("stream-maintained postings serve the identical bm25 rows once drained") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets}
+    val batch = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
+      Bm25TopN, PostBuckets).collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamOps.bm25OverStream(spark, dir,
+      Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "streamed postings layout diverged from the batch build")
+  }
+
   test("search_after: pages are disjoint and their union is the deep top-2k") {
     import SparkEntry.{NQ, K}
     val p1 = Search.searchAfter(emb, NQ, K, page = 1).collect()
