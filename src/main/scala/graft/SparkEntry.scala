@@ -1599,6 +1599,11 @@ object SparkEntry {
     // per page, never a page*k-deep window
     "q_ann_page2" -> q((s, dir) => graft.operators.Search.searchAfter(
       emb(s, dir), NQ, K, 2)),
+    // LSH probe-depth tuning: recall@k vs candidate volume for every
+    // depth 0..P off ONE persisted full-depth scored scan — the LSH
+    // analogue of the recall/nprobe grid
+    "q_tune_lsh" -> q((s, dir) => graft.operators.Lsh.probeSweep(
+      emb(s, dir), NQ, K, EmbD, LshPlanes)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // the K-NN GRAPH build (the construction seed of NSW/HNSW and
     // NN-descent): every vector is its own query over its probed cells;
@@ -2210,6 +2215,8 @@ object SparkEntry {
     "q_stream_ann_lsh" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
     // cursor-resume provably equals the global rank slice (k, 2k]
     "q_ann_page2" -> EmbOracle.pageSql(EmbD, NQ, K, 2),
+    // every depth is a reqd-cut + rank over one shared candidate CTE
+    "q_tune_lsh" -> EmbOracle.lshTuneSql(EmbD, LshPlanes, NQ, K),
     // three-tier cascade: Hamming cut, int8 mid-rank, exact rescore
     "q_ann_cascade" -> PqOracle.cascadeSql(EmbD, NQ, K, EmbSq8ScaleLog2,
       CascadeR1, CascadeR2),

@@ -114,6 +114,55 @@ object Lsh {
     TopK.window(scored, k)
   }
 
+  /**
+   * Probe-depth TUNING sweep — the LSH analogue of the IVF family's
+   * recall/nprobe grid (`Ivf.recallAtR`, `q_tune_nprobe`): for every
+   * probe depth f in 0..P, recall@k vs candidate volume. One scored
+   * candidate scan at FULL depth is persisted and every depth is a
+   * filter + rank cut over it (each candidate pair carries the depth
+   * that first admits it: 0 for the query's own bucket, p+1 for the
+   * flip of bit p — a vector lives in exactly one bucket, so the
+   * admitting probe is unique); ground truth is one brute pass.
+   *
+   * Output per depth: (nflips, buckets, cands, hits, recall) — the
+   * recall-vs-I/O trade the operator ships with, as a hash-checked
+   * table.
+   */
+  def probeSweep(emb: DataFrame, nq: Int, k: Int, d: Int,
+                 nPlanes: Int): DataFrame = {
+    val V = graft.functions.VectorOps
+    val codes = emb.select(col("vec_id").as("id"), col("embedding"),
+      V.norm2Sq(col("embedding")).as("n2"),
+      bucketCol(col("embedding"), d, nPlanes).as("bucket"))
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probeRows = q.withColumn("b0", bucketCol(col("qvec"), d, nPlanes))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        explode(array(
+          struct(lit(0).as("reqd"), col("b0").as("bucket")) +:
+            (0 until nPlanes).map(p => struct(lit(p + 1).as("reqd"),
+              col("b0").bitwiseXOR(lit(1L << p)).as("bucket"))): _*))
+          .as("pr"))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        col("pr.reqd").as("reqd"), col("pr.bucket").as("bucket"))
+    val scored = Dedup.persistScoped(
+      codes.join(broadcast(probeRows), Seq("bucket"))
+        .withColumn("score", cosScore)
+        .select(col("qid"), col("id"), col("reqd"), col("score")))
+    val truth = Dedup.persistScoped(Ann.bruteTopK(emb, nq, k)
+      .select(col("qid"), col("id")))
+    scored.count(); truth.count() // fill once; every cut reads the cache
+    (0 to nPlanes).map { f =>
+      val cf = scored.filter(col("reqd") <= f)
+      val top = TopK.window(cf, k).select(col("qid"), col("id"))
+      top.join(truth, Seq("qid", "id")).agg(count(lit(1)).as("hits"))
+        .crossJoin(cf.agg(count(lit(1)).as("cands")))
+        .select(lit(f).as("nflips"), lit(f + 1).as("buckets"),
+          col("cands"), col("hits"),
+          (col("hits").cast("double") / lit((nq * k).toDouble))
+            .as("recall"))
+    }.reduce(_.union(_))
+  }
+
   // --- bucket-partitioned layout at rest ---------------------------------
 
   /** Bump when the at-rest layout or the bucket expression changes. */

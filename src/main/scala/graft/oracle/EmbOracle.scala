@@ -220,15 +220,23 @@ object EmbOracle {
    * Hamming-1 flips (`xor(b0, 2^p)`), candidates come from the bucket
    * equi-join, and the exact cosine rescore ranks them.
    */
-  def lshSql(d: Int, nPlanes: Int, nq: Int, k: Int): String = {
-    def planeDot(a: String, p: Int): String =
+  /** The P-bit SRP bucket key of `a` as a SQL expression — each sign
+    * bit a left-fold DOUBLE dot chain against the engine's exact
+    * integer hyperplane literals, matching the Spark column
+    * term-for-term. */
+  private def lshBucketExpr(a: String, d: Int, nPlanes: Int): String = {
+    def planeDot(p: Int): String =
       (1 to d).map(i => s"CAST($a[$i] AS DOUBLE)*" +
         OracleGen.dlit(graft.operators.Lsh.planeComponent(p, i - 1)))
         .mkString("(", " + ", ")")
-    val bucketExpr = (0 until nPlanes).map(p =>
-      s"CASE WHEN ${planeDot("e.embedding", p)} > 0.0" +
+    (0 until nPlanes).map(p =>
+      s"CASE WHEN ${planeDot(p)} > 0.0" +
         s" THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString("(", " + ", ")")
+  }
+
+  def lshSql(d: Int, nPlanes: Int, nq: Int, k: Int): String = {
+    val bucketExpr = lshBucketExpr("e.embedding", d, nPlanes)
     val flips = (0 until nPlanes).map(p =>
       s"SELECT qid, xor(b0, CAST(${1L << p} AS BIGINT)) AS bucket FROM qb")
       .mkString(" UNION ALL ")
@@ -248,6 +256,49 @@ object EmbOracle {
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
        |  FROM scored)
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
+   * LSH probe-depth tuning sweep ([[graft.operators.Lsh.probeSweep]]):
+   * every candidate pair carries the unique depth that admits it (0 for
+   * the query's own bucket, p+1 for the flip of bit p), each depth f in
+   * 0..P is a `reqd <= f` cut + per-query rank, hits against the brute
+   * top-k. Counts are exact integers; recall is one exact division.
+   */
+  def lshTuneSql(d: Int, nPlanes: Int, nq: Int, k: Int): String = {
+    val bucketExpr = lshBucketExpr("e.embedding", d, nPlanes)
+    val flips = (0 until nPlanes).map(p =>
+      s"SELECT qid, ${p + 1} AS reqd, xor(b0, CAST(${1L << p} AS BIGINT))" +
+        " AS bucket FROM qb").mkString(" UNION ALL ")
+    s"""WITH codes AS MATERIALIZED (SELECT e.vec_id AS id, $bucketExpr AS bucket
+       |  FROM embeddings e),
+       |${nrmCte(d)},
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qb AS MATERIALIZED (SELECT q.qid, c.bucket AS b0 FROM q JOIN codes c ON c.id = q.qid),
+       |probes AS (SELECT qid, 0 AS reqd, b0 AS bucket FROM qb UNION ALL $flips),
+       |cand AS MATERIALIZED (SELECT p.qid, c.id, p.reqd,
+       |    ${dotE("e.embedding", "qe.embedding", d)} / (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM probes p JOIN codes c ON c.bucket = p.bucket
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = p.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id JOIN nrm nq2 ON nq2.vec_id = p.qid),
+       |gt AS MATERIALIZED (SELECT qid, id FROM (${bruteSql(d, nq, k)})),
+       |fs AS (SELECT UNNEST(generate_series(0, $nPlanes)) AS nflips),
+       |ranked AS (SELECT f.nflips, c.qid, c.id,
+       |    row_number() OVER (PARTITION BY f.nflips, c.qid
+       |      ORDER BY c.score DESC, c.id ASC) AS rnk
+       |  FROM fs f JOIN cand c ON c.reqd <= f.nflips),
+       |hits AS (SELECT r.nflips, COUNT(*) AS hits
+       |  FROM ranked r JOIN gt ON gt.qid = r.qid AND gt.id = r.id
+       |  WHERE r.rnk <= $k GROUP BY r.nflips),
+       |cands AS (SELECT f.nflips, COUNT(*) AS cands
+       |  FROM fs f JOIN cand c ON c.reqd <= f.nflips GROUP BY f.nflips)
+       |SELECT CAST(f.nflips AS INTEGER) AS nflips,
+       |  CAST(f.nflips + 1 AS INTEGER) AS buckets,
+       |  cn.cands, COALESCE(h.hits, 0) AS hits,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / ${(nq * k).toDouble} AS recall
+       |FROM fs f JOIN cands cn ON cn.nflips = f.nflips
+       |LEFT JOIN hits h ON h.nflips = f.nflips""".stripMargin
   }
 
   def nearDupSql(d: Int, minCos: Double): String =

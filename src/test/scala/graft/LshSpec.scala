@@ -120,6 +120,27 @@ class LshSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("probe sweep: monotone recall and candidates, endpoints consistent") {
+    val rows = Lsh.probeSweep(emb, NQ, K, EmbD, LshPlanes)
+      .collect().sortBy(_.getAs[Int]("nflips"))
+    assert(rows.length == LshPlanes + 1)
+    // deeper probing can only add candidates and (under the total
+    // order) hits — both columns must be monotone non-decreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cands") <= b.getAs[Long]("cands"))
+      assert(a.getAs[Long]("hits") <= b.getAs[Long]("hits"))
+    }
+    // depth endpoints agree with the operators they correspond to
+    val brute = Ann.bruteTopK(emb, NQ, K).select(col("qid"), col("id"))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("qid"), col("id")).join(brute, Seq("qid", "id"))
+        .count().toDouble / (NQ * K)
+    assert(rows.head.getAs[Double]("recall") ==
+      recallOf(Lsh.topk(emb, NQ, K, EmbD, LshPlanes, nFlips = 0)))
+    assert(rows.last.getAs[Double]("recall") ==
+      recallOf(Lsh.topk(emb, NQ, K, EmbD, LshPlanes)))
+  }
+
   test("lsh topk compiles whole-stage (no Janino fallback)") {
     // the bucket projection is a P*d-term sign-bit sum (384 terms at
     // P=6, d=64) stacked beside the cosine fold — the widest new codegen
