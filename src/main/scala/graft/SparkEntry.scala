@@ -1276,6 +1276,16 @@ object SparkEntry {
     // components as per-(cell, dim) means (order-deterministic fold)
     "q_kmeans_step" -> q((s, dir) => graft.operators.Ivf.kmeansStep(
       emb(s, dir), IvfCells, EmbD)),
+    // SPHERICAL k-means (Dhillon-Modha): angular assignment, ordered
+    // means, sphere projection — the cosine-metric trainer; output
+    // carries both the raw Lloyd mean and the unit centroid
+    "q_kmeans_spherical" -> q((s, dir) => graft.operators.Ivf
+      .kmeansSphericalStep(emb(s, dir), IvfCells, EmbD)),
+    // ... and IVF SERVED with the spherically-trained unit centroids:
+    // assignment/probing by plain dot (== cosine against unit vectors),
+    // exact cosine rescore — the cosine twin of q_ann_ivf_lloyd
+    "q_ann_ivf_spherical" -> q((s, dir) => graft.operators.Ivf
+      .topkSpherical(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
     // ... and the INIT the Lloyd rounds start from: batched
     // farthest-first seeding (deterministic k-means++/k-means|| — L far
     // picks per corpus scan, min-id start, ties to the smaller id)
@@ -2092,6 +2102,9 @@ object SparkEntry {
     "q_ann_ivf_prefix" -> IvfOracle.prefixIvfSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PrefixD, PrefixRerank),
     "q_kmeans_step" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
+    "q_kmeans_spherical" -> IvfOracle.kmeansSphericalStepSql(EmbD, IvfCells),
+    "q_ann_ivf_spherical" -> IvfOracle.sphericalTopkSql(EmbD, NQ, K,
+      IvfCells, IvfProbe),
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),

@@ -400,6 +400,122 @@ object Ivf {
       .select(col("cell"), col("j"), col("n"),
         (col("s") / col("n").cast("double")).as("mean"))
 
+  // ---- spherical k-means (the cosine-metric trainer) ---------------------
+
+  /** |init centroid c| as the engine computes it (j-ascending left fold
+    * of squares, one sqrt) — shared with the oracle generator so both
+    * sides embed the IDENTICAL double literal. */
+  private[graft] def sphericalInitNorm(cell: Int, d: Int): Double = {
+    val ss = (0 until d).map { j =>
+      val x = centroidComponent(cell, j); x * x
+    }.reduceLeft(_ + _)
+    math.max(math.sqrt(ss), 1e-12)
+  }
+
+  /** Map-side spherical assignment against the INIT centroids:
+    * cell = argmax over c of dot(x, c)/|c| (the |x| factor is common to
+    * every cell and drops), ties to the smaller cell id. */
+  private def assignSpherical(emb: DataFrame, nCells: Int,
+                              d: Int): DataFrame = {
+    val scoreCols = (0 until nCells).map { c =>
+      ((1 to d).map(j => element_at(col("embedding"), j).cast("double") *
+        lit(centroidComponent(c, j - 1))).reduceLeft(_ + _) /
+        lit(sphericalInitNorm(c, d))).as(s"s$c")
+    }
+    val m = greatest((0 until nCells).map(c => col(s"s$c")): _*)
+    val argmax = (0 until nCells).foldRight(lit(-1)) { (c, rest) =>
+      when(col(s"s$c") === m, lit(c)).otherwise(rest)
+    }
+    emb.select(col("vec_id").as("id") +: col("embedding") +: scoreCols: _*)
+      .withColumn("cell", argmax)
+      .select(col("id"), col("embedding"), col("cell"))
+  }
+
+  /**
+   * One SPHERICAL k-means iteration (Dhillon & Modha 2001 — the
+   * cosine-metric Lloyd step, what FAISS trains for inner-product/
+   * cosine indexes): assign each vector to the ANGULARLY nearest init
+   * centroid (argmax cos — the norm-independent form dot(x, c)/|c|),
+   * recenter as the per-(cell, dim) ordered mean, then PROJECT BACK TO
+   * THE SPHERE — the unit centroid is the mean scaled by its own
+   * j-ordered norm fold. Output (cell, j, n, mean, unit): both the raw
+   * Lloyd mean and the spherical centroid component, hash-checkable.
+   *
+   * Same scale shape as [[kmeansStep]]: one map-side assignment scan,
+   * the [[TrainFold]] sorted-group fold (O(1) per-group state), plus a
+   * d-bounded per-cell norm fold.
+   */
+  def kmeansSphericalStep(emb: DataFrame, nCells: Int, d: Int): DataFrame = {
+    val mj = TrainFold.orderedSums(
+      assignSpherical(emb, nCells, d)
+        .select(col("cell"), col("id"), posexplode(col("embedding")))
+        .select(col("cell"), (col("pos") + 1).cast("int").as("j"),
+          col("id"), col("col").cast("double").as("x")),
+      Seq("cell", "j"), "id", Seq("x" -> "s"))
+      .select(col("cell"), col("j"), col("n"),
+        (col("s") / col("n").cast("double")).as("mean"))
+    // per-cell ||mean||^2 as a j-ordered fold (d-bounded groups)
+    val norms = TrainFold.orderedSums(
+      mj.select(col("cell"), col("j"),
+        (col("mean") * col("mean")).as("m2")),
+      Seq("cell"), "j", Seq("m2" -> "ss"))
+      .select(col("cell"), col("ss"))
+    mj.join(norms, Seq("cell"))
+      .select(col("cell"), col("j"), col("n"), col("mean"),
+        (col("mean") / graft.functions.VectorOps.fnorm(col("ss")))
+          .as("unit"))
+  }
+
+  /**
+   * IVF served with the spherically-trained centroids — the cosine twin
+   * of [[topkLloyd]]: the trained UNIT centroids are a bounded model
+   * collect (cells x d doubles) folded back as literals; corpus
+   * assignment and query probing both rank by the plain dot against the
+   * unit centroids (argmax dot == argmax cos against unit vectors);
+   * survivors get the exact cosine rescore. Full probe provably equals
+   * the brute scan (cells partition the corpus).
+   */
+  def topkSpherical(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+                    nprobe: Int): DataFrame = {
+    val V = graft.functions.VectorOps
+    val units = kmeansSphericalStep(emb, nCells, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Double]("unit"))
+      .toMap
+    val cells = units.keys.map(_._1).toSeq.distinct.sorted
+    def sdot(vecCol: Column, c: Int): Column =
+      (1 to d).map(j => element_at(vecCol, j).cast("double") *
+        lit(units((c, j)))).reduceLeft(_ + _)
+    def argmax(prefix: String): Column = {
+      val m = greatest(cells.map(c => col(s"$prefix$c")): _*)
+      cells.foldRight(lit(-1)) { (c, rest) =>
+        when(col(s"$prefix$c") === m, lit(c)).otherwise(rest)
+      }
+    }
+    val assigned = emb.select(col("vec_id").as("id") +: col("embedding") +:
+        cells.map(c => sdot(col("embedding"), c).as(s"c$c")): _*)
+      .withColumn("cell", argmax("c"))
+      .select(col("id"), col("embedding"), col("cell"))
+      .withColumn("n2", V.norm2Sq(col("embedding")))
+    val q0 = Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2"))
+    val stacked = q0.select(col("qid") +: col("qvec") +: col("qn2") +:
+        cells.map(c => sdot(col("qvec"), c).as(s"c$c")): _*)
+      .select(col("qid"), col("qvec"), col("qn2"),
+        explode(array(cells.map(c =>
+          struct(lit(c).as("cell"), col(s"c$c").as("sd"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        col("p.cell").as("cell"), col("p.sd").as("sd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sd").desc, col("cell").asc)
+    val probes = broadcast(stacked
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cell")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k)
+  }
+
   /**
    * The k-means CONVERGENCE LEDGER — `iters + 1` rows
    * (iter, sse, cells): the coarse quantizer's total within-cluster SSE

@@ -58,6 +58,79 @@ object IvfOracle {
        |GROUP BY a.cell, t.j""".stripMargin
   }
 
+  /** One SPHERICAL k-means iteration ([[graft.operators.Ivf
+    * .kmeansSphericalStep]]): angular assignment (argmax of the
+    * j-ordered dot against each init centroid over its norm — both
+    * embedded as the engine's exact literals; ties CASE to the smaller
+    * cell), per-(cell, j) ordered means, then the sphere projection —
+    * unit = mean over the cell's j-ordered norm fold. */
+  def kmeansSphericalStepSql(d: Int, nCells: Int): String = {
+    def scoreExpr(c: Int): String =
+      "(" + (1 to d).map(i => s"CAST(e.embedding[$i] AS DOUBLE)*" +
+        OracleGen.dlit(graft.operators.Ivf.centroidComponent(c, i - 1)))
+        .mkString(" + ") +
+        s") / ${OracleGen.dlit(graft.operators.Ivf.sphericalInitNorm(c, d))}"
+    val scoreCols = (0 until nCells)
+      .map(c => s"${scoreExpr(c)} AS s$c").mkString(",\n  ")
+    val gExpr = "GREATEST(" + (0 until nCells).map(c => s"s$c")
+      .mkString(", ") + ")"
+    val argmax = "CASE " + (0 until nCells)
+      .map(c => s"WHEN s$c = m THEN $c").mkString(" ") + " END"
+    s"""WITH sasg0 AS MATERIALIZED (SELECT e.vec_id, $scoreCols FROM embeddings e),
+       |sasg AS MATERIALIZED (SELECT vec_id, $argmax AS cell
+       |        FROM (SELECT *, $gExpr AS m FROM sasg0)),
+       |smj AS MATERIALIZED (SELECT a.cell, CAST(t.j AS INTEGER) AS j, COUNT(*) AS n,
+       |  list_reduce(list(CAST(e.embedding[t.j] AS DOUBLE) ORDER BY e.vec_id),
+       |    (acc, v) -> acc + v) / CAST(COUNT(*) AS DOUBLE) AS mean
+       |  FROM sasg a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  CROSS JOIN generate_series(1, $d) AS t(j)
+       |  GROUP BY a.cell, t.j),
+       |sss AS MATERIALIZED (SELECT cell,
+       |    list_reduce(list(mean * mean ORDER BY j), (acc, v) -> acc + v) AS ss
+       |  FROM smj GROUP BY cell)
+       |SELECT smj.cell, smj.j, smj.n, smj.mean,
+       |  smj.mean / ${fn("sss.ss")} AS unit
+       |FROM smj JOIN sss ON sss.cell = smj.cell""".stripMargin
+  }
+
+  /** IVF served with the spherically-trained unit centroids
+    * ([[graft.operators.Ivf.topkSpherical]]): the trained units
+    * re-derived as a CTE, assignment/probing by the j-ordered dot
+    * against them (argmax == angular nearest for unit centroids; ties
+    * to the smaller cell), cell-pruned exact cosine tail. */
+  def sphericalTopkSql(d: Int, nq: Int, k: Int, nCells: Int,
+                       nprobe: Int): String =
+    s"""WITH skm AS MATERIALIZED (SELECT * FROM (${kmeansSphericalStepSql(d, nCells)})),
+       |${EmbOracle.nrmCte(d)},
+       |scd AS MATERIALIZED (SELECT e.vec_id, skm.cell,
+       |    list_reduce(list(
+       |      CAST(e.embedding[skm.j] AS DOUBLE) * skm.unit
+       |      ORDER BY skm.j), (acc, v) -> acc + v) AS sd
+       |  FROM embeddings e CROSS JOIN skm
+       |  GROUP BY e.vec_id, skm.cell),
+       |sasg2 AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sd DESC, cell ASC) AS rn
+       |  FROM scd) t WHERE t.rn = 1),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp AS (SELECT qid, cell FROM (SELECT c.vec_id AS qid, c.cell,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY c.sd DESC, c.cell ASC) AS pr
+       |  FROM scd c JOIN q ON c.vec_id = q.qid) t WHERE t.pr <= $nprobe),
+       |cand AS (SELECT qp.qid, a.vec_id AS id
+       |  FROM qp JOIN sasg2 a ON a.cell = qp.cell),
+       |scored AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+
   /** Twin of [[graft.operators.Ivf.kmeansConverge]]: the Lloyd loop
     * unrolled — per iteration an assignment CTE (j-ordered distance
     * folds, min/argmin with ties to the smaller cell), the SSE as a

@@ -77,4 +77,35 @@ class TrainFoldSpec extends AnyFunSuite {
         s"sorted-group fold not bit-stable at $p partitions")
     }
   }
+
+  test("spherical k-means: unit centroids, occupancy partition, serve recovers brute at full probe") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    import SparkEntry.{IvfCells, EmbD, NQ, K}
+    val step = Ivf.kmeansSphericalStep(emb, IvfCells, EmbD).collect()
+    // occupancies partition the corpus
+    val n = emb.count()
+    val occ = step.groupBy(_.getInt(0))
+      .map { case (_, rows) => rows.map(_.getAs[Long]("n")).distinct }
+    occ.foreach(o => assert(o.size == 1, "n must be constant within a cell"))
+    assert(occ.map(_.head).sum == n, "cell occupancies must partition")
+    // the projected centroids are unit vectors (up to fp rounding)
+    step.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+      val ss = rows.sortBy(_.getInt(1))
+        .map(_.getAs[Double]("unit")).map(u => u * u).sum
+      assert(math.abs(ss - 1.0) < 1e-9, s"cell $c unit norm^2 $ss != 1")
+    }
+    // step is invariant under repartitioning
+    val again = Ivf.kmeansSphericalStep(emb.repartition(7), IvfCells, EmbD)
+      .collect().map(_.toSeq).toSet
+    assert(again == step.map(_.toSeq).toSet)
+    // full probe over the spherical cells recovers the brute scan
+    val cells = step.map(_.getInt(0)).distinct.length
+    val full = Ivf.topkSpherical(emb, NQ, K, IvfCells, EmbD, nprobe = cells)
+      .collect().map(_.toSeq).toSet
+    val brute = graft.operators.Ann.bruteTopK(emb, NQ, K)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+      .collect().map(_.toSeq).toSet
+    assert(full == brute, "full-probe spherical serve must equal brute")
+  }
 }
