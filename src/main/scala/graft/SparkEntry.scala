@@ -799,6 +799,7 @@ object SparkEntry {
   final val RrfPoolN = 50     // per-retriever candidate list depth
   final val RrfKConst = 60    // the standard RRF dampening constant
   final val HybridK = 10
+  final val HybridAlpha = 0.6 // text weight in the linear fusion
   final val MmrPoolN = 20     // bounded rerank pool per query
   final val MmrLambda = 0.7   // relevance/diversity trade-off
   final val MmrK = 10
@@ -1775,6 +1776,16 @@ object SparkEntry {
       graft.operators.Search.hybridRrf(text, emb(s, dir),
         RrfPoolN, RrfKConst, HybridK)
     }),
+    // the OTHER standard fusion: relative-score (linear) — per-list
+    // min-max normalization, fused = α·text + (1-α)·vec; preserves
+    // score magnitudes where RRF keeps only ranks
+    "q_hybrid_linear" -> q((s, dir) => {
+      val (text, st) = graft.operators.Search.bm25(
+        docs(s, dir), Bm25Terms, Bm25K1, Bm25B, RrfPoolN)
+      measuredBm25.put(dir, st)
+      graft.operators.Search.hybridLinear(text, emb(s, dir),
+        RrfPoolN, HybridAlpha, HybridK)
+    }),
     // ANN quality evaluation: recall of the IVF index against the brute
     // scan — the standard index-tuning workflow (one row: hits, recall)
     "q_ann_recall" -> q((s, dir) => {
@@ -2304,6 +2315,8 @@ object SparkEntry {
     "q_heavy_hitters" -> DocOracle.heavyHittersSql(HhN, HhRelDiv),
     "q_hybrid_rrf" -> SearchOracle.hybridSql(EmbD, Bm25Terms, Bm25K1, Bm25B,
       RrfPoolN, RrfKConst, HybridK, bm25StatsForOracle()),
+    "q_hybrid_linear" -> SearchOracle.hybridLinearSql(EmbD, Bm25Terms,
+      Bm25K1, Bm25B, RrfPoolN, HybridAlpha, HybridK, bm25StatsForOracle()),
     "q_ann_recall" ->
       s"""SELECT CAST(hits AS BIGINT) AS hits,
          |  CAST(hits AS DOUBLE) / ${K * NQ} AS recall

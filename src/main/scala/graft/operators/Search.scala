@@ -388,6 +388,38 @@ object Search {
       .select(col("doc_id"), col("rank"), col("score"))
   }
 
+  /**
+   * Compact a stream-maintained postings layout: the many small
+   * per-microbatch part files rewrite into one term-sorted file per
+   * bucket (the table service's OPTIMIZE — the lexical twin of
+   * [[graft.operators.Pq.compactCodesLayout]]); the stats sidecar
+   * copies through unchanged. Row content is identical, so every query
+   * off the compacted layout is hash-equal; term-sorting within each
+   * bucket restores row-group skipping for the term filter.
+   */
+  def compactPostingsLayout(spark: SparkSession, srcPath: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dst = Paths.get(srcPath + "_compacted")
+    if (!Files.exists(dst.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(dst.getParent, "postcompact-")
+      spark.read.parquet(srcPath)
+        .repartition(col("tb"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("tb")
+        .option("compression", "zstd").parquet(tmp.toString)
+      spark.read.parquet(s"$srcPath/_stats")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("_stats").toString)
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, dst)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(dst.resolve("_DONE")),
+        s"postings compaction publish failed: $dst")
+    }
+    dst.toString
+  }
+
   // ---- hybrid retrieval: reciprocal rank fusion -----------------------
 
   /**
@@ -418,6 +450,52 @@ object Search {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("rrf"),
         col("text_rank"), col("vec_rank"))
+  }
+
+  /**
+   * Relative-score (LINEAR) hybrid fusion — the other standard fusion
+   * beside [[hybridRrf]] (OpenSearch's arithmetic normalization
+   * processor, Weaviate's relativeScoreFusion): each retriever's
+   * top-poolN list min-max normalizes its OWN scores to [0, 1]
+   * (degenerate equal-range list -> 1.0; a doc absent from a list
+   * contributes 0 from that side), then
+   * fused = α·text_norm + (1-α)·vec_norm.
+   *
+   * Unlike RRF this preserves score MAGNITUDE information — two docs
+   * with near-identical BM25 scores stay near-identical after fusion
+   * instead of being forced a full rank step apart.
+   *
+   * Scale: fuses bounded top-N lists; the min/max are 1-row aggregates
+   * over those lists (models), the join is broadcast-able at any corpus
+   * size. Output: (doc_id, rank, fused, tnorm, vnorm).
+   */
+  def hybridLinear(text: DataFrame, emb: DataFrame, poolN: Int,
+                   alpha: Double, k: Int): DataFrame = {
+    val vec = Ann.bruteTopK(emb, nq = 1, k = poolN)
+      .select(col("id").as("doc_id"), col("score").as("vscore"))
+    val t = text.select(col("doc_id"), col("score").as("tscore"))
+    val tmm = t.agg(min(col("tscore")).as("tmin"), max(col("tscore")).as("tmax"))
+    val vmm = vec.agg(min(col("vscore")).as("vmin"), max(col("vscore")).as("vmax"))
+    val fused = t.join(vec, Seq("doc_id"), "full_outer")
+      .crossJoin(broadcast(tmm)).crossJoin(broadcast(vmm))
+      .withColumn("tnorm",
+        when(col("tscore").isNull, lit(0.0))
+          .when(col("tmax") === col("tmin"), lit(1.0))
+          .otherwise((col("tscore") - col("tmin")) /
+            (col("tmax") - col("tmin"))))
+      .withColumn("vnorm",
+        when(col("vscore").isNull, lit(0.0))
+          .when(col("vmax") === col("vmin"), lit(1.0))
+          .otherwise((col("vscore") - col("vmin")) /
+            (col("vmax") - col("vmin"))))
+      .withColumn("fused",
+        lit(alpha) * col("tnorm") + lit(1.0 - alpha) * col("vnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("fused"),
+        col("tnorm"), col("vnorm"))
   }
 
   // ---- late-interaction (maxsim) multi-vector retrieval ----------------

@@ -260,4 +260,52 @@ object SearchOracle {
        |  row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk FROM fused)
        |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, rrf, text_rank, vec_rank
        |FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** Relative-score (linear) hybrid fusion
+    * ([[graft.operators.Search.hybridLinear]]): each list min-max
+    * normalized over its own top-poolN scores (degenerate equal-range
+    * list -> 1.0; absent side -> 0.0), fused = α·text + (1-α)·vec —
+    * arithmetic mirrored operation-for-operation. */
+  def hybridLinearSql(d: Int, terms: Seq[String], k1: Double, b: Double,
+                      poolN: Int, alpha: Double, k: Int,
+                      st: Option[Bm25Stats]): String = {
+    val a = dlit(alpha)
+    val oneA = dlit(1.0 - alpha)
+    s"""WITH ${bm25Ctes(terms, k1, b, st)},
+       |btop AS (SELECT doc_id, score AS tscore FROM (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM bsc)
+       |  WHERE rnk <= $poolN),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      ORDER BY vec_id LIMIT 1),
+       |${EmbOracle.nrmCte(d)},
+       |vsc AS (SELECT e.vec_id AS id,
+       |    ${EmbOracle.dotE("e.embedding", "q.qv", d)} AS dp
+       |  FROM embeddings e CROSS JOIN q),
+       |vscored AS (SELECT vsc.id,
+       |    vsc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM vsc JOIN nrm ni ON vsc.id = ni.vec_id
+       |           CROSS JOIN q JOIN nrm nq2 ON q.qid = nq2.vec_id),
+       |vtop AS (SELECT id, score AS vscore FROM (
+       |  SELECT id, score,
+       |    row_number() OVER (ORDER BY score DESC, id ASC) AS rnk FROM vscored)
+       |  WHERE rnk <= $poolN),
+       |tmm AS (SELECT MIN(tscore) AS tmin, MAX(tscore) AS tmax FROM btop),
+       |vmm AS (SELECT MIN(vscore) AS vmin, MAX(vscore) AS vmax FROM vtop),
+       |fused AS (SELECT COALESCE(btop.doc_id, vtop.id) AS doc_id,
+       |    CASE WHEN btop.tscore IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN tmm.tmax = tmm.tmin THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (btop.tscore - tmm.tmin) / (tmm.tmax - tmm.tmin) END AS tnorm,
+       |    CASE WHEN vtop.vscore IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN vmm.vmax = vmm.vmin THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (vtop.vscore - vmm.vmin) / (vmm.vmax - vmm.vmin) END AS vnorm
+       |  FROM btop FULL OUTER JOIN vtop ON btop.doc_id = vtop.id
+       |  CROSS JOIN tmm CROSS JOIN vmm),
+       |scoredf AS (SELECT doc_id, tnorm, vnorm,
+       |    $a * tnorm + $oneA * vnorm AS fused FROM fused),
+       |ranked AS (SELECT doc_id, fused, tnorm, vnorm,
+       |  row_number() OVER (ORDER BY fused DESC, doc_id ASC) AS rnk FROM scoredf)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, fused, tnorm, vnorm
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
 }

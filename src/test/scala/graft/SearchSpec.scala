@@ -231,6 +231,51 @@ class SearchSpec extends AnyFunSuite {
       inMem.collect().map(_.toSeq).toSeq.sortBy(_.toString))
   }
 
+  test("hybridLinear: normalized ranges, convex fusion, magnitude preserved") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, RrfPoolN, HybridAlpha, HybridK}
+    val (text, _) = Search.bm25(docs, Bm25Terms, Bm25K1, Bm25B, RrfPoolN)
+    val r = Search.hybridLinear(text, emb, RrfPoolN, HybridAlpha, HybridK)
+      .collect()
+    assert(r.length == HybridK)
+    r.foreach { row =>
+      val tn = row.getAs[Double]("tnorm")
+      val vn = row.getAs[Double]("vnorm")
+      assert(tn >= 0.0 && tn <= 1.0 && vn >= 0.0 && vn <= 1.0)
+      // the fusion is exactly the convex combination of the norms
+      assert(row.getAs[Double]("fused") ==
+        HybridAlpha * tn + (1.0 - HybridAlpha) * vn)
+    }
+    // each list's best member normalizes to exactly 1.0 somewhere in
+    // the fused pool (min-max normalization hits its endpoints)
+    val all = Search.hybridLinear(text, emb, RrfPoolN, HybridAlpha,
+      k = 10000).collect()
+    assert(all.exists(_.getAs[Double]("tnorm") == 1.0))
+    assert(all.exists(_.getAs[Double]("vnorm") == 1.0))
+  }
+
+  test("compacted postings layout: fewer files, identical rows and query") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets}
+    val streamed = graft.streaming.StreamOps
+      .ensureStreamPostingsLayout(spark, dir, PostBuckets)
+    val compacted = Search.compactPostingsLayout(spark, streamed)
+    def dataFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    // the _stats sidecar rides along; the postings row set is unchanged
+    assert(dataFiles(compacted) <= dataFiles(streamed))
+    val a = spark.read.parquet(streamed).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(compacted).collect().map(_.toSeq).toSet
+    assert(a == b, "compaction must not change the posting rows")
+    val qa = Search.bm25OffPostings(spark, streamed, Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, PostBuckets).collect().map(_.toSeq).toSet
+    val qb = Search.bm25OffPostings(spark, compacted, Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, PostBuckets).collect().map(_.toSeq).toSet
+    assert(qa == qb, "query off the compacted layout diverged")
+  }
+
   test("stream-maintained postings serve the identical bm25 rows once drained") {
     import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets}
     val batch = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
