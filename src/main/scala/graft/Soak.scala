@@ -285,6 +285,14 @@ object Soak {
         SparkEntry.K, rerank = math.max(6 * SparkEntry.K, nVec / 200),
         d = dVec)
     }
+    // the hash-bucket candidate generator at soak scale: P=6 sign planes
+    // put ~nVec/64 vectors per bucket, the multi-probe query reads 7
+    // buckets (~11% of the corpus scored, exact scores) — isotropic
+    // gaussian is SRP's worst case, so the floor matches BQ's
+    annStep("lsh_multiprobe_topk", embSoak, minRecallPct = 10) {
+      operators.Lsh.topk(embSoak, SparkEntry.NQ, SparkEntry.K, dVec,
+        nPlanes = 6)
+    }
     // the dimension-axis rung at soak scale: cheap rank over the first
     // d/4 components (a 4x byte cut), corpus-scaled survivor cut like
     // BQ's. A gaussian prefix is a weak-but-unbiased ranker (it keeps

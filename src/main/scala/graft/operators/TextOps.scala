@@ -490,9 +490,15 @@ object TextOps {
   def heavyHitters(docs: DataFrame, n: Int, relDiv: Long, rows: Int = 4,
                    width: Int = 32768): DataFrame = {
     val grams = gramStream(docs, n)
-    val total = grams.count()
+    val spark = grams.sparkSession
+    // the grid IS the stream total: every gram increments exactly one
+    // row-0 counter, so row 0's counters sum to the stream length —
+    // no separate count() scan (exact integers, bit-free of the fold)
+    val grid = Dedup.persistScoped(hhGrid(grams, rows, width))
+    val total = grid.filter(col("r") === 0).agg(sum(col("c")))
+      .collect()(0).getLong(0)
     val threshold = (total + relDiv - 1) / relDiv
-    val candidates = hhCandidates(grams, threshold, rows, width)
+    val candidates = hhCandidates(grams, grid, threshold, rows, width)
     // phase 3: exact counts for the candidate set only
     grams.join(broadcast(candidates), Seq("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
@@ -511,29 +517,36 @@ object TextOps {
       .select(explode(gramsCol).as("gram"))
   }
 
-  /** [[heavyHitters]]' phases 1-2 (the sketch): the bounded counter
-    * grid, then per-distinct-gram min-of-counters estimates, filtered
-    * to the candidate superset — exposed so specs can assert the
-    * sketch's pruning power and overestimate-only bound directly. */
-  private[graft] def hhCandidates(grams: DataFrame, threshold: Long,
-                                  rows: Int, width: Int): DataFrame = {
+  private def hhBuckets(rows: Int, width: Int): Column = {
     def bucket(r: Int): Column =
       pmod(hash(concat(lit(s"$r#"), col("gram"))), lit(width))
-    val rb = explode(array((0 until rows).map(r =>
-      struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb")
-    // phase 1: the counter grid (<= rows*width rows after the map-side
-    // combine — the only aggregate that ever sees the full stream)
-    val grid = grams.select(rb)
+    explode(array((0 until rows).map(r =>
+      struct(lit(r).as("r"), bucket(r).as("b"))): _*))
+  }
+
+  /** [[heavyHitters]]' phase 1: the bounded counter grid (<= rows*width
+    * rows after the map-side combine — the only aggregate that ever
+    * sees the full stream). */
+  private[graft] def hhGrid(grams: DataFrame, rows: Int,
+                            width: Int): DataFrame =
+    grams.select(hhBuckets(rows, width).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
-    // phase 2: estimate = min over rows of the gram's counters; the
-    // probe side is the distinct vocabulary, the grid side is bounded ->
-    // broadcast equi-join, never a shuffle keyed on the grid
-    grams.distinct().select(col("gram"), rb)
+
+  /** [[heavyHitters]]' phase 2 (the sketch probe): per-distinct-gram
+    * min-of-counters estimates over a prebuilt grid, filtered to the
+    * candidate superset — exposed so specs can assert the sketch's
+    * pruning power and overestimate-only bound directly. */
+  private[graft] def hhCandidates(grams: DataFrame, grid: DataFrame,
+                                  threshold: Long, rows: Int,
+                                  width: Int): DataFrame =
+    // estimate = min over rows of the gram's counters; the probe side
+    // is the distinct vocabulary, the grid side is bounded -> broadcast
+    // equi-join, never a shuffle keyed on the grid
+    grams.distinct().select(col("gram"), hhBuckets(rows, width).as("rb"))
       .select(col("gram"), col("rb.r").as("r"), col("rb.b").as("b"))
       .join(broadcast(grid), Seq("r", "b"))
       .groupBy(col("gram")).agg(min(col("c")).as("est"))
       .filter(col("est") >= lit(threshold))
       .select(col("gram"))
-  }
 }

@@ -1741,8 +1741,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must produce heavy hitters")
     // the sketch actually PRUNES: the candidate superset the estimate
     // pass hands to the exact phase is a sliver of the gram universe
-    val cands = TextOps.hhCandidates(grams, threshold, rows = 4,
-        width = 32768).collect().map(_.getString(0)).toSet
+    val cands = TextOps.hhCandidates(grams,
+        TextOps.hhGrid(grams, rows = 4, width = 32768), threshold,
+        rows = 4, width = 32768).collect().map(_.getString(0)).toSet
     val vocab = grams.distinct().count()
     assert(exact.keySet.subsetOf(cands),
       "overestimate-only: no true heavy hitter may be pruned")
