@@ -475,6 +475,12 @@ class PlanSpec extends AnyFunSuite {
     // files instead of the whole inverted index
     assert(plan.contains("PartitionFilters: [tb"),
       s"no term-bucket partition filter on the postings scan:\n$plan")
+    // ... and the term predicate itself must reach the parquet reader
+    // as a pushed filter (row-group skipping inside the pruned buckets;
+    // compaction term-sorts files so the skip actually bites)
+    assert(plan.contains("PushedFilters: [In(term") ||
+      plan.contains("PushedFilters: [IsNotNull(term"),
+      s"term filter not pushed to the postings scan:\n$plan")
   }
 
   test("at-rest LSH probe scan carries a bucket partition filter") {
