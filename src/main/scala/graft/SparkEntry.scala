@@ -1461,6 +1461,12 @@ object SparkEntry {
     // is a tiny (id) tombstone sidecar anti-joined by both passes (the
     // relational form of a deletion vector); compaction later applies it
     // physically with hash-equal results (PqSpec asserts)
+    // TIME TRAVEL over the delete log: serve the snapshot as of commit 1
+    // (only ids ≡ 0 mod 2·DeleteMod deleted yet); the base layout is
+    // immutable so every historical snapshot is a sidecar filter away
+    "q_ann_pq_delete_asof" -> q((s, dir) => graft.operators.Pq
+      .topkAtRestWithDeletesAsOf(s, dir, emb(s, dir), NQ, K, IvfCells,
+        EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod, asOf = 1)),
     "q_ann_pq_delete" -> q((s, dir) => graft.operators.Pq
       .topkAtRestWithDeletes(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
         IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
@@ -2200,6 +2206,9 @@ object SparkEntry {
     // the PQ pipeline minus the tombstoned ids (vec_id ≡ 0 mod DeleteMod)
     "q_ann_pq_delete" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, excludeMod = DeleteMod),
+    // the as-of-commit-1 snapshot deletes exactly ids ≡ 0 mod 2·DeleteMod
+    "q_ann_pq_delete_asof" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, excludeMod = 2 * DeleteMod),
     // the stream-maintained sidecar holds the same delete set once
     // drained -> q_ann_pq_delete's oracle
     "q_stream_ann_delete" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,

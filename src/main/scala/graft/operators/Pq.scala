@@ -666,6 +666,58 @@ object Pq {
     path.toString
   }
 
+  /**
+   * VERSIONED tombstone log — the delete sidecar as a commit history
+   * (the relational form of Delta/Iceberg delete-file snapshots):
+   * commit 1 deletes ids ≡ 0 (mod 2·`mod`), commit 2 the remaining
+   * ids ≡ `mod` (mod 2·`mod`) — together exactly [[ensureTombstones]]'
+   * ≡ 0 (mod `mod`) delete set. Rows (id, commit_v). The log is
+   * append-only and never rewrites the base layout, so every historical
+   * snapshot stays servable for free.
+   */
+  def ensureVersionedTombstones(spark: SparkSession, codesPath: String,
+                                mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val path = Paths.get(codesPath + s"_tombv_mod$mod")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "tombv-")
+      spark.read.parquet(codesPath)
+        .select(col("id")).filter(col("id") % mod === 0)
+        .withColumn("commit_v",
+          when(col("id") % (2L * mod) === 0, lit(1)).otherwise(lit(2)))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"versioned tombstone publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * AS-OF (time-travel) serve over the versioned delete log: apply only
+   * the commits with `commit_v <= asOf` — asOf 0 is the pre-delete
+   * snapshot, the latest asOf equals the plain merge-on-read query.
+   * Same physical shape as [[topkOffCodesWithDeletes]]: the snapshot
+   * choice is a filter on the bounded sidecar BEFORE the broadcast
+   * anti-join; the immutable base layout is shared by every snapshot.
+   */
+  def topkAtRestWithDeletesAsOf(spark: SparkSession, sfDir: String,
+                                emb: DataFrame, nq: Int, k: Int,
+                                nCells: Int, d: Int, nprobe: Int,
+                                mSub: Int, codes: Int, rerank: Int,
+                                deleteMod: Int, asOf: Int): DataFrame = {
+    val path = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val tombs = spark.read
+      .parquet(ensureVersionedTombstones(spark, path, deleteMod))
+      .filter(col("commit_v") <= asOf).select(col("id"))
+    topkOffCodesWithDeletes(spark, path, tombs, emb, nq, k, nCells, d,
+      nprobe, mSub, codes, rerank)
+  }
+
   /** [[topkAtRest]] under a deterministic delete set: builds the codes
     * layout and the id ≡ 0 (mod `deleteMod`) tombstone sidecar, then
     * runs the merge-on-read query. Queries still come from the

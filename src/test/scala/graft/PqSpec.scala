@@ -178,6 +178,31 @@ class PqSpec extends AnyFunSuite {
     assert(parts >= 2, s"landing has only $parts shard(s)")
   }
 
+  test("as-of snapshots: endpoints equal the undeleted and fully-deleted serves") {
+    import SparkEntry.DeleteMod
+    def asOf(v: Int) = Pq.topkAtRestWithDeletesAsOf(spark, dir, emb,
+      NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank,
+      DeleteMod, asOf = v).collect().map(_.toSeq).toSet
+    // asOf 0 = the pre-delete snapshot = the plain at-rest serve
+    val plain = Pq.topkAtRest(spark, dir, emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(asOf(0) == plain, "asOf 0 must be the undeleted snapshot")
+    // the latest commit = the full merge-on-read delete serve
+    val deleted = Pq.topkAtRestWithDeletes(spark, dir, emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)
+      .collect().map(_.toSeq).toSet
+    assert(asOf(2) == deleted, "latest asOf must equal the plain delete serve")
+    // the mid snapshot excludes exactly commit 1's ids and nothing else
+    val mid = asOf(1)
+    val midIds = mid.map(r => r(2).asInstanceOf[Long])
+    assert(midIds.forall(_ % (2L * DeleteMod) != 0),
+      "commit-1 tombstones must be gone at asOf 1")
+    val commit2Only = plain.map(r => r(2).asInstanceOf[Long])
+      .exists(id => id % DeleteMod == 0 && id % (2L * DeleteMod) != 0)
+    if (commit2Only)
+      assert(mid != deleted, "asOf 1 must still serve commit-2 victims")
+  }
+
   test("streaming query serving equals the batch at-rest run") {
     val served = graft.streaming.StreamOps.annServeOverStream(spark, dir,
       emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
