@@ -1425,6 +1425,12 @@ object SparkEntry {
     "q_ann_ivf_pq_at_rest" -> q((s, dir) => graft.operators.Pq.topkAtRest(
       s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
       PqRerank)),
+    // CONTINUOUS TOP-K: the ANN result as an incrementally-maintained
+    // materialized view (flatMapGroupsWithState k-heaps, one per query);
+    // top-k of a set is arrival-order-invariant, so the drained view
+    // provably equals the batch brute scan and shares its oracle
+    "q_stream_topk_view" -> q((s, dir) => graft.streaming.StreamOps
+      .streamTopKViewOnce(s, dir, emb(s, dir), NQ, K)),
     // STREAMING QUERY SERVING: the queries arrive as the stream, the
     // index is the static at-rest layout; each microbatch serves its
     // arriving queries through the full PQ pipeline — drained union
@@ -2112,6 +2118,9 @@ object SparkEntry {
     "q_token_bpe"     -> DocOracle.bpeUnitsSql,
     "q_repetition"    -> DocOracle.repetitionSql(JaccardN),
     "q_ann_brute"     -> EmbOracle.bruteSql(EmbD, NQ, K),
+    // top-k of a set is arrival-order-invariant: the drained continuous
+    // view IS the brute result
+    "q_stream_topk_view" -> EmbOracle.bruteSql(EmbD, NQ, K),
     "q_ann_prefix"    -> EmbOracle.prefixSql(EmbD, PrefixD, NQ, K, PrefixRerank),
     // identical rows off the at-rest layout (the stored prefix column
     // holds the same floats the map-side slice derives) — same oracle

@@ -258,6 +258,89 @@ object StreamOps {
       }, schema)
   }
 
+  /** Running per-query top-k state — the materialized ANN view. */
+  final case class TopKState(items: Seq[(Double, Long)])
+
+  /** (score desc, id asc) — the engine-wide result total order, made
+    * explicit (a sign-flip sort would diverge from it at ±0.0). */
+  private val topKOrdering: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+
+  /**
+   * CONTINUOUS TOP-K — the ANN result as an incrementally-maintained
+   * MATERIALIZED VIEW (`flatMapGroupsWithState`): the query set is
+   * fixed (a bounded driver-side collect, embedded as literals), corpus
+   * vectors arrive as the stream, each microbatch scores its arrivals
+   * against every query map-side and folds them into the per-query
+   * running top-k state (insert + truncate under the engine's
+   * (score desc, id asc) total order). Top-k of a set is arrival-order-
+   * invariant, so the drained state provably equals the batch brute
+   * scan — `q_stream_topk_view` shares the brute oracle.
+   *
+   * Scale: state is nq bounded k-heaps (the view itself), partitioned
+   * by the state store; per batch the work is |arrivals|·nq map-side
+   * scores plus a state update per query — no rescan of anything
+   * already ingested, which is the entire point of maintaining the view
+   * incrementally.
+   */
+  def streamTopKViewOnce(spark: SparkSession, sfDir: String, emb: DataFrame,
+                         nq: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val V = graft.functions.VectorOps
+    val landing = ensureShardedEmbLanding(spark, sfDir)
+    // the model: nq (qid, qvec, qn2) rows — qn2 computed by the same
+    // Spark expression the batch brute scan uses, so the literal is the
+    // identical double
+    val qs = graft.operators.Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("qvec").toSeq,
+        r.getDouble(2)))
+    val qArr = array(qs.map { case (qid, qv, qn2) =>
+      struct(lit(qid).as("qid"), typedlit(qv).as("qv"),
+        lit(qn2).as("qn2"))
+    }: _*)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val scored = stream
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.norm2Sq(col("embedding")).as("n2"), explode(qArr).as("q"))
+      .select(col("q.qid").as("qid"), col("id"),
+        (V.dot(col("embedding"), col("q.qv")) /
+          (V.fnorm(col("n2")) * V.fnorm(col("q.qn2")))).as("score"))
+      .as[(Long, Long, Double)]
+    val updated = scored.groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, (Long, Int, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (qid, rows, state) =>
+          val cur = state.getOption.map(_.items).getOrElse(Seq.empty)
+          val merged = (cur ++ rows.map(r => (r._3, r._2)).toSeq)
+            .sorted(topKOrdering).take(k)
+          state.update(TopKState(merged))
+          merged.zipWithIndex.iterator.map { case ((s, id), i) =>
+            (qid, i + 1, id, s)
+          }
+      }
+      .toDF("qid", "rank", "id", "score")
+    val schema = StructType(Seq(
+      StructField("qid", LongType), StructField("rank", IntegerType),
+      StructField("id", LongType), StructField("score", DoubleType)))
+    drainUpsertLog(spark, updated, log => {
+      // latest view wins: keep each query's rows from its last emission
+      val w = Window.partitionBy(col("qid"))
+      log.withColumn("mx", max(col("batch_id")).over(w))
+        .filter(col("batch_id") === col("mx"))
+        .select(col("qid"), col("rank"), col("id"), col("score"))
+    }, schema)
+  }
+
   /** documents schema as Spark reads the fixture table. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),

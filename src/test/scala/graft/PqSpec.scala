@@ -178,6 +178,24 @@ class PqSpec extends AnyFunSuite {
     assert(parts >= 2, s"landing has only $parts shard(s)")
   }
 
+  test("continuous top-k view: drained state equals the batch brute scan") {
+    val view = graft.streaming.StreamOps
+      .streamTopKViewOnce(spark, dir, emb, NQ, K)
+      .collect().map(_.toSeq).toSet
+    val brute = graft.operators.Ann.bruteTopK(emb, NQ, K)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+      .collect().map(_.toSeq).toSet
+    assert(view == brute && view.size == NQ * K,
+      "the incrementally-maintained view diverged from the batch scan")
+    // the drain was genuinely incremental (multi-shard landing, one
+    // file per trigger): cross-batch state merging was exercised
+    val landing = graft.streaming.StreamOps
+      .ensureShardedEmbLanding(spark, dir)
+    val parts = new java.io.File(landing).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"landing has only $parts shard(s)")
+  }
+
   test("as-of snapshots: endpoints equal the undeleted and fully-deleted serves") {
     import SparkEntry.DeleteMod
     def asOf(v: Int) = Pq.topkAtRestWithDeletesAsOf(spark, dir, emb,
