@@ -791,11 +791,16 @@ object SparkEntry {
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
+  // MaxScore seed depth: 2x the page so tau comes from a real pool
+  final val Bm25SeedB = 40
   // φ-heavy hitters: word 3-grams with count >= total/5000 (boilerplate
   // phrases); CMS width 32768 >> relDiv keeps collision noise below the
   // threshold at any corpus size
   final val HhN = 3
   final val HhRelDiv = 5000L
+  // q_tune_lsh_pick operating-point floor (sf0.01 sweep recalls run
+  // 0.13..0.26 over depths 0..6, so 0.2 straddles -> picks depth 3)
+  final val LshRecallFloor = 0.2
   final val RrfPoolN = 50     // per-retriever candidate list depth
   final val RrfKConst = 60    // the standard RRF dampening constant
   final val HybridK = 10
@@ -1627,6 +1632,10 @@ object SparkEntry {
     // analogue of the recall/nprobe grid
     "q_tune_lsh" -> q((s, dir) => graft.operators.Lsh.probeSweep(
       emb(s, dir), NQ, K, EmbD, LshPlanes)),
+    // ... and the pick: shallowest depth meeting the recall floor
+    // (cands is monotone, so shallowest-meeting = cheapest-meeting)
+    "q_tune_lsh_pick" -> q((s, dir) => graft.operators.Lsh.probeSweepPick(
+      emb(s, dir), NQ, K, EmbD, LshPlanes, LshRecallFloor)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
     // the K-NN GRAPH build (the construction seed of NSW/HNSW and
     // NN-descent): every vector is its own query over its probed cells;
@@ -1767,6 +1776,13 @@ object SparkEntry {
     // retrieval contract (docs matching no term are never scored)
     "q_bm25_at_rest" -> q((s, dir) => graft.operators.Search.bm25AtRest(
       s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets)),
+    // MAXSCORE BM25: the reference's refine discipline on the lexical
+    // rung (Turtle-Flood/WAND family) — cheap (term, doc_id)-only bound
+    // pass, exact-scored seeds -> tau, zero-miss bound>=tau rejection,
+    // exact rescore of survivors; provably equal to q_bm25_at_rest
+    "q_bm25_maxscore" -> q((s, dir) => graft.operators.Search
+      .bm25MaxScore(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
+        PostBuckets, Bm25SeedB)),
     // the posting lists STREAM-MAINTAINED: docs drain shard-by-shard,
     // each microbatch appends its own postings (no cross-batch state to
     // merge), stats re-aggregated at publish — hash-equal to
@@ -2259,6 +2275,8 @@ object SparkEntry {
     "q_ann_page2" -> EmbOracle.pageSql(EmbD, NQ, K, 2),
     // every depth is a reqd-cut + rank over one shared candidate CTE
     "q_tune_lsh" -> EmbOracle.lshTuneSql(EmbD, LshPlanes, NQ, K),
+    "q_tune_lsh_pick" -> EmbOracle.lshTunePickSql(EmbD, LshPlanes, NQ, K,
+      LshRecallFloor),
     // three-tier cascade: Hamming cut, int8 mid-rank, exact rescore
     "q_ann_cascade" -> PqOracle.cascadeSql(EmbD, NQ, K, EmbSq8ScaleLog2,
       CascadeR1, CascadeR2),
@@ -2327,6 +2345,10 @@ object SparkEntry {
       Bm25B, Bm25TopN, bm25StatsForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, bm25StatsForOracle()),
+    // zero-miss by construction (bound >= score), so MaxScore's oracle
+    // IS the posting-semantics bm25 oracle
+    "q_bm25_maxscore" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),
     // the CMS propose/exact verify pipeline provably equals the plain
     // threshold relation (overestimate-only -> no false negatives)

@@ -163,6 +163,29 @@ object Lsh {
     }.reduce(_.union(_))
   }
 
+  /**
+   * The OPERATING-POINT PICK off [[probeSweep]]'s table: the SHALLOWEST
+   * depth whose recall meets `recallFloor` (cands is monotone in depth,
+   * so shallowest-meeting = cheapest-meeting), falling back to the full
+   * shell when nothing meets it. Same rows as the sweep plus a `chosen`
+   * flag — the decision an operator actually deploys, hash-checked.
+   */
+  def probeSweepPick(emb: DataFrame, nq: Int, k: Int, d: Int, nPlanes: Int,
+                     recallFloor: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = probeSweep(emb, nq, k, d, nPlanes).collect()
+      .toList.sortBy(_.getAs[Int]("nflips"))
+    val chosen = rows.find(_.getAs[Double]("recall") >= recallFloor)
+      .map(_.getAs[Int]("nflips"))
+      .getOrElse(rows.last.getAs[Int]("nflips"))
+    rows.map { r =>
+      (r.getAs[Int]("nflips"), r.getAs[Int]("buckets"),
+        r.getAs[Long]("cands"), r.getAs[Long]("hits"),
+        r.getAs[Double]("recall"), r.getAs[Int]("nflips") == chosen)
+    }.toDF("nflips", "buckets", "cands", "hits", "recall", "chosen")
+  }
+
   // --- bucket-partitioned layout at rest ---------------------------------
 
   /** Bump when the at-rest layout or the bucket expression changes. */

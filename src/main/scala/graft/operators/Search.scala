@@ -389,6 +389,100 @@ object Search {
   }
 
   /**
+   * MAXSCORE BM25 — the reference's bandwidth-first refine discipline
+   * (cheap bounded pass -> tau -> zero-miss early rejection -> exact
+   * rescore of survivors; `ANNCode.py`'s two-phase shape) applied to
+   * the LEXICAL rung, i.e. the classic MaxScore/WAND family (Turtle &
+   * Flood 1995; Broder et al. 2003) re-expressed relationally:
+   *
+   *  - CHEAP PASS reads only the (term, doc_id) columns of the pruned
+   *    postings (Parquet column pruning — tf and dl stay on disk) and
+   *    computes each candidate's score UPPER BOUND: the sum over its
+   *    matched terms of idf_t·(k1+1), the tf→∞ limit of the BM25 term
+   *    contribution (strictly above any achievable contribution);
+   *  - SEEDS: the seedB candidates with the highest bounds are
+   *    exact-scored (a broadcast id join fetches their tf/dl), and tau
+   *    = the topN-th best exact seed score under the engine's
+   *    (score desc, doc_id asc) total order;
+   *  - ZERO-MISS REJECTION: survivors = candidates with bound >= tau.
+   *    bound >= score always, so every doc with exact score >= tau
+   *    survives — and >= topN docs scoring >= tau exist (the seeds'
+   *    own top-topN), so no true top-topN member can be rejected;
+   *  - exact rescore of the survivors, final top-N.
+   *
+   * PROVABLY equal to [[bm25AtRest]] (the oracle IS that query's),
+   * while the exact-score fetch touches seeds + survivors instead of
+   * every candidate — the bandwidth win scales with how top-heavy the
+   * bound distribution is, and degrades gracefully to all-candidates
+   * on its worst case (every doc matching every term).
+   */
+  def bm25MaxScore(spark: SparkSession, sfDir: String, terms: Seq[String],
+                   k1: Double, b: Double, topN: Int, nBuckets: Int,
+                   seedB: Int): DataFrame = {
+    require(seedB >= topN, s"seedB $seedB must be >= topN $topN")
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val stats = spark.read.parquet(s"$root/_stats").collect()(0)
+    val n = stats.getAs[Long]("n")
+    val buckets = spark.range(1).select(terms.map(t =>
+        pmod(hash(lit(t)), lit(nBuckets))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct
+    def prunedScan: DataFrame = spark.read.parquet(root)
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    // CHEAP PASS: (term, doc_id) columns only — PlanSpec asserts tf/dl
+    // never reach this scan
+    val cheap = prunedScan.select(col("term"), col("doc_id"))
+    val dfMap = cheap.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = Bm25Stats(n, stats.getAs[Long]("sumdl"),
+      terms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap)
+    // per-candidate bound: fold over terms (in terms order) of the
+    // matched indicator times the term's MaxScore idf_t*(k1+1)
+    val matchAggs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === lit(t), lit(1L)).otherwise(lit(0L)))
+        .as(s"m$i") }
+    val bound = terms.zipWithIndex.map { case (t, i) =>
+      col(s"m$i").cast("double") * lit(st.idf(t) * (k1 + 1.0))
+    }.reduceLeft(_ + _)
+    val bounds = cheap.groupBy(col("doc_id"))
+      .agg(matchAggs.head, matchAggs.tail: _*)
+      .withColumn("bound", bound)
+      .select(col("doc_id"), col("bound"))
+    // exact scorer over an id set: broadcast join fetches tf/dl rows
+    def exactScores(ids: DataFrame): DataFrame = {
+      val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === lit(t), col("tf")).otherwise(lit(0L)))
+          .as(s"tf$i") }
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = col(s"tf$i").cast("double")
+        val dl = col("dl").cast("double")
+        lit(st.idf(t)) * ((tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(st.avgdl)))))
+      }.reduceLeft(_ + _)
+      prunedScan.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(tfAggs.head, tfAggs.tail: _*)
+        .withColumn("score", score)
+        .select(col("doc_id"), col("score"))
+    }
+    // seeds -> tau (the topN-th best exact seed score; a 1-value model)
+    val seeds = bounds.orderBy(col("bound").desc, col("doc_id").asc)
+      .limit(seedB)
+    val seedScores = exactScores(seeds)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topN)
+      .collect()
+    require(seedScores.nonEmpty, "bm25MaxScore: no candidates")
+    val tau = seedScores.last.getAs[Double]("score")
+    // zero-miss survivors, exact rescore, final top-N
+    val survivors = bounds.filter(col("bound") >= lit(tau))
+    val top = exactScores(survivors)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
+
+  /**
    * Compact a stream-maintained postings layout: the many small
    * per-microbatch part files rewrite into one term-sorted file per
    * bucket (the table service's OPTIMIZE — the lexical twin of

@@ -301,6 +301,19 @@ object EmbOracle {
        |LEFT JOIN hits h ON h.nflips = f.nflips""".stripMargin
   }
 
+  /** The sweep plus the operating-point flag
+    * ([[graft.operators.Lsh.probeSweepPick]]): chosen = the min depth
+    * meeting the recall floor, else the full shell. */
+  def lshTunePickSql(d: Int, nPlanes: Int, nq: Int, k: Int,
+                     recallFloor: Double): String =
+    s"""WITH t AS MATERIALIZED (SELECT * FROM (${lshTuneSql(d, nPlanes, nq, k)})),
+       |pick AS (SELECT COALESCE(
+       |    (SELECT MIN(nflips) FROM t WHERE recall >= ${OracleGen.dlit(recallFloor)}),
+       |    (SELECT MAX(nflips) FROM t)) AS ch)
+       |SELECT t.nflips, t.buckets, t.cands, t.hits, t.recall,
+       |  (t.nflips = pick.ch) AS chosen
+       |FROM t, pick""".stripMargin
+
   def nearDupSql(d: Int, minCos: Double): String =
     s"""WITH ${nrmCte(d)},
        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -141,6 +141,22 @@ class LshSpec extends AnyFunSuite {
       recallOf(Lsh.topk(emb, NQ, K, EmbD, LshPlanes)))
   }
 
+  test("probe sweep pick: exactly one chosen row, the cheapest meeting the floor") {
+    import SparkEntry.LshRecallFloor
+    val rows = Lsh.probeSweepPick(emb, NQ, K, EmbD, LshPlanes,
+      LshRecallFloor).collect().sortBy(_.getAs[Int]("nflips"))
+    assert(rows.count(_.getAs[Boolean]("chosen")) == 1)
+    val chosen = rows.find(_.getAs[Boolean]("chosen")).get
+    val meeting = rows.filter(_.getAs[Double]("recall") >= LshRecallFloor)
+    if (meeting.nonEmpty) {
+      assert(chosen.getAs[Int]("nflips") ==
+        meeting.map(_.getAs[Int]("nflips")).min)
+      // cands monotone -> the shallowest meeting row is also cheapest
+      assert(chosen.getAs[Long]("cands") ==
+        meeting.map(_.getAs[Long]("cands")).min)
+    } else assert(chosen.getAs[Int]("nflips") == LshPlanes)
+  }
+
   test("lsh topk compiles whole-stage (no Janino fallback)") {
     // the bucket projection is a P*d-term sign-bit sum (384 terms at
     // P=6, d=64) stacked beside the cosine fold — the widest new codegen

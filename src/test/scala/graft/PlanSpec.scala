@@ -483,6 +483,19 @@ class PlanSpec extends AnyFunSuite {
       s"term filter not pushed to the postings scan:\n$plan")
   }
 
+  test("MaxScore cheap pass never reads tf or dl") {
+    val df = graft.operators.Search.bm25MaxScore(spark, dir,
+      SparkEntry.Bm25Terms, SparkEntry.Bm25K1, SparkEntry.Bm25B,
+      SparkEntry.Bm25TopN, SparkEntry.PostBuckets, SparkEntry.Bm25SeedB)
+    // the final plan's scans: the exact pass fetches tf/dl for the
+    // bounded survivor set; the BOUND scan must be (term, doc_id)-only —
+    // find at least one postings scan whose ReadSchema omits tf and dl
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.exists(f => f.contains("term") && f.contains("doc_id") &&
+      !f.contains("tf") && !f.contains("dl")),
+      s"no tf/dl-free cheap scan in:\n${scans.mkString("\n")}")
+  }
+
   test("at-rest LSH probe scan carries a bucket partition filter") {
     val df = graft.operators.Lsh.topkAtRest(spark, dir,
       Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,

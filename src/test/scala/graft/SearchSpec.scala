@@ -276,6 +276,16 @@ class SearchSpec extends AnyFunSuite {
     assert(qa == qb, "query off the compacted layout diverged")
   }
 
+  test("bm25 MaxScore: zero-miss — bit-equal to the full posting scoring") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
+      Bm25SeedB}
+    val fast = Search.bm25MaxScore(spark, dir, Bm25Terms, Bm25K1, Bm25B,
+      Bm25TopN, PostBuckets, Bm25SeedB).collect().map(_.toSeq).toSet
+    val full = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
+      Bm25TopN, PostBuckets).collect().map(_.toSeq).toSet
+    assert(fast == full, "MaxScore rejection lost a true top-N member")
+  }
+
   test("stream-maintained postings serve the identical bm25 rows once drained") {
     import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets}
     val batch = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
