@@ -1783,6 +1783,12 @@ object SparkEntry {
     "q_bm25_maxscore" -> q((s, dir) => graft.operators.Search
       .bm25MaxScore(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
         PostBuckets, Bm25SeedB)),
+    // ... and its BYTE LEDGER: per-column posting bytes for the bound
+    // pass vs the exact fetches vs the full-read baseline — the lexical
+    // twin of the refine family's bandwidth accounting
+    "q_bm25_maxscore_metrics" -> q((s, dir) => graft.operators.Search
+      .bm25MaxScoreMetrics(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
+        PostBuckets, Bm25SeedB)),
     // the posting lists STREAM-MAINTAINED: docs drain shard-by-shard,
     // each microbatch appends its own postings (no cross-batch state to
     // merge), stats re-aggregated at publish — hash-equal to
@@ -2350,6 +2356,11 @@ object SparkEntry {
     // IS the posting-semantics bm25 oracle
     "q_bm25_maxscore" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),
+    // the ledger's oracle re-derives the bound/seed/tau/survivor
+    // pipeline relationally and sums the same per-column bytes
+    "q_bm25_maxscore_metrics" -> SearchOracle.bm25MaxScoreMetricsSql(
+      Bm25Terms, Bm25K1, Bm25B, Bm25TopN, Bm25SeedB,
+      bm25StatsForOracle()),
     // the CMS propose/exact verify pipeline provably equals the plain
     // threshold relation (overestimate-only -> no false negatives)
     "q_heavy_hitters" -> DocOracle.heavyHittersSql(HhN, HhRelDiv),

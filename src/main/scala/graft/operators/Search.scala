@@ -416,9 +416,18 @@ object Search {
    * bound distribution is, and degrades gracefully to all-candidates
    * on its worst case (every doc matching every term).
    */
-  def bm25MaxScore(spark: SparkSession, sfDir: String, terms: Seq[String],
-                   k1: Double, b: Double, topN: Int, nBuckets: Int,
-                   seedB: Int): DataFrame = {
+  /** The shared MaxScore pipeline state: the pruned-postings scan
+    * factory, corpus stats, per-candidate bounds, seed set, tau, and
+    * the exact scorer — built once, consumed by both the result query
+    * ([[bm25MaxScore]]) and its byte ledger ([[bm25MaxScoreMetrics]]). */
+  private final case class MaxScoreParts(
+      pruned: () => DataFrame, bounds: DataFrame, seeds: DataFrame,
+      tau: Double, exactScores: DataFrame => DataFrame)
+
+  private def maxScoreParts(spark: SparkSession, sfDir: String,
+                            terms: Seq[String], k1: Double, b: Double,
+                            topN: Int, nBuckets: Int,
+                            seedB: Int): MaxScoreParts = {
     require(seedB >= topN, s"seedB $seedB must be >= topN $topN")
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
@@ -472,14 +481,66 @@ object Search {
       .collect()
     require(seedScores.nonEmpty, "bm25MaxScore: no candidates")
     val tau = seedScores.last.getAs[Double]("score")
+    MaxScoreParts(() => prunedScan, bounds, seeds, tau, exactScores)
+  }
+
+  def bm25MaxScore(spark: SparkSession, sfDir: String, terms: Seq[String],
+                   k1: Double, b: Double, topN: Int, nBuckets: Int,
+                   seedB: Int): DataFrame = {
+    val p = maxScoreParts(spark, sfDir, terms, k1, b, topN, nBuckets, seedB)
     // zero-miss survivors, exact rescore, final top-N
-    val survivors = bounds.filter(col("bound") >= lit(tau))
-    val top = exactScores(survivors)
+    val survivors = p.bounds.filter(col("bound") >= lit(p.tau))
+    val top = p.exactScores(survivors)
       .orderBy(col("score").desc, col("doc_id").asc).limit(topN)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id").asc)
     top.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("rank"), col("score"))
+  }
+
+  /**
+   * [[bm25MaxScore]]'s BYTE LEDGER — the lexical twin of the refine
+   * family's bandwidth accounting: per-column posting bytes (term =
+   * its character count, doc_id/tf/dl = 8 each), with
+   *
+   *  - `bytes_full`  = every candidate posting row fully read (the
+   *    no-refinement baseline),
+   *  - `bytes_cheap` = the bound pass's (term, doc_id) columns over
+   *    the same rows,
+   *  - `bytes_exact` = the (doc_id, tf, dl) fetches of the seed pass
+   *    plus the survivor pass (counted separately — the engine really
+   *    reads both),
+   *  - `save` = 1 − (cheap + exact)/full.
+   *
+   * One row: (candidates, seed_docs, survivors, bytes_cheap,
+   * bytes_exact, bytes_full, save) — exact integers and one division,
+   * hash-checked against an oracle that re-derives tau relationally.
+   */
+  def bm25MaxScoreMetrics(spark: SparkSession, sfDir: String,
+                          terms: Seq[String], k1: Double, b: Double,
+                          topN: Int, nBuckets: Int,
+                          seedB: Int): DataFrame = {
+    val p = maxScoreParts(spark, sfDir, terms, k1, b, topN, nBuckets, seedB)
+    val survivors = p.bounds.filter(col("bound") >= lit(p.tau))
+    val rowBytes = p.pruned()
+      .agg(sum(length(col("term")) + lit(24L)).as("bytes_full"),
+        sum(length(col("term")) + lit(8L)).as("bytes_cheap"))
+      .collect()(0)
+    def fetchRows(ids: DataFrame): Long =
+      p.pruned().join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"))
+        .count()
+    val exactRows = fetchRows(p.seeds) + fetchRows(survivors)
+    val cands = p.bounds.count()
+    val nSeeds = p.seeds.count()
+    val nSurv = survivors.count()
+    val bytesFull = rowBytes.getLong(0)
+    val bytesCheap = rowBytes.getLong(1)
+    val bytesExact = 24L * exactRows
+    import spark.implicits._
+    Seq((cands, nSeeds, nSurv, bytesCheap, bytesExact, bytesFull,
+      1.0 - (bytesCheap + bytesExact).toDouble / bytesFull.toDouble))
+      .toDF("candidates", "seed_docs", "survivors", "bytes_cheap",
+        "bytes_exact", "bytes_full", "save")
   }
 
   /**

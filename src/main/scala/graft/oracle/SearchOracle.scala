@@ -261,6 +261,80 @@ object SearchOracle {
        |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, rrf, text_rank, vec_rank
        |FROM ranked WHERE rnk <= $k""".stripMargin
 
+  /** MaxScore byte ledger ([[graft.operators.Search
+    * .bm25MaxScoreMetrics]]): the whole bound/seed/tau/survivor
+    * pipeline re-derived relationally over the logical posting rows
+    * (one row per (term, doc) with tf and the doc length), then the
+    * per-column byte sums — term chars + 8 for the cheap pass, 24 per
+    * fetched row for the two exact passes, full row width for the
+    * baseline. idf literals guarded by df recomputation as in
+    * [[bm25Sql]]. */
+  def bm25MaxScoreMetricsSql(terms: Seq[String], k1: Double, b: Double,
+                             topN: Int, seedB: Int,
+                             st: Option[Bm25Stats]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n|  ")
+    def idf(i: Int, t: String): String = {
+      val lnForm = s"ln(1.0 + (st2.n - dfp.df$i + 0.5) / (dfp.df$i + 0.5))"
+      st match {
+        case Some(s) =>
+          s"CASE WHEN dfp.df$i = ${s.df(t)} THEN ${dlit(s.idf(t))} ELSE $lnForm END"
+        case None => lnForm
+      }
+    }
+    val boundExpr = terms.zipWithIndex.map { case (t, i) =>
+      s"(CAST(MAX(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS DOUBLE) * " +
+        s"(${idf(i, t)} * ${dlit(k1 + 1.0)}))"
+    }.reduceLeft((a, c) => s"($a + $c)")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN tf ELSE 0 END) AS tf$i"
+    }.mkString(",\n|  ")
+    val scoreExpr = terms.zipWithIndex.map { case (t, i) =>
+      s"(${idf(i, t)} * ((CAST(tf$i AS DOUBLE) * ${dlit(k1 + 1.0)}) / " +
+        s"(CAST(tf$i AS DOUBLE) + ${dlit(k1)} * (${dlit(1.0 - b)} + " +
+        s"${dlit(b)} * (CAST(dl AS DOUBLE) / " +
+        s"(CAST(st2.sumdl AS DOUBLE) / st2.n))))))"
+    }.reduceLeft((a, c) => s"($a + $c)")
+    s"""WITH posts AS MATERIALIZED (
+       |  SELECT tok AS term, doc_id, COUNT(*) AS tf, MIN(dl) AS dl
+       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |               unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok IN ($inList)
+       |  GROUP BY tok, doc_id),
+       |st2 AS (SELECT COUNT(*) AS n,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sumdl
+       |  FROM documents),
+       |dfp AS (SELECT $dfCols FROM posts),
+       |bounds AS MATERIALIZED (SELECT doc_id, $boundExpr AS bound
+       |  FROM posts, dfp, st2 GROUP BY doc_id, ${
+        (0 until terms.size).map(i => s"dfp.df$i").mkString(", ")}, st2.n),
+       |seeds AS MATERIALIZED (SELECT doc_id FROM bounds
+       |  ORDER BY bound DESC, doc_id ASC LIMIT $seedB),
+       |spiv AS (SELECT p.doc_id, p.dl, $tfCols
+       |  FROM posts p JOIN seeds s ON p.doc_id = s.doc_id
+       |  GROUP BY p.doc_id, p.dl),
+       |sscored AS (SELECT doc_id, $scoreExpr AS score FROM spiv, dfp, st2),
+       |tauc AS (SELECT MIN(score) AS tau FROM (
+       |  SELECT score FROM sscored ORDER BY score DESC, doc_id ASC LIMIT $topN)),
+       |surv AS MATERIALIZED (SELECT b.doc_id FROM bounds b, tauc
+       |  WHERE b.bound >= tauc.tau)
+       |SELECT
+       |  (SELECT COUNT(*) FROM bounds) AS candidates,
+       |  (SELECT COUNT(*) FROM seeds) AS seed_docs,
+       |  (SELECT COUNT(*) FROM surv) AS survivors,
+       |  CAST((SELECT SUM(len(term) + 8) FROM posts) AS BIGINT) AS bytes_cheap,
+       |  CAST(24 * ((SELECT COUNT(*) FROM posts p JOIN seeds s ON p.doc_id = s.doc_id)
+       |    + (SELECT COUNT(*) FROM posts p JOIN surv s ON p.doc_id = s.doc_id))
+       |    AS BIGINT) AS bytes_exact,
+       |  CAST((SELECT SUM(len(term) + 24) FROM posts) AS BIGINT) AS bytes_full,
+       |  1.0 - CAST((SELECT SUM(len(term) + 8) FROM posts)
+       |      + 24 * ((SELECT COUNT(*) FROM posts p JOIN seeds s ON p.doc_id = s.doc_id)
+       |        + (SELECT COUNT(*) FROM posts p JOIN surv s ON p.doc_id = s.doc_id)) AS DOUBLE)
+       |    / CAST((SELECT SUM(len(term) + 24) FROM posts) AS DOUBLE) AS save""".stripMargin
+  }
+
   /** Relative-score (linear) hybrid fusion
     * ([[graft.operators.Search.hybridLinear]]): each list min-max
     * normalized over its own top-poolN scores (degenerate equal-range

@@ -286,6 +286,27 @@ class SearchSpec extends AnyFunSuite {
     assert(fast == full, "MaxScore rejection lost a true top-N member")
   }
 
+  test("MaxScore ledger: survivors bounded, bytes exactly consistent") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
+      Bm25SeedB}
+    val r = Search.bm25MaxScoreMetrics(spark, dir, Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, PostBuckets, Bm25SeedB).collect()(0)
+    val cands = r.getAs[Long]("candidates")
+    val surv = r.getAs[Long]("survivors")
+    assert(surv <= cands, "survivors are a candidate subset")
+    assert(surv >= Bm25TopN, "zero-miss needs >= topN survivors")
+    assert(r.getAs[Long]("bytes_cheap") < r.getAs[Long]("bytes_full"))
+    // save is exactly the ledger identity (sign NOT asserted: the
+    // fixture's 31-token vocabulary makes nearly every doc match most
+    // query terms — MaxScore's documented worst case — and the ledger
+    // honestly reports the negative save rather than flattering it;
+    // selective terms over a real vocabulary are where the cut lives)
+    val bc = r.getAs[Long]("bytes_cheap")
+    val be = r.getAs[Long]("bytes_exact")
+    val bf = r.getAs[Long]("bytes_full")
+    assert(r.getAs[Double]("save") == 1.0 - (bc + be).toDouble / bf.toDouble)
+  }
+
   test("stream-maintained postings serve the identical bm25 rows once drained") {
     import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets}
     val batch = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
