@@ -1729,6 +1729,17 @@ object SparkEntry {
           .distinct())
       graft.operators.Dedup.semDedup(emb(s, dir), clusters)
     }),
+    // ... and the CLEANED CORPUS that decision produces: unclustered
+    // vectors survive untouched, clustered ones only as their keeper
+    "q_sem_dedup_clean" -> q((s, dir) => {
+      val g = knnGraphAtRest(s, dir)
+      val clusters = graft.operators.Dedup.connectedComponents(
+        g.filter(col("score") >= SemClusterTau)
+          .select(least(col("qid"), col("id")).as("doc_a"),
+            greatest(col("qid"), col("id")).as("doc_b"))
+          .distinct())
+      graft.operators.Dedup.semDedupClean(emb(s, dir), clusters)
+    }),
     // metadata-filtered search: predicate applied BEFORE any distance
     // arithmetic (pre-filter strategy); the metadata join is an id
     // equi-join, bucketable to exchange-free at rest
@@ -2329,6 +2340,8 @@ object SparkEntry {
       IvfCells, IvfProbe, SemClusterTau),
     // the SemDeDup keeper: ordered centroid + lowest-cosine member
     "q_sem_dedup" -> IvfOracle.semDedupSql(EmbD, KnnJ,
+      IvfCells, IvfProbe, SemClusterTau),
+    "q_sem_dedup_clean" -> IvfOracle.semDedupCleanSql(EmbD, KnnJ,
       IvfCells, IvfProbe, SemClusterTau),
     // the drained stream-refreshed model is the batch Lloyd step's
     "q_stream_ivf_retrain" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),

@@ -609,4 +609,28 @@ object Dedup {
       .select(col("comp"), col("doc_id").as("kept_id"),
         col("n_members"), col("score").as("kept_score"))
   }
+
+  /**
+   * The CLEANED CORPUS [[semDedup]]'s decision produces: every vector
+   * outside any duplicate cluster survives untouched, clustered vectors
+   * survive only as their cluster's keeper. Output (vec_id, clustered):
+   * the training corpus after semantic dedup, with the flag recording
+   * which survivors were cluster keepers. One id anti-join over the
+   * drop set (clustered members minus keepers — bounded by duplicate
+   * membership, broadcast at any corpus size).
+   */
+  def semDedupClean(emb: DataFrame, clusters: DataFrame): DataFrame = {
+    val keepers = semDedup(emb, clusters)
+      .select(col("kept_id").as("doc_id"))
+    val dropped = clusters.select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_anti")
+    emb.select(col("vec_id"))
+      .join(broadcast(dropped.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .join(broadcast(clusters
+          .select(col("doc_id").as("vec_id"), lit(1).as("clustered"))),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("clustered"), lit(0))
+        .as("clustered"))
+  }
 }

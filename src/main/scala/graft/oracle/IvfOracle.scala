@@ -1141,13 +1141,35 @@ object IvfOracle {
     * (centroid components are already DOUBLE), in position order —
     * exactly the engine's zip_with/asum left fold. */
   def semDedupSql(d: Int, j: Int, nCells: Int, nprobe: Int,
-                  tau: Double): String = {
+                  tau: Double): String =
+    s"""WITH RECURSIVE ${semDedupCtes(d, j, nCells, nprobe, tau)}
+       |SELECT comp, doc_id AS kept_id, n_members, score AS kept_score
+       |FROM ranked WHERE rnk = 1""".stripMargin
+
+  /** The cleaned corpus ([[graft.operators.Dedup.semDedupClean]]):
+    * unclustered vectors survive untouched, clustered ones only as
+    * their cluster's keeper; `clustered` flags surviving keepers. */
+  def semDedupCleanSql(d: Int, j: Int, nCells: Int, nprobe: Int,
+                       tau: Double): String =
+    s"""WITH RECURSIVE ${semDedupCtes(d, j, nCells, nprobe, tau)},
+       |keep AS (SELECT doc_id FROM ranked WHERE rnk = 1)
+       |SELECT e.vec_id,
+       |  CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS clustered
+       |FROM embeddings e
+       |LEFT JOIN comp c ON c.doc_id = e.vec_id
+       |WHERE c.doc_id IS NULL
+       |   OR e.vec_id IN (SELECT doc_id FROM keep)""".stripMargin
+
+  /** The shared [[semDedupSql]]/[[semDedupCleanSql]] chain, through the
+    * per-cluster keeper ranking (`ranked`). */
+  private def semDedupCtes(d: Int, j: Int, nCells: Int, nprobe: Int,
+                           tau: Double): String = {
     val dotEm = (1 to d).map(i =>
       s"CAST(e.embedding[$i] AS DOUBLE)*mv.mvec[$i]")
       .mkString("(", " + ", ")")
     val n2m = (1 to d).map(i => s"mv.mvec[$i]*mv.mvec[$i]")
       .mkString("(", " + ", ")")
-    s"""WITH RECURSIVE ${knnGraphCtes(d, j, nCells, nprobe)},
+    s"""${knnGraphCtes(d, j, nCells, nprobe)},
        |p AS (SELECT DISTINCT LEAST(qid, id) AS doc_a, GREATEST(qid, id) AS doc_b
        |  FROM gfull WHERE score >= ${OracleGen.dlit(tau)}),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
@@ -1174,9 +1196,7 @@ object IvfOracle {
        |  JOIN mv ON mv.comp = c.comp),
        |ranked AS (SELECT comp, doc_id, n_members, score,
        |  row_number() OVER (PARTITION BY comp ORDER BY score ASC, doc_id ASC) AS rnk
-       |  FROM sc)
-       |SELECT comp, doc_id AS kept_id, n_members, score AS kept_score
-       |FROM ranked WHERE rnk = 1""".stripMargin
+       |  FROM sc)""".stripMargin
   }
 
   /** Beam search over the [[knnGraphSql]] graph

@@ -1716,6 +1716,15 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Dedup.semDedup(emb.repartition(7), clusters)
       .collect().map(_.toSeq).toSet
     assert(again == kept.map(_.toSeq).toSet)
+    // the cleaned corpus: survivors = corpus − (clustered − keepers),
+    // and the clustered flag marks exactly the surviving keepers
+    val clean = Dedup.semDedupClean(emb, clusters).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("clustered")).toMap
+    val memberIds = mem.map(_._1).toSet
+    val keeperIds = kept.map(_.getAs[Long]("kept_id")).toSet
+    val all = vecs.keySet
+    assert(clean.keySet == (all -- memberIds) ++ keeperIds)
+    assert(clean.filter(_._2 == 1).keySet == keeperIds)
   }
 
   test("heavy hitters: CMS propose/exact verify equals the exact relation and prunes") {
