@@ -1478,6 +1478,12 @@ object SparkEntry {
     "q_ann_pq_delete_asof" -> q((s, dir) => graft.operators.Pq
       .topkAtRestWithDeletesAsOf(s, dir, emb(s, dir), NQ, K, IvfCells,
         EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod, asOf = 1)),
+    // ... and the same snapshot off the STREAM-MAINTAINED versioned log
+    // (commit versions travel IN the rows, so the drained log is
+    // arrival-order-invariant) — shares q_ann_pq_delete_asof's oracle
+    "q_stream_ann_delete_asof" -> q((s, dir) => graft.streaming.StreamOps
+      .pqDeletesAsOfOverStream(s, dir, emb(s, dir), NQ, K, IvfCells,
+        EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod, asOf = 1)),
     "q_ann_pq_delete" -> q((s, dir) => graft.operators.Pq
       .topkAtRestWithDeletes(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
         IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
@@ -2250,6 +2256,9 @@ object SparkEntry {
       IvfProbe, PqM, PqCodes, PqRerank, excludeMod = DeleteMod),
     // the as-of-commit-1 snapshot deletes exactly ids ≡ 0 mod 2·DeleteMod
     "q_ann_pq_delete_asof" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, excludeMod = 2 * DeleteMod),
+    // the drained stream log holds identical (id, commit_v) rows
+    "q_stream_ann_delete_asof" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, excludeMod = 2 * DeleteMod),
     // the stream-maintained sidecar holds the same delete set once
     // drained -> q_ann_pq_delete's oracle

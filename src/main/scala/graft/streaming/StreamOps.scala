@@ -982,6 +982,88 @@ object StreamOps {
    * physically. The landing holds the deterministic id ≡ 0 (mod `mod`)
    * delete set sharded 4 ways, so the drain is genuinely incremental.
    */
+  /**
+   * The VERSIONED delete log, STREAM-MAINTAINED: delete commits drain
+   * through a real file stream (one commit file per trigger) and append
+   * to the log — with the commit version carried IN the rows, so the
+   * drained log is arrival-order-INVARIANT (no dependence on file
+   * scheduling) and identical to the batch-built
+   * [[graft.operators.Pq.ensureVersionedTombstones]]: commit 1 deletes
+   * ids ≡ 0 (mod 2·`mod`), commit 2 the remaining ids ≡ `mod`
+   * (mod 2·`mod`). Any as-of snapshot then serves off the streamed log
+   * exactly as off the batch one — time travel composed with streaming
+   * maintenance.
+   */
+  def ensureStreamVersionedTombstones(spark: SparkSession,
+                                      codesPath: String,
+                                      mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val landingP = Paths.get(codesPath + s"_tombv_landing_mod$mod")
+    val outDir = Paths.get(codesPath + s"_tombv_stream_mod$mod")
+    synchronized {
+      if (!Files.exists(landingP.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landingP.getParent,
+          "tombv-land-")
+        val del = spark.read.parquet(codesPath)
+          .select(col("id")).filter(col("id") % mod === 0)
+        // one landing file per commit, version in the data
+        del.filter(col("id") % (2L * mod) === 0)
+          .withColumn("commit_v", lit(1))
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        del.filter(col("id") % (2L * mod) =!= 0)
+          .withColumn("commit_v", lit(2))
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        try Files.move(tmp, landingP)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landingP.resolve("_SUCCESS")),
+          s"versioned tombstone landing publish failed: $landingP")
+      }
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent,
+          "tombv-stream-")
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("id", LongType),
+            StructField("commit_v", IntegerType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landingP.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(tmp.toString)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"versioned tombstone stream publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** AS-OF serve off the STREAM-MAINTAINED versioned delete log —
+    * hash-equal to the batch-log twin (the drained rows are identical),
+    * so `q_stream_ann_delete_asof` shares `q_ann_pq_delete_asof`'s
+    * oracle. */
+  def pqDeletesAsOfOverStream(spark: SparkSession, sfDir: String,
+                              emb: DataFrame, nq: Int, k: Int,
+                              nCells: Int, d: Int, nprobe: Int,
+                              mSub: Int, codes: Int, rerank: Int,
+                              deleteMod: Int, asOf: Int): DataFrame = {
+    val codesPath = graft.operators.Pq.ensureCodesFixture(
+      spark, sfDir, nCells, d, mSub, codes)
+    val tombs = spark.read
+      .parquet(ensureStreamVersionedTombstones(spark, codesPath, deleteMod))
+      .filter(col("commit_v") <= asOf).select(col("id"))
+    graft.operators.Pq.topkOffCodesWithDeletes(spark, codesPath, tombs,
+      emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+  }
+
   def ensureStreamTombstones(spark: SparkSession, codesPath: String,
                              mod: Int): String = {
     import java.nio.file.{Files, Paths}

@@ -178,6 +178,21 @@ class PqSpec extends AnyFunSuite {
     assert(parts >= 2, s"landing has only $parts shard(s)")
   }
 
+  test("stream-versioned delete log serves identical as-of snapshots") {
+    import SparkEntry.DeleteMod
+    def streamed(v: Int) = graft.streaming.StreamOps
+      .pqDeletesAsOfOverStream(spark, dir, emb, NQ, K, IvfCells, EmbD,
+        IvfProbe, PqM, PqCodes, PqRerank, DeleteMod, asOf = v)
+      .collect().map(_.toSeq).toSet
+    def batch(v: Int) = Pq.topkAtRestWithDeletesAsOf(spark, dir, emb,
+      NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank,
+      DeleteMod, asOf = v).collect().map(_.toSeq).toSet
+    // both snapshot endpoints and the mid snapshot agree with the
+    // batch-built log (the drained rows are identical)
+    (0 to 2).foreach(v => assert(streamed(v) == batch(v),
+      s"streamed as-of $v diverged from the batch log"))
+  }
+
   test("continuous top-k view: drained state equals the batch brute scan") {
     val view = graft.streaming.StreamOps
       .streamTopKViewOnce(spark, dir, emb, NQ, K)
