@@ -675,6 +675,8 @@ object SparkEntry {
   final val PackBudget = 2048L // sequence-packing token budget per bin
   final val EmbD = 64
   final val MinCos = 0.25
+  // embedding-QA norm-outlier threshold, in population sd units
+  final val EmbZTau = 2.0
   final val IvfCells = 8
   final val IvfProbe = 2
   // SRP-LSH: 6 hyperplanes -> 64 buckets; a multi-probe query reads 7
@@ -1643,6 +1645,11 @@ object SparkEntry {
     "q_tune_lsh_pick" -> q((s, dir) => graft.operators.Lsh.probeSweepPick(
       emb(s, dir), NQ, K, EmbD, LshPlanes, LshRecallFloor)),
     "q_emb_neardup" -> q((s, dir) => Ann.nearDupPairs(emb(s, dir), MinCos)),
+    // EMBEDDING QA: flag vectors whose norm sits > zTau population sd
+    // from the mean (the broken-embedding detector run before indexing);
+    // stats = ONE global ordered fold, flags = one map-side scan
+    "q_emb_outliers" -> q((s, dir) => Ann.normOutliers(
+      emb(s, dir), EmbZTau)),
     // the K-NN GRAPH build (the construction seed of NSW/HNSW and
     // NN-descent): every vector is its own query over its probed cells;
     // the N x N product never materializes — candidate generation is the
@@ -2325,6 +2332,7 @@ object SparkEntry {
     "q_ann_ivf_pq_res_d1024" -> PqOracle.topkResidualWideSql(D1024, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank, D1024KeyMod),
     "q_emb_neardup"   -> EmbOracle.nearDupSql(EmbD, MinCos),
+    "q_emb_outliers"  -> EmbOracle.normOutliersSql(EmbD, EmbZTau),
     "q_knn_graph" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells, IvfProbe),
     // the drained stream-maintained graph holds the same edges as the
     // batch build -> q_knn_graph's oracle

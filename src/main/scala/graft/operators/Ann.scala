@@ -444,4 +444,49 @@ object Ann {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  // ---- embedding QA: norm-outlier detection -----------------------------
+
+  /**
+   * EMBEDDING QA — the broken-embedding detector an embedding pipeline
+   * runs before indexing (zero vectors from failed forward passes,
+   * magnitude blow-ups from fp overflow, truncated rows): flag every
+   * vector whose L2 norm sits more than `zTau` population standard
+   * deviations from the mean norm. Output (vec_id, norm, z) for the
+   * flagged vectors, z = (norm − mean)/sd.
+   *
+   * The population stats are ONE global ordered fold
+   * ([[TrainFold.orderedSums]], empty group — O(1) state, bit-exact at
+   * any parallelism) over (norm, norm²); mean/sd collapse to two
+   * doubles collected driver-side (the model) and folded back into the
+   * flag predicate as literals — one stats scan + one map-side flag
+   * scan, the shape a 100 TB QA job wants.
+   */
+  def normOutliers(emb: DataFrame, zTau: Double): DataFrame = {
+    val withNorm = emb.select(col("vec_id"),
+      fn(norm2Sq(col("embedding"))).as("norm"))
+    val srow = TrainFold.orderedSums(
+      withNorm.select(col("vec_id"), col("norm")),
+      Seq.empty, "vec_id", Seq("norm" -> "s"))
+      .collect()(0)
+    val n = srow.getAs[Long]("n")
+    require(n > 0, "normOutliers: empty corpus")
+    val mean = srow.getAs[Double]("s") / n.toDouble
+    // TWO-PASS variance (E[(x − mean)²], a second ordered fold): the
+    // one-pass E[x²] − mean² form cancels catastrophically on a
+    // unit-normalized corpus (both terms ~1, the true variance ~1e-16)
+    // and would collapse sd to the floor, flagging everything
+    val ssd = TrainFold.orderedSums(
+      withNorm.select(col("vec_id"),
+        ((col("norm") - lit(mean)) * (col("norm") - lit(mean))).as("d2")),
+      Seq.empty, "vec_id", Seq("d2" -> "ssd"))
+      .collect()(0).getAs[Double]("ssd")
+    // the engine-wide 1e-12 floor (see VectorOps.fnorm): an all-equal-
+    // norm corpus has sd = 0 and must flag nothing, not divide by zero
+    val sd = math.max(math.sqrt(math.max(ssd / n.toDouble, 0.0)), 1e-12)
+    withNorm
+      .withColumn("z", (col("norm") - lit(mean)) / lit(sd))
+      .filter(abs(col("norm") - lit(mean)) > lit(zTau) * lit(sd))
+      .select(col("vec_id"), col("norm"), col("z"))
+  }
 }

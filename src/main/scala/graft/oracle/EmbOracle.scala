@@ -314,6 +314,25 @@ object EmbOracle {
        |  (t.nflips = pick.ch) AS chosen
        |FROM t, pick""".stripMargin
 
+  /** Embedding QA ([[graft.operators.Ann.normOutliers]]): the global
+    * vec_id-ordered folds of (norm, norm²) mirror the engine's
+    * [[graft.operators.TrainFold]] stats scan; mean/sd re-derive via
+    * the identical arithmetic, the flag predicate operand-for-operand. */
+  def normOutliersSql(d: Int, zTau: Double): String =
+    s"""WITH ${nrmCte(d)},
+       |nn AS MATERIALIZED (SELECT vec_id, ${fn("n2")} AS norm FROM nrm),
+       |m0 AS (SELECT COUNT(*) AS n,
+       |  list_reduce(list(norm ORDER BY vec_id), (a, v) -> a + v)
+       |    / CAST(COUNT(*) AS DOUBLE) AS mean
+       |  FROM nn),
+       |ms AS (SELECT m0.mean, GREATEST(sqrt(GREATEST(
+       |    (SELECT list_reduce(list((norm - m0.mean) * (norm - m0.mean)
+       |       ORDER BY vec_id), (a, v) -> a + v) FROM nn)
+       |    / CAST(m0.n AS DOUBLE), 0.0)), 1e-12) AS sd
+       |  FROM m0)
+       |SELECT vec_id, norm, (norm - mean) / sd AS z
+       |FROM nn, ms WHERE ABS(norm - mean) > ${OracleGen.dlit(zTau)} * sd""".stripMargin
+
   def nearDupSql(d: Int, minCos: Double): String =
     s"""WITH ${nrmCte(d)},
        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

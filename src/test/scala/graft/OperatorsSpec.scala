@@ -1727,6 +1727,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean.filter(_._2 == 1).keySet == keeperIds)
   }
 
+  test("normOutliers flags exactly the >zTau-sd norms, bit-exact stats") {
+    import graft.operators.Ann
+    import SparkEntry.EmbZTau
+    val emb = Tables.embeddings(spark, dir)
+    // the QA semantics on genuinely broken rows: a zero vector (failed
+    // forward pass) and a 3x-magnitude blow-up injected into the corpus
+    val d = emb.select(size(col("embedding"))).first().getInt(0)
+    import spark.implicits._
+    val broken = Seq(
+      (900001L, Seq.fill(d)(0.0f), 0),
+      (900002L, emb.orderBy("vec_id").first()
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => x * 3.0f).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val withBroken = emb.union(broken)
+    val flagged = Ann.normOutliers(withBroken, EmbZTau).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("z")).toMap
+    assert(flagged.contains(900001L) && flagged(900001L) < 0,
+      "the zero vector must flag with a negative z")
+    assert(flagged.contains(900002L) && flagged(900002L) > 0,
+      "the magnitude blow-up must flag with a positive z")
+    // driver-side recomputation with the identical fold order
+    val got = Ann.normOutliers(emb, EmbZTau).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("norm"), r.getAs[Double]("z"))).toMap
+    val norms = emb.select(col("vec_id"),
+      graft.functions.VectorOps.fnorm(
+        graft.functions.VectorOps.norm2Sq(col("embedding"))).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    var s = 0.0
+    norms.foreach { case (_, x) => s += x } // id order
+    val n = norms.length
+    val mean = s / n.toDouble
+    var ssd = 0.0
+    norms.foreach { case (_, x) => ssd += (x - mean) * (x - mean) }
+    val sd = math.max(math.sqrt(math.max(ssd / n.toDouble, 0.0)), 1e-12)
+    val expect = norms.filter { case (_, x) =>
+      math.abs(x - mean) > EmbZTau * sd }.toMap
+    assert(got.keySet == expect.keySet, "flag set mismatch")
+    got.foreach { case (id, (norm, z)) =>
+      assert(norm == expect(id), s"norm mismatch for $id")
+      assert(z == (norm - mean) / sd, s"z mismatch for $id")
+    }
+    // partitioning-invariant (the global fold pins its order)
+    val again = Ann.normOutliers(emb.repartition(7), EmbZTau)
+      .collect().map(_.toSeq).toSet
+    assert(again == got.map { case (id, (nm, z)) =>
+      Seq[Any](id, nm, z) }.toSet)
+  }
+
   test("heavy hitters: CMS propose/exact verify equals the exact relation and prunes") {
     import SparkEntry.{HhN, HhRelDiv}
     import graft.operators.TextOps
