@@ -756,6 +756,9 @@ object SparkEntry {
   // score-histogram bucket scale (q_score_hist): floor(score*16) over
   // cosine in [-1,1] -> at most 33 buckets
   final val HistBinScale = 16
+  // q_range_tau_pick result-volume budget (pairs) — sized so the sf0.01
+  // histogram straddles it (the cumulative crosses mid-histogram)
+  final val RangeBudget = 200L
   // grouped (faceted) retrieval depth (q_ann_grouped): best k per
   // (query, lang) facet
   final val GroupedK = 3
@@ -1919,6 +1922,10 @@ object SparkEntry {
     // to <= 2*binScale+1 groups, the cheapest 100 TB-scale scan there is
     "q_score_hist" -> q((s, dir) => graft.operators.Ann.scoreHistogram(
       emb(s, dir), NQ, HistBinScale)),
+    // ... and the decision it feeds: the widest radius whose estimated
+    // result volume fits the budget (lowest bucket with cum <= budget)
+    "q_range_tau_pick" -> q((s, dir) => graft.operators.Ann.rangeTauPick(
+      emb(s, dir), NQ, HistBinScale, RangeBudget)),
     // the reference's (preds, saving) contract applied to the cascade:
     // end-to-end recall + the per-tier byte ledger (8/1/4d bytes over
     // geometrically shrinking sets) + save vs the brute 4d*N*Q baseline
@@ -2429,6 +2436,8 @@ object SparkEntry {
     "q_ann_recall_curve" -> IvfOracle.recallAtRSql(EmbD, NQ, IvfCells,
       IvfProbe, RecallRs),
     "q_score_hist" -> EmbOracle.scoreHistogramSql(EmbD, NQ, HistBinScale),
+    "q_range_tau_pick" -> EmbOracle.rangeTauPickSql(EmbD, NQ,
+      HistBinScale, RangeBudget),
     "q_cascade_metrics" -> PqOracle.cascadeMetricsSql(EmbD, NQ, K,
       EmbSq8ScaleLog2, CascadeR1, CascadeR2),
     // reciprocal ranks as exact integers (MrrScale = lcm(1..K)); DuckDB

@@ -445,6 +445,34 @@ object Ann {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /**
+   * Radius-search TAU PICK off the score histogram — the ANALYZE →
+   * decision pair for [[graft.operators.Search.rangeSearch]]: given a
+   * result-volume `budget`, choose the LOWEST bucket boundary whose
+   * above-or-equal cumulative pair count still fits the budget (the
+   * widest radius the budget affords; histogram buckets make the
+   * estimate conservative by at most one bucket of granularity).
+   * Output: the histogram rows (bucket, n) with the running
+   * above-cumulative `cum` and the `chosen` flag — all exact integers
+   * off the already-bounded [[scoreHistogram]] relation; when even the
+   * top bucket exceeds the budget, the top bucket is chosen (the
+   * narrowest radius there is).
+   */
+  def rangeTauPick(emb: DataFrame, nq: Int, binScale: Int,
+                   budget: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = scoreHistogram(emb, nq, binScale).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    require(rows.nonEmpty, "rangeTauPick: empty histogram")
+    var cum = 0L
+    val withCum = rows.map { case (b, n) => cum += n; (b, n, cum) }
+    val chosen = withCum.filter(_._3 <= budget)
+      .map(_._1).lastOption.getOrElse(withCum.head._1)
+    withCum.map { case (b, n, c) => (b, n, c, b == chosen) }
+      .toSeq.toDF("bucket", "n", "cum", "chosen")
+  }
+
   // ---- embedding QA: norm-outlier detection -----------------------------
 
   /**

@@ -314,6 +314,21 @@ object EmbOracle {
        |  (t.nflips = pick.ch) AS chosen
        |FROM t, pick""".stripMargin
 
+  /** Radius-tau pick ([[graft.operators.Ann.rangeTauPick]]): the
+    * histogram rows with the above-cumulative count and the chosen
+    * flag — lowest bucket whose cumulative fits the budget, top bucket
+    * as fallback. Exact integers end to end. */
+  def rangeTauPickSql(d: Int, nq: Int, binScale: Int,
+                      budget: Long): String =
+    s"""WITH h AS MATERIALIZED (SELECT * FROM (${scoreHistogramSql(d, nq, binScale)})),
+       |wc AS (SELECT bucket, n,
+       |  CAST(SUM(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum FROM h),
+       |pick AS (SELECT COALESCE(
+       |  (SELECT MIN(bucket) FROM wc WHERE cum <= $budget),
+       |  (SELECT MAX(bucket) FROM wc)) AS ch)
+       |SELECT wc.bucket, wc.n, wc.cum, (wc.bucket = pick.ch) AS chosen
+       |FROM wc, pick""".stripMargin
+
   /** Embedding QA ([[graft.operators.Ann.normOutliers]]): the global
     * vec_id-ordered folds of (norm, norm²) mirror the engine's
     * [[graft.operators.TrainFold]] stats scan; mean/sd re-derive via

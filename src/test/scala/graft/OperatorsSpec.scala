@@ -1727,6 +1727,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean.filter(_._2 == 1).keySet == keeperIds)
   }
 
+  test("rangeTauPick: cumulative consistent, chosen is the widest in-budget radius") {
+    import graft.operators.Ann
+    import SparkEntry.{NQ, HistBinScale, RangeBudget}
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Ann.rangeTauPick(emb, NQ, HistBinScale, RangeBudget)
+      .collect().sortBy(-_.getAs[Int]("bucket"))
+    // cum is the exact running sum from the top bucket down
+    var c = 0L
+    rows.foreach { r =>
+      c += r.getAs[Long]("n")
+      assert(r.getAs[Long]("cum") == c, s"cum mismatch at $r")
+    }
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1)
+    val ch = chosen.head
+    if (ch.getAs[Long]("cum") <= RangeBudget) {
+      // every lower bucket (wider radius) would blow the budget
+      rows.filter(_.getAs[Int]("bucket") < ch.getAs[Int]("bucket"))
+        .foreach(r => assert(r.getAs[Long]("cum") > RangeBudget))
+    } else assert(ch.getAs[Int]("bucket") ==
+      rows.map(_.getAs[Int]("bucket")).max, "fallback must be the top bucket")
+  }
+
   test("normOutliers flags exactly the >zTau-sd norms, bit-exact stats") {
     import graft.operators.Ann
     import SparkEntry.EmbZTau
