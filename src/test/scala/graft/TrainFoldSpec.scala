@@ -108,4 +108,23 @@ class TrainFoldSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(full == brute, "full-probe spherical serve must equal brute")
   }
+
+  test("spherical serve compiles whole-stage (no Janino fallback)") {
+    // the assignment projection stacks nCells literal dot chains of d
+    // terms each — the widest new codegen tree after LSH's bucket sum;
+    // a silent interpreted fallback would masquerade as contention
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    import SparkEntry.{IvfCells, EmbD, NQ, K, IvfProbe}
+    val df = Ivf.topkSpherical(emb, NQ, K, IvfCells, EmbD, IvfProbe)
+    df.collect() // finalize AQE so the executed plan holds the real stages
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile for:\n$subtree")
+    }
+  }
 }
