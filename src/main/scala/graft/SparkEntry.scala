@@ -798,6 +798,8 @@ object SparkEntry {
   final val PostBuckets = 16
   // MaxScore seed depth: 2x the page so tau comes from a real pool
   final val Bm25SeedB = 40
+  // lexical merge-on-read deletes: doc ids ≡ 0 (mod 7) tombstoned
+  final val Bm25DeleteMod = 7
   // φ-heavy hitters: word 3-grams with count >= total/5000 (boilerplate
   // phrases); CMS width 32768 >> relDiv keeps collision noise below the
   // threshold at any corpus size
@@ -1803,6 +1805,13 @@ object SparkEntry {
     // retrieval contract (docs matching no term are never scored)
     "q_bm25_at_rest" -> q((s, dir) => graft.operators.Search.bm25AtRest(
       s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets)),
+    // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
+    // out of the candidates, stats left STALE until compaction — the
+    // Lucene delete contract (docs unretrievable immediately, df/sumdl
+    // unchanged until segment merge)
+    "q_bm25_delete" -> q((s, dir) => graft.operators.Search
+      .bm25AtRestWithDeletes(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
+        PostBuckets, Bm25DeleteMod)),
     // MAXSCORE BM25: the reference's refine discipline on the lexical
     // rung (Turtle-Flood/WAND family) — cheap (term, doc_id)-only bound
     // pass, exact-scored seeds -> tau, zero-miss bound>=tau rejection,
@@ -2389,6 +2398,9 @@ object SparkEntry {
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),
+    // candidates minus the tombstoned docs, stats stale on purpose
+    "q_bm25_delete" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, bm25StatsForOracle(), excludeMod = Bm25DeleteMod),
     // zero-miss by construction (bound >= score), so MaxScore's oracle
     // IS the posting-semantics bm25 oracle
     "q_bm25_maxscore" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,

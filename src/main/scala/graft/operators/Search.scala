@@ -343,12 +343,50 @@ object Search {
     bm25OffPostings(spark, ensurePostingsLayout(spark, sfDir, nBuckets),
       terms, k1, b, topN, nBuckets)
 
+  /**
+   * Lexical index DELETES, merge-on-read — the GDPR/document-removal
+   * path of a search engine: the tombstone sidecar (doc ids ≡ 0 mod
+   * `deleteMod`, the fixture form of a delete commit) is anti-joined
+   * out of the CANDIDATES while the corpus statistics (n, sumdl, df)
+   * stay STALE — exactly Lucene's behavior, where deleted docs stop
+   * being retrievable immediately but keep counting toward the stats
+   * until segment merge rewrites them. The posting files are never
+   * touched; the sidecar is bounded; compaction is the table service's
+   * later job (as with the PQ codes layout).
+   */
+  def bm25AtRestWithDeletes(spark: SparkSession, sfDir: String,
+                            terms: Seq[String], k1: Double, b: Double,
+                            topN: Int, nBuckets: Int,
+                            deleteMod: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    require(deleteMod >= 2, s"deleteMod=$deleteMod")
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val tombPath = Paths.get(root + s"_tomb_mod$deleteMod")
+    if (!Files.exists(tombPath.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(tombPath.getParent, "ptomb-")
+      spark.read.parquet(root)
+        .select(col("doc_id")).distinct()
+        .filter(col("doc_id") % deleteMod === 0)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, tombPath)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(tombPath.resolve("_SUCCESS")),
+        s"postings tombstone publish failed: $tombPath")
+    }
+    bm25OffPostings(spark, root, terms, k1, b, topN, nBuckets,
+      tombs = Some(spark.read.parquet(tombPath.toString)))
+  }
+
   /** [[bm25AtRest]]'s query half against an explicit postings layout —
     * shared by the batch-built and stream-maintained layouts (both hold
-    * identical posting rows and stats once drained). */
+    * identical posting rows and stats once drained). `tombs` (doc_id)
+    * rows are anti-joined out of the candidates only — stats stay
+    * stale, the merge-on-read contract. */
   def bm25OffPostings(spark: SparkSession, root: String,
                       terms: Seq[String], k1: Double, b: Double, topN: Int,
-                      nBuckets: Int): DataFrame = {
+                      nBuckets: Int,
+                      tombs: Option[DataFrame] = None): DataFrame = {
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
     // the terms' bucket keys, computed by the same `hash` expression the
@@ -366,11 +404,17 @@ object Search {
       terms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap)
     // one pivot aggregate: per candidate doc, each term's tf (exact
     // integers; a (doc, term) has at most one posting row so the SUM is
-    // a singleton pick), then the bm25 tree with tf from the column
+    // a singleton pick), then the bm25 tree with tf from the column.
+    // Deletes cut candidates ONLY — df/idf above stay stale on purpose.
+    val candRows = tombs match {
+      case Some(t) => pruned.join(
+        broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => pruned
+    }
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === lit(t), col("tf")).otherwise(lit(0L)))
         .as(s"tf$i") }
-    val perDoc = pruned.groupBy(col("doc_id"), col("dl"))
+    val perDoc = candRows.groupBy(col("doc_id"), col("dl"))
       .agg(tfAggs.head, tfAggs.tail: _*)
     val score = terms.zipWithIndex.map { case (t, i) =>
       val tf = col(s"tf$i").cast("double")

@@ -188,7 +188,8 @@ object SearchOracle {
     * [[graft.operators.Search.termScore]]'s tree token-for-token. */
   private def bm25Ctes(terms: Seq[String], k1: Double, b: Double,
                        st: Option[Bm25Stats],
-                       candOnly: Boolean = false): String = {
+                       candOnly: Boolean = false,
+                       excludeMod: Int = 0): String = {
     val termExprs = terms.zipWithIndex.map { case (t, i) =>
       s"(${idfExpr(i, t, st)} * ((CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) * ${dlit(k1 + 1.0)}) / " +
         s"(CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) + ${dlit(k1)} * " +
@@ -196,10 +197,14 @@ object SearchOracle {
     }
     val score = termExprs.reduceLeft((a, c) => s"($a + $c)")
     // candOnly = posting-list retrieval semantics: only docs matching at
-    // least one query term exist as candidates (bm25AtRest's contract)
+    // least one query term exist as candidates (bm25AtRest's contract);
+    // excludeMod > 0 removes tombstoned docs from the CANDIDATES while
+    // the df/sumdl stats above stay stale (the merge-on-read contract)
+    val excl = if (excludeMod <= 0) "" else
+      s" AND doc_id % $excludeMod <> 0"
     val cand = if (!candOnly) "" else
       terms.map(t => s"len(list_filter(tk, x -> x = '$t')) > 0")
-        .mkString("\n|  WHERE (", " OR ", ")")
+        .mkString("\n|  WHERE (", " OR ", s")$excl")
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl FROM tk),
        |df AS (SELECT ${dfCols(terms)} FROM tk),
@@ -220,8 +225,9 @@ object SearchOracle {
     * terms' posting lists — docs matching no term are never ranked (the
     * inverted index's retrieval contract). */
   def bm25AtRestSql(terms: Seq[String], k1: Double, b: Double, topN: Int,
-                    st: Option[Bm25Stats]): String =
-    s"""WITH ${bm25Ctes(terms, k1, b, st, candOnly = true)},
+                    st: Option[Bm25Stats], excludeMod: Int = 0): String =
+    s"""WITH ${bm25Ctes(terms, k1, b, st, candOnly = true,
+          excludeMod = excludeMod)},
        |ranked AS (SELECT doc_id, score,
        |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM bsc)
        |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score

@@ -276,6 +276,33 @@ class SearchSpec extends AnyFunSuite {
     assert(qa == qb, "query off the compacted layout diverged")
   }
 
+  test("bm25 deletes: tombstoned docs gone, survivors keep stale-stats scores") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
+      Bm25DeleteMod}
+    val del = Search.bm25AtRestWithDeletes(spark, dir, Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, PostBuckets, Bm25DeleteMod).collect()
+    assert(del.nonEmpty)
+    assert(del.forall(_.getAs[Long]("doc_id") % Bm25DeleteMod != 0),
+      "a tombstoned doc was served")
+    // stats stay STALE (the Lucene merge-on-read contract): every
+    // surviving doc's score is bit-identical to its pre-delete score
+    val before = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
+      topN = 10000, nBuckets = PostBuckets).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    del.foreach { r =>
+      assert(r.getAs[Double]("score") == before(r.getAs[Long]("doc_id")),
+        s"score drifted for ${r.getAs[Long]("doc_id")} — stats not stale")
+    }
+    // and the post-delete ranking is the pre-delete ranking with the
+    // tombstoned docs excised
+    val expect = before.toSeq.filter(_._1 % Bm25DeleteMod != 0)
+      .sortBy { case (id, s) => (-s, id) }.take(Bm25TopN)
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }.toSet
+    val got = del.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+      r.getAs[Double]("score"))).toSet
+    assert(got == expect)
+  }
+
   test("bm25 MaxScore: zero-miss — bit-equal to the full posting scoring") {
     import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
       Bm25SeedB}
