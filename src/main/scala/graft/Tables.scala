@@ -327,16 +327,25 @@ object Fixture {
     * participates in the cache path so stale tables can never be reused. */
   private val FixtureLayoutVersion = 1
 
-  /** Source freshness stamp: the max mtime over the source table's FILES
-    * (plus the dir itself). A directory's own lastModified only changes
-    * when entries are added/removed — rewriting existing part files in
-    * place updates file mtimes but can leave the dir mtime untouched, so
-    * a dir-only stamp could silently serve a stale machine-wide cache. */
-  private[graft] def srcVersion(sfDir: String): Long = {
-    val dir = new java.io.File(s"$sfDir/lineitem.parquet")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-    (dir.lastModified +: files.map(_.lastModified)).max
-  }
+  /** Source freshness stamp: the max mtime over the source tables' FILES
+    * (plus the dirs themselves). A directory's own lastModified only
+    * changes when entries are added/removed — rewriting existing part
+    * files in place updates file mtimes but can leave the dir mtime
+    * untouched, so a dir-only stamp could silently serve a stale
+    * machine-wide cache. ONE function covers every source table a layout
+    * can derive from (lineitem for the synthesized fixtures, embeddings
+    * for the vector layouts, documents for the lexical ones): layouts
+    * all key their cache dirs on the same stamp, so regenerating ANY
+    * source table invalidates every derived layout together — a
+    * per-table stamp let the batch and stream twins of one layout go
+    * stale independently and break their asserted hash-equality. */
+  private[graft] def srcVersion(sfDir: String): Long =
+    Seq("lineitem.parquet", "embeddings.parquet", "documents.parquet")
+      .map { t =>
+        val dir = new java.io.File(s"$sfDir/$t")
+        val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        (dir.lastModified +: files.map(_.lastModified)).max
+      }.max
 
   private def parquetBacked(spark: SparkSession, tag: String, sfDir: String)
                            (mk: => DataFrame): DataFrame = {

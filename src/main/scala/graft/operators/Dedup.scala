@@ -616,8 +616,14 @@ object Dedup {
    * survive only as their cluster's keeper. Output (vec_id, clustered):
    * the training corpus after semantic dedup, with the flag recording
    * which survivors were cluster keepers. One id anti-join over the
-   * drop set (clustered members minus keepers — bounded by duplicate
-   * membership, broadcast at any corpus size).
+   * drop set (clustered members minus keepers). The drop set is bounded
+   * by duplicate-CLUSTER membership, which is data-dependent — tiny on
+   * a mostly-unique corpus, but it can approach corpus scale on a
+   * heavily-duplicated one — so the join strategy is left to the
+   * optimizer: AQE broadcasts it when its runtime size is under the
+   * threshold and falls back to a shuffled anti-join when it is not,
+   * instead of a forced broadcast that would OOM the driver on the
+   * flooded case.
    */
   def semDedupClean(emb: DataFrame, clusters: DataFrame): DataFrame = {
     val keepers = semDedup(emb, clusters)
@@ -625,10 +631,10 @@ object Dedup {
     val dropped = clusters.select(col("doc_id"))
       .join(keepers, Seq("doc_id"), "left_anti")
     emb.select(col("vec_id"))
-      .join(broadcast(dropped.select(col("doc_id").as("vec_id"))),
+      .join(dropped.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_anti")
-      .join(broadcast(clusters
-          .select(col("doc_id").as("vec_id"), lit(1).as("clustered"))),
+      .join(clusters
+          .select(col("doc_id").as("vec_id"), lit(1).as("clustered")),
         Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("clustered"), lit(0))
         .as("clustered"))

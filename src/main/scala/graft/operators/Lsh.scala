@@ -203,11 +203,12 @@ object Lsh {
                    nPlanes: Int): String = {
     import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val files = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-    val ver = (src.lastModified +: files.map(_.lastModified)).max
+    // cache key = the SHARED source stamp (Fixture.srcVersion covers
+    // embeddings mtimes too), so this layout and its stream-maintained
+    // twin can never go stale independently of each other
     val path = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_lsh_v${LayoutVersion}_${safe}_p${nPlanes}_d${d}_v$ver")
+      s"graft_lsh_v${LayoutVersion}_${safe}_p${nPlanes}_d${d}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
     if (!Files.exists(path.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(path.getParent, "lsh-")
       graft.Tables.embeddings(spark, sfDir)

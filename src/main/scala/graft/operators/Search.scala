@@ -305,11 +305,17 @@ object Search {
         s"_v${graft.Fixture.srcVersion(sfDir)}")
     if (!Files.exists(path.resolve("_DONE"))) {
       val tmp = Files.createTempDirectory(path.getParent, "postings-")
-      val tk = graft.Tables.documents(spark, sfDir)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
       postingsOf(graft.Tables.documents(spark, sfDir), nBuckets)
         .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
-      tk.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("sumdl"))
+      // (n, sumdl) derived from the WRITTEN postings, not a second
+      // tokenizing scan of the corpus (the stream maintainer's
+      // discipline): dl is denormalized into every posting row, and
+      // every doc has >= 1 token (split("") = [""]), so the distinct
+      // (doc_id, dl) pairs enumerate exactly the corpus — one corpus
+      // scan total at build time, the stats read the index's own bytes.
+      spark.read.parquet(tmp.toString)
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
         .coalesce(1).write.mode("overwrite")
         .parquet(tmp.resolve("_stats").toString)
       Files.createFile(tmp.resolve("_DONE"))

@@ -464,22 +464,28 @@ object TextOps {
    * [[repetition]]'s Gopher filters).
    *
    * The production shape at 100 TB: the gram multiset is never grouped
-   * at full cardinality on the hot path. Phase 1 folds the stream
-   * map-side into a BOUNDED `rows x width` counter grid (rows·width
-   * longs regardless of corpus size — the model). Phase 2 estimates
-   * each DISTINCT gram as the MIN of its buckets' counters; counters
-   * only ever ADD other grams' counts, so the estimate can only
-   * OVERestimate — candidates (estimate >= threshold) are a PROVABLE
-   * SUPERSET of the true heavy hitters, no false negative possible.
-   * Phase 3 exactly counts the candidates only. The overestimate-only
-   * guarantee makes the output EXACTLY the plain `GROUP BY gram HAVING
-   * count >= T` relation, so the oracle is that simple SQL — the
-   * sketch is load-bearing for cost, provably invisible to the answer.
-   * Pruning holds at ANY scale because both the threshold (total/
-   * relDiv) and the collision noise (total/width) scale linearly with
-   * the stream: width >> relDiv keeps noise below threshold at 1 GB or
-   * 100 TB (the CMS-HH sizing rule, hence the 32768 default for
-   * relDiv = 5000).
+   * — or even globally de-duplicated — at full cardinality on the hot
+   * path. Phase 1 folds the stream map-side into a BOUNDED
+   * `rows x width` counter grid (rows·width longs regardless of corpus
+   * size — the model), collected and broadcast. Phase 2 probes
+   * PARTITION-LOCALLY: each partition de-duplicates its own grams in a
+   * local set and scores each one's MIN-of-counters estimate against
+   * the broadcast grid, emitting only the survivors (estimate >=
+   * threshold) — the full vocabulary never crosses an exchange; the
+   * only gram-keyed shuffles in the whole pipeline are over the
+   * candidate SLIVER (phase 2's distinct and phase 3's exact count,
+   * both bounded by the sketch's pruning). Counters only ever ADD
+   * other grams' counts, so the estimate can only OVERestimate —
+   * candidates are a PROVABLE SUPERSET of the true heavy hitters, no
+   * false negative possible. Phase 3 exactly counts the candidates
+   * only. The overestimate-only guarantee makes the output EXACTLY the
+   * plain `GROUP BY gram HAVING count >= T` relation, so the oracle is
+   * that simple SQL — the sketch is load-bearing for cost, provably
+   * invisible to the answer. Pruning holds at ANY scale because both
+   * the threshold (total/relDiv) and the collision noise (total/width)
+   * scale linearly with the stream: width >> relDiv keeps noise below
+   * threshold at 1 GB or 100 TB (the CMS-HH sizing rule, hence the
+   * 32768 default for relDiv = 5000).
    *
    * Hashes: row r buckets gram g by the engine's Murmur3 `hash` of
    * `"r#" + g` mod width — deterministic, but NEVER mirrored in the
@@ -490,19 +496,29 @@ object TextOps {
   def heavyHitters(docs: DataFrame, n: Int, relDiv: Long, rows: Int = 4,
                    width: Int = 32768): DataFrame = {
     val grams = gramStream(docs, n)
-    val spark = grams.sparkSession
-    // the grid IS the stream total: every gram increments exactly one
-    // row-0 counter, so row 0's counters sum to the stream length —
-    // no separate count() scan (exact integers, bit-free of the fold)
-    val grid = Dedup.persistScoped(hhGrid(grams, rows, width))
-    val total = grid.filter(col("r") === 0).agg(sum(col("c")))
-      .collect()(0).getLong(0)
+    // the grid is the bounded model (rows·width longs — ~1 MB at the
+    // defaults): collect it ONCE; it serves both the stream total and
+    // the broadcast probe side. The total needs no separate count()
+    // scan: every gram increments exactly one row-0 counter, so row 0's
+    // counters sum to the stream length (exact integers).
+    val gridArr = collectGrid(hhGrid(grams, rows, width), rows, width)
+    val total = gridArr(0).sum
     val threshold = (total + relDiv - 1) / relDiv
-    val candidates = hhCandidates(grams, grid, threshold, rows, width)
+    val candidates = hhCandidates(grams, gridArr, threshold, rows, width)
     // phase 3: exact counts for the candidate set only
     grams.join(broadcast(candidates), Seq("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= lit(threshold))
+  }
+
+  /** The rows×width counter grid as a dense driver-side array (missing
+    * buckets are 0) — the CMS model in its broadcastable form. */
+  private[graft] def collectGrid(grid: DataFrame, rows: Int,
+                                 width: Int): Array[Array[Long]] = {
+    val arr = Array.ofDim[Long](rows, width)
+    grid.collect().foreach(r =>
+      arr(r.getAs[Int]("r"))(r.getAs[Int]("b")) = r.getAs[Long]("c"))
+    arr
   }
 
   /** The gram MULTISET: every window position of every doc with >= n
@@ -533,20 +549,42 @@ object TextOps {
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
-  /** [[heavyHitters]]' phase 2 (the sketch probe): per-distinct-gram
-    * min-of-counters estimates over a prebuilt grid, filtered to the
-    * candidate superset — exposed so specs can assert the sketch's
-    * pruning power and overestimate-only bound directly. */
-  private[graft] def hhCandidates(grams: DataFrame, grid: DataFrame,
+  /** [[heavyHitters]]' phase 2 (the sketch probe): PARTITION-LOCAL
+    * min-of-counters estimates against the broadcast grid — each
+    * partition de-duplicates its own grams in a local set and emits
+    * only the survivors, so the full vocabulary never crosses an
+    * exchange (a global `distinct()` here would cost the same shuffle
+    * as the exact GROUP BY the sketch exists to avoid); the closing
+    * distinct() runs over the candidate sliver only. Bucket keys are
+    * computed by the SAME codegen'd `hash` expression phase 1 used
+    * (never a driver-side Murmur3 re-implementation). Exposed so specs
+    * can assert the pruning power and overestimate-only bound directly. */
+  private[graft] def hhCandidates(grams: DataFrame,
+                                  gridArr: Array[Array[Long]],
                                   threshold: Long, rows: Int,
-                                  width: Int): DataFrame =
-    // estimate = min over rows of the gram's counters; the probe side
-    // is the distinct vocabulary, the grid side is bounded -> broadcast
-    // equi-join, never a shuffle keyed on the grid
-    grams.distinct().select(col("gram"), hhBuckets(rows, width).as("rb"))
-      .select(col("gram"), col("rb.r").as("r"), col("rb.b").as("b"))
-      .join(broadcast(grid), Seq("r", "b"))
-      .groupBy(col("gram")).agg(min(col("c")).as("est"))
-      .filter(col("est") >= lit(threshold))
-      .select(col("gram"))
+                                  width: Int): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(gridArr)
+    val pre = grams.select(col("gram"),
+        array((0 until rows).map(r =>
+          pmod(hash(concat(lit(s"$r#"), col("gram"))), lit(width))): _*)
+          .as("bks"))
+      .as[(String, Array[Int])]
+    pre.mapPartitions { it =>
+      val g = bc.value
+      val seen = new java.util.HashSet[String]()
+      it.flatMap { case (gram, bks) =>
+        if (!seen.add(gram)) Iterator.empty
+        else {
+          var est = Long.MaxValue
+          var r = 0
+          while (r < g.length) {
+            val c = g(r)(bks(r)); if (c < est) est = c; r += 1
+          }
+          if (est >= threshold) Iterator.single(gram) else Iterator.empty
+        }
+      }
+    }.toDF("gram").distinct()
+  }
 }

@@ -199,12 +199,18 @@ object SearchOracle {
     // candOnly = posting-list retrieval semantics: only docs matching at
     // least one query term exist as candidates (bm25AtRest's contract);
     // excludeMod > 0 removes tombstoned docs from the CANDIDATES while
-    // the df/sumdl stats above stay stale (the merge-on-read contract)
-    val excl = if (excludeMod <= 0) "" else
-      s" AND doc_id % $excludeMod <> 0"
-    val cand = if (!candOnly) "" else
-      terms.map(t => s"len(list_filter(tk, x -> x = '$t')) > 0")
-        .mkString("\n|  WHERE (", " OR ", s")$excl")
+    // the df/sumdl stats above stay stale (the merge-on-read contract).
+    // The two predicates are emitted INDEPENDENTLY: excludeMod applies
+    // whether or not candOnly is set (a caller passing excludeMod with
+    // candOnly=false must not get an oracle that silently ignores it).
+    val preds = Seq(
+      if (!candOnly) None else Some(
+        terms.map(t => s"len(list_filter(tk, x -> x = '$t')) > 0")
+          .mkString("(", " OR ", ")")),
+      if (excludeMod <= 0) None
+      else Some(s"doc_id % $excludeMod <> 0")).flatten
+    val cand = if (preds.isEmpty) ""
+      else preds.mkString("\n|  WHERE ", " AND ", "")
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl FROM tk),
        |df AS (SELECT ${dfCols(terms)} FROM tk),

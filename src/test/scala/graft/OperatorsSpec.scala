@@ -1823,13 +1823,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must produce heavy hitters")
     // the sketch actually PRUNES: the candidate superset the estimate
     // pass hands to the exact phase is a sliver of the gram universe
-    val cands = TextOps.hhCandidates(grams,
-        TextOps.hhGrid(grams, rows = 4, width = 32768), threshold,
-        rows = 4, width = 32768).collect().map(_.getString(0)).toSet
+    val candDf = TextOps.hhCandidates(grams,
+      TextOps.collectGrid(TextOps.hhGrid(grams, rows = 4, width = 32768),
+        rows = 4, width = 32768), threshold, rows = 4, width = 32768)
+    val cands = candDf.collect().map(_.getString(0)).toSet
     val vocab = grams.distinct().count()
     assert(exact.keySet.subsetOf(cands),
       "overestimate-only: no true heavy hitter may be pruned")
     assert(cands.size < vocab / 10,
       s"candidates ${cands.size} should be a sliver of vocab $vocab")
+    // the honest-scale contract: the probe pass never shuffles the full
+    // vocabulary — the ONLY exchange in the candidate plan is the
+    // closing distinct over the survivors, which sits ABOVE the
+    // partition-local MapPartitions probe in the physical plan
+    // AQE's toString prints the plan twice (Final + Initial) — keep the
+    // final section only
+    val full = candDf.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"probe plan must shuffle only the candidate sliver (1 exchange), got $exchanges:\n$plan")
+    assert(plan.indexOf("Exchange") < plan.indexOf("MapPartitions"),
+      "the one exchange must sit above the partition-local probe:\n" + plan)
   }
 }
