@@ -526,6 +526,25 @@ object SparkEntry {
       }
     }
 
+  /** [[bm25StatsForOracle]]'s twin over the MULTI-QUERY UNION term set
+    * (q_bm25_multi binds different terms per query; its oracle needs idf
+    * constants for every term any query uses). Same discipline: computed
+    * once per sf dir, cached, ln-form fallback only without a session. */
+  private val measuredBm25Multi = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Search.Bm25Stats]()
+
+  private def bm25MultiStatsForOracle(): Option[graft.operators.Search.Bm25Stats] =
+    Option(lastSfDir.get()).flatMap { dir =>
+      Option(measuredBm25Multi.get(dir)).orElse {
+        val computed = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(s => graft.operators.Search.bm25Stats(docs(s, dir),
+            Bm25MultiUnionTerms))
+        computed.foreach(st => measuredBm25Multi.put(dir, st))
+        computed
+      }
+    }
+
   /**
    * Bandwidth accounting with MEASURED compression composed in (reference
    * ANNCode.py:831-833 feeding :317-318, paper §4.3 combined saving): the
@@ -793,6 +812,17 @@ object SparkEntry {
   final val Bm25K1 = 1.2
   final val Bm25B = 0.75
   final val Bm25TopN = 20
+  // per-query-term-set BM25 (q_bm25_multi): terms bound per query ROW —
+  // four queries with distinct term sets and lengths 1..4 in ONE plan
+  // (q3's "dup" is the rare high-idf term: df ~26 vs ~900 for the rest)
+  final val Bm25MultiQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("filter", "merge", "stream"),
+    1L -> Seq("customer", "order"),
+    2L -> Seq("vector", "hash", "join", "scan"),
+    3L -> Seq("dup"))
+  final val Bm25MultiUnionTerms: Seq[String] =
+    Bm25MultiQueries.flatMap(_._2).distinct
+  final val Bm25MultiTopN = 10
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
@@ -1805,6 +1835,14 @@ object SparkEntry {
     // retrieval contract (docs matching no term are never scored)
     "q_bm25_at_rest" -> q((s, dir) => graft.operators.Search.bm25AtRest(
       s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets)),
+    // PER-QUERY-TERM-SET BM25: the query side is a RELATION (four
+    // queries, distinct term sets, lengths 1..4) bound per row against
+    // the shared postings layout in ONE plan — one union-pruned scan,
+    // broadcast (qid, term, pos, idf) join, per-qid pivot + rank (the
+    // lexical twin of how every ANN rung serves a query table)
+    "q_bm25_multi" -> q((s, dir) => graft.operators.Search.bm25Multi(
+      s, dir, Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
+      PostBuckets)),
     // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
     // out of the candidates, stats left STALE until compaction — the
     // Lucene delete contract (docs unretrievable immediately, df/sumdl
@@ -2395,6 +2433,10 @@ object SparkEntry {
     // same scoring tree restricted to the posting-list candidate union
     "q_bm25_at_rest" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),
+    // per-query term sets: the (qid, term, pos) VALUES relation joined
+    // to the recomputed logical postings, idf guarded per union term
+    "q_bm25_multi" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
+      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),

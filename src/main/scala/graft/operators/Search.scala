@@ -439,6 +439,82 @@ object Search {
   }
 
   /**
+   * PER-QUERY-TERM-SET BM25 off the posting lists — lexical search with
+   * terms bound PER QUERY ROW, the way every ANN rung already serves a
+   * query *relation* rather than a compile-time constant: `queries` is
+   * a (qid, terms) table, and ONE plan retrieves and ranks each query's
+   * own candidates against the shared inverted index.
+   *
+   * Shape: the postings scan is pruned ONCE by the UNION of all query
+   * terms (term buckets as a static partition filter + the term IN
+   * predicate — retrieval I/O is the union's buckets, never the
+   * corpus); the query relation expands to (qid, term, pos, idf) rows —
+   * pos is the term's index within its own query, idf the driver-side
+   * shared constant — and is broadcast, so candidate generation is one
+   * map-side hash join. Per-(qid, doc) scoring pivots the matched
+   * postings on pos (each (qid, pos) names exactly one term and each
+   * (term, doc) has exactly one posting row, so every pivot aggregate
+   * is a singleton pick — exact integers, no order-dependent float
+   * sum), then folds the BM25 contributions position-by-position in a
+   * fixed left-assoc tree with absent positions contributing exactly
+   * 0.0 (COALESCE'd idf times a tf=0 numerator). Per-qid ranks come
+   * from a window over (qid) — WindowGroupLimit cuts map-side.
+   *
+   * Candidates are per-query posting-list unions (a doc matching none
+   * of a query's terms is never scored FOR THAT QUERY), df/idf are
+   * global per term — the standard inverted-index contract.
+   * Output: (qid, rank, doc_id, score), rank 1..topN within each qid.
+   */
+  def bm25Multi(spark: SparkSession, sfDir: String,
+                queries: Seq[(Long, Seq[String])], k1: Double, b: Double,
+                topN: Int, nBuckets: Int): DataFrame = {
+    require(queries.nonEmpty, "bm25Multi: empty query relation")
+    val unionTerms = queries.flatMap(_._2).distinct
+    val maxPos = queries.map(_._2.size).max
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val stats = spark.read.parquet(s"$root/_stats").collect()(0)
+    val n = stats.getAs[Long]("n")
+    val buckets = spark.range(1).select(unionTerms.map(t =>
+        pmod(hash(lit(t)), lit(nBuckets))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct
+    val pruned = spark.read.parquet(root)
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(unionTerms: _*))
+    val dfMap = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = Bm25Stats(n, stats.getAs[Long]("sumdl"),
+      unionTerms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap)
+    import spark.implicits._
+    // the query relation, idf constants baked per (qid, pos) — bounded
+    // (sum of query lengths rows), broadcast
+    val qt = broadcast(queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, p) => (qid, t, p, st.idf(t)) }
+    }.toDF("qid", "term", "pos", "idf"))
+    val cand = pruned.join(qt, Seq("term"))
+    val aggs = (0 until maxPos).map(p =>
+      sum(when(col("pos") === p, col("tf")).otherwise(lit(0L)))
+        .as(s"tf$p")) ++
+      (0 until maxPos).map(p =>
+        max(when(col("pos") === p, col("idf"))).as(s"idf$p"))
+    val perDoc = cand.groupBy(col("qid"), col("doc_id"), col("dl"))
+      .agg(aggs.head, aggs.tail: _*)
+    val score = (0 until maxPos).map { p =>
+      val tf = col(s"tf$p").cast("double")
+      val dl = col("dl").cast("double")
+      coalesce(col(s"idf$p"), lit(0.0)) * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(st.avgdl)))))
+    }.reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("score", score)
+      .select(col("qid"), col("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /**
    * MAXSCORE BM25 — the reference's bandwidth-first refine discipline
    * (cheap bounded pass -> tau -> zero-miss early rejection -> exact
    * rescore of survivors; `ANNCode.py`'s two-phase shape) applied to

@@ -273,6 +273,80 @@ object SearchOracle {
        |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, rrf, text_rank, vec_rank
        |FROM ranked WHERE rnk <= $k""".stripMargin
 
+  /**
+   * Per-query-term-set BM25 ([[graft.operators.Search.bm25Multi]]):
+   * the logical posting rows pruned to the UNION of all query terms,
+   * joined to the (qid, term, pos) VALUES relation, pivoted on pos and
+   * folded position-by-position — the identical expression tree,
+   * including the COALESCE-to-0.0 for positions a query doesn't fill.
+   * idf literals are guarded by the oracle's own df recomputation
+   * exactly as in [[bm25Sql]] (per-term `ti` rows: constant when df
+   * agrees, ln fallback otherwise).
+   */
+  def bm25MultiSql(queries: Seq[(Long, Seq[String])], k1: Double,
+                   b: Double, topN: Int, st: Option[Bm25Stats]): String = {
+    val unionTerms = queries.flatMap(_._2).distinct
+    val maxPos = queries.map(_._2.size).max
+    val inList = unionTerms.map(t => s"'$t'").mkString(", ")
+    val dfCols = unionTerms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n|  ")
+    def idf(i: Int, t: String): String = {
+      val lnForm = s"ln(1.0 + (st2.n - dfp.df$i + 0.5) / (dfp.df$i + 0.5))"
+      st match {
+        case Some(s) =>
+          s"CASE WHEN dfp.df$i = ${s.df(t)} THEN ${dlit(s.idf(t))} ELSE $lnForm END"
+        case None => lnForm
+      }
+    }
+    val tiRows = unionTerms.zipWithIndex.map { case (t, i) =>
+      s"SELECT '$t' AS term, ${idf(i, t)} AS idf FROM dfp, st2"
+    }.mkString("\n|  UNION ALL ")
+    val qtRows = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, p) => s"($qid, '$t', $p)" }
+    }.mkString(", ")
+    val tfCols = (0 until maxPos).map(p =>
+      s"SUM(CASE WHEN pos = $p THEN tf ELSE 0 END) AS tf$p")
+      .mkString(",\n|  ")
+    val idfCols = (0 until maxPos).map(p =>
+      s"MAX(CASE WHEN pos = $p THEN idf END) AS idf$p")
+      .mkString(",\n|  ")
+    val scoreExpr = (0 until maxPos).map { p =>
+      s"(COALESCE(idf$p, CAST(0.0 AS DOUBLE)) * " +
+        s"((CAST(tf$p AS DOUBLE) * ${dlit(k1 + 1.0)}) / " +
+        s"(CAST(tf$p AS DOUBLE) + ${dlit(k1)} * (${dlit(1.0 - b)} + " +
+        s"${dlit(b)} * (CAST(dl AS DOUBLE) / " +
+        s"(CAST(st2.sumdl AS DOUBLE) / st2.n))))))"
+    }.reduceLeft((a, c) => s"($a + $c)")
+    s"""WITH posts AS MATERIALIZED (
+       |  SELECT tok AS term, doc_id, COUNT(*) AS tf, MIN(dl) AS dl
+       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |               unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok IN ($inList)
+       |  GROUP BY tok, doc_id),
+       |st2 AS (SELECT COUNT(*) AS n,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sumdl
+       |  FROM documents),
+       |dfp AS (SELECT $dfCols FROM posts),
+       |ti AS ($tiRows),
+       |qt AS (SELECT CAST(qid AS BIGINT) AS qid, term,
+       |    CAST(pos AS INTEGER) AS pos
+       |  FROM (VALUES $qtRows) AS v(qid, term, pos)),
+       |qtt AS (SELECT qt.qid, qt.term, qt.pos, ti.idf
+       |  FROM qt JOIN ti ON ti.term = qt.term),
+       |cand AS (SELECT q.qid, p.doc_id, p.dl, q.pos, p.tf, q.idf
+       |  FROM posts p JOIN qtt q ON p.term = q.term),
+       |piv AS (SELECT qid, doc_id, dl, $tfCols,
+       |  $idfCols
+       |  FROM cand GROUP BY qid, doc_id, dl),
+       |scored AS (SELECT qid, doc_id, $scoreExpr AS score FROM piv, st2),
+       |ranked AS (SELECT qid, doc_id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id, score
+       |FROM ranked WHERE rnk <= $topN""".stripMargin
+  }
+
   /** MaxScore byte ledger ([[graft.operators.Search
     * .bm25MaxScoreMetrics]]): the whole bound/seed/tau/survivor
     * pipeline re-derived relationally over the logical posting rows

@@ -483,6 +483,30 @@ class PlanSpec extends AnyFunSuite {
       s"term filter not pushed to the postings scan:\n$plan")
   }
 
+  test("multi-query bm25 postings scan prunes to the UNION of query terms") {
+    import org.apache.spark.sql.functions.{pmod, hash, lit}
+    val df = graft.operators.Search.bm25Multi(spark, dir,
+      SparkEntry.Bm25MultiQueries, SparkEntry.Bm25K1, SparkEntry.Bm25B,
+      SparkEntry.Bm25MultiTopN, SparkEntry.PostBuckets)
+    val plan = df.queryExecution.executedPlan.toString
+    // ONE scan serves all four queries: its partition filter must cover
+    // every bucket any query's terms hash to (computed with the same
+    // hash expression the writer used)
+    val expected = spark.range(1)
+      .select(SparkEntry.Bm25MultiUnionTerms.map(t =>
+        pmod(hash(lit(t)), lit(SparkEntry.PostBuckets))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct.sorted
+    assert(plan.contains("PartitionFilters: [tb"),
+      s"no term-bucket partition filter on the postings scan:\n$plan")
+    expected.foreach(b =>
+      assert(plan.contains(b.toString),
+        s"bucket $b (a union term's) missing from the partition filter:\n$plan"))
+    // and the union term predicate reaches the reader for row-group skips
+    assert(plan.contains("PushedFilters: [In(term") ||
+      plan.contains("PushedFilters: [IsNotNull(term"),
+      s"term filter not pushed to the postings scan:\n$plan")
+  }
+
   test("MaxScore cheap pass never reads tf or dl") {
     val df = graft.operators.Search.bm25MaxScore(spark, dir,
       SparkEntry.Bm25Terms, SparkEntry.Bm25K1, SparkEntry.Bm25B,

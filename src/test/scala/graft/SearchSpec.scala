@@ -276,6 +276,29 @@ class SearchSpec extends AnyFunSuite {
     assert(qa == qb, "query off the compacted layout diverged")
   }
 
+  test("multi-query bm25: each qid's slice is bit-equal to its own single-query run") {
+    import SparkEntry.{Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
+      PostBuckets}
+    val multi = Search.bm25Multi(spark, dir, Bm25MultiQueries, Bm25K1,
+      Bm25B, Bm25MultiTopN, PostBuckets).collect()
+    assert(Bm25MultiQueries.map(_._2).distinct.size ==
+      Bm25MultiQueries.size, "fixture queries must have distinct term sets")
+    // one plan, four term sets: each query's slice must be bit-identical
+    // to the single-term-set posting retrieval run with ITS terms alone
+    // (df/idf are global per term, so the union-pruned scan changes
+    // nothing about any individual query's scores)
+    Bm25MultiQueries.foreach { case (qid, terms) =>
+      val solo = Search.bm25AtRest(spark, dir, terms, Bm25K1, Bm25B,
+        Bm25MultiTopN, PostBuckets).collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"))).toSet
+      val slice = multi.filter(_.getAs[Long]("qid") == qid)
+        .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"))).toSet
+      assert(slice == solo, s"qid=$qid slice diverged from its solo run")
+    }
+  }
+
   test("bm25 deletes: tombstoned docs gone, survivors keep stale-stats scores") {
     import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
       Bm25DeleteMod}
