@@ -1665,6 +1665,19 @@ object SparkEntry {
     // hash-equal to q_ann_lsh once drained
     "q_stream_ann_lsh" -> q((s, dir) => graft.streaming.StreamOps
       .lshOverStream(s, dir, emb(s, dir), NQ, K, EmbD, LshPlanes)),
+    // LSH merge-on-read DELETES: tombstone sidecar anti-joined out of
+    // the candidates, bucket files byte-immutable — lifecycle parity
+    // with the PQ codes and postings layouts
+    "q_ann_lsh_delete" -> q((s, dir) => graft.operators.Lsh
+      .topkAtRestWithDeletes(s, dir, emb(s, dir), NQ, K, EmbD, LshPlanes,
+        DeleteMod)),
+    // ... and OPTIMIZE compaction of the stream-maintained layout:
+    // microbatch part files rewritten to one id-sorted file per bucket,
+    // rows identical — hash-equal to q_ann_lsh
+    "q_ann_lsh_compact" -> q((s, dir) => graft.operators.Lsh.topkOffLayout(
+      s, graft.operators.Lsh.compactLayout(s, graft.streaming.StreamOps
+        .ensureStreamLshLayout(s, dir, EmbD, LshPlanes)),
+      emb(s, dir), NQ, K, EmbD, LshPlanes)),
     // cursor pagination (search_after): page 2 resumed from page 1's
     // per-query (score, id) cursor — one corpus pass and a k-deep heap
     // per page, never a page*k-deep window
@@ -2358,6 +2371,11 @@ object SparkEntry {
     // the drained stream-maintained layout holds the same rows ->
     // q_ann_lsh's oracle
     "q_stream_ann_lsh" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
+    // deletes cut candidates only (probe buckets unaffected); compaction
+    // must be invisible, so it shares q_ann_lsh's oracle
+    "q_ann_lsh_delete" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
+      excludeMod = DeleteMod),
+    "q_ann_lsh_compact" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
     // cursor-resume provably equals the global rank slice (k, 2k]
     "q_ann_page2" -> EmbOracle.pageSql(EmbD, NQ, K, 2),
     // every depth is a reqd-cut + rank over one shared candidate CTE

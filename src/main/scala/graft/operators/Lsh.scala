@@ -238,18 +238,98 @@ object Lsh {
 
   /** [[topkAtRest]]'s query half against an explicit layout path — shared
     * by the batch-built and stream-maintained layouts (both hold the
-    * identical (id, embedding, n2, bucket) rows once drained). */
+    * identical (id, embedding, n2, bucket) rows once drained). `tombs`
+    * (id) rows are anti-joined out of the CANDIDATES only — base files
+    * untouched, the merge-on-read contract (queries themselves come from
+    * the external query relation, never the layout, so deleting a vector
+    * never deletes a query). */
   def topkOffLayout(spark: SparkSession, path: String, emb: DataFrame,
-                    nq: Int, k: Int, d: Int, nPlanes: Int): DataFrame = {
+                    nq: Int, k: Int, d: Int, nPlanes: Int,
+                    tombs: Option[DataFrame] = None): DataFrame = {
     val stored = spark.read.parquet(path) // (id, embedding, n2, bucket)
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probes = probeSet(q, d, nPlanes, nPlanes)
     val buckets = probes.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val scored = stored
+    val cand = tombs match {
+      case Some(t) => stored.join(
+        broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => stored
+    }
+    val scored = cand
       .filter(col("bucket").isin(buckets.toSeq: _*))
       .join(broadcast(probes), Seq("bucket"))
       .withColumn("score", cosScore)
     TopK.window(scored, k)
+  }
+
+  // --- at-rest lifecycle: merge-on-read deletes + compaction --------------
+
+  /**
+   * Write the deterministic DELETE SET (ids ≡ 0 mod `mod` of the stored
+   * layout) as a tombstone sidecar beside the bucket layout — the
+   * fixture form of a production delete commit, following the PQ codes
+   * and postings pattern ([[Pq.ensureTombstones]]): base files are
+   * NEVER touched (byte-immutable, spec-asserted), the sidecar is
+   * bounded, compaction is the table service's later job. Idempotent.
+   */
+  def ensureTombstones(spark: SparkSession, layoutPath: String,
+                       mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val path = Paths.get(layoutPath + s"_tomb_mod$mod")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "lshtomb-")
+      spark.read.parquet(layoutPath)
+        .select(col("id")).filter(col("id") % mod === 0)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"lsh tombstone publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** Multi-probe top-k off the at-rest layout WITH merge-on-read
+    * deletes: tombstoned vectors stop being retrievable immediately;
+    * the bucket files stay byte-immutable. */
+  def topkAtRestWithDeletes(spark: SparkSession, sfDir: String,
+                            emb: DataFrame, nq: Int, k: Int, d: Int,
+                            nPlanes: Int, deleteMod: Int): DataFrame = {
+    val root = ensureLayout(spark, sfDir, d, nPlanes)
+    val tombPath = ensureTombstones(spark, root, deleteMod)
+    topkOffLayout(spark, root, emb, nq, k, d, nPlanes,
+      tombs = Some(spark.read.parquet(tombPath)))
+  }
+
+  /**
+   * Compact a stream-maintained LSH layout: the many small
+   * per-microbatch part files rewrite into one id-sorted file per
+   * bucket (the table service's OPTIMIZE — the LSH twin of
+   * [[Pq.compactCodesLayout]] and [[Search.compactPostingsLayout]]).
+   * Row content is identical, so every query off the compacted layout
+   * is hash-equal; id-sorting within each bucket restores row-group
+   * skipping for the delete anti-join's id predicate pushdown.
+   */
+  def compactLayout(spark: SparkSession, srcPath: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dst = Paths.get(srcPath + "_compacted")
+    if (!Files.exists(dst.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(dst.getParent, "lshcompact-")
+      spark.read.parquet(srcPath)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .option("compression", "zstd").parquet(tmp.toString)
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, dst)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(dst.resolve("_DONE")),
+        s"lsh compaction publish failed: $dst")
+    }
+    dst.toString
   }
 }

@@ -235,18 +235,25 @@ object EmbOracle {
       .mkString("(", " + ", ")")
   }
 
-  def lshSql(d: Int, nPlanes: Int, nq: Int, k: Int): String = {
+  def lshSql(d: Int, nPlanes: Int, nq: Int, k: Int,
+             excludeMod: Int = 0): String = {
     val bucketExpr = lshBucketExpr("e.embedding", d, nPlanes)
     val flips = (0 until nPlanes).map(p =>
       s"SELECT qid, xor(b0, CAST(${1L << p} AS BIGINT)) AS bucket FROM qb")
       .mkString(" UNION ALL ")
+    // merge-on-read deletes cut CANDIDATES only: the probe buckets still
+    // derive from every vector's code (a deleted vector's own query —
+    // queries are the external relation — keeps its bucket), mirroring
+    // the engine's layout-side anti-join
+    val excl = if (excludeMod <= 0) ""
+      else s" WHERE c.id % $excludeMod <> 0"
     s"""WITH codes AS MATERIALIZED (SELECT e.vec_id AS id, $bucketExpr AS bucket
        |  FROM embeddings e),
        |${nrmCte(d)},
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qb AS MATERIALIZED (SELECT q.qid, c.bucket AS b0 FROM q JOIN codes c ON c.id = q.qid),
        |probes AS (SELECT qid, b0 AS bucket FROM qb UNION ALL $flips),
-       |cand AS (SELECT p.qid, c.id FROM probes p JOIN codes c ON c.bucket = p.bucket),
+       |cand AS (SELECT p.qid, c.id FROM probes p JOIN codes c ON c.bucket = p.bucket$excl),
        |scored AS (SELECT r.qid, r.id,
        |    ${dotE("e.embedding", "qe.embedding", d)} / (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
        |  FROM cand r JOIN embeddings e ON e.vec_id = r.id

@@ -120,6 +120,65 @@ class LshSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("merge-on-read deletes: tombstoned ids gone, base files byte-immutable") {
+    import SparkEntry.DeleteMod
+    val root = Lsh.ensureLayout(spark, dir, EmbD, LshPlanes)
+    // snapshot base data files BEFORE the delete commit
+    def dataFiles(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+    }
+    val before = dataFiles(root)
+    val del = Lsh.topkAtRestWithDeletes(spark, dir, emb, NQ, K, EmbD,
+      LshPlanes, DeleteMod).collect()
+    assert(dataFiles(root) == before,
+      "the delete commit must never touch a bucket file")
+    assert(del.nonEmpty)
+    assert(del.forall(_.getAs[Long]("id") % DeleteMod != 0),
+      "a tombstoned vector was served")
+    // post-delete ranking = the deep pre-delete ranking with tombstoned
+    // ids excised, re-ranked (scores of survivors are untouched)
+    val deep = Lsh.topkAtRest(spark, dir, emb, NQ, 3 * K, EmbD,
+      LshPlanes).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score")))
+    val expect = deep.filter(_._2 % DeleteMod != 0)
+      .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+        rs.sortBy { case (_, id, s) => (-s, id) }.take(K).zipWithIndex
+          .map { case ((_, id, s), i) => (qid, i + 1, id, s) }
+      }.toSet
+    val got = del.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+      r.getAs[Long]("id"), r.getAs[Double]("score"))).toSet
+    assert(got == expect)
+  }
+
+  test("compacted LSH layout: fewer files, identical rows and query") {
+    val streamed = graft.streaming.StreamOps
+      .ensureStreamLshLayout(spark, dir, EmbD, LshPlanes)
+    val compacted = Lsh.compactLayout(spark, streamed)
+    def nFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    assert(nFiles(compacted) <= nFiles(streamed))
+    val a = spark.read.parquet(streamed).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(compacted).collect().map(_.toSeq).toSet
+    assert(a == b, "compaction must not change the layout rows")
+    val qa = Lsh.topkOffLayout(spark, streamed, emb, NQ, K, EmbD,
+      LshPlanes).collect().map(_.toSeq).toSet
+    val qb = Lsh.topkOffLayout(spark, compacted, emb, NQ, K, EmbD,
+      LshPlanes).collect().map(_.toSeq).toSet
+    assert(qa == qb, "query off the compacted layout diverged")
+  }
+
   test("probe sweep: monotone recall and candidates, endpoints consistent") {
     val rows = Lsh.probeSweep(emb, NQ, K, EmbD, LshPlanes)
       .collect().sortBy(_.getAs[Int]("nflips"))
