@@ -1683,6 +1683,13 @@ object SparkEntry {
     // per page, never a page*k-deep window
     "q_ann_page2" -> q((s, dir) => graft.operators.Search.searchAfter(
       emb(s, dir), NQ, K, 2)),
+    // ... and page 3 served OFF THE STORED PAGE-2 CURSOR (the persisted
+    // page token of a real search service): one corpus pass in the
+    // plan, pages 1-2 never recomputed — provably the rank slice
+    // (2k, 3k] of the global ranking
+    "q_ann_page3" -> q((s, dir) => graft.operators.Search.searchAfterFrom(
+      emb(s, dir), NQ, K, s.read.parquet(graft.operators.Search
+        .ensurePageCursor(s, dir, emb(s, dir), NQ, K, 2)))),
     // LSH probe-depth tuning: recall@k vs candidate volume for every
     // depth 0..P off ONE persisted full-depth scored scan — the LSH
     // analogue of the recall/nprobe grid
@@ -2378,6 +2385,8 @@ object SparkEntry {
     "q_ann_lsh_compact" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
     // cursor-resume provably equals the global rank slice (k, 2k]
     "q_ann_page2" -> EmbOracle.pageSql(EmbD, NQ, K, 2),
+    // the cursor-resumed page equals the same global rank slice
+    "q_ann_page3" -> EmbOracle.pageSql(EmbD, NQ, K, 3),
     // every depth is a reqd-cut + rank over one shared candidate CTE
     "q_tune_lsh" -> EmbOracle.lshTuneSql(EmbD, LshPlanes, NQ, K),
     "q_tune_lsh_pick" -> EmbOracle.lshTunePickSql(EmbD, LshPlanes, NQ, K,

@@ -160,6 +160,11 @@ object Search {
    * Output: (qid, rank, id, score) with rank 1..k page-local.
    */
   def searchAfter(emb: DataFrame, nq: Int, k: Int, page: Int): DataFrame = {
+    // NOTE (cost per CALL, not per page): this convenience form replays
+    // pages 1..N-1 to reach page N — each hop one corpus pass + an
+    // nq-row collect, fine for shallow pages. A serving system stores
+    // the cursor between requests and calls [[searchAfterFrom]], which
+    // serves ANY page for exactly one corpus pass.
     require(page >= 1, s"page $page must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -167,7 +172,6 @@ object Search {
       .select(col("qid"), col("qvec"), col("qn2")))
     def scoredAll: DataFrame =
       candSide(emb).crossJoin(q).withColumn("score", cosScore)
-    var cursor: Option[DataFrame] = None
     var result: DataFrame = TopK.window(scoredAll, k)
     for (_ <- 2 to page) {
       // cursor = each query's k-th row from the page just computed:
@@ -175,14 +179,62 @@ object Search {
       val cur = result.filter(col("rank") === k)
         .select(col("qid"), col("score").as("cscore"), col("id").as("cid"))
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
-      cursor = Some(broadcast(cur.toSeq.toDF("qid", "cscore", "cid")))
-      val resumed = scoredAll.join(cursor.get, Seq("qid"))
-        .filter(col("score") < col("cscore") ||
-          (col("score") === col("cscore") && col("id") > col("cid")))
-        .drop("cscore", "cid")
-      result = TopK.window(resumed, k)
+      result = searchAfterFrom(emb, nq, k,
+        cur.toSeq.toDF("qid", "cscore", "cid"))
     }
     result.select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /**
+   * Resume the NEXT page from an EXPLICIT stored cursor relation
+   * (qid, cscore, cid) — the serving-system contract the loop above
+   * only simulates: the caller persists each response's cursor (nq
+   * rows — a model, not data) and page N+1 costs exactly ONE corpus
+   * pass and a k-deep heap, regardless of N; prior pages are never
+   * recomputed because they were paid for when the cursor was stored.
+   * Under the (score DESC, id ASC) total order the resumed page is
+   * provably the rank slice (N·k, (N+1)·k] of the global ranking.
+   */
+  def searchAfterFrom(emb: DataFrame, nq: Int, k: Int,
+                      cursor: DataFrame): DataFrame = {
+    val q = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")))
+    val scored = candSide(emb).crossJoin(q).withColumn("score", cosScore)
+    val resumed = scored.join(broadcast(cursor), Seq("qid"))
+      .filter(col("score") < col("cscore") ||
+        (col("score") === col("cscore") && col("id") > col("cid")))
+      .drop("cscore", "cid")
+    TopK.window(resumed, k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /**
+   * PERSIST the page-`page` cursor (each query's k-th (score, id) of
+   * that page) beside the other machine-wide layout caches, so later
+   * requests resume via [[searchAfterFrom]] without replaying pages
+   * 1..page — the stored page token of a real search service.
+   * Idempotent, source-version-keyed like every layout cache.
+   */
+  def ensurePageCursor(spark: SparkSession, sfDir: String, emb: DataFrame,
+                       nq: Int, k: Int, page: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_cursor_${safe}_nq${nq}_k${k}_p${page}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "cursor-")
+      searchAfter(emb, nq, k, page)
+        .filter(col("rank") === k)
+        .select(col("qid"), col("score").as("cscore"), col("id").as("cid"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"cursor publish failed: $path")
+    }
+    path.toString
   }
 
   // ---- range (radius) search ------------------------------------------

@@ -483,6 +483,24 @@ class PlanSpec extends AnyFunSuite {
       s"term filter not pushed to the postings scan:\n$plan")
   }
 
+  test("page-3 off the stored cursor costs exactly one corpus pass") {
+    val emb = Tables.embeddings(spark, dir)
+    val cur = spark.read.parquet(graft.operators.Search
+      .ensurePageCursor(spark, dir, emb, SparkEntry.NQ, SparkEntry.K, 2))
+    val p3 = graft.operators.Search.searchAfterFrom(
+      emb, SparkEntry.NQ, SparkEntry.K, cur)
+    val p1 = graft.operators.Search.searchAfter(
+      emb, SparkEntry.NQ, SparkEntry.K, 1)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)).size
+    // the cursor-resumed page may add ONE scan (the nq-row cursor
+    // sidecar — a model, not data); the corpus-sized scans must match
+    // page 1's, i.e. pages 1..2 are never replayed inside the plan
+    assert(scans(p3) <= scans(p1) + 1,
+      s"cursor resume replays prior pages: ${scans(p3)} scans vs page-1 ${scans(p1)}")
+  }
+
   test("multi-query bm25 postings scan prunes to the UNION of query terms") {
     import org.apache.spark.sql.functions.{pmod, hash, lit}
     val df = graft.operators.Search.bm25Multi(spark, dir,
