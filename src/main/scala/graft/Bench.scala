@@ -163,6 +163,17 @@ object Bench {
         SparkEntry.PqCodes)
       graft.operators.Lsh.ensureLayout(spark, sfDir, SparkEntry.EmbD,
         SparkEntry.LshPlanes)
+      // round-13 layouts: the composed cosine string's trained codes,
+      // the stored page-2 cursor, and the LSH tombstone sidecar
+      graft.operators.Pq.ensureSphericalResidualCodesFixture(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes)
+      graft.operators.Search.ensurePageCursor(spark, sfDir,
+        graft.Tables.embeddings(spark, sfDir), SparkEntry.NQ,
+        SparkEntry.K, 2)
+      graft.operators.Lsh.ensureTombstones(spark,
+        graft.operators.Lsh.ensureLayout(spark, sfDir, SparkEntry.EmbD,
+          SparkEntry.LshPlanes), SparkEntry.DeleteMod)
       graft.streaming.StreamOps.ensureStreamLshLayout(spark, sfDir,
         SparkEntry.EmbD, SparkEntry.LshPlanes)
       graft.operators.Search.ensurePostingsLayout(spark, sfDir,

@@ -1329,6 +1329,21 @@ object SparkEntry {
     // exact cosine rescore — the cosine twin of q_ann_ivf_lloyd
     "q_ann_ivf_spherical" -> q((s, dir) => graft.operators.Ivf
       .topkSpherical(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
+    // ... COMPOSED with the residual-PQ core: the cosine production
+    // string — spherically-trained float unit centroids as the coarse
+    // quantizer, residual r = x - u_cell PQ-encoded, ADC cosine
+    // estimate cheap pass, exact rescore (the cosine twin of the L2
+    // "OPQ,IVF,PQ" composition)
+    "q_ann_ivf_spherical_pq" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidual(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe,
+        PqM, PqCodes, PqRerank)),
+    // ... and the composed cosine string AT REST: codes + original
+    // vectors partitioned by trained cell, probe cells a static
+    // partition filter, cheap scan reading code columns only (PlanSpec)
+    // — hash-equal to the in-memory rung, same oracle
+    "q_ann_ivf_spherical_pq_at_rest" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidualAtRest(s, dir, emb(s, dir), NQ, K, IvfCells,
+        EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
     // ... and the INIT the Lloyd rounds start from: batched
     // farthest-first seeding (deterministic k-means++/k-means|| — L far
     // picks per corpus scan, min-id start, ties to the smaller id)
@@ -2251,6 +2266,12 @@ object SparkEntry {
     "q_kmeans_spherical" -> IvfOracle.kmeansSphericalStepSql(EmbD, IvfCells),
     "q_ann_ivf_spherical" -> IvfOracle.sphericalTopkSql(EmbD, NQ, K,
       IvfCells, IvfProbe),
+    // the composed cosine string; the at-rest twin shares the oracle
+    // (identical semantics, only the physical serve path differs)
+    "q_ann_ivf_spherical_pq" -> PqOracle.sphericalResidualSql(EmbD, NQ, K,
+      IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    "q_ann_ivf_spherical_pq_at_rest" -> PqOracle.sphericalResidualSql(EmbD,
+      NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),

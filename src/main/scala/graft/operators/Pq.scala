@@ -1217,6 +1217,237 @@ object Pq {
     TopK.window(rescored, k)
   }
 
+  // --- spherical-coarse x residual-PQ composition -------------------------
+
+  /** The trained spherical coarse model in its SERVING form: FLOAT unit
+    * centroids (the stored-codebook rounding) plus every derived
+    * constant the ADC decomposition needs, each a driver-side j-ordered
+    * left fold the oracle re-derives relationally in the same order. */
+  private final case class SphModel(cells: Seq[Int],
+                                    ucf: Map[Int, Array[Float]],
+                                    cellN2: Map[Int, Double],
+                                    recon: Map[(Int, Int, Int), Double])
+
+  private def sphericalModel(emb: DataFrame, nCells: Int, d: Int,
+                             mSub: Int, codes: Int): SphModel = {
+    val sub = d / mSub
+    // bounded collect: occupied cells x d unit doubles — the model
+    val units = Ivf.kmeansSphericalStep(emb, nCells, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Double]("unit")).toMap
+    val cells = units.keys.map(_._1).toSeq.distinct.sorted
+    val ucf = cells.map(c =>
+      c -> Array.tabulate(d)(j => units((c, j + 1)).toFloat)).toMap
+    val n2 = cells.map(c => c -> (0 until d).map(j =>
+      ucf(c)(j).toDouble * ucf(c)(j).toDouble).reduceLeft(_ + _)).toMap
+    val recon = (for (g <- cells; m <- 0 until mSub; cd <- 0 until codes)
+      yield {
+        val cross = (0 until sub).map(i =>
+          ucf(g)(m * sub + i).toDouble * component(m, cd, i, sub))
+          .reduceLeft(_ + _)
+        (g, m, cd) -> (2.0 * cross + centroidN2(m, cd, sub))
+      }).toMap
+    SphModel(cells, ucf, n2, recon)
+  }
+
+  /** Left-assoc dot of a FLOAT[] column against cell c's float unit
+    * centroid (as double literals) — the spherical assignment/probe/qc
+    * fold, term order mirrored by the oracle's `ORDER BY j` reduce. */
+  private def sphSdot(model: SphModel, vecCol: Column, c: Int,
+                      d: Int): Column =
+    (1 to d).map(j => element_at(vecCol, j).cast("double") *
+      lit(model.ucf(c)(j - 1).toDouble)).reduceLeft(_ + _)
+
+  /** Map-side spherical assignment: cell = argmax dot(x, u_c) (== argmax
+    * cosine against unit centroids), ties to the smaller cell. */
+  private def sphAssign(emb: DataFrame, model: SphModel,
+                        d: Int): DataFrame = {
+    val scoreCols = model.cells.map(c =>
+      sphSdot(model, col("embedding"), c, d).as(s"s$c"))
+    val m = greatest(model.cells.map(c => col(s"s$c")): _*)
+    val argmax = model.cells.foldRight(lit(-1)) { (c, rest) =>
+      when(col(s"s$c") === m, lit(c)).otherwise(rest)
+    }
+    emb.select(col("vec_id").as("id") +: col("embedding") +: scoreCols: _*)
+      .withColumn("cell", argmax)
+      .select(col("id"), col("embedding"), col("cell"))
+  }
+
+  /** Residual encode against the spherical units: r = x - u_cell
+    * (element float-rounded, the mirrored cast), dyadic-PQ argmin —
+    * (id, cell, embedding, code_0..code_{m-1}). */
+  private def sphEncode(emb: DataFrame, model: SphModel, d: Int,
+                        mSub: Int, codes: Int): DataFrame = {
+    val sub = d / mSub
+    val rvecCase = model.cells.foldRight(
+      lit(null).cast("array<float>")) { (g, rest) =>
+      when(col("cell") === g,
+        zip_with(col("embedding"), typedlit(model.ucf(g).toSeq),
+          (x, cc) => (x.cast("double") - cc.cast("double")).cast("float")))
+        .otherwise(rest)
+    }
+    sphAssign(emb, model, d)
+      .withColumn("rvec", rvecCase)
+      .select(col("id") +: col("cell") +: col("embedding") +:
+        distCols(col("rvec"), mSub, codes, sub): _*)
+      .select(col("id") +: col("cell") +: col("embedding") +:
+        (0 until mSub).map(argminCode(_, codes)): _*)
+  }
+
+  /** The broadcast probe relation: per (qid, probed cell) the carried
+    * dot(q, u_cell) — which IS the cheap numerator's qc term — plus
+    * qn2 and the ADC lookup table. */
+  private def sphProbes(model: SphModel, q0: DataFrame, d: Int, nprobe: Int,
+                        mSub: Int, codes: Int): DataFrame = {
+    val sub = d / mSub
+    val stacked = q0.select(col("qid") +: col("qvec") +: col("qn2") +:
+        model.cells.map(c => sphSdot(model, col("qvec"), c, d).as(s"c$c")): _*)
+      .select(col("qid"), col("qvec"), col("qn2"),
+        explode(array(model.cells.map(c =>
+          struct(lit(c).as("cell"), col(s"c$c").as("qc"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("qn2"),
+        col("p.cell").as("cell"), col("p.qc").as("qc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("qc").desc, col("cell").asc)
+    broadcast(stacked
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(Seq(col("qid"), col("cell"), col("qc"), col("qn2")) ++
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+  }
+
+  /** The shared cheap-ADC + rerank + exact-rescore tail: `cheapEnc` is
+    * (id, cell, code_0..) however it is physically served (computed
+    * in-memory or pruned off the at-rest layout), `fetch` is the
+    * (id, vec) source the exact rescore reads. */
+  private def sphServe(model: SphModel, cheapEnc: DataFrame,
+                       fetch: DataFrame, q0: DataFrame, probes: DataFrame,
+                       k: Int, nCells: Int, d: Int, mSub: Int, codes: Int,
+                       rerank: Int): DataFrame = {
+    val V = graft.functions.VectorOps
+    val sHatNum = col("qc") +
+      (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2cellCase = model.cells.foldRight(lit(0.0)) { (g, rest) =>
+      when(col("cell") === g, lit(model.cellN2(g))).otherwise(rest)
+    }
+    val n2hat = n2cellCase + (0 until mSub).map { m =>
+      val table = for (g <- 0 until nCells; c <- 0 until codes)
+        yield model.recon.getOrElse((g, m, c), 0.0)
+      element_at(typedlit(table),
+        (col("cell") * codes + col(s"code_$m") + 1).cast("int"))
+    }.reduceLeft(_ + _)
+    val cheap = cheapEnc.join(probes, Seq("cell"))
+      .withColumn("score", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val cand = TopK.window(cheap, rerank).select(col("qid"), col("id"))
+    val rescored = fetch
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q0.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
+  /**
+   * The COSINE production index string — SPHERICAL k-means as the
+   * coarse quantizer over the residual-PQ core: the trained UNIT
+   * centroids ([[Ivf.kmeansSphericalStep]], Dhillon & Modha 2001)
+   * rounded once to the stored-codebook FLOAT form; corpus and queries
+   * assigned/probed by argmax dot against them (== argmax cosine for
+   * unit centroids); the residual r = x - u_cell PQ-encoded with the
+   * dyadic codebooks; the cheap pass scores the ADC cosine ESTIMATE
+   * (dot(q, u_cell) + sum_m t[m, code_m]) /
+   * (sqrt(|u_cell|^2 + sum_m (2 dot(u_sub, cb) + |cb|^2)) |q|) —
+   * the cosine twin of the L2 "OPQ,IVF,PQ" composition — and the
+   * rerank survivors get the exact cosine rescore on the original
+   * vectors. (Reference context: the reference serves cosine in unit
+   * space, `ANNCode.py:45-52`; composing a trained angular coarse
+   * quantizer with residual PQ is the production serving shape for
+   * that metric.)
+   *
+   * Determinism: the trained model is a bounded collect folded back as
+   * literals; every derived constant (|u|^2, cross-dots, recon terms)
+   * is a driver-side j-ordered left fold over the float-rounded units,
+   * which the oracle re-derives relationally with `list_reduce` folds
+   * in the identical order.
+   */
+  def topkSphericalResidual(emb: DataFrame, nq: Int, k: Int, nCells: Int,
+                            d: Int, nprobe: Int, mSub: Int, codes: Int,
+                            rerank: Int): DataFrame = {
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val model = sphericalModel(emb, nCells, d, mSub, codes)
+    val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = sphProbes(model, q0, d, nprobe, mSub, codes)
+    val enc = sphEncode(emb, model, d, mSub, codes)
+      .drop("embedding")
+    sphServe(model, enc,
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      q0, probes, k, nCells, d, mSub, codes, rerank)
+  }
+
+  /** Bump when the spherical-residual at-rest layout changes. */
+  private val SphResCodesLayoutVersion = 1
+
+  /** The spherical-residual codes AT REST: (id, cell, vec, code) with
+    * the packed code word, partitionBy(cell) — probe cells prune the
+    * scan statically, the cheap pass reads the code columns only
+    * (PlanSpec asserts), the original vector rides along for the
+    * rescore fetch. */
+  def ensureSphericalResidualCodesFixture(spark: SparkSession,
+                                          sfDir: String, nCells: Int, d: Int,
+                                          mSub: Int, codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqsphres_v${SphResCodesLayoutVersion}_${safe}_c${nCells}" +
+        s"_d${d}_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqsphres-")
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val model = sphericalModel(emb, nCells, d, mSub, codes)
+      sphEncode(emb, model, d, mSub, codes)
+        .select(col("id"), col("cell"), col("embedding").as("vec"),
+          packedCode(mSub, codes).as("code"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"spherical residual codes publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** [[topkSphericalResidual]]'s at-rest twin: probe cells collected as
+    * a static partition filter, cheap scan over (id, cell, code) only,
+    * rescore fetch from the layout's own stored vectors — hash-equal to
+    * the in-memory rung (training is deterministic), same oracle. */
+  def topkSphericalResidualAtRest(spark: SparkSession, sfDir: String,
+                                  emb: DataFrame, nq: Int, k: Int,
+                                  nCells: Int, d: Int, nprobe: Int,
+                                  mSub: Int, codes: Int,
+                                  rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val path = ensureSphericalResidualCodesFixture(spark, sfDir, nCells, d,
+      mSub, codes)
+    val model = sphericalModel(emb, nCells, d, mSub, codes)
+    val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = sphProbes(model, q0, d, nprobe, mSub, codes)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val stored = spark.read.parquet(path)
+    val cheapEnc = stored.select(col("id"), col("cell"), col("code"))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
+    val fetch = stored.filter(col("cell").isin(cells.toSeq: _*))
+      .select(col("id"), col("vec"))
+    sphServe(model, cheapEnc, fetch, q0, probes, k, nCells, d, mSub,
+      codes, rerank)
+  }
+
   // --- codebook training ------------------------------------------------
 
   /**

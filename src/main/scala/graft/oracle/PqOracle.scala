@@ -724,6 +724,102 @@ object PqOracle {
   }
 
   /**
+   * Twin of [[graft.operators.Pq.topkSphericalResidual]] (and its
+   * at-rest twin — identical semantics): the spherical unit centroids
+   * re-derived relationally ([[IvfOracle.kmeansSphericalStepSql]]),
+   * float-rounded once (`uf`), then every stage of the composed rung —
+   * angular assignment/probing, residual float-rounding, dyadic-PQ
+   * argmin, the ADC cosine estimate with its derived constants
+   * (|u|^2, 2·crossdot + |cb|^2) — expressed as `list_reduce` folds in
+   * the engine's exact j-/m-order over the same doubles. The dyadic PQ
+   * codebook enters as a (m, c, j, comp) VALUES relation of exact
+   * literals.
+   */
+  def sphericalResidualSql(d: Int, nq: Int, k: Int, nCells: Int,
+                           nprobe: Int, mSub: Int, codes: Int,
+                           rerank: Int): String = {
+    val sub = d / mSub
+    val pqcRows = (for (m <- 0 until mSub; c <- 0 until codes;
+                        i <- 0 until sub)
+      yield s"($m, $c, ${m * sub + i + 1}, " +
+        s"${OracleGen.dlit(Pq.component(m, c, i, sub))})").mkString(", ")
+    val cbnRows = (for (m <- 0 until mSub; c <- 0 until codes)
+      yield s"($m, $c, ${OracleGen.dlit(Pq.centroidN2(m, c, sub))})")
+      .mkString(", ")
+    s"""WITH skm AS MATERIALIZED (SELECT * FROM (${IvfOracle.kmeansSphericalStepSql(d, nCells)})),
+       |uf AS MATERIALIZED (SELECT cell, j,
+       |    CAST(CAST(unit AS FLOAT) AS DOUBLE) AS u FROM skm),
+       |${EmbOracle.nrmCte(d)},
+       |pqc(m, c, j, comp) AS (VALUES $pqcRows),
+       |cbn(m, c, n2) AS (VALUES $cbnRows),
+       |scd AS MATERIALIZED (SELECT e.vec_id, uf.cell,
+       |    list_reduce(list(CAST(e.embedding[uf.j] AS DOUBLE) * uf.u
+       |      ORDER BY uf.j), (a, v) -> a + v) AS sd
+       |  FROM embeddings e CROSS JOIN uf GROUP BY e.vec_id, uf.cell),
+       |sasg AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sd DESC, cell ASC) AS rn
+       |  FROM scd) t WHERE t.rn = 1),
+       |rsd AS MATERIALIZED (SELECT e.vec_id, a.cell, uf.j,
+       |    CAST(CAST(CAST(e.embedding[uf.j] AS DOUBLE) - uf.u AS FLOAT) AS DOUBLE) AS rv
+       |  FROM embeddings e JOIN sasg a ON a.vec_id = e.vec_id
+       |  JOIN uf ON uf.cell = a.cell),
+       |pqd AS MATERIALIZED (SELECT r.vec_id, r.cell, p.m, p.c,
+       |    list_reduce(list((r.rv - p.comp)*(r.rv - p.comp) ORDER BY r.j),
+       |      (a, v) -> a + v) AS d2
+       |  FROM rsd r JOIN pqc p ON p.j = r.j
+       |  GROUP BY r.vec_id, r.cell, p.m, p.c),
+       |enc AS MATERIALIZED (SELECT vec_id, cell, m, c AS code FROM (
+       |    SELECT vec_id, cell, m, c,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, c ASC) AS rn
+       |    FROM pqd) t WHERE t.rn = 1),
+       |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |qp AS (SELECT qid, cell, sd FROM (SELECT c.vec_id AS qid, c.cell, c.sd,
+       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY c.sd DESC, c.cell ASC) AS pr
+       |  FROM scd c JOIN q ON c.vec_id = q.qid) t WHERE t.pr <= $nprobe),
+       |adc AS MATERIALIZED (SELECT q.qid, p.m, p.c,
+       |    list_reduce(list(CAST(qe.embedding[p.j] AS DOUBLE) * p.comp
+       |      ORDER BY p.j), (a, v) -> a + v) AS t
+       |  FROM q JOIN embeddings qe ON qe.vec_id = q.qid
+       |  CROSS JOIN pqc p GROUP BY q.qid, p.m, p.c),
+       |n2c AS (SELECT cell, list_reduce(list(u*u ORDER BY j),
+       |    (a, v) -> a + v) AS v FROM uf GROUP BY cell),
+       |crd AS (SELECT u.cell, p.m, p.c,
+       |    list_reduce(list(u.u * p.comp ORDER BY u.j), (a, v) -> a + v) AS cd
+       |  FROM uf u JOIN pqc p ON p.j = u.j GROUP BY u.cell, p.m, p.c),
+       |rcn AS MATERIALIZED (SELECT crd.cell, crd.m, crd.c,
+       |    2.0 * crd.cd + cb.n2 AS v
+       |  FROM crd JOIN cbn cb ON cb.m = crd.m AND cb.c = crd.c),
+       |chp AS MATERIALIZED (SELECT qp.qid, en.vec_id AS id, en.cell, qp.sd,
+       |    list_reduce(list(ad.t ORDER BY en.m), (a, v) -> a + v) AS psum,
+       |    list_reduce(list(rc.v ORDER BY en.m), (a, v) -> a + v) AS rsum
+       |  FROM qp JOIN enc en ON en.cell = qp.cell
+       |  JOIN adc ad ON ad.qid = qp.qid AND ad.m = en.m AND ad.c = en.code
+       |  JOIN rcn rc ON rc.cell = en.cell AND rc.m = en.m AND rc.c = en.code
+       |  GROUP BY qp.qid, en.vec_id, en.cell, qp.sd),
+       |cheap AS (SELECT c.qid, c.id,
+       |    (c.sd + c.psum) / (${fn("n.v + c.rsum")} * ${fn("nq2.n2")}) AS s_hat
+       |  FROM chp c JOIN n2c n ON n.cell = c.cell
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) WHERE rn <= $rerank),
+       |scored AS (SELECT r.qid, r.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM rr r
+       |  JOIN embeddings e ON e.vec_id = r.id
+       |  JOIN embeddings qe ON qe.vec_id = r.qid
+       |  JOIN nrm ne ON ne.vec_id = r.id
+       |  JOIN nrm nq2 ON nq2.vec_id = r.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
    * IVF-PQ with the OPQ-style signed-permutation pre-transform
    * ([[graft.operators.Pq.topkPermuted]]): every candidate/query-side
    * component e.embedding[j] is replaced by sign_j * e.embedding[perm_j]

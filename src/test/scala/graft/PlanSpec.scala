@@ -669,6 +669,31 @@ class PlanSpec extends AnyFunSuite {
       "composed at-rest serve diverged from the in-memory composed rung")
   }
 
+  test("spherical-PQ at-rest: pruned code-only cheap scan, equals in-memory") {
+    val df = graft.operators.Pq.topkSphericalResidualAtRest(spark, dir,
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank)
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected cell partition filters on both composed scans, found $pruned:\n$plan")
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    assert(scans.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only cheap scan: $scans")
+    // hash-equal to the in-memory composed cosine rung (training is
+    // deterministic, so the trained models agree)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.operators.Pq.topkSphericalResidual(
+      Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe,
+      SparkEntry.PqM, SparkEntry.PqCodes, SparkEntry.PqRerank)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K,
+      "spherical-PQ at-rest serve diverged from the in-memory rung")
+  }
+
   test("BQ at-rest cheap pass scans only the 8-byte sign-word column") {
     val df = graft.operators.Bq.topkAtRest(spark, dir,
       Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,

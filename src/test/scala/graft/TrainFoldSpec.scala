@@ -109,6 +109,28 @@ class TrainFoldSpec extends AnyFunSuite {
     assert(full == brute, "full-probe spherical serve must equal brute")
   }
 
+  test("spherical-PQ composed serve compiles whole-stage (no Janino fallback)") {
+    // the composed rung stacks the spherical assignment's nCells x d
+    // literal chains AND the PQ encode's mSub*codes subspace-distance
+    // folds in one pipeline — the widest codegen tree in the engine;
+    // a silent interpreted fallback would masquerade as contention
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    import SparkEntry.{IvfCells, EmbD, NQ, K, IvfProbe, PqM, PqCodes,
+      PqRerank}
+    val df = graft.operators.Pq.topkSphericalResidual(emb, NQ, K, IvfCells,
+      EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+    df.collect()
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile for:\n$subtree")
+    }
+  }
+
   test("spherical serve compiles whole-stage (no Janino fallback)") {
     // the assignment projection stacks nCells literal dot chains of d
     // terms each — the widest new codegen tree after LSH's bucket sum;
