@@ -1693,6 +1693,17 @@ object SparkEntry {
       s, graft.operators.Lsh.compactLayout(s, graft.streaming.StreamOps
         .ensureStreamLshLayout(s, dir, EmbD, LshPlanes)),
       emb(s, dir), NQ, K, EmbD, LshPlanes)),
+    // ... and compaction with the DELETE SET FOLDED IN: the OPTIMIZE
+    // that physically removes tombstoned rows — served with no sidecar
+    // at all, hash-equal to the merge-on-read q_ann_lsh_delete
+    "q_ann_lsh_compact_del" -> q((s, dir) => {
+      val root = graft.operators.Lsh.ensureLayout(s, dir, EmbD, LshPlanes)
+      val tombs = s.read.parquet(
+        graft.operators.Lsh.ensureTombstones(s, root, DeleteMod))
+      graft.operators.Lsh.topkOffLayout(s,
+        graft.operators.Lsh.compactLayoutWithDeletes(s, root, tombs),
+        emb(s, dir), NQ, K, EmbD, LshPlanes)
+    }),
     // cursor pagination (search_after): page 2 resumed from page 1's
     // per-query (score, id) cursor — one corpus pass and a k-deep heap
     // per page, never a page*k-deep window
@@ -1878,6 +1889,18 @@ object SparkEntry {
     "q_bm25_multi" -> q((s, dir) => graft.operators.Search.bm25Multi(
       s, dir, Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
       PostBuckets)),
+    // ... the same query relation served off the STREAM-MAINTAINED
+    // postings (identical rows once drained -> shares the oracle)
+    "q_bm25_multi_stream" -> q((s, dir) => graft.operators.Search
+      .bm25MultiOffPostings(s, graft.streaming.StreamOps
+        .ensureStreamPostingsLayout(s, dir, PostBuckets),
+        Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets)),
+    // MULTI-QUERY hybrid RRF: each qid's multi-BM25 list fused with its
+    // OWN vector top-N list — both retrievers serving the query
+    // relation, per-qid fusion in one plan
+    "q_hybrid_rrf_multi" -> q((s, dir) => graft.operators.Search
+      .hybridRrfMulti(s, dir, emb(s, dir), Bm25MultiQueries, Bm25K1,
+        Bm25B, RrfPoolN, RrfKConst, HybridK, PostBuckets)),
     // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
     // out of the candidates, stats left STALE until compaction — the
     // Lucene delete contract (docs unretrievable immediately, df/sumdl
@@ -2404,6 +2427,9 @@ object SparkEntry {
     "q_ann_lsh_delete" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
       excludeMod = DeleteMod),
     "q_ann_lsh_compact" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
+    // delete-folding compaction serves the same rows as merge-on-read
+    "q_ann_lsh_compact_del" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
+      excludeMod = DeleteMod),
     // cursor-resume provably equals the global rank slice (k, 2k]
     "q_ann_page2" -> EmbOracle.pageSql(EmbD, NQ, K, 2),
     // the cursor-resumed page equals the same global rank slice
@@ -2485,6 +2511,13 @@ object SparkEntry {
     // to the recomputed logical postings, idf guarded per union term
     "q_bm25_multi" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
       Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle()),
+    // the stream-maintained layout holds identical posting rows once
+    // drained, so the multi-query oracle serves it unchanged
+    "q_bm25_multi_stream" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
+      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle()),
+    "q_hybrid_rrf_multi" -> SearchOracle.hybridRrfMultiSql(EmbD,
+      Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN, RrfKConst, HybridK,
+      bm25MultiStatsForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),

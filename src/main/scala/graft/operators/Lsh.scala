@@ -313,6 +313,51 @@ object Lsh {
    * is hash-equal; id-sorting within each bucket restores row-group
    * skipping for the delete anti-join's id predicate pushdown.
    */
+  /**
+   * Compaction WITH the delete set folded in — the OPTIMIZE that
+   * physically removes tombstoned rows: the rewrite anti-joins the
+   * tombstones, so queries off the result equal the merge-on-read
+   * delete-aware query with NO sidecar lookup at all. Output path is
+   * content-addressed on a two-reduction digest of the tombstone id
+   * set (the [[Pq.compactCodesLayoutWithDeletes]] discipline: count +
+   * bit_xor + wrapping sum of per-id hashes — two equal-sized delete
+   * sets can't silently reuse each other's compaction).
+   */
+  def compactLayoutWithDeletes(spark: SparkSession, srcPath: String,
+                               tombs: DataFrame): String = {
+    import java.nio.file.{Files, Paths}
+    val dig = tombs
+      .select(graft.operators.Dedup.strHash(col("id").cast("string")).as("h"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(col("h")), lit(0L)).as("hx"),
+        coalesce(sum(pmod(col("h"), lit(1L << 60)).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("hs"))
+      .collect()(0)
+    val nDel = dig.getLong(0)
+    val hDel = java.lang.Long.toHexString(dig.getLong(1))
+    val sDel = java.lang.Long.toHexString(
+      dig.getDecimal(2).remainder(new java.math.BigDecimal(1L << 60))
+        .longValueExact())
+    val dst = Paths.get(srcPath + s"_compacted_del${nDel}_${hDel}_$sDel")
+    if (!Files.exists(dst.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(dst.getParent, "lshdelcompact-")
+      spark.read.parquet(srcPath)
+        .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .option("compression", "zstd").parquet(tmp.toString)
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, dst)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(dst.resolve("_DONE")),
+        s"lsh delete-compaction publish failed: $dst")
+    }
+    dst.toString
+  }
+
   def compactLayout(spark: SparkSession, srcPath: String): String = {
     import java.nio.file.{Files, Paths}
     val dst = Paths.get(srcPath + "_compacted")

@@ -519,11 +519,20 @@ object Search {
    */
   def bm25Multi(spark: SparkSession, sfDir: String,
                 queries: Seq[(Long, Seq[String])], k1: Double, b: Double,
-                topN: Int, nBuckets: Int): DataFrame = {
+                topN: Int, nBuckets: Int): DataFrame =
+    bm25MultiOffPostings(spark, ensurePostingsLayout(spark, sfDir, nBuckets),
+      queries, k1, b, topN, nBuckets)
+
+  /** [[bm25Multi]]'s query half against an explicit postings layout —
+    * shared by the batch-built and stream-maintained layouts (identical
+    * posting rows and stats once drained, so results are hash-equal). */
+  def bm25MultiOffPostings(spark: SparkSession, root: String,
+                           queries: Seq[(Long, Seq[String])], k1: Double,
+                           b: Double, topN: Int,
+                           nBuckets: Int): DataFrame = {
     require(queries.nonEmpty, "bm25Multi: empty query relation")
     val unionTerms = queries.flatMap(_._2).distinct
     val maxPos = queries.map(_._2.size).max
-    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
     val buckets = spark.range(1).select(unionTerms.map(t =>
@@ -782,6 +791,39 @@ object Search {
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("rrf"),
+        col("text_rank"), col("vec_rank"))
+  }
+
+  /**
+   * MULTI-QUERY hybrid RRF — the fusion surface with BOTH retrievers
+   * serving a query RELATION: each qid's per-query-term-set BM25 list
+   * ([[bm25Multi]]) fuses with ITS OWN vector top-N list (the query
+   * embedding aligned with the qid) under reciprocal-rank fusion, all
+   * queries in one plan. The single-query [[hybridRrf]] generalized the
+   * way every other rung generalizes: per-qid ranks, per-qid fusion
+   * join, per-qid final cut. Both inputs are bounded top-poolN lists
+   * per query, so the fusion join stays broadcast-able at any corpus
+   * size. Output (qid, rank, doc_id, rrf, text_rank, vec_rank).
+   */
+  def hybridRrfMulti(spark: SparkSession, sfDir: String, emb: DataFrame,
+                     queries: Seq[(Long, Seq[String])], k1: Double,
+                     b: Double, poolN: Int, rrfK: Int, k: Int,
+                     nBuckets: Int): DataFrame = {
+    val nqv = (queries.map(_._1).max + 1).toInt
+    val text = bm25Multi(spark, sfDir, queries, k1, b, poolN, nBuckets)
+      .select(col("qid"), col("doc_id"), col("rank").as("text_rank"))
+    val vec = Ann.bruteTopK(emb, nqv, poolN)
+      .filter(col("qid").isin(queries.map(_._1): _*))
+      .select(col("qid"), col("id").as("doc_id"), col("rank").as("vec_rank"))
+    val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"),
         col("text_rank"), col("vec_rank"))
   }
 

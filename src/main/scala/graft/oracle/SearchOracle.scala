@@ -284,7 +284,18 @@ object SearchOracle {
    * agrees, ln fallback otherwise).
    */
   def bm25MultiSql(queries: Seq[(Long, Seq[String])], k1: Double,
-                   b: Double, topN: Int, st: Option[Bm25Stats]): String = {
+                   b: Double, topN: Int, st: Option[Bm25Stats]): String =
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st)},
+       |ranked AS (SELECT qid, doc_id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM mscored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id, score
+       |FROM ranked WHERE rnk <= $topN""".stripMargin
+
+  /** The multi-query BM25 CTE chain shared by [[bm25MultiSql]] and
+    * [[hybridRrfMultiSql]], ending at `mscored(qid, doc_id, score)`. */
+  private def bm25MultiCtes(queries: Seq[(Long, Seq[String])], k1: Double,
+                            b: Double, st: Option[Bm25Stats]): String = {
     val unionTerms = queries.flatMap(_._2).distinct
     val maxPos = queries.map(_._2.size).max
     val inList = unionTerms.map(t => s"'$t'").mkString(", ")
@@ -318,7 +329,7 @@ object SearchOracle {
         s"${dlit(b)} * (CAST(dl AS DOUBLE) / " +
         s"(CAST(st2.sumdl AS DOUBLE) / st2.n))))))"
     }.reduceLeft((a, c) => s"($a + $c)")
-    s"""WITH posts AS MATERIALIZED (
+    s"""posts AS MATERIALIZED (
        |  SELECT tok AS term, doc_id, COUNT(*) AS tf, MIN(dl) AS dl
        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |               unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -339,12 +350,42 @@ object SearchOracle {
        |piv AS (SELECT qid, doc_id, dl, $tfCols,
        |  $idfCols
        |  FROM cand GROUP BY qid, doc_id, dl),
-       |scored AS (SELECT qid, doc_id, $scoreExpr AS score FROM piv, st2),
-       |ranked AS (SELECT qid, doc_id, score,
-       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
-       |  FROM scored)
-       |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id, score
-       |FROM ranked WHERE rnk <= $topN""".stripMargin
+       |mscored AS (SELECT qid, doc_id, $scoreExpr AS score FROM piv, st2)""".stripMargin
+  }
+
+  /**
+   * Multi-query hybrid RRF ([[graft.operators.Search.hybridRrfMulti]]):
+   * each qid's multi-BM25 top-poolN list fused with its OWN brute
+   * vector top-poolN list (the query embedding aligned with the qid),
+   * per-qid reciprocal-rank fusion and final cut — the [[hybridSql]]
+   * fusion arithmetic partitioned by qid.
+   */
+  def hybridRrfMultiSql(d: Int, queries: Seq[(Long, Seq[String])],
+                        k1: Double, b: Double, poolN: Int, rrfK: Int,
+                        k: Int, st: Option[Bm25Stats]): String = {
+    val nqv = (queries.map(_._1).max + 1).toInt
+    val qids = queries.map(_._1).mkString(", ")
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st)},
+       |btop AS (SELECT qid, doc_id, CAST(rnk AS INTEGER) AS text_rank FROM (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM mscored) WHERE rnk <= $poolN),
+       |vtop AS MATERIALIZED (SELECT qid, id AS doc_id, rank AS vec_rank
+       |  FROM (${EmbOracle.bruteSql(d, nqv, poolN)})
+       |  WHERE qid IN ($qids)),
+       |fused AS (SELECT COALESCE(b.qid, v.qid) AS qid,
+       |    COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       |    b.text_rank, v.vec_rank,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + b.text_rank), CAST(0.0 AS DOUBLE)) +
+       |      COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + v.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM btop b FULL OUTER JOIN vtop v
+       |    ON b.qid = v.qid AND b.doc_id = v.doc_id),
+       |ranked AS (SELECT qid, doc_id, rrf, text_rank, vec_rank,
+       |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rnk
+       |  FROM fused)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id, rrf,
+       |  text_rank, vec_rank
+       |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
   /** MaxScore byte ledger ([[graft.operators.Search

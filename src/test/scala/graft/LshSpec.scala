@@ -179,6 +179,27 @@ class LshSpec extends AnyFunSuite {
     assert(qa == qb, "query off the compacted layout diverged")
   }
 
+  test("delete-folding compaction: tombstoned rows physically gone, query equals merge-on-read") {
+    import SparkEntry.DeleteMod
+    val root = Lsh.ensureLayout(spark, dir, EmbD, LshPlanes)
+    val tombs = spark.read.parquet(Lsh.ensureTombstones(spark, root,
+      DeleteMod))
+    val compacted = Lsh.compactLayoutWithDeletes(spark, root, tombs)
+    // the rewrite dropped exactly the tombstoned rows
+    val ids = spark.read.parquet(compacted).select(col("id"))
+      .collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ % DeleteMod != 0),
+      "a tombstoned row survived the delete-folding rewrite")
+    assert(spark.read.parquet(root).count() - tombs.count() == ids.length)
+    // serving off the compacted layout with NO sidecar equals the
+    // merge-on-read delete-aware query bit-for-bit
+    val a = Lsh.topkOffLayout(spark, compacted, emb, NQ, K, EmbD,
+      LshPlanes).collect().map(_.toSeq).toSet
+    val b = Lsh.topkAtRestWithDeletes(spark, dir, emb, NQ, K, EmbD,
+      LshPlanes, DeleteMod).collect().map(_.toSeq).toSet
+    assert(a == b, "delete-folding compaction diverged from merge-on-read")
+  }
+
   test("probe sweep: monotone recall and candidates, endpoints consistent") {
     val rows = Lsh.probeSweep(emb, NQ, K, EmbD, LshPlanes)
       .collect().sortBy(_.getAs[Int]("nflips"))
