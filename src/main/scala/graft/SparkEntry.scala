@@ -807,6 +807,10 @@ object SparkEntry {
   final val UpsertMod = 13
   // search surface beyond plain top-k (Search.scala)
   final val FilterLangs = Seq("fr", "de") // metadata predicate for filtered ANN
+  // per-query metadata filters (q_ann_filtered_multi): each qid searches
+  // only ITS OWN langs — overlapping and disjoint sets in one relation
+  final val FilterMultiRel: Seq[(Long, String)] = Seq(
+    0L -> "fr", 0L -> "de", 1L -> "en", 2L -> "zh", 2L -> "es", 3L -> "en")
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -1344,6 +1348,13 @@ object SparkEntry {
     "q_ann_ivf_spherical_pq_at_rest" -> q((s, dir) => graft.operators.Pq
       .topkSphericalResidualAtRest(s, dir, emb(s, dir), NQ, K, IvfCells,
         EmbD, IvfProbe, PqM, PqCodes, PqRerank)),
+    // ... and its merge-on-read DELETE path: tombstones anti-joined out
+    // of cheap candidates AND the rescore fetch; trained model and
+    // assignment stay STALE (training predates the delete commit) —
+    // lifecycle parity for the new layout on day one
+    "q_ann_ivf_spherical_pq_delete" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidualAtRestWithDeletes(s, dir, emb(s, dir), NQ, K,
+        IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
     // ... and the INIT the Lloyd rounds start from: batched
     // farthest-first seeding (deterministic k-means++/k-means|| — L far
     // picks per corpus scan, min-id start, ties to the smaller id)
@@ -1839,6 +1850,11 @@ object SparkEntry {
     // equi-join, bucketable to exchange-free at rest
     "q_ann_filtered" -> q((s, dir) => graft.operators.Search.filteredTopK(
       emb(s, dir), docs(s, dir), NQ, K, FilterLangs)),
+    // ... with the predicate as a RELATION: each qid searches only its
+    // own langs (the multi-tenant serving shape) — one broadcast
+    // (qid, lang) equi-join, all queries in one plan
+    "q_ann_filtered_multi" -> q((s, dir) => graft.operators.Search
+      .filteredTopKMulti(emb(s, dir), docs(s, dir), FilterMultiRel, K)),
     // GROUPED (faceted) retrieval: best k per (query, lang) in ONE
     // scored pass — the per-facet result surface; the window over
     // (qid, lang) still gets the map-side WindowGroupLimit cut
@@ -2295,6 +2311,9 @@ object SparkEntry {
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_ivf_spherical_pq_at_rest" -> PqOracle.sphericalResidualSql(EmbD,
       NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    "q_ann_ivf_spherical_pq_delete" -> PqOracle.sphericalResidualSql(EmbD,
+      NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      excludeMod = DeleteMod),
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),
@@ -2491,6 +2510,8 @@ object SparkEntry {
     // the drained stream-refreshed model is the batch Lloyd step's
     "q_stream_ivf_retrain" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
+    "q_ann_filtered_multi" -> SearchOracle.filteredMultiSql(EmbD,
+      FilterMultiRel, K),
     // filtered + probe-pruned: the at-rest twin restricts candidates to
     // the probed cells, so its oracle is the IVF probe pipeline with the
     // metadata predicate folded into candidate generation

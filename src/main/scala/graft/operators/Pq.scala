@@ -1448,6 +1448,37 @@ object Pq {
       codes, rerank)
   }
 
+  /** [[topkSphericalResidualAtRest]] with merge-on-read DELETES: the
+    * tombstone sidecar ([[ensureTombstones]] on the spherical layout) is
+    * anti-joined out of BOTH the cheap candidates and the rescore fetch,
+    * while the TRAINED MODEL and cell assignment stay STALE — training
+    * predates the delete commit, exactly as the lexical index's df/sumdl
+    * stay stale until compaction. Code files byte-immutable. */
+  def topkSphericalResidualAtRestWithDeletes(spark: SparkSession,
+      sfDir: String, emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+      nprobe: Int, mSub: Int, codes: Int, rerank: Int,
+      deleteMod: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val path = ensureSphericalResidualCodesFixture(spark, sfDir, nCells, d,
+      mSub, codes)
+    val tombs = spark.read.parquet(ensureTombstones(spark, path, deleteMod))
+    val model = sphericalModel(emb, nCells, d, mSub, codes)
+    val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = sphProbes(model, q0, d, nprobe, mSub, codes)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val stored = spark.read.parquet(path)
+    val cheapEnc = stored.select(col("id"), col("cell"), col("code"))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+      .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
+    val fetch = stored.filter(col("cell").isin(cells.toSeq: _*))
+      .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+      .select(col("id"), col("vec"))
+    sphServe(model, cheapEnc, fetch, q0, probes, k, nCells, d, mSub,
+      codes, rerank)
+  }
+
   // --- codebook training ------------------------------------------------
 
   /**

@@ -105,6 +105,40 @@ object Search {
   }
 
   /**
+   * PER-QUERY metadata filters — the filter surface as a RELATION:
+   * `filters` is a (qid, lang) table and each query searches only docs
+   * whose lang is in ITS OWN set (the way a real multi-tenant serving
+   * API binds a distinct predicate per request), all queries in one
+   * plan. [[filteredTopK]] generalized exactly as the lexical rung's
+   * [[bm25Multi]] generalizes [[bm25]]: the bounded filter relation
+   * broadcasts, candidacy is one (qid, lang) equi-join applied BEFORE
+   * any distance arithmetic (scoring work scales with each query's own
+   * selectivity), ranks cut per qid map-side.
+   * Output (qid, rank, id, score, lang).
+   */
+  def filteredTopKMulti(emb: DataFrame, docMeta: DataFrame,
+                        filters: Seq[(Long, String)], k: Int): DataFrame = {
+    require(filters.nonEmpty, "filteredTopKMulti: empty filter relation")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nq = (filters.map(_._1).max + 1).toInt
+    val meta = docMeta.select(col("doc_id").as("id"), col("lang"))
+    val q = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")))
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val scored = candSide(emb).join(meta, Seq("id"))
+      .crossJoin(q)
+      .join(qf, Seq("qid", "lang"))
+      .withColumn("score", cosScore)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    scored.select(col("qid"), col("lang"), col("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
+  }
+
+  /**
    * Filtered search against the AT-REST IVF index: the layout stores
    * row metadata (lang) beside the vectors ([[Ivf.ensureIndex]] v2), so
    * ONE scan serves both prunings — probe cells as a Parquet partition

@@ -737,8 +737,12 @@ object PqOracle {
    */
   def sphericalResidualSql(d: Int, nq: Int, k: Int, nCells: Int,
                            nprobe: Int, mSub: Int, codes: Int,
-                           rerank: Int): String = {
+                           rerank: Int, excludeMod: Int = 0): String = {
     val sub = d / mSub
+    // merge-on-read deletes cut CANDIDATES (before the rerank cut) while
+    // the trained units and assignment stay stale — the engine's shape
+    val excl = if (excludeMod <= 0) ""
+      else s"\n  WHERE en.vec_id % $excludeMod <> 0"
     val pqcRows = (for (m <- 0 until mSub; c <- 0 until codes;
                         i <- 0 until sub)
       yield s"($m, $c, ${m * sub + i + 1}, " +
@@ -794,7 +798,7 @@ object PqOracle {
        |    list_reduce(list(rc.v ORDER BY en.m), (a, v) -> a + v) AS rsum
        |  FROM qp JOIN enc en ON en.cell = qp.cell
        |  JOIN adc ad ON ad.qid = qp.qid AND ad.m = en.m AND ad.c = en.code
-       |  JOIN rcn rc ON rc.cell = en.cell AND rc.m = en.m AND rc.c = en.code
+       |  JOIN rcn rc ON rc.cell = en.cell AND rc.m = en.m AND rc.c = en.code$excl
        |  GROUP BY qp.qid, en.vec_id, en.cell, qp.sd),
        |cheap AS (SELECT c.qid, c.id,
        |    (c.sd + c.psum) / (${fn("n.v + c.rsum")} * ${fn("nq2.n2")}) AS s_hat

@@ -66,6 +66,36 @@ object SearchOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** Per-query metadata filters ([[graft.operators.Search
+    * .filteredTopKMulti]]): the (qid, lang) relation as VALUES, candidacy
+    * one equi-join against it, ranks per qid. */
+  def filteredMultiSql(d: Int, filters: Seq[(Long, String)],
+                       k: Int): String = {
+    val nq = (filters.map(_._1).max + 1).toInt
+    val qfRows = filters.map { case (qid, l) => s"($qid, '$l')" }
+      .mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |${EmbOracle.nrmCte(d)},
+       |qf AS (SELECT CAST(qid AS BIGINT) AS qid, lang
+       |  FROM (VALUES $qfRows) AS v(qid, lang)),
+       |cand AS (SELECT e.vec_id AS id, e.embedding, dm.lang
+       |  FROM embeddings e JOIN documents dm ON e.vec_id = dm.doc_id),
+       |sc AS (SELECT q.qid, c.id, c.lang,
+       |    ${EmbOracle.dotE("c.embedding", "q.qv", d)} AS dp
+       |  FROM cand c CROSS JOIN q
+       |  JOIN qf ON qf.qid = q.qid AND qf.lang = c.lang),
+       |scored AS (SELECT sc.qid, sc.id, sc.lang,
+       |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM sc JOIN nrm ni ON sc.id = ni.vec_id
+       |          JOIN nrm nq2 ON sc.qid = nq2.vec_id),
+       |ranked AS (SELECT qid, id, lang, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score, lang
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
   /** Range (radius) search: every candidate with cosine >= tau. */
   def rangeSql(d: Int, nq: Int, tau: Double): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

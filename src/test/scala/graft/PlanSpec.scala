@@ -694,6 +694,31 @@ class PlanSpec extends AnyFunSuite {
       "spherical-PQ at-rest serve diverged from the in-memory rung")
   }
 
+  test("spherical-PQ deletes: no tombstoned id served, code files byte-immutable") {
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+      PqRerank, DeleteMod}
+    val path = graft.operators.Pq.ensureSphericalResidualCodesFixture(
+      spark, dir, IvfCells, EmbD, PqM, PqCodes)
+    def dataFiles(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+    }
+    val before = dataFiles(path)
+    val del = graft.operators.Pq.topkSphericalResidualAtRestWithDeletes(
+      spark, dir, Tables.embeddings(spark, dir), NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank, DeleteMod).collect()
+    assert(dataFiles(path) == before,
+      "the delete commit must never touch a code file")
+    assert(del.length == NQ * K)
+    assert(del.forall(_.getAs[Long]("id") % DeleteMod != 0),
+      "a tombstoned vector was served")
+  }
+
   test("BQ at-rest cheap pass scans only the 8-byte sign-word column") {
     val df = graft.operators.Bq.topkAtRest(spark, dir,
       Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,

@@ -299,6 +299,29 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("per-query filters: each qid's slice equals the single-predicate run with its own langs") {
+    import SparkEntry.{FilterMultiRel, K}
+    val multi = Search.filteredTopKMulti(emb, docs, FilterMultiRel, K)
+      .collect()
+    assert(multi.nonEmpty)
+    // every served row's lang is in ITS query's own set
+    val byQid = FilterMultiRel.groupBy(_._1)
+      .map { case (q, ls) => q -> ls.map(_._2).toSet }
+    multi.foreach(r => assert(
+      byQid(r.getAs[Long]("qid")).contains(r.getAs[String]("lang")),
+      s"row served outside its query's filter: $r"))
+    // per-qid slice == the single-predicate filteredTopK run with that
+    // query's own langs (restricted to the same qid)
+    byQid.foreach { case (qid, langs) =>
+      val solo = Search.filteredTopK(emb, docs, (qid + 1).toInt, K,
+        langs.toSeq).collect()
+        .filter(_.getAs[Long]("qid") == qid).map(_.toSeq).toSet
+      val slice = multi.filter(_.getAs[Long]("qid") == qid)
+        .map(_.toSeq).toSet
+      assert(slice == solo, s"qid=$qid slice diverged from its solo run")
+    }
+  }
+
   test("bm25 deletes: tombstoned docs gone, survivors keep stale-stats scores") {
     import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
       Bm25DeleteMod}
