@@ -275,6 +275,20 @@ object Soak {
         dVec, nprobe = 4, mSub = 8, codes = 16,
         rerank = math.max(200 * SparkEntry.K, nVec / 100))
     }
+    // the COMPOSED COSINE STRING at soak scale (round 13's
+    // spherical-coarse x residual-PQ): this arm is the one that
+    // exercises TRAINING at 4M — the spherical model is a full-corpus
+    // ordered-sums fold (nVec x d exploded rows through TrainFold's
+    // O(1)-state sorted-group reduction) before the serve even starts.
+    // Same 2^-4 corpus scaling as the PQ arm (residuals against unit
+    // centroids land inside the dyadic codebook domain); same
+    // corpus-scaled rerank cut; scores stay exact cosine over embPq so
+    // the ride-along exactness check applies unchanged.
+    annStep("spherical_pq_topk", embPq, minRecallPct = 20) {
+      operators.Pq.topkSphericalResidual(embPq, SparkEntry.NQ,
+        SparkEntry.K, soakCells, dVec, nprobe = 4, mSub = 8, codes = 16,
+        rerank = math.max(200 * SparkEntry.K, nVec / 100))
+    }
     // same scaling for the 1-bit rung: 32 sign bits over 4M vectors put
     // ~1000 vectors in every exact-code bucket, so a fixed shallow cut is
     // all ties; nVec/200 holds a 0.5%-of-corpus fetch (a 200x cut).

@@ -1911,6 +1911,13 @@ object SparkEntry {
       .bm25MultiOffPostings(s, graft.streaming.StreamOps
         .ensureStreamPostingsLayout(s, dir, PostBuckets),
         Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets)),
+    // MULTI-QUERY MAXSCORE: the early-rejection discipline per query
+    // row — per-qid bounds off a (term, doc_id)-only cheap scan,
+    // RELATIONAL per-qid tau (no driver collect), zero-miss survivors,
+    // exact rescore; provably row-equal to q_bm25_multi (shared oracle)
+    "q_bm25_multi_maxscore" -> q((s, dir) => graft.operators.Search
+      .bm25MultiMaxScore(s, dir, Bm25MultiQueries, Bm25K1, Bm25B,
+        Bm25MultiTopN, PostBuckets, Bm25SeedB)),
     // MULTI-QUERY hybrid RRF: each qid's multi-BM25 list fused with its
     // OWN vector top-N list — both retrievers serving the query
     // relation, per-qid fusion in one plan
@@ -2535,6 +2542,10 @@ object SparkEntry {
     // the stream-maintained layout holds identical posting rows once
     // drained, so the multi-query oracle serves it unchanged
     "q_bm25_multi_stream" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
+      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle()),
+    // MaxScore's zero-miss rejection is provably invisible to the
+    // answer, so the multi-query oracle serves it unchanged
+    "q_bm25_multi_maxscore" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
       Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle()),
     "q_hybrid_rrf_multi" -> SearchOracle.hybridRrfMultiSql(EmbD,
       Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN, RrfKConst, HybridK,

@@ -610,6 +610,102 @@ object Search {
   }
 
   /**
+   * MULTI-QUERY MAXSCORE — the MaxScore/WAND early-rejection discipline
+   * applied PER QUERY ROW of the [[bm25Multi]] relation, all queries in
+   * one plan: the cheap pass reads only the (term, doc_id) columns of
+   * the union-pruned postings and computes each (qid, doc) BOUND (the
+   * sum over the query's matched terms of idf·(k1+1), the tf→∞ limit);
+   * per-qid seeds (top seedB bounds) are exact-scored and per-qid tau =
+   * the topN-th best seed score (derived RELATIONALLY: min over the
+   * per-qid top-topN window — no driver collect at all, unlike the
+   * single-query form); survivors = bound >= own-qid tau (zero-miss per
+   * qid by the same argument as [[bm25MaxScore]]); exact rescore, final
+   * per-qid top-N. PROVABLY row-equal to [[bm25Multi]], so it shares
+   * that oracle — while the tf/dl fetches touch each query's seeds +
+   * survivors instead of its whole posting union.
+   */
+  def bm25MultiMaxScore(spark: SparkSession, sfDir: String,
+                        queries: Seq[(Long, Seq[String])], k1: Double,
+                        b: Double, topN: Int, nBuckets: Int,
+                        seedB: Int): DataFrame = {
+    require(queries.nonEmpty, "bm25MultiMaxScore: empty query relation")
+    require(seedB >= topN, s"seedB $seedB must be >= topN $topN")
+    val unionTerms = queries.flatMap(_._2).distinct
+    val maxPos = queries.map(_._2.size).max
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val stats = spark.read.parquet(s"$root/_stats").collect()(0)
+    val n = stats.getAs[Long]("n")
+    val buckets = spark.range(1).select(unionTerms.map(t =>
+        pmod(hash(lit(t)), lit(nBuckets))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct
+    def prunedScan: DataFrame = spark.read.parquet(root)
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(unionTerms: _*))
+    val dfMap = prunedScan.select(col("term"), col("doc_id"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = Bm25Stats(n, stats.getAs[Long]("sumdl"),
+      unionTerms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap)
+    import spark.implicits._
+    // (qid, term, pos, idf, ms): ms = the term's MaxScore idf·(k1+1)
+    val qt = broadcast(queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, p) =>
+        (qid, t, p, st.idf(t), st.idf(t) * (k1 + 1.0)) }
+    }.toDF("qid", "term", "pos", "idf", "ms"))
+    // CHEAP PASS: (term, doc_id) columns only — bounds per (qid, doc)
+    val cheap = prunedScan.select(col("term"), col("doc_id"))
+      .join(qt, Seq("term"))
+    val boundAggs = (0 until maxPos).map(p =>
+      max(when(col("pos") === p, col("ms"))).as(s"b$p"))
+    val bound = (0 until maxPos).map(p =>
+      coalesce(col(s"b$p"), lit(0.0))).reduceLeft(_ + _)
+    val bounds = cheap.groupBy(col("qid"), col("doc_id"))
+      .agg(boundAggs.head, boundAggs.tail: _*)
+      .withColumn("bound", bound)
+      .select(col("qid"), col("doc_id"), col("bound"))
+    // exact scorer over a (qid, doc_id) relation: the tf/dl fetch
+    def exactScores(ids: DataFrame): DataFrame = {
+      val cand = prunedScan.join(qt, Seq("term"))
+        .join(ids.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"))
+      val aggs = (0 until maxPos).map(p =>
+        sum(when(col("pos") === p, col("tf")).otherwise(lit(0L)))
+          .as(s"tf$p")) ++
+        (0 until maxPos).map(p =>
+          max(when(col("pos") === p, col("idf"))).as(s"idf$p"))
+      val score = (0 until maxPos).map { p =>
+        val tf = col(s"tf$p").cast("double")
+        val dl = col("dl").cast("double")
+        coalesce(col(s"idf$p"), lit(0.0)) * ((tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(st.avgdl)))))
+      }.reduceLeft(_ + _)
+      cand.groupBy(col("qid"), col("doc_id"), col("dl"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("score", score)
+        .select(col("qid"), col("doc_id"), col("score"))
+    }
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("bound").desc, col("doc_id").asc)
+    val seeds = bounds.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= seedB).select(col("qid"), col("doc_id"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
+    // per-qid tau = min of the top-topN seed scores — a relation, not a
+    // driver collect; handles a short query (< topN candidates) as the
+    // single-query form does (tau = its worst seed)
+    val taus = broadcast(exactScores(seeds)
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= topN)
+      .groupBy(col("qid")).agg(min(col("score")).as("tau")))
+    val survivors = bounds.join(taus, Seq("qid"))
+      .filter(col("bound") >= col("tau"))
+      .select(col("qid"), col("doc_id"))
+    exactScores(survivors)
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /**
    * MAXSCORE BM25 — the reference's bandwidth-first refine discipline
    * (cheap bounded pass -> tau -> zero-miss early rejection -> exact
    * rescore of survivors; `ANNCode.py`'s two-phase shape) applied to

@@ -349,6 +349,27 @@ class SearchSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("multi-query MaxScore: zero-miss per qid — bit-equal to bm25Multi") {
+    import SparkEntry.{Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
+      PostBuckets, Bm25SeedB}
+    val fast = Search.bm25MultiMaxScore(spark, dir, Bm25MultiQueries,
+      Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets, Bm25SeedB)
+    val full = Search.bm25Multi(spark, dir, Bm25MultiQueries, Bm25K1,
+      Bm25B, Bm25MultiTopN, PostBuckets)
+    assert(fast.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet,
+      "per-qid MaxScore rejection lost a true top-N member")
+    // the bound pass reads (term, doc_id) only — tf/dl stay on disk for
+    // all but each query's seeds + survivors (fresh plan: a finalized
+    // AQE plan hides scan subtrees inside query stages)
+    val scans = graft.sources.Disaggregated.scanSchemas(
+      Search.bm25MultiMaxScore(spark, dir, Bm25MultiQueries, Bm25K1,
+        Bm25B, Bm25MultiTopN, PostBuckets, Bm25SeedB))
+    assert(scans.exists(f => f.contains("term") && f.contains("doc_id") &&
+      !f.contains("tf") && !f.contains("dl")),
+      s"no tf/dl-free cheap scan in:\n${scans.mkString("\n")}")
+  }
+
   test("bm25 MaxScore: zero-miss — bit-equal to the full posting scoring") {
     import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
       Bm25SeedB}
