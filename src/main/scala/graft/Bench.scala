@@ -163,17 +163,27 @@ object Bench {
         SparkEntry.PqCodes)
       graft.operators.Lsh.ensureLayout(spark, sfDir, SparkEntry.EmbD,
         SparkEntry.LshPlanes)
-      // round-13 layouts: the composed cosine string's trained codes,
-      // the stored page-2 cursor, and the LSH tombstone sidecar
-      graft.operators.Pq.ensureSphericalResidualCodesFixture(spark, sfDir,
-        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+      // round-13 layouts: the composed cosine string's trained codes
+      // (plus its delete sidecar), the stored page-2 cursor, the LSH
+      // tombstone sidecar, and the LSH compactions (plain + delete-
+      // folding) — all one-time /tmp materializations
+      val sphCodes = graft.operators.Pq.ensureSphericalResidualCodesFixture(
+        spark, sfDir, SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
         SparkEntry.PqCodes)
+      graft.operators.Pq.ensureTombstones(spark, sphCodes,
+        SparkEntry.DeleteMod)
       graft.operators.Search.ensurePageCursor(spark, sfDir,
         graft.Tables.embeddings(spark, sfDir), SparkEntry.NQ,
         SparkEntry.K, 2)
-      graft.operators.Lsh.ensureTombstones(spark,
-        graft.operators.Lsh.ensureLayout(spark, sfDir, SparkEntry.EmbD,
-          SparkEntry.LshPlanes), SparkEntry.DeleteMod)
+      val lshRoot = graft.operators.Lsh.ensureLayout(spark, sfDir,
+        SparkEntry.EmbD, SparkEntry.LshPlanes)
+      val lshTombs = graft.operators.Lsh.ensureTombstones(spark, lshRoot,
+        SparkEntry.DeleteMod)
+      graft.operators.Lsh.compactLayoutWithDeletes(spark, lshRoot,
+        spark.read.parquet(lshTombs))
+      graft.operators.Lsh.compactLayout(spark,
+        graft.streaming.StreamOps.ensureStreamLshLayout(spark, sfDir,
+          SparkEntry.EmbD, SparkEntry.LshPlanes))
       graft.streaming.StreamOps.ensureStreamLshLayout(spark, sfDir,
         SparkEntry.EmbD, SparkEntry.LshPlanes)
       graft.operators.Search.ensurePostingsLayout(spark, sfDir,

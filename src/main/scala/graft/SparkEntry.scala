@@ -811,6 +811,9 @@ object SparkEntry {
   // only ITS OWN langs — overlapping and disjoint sets in one relation
   final val FilterMultiRel: Seq[(Long, String)] = Seq(
     0L -> "fr", 0L -> "de", 1L -> "en", 2L -> "zh", 2L -> "es", 3L -> "en")
+  // per-query radii (q_ann_range_multi): each qid cuts at its own tau
+  final val RangeMultiRel: Seq[(Long, Double)] = Seq(
+    0L -> 0.25, 1L -> 0.3, 2L -> 0.35, 3L -> 0.2)
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -1875,6 +1878,15 @@ object SparkEntry {
     // range (radius) search: every candidate with cosine >= tau
     "q_ann_range" -> q((s, dir) =>
       graft.operators.Search.rangeSearch(emb(s, dir), NQ, RangeTau)),
+    // ... with the radius as a RELATION: each qid cuts at its own tau
+    // (per-tenant recall/precision knobs in one plan)
+    "q_ann_range_multi" -> q((s, dir) =>
+      graft.operators.Search.rangeSearchMulti(emb(s, dir), RangeMultiRel)),
+    // multi-query LINEAR fusion: per-qid min-max normalization of each
+    // retriever's own list, per-qid convex fusion
+    "q_hybrid_linear_multi" -> q((s, dir) => graft.operators.Search
+      .hybridLinearMulti(s, dir, emb(s, dir), Bm25MultiQueries, Bm25K1,
+        Bm25B, RrfPoolN, HybridAlpha, HybridK, PostBuckets)),
     // MMR diversification: greedy relevance/diversity re-rank over a
     // bounded per-query pool (parallel across queries)
     "q_ann_mmr" -> q((s, dir) => graft.operators.Search.mmr(
@@ -2525,6 +2537,10 @@ object SparkEntry {
     "q_ann_filtered_at_rest" ->
       IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe, FilterLangs),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
+    "q_ann_range_multi" -> SearchOracle.rangeMultiSql(EmbD, RangeMultiRel),
+    "q_hybrid_linear_multi" -> SearchOracle.hybridLinearMultiSql(EmbD,
+      Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN, HybridAlpha, HybridK,
+      bm25MultiStatsForOracle()),
     "q_ann_mmr"       -> SearchOracle.mmrSql(EmbD, NQ, MmrPoolN, MmrK, MmrLambda),
     "q_ann_maxsim"    -> SearchOracle.maxSimSql(EmbD, NQ, K, MaxSimGroup),
     // idf constants come from measured corpus stats — captured when the

@@ -284,6 +284,26 @@ object Search {
       .select(col("qid"), col("id"), col("score"))
   }
 
+  /** PER-QUERY radius search — the radius as a RELATION: `radii` is a
+    * (qid, tau) table and each query returns every candidate with
+    * cosine >= ITS OWN threshold (per-tenant recall/precision knobs in
+    * one plan). Same broadcast-scan shape as [[rangeSearch]]; the
+    * bounded radius relation joins map-side. Output (qid, id, score). */
+  def rangeSearchMulti(emb: DataFrame,
+                       radii: Seq[(Long, Double)]): DataFrame = {
+    require(radii.nonEmpty, "rangeSearchMulti: empty radius relation")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nq = (radii.map(_._1).max + 1).toInt
+    val q = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")))
+    val qr = broadcast(radii.toDF("qid", "tau"))
+    candSide(emb).crossJoin(q).join(qr, Seq("qid"))
+      .withColumn("score", cosScore)
+      .filter(col("score") >= col("tau"))
+      .select(col("qid"), col("id"), col("score"))
+  }
+
   // ---- BM25 lexical retrieval -----------------------------------------
 
   /** Corpus stats collected once at plan-build: doc count, total token
@@ -1000,6 +1020,52 @@ object Search {
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
+  /**
+   * MULTI-QUERY linear (relative-score) fusion — [[hybridLinear]] over
+   * the query relation: each qid's multi-BM25 list min-max normalizes
+   * over ITS OWN scores, its vector list over its own, then
+   * fused = α·text + (1-α)·vec per qid. The per-qid min/max are bounded
+   * per-query aggregates over top-poolN lists (models); everything
+   * joins broadcast-style at any corpus size.
+   * Output (qid, rank, doc_id, fused, tnorm, vnorm).
+   */
+  def hybridLinearMulti(spark: SparkSession, sfDir: String, emb: DataFrame,
+                        queries: Seq[(Long, Seq[String])], k1: Double,
+                        b: Double, poolN: Int, alpha: Double, k: Int,
+                        nBuckets: Int): DataFrame = {
+    val nqv = (queries.map(_._1).max + 1).toInt
+    val text = bm25Multi(spark, sfDir, queries, k1, b, poolN, nBuckets)
+      .select(col("qid"), col("doc_id"), col("score").as("tscore"))
+    val vec = Ann.bruteTopK(emb, nqv, poolN)
+      .filter(col("qid").isin(queries.map(_._1): _*))
+      .select(col("qid"), col("id").as("doc_id"), col("score").as("vscore"))
+    val tmm = text.groupBy(col("qid"))
+      .agg(min(col("tscore")).as("tmin"), max(col("tscore")).as("tmax"))
+    val vmm = vec.groupBy(col("qid"))
+      .agg(min(col("vscore")).as("vmin"), max(col("vscore")).as("vmax"))
+    val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .join(broadcast(tmm), Seq("qid"))
+      .join(broadcast(vmm), Seq("qid"))
+      .withColumn("tnorm",
+        when(col("tscore").isNull, lit(0.0))
+          .when(col("tmax") === col("tmin"), lit(1.0))
+          .otherwise((col("tscore") - col("tmin")) /
+            (col("tmax") - col("tmin"))))
+      .withColumn("vnorm",
+        when(col("vscore").isNull, lit(0.0))
+          .when(col("vmax") === col("vmin"), lit(1.0))
+          .otherwise((col("vscore") - col("vmin")) /
+            (col("vmax") - col("vmin"))))
+      .withColumn("fused",
+        lit(alpha) * col("tnorm") + lit(1.0 - alpha) * col("vnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
         col("tnorm"), col("vnorm"))
   }
 

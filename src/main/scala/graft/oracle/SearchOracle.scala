@@ -96,6 +96,29 @@ object SearchOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** Per-query radius search ([[graft.operators.Search
+    * .rangeSearchMulti]]): the (qid, tau) relation as VALUES, each
+    * query's cut against its own threshold. */
+  def rangeMultiSql(d: Int, radii: Seq[(Long, Double)]): String = {
+    val nq = (radii.map(_._1).max + 1).toInt
+    val qrRows = radii.map { case (qid, tau) => s"($qid, ${dlit(tau)})" }
+      .mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |${EmbOracle.nrmCte(d)},
+       |qr AS (SELECT CAST(qid AS BIGINT) AS qid, tau
+       |  FROM (VALUES $qrRows) AS v(qid, tau)),
+       |sc AS (SELECT q.qid, e.vec_id AS id,
+       |    ${EmbOracle.dotE("e.embedding", "q.qv", d)} AS dp
+       |  FROM embeddings e CROSS JOIN q),
+       |scored AS (SELECT sc.qid, sc.id,
+       |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM sc JOIN nrm ni ON sc.id = ni.vec_id
+       |          JOIN nrm nq2 ON sc.qid = nq2.vec_id)
+       |SELECT s.qid, s.id, s.score FROM scored s
+       |JOIN qr ON qr.qid = s.qid WHERE s.score >= qr.tau""".stripMargin
+  }
+
   /** Range (radius) search: every candidate with cosine >= tau. */
   def rangeSql(d: Int, nq: Int, tau: Double): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -415,6 +438,54 @@ object SearchOracle {
        |  FROM fused)
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id, rrf,
        |  text_rank, vec_rank
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
+   * Multi-query linear fusion ([[graft.operators.Search
+   * .hybridLinearMulti]]): per-qid min-max normalization of each
+   * retriever's own top-poolN list, fused = α·text + (1-α)·vec per qid
+   * — [[hybridLinearSql]]'s arithmetic partitioned by qid.
+   */
+  def hybridLinearMultiSql(d: Int, queries: Seq[(Long, Seq[String])],
+                           k1: Double, b: Double, poolN: Int,
+                           alpha: Double, k: Int,
+                           st: Option[Bm25Stats]): String = {
+    val nqv = (queries.map(_._1).max + 1).toInt
+    val qids = queries.map(_._1).mkString(", ")
+    val a = dlit(alpha)
+    val oneA = dlit(1.0 - alpha)
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st)},
+       |btop AS (SELECT qid, doc_id, score AS tscore FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM mscored) WHERE rnk <= $poolN),
+       |vtop AS MATERIALIZED (SELECT qid, id AS doc_id, score AS vscore
+       |  FROM (${EmbOracle.bruteSql(d, nqv, poolN)})
+       |  WHERE qid IN ($qids)),
+       |tmm AS (SELECT qid, MIN(tscore) AS tmin, MAX(tscore) AS tmax
+       |  FROM btop GROUP BY qid),
+       |vmm AS (SELECT qid, MIN(vscore) AS vmin, MAX(vscore) AS vmax
+       |  FROM vtop GROUP BY qid),
+       |fused AS (SELECT COALESCE(b.qid, v.qid) AS qid,
+       |    COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       |    CASE WHEN b.tscore IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN tmm.tmax = tmm.tmin THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (b.tscore - tmm.tmin) / (tmm.tmax - tmm.tmin) END AS tnorm,
+       |    CASE WHEN v.vscore IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN vmm.vmax = vmm.vmin THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (v.vscore - vmm.vmin) / (vmm.vmax - vmm.vmin) END AS vnorm
+       |  FROM btop b FULL OUTER JOIN vtop v
+       |    ON b.qid = v.qid AND b.doc_id = v.doc_id
+       |  JOIN tmm ON tmm.qid = COALESCE(b.qid, v.qid)
+       |  JOIN vmm ON vmm.qid = COALESCE(b.qid, v.qid)),
+       |scoredf AS (SELECT qid, doc_id, tnorm, vnorm,
+       |    $a * tnorm + $oneA * vnorm AS fused FROM fused),
+       |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
+       |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
+       |  FROM scoredf)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id, fused,
+       |  tnorm, vnorm
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
