@@ -172,6 +172,10 @@ object Bench {
         SparkEntry.PqCodes)
       graft.operators.Pq.ensureTombstones(spark, sphCodes,
         SparkEntry.DeleteMod)
+      graft.operators.Pq.compactCodesLayout(spark,
+        graft.streaming.StreamOps.ensureStreamSphericalCodes(spark, sfDir,
+          SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+          SparkEntry.PqCodes))
       graft.operators.Search.ensurePageCursor(spark, sfDir,
         graft.Tables.embeddings(spark, sfDir), SparkEntry.NQ,
         SparkEntry.K, 2)

@@ -1358,6 +1358,24 @@ object SparkEntry {
     "q_ann_ivf_spherical_pq_delete" -> q((s, dir) => graft.operators.Pq
       .topkSphericalResidualAtRestWithDeletes(s, dir, emb(s, dir), NQ, K,
         IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
+    // ... and STREAM-MAINTAINED: the model trains once from the base
+    // corpus, every microbatch encodes arrivals with the identical
+    // literal-folded projection — drained layout row-identical to the
+    // batch build, hash-equal queries (shared oracle)
+    "q_stream_ann_spherical_pq" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidualOffCodes(s, graft.streaming.StreamOps
+        .ensureStreamSphericalCodes(s, dir, IvfCells, EmbD, PqM, PqCodes),
+        emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+        PqRerank)),
+    // ... and the stream layout COMPACTED (the generic cell-layout
+    // OPTIMIZE applies unchanged): row-identical, hash-equal queries
+    "q_ann_spherical_pq_compact" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidualOffCodes(s, graft.operators.Pq
+        .compactCodesLayout(s, graft.streaming.StreamOps
+          .ensureStreamSphericalCodes(s, dir, IvfCells, EmbD, PqM,
+            PqCodes)),
+        emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+        PqRerank)),
     // ... and the INIT the Lloyd rounds start from: batched
     // farthest-first seeding (deterministic k-means++/k-means|| — L far
     // picks per corpus scan, min-id start, ties to the smaller id)
@@ -2333,6 +2351,10 @@ object SparkEntry {
     "q_ann_ivf_spherical_pq_delete" -> PqOracle.sphericalResidualSql(EmbD,
       NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
       excludeMod = DeleteMod),
+    "q_stream_ann_spherical_pq" -> PqOracle.sphericalResidualSql(EmbD,
+      NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    "q_ann_spherical_pq_compact" -> PqOracle.sphericalResidualSql(EmbD,
+      NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),

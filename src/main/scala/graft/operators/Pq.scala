@@ -1421,6 +1421,21 @@ object Pq {
     path.toString
   }
 
+  /** A REUSABLE microbatch encoder against an ALREADY-TRAINED spherical
+    * model — the train-once / encode-stream production shape: the model
+    * is a bounded collect folded into the returned projection as
+    * literals, so every microbatch encodes identically to the batch
+    * writer (the stream-maintained layout drains row-identical). */
+  def sphericalEncoderFor(trainEmb: DataFrame, nCells: Int, d: Int,
+                          mSub: Int, codes: Int): DataFrame => DataFrame = {
+    val model = sphericalModel(trainEmb, nCells, d, mSub, codes)
+    batch =>
+      sphEncode(batch.select(col("vec_id"), col("embedding")), model, d,
+        mSub, codes)
+        .select(col("id"), col("cell"), col("embedding").as("vec"),
+          packedCode(mSub, codes).as("code"))
+  }
+
   /** [[topkSphericalResidual]]'s at-rest twin: probe cells collected as
     * a static partition filter, cheap scan over (id, cell, code) only,
     * rescore fetch from the layout's own stored vectors — hash-equal to
@@ -1429,10 +1444,21 @@ object Pq {
                                   emb: DataFrame, nq: Int, k: Int,
                                   nCells: Int, d: Int, nprobe: Int,
                                   mSub: Int, codes: Int,
-                                  rerank: Int): DataFrame = {
+                                  rerank: Int): DataFrame =
+    topkSphericalResidualOffCodes(spark,
+      ensureSphericalResidualCodesFixture(spark, sfDir, nCells, d, mSub,
+        codes), emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+
+  /** The query half against an explicit spherical-codes layout — shared
+    * by the batch-built and stream-maintained layouts (identical
+    * (id, cell, vec, code) rows once drained: both encode against the
+    * same deterministic trained model). */
+  def topkSphericalResidualOffCodes(spark: SparkSession, path: String,
+                                    emb: DataFrame, nq: Int, k: Int,
+                                    nCells: Int, d: Int, nprobe: Int,
+                                    mSub: Int, codes: Int,
+                                    rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val path = ensureSphericalResidualCodesFixture(spark, sfDir, nCells, d,
-      mSub, codes)
     val model = sphericalModel(emb, nCells, d, mSub, codes)
     val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probes = sphProbes(model, q0, d, nprobe, mSub, codes)

@@ -672,6 +672,59 @@ object StreamOps {
   }
 
   /**
+   * Streaming maintenance of the SPHERICAL-RESIDUAL codes layout (the
+   * composed cosine string's index): the spherical model trains ONCE
+   * from the base corpus — the train-once / encode-stream production
+   * shape — and every microbatch encodes its arrivals with the
+   * identical literal-folded projection ([[graft.operators.Pq
+   * .sphericalEncoderFor]]) and appends them cell-partitioned. Drained,
+   * the layout holds row-identical (id, cell, vec, code) rows to the
+   * batch build, so queries off it are hash-equal (same oracle).
+   */
+  def ensureStreamSphericalCodes(spark: SparkSession, sfDir: String,
+                                 nCells: Int, d: Int, mSub: Int,
+                                 codes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val landing = ensureShardedEmbLanding(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_sphcodes_${safe}_c${nCells}_d${d}_m${mSub}_k${codes}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "stream-sph-")
+        // the model trains once, BEFORE the stream starts
+        val encode = graft.operators.Pq.sphericalEncoderFor(
+          graft.Tables.embeddings(spark, sfDir), nCells, d, mSub, codes)
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("label", IntegerType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            encode(batch)
+              .write.mode("append").partitionBy("cell")
+              .option("compression", "zstd")
+              .parquet(tmp.toString)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream spherical codes publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /**
    * Streaming maintenance of the PREFIX (Matryoshka) layout: arrivals
    * drain through a real file stream one landing shard per trigger, and
    * each microbatch applies exactly the batch writer's projection

@@ -131,6 +131,23 @@ class TrainFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-maintained spherical codes serve identical rows once drained") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    import SparkEntry.{IvfCells, EmbD, NQ, K, IvfProbe, PqM, PqCodes,
+      PqRerank}
+    val batch = graft.operators.Pq.topkSphericalResidualAtRest(spark, dir,
+      emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.operators.Pq.topkSphericalResidualOffCodes(spark,
+      graft.streaming.StreamOps.ensureStreamSphericalCodes(spark, dir,
+        IvfCells, EmbD, PqM, PqCodes),
+      emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "drained spherical codes diverged from the batch build")
+  }
+
   test("spherical serve compiles whole-stage (no Janino fallback)") {
     // the assignment projection stacks nCells literal dot chains of d
     // terms each — the widest new codegen tree after LSH's bucket sum;
