@@ -172,6 +172,9 @@ object Bench {
         SparkEntry.PqCodes)
       graft.operators.Pq.ensureTombstones(spark, sphCodes,
         SparkEntry.DeleteMod)
+      graft.operators.Pq.ensureSphericalUpsertDelta(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes, SparkEntry.UpsertMod)
       graft.operators.Pq.compactCodesLayout(spark,
         graft.streaming.StreamOps.ensureStreamSphericalCodes(spark, sfDir,
           SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,

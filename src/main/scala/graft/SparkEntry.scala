@@ -1367,6 +1367,13 @@ object SparkEntry {
         .ensureStreamSphericalCodes(s, dir, IvfCells, EmbD, PqM, PqCodes),
         emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
         PqRerank)),
+    // ... and merge-on-read UPSERT — the last CRUD verb on the composed
+    // layout: updated rows re-encoded against the STALE model land in
+    // their NEW cells with NEW codes and rescore to NEW values; base
+    // files never rewritten
+    "q_ann_spherical_pq_upsert" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidualAtRestUpserted(s, dir, emb(s, dir), NQ, K,
+        IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, UpsertMod)),
     // ... and the stream layout COMPACTED (the generic cell-layout
     // OPTIMIZE applies unchanged): row-identical, hash-equal queries
     "q_ann_spherical_pq_compact" -> q((s, dir) => graft.operators.Pq
@@ -2355,6 +2362,11 @@ object SparkEntry {
       NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     "q_ann_spherical_pq_compact" -> PqOracle.sphericalResidualSql(EmbD,
       NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
+    // candidate-side vectors updated to -v for vec_id ≡ 0 mod UpsertMod
+    // against the STALE trained model; query side untouched
+    "q_ann_spherical_pq_upsert" -> PqOracle.sphericalResidualSql(EmbD,
+      NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      updatedNegMod = UpsertMod),
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),

@@ -1474,6 +1474,82 @@ object Pq {
       codes, rerank)
   }
 
+  /** Bump when the spherical upsert delta layout changes. */
+  private val SphUpsertLayoutVersion = 1
+
+  /** The UPDATE commit for the spherical layout: updated rows (ids ≡ 0
+    * mod `mod`, v' = −v — negation is float-exact and norm-preserving)
+    * RE-ENCODED against the STALE model (trained on the pre-update
+    * corpus — the merge-on-read contract: model stale, data fresh) and
+    * published as their own cell-partitioned delta. Negation flips every
+    * assignment dot, so updated vectors land in NEW cells with NEW
+    * codes; the base layout is never touched. */
+  def ensureSphericalUpsertDelta(spark: SparkSession, sfDir: String,
+                                 nCells: Int, d: Int, mSub: Int,
+                                 codes: Int, mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sphupsert_v${SphUpsertLayoutVersion}_${safe}_c${nCells}" +
+        s"_d${d}_m${mSub}_k${codes}_u${mod}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "sphupsert-")
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val model = sphericalModel(emb, nCells, d, mSub, codes) // STALE
+      val updated = emb.filter(col("vec_id") % mod === 0)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      sphEncode(updated, model, d, mSub, codes)
+        .select(col("id"), col("cell"), col("embedding").as("vec"),
+          packedCode(mSub, codes).as("code"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"spherical upsert delta publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** MERGE-ON-READ UPSERT over the spherical codes — the last CRUD verb
+    * on the composed cosine layout: the delta's id set anti-joins the
+    * base, the re-encoded delta unions in, and the standard
+    * probe/cheap/rescore pipeline runs over the merged view with the
+    * STALE model. Updated vectors are found in their NEW cells with
+    * their NEW codes and rescored against their NEW values — no base
+    * rewrite. */
+  def topkSphericalResidualAtRestUpserted(spark: SparkSession,
+      sfDir: String, emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+      nprobe: Int, mSub: Int, codes: Int, rerank: Int,
+      mod: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val basePath = ensureSphericalResidualCodesFixture(spark, sfDir,
+      nCells, d, mSub, codes)
+    val deltaPath = ensureSphericalUpsertDelta(spark, sfDir, nCells, d,
+      mSub, codes, mod)
+    val cols = Seq(col("id"), col("cell"), col("vec"), col("code"))
+    val base = spark.read.parquet(basePath).select(cols: _*)
+    val delta = spark.read.parquet(deltaPath).select(cols: _*)
+    val live = base
+      .join(broadcast(delta.select(col("id"))), Seq("id"), "left_anti")
+      .unionByName(delta)
+    val model = sphericalModel(emb, nCells, d, mSub, codes) // STALE
+    val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = sphProbes(model, q0, d, nprobe, mSub, codes)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = live.filter(col("cell").isin(cells.toSeq: _*))
+    val cheapEnc = pruned
+      .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
+    val fetch = pruned.select(col("id"), col("vec"))
+    sphServe(model, cheapEnc, fetch, q0, probes, k, nCells, d, mSub,
+      codes, rerank)
+  }
+
   /** [[topkSphericalResidualAtRest]] with merge-on-read DELETES: the
     * tombstone sidecar ([[ensureTombstones]] on the spherical layout) is
     * anti-joined out of BOTH the cheap candidates and the rescore fetch,

@@ -737,12 +737,29 @@ object PqOracle {
    */
   def sphericalResidualSql(d: Int, nq: Int, k: Int, nCells: Int,
                            nprobe: Int, mSub: Int, codes: Int,
-                           rerank: Int, excludeMod: Int = 0): String = {
+                           rerank: Int, excludeMod: Int = 0,
+                           updatedNegMod: Int = 0): String = {
+    if (updatedNegMod > 0)
+      require(excludeMod == 0,
+        "updatedNegMod composes with the plain pipeline only")
     val sub = d / mSub
     // merge-on-read deletes cut CANDIDATES (before the rerank cut) while
     // the trained units and assignment stay stale — the engine's shape
     val excl = if (excludeMod <= 0) ""
       else s"\n  WHERE en.vec_id % $excludeMod <> 0"
+    // merge-on-read UPSERT: candidate-side vectors updated to -v for
+    // vec_id ≡ 0 mod `updatedNegMod` (negation float-exact,
+    // norm-preserving — the nrm CTE stays valid); the model (skm/uf)
+    // trains on the ORIGINAL corpus — stale, the engine's contract.
+    // Queries stay untouched (qsd/adc read the raw embeddings).
+    def tcJ(idx: String): String =
+      if (updatedNegMod <= 0) s"CAST(e.embedding[$idx] AS DOUBLE)"
+      else s"(CASE WHEN e.vec_id % $updatedNegMod = 0" +
+        s" THEN -CAST(e.embedding[$idx] AS DOUBLE)" +
+        s" ELSE CAST(e.embedding[$idx] AS DOUBLE) END)"
+    val rescoreDot = (1 to d).map(i =>
+      s"${tcJ(i.toString)}*CAST(qe.embedding[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
     val pqcRows = (for (m <- 0 until mSub; c <- 0 until codes;
                         i <- 0 until sub)
       yield s"($m, $c, ${m * sub + i + 1}, " +
@@ -757,14 +774,14 @@ object PqOracle {
        |pqc(m, c, j, comp) AS (VALUES $pqcRows),
        |cbn(m, c, n2) AS (VALUES $cbnRows),
        |scd AS MATERIALIZED (SELECT e.vec_id, uf.cell,
-       |    list_reduce(list(CAST(e.embedding[uf.j] AS DOUBLE) * uf.u
+       |    list_reduce(list(${tcJ("uf.j")} * uf.u
        |      ORDER BY uf.j), (a, v) -> a + v) AS sd
        |  FROM embeddings e CROSS JOIN uf GROUP BY e.vec_id, uf.cell),
        |sasg AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY sd DESC, cell ASC) AS rn
        |  FROM scd) t WHERE t.rn = 1),
        |rsd AS MATERIALIZED (SELECT e.vec_id, a.cell, uf.j,
-       |    CAST(CAST(CAST(e.embedding[uf.j] AS DOUBLE) - uf.u AS FLOAT) AS DOUBLE) AS rv
+       |    CAST(CAST(${tcJ("uf.j")} - uf.u AS FLOAT) AS DOUBLE) AS rv
        |  FROM embeddings e JOIN sasg a ON a.vec_id = e.vec_id
        |  JOIN uf ON uf.cell = a.cell),
        |pqd AS MATERIALIZED (SELECT r.vec_id, r.cell, p.m, p.c,
@@ -777,9 +794,14 @@ object PqOracle {
        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, c ASC) AS rn
        |    FROM pqd) t WHERE t.rn = 1),
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
-       |qp AS (SELECT qid, cell, sd FROM (SELECT c.vec_id AS qid, c.cell, c.sd,
-       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY c.sd DESC, c.cell ASC) AS pr
-       |  FROM scd c JOIN q ON c.vec_id = q.qid) t WHERE t.pr <= $nprobe),
+       |qsd AS MATERIALIZED (SELECT q.qid, uf.cell,
+       |    list_reduce(list(CAST(qe.embedding[uf.j] AS DOUBLE) * uf.u
+       |      ORDER BY uf.j), (a, v) -> a + v) AS sd
+       |  FROM q JOIN embeddings qe ON qe.vec_id = q.qid
+       |  CROSS JOIN uf GROUP BY q.qid, uf.cell),
+       |qp AS (SELECT qid, cell, sd FROM (SELECT c.qid, c.cell, c.sd,
+       |    row_number() OVER (PARTITION BY c.qid ORDER BY c.sd DESC, c.cell ASC) AS pr
+       |  FROM qsd c) t WHERE t.pr <= $nprobe),
        |adc AS MATERIALIZED (SELECT q.qid, p.m, p.c,
        |    list_reduce(list(CAST(qe.embedding[p.j] AS DOUBLE) * p.comp
        |      ORDER BY p.j), (a, v) -> a + v) AS t
@@ -809,7 +831,7 @@ object PqOracle {
        |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
        |    FROM cheap) WHERE rn <= $rerank),
        |scored AS (SELECT r.qid, r.id,
-       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |    $rescoreDot /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
        |  FROM rr r
        |  JOIN embeddings e ON e.vec_id = r.id

@@ -719,6 +719,36 @@ class PlanSpec extends AnyFunSuite {
       "a tombstoned vector was served")
   }
 
+  test("spherical-PQ upsert: update visible, base files byte-immutable") {
+    import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+      PqRerank, UpsertMod}
+    val path = graft.operators.Pq.ensureSphericalResidualCodesFixture(
+      spark, dir, IvfCells, EmbD, PqM, PqCodes)
+    def dataFiles(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+    }
+    val before = dataFiles(path)
+    val up = graft.operators.Pq.topkSphericalResidualAtRestUpserted(
+      spark, dir, Tables.embeddings(spark, dir), NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank, UpsertMod).collect()
+    assert(dataFiles(path) == before,
+      "the upsert commit must never rewrite a base code file")
+    assert(up.length == NQ * K)
+    // the update is VISIBLE: negating 1/UpsertMod of the corpus moves
+    // the merged ranking away from the plain at-rest ranking
+    val plain = graft.operators.Pq.topkSphericalResidualAtRest(spark, dir,
+      Tables.embeddings(spark, dir), NQ, K, IvfCells, EmbD, IvfProbe,
+      PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(up.map(_.toSeq).toSet != plain,
+      "upserted serve returned the pre-update ranking")
+  }
+
   test("BQ at-rest cheap pass scans only the 8-byte sign-word column") {
     val df = graft.operators.Bq.topkAtRest(spark, dir,
       Tables.embeddings(spark, dir), SparkEntry.NQ, SparkEntry.K,
