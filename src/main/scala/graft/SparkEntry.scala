@@ -238,6 +238,21 @@ object SparkEntry {
       PqM, PqCodes, PqRerank)
   }
 
+  /** The COMPOSED COSINE STRING (spherical coarse x residual PQ) at the
+    * reference's MS MARCO-class width — the reference's cosine datasets
+    * are 1024-3072 wide (README.md:40-42), and the composed serve is
+    * the engine's widest whole-stage tree, so width is where it would
+    * break first: spherical training, float-rounded units, residual
+    * encode, ADC cosine estimate and exact rescore all at D=1024 with
+    * 128-dim PQ subspaces. Same tiny-N slicing as [[qAnnPqResD1024]];
+    * TrainFoldSpec asserts the serve still compiles whole-stage here. */
+  def qAnnSphericalPqD1024(s: SparkSession, dir: String): DataFrame = {
+    val v = fix1024(s, dir).select(col("id").as("vec_id"),
+      col("vec").as("embedding"), lit(0).as("label"))
+    graft.operators.Pq.topkSphericalResidual(v, NQ, K, IvfCells, D1024,
+      IvfProbe, PqM, PqCodes, PqRerank)
+  }
+
   /** Relational refine at D=128 — cos_l2 is the worst codegen path (its
     * bb stat dots vec against rvec on top of the synthesis trees; the
     * round-4 Janino 64KB blow-up was exactly this shape at width). */
@@ -545,6 +560,17 @@ object SparkEntry {
       }
     }
 
+  /** The stored query-relation table's path for the ORACLE generators:
+    * the oracle SQL reads the SAME parquet the engine bound from
+    * (published right here if a dump path never ran a multi query).
+    * None — falling back to the inline VALUES of the identical rows —
+    * only from a JVM with no Spark session at all. */
+  private def qrelPathForOracle(): Option[String] =
+    Option(lastSfDir.get()).flatMap { dir =>
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(s => ensureQueryRelations(s, dir))
+    }
+
   /**
    * Bandwidth accounting with MEASURED compression composed in (reference
    * ANNCode.py:831-833 feeding :317-318, paper §4.3 combined saving): the
@@ -811,6 +837,12 @@ object SparkEntry {
   // only ITS OWN langs — overlapping and disjoint sets in one relation
   final val FilterMultiRel: Seq[(Long, String)] = Seq(
     0L -> "fr", 0L -> "de", 1L -> "en", 2L -> "zh", 2L -> "es", 3L -> "en")
+  // per-query facet sets (q_ann_grouped_multi): best GroupedK per
+  // (qid, lang) where each qid carries its OWN facet set — 4 qids x
+  // 2 facets each, overlapping and disjoint across qids, in one plan
+  final val GroupedMultiRel: Seq[(Long, String)] = Seq(
+    0L -> "fr", 0L -> "de", 1L -> "en", 1L -> "zh",
+    2L -> "es", 2L -> "fr", 3L -> "en", 3L -> "de")
   // per-query radii (q_ann_range_multi): each qid cuts at its own tau
   final val RangeMultiRel: Seq[(Long, Double)] = Seq(
     0L -> 0.25, 1L -> 0.3, 2L -> 0.35, 3L -> 0.2)
@@ -830,6 +862,97 @@ object SparkEntry {
   final val Bm25MultiUnionTerms: Seq[String] =
     Bm25MultiQueries.flatMap(_._2).distinct
   final val Bm25MultiTopN = 10
+
+  // ---- the multi-query relations as a STORED fixture table --------------
+  // A real serving system binds its per-request term sets / filters /
+  // radii / facets from a queries TABLE, not compile-time constants. One
+  // long-form parquet (kind, qid, pos, term, lang, tau) is published per
+  // sf dir (immutable content-keyed dir — the layout-cache discipline);
+  // every multi-query rung COLLECTS its bounded relation from it (a
+  // model: tens of rows, then broadcast as before) and the oracle SQL
+  // reads the very same parquet via read_parquet. The compile-time
+  // constants above remain only as the fixture WRITER's input.
+
+  private def queryRelRows: Seq[(String, Long, Option[Int], Option[String],
+      Option[String], Option[Double])] =
+    Bm25MultiQueries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, p) =>
+        ("bm25", qid, Some(p), Some(t), None: Option[String],
+          None: Option[Double]) }
+    } ++
+      FilterMultiRel.map { case (qid, l) =>
+        ("filter", qid, None, None, Some(l), None) } ++
+      GroupedMultiRel.map { case (qid, l) =>
+        ("facet", qid, None, None, Some(l), None) } ++
+      RangeMultiRel.map { case (qid, tau) =>
+        ("radius", qid, None, None, None, Some(tau)) }
+
+  /** The stored relation's path for `sfDir` — content-keyed (the dir
+    * name embeds a hash of the rows), so editing any constant above
+    * publishes a FRESH table instead of silently serving a stale one.
+    * Computable without a session (the oracle generator needs it). */
+  def queryRelPathFor(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val contentKey = java.lang.Integer.toHexString(
+      queryRelRows.mkString(";").hashCode)
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_qrel_${safe}_$contentKey").toString
+  }
+
+  /** Publish the stored query-relation table (idempotent, atomic). */
+  def ensureQueryRelations(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(queryRelPathFor(sfDir))
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "qrel-")
+      import spark.implicits._
+      queryRelRows.toDF("kind", "qid", "pos", "term", "lang", "tau")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"query relation publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** The four relations bound BACK from the stored table — a bounded
+    * collect (a model), cached per (session, dir), deterministically
+    * ordered (qid, then pos/lang) so plan literal order is stable. */
+  private final case class QueryRels(
+      bm25: Seq[(Long, Seq[String])], filters: Seq[(Long, String)],
+      facets: Seq[(Long, String)], radii: Seq[(Long, Double)])
+
+  private val qrelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), QueryRels]()
+
+  private def queryRels(s: SparkSession, dir: String): QueryRels =
+    qrelCache.computeIfAbsent((s, dir), _ => {
+      val rows = s.read.parquet(ensureQueryRelations(s, dir)).collect()
+      def strRel(kind: String): Seq[(Long, String)] = rows.toSeq
+        .filter(_.getAs[String]("kind") == kind)
+        .map(r => (r.getAs[Long]("qid"), r.getAs[String]("lang")))
+        .sorted
+      val bm25 = rows.toSeq.filter(_.getAs[String]("kind") == "bm25")
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("pos"),
+          r.getAs[String]("term")))
+        .sorted.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (qid, ts) => qid -> ts.sortBy(_._2).map(_._3) }
+      val radii = rows.toSeq.filter(_.getAs[String]("kind") == "radius")
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Double]("tau")))
+        .sortBy(_._1)
+      QueryRels(bm25, strRel("filter"), strRel("facet"), radii)
+    })
+
+  private def bm25MultiQueriesOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).bm25
+  private def filterMultiRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).filters
+  private def groupedMultiRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).facets
+  private def rangeMultiRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).radii
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
@@ -1355,6 +1478,14 @@ object SparkEntry {
     // of cheap candidates AND the rescore fetch; trained model and
     // assignment stay STALE (training predates the delete commit) —
     // lifecycle parity for the new layout on day one
+    // ... the composed cosine string at the reference's MS MARCO-class
+    // width (D=1024): spherical training, residual encode, ADC estimate
+    // and rescore all at 1024 dims on the tiny deterministic slice —
+    // width is what this row proves (the composed serve is the engine's
+    // widest codegen tree; TrainFoldSpec asserts it still compiles
+    // whole-stage at this width)
+    "q_ann_ivf_spherical_pq_d1024" -> q((s, dir) =>
+      qAnnSphericalPqD1024(s, dir)),
     "q_ann_ivf_spherical_pq_delete" -> q((s, dir) => graft.operators.Pq
       .topkSphericalResidualAtRestWithDeletes(s, dir, emb(s, dir), NQ, K,
         IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
@@ -1383,6 +1514,16 @@ object SparkEntry {
             PqCodes)),
         emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
         PqRerank)),
+    // ... and TIME TRAVEL on the spherical layout — the append-only
+    // versioned delete log served AS-OF commit 1 (only ids ≡ 0 mod
+    // 2·DeleteMod gone; commit 2's ≡ DeleteMod rows still live): the
+    // last CRUD verb the composed cosine index was missing. Snapshot
+    // choice filters the bounded sidecar before the anti-join; base
+    // files and the trained model shared by every snapshot
+    "q_ann_spherical_pq_delete_asof" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidualAtRestWithDeletesAsOf(s, dir, emb(s, dir),
+        NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank,
+        DeleteMod, asOf = 1)),
     // ... and the INIT the Lloyd rounds start from: batched
     // farthest-first seeding (deterministic k-means++/k-means|| — L far
     // picks per corpus scan, min-id start, ties to the smaller id)
@@ -1882,12 +2023,19 @@ object SparkEntry {
     // own langs (the multi-tenant serving shape) — one broadcast
     // (qid, lang) equi-join, all queries in one plan
     "q_ann_filtered_multi" -> q((s, dir) => graft.operators.Search
-      .filteredTopKMulti(emb(s, dir), docs(s, dir), FilterMultiRel, K)),
+      .filteredTopKMulti(emb(s, dir), docs(s, dir),
+        filterMultiRelOf(s, dir), K)),
     // GROUPED (faceted) retrieval: best k per (query, lang) in ONE
     // scored pass — the per-facet result surface; the window over
     // (qid, lang) still gets the map-side WindowGroupLimit cut
     "q_ann_grouped" -> q((s, dir) => graft.operators.Search.groupedTopK(
       emb(s, dir), docs(s, dir), NQ, GroupedK)),
+    // ... the grouped member of the multi-query relation matrix: each
+    // qid carries its OWN facet set (stored relation), best GroupedK per
+    // (qid, lang) off ONE scored scan — 4 qids x 2 facets in one plan
+    "q_ann_grouped_multi" -> q((s, dir) => graft.operators.Search
+      .groupedTopKMulti(emb(s, dir), docs(s, dir),
+        groupedMultiRelOf(s, dir), GroupedK)),
     // SQ8 with PER-DIMENSION TRAINED ranges (the FAISS-style trained
     // scalar quantizer): one map-side min/max training aggregate over
     // the corpus, broadcast into the cheap pass — the one-pass-train /
@@ -1905,13 +2053,13 @@ object SparkEntry {
       graft.operators.Search.rangeSearch(emb(s, dir), NQ, RangeTau)),
     // ... with the radius as a RELATION: each qid cuts at its own tau
     // (per-tenant recall/precision knobs in one plan)
-    "q_ann_range_multi" -> q((s, dir) =>
-      graft.operators.Search.rangeSearchMulti(emb(s, dir), RangeMultiRel)),
+    "q_ann_range_multi" -> q((s, dir) => graft.operators.Search
+      .rangeSearchMulti(emb(s, dir), rangeMultiRelOf(s, dir))),
     // multi-query LINEAR fusion: per-qid min-max normalization of each
     // retriever's own list, per-qid convex fusion
     "q_hybrid_linear_multi" -> q((s, dir) => graft.operators.Search
-      .hybridLinearMulti(s, dir, emb(s, dir), Bm25MultiQueries, Bm25K1,
-        Bm25B, RrfPoolN, HybridAlpha, HybridK, PostBuckets)),
+      .hybridLinearMulti(s, dir, emb(s, dir), bm25MultiQueriesOf(s, dir),
+        Bm25K1, Bm25B, RrfPoolN, HybridAlpha, HybridK, PostBuckets)),
     // MMR diversification: greedy relevance/diversity re-rank over a
     // bounded per-query pool (parallel across queries)
     "q_ann_mmr" -> q((s, dir) => graft.operators.Search.mmr(
@@ -1940,27 +2088,36 @@ object SparkEntry {
     // broadcast (qid, term, pos, idf) join, per-qid pivot + rank (the
     // lexical twin of how every ANN rung serves a query table)
     "q_bm25_multi" -> q((s, dir) => graft.operators.Search.bm25Multi(
-      s, dir, Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
+      s, dir, bm25MultiQueriesOf(s, dir), Bm25K1, Bm25B, Bm25MultiTopN,
       PostBuckets)),
     // ... the same query relation served off the STREAM-MAINTAINED
     // postings (identical rows once drained -> shares the oracle)
     "q_bm25_multi_stream" -> q((s, dir) => graft.operators.Search
       .bm25MultiOffPostings(s, graft.streaming.StreamOps
         .ensureStreamPostingsLayout(s, dir, PostBuckets),
-        Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets)),
+        bm25MultiQueriesOf(s, dir), Bm25K1, Bm25B, Bm25MultiTopN,
+        PostBuckets)),
     // MULTI-QUERY MAXSCORE: the early-rejection discipline per query
     // row — per-qid bounds off a (term, doc_id)-only cheap scan,
     // RELATIONAL per-qid tau (no driver collect), zero-miss survivors,
     // exact rescore; provably row-equal to q_bm25_multi (shared oracle)
     "q_bm25_multi_maxscore" -> q((s, dir) => graft.operators.Search
-      .bm25MultiMaxScore(s, dir, Bm25MultiQueries, Bm25K1, Bm25B,
-        Bm25MultiTopN, PostBuckets, Bm25SeedB)),
+      .bm25MultiMaxScore(s, dir, bm25MultiQueriesOf(s, dir), Bm25K1,
+        Bm25B, Bm25MultiTopN, PostBuckets, Bm25SeedB)),
+    // ... and its PER-QID BYTE LEDGER: the reference's (saving, fpr)
+    // accounting triple carried onto the newest rung — one row per qid
+    // (candidates, seeds, survivors, cheap/exact/full bytes, save) off
+    // the same relational per-qid tau derivation, plus the qid = -1
+    // aggregate row (sum of parts = whole, spec-asserted)
+    "q_bm25_multi_maxscore_metrics" -> q((s, dir) => graft.operators
+      .Search.bm25MultiMaxScoreMetrics(s, dir, bm25MultiQueriesOf(s, dir),
+        Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets, Bm25SeedB)),
     // MULTI-QUERY hybrid RRF: each qid's multi-BM25 list fused with its
     // OWN vector top-N list — both retrievers serving the query
     // relation, per-qid fusion in one plan
     "q_hybrid_rrf_multi" -> q((s, dir) => graft.operators.Search
-      .hybridRrfMulti(s, dir, emb(s, dir), Bm25MultiQueries, Bm25K1,
-        Bm25B, RrfPoolN, RrfKConst, HybridK, PostBuckets)),
+      .hybridRrfMulti(s, dir, emb(s, dir), bm25MultiQueriesOf(s, dir),
+        Bm25K1, Bm25B, RrfPoolN, RrfKConst, HybridK, PostBuckets)),
     // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
     // out of the candidates, stats left STALE until compaction — the
     // Lucene delete contract (docs unretrievable immediately, df/sumdl
@@ -2367,6 +2524,17 @@ object SparkEntry {
     "q_ann_spherical_pq_upsert" -> PqOracle.sphericalResidualSql(EmbD,
       NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
       updatedNegMod = UpsertMod),
+    // time travel as-of commit 1: only ids ≡ 0 (mod 2·DeleteMod) are
+    // deleted in that snapshot (commit 2's ≡ DeleteMod rows still live)
+    "q_ann_spherical_pq_delete_asof" -> PqOracle.sphericalResidualSql(EmbD,
+      NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      excludeMod = 2 * DeleteMod),
+    // the composed cosine string at D=1024 over the synthesized slice
+    // domain — the fully-relational wide form (trained spherical units
+    // re-derived from the (key, j, v) relation)
+    "q_ann_ivf_spherical_pq_d1024" -> PqOracle.sphericalResidualWideSql(
+      D1024, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      D1024KeyMod),
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),
@@ -2564,17 +2732,22 @@ object SparkEntry {
     "q_stream_ivf_retrain" -> IvfOracle.kmeansStepSql(EmbD, IvfCells),
     "q_ann_filtered"  -> SearchOracle.filteredSql(EmbD, NQ, K, FilterLangs),
     "q_ann_filtered_multi" -> SearchOracle.filteredMultiSql(EmbD,
-      FilterMultiRel, K),
+      FilterMultiRel, K, qrelPathForOracle()),
+    // the grouped member of the multi-query matrix: per-(qid, lang)
+    // ranks over each qid's OWN facet set, read from the stored relation
+    "q_ann_grouped_multi" -> SearchOracle.groupedMultiSql(EmbD,
+      GroupedMultiRel, GroupedK, qrelPathForOracle()),
     // filtered + probe-pruned: the at-rest twin restricts candidates to
     // the probed cells, so its oracle is the IVF probe pipeline with the
     // metadata predicate folded into candidate generation
     "q_ann_filtered_at_rest" ->
       IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe, FilterLangs),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
-    "q_ann_range_multi" -> SearchOracle.rangeMultiSql(EmbD, RangeMultiRel),
+    "q_ann_range_multi" -> SearchOracle.rangeMultiSql(EmbD, RangeMultiRel,
+      qrelPathForOracle()),
     "q_hybrid_linear_multi" -> SearchOracle.hybridLinearMultiSql(EmbD,
       Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN, HybridAlpha, HybridK,
-      bm25MultiStatsForOracle()),
+      bm25MultiStatsForOracle(), qrelPathForOracle()),
     "q_ann_mmr"       -> SearchOracle.mmrSql(EmbD, NQ, MmrPoolN, MmrK, MmrLambda),
     "q_ann_maxsim"    -> SearchOracle.maxSimSql(EmbD, NQ, K, MaxSimGroup),
     // idf constants come from measured corpus stats — captured when the
@@ -2588,18 +2761,28 @@ object SparkEntry {
     // per-query term sets: the (qid, term, pos) VALUES relation joined
     // to the recomputed logical postings, idf guarded per union term
     "q_bm25_multi" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
-      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle()),
+      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle(),
+      qrelPathForOracle()),
     // the stream-maintained layout holds identical posting rows once
     // drained, so the multi-query oracle serves it unchanged
     "q_bm25_multi_stream" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
-      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle()),
+      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle(),
+      qrelPathForOracle()),
     // MaxScore's zero-miss rejection is provably invisible to the
     // answer, so the multi-query oracle serves it unchanged
     "q_bm25_multi_maxscore" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
-      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle()),
+      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle(),
+      qrelPathForOracle()),
+    // the per-qid ledger: the whole bound/seed/tau/survivor pipeline
+    // re-derived relationally per qid, byte sums per column, the
+    // aggregate row as the per-qid sums
+    "q_bm25_multi_maxscore_metrics" -> SearchOracle
+      .bm25MultiMaxScoreMetricsSql(Bm25MultiQueries, Bm25K1, Bm25B,
+        Bm25MultiTopN, Bm25SeedB, bm25MultiStatsForOracle(),
+        qrelPathForOracle()),
     "q_hybrid_rrf_multi" -> SearchOracle.hybridRrfMultiSql(EmbD,
       Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN, RrfKConst, HybridK,
-      bm25MultiStatsForOracle()),
+      bm25MultiStatsForOracle(), qrelPathForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),

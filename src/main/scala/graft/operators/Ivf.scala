@@ -417,9 +417,14 @@ object Ivf {
     * every cell and drops), ties to the smaller cell id. */
   private def assignSpherical(emb: DataFrame, nCells: Int,
                               d: Int): DataFrame = {
+    // the init-centroid components k/512 are 10-bit dyadics — exactly
+    // float-representable — so the codegen'd DotD loop over the FLOAT
+    // centroid literal (ascending index, float->double widening) is
+    // bit-identical to the explicit element_at*lit reduceLeft chain it
+    // replaces, without the 1024-deep Column tree that overflowed the
+    // converter stack at realistic widths
     val scoreCols = (0 until nCells).map { c =>
-      ((1 to d).map(j => element_at(col("embedding"), j).cast("double") *
-        lit(centroidComponent(c, j - 1))).reduceLeft(_ + _) /
+      (VecExprs.dotD(col("embedding"), typedlit(centroid(c, d).toSeq)) /
         lit(sphericalInitNorm(c, d))).as(s"s$c")
     }
     val m = greatest((0 until nCells).map(c => col(s"s$c")): _*)

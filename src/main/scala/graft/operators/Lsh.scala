@@ -251,9 +251,13 @@ object Lsh {
     val probes = probeSet(q, d, nPlanes, nPlanes)
     val buckets = probes.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // no broadcast hint on the tombstone anti-join: the delete set is
+    // corpus-fraction-sized (it grows with the table, unlike the bounded
+    // query/model relations), so AQE picks the strategy from its actual
+    // runtime size — broadcast while small, shuffled once it is not
     val cand = tombs match {
       case Some(t) => stored.join(
-        broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+        t.select(col("id")), Seq("id"), "left_anti")
       case None => stored
     }
     val scored = cand
@@ -343,7 +347,7 @@ object Lsh {
     if (!Files.exists(dst.resolve("_DONE"))) {
       val tmp = Files.createTempDirectory(dst.getParent, "lshdelcompact-")
       spark.read.parquet(srcPath)
-        .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+        .join(tombs.select(col("id")), Seq("id"), "left_anti")
         .repartition(col("bucket"))
         .sortWithinPartitions(col("id"))
         .write.mode("overwrite").partitionBy("bucket")

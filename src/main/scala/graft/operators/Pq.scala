@@ -625,8 +625,10 @@ object Pq {
   /**
    * MERGE-ON-READ DELETES over a codes layout: the deletion set is a
    * tiny (id) sidecar — the relational form of a deletion vector — and
-   * the query anti-joins it (broadcast: the delete set is bounded, the
-   * corpus is not). Nothing in the immutable layout is rewritten at
+   * the query anti-joins it (no broadcast hint: the delete set is
+   * corpus-fraction-sized and grows with the table, so AQE picks the
+   * anti-join strategy from its actual runtime size — broadcast while
+   * small, shuffled once it is not). Nothing in the immutable layout is rewritten at
    * delete time; [[compactCodesLayoutWithDeletes]] is the table
    * service's later physical rewrite, after which queries are hash-equal
    * with an empty sidecar. Probe-cell partition pruning pushes through
@@ -639,7 +641,7 @@ object Pq {
                               nprobe: Int, mSub: Int, codes: Int,
                               rerank: Int): DataFrame = {
     val live = spark.read.parquet(path)
-      .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+      .join(tombs.select(col("id")), Seq("id"), "left_anti")
     topkOffStored(live, emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
   }
 
@@ -771,7 +773,7 @@ object Pq {
     if (!Files.exists(dst.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(dst.getParent, "pqdelcompact-")
       spark.read.parquet(srcPath)
-        .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+        .join(tombs.select(col("id")), Seq("id"), "left_anti")
         .repartition(col("cell"))
         .sortWithinPartitions(col("id"))
         .write.mode("overwrite").partitionBy("cell")
@@ -844,8 +846,10 @@ object Pq {
     val cols = Seq(col("id"), col("cell"), col("vec"), col("code"))
     val base = spark.read.parquet(basePath).select(cols: _*)
     val delta = spark.read.parquet(deltaPath).select(cols: _*)
+    // no broadcast hint: the upsert delta is corpus-fraction-sized (a
+    // mod of the table), AQE sizes the anti-join at runtime
     val live = base
-      .join(broadcast(delta.select(col("id"))), Seq("id"), "left_anti")
+      .join(delta.select(col("id")), Seq("id"), "left_anti")
       .unionByName(delta)
     topkOffStored(live, emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
   }
@@ -1250,12 +1254,18 @@ object Pq {
   }
 
   /** Left-assoc dot of a FLOAT[] column against cell c's float unit
-    * centroid (as double literals) — the spherical assignment/probe/qc
-    * fold, term order mirrored by the oracle's `ORDER BY j` reduce. */
+    * centroid — the spherical assignment/probe/qc fold, term order
+    * mirrored by the oracle's `ORDER BY j` reduce. The codegen'd
+    * [[org.apache.spark.sql.graft.VecExprs.dotD]] loop (ascending index,
+    * per-element float->double widening, acc starting at 0.0) is
+    * bit-identical to the explicit `element_at(j).cast * lit(u_j)`
+    * reduceLeft chain it replaces — which at the D=1024 widths built a
+    * 1024-deep Column tree that overflowed the Column->Expression
+    * converter's stack. */
   private def sphSdot(model: SphModel, vecCol: Column, c: Int,
                       d: Int): Column =
-    (1 to d).map(j => element_at(vecCol, j).cast("double") *
-      lit(model.ucf(c)(j - 1).toDouble)).reduceLeft(_ + _)
+    org.apache.spark.sql.graft.VecExprs.dotD(vecCol,
+      typedlit(model.ucf(c).toSeq))
 
   /** Map-side spherical assignment: cell = argmax dot(x, u_c) (== argmax
     * cosine against unit centroids), ties to the smaller cell. */
@@ -1534,8 +1544,10 @@ object Pq {
     val cols = Seq(col("id"), col("cell"), col("vec"), col("code"))
     val base = spark.read.parquet(basePath).select(cols: _*)
     val delta = spark.read.parquet(deltaPath).select(cols: _*)
+    // no broadcast hint: the upsert delta is corpus-fraction-sized (a
+    // mod of the table), AQE sizes the anti-join at runtime
     val live = base
-      .join(broadcast(delta.select(col("id"))), Seq("id"), "left_anti")
+      .join(delta.select(col("id")), Seq("id"), "left_anti")
       .unionByName(delta)
     val model = sphericalModel(emb, nCells, d, mSub, codes) // STALE
     val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
@@ -1560,22 +1572,60 @@ object Pq {
       sfDir: String, emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
       nprobe: Int, mSub: Int, codes: Int, rerank: Int,
       deleteMod: Int): DataFrame = {
-    require(rerank >= k, s"rerank $rerank must be >= k $k")
     val path = ensureSphericalResidualCodesFixture(spark, sfDir, nCells, d,
       mSub, codes)
     val tombs = spark.read.parquet(ensureTombstones(spark, path, deleteMod))
+    topkSphericalResidualOffCodesWithTombs(spark, path, tombs, emb, nq, k,
+      nCells, d, nprobe, mSub, codes, rerank)
+  }
+
+  /**
+   * AS-OF (time-travel) serve on the SPHERICAL layout — the last CRUD
+   * verb the composed cosine index was missing: the append-only
+   * versioned delete log ([[ensureVersionedTombstones]], the same
+   * commit-history sidecar the L2 PQ family serves
+   * `q_ann_pq_delete_asof` from) applies only commits with
+   * `commit_v <= asOf` — asOf 0 is the pre-delete snapshot, the latest
+   * asOf equals the plain merge-on-read delete query. The snapshot
+   * choice is a filter on the bounded sidecar BEFORE the anti-join;
+   * the immutable cell-partitioned base layout is shared by every
+   * snapshot, and the trained model stays STALE for all of them.
+   */
+  def topkSphericalResidualAtRestWithDeletesAsOf(spark: SparkSession,
+      sfDir: String, emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+      nprobe: Int, mSub: Int, codes: Int, rerank: Int,
+      deleteMod: Int, asOf: Int): DataFrame = {
+    val path = ensureSphericalResidualCodesFixture(spark, sfDir, nCells, d,
+      mSub, codes)
+    val tombs = spark.read
+      .parquet(ensureVersionedTombstones(spark, path, deleteMod))
+      .filter(col("commit_v") <= asOf).select(col("id"))
+    topkSphericalResidualOffCodesWithTombs(spark, path, tombs, emb, nq, k,
+      nCells, d, nprobe, mSub, codes, rerank)
+  }
+
+  /** The shared tombstone-aware spherical serve: an explicit (id) delete
+    * relation anti-joined out of BOTH the cheap candidates and the
+    * rescore fetch, model and cell assignment stale. */
+  private def topkSphericalResidualOffCodesWithTombs(spark: SparkSession,
+      path: String, tombs: DataFrame, emb: DataFrame, nq: Int, k: Int,
+      nCells: Int, d: Int, nprobe: Int, mSub: Int, codes: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
     val model = sphericalModel(emb, nCells, d, mSub, codes)
     val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probes = sphProbes(model, q0, d, nprobe, mSub, codes)
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val stored = spark.read.parquet(path)
+    // no broadcast hint on either anti-join: the tombstone set is
+    // corpus-fraction-sized, AQE picks the strategy from its runtime size
     val cheapEnc = stored.select(col("id"), col("cell"), col("code"))
       .filter(col("cell").isin(cells.toSeq: _*))
-      .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+      .join(tombs.select(col("id")), Seq("id"), "left_anti")
       .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
     val fetch = stored.filter(col("cell").isin(cells.toSeq: _*))
-      .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_anti")
+      .join(tombs.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("vec"))
     sphServe(model, cheapEnc, fetch, q0, probes, k, nCells, d, mSub,
       codes, rerank)

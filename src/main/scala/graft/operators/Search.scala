@@ -139,6 +139,44 @@ object Search {
   }
 
   /**
+   * PER-QUERY FACETED (grouped) top-k — the grouped member of the
+   * multi-query relation matrix: `facets` is a (qid, lang) table and
+   * each query gets the best `k` PER (qid, lang) facet OF ITS OWN SET —
+   * [[groupedTopK]] (fixed facet axis for every query) generalized the
+   * way [[filteredTopKMulti]] generalizes [[filteredTopK]]. One scored
+   * scan: the bounded facet relation broadcasts, candidacy is the
+   * (qid, lang) equi-join applied BEFORE any distance arithmetic, and
+   * the per-(qid, facet) cut is a window over (qid, lang) —
+   * WindowGroupLimit pushes it map-side, so each (partition, qid, lang)
+   * ships ~k rows into the single exchange. Facet cardinality only
+   * widens the bounded result, never re-scans.
+   * Output (qid, lang, rank, id, score), rank 1..k within each
+   * (qid, lang).
+   */
+  def groupedTopKMulti(emb: DataFrame, docMeta: DataFrame,
+                       facets: Seq[(Long, String)], k: Int): DataFrame = {
+    require(facets.nonEmpty, "groupedTopKMulti: empty facet relation")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nq = (facets.map(_._1).max + 1).toInt
+    val meta = docMeta.select(col("doc_id").as("id"), col("lang"))
+    val q = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2")))
+    val qf = broadcast(facets.toDF("qid", "lang"))
+    val scored = candSide(emb).join(meta, Seq("id"))
+      .crossJoin(q)
+      .join(qf, Seq("qid", "lang"))
+      .withColumn("score", cosScore)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("lang"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.select(col("qid"), col("lang"), col("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("lang"), col("rank"), col("id"), col("score"))
+  }
+
+  /**
    * Filtered search against the AT-REST IVF index: the layout stores
    * row metadata (lang) beside the vectors ([[Ivf.ensureIndex]] v2), so
    * ONE scan serves both prunings — probe cells as a Parquet partition
@@ -424,6 +462,19 @@ object Search {
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
         .coalesce(1).write.mode("overwrite")
         .parquet(tmp.resolve("_stats").toString)
+      // publish-time invariant check: the stats derivation above relies
+      // on every doc emitting >= 1 posting row (split("") = [""]) — a
+      // future tokenizer change (empty-token or stopword filtering)
+      // would silently skew n/sumdl and every idf. One bounded aggregate
+      // per build fails the PUBLISH instead of corrupting BM25 scores.
+      val statsN = spark.read.parquet(tmp.resolve("_stats").toString)
+        .collect()(0).getAs[Long]("n")
+      val docN = graft.Tables.documents(spark, sfDir).count()
+      require(statsN == docN,
+        s"postings stats invariant broken: $statsN distinct docs in the " +
+          s"postings vs $docN corpus rows — the tokenizer no longer " +
+          "emits >= 1 posting per doc; stats derivation must move back " +
+          "to a corpus scan")
       Files.createFile(tmp.resolve("_DONE"))
       try Files.move(tmp, path)
       catch { case _: java.nio.file.FileSystemException =>
@@ -518,9 +569,11 @@ object Search {
     // integers; a (doc, term) has at most one posting row so the SUM is
     // a singleton pick), then the bm25 tree with tf from the column.
     // Deletes cut candidates ONLY — df/idf above stay stale on purpose.
+    // no broadcast hint: the tombstone set is corpus-fraction-sized
+    // (grows with the table), AQE sizes the anti-join at runtime
     val candRows = tombs match {
       case Some(t) => pruned.join(
-        broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        t.select(col("doc_id")), Seq("doc_id"), "left_anti")
       case None => pruned
     }
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
@@ -644,10 +697,24 @@ object Search {
    * that oracle — while the tf/dl fetches touch each query's seeds +
    * survivors instead of its whole posting union.
    */
-  def bm25MultiMaxScore(spark: SparkSession, sfDir: String,
-                        queries: Seq[(Long, Seq[String])], k1: Double,
-                        b: Double, topN: Int, nBuckets: Int,
-                        seedB: Int): DataFrame = {
+  /** The shared multi-query MaxScore pipeline state — the per-qid twin
+    * of [[MaxScoreParts]]: the pruned-scan factory, the broadcast
+    * (qid, term, pos, idf, ms) relation, per-(qid, doc) bounds, per-qid
+    * seed sets, the RELATIONAL per-qid taus, survivors, and the exact
+    * scorer — built once, consumed by both the result query
+    * ([[bm25MultiMaxScore]]) and its per-qid byte ledger
+    * ([[bm25MultiMaxScoreMetrics]]). */
+  private final case class MultiMaxScoreParts(
+      pruned: () => DataFrame, qt: DataFrame, bounds: DataFrame,
+      seeds: DataFrame, taus: DataFrame, survivors: DataFrame,
+      exactScores: DataFrame => DataFrame,
+      wS: org.apache.spark.sql.expressions.WindowSpec)
+
+  private def multiMaxScoreParts(spark: SparkSession, sfDir: String,
+                                 queries: Seq[(Long, Seq[String])],
+                                 k1: Double, b: Double, topN: Int,
+                                 nBuckets: Int,
+                                 seedB: Int): MultiMaxScoreParts = {
     require(queries.nonEmpty, "bm25MultiMaxScore: empty query relation")
     require(seedB >= topN, s"seedB $seedB must be >= topN $topN")
     val unionTerms = queries.flatMap(_._2).distinct
@@ -719,10 +786,95 @@ object Search {
     val survivors = bounds.join(taus, Seq("qid"))
       .filter(col("bound") >= col("tau"))
       .select(col("qid"), col("doc_id"))
-    exactScores(survivors)
-      .withColumn("rank", row_number().over(wS))
+    MultiMaxScoreParts(() => prunedScan, qt, bounds, seeds, taus,
+      survivors, exactScores, wS)
+  }
+
+  def bm25MultiMaxScore(spark: SparkSession, sfDir: String,
+                        queries: Seq[(Long, Seq[String])], k1: Double,
+                        b: Double, topN: Int, nBuckets: Int,
+                        seedB: Int): DataFrame = {
+    val p = multiMaxScoreParts(spark, sfDir, queries, k1, b, topN,
+      nBuckets, seedB)
+    p.exactScores(p.survivors)
+      .withColumn("rank", row_number().over(p.wS))
       .filter(col("rank") <= topN)
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /**
+   * [[bm25MultiMaxScore]]'s PER-QID BYTE LEDGER — the reference's
+   * first-class (saving, fpr) accounting discipline
+   * (`ANNCode.py:316-318,363-369`) carried onto the newest rung: one
+   * row PER QUERY of the relation plus the aggregate row (qid = -1),
+   * each with the [[bm25MaxScoreMetrics]] columns derived from that
+   * query's OWN slice of the shared pipeline:
+   *
+   *  - `candidates` = the qid's posting-union doc count (its bounds),
+   *  - `seed_docs` / `survivors` = its seed set and bound >= own-tau
+   *    survivor set,
+   *  - `bytes_full` = fully reading the qid's candidate posting rows
+   *    (term chars + 24), `bytes_cheap` = the bound pass's
+   *    (term, doc_id) columns over the same rows (term chars + 8),
+   *  - `bytes_exact` = 24 per posting row fetched by the qid's seed
+   *    pass plus its survivor pass (both really read),
+   *  - `save` = 1 − (cheap + exact)/full.
+   *
+   * Everything stays RELATIONAL — counts and byte sums are per-qid
+   * aggregates over the same bounds/seeds/survivors relations the
+   * result query serves from, no driver loop; the per-qid taus are the
+   * same relational derivation. Exact integers and one division per
+   * row. The aggregate row sums the per-qid integers, so
+   * "sum of parts = whole" is an invariant the spec asserts.
+   */
+  def bm25MultiMaxScoreMetrics(spark: SparkSession, sfDir: String,
+                               queries: Seq[(Long, Seq[String])],
+                               k1: Double, b: Double, topN: Int,
+                               nBuckets: Int, seedB: Int): DataFrame = {
+    val p = multiMaxScoreParts(spark, sfDir, queries, k1, b, topN,
+      nBuckets, seedB)
+    // the qid's candidate posting rows: the union-pruned postings joined
+    // to ITS terms — the relation both byte baselines and both exact
+    // fetches count over
+    def candRel: DataFrame =
+      p.pruned().join(p.qt.select(col("qid"), col("term")), Seq("term"))
+    val rowBytes = candRel.groupBy(col("qid"))
+      .agg(sum(length(col("term")) + lit(24L)).as("bytes_full"),
+        sum(length(col("term")) + lit(8L)).as("bytes_cheap"))
+    val cands = p.bounds.groupBy(col("qid"))
+      .agg(count(lit(1)).as("candidates"))
+    val nSeeds = p.seeds.groupBy(col("qid"))
+      .agg(count(lit(1)).as("seed_docs"))
+    val nSurv = p.survivors.groupBy(col("qid"))
+      .agg(count(lit(1)).as("survivors"))
+    def fetchBytes(ids: DataFrame, name: String): DataFrame =
+      candRel.join(ids.select(col("qid"), col("doc_id")),
+          Seq("qid", "doc_id"))
+        .groupBy(col("qid"))
+        .agg((count(lit(1)) * lit(24L)).as(name))
+    val perQid = cands
+      .join(nSeeds, Seq("qid")).join(nSurv, Seq("qid"))
+      .join(rowBytes, Seq("qid"))
+      .join(fetchBytes(p.seeds, "b_seed"), Seq("qid"))
+      .join(fetchBytes(p.survivors, "b_surv"), Seq("qid"))
+      .select(col("qid"), col("candidates"), col("seed_docs"),
+        col("survivors"), col("bytes_cheap"),
+        (col("b_seed") + col("b_surv")).as("bytes_exact"),
+        col("bytes_full"))
+    val total = perQid.agg(
+      sum(col("candidates")).as("candidates"),
+      sum(col("seed_docs")).as("seed_docs"),
+      sum(col("survivors")).as("survivors"),
+      sum(col("bytes_cheap")).as("bytes_cheap"),
+      sum(col("bytes_exact")).as("bytes_exact"),
+      sum(col("bytes_full")).as("bytes_full"))
+      .select(lit(-1L).as("qid"), col("candidates"), col("seed_docs"),
+        col("survivors"), col("bytes_cheap"), col("bytes_exact"),
+        col("bytes_full"))
+    perQid.unionByName(total)
+      .withColumn("save", lit(1.0) -
+        (col("bytes_cheap") + col("bytes_exact")).cast("double") /
+          col("bytes_full").cast("double"))
   }
 
   /**
@@ -1046,9 +1198,14 @@ object Search {
       .agg(min(col("tscore")).as("tmin"), max(col("tscore")).as("tmax"))
     val vmm = vec.groupBy(col("qid"))
       .agg(min(col("vscore")).as("vmin"), max(col("vscore")).as("vmax"))
+    // LEFT joins for the per-qid min/max relations: a qid whose text
+    // list is EMPTY (its terms match zero docs) has no tmm row, and an
+    // inner join here would silently drop that qid from the output
+    // entirely — instead it is still served on vnorm alone (tscore is
+    // null on every surviving row, so tnorm = 0.0 needs no tmm)
     val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
-      .join(broadcast(tmm), Seq("qid"))
-      .join(broadcast(vmm), Seq("qid"))
+      .join(broadcast(tmm), Seq("qid"), "left")
+      .join(broadcast(vmm), Seq("qid"), "left")
       .withColumn("tnorm",
         when(col("tscore").isNull, lit(0.0))
           .when(col("tmax") === col("tmin"), lit(1.0))

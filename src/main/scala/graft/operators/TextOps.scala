@@ -573,8 +573,16 @@ object TextOps {
       .as[(String, Array[Int])]
     pre.mapPartitions { it =>
       val g = bc.value
+      // the local set is CAPPED (flush-and-continue): per-partition gram
+      // dedup is a best-effort bandwidth saver — the closing distinct()
+      // over the candidate sliver is authoritative — so a high-vocabulary
+      // partition must never turn the saver into an unbounded heap (the
+      // global distinct() this probe replaced was at least spillable).
+      // 1M strings ≈ tens of MB; past that, drop the memo and re-emit.
+      val seenCap = 1 << 20
       val seen = new java.util.HashSet[String]()
       it.flatMap { case (gram, bks) =>
+        if (seen.size >= seenCap) seen.clear()
         if (!seen.add(gram)) Iterator.empty
         else {
           var est = Long.MaxValue

@@ -846,6 +846,134 @@ object PqOracle {
   }
 
   /**
+   * The composed cosine string at REALISTIC width
+   * ([[graft.operators.Pq.topkSphericalResidual]] on
+   * `Fixture.fp16VectorsModCached` slices — `q_ann_ivf_spherical_pq_d1024`):
+   * [[sphericalResidualSql]]'s pipeline re-expressed over the
+   * synthesized (key, j, v) relation the other wide oracles use
+   * ([[topkResidualWideSql]]'s domain), because at D=1024 the
+   * element-indexed form would embed ~20k-wide expression strings.
+   *
+   * Fold discipline (what must be ORDERED vs what may be a plain SUM):
+   * products of two GRID values — fp16 components x dyadic centroid/
+   * codebook components, or fp16 x fp16 — are exact in DOUBLE and so
+   * are their sums (order-free: init assignment dots, ADC table, query
+   * norms, rescore dots — the [[topkResidualWideSql]] argument). Any
+   * fold involving the TRAINED units (arbitrary 24-bit floats after
+   * the stored-codebook rounding) or the float-rounded residuals is
+   * inexact and must replay the engine's j-order: `list_reduce(list(..
+   * ORDER BY j))` for the unit norms, cross-dots, assignment/probe
+   * dots, and PQ encode distances — exactly [[sphericalResidualSql]]'s
+   * discipline. The init-centroid norms are the engine's driver-side
+   * literals (exact sums + one correctly-rounded sqrt on both sides).
+   */
+  def sphericalResidualWideSql(d: Int, nq: Int, k: Int, nCells: Int,
+                               nprobe: Int, mSub: Int, codes: Int,
+                               rerank: Int, keyMod: Int): String = {
+    val sub = d / mSub
+    val aMul = graft.operators.Dedup.AMul
+    val p = 2147483647L
+    val cellsValues = (0 until nCells).map(g => s"($g)").mkString(",")
+    val codesValues = (0 until codes).map(c => s"($c)").mkString(",")
+    val cnormValues = (0 until nCells).map(g =>
+      s"($g, ${OracleGen.dlit(graft.operators.Ivf.sphericalInitNorm(g, d))})")
+      .mkString(", ")
+    val ccomp = s"CAST(((g*$aMul + (j+1)*48271) % $p) % 1024 - 512 AS DOUBLE)/512.0"
+    val cbcomp = s"CAST(((code*$aMul + (j+1)*48271 + 1299709) % $p) % 1024 - 512 AS DOUBLE)/2048.0"
+    s"""WITH ${OracleGen.keysAndDims(d, keyMod)},
+       |vd AS MATERIALIZED (SELECT key, j, CAST(${OracleGen.fp16Comp} AS DOUBLE) AS v
+       |  FROM keys CROSS JOIN dims),
+       |cells AS (SELECT g FROM (VALUES $cellsValues) AS t(g)),
+       |ccomp AS (SELECT g, j, $ccomp AS c FROM cells CROSS JOIN dims),
+       |cnorm(g, nrm) AS (VALUES $cnormValues),
+       |pqcomp AS (SELECT code, j, (j // $sub) AS m, $cbcomp AS cb
+       |  FROM (VALUES $codesValues) AS t(code) CROSS JOIN dims),
+       |s0 AS (SELECT vd.key, cc.g, SUM(vd.v * cc.c) AS dp
+       |  FROM vd JOIN ccomp cc ON cc.j = vd.j GROUP BY 1, 2),
+       |sasg0 AS MATERIALIZED (SELECT key, g AS cell FROM (
+       |    SELECT s0.key, s0.g,
+       |      row_number() OVER (PARTITION BY s0.key
+       |        ORDER BY s0.dp / cn.nrm DESC, s0.g ASC) AS rn
+       |    FROM s0 JOIN cnorm cn ON cn.g = s0.g) t WHERE t.rn = 1),
+       |smj AS MATERIALIZED (SELECT a.cell, vd.j, COUNT(*) AS n,
+       |    SUM(vd.v) / CAST(COUNT(*) AS DOUBLE) AS mean
+       |  FROM sasg0 a JOIN vd ON vd.key = a.key GROUP BY a.cell, vd.j),
+       |sss AS (SELECT cell, list_reduce(list(mean * mean ORDER BY j),
+       |    (acc, x) -> acc + x) AS ss FROM smj GROUP BY cell),
+       |uf AS MATERIALIZED (SELECT smj.cell, smj.j,
+       |    CAST(CAST(smj.mean / ${fn("sss.ss")} AS FLOAT) AS DOUBLE) AS u
+       |  FROM smj JOIN sss ON sss.cell = smj.cell),
+       |n2c AS (SELECT cell, list_reduce(list(u*u ORDER BY j),
+       |    (acc, x) -> acc + x) AS v FROM uf GROUP BY cell),
+       |cbn2 AS (SELECT m, code, SUM(cb*cb) AS n2cb FROM pqcomp GROUP BY 1, 2),
+       |crd AS (SELECT u.cell, p.m, p.code,
+       |    list_reduce(list(u.u * p.cb ORDER BY u.j), (acc, x) -> acc + x) AS cd
+       |  FROM uf u JOIN pqcomp p ON p.j = u.j GROUP BY u.cell, p.m, p.code),
+       |rcn AS MATERIALIZED (SELECT crd.cell, crd.m, crd.code,
+       |    2.0 * crd.cd + cb.n2cb AS v
+       |  FROM crd JOIN cbn2 cb ON cb.m = crd.m AND cb.code = crd.code),
+       |scd AS MATERIALIZED (SELECT vd.key, uf.cell,
+       |    list_reduce(list(vd.v * uf.u ORDER BY uf.j), (acc, x) -> acc + x) AS sd
+       |  FROM vd JOIN uf ON uf.j = vd.j GROUP BY vd.key, uf.cell),
+       |sasg AS MATERIALIZED (SELECT key, cell FROM (SELECT key, cell,
+       |    row_number() OVER (PARTITION BY key ORDER BY sd DESC, cell ASC) AS rn
+       |  FROM scd) t WHERE t.rn = 1),
+       |rvd AS MATERIALIZED (SELECT vd.key, vd.j, a.cell,
+       |    CAST(CAST(vd.v - u.u AS FLOAT) AS DOUBLE) AS rv
+       |  FROM vd JOIN sasg a ON a.key = vd.key
+       |  JOIN uf u ON u.cell = a.cell AND u.j = vd.j),
+       |pqd AS MATERIALIZED (SELECT r.key, r.cell, p.m, p.code,
+       |    list_reduce(list((r.rv - p.cb)*(r.rv - p.cb) ORDER BY r.j),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM rvd r JOIN pqcomp p ON p.j = r.j
+       |  GROUP BY r.key, r.cell, p.m, p.code),
+       |enc AS MATERIALIZED (SELECT key, cell, m, code FROM (
+       |    SELECT key, cell, m, code,
+       |      row_number() OVER (PARTITION BY key, m ORDER BY d2 ASC, code ASC) AS rn
+       |    FROM pqd) t WHERE t.rn = 1),
+       |qk AS (SELECT key AS qkey FROM keys ORDER BY key LIMIT $nq),
+       |qd AS (SELECT qkey, j, v AS qv FROM vd JOIN qk ON vd.key = qk.qkey),
+       |nqt AS (SELECT qkey, SUM(qv*qv) AS nq2 FROM qd GROUP BY qkey),
+       |qsd AS MATERIALIZED (SELECT q.qkey, uf.cell,
+       |    list_reduce(list(q.qv * uf.u ORDER BY uf.j), (acc, x) -> acc + x) AS sd
+       |  FROM qd q JOIN uf ON uf.j = q.j GROUP BY q.qkey, uf.cell),
+       |qp AS (SELECT qkey, cell, sd FROM (SELECT qkey, cell, sd,
+       |    row_number() OVER (PARTITION BY qkey ORDER BY sd DESC, cell ASC) AS pr
+       |  FROM qsd) t WHERE t.pr <= $nprobe),
+       |adc AS MATERIALIZED (SELECT q.qkey, p.m, p.code, SUM(q.qv * p.cb) AS t
+       |  FROM qd q JOIN pqcomp p ON p.j = q.j GROUP BY q.qkey, p.m, p.code),
+       |chp AS MATERIALIZED (SELECT qp.qkey, en.key AS id, en.cell, qp.sd,
+       |    list_reduce(list(ad.t ORDER BY en.m), (acc, x) -> acc + x) AS psum,
+       |    list_reduce(list(rc.v ORDER BY en.m), (acc, x) -> acc + x) AS rsum
+       |  FROM qp JOIN enc en ON en.cell = qp.cell
+       |  JOIN adc ad ON ad.qkey = qp.qkey AND ad.m = en.m AND ad.code = en.code
+       |  JOIN rcn rc ON rc.cell = en.cell AND rc.m = en.m AND rc.code = en.code
+       |  GROUP BY qp.qkey, en.key, en.cell, qp.sd),
+       |cheap AS (SELECT c.qkey AS qid, c.id,
+       |    (c.sd + c.psum) / (${fn("n.v + c.rsum")} * ${fn("nqt.nq2")}) AS s_hat
+       |  FROM chp c JOIN n2c n ON n.cell = c.cell
+       |  JOIN nqt ON nqt.qkey = c.qkey),
+       |rr AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |    FROM cheap) t WHERE t.rn <= $rerank),
+       |nv AS (SELECT key, SUM(v*v) AS n2 FROM vd GROUP BY key),
+       |pair AS (SELECT r.qid, r.id, SUM(qd.qv * vd.v) AS dp
+       |  FROM rr r JOIN qd ON qd.qkey = r.qid
+       |  JOIN vd ON vd.key = r.id AND vd.j = qd.j
+       |  GROUP BY r.qid, r.id),
+       |scored AS (SELECT p2.qid, p2.id,
+       |    p2.dp / (${fn("nv.n2")} * ${fn("nqt.nq2")}) AS score
+       |  FROM pair p2 JOIN nv ON nv.key = p2.id
+       |  JOIN nqt ON nqt.qkey = p2.qid),
+       |ranked AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
    * IVF-PQ with the OPQ-style signed-permutation pre-transform
    * ([[graft.operators.Pq.topkPermuted]]): every candidate/query-side
    * component e.embedding[j] is replaced by sign_j * e.embedding[perm_j]

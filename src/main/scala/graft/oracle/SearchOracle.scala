@@ -20,6 +20,18 @@ object SearchOracle {
 
   private def fn(x: String) = s"GREATEST(sqrt($x), 1e-12)"
 
+  /** The multi-query relation CTE body: reads the STORED fixture table
+    * (the same parquet the engine binds from) when its path is known,
+    * falling back to inline VALUES (of the identical rows — the table
+    * writer's input) from a session-less JVM. `cols` names the long-form
+    * columns the kind uses. */
+  private def relCte(relPath: Option[String], kind: String, cols: String,
+                     valuesForm: String): String = relPath match {
+    case Some(p) =>
+      s"SELECT $cols FROM read_parquet('$p/*.parquet') WHERE kind = '$kind'"
+    case None => valuesForm
+  }
+
   /** Metadata-filtered top-k (pre-filter semantics): candidates joined to
     * documents on vec_id = doc_id, lang IN (...), then ranked per query. */
   /** Grouped (faceted) top-k ([[graft.operators.Search.groupedTopK]]):
@@ -70,15 +82,17 @@ object SearchOracle {
     * .filteredTopKMulti]]): the (qid, lang) relation as VALUES, candidacy
     * one equi-join against it, ranks per qid. */
   def filteredMultiSql(d: Int, filters: Seq[(Long, String)],
-                       k: Int): String = {
+                       k: Int, relPath: Option[String] = None): String = {
     val nq = (filters.map(_._1).max + 1).toInt
     val qfRows = filters.map { case (qid, l) => s"($qid, '$l')" }
       .mkString(", ")
+    val qfBody = relCte(relPath, "filter", "qid, lang",
+      s"SELECT CAST(qid AS BIGINT) AS qid, lang" +
+        s"\n  FROM (VALUES $qfRows) AS v(qid, lang)")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |           ORDER BY vec_id LIMIT $nq),
        |${EmbOracle.nrmCte(d)},
-       |qf AS (SELECT CAST(qid AS BIGINT) AS qid, lang
-       |  FROM (VALUES $qfRows) AS v(qid, lang)),
+       |qf AS ($qfBody),
        |cand AS (SELECT e.vec_id AS id, e.embedding, dm.lang
        |  FROM embeddings e JOIN documents dm ON e.vec_id = dm.doc_id),
        |sc AS (SELECT q.qid, c.id, c.lang,
@@ -96,18 +110,53 @@ object SearchOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
-  /** Per-query radius search ([[graft.operators.Search
-    * .rangeSearchMulti]]): the (qid, tau) relation as VALUES, each
-    * query's cut against its own threshold. */
-  def rangeMultiSql(d: Int, radii: Seq[(Long, Double)]): String = {
-    val nq = (radii.map(_._1).max + 1).toInt
-    val qrRows = radii.map { case (qid, tau) => s"($qid, ${dlit(tau)})" }
+  /** Per-query faceted top-k ([[graft.operators.Search
+    * .groupedTopKMulti]]): the (qid, lang) facet relation as VALUES,
+    * candidacy one equi-join against it, ranks per (qid, lang). */
+  def groupedMultiSql(d: Int, facets: Seq[(Long, String)],
+                      k: Int, relPath: Option[String] = None): String = {
+    val nq = (facets.map(_._1).max + 1).toInt
+    val qfRows = facets.map { case (qid, l) => s"($qid, '$l')" }
       .mkString(", ")
+    val qfBody = relCte(relPath, "facet", "qid, lang",
+      s"SELECT CAST(qid AS BIGINT) AS qid, lang" +
+        s"\n  FROM (VALUES $qfRows) AS v(qid, lang)")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |           ORDER BY vec_id LIMIT $nq),
        |${EmbOracle.nrmCte(d)},
-       |qr AS (SELECT CAST(qid AS BIGINT) AS qid, tau
-       |  FROM (VALUES $qrRows) AS v(qid, tau)),
+       |qf AS ($qfBody),
+       |cand AS (SELECT e.vec_id AS id, e.embedding, dm.lang
+       |  FROM embeddings e JOIN documents dm ON e.vec_id = dm.doc_id),
+       |sc AS (SELECT q.qid, c.id, c.lang,
+       |    ${EmbOracle.dotE("c.embedding", "q.qv", d)} AS dp
+       |  FROM cand c CROSS JOIN q
+       |  JOIN qf ON qf.qid = q.qid AND qf.lang = c.lang),
+       |scored AS (SELECT sc.qid, sc.id, sc.lang,
+       |    sc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM sc JOIN nrm ni ON sc.id = ni.vec_id
+       |          JOIN nrm nq2 ON sc.qid = nq2.vec_id),
+       |ranked AS (SELECT qid, id, lang, score,
+       |  row_number() OVER (PARTITION BY qid, lang ORDER BY score DESC, id ASC) AS rnk
+       |  FROM scored)
+       |SELECT qid, lang, CAST(rnk AS INTEGER) AS rank, id, score
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Per-query radius search ([[graft.operators.Search
+    * .rangeSearchMulti]]): the (qid, tau) relation as VALUES, each
+    * query's cut against its own threshold. */
+  def rangeMultiSql(d: Int, radii: Seq[(Long, Double)],
+                    relPath: Option[String] = None): String = {
+    val nq = (radii.map(_._1).max + 1).toInt
+    val qrRows = radii.map { case (qid, tau) => s"($qid, ${dlit(tau)})" }
+      .mkString(", ")
+    val qrBody = relCte(relPath, "radius", "qid, tau",
+      s"SELECT CAST(qid AS BIGINT) AS qid, tau" +
+        s"\n  FROM (VALUES $qrRows) AS v(qid, tau)")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           ORDER BY vec_id LIMIT $nq),
+       |${EmbOracle.nrmCte(d)},
+       |qr AS ($qrBody),
        |sc AS (SELECT q.qid, e.vec_id AS id,
        |    ${EmbOracle.dotE("e.embedding", "q.qv", d)} AS dp
        |  FROM embeddings e CROSS JOIN q),
@@ -337,8 +386,9 @@ object SearchOracle {
    * agrees, ln fallback otherwise).
    */
   def bm25MultiSql(queries: Seq[(Long, Seq[String])], k1: Double,
-                   b: Double, topN: Int, st: Option[Bm25Stats]): String =
-    s"""WITH ${bm25MultiCtes(queries, k1, b, st)},
+                   b: Double, topN: Int, st: Option[Bm25Stats],
+                   relPath: Option[String] = None): String =
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st, relPath)},
        |ranked AS (SELECT qid, doc_id, score,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
        |  FROM mscored)
@@ -348,7 +398,8 @@ object SearchOracle {
   /** The multi-query BM25 CTE chain shared by [[bm25MultiSql]] and
     * [[hybridRrfMultiSql]], ending at `mscored(qid, doc_id, score)`. */
   private def bm25MultiCtes(queries: Seq[(Long, Seq[String])], k1: Double,
-                            b: Double, st: Option[Bm25Stats]): String = {
+                            b: Double, st: Option[Bm25Stats],
+                            relPath: Option[String] = None): String = {
     val unionTerms = queries.flatMap(_._2).distinct
     val maxPos = queries.map(_._2.size).max
     val inList = unionTerms.map(t => s"'$t'").mkString(", ")
@@ -393,9 +444,10 @@ object SearchOracle {
        |  FROM documents),
        |dfp AS (SELECT $dfCols FROM posts),
        |ti AS ($tiRows),
-       |qt AS (SELECT CAST(qid AS BIGINT) AS qid, term,
-       |    CAST(pos AS INTEGER) AS pos
-       |  FROM (VALUES $qtRows) AS v(qid, term, pos)),
+       |qt AS (${relCte(relPath, "bm25", "qid, term, pos",
+          s"SELECT CAST(qid AS BIGINT) AS qid, term," +
+            s"\n    CAST(pos AS INTEGER) AS pos" +
+            s"\n  FROM (VALUES $qtRows) AS v(qid, term, pos)")}),
        |qtt AS (SELECT qt.qid, qt.term, qt.pos, ti.idf
        |  FROM qt JOIN ti ON ti.term = qt.term),
        |cand AS (SELECT q.qid, p.doc_id, p.dl, q.pos, p.tf, q.idf
@@ -415,10 +467,11 @@ object SearchOracle {
    */
   def hybridRrfMultiSql(d: Int, queries: Seq[(Long, Seq[String])],
                         k1: Double, b: Double, poolN: Int, rrfK: Int,
-                        k: Int, st: Option[Bm25Stats]): String = {
+                        k: Int, st: Option[Bm25Stats],
+                        relPath: Option[String] = None): String = {
     val nqv = (queries.map(_._1).max + 1).toInt
     val qids = queries.map(_._1).mkString(", ")
-    s"""WITH ${bm25MultiCtes(queries, k1, b, st)},
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st, relPath)},
        |btop AS (SELECT qid, doc_id, CAST(rnk AS INTEGER) AS text_rank FROM (
        |  SELECT qid, doc_id,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
@@ -450,12 +503,13 @@ object SearchOracle {
   def hybridLinearMultiSql(d: Int, queries: Seq[(Long, Seq[String])],
                            k1: Double, b: Double, poolN: Int,
                            alpha: Double, k: Int,
-                           st: Option[Bm25Stats]): String = {
+                           st: Option[Bm25Stats],
+                           relPath: Option[String] = None): String = {
     val nqv = (queries.map(_._1).max + 1).toInt
     val qids = queries.map(_._1).mkString(", ")
     val a = dlit(alpha)
     val oneA = dlit(1.0 - alpha)
-    s"""WITH ${bm25MultiCtes(queries, k1, b, st)},
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st, relPath)},
        |btop AS (SELECT qid, doc_id, score AS tscore FROM (
        |  SELECT qid, doc_id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
@@ -477,8 +531,8 @@ object SearchOracle {
        |         ELSE (v.vscore - vmm.vmin) / (vmm.vmax - vmm.vmin) END AS vnorm
        |  FROM btop b FULL OUTER JOIN vtop v
        |    ON b.qid = v.qid AND b.doc_id = v.doc_id
-       |  JOIN tmm ON tmm.qid = COALESCE(b.qid, v.qid)
-       |  JOIN vmm ON vmm.qid = COALESCE(b.qid, v.qid)),
+       |  LEFT JOIN tmm ON tmm.qid = COALESCE(b.qid, v.qid)
+       |  LEFT JOIN vmm ON vmm.qid = COALESCE(b.qid, v.qid)),
        |scoredf AS (SELECT qid, doc_id, tnorm, vnorm,
        |    $a * tnorm + $oneA * vnorm AS fused FROM fused),
        |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
@@ -561,6 +615,136 @@ object SearchOracle {
        |      + 24 * ((SELECT COUNT(*) FROM posts p JOIN seeds s ON p.doc_id = s.doc_id)
        |        + (SELECT COUNT(*) FROM posts p JOIN surv s ON p.doc_id = s.doc_id)) AS DOUBLE)
        |    / CAST((SELECT SUM(len(term) + 24) FROM posts) AS DOUBLE) AS save""".stripMargin
+  }
+
+  /**
+   * Per-qid MaxScore byte ledger ([[graft.operators.Search
+   * .bm25MultiMaxScoreMetrics]]): the multi-query bound/seed/tau/
+   * survivor pipeline re-derived relationally over the union-pruned
+   * logical posting rows joined to the (qid, term, pos) relation, then
+   * the per-qid byte aggregates — term chars + 8 for each qid's cheap
+   * pass, 24 per posting row its seed and survivor passes fetch, full
+   * row width for its baseline — one row per qid plus the qid = -1
+   * aggregate row (sums of the per-qid integers). idf literals guarded
+   * by df recomputation as everywhere; save = one division per row.
+   */
+  def bm25MultiMaxScoreMetricsSql(queries: Seq[(Long, Seq[String])],
+                                  k1: Double, b: Double, topN: Int,
+                                  seedB: Int, st: Option[Bm25Stats],
+                                  relPath: Option[String] = None): String = {
+    val unionTerms = queries.flatMap(_._2).distinct
+    val maxPos = queries.map(_._2.size).max
+    val inList = unionTerms.map(t => s"'$t'").mkString(", ")
+    val dfCols = unionTerms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n|  ")
+    def idf(i: Int, t: String): String = {
+      val lnForm = s"ln(1.0 + (st2.n - dfp.df$i + 0.5) / (dfp.df$i + 0.5))"
+      st match {
+        case Some(s) =>
+          s"CASE WHEN dfp.df$i = ${s.df(t)} THEN ${dlit(s.idf(t))} ELSE $lnForm END"
+        case None => lnForm
+      }
+    }
+    val tiRows = unionTerms.zipWithIndex.map { case (t, i) =>
+      s"SELECT '$t' AS term, ${idf(i, t)} AS idf, " +
+        s"(${idf(i, t)}) * ${dlit(k1 + 1.0)} AS ms FROM dfp, st2"
+    }.mkString("\n|  UNION ALL ")
+    val qtRows = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, p) => s"($qid, '$t', $p)" }
+    }.mkString(", ")
+    val boundExpr = (0 until maxPos).map(p =>
+      s"COALESCE(MAX(CASE WHEN pos = $p THEN ms END), CAST(0.0 AS DOUBLE))")
+      .reduceLeft((a, c) => s"($a + $c)")
+    val tfCols = (0 until maxPos).map(p =>
+      s"SUM(CASE WHEN pos = $p THEN tf ELSE 0 END) AS tf$p")
+      .mkString(",\n|  ")
+    val idfCols = (0 until maxPos).map(p =>
+      s"MAX(CASE WHEN pos = $p THEN idf END) AS idf$p")
+      .mkString(",\n|  ")
+    val scoreExpr = (0 until maxPos).map { p =>
+      s"(COALESCE(idf$p, CAST(0.0 AS DOUBLE)) * " +
+        s"((CAST(tf$p AS DOUBLE) * ${dlit(k1 + 1.0)}) / " +
+        s"(CAST(tf$p AS DOUBLE) + ${dlit(k1)} * (${dlit(1.0 - b)} + " +
+        s"${dlit(b)} * (CAST(dl AS DOUBLE) / " +
+        s"(CAST(st2.sumdl AS DOUBLE) / st2.n))))))"
+    }.reduceLeft((a, c) => s"($a + $c)")
+    s"""WITH posts AS MATERIALIZED (
+       |  SELECT tok AS term, doc_id, COUNT(*) AS tf, MIN(dl) AS dl
+       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |               unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok IN ($inList)
+       |  GROUP BY tok, doc_id),
+       |st2 AS (SELECT COUNT(*) AS n,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sumdl
+       |  FROM documents),
+       |dfp AS (SELECT $dfCols FROM posts),
+       |ti AS ($tiRows),
+       |qt AS (${relCte(relPath, "bm25", "qid, term, pos",
+          s"SELECT CAST(qid AS BIGINT) AS qid, term," +
+            s"\n    CAST(pos AS INTEGER) AS pos" +
+            s"\n  FROM (VALUES $qtRows) AS v(qid, term, pos)")}),
+       |qtm AS (SELECT qt.qid, qt.term, qt.pos, ti.idf, ti.ms
+       |  FROM qt JOIN ti ON ti.term = qt.term),
+       |candrel AS MATERIALIZED (SELECT q.qid, p.doc_id, p.term, p.tf,
+       |    p.dl, q.pos, q.idf, q.ms
+       |  FROM posts p JOIN qtm q ON p.term = q.term),
+       |bounds AS MATERIALIZED (SELECT qid, doc_id, $boundExpr AS bound
+       |  FROM candrel GROUP BY qid, doc_id),
+       |seeds AS MATERIALIZED (SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY bound DESC, doc_id ASC) AS rk
+       |    FROM bounds) WHERE rk <= $seedB),
+       |spiv AS (SELECT c.qid, c.doc_id, c.dl, $tfCols,
+       |  $idfCols
+       |  FROM candrel c JOIN seeds s
+       |    ON s.qid = c.qid AND s.doc_id = c.doc_id
+       |  GROUP BY c.qid, c.doc_id, c.dl),
+       |sscored AS (SELECT qid, doc_id, $scoreExpr AS score
+       |  FROM spiv, st2),
+       |taus AS MATERIALIZED (SELECT qid, MIN(score) AS tau FROM (
+       |    SELECT qid, score,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, doc_id ASC) AS rk
+       |    FROM sscored) WHERE rk <= $topN GROUP BY qid),
+       |surv AS MATERIALIZED (SELECT b.qid, b.doc_id FROM bounds b
+       |  JOIN taus t ON t.qid = b.qid WHERE b.bound >= t.tau),
+       |cb AS (SELECT qid,
+       |    CAST(SUM(len(term) + 24) AS BIGINT) AS bytes_full,
+       |    CAST(SUM(len(term) + 8) AS BIGINT) AS bytes_cheap
+       |  FROM candrel GROUP BY qid),
+       |cnt AS (SELECT qid, COUNT(*) AS candidates FROM bounds GROUP BY qid),
+       |scnt AS (SELECT qid, COUNT(*) AS seed_docs FROM seeds GROUP BY qid),
+       |vcnt AS (SELECT qid, COUNT(*) AS survivors FROM surv GROUP BY qid),
+       |f1 AS (SELECT c.qid, CAST(24 * COUNT(*) AS BIGINT) AS b_seed
+       |  FROM candrel c JOIN seeds s
+       |    ON s.qid = c.qid AND s.doc_id = c.doc_id GROUP BY c.qid),
+       |f2 AS (SELECT c.qid, CAST(24 * COUNT(*) AS BIGINT) AS b_surv
+       |  FROM candrel c JOIN surv s
+       |    ON s.qid = c.qid AND s.doc_id = c.doc_id GROUP BY c.qid),
+       |perqid AS (SELECT cnt.qid, cnt.candidates, scnt.seed_docs,
+       |    vcnt.survivors, cb.bytes_cheap,
+       |    f1.b_seed + f2.b_surv AS bytes_exact, cb.bytes_full
+       |  FROM cnt JOIN scnt ON scnt.qid = cnt.qid
+       |  JOIN vcnt ON vcnt.qid = cnt.qid
+       |  JOIN cb ON cb.qid = cnt.qid
+       |  JOIN f1 ON f1.qid = cnt.qid
+       |  JOIN f2 ON f2.qid = cnt.qid),
+       |tot AS (SELECT CAST(-1 AS BIGINT) AS qid,
+       |    CAST(SUM(candidates) AS BIGINT) AS candidates,
+       |    CAST(SUM(seed_docs) AS BIGINT) AS seed_docs,
+       |    CAST(SUM(survivors) AS BIGINT) AS survivors,
+       |    CAST(SUM(bytes_cheap) AS BIGINT) AS bytes_cheap,
+       |    CAST(SUM(bytes_exact) AS BIGINT) AS bytes_exact,
+       |    CAST(SUM(bytes_full) AS BIGINT) AS bytes_full
+       |  FROM perqid),
+       |allrows AS (SELECT * FROM perqid UNION ALL SELECT * FROM tot)
+       |SELECT qid, candidates, seed_docs, survivors, bytes_cheap,
+       |  bytes_exact, bytes_full,
+       |  1.0 - CAST(bytes_cheap + bytes_exact AS DOUBLE) /
+       |    CAST(bytes_full AS DOUBLE) AS save
+       |FROM allrows""".stripMargin
   }
 
   /** Relative-score (linear) hybrid fusion

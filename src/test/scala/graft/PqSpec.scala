@@ -236,6 +236,33 @@ class PqSpec extends AnyFunSuite {
       assert(mid != deleted, "asOf 1 must still serve commit-2 victims")
   }
 
+  test("spherical as-of snapshots: endpoints equal the undeleted and fully-deleted serves") {
+    import SparkEntry.DeleteMod
+    // the L2 family's time-travel contract carried onto the composed
+    // cosine layout: two as-of versions served off ONE immutable base
+    // layout + one append-only versioned sidecar, hash-equal to the
+    // per-version rebuilds (the plain at-rest and plain delete serves)
+    def asOf(v: Int) = Pq.topkSphericalResidualAtRestWithDeletesAsOf(
+      spark, dir, emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+      PqRerank, DeleteMod, asOf = v).collect().map(_.toSeq).toSet
+    val plain = Pq.topkSphericalResidualAtRest(spark, dir, emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+      .collect().map(_.toSeq).toSet
+    assert(asOf(0) == plain, "asOf 0 must be the undeleted snapshot")
+    val deleted = Pq.topkSphericalResidualAtRestWithDeletes(spark, dir,
+      emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank,
+      DeleteMod).collect().map(_.toSeq).toSet
+    assert(asOf(2) == deleted, "latest asOf must equal the plain delete serve")
+    val mid = asOf(1)
+    val midIds = mid.map(r => r(2).asInstanceOf[Long])
+    assert(midIds.forall(_ % (2L * DeleteMod) != 0),
+      "commit-1 tombstones must be gone at asOf 1")
+    val commit2Only = plain.map(r => r(2).asInstanceOf[Long])
+      .exists(id => id % DeleteMod == 0 && id % (2L * DeleteMod) != 0)
+    if (commit2Only)
+      assert(mid != deleted, "asOf 1 must still serve commit-2 victims")
+  }
+
   test("streaming query serving equals the batch at-rest run") {
     val served = graft.streaming.StreamOps.annServeOverStream(spark, dir,
       emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)

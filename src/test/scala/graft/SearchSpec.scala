@@ -349,6 +349,25 @@ class SearchSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("hybridLinearMulti serves a qid whose terms match zero docs (vnorm alone)") {
+    // qid 1's only term matches no document, so its BM25 list is EMPTY —
+    // the silent-row-loss trap: an inner join on the per-qid text min/max
+    // would drop qid 1 from the output entirely. It must instead be
+    // served on its vector list alone, with tnorm = 0.0 on every row.
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("filter", "merge"),
+      1L -> Seq("zzz_no_such_token_zzz"))
+    val r = Search.hybridLinearMulti(spark, dir, emb, qs, k1 = 1.2,
+      b = 0.75, poolN = 20, alpha = 0.6, k = 5, nBuckets = 16).collect()
+    val q1 = r.filter(_.getAs[Long]("qid") == 1L)
+    assert(q1.length == 5, s"qid with empty text list dropped: ${q1.length} rows")
+    assert(q1.forall(_.getAs[Double]("tnorm") == 0.0),
+      "empty text list must contribute tnorm = 0.0")
+    assert(q1.exists(_.getAs[Double]("vnorm") > 0.0))
+    // and qid 0 (non-empty text list) is unaffected
+    assert(r.count(_.getAs[Long]("qid") == 0L) == 5)
+  }
+
   test("multi-query MaxScore: zero-miss per qid — bit-equal to bm25Multi") {
     import SparkEntry.{Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
       PostBuckets, Bm25SeedB}
@@ -368,6 +387,83 @@ class SearchSpec extends AnyFunSuite {
     assert(scans.exists(f => f.contains("term") && f.contains("doc_id") &&
       !f.contains("tf") && !f.contains("dl")),
       s"no tf/dl-free cheap scan in:\n${scans.mkString("\n")}")
+  }
+
+  test("multi-query MaxScore ledger: per-qid rows, sum-of-parts total, zero-miss bytes") {
+    import SparkEntry.{Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
+      PostBuckets, Bm25SeedB}
+    val led = Search.bm25MultiMaxScoreMetrics(spark, dir,
+      Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets,
+      Bm25SeedB).collect()
+    val per = led.filter(_.getAs[Long]("qid") >= 0)
+    val tot = led.filter(_.getAs[Long]("qid") == -1L)
+    assert(per.length == Bm25MultiQueries.length && tot.length == 1,
+      s"expected ${Bm25MultiQueries.length} per-qid rows + 1 aggregate")
+    // the aggregate row is exactly the sum of the per-qid integers
+    for (c <- Seq("candidates", "seed_docs", "survivors", "bytes_cheap",
+        "bytes_exact", "bytes_full"))
+      assert(per.map(_.getAs[Long](c)).sum == tot(0).getAs[Long](c),
+        s"aggregate $c != sum of per-qid rows")
+    per.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      // save is exactly the ledger arithmetic over its own row
+      val expSave = 1.0 - (r.getAs[Long]("bytes_cheap") +
+        r.getAs[Long]("bytes_exact")).toDouble /
+        r.getAs[Long]("bytes_full").toDouble
+      assert(r.getAs[Double]("save") == expSave, s"save mismatch qid=$qid")
+      // zero-miss: enough survivors to fill the page (or all candidates)
+      assert(r.getAs[Long]("survivors") >=
+        math.min(Bm25MultiTopN.toLong, r.getAs[Long]("candidates")),
+        s"qid=$qid survivors below the page size")
+      assert(r.getAs[Long]("seed_docs") <= Bm25SeedB.toLong)
+      // the cheap pass costs strictly less than the full read
+      assert(r.getAs[Long]("bytes_cheap") < r.getAs[Long]("bytes_full"))
+    }
+    // and the result rung the ledger accounts for stays zero-miss
+    // (bm25MultiMaxScore == bm25Multi is asserted in its own test)
+  }
+
+  test("groupedTopKMulti: each (qid, lang) slice equals the fixed-facet grouped run") {
+    import SparkEntry.{GroupedMultiRel, GroupedK}
+    val nq = (GroupedMultiRel.map(_._1).max + 1).toInt
+    val multi = Search.groupedTopKMulti(emb, docs, GroupedMultiRel,
+      GroupedK).collect()
+    // candidacy respects each qid's OWN facet set
+    val allowed = GroupedMultiRel.toSet
+    assert(multi.nonEmpty)
+    assert(multi.forall(r =>
+      allowed((r.getAs[Long]("qid"), r.getAs[String]("lang")))),
+      "a row outside its qid's facet set was served")
+    // parity: every (qid, lang) slice equals groupedTopK's (which ranks
+    // per (qid, lang) over ALL facets) slice for that key
+    val fixed = Search.groupedTopK(emb, docs, nq, GroupedK).collect()
+      .groupBy(r => (r.getAs[Long]("qid"), r.getAs[String]("lang")))
+    multi.groupBy(r => (r.getAs[Long]("qid"), r.getAs[String]("lang")))
+      .foreach { case (key, rows) =>
+        val want = fixed(key).map(_.toSeq).toSet
+        assert(rows.map(_.toSeq).toSet == want,
+          s"facet slice $key diverged from the fixed-facet grouped run")
+      }
+  }
+
+  test("stored query relations round-trip the compile-time constants") {
+    import SparkEntry.{Bm25MultiQueries, FilterMultiRel, GroupedMultiRel,
+      RangeMultiRel}
+    val path = SparkEntry.ensureQueryRelations(spark, dir)
+    assert(path == SparkEntry.queryRelPathFor(dir))
+    val rows = spark.read.parquet(path)
+    assert(rows.count() ==
+      Bm25MultiQueries.map(_._2.size).sum + FilterMultiRel.size +
+        GroupedMultiRel.size + RangeMultiRel.size)
+    // every multi rung binds from the table; spot-check the bm25 kind
+    // reassembles the exact constant (qid-sorted, pos-ordered)
+    val bm25 = rows.filter(col("kind") === "bm25")
+      .select(col("qid"), col("pos"), col("term")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sorted.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (qid, ts) => qid -> ts.sortBy(_._2).map(_._3).toSeq }
+    assert(bm25 == Bm25MultiQueries,
+      "stored bm25 relation diverged from the writer's constant")
   }
 
   test("bm25 MaxScore: zero-miss — bit-equal to the full posting scoring") {

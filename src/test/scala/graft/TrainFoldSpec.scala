@@ -131,6 +131,31 @@ class TrainFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("spherical-PQ composed serve compiles whole-stage at D=1024") {
+    // the reference's cosine datasets are 1024-3072 wide, and the
+    // composed serve is the engine's widest whole-stage tree — width is
+    // where it breaks first (the r14 build found the raw reduceLeft
+    // assignment chains overflow the Column converter exactly here);
+    // assert the D=1024 plan both runs and COMPILES (no Janino fallback)
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val df = SparkEntry.qAnnSphericalPqD1024(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "d1024 spherical serve returned no rows")
+    // every query's rank-1 hit is itself at cosine ~1 (sanity of the
+    // composed estimate + rescore at width)
+    rows.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("qid") == r.getAs[Long]("id"),
+        s"rank-1 self-hit missing at d1024: $r")
+    }
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile at d1024 for:\n$subtree")
+    }
+  }
+
   test("stream-maintained spherical codes serve identical rows once drained") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)
