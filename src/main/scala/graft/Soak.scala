@@ -135,6 +135,65 @@ object Soak {
         s"flooded corpus: $under docs below the replica coverage floor")
       n
     }
+    step("bm25_multi") {
+      // the multi-query lexical relation at soak scale (~50k docs with
+      // SOAK_MULT=10 at sf0.1): ONE postings build over the flooded
+      // corpus, then an 8-query term-set relation — mixed base-vocab and
+      // replica-suffix terms (df from ~hundreds to nBase) — served off
+      // the union-pruned scan in one plan, plus the per-qid MaxScore
+      // twin. Invariants: every qid fills its page; a sampled qid's
+      // slice is BIT-EQUAL to its own single-query posting-list run
+      // (the exact-oracle mirror at scale); MaxScore is row-identical
+      // to the full scoring (zero-miss per qid at 50k docs).
+      val nBuckets = SparkEntry.PostBuckets
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+        "soak-postings-").toString
+      operators.Search.postingsOf(big, nBuckets)
+        .write.mode("overwrite").partitionBy("tb").parquet(root)
+      spark.read.parquet(root)
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/_stats")
+      val qs: Seq[(Long, Seq[String])] = Seq(
+        0L -> Seq("filter", "merge", "stream"),
+        1L -> Seq("customer", "order"),
+        2L -> Seq("vector", "hash", "join", "scan"),
+        3L -> Seq("dup"),
+        4L -> Seq("soakreplica1"),
+        5L -> Seq("soakreplica3", "filter"),
+        6L -> Seq("merge", "dup", "soakreplica5"),
+        7L -> Seq("stream", "scan"))
+      val topN = SparkEntry.Bm25MultiTopN
+      val multi = operators.Search.bm25MultiOffPostings(spark, root, qs,
+        SparkEntry.Bm25K1, SparkEntry.Bm25B, topN, nBuckets).collect()
+      val perQid = multi.groupBy(_.getAs[Long]("qid"))
+      require(perQid.keySet == qs.map(_._1).toSet,
+        s"multi relation dropped a qid: served ${perQid.keySet}")
+      perQid.foreach { case (qid, rows) =>
+        require(rows.length == topN,
+          s"qid $qid page not filled: ${rows.length} rows")
+        require(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to topN),
+          s"qid $qid ranks not contiguous")
+      }
+      // exact-oracle mirror on a sampled qid: the single-query
+      // posting-list run with qid 2's own terms must be bit-equal
+      val single = operators.Search.bm25OffPostings(spark, root,
+        qs(2)._2, SparkEntry.Bm25K1, SparkEntry.Bm25B, topN, nBuckets)
+        .collect().map(r => (r.getAs[Int]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+      val slice2 = perQid(2L).map(r => (r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+      require(slice2 == single,
+        "multi slice for qid 2 diverged from its single-query run")
+      // MaxScore twin: zero-miss per qid at soak scale
+      val ms = operators.Search.bm25MultiMaxScoreOffPostings(spark, root,
+        qs, SparkEntry.Bm25K1, SparkEntry.Bm25B, topN, nBuckets,
+        seedB = SparkEntry.Bm25SeedB).collect().map(_.toSeq).toSet
+      require(ms == multi.map(_.toSeq).toSet,
+        "multi MaxScore diverged from the full posting scoring")
+      multi.length.toLong
+    }
     operators.Dedup.releaseIntermediates()
     big.unpersist(blocking = false)
 

@@ -710,7 +710,7 @@ object Search {
       exactScores: DataFrame => DataFrame,
       wS: org.apache.spark.sql.expressions.WindowSpec)
 
-  private def multiMaxScoreParts(spark: SparkSession, sfDir: String,
+  private def multiMaxScoreParts(spark: SparkSession, root: String,
                                  queries: Seq[(Long, Seq[String])],
                                  k1: Double, b: Double, topN: Int,
                                  nBuckets: Int,
@@ -719,7 +719,6 @@ object Search {
     require(seedB >= topN, s"seedB $seedB must be >= topN $topN")
     val unionTerms = queries.flatMap(_._2).distinct
     val maxPos = queries.map(_._2.size).max
-    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
     val buckets = spark.range(1).select(unionTerms.map(t =>
@@ -793,8 +792,18 @@ object Search {
   def bm25MultiMaxScore(spark: SparkSession, sfDir: String,
                         queries: Seq[(Long, Seq[String])], k1: Double,
                         b: Double, topN: Int, nBuckets: Int,
-                        seedB: Int): DataFrame = {
-    val p = multiMaxScoreParts(spark, sfDir, queries, k1, b, topN,
+                        seedB: Int): DataFrame =
+    bm25MultiMaxScoreOffPostings(spark,
+      ensurePostingsLayout(spark, sfDir, nBuckets), queries, k1, b,
+      topN, nBuckets, seedB)
+
+  /** [[bm25MultiMaxScore]] against an explicit postings layout — the
+    * form the scale soak drives over its flooded corpus. */
+  def bm25MultiMaxScoreOffPostings(spark: SparkSession, root: String,
+                                   queries: Seq[(Long, Seq[String])],
+                                   k1: Double, b: Double, topN: Int,
+                                   nBuckets: Int, seedB: Int): DataFrame = {
+    val p = multiMaxScoreParts(spark, root, queries, k1, b, topN,
       nBuckets, seedB)
     p.exactScores(p.survivors)
       .withColumn("rank", row_number().over(p.wS))
@@ -831,8 +840,9 @@ object Search {
                                queries: Seq[(Long, Seq[String])],
                                k1: Double, b: Double, topN: Int,
                                nBuckets: Int, seedB: Int): DataFrame = {
-    val p = multiMaxScoreParts(spark, sfDir, queries, k1, b, topN,
-      nBuckets, seedB)
+    val p = multiMaxScoreParts(spark,
+      ensurePostingsLayout(spark, sfDir, nBuckets), queries, k1, b,
+      topN, nBuckets, seedB)
     // the qid's candidate posting rows: the union-pruned postings joined
     // to ITS terms — the relation both byte baselines and both exact
     // fetches count over
