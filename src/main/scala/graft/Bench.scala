@@ -197,6 +197,16 @@ object Bench {
         SparkEntry.PostBuckets)
       graft.streaming.StreamOps.ensureStreamPostingsLayout(spark, sfDir,
         SparkEntry.PostBuckets)
+      // round-14 layouts: the stored multi-query relation table, and the
+      // versioned (time-travel) tombstone logs on both the L2 and the
+      // spherical codes layouts — the same one-time materializations
+      SparkEntry.ensureQueryRelations(spark, sfDir)
+      graft.operators.Pq.ensureVersionedTombstones(spark, pqCodesPath,
+        SparkEntry.DeleteMod)
+      graft.operators.Pq.ensureVersionedTombstones(spark, sphCodes,
+        SparkEntry.DeleteMod)
+      graft.operators.Pq.ensureVersionedTombstones(spark, lshRoot,
+        SparkEntry.DeleteMod)
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-
     // record was stamped under whatever co-tenant load happened to be
@@ -242,7 +252,8 @@ object Bench {
       "q_refine_l2_hoeff", "q_refine_cos_l2", "q_stream_daily",
       "q_stream_sessions", "q_stream_refine", "q_bucketed_join",
       "q_semantic_clusters", "q_tune_grid", "q_ann_cascade_d1024",
-      "q_ann_ivf_pq_res_d1024", "q_cascade_metrics",
+      "q_ann_ivf_pq_res_d1024", "q_ann_ivf_spherical_pq_d1024",
+      "q_cascade_metrics",
       "q_topk_cos_vecsrc", "q_topk_cos_fvecs", "q_topk_cos_binsrc")
     val rank = heavyFirst.zipWithIndex.toMap
     val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }

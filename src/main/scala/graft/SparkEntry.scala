@@ -1884,6 +1884,13 @@ object SparkEntry {
         graft.operators.Lsh.compactLayoutWithDeletes(s, root, tombs),
         emb(s, dir), NQ, K, EmbD, LshPlanes)
     }),
+    // ... and TIME TRAVEL on the LSH layout: the append-only versioned
+    // delete log served as-of commit 1 (only ids ≡ 0 mod 2·DeleteMod
+    // gone) — the verb completing the LSH lifecycle matrix, same
+    // commit-history sidecar as the PQ and spherical families
+    "q_ann_lsh_delete_asof" -> q((s, dir) => graft.operators.Lsh
+      .topkAtRestWithDeletesAsOf(s, dir, emb(s, dir), NQ, K, EmbD,
+        LshPlanes, DeleteMod, asOf = 1)),
     // cursor pagination (search_after): page 2 resumed from page 1's
     // per-query (score, id) cursor — one corpus pass and a k-deep heap
     // per page, never a page*k-deep window
@@ -2667,6 +2674,10 @@ object SparkEntry {
     "q_ann_lsh_delete" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
       excludeMod = DeleteMod),
     "q_ann_lsh_compact" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
+    // as-of commit 1: only ids ≡ 0 (mod 2·DeleteMod) deleted in that
+    // snapshot — commit 2's ≡ DeleteMod rows still served
+    "q_ann_lsh_delete_asof" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
+      excludeMod = 2 * DeleteMod),
     // delete-folding compaction serves the same rows as merge-on-read
     "q_ann_lsh_compact_del" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
       excludeMod = DeleteMod),

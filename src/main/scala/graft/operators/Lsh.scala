@@ -309,6 +309,28 @@ object Lsh {
   }
 
   /**
+   * AS-OF (time-travel) serve on the LSH layout — the verb that
+   * completes its lifecycle matrix (build / at-rest / stream / delete /
+   * compact / delete-folding compact / AS-OF): the append-only
+   * versioned delete log ([[Pq.ensureVersionedTombstones]] — a generic
+   * commit-history sidecar over any id-carrying layout) applies only
+   * commits with `commit_v <= asOf`; asOf 0 is the pre-delete snapshot,
+   * the latest asOf equals the plain merge-on-read delete query. The
+   * snapshot choice filters the bounded sidecar before the anti-join;
+   * the immutable bucket files are shared by every snapshot.
+   */
+  def topkAtRestWithDeletesAsOf(spark: SparkSession, sfDir: String,
+                                emb: DataFrame, nq: Int, k: Int, d: Int,
+                                nPlanes: Int, deleteMod: Int,
+                                asOf: Int): DataFrame = {
+    val root = ensureLayout(spark, sfDir, d, nPlanes)
+    val tombs = spark.read.parquet(
+      Pq.ensureVersionedTombstones(spark, root, deleteMod))
+      .filter(col("commit_v") <= asOf).select(col("id"))
+    topkOffLayout(spark, root, emb, nq, k, d, nPlanes, tombs = Some(tombs))
+  }
+
+  /**
    * Compact a stream-maintained LSH layout: the many small
    * per-microbatch part files rewrite into one id-sorted file per
    * bucket (the table service's OPTIMIZE — the LSH twin of

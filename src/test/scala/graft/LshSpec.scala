@@ -200,6 +200,23 @@ class LshSpec extends AnyFunSuite {
     assert(a == b, "delete-folding compaction diverged from merge-on-read")
   }
 
+  test("as-of snapshots on the LSH layout: endpoints equal the undeleted and fully-deleted serves") {
+    import SparkEntry.DeleteMod
+    val emb = Tables.embeddings(spark, dir)
+    def asOf(v: Int) = Lsh.topkAtRestWithDeletesAsOf(spark, dir, emb,
+      NQ, K, EmbD, LshPlanes, DeleteMod, asOf = v)
+      .collect().map(_.toSeq).toSet
+    val plain = Lsh.topkAtRest(spark, dir, emb, NQ, K, EmbD, LshPlanes)
+      .collect().map(_.toSeq).toSet
+    assert(asOf(0) == plain, "asOf 0 must be the undeleted snapshot")
+    val deleted = Lsh.topkAtRestWithDeletes(spark, dir, emb, NQ, K, EmbD,
+      LshPlanes, DeleteMod).collect().map(_.toSeq).toSet
+    assert(asOf(2) == deleted, "latest asOf must equal the plain delete serve")
+    val midIds = asOf(1).map(r => r(2).asInstanceOf[Long])
+    assert(midIds.forall(_ % (2L * DeleteMod) != 0),
+      "commit-1 tombstones must be gone at asOf 1")
+  }
+
   test("probe sweep: monotone recall and candidates, endpoints consistent") {
     val rows = Lsh.probeSweep(emb, NQ, K, EmbD, LshPlanes)
       .collect().sortBy(_.getAs[Int]("nflips"))
