@@ -193,8 +193,8 @@ object Bench {
           SparkEntry.EmbD, SparkEntry.LshPlanes))
       graft.streaming.StreamOps.ensureStreamLshLayout(spark, sfDir,
         SparkEntry.EmbD, SparkEntry.LshPlanes)
-      graft.operators.Search.ensurePostingsLayout(spark, sfDir,
-        SparkEntry.PostBuckets)
+      val postingsRoot = graft.operators.Search.ensurePostingsLayout(spark,
+        sfDir, SparkEntry.PostBuckets)
       graft.streaming.StreamOps.ensureStreamPostingsLayout(spark, sfDir,
         SparkEntry.PostBuckets)
       // round-14 layouts: the stored multi-query relation table, and the
@@ -207,6 +207,8 @@ object Bench {
         SparkEntry.DeleteMod)
       graft.operators.Pq.ensureVersionedTombstones(spark, lshRoot,
         SparkEntry.DeleteMod)
+      graft.operators.Pq.ensureVersionedTombstones(spark, postingsRoot,
+        SparkEntry.Bm25DeleteMod, idCol = "doc_id")
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-
     // record was stamped under whatever co-tenant load happened to be

@@ -2132,6 +2132,13 @@ object SparkEntry {
     "q_bm25_delete" -> q((s, dir) => graft.operators.Search
       .bm25AtRestWithDeletes(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
         PostBuckets, Bm25DeleteMod)),
+    // ... and TIME TRAVEL on the lexical index: the versioned delete log
+    // served as-of commit 1 — completes the as-of verb across all four
+    // index families (PQ, spherical, LSH, postings); stats stay stale
+    // for every snapshot, the Lucene contract
+    "q_bm25_delete_asof" -> q((s, dir) => graft.operators.Search
+      .bm25AtRestWithDeletesAsOf(s, dir, Bm25Terms, Bm25K1, Bm25B,
+        Bm25TopN, PostBuckets, Bm25DeleteMod, asOf = 1)),
     // MAXSCORE BM25: the reference's refine discipline on the lexical
     // rung (Turtle-Flood/WAND family) — cheap (term, doc_id)-only bound
     // pass, exact-scored seeds -> tau, zero-miss bound>=tau rejection,
@@ -2800,6 +2807,10 @@ object SparkEntry {
     // candidates minus the tombstoned docs, stats stale on purpose
     "q_bm25_delete" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle(), excludeMod = Bm25DeleteMod),
+    // as-of commit 1: only doc_ids ≡ 0 (mod 2·Bm25DeleteMod) deleted
+    "q_bm25_delete_asof" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, bm25StatsForOracle(),
+      excludeMod = 2 * Bm25DeleteMod),
     // zero-miss by construction (bound >= score), so MaxScore's oracle
     // IS the posting-semantics bm25 oracle
     "q_bm25_maxscore" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,

@@ -673,21 +673,25 @@ object Pq {
    * (the relational form of Delta/Iceberg delete-file snapshots):
    * commit 1 deletes ids ≡ 0 (mod 2·`mod`), commit 2 the remaining
    * ids ≡ `mod` (mod 2·`mod`) — together exactly [[ensureTombstones]]'
-   * ≡ 0 (mod `mod`) delete set. Rows (id, commit_v). The log is
+   * ≡ 0 (mod `mod`) delete set. Rows (`idCol`, commit_v). The log is
    * append-only and never rewrites the base layout, so every historical
-   * snapshot stays servable for free.
+   * snapshot stays servable for free. Generic over any layout carrying
+   * an id-like column (PQ and spherical codes use `id`, the lexical
+   * postings layout `doc_id`) — which is why LSH and postings time
+   * travel reuse this one writer.
    */
   def ensureVersionedTombstones(spark: SparkSession, codesPath: String,
-                                mod: Int): String = {
+                                mod: Int, idCol: String = "id"): String = {
     import java.nio.file.{Files, Paths}
     require(mod >= 2, s"mod=$mod")
     val path = Paths.get(codesPath + s"_tombv_mod$mod")
     if (!Files.exists(path.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(path.getParent, "tombv-")
       spark.read.parquet(codesPath)
-        .select(col("id")).filter(col("id") % mod === 0)
+        .select(col(idCol)).distinct()
+        .filter(col(idCol) % mod === 0)
         .withColumn("commit_v",
-          when(col("id") % (2L * mod) === 0, lit(1)).otherwise(lit(2)))
+          when(col(idCol) % (2L * mod) === 0, lit(1)).otherwise(lit(2)))
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, path)

@@ -541,6 +541,29 @@ object Search {
       tombs = Some(spark.read.parquet(tombPath.toString)))
   }
 
+  /**
+   * AS-OF (time-travel) serve on the LEXICAL index — the verb that
+   * completes time travel across ALL FOUR index families (PQ codes,
+   * spherical codes, LSH buckets, posting lists): the append-only
+   * versioned delete log ([[Pq.ensureVersionedTombstones]] over the
+   * postings' `doc_id`) applies only commits with `commit_v <= asOf`;
+   * asOf 0 is the pre-delete snapshot, the latest asOf equals the plain
+   * merge-on-read [[bm25AtRestWithDeletes]]. Corpus stats stay STALE for
+   * every snapshot (the Lucene contract), posting files byte-immutable.
+   */
+  def bm25AtRestWithDeletesAsOf(spark: SparkSession, sfDir: String,
+                                terms: Seq[String], k1: Double, b: Double,
+                                topN: Int, nBuckets: Int, deleteMod: Int,
+                                asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val tombs = spark.read.parquet(
+      Pq.ensureVersionedTombstones(spark, root, deleteMod,
+        idCol = "doc_id"))
+      .filter(col("commit_v") <= asOf).select(col("doc_id"))
+    bm25OffPostings(spark, root, terms, k1, b, topN, nBuckets,
+      tombs = Some(tombs))
+  }
+
   /** [[bm25AtRest]]'s query half against an explicit postings layout —
     * shared by the batch-built and stream-maintained layouts (both hold
     * identical posting rows and stats once drained). `tombs` (doc_id)

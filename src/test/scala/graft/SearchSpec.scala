@@ -497,6 +497,24 @@ class SearchSpec extends AnyFunSuite {
     assert(r.getAs[Double]("save") == 1.0 - (bc + be).toDouble / bf.toDouble)
   }
 
+  test("lexical as-of snapshots: endpoints equal the undeleted and fully-deleted serves") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
+      Bm25DeleteMod}
+    def asOf(v: Int) = Search.bm25AtRestWithDeletesAsOf(spark, dir,
+      Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets, Bm25DeleteMod,
+      asOf = v).collect().map(_.toSeq).toSet
+    val plain = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
+      Bm25TopN, PostBuckets).collect().map(_.toSeq).toSet
+    assert(asOf(0) == plain, "asOf 0 must be the undeleted snapshot")
+    val deleted = Search.bm25AtRestWithDeletes(spark, dir, Bm25Terms,
+      Bm25K1, Bm25B, Bm25TopN, PostBuckets, Bm25DeleteMod)
+      .collect().map(_.toSeq).toSet
+    assert(asOf(2) == deleted, "latest asOf must equal the plain delete serve")
+    val midIds = asOf(1).map(r => r(0).asInstanceOf[Long])
+    assert(midIds.forall(_ % (2L * Bm25DeleteMod) != 0),
+      "commit-1 tombstones must be gone at asOf 1")
+  }
+
   test("stream-maintained postings serve the identical bm25 rows once drained") {
     import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets}
     val batch = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
