@@ -846,6 +846,11 @@ object SparkEntry {
   // per-query radii (q_ann_range_multi): each qid cuts at its own tau
   final val RangeMultiRel: Seq[(Long, Double)] = Seq(
     0L -> 0.25, 1L -> 0.3, 2L -> 0.35, 3L -> 0.2)
+  // per-query fusion weights (q_hybrid_linear_multi_w): each qid's own
+  // text/vector trade-off — a recall-oriented tenant leans lexical
+  // (0.7), a semantic one leans vector (0.3)
+  final val FusionMultiRel: Seq[(Long, Double)] = Seq(
+    0L -> 0.7, 1L -> 0.5, 2L -> 0.3, 3L -> 0.6)
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -885,7 +890,9 @@ object SparkEntry {
       GroupedMultiRel.map { case (qid, l) =>
         ("facet", qid, None, None, Some(l), None) } ++
       RangeMultiRel.map { case (qid, tau) =>
-        ("radius", qid, None, None, None, Some(tau)) }
+        ("radius", qid, None, None, None, Some(tau)) } ++
+      FusionMultiRel.map { case (qid, alpha) =>
+        ("fusion", qid, None, None, None, Some(alpha)) }
 
   /** The stored relation's path for `sfDir` — content-keyed (the dir
     * name embeds a hash of the rows), so editing any constant above
@@ -922,7 +929,8 @@ object SparkEntry {
     * ordered (qid, then pos/lang) so plan literal order is stable. */
   private final case class QueryRels(
       bm25: Seq[(Long, Seq[String])], filters: Seq[(Long, String)],
-      facets: Seq[(Long, String)], radii: Seq[(Long, Double)])
+      facets: Seq[(Long, String)], radii: Seq[(Long, Double)],
+      fusion: Seq[(Long, Double)])
 
   private val qrelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), QueryRels]()
@@ -939,10 +947,12 @@ object SparkEntry {
           r.getAs[String]("term")))
         .sorted.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (qid, ts) => qid -> ts.sortBy(_._2).map(_._3) }
-      val radii = rows.toSeq.filter(_.getAs[String]("kind") == "radius")
+      def numRel(kind: String): Seq[(Long, Double)] = rows.toSeq
+        .filter(_.getAs[String]("kind") == kind)
         .map(r => (r.getAs[Long]("qid"), r.getAs[Double]("tau")))
         .sortBy(_._1)
-      QueryRels(bm25, strRel("filter"), strRel("facet"), radii)
+      QueryRels(bm25, strRel("filter"), strRel("facet"), numRel("radius"),
+        numRel("fusion"))
     })
 
   private def bm25MultiQueriesOf(s: SparkSession, dir: String) =
@@ -953,6 +963,8 @@ object SparkEntry {
     queryRels(s, dir).facets
   private def rangeMultiRelOf(s: SparkSession, dir: String) =
     queryRels(s, dir).radii
+  private def fusionMultiRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).fusion
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
@@ -2055,6 +2067,12 @@ object SparkEntry {
     "q_ann_filtered_at_rest" -> q((s, dir) =>
       graft.operators.Search.filteredTopKIndexed(s, dir, emb(s, dir),
         NQ, K, IvfCells, EmbD, IvfProbe, FilterLangs)),
+    // ... with the predicate as a PER-QUERY relation against the same
+    // layout: union-of-langs pushed into the one probe-pruned scan,
+    // per-qid (qid, lang) membership refined map-side
+    "q_ann_filtered_multi_at_rest" -> q((s, dir) =>
+      graft.operators.Search.filteredTopKIndexedMulti(s, dir, emb(s, dir),
+        filterMultiRelOf(s, dir), K, IvfCells, EmbD, IvfProbe)),
     // range (radius) search: every candidate with cosine >= tau
     "q_ann_range" -> q((s, dir) =>
       graft.operators.Search.rangeSearch(emb(s, dir), NQ, RangeTau)),
@@ -2119,12 +2137,33 @@ object SparkEntry {
     "q_bm25_multi_maxscore_metrics" -> q((s, dir) => graft.operators
       .Search.bm25MultiMaxScoreMetrics(s, dir, bm25MultiQueriesOf(s, dir),
         Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets, Bm25SeedB)),
+    // ... and the MaxScore relation served off the STREAM-MAINTAINED
+    // postings (identical rows once drained -> shares the multi oracle):
+    // early rejection composed with incremental index maintenance
+    "q_bm25_multi_maxscore_stream" -> q((s, dir) => graft.operators
+      .Search.bm25MultiMaxScoreOffPostings(s, graft.streaming.StreamOps
+        .ensureStreamPostingsLayout(s, dir, PostBuckets),
+        bm25MultiQueriesOf(s, dir), Bm25K1, Bm25B, Bm25MultiTopN,
+        PostBuckets, Bm25SeedB)),
+    // ... and the relation family composed with the LIFECYCLE family:
+    // merge-on-read deletes cut every query's candidates while the
+    // corpus stats stay stale (the Lucene contract), still one
+    // union-pruned scan
+    "q_bm25_multi_delete" -> q((s, dir) => graft.operators.Search
+      .bm25MultiWithDeletes(s, dir, bm25MultiQueriesOf(s, dir), Bm25K1,
+        Bm25B, Bm25MultiTopN, PostBuckets, Bm25DeleteMod)),
     // MULTI-QUERY hybrid RRF: each qid's multi-BM25 list fused with its
     // OWN vector top-N list — both retrievers serving the query
     // relation, per-qid fusion in one plan
     "q_hybrid_rrf_multi" -> q((s, dir) => graft.operators.Search
       .hybridRrfMulti(s, dir, emb(s, dir), bm25MultiQueriesOf(s, dir),
         Bm25K1, Bm25B, RrfPoolN, RrfKConst, HybridK, PostBuckets)),
+    // ... and PER-QID FUSION WEIGHTS: each qid fuses with its OWN α
+    // from the stored relation — per-tenant trade-off knobs in one plan
+    "q_hybrid_linear_multi_w" -> q((s, dir) => graft.operators.Search
+      .hybridLinearMultiWeighted(s, dir, emb(s, dir),
+        bm25MultiQueriesOf(s, dir), fusionMultiRelOf(s, dir), Bm25K1,
+        Bm25B, RrfPoolN, HybridK, PostBuckets)),
     // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
     // out of the candidates, stats left STALE until compaction — the
     // Lucene delete contract (docs unretrievable immediately, df/sumdl
@@ -2760,6 +2799,11 @@ object SparkEntry {
     // metadata predicate folded into candidate generation
     "q_ann_filtered_at_rest" ->
       IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe, FilterLangs),
+    // per-qid filters against the at-rest index: the IVF probe pipeline
+    // with the (qid, lang) membership from the stored relation
+    "q_ann_filtered_multi_at_rest" -> IvfOracle.topkSql(EmbD,
+      (FilterMultiRel.map(_._1).max + 1).toInt, K, IvfCells, IvfProbe,
+      filterRel = FilterMultiRel, relPath = qrelPathForOracle()),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
     "q_ann_range_multi" -> SearchOracle.rangeMultiSql(EmbD, RangeMultiRel,
       qrelPathForOracle()),
@@ -2801,6 +2845,19 @@ object SparkEntry {
     "q_hybrid_rrf_multi" -> SearchOracle.hybridRrfMultiSql(EmbD,
       Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN, RrfKConst, HybridK,
       bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // stream-maintained postings hold identical rows; MaxScore's
+    // zero-miss rejection is invisible to the answer — shared oracle
+    "q_bm25_multi_maxscore_stream" -> SearchOracle.bm25MultiSql(
+      Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
+      bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // candidates minus the tombstoned docs per query, stats stale
+    "q_bm25_multi_delete" -> SearchOracle.bm25MultiSql(Bm25MultiQueries,
+      Bm25K1, Bm25B, Bm25MultiTopN, bm25MultiStatsForOracle(),
+      qrelPathForOracle(), excludeMod = Bm25DeleteMod),
+    // per-qid fusion weights from the stored relation
+    "q_hybrid_linear_multi_w" -> SearchOracle.hybridLinearMultiWeightedSql(
+      EmbD, Bm25MultiQueries, FusionMultiRel, Bm25K1, Bm25B, RrfPoolN,
+      HybridK, bm25MultiStatsForOracle(), qrelPathForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),

@@ -209,6 +209,46 @@ object Search {
       .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
   }
 
+  /**
+   * PER-QUERY filters against the AT-REST IVF index — the 100 TB shape
+   * of [[filteredTopKMulti]]: the layout stores lang beside the vectors,
+   * so ONE scan serves probe-cell partition pruning AND the UNION of all
+   * queries' langs as a pushed row-group filter; the per-qid (qid, lang)
+   * membership then refines map-side against the broadcast relation.
+   * Candidates are probed-cell-approximate exactly as
+   * [[filteredTopKIndexed]] is. Output (qid, rank, id, score, lang).
+   */
+  def filteredTopKIndexedMulti(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String, emb: DataFrame,
+                               filters: Seq[(Long, String)], k: Int,
+                               nCells: Int, d: Int,
+                               nprobe: Int): DataFrame = {
+    require(filters.nonEmpty, "filteredTopKIndexedMulti: empty relation")
+    import spark.implicits._
+    val nq = (filters.map(_._1).max + 1).toInt
+    val unionLangs = filters.map(_._2).distinct
+    val path = Ivf.ensureIndex(spark, sfDir, nCells, d)
+    val stored = spark.read.parquet(path) // (id, embedding, n2, lang, cell)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val scored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .filter(col("lang").isin(unionLangs: _*)) // pushed to the scan
+      .join(probes, Seq("cell"))
+      .join(qf, Seq("qid", "lang"))             // per-qid refinement
+      .withColumn("score", cosScore)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    scored.select(col("qid"), col("id"), col("lang"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
+  }
+
   // ---- cursor pagination (search_after) ---------------------------------
 
   /**
@@ -517,13 +557,13 @@ object Search {
    * touched; the sidecar is bounded; compaction is the table service's
    * later job (as with the PQ codes layout).
    */
-  def bm25AtRestWithDeletes(spark: SparkSession, sfDir: String,
-                            terms: Seq[String], k1: Double, b: Double,
-                            topN: Int, nBuckets: Int,
-                            deleteMod: Int): DataFrame = {
+  /** The postings tombstone commit (doc ids ≡ 0 mod `deleteMod`) as an
+    * idempotent sidecar publish — shared by the single-query and
+    * multi-query delete rungs. */
+  def ensurePostingsTombstones(spark: SparkSession, root: String,
+                               deleteMod: Int): String = {
     import java.nio.file.{Files, Paths}
     require(deleteMod >= 2, s"deleteMod=$deleteMod")
-    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val tombPath = Paths.get(root + s"_tomb_mod$deleteMod")
     if (!Files.exists(tombPath.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(tombPath.getParent, "ptomb-")
@@ -537,8 +577,17 @@ object Search {
       require(Files.exists(tombPath.resolve("_SUCCESS")),
         s"postings tombstone publish failed: $tombPath")
     }
+    tombPath.toString
+  }
+
+  def bm25AtRestWithDeletes(spark: SparkSession, sfDir: String,
+                            terms: Seq[String], k1: Double, b: Double,
+                            topN: Int, nBuckets: Int,
+                            deleteMod: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val tombPath = ensurePostingsTombstones(spark, root, deleteMod)
     bm25OffPostings(spark, root, terms, k1, b, topN, nBuckets,
-      tombs = Some(spark.read.parquet(tombPath.toString)))
+      tombs = Some(spark.read.parquet(tombPath)))
   }
 
   /**
@@ -653,13 +702,33 @@ object Search {
     bm25MultiOffPostings(spark, ensurePostingsLayout(spark, sfDir, nBuckets),
       queries, k1, b, topN, nBuckets)
 
+  /**
+   * MULTI-QUERY retrieval with merge-on-read DELETES — the relation
+   * family composed with the lifecycle family: the tombstone sidecar
+   * (doc ids ≡ 0 mod `deleteMod`) is anti-joined out of every query's
+   * CANDIDATES while the corpus statistics stay STALE (the Lucene
+   * contract [[bm25AtRestWithDeletes]] established), all query rows
+   * still served off the ONE union-pruned scan.
+   */
+  def bm25MultiWithDeletes(spark: SparkSession, sfDir: String,
+                           queries: Seq[(Long, Seq[String])], k1: Double,
+                           b: Double, topN: Int, nBuckets: Int,
+                           deleteMod: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val tombPath = ensurePostingsTombstones(spark, root, deleteMod)
+    bm25MultiOffPostings(spark, root, queries, k1, b, topN, nBuckets,
+      tombs = Some(spark.read.parquet(tombPath)))
+  }
+
   /** [[bm25Multi]]'s query half against an explicit postings layout —
     * shared by the batch-built and stream-maintained layouts (identical
-    * posting rows and stats once drained, so results are hash-equal). */
+    * posting rows and stats once drained, so results are hash-equal).
+    * `tombs` (doc_id) rows are anti-joined out of every query's
+    * candidates only — stats stay stale, the merge-on-read contract. */
   def bm25MultiOffPostings(spark: SparkSession, root: String,
                            queries: Seq[(Long, Seq[String])], k1: Double,
-                           b: Double, topN: Int,
-                           nBuckets: Int): DataFrame = {
+                           b: Double, topN: Int, nBuckets: Int,
+                           tombs: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty, "bm25Multi: empty query relation")
     val unionTerms = queries.flatMap(_._2).distinct
     val maxPos = queries.map(_._2.size).max
@@ -681,7 +750,14 @@ object Search {
     val qt = broadcast(queries.flatMap { case (qid, ts) =>
       ts.zipWithIndex.map { case (t, p) => (qid, t, p, st.idf(t)) }
     }.toDF("qid", "term", "pos", "idf"))
-    val cand = pruned.join(qt, Seq("term"))
+    // deletes cut CANDIDATES only — the df/idf stats above stay stale on
+    // purpose; no broadcast hint (corpus-fraction-sized, AQE decides)
+    val candRows = tombs match {
+      case Some(t) => pruned.join(
+        t.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => pruned
+    }
+    val cand = candRows.join(qt, Seq("term"))
     val aggs = (0 until maxPos).map(p =>
       sum(when(col("pos") === p, col("tf")).otherwise(lit(0L)))
         .as(s"tf$p")) ++
@@ -1251,6 +1327,60 @@ object Search {
             (col("vmax") - col("vmin"))))
       .withColumn("fused",
         lit(alpha) * col("tnorm") + lit(1.0 - alpha) * col("vnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
+  /**
+   * PER-QID FUSION WEIGHTS — the hybrid surface's own relation member:
+   * `weights` is a (qid, alpha) table (per-tenant fusion knobs — a
+   * recall-oriented tenant leans lexical, a semantic one leans vector)
+   * and each qid fuses fused = α_q·text_norm + (1−α_q)·vec_norm with
+   * ITS OWN weight, all queries in one plan. [[hybridLinearMulti]]'s
+   * shape with the bounded weight relation broadcast and the convex
+   * combination reading α from the joined column instead of a literal.
+   * Output (qid, rank, doc_id, fused, tnorm, vnorm).
+   */
+  def hybridLinearMultiWeighted(spark: SparkSession, sfDir: String,
+                                emb: DataFrame,
+                                queries: Seq[(Long, Seq[String])],
+                                weights: Seq[(Long, Double)], k1: Double,
+                                b: Double, poolN: Int, k: Int,
+                                nBuckets: Int): DataFrame = {
+    require(weights.nonEmpty, "hybridLinearMultiWeighted: empty weights")
+    import spark.implicits._
+    val nqv = (queries.map(_._1).max + 1).toInt
+    val text = bm25Multi(spark, sfDir, queries, k1, b, poolN, nBuckets)
+      .select(col("qid"), col("doc_id"), col("score").as("tscore"))
+    val vec = Ann.bruteTopK(emb, nqv, poolN)
+      .filter(col("qid").isin(queries.map(_._1): _*))
+      .select(col("qid"), col("id").as("doc_id"), col("score").as("vscore"))
+    val qa = broadcast(weights.toDF("qid", "alpha"))
+    val tmm = text.groupBy(col("qid"))
+      .agg(min(col("tscore")).as("tmin"), max(col("tscore")).as("tmax"))
+    val vmm = vec.groupBy(col("qid"))
+      .agg(min(col("vscore")).as("vmin"), max(col("vscore")).as("vmax"))
+    val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .join(broadcast(tmm), Seq("qid"), "left")
+      .join(broadcast(vmm), Seq("qid"), "left")
+      .join(qa, Seq("qid"))
+      .withColumn("tnorm",
+        when(col("tscore").isNull, lit(0.0))
+          .when(col("tmax") === col("tmin"), lit(1.0))
+          .otherwise((col("tscore") - col("tmin")) /
+            (col("tmax") - col("tmin"))))
+      .withColumn("vnorm",
+        when(col("vscore").isNull, lit(0.0))
+          .when(col("vmax") === col("vmin"), lit(1.0))
+          .otherwise((col("vscore") - col("vmin")) /
+            (col("vmax") - col("vmin"))))
+      .withColumn("fused",
+        col("alpha") * col("tnorm") +
+          (lit(1.0) - col("alpha")) * col("vnorm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w))

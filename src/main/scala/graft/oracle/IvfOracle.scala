@@ -1458,13 +1458,41 @@ object IvfOracle {
     * rows the at-rest layout stores beside the vectors), lang in the
     * output. Empty = the plain probe scan. */
   def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
-              langs: Seq[String] = Nil): String = {
+              langs: Seq[String] = Nil,
+              filterRel: Seq[(Long, String)] = Nil,
+              relPath: Option[String] = None): String = {
+    require(langs.isEmpty || filterRel.isEmpty,
+      "langs and filterRel are alternative filter forms")
+    // per-qid filter relation ([[graft.operators.Search
+    // .filteredTopKIndexedMulti]]): union-of-langs predicate on the
+    // candidates plus the (qid, lang) membership join — stored table
+    // (kind = 'filter') or VALUES, mirroring the engine's two-stage cut
+    val qfCte = if (filterRel.isEmpty) "" else {
+      val body = relPath match {
+        case Some(p) =>
+          s"SELECT qid, lang FROM read_parquet('$p/*.parquet')" +
+            s" WHERE kind = 'filter'"
+        case None =>
+          val rows = filterRel.map { case (qid, l) => s"($qid, '$l')" }
+            .mkString(", ")
+          s"SELECT CAST(qid AS BIGINT) AS qid, lang" +
+            s"\n  FROM (VALUES $rows) AS v(qid, lang)"
+      }
+      s"\nqf AS ($body),"
+    }
     val candFilter =
-      if (langs.isEmpty) ""
+      if (filterRel.nonEmpty) {
+        val union = filterRel.map(_._2).distinct
+          .map(l => s"'$l'").mkString(", ")
+        s"\n  JOIN documents dm ON a.vec_id = dm.doc_id" +
+          s" AND dm.lang IN ($union)" +
+          s"\n  JOIN qf ON qf.qid = qp.qid AND qf.lang = dm.lang"
+      } else if (langs.isEmpty) ""
       else s"\n  JOIN documents dm ON a.vec_id = dm.doc_id" +
         s" AND dm.lang IN (${langs.map(l => s"'$l'").mkString(", ")})"
-    val candSel = if (langs.isEmpty) "" else ", dm.lang"
-    val langSel = if (langs.isEmpty) "" else ", lang"
+    val withLang = langs.nonEmpty || filterRel.nonEmpty
+    val candSel = if (!withLang) "" else ", dm.lang"
+    val langSel = if (!withLang) "" else ", lang"
     val distCols = (0 until nCells)
       .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
     val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
@@ -1476,7 +1504,7 @@ object IvfOracle {
     s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
        |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
-       |${EmbOracle.nrmCte(d)},
+       |${EmbOracle.nrmCte(d)},$qfCte
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
        |  FROM q JOIN asg0 a ON a.vec_id = q.qid

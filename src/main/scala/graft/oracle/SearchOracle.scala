@@ -387,8 +387,9 @@ object SearchOracle {
    */
   def bm25MultiSql(queries: Seq[(Long, Seq[String])], k1: Double,
                    b: Double, topN: Int, st: Option[Bm25Stats],
-                   relPath: Option[String] = None): String =
-    s"""WITH ${bm25MultiCtes(queries, k1, b, st, relPath)},
+                   relPath: Option[String] = None,
+                   excludeMod: Int = 0): String =
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st, relPath, excludeMod)},
        |ranked AS (SELECT qid, doc_id, score,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
        |  FROM mscored)
@@ -399,7 +400,8 @@ object SearchOracle {
     * [[hybridRrfMultiSql]], ending at `mscored(qid, doc_id, score)`. */
   private def bm25MultiCtes(queries: Seq[(Long, Seq[String])], k1: Double,
                             b: Double, st: Option[Bm25Stats],
-                            relPath: Option[String] = None): String = {
+                            relPath: Option[String] = None,
+                            excludeMod: Int = 0): String = {
     val unionTerms = queries.flatMap(_._2).distinct
     val maxPos = queries.map(_._2.size).max
     val inList = unionTerms.map(t => s"'$t'").mkString(", ")
@@ -451,7 +453,10 @@ object SearchOracle {
        |qtt AS (SELECT qt.qid, qt.term, qt.pos, ti.idf
        |  FROM qt JOIN ti ON ti.term = qt.term),
        |cand AS (SELECT q.qid, p.doc_id, p.dl, q.pos, p.tf, q.idf
-       |  FROM posts p JOIN qtt q ON p.term = q.term),
+       |  FROM posts p JOIN qtt q ON p.term = q.term${
+        // merge-on-read deletes cut CANDIDATES only — dfp/st2 above
+        // stay stale on purpose (the Lucene contract)
+        if (excludeMod <= 0) "" else s"\n  WHERE p.doc_id % $excludeMod <> 0"}),
        |piv AS (SELECT qid, doc_id, dl, $tfCols,
        |  $idfCols
        |  FROM cand GROUP BY qid, doc_id, dl),
@@ -535,6 +540,66 @@ object SearchOracle {
        |  LEFT JOIN vmm ON vmm.qid = COALESCE(b.qid, v.qid)),
        |scoredf AS (SELECT qid, doc_id, tnorm, vnorm,
        |    $a * tnorm + $oneA * vnorm AS fused FROM fused),
+       |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
+       |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
+       |  FROM scoredf)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id, fused,
+       |  tnorm, vnorm
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
+   * Per-qid WEIGHTED linear fusion ([[graft.operators.Search
+   * .hybridLinearMultiWeighted]]): [[hybridLinearMultiSql]] with the
+   * fusion weight read per qid from the (qid, alpha) relation — stored
+   * table (kind = 'fusion', alpha in the scalar column) or VALUES.
+   */
+  def hybridLinearMultiWeightedSql(d: Int,
+                                   queries: Seq[(Long, Seq[String])],
+                                   weights: Seq[(Long, Double)],
+                                   k1: Double, b: Double, poolN: Int,
+                                   k: Int, st: Option[Bm25Stats],
+                                   relPath: Option[String] = None): String = {
+    val nqv = (queries.map(_._1).max + 1).toInt
+    val qids = queries.map(_._1).mkString(", ")
+    val qaRows = weights.map { case (qid, a) => s"($qid, ${dlit(a)})" }
+      .mkString(", ")
+    val qaBody = relPath match {
+      case Some(p) =>
+        s"SELECT qid, tau AS alpha FROM read_parquet('$p/*.parquet')" +
+          s" WHERE kind = 'fusion'"
+      case None =>
+        s"SELECT CAST(qid AS BIGINT) AS qid, alpha" +
+          s"\n  FROM (VALUES $qaRows) AS v(qid, alpha)"
+    }
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st, relPath)},
+       |btop AS (SELECT qid, doc_id, score AS tscore FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM mscored) WHERE rnk <= $poolN),
+       |vtop AS MATERIALIZED (SELECT qid, id AS doc_id, score AS vscore
+       |  FROM (${EmbOracle.bruteSql(d, nqv, poolN)})
+       |  WHERE qid IN ($qids)),
+       |qa AS ($qaBody),
+       |tmm AS (SELECT qid, MIN(tscore) AS tmin, MAX(tscore) AS tmax
+       |  FROM btop GROUP BY qid),
+       |vmm AS (SELECT qid, MIN(vscore) AS vmin, MAX(vscore) AS vmax
+       |  FROM vtop GROUP BY qid),
+       |fused AS (SELECT COALESCE(b.qid, v.qid) AS qid,
+       |    COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       |    CASE WHEN b.tscore IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN tmm.tmax = tmm.tmin THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (b.tscore - tmm.tmin) / (tmm.tmax - tmm.tmin) END AS tnorm,
+       |    CASE WHEN v.vscore IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN vmm.vmax = vmm.vmin THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (v.vscore - vmm.vmin) / (vmm.vmax - vmm.vmin) END AS vnorm
+       |  FROM btop b FULL OUTER JOIN vtop v
+       |    ON b.qid = v.qid AND b.doc_id = v.doc_id
+       |  LEFT JOIN tmm ON tmm.qid = COALESCE(b.qid, v.qid)
+       |  LEFT JOIN vmm ON vmm.qid = COALESCE(b.qid, v.qid)),
+       |scoredf AS (SELECT f.qid, f.doc_id, f.tnorm, f.vnorm,
+       |    qa.alpha * f.tnorm + (1.0 - qa.alpha) * f.vnorm AS fused
+       |  FROM fused f JOIN qa ON qa.qid = f.qid),
        |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
        |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
        |  FROM scoredf)

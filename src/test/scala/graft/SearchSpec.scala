@@ -448,13 +448,13 @@ class SearchSpec extends AnyFunSuite {
 
   test("stored query relations round-trip the compile-time constants") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, GroupedMultiRel,
-      RangeMultiRel}
+      RangeMultiRel, FusionMultiRel}
     val path = SparkEntry.ensureQueryRelations(spark, dir)
     assert(path == SparkEntry.queryRelPathFor(dir))
     val rows = spark.read.parquet(path)
     assert(rows.count() ==
       Bm25MultiQueries.map(_._2.size).sum + FilterMultiRel.size +
-        GroupedMultiRel.size + RangeMultiRel.size)
+        GroupedMultiRel.size + RangeMultiRel.size + FusionMultiRel.size)
     // every multi rung binds from the table; spot-check the bm25 kind
     // reassembles the exact constant (qid-sorted, pos-ordered)
     val bm25 = rows.filter(col("kind") === "bm25")
@@ -495,6 +495,75 @@ class SearchSpec extends AnyFunSuite {
     val be = r.getAs[Long]("bytes_exact")
     val bf = r.getAs[Long]("bytes_full")
     assert(r.getAs[Double]("save") == 1.0 - (bc + be).toDouble / bf.toDouble)
+  }
+
+  test("multi-query deletes: tombstoned docs gone from every qid, stats stale") {
+    import SparkEntry.{Bm25MultiQueries, Bm25K1, Bm25B, Bm25MultiTopN,
+      PostBuckets, Bm25DeleteMod}
+    val del = Search.bm25MultiWithDeletes(spark, dir, Bm25MultiQueries,
+      Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets, Bm25DeleteMod).collect()
+    assert(del.nonEmpty)
+    assert(del.forall(_.getAs[Long]("doc_id") % Bm25DeleteMod != 0),
+      "a tombstoned doc was served")
+    // stats stay STALE: a surviving doc keeps its pre-delete score
+    val plain = Search.bm25Multi(spark, dir, Bm25MultiQueries, Bm25K1,
+      Bm25B, Bm25MultiTopN, PostBuckets).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    del.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))
+      plain.get(key).foreach(s => assert(s == r.getAs[Double]("score"),
+        s"survivor $key rescored — stats must stay stale"))
+    }
+  }
+
+  test("per-qid fusion weights: uniform relation equals the fixed-alpha run; weights bind per qid") {
+    import SparkEntry.{Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN,
+      HybridK, PostBuckets, HybridAlpha}
+    val qids = Bm25MultiQueries.map(_._1)
+    // a uniform weight relation must reproduce the fixed-alpha rung
+    val uniform = Search.hybridLinearMultiWeighted(spark, dir, emb,
+      Bm25MultiQueries, qids.map(_ -> HybridAlpha), Bm25K1, Bm25B,
+      RrfPoolN, HybridK, PostBuckets).collect().map(_.toSeq).toSet
+    val fixed = Search.hybridLinearMulti(spark, dir, emb,
+      Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN, HybridAlpha, HybridK,
+      PostBuckets).collect().map(_.toSeq).toSet
+    assert(uniform == fixed,
+      "uniform per-qid weights diverged from the fixed-alpha fusion")
+    // extreme weights bind per qid: α=1 ranks by tnorm alone, α=0 by
+    // vnorm alone — each qid's top row must reflect ITS OWN knob
+    val extreme = Search.hybridLinearMultiWeighted(spark, dir, emb,
+      Bm25MultiQueries, qids.map(q => q -> (if (q % 2 == 0) 1.0 else 0.0)),
+      Bm25K1, Bm25B, RrfPoolN, HybridK, PostBuckets).collect()
+    extreme.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      val (t, v) = (r.getAs[Double]("tnorm"), r.getAs[Double]("vnorm"))
+      if (r.getAs[Long]("qid") % 2 == 0)
+        assert(r.getAs[Double]("fused") == t, s"alpha=1 must rank by tnorm: $r")
+      else
+        assert(r.getAs[Double]("fused") == v, s"alpha=0 must rank by vnorm: $r")
+    }
+  }
+
+  test("per-qid filters at rest: each qid's slice equals the single-predicate indexed run") {
+    import SparkEntry.{FilterMultiRel, K, IvfCells, EmbD, IvfProbe}
+    val multi = Search.filteredTopKIndexedMulti(spark, dir, emb,
+      FilterMultiRel, K, IvfCells, EmbD, IvfProbe).collect()
+    val allowed = FilterMultiRel.toSet
+    assert(multi.nonEmpty)
+    assert(multi.forall(r =>
+      allowed((r.getAs[Long]("qid"), r.getAs[String]("lang")))),
+      "a row outside its qid's lang set was served")
+    // parity per qid against the fixed-predicate indexed run with that
+    // qid's OWN langs (same probe pipeline, so slices must be bit-equal)
+    FilterMultiRel.groupBy(_._1).foreach { case (qid, rel) =>
+      val nq = (FilterMultiRel.map(_._1).max + 1).toInt
+      val single = Search.filteredTopKIndexed(spark, dir, emb, nq, K,
+        IvfCells, EmbD, IvfProbe, rel.map(_._2))
+        .filter(col("qid") === qid).collect().map(_.toSeq).toSet
+      val slice = multi.filter(_.getAs[Long]("qid") == qid)
+        .map(_.toSeq).toSet
+      assert(slice == single, s"qid $qid at-rest filtered slice diverged")
+    }
   }
 
   test("lexical as-of snapshots: endpoints equal the undeleted and fully-deleted serves") {
