@@ -253,6 +253,17 @@ object SparkEntry {
       IvfProbe, PqM, PqCodes, PqRerank)
   }
 
+  /** ... and at the reference's LARGEST evaluated width (D=3072 —
+    * text-embedding-3-large class, README.md:40-42): 384-dim PQ
+    * subspaces over the spherical residuals. Tiny-N slicing like
+    * [[qRefineD3072]]. */
+  def qAnnSphericalPqD3072(s: SparkSession, dir: String): DataFrame = {
+    val v = fix3072(s, dir).select(col("id").as("vec_id"),
+      col("vec").as("embedding"), lit(0).as("label"))
+    graft.operators.Pq.topkSphericalResidual(v, NQ, K, IvfCells, D3072,
+      IvfProbe, PqM, PqCodes, PqRerank)
+  }
+
   /** Relational refine at D=128 — cos_l2 is the worst codegen path (its
     * bb stat dots vec against rvec on top of the synthesis trees; the
     * round-4 Janino 64KB blow-up was exactly this shape at width). */
@@ -1498,6 +1509,11 @@ object SparkEntry {
     // whole-stage at this width)
     "q_ann_ivf_spherical_pq_d1024" -> q((s, dir) =>
       qAnnSphericalPqD1024(s, dir)),
+    // ... and at the reference's LARGEST width (D=3072): the composed
+    // cosine string trains/encodes/serves where the fold trees are at
+    // their absolute widest — tiny-N slice, same relational wide oracle
+    "q_ann_ivf_spherical_pq_d3072" -> q((s, dir) =>
+      qAnnSphericalPqD3072(s, dir)),
     "q_ann_ivf_spherical_pq_delete" -> q((s, dir) => graft.operators.Pq
       .topkSphericalResidualAtRestWithDeletes(s, dir, emb(s, dir), NQ, K,
         IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
@@ -2055,6 +2071,12 @@ object SparkEntry {
     "q_ann_grouped_multi" -> q((s, dir) => graft.operators.Search
       .groupedTopKMulti(emb(s, dir), docs(s, dir),
         groupedMultiRelOf(s, dir), GroupedK)),
+    // ... and AT REST: the per-qid facet sets against the IVF layout —
+    // union-of-langs pushed into the one probe-pruned scan, per-qid
+    // membership map-side, best GroupedK per (qid, lang)
+    "q_ann_grouped_multi_at_rest" -> q((s, dir) => graft.operators.Search
+      .groupedTopKIndexedMulti(s, dir, emb(s, dir),
+        groupedMultiRelOf(s, dir), GroupedK, IvfCells, EmbD, IvfProbe)),
     // SQ8 with PER-DIMENSION TRAINED ranges (the FAISS-style trained
     // scalar quantizer): one map-side min/max training aggregate over
     // the corpus, broadcast into the cheap pass — the one-pass-train /
@@ -2588,6 +2610,9 @@ object SparkEntry {
     "q_ann_ivf_spherical_pq_d1024" -> PqOracle.sphericalResidualWideSql(
       D1024, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
       D1024KeyMod),
+    "q_ann_ivf_spherical_pq_d3072" -> PqOracle.sphericalResidualWideSql(
+      D3072, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      D3072KeyMod),
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),
@@ -2804,6 +2829,13 @@ object SparkEntry {
     "q_ann_filtered_multi_at_rest" -> IvfOracle.topkSql(EmbD,
       (FilterMultiRel.map(_._1).max + 1).toInt, K, IvfCells, IvfProbe,
       filterRel = FilterMultiRel, relPath = qrelPathForOracle()),
+    // per-qid facet sets against the at-rest index: same probe pipeline,
+    // ranks per (qid, lang) facet
+    "q_ann_grouped_multi_at_rest" -> IvfOracle.topkSql(EmbD,
+      (GroupedMultiRel.map(_._1).max + 1).toInt, GroupedK, IvfCells,
+      IvfProbe, filterRel = GroupedMultiRel,
+      relPath = qrelPathForOracle(), relKind = "facet",
+      groupByLang = true),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
     "q_ann_range_multi" -> SearchOracle.rangeMultiSql(EmbD, RangeMultiRel,
       qrelPathForOracle()),

@@ -249,6 +249,47 @@ object Search {
       .select(col("qid"), col("rank"), col("id"), col("score"), col("lang"))
   }
 
+  /**
+   * PER-QUERY FACETED retrieval against the AT-REST IVF index — the
+   * grouped twin of [[filteredTopKIndexedMulti]]: best `k` per
+   * (qid, lang) OF EACH QID'S OWN facet set, served off one probe-pruned
+   * scan (union-of-langs pushed, per-qid membership refined map-side),
+   * ranks cut per (qid, lang) by WindowGroupLimit. Candidates are
+   * probed-cell-approximate as for every indexed serve.
+   * Output (qid, lang, rank, id, score).
+   */
+  def groupedTopKIndexedMulti(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String, emb: DataFrame,
+                              facets: Seq[(Long, String)], k: Int,
+                              nCells: Int, d: Int,
+                              nprobe: Int): DataFrame = {
+    require(facets.nonEmpty, "groupedTopKIndexedMulti: empty relation")
+    import spark.implicits._
+    val nq = (facets.map(_._1).max + 1).toInt
+    val unionLangs = facets.map(_._2).distinct
+    val path = Ivf.ensureIndex(spark, sfDir, nCells, d)
+    val stored = spark.read.parquet(path)
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val qf = broadcast(facets.toDF("qid", "lang"))
+    val scored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .filter(col("lang").isin(unionLangs: _*))
+      .join(probes, Seq("cell"))
+      .join(qf, Seq("qid", "lang"))
+      .withColumn("score", cosScore)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("lang"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.select(col("qid"), col("lang"), col("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("lang"), col("rank"), col("id"), col("score"))
+  }
+
   // ---- cursor pagination (search_after) ---------------------------------
 
   /**

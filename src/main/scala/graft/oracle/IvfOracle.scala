@@ -1460,18 +1460,23 @@ object IvfOracle {
   def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
               langs: Seq[String] = Nil,
               filterRel: Seq[(Long, String)] = Nil,
-              relPath: Option[String] = None): String = {
+              relPath: Option[String] = None,
+              relKind: String = "filter",
+              groupByLang: Boolean = false): String = {
     require(langs.isEmpty || filterRel.isEmpty,
       "langs and filterRel are alternative filter forms")
-    // per-qid filter relation ([[graft.operators.Search
-    // .filteredTopKIndexedMulti]]): union-of-langs predicate on the
+    require(!groupByLang || filterRel.nonEmpty,
+      "groupByLang needs the per-qid relation")
+    // per-qid filter/facet relation ([[graft.operators.Search
+    // .filteredTopKIndexedMulti]] / [[graft.operators.Search
+    // .groupedTopKIndexedMulti]]): union-of-langs predicate on the
     // candidates plus the (qid, lang) membership join — stored table
-    // (kind = 'filter') or VALUES, mirroring the engine's two-stage cut
+    // (kind = `relKind`) or VALUES, mirroring the engine's two-stage cut
     val qfCte = if (filterRel.isEmpty) "" else {
       val body = relPath match {
         case Some(p) =>
           s"SELECT qid, lang FROM read_parquet('$p/*.parquet')" +
-            s" WHERE kind = 'filter'"
+            s" WHERE kind = '$relKind'"
         case None =>
           val rows = filterRel.map { case (qid, l) => s"($qid, '$l')" }
             .mkString(", ")
@@ -1524,7 +1529,8 @@ object IvfOracle {
        |  JOIN nrm ne ON ne.vec_id = c.id
        |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
        |ranked AS (SELECT qid, id$langSel, score,
-       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  row_number() OVER (PARTITION BY qid${
+        if (groupByLang) ", lang" else ""} ORDER BY score DESC, id ASC) AS rnk
        |  FROM scored)
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score$langSel
        |FROM ranked WHERE rnk <= $k""".stripMargin

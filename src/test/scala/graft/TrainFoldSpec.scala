@@ -156,6 +156,26 @@ class TrainFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("spherical-PQ composed serve compiles whole-stage at D=3072") {
+    // the reference's largest evaluated width — 384-dim PQ subspaces
+    // over the spherical residuals; same guard as the d1024 twin
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val df = SparkEntry.qAnnSphericalPqD3072(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "d3072 spherical serve returned no rows")
+    rows.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("qid") == r.getAs[Long]("id"),
+        s"rank-1 self-hit missing at d3072: $r")
+    }
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile at d3072 for:\n$subtree")
+    }
+  }
+
   test("stream-maintained spherical codes serve identical rows once drained") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)
