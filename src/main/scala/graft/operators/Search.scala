@@ -1002,6 +1002,10 @@ object Search {
           Seq("qid", "doc_id"))
         .groupBy(col("qid"))
         .agg((count(lit(1)) * lit(24L)).as(name))
+    // pg = the qid's PAGE (min(topN, candidates)) — every survivor
+    // beyond it was an unnecessary fetch; carried per row so the
+    // aggregate's fpr sums pages per qid rather than re-clamping the
+    // summed candidates
     val perQid = cands
       .join(nSeeds, Seq("qid")).join(nSurv, Seq("qid"))
       .join(rowBytes, Seq("qid"))
@@ -1010,21 +1014,31 @@ object Search {
       .select(col("qid"), col("candidates"), col("seed_docs"),
         col("survivors"), col("bytes_cheap"),
         (col("b_seed") + col("b_surv")).as("bytes_exact"),
-        col("bytes_full"))
+        col("bytes_full"),
+        least(lit(topN.toLong), col("candidates")).as("pg"))
     val total = perQid.agg(
       sum(col("candidates")).as("candidates"),
       sum(col("seed_docs")).as("seed_docs"),
       sum(col("survivors")).as("survivors"),
       sum(col("bytes_cheap")).as("bytes_cheap"),
       sum(col("bytes_exact")).as("bytes_exact"),
-      sum(col("bytes_full")).as("bytes_full"))
+      sum(col("bytes_full")).as("bytes_full"),
+      sum(col("pg")).as("pg"))
       .select(lit(-1L).as("qid"), col("candidates"), col("seed_docs"),
         col("survivors"), col("bytes_cheap"), col("bytes_exact"),
-        col("bytes_full"))
+        col("bytes_full"), col("pg"))
     perQid.unionByName(total)
       .withColumn("save", lit(1.0) -
         (col("bytes_cheap") + col("bytes_exact")).cast("double") /
           col("bytes_full").cast("double"))
+      // fpr (the reference triple's third leg, Refine.metrics'
+      // unnecessary-fetches-over-universe form): survivors beyond the
+      // page, over the qid's candidate universe — zero-miss makes the
+      // page always a survivor subset, so the numerator is exact
+      .withColumn("fpr",
+        (col("survivors") - col("pg")).cast("double") /
+          col("candidates").cast("double"))
+      .drop("pg")
   }
 
   /**
@@ -1177,9 +1191,12 @@ object Search {
     val bytesExact = 24L * exactRows
     import spark.implicits._
     Seq((cands, nSeeds, nSurv, bytesCheap, bytesExact, bytesFull,
-      1.0 - (bytesCheap + bytesExact).toDouble / bytesFull.toDouble))
+      1.0 - (bytesCheap + bytesExact).toDouble / bytesFull.toDouble,
+      // fpr: survivors beyond the page over the candidate universe —
+      // the reference triple's third leg (zero-miss => page ⊆ survivors)
+      (nSurv - math.min(topN.toLong, cands)).toDouble / cands.toDouble))
       .toDF("candidates", "seed_docs", "survivors", "bytes_cheap",
-        "bytes_exact", "bytes_full", "save")
+        "bytes_exact", "bytes_full", "save", "fpr")
   }
 
   /**

@@ -679,7 +679,10 @@ object SearchOracle {
        |  1.0 - CAST((SELECT SUM(len(term) + 8) FROM posts)
        |      + 24 * ((SELECT COUNT(*) FROM posts p JOIN seeds s ON p.doc_id = s.doc_id)
        |        + (SELECT COUNT(*) FROM posts p JOIN surv s ON p.doc_id = s.doc_id)) AS DOUBLE)
-       |    / CAST((SELECT SUM(len(term) + 24) FROM posts) AS DOUBLE) AS save""".stripMargin
+       |    / CAST((SELECT SUM(len(term) + 24) FROM posts) AS DOUBLE) AS save,
+       |  CAST((SELECT COUNT(*) FROM surv)
+       |      - LEAST($topN, (SELECT COUNT(*) FROM bounds)) AS DOUBLE)
+       |    / CAST((SELECT COUNT(*) FROM bounds) AS DOUBLE) AS fpr""".stripMargin
   }
 
   /**
@@ -790,7 +793,8 @@ object SearchOracle {
        |    ON s.qid = c.qid AND s.doc_id = c.doc_id GROUP BY c.qid),
        |perqid AS (SELECT cnt.qid, cnt.candidates, scnt.seed_docs,
        |    vcnt.survivors, cb.bytes_cheap,
-       |    f1.b_seed + f2.b_surv AS bytes_exact, cb.bytes_full
+       |    f1.b_seed + f2.b_surv AS bytes_exact, cb.bytes_full,
+       |    CAST(LEAST($topN, cnt.candidates) AS BIGINT) AS pg
        |  FROM cnt JOIN scnt ON scnt.qid = cnt.qid
        |  JOIN vcnt ON vcnt.qid = cnt.qid
        |  JOIN cb ON cb.qid = cnt.qid
@@ -802,13 +806,15 @@ object SearchOracle {
        |    CAST(SUM(survivors) AS BIGINT) AS survivors,
        |    CAST(SUM(bytes_cheap) AS BIGINT) AS bytes_cheap,
        |    CAST(SUM(bytes_exact) AS BIGINT) AS bytes_exact,
-       |    CAST(SUM(bytes_full) AS BIGINT) AS bytes_full
+       |    CAST(SUM(bytes_full) AS BIGINT) AS bytes_full,
+       |    CAST(SUM(pg) AS BIGINT) AS pg
        |  FROM perqid),
        |allrows AS (SELECT * FROM perqid UNION ALL SELECT * FROM tot)
        |SELECT qid, candidates, seed_docs, survivors, bytes_cheap,
        |  bytes_exact, bytes_full,
        |  1.0 - CAST(bytes_cheap + bytes_exact AS DOUBLE) /
-       |    CAST(bytes_full AS DOUBLE) AS save
+       |    CAST(bytes_full AS DOUBLE) AS save,
+       |  CAST(survivors - pg AS DOUBLE) / CAST(candidates AS DOUBLE) AS fpr
        |FROM allrows""".stripMargin
   }
 

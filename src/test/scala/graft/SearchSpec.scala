@@ -418,6 +418,13 @@ class SearchSpec extends AnyFunSuite {
       assert(r.getAs[Long]("seed_docs") <= Bm25SeedB.toLong)
       // the cheap pass costs strictly less than the full read
       assert(r.getAs[Long]("bytes_cheap") < r.getAs[Long]("bytes_full"))
+      // fpr is exactly the unnecessary-fetch ratio over this qid's own
+      // candidate universe (the reference triple's third leg)
+      val page = math.min(Bm25MultiTopN.toLong, r.getAs[Long]("candidates"))
+      assert(r.getAs[Double]("fpr") ==
+        (r.getAs[Long]("survivors") - page).toDouble /
+          r.getAs[Long]("candidates").toDouble, s"fpr mismatch: $r")
+      assert(r.getAs[Double]("fpr") >= 0.0 && r.getAs[Double]("fpr") < 1.0)
     }
     // and the result rung the ledger accounts for stays zero-miss
     // (bm25MultiMaxScore == bm25Multi is asserted in its own test)
