@@ -255,7 +255,7 @@ object Bench {
       "q_stream_sessions", "q_stream_refine", "q_bucketed_join",
       "q_semantic_clusters", "q_tune_grid", "q_ann_cascade_d1024",
       "q_ann_ivf_pq_res_d1024", "q_ann_ivf_spherical_pq_d1024",
-      "q_cascade_metrics",
+      "q_ann_ivf_spherical_pq_d3072", "q_cascade_metrics",
       "q_topk_cos_vecsrc", "q_topk_cos_fvecs", "q_topk_cos_binsrc")
     val rank = heavyFirst.zipWithIndex.toMap
     val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }
