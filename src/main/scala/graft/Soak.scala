@@ -192,6 +192,32 @@ object Soak {
         seedB = SparkEntry.Bm25SeedB).collect().map(_.toSeq).toSet
       require(ms == multi.map(_.toSeq).toSet,
         "multi MaxScore diverged from the full posting scoring")
+      // ... and its per-qid byte LEDGER at scale — where the save sign
+      // becomes the story: a SINGLE-TERM query's bound is constant
+      // across its posting list, so nothing can ever be rejected
+      // (survivors == candidates, pure overhead — why engines skip
+      // WAND for one-term queries), while a MIXED-IDF term set (a rare
+      // replica token dominating the bound) is exactly where MaxScore
+      // pays (positive save at the full soak scale, asserted below).
+      val led = operators.Search.bm25MultiMaxScoreMetricsOffPostings(
+        spark, root, qs, SparkEntry.Bm25K1, SparkEntry.Bm25B, topN,
+        nBuckets, seedB = SparkEntry.Bm25SeedB).collect()
+      val perQ = led.filter(_.getAs[Long]("qid") >= 0)
+      val totQ = led.filter(_.getAs[Long]("qid") == -1L)(0)
+      for (c <- Seq("candidates", "survivors", "bytes_cheap",
+          "bytes_exact", "bytes_full"))
+        require(perQ.map(_.getAs[Long](c)).sum == totQ.getAs[Long](c),
+          s"ledger aggregate $c != sum of per-qid rows")
+      val oneTerm = qs.filter(_._2.size == 1).map(_._1).toSet
+      perQ.filter(r => oneTerm(r.getAs[Long]("qid"))).foreach(r =>
+        require(r.getAs[Long]("survivors") == r.getAs[Long]("candidates"),
+          s"single-term qid must be un-prunable (constant bound): $r"))
+      System.err.println("[soak]   bm25_multi ledger saves: " +
+        perQ.map(r => s"q${r.getAs[Long]("qid")}=" +
+          f"${r.getAs[Double]("save")}%.2f").mkString(" "))
+      if (nBig >= 20000)
+        require(perQ.exists(_.getAs[Double]("save") > 0.0),
+          "at soak scale some mixed-idf qid must show a positive save")
       multi.length.toLong
     }
     operators.Dedup.releaseIntermediates()

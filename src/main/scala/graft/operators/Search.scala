@@ -979,9 +979,19 @@ object Search {
   def bm25MultiMaxScoreMetrics(spark: SparkSession, sfDir: String,
                                queries: Seq[(Long, Seq[String])],
                                k1: Double, b: Double, topN: Int,
-                               nBuckets: Int, seedB: Int): DataFrame = {
-    val p = multiMaxScoreParts(spark,
+                               nBuckets: Int, seedB: Int): DataFrame =
+    bm25MultiMaxScoreMetricsOffPostings(spark,
       ensurePostingsLayout(spark, sfDir, nBuckets), queries, k1, b,
+      topN, nBuckets, seedB)
+
+  /** [[bm25MultiMaxScoreMetrics]] against an explicit postings layout —
+    * the form the scale soak drives over its flooded corpus (the
+    * sf-fixture ledger is the small-vocabulary worst case; the save
+    * sign at realistic df spreads is measured there). */
+  def bm25MultiMaxScoreMetricsOffPostings(spark: SparkSession,
+      root: String, queries: Seq[(Long, Seq[String])], k1: Double,
+      b: Double, topN: Int, nBuckets: Int, seedB: Int): DataFrame = {
+    val p = multiMaxScoreParts(spark, root, queries, k1, b,
       topN, nBuckets, seedB)
     // the qid's candidate posting rows: the union-pruned postings joined
     // to ITS terms — the relation both byte baselines and both exact
