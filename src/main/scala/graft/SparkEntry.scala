@@ -599,6 +599,19 @@ object SparkEntry {
       redBytesOverride = Some(comp.toDouble / n))
   }
 
+  /** PRECISION ON DEMAND AS A RELATION: each refine query runs with ITS
+    * OWN Hoeffding δ (bound by query rank from the stored relation) in
+    * one plan — the reference's headline tunable per tenant. */
+  def qRefineMultiDelta(spark: SparkSession, dir: String): DataFrame = {
+    val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    // rank->qid binding: the i-th smallest qid gets deltasByRank(i) —
+    // a bounded NQ-row collect (a model)
+    val qids = q.select(col("qid")).collect().map(_.getLong(0)).sorted
+    val deltas = qids.toSeq.zip(deltaMultiByRankOf(spark, dir))
+    Refine.topkPerQidDelta(v, q, refineParams("cos_hoeff"), deltas)
+  }
+
   /** Precision-reduction projection (P2-P4): flat (id, j, v, rv, dv). */
   def qReducePrecision(spark: SparkSession, dir: String): DataFrame = {
     val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
@@ -862,6 +875,13 @@ object SparkEntry {
   // (0.7), a semantic one leans vector (0.3)
   final val FusionMultiRel: Seq[(Long, Double)] = Seq(
     0L -> 0.7, 1L -> 0.5, 2L -> 0.3, 3L -> 0.6)
+  // per-query Hoeffding δ (q_refine_multi_delta): the reference's OWN
+  // tunable as a relation — each of the NQ refine queries runs its own
+  // recall/bandwidth knob (the TuneGrid values cycled by QUERY RANK —
+  // refine qids are fixture keys, so the binding is rank-based on both
+  // sides: δ=1e-6 is near-zero-miss, δ=0.7 prunes hardest)
+  final val DeltaMultiByRank: Seq[Double] =
+    (0 until NQ).map(i => TuneGrid(i % TuneGrid.size))
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -903,7 +923,11 @@ object SparkEntry {
       RangeMultiRel.map { case (qid, tau) =>
         ("radius", qid, None, None, None, Some(tau)) } ++
       FusionMultiRel.map { case (qid, alpha) =>
-        ("fusion", qid, None, None, None, Some(alpha)) }
+        ("fusion", qid, None, None, None, Some(alpha)) } ++
+      // delta rows are RANK-keyed (refine qids are fixture keys): qid
+      // carries the query rank, tau the per-rank δ
+      DeltaMultiByRank.zipWithIndex.map { case (dl, i) =>
+        ("delta", i.toLong, None, None, None, Some(dl)) }
 
   /** The stored relation's path for `sfDir` — content-keyed (the dir
     * name embeds a hash of the rows), so editing any constant above
@@ -941,7 +965,7 @@ object SparkEntry {
   private final case class QueryRels(
       bm25: Seq[(Long, Seq[String])], filters: Seq[(Long, String)],
       facets: Seq[(Long, String)], radii: Seq[(Long, Double)],
-      fusion: Seq[(Long, Double)])
+      fusion: Seq[(Long, Double)], deltasByRank: Seq[Double])
 
   private val qrelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), QueryRels]()
@@ -963,7 +987,7 @@ object SparkEntry {
         .map(r => (r.getAs[Long]("qid"), r.getAs[Double]("tau")))
         .sortBy(_._1)
       QueryRels(bm25, strRel("filter"), strRel("facet"), numRel("radius"),
-        numRel("fusion"))
+        numRel("fusion"), numRel("delta").map(_._2))
     })
 
   private def bm25MultiQueriesOf(s: SparkSession, dir: String) =
@@ -976,6 +1000,8 @@ object SparkEntry {
     queryRels(s, dir).radii
   private def fusionMultiRelOf(s: SparkSession, dir: String) =
     queryRels(s, dir).fusion
+  private def deltaMultiByRankOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).deltasByRank
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
@@ -2388,6 +2414,10 @@ object SparkEntry {
     "q_kernel_hoeff" -> q((s, dir) => qKernelHoeffInvariants(s, dir)),
     // at-rest disaggregated layout: cheap pass scans only reduced columns
     "q_refine_disagg" -> q((s, dir) => qRefineDisagg(s, dir, "cos_l1")),
+    // PRECISION ON DEMAND AS A RELATION: each query refines with its
+    // OWN Hoeffding δ from the stored relation (rank-bound) — the
+    // reference's headline tunable per tenant, one plan
+    "q_refine_multi_delta" -> q((s, dir) => qRefineMultiDelta(s, dir)),
     // Hoeffding delta grid-search (reference ANNCode.py:755-776)
     "q_tune_delta" -> q((s, dir) => {
       val v = Fixture.fp16VectorsCached(s, dir, D, KeepM)
@@ -3032,6 +3062,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'l2_hoeff', TRUE, TRUE, TRUE, TRUE, TRUE""".stripMargin,
     "q_refine_disagg"        -> RefineOracle.topkSql(D, NQ, refineParams("cos_l1")),
+    // per-qid δ: the i-th smallest qid's cushion uses the i-th per-rank
+    // hoeffConst literal (computed with the engine's exact formula)
+    "q_refine_multi_delta"   -> RefineOracle.topkPerQidDeltaSql(D, NQ,
+      refineParams("cos_hoeff"),
+      DeltaMultiByRank.map(dl => math.sqrt(2.0 * math.log(1.0 / dl)))),
     "q_tune_delta"           -> RefineOracle.tuneSql(D, NQ, TuneMode, K, KeepM,
       TuneGrid, TuneFloor),
     "q_refine_plan_l2_sym"   -> RefineOracle.topkSql(D, NQ, refineParams("l2_sym")),

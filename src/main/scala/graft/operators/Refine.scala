@@ -103,9 +103,11 @@ object Refine {
     * columns (qvec, nq2, rvec, delta[, bb], s_hat) in scope. Fused codegen
     * folds (VecExprs) — numerically identical to the HOF forms (same fold
     * order / per-element trees). */
-  private def cushionExpr(p: Params): Column = p.mode match {
+  private def cushionExpr(p: Params,
+                          hcOverride: Option[Column] = None): Column = p.mode match {
     case "cos_hoeff" =>
-      lit(p.hoeffConst) * sqrt(VecExprs.hoeffSum(col("qvec"), col("delta"))) / fnorm(col("nq2"))
+      hcOverride.getOrElse(lit(p.hoeffConst)) *
+        sqrt(VecExprs.hoeffSum(col("qvec"), col("delta"))) / fnorm(col("nq2"))
     case "cos_l1" =>
       lit(p.alpha) * VecExprs.absDot(col("qvec"), col("delta")) / fnorm(col("nq2"))
     case "cos_l2" =>
@@ -128,11 +130,17 @@ object Refine {
    * vpre: (id, rvec, delta, nr2[, bb]); queries: (qid, qvec).
    */
   private def candidatesMulti(vpre: DataFrame, queries: DataFrame,
-                              ps: Seq[Params]): DataFrame = {
+                              ps: Seq[Params],
+                              perQidHc: Boolean = false): DataFrame = {
     val isCos = ps.head.isCos
     require(ps.forall(_.isCos == isCos), "params must share a metric family")
-    val q = broadcast(
-      queries.select(col("qid"), col("qvec"), norm2Sq(col("qvec")).as("nq2")))
+    // perQidHc: the query relation carries a per-qid Hoeffding constant
+    // column `hc` (precision-on-demand as a RELATION) — the cushion
+    // reads it instead of the param literal
+    val qCols = Seq(col("qid"), col("qvec"),
+      norm2Sq(col("qvec")).as("nq2")) ++
+      (if (perQidHc) Seq(col("hc")) else Nil)
+    val q = broadcast(queries.select(qCols: _*))
 
     val pairs = vpre.crossJoin(q)
 
@@ -141,12 +149,16 @@ object Refine {
       else l2DistSq(col("qvec"), col("rvec"))   // reduced-space distance (asc)
 
     val withScore = pairs.withColumn("s_hat", sHat)
-    val cushions = ps.zipWithIndex.map { case (p, i) => cushionExpr(p).as(s"cush_$i") }
+    val hcOv = if (perQidHc) Some(col("hc")) else None
+    val cushions = ps.zipWithIndex.map { case (p, i) =>
+      cushionExpr(p, hcOv).as(s"cush_$i") }
     withScore.select(col("qid") +: col("id") +: col("s_hat") +: cushions: _*)
   }
 
-  private def candidates(vpre: DataFrame, queries: DataFrame, p: Params): DataFrame =
-    candidatesMulti(vpre, queries, Seq(p)).withColumnRenamed("cush_0", "cush")
+  private def candidates(vpre: DataFrame, queries: DataFrame, p: Params,
+                         perQidHc: Boolean = false): DataFrame =
+    candidatesMulti(vpre, queries, Seq(p), perQidHc)
+      .withColumnRenamed("cush_0", "cush")
 
   /**
    * Phase 2 seed selection: the top-K candidate ids per query by reduced
@@ -190,6 +202,35 @@ object Refine {
   def fetched(vectors: DataFrame, queries: DataFrame, p: Params): DataFrame =
     fetchedSplit(cheapSide(vectors, p), vectors, queries, p)
 
+  /**
+   * PRECISION ON DEMAND AS A RELATION — the reference's OWN tunable
+   * (the Hoeffding failure probability δ, `ANNCode.py:354`) bound PER
+   * QUERY ROW: `deltas` is a (qid, δ) table and each query refines with
+   * ITS OWN recall/bandwidth knob (a recall-critical tenant runs
+   * δ=1e-6, a throughput one δ=0.7), all queries in ONE plan — the same
+   * cheap pass, seed selection, and rescore, with the cushion reading a
+   * per-qid constant column instead of the param literal. The per-qid
+   * hoeffConst values are computed driver-side with the exact
+   * [[Params.hoeffConst]] formula, so the oracle embeds the identical
+   * double literals per qid.
+   */
+  def topkPerQidDelta(vectors: DataFrame, queries: DataFrame, p: Params,
+                      deltas: Seq[(Long, Double)]): DataFrame = {
+    require(p.mode == "cos_hoeff",
+      "per-qid delta rides the cos_hoeff cushion")
+    require(deltas.nonEmpty, "topkPerQidDelta: empty delta relation")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val hcRel = deltas.map { case (q, dl) =>
+      (q, math.sqrt(2.0 * math.log(1.0 / dl))) }
+    val q2 = queries.select(col("qid"), col("qvec"))
+      .join(broadcast(hcRel.toDF("qid", "hc")), Seq("qid"))
+    TopK.window(
+      fetchedSplit(cheapSide(vectors, p), vectors, q2, p, perQidHc = true)
+        .withColumnRenamed("s_full", "score"),
+      p.k, ascending = !p.isCos)
+  }
+
   /** [[fetched]] with the cheap pass and the full-precision fetch side as
     * separate relations — the disaggregated-storage entry point, where
     * the two sides are different column subsets of one parquet table.
@@ -205,8 +246,8 @@ object Refine {
     * shuffled; at rest the id-sorted layout additionally gives parquet
     * row-group skipping on the fetch. */
   def fetchedSplit(cheap: DataFrame, full: DataFrame, queries: DataFrame,
-                   p: Params): DataFrame =
-    if (Dedup.scopeActive) fetchedSplitImpl(cheap, full, queries, p)
+                   p: Params, perQidHc: Boolean = false): DataFrame =
+    if (Dedup.scopeActive) fetchedSplitImpl(cheap, full, queries, p, perQidHc)
     else {
       // BARE library caller (no enclosing Dedup.scopedRelease): the
       // caller has no reason to know the release contract, so return a
@@ -219,14 +260,15 @@ object Refine {
       // returning. Managed callers (Bench/Verify, anything under
       // scopedRelease) keep the fully-lazy plan above.
       val (df, release) = Dedup.scopedRelease(
-        fetchedSplitImpl(cheap, full, queries, p))
+        fetchedSplitImpl(cheap, full, queries, p, perQidHc))
       try df.localCheckpoint(true)
       finally release()
     }
 
   private def fetchedSplitImpl(cheap: DataFrame, full: DataFrame,
-                               queries: DataFrame, p: Params): DataFrame = {
-    val cand = candidates(cheap, queries, p)
+                               queries: DataFrame, p: Params,
+                               perQidHc: Boolean = false): DataFrame = {
+    val cand = candidates(cheap, queries, p, perQidHc)
     val vSel = full.select(col("id"), col("vec"))
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),
       norm2Sq(col("qvec")).as("nq2")))

@@ -78,8 +78,11 @@ object RefineOracle {
     }
   }
 
-  /** s_hat, s_full, cushion column exprs over `pair p / nv / nqt q`. */
-  private def scoredExprs(p: Refine.Params): (String, String, String) = {
+  /** s_hat, s_full, cushion column exprs over `pair p / nv / nqt q`.
+    * `hcExpr`: per-qid Hoeffding-constant SQL expression overriding the
+    * cos_hoeff literal (the precision-on-demand relation). */
+  private def scoredExprs(p: Refine.Params,
+                          hcExpr: Option[String] = None): (String, String, String) = {
     val sFullCos = s"p.dxq / (${fn("nv.nx2")} * ${fn("q.nq2")})"
     val sHatCos  = s"p.drq / (${fn("nv.nr2")} * ${fn("q.nq2")})"
     p.mode match {
@@ -87,7 +90,7 @@ object RefineOracle {
         (sHatCos, sFullCos, s"${OracleGen.dlit(p.alpha)} * p.l1c / ${fn("q.nq2")}")
       case "cos_hoeff" =>
         (sHatCos, sFullCos,
-          s"${OracleGen.dlit(p.hoeffConst)} * sqrt(p.hs2) / ${fn("q.nq2")}")
+          s"${hcExpr.getOrElse(OracleGen.dlit(p.hoeffConst))} * sqrt(p.hs2) / ${fn("q.nq2")}")
       case "cos_l2" =>
         (sHatCos, sFullCos,
           s"${OracleGen.dlit(p.alpha)} * sqrt($g(0.0, 2.0 - 2.0 * nv.xr / (${fn("nv.nx2")} * ${fn("nv.nr2")})))")
@@ -98,16 +101,35 @@ object RefineOracle {
     }
   }
 
-  /** CTE chain from scored -> fetchset (seed ∪ cushion survivors). */
-  private def pipelineCtes(p: Refine.Params): String = {
-    val (sHat, sFull, cush) = scoredExprs(p)
+  /** CTE chain from scored -> fetchset (seed ∪ cushion survivors).
+    * `hcByRank`: per-query hoeffConst values INDEXED BY QUERY RANK (the
+    * i-th smallest qid gets hcByRank(i)) — the precision-on-demand
+    * relation; qids are fixture keys so the binding is rank-based on
+    * both sides, each constant embedded as a double literal (the engine
+    * computes them driver-side with the identical formula). */
+  private def pipelineCtes(p: Refine.Params,
+                           hcByRank: Option[Seq[Double]] = None): String = {
+    val (sHat, sFull, cush) = scoredExprs(p,
+      hcByRank.map(_ => "hcr.hc"))
     val (hatOrd, seedAgg, survive) =
       if (p.isCos) ("s_hat DESC, id ASC", "MIN", "r.s_hat + r.cush >= t.tau0")
       else ("s_hat ASC, id ASC", "MAX", "r.cush <= t.tau0")
-    s"""pair AS (SELECT qd.qkey AS qid, vd.key AS id, ${pairAggs(p.mode)}
+    val hcrCte = hcByRank.map { hcs =>
+      val rows = hcs.zipWithIndex.map { case (hc, i) =>
+        s"($i, ${OracleGen.dlit(hc)})" }.mkString(", ")
+      s"""hcr0 AS (SELECT CAST(qi AS BIGINT) AS qi, hc
+         |  FROM (VALUES $rows) AS v(qi, hc)),
+         |qkr AS (SELECT qkey,
+         |    row_number() OVER (ORDER BY qkey) - 1 AS qi FROM qk),
+         |hcr AS (SELECT qkr.qkey, hcr0.hc
+         |  FROM qkr JOIN hcr0 ON hcr0.qi = qkr.qi),\n""".stripMargin
+    }.getOrElse("")
+    val hcrJoin =
+      hcByRank.map(_ => " JOIN hcr ON hcr.qkey = p.qid").getOrElse("")
+    s"""${hcrCte}pair AS (SELECT qd.qkey AS qid, vd.key AS id, ${pairAggs(p.mode)}
        |  FROM qd JOIN vd ON qd.j = vd.j GROUP BY 1, 2),
        |scored AS (SELECT p.qid, p.id, $sHat AS s_hat, $sFull AS s_full, $cush AS cush
-       |  FROM pair p JOIN nv ON p.id = nv.key JOIN nqt q ON p.qid = q.qkey),
+       |  FROM pair p JOIN nv ON p.id = nv.key JOIN nqt q ON p.qid = q.qkey$hcrJoin),
        |rh AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY $hatOrd) AS rn
        |  FROM scored),
        |tau AS (SELECT qid, $seedAgg(CASE WHEN rn <= ${p.k} THEN s_full END) AS tau0
@@ -120,16 +142,25 @@ object RefineOracle {
   def topkSql(d: Int, nq: Int, p: Refine.Params, keyMod: Int = 1): String =
     topkSqlFrom(baseCtes(d, nq, p.keepM, keyMod), p)
 
+  /** [[topkSql]] with the Hoeffding constant bound PER QUERY RANK
+    * ([[graft.operators.Refine.topkPerQidDelta]]): the i-th smallest
+    * qid refines with hcByRank(i). */
+  def topkPerQidDeltaSql(d: Int, nq: Int, p: Refine.Params,
+                         hcByRank: Seq[Double],
+                         keyMod: Int = 1): String =
+    topkSqlFrom(baseCtes(d, nq, p.keepM, keyMod), p, Some(hcByRank))
+
   /** [[topkSql]] over a caller-derived cheap copy (e.g. the int8
     * quantization rung via [[quantRvDv]]). */
   def topkSqlRvDv(d: Int, nq: Int, p: Refine.Params, keyMod: Int,
                   rvSql: String, dvSql: String): String =
     topkSqlFrom(baseCtesRvDv(d, nq, keyMod, rvSql, dvSql), p)
 
-  private def topkSqlFrom(base: String, p: Refine.Params): String = {
+  private def topkSqlFrom(base: String, p: Refine.Params,
+                          hcByRank: Option[Seq[Double]] = None): String = {
     val ord = if (p.isCos) "s_full DESC, id ASC" else "s_full ASC, id ASC"
     s"""WITH $base,
-       |${pipelineCtes(p)},
+       |${pipelineCtes(p, hcByRank)},
        |final AS (SELECT qid, id, s_full,
        |  row_number() OVER (PARTITION BY qid ORDER BY $ord) AS rnk FROM fetchset)
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, s_full AS score

@@ -107,6 +107,30 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("per-qid delta: each qid's slice equals the uniform run with its own δ") {
+    // precision-on-demand as a relation: rank i gets δ_i; the proof of
+    // per-qid BINDING is slice equality — the mixed-δ run's qid_i slice
+    // must be bit-equal to a uniform-δ_i run's qid_i slice
+    val (v, q) = fixture
+    val qids = q.select(col("qid")).collect().map(_.getLong(0)).sorted
+    val deltas = qids.toSeq.zipWithIndex.map { case (qid, i) =>
+      qid -> SparkEntry.TuneGrid(i % SparkEntry.TuneGrid.size) }
+    val p = SparkEntry.refineParams("cos_hoeff")
+    val mixed = graft.operators.Refine.topkPerQidDelta(v, q, p, deltas)
+      .collect()
+    assert(mixed.length == qids.length * p.k)
+    deltas.groupBy(_._2).foreach { case (dl, qs) =>
+      val uniform = graft.operators.Refine.topk(v, q, p.copy(delta = dl))
+        .collect().groupBy(_.getAs[Long]("qid"))
+      qs.map(_._1).foreach { qid =>
+        val slice = mixed.filter(_.getAs[Long]("qid") == qid)
+          .map(_.toSeq).toSet
+        assert(slice == uniform(qid).map(_.toSeq).toSet,
+          s"qid $qid (δ=$dl) diverged from its uniform-δ run")
+      }
+    }
+  }
+
   test("TopK.aggregate matches TopK.window") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)
