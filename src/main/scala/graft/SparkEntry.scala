@@ -875,6 +875,14 @@ object SparkEntry {
   // (0.7), a semantic one leans vector (0.3)
   final val FusionMultiRel: Seq[(Long, Double)] = Seq(
     0L -> 0.7, 1L -> 0.5, 2L -> 0.3, 3L -> 0.6)
+  // per-query page size (q_ann_topk_multi_k): each qid returns its own
+  // top-k — the size knob every serving API binds per request
+  final val PageKMultiRel: Seq[(Long, Int)] = Seq(
+    0L -> 3, 1L -> 10, 2L -> 5, 3L -> 7)
+  // per-query probe depth (q_ann_ivf_multi_probe): each qid probes its
+  // own cell count — np=IvfCells is a provable full probe for that qid
+  final val NprobeMultiRel: Seq[(Long, Int)] = Seq(
+    0L -> 1, 1L -> 2, 2L -> 4, 3L -> 8)
   // per-query Hoeffding δ (q_refine_multi_delta): the reference's OWN
   // tunable as a relation — each of the NQ refine queries runs its own
   // recall/bandwidth knob (the TuneGrid values cycled by QUERY RANK —
@@ -927,7 +935,11 @@ object SparkEntry {
       // delta rows are RANK-keyed (refine qids are fixture keys): qid
       // carries the query rank, tau the per-rank δ
       DeltaMultiByRank.zipWithIndex.map { case (dl, i) =>
-        ("delta", i.toLong, None, None, None, Some(dl)) }
+        ("delta", i.toLong, None, None, None, Some(dl)) } ++
+      PageKMultiRel.map { case (qid, k) =>
+        ("pagek", qid, Some(k), None, None, None) } ++
+      NprobeMultiRel.map { case (qid, np) =>
+        ("nprobe", qid, Some(np), None, None, None) }
 
   /** The stored relation's path for `sfDir` — content-keyed (the dir
     * name embeds a hash of the rows), so editing any constant above
@@ -965,7 +977,8 @@ object SparkEntry {
   private final case class QueryRels(
       bm25: Seq[(Long, Seq[String])], filters: Seq[(Long, String)],
       facets: Seq[(Long, String)], radii: Seq[(Long, Double)],
-      fusion: Seq[(Long, Double)], deltasByRank: Seq[Double])
+      fusion: Seq[(Long, Double)], deltasByRank: Seq[Double],
+      pageKs: Seq[(Long, Int)], nprobes: Seq[(Long, Int)])
 
   private val qrelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), QueryRels]()
@@ -986,8 +999,13 @@ object SparkEntry {
         .filter(_.getAs[String]("kind") == kind)
         .map(r => (r.getAs[Long]("qid"), r.getAs[Double]("tau")))
         .sortBy(_._1)
+      def intRel(kind: String): Seq[(Long, Int)] = rows.toSeq
+        .filter(_.getAs[String]("kind") == kind)
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("pos")))
+        .sortBy(_._1)
       QueryRels(bm25, strRel("filter"), strRel("facet"), numRel("radius"),
-        numRel("fusion"), numRel("delta").map(_._2))
+        numRel("fusion"), numRel("delta").map(_._2), intRel("pagek"),
+        intRel("nprobe"))
     })
 
   private def bm25MultiQueriesOf(s: SparkSession, dir: String) =
@@ -1002,6 +1020,10 @@ object SparkEntry {
     queryRels(s, dir).fusion
   private def deltaMultiByRankOf(s: SparkSession, dir: String) =
     queryRels(s, dir).deltasByRank
+  private def pageKMultiRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).pageKs
+  private def nprobeMultiRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).nprobes
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
@@ -1691,6 +1713,13 @@ object SparkEntry {
     // into the scan as a partition filter (PlanSpec asserts the pruning)
     "q_ann_ivf_at_rest" -> q((s, dir) => graft.operators.Ivf.topkIndexed(
       s, dir, emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe)),
+    // ... with the PROBE DEPTH as a relation: each qid probes its own
+    // cell count from the stored relation (per-tenant latency/recall
+    // knob); one ranked probe pass to the largest depth, union-of-cells
+    // partition filter
+    "q_ann_ivf_multi_probe" -> q((s, dir) => graft.operators.Ivf
+      .topkIndexedMultiProbe(s, dir, emb(s, dir),
+        nprobeMultiRelOf(s, dir), K, IvfCells, EmbD)),
     // IVF-SQ8: cell pruning + int8 quantized cheap rank + rerank-deep
     // exact rescore — the canonical vector-DB bandwidth configuration
     "q_ann_ivf_sq8" -> q((s, dir) => graft.operators.Ivf.topkSq8(
@@ -2121,6 +2150,10 @@ object SparkEntry {
     "q_ann_filtered_multi_at_rest" -> q((s, dir) =>
       graft.operators.Search.filteredTopKIndexedMulti(s, dir, emb(s, dir),
         filterMultiRelOf(s, dir), K, IvfCells, EmbD, IvfProbe)),
+    // PER-QUERY PAGE SIZE: each qid returns its OWN top-k from the
+    // stored relation — one scan ranked to the largest k, per-qid prefix
+    "q_ann_topk_multi_k" -> q((s, dir) => graft.operators.Search
+      .topKMulti(emb(s, dir), pageKMultiRelOf(s, dir))),
     // range (radius) search: every candidate with cosine >= tau
     "q_ann_range" -> q((s, dir) =>
       graft.operators.Search.rangeSearch(emb(s, dir), NQ, RangeTau)),
@@ -2681,6 +2714,10 @@ object SparkEntry {
     // identical semantics to q_ann_ivf_index; only the physical path
     // (partition-pruned scan of the at-rest index) differs
     "q_ann_ivf_at_rest" -> IvfOracle.topkSql(EmbD, NQ, K, IvfCells, IvfProbe),
+    // per-qid probe depth from the stored relation
+    "q_ann_ivf_multi_probe" -> IvfOracle.topkSql(EmbD,
+      (NprobeMultiRel.map(_._1).max + 1).toInt, K, IvfCells, IvfProbe,
+      relPath = qrelPathForOracle(), nprobeRel = NprobeMultiRel),
     "q_ann_ivf_sq8" -> IvfOracle.sq8Sql(EmbD, NQ, K, IvfCells, IvfProbe,
       EmbSq8ScaleLog2, Sq8Rerank),
     "q_ann_ivf_sq4" -> IvfOracle.sq4Sql(EmbD, NQ, K, IvfCells, IvfProbe,
@@ -2867,6 +2904,9 @@ object SparkEntry {
       relPath = qrelPathForOracle(), relKind = "facet",
       groupByLang = true),
     "q_ann_range"     -> SearchOracle.rangeSql(EmbD, NQ, RangeTau),
+    // per-qid page size from the stored relation
+    "q_ann_topk_multi_k" -> SearchOracle.topKMultiSql(EmbD, PageKMultiRel,
+      qrelPathForOracle()),
     "q_ann_range_multi" -> SearchOracle.rangeMultiSql(EmbD, RangeMultiRel,
       qrelPathForOracle()),
     "q_hybrid_linear_multi" -> SearchOracle.hybridLinearMultiSql(EmbD,

@@ -68,6 +68,49 @@ object Ivf {
       .select(col("qid"), col("qvec"), col("cell"))
   }
 
+  /**
+   * PER-QUERY PROBE DEPTH — nprobe as a RELATION: `nps` is a (qid, np)
+   * table and each query probes ITS OWN number of cells (the per-tenant
+   * latency/recall knob every vector DB exposes per request), all
+   * queries in one plan. One ranked probe pass to the LARGEST requested
+   * depth, each qid keeping its own prefix; the scan's static partition
+   * filter is the union of all probed cells. Output as [[topkIndexed]].
+   */
+  def topkIndexedMultiProbe(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String, emb: DataFrame,
+                            nps: Seq[(Long, Int)], k: Int, nCells: Int,
+                            d: Int): DataFrame = {
+    require(nps.nonEmpty, "topkIndexedMultiProbe: empty nprobe relation")
+    import spark.implicits._
+    val path = ensureIndex(spark, sfDir, nCells, d)
+    val stored = spark.read.parquet(path) // (id, embedding, n2, cell)
+    val nq = (nps.map(_._1).max + 1).toInt
+    val npMax = nps.map(_._2).max
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val npr = broadcast(nps.toDF("qid", "np"))
+    val withD = q.select(col("qid") +: col("qvec") +:
+      cellDists(col("qvec"), nCells, d): _*)
+    val stacked = withD.select(col("qid"), col("qvec"),
+      explode(array((0 until nCells).map(c =>
+        struct(lit(c).as("cell"), col(s"c$c").as("d2"))): _*)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell"), col("p.d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val probes = stacked.withColumn("proberank", row_number().over(w))
+      .filter(col("proberank") <= npMax)
+      .join(npr, Seq("qid"))
+      .filter(col("proberank") <= col("np"))
+      .select(col("qid"), col("qvec"), col("cell"))
+      .join(q.select(col("qid"), col("qn2")), Seq("qid"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("score", cosScore)
+    TopK.window(scored, k)
+  }
+
   /** Cosine over the hoisted norms — shared by both physical paths. */
   private def cosScore: Column =
     graft.functions.VectorOps.dot(col("embedding"), col("qvec")) /

@@ -84,6 +84,27 @@ object Search {
   }
 
   /**
+   * PER-QUERY PAGE SIZE — the k itself as a relation: `ks` is a
+   * (qid, k) table and each query returns ITS OWN top-k (a result-size
+   * knob per request, the way every serving API binds `size`/`top_k`
+   * per call). One scored scan ranked once to the LARGEST requested k
+   * (the per-(partition, qid) WindowGroupLimit cut is max-k deep), then
+   * each qid keeps its own prefix — rank semantics identical to running
+   * that qid alone at its k. Output (qid, rank, id, score).
+   */
+  def topKMulti(emb: DataFrame, ks: Seq[(Long, Int)]): DataFrame = {
+    require(ks.nonEmpty, "topKMulti: empty page-size relation")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nq = (ks.map(_._1).max + 1).toInt
+    val maxK = ks.map(_._2).max
+    Ann.bruteTopK(emb, nq, maxK)
+      .join(broadcast(ks.toDF("qid", "kq")), Seq("qid"))
+      .filter(col("rank") <= col("kq"))
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /**
    * Metadata-filtered exact top-k: only candidates whose joined metadata
    * passes the predicate are scored; queries search the unfiltered space.
    * Returns (qid, rank, id, score, lang), rank 1..k within the filtered

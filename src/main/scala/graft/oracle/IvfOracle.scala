@@ -1462,7 +1462,8 @@ object IvfOracle {
               filterRel: Seq[(Long, String)] = Nil,
               relPath: Option[String] = None,
               relKind: String = "filter",
-              groupByLang: Boolean = false): String = {
+              groupByLang: Boolean = false,
+              nprobeRel: Seq[(Long, Int)] = Nil): String = {
     require(langs.isEmpty || filterRel.isEmpty,
       "langs and filterRel are alternative filter forms")
     require(!groupByLang || filterRel.nonEmpty,
@@ -1485,6 +1486,28 @@ object IvfOracle {
       }
       s"\nqf AS ($body),"
     }
+    // per-qid probe depth ([[graft.operators.Ivf.topkIndexedMultiProbe]]):
+    // the (qid, np) relation — stored table (kind = 'nprobe', np in the
+    // pos column) or VALUES — bounds each query's own probe rank
+    val nprCte = if (nprobeRel.isEmpty) "" else {
+      val body = relPath match {
+        case Some(p) =>
+          s"SELECT qid, pos AS np FROM read_parquet('$p/*.parquet')" +
+            s" WHERE kind = 'nprobe'"
+        case None =>
+          val rows = nprobeRel.map { case (qid, np) => s"($qid, $np)" }
+            .mkString(", ")
+          s"SELECT CAST(qid AS BIGINT) AS qid, CAST(np AS INTEGER) AS np" +
+            s"\n  FROM (VALUES $rows) AS v(qid, np)"
+      }
+      s"\nnpr AS ($body),"
+    }
+    val prBound =
+      if (nprobeRel.isEmpty) s"t2.pr <= $nprobe"
+      else "t2.pr <= npr.np"
+    val prJoin =
+      if (nprobeRel.isEmpty) " t2"
+      else " t2 JOIN npr ON npr.qid = t2.qid"
     val candFilter =
       if (filterRel.nonEmpty) {
         val union = filterRel.map(_._2).distinct
@@ -1509,15 +1532,15 @@ object IvfOracle {
     s"""WITH asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
        |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
-       |${EmbOracle.nrmCte(d)},$qfCte
+       |${EmbOracle.nrmCte(d)},$qfCte$nprCte
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
        |qp0 AS (SELECT q.qid, t.cell, $probeCase AS d2
        |  FROM q JOIN asg0 a ON a.vec_id = q.qid
        |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
-       |qp AS (SELECT qid, cell FROM (
+       |qp AS (SELECT t2.qid, t2.cell FROM (
        |    SELECT qid, cell,
        |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
-       |    FROM qp0) WHERE pr <= $nprobe),
+       |    FROM qp0)$prJoin WHERE $prBound),
        |cand AS (SELECT qp.qid, a.vec_id AS id$candSel
        |  FROM qp JOIN asg a ON a.cell = qp.cell$candFilter),
        |scored AS (SELECT c.qid, c.id$langSel,

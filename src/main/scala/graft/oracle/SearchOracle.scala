@@ -110,6 +110,29 @@ object SearchOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /** Per-query page size ([[graft.operators.Search.topKMulti]]): the
+    * brute ranking to the largest requested k, each qid keeping its own
+    * prefix from the (qid, k) relation — stored table (kind = 'pagek',
+    * k in the pos column) or VALUES. */
+  def topKMultiSql(d: Int, ks: Seq[(Long, Int)],
+                   relPath: Option[String] = None): String = {
+    val nq = (ks.map(_._1).max + 1).toInt
+    val maxK = ks.map(_._2).max
+    val qkBody = relPath match {
+      case Some(p) =>
+        s"SELECT qid, pos AS kq FROM read_parquet('$p/*.parquet')" +
+          s" WHERE kind = 'pagek'"
+      case None =>
+        val rows = ks.map { case (qid, k) => s"($qid, $k)" }.mkString(", ")
+        s"SELECT CAST(qid AS BIGINT) AS qid, CAST(kq AS INTEGER) AS kq" +
+          s"\n  FROM (VALUES $rows) AS v(qid, kq)"
+    }
+    s"""WITH b AS (${EmbOracle.bruteSql(d, nq, maxK)}),
+       |qk2 AS ($qkBody)
+       |SELECT b.qid, b.rank, b.id, b.score
+       |FROM b JOIN qk2 ON qk2.qid = b.qid WHERE b.rank <= qk2.kq""".stripMargin
+  }
+
   /** Per-query faceted top-k ([[graft.operators.Search
     * .groupedTopKMulti]]): the (qid, lang) facet relation as VALUES,
     * candidacy one equi-join against it, ranks per (qid, lang). */

@@ -455,13 +455,15 @@ class SearchSpec extends AnyFunSuite {
 
   test("stored query relations round-trip the compile-time constants") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, GroupedMultiRel,
-      RangeMultiRel, FusionMultiRel}
+      RangeMultiRel, FusionMultiRel, DeltaMultiByRank, PageKMultiRel,
+      NprobeMultiRel}
     val path = SparkEntry.ensureQueryRelations(spark, dir)
     assert(path == SparkEntry.queryRelPathFor(dir))
     val rows = spark.read.parquet(path)
     assert(rows.count() ==
       Bm25MultiQueries.map(_._2.size).sum + FilterMultiRel.size +
-        GroupedMultiRel.size + RangeMultiRel.size + FusionMultiRel.size)
+        GroupedMultiRel.size + RangeMultiRel.size + FusionMultiRel.size +
+        DeltaMultiByRank.size + PageKMultiRel.size + NprobeMultiRel.size)
     // every multi rung binds from the table; spot-check the bm25 kind
     // reassembles the exact constant (qid-sorted, pos-ordered)
     val bm25 = rows.filter(col("kind") === "bm25")
@@ -548,6 +550,49 @@ class SearchSpec extends AnyFunSuite {
         assert(r.getAs[Double]("fused") == t, s"alpha=1 must rank by tnorm: $r")
       else
         assert(r.getAs[Double]("fused") == v, s"alpha=0 must rank by vnorm: $r")
+    }
+  }
+
+  test("per-qid page size: each qid's slice is the k-prefix of the deep ranking") {
+    import SparkEntry.PageKMultiRel
+    val r = Search.topKMulti(emb, PageKMultiRel).collect()
+    val maxK = PageKMultiRel.map(_._2).max
+    val deep = Ann.bruteTopK(emb, (PageKMultiRel.map(_._1).max + 1).toInt,
+      maxK).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    PageKMultiRel.foreach { case (qid, kq) =>
+      val slice = r.filter(_.getAs[Long]("qid") == qid).map(_.toSeq).toSet
+      val want = deep(qid).filter(_.getAs[Int]("rank") <= kq)
+        .map(x => Seq(x.getAs[Long]("qid"), x.getAs[Int]("rank"),
+          x.getAs[Long]("id"), x.getAs[Double]("score"))).toSet
+      assert(slice.size == kq && slice == want,
+        s"qid $qid page-$kq slice diverged")
+    }
+  }
+
+  test("per-qid nprobe: each qid's slice equals the fixed-depth indexed run; np=nCells is full probe") {
+    import SparkEntry.{NprobeMultiRel, K, IvfCells, EmbD}
+    val multi = graft.operators.Ivf.topkIndexedMultiProbe(spark, dir, emb,
+      NprobeMultiRel, K, IvfCells, EmbD).collect()
+    val nq = (NprobeMultiRel.map(_._1).max + 1).toInt
+    NprobeMultiRel.foreach { case (qid, np) =>
+      val single = graft.operators.Ivf.topkIndexed(spark, dir, emb, nq, K,
+        IvfCells, EmbD, np)
+        .filter(col("qid") === qid).collect().map(_.toSeq).toSet
+      val slice = multi.filter(_.getAs[Long]("qid") == qid)
+        .map(_.toSeq).toSet
+      assert(slice == single, s"qid $qid nprobe=$np slice diverged")
+    }
+    // the np = nCells qid provably recovers its brute top-k
+    val fullQid = NprobeMultiRel.find(_._2 == IvfCells).map(_._1)
+    fullQid.foreach { qid =>
+      val brute = Ann.bruteTopK(emb, nq, K).collect()
+        .filter(_.getAs[Long]("qid") == qid)
+        .map(x => Seq(x.getAs[Long]("qid"), x.getAs[Int]("rank"),
+          x.getAs[Long]("id"), x.getAs[Double]("score"))).toSet
+      val slice = multi.filter(_.getAs[Long]("qid") == qid)
+        .map(_.toSeq).toSet
+      assert(slice == brute, "full-probe qid must equal brute")
     }
   }
 
