@@ -2245,6 +2245,16 @@ object SparkEntry {
       .hybridLinearMultiWeighted(s, dir, emb(s, dir),
         bm25MultiQueriesOf(s, dir), fusionMultiRelOf(s, dir), Bm25K1,
         Bm25B, RrfPoolN, HybridK, PostBuckets)),
+    // THE FULL REQUEST OBJECT: per-qid terms + langs + α + k all bound
+    // from the stored relation, served end-to-end in one plan — the
+    // batch-serving shape of a complete search-API request (lexical
+    // post-filter, vector pre-filter, filtered min-max, α_q fusion,
+    // per-qid page cut)
+    "q_serve_requests" -> q((s, dir) => graft.operators.Search
+      .serveRequests(s, dir, emb(s, dir), docs(s, dir),
+        bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
+        fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
+        Bm25B, RrfPoolN, PostBuckets)),
     // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
     // out of the candidates, stats left STALE until compaction — the
     // Lucene delete contract (docs unretrievable immediately, df/sumdl
@@ -2960,6 +2970,11 @@ object SparkEntry {
     "q_hybrid_linear_multi_w" -> SearchOracle.hybridLinearMultiWeightedSql(
       EmbD, Bm25MultiQueries, FusionMultiRel, Bm25K1, Bm25B, RrfPoolN,
       HybridK, bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // the full request object: all four knob relations in one plan
+    "q_serve_requests" -> SearchOracle.serveRequestsSql(EmbD,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+      qrelPathForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),

@@ -44,6 +44,27 @@ import graft.functions.VectorOps._
  */
 object Search {
 
+  /** Term -> bucket keys, computed by the SAME codegen'd `hash`
+    * expression the postings writer used (never a driver-side Murmur3
+    * re-implementation) and MEMOIZED per (term, nBuckets): the probe is
+    * a 1-row job, but every retrieval plan-build was re-running it for
+    * terms whose bucket can never change — the memo makes repeat
+    * invocations (serving loops, the bench) zero-job here. */
+  private val bucketCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Int]()
+
+  private def termBuckets(spark: SparkSession, terms: Seq[String],
+                          nBuckets: Int): Seq[Int] = {
+    val missing = terms.filter(t => !bucketCache.containsKey((t, nBuckets)))
+    if (missing.nonEmpty) {
+      val row = spark.range(1).select(missing.map(t =>
+        pmod(hash(lit(t)), lit(nBuckets))): _*).collect()(0)
+      missing.zipWithIndex.foreach { case (t, i) =>
+        bucketCache.put((t, nBuckets), row.getInt(i)) }
+    }
+    terms.map(t => bucketCache.get((t, nBuckets))).distinct
+  }
+
   // ---- shared scoring helpers -----------------------------------------
 
   private def fn(c: Column): Column = graft.functions.VectorOps.fnorm(c)
@@ -688,9 +709,7 @@ object Search {
     val n = stats.getAs[Long]("n")
     // the terms' bucket keys, computed by the same `hash` expression the
     // writer used (one 1-row job; never re-implement Murmur3 driver-side)
-    val buckets = spark.range(1).select(terms.map(t =>
-        pmod(hash(lit(t)), lit(nBuckets))): _*)
-      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct
+    val buckets = termBuckets(spark, terms, nBuckets)
     val pruned = spark.read.parquet(root)
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
     // df per term off the pruned postings (a posting row exists iff
@@ -796,9 +815,7 @@ object Search {
     val maxPos = queries.map(_._2.size).max
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
-    val buckets = spark.range(1).select(unionTerms.map(t =>
-        pmod(hash(lit(t)), lit(nBuckets))): _*)
-      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct
+    val buckets = termBuckets(spark, unionTerms, nBuckets)
     val pruned = spark.read.parquet(root)
       .filter(col("tb").isin(buckets: _*) &&
         col("term").isin(unionTerms: _*))
@@ -882,9 +899,7 @@ object Search {
     val maxPos = queries.map(_._2.size).max
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
-    val buckets = spark.range(1).select(unionTerms.map(t =>
-        pmod(hash(lit(t)), lit(nBuckets))): _*)
-      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct
+    val buckets = termBuckets(spark, unionTerms, nBuckets)
     def prunedScan: DataFrame = spark.read.parquet(root)
       .filter(col("tb").isin(buckets: _*) &&
         col("term").isin(unionTerms: _*))
@@ -1116,9 +1131,7 @@ object Search {
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
-    val buckets = spark.range(1).select(terms.map(t =>
-        pmod(hash(lit(t)), lit(nBuckets))): _*)
-      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct
+    val buckets = termBuckets(spark, terms, nBuckets)
     def prunedScan: DataFrame = spark.read.parquet(root)
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
     // CHEAP PASS: (term, doc_id) columns only — PlanSpec asserts tf/dl
@@ -1474,6 +1487,78 @@ object Search {
       .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
+  /**
+   * THE FULL REQUEST OBJECT — every per-request knob bound from ONE
+   * relation, served end-to-end in ONE plan: each qid carries its own
+   * term set (lexical retrieval), its own lang set (metadata filter),
+   * its own fusion weight α, and its own page size k — the complete
+   * search-API request a real serving handler binds per call, for a
+   * whole BATCH of requests at once (the offline/batch-serving shape:
+   * nightly eval sets, A/B replay, bulk annotation).
+   *
+   * Pipeline per qid: BM25 top-poolN off the shared union-pruned
+   * postings scan, POST-filtered by the qid's lang set (the lexical
+   * index stores no metadata — the bounded top-N list joins the doc
+   * metadata after retrieval, the standard post-filter); the vector
+   * list PRE-filtered by the same lang set ([[filteredTopKMulti]] —
+   * metadata lives beside the vectors, so the predicate cuts before
+   * any distance arithmetic); per-qid min-max normalization over each
+   * FILTERED list; fused = α_q·tnorm + (1−α_q)·vnorm; final cut at the
+   * qid's own k. All relations bounded and broadcast; the corpus is
+   * touched by exactly two scans (postings union + embedding scan).
+   * Output (qid, rank, doc_id, fused, tnorm, vnorm).
+   */
+  def serveRequests(spark: SparkSession, sfDir: String, emb: DataFrame,
+                    docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+                    filters: Seq[(Long, String)],
+                    weights: Seq[(Long, Double)], ks: Seq[(Long, Int)],
+                    k1: Double, b: Double, poolN: Int,
+                    nBuckets: Int): DataFrame = {
+    require(filters.nonEmpty && weights.nonEmpty && ks.nonEmpty,
+      "serveRequests: empty request relation")
+    import spark.implicits._
+    val meta = docMeta.select(col("doc_id"), col("lang"))
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val text = bm25Multi(spark, sfDir, queries, k1, b, poolN, nBuckets)
+      .select(col("qid"), col("doc_id"), col("score").as("tscore"))
+      .join(meta, Seq("doc_id"))
+      .join(qf, Seq("qid", "lang"))
+      .select(col("qid"), col("doc_id"), col("tscore"))
+    val vec = filteredTopKMulti(emb, docMeta, filters, poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    val qa = broadcast(weights.toDF("qid", "alpha"))
+    val qk = broadcast(ks.toDF("qid", "kq"))
+    val tmm = text.groupBy(col("qid"))
+      .agg(min(col("tscore")).as("tmin"), max(col("tscore")).as("tmax"))
+    val vmm = vec.groupBy(col("qid"))
+      .agg(min(col("vscore")).as("vmin"), max(col("vscore")).as("vmax"))
+    val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .join(broadcast(tmm), Seq("qid"), "left")
+      .join(broadcast(vmm), Seq("qid"), "left")
+      .join(qa, Seq("qid"))
+      .withColumn("tnorm",
+        when(col("tscore").isNull, lit(0.0))
+          .when(col("tmax") === col("tmin"), lit(1.0))
+          .otherwise((col("tscore") - col("tmin")) /
+            (col("tmax") - col("tmin"))))
+      .withColumn("vnorm",
+        when(col("vscore").isNull, lit(0.0))
+          .when(col("vmax") === col("vmin"), lit(1.0))
+          .otherwise((col("vscore") - col("vmin")) /
+            (col("vmax") - col("vmin"))))
+      .withColumn("fused",
+        col("alpha") * col("tnorm") +
+          (lit(1.0) - col("alpha")) * col("vnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .join(qk, Seq("qid"))
+      .filter(col("rank") <= col("kq"))
       .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
         col("tnorm"), col("vnorm"))
   }

@@ -631,6 +631,101 @@ object SearchOracle {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  /**
+   * The FULL REQUEST OBJECT ([[graft.operators.Search.serveRequests]]):
+   * per-qid term sets + lang filters + fusion weight + page size, all
+   * bound from the stored relation (or VALUES), one end-to-end plan —
+   * the multi-BM25 CTEs post-filtered by each qid's langs, the
+   * pre-filtered vector ranking, per-qid min-max over the FILTERED
+   * lists, α_q-weighted fusion, per-qid k cut.
+   */
+  def serveRequestsSql(d: Int, queries: Seq[(Long, Seq[String])],
+                       filters: Seq[(Long, String)],
+                       weights: Seq[(Long, Double)], ks: Seq[(Long, Int)],
+                       k1: Double, b: Double, poolN: Int,
+                       st: Option[Bm25Stats],
+                       relPath: Option[String] = None): String = {
+    val nq = (filters.map(_._1).max + 1).toInt
+    val qfRows = filters.map { case (qid, l) => s"($qid, '$l')" }
+      .mkString(", ")
+    val qfBody = relCte(relPath, "filter", "qid, lang",
+      s"SELECT CAST(qid AS BIGINT) AS qid, lang" +
+        s"\n  FROM (VALUES $qfRows) AS v(qid, lang)")
+    val qaRows = weights.map { case (qid, a) => s"($qid, ${dlit(a)})" }
+      .mkString(", ")
+    val qaBody = relPath match {
+      case Some(p) =>
+        s"SELECT qid, tau AS alpha FROM read_parquet('$p/*.parquet')" +
+          s" WHERE kind = 'fusion'"
+      case None =>
+        s"SELECT CAST(qid AS BIGINT) AS qid, alpha" +
+          s"\n  FROM (VALUES $qaRows) AS v(qid, alpha)"
+    }
+    val qkRows = ks.map { case (qid, k) => s"($qid, $k)" }.mkString(", ")
+    val qkBody = relPath match {
+      case Some(p) =>
+        s"SELECT qid, pos AS kq FROM read_parquet('$p/*.parquet')" +
+          s" WHERE kind = 'pagek'"
+      case None =>
+        s"SELECT CAST(qid AS BIGINT) AS qid, CAST(kq AS INTEGER) AS kq" +
+          s"\n  FROM (VALUES $qkRows) AS v(qid, kq)"
+    }
+    s"""WITH ${bm25MultiCtes(queries, k1, b, st, relPath)},
+       |qf AS ($qfBody),
+       |qa AS ($qaBody),
+       |qk3 AS ($qkBody),
+       |btop0 AS (SELECT qid, doc_id, score AS tscore FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM mscored) WHERE rnk <= $poolN),
+       |btop AS (SELECT b.qid, b.doc_id, b.tscore
+       |  FROM btop0 b JOIN documents dm ON b.doc_id = dm.doc_id
+       |  JOIN qf ON qf.qid = b.qid AND qf.lang = dm.lang),
+       |vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       ORDER BY vec_id LIMIT $nq),
+       |${EmbOracle.nrmCte(d)},
+       |vcand AS (SELECT e.vec_id AS id, e.embedding, dm2.lang
+       |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
+       |vsc AS (SELECT vq.qid, c.id, c.lang,
+       |    ${EmbOracle.dotE("c.embedding", "vq.qv", d)} AS dp
+       |  FROM vcand c CROSS JOIN vq
+       |  JOIN qf ON qf.qid = vq.qid AND qf.lang = c.lang),
+       |vscored AS (SELECT vsc.qid, vsc.id,
+       |    vsc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM vsc JOIN nrm ni ON vsc.id = ni.vec_id
+       |          JOIN nrm nq2 ON vsc.qid = nq2.vec_id),
+       |vtop AS (SELECT qid, id AS doc_id, score AS vscore FROM (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM vscored) WHERE rnk <= $poolN),
+       |tmm AS (SELECT qid, MIN(tscore) AS tmin, MAX(tscore) AS tmax
+       |  FROM btop GROUP BY qid),
+       |vmm AS (SELECT qid, MIN(vscore) AS vmin, MAX(vscore) AS vmax
+       |  FROM vtop GROUP BY qid),
+       |fusedr AS (SELECT COALESCE(b.qid, v.qid) AS qid,
+       |    COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       |    CASE WHEN b.tscore IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN tmm.tmax = tmm.tmin THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (b.tscore - tmm.tmin) / (tmm.tmax - tmm.tmin) END AS tnorm,
+       |    CASE WHEN v.vscore IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN vmm.vmax = vmm.vmin THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (v.vscore - vmm.vmin) / (vmm.vmax - vmm.vmin) END AS vnorm
+       |  FROM btop b FULL OUTER JOIN vtop v
+       |    ON b.qid = v.qid AND b.doc_id = v.doc_id
+       |  LEFT JOIN tmm ON tmm.qid = COALESCE(b.qid, v.qid)
+       |  LEFT JOIN vmm ON vmm.qid = COALESCE(b.qid, v.qid)),
+       |scoredf AS (SELECT f.qid, f.doc_id, f.tnorm, f.vnorm,
+       |    qa.alpha * f.tnorm + (1.0 - qa.alpha) * f.vnorm AS fused
+       |  FROM fusedr f JOIN qa ON qa.qid = f.qid),
+       |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
+       |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
+       |  FROM scoredf)
+       |SELECT r.qid, CAST(r.rnk AS INTEGER) AS rank, r.doc_id, r.fused,
+       |  r.tnorm, r.vnorm
+       |FROM ranked r JOIN qk3 ON qk3.qid = r.qid
+       |WHERE r.rnk <= qk3.kq""".stripMargin
+  }
+
   /** MaxScore byte ledger ([[graft.operators.Search
     * .bm25MaxScoreMetrics]]): the whole bound/seed/tau/survivor
     * pipeline re-derived relationally over the logical posting rows

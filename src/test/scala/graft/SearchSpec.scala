@@ -596,6 +596,37 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("full request object: every row obeys its qid's own langs and page size") {
+    import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets}
+    val r = Search.serveRequests(spark, dir, emb, docs, Bm25MultiQueries,
+      FilterMultiRel, FusionMultiRel, PageKMultiRel, Bm25K1, Bm25B,
+      RrfPoolN, PostBuckets).collect()
+    // per-qid page sizes respected exactly
+    PageKMultiRel.foreach { case (qid, kq) =>
+      assert(r.count(_.getAs[Long]("qid") == qid) == kq,
+        s"qid $qid page not exactly $kq")
+    }
+    // every served doc passes its OWN qid's lang filter (both retriever
+    // lists are filtered, so no candidate can leak from outside the set)
+    val langOf = docs.select(col("doc_id"), col("lang")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val allowed = FilterMultiRel.groupBy(_._1)
+      .map { case (q, ls) => q -> ls.map(_._2).toSet }
+    r.foreach { row =>
+      val (qid, doc) = (row.getAs[Long]("qid"), row.getAs[Long]("doc_id"))
+      assert(allowed(qid)(langOf(doc)),
+        s"doc $doc (lang ${langOf(doc)}) served to qid $qid outside its langs")
+    }
+    // fusion is each qid's own convex combination
+    r.foreach { row =>
+      val a = FusionMultiRel.toMap.apply(row.getAs[Long]("qid"))
+      assert(row.getAs[Double]("fused") ==
+        a * row.getAs[Double]("tnorm") +
+          (1.0 - a) * row.getAs[Double]("vnorm"))
+    }
+  }
+
   test("per-qid filters at rest: each qid's slice equals the single-predicate indexed run") {
     import SparkEntry.{FilterMultiRel, K, IvfCells, EmbD, IvfProbe}
     val multi = Search.filteredTopKIndexedMulti(spark, dir, emb,
