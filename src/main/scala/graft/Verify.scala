@@ -26,7 +26,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class name + top frames, not just getMessage: a
+        // StackOverflowError's message is null, and "failed: null" cost
+        // a round-14 debug cycle to re-trace
+        val frames = e.getStackTrace.take(3).mkString("\n    at ", "\n    at ", "")
+        System.err.println(s"[verify] $name failed: " +
+          s"${e.getClass.getName}: ${e.getMessage}$frames")
       }
       finally graft.operators.Dedup.releaseIntermediates()
     }
