@@ -358,7 +358,8 @@ object Bench {
     // needed pinned). The walk runs HEAVIEST-CONCURRENT-FIRST so a
     // budget cut can only ever skip the lightest suspects, never the #1.
     val pinnedDefault =
-      "q_refine_metrics,q_refine_cos_l2,q_refine_l2_sym,q_refine_int8," +
+      "q_refine_metrics,q_refine_metrics_compressed," +
+        "q_refine_cos_l2,q_refine_l2_sym,q_refine_int8," +
         "q_kernel_hoeff,q_refine_disagg,q_ann_ivf_pq_res_d1024," +
         "q_corpus_clean,q_topk_cos_vecsrc,q_stream_refine," +
         "q_ann_ivf_pq_trained,q_kmeans_converge"
