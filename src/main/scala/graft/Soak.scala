@@ -149,6 +149,9 @@ object Soak {
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
         "soak-postings-").toString
+      // the ~50k-doc layout is scratch for this step only — deleted in
+      // the finally below so repeated soak runs can't accumulate disk
+      try {
       operators.Search.postingsOf(big, nBuckets)
         .write.mode("overwrite").partitionBy("tb").parquet(root)
       spark.read.parquet(root)
@@ -219,6 +222,8 @@ object Soak {
         require(perQ.exists(_.getAs[Double]("save") > 0.0),
           "at soak scale some mixed-idf qid must show a positive save")
       multi.length.toLong
+      } finally graft.sources.VecFiles.deleteRecursively(
+        java.nio.file.Paths.get(root))
     }
     operators.Dedup.releaseIntermediates()
     big.unpersist(blocking = false)

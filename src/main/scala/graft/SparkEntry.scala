@@ -612,6 +612,23 @@ object SparkEntry {
     Refine.topkPerQidDelta(v, q, refineParams("cos_hoeff"), deltas)
   }
 
+  /** PRECISION ON DEMAND AS A RELATION, COMPLETED: each query refines
+    * with ITS OWN mantissa budget (the paper's title knob, bound by
+    * query rank from the stored relation) in one plan, and the output
+    * is the per-qid byte ledger — a 4-bit bandwidth tenant and an
+    * 8-bit recall tenant served off the same scan, with per-qid bytes
+    * proving the tiers differ and zero-miss (cos_l1) recall 1.0 at
+    * every tier. */
+  def qRefineMultiMkeep(spark: SparkSession, dir: String): DataFrame = {
+    val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    // rank->qid binding as in qRefineMultiDelta: the i-th smallest qid
+    // gets mkeepsByRank(i) — a bounded NQ-row collect (a model)
+    val qids = q.select(col("qid")).collect().map(_.getLong(0)).sorted
+    val tiers = qids.toSeq.zip(mkeepMultiByRankOf(spark, dir))
+    Refine.perQidMkeepMetrics(v, q, refineParams("cos_l1"), D, tiers)
+  }
+
   /** Precision-reduction projection (P2-P4): flat (id, j, v, rv, dv). */
   def qReducePrecision(spark: SparkSession, dir: String): DataFrame = {
     val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
@@ -890,6 +907,13 @@ object SparkEntry {
   // sides: δ=1e-6 is near-zero-miss, δ=0.7 prunes hardest)
   final val DeltaMultiByRank: Seq[Double] =
     (0 until NQ).map(i => TuneGrid(i % TuneGrid.size))
+  // per-query mantissa budget (q_refine_multi_mkeep): the paper's TITLE
+  // knob as a relation — each query rank carries its own m_keep tier
+  // (ANNCode.py:202-216, swept at :742): even ranks the 4-bit bandwidth
+  // tier, odd ranks the 8-bit recall tier (5 qids each at NQ=10)
+  final val MkeepTiers = Seq(4, 8)
+  final val MkeepMultiByRank: Seq[Int] =
+    (0 until NQ).map(i => MkeepTiers(i % MkeepTiers.size))
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -936,6 +960,10 @@ object SparkEntry {
       // carries the query rank, tau the per-rank δ
       DeltaMultiByRank.zipWithIndex.map { case (dl, i) =>
         ("delta", i.toLong, None, None, None, Some(dl)) } ++
+      // mkeep rows are RANK-keyed like delta: qid carries the query
+      // rank, pos the per-rank mantissa budget
+      MkeepMultiByRank.zipWithIndex.map { case (m, i) =>
+        ("mkeep", i.toLong, Some(m), None, None, None) } ++
       PageKMultiRel.map { case (qid, k) =>
         ("pagek", qid, Some(k), None, None, None) } ++
       NprobeMultiRel.map { case (qid, np) =>
@@ -947,8 +975,14 @@ object SparkEntry {
     * Computable without a session (the oracle generator needs it). */
   def queryRelPathFor(sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val contentKey = java.lang.Integer.toHexString(
-      queryRelRows.mkString(";").hashCode)
+    // a REAL digest for the content key (not String.hashCode): a 32-bit
+    // key that collided after a constant edit would silently serve a
+    // stale relation table to both engine and oracle — masking, not
+    // catching, divergence. 16 hex chars of SHA-256 make that
+    // practically impossible.
+    val contentKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(queryRelRows.mkString(";").getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_qrel_${safe}_$contentKey").toString
   }
@@ -978,13 +1012,21 @@ object SparkEntry {
       bm25: Seq[(Long, Seq[String])], filters: Seq[(Long, String)],
       facets: Seq[(Long, String)], radii: Seq[(Long, Double)],
       fusion: Seq[(Long, Double)], deltasByRank: Seq[Double],
+      mkeepsByRank: Seq[Int],
       pageKs: Seq[(Long, Int)], nprobes: Seq[(Long, Int)])
 
+  // keyed by the stored table's CONTENT-KEYED PATH, not the session
+  // object: a map keyed by SparkSession would retain stopped sessions
+  // forever (a slow leak in long-lived drivers that cycle sessions),
+  // and the session adds nothing to the key — the collected rows are
+  // fully determined by the parquet content, whose dir name already
+  // embeds a digest of the rows. The values are plain Scala tuples
+  // (tens of rows), never session-bound plans.
   private val qrelCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), QueryRels]()
+    String, QueryRels]()
 
   private def queryRels(s: SparkSession, dir: String): QueryRels =
-    qrelCache.computeIfAbsent((s, dir), _ => {
+    qrelCache.computeIfAbsent(queryRelPathFor(dir), _ => {
       val rows = s.read.parquet(ensureQueryRelations(s, dir)).collect()
       def strRel(kind: String): Seq[(Long, String)] = rows.toSeq
         .filter(_.getAs[String]("kind") == kind)
@@ -1004,7 +1046,8 @@ object SparkEntry {
         .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("pos")))
         .sortBy(_._1)
       QueryRels(bm25, strRel("filter"), strRel("facet"), numRel("radius"),
-        numRel("fusion"), numRel("delta").map(_._2), intRel("pagek"),
+        numRel("fusion"), numRel("delta").map(_._2),
+        intRel("mkeep").map(_._2), intRel("pagek"),
         intRel("nprobe"))
     })
 
@@ -1020,6 +1063,8 @@ object SparkEntry {
     queryRels(s, dir).fusion
   private def deltaMultiByRankOf(s: SparkSession, dir: String) =
     queryRels(s, dir).deltasByRank
+  private def mkeepMultiByRankOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).mkeepsByRank
   private def pageKMultiRelOf(s: SparkSession, dir: String) =
     queryRels(s, dir).pageKs
   private def nprobeMultiRelOf(s: SparkSession, dir: String) =
@@ -2461,6 +2506,9 @@ object SparkEntry {
     // OWN Hoeffding δ from the stored relation (rank-bound) — the
     // reference's headline tunable per tenant, one plan
     "q_refine_multi_delta" -> q((s, dir) => qRefineMultiDelta(s, dir)),
+    // ... and the paper's TITLE knob per query: m_keep as a relation —
+    // per-qid mantissa tiers off one scan, per-qid byte ledger out
+    "q_refine_multi_mkeep" -> q((s, dir) => qRefineMultiMkeep(s, dir)),
     // Hoeffding delta grid-search (reference ANNCode.py:755-776)
     "q_tune_delta" -> q((s, dir) => {
       val v = Fixture.fp16VectorsCached(s, dir, D, KeepM)
@@ -3122,6 +3170,10 @@ object SparkEntry {
     "q_refine_multi_delta"   -> RefineOracle.topkPerQidDeltaSql(D, NQ,
       refineParams("cos_hoeff"),
       DeltaMultiByRank.map(dl => math.sqrt(2.0 * math.log(1.0 / dl)))),
+    // per-qid m_keep: one pipeline per tier restricted to that tier's
+    // query ranks, per-qid ledger rows unioned across tiers
+    "q_refine_multi_mkeep"   -> RefineOracle.perQidMkeepMetricsSql(D, NQ,
+      K, refineParams("cos_l1").alpha, MkeepMultiByRank),
     "q_tune_delta"           -> RefineOracle.tuneSql(D, NQ, TuneMode, K, KeepM,
       TuneGrid, TuneFloor),
     "q_refine_plan_l2_sym"   -> RefineOracle.topkSql(D, NQ, refineParams("l2_sym")),

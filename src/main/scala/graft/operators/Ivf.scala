@@ -1342,20 +1342,28 @@ object Ivf {
    */
   def knnGraphDelete(emb: DataFrame, graph: DataFrame, tombs: DataFrame,
                      j: Int, nCells: Int, d: Int, nprobe: Int): DataFrame = {
-    val live = emb.join(broadcast(tombs.select(col("id").as("vec_id"))),
+    // no broadcast hints on the tombstone/affected joins: the delete set
+    // is corpus-fraction-sized (it grows with the table, unlike bounded
+    // query/model relations) and `affected` is the deleted set's
+    // incoming-edge neighborhood — both unbounded as the corpus grows.
+    // AQE picks the join strategy from the actual runtime sizes:
+    // broadcast while small, shuffled once they are not — the same
+    // honesty fix already applied to the LSH and PQ delete paths
+    // (Lsh.topkOffLayout, Pq.topkOffCodesWithDeletes).
+    val live = emb.join(tombs.select(col("id").as("vec_id")),
       Seq("vec_id"), "left_anti")
     val tombNodes = tombs.select(col("id").as("qid"))
     // survivors holding an edge to a deleted id
     val affected = graph
-      .join(broadcast(tombs.select(col("id"))), Seq("id"), "left_semi")
+      .join(tombs.select(col("id")), Seq("id"), "left_semi")
       .select(col("qid")).distinct()
-      .join(broadcast(tombNodes), Seq("qid"), "left_anti")
+      .join(tombNodes, Seq("qid"), "left_anti")
     val keep = graph
-      .join(broadcast(tombNodes), Seq("qid"), "left_anti")
-      .join(broadcast(affected), Seq("qid"), "left_anti")
+      .join(tombNodes, Seq("qid"), "left_anti")
+      .join(affected, Seq("qid"), "left_anti")
     val recomputed = knnGraphFor(
       live.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        .join(broadcast(affected), Seq("qid"), "left_semi"),
+        .join(affected, Seq("qid"), "left_semi"),
       live, j, nCells, d, nprobe)
     keep.unionByName(recomputed)
   }

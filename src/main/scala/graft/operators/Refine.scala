@@ -231,6 +231,141 @@ object Refine {
       p.k, ascending = !p.isCos)
   }
 
+  /**
+   * PRECISION ON DEMAND AS A RELATION, COMPLETED — the paper's TITLE
+   * knob, the per-vector mantissa budget `m_keep`
+   * (`ANNCode.py:202-216`, swept at `ANNCode.py:742`), bound PER QUERY
+   * ROW: `mkeeps` is a (qid, m_keep) table and each query's cheap pass
+   * reads ITS OWN precision tier — a 6-bit bandwidth-tier tenant and a
+   * 10-bit recall tenant served off one plan. Returns the per-qid
+   * accounting ledger (qid, m_keep, fetched, bytes_total, recall,
+   * save, fpr), the reference's triple per REQUEST rather than per
+   * mode.
+   *
+   * Plan shape: the per-tier reduced columns (rvec_m, delta_m) are
+   * derived once per row — at rest they are separate parquet columns
+   * of the disaggregated layout, so this SELECT is the union-of-tiers
+   * pruned scan, the column-pruning analogue of the filtered-multi
+   * rung's union-of-langs partition pruning. ONE candidate pass serves
+   * every tier: each qid's s_hat and Δ-cushion pick their tier's
+   * columns via a CASE over the broadcast relation; seeds, tau0,
+   * survivor rejection, and the full-precision rescore are the
+   * [[fetchedSplit]] shapes unchanged. Zero-miss mode only (cos_l1:
+   * the cushion is a true error bound at ANY tier), so per-qid recall
+   * is provably 1.0 at every tier — what makes the per-tier `bytes`
+   * column a pure bandwidth trade, not a recall trade.
+   *
+   * Accounting per qid (nq = 1 forms of [[metrics]]'s definitions):
+   * bytes_total = b_red(tier)·N + b_full·fetched;
+   * save = 1 − bytes_total/(b_full·N); fpr = (fetched − k)/N.
+   */
+  def perQidMkeepMetrics(vectors: DataFrame, queries: DataFrame,
+                         p: Params, d: Int,
+                         mkeeps: Seq[(Long, Int)]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(p.mode == "cos_l1",
+      "per-qid m_keep rides the zero-miss cos_l1 cushion")
+    require(mkeeps.nonEmpty, "perQidMkeepMetrics: empty tier relation")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val ms = mkeeps.map(_._2).distinct.sorted
+    val bFull = 16.0 * d / 8.0
+    // the tier relation with each tier's modeled reduced bytes/vec
+    // (sign + kept exponent + kept mantissa bits, Params.bitsRed) —
+    // bounded, broadcast
+    val mkRel = broadcast(mkeeps.map { case (qid, m) =>
+      (qid, m, (1 + p.keepE + m) * d / 8.0) }.toDF("qid", "m", "b_red"))
+    // per-tier cheap columns, derived once per row from the
+    // full-precision vector (at rest: the tiers' own stored columns)
+    val vpre = vectors.select(
+      Seq(col("id"), col("vec")) ++ ms.flatMap(m => Seq(
+        VectorOps.reduceVec(col("vec"), p.keepE, m).as(s"rvec_$m"),
+        VectorOps.deltaVec(col("vec"), m).as(s"delta_$m"))): _*)
+    val vpre2 = vpre.select(
+      Seq(col("id")) ++ ms.flatMap(m =>
+        Seq(col(s"rvec_$m"), col(s"delta_$m"),
+          norm2Sq(col(s"rvec_$m")).as(s"nr2_$m"))): _*)
+    val qSel = broadcast(queries.select(col("qid"), col("qvec"),
+      norm2Sq(col("qvec")).as("nq2")))
+    val q = broadcast(qSel.join(mkRel.select(col("qid"), col("m")),
+      Seq("qid")))
+    def byTier(f: Int => Column): Column =
+      ms.foldRight(lit(null).cast("double")) { (m, rest) =>
+        when(col("m") === m, f(m)).otherwise(rest) }
+    // same expression trees as candidatesMulti/cushionExpr, with the
+    // tier's columns substituted — the oracle mirrors them per tier
+    val sHat = byTier(m => dot(col(s"rvec_$m"), col("qvec")) /
+      (fnorm(col(s"nr2_$m")) * fnorm(col("nq2"))))
+    val cush = byTier(m => lit(p.alpha) *
+      VecExprs.absDot(col("qvec"), col(s"delta_$m")) / fnorm(col("nq2")))
+    val cand = vpre2.crossJoin(q)
+      .select(col("qid"), col("id"), sHat.as("s_hat"), cush.as("cush"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val vSel = vectors.select(col("id"), col("vec"))
+    // eager Q*k barriers (the fetchedSplitImpl discipline): seedIds and
+    // seeds each feed multiple branches — without materialization the
+    // concurrent consumers re-run the whole candidate pass per branch
+    def eager(df: DataFrame): DataFrame = {
+      val mat = df.persist(StorageLevel.MEMORY_AND_DISK)
+      mat.count(); mat
+    }
+    val seedIds = eager(seedSelect(cand, p.k, isCos = true))
+    val seeds = eager(vSel.join(broadcast(seedIds), Seq("id"))
+      .join(qSel, Seq("qid"))
+      .withColumn("s_full", fullScore(p))
+      .select(col("qid"), col("id"), col("s_full"), col("rn")))
+    val tau0 = broadcast(
+      seeds.groupBy(col("qid")).agg(min(col("s_full")).as("tau0")))
+    val survivorIds = cand
+      .join(broadcast(seedIds.select(col("qid"), col("id"))),
+        Seq("qid", "id"), "left_anti")
+      .join(tau0, Seq("qid"))
+      .filter(col("s_hat") + col("cush") >= col("tau0"))
+      .select(col("qid"), col("id"))
+    // no broadcast hint on the survivor fetch (the fetchedSplit
+    // rationale): a coarse tier's cushion can swell survivors toward
+    // N·Q — AQE sizes the join at runtime
+    val survivors = vSel.join(survivorIds, Seq("id"))
+      .join(qSel, Seq("qid"))
+      .withColumn("s_full", fullScore(p))
+    val fetch = seeds.unionByName(
+        survivors.select(col("qid"), col("id"), col("s_full"),
+          lit(p.k + 1).as("rn")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      fetch.count()
+      val fin = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), p.k)
+      val gt = exactTopK(vectors, queries, p)
+      val nV = vectors.count()
+      val fetched = fetch.groupBy(col("qid"))
+        .agg(count(lit(1)).as("fetched"))
+      val hits = fin.join(gt.select(col("qid"), col("id")),
+          Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      val bytesTotal = col("b_red") * lit(nV.toDouble) +
+        lit(bFull) * col("fetched").cast("double")
+      mkRel.join(fetched, Seq("qid")).join(hits, Seq("qid"))
+        .select(col("qid"), col("m").as("m_keep"), col("fetched"),
+          bytesTotal.as("bytes_total"),
+          (col("hits").cast("double") / lit(p.k.toDouble)).as("recall"),
+          (lit(1.0) - bytesTotal / (lit(bFull) * lit(nV.toDouble)))
+            .as("save"),
+          ((col("fetched") - lit(p.k.toLong)).cast("double") /
+            lit(nV.toDouble)).as("fpr"))
+        // the ledger is |mkeeps| rows — pin it so the caller's actions
+        // don't re-run the pipeline after the persists are released
+        .localCheckpoint(true)
+    } finally {
+      fetch.unpersist(blocking = false)
+      seeds.unpersist(blocking = false)
+      seedIds.unpersist(blocking = false)
+      cand.unpersist(blocking = false)
+    }
+  }
+
   /** [[fetched]] with the cheap pass and the full-precision fetch side as
     * separate relations — the disaggregated-storage entry point, where
     * the two sides are different column subsets of one parquet table.

@@ -1051,17 +1051,29 @@ object Search {
     // pg = the qid's PAGE (min(topN, candidates)) — every survivor
     // beyond it was an unnecessary fetch; carried per row so the
     // aggregate's fpr sums pages per qid rather than re-clamping the
-    // summed candidates
-    val perQid = cands
-      .join(nSeeds, Seq("qid")).join(nSurv, Seq("qid"))
-      .join(rowBytes, Seq("qid"))
-      .join(fetchBytes(p.seeds, "b_seed"), Seq("qid"))
-      .join(fetchBytes(p.survivors, "b_surv"), Seq("qid"))
-      .select(col("qid"), col("candidates"), col("seed_docs"),
-        col("survivors"), col("bytes_cheap"),
-        (col("b_seed") + col("b_surv")).as("bytes_exact"),
-        col("bytes_full"),
-        least(lit(topN.toLong), col("candidates")).as("pg"))
+    // summed candidates.
+    // LEFT joins from the qid UNIVERSE (the query relation), not inner
+    // joins on the aggregates: a qid whose terms match zero postings
+    // has no bounds/seeds/survivors rows at all and would silently
+    // vanish from the ledger (and the qid=-1 row would no longer cover
+    // the whole relation). It now emits an explicit all-zero row.
+    val qidUniverse = p.qt.select(col("qid")).distinct()
+    val perQid = qidUniverse
+      .join(cands, Seq("qid"), "left")
+      .join(nSeeds, Seq("qid"), "left").join(nSurv, Seq("qid"), "left")
+      .join(rowBytes, Seq("qid"), "left")
+      .join(fetchBytes(p.seeds, "b_seed"), Seq("qid"), "left")
+      .join(fetchBytes(p.survivors, "b_surv"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("candidates"), lit(0L)).as("candidates"),
+        coalesce(col("seed_docs"), lit(0L)).as("seed_docs"),
+        coalesce(col("survivors"), lit(0L)).as("survivors"),
+        coalesce(col("bytes_cheap"), lit(0L)).as("bytes_cheap"),
+        (coalesce(col("b_seed"), lit(0L)) +
+          coalesce(col("b_surv"), lit(0L))).as("bytes_exact"),
+        coalesce(col("bytes_full"), lit(0L)).as("bytes_full"),
+        least(lit(topN.toLong),
+          coalesce(col("candidates"), lit(0L))).as("pg"))
     val total = perQid.agg(
       sum(col("candidates")).as("candidates"),
       sum(col("seed_docs")).as("seed_docs"),
@@ -1074,16 +1086,22 @@ object Search {
         col("survivors"), col("bytes_cheap"), col("bytes_exact"),
         col("bytes_full"), col("pg"))
     perQid.unionByName(total)
-      .withColumn("save", lit(1.0) -
-        (col("bytes_cheap") + col("bytes_exact")).cast("double") /
-          col("bytes_full").cast("double"))
+      // zero-candidate qids (now emitted explicitly — see the left
+      // joins above) define save/fpr as 0.0 instead of NaN from the
+      // 0/0 division
+      .withColumn("save",
+        when(col("bytes_full") === 0L, lit(0.0))
+          .otherwise(lit(1.0) -
+            (col("bytes_cheap") + col("bytes_exact")).cast("double") /
+              col("bytes_full").cast("double")))
       // fpr (the reference triple's third leg, Refine.metrics'
       // unnecessary-fetches-over-universe form): survivors beyond the
       // page, over the qid's candidate universe — zero-miss makes the
       // page always a survivor subset, so the numerator is exact
       .withColumn("fpr",
-        (col("survivors") - col("pg")).cast("double") /
-          col("candidates").cast("double"))
+        when(col("candidates") === 0L, lit(0.0))
+          .otherwise((col("survivors") - col("pg")).cast("double") /
+            col("candidates").cast("double")))
       .drop("pg")
   }
 
@@ -1235,10 +1253,14 @@ object Search {
     val bytesExact = 24L * exactRows
     import spark.implicits._
     Seq((cands, nSeeds, nSurv, bytesCheap, bytesExact, bytesFull,
-      1.0 - (bytesCheap + bytesExact).toDouble / bytesFull.toDouble,
+      if (bytesFull == 0L) 0.0
+      else 1.0 - (bytesCheap + bytesExact).toDouble / bytesFull.toDouble,
       // fpr: survivors beyond the page over the candidate universe —
-      // the reference triple's third leg (zero-miss => page ⊆ survivors)
-      (nSurv - math.min(topN.toLong, cands)).toDouble / cands.toDouble))
+      // the reference triple's third leg (zero-miss => page ⊆ survivors);
+      // a term set matching zero postings defines both ratios as 0.0
+      // instead of NaN from the 0/0 division
+      if (cands == 0L) 0.0
+      else (nSurv - math.min(topN.toLong, cands)).toDouble / cands.toDouble))
       .toDF("candidates", "seed_docs", "survivors", "bytes_cheap",
         "bytes_exact", "bytes_full", "save", "fpr")
   }

@@ -1555,7 +1555,14 @@ object IvfOracle {
        |  row_number() OVER (PARTITION BY qid${
         if (groupByLang) ", lang" else ""} ORDER BY score DESC, id ASC) AS rnk
        |  FROM scored)
-       |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score$langSel
+       |SELECT ${
+        // groupByLang mirrors the engine's (qid, lang, rank, id, score)
+        // column ORDER, not just its names — the driver compare is
+        // name-based so either order hashes the same, but keeping the
+        // oracle order identical to the engine (as every other multi
+        // oracle does) avoids a gratuitous inconsistency
+        if (groupByLang) "qid, lang, CAST(rnk AS INTEGER) AS rank, id, score"
+        else s"qid, CAST(rnk AS INTEGER) AS rank, id, score$langSel"}
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 }

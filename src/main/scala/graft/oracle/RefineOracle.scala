@@ -227,6 +227,63 @@ object RefineOracle {
     params.map(p => s"(${metricsSql(d, nq, p)})").mkString("\nUNION ALL\n")
 
   /**
+   * Per-qid m_keep ledger oracle
+   * ([[graft.operators.Refine.perQidMkeepMetrics]]): one full refine
+   * pipeline PER DISTINCT TIER (the tier's own rv/dv derivation — the
+   * qid's Δ/cushion really comes from its own mantissa budget),
+   * restricted to the qids whose RANK carries that tier (refine qids
+   * are fixture keys, so the binding is rank-based on both sides, the
+   * [[topkPerQidDeltaSql]] discipline), per-qid counts, UNION ALL
+   * across tiers. Byte/ratio trees mirror the engine's: integer counts
+   * aggregated first, single multiplications/divisions at the end —
+   * every product is integer-valued below 2^53, so the doubles are
+   * exact on both engines.
+   */
+  def perQidMkeepMetricsSql(d: Int, nq: Int, k: Int, alpha: Double,
+                            mkeepByRank: Seq[Int],
+                            keyMod: Int = 1): String = {
+    require(mkeepByRank.length == nq, s"need one tier per query rank")
+    val bFull = 16.0 * d / 8.0
+    val tiers = mkeepByRank.distinct.sorted
+    val parts = tiers.map { m =>
+      val p = Refine.Params("cos_l1", k = k, keepM = m, alpha = alpha)
+      val ranks = mkeepByRank.zipWithIndex.filter(_._1 == m).map(_._2)
+      val bRed = (1 + p.keepE + m) * d / 8.0
+      val (_, sFull, _) = scoredExprs(p)
+      s"""(WITH ${baseCtes(d, nq, m, keyMod)},
+         |${pipelineCtes(p)},
+         |qkr AS (SELECT qkey,
+         |    row_number() OVER (ORDER BY qkey) - 1 AS qi FROM qk),
+         |tq AS (SELECT qkey FROM qkr WHERE qi IN (${ranks.mkString(", ")})),
+         |nvs AS (SELECT COUNT(*) AS nv FROM keys),
+         |fc AS (SELECT f.qid, COUNT(*) AS fetched
+         |  FROM fetchset f JOIN tq ON tq.qkey = f.qid GROUP BY f.qid),
+         |final AS (SELECT qid, id,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY s_full DESC, id ASC) AS rnk FROM fetchset),
+         |exact0 AS (SELECT p.qid, p.id, $sFull AS s_exact
+         |  FROM pair p JOIN nv ON p.id = nv.key JOIN nqt q ON p.qid = q.qkey),
+         |exact AS (SELECT qid, id,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY s_exact DESC, id ASC) AS rnk FROM exact0),
+         |hits AS (SELECT f.qid, COUNT(*) AS hits
+         |  FROM final f JOIN exact e ON f.qid = e.qid AND f.id = e.id
+         |  JOIN tq ON tq.qkey = f.qid
+         |  WHERE f.rnk <= $k AND e.rnk <= $k GROUP BY f.qid)
+         |SELECT fc.qid, $m AS m_keep, fc.fetched,
+         |  ${dlit(bRed)} * CAST(nvs.nv AS DOUBLE) +
+         |    ${dlit(bFull)} * CAST(fc.fetched AS DOUBLE) AS bytes_total,
+         |  CAST(h.hits AS DOUBLE) / ${dlit(k.toDouble)} AS recall,
+         |  1.0 - (${dlit(bRed)} * CAST(nvs.nv AS DOUBLE) +
+         |      ${dlit(bFull)} * CAST(fc.fetched AS DOUBLE)) /
+         |    (${dlit(bFull)} * CAST(nvs.nv AS DOUBLE)) AS save,
+         |  CAST(fc.fetched - $k AS DOUBLE) / CAST(nvs.nv AS DOUBLE) AS fpr
+         |FROM fc JOIN hits h ON h.qid = fc.qid CROSS JOIN nvs)""".stripMargin
+    }
+    parts.mkString("\nUNION ALL\n")
+  }
+
+  /**
    * Grid-search tuning oracle (Tune.tuneDelta): the grid's metrics rows
    * plus a `chosen` flag on the winner — max saving among rows meeting
    * the recall floor, best recall as fallback; ties at the winning

@@ -131,6 +131,62 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("per-qid m_keep: zero-miss per tier, tier bytes differ, uniform " +
+      "relation reproduces the fixed-m metrics rung") {
+    val (v, q) = fixture
+    val d = SparkEntry.D
+    val k = SparkEntry.K
+    val p = SparkEntry.refineParams("cos_l1").copy(k = k)
+    val qids = q.select(col("qid")).collect().map(_.getLong(0)).sorted
+    val tiers = qids.toSeq.zipWithIndex.map { case (qid, i) =>
+      qid -> SparkEntry.MkeepTiers(i % SparkEntry.MkeepTiers.size) }
+    val led = Refine.perQidMkeepMetrics(v, q, p, d, tiers).collect()
+    // one ledger row per qid, tier bound by rank
+    assert(led.length == qids.length)
+    val byQid = led.map(r => r.getAs[Long]("qid") -> r).toMap
+    tiers.foreach { case (qid, m) =>
+      assert(byQid(qid).getAs[Int]("m_keep") == m,
+        s"qid $qid bound tier ${byQid(qid).getAs[Int]("m_keep")} != $m")
+    }
+    // zero-miss preserved PER QID at every tier (cos_l1 is a true bound
+    // at any mantissa budget)
+    led.foreach(r => assert(r.getAs[Double]("recall") == 1.0,
+      s"qid ${r.getAs[Long]("qid")} recall ${r.getAs[Double]("recall")}"))
+    // the tiers actually differ in bandwidth: every row's CHEAP-pass
+    // bytes (bytes_total minus the fetch term) sit at its tier's
+    // b_red*N, so low-tier rows are strictly cheaper per vector
+    val nV = v.count()
+    val bFull = 16.0 * d / 8.0
+    def cheapBytes(r: org.apache.spark.sql.Row): Double =
+      r.getAs[Double]("bytes_total") -
+        bFull * r.getAs[Long]("fetched").toDouble
+    val grouped = led.groupBy(_.getAs[Int]("m_keep"))
+      .map { case (m, rs) => m -> rs.map(cheapBytes).distinct }
+    grouped.foreach { case (m, bs) =>
+      assert(bs.length == 1 && math.abs(bs.head -
+          (1 + p.keepE + m) * d / 8.0 * nV) < 1e-6,
+        s"tier $m cheap bytes $bs != b_red*N") }
+    assert(grouped(SparkEntry.MkeepTiers.head).head <
+      grouped(SparkEntry.MkeepTiers.last).head,
+      "low tier must be strictly cheaper per vector")
+    // a UNIFORM tier relation reproduces the fixed-m metrics rung: the
+    // mean of the per-qid saves equals metrics' aggregate save, and the
+    // mean fpr its aggregate fpr (both are the same integer counts,
+    // divided per qid vs once)
+    val uni = Refine.perQidMkeepMetrics(v, q, p, d,
+      qids.toSeq.map(_ -> SparkEntry.KeepM)).collect()
+    val agg = Refine.metrics(v, q, p.copy(keepM = SparkEntry.KeepM), d)
+      .collect()(0)
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    assert(math.abs(mean(uni.map(_.getAs[Double]("save")).toSeq) -
+      agg.getAs[Double]("save")) < 1e-9,
+      "uniform per-qid saves did not average to the fixed-m rung's save")
+    assert(math.abs(mean(uni.map(_.getAs[Double]("fpr")).toSeq) -
+      agg.getAs[Double]("fpr")) < 1e-9,
+      "uniform per-qid fprs did not average to the fixed-m rung's fpr")
+    assert(uni.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("TopK.aggregate matches TopK.window") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)
