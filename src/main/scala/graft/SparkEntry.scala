@@ -2300,6 +2300,15 @@ object SparkEntry {
         bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
         fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
         Bm25B, RrfPoolN, PostBuckets)),
+    // ... and its PER-REQUEST byte ledger: the accounting triple on the
+    // serving capstone — per-qid posting bytes, pre-filtered embedding
+    // bytes vs the unfiltered baseline, fusion fetches beyond the page,
+    // (save, fpr) per request plus the qid=-1 aggregate
+    "q_serve_requests_metrics" -> q((s, dir) => graft.operators.Search
+      .serveRequestsMetrics(s, dir, emb(s, dir), docs(s, dir),
+        bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
+        fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
+        Bm25B, RrfPoolN, PostBuckets, EmbD)),
     // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
     // out of the candidates, stats left STALE until compaction — the
     // Lucene delete contract (docs unretrievable immediately, df/sumdl
@@ -3022,6 +3031,11 @@ object SparkEntry {
     "q_serve_requests" -> SearchOracle.serveRequestsSql(EmbD,
       Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
       Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+      qrelPathForOracle()),
+    // the capstone's ledger: per-request counts/bytes off the same CTEs
+    "q_serve_requests_metrics" -> SearchOracle.serveRequestsMetricsSql(
+      EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,

@@ -1540,7 +1540,31 @@ object Search {
                     weights: Seq[(Long, Double)], ks: Seq[(Long, Int)],
                     k1: Double, b: Double, poolN: Int,
                     nBuckets: Int): DataFrame = {
-    require(filters.nonEmpty && weights.nonEmpty && ks.nonEmpty,
+    import spark.implicits._
+    val fused = serveFused(spark, sfDir, emb, docMeta, queries, filters,
+      weights, k1, b, poolN, nBuckets)
+    val qk = broadcast(ks.toDF("qid", "kq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .join(qk, Seq("qid"))
+      .filter(col("rank") <= col("kq"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
+  /** [[serveRequests]]' shared pipeline up to the fused candidate pool
+    * (qid, doc_id, fused, tnorm, vnorm) — consumed by the result query
+    * (per-qid rank cut) and by its per-request byte ledger
+    * ([[serveRequestsMetrics]]), so both serve off the SAME relations. */
+  private def serveFused(spark: SparkSession, sfDir: String,
+                         emb: DataFrame, docMeta: DataFrame,
+                         queries: Seq[(Long, Seq[String])],
+                         filters: Seq[(Long, String)],
+                         weights: Seq[(Long, Double)], k1: Double,
+                         b: Double, poolN: Int,
+                         nBuckets: Int): DataFrame = {
+    require(filters.nonEmpty && weights.nonEmpty,
       "serveRequests: empty request relation")
     import spark.implicits._
     val meta = docMeta.select(col("doc_id"), col("lang"))
@@ -1554,12 +1578,11 @@ object Search {
       .select(col("qid"), col("id").as("doc_id"),
         col("score").as("vscore"))
     val qa = broadcast(weights.toDF("qid", "alpha"))
-    val qk = broadcast(ks.toDF("qid", "kq"))
     val tmm = text.groupBy(col("qid"))
       .agg(min(col("tscore")).as("tmin"), max(col("tscore")).as("tmax"))
     val vmm = vec.groupBy(col("qid"))
       .agg(min(col("vscore")).as("vmin"), max(col("vscore")).as("vmax"))
-    val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+    text.join(vec, Seq("qid", "doc_id"), "full_outer")
       .join(broadcast(tmm), Seq("qid"), "left")
       .join(broadcast(vmm), Seq("qid"), "left")
       .join(qa, Seq("qid"))
@@ -1576,13 +1599,114 @@ object Search {
       .withColumn("fused",
         col("alpha") * col("tnorm") +
           (lit(1.0) - col("alpha")) * col("vnorm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
-    fused.withColumn("rank", row_number().over(w))
-      .join(qk, Seq("qid"))
-      .filter(col("rank") <= col("kq"))
-      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
-        col("tnorm"), col("vnorm"))
+      .select(col("qid"), col("doc_id"), col("fused"), col("tnorm"),
+        col("vnorm"))
+  }
+
+  /**
+   * PER-REQUEST BYTE LEDGER on the serving capstone — the reference's
+   * first-class accounting triple (`ANNCode.py:316-318,363-369`)
+   * carried onto [[serveRequests]]: one row PER REQUEST of the
+   * relation plus the aggregate row (qid = -1), each derived from that
+   * request's OWN slice of the same relations the serve plan reads
+   * (the [[bm25MultiMaxScoreMetrics]] pattern one rung up). Columns:
+   *
+   *  - `t_cands` / `bytes_text`: the request's candidate posting rows
+   *    (union-pruned postings joined to ITS terms) and their
+   *    fully-read bytes (term chars + 24 — BM25 needs tf and dl; the
+   *    MaxScore ledger's row-width model),
+   *  - `v_cands` / `bytes_vec`: corpus vectors passing its lang
+   *    pre-filter, and what the filtered scan reads — the metadata
+   *    column over ALL N rows (8 B each) plus embeddings (4d B) for
+   *    the matching rows only; `bytes_vec_full` = N·(8+4d) is the
+   *    baseline an unfiltered scan pays (the pre-filter IS the
+   *    request's bandwidth mechanism),
+   *  - `fused` / `page`: candidates entering the fusion stage (the
+   *    full-outer union of its two top-poolN pools) and the page it
+   *    actually returns (min(k_q, fused)),
+   *  - `save` = 1 − (bytes_text + bytes_vec)/(bytes_text +
+   *    bytes_vec_full) — the end-to-end request saving (the text side
+   *    is identical in both terms; the vector pre-filter is what
+   *    saves),
+   *  - `fpr` = (fused − page)/(t_cands + v_cands) — fetches into
+   *    fusion beyond the returned page, over the request's candidate
+   *    universe.
+   *
+   * Everything stays RELATIONAL — per-qid aggregates over the same
+   * pruned-postings / lang-filter / fused relations, LEFT-joined from
+   * the request universe (a qid with zero matches emits an explicit
+   * all-zero row, 0/0 ratios defined as 0.0). The aggregate row sums
+   * the per-qid integers, so "sum of parts = whole" is a spec-asserted
+   * invariant.
+   */
+  def serveRequestsMetrics(spark: SparkSession, sfDir: String,
+                           emb: DataFrame, docMeta: DataFrame,
+                           queries: Seq[(Long, Seq[String])],
+                           filters: Seq[(Long, String)],
+                           weights: Seq[(Long, Double)],
+                           ks: Seq[(Long, Int)], k1: Double, b: Double,
+                           poolN: Int, nBuckets: Int,
+                           d: Int): DataFrame = {
+    require(ks.nonEmpty, "serveRequestsMetrics: empty page relation")
+    import spark.implicits._
+    val fused = serveFused(spark, sfDir, emb, docMeta, queries, filters,
+      weights, k1, b, poolN, nBuckets)
+    // the request's candidate posting rows: the SAME union-pruned scan
+    // bm25Multi serves from, joined to its terms
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val unionTerms = queries.flatMap(_._2).distinct
+    val buckets = termBuckets(spark, unionTerms, nBuckets)
+    val pruned = spark.read.parquet(root)
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(unionTerms: _*))
+    val qt = broadcast(queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "term"))
+    val tAgg = pruned.join(qt, Seq("term")).groupBy(col("qid"))
+      .agg(count(lit(1)).as("t_cands"),
+        sum(length(col("term")) + lit(24L)).as("bytes_text"))
+    // vectors passing the request's lang pre-filter — the rows the
+    // filtered scan actually fetches embeddings for
+    val meta = docMeta.select(col("doc_id").as("id"), col("lang"))
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val vAgg = emb.select(col("vec_id").as("id")).join(meta, Seq("id"))
+      .join(qf, Seq("lang"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("v_cands"))
+    val fAgg = fused.groupBy(col("qid")).agg(count(lit(1)).as("fused"))
+    val nV = emb.count() // one bounded scalar (a model)
+    val qkRel = broadcast(ks.toDF("qid", "kq"))
+    val perQid = qkRel
+      .join(tAgg, Seq("qid"), "left")
+      .join(vAgg, Seq("qid"), "left")
+      .join(fAgg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("t_cands"), lit(0L)).as("t_cands"),
+        coalesce(col("v_cands"), lit(0L)).as("v_cands"),
+        coalesce(col("fused"), lit(0L)).as("fused"),
+        least(col("kq").cast("long"),
+          coalesce(col("fused"), lit(0L))).as("page"),
+        coalesce(col("bytes_text"), lit(0L)).as("bytes_text"),
+        (lit(8L * nV) + coalesce(col("v_cands"), lit(0L)) *
+          lit(4L * d)).as("bytes_vec"),
+        lit((8L + 4L * d) * nV).as("bytes_vec_full"))
+    val total = perQid.agg(
+      sum(col("t_cands")).as("t_cands"),
+      sum(col("v_cands")).as("v_cands"),
+      sum(col("fused")).as("fused"),
+      sum(col("page")).as("page"),
+      sum(col("bytes_text")).as("bytes_text"),
+      sum(col("bytes_vec")).as("bytes_vec"),
+      sum(col("bytes_vec_full")).as("bytes_vec_full"))
+      .select(lit(-1L).as("qid") +: perQid.columns.filter(_ != "qid")
+        .map(col).toSeq: _*)
+    perQid.unionByName(total)
+      .withColumn("save", lit(1.0) -
+        (col("bytes_text") + col("bytes_vec")).cast("double") /
+          (col("bytes_text") + col("bytes_vec_full")).cast("double"))
+      .withColumn("fpr",
+        when(col("t_cands") + col("v_cands") === 0L, lit(0.0))
+          .otherwise((col("fused") - col("page")).cast("double") /
+            (col("t_cands") + col("v_cands")).cast("double")))
   }
 
   // ---- late-interaction (maxsim) multi-vector retrieval ----------------

@@ -644,7 +644,28 @@ object SearchOracle {
                        weights: Seq[(Long, Double)], ks: Seq[(Long, Int)],
                        k1: Double, b: Double, poolN: Int,
                        st: Option[Bm25Stats],
-                       relPath: Option[String] = None): String = {
+                       relPath: Option[String] = None): String =
+    s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
+          poolN, st, relPath)},
+       |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
+       |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
+       |  FROM scoredf)
+       |SELECT r.qid, CAST(r.rnk AS INTEGER) AS rank, r.doc_id, r.fused,
+       |  r.tnorm, r.vnorm
+       |FROM ranked r JOIN qk3 ON qk3.qid = r.qid
+       |WHERE r.rnk <= qk3.kq""".stripMargin
+
+  /** The serve pipeline's shared CTE chain (both the result query and
+    * its per-request ledger read it), ending at `scoredf(qid, doc_id,
+    * tnorm, vnorm, fused)` with the request relations `qf`/`qa`/`qk3`
+    * and the multi-BM25 chain (incl. `posts`, `qt`) in scope. */
+  private def serveCommonCtes(d: Int, queries: Seq[(Long, Seq[String])],
+                              filters: Seq[(Long, String)],
+                              weights: Seq[(Long, Double)],
+                              ks: Seq[(Long, Int)], k1: Double,
+                              b: Double, poolN: Int,
+                              st: Option[Bm25Stats],
+                              relPath: Option[String]): String = {
     val nq = (filters.map(_._1).max + 1).toInt
     val qfRows = filters.map { case (qid, l) => s"($qid, '$l')" }
       .mkString(", ")
@@ -670,7 +691,7 @@ object SearchOracle {
         s"SELECT CAST(qid AS BIGINT) AS qid, CAST(kq AS INTEGER) AS kq" +
           s"\n  FROM (VALUES $qkRows) AS v(qid, kq)"
     }
-    s"""WITH ${bm25MultiCtes(queries, k1, b, st, relPath)},
+    s"""${bm25MultiCtes(queries, k1, b, st, relPath)},
        |qf AS ($qfBody),
        |qa AS ($qaBody),
        |qk3 AS ($qkBody),
@@ -716,15 +737,73 @@ object SearchOracle {
        |  LEFT JOIN vmm ON vmm.qid = COALESCE(b.qid, v.qid)),
        |scoredf AS (SELECT f.qid, f.doc_id, f.tnorm, f.vnorm,
        |    qa.alpha * f.tnorm + (1.0 - qa.alpha) * f.vnorm AS fused
-       |  FROM fusedr f JOIN qa ON qa.qid = f.qid),
-       |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
-       |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
-       |  FROM scoredf)
-       |SELECT r.qid, CAST(r.rnk AS INTEGER) AS rank, r.doc_id, r.fused,
-       |  r.tnorm, r.vnorm
-       |FROM ranked r JOIN qk3 ON qk3.qid = r.qid
-       |WHERE r.rnk <= qk3.kq""".stripMargin
+       |  FROM fusedr f JOIN qa ON qa.qid = f.qid)""".stripMargin
   }
+
+  /**
+   * Per-request byte ledger on the serving capstone
+   * ([[graft.operators.Search.serveRequestsMetrics]]): per-qid counts
+   * and byte sums over the SAME posting / lang-filter / fused
+   * relations the serve plan reads, LEFT-joined from the request
+   * universe (zero-match qids emit explicit all-zero rows, 0/0 ratios
+   * defined as 0.0), plus the qid = -1 aggregate summing the per-qid
+   * integers. Integer counts first, single divisions at the end — the
+   * ratio doubles are exact on both engines.
+   */
+  def serveRequestsMetricsSql(d: Int, queries: Seq[(Long, Seq[String])],
+                              filters: Seq[(Long, String)],
+                              weights: Seq[(Long, Double)],
+                              ks: Seq[(Long, Int)], k1: Double,
+                              b: Double, poolN: Int,
+                              st: Option[Bm25Stats],
+                              relPath: Option[String] = None): String =
+    s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
+          poolN, st, relPath)},
+       |tc AS (SELECT qt.qid, COUNT(*) AS t_cands,
+       |    CAST(SUM(len(p.term) + 24) AS BIGINT) AS bytes_text
+       |  FROM posts p JOIN qt ON p.term = qt.term GROUP BY qt.qid),
+       |vc AS (SELECT qf.qid, COUNT(*) AS v_cands
+       |  FROM embeddings e JOIN documents dm3 ON e.vec_id = dm3.doc_id
+       |  JOIN qf ON qf.lang = dm3.lang GROUP BY qf.qid),
+       |fc AS (SELECT qid, COUNT(*) AS fused FROM scoredf GROUP BY qid),
+       |nvs AS (SELECT COUNT(*) AS nv FROM embeddings),
+       |perq AS (SELECT qk3.qid,
+       |    COALESCE(tc.t_cands, 0) AS t_cands,
+       |    COALESCE(vc.v_cands, 0) AS v_cands,
+       |    COALESCE(fc.fused, 0) AS fused,
+       |    LEAST(CAST(qk3.kq AS BIGINT), COALESCE(fc.fused, 0)) AS page,
+       |    COALESCE(tc.bytes_text, 0) AS bytes_text,
+       |    8 * nvs.nv + COALESCE(vc.v_cands, 0) * ${4L * d} AS bytes_vec,
+       |    (8 + ${4L * d}) * nvs.nv AS bytes_vec_full
+       |  FROM qk3
+       |  LEFT JOIN tc ON tc.qid = qk3.qid
+       |  LEFT JOIN vc ON vc.qid = qk3.qid
+       |  LEFT JOIN fc ON fc.qid = qk3.qid
+       |  CROSS JOIN nvs),
+       |tot AS (SELECT CAST(-1 AS BIGINT) AS qid,
+       |    CAST(SUM(t_cands) AS BIGINT) AS t_cands,
+       |    CAST(SUM(v_cands) AS BIGINT) AS v_cands,
+       |    CAST(SUM(fused) AS BIGINT) AS fused,
+       |    CAST(SUM(page) AS BIGINT) AS page,
+       |    CAST(SUM(bytes_text) AS BIGINT) AS bytes_text,
+       |    CAST(SUM(bytes_vec) AS BIGINT) AS bytes_vec,
+       |    CAST(SUM(bytes_vec_full) AS BIGINT) AS bytes_vec_full
+       |  FROM perq),
+       |allrows AS (SELECT qid, CAST(t_cands AS BIGINT) AS t_cands,
+       |    CAST(v_cands AS BIGINT) AS v_cands,
+       |    CAST(fused AS BIGINT) AS fused, CAST(page AS BIGINT) AS page,
+       |    CAST(bytes_text AS BIGINT) AS bytes_text,
+       |    CAST(bytes_vec AS BIGINT) AS bytes_vec,
+       |    CAST(bytes_vec_full AS BIGINT) AS bytes_vec_full FROM perq
+       |  UNION ALL SELECT * FROM tot)
+       |SELECT qid, t_cands, v_cands, fused, page, bytes_text, bytes_vec,
+       |  bytes_vec_full,
+       |  1.0 - CAST(bytes_text + bytes_vec AS DOUBLE) /
+       |    CAST(bytes_text + bytes_vec_full AS DOUBLE) AS save,
+       |  CASE WHEN t_cands + v_cands = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(fused - page AS DOUBLE) /
+       |         CAST(t_cands + v_cands AS DOUBLE) END AS fpr
+       |FROM allrows""".stripMargin
 
   /** MaxScore byte ledger ([[graft.operators.Search
     * .bm25MaxScoreMetrics]]): the whole bound/seed/tau/survivor
@@ -909,15 +988,21 @@ object SearchOracle {
        |f2 AS (SELECT c.qid, CAST(24 * COUNT(*) AS BIGINT) AS b_surv
        |  FROM candrel c JOIN surv s
        |    ON s.qid = c.qid AND s.doc_id = c.doc_id GROUP BY c.qid),
-       |perqid AS (SELECT cnt.qid, cnt.candidates, scnt.seed_docs,
-       |    vcnt.survivors, cb.bytes_cheap,
-       |    f1.b_seed + f2.b_surv AS bytes_exact, cb.bytes_full,
-       |    CAST(LEAST($topN, cnt.candidates) AS BIGINT) AS pg
-       |  FROM cnt JOIN scnt ON scnt.qid = cnt.qid
-       |  JOIN vcnt ON vcnt.qid = cnt.qid
-       |  JOIN cb ON cb.qid = cnt.qid
-       |  JOIN f1 ON f1.qid = cnt.qid
-       |  JOIN f2 ON f2.qid = cnt.qid),
+       |uq AS (SELECT DISTINCT qid FROM qt),
+       |perqid AS (SELECT uq.qid,
+       |    COALESCE(cnt.candidates, 0) AS candidates,
+       |    COALESCE(scnt.seed_docs, 0) AS seed_docs,
+       |    COALESCE(vcnt.survivors, 0) AS survivors,
+       |    COALESCE(cb.bytes_cheap, 0) AS bytes_cheap,
+       |    COALESCE(f1.b_seed, 0) + COALESCE(f2.b_surv, 0) AS bytes_exact,
+       |    COALESCE(cb.bytes_full, 0) AS bytes_full,
+       |    CAST(LEAST($topN, COALESCE(cnt.candidates, 0)) AS BIGINT) AS pg
+       |  FROM uq LEFT JOIN cnt ON cnt.qid = uq.qid
+       |  LEFT JOIN scnt ON scnt.qid = uq.qid
+       |  LEFT JOIN vcnt ON vcnt.qid = uq.qid
+       |  LEFT JOIN cb ON cb.qid = uq.qid
+       |  LEFT JOIN f1 ON f1.qid = uq.qid
+       |  LEFT JOIN f2 ON f2.qid = uq.qid),
        |tot AS (SELECT CAST(-1 AS BIGINT) AS qid,
        |    CAST(SUM(candidates) AS BIGINT) AS candidates,
        |    CAST(SUM(seed_docs) AS BIGINT) AS seed_docs,
@@ -927,12 +1012,22 @@ object SearchOracle {
        |    CAST(SUM(bytes_full) AS BIGINT) AS bytes_full,
        |    CAST(SUM(pg) AS BIGINT) AS pg
        |  FROM perqid),
-       |allrows AS (SELECT * FROM perqid UNION ALL SELECT * FROM tot)
+       |allrows AS (SELECT qid, CAST(candidates AS BIGINT) AS candidates,
+       |    CAST(seed_docs AS BIGINT) AS seed_docs,
+       |    CAST(survivors AS BIGINT) AS survivors,
+       |    CAST(bytes_cheap AS BIGINT) AS bytes_cheap,
+       |    CAST(bytes_exact AS BIGINT) AS bytes_exact,
+       |    CAST(bytes_full AS BIGINT) AS bytes_full,
+       |    CAST(pg AS BIGINT) AS pg FROM perqid
+       |  UNION ALL SELECT * FROM tot)
        |SELECT qid, candidates, seed_docs, survivors, bytes_cheap,
        |  bytes_exact, bytes_full,
-       |  1.0 - CAST(bytes_cheap + bytes_exact AS DOUBLE) /
-       |    CAST(bytes_full AS DOUBLE) AS save,
-       |  CAST(survivors - pg AS DOUBLE) / CAST(candidates AS DOUBLE) AS fpr
+       |  CASE WHEN bytes_full = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE 1.0 - CAST(bytes_cheap + bytes_exact AS DOUBLE) /
+       |         CAST(bytes_full AS DOUBLE) END AS save,
+       |  CASE WHEN candidates = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(survivors - pg AS DOUBLE) /
+       |         CAST(candidates AS DOUBLE) END AS fpr
        |FROM allrows""".stripMargin
   }
 

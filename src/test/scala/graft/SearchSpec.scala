@@ -627,6 +627,58 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("serve-requests ledger: per-request rows, sum-of-parts total, ledger arithmetic") {
+    import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, EmbD}
+    val led = Search.serveRequestsMetrics(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets, EmbD).collect()
+    val per = led.filter(_.getAs[Long]("qid") >= 0)
+    val tot = led.filter(_.getAs[Long]("qid") == -1L)
+    assert(per.length == PageKMultiRel.length && tot.length == 1,
+      s"expected ${PageKMultiRel.length} per-request rows + 1 aggregate")
+    // sum of parts = whole on every integer column
+    for (c <- Seq("t_cands", "v_cands", "fused", "page", "bytes_text",
+        "bytes_vec", "bytes_vec_full"))
+      assert(per.map(_.getAs[Long](c)).sum == tot(0).getAs[Long](c),
+        s"aggregate $c != sum of per-request rows")
+    val nV = emb.count()
+    val pageOf = PageKMultiRel.toMap
+    per.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      // the request really returns its page (its k_q, when enough
+      // candidates fused) and the ledger's page records it
+      assert(r.getAs[Long]("page") ==
+        math.min(pageOf(qid).toLong, r.getAs[Long]("fused")))
+      // the vector baseline is the unfiltered scan; the pre-filter must
+      // strictly undercut it (v_cands < N for every fixture lang set)
+      assert(r.getAs[Long]("bytes_vec_full") == (8L + 4L * EmbD) * nV)
+      assert(r.getAs[Long]("bytes_vec") ==
+        8L * nV + r.getAs[Long]("v_cands") * 4L * EmbD)
+      assert(r.getAs[Long]("bytes_vec") < r.getAs[Long]("bytes_vec_full"),
+        s"qid=$qid pre-filter saved nothing")
+      // save/fpr are exactly the ledger arithmetic over the row
+      assert(r.getAs[Double]("save") == 1.0 -
+        (r.getAs[Long]("bytes_text") + r.getAs[Long]("bytes_vec")).toDouble /
+        (r.getAs[Long]("bytes_text") + r.getAs[Long]("bytes_vec_full")).toDouble,
+        s"save mismatch qid=$qid")
+      assert(r.getAs[Double]("fpr") ==
+        (r.getAs[Long]("fused") - r.getAs[Long]("page")).toDouble /
+          (r.getAs[Long]("t_cands") + r.getAs[Long]("v_cands")).toDouble,
+        s"fpr mismatch qid=$qid")
+      assert(r.getAs[Double]("save") > 0.0 && r.getAs[Double]("save") < 1.0)
+      assert(r.getAs[Double]("fpr") >= 0.0 && r.getAs[Double]("fpr") < 1.0)
+    }
+    // and the page the ledger accounts for is what serveRequests serves
+    val served = Search.serveRequests(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets).collect()
+      .groupBy(_.getAs[Long]("qid")).view.mapValues(_.length.toLong).toMap
+    per.foreach(r => assert(
+      served(r.getAs[Long]("qid")) == r.getAs[Long]("page"),
+      s"ledger page != served rows for qid ${r.getAs[Long]("qid")}"))
+  }
+
   test("per-qid filters at rest: each qid's slice equals the single-predicate indexed run") {
     import SparkEntry.{FilterMultiRel, K, IvfCells, EmbD, IvfProbe}
     val multi = Search.filteredTopKIndexedMulti(spark, dir, emb,
