@@ -253,6 +253,23 @@ object SparkEntry {
       IvfProbe, PqM, PqCodes, PqRerank)
   }
 
+  /** ... AND AT REST at the reference's FineWeb width: the composed
+    * cosine string's cell-partitioned layout built from the wide
+    * fixture slice — probe cells a static partition filter, the cheap
+    * pass reading the code columns only (PlanSpec asserts pruning and
+    * whole-stage compilation at width). The paper's bandwidth story
+    * (§3.3) is column pruning ON DISK; at the production widths the
+    * at-rest layout is where it pays — hash-equal to the in-memory
+    * rung (deterministic training), same wide oracle. */
+  def qAnnSphericalPqD1024AtRest(s: SparkSession, dir: String): DataFrame = {
+    val v = fix1024(s, dir).select(col("id").as("vec_id"),
+      col("vec").as("embedding"), lit(0).as("label"))
+    val path = graft.operators.Pq.ensureSphericalResidualCodesFixtureOver(
+      s, dir, "_w1024", v, IvfCells, D1024, PqM, PqCodes)
+    graft.operators.Pq.topkSphericalResidualOffCodes(s, path, v, NQ, K,
+      IvfCells, D1024, IvfProbe, PqM, PqCodes, PqRerank)
+  }
+
   /** ... and at the reference's LARGEST evaluated width (D=3072 —
     * text-embedding-3-large class, README.md:40-42): 384-dim PQ
     * subspaces over the spherical residuals. Tiny-N slicing like
@@ -1602,6 +1619,13 @@ object SparkEntry {
     // whole-stage at this width)
     "q_ann_ivf_spherical_pq_d1024" -> q((s, dir) =>
       qAnnSphericalPqD1024(s, dir)),
+    // ... and the WIDE layout AT REST — the paper's §3.3 bandwidth
+    // story is column pruning ON DISK, and at the production widths
+    // the cell-partitioned at-rest layout is where it pays: probe
+    // cells prune statically, the cheap scan reads (id, cell, code)
+    // only at D=1024 (PlanSpec asserts pruning + compiled codegen)
+    "q_ann_ivf_spherical_pq_d1024_at_rest" -> q((s, dir) =>
+      qAnnSphericalPqD1024AtRest(s, dir)),
     // ... and at the reference's LARGEST width (D=3072): the composed
     // cosine string trains/encodes/serves where the fold trees are at
     // their absolute widest — tiny-N slice, same relational wide oracle
@@ -2087,6 +2111,16 @@ object SparkEntry {
       graft.operators.Ivf.knnGraphDelete(e, knnGraphAtRest(s, dir), tombs,
         KnnJ, IvfCells, EmbD, IvfProbe)
     }),
+    // ... and TIME TRAVEL on the graph — the last index family to gain
+    // the as-of verb: the generic versioned delete log served as-of
+    // commit 1 (only nodes ≡ 0 mod 2·DeleteMod gone), with the repair
+    // re-ranking affected survivors over the AS-OF live corpus — each
+    // snapshot identical to a rebuild over that snapshot's live set
+    "q_knn_graph_delete_asof" -> q((s, dir) => graft.operators.Ivf
+      .knnGraphDeleteAsOf(s, graft.operators.Ivf.ensureKnnGraph(s, dir,
+          KnnJ, IvfCells, EmbD, IvfProbe),
+        emb(s, dir), KnnJ, IvfCells, EmbD, IvfProbe, DeleteMod,
+        asOf = 1)),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
     // its arrivals PLUS the affected nodes (probed cells intersecting
@@ -2740,6 +2774,11 @@ object SparkEntry {
     "q_ann_ivf_spherical_pq_d1024" -> PqOracle.sphericalResidualWideSql(
       D1024, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
       D1024KeyMod),
+    // identical semantics off the wide cell-partitioned layout — the
+    // at-rest twin shares the wide oracle (deterministic training)
+    "q_ann_ivf_spherical_pq_d1024_at_rest" ->
+      PqOracle.sphericalResidualWideSql(D1024, NQ, K, IvfCells, IvfProbe,
+        PqM, PqCodes, PqRerank, D1024KeyMod),
     "q_ann_ivf_spherical_pq_d3072" -> PqOracle.sphericalResidualWideSql(
       D3072, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
       D3072KeyMod),
@@ -2925,6 +2964,10 @@ object SparkEntry {
     // delete maintenance == the graph rebuilt over the live corpus
     "q_knn_graph_delete" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells,
       IvfProbe, excludeMod = DeleteMod),
+    // as-of commit 1: only nodes ≡ 0 (mod 2·DeleteMod) deleted — the
+    // snapshot equals the graph REBUILT over that snapshot's live set
+    "q_knn_graph_delete_asof" -> IvfOracle.knnGraphSql(EmbD, KnnJ,
+      IvfCells, IvfProbe, excludeMod = 2 * DeleteMod),
     "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,

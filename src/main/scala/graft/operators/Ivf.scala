@@ -1368,6 +1368,32 @@ object Ivf {
     keep.unionByName(recomputed)
   }
 
+  /**
+   * TIME TRAVEL on the k-NN graph — the one index family that was
+   * missing the as-of verb: the generic append-only versioned delete
+   * log ([[graft.operators.Pq.ensureVersionedTombstones]], reused by
+   * PQ/spherical/LSH/postings) keyed on the graph layout's node column
+   * (`qid`), applied with `commit_v <= asOf` BEFORE the delete repair.
+   * The repair itself ([[knnGraphDelete]]) is what versions the
+   * RE-RANK: affected survivors re-rank over the as-of LIVE corpus
+   * (emb minus the as-of tombstones), not just a node filter — so each
+   * snapshot is identical to rebuilding the graph over that snapshot's
+   * live set. asOf 0 is the pre-delete graph; the latest asOf equals
+   * the plain merge-on-read delete. Base edge files never rewritten.
+   */
+  def knnGraphDeleteAsOf(spark: org.apache.spark.sql.SparkSession,
+                         graphPath: String, emb: DataFrame, j: Int,
+                         nCells: Int, d: Int, nprobe: Int,
+                         deleteMod: Int, asOf: Int): DataFrame = {
+    val tombs = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, graphPath, deleteMod,
+          idCol = "qid"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("qid").as("id"))
+    knnGraphDelete(emb, spark.read.parquet(graphPath), tombs, j, nCells,
+      d, nprobe)
+  }
+
   /** (qid, cell) probe pairs for a (qid, qvec) node set — exposed for
     * the streaming maintenance path's affected-node computation. */
   def probePairs(nodes: DataFrame, nCells: Int, d: Int,

@@ -1410,15 +1410,29 @@ object Pq {
     * rescore fetch. */
   def ensureSphericalResidualCodesFixture(spark: SparkSession,
                                           sfDir: String, nCells: Int, d: Int,
-                                          mSub: Int, codes: Int): String = {
+                                          mSub: Int, codes: Int): String =
+    ensureSphericalResidualCodesFixtureOver(spark, sfDir, "",
+      graft.Tables.embeddings(spark, sfDir), nCells, d, mSub, codes)
+
+  /** [[ensureSphericalResidualCodesFixture]] generalized over an
+    * explicit (vec_id, embedding) source relation — the WIDE at-rest
+    * entry point: the D=1024/3072 rungs build their cell-partitioned
+    * layouts from the wide fixture slices instead of the embeddings
+    * table. `tag` keeps differently-sourced layouts at the same params
+    * in separate published dirs. */
+  def ensureSphericalResidualCodesFixtureOver(spark: SparkSession,
+                                              sfDir: String, tag: String,
+                                              emb: DataFrame, nCells: Int,
+                                              d: Int, mSub: Int,
+                                              codes: Int): String = {
     import java.nio.file.{Files, Paths}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_pqsphres_v${SphResCodesLayoutVersion}_${safe}_c${nCells}" +
+      s"graft_pqsphres_v${SphResCodesLayoutVersion}_$safe$tag" +
+        s"_c${nCells}" +
         s"_d${d}_m${mSub}_k${codes}_v${graft.Fixture.srcVersion(sfDir)}")
     if (!Files.exists(path.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(path.getParent, "pqsphres-")
-      val emb = graft.Tables.embeddings(spark, sfDir)
       val model = sphericalModel(emb, nCells, d, mSub, codes)
       sphEncode(emb, model, d, mSub, codes)
         .select(col("id"), col("cell"), col("embedding").as("vec"),

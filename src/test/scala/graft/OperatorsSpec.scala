@@ -119,6 +119,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(affected > 0, "no survivor referenced a deleted id")
   }
 
+  test("knn graph as-of: each snapshot equals the rebuild over its live set") {
+    import graft.operators.Ivf
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val j = SparkEntry.KnnJ
+    val mod = SparkEntry.DeleteMod
+    val path = Ivf.ensureKnnGraph(spark, dir, j, SparkEntry.IvfCells,
+      SparkEntry.EmbD, SparkEntry.IvfProbe)
+    def asOf(v: Int) = Ivf.knnGraphDeleteAsOf(spark, path, e, j,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe, mod, v)
+      .collect().map(_.toSeq).toSet
+    def rebuilt(liveMod: Int) = Ivf.knnGraph(
+        if (liveMod == 0) e else e.filter(col("vec_id") % liveMod =!= 0),
+        j, SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+      .collect().map(_.toSeq).toSet
+    // asOf 0 = the pre-delete graph; commit 1 deletes ids ≡ 0 (mod 2m);
+    // commit 2 completes the ≡ 0 (mod m) set — every snapshot must
+    // equal the graph REBUILT over that snapshot's live corpus (the
+    // repair re-ranks over the as-of live set, not just a node filter)
+    assert(asOf(0) == rebuilt(0), "asOf 0 != pre-delete graph")
+    assert(asOf(1) == rebuilt(2 * mod), "asOf 1 != rebuild at commit 1")
+    assert(asOf(2) == rebuilt(mod), "asOf 2 != rebuild at commit 2")
+    // and the snapshots genuinely differ (the log is not degenerate)
+    assert(asOf(0) != asOf(1) && asOf(1) != asOf(2))
+  }
+
   test("graph beam search: per-round monotone, bounded reads, sane recall") {
     import graft.operators.{Ivf, Ann}
     val emb = Tables.embeddings(spark, dir)

@@ -694,6 +694,39 @@ class PlanSpec extends AnyFunSuite {
       "spherical-PQ at-rest serve diverged from the in-memory rung")
   }
 
+  test("spherical-PQ at-rest at D=1024: pruned code-only cheap scan, compiled codegen, equals in-memory") {
+    // the WIDE at-rest rung — the §3.3 bandwidth story at the
+    // reference's FineWeb width: the pruning must hold where the vec
+    // column is 1024 floats (the column whose non-read is the win),
+    // and the serve must still COMPILE whole-stage (no Janino
+    // fallback) on top of the stored layout
+    import org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats
+    val df = SparkEntry.qAnnSphericalPqD1024AtRest(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected cell partition filters on both composed scans, found $pruned:\n$plan")
+    val scans = graft.sources.Disaggregated.scanSchemas(df)
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    assert(scans.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only cheap scan at d1024: $scans")
+    val a = df.collect().map(_.toSeq).toSet
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected whole-stage codegen subtrees")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats != ByteCodeStats.UNAVAILABLE,
+        s"whole-stage codegen failed to compile at d1024 at rest for:\n$subtree")
+    }
+    // hash-equal to the in-memory wide rung (deterministic training);
+    // the sf0.001 wide slice is tiny (keyMod 128), so some qids serve
+    // fewer than K rows — equality of the full row sets is the check
+    val b = SparkEntry.qAnnSphericalPqD1024(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty,
+      "wide spherical-PQ at-rest serve diverged from the in-memory rung")
+  }
+
   test("spherical-PQ deletes: no tombstoned id served, code files byte-immutable") {
     import SparkEntry.{NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
       PqRerank, DeleteMod}
