@@ -135,38 +135,44 @@ object Soak {
         s"flooded corpus: $under docs below the replica coverage floor")
       n
     }
+    // the multi-query lexical relation at soak scale (~50k docs with
+    // SOAK_MULT=10 at sf0.1): ONE postings build over the flooded
+    // corpus, then an 8-query term-set relation — mixed base-vocab and
+    // replica-suffix terms (df from ~hundreds to nBase) — served off
+    // the union-pruned scan in one plan, plus the per-qid MaxScore
+    // twin. Invariants: every qid fills its page; a sampled qid's
+    // slice is BIT-EQUAL to its own single-query posting-list run
+    // (the exact-oracle mirror at scale); MaxScore is row-identical
+    // to the full scoring (zero-miss per qid at 50k docs).
+    val nBuckets = SparkEntry.PostBuckets
+    // the ~50k-doc postings layout is scratch shared by the bm25_multi
+    // and serve steps — deleted in the finally below so repeated soak
+    // runs can't accumulate disk
+    val postingsRoot = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+      "soak-postings-").toString
+    // the 8-request term-set relation shared by both lexical steps:
+    // mixed base-vocab and replica-suffix terms (df from ~hundreds to
+    // nBase)
+    val soakQs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("filter", "merge", "stream"),
+      1L -> Seq("customer", "order"),
+      2L -> Seq("vector", "hash", "join", "scan"),
+      3L -> Seq("dup"),
+      4L -> Seq("soakreplica1"),
+      5L -> Seq("soakreplica3", "filter"),
+      6L -> Seq("merge", "dup", "soakreplica5"),
+      7L -> Seq("stream", "scan"))
+    try {
     step("bm25_multi") {
-      // the multi-query lexical relation at soak scale (~50k docs with
-      // SOAK_MULT=10 at sf0.1): ONE postings build over the flooded
-      // corpus, then an 8-query term-set relation — mixed base-vocab and
-      // replica-suffix terms (df from ~hundreds to nBase) — served off
-      // the union-pruned scan in one plan, plus the per-qid MaxScore
-      // twin. Invariants: every qid fills its page; a sampled qid's
-      // slice is BIT-EQUAL to its own single-query posting-list run
-      // (the exact-oracle mirror at scale); MaxScore is row-identical
-      // to the full scoring (zero-miss per qid at 50k docs).
-      val nBuckets = SparkEntry.PostBuckets
-      val root = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
-        "soak-postings-").toString
-      // the ~50k-doc layout is scratch for this step only — deleted in
-      // the finally below so repeated soak runs can't accumulate disk
-      try {
+      val root = postingsRoot
+      val qs = soakQs
       operators.Search.postingsOf(big, nBuckets)
         .write.mode("overwrite").partitionBy("tb").parquet(root)
       spark.read.parquet(root)
         .select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/_stats")
-      val qs: Seq[(Long, Seq[String])] = Seq(
-        0L -> Seq("filter", "merge", "stream"),
-        1L -> Seq("customer", "order"),
-        2L -> Seq("vector", "hash", "join", "scan"),
-        3L -> Seq("dup"),
-        4L -> Seq("soakreplica1"),
-        5L -> Seq("soakreplica3", "filter"),
-        6L -> Seq("merge", "dup", "soakreplica5"),
-        7L -> Seq("stream", "scan"))
       val topN = SparkEntry.Bm25MultiTopN
       val multi = operators.Search.bm25MultiOffPostings(spark, root, qs,
         SparkEntry.Bm25K1, SparkEntry.Bm25B, topN, nBuckets).collect()
@@ -222,9 +228,59 @@ object Soak {
         require(perQ.exists(_.getAs[Double]("save") > 0.0),
           "at soak scale some mixed-idf qid must show a positive save")
       multi.length.toLong
-      } finally graft.sources.VecFiles.deleteRecursively(
-        java.nio.file.Paths.get(root))
     }
+    step("serve") {
+      // THE FULL REQUEST OBJECT at soak scale: postings over the ~50k
+      // flooded corpus (the layout the bm25_multi step built) fused
+      // with a FILTERED scan over the multi-million-row vector fixture
+      // — the deployed shape where the lexical index and the vector
+      // store are separate systems with separate metadata. 8 requests,
+      // each with its own terms + langs + α + page size, one plan.
+      // Invariants: every request fills exactly its own page; a sampled
+      // request's slice is BIT-EQUAL to its own single-request run (the
+      // per-request binding proof at scale).
+      val vEmb = Fixture.gaussianVectors(spark, nVec, dVec,
+          SparkEntry.KeepM)
+        .select(col("id").as("vec_id"), col("vec").as("embedding"),
+          lit(0).as("label"))
+      // synthetic vector-store metadata: lang = f(vec_id), the same
+      // five langs the corpus uses
+      val langs = Seq("en", "fr", "de", "zh", "es")
+      val vMeta = vEmb.select(col("vec_id").as("doc_id"),
+        element_at(typedlit(langs), pmod(col("doc_id"), lit(5))
+          .cast("int") + 1).as("lang"))
+      val filters: Seq[(Long, String)] = soakQs.map(_._1).flatMap(qid =>
+        Seq(qid -> langs((qid % 5).toInt),
+          qid -> langs(((qid + 1) % 5).toInt)))
+      val weights: Seq[(Long, Double)] = soakQs.map(_._1).map(qid =>
+        qid -> Seq(0.3, 0.5, 0.7)((qid % 3).toInt))
+      val ks: Seq[(Long, Int)] = soakQs.map(_._1).map(qid =>
+        qid -> (5 + (qid % 8).toInt))
+      def run(reqQids: Set[Long]) =
+        operators.Search.serveRequestsOffPostings(spark, postingsRoot,
+          vEmb, big.select(col("doc_id"), col("lang")), vMeta,
+          soakQs.filter(kv => reqQids(kv._1)),
+          filters.filter(kv => reqQids(kv._1)),
+          weights.filter(kv => reqQids(kv._1)),
+          ks.filter(kv => reqQids(kv._1)),
+          SparkEntry.Bm25K1, SparkEntry.Bm25B, SparkEntry.RrfPoolN,
+          nBuckets)
+      val all = run(soakQs.map(_._1).toSet).collect()
+      val perQid = all.groupBy(_.getAs[Long]("qid"))
+      require(perQid.keySet == soakQs.map(_._1).toSet,
+        s"serve dropped a request: ${perQid.keySet}")
+      ks.foreach { case (qid, kq) =>
+        require(perQid(qid).length == kq,
+          s"request $qid page not exactly $kq: ${perQid(qid).length}") }
+      // sampled-request parity: qid 2 alone must serve the identical
+      // page (per-request min-max + α bind only that request's pools)
+      val single = run(Set(2L)).collect().map(_.toSeq).toSet
+      require(single == perQid(2L).map(_.toSeq).toSet,
+        "request 2's slice diverged from its single-request run")
+      all.length.toLong
+    }
+    } finally graft.sources.VecFiles.deleteRecursively(
+      java.nio.file.Paths.get(postingsRoot))
     operators.Dedup.releaseIntermediates()
     big.unpersist(blocking = false)
 

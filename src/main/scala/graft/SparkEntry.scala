@@ -281,6 +281,18 @@ object SparkEntry {
       IvfProbe, PqM, PqCodes, PqRerank)
   }
 
+  /** [[qAnnSphericalPqD1024AtRest]]'s twin at the LARGEST width: the
+    * cell-partitioned at-rest layout where the un-read `vec` column is
+    * 3072 floats — the widest physical form of the §3.3 pruning win. */
+  def qAnnSphericalPqD3072AtRest(s: SparkSession, dir: String): DataFrame = {
+    val v = fix3072(s, dir).select(col("id").as("vec_id"),
+      col("vec").as("embedding"), lit(0).as("label"))
+    val path = graft.operators.Pq.ensureSphericalResidualCodesFixtureOver(
+      s, dir, "_w3072", v, IvfCells, D3072, PqM, PqCodes)
+    graft.operators.Pq.topkSphericalResidualOffCodes(s, path, v, NQ, K,
+      IvfCells, D3072, IvfProbe, PqM, PqCodes, PqRerank)
+  }
+
   /** Relational refine at D=128 — cos_l2 is the worst codegen path (its
     * bb stat dots vec against rvec on top of the synthesis trees; the
     * round-4 Janino 64KB blow-up was exactly this shape at width). */
@@ -643,7 +655,30 @@ object SparkEntry {
     // gets mkeepsByRank(i) — a bounded NQ-row collect (a model)
     val qids = q.select(col("qid")).collect().map(_.getLong(0)).sorted
     val tiers = qids.toSeq.zip(mkeepMultiByRankOf(spark, dir))
-    Refine.perQidMkeepMetrics(v, q, refineParams("cos_l1"), D, tiers)
+    Refine.perQidMkeepMetrics(v, q, refineParams("cos_l1"), D, tiers,
+      groundTruth = Some(exactGroundTruths(spark, dir)(true)))
+  }
+
+  /** [[qRefineMultiMkeep]] AT REST: the per-qid tiers served off the
+    * TIERED disaggregated layout — each mantissa budget its own stored
+    * (rvec_m, delta_m) parquet columns, the tier choice ordinary column
+    * pruning. The layout stores an extra (unused) tier; PlanSpec
+    * asserts the cheap scan reads only the USED tiers' chunks and never
+    * `vec`. Hash-equal to the in-memory rung (stored values are the
+    * same derivations), same oracle. */
+  def qRefineMultiMkeepAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Disaggregated.ensureTieredFixture(spark, dir,
+      D, MkeepLayoutTiers, KeepM)
+    val stored = spark.read.parquet(path)
+    val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
+    val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
+    val qids = q.select(col("qid")).collect().map(_.getLong(0)).sorted
+    val tiers = qids.toSeq.zip(mkeepMultiByRankOf(spark, dir))
+    val usedCols = Seq(col("id")) ++ tiers.map(_._2).distinct.sorted
+      .flatMap(m => Seq(col(s"rvec_$m"), col(s"delta_$m")))
+    Refine.perQidMkeepMetricsSplit(stored.select(usedCols: _*),
+      stored.select(col("id"), col("vec")), q, refineParams("cos_l1"),
+      D, tiers, groundTruth = Some(exactGroundTruths(spark, dir)(true)))
   }
 
   /** Precision-reduction projection (P2-P4): flat (id, j, v, rv, dv). */
@@ -931,6 +966,10 @@ object SparkEntry {
   final val MkeepTiers = Seq(4, 8)
   final val MkeepMultiByRank: Seq[Int] =
     (0 until NQ).map(i => MkeepTiers(i % MkeepTiers.size))
+  // the tiered at-rest layout stores one EXTRA tier (the default 6-bit
+  // budget) beyond the two the relation binds — proving the pruning is
+  // per-USED-tier: the stored-but-unused tier's chunks are never read
+  final val MkeepLayoutTiers = Seq(4, KeepM, 8)
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -973,6 +1012,8 @@ object SparkEntry {
         ("radius", qid, None, None, None, Some(tau)) } ++
       FusionMultiRel.map { case (qid, alpha) =>
         ("fusion", qid, None, None, None, Some(alpha)) } ++
+      MmrLambdaMultiRel.map { case (qid, lam) =>
+        ("mmrl", qid, None, None, None, Some(lam)) } ++
       // delta rows are RANK-keyed (refine qids are fixture keys): qid
       // carries the query rank, tau the per-rank δ
       DeltaMultiByRank.zipWithIndex.map { case (dl, i) =>
@@ -1029,7 +1070,7 @@ object SparkEntry {
       bm25: Seq[(Long, Seq[String])], filters: Seq[(Long, String)],
       facets: Seq[(Long, String)], radii: Seq[(Long, Double)],
       fusion: Seq[(Long, Double)], deltasByRank: Seq[Double],
-      mkeepsByRank: Seq[Int],
+      mkeepsByRank: Seq[Int], mmrLambdas: Seq[(Long, Double)],
       pageKs: Seq[(Long, Int)], nprobes: Seq[(Long, Int)])
 
   // keyed by the stored table's CONTENT-KEYED PATH, not the session
@@ -1064,7 +1105,7 @@ object SparkEntry {
         .sortBy(_._1)
       QueryRels(bm25, strRel("filter"), strRel("facet"), numRel("radius"),
         numRel("fusion"), numRel("delta").map(_._2),
-        intRel("mkeep").map(_._2), intRel("pagek"),
+        intRel("mkeep").map(_._2), numRel("mmrl"), intRel("pagek"),
         intRel("nprobe"))
     })
 
@@ -1082,6 +1123,8 @@ object SparkEntry {
     queryRels(s, dir).deltasByRank
   private def mkeepMultiByRankOf(s: SparkSession, dir: String) =
     queryRels(s, dir).mkeepsByRank
+  private def mmrLambdaMultiRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).mmrLambdas
   private def pageKMultiRelOf(s: SparkSession, dir: String) =
     queryRels(s, dir).pageKs
   private def nprobeMultiRelOf(s: SparkSession, dir: String) =
@@ -1108,6 +1151,11 @@ object SparkEntry {
   final val MmrPoolN = 20     // bounded rerank pool per query
   final val MmrLambda = 0.7   // relevance/diversity trade-off
   final val MmrK = 10
+  // per-query MMR λ (q_ann_mmr_multi): each qid re-ranks with its own
+  // relevance/diversity trade-off — qid 2 carries the fixed rung's
+  // MmrLambda so the mixed run provably reproduces it slice-for-slice
+  final val MmrLambdaMultiRel: Seq[(Long, Double)] = Seq(
+    0L -> 0.3, 1L -> 0.5, 2L -> MmrLambda, 3L -> 0.9)
   final val MaxSimGroup = 5   // vectors per multi-vector passage
   final val SessionGapSec = 1800
   final val PricingCutoff = "1998-09-02"
@@ -1631,6 +1679,10 @@ object SparkEntry {
     // their absolute widest — tiny-N slice, same relational wide oracle
     "q_ann_ivf_spherical_pq_d3072" -> q((s, dir) =>
       qAnnSphericalPqD3072(s, dir)),
+    // ... and its at-rest twin: the un-read vec column is 3072 floats —
+    // the widest physical form of the on-disk pruning win
+    "q_ann_ivf_spherical_pq_d3072_at_rest" -> q((s, dir) =>
+      qAnnSphericalPqD3072AtRest(s, dir)),
     "q_ann_ivf_spherical_pq_delete" -> q((s, dir) => graft.operators.Pq
       .topkSphericalResidualAtRestWithDeletes(s, dir, emb(s, dir), NQ, K,
         IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, DeleteMod)),
@@ -2249,6 +2301,11 @@ object SparkEntry {
     // bounded per-query pool (parallel across queries)
     "q_ann_mmr" -> q((s, dir) => graft.operators.Search.mmr(
       emb(s, dir), NQ, MmrPoolN, MmrK, MmrLambda)),
+    // ... with λ as a RELATION: each qid re-ranks its own pool with its
+    // own relevance/diversity trade-off from the stored queries table —
+    // the per-request knob discipline reaching the re-ranking stage
+    "q_ann_mmr_multi" -> q((s, dir) => graft.operators.Search.mmrMulti(
+      emb(s, dir), mmrLambdaMultiRelOf(s, dir), MmrPoolN, MmrK)),
     // late-interaction multi-vector retrieval: sum-of-max-sims scoring
     // over passages of MaxSimGroup vectors
     "q_ann_maxsim" -> q((s, dir) => graft.operators.Search.maxSimTopK(
@@ -2552,6 +2609,12 @@ object SparkEntry {
     // ... and the paper's TITLE knob per query: m_keep as a relation —
     // per-qid mantissa tiers off one scan, per-qid byte ledger out
     "q_refine_multi_mkeep" -> q((s, dir) => qRefineMultiMkeep(s, dir)),
+    // ... AT REST off the TIERED disaggregated layout (one stored
+    // (rvec_m, delta_m) column pair per mantissa budget): the tier
+    // choice is physical column pruning — the cheap scan reads only
+    // the USED tiers' chunks, never vec or the stored-but-unused tier
+    "q_refine_multi_mkeep_at_rest" -> q((s, dir) =>
+      qRefineMultiMkeepAtRest(s, dir)),
     // Hoeffding delta grid-search (reference ANNCode.py:755-776)
     "q_tune_delta" -> q((s, dir) => {
       val v = Fixture.fp16VectorsCached(s, dir, D, KeepM)
@@ -2782,6 +2845,9 @@ object SparkEntry {
     "q_ann_ivf_spherical_pq_d3072" -> PqOracle.sphericalResidualWideSql(
       D3072, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
       D3072KeyMod),
+    "q_ann_ivf_spherical_pq_d3072_at_rest" ->
+      PqOracle.sphericalResidualWideSql(D3072, NQ, K, IvfCells, IvfProbe,
+        PqM, PqCodes, PqRerank, D3072KeyMod),
     "q_kmeans_seed" -> IvfOracle.kmeansSeedSql(EmbD, SeedN, SeedPerRound),
     "q_ann_ivf_seeded" -> IvfOracle.seededTopkSql(EmbD, NQ, K, SeedN,
       SeedPerRound, IvfProbe),
@@ -3023,6 +3089,9 @@ object SparkEntry {
       Bm25MultiQueries, Bm25K1, Bm25B, RrfPoolN, HybridAlpha, HybridK,
       bm25MultiStatsForOracle(), qrelPathForOracle()),
     "q_ann_mmr"       -> SearchOracle.mmrSql(EmbD, NQ, MmrPoolN, MmrK, MmrLambda),
+    // λ per qid from the stored relation (kind 'mmrl'), same greedy
+    "q_ann_mmr_multi" -> SearchOracle.mmrMultiSql(EmbD, MmrLambdaMultiRel,
+      MmrPoolN, MmrK, qrelPathForOracle()),
     "q_ann_maxsim"    -> SearchOracle.maxSimSql(EmbD, NQ, K, MaxSimGroup),
     // idf constants come from measured corpus stats — captured when the
     // query ran, or computed eagerly right here (bm25StatsForOracle) so a
@@ -3231,6 +3300,10 @@ object SparkEntry {
     // query ranks, per-qid ledger rows unioned across tiers
     "q_refine_multi_mkeep"   -> RefineOracle.perQidMkeepMetricsSql(D, NQ,
       K, refineParams("cos_l1").alpha, MkeepMultiByRank),
+    // identical values off the tiered at-rest layout (stored columns
+    // are the same derivations) — same oracle
+    "q_refine_multi_mkeep_at_rest" -> RefineOracle.perQidMkeepMetricsSql(
+      D, NQ, K, refineParams("cos_l1").alpha, MkeepMultiByRank),
     "q_tune_delta"           -> RefineOracle.tuneSql(D, NQ, TuneMode, K, KeepM,
       TuneGrid, TuneFloor),
     "q_refine_plan_l2_sym"   -> RefineOracle.topkSql(D, NQ, refineParams("l2_sym")),

@@ -261,12 +261,38 @@ object Refine {
    */
   def perQidMkeepMetrics(vectors: DataFrame, queries: DataFrame,
                          p: Params, d: Int,
-                         mkeeps: Seq[(Long, Int)]): DataFrame = {
+                         mkeeps: Seq[(Long, Int)],
+                         groundTruth: Option[DataFrame] = None): DataFrame = {
+    val ms = mkeeps.map(_._2).distinct.sorted
+    // per-tier cheap columns, derived once per row from the
+    // full-precision vector — the in-memory twin of the tiered at-rest
+    // layout's stored columns (sources.Disaggregated.writeTiers)
+    val cheap = vectors.select(
+      Seq(col("id")) ++ ms.flatMap(m => Seq(
+        VectorOps.reduceVec(col("vec"), p.keepE, m).as(s"rvec_$m"),
+        VectorOps.deltaVec(col("vec"), m).as(s"delta_$m"))): _*)
+    perQidMkeepMetricsSplit(cheap, vectors.select(col("id"), col("vec")),
+      queries, p, d, mkeeps, groundTruth)
+  }
+
+  /** [[perQidMkeepMetrics]] with the per-tier cheap side and the
+    * full-precision fetch side as SEPARATE relations — the tiered
+    * disaggregated-storage entry point, where the tiers are separate
+    * column subsets of one parquet table: selecting only the USED
+    * tiers' (rvec_m, delta_m) chunks is what makes precision-on-demand
+    * a physical bandwidth knob (a batch using tiers {4, 8} reads
+    * neither `vec` nor an unused 6-bit tier's chunks — PlanSpec
+    * asserts). `cheap` must carry (id, rvec_m, delta_m) for every tier
+    * in `mkeeps`. */
+  def perQidMkeepMetricsSplit(cheap: DataFrame, full: DataFrame,
+                              queries: DataFrame, p: Params, d: Int,
+                              mkeeps: Seq[(Long, Int)],
+                              groundTruth: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(p.mode == "cos_l1",
       "per-qid m_keep rides the zero-miss cos_l1 cushion")
     require(mkeeps.nonEmpty, "perQidMkeepMetrics: empty tier relation")
-    val spark = vectors.sparkSession
+    val spark = cheap.sparkSession
     import spark.implicits._
     val ms = mkeeps.map(_._2).distinct.sorted
     val bFull = 16.0 * d / 8.0
@@ -275,13 +301,7 @@ object Refine {
     // bounded, broadcast
     val mkRel = broadcast(mkeeps.map { case (qid, m) =>
       (qid, m, (1 + p.keepE + m) * d / 8.0) }.toDF("qid", "m", "b_red"))
-    // per-tier cheap columns, derived once per row from the
-    // full-precision vector (at rest: the tiers' own stored columns)
-    val vpre = vectors.select(
-      Seq(col("id"), col("vec")) ++ ms.flatMap(m => Seq(
-        VectorOps.reduceVec(col("vec"), p.keepE, m).as(s"rvec_$m"),
-        VectorOps.deltaVec(col("vec"), m).as(s"delta_$m"))): _*)
-    val vpre2 = vpre.select(
+    val vpre2 = cheap.select(
       Seq(col("id")) ++ ms.flatMap(m =>
         Seq(col(s"rvec_$m"), col(s"delta_$m"),
           norm2Sq(col(s"rvec_$m")).as(s"nr2_$m"))): _*)
@@ -302,7 +322,7 @@ object Refine {
       .select(col("qid"), col("id"), sHat.as("s_hat"), cush.as("cush"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val vSel = vectors.select(col("id"), col("vec"))
+    val vSel = full.select(col("id"), col("vec"))
     // eager Q*k barriers (the fetchedSplitImpl discipline): seedIds and
     // seeds each feed multiple branches — without materialization the
     // concurrent consumers re-run the whole candidate pass per branch
@@ -338,8 +358,8 @@ object Refine {
       fetch.count()
       val fin = TopK.window(
         fetch.withColumnRenamed("s_full", "score"), p.k)
-      val gt = exactTopK(vectors, queries, p)
-      val nV = vectors.count()
+      val gt = groundTruth.getOrElse(exactTopK(full, queries, p))
+      val nV = full.count()
       val fetched = fetch.groupBy(col("qid"))
         .agg(count(lit(1)).as("fetched"))
       val hits = fin.join(gt.select(col("qid"), col("id")),

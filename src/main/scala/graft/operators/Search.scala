@@ -1539,10 +1539,29 @@ object Search {
                     filters: Seq[(Long, String)],
                     weights: Seq[(Long, Double)], ks: Seq[(Long, Int)],
                     k1: Double, b: Double, poolN: Int,
-                    nBuckets: Int): DataFrame = {
+                    nBuckets: Int): DataFrame =
+    serveRequestsOffPostings(spark,
+      ensurePostingsLayout(spark, sfDir, nBuckets), emb, docMeta,
+      docMeta, queries, filters, weights, ks, k1, b, poolN, nBuckets)
+
+  /** [[serveRequests]] against an explicit postings layout and SPLIT
+    * metadata relations — the form the scale soak drives: the lexical
+    * index (and its post-filter metadata) over one corpus, the vector
+    * store (and its pre-filter metadata) over another, as deployed
+    * systems separate them. `textMeta`/`vecMeta` are both `docMeta` in
+    * the single-corpus fixture form. */
+  def serveRequestsOffPostings(spark: SparkSession, root: String,
+                               emb: DataFrame, textMeta: DataFrame,
+                               vecMeta: DataFrame,
+                               queries: Seq[(Long, Seq[String])],
+                               filters: Seq[(Long, String)],
+                               weights: Seq[(Long, Double)],
+                               ks: Seq[(Long, Int)], k1: Double,
+                               b: Double, poolN: Int,
+                               nBuckets: Int): DataFrame = {
     import spark.implicits._
-    val fused = serveFused(spark, sfDir, emb, docMeta, queries, filters,
-      weights, k1, b, poolN, nBuckets)
+    val fused = serveFused(spark, root, emb, textMeta, vecMeta, queries,
+      filters, weights, k1, b, poolN, nBuckets)
     val qk = broadcast(ks.toDF("qid", "kq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
@@ -1557,8 +1576,9 @@ object Search {
     * (qid, doc_id, fused, tnorm, vnorm) — consumed by the result query
     * (per-qid rank cut) and by its per-request byte ledger
     * ([[serveRequestsMetrics]]), so both serve off the SAME relations. */
-  private def serveFused(spark: SparkSession, sfDir: String,
-                         emb: DataFrame, docMeta: DataFrame,
+  private def serveFused(spark: SparkSession, root: String,
+                         emb: DataFrame, textMeta: DataFrame,
+                         vecMeta: DataFrame,
                          queries: Seq[(Long, Seq[String])],
                          filters: Seq[(Long, String)],
                          weights: Seq[(Long, Double)], k1: Double,
@@ -1567,14 +1587,15 @@ object Search {
     require(filters.nonEmpty && weights.nonEmpty,
       "serveRequests: empty request relation")
     import spark.implicits._
-    val meta = docMeta.select(col("doc_id"), col("lang"))
+    val meta = textMeta.select(col("doc_id"), col("lang"))
     val qf = broadcast(filters.toDF("qid", "lang"))
-    val text = bm25Multi(spark, sfDir, queries, k1, b, poolN, nBuckets)
+    val text = bm25MultiOffPostings(spark, root, queries, k1, b, poolN,
+        nBuckets)
       .select(col("qid"), col("doc_id"), col("score").as("tscore"))
       .join(meta, Seq("doc_id"))
       .join(qf, Seq("qid", "lang"))
       .select(col("qid"), col("doc_id"), col("tscore"))
-    val vec = filteredTopKMulti(emb, docMeta, filters, poolN)
+    val vec = filteredTopKMulti(emb, vecMeta, filters, poolN)
       .select(col("qid"), col("id").as("doc_id"),
         col("score").as("vscore"))
     val qa = broadcast(weights.toDF("qid", "alpha"))
@@ -1649,11 +1670,11 @@ object Search {
                            d: Int): DataFrame = {
     require(ks.nonEmpty, "serveRequestsMetrics: empty page relation")
     import spark.implicits._
-    val fused = serveFused(spark, sfDir, emb, docMeta, queries, filters,
-      weights, k1, b, poolN, nBuckets)
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val fused = serveFused(spark, root, emb, docMeta, docMeta, queries,
+      filters, weights, k1, b, poolN, nBuckets)
     // the request's candidate posting rows: the SAME union-pruned scan
     // bm25Multi serves from, joined to its terms
-    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val unionTerms = queries.flatMap(_._2).distinct
     val buckets = termBuckets(spark, unionTerms, nBuckets)
     val pruned = spark.read.parquet(root)
@@ -1778,49 +1799,88 @@ object Search {
       .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
       .select(col("qid"), col("id"), col("score"), col("embedding"))
       .as[(Long, Long, Double, Array[Float])]
-    val oneMinus = 1.0 - lambda
     pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
-      // pool sorted by id: index order is the oracle's pos order
-      val rows = it.toArray.sortBy(_._2)
-      val n = rows.length
-      val ids = rows.map(_._2)
-      val rel = rows.map(_._3)
-      def fold(a: Array[Float], b: Array[Float]): Double = {
-        var s = 0.0; var j = 0
-        while (j < a.length) { s += a(j).toDouble * b(j).toDouble; j += 1 }
-        s
-      }
-      def fnorm(x: Double): Double = math.max(math.sqrt(x), 1e-12)
-      val nrm = rows.map(r => fnorm(fold(r._4, r._4)))
-      val sim = Array.tabulate(n, n)((a, b) =>
-        fold(rows(a)._4, rows(b)._4) / (nrm(a) * nrm(b)))
-      val chosen = new Array[Boolean](n)
-      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
-      var step = 1
-      while (step <= k && step <= n) {
-        var best = -1
-        var bestScore = 0.0
-        var i = 0
-        while (i < n) {
-          if (!chosen(i)) {
-            var maxSim = 0.0
-            if (selected.nonEmpty) {
-              maxSim = Double.NegativeInfinity
-              selected.foreach(s => if (sim(i)(s) > maxSim) maxSim = sim(i)(s))
-            }
-            val score = (lambda * rel(i)) - (oneMinus * maxSim)
-            // ascending-id iteration + strict > keeps the smaller id on ties
-            if (best == -1 || score > bestScore) { best = i; bestScore = score }
-          }
-          i += 1
-        }
-        out += ((qid, step, ids(best), bestScore))
-        chosen(best) = true
-        selected += best
-        step += 1
-      }
-      out
+      mmrGroup(qid, it, lambda, k)
     }.toDF("qid", "sel_rank", "id", "mmr")
+  }
+
+  /**
+   * PER-QUERY MMR λ — the re-ranking stage's trade-off knob as a
+   * RELATION: `lambdas` is a (qid, λ) table and each query re-ranks its
+   * own bounded pool with ITS OWN relevance/diversity trade-off (a
+   * freshness-oriented tenant runs λ=0.9, a coverage one λ=0.3), all
+   * in ONE plan off one scored pool scan — [[mmr]] generalized exactly
+   * as the per-qid δ/m_keep/α knobs generalize their fixed rungs. The
+   * bounded relation rides the closure as a map (tens of entries); the
+   * greedy body is [[mmrGroup]], byte-identical per (qid, λ) to the
+   * fixed-λ run, which is what the slice-equality spec asserts.
+   */
+  def mmrMulti(emb: DataFrame, lambdas: Seq[(Long, Double)], poolN: Int,
+               k: Int): DataFrame = {
+    require(lambdas.nonEmpty, "mmrMulti: empty lambda relation")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nq = (lambdas.map(_._1).max + 1).toInt
+    val lamMap = lambdas.toMap
+    val qids = lambdas.map(_._1)
+    val pool = Ann.bruteTopK(emb, nq, poolN)
+      .filter(col("qid").isin(qids.map(Long.box): _*))
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .select(col("qid"), col("id"), col("score"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      mmrGroup(qid, it, lamMap(qid), k)
+    }.toDF("qid", "sel_rank", "id", "mmr")
+  }
+
+  /** One query's greedy MMR selection over its bounded pool — shared by
+    * the fixed-λ and per-qid-λ rungs so the mixed run's slices are
+    * byte-identical to uniform runs. */
+  private def mmrGroup(qid: Long,
+                       it: Iterator[(Long, Long, Double, Array[Float])],
+                       lambda: Double,
+                       k: Int): Seq[(Long, Int, Long, Double)] = {
+    val oneMinus = 1.0 - lambda
+    // pool sorted by id: index order is the oracle's pos order
+    val rows = it.toArray.sortBy(_._2)
+    val n = rows.length
+    val ids = rows.map(_._2)
+    val rel = rows.map(_._3)
+    def fold(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { s += a(j).toDouble * b(j).toDouble; j += 1 }
+      s
+    }
+    def fnorm(x: Double): Double = math.max(math.sqrt(x), 1e-12)
+    val nrm = rows.map(r => fnorm(fold(r._4, r._4)))
+    val sim = Array.tabulate(n, n)((a, b) =>
+      fold(rows(a)._4, rows(b)._4) / (nrm(a) * nrm(b)))
+    val chosen = new Array[Boolean](n)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    var step = 1
+    while (step <= k && step <= n) {
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!chosen(i)) {
+          var maxSim = 0.0
+          if (selected.nonEmpty) {
+            maxSim = Double.NegativeInfinity
+            selected.foreach(s => if (sim(i)(s) > maxSim) maxSim = sim(i)(s))
+          }
+          val score = (lambda * rel(i)) - (oneMinus * maxSim)
+          // ascending-id iteration + strict > keeps the smaller id on ties
+          if (best == -1 || score > bestScore) { best = i; bestScore = score }
+        }
+        i += 1
+      }
+      out += ((qid, step, ids(best), bestScore))
+      chosen(best) = true
+      selected += best
+      step += 1
+    }
+    out.toSeq
   }
 }

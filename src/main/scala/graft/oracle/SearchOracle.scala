@@ -262,6 +262,75 @@ object SearchOracle {
        |SELECT qid, CAST(step AS INTEGER) AS sel_rank, id, mmr FROM sel""".stripMargin
   }
 
+  /**
+   * Per-qid MMR λ ([[graft.operators.Search.mmrMulti]]): [[mmrSql]]
+   * with the trade-off read per query from the lambda relation (stored
+   * table kind 'mmrl', λ in the tau column) — the pool restricted to
+   * the relation's qids, λ and (1.0 − λ) evaluated per row, everything
+   * else the identical recursive greedy.
+   */
+  def mmrMultiSql(d: Int, lambdas: Seq[(Long, Double)], poolN: Int,
+                  k: Int, relPath: Option[String] = None): String = {
+    val nq = (lambdas.map(_._1).max + 1).toInt
+    val lamRows = lambdas.map { case (qid, l) => s"($qid, ${dlit(l)})" }
+      .mkString(", ")
+    val lqBody = relPath match {
+      case Some(p) =>
+        s"SELECT qid, tau AS lam FROM read_parquet('$p/*.parquet')" +
+          s" WHERE kind = 'mmrl'"
+      case None =>
+        s"SELECT CAST(qid AS BIGINT) AS qid, lam" +
+          s"\n  FROM (VALUES $lamRows) AS v(qid, lam)"
+    }
+    val mmr0 = "(lq.lam * rel) - ((1.0 - lq.lam) * CAST(0.0 AS DOUBLE))"
+    val mmrN = "(lq.lam * p.rel) - ((1.0 - lq.lam) * " +
+      "list_max(list_transform(s.sel_pos, sp -> sm.simlist[sp])))"
+    s"""WITH RECURSIVE
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      ORDER BY vec_id LIMIT $nq),
+       |lq AS ($lqBody),
+       |${EmbOracle.nrmCte(d)},
+       |sc AS (SELECT q.qid, e.vec_id AS id, e.embedding,
+       |    ${EmbOracle.dotE("e.embedding", "q.qv", d)} /
+       |      (${fn("ni.n2")} * ${fn("nq2.n2")}) AS rel
+       |  FROM embeddings e CROSS JOIN q
+       |  JOIN lq lq0 ON lq0.qid = q.qid
+       |  JOIN nrm ni ON e.vec_id = ni.vec_id
+       |  JOIN nrm nq2 ON q.qid = nq2.vec_id),
+       |pool AS (SELECT qid, id, embedding, rel,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY id ASC) AS INTEGER) AS pos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY rel DESC, id ASC) AS rk FROM sc)
+       |  WHERE rk <= $poolN),
+       |sims AS (SELECT a.qid, a.pos AS pos_a,
+       |    list(${EmbOracle.dotE("a.embedding", "b.embedding", d)} /
+       |      (${fn("na.n2")} * ${fn("nb.n2")}) ORDER BY b.pos) AS simlist
+       |  FROM pool a JOIN pool b ON a.qid = b.qid
+       |  JOIN nrm na ON a.id = na.vec_id JOIN nrm nb ON b.id = nb.vec_id
+       |  GROUP BY a.qid, a.pos),
+       |sel AS (
+       |  SELECT qid, 1 AS step, [pos] AS sel_pos, id, mmr FROM (
+       |    SELECT p.qid, p.pos, p.id, $mmr0 AS mmr,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY $mmr0 DESC, p.id ASC) AS rn
+       |    FROM pool p JOIN lq ON lq.qid = p.qid) WHERE rn = 1
+       |  UNION ALL
+       |  SELECT qid, step, sel_pos, id, mmr FROM (
+       |    SELECT p.qid, s.step + 1 AS step,
+       |      list_append(s.sel_pos, p.pos) AS sel_pos, p.id,
+       |      $mmrN AS mmr,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY
+       |        $mmrN DESC,
+       |        p.id ASC) AS rn
+       |    FROM sel s JOIN pool p
+       |      ON p.qid = s.qid AND NOT list_contains(s.sel_pos, p.pos)
+       |    JOIN lq ON lq.qid = p.qid
+       |    JOIN sims sm ON sm.qid = p.qid AND sm.pos_a = p.pos
+       |    WHERE s.step < $k)
+       |  WHERE rn = 1)
+       |SELECT qid, CAST(step AS INTEGER) AS sel_rank, id, mmr FROM sel""".stripMargin
+  }
+
   /** Late-interaction maxsim over multi-vector groups of `gs`
     * consecutive vec_ids: per-query-member max, conditional-aggregation
     * pivot, explicit left-fold sum — all order-independent or

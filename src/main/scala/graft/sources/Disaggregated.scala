@@ -119,6 +119,59 @@ object Disaggregated {
       queries, p)
   }
 
+  // --- multi-tier (per-request m_keep) at-rest layout -------------------
+
+  /** Bump when [[writeTiers]]'s layout changes. */
+  private val TiersLayoutVersion = 1
+
+  /** PRECISION TIERS AT REST: one reduced copy + Delta sidecar PER
+    * MANTISSA BUDGET as separate Parquet columns
+    * (id, vec, rvec_m, delta_m for each m in `tiers`) — the §3.3
+    * disaggregated layout completed for precision-on-demand: a
+    * per-request tier choice becomes ordinary column pruning (a query
+    * batch using tiers {4, 8} physically reads neither `vec` nor the
+    * 6-bit tier's chunks). Sorted by id within files like [[write]]. */
+  def writeTiers(vectors: DataFrame, path: String,
+                 tiers: Seq[Int]): Unit =
+    vectors.select(
+        Seq(col("id"), col("vec")) ++ tiers.sorted.flatMap(m => Seq(
+          graft.functions.VectorOps.reduceVec(col("vec"), 5, m)
+            .as(s"rvec_$m"),
+          graft.functions.VectorOps.deltaVec(col("vec"), m)
+            .as(s"delta_$m"))): _*)
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(path)
+
+  /** Materialize the tiered fixture once per machine (immutable
+    * version-named dir, atomic scratch publish — the [[ensureFixture]]
+    * discipline). */
+  def ensureTieredFixture(spark: SparkSession, sfDir: String, d: Int,
+                          tiers: Seq[Int], srcKeepM: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tierKey = tiers.sorted.mkString("-")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_disaggtiers_v${TiersLayoutVersion}_${safe}_d${d}" +
+        s"_m${tierKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "disaggt-")
+      // derive from the standard cached fixture (srcKeepM is its cache
+      // key only — we read just `vec`; the tier columns are derived
+      // fresh per tier by writeTiers)
+      writeTiers(graft.Fixture.fp16VectorsCached(spark, sfDir, d,
+          srcKeepM).select(col("id"), col("vec")),
+        tmp.toString, tiers)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"tiered fixture publish failed: $path")
+    }
+    path.toString
+  }
+
   // --- int8 at-rest layout --------------------------------------------
 
   /** Bump when [[writeInt8]]'s layout changes. */

@@ -37,7 +37,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("filtered search: the metadata predicate sits below the scoring join") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, element_at}
     val df = graft.operators.Search.filteredTopK(
       Tables.embeddings(spark, dir), Tables.documents(spark, dir),
       SparkEntry.NQ, SparkEntry.K, SparkEntry.FilterLangs)
@@ -137,7 +137,7 @@ class PlanSpec extends AnyFunSuite {
   test("custom physical operator plans and matches the Dataset kernel") {
     import org.apache.spark.sql.graft.KernelPlan
     import graft.operators.{Refine, RefineKernel}
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, element_at}
     val v = Fixture.fp16VectorsCached(spark, dir, SparkEntry.D, SparkEntry.KeepM)
       .repartition(5)
     val q = Fixture.queries(v, 4).select(col("qid"), col("qvec"))
@@ -692,6 +692,55 @@ class PlanSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.size == SparkEntry.NQ * SparkEntry.K,
       "spherical-PQ at-rest serve diverged from the in-memory rung")
+  }
+
+  test("tiered m_keep at rest: cheap scan reads only the USED tiers' columns, never vec or the unused tier") {
+    // precision-on-demand as PHYSICAL column pruning: the layout stores
+    // three tiers (4, 6, 8); the request relation binds only {4, 8} —
+    // the cheap scan must read exactly those tiers' (rvec_m, delta_m)
+    // chunks, with the full-precision vec and the stored-but-unused
+    // 6-bit tier never touched (the §3.3 story completed per request)
+    // the operator pins its |mkeeps|-row ledger via localCheckpoint
+    // (self-contained result), so the inner plan is not inspectable on
+    // the returned frame — assert the pruning on the EXACT projections
+    // the operator consumes (its only reads of the layout), plus value
+    // equality of the full operator against the in-memory rung
+    import org.apache.spark.sql.functions.{col, element_at}
+    val path = graft.sources.Disaggregated.ensureTieredFixture(spark, dir,
+      SparkEntry.D, SparkEntry.MkeepLayoutTiers, SparkEntry.KeepM)
+    val stored = spark.read.parquet(path)
+    val used = SparkEntry.MkeepTiers
+      .flatMap(m => Seq(s"rvec_$m", s"delta_$m"))
+    // the probe references every used tier column's VALUES (a count(*)
+    // would prune everything and prove nothing)
+    val cheap = stored.select(col("id") +:
+      used.map(c => element_at(col(c), 1).cast("double").as(s"x_$c")): _*)
+    cheap.collect()
+    val unused = (SparkEntry.MkeepLayoutTiers.toSet --
+      SparkEntry.MkeepTiers.toSet)
+      .flatMap(m => Set(s"rvec_$m", s"delta_$m"))
+    val scans = graft.sources.Disaggregated.scanSchemas(cheap)
+    assert(scans.nonEmpty, "no parquet scan in cheap-pass plan")
+    assert(scans.forall(s => !s.contains("vec") &&
+        unused.forall(c => !s.contains(c))),
+      s"cheap scan read vec or an unused tier (never-read set $unused): $scans")
+    assert(scans.exists(s => used.toSet.subsetOf(s)),
+      s"cheap scan missing a used tier column ($used): $scans")
+    // the fetch side reads only (id, vec)
+    val fetch = stored.select(col("id"),
+      element_at(col("vec"), 1).as("v0"))
+    fetch.collect()
+    val fscans = graft.sources.Disaggregated.scanSchemas(fetch)
+    assert(fscans.nonEmpty && fscans.forall(s =>
+        !s.exists(_.startsWith("rvec_")) && !s.exists(_.startsWith("delta_"))),
+      s"fetch scan read tier columns: $fscans")
+    // and the full operator off the layout equals the in-memory rung
+    val a = SparkEntry.qRefineMultiMkeepAtRest(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.qRefineMultiMkeep(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty,
+      "tiered at-rest ledger diverged from the in-memory rung")
   }
 
   test("spherical-PQ at-rest at D=1024: pruned code-only cheap scan, compiled codegen, equals in-memory") {

@@ -627,6 +627,33 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("per-qid MMR λ: each qid's slice equals the uniform run with its own λ") {
+    import SparkEntry.{MmrLambdaMultiRel, MmrPoolN, MmrK}
+    val mixed = Search.mmrMulti(emb, MmrLambdaMultiRel, MmrPoolN, MmrK)
+      .collect()
+    assert(mixed.length == MmrLambdaMultiRel.length * MmrK)
+    // binding proof: the mixed-λ run's qid slice is byte-equal to a
+    // uniform-λ run's slice at that qid's OWN λ (qid 2 carries the
+    // fixed rung's MmrLambda, so this also reproduces q_ann_mmr there)
+    MmrLambdaMultiRel.groupBy(_._2).foreach { case (lam, qs) =>
+      val nq = (MmrLambdaMultiRel.map(_._1).max + 1).toInt
+      val uniform = Search.mmr(emb, nq, MmrPoolN, MmrK, lam)
+        .collect().groupBy(_.getAs[Long]("qid"))
+      qs.map(_._1).foreach { qid =>
+        val slice = mixed.filter(_.getAs[Long]("qid") == qid)
+          .map(_.toSeq).toSet
+        assert(slice == uniform(qid).map(_.toSeq).toSet,
+          s"qid $qid (λ=$lam) diverged from its uniform-λ run")
+      }
+    }
+    // λ genuinely binds: two qids with different λ over the same corpus
+    // must not produce identical selections beyond rank 1
+    val byQid = mixed.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("sel_rank"))
+        .map(_.getAs[Long]("id")).toSeq).toMap
+    assert(byQid.values.toSet.size > 1 || byQid.size == 1)
+  }
+
   test("serve-requests ledger: per-request rows, sum-of-parts total, ledger arithmetic") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, EmbD}
