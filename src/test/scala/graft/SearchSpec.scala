@@ -455,15 +455,16 @@ class SearchSpec extends AnyFunSuite {
 
   test("stored query relations round-trip the compile-time constants") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, GroupedMultiRel,
-      RangeMultiRel, FusionMultiRel, DeltaMultiByRank, PageKMultiRel,
-      NprobeMultiRel}
+      RangeMultiRel, FusionMultiRel, DeltaMultiByRank, MkeepMultiByRank,
+      MmrLambdaMultiRel, PageKMultiRel, NprobeMultiRel}
     val path = SparkEntry.ensureQueryRelations(spark, dir)
     assert(path == SparkEntry.queryRelPathFor(dir))
     val rows = spark.read.parquet(path)
     assert(rows.count() ==
       Bm25MultiQueries.map(_._2.size).sum + FilterMultiRel.size +
         GroupedMultiRel.size + RangeMultiRel.size + FusionMultiRel.size +
-        DeltaMultiByRank.size + PageKMultiRel.size + NprobeMultiRel.size)
+        DeltaMultiByRank.size + MkeepMultiByRank.size +
+        MmrLambdaMultiRel.size + PageKMultiRel.size + NprobeMultiRel.size)
     // every multi rung binds from the table; spot-check the bm25 kind
     // reassembles the exact constant (qid-sorted, pos-ordered)
     val bm25 = rows.filter(col("kind") === "bm25")
