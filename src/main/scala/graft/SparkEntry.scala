@@ -952,6 +952,11 @@ object SparkEntry {
   // own cell count — np=IvfCells is a provable full probe for that qid
   final val NprobeMultiRel: Seq[(Long, Int)] = Seq(
     0L -> 1, 1L -> 2, 2L -> 4, 3L -> 8)
+  // per-query rerank depth (q_ann_ivf_pq_multi_rerank): each qid
+  // exact-rescores its own candidate depth off the shared ADC pass —
+  // the quantized path's latency/recall knob per request
+  final val RerankMultiRel: Seq[(Long, Int)] = Seq(
+    0L -> 10, 1L -> 20, 2L -> 40, 3L -> 60)
   // per-query Hoeffding δ (q_refine_multi_delta): the reference's OWN
   // tunable as a relation — each of the NQ refine queries runs its own
   // recall/bandwidth knob (the TuneGrid values cycled by QUERY RANK —
@@ -1025,7 +1030,9 @@ object SparkEntry {
       PageKMultiRel.map { case (qid, k) =>
         ("pagek", qid, Some(k), None, None, None) } ++
       NprobeMultiRel.map { case (qid, np) =>
-        ("nprobe", qid, Some(np), None, None, None) }
+        ("nprobe", qid, Some(np), None, None, None) } ++
+      RerankMultiRel.map { case (qid, rr) =>
+        ("rerank", qid, Some(rr), None, None, None) }
 
   /** The stored relation's path for `sfDir` — content-keyed (the dir
     * name embeds a hash of the rows), so editing any constant above
@@ -1071,7 +1078,8 @@ object SparkEntry {
       facets: Seq[(Long, String)], radii: Seq[(Long, Double)],
       fusion: Seq[(Long, Double)], deltasByRank: Seq[Double],
       mkeepsByRank: Seq[Int], mmrLambdas: Seq[(Long, Double)],
-      pageKs: Seq[(Long, Int)], nprobes: Seq[(Long, Int)])
+      pageKs: Seq[(Long, Int)], nprobes: Seq[(Long, Int)],
+      reranks: Seq[(Long, Int)])
 
   // keyed by the stored table's CONTENT-KEYED PATH, not the session
   // object: a map keyed by SparkSession would retain stopped sessions
@@ -1106,7 +1114,7 @@ object SparkEntry {
       QueryRels(bm25, strRel("filter"), strRel("facet"), numRel("radius"),
         numRel("fusion"), numRel("delta").map(_._2),
         intRel("mkeep").map(_._2), numRel("mmrl"), intRel("pagek"),
-        intRel("nprobe"))
+        intRel("nprobe"), intRel("rerank"))
     })
 
   private def bm25MultiQueriesOf(s: SparkSession, dir: String) =
@@ -1129,6 +1137,8 @@ object SparkEntry {
     queryRels(s, dir).pageKs
   private def nprobeMultiRelOf(s: SparkSession, dir: String) =
     queryRels(s, dir).nprobes
+  private def rerankMultiRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).reranks
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
@@ -1841,6 +1851,13 @@ object SparkEntry {
     "q_ann_ivf_multi_probe" -> q((s, dir) => graft.operators.Ivf
       .topkIndexedMultiProbe(s, dir, emb(s, dir),
         nprobeMultiRelOf(s, dir), K, IvfCells, EmbD)),
+    // ... and per-qid RERANK depth on the quantized at-rest path: each
+    // qid exact-rescores its own prefix of the shared ADC ranking (the
+    // rn <= max literal keeps the map-side WindowGroupLimit) — the
+    // latency/recall knob of the PQ serving string as a relation
+    "q_ann_ivf_pq_multi_rerank" -> q((s, dir) => graft.operators.Pq
+      .topkAtRestMultiRerank(s, dir, emb(s, dir), K, IvfCells, EmbD,
+        IvfProbe, PqM, PqCodes, rerankMultiRelOf(s, dir))),
     // IVF-SQ8: cell pruning + int8 quantized cheap rank + rerank-deep
     // exact rescore — the canonical vector-DB bandwidth configuration
     "q_ann_ivf_sq8" -> q((s, dir) => graft.operators.Ivf.topkSq8(
@@ -2890,6 +2907,11 @@ object SparkEntry {
     "q_ann_ivf_multi_probe" -> IvfOracle.topkSql(EmbD,
       (NprobeMultiRel.map(_._1).max + 1).toInt, K, IvfCells, IvfProbe,
       relPath = qrelPathForOracle(), nprobeRel = NprobeMultiRel),
+    // per-qid rerank depth from the stored relation (kind 'rerank')
+    "q_ann_ivf_pq_multi_rerank" -> PqOracle.topkSql(EmbD,
+      (RerankMultiRel.map(_._1).max + 1).toInt, K, IvfCells, IvfProbe,
+      PqM, PqCodes, rerank = RerankMultiRel.map(_._2).max,
+      rerankRel = RerankMultiRel, relPath = qrelPathForOracle()),
     "q_ann_ivf_sq8" -> IvfOracle.sq8Sql(EmbD, NQ, K, IvfCells, IvfProbe,
       EmbSq8ScaleLog2, Sq8Rerank),
     "q_ann_ivf_sq4" -> IvfOracle.sq4Sql(EmbD, NQ, K, IvfCells, IvfProbe,

@@ -566,6 +566,68 @@ object Pq {
     topkOffStored(spark.read.parquet(path), emb, nq, k, nCells, d, nprobe,
       mSub, codes, rerank)
 
+  /**
+   * PER-QUERY RERANK DEPTH — the quantized serving path's own
+   * latency/recall knob as a RELATION: `reranks` is a (qid, rerank)
+   * table and each query exact-rescores ITS OWN candidate depth off
+   * the shared at-rest ADC pass (a recall-critical tenant rescores 60,
+   * a latency one 10), all queries in ONE plan. Same shape as the
+   * per-qid page-size rung: the cheap estimates are ranked ONCE to the
+   * LARGEST depth (the `rn <= max` literal keeps the map-side
+   * WindowGroupLimit cut), then each qid's own prefix survives via the
+   * broadcast relation — the rescore fetch is per-tenant-sized.
+   */
+  def topkAtRestMultiRerank(spark: SparkSession, sfDir: String,
+                            emb: DataFrame, k: Int, nCells: Int, d: Int,
+                            nprobe: Int, mSub: Int, codes: Int,
+                            reranks: Seq[(Long, Int)]): DataFrame = {
+    require(reranks.nonEmpty, "topkAtRestMultiRerank: empty relation")
+    require(reranks.forall(_._2 >= k),
+      s"every per-qid rerank must be >= k $k")
+    require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
+    import spark.implicits._
+    val stored = spark.read.parquet(
+      ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes))
+    val nq = (reranks.map(_._1).max + 1).toInt
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
+    val sub = d / mSub
+    val V = graft.functions.VectorOps
+    val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    val cells = probeSet.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probes = broadcast(probeSet
+      .join(q, Seq("qid"))
+      .select(col("qid") +: col("cell") +: col("qn2") +:
+        adcTable(col("qvec"), mSub, codes, sub): _*))
+    val sHatNum = (0 until mSub).map(pick(_, codes)).reduceLeft(_ + _)
+    val n2hat = (0 until mSub).map(pickN2(_, codes, sub)).reduceLeft(_ + _)
+    val cheap = stored.select(col("id"), col("cell"), col("code"))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(Seq(col("id"), col("cell")) ++ unpackedCodes(mSub): _*)
+      .join(probes, Seq("cell"))
+      .withColumn("s_hat", sHatNum / (V.fnorm(n2hat) * V.fnorm(col("qn2"))))
+    val rrRel = broadcast(reranks.toDF("qid", "rr"))
+    val maxR = reranks.map(_._2).max
+    val wCut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("s_hat").desc, col("id").asc)
+    val cand = cheap.select(col("qid"), col("id"), col("s_hat"))
+      .withColumn("rn", row_number().over(wCut))
+      .filter(col("rn") <= maxR)            // literal: WindowGroupLimit
+      .join(rrRel, Seq("qid"))
+      .filter(col("rn") <= col("rr"))       // each qid's own prefix
+      .select(col("qid"), col("id"))
+    val rescored = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(col("id"), col("vec"), V.norm2Sq(col("vec")).as("n2"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.withColumnRenamed("qvec", "qvec_")
+        .withColumnRenamed("qn2", "qn2_")), Seq("qid"))
+      .withColumn("score", V.dot(col("vec"), col("qvec_")) /
+        (V.fnorm(col("n2")) * V.fnorm(col("qn2_"))))
+    TopK.window(rescored, k)
+  }
+
   /** The probe/cheap/rescore pipeline over an explicit stored frame —
     * lets delete-aware callers interpose a tombstone anti-join between
     * the scan and the query (filters still push through it). */

@@ -1309,12 +1309,21 @@ object PqOracle {
     * with vec_id ≡ 0 (mod m) read as −v (cells, codes, and the rescore
     * fetch all see the update; negation preserves norms, so the shared
     * nrm relation and the UNTOUCHED query side stay exact). */
+  /** `rerankRel` (with optional `relPath` to read the stored queries
+    * table, kind 'rerank', depth in the pos column): the rerank cut
+    * becomes PER QID — each query's own prefix of the shared cheap
+    * ranking ([[graft.operators.Pq.topkAtRestMultiRerank]]). */
   def topkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
               mSub: Int, codes: Int, rerank: Int, excludeMod: Int = 0,
-              langs: Seq[String] = Nil, updatedNegMod: Int = 0): String = {
+              langs: Seq[String] = Nil, updatedNegMod: Int = 0,
+              rerankRel: Seq[(Long, Int)] = Nil,
+              relPath: Option[String] = None): String = {
     if (updatedNegMod > 0)
       require(excludeMod == 0 && langs.isEmpty,
         "updatedNegMod composes with the plain pipeline only")
+    if (rerankRel.nonEmpty)
+      require(excludeMod == 0 && langs.isEmpty && updatedNegMod == 0,
+        "per-qid rerank composes with the plain pipeline only")
     val sub = d / mSub
     val candJoin =
       if (langs.isEmpty) ""
@@ -1407,10 +1416,24 @@ object PqOracle {
        |  JOIN enc en ON en.vec_id = c.id
        |  JOIN qt ON qt.qid = c.qid
        |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
-       |rr AS (SELECT qid, id$langSel FROM (
+       |${if (rerankRel.isEmpty) "" else {
+          val rows = rerankRel.map { case (qid, rr) => s"($qid, $rr)" }
+            .mkString(", ")
+          val body = relPath match {
+            case Some(p) =>
+              s"SELECT qid, pos AS rr FROM read_parquet('$p/*.parquet')" +
+                s" WHERE kind = 'rerank'"
+            case None =>
+              s"SELECT CAST(qid AS BIGINT) AS qid, CAST(rr AS INTEGER) AS rr" +
+                s"\n  FROM (VALUES $rows) AS v(qid, rr)"
+          }
+          s"rrel AS ($body),\n"
+        }}rr AS (SELECT t.qid, t.id${
+          if (langSel.isEmpty) "" else ", t.lang"} FROM (
        |    SELECT qid, id$langSel,
        |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
-       |    FROM cheap) WHERE rn <= $rerank),
+       |    FROM cheap) t${if (rerankRel.isEmpty) s" WHERE t.rn <= $rerank"
+          else " JOIN rrel ON rrel.qid = t.qid WHERE t.rn <= rrel.rr"}),
        |scored AS (SELECT r.qid, r.id$rLangSel,
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score

@@ -456,7 +456,7 @@ class SearchSpec extends AnyFunSuite {
   test("stored query relations round-trip the compile-time constants") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, GroupedMultiRel,
       RangeMultiRel, FusionMultiRel, DeltaMultiByRank, MkeepMultiByRank,
-      MmrLambdaMultiRel, PageKMultiRel, NprobeMultiRel}
+      MmrLambdaMultiRel, PageKMultiRel, NprobeMultiRel, RerankMultiRel}
     val path = SparkEntry.ensureQueryRelations(spark, dir)
     assert(path == SparkEntry.queryRelPathFor(dir))
     val rows = spark.read.parquet(path)
@@ -464,7 +464,8 @@ class SearchSpec extends AnyFunSuite {
       Bm25MultiQueries.map(_._2.size).sum + FilterMultiRel.size +
         GroupedMultiRel.size + RangeMultiRel.size + FusionMultiRel.size +
         DeltaMultiByRank.size + MkeepMultiByRank.size +
-        MmrLambdaMultiRel.size + PageKMultiRel.size + NprobeMultiRel.size)
+        MmrLambdaMultiRel.size + PageKMultiRel.size + NprobeMultiRel.size +
+        RerankMultiRel.size)
     // every multi rung binds from the table; spot-check the bm25 kind
     // reassembles the exact constant (qid-sorted, pos-ordered)
     val bm25 = rows.filter(col("kind") === "bm25")
@@ -568,6 +569,22 @@ class SearchSpec extends AnyFunSuite {
           x.getAs[Long]("id"), x.getAs[Double]("score"))).toSet
       assert(slice.size == kq && slice == want,
         s"qid $qid page-$kq slice diverged")
+    }
+  }
+
+  test("per-qid rerank: each qid's slice equals the fixed-depth PQ run; deeper rescue is monotone") {
+    import SparkEntry.{RerankMultiRel, K, IvfCells, EmbD, IvfProbe, PqM,
+      PqCodes}
+    val multi = graft.operators.Pq.topkAtRestMultiRerank(spark, dir, emb,
+      K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, RerankMultiRel).collect()
+    val nq = (RerankMultiRel.map(_._1).max + 1).toInt
+    RerankMultiRel.foreach { case (qid, rr) =>
+      val single = graft.operators.Pq.topkAtRest(spark, dir, emb, nq, K,
+        IvfCells, EmbD, IvfProbe, PqM, PqCodes, rr)
+        .filter(col("qid") === qid).collect().map(_.toSeq).toSet
+      val slice = multi.filter(_.getAs[Long]("qid") == qid)
+        .map(_.toSeq).toSet
+      assert(slice == single, s"qid $qid rerank=$rr slice diverged")
     }
   }
 
