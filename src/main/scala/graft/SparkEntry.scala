@@ -2417,6 +2417,15 @@ object SparkEntry {
         bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
         fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
         Bm25B, RrfPoolN, PostBuckets, EmbD)),
+    // ... and the capstone with the vector side off the AT-REST IVF
+    // index: BOTH request sides read partition-pruned layouts (term
+    // buckets on the postings, probe cells + pushed lang predicate on
+    // the vector scan) — the production serve at 100 TB
+    "q_serve_requests_indexed" -> q((s, dir) => graft.operators.Search
+      .serveRequestsIndexed(s, dir, emb(s, dir), docs(s, dir),
+        bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
+        fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
+        Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD, IvfProbe)),
     // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
     // out of the candidates, stats left STALE until compaction — the
     // Lucene delete contract (docs unretrievable immediately, df/sumdl
@@ -3171,6 +3180,12 @@ object SparkEntry {
       EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle()),
+    // the indexed capstone: the vector pool re-derived through the
+    // probe-pruned per-qid-filtered at-rest chain
+    "q_serve_requests_indexed" -> SearchOracle.serveRequestsIndexedSql(
+      EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, IvfCells, IvfProbe,
+      bm25MultiStatsForOracle(), qrelPathForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),

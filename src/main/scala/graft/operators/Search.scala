@@ -1558,10 +1558,44 @@ object Search {
                                weights: Seq[(Long, Double)],
                                ks: Seq[(Long, Int)], k1: Double,
                                b: Double, poolN: Int,
-                               nBuckets: Int): DataFrame = {
+                               nBuckets: Int): DataFrame =
+    serveCut(spark,
+      serveFused(spark, root, emb, textMeta, vecMeta, queries, filters,
+        weights, k1, b, poolN, nBuckets), ks)
+
+  /**
+   * [[serveRequests]] with the vector side served off the AT-REST IVF
+   * INDEX — the production capstone where BOTH request sides read
+   * partition-pruned layouts: the lexical pool off the term-bucketed
+   * postings (union-of-terms pruned), the vector pool off the
+   * cell-partitioned index via [[filteredTopKIndexedMulti]] (probe
+   * cells a static partition filter, the per-qid lang predicate pushed
+   * into the SAME scan — no metadata join at query time at all).
+   * Candidates on the vector side are probed-cell-approximate, as for
+   * every indexed serve.
+   */
+  def serveRequestsIndexed(spark: SparkSession, sfDir: String,
+                           emb: DataFrame, docMeta: DataFrame,
+                           queries: Seq[(Long, Seq[String])],
+                           filters: Seq[(Long, String)],
+                           weights: Seq[(Long, Double)],
+                           ks: Seq[(Long, Int)], k1: Double, b: Double,
+                           poolN: Int, nBuckets: Int, nCells: Int,
+                           d: Int, nprobe: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val vecPool = filteredTopKIndexedMulti(spark, sfDir, emb, filters,
+        poolN, nCells, d, nprobe)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
+  /** The per-qid page cut shared by every serve form. */
+  private def serveCut(spark: SparkSession, fused: DataFrame,
+                       ks: Seq[(Long, Int)]): DataFrame = {
     import spark.implicits._
-    val fused = serveFused(spark, root, emb, textMeta, vecMeta, queries,
-      filters, weights, k1, b, poolN, nBuckets)
     val qk = broadcast(ks.toDF("qid", "kq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("fused").desc, col("doc_id").asc)
@@ -1583,7 +1617,23 @@ object Search {
                          filters: Seq[(Long, String)],
                          weights: Seq[(Long, Double)], k1: Double,
                          b: Double, poolN: Int,
-                         nBuckets: Int): DataFrame = {
+                         nBuckets: Int): DataFrame =
+    serveFusedWith(spark, root, textMeta, queries, filters, weights, k1,
+      b, poolN, nBuckets,
+      filteredTopKMulti(emb, vecMeta, filters, poolN)
+        .select(col("qid"), col("id").as("doc_id"),
+          col("score").as("vscore")))
+
+  /** [[serveFused]] over an EXPLICIT vector pool (qid, doc_id, vscore)
+    * — lets the indexed serve swap in the at-rest probe-pruned vector
+    * side while the text pipeline and fusion stay shared. */
+  private def serveFusedWith(spark: SparkSession, root: String,
+                             textMeta: DataFrame,
+                             queries: Seq[(Long, Seq[String])],
+                             filters: Seq[(Long, String)],
+                             weights: Seq[(Long, Double)], k1: Double,
+                             b: Double, poolN: Int, nBuckets: Int,
+                             vec: DataFrame): DataFrame = {
     require(filters.nonEmpty && weights.nonEmpty,
       "serveRequests: empty request relation")
     import spark.implicits._
@@ -1595,9 +1645,6 @@ object Search {
       .join(meta, Seq("doc_id"))
       .join(qf, Seq("qid", "lang"))
       .select(col("qid"), col("doc_id"), col("tscore"))
-    val vec = filteredTopKMulti(emb, vecMeta, filters, poolN)
-      .select(col("qid"), col("id").as("doc_id"),
-        col("score").as("vscore"))
     val qa = broadcast(weights.toDF("qid", "alpha"))
     val tmm = text.groupBy(col("qid"))
       .agg(min(col("tscore")).as("tmin"), max(col("tscore")).as("tmax"))

@@ -1453,6 +1453,60 @@ object IvfOracle {
        |$arms""".stripMargin
   }
 
+  /**
+   * The probe-pruned, per-qid-filtered vector POOL as a CTE chain
+   * ending at `vtop(qid, doc_id, vscore)` — the at-rest indexed vector
+   * side of the serve capstone
+   * ([[graft.operators.Search.serveRequestsIndexed]]): coarse
+   * assignment, per-qid nprobe cells, candidates restricted to the
+   * union of the filter langs AND each qid's own set (via the
+   * enclosing `qf`), exact cosine, top-poolN per qid. References an
+   * ALREADY-DEFINED `qf(qid, lang)` and `nrm` in the enclosing WITH
+   * (the serve chain defines both); all CTE names are i-prefixed to
+   * avoid collisions.
+   */
+  def indexedFilteredPoolCtes(d: Int, nq: Int, nCells: Int, nprobe: Int,
+                              unionLangs: Seq[String],
+                              poolN: Int): String = {
+    val distCols = (0 until nCells)
+      .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
+    val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
+    val argmin = "CASE " + (0 until nCells)
+      .map(c => s"WHEN c$c = m THEN $c").mkString(" ") + " END"
+    val probeCase = "CASE t.cell " + (0 until nCells)
+      .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
+    val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
+    val union = unionLangs.map(l => s"'$l'").mkString(", ")
+    s"""iasg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+       |iasg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
+       |        FROM (SELECT *, $leastExpr AS m FROM iasg0)),
+       |iq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |iqp0 AS (SELECT iq.qid, t.cell, $probeCase AS d2
+       |  FROM iq JOIN iasg0 a ON a.vec_id = iq.qid
+       |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),
+       |iqp AS (SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS pr
+       |    FROM iqp0) WHERE pr <= $nprobe),
+       |icand AS (SELECT iqp.qid, a.vec_id AS id
+       |  FROM iqp JOIN iasg a ON a.cell = iqp.cell
+       |  JOIN documents dmv ON a.vec_id = dmv.doc_id
+       |    AND dmv.lang IN ($union)
+       |  JOIN qf ON qf.qid = iqp.qid AND qf.lang = dmv.lang),
+       |ivsc AS (SELECT c.qid, c.id,
+       |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
+       |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
+       |  FROM icand c
+       |  JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN nrm ne ON ne.vec_id = c.id
+       |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
+       |vtop AS (SELECT qid, id AS doc_id, score AS vscore FROM (
+       |  SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+       |  FROM ivsc) WHERE rnk <= $poolN)""".stripMargin
+  }
+
   /** `langs` nonempty = the filtered-index variant: candidates restricted
     * to the metadata predicate (joined on vec_id = doc_id, exactly the
     * rows the at-rest layout stores beside the vectors), lang in the

@@ -734,7 +734,8 @@ object SearchOracle {
                               ks: Seq[(Long, Int)], k1: Double,
                               b: Double, poolN: Int,
                               st: Option[Bm25Stats],
-                              relPath: Option[String]): String = {
+                              relPath: Option[String],
+                              vectorPoolCtes: Option[String] = None): String = {
     val nq = (filters.map(_._1).max + 1).toInt
     val qfRows = filters.map { case (qid, l) => s"($qid, '$l')" }
       .mkString(", ")
@@ -771,23 +772,24 @@ object SearchOracle {
        |btop AS (SELECT b.qid, b.doc_id, b.tscore
        |  FROM btop0 b JOIN documents dm ON b.doc_id = dm.doc_id
        |  JOIN qf ON qf.qid = b.qid AND qf.lang = dm.lang),
-       |vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-       |       ORDER BY vec_id LIMIT $nq),
        |${EmbOracle.nrmCte(d)},
-       |vcand AS (SELECT e.vec_id AS id, e.embedding, dm2.lang
-       |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
-       |vsc AS (SELECT vq.qid, c.id, c.lang,
-       |    ${EmbOracle.dotE("c.embedding", "vq.qv", d)} AS dp
-       |  FROM vcand c CROSS JOIN vq
-       |  JOIN qf ON qf.qid = vq.qid AND qf.lang = c.lang),
-       |vscored AS (SELECT vsc.qid, vsc.id,
-       |    vsc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
-       |  FROM vsc JOIN nrm ni ON vsc.id = ni.vec_id
-       |          JOIN nrm nq2 ON vsc.qid = nq2.vec_id),
-       |vtop AS (SELECT qid, id AS doc_id, score AS vscore FROM (
-       |  SELECT qid, id, score,
-       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
-       |  FROM vscored) WHERE rnk <= $poolN),
+       |${vectorPoolCtes.getOrElse(
+         s"""vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            |       ORDER BY vec_id LIMIT $nq),
+            |vcand AS (SELECT e.vec_id AS id, e.embedding, dm2.lang
+            |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
+            |vsc AS (SELECT vq.qid, c.id, c.lang,
+            |    ${EmbOracle.dotE("c.embedding", "vq.qv", d)} AS dp
+            |  FROM vcand c CROSS JOIN vq
+            |  JOIN qf ON qf.qid = vq.qid AND qf.lang = c.lang),
+            |vscored AS (SELECT vsc.qid, vsc.id,
+            |    vsc.dp / (${fn("ni.n2")} * ${fn("nq2.n2")}) AS score
+            |  FROM vsc JOIN nrm ni ON vsc.id = ni.vec_id
+            |          JOIN nrm nq2 ON vsc.qid = nq2.vec_id),
+            |vtop AS (SELECT qid, id AS doc_id, score AS vscore FROM (
+            |  SELECT qid, id, score,
+            |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+            |  FROM vscored) WHERE rnk <= $poolN)""".stripMargin)},
        |tmm AS (SELECT qid, MIN(tscore) AS tmin, MAX(tscore) AS tmax
        |  FROM btop GROUP BY qid),
        |vmm AS (SELECT qid, MIN(vscore) AS vmin, MAX(vscore) AS vmax
@@ -807,6 +809,34 @@ object SearchOracle {
        |scoredf AS (SELECT f.qid, f.doc_id, f.tnorm, f.vnorm,
        |    qa.alpha * f.tnorm + (1.0 - qa.alpha) * f.vnorm AS fused
        |  FROM fusedr f JOIN qa ON qa.qid = f.qid)""".stripMargin
+  }
+
+  /**
+   * The INDEXED serve capstone
+   * ([[graft.operators.Search.serveRequestsIndexed]]): the same serve
+   * chain with the vector pool swapped for the probe-pruned,
+   * per-qid-filtered at-rest pipeline
+   * ([[IvfOracle.indexedFilteredPoolCtes]]).
+   */
+  def serveRequestsIndexedSql(d: Int, queries: Seq[(Long, Seq[String])],
+                              filters: Seq[(Long, String)],
+                              weights: Seq[(Long, Double)],
+                              ks: Seq[(Long, Int)], k1: Double,
+                              b: Double, poolN: Int, nCells: Int,
+                              nprobe: Int, st: Option[Bm25Stats],
+                              relPath: Option[String] = None): String = {
+    val nq = (filters.map(_._1).max + 1).toInt
+    val pool = IvfOracle.indexedFilteredPoolCtes(d, nq, nCells, nprobe,
+      filters.map(_._2).distinct, poolN)
+    s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
+          poolN, st, relPath, vectorPoolCtes = Some(pool))},
+       |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
+       |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
+       |  FROM scoredf)
+       |SELECT r.qid, CAST(r.rnk AS INTEGER) AS rank, r.doc_id, r.fused,
+       |  r.tnorm, r.vnorm
+       |FROM ranked r JOIN qk3 ON qk3.qid = r.qid
+       |WHERE r.rnk <= qk3.kq""".stripMargin
   }
 
   /**

@@ -672,6 +672,31 @@ class SearchSpec extends AnyFunSuite {
     assert(byQid.values.toSet.size > 1 || byQid.size == 1)
   }
 
+  test("indexed serve: page discipline holds; full probe recovers the brute serve") {
+    import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, IvfCells,
+      EmbD, IvfProbe}
+    val idx = Search.serveRequestsIndexed(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD, IvfProbe)
+      .collect()
+    PageKMultiRel.foreach { case (qid, kq) =>
+      assert(idx.count(_.getAs[Long]("qid") == qid) == kq,
+        s"indexed serve: qid $qid page not exactly $kq") }
+    // at FULL probe the indexed vector pool equals the brute filtered
+    // pool, so the whole fused serve must be bit-equal to the brute
+    // capstone (the only approximation is cell pruning)
+    val full = Search.serveRequestsIndexed(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD,
+      nprobe = IvfCells).collect().map(_.toSeq).toSet
+    val brute = Search.serveRequests(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets).collect().map(_.toSeq).toSet
+    assert(full == brute && full.nonEmpty,
+      "full-probe indexed serve diverged from the brute capstone")
+  }
+
   test("serve-requests ledger: per-request rows, sum-of-parts total, ledger arithmetic") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, EmbD}
