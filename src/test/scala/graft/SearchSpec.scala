@@ -672,6 +672,32 @@ class SearchSpec extends AnyFunSuite {
     assert(byQid.values.toSet.size > 1 || byQid.size == 1)
   }
 
+  test("zero-match qids stay in the ledgers as explicit all-zero rows") {
+    import SparkEntry.{Bm25K1, Bm25B, Bm25MultiTopN, PostBuckets,
+      Bm25SeedB}
+    // qid 1's term matches no posting row at all — before the
+    // universe left-joins it silently vanished from the ledger (and
+    // the qid=-1 row no longer covered the whole relation)
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("filter", "merge"),
+      1L -> Seq("zzqnomatchtokenzz"))
+    val led = Search.bm25MultiMaxScoreMetrics(spark, dir, qs, Bm25K1,
+      Bm25B, Bm25MultiTopN, PostBuckets, Bm25SeedB).collect()
+    val byQid = led.map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(byQid.contains(1L), "zero-match qid missing from the ledger")
+    val z = byQid(1L)
+    for (c <- Seq("candidates", "seed_docs", "survivors", "bytes_cheap",
+        "bytes_exact", "bytes_full"))
+      assert(z.getAs[Long](c) == 0L, s"zero-match qid column $c != 0")
+    // 0/0 ratios are DEFINED (0.0), never NaN
+    assert(z.getAs[Double]("save") == 0.0 && z.getAs[Double]("fpr") == 0.0)
+    // the aggregate row still covers the whole relation
+    val tot = byQid(-1L)
+    for (c <- Seq("candidates", "survivors", "bytes_full"))
+      assert(tot.getAs[Long](c) == byQid(0L).getAs[Long](c),
+        s"aggregate $c no longer equals the sum over ALL qids")
+  }
+
   test("indexed serve: page discipline holds; full probe recovers the brute serve") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, IvfCells,
