@@ -2426,6 +2426,15 @@ object SparkEntry {
         bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
         fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
         Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD, IvfProbe)),
+    // ... and ITS ledger — the triple where partition pruning makes the
+    // vector-side save: metadata bytes only for the qid's probed cells,
+    // embeddings only for the lang-matching rows among them
+    "q_serve_requests_indexed_metrics" -> q((s, dir) => graft.operators
+      .Search.serveRequestsIndexedMetrics(s, dir, emb(s, dir),
+        docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        IvfCells, EmbD, IvfProbe)),
     // lexical index DELETES, merge-on-read: tombstoned docs anti-joined
     // out of the candidates, stats left STALE until compaction — the
     // Lucene delete contract (docs unretrievable immediately, df/sumdl
@@ -3186,6 +3195,12 @@ object SparkEntry {
       EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, IvfCells, IvfProbe,
       bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // probe-aware per-request bytes off the same assignment chain
+    "q_serve_requests_indexed_metrics" ->
+      SearchOracle.serveRequestsIndexedMetricsSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, Bm25K1, Bm25B,
+        RrfPoolN, IvfCells, IvfProbe, bm25MultiStatsForOracle(),
+        qrelPathForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),

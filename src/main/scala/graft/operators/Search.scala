@@ -1592,6 +1592,116 @@ object Search {
         k1, b, poolN, nBuckets, vecPool), ks)
   }
 
+  /**
+   * [[serveRequestsMetrics]] for the INDEXED capstone
+   * ([[serveRequestsIndexed]]) — the byte triple where the vector-side
+   * saving is made by PARTITION PRUNING, not just the lang pre-filter:
+   * per request, the metadata column is read only for the qid's probed
+   * cells' rows (`pc_rows`·8) and embeddings only for the
+   * lang-matching rows among them (`v_cands`·4d), against the
+   * unfiltered-full-scan baseline N·(8+4d). Cell and (cell, lang)
+   * occupancies are bounded aggregates over the stored layout (models
+   * — nCells and nCells·|langs| rows); everything else follows the
+   * [[serveRequestsMetrics]] discipline (universe LEFT joins, explicit
+   * all-zero rows, qid = -1 aggregate, sum-of-parts = whole).
+   */
+  def serveRequestsIndexedMetrics(spark: SparkSession, sfDir: String,
+                                  emb: DataFrame, docMeta: DataFrame,
+                                  queries: Seq[(Long, Seq[String])],
+                                  filters: Seq[(Long, String)],
+                                  weights: Seq[(Long, Double)],
+                                  ks: Seq[(Long, Int)], k1: Double,
+                                  b: Double, poolN: Int, nBuckets: Int,
+                                  nCells: Int, d: Int,
+                                  nprobe: Int): DataFrame = {
+    require(ks.nonEmpty, "serveRequestsIndexedMetrics: empty page relation")
+    import spark.implicits._
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val vecPool = filteredTopKIndexedMulti(spark, sfDir, emb, filters,
+        poolN, nCells, d, nprobe)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    val fused = serveFusedWith(spark, root, docMeta, queries, filters,
+      weights, k1, b, poolN, nBuckets, vecPool)
+    val tAgg = servePostingBytes(spark, root, queries, nBuckets)
+    // the qid's probed-cell footprint off the SAME layout the indexed
+    // serve reads: cell / (cell, lang) occupancies are tiny aggregates
+    val stored = spark.read
+      .parquet(Ivf.ensureIndex(spark, sfDir, nCells, d))
+    val nq = (filters.map(_._1).max + 1).toInt
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"))
+    val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    val occ = stored.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val pcAgg = probeSet.join(occ, Seq("cell"))
+      .groupBy(col("qid")).agg(sum(col("occ")).as("pc_rows"))
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val langOcc = stored.groupBy(col("cell"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val vcAgg = probeSet.join(langOcc, Seq("cell"))
+      .join(qf, Seq("qid", "lang"))
+      .groupBy(col("qid")).agg(sum(col("n")).as("v_cands"))
+    val fAgg = fused.groupBy(col("qid")).agg(count(lit(1)).as("fused"))
+    val nV = stored.count() // one bounded scalar (a model)
+    val qkRel = broadcast(ks.toDF("qid", "kq"))
+    val perQid = qkRel
+      .join(tAgg, Seq("qid"), "left")
+      .join(pcAgg, Seq("qid"), "left")
+      .join(vcAgg, Seq("qid"), "left")
+      .join(fAgg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("t_cands"), lit(0L)).as("t_cands"),
+        coalesce(col("pc_rows"), lit(0L)).as("pc_rows"),
+        coalesce(col("v_cands"), lit(0L)).as("v_cands"),
+        coalesce(col("fused"), lit(0L)).as("fused"),
+        least(col("kq").cast("long"),
+          coalesce(col("fused"), lit(0L))).as("page"),
+        coalesce(col("bytes_text"), lit(0L)).as("bytes_text"),
+        (coalesce(col("pc_rows"), lit(0L)) * lit(8L) +
+          coalesce(col("v_cands"), lit(0L)) * lit(4L * d))
+          .as("bytes_vec"),
+        lit((8L + 4L * d) * nV).as("bytes_vec_full"))
+    val total = perQid.agg(
+      sum(col("t_cands")).as("t_cands"),
+      sum(col("pc_rows")).as("pc_rows"),
+      sum(col("v_cands")).as("v_cands"),
+      sum(col("fused")).as("fused"),
+      sum(col("page")).as("page"),
+      sum(col("bytes_text")).as("bytes_text"),
+      sum(col("bytes_vec")).as("bytes_vec"),
+      sum(col("bytes_vec_full")).as("bytes_vec_full"))
+      .select(lit(-1L).as("qid") +: perQid.columns.filter(_ != "qid")
+        .map(col).toSeq: _*)
+    perQid.unionByName(total)
+      .withColumn("save", lit(1.0) -
+        (col("bytes_text") + col("bytes_vec")).cast("double") /
+          (col("bytes_text") + col("bytes_vec_full")).cast("double"))
+      .withColumn("fpr",
+        when(col("t_cands") + col("v_cands") === 0L, lit(0.0))
+          .otherwise((col("fused") - col("page")).cast("double") /
+            (col("t_cands") + col("v_cands")).cast("double")))
+  }
+
+  /** The per-qid candidate posting rows' counts and fully-read bytes —
+    * shared by both serve ledgers (the text side is identical whether
+    * the vector side is brute or indexed). */
+  private def servePostingBytes(spark: SparkSession, root: String,
+                                queries: Seq[(Long, Seq[String])],
+                                nBuckets: Int): DataFrame = {
+    import spark.implicits._
+    val unionTerms = queries.flatMap(_._2).distinct
+    val buckets = termBuckets(spark, unionTerms, nBuckets)
+    val pruned = spark.read.parquet(root)
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(unionTerms: _*))
+    val qt = broadcast(queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "term"))
+    pruned.join(qt, Seq("term")).groupBy(col("qid"))
+      .agg(count(lit(1)).as("t_cands"),
+        sum(length(col("term")) + lit(24L)).as("bytes_text"))
+  }
+
   /** The per-qid page cut shared by every serve form. */
   private def serveCut(spark: SparkSession, fused: DataFrame,
                        ks: Seq[(Long, Int)]): DataFrame = {
@@ -1722,17 +1832,7 @@ object Search {
       filters, weights, k1, b, poolN, nBuckets)
     // the request's candidate posting rows: the SAME union-pruned scan
     // bm25Multi serves from, joined to its terms
-    val unionTerms = queries.flatMap(_._2).distinct
-    val buckets = termBuckets(spark, unionTerms, nBuckets)
-    val pruned = spark.read.parquet(root)
-      .filter(col("tb").isin(buckets: _*) &&
-        col("term").isin(unionTerms: _*))
-    val qt = broadcast(queries
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("qid", "term"))
-    val tAgg = pruned.join(qt, Seq("term")).groupBy(col("qid"))
-      .agg(count(lit(1)).as("t_cands"),
-        sum(length(col("term")) + lit(24L)).as("bytes_text"))
+    val tAgg = servePostingBytes(spark, root, queries, nBuckets)
     // vectors passing the request's lang pre-filter — the rows the
     // filtered scan actually fetches embeddings for
     val meta = docMeta.select(col("doc_id").as("id"), col("lang"))

@@ -840,6 +840,87 @@ object SearchOracle {
   }
 
   /**
+   * The INDEXED capstone's per-request ledger
+   * ([[graft.operators.Search.serveRequestsIndexedMetrics]]): the
+   * bytes_vec term becomes probe-aware — the metadata column only for
+   * the qid's probed cells' rows, embeddings only for the
+   * lang-matching rows among them — with cell / (cell, lang)
+   * occupancies derived from the same assignment chain the indexed
+   * pool uses.
+   */
+  def serveRequestsIndexedMetricsSql(d: Int,
+                                     queries: Seq[(Long, Seq[String])],
+                                     filters: Seq[(Long, String)],
+                                     weights: Seq[(Long, Double)],
+                                     ks: Seq[(Long, Int)], k1: Double,
+                                     b: Double, poolN: Int, nCells: Int,
+                                     nprobe: Int, st: Option[Bm25Stats],
+                                     relPath: Option[String] = None): String = {
+    val nq = (filters.map(_._1).max + 1).toInt
+    val pool = IvfOracle.indexedFilteredPoolCtes(d, nq, nCells, nprobe,
+      filters.map(_._2).distinct, poolN)
+    s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
+          poolN, st, relPath, vectorPoolCtes = Some(pool))},
+       |tc AS (SELECT qt.qid, COUNT(*) AS t_cands,
+       |    CAST(SUM(len(p.term) + 24) AS BIGINT) AS bytes_text
+       |  FROM posts p JOIN qt ON p.term = qt.term GROUP BY qt.qid),
+       |occ AS (SELECT cell, COUNT(*) AS occ FROM iasg GROUP BY cell),
+       |pc AS (SELECT iqp.qid, CAST(SUM(occ.occ) AS BIGINT) AS pc_rows
+       |  FROM iqp JOIN occ ON occ.cell = iqp.cell GROUP BY iqp.qid),
+       |locc AS (SELECT a.cell, dm4.lang, COUNT(*) AS n
+       |  FROM iasg a JOIN documents dm4 ON a.vec_id = dm4.doc_id
+       |  GROUP BY a.cell, dm4.lang),
+       |vc AS (SELECT iqp.qid, CAST(SUM(l.n) AS BIGINT) AS v_cands
+       |  FROM iqp JOIN locc l ON l.cell = iqp.cell
+       |  JOIN qf ON qf.qid = iqp.qid AND qf.lang = l.lang
+       |  GROUP BY iqp.qid),
+       |fc AS (SELECT qid, COUNT(*) AS fused FROM scoredf GROUP BY qid),
+       |nvs AS (SELECT COUNT(*) AS nv FROM embeddings),
+       |perq AS (SELECT qk3.qid,
+       |    COALESCE(tc.t_cands, 0) AS t_cands,
+       |    COALESCE(pc.pc_rows, 0) AS pc_rows,
+       |    COALESCE(vc.v_cands, 0) AS v_cands,
+       |    COALESCE(fc.fused, 0) AS fused,
+       |    LEAST(CAST(qk3.kq AS BIGINT), COALESCE(fc.fused, 0)) AS page,
+       |    COALESCE(tc.bytes_text, 0) AS bytes_text,
+       |    COALESCE(pc.pc_rows, 0) * 8 +
+       |      COALESCE(vc.v_cands, 0) * ${4L * d} AS bytes_vec,
+       |    (8 + ${4L * d}) * nvs.nv AS bytes_vec_full
+       |  FROM qk3
+       |  LEFT JOIN tc ON tc.qid = qk3.qid
+       |  LEFT JOIN pc ON pc.qid = qk3.qid
+       |  LEFT JOIN vc ON vc.qid = qk3.qid
+       |  LEFT JOIN fc ON fc.qid = qk3.qid
+       |  CROSS JOIN nvs),
+       |tot AS (SELECT CAST(-1 AS BIGINT) AS qid,
+       |    CAST(SUM(t_cands) AS BIGINT) AS t_cands,
+       |    CAST(SUM(pc_rows) AS BIGINT) AS pc_rows,
+       |    CAST(SUM(v_cands) AS BIGINT) AS v_cands,
+       |    CAST(SUM(fused) AS BIGINT) AS fused,
+       |    CAST(SUM(page) AS BIGINT) AS page,
+       |    CAST(SUM(bytes_text) AS BIGINT) AS bytes_text,
+       |    CAST(SUM(bytes_vec) AS BIGINT) AS bytes_vec,
+       |    CAST(SUM(bytes_vec_full) AS BIGINT) AS bytes_vec_full
+       |  FROM perq),
+       |allrows AS (SELECT qid, CAST(t_cands AS BIGINT) AS t_cands,
+       |    CAST(pc_rows AS BIGINT) AS pc_rows,
+       |    CAST(v_cands AS BIGINT) AS v_cands,
+       |    CAST(fused AS BIGINT) AS fused, CAST(page AS BIGINT) AS page,
+       |    CAST(bytes_text AS BIGINT) AS bytes_text,
+       |    CAST(bytes_vec AS BIGINT) AS bytes_vec,
+       |    CAST(bytes_vec_full AS BIGINT) AS bytes_vec_full FROM perq
+       |  UNION ALL SELECT * FROM tot)
+       |SELECT qid, t_cands, pc_rows, v_cands, fused, page, bytes_text,
+       |  bytes_vec, bytes_vec_full,
+       |  1.0 - CAST(bytes_text + bytes_vec AS DOUBLE) /
+       |    CAST(bytes_text + bytes_vec_full AS DOUBLE) AS save,
+       |  CASE WHEN t_cands + v_cands = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(fused - page AS DOUBLE) /
+       |         CAST(t_cands + v_cands AS DOUBLE) END AS fpr
+       |FROM allrows""".stripMargin
+  }
+
+  /**
    * Per-request byte ledger on the serving capstone
    * ([[graft.operators.Search.serveRequestsMetrics]]): per-qid counts
    * and byte sums over the SAME posting / lang-filter / fused

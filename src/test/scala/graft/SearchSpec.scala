@@ -723,6 +723,45 @@ class SearchSpec extends AnyFunSuite {
       "full-probe indexed serve diverged from the brute capstone")
   }
 
+  test("indexed serve ledger: sum-of-parts, probe pruning strictly undercuts the brute ledger") {
+    import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, IvfCells,
+      EmbD, IvfProbe}
+    val led = Search.serveRequestsIndexedMetrics(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD, IvfProbe)
+      .collect()
+    val per = led.filter(_.getAs[Long]("qid") >= 0)
+    val tot = led.filter(_.getAs[Long]("qid") == -1L)
+    assert(per.length == PageKMultiRel.length && tot.length == 1)
+    for (c <- Seq("t_cands", "pc_rows", "v_cands", "fused", "page",
+        "bytes_text", "bytes_vec", "bytes_vec_full"))
+      assert(per.map(_.getAs[Long](c)).sum == tot(0).getAs[Long](c),
+        s"aggregate $c != sum of per-request rows")
+    // the probed footprint is a strict subset of the corpus, and the
+    // lang-filtered rows a subset of the footprint
+    val nV = emb.count()
+    per.foreach { r =>
+      assert(r.getAs[Long]("pc_rows") < nV,
+        s"qid ${r.getAs[Long]("qid")} probed the whole corpus")
+      assert(r.getAs[Long]("v_cands") <= r.getAs[Long]("pc_rows"))
+    }
+    // per qid, the indexed vector bytes strictly undercut the brute
+    // ledger's (same text side, pruning is the delta)
+    val brute = Search.serveRequestsMetrics(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets, EmbD).collect()
+      .filter(_.getAs[Long]("qid") >= 0)
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    per.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      assert(r.getAs[Long]("bytes_vec") < brute(qid).getAs[Long]("bytes_vec"),
+        s"qid $qid: probe pruning saved nothing over the brute scan")
+      assert(r.getAs[Long]("bytes_text") == brute(qid).getAs[Long]("bytes_text"),
+        s"qid $qid: text side must be identical across serve forms")
+    }
+  }
+
   test("serve-requests ledger: per-request rows, sum-of-parts total, ledger arithmetic") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, EmbD}
