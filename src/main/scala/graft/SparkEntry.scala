@@ -2426,6 +2426,16 @@ object SparkEntry {
         bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
         fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
         Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD, IvfProbe)),
+    // ... and REQUESTS AS A STREAM — the online-serving shape: each
+    // microbatch serves its arriving requests' full objects off the
+    // static layouts; per-request independence (df per term, per-qid
+    // min-max) makes the drained union row-identical to the batch
+    // capstone, so it shares that oracle
+    "q_stream_serve_requests" -> q((s, dir) => graft.streaming.StreamOps
+      .serveRequestsOverStream(s, dir, emb(s, dir), docs(s, dir),
+        bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
+        fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
+        Bm25B, RrfPoolN, PostBuckets)),
     // ... and ITS ledger — the triple where partition pruning makes the
     // vector-side save: metadata bytes only for the qid's probed cells,
     // embeddings only for the lang-matching rows among them
@@ -3181,6 +3191,12 @@ object SparkEntry {
       HybridK, bm25MultiStatsForOracle(), qrelPathForOracle()),
     // the full request object: all four knob relations in one plan
     "q_serve_requests" -> SearchOracle.serveRequestsSql(EmbD,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+      qrelPathForOracle()),
+    // drained request-stream serve is row-identical to the batch
+    // capstone (per-request independence) — same oracle
+    "q_stream_serve_requests" -> SearchOracle.serveRequestsSql(EmbD,
       Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
       Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle()),

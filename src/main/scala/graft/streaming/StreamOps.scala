@@ -1003,6 +1003,100 @@ object StreamOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /**
+   * THE SERVE CAPSTONE WITH REQUESTS AS A STREAM — the online-serving
+   * shape for the FULL request object: request ids arrive as a real
+   * file stream (one landing shard per trigger), and each microbatch
+   * runs the complete fused serve ([[graft.operators.Search
+   * .serveRequestsOffPostings]]) for ITS arriving requests only —
+   * per-request term sets, lang filters, fusion weights, and page
+   * sizes sliced from the bound relations. Everything in the serve is
+   * per-request independent (df/idf are per-term counts off the same
+   * postings layout regardless of the batch's term union; min-max
+   * normalization is per-qid over its own pools — the soak's
+   * sampled-request parity proves this at 4M scale), so the drained
+   * union is ROW-IDENTICAL to the batch capstone and shares its
+   * oracle. Static index layouts (postings + corpus) never move;
+   * request batches pay only their own pruned scans.
+   */
+  def serveRequestsOverStream(spark: SparkSession, sfDir: String,
+                              emb: DataFrame, docMeta: DataFrame,
+                              queries: Seq[(Long, Seq[String])],
+                              filters: Seq[(Long, String)],
+                              weights: Seq[(Long, Double)],
+                              ks: Seq[(Long, Int)], k1: Double,
+                              b: Double, poolN: Int,
+                              nBuckets: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val root = graft.operators.Search.ensurePostingsLayout(spark, sfDir,
+      nBuckets)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // content key over every bound relation (the qrel digest
+    // discipline): a constant edit publishes fresh landing/result dirs
+    val reqKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(queries, filters, weights, ks, k1, b, poolN, nBuckets)
+        .mkString(";").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    val qids = ks.map(_._1).sorted
+    val landing = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_reqlanding_${safe}_${reqKey}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landing.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landing.getParent, "reqland-")
+        // one shard per request: the drain is a real multi-trigger
+        // stream, each trigger a distinct online request
+        qids.toDF("qid").repartition(qids.length, col("qid"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, landing)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landing.resolve("_SUCCESS")),
+          s"request landing publish failed: $landing")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_reqserve_${safe}_${reqKey}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "reqserve-")
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("qid", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arrived = batch.select(col("qid")).collect()
+              .map(_.getLong(0)).toSet
+            if (arrived.nonEmpty) {
+              graft.operators.Search.serveRequestsOffPostings(spark,
+                  root, emb, docMeta, docMeta,
+                  queries.filter(kv => arrived(kv._1)),
+                  filters.filter(kv => arrived(kv._1)),
+                  weights.filter(kv => arrived(kv._1)),
+                  ks.filter(kv => arrived(kv._1)),
+                  k1, b, poolN, nBuckets)
+                .write.mode("append").parquet(tmp.toString)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream request serve publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(outDir.toString)
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
   /** Multi-probe LSH over the STREAM-MAINTAINED layout — hash-equal to
     * the batch twins once drained (same rows, same bucket keys), so it
     * shares `q_ann_lsh`'s oracle. */

@@ -723,6 +723,23 @@ class SearchSpec extends AnyFunSuite {
       "full-probe indexed serve diverged from the brute capstone")
   }
 
+  test("streamed requests drain row-identical to the batch capstone") {
+    import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets}
+    val streamed = graft.streaming.StreamOps.serveRequestsOverStream(
+      spark, dir, emb, docs, Bm25MultiQueries, FilterMultiRel,
+      FusionMultiRel, PageKMultiRel, Bm25K1, Bm25B, RrfPoolN,
+      PostBuckets).collect().map(_.toSeq).toSet
+    val batch = Search.serveRequests(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets).collect().map(_.toSeq).toSet
+    // per-request independence (df per term, per-qid min-max) makes
+    // the per-trigger serves compose exactly — the online form IS the
+    // batch form, request by request
+    assert(streamed == batch && streamed.nonEmpty,
+      "drained request-stream serve diverged from the batch capstone")
+  }
+
   test("indexed serve ledger: sum-of-parts, probe pruning strictly undercuts the brute ledger") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, IvfCells,
