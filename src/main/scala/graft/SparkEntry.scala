@@ -1146,6 +1146,13 @@ object SparkEntry {
   final val Bm25SeedB = 40
   // lexical merge-on-read deletes: doc ids ≡ 0 (mod 7) tombstoned
   final val Bm25DeleteMod = 7
+  // lexical merge-on-read UPSERT: doc ids ≡ 0 (mod Bm25UpsertMod) get
+  // this revision token appended (absent from corpus and query
+  // vocabularies, so only dl — and hence the updated docs' own scores —
+  // changes). mod 3 keeps the update OBSERVABLE: the served page always
+  // contains updated docs, whose scores provably shift (spec-asserted)
+  final val Bm25UpsertMod = 3
+  final val PostingsUpsertToken = "upsertrev1"
   // φ-heavy hitters: word 3-grams with count >= total/5000 (boilerplate
   // phrases); CMS width 32768 >> relDiv keeps collision noise below the
   // threshold at any corpus size
@@ -2112,6 +2119,13 @@ object SparkEntry {
     "q_ann_lsh_delete_asof" -> q((s, dir) => graft.operators.Lsh
       .topkAtRestWithDeletesAsOf(s, dir, emb(s, dir), NQ, K, EmbD,
         LshPlanes, DeleteMod, asOf = 1)),
+    // ... and merge-on-read UPSERT — the last family missing the verb:
+    // updated rows (v' = −v) RE-HASHED through the sign planes into
+    // complementary buckets, published as a bucket-partitioned delta;
+    // base files never rewritten, queries stay the external raw relation
+    "q_ann_lsh_upsert" -> q((s, dir) => graft.operators.Lsh
+      .topkAtRestUpserted(s, dir, emb(s, dir), NQ, K, EmbD, LshPlanes,
+        UpsertMod)),
     // cursor pagination (search_after): page 2 resumed from page 1's
     // per-query (score, id) cursor — one corpus pass and a k-deep heap
     // per page, never a page*k-deep window
@@ -2190,6 +2204,14 @@ object SparkEntry {
           KnnJ, IvfCells, EmbD, IvfProbe),
         emb(s, dir), KnnJ, IvfCells, EmbD, IvfProbe, DeleteMod,
         asOf = 1)),
+    // ... and UPSERT — the verb completing the graph family's CRUD:
+    // updated vectors (v' = −v) move cells AND can enter other nodes'
+    // top-j, so the exact affected set is edge-holders ∪ new-cell
+    // gainers ∪ the updated nodes — re-ranked over the updated view,
+    // provably equal to the rebuild at |affected| x occupancy cost
+    "q_knn_graph_upsert" -> q((s, dir) => graft.operators.Ivf
+      .knnGraphUpsert(emb(s, dir), knnGraphAtRest(s, dir), UpsertMod,
+        KnnJ, IvfCells, EmbD, IvfProbe)),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
     // its arrivals PLUS the affected nodes (probed cells intersecting
@@ -2459,6 +2481,13 @@ object SparkEntry {
     "q_bm25_delete_asof" -> q((s, dir) => graft.operators.Search
       .bm25AtRestWithDeletesAsOf(s, dir, Bm25Terms, Bm25K1, Bm25B,
         Bm25TopN, PostBuckets, Bm25DeleteMod, asOf = 1)),
+    // ... and merge-on-read UPSERT — updated docs re-indexed into a
+    // tb-partitioned delta (update = delete + add): their base postings
+    // excised at serve time, df from the new segment, (n, sumdl) STALE
+    // until segment merge; base files never rewritten
+    "q_bm25_upsert" -> q((s, dir) => graft.operators.Search
+      .bm25AtRestUpserted(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
+        PostBuckets, Bm25UpsertMod, PostingsUpsertToken)),
     // MAXSCORE BM25: the reference's refine discipline on the lexical
     // rung (Turtle-Flood/WAND family) — cheap (term, doc_id)-only bound
     // pass, exact-scored seeds -> tau, zero-miss bound>=tau rejection,
@@ -3034,6 +3063,10 @@ object SparkEntry {
     "q_ann_lsh_delete" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
       excludeMod = DeleteMod),
     "q_ann_lsh_compact" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K),
+    // upsert: candidate side negated through hash and rescore, query
+    // side and probe buckets raw (queries are the external relation)
+    "q_ann_lsh_upsert" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
+      updatedNegMod = UpsertMod),
     // as-of commit 1: only ids ≡ 0 (mod 2·DeleteMod) deleted in that
     // snapshot — commit 2's ≡ DeleteMod rows still served
     "q_ann_lsh_delete_asof" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
@@ -3084,6 +3117,9 @@ object SparkEntry {
     // snapshot equals the graph REBUILT over that snapshot's live set
     "q_knn_graph_delete_asof" -> IvfOracle.knnGraphSql(EmbD, KnnJ,
       IvfCells, IvfProbe, excludeMod = 2 * DeleteMod),
+    // upsert == the graph rebuilt over the updated (negated) view
+    "q_knn_graph_upsert" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells,
+      IvfProbe, updatedNegMod = UpsertMod),
     "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,
@@ -3223,6 +3259,11 @@ object SparkEntry {
     // candidates minus the tombstoned docs, stats stale on purpose
     "q_bm25_delete" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle(), excludeMod = Bm25DeleteMod),
+    // upsert: updated docs' text revised for tokenization/dl/candidacy,
+    // stats stale (the pre-update split)
+    "q_bm25_upsert" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, bm25StatsForOracle(), updatedTokenMod = Bm25UpsertMod,
+      updatedToken = PostingsUpsertToken),
     // as-of commit 1: only doc_ids ≡ 0 (mod 2·Bm25DeleteMod) deleted
     "q_bm25_delete_asof" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle(),

@@ -1394,6 +1394,63 @@ object Ivf {
       d, nprobe)
   }
 
+  /**
+   * UPSERT maintenance on the k-NN graph — the last family missing the
+   * verb: updated vectors (ids ≡ 0 mod `mod`, v' = −v — float-exact,
+   * norm-preserving) change their OWN neighborhoods AND can enter or
+   * leave other nodes' top-j. The exact affected set under the graph's
+   * cell-probe candidate semantics:
+   *
+   *  - HOLDERS: nodes with an edge to an updated id (their neighbor's
+   *    value changed — or left their candidate pool entirely);
+   *  - GAINERS: nodes whose probe set includes an updated vector's NEW
+   *    cell (a candidate appeared; losing a non-edge candidate from an
+   *    old cell can never change a top-j, so old cells need no case);
+   *  - the updated nodes themselves (assignment, probes, and scores
+   *    all move with −v).
+   *
+   * Everyone else keeps their edges verbatim: their vectors, probe
+   * sets, and candidate pools are untouched. Affected nodes re-rank
+   * over the UPDATED corpus view, so the result provably equals the
+   * graph rebuilt over that view (spec-asserted) at
+   * |affected| × occupancy cost instead of N. The gainer computation
+   * is a bounded cell-set semi-join (≤ nCells values) — never a
+   * corpus × updates product. No broadcast hints on the
+   * corpus-fraction-sized relations (the delete-path discipline).
+   */
+  def knnGraphUpsert(emb: DataFrame, graph: DataFrame, mod: Int, j: Int,
+                     nCells: Int, d: Int, nprobe: Int): DataFrame = {
+    require(mod >= 2, s"mod=$mod")
+    val updatedView = emb.select(col("vec_id"),
+      when(col("vec_id") % mod === 0,
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"))
+    val updIds = emb.select(col("vec_id")).filter(col("vec_id") % mod === 0)
+    val holders = graph
+      .join(updIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .select(col("qid")).distinct()
+    // the updated vectors' NEW cells — a bounded set (<= nCells)
+    val newCells = assign(
+        updatedView.filter(col("vec_id") % mod === 0), nCells, d)
+      .select(col("cell")).distinct()
+    val gainers = probePairs(
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        nCells, d, nprobe)
+      .join(broadcast(newCells), Seq("cell"), "left_semi")
+      .select(col("qid")).distinct()
+    val affected = holders
+      .unionByName(gainers)
+      .unionByName(updIds.select(col("vec_id").as("qid")))
+      .distinct()
+    val keep = graph.join(affected, Seq("qid"), "left_anti")
+    val recomputed = knnGraphFor(
+      updatedView.select(col("vec_id").as("qid"),
+          col("embedding").as("qvec"))
+        .join(affected, Seq("qid"), "left_semi"),
+      updatedView, j, nCells, d, nprobe)
+    keep.unionByName(recomputed)
+  }
+
   /** (qid, cell) probe pairs for a (qid, qvec) node set — exposed for
     * the streaming maintenance path's affected-node computation. */
   def probePairs(nodes: DataFrame, nCells: Int, d: Int,

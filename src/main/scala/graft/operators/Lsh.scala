@@ -245,8 +245,17 @@ object Lsh {
     * never deletes a query). */
   def topkOffLayout(spark: SparkSession, path: String, emb: DataFrame,
                     nq: Int, k: Int, d: Int, nPlanes: Int,
-                    tombs: Option[DataFrame] = None): DataFrame = {
-    val stored = spark.read.parquet(path) // (id, embedding, n2, bucket)
+                    tombs: Option[DataFrame] = None): DataFrame =
+    topkOverStored(spark.read.parquet(path), emb, nq, k, d, nPlanes,
+      tombs)
+
+  /** The serve body over an explicit stored frame
+    * (id, embedding, n2, bucket) — lets the upsert path interpose its
+    * merged base∖updated ∪ delta view (both sides bucket-partitioned,
+    * so the probe filter still prunes). */
+  private def topkOverStored(stored: DataFrame, emb: DataFrame,
+                             nq: Int, k: Int, d: Int, nPlanes: Int,
+                             tombs: Option[DataFrame]): DataFrame = {
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probes = probeSet(q, d, nPlanes, nPlanes)
     val buckets = probes.select(col("bucket")).distinct()
@@ -268,6 +277,62 @@ object Lsh {
   }
 
   // --- at-rest lifecycle: merge-on-read deletes + compaction --------------
+
+  /** Bump when the LSH upsert delta layout changes. */
+  private val UpsertLayoutVersion = 1
+
+  /**
+   * The UPDATE commit for the LSH layout — the last family missing the
+   * upsert verb: updated rows (ids ≡ 0 mod `mod`, v' = −v — float-exact
+   * and norm-preserving) RE-HASHED through the same sign-plane bucket
+   * function and published as their own bucket-partitioned delta. LSH
+   * has no trained model, so there is no stale-model subtlety: the
+   * re-hash IS the whole update, and negation flips every plane dot,
+   * so updated vectors land in complementary buckets. Norms carry over
+   * bit-for-bit ((−x)² = x² per element, identical sums). Base files
+   * never touched. Idempotent, atomic publish.
+   */
+  def ensureUpsertDelta(spark: SparkSession, layoutPath: String,
+                        mod: Int, d: Int, nPlanes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val path = Paths.get(layoutPath + s"_upsertv${UpsertLayoutVersion}_mod$mod")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "lshup-")
+      spark.read.parquet(layoutPath)
+        .filter(col("id") % mod === 0)
+        .select(col("id"),
+          transform(col("embedding"), x => -x).as("embedding"),
+          col("n2"))
+        .withColumn("bucket", bucketCol(col("embedding"), d, nPlanes))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"lsh upsert delta publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** [[topkAtRest]] under the update commit: the merged view — base
+    * rows minus the updated ids (a pushed mod predicate, base files
+    * byte-immutable) union the re-hashed delta — served by the same
+    * probe pipeline. Queries stay the external raw relation, so an
+    * updated vector's own raw query probes its OLD bucket while the
+    * corpus copy lives in the complementary one — exactly what a real
+    * vector update does to an SRP index. */
+  def topkAtRestUpserted(spark: SparkSession, sfDir: String,
+                         emb: DataFrame, nq: Int, k: Int, d: Int,
+                         nPlanes: Int, mod: Int): DataFrame = {
+    val base = ensureLayout(spark, sfDir, d, nPlanes)
+    val delta = ensureUpsertDelta(spark, base, mod, d, nPlanes)
+    val merged = spark.read.parquet(base)
+      .filter(col("id") % mod =!= 0)
+      .unionByName(spark.read.parquet(delta))
+    topkOverStored(merged, emb, nq, k, d, nPlanes, None)
+  }
 
   /**
    * Write the deterministic DELETE SET (ids ≡ 0 mod `mod` of the stored

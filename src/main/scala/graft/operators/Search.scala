@@ -640,6 +640,56 @@ object Search {
    * touched; the sidecar is bounded; compaction is the table service's
    * later job (as with the PQ codes layout).
    */
+  /** Bump when the postings upsert delta layout changes. */
+  private val PostingsUpsertLayoutVersion = 1
+
+  /**
+   * The UPDATE commit for the lexical index — completing the upsert
+   * verb on the postings family: updated docs (ids ≡ 0 mod `mod`) get
+   * a deterministic text revision (the `token` appended — a real doc
+   * edit: dl grows by one, every per-term tf survives) and are
+   * RE-INDEXED into their own tb-partitioned delta. Lucene's
+   * update-is-delete-plus-add: at serve time the updated docs' base
+   * postings are excised and the delta rows read instead, df comes
+   * from the updated view (the new segment), while (n, sumdl) stay the
+   * STALE sidecar until segment merge. Base files never touched.
+   */
+  def ensurePostingsUpsertDelta(spark: SparkSession, sfDir: String,
+                                root: String, mod: Int, nBuckets: Int,
+                                token: String): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val path = Paths.get(root +
+      s"_upsertv${PostingsUpsertLayoutVersion}_mod${mod}_$token")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "postup-")
+      postingsOf(graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % mod === 0)
+          .withColumn("text", concat(col("text"), lit(" " + token))),
+        nBuckets)
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"postings upsert delta publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** [[bm25AtRest]] under the update commit (see
+    * [[ensurePostingsUpsertDelta]]). */
+  def bm25AtRestUpserted(spark: SparkSession, sfDir: String,
+                         terms: Seq[String], k1: Double, b: Double,
+                         topN: Int, nBuckets: Int, mod: Int,
+                         token: String): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val delta = spark.read.parquet(
+      ensurePostingsUpsertDelta(spark, sfDir, root, mod, nBuckets, token))
+    bm25OffPostings(spark, root, terms, k1, b, topN, nBuckets,
+      upsert = Some((delta, mod)))
+  }
+
   /** The postings tombstone commit (doc ids ≡ 0 mod `deleteMod`) as an
     * idempotent sidecar publish — shared by the single-query and
     * multi-query delete rungs. */
@@ -704,14 +754,27 @@ object Search {
   def bm25OffPostings(spark: SparkSession, root: String,
                       terms: Seq[String], k1: Double, b: Double, topN: Int,
                       nBuckets: Int,
-                      tombs: Option[DataFrame] = None): DataFrame = {
+                      tombs: Option[DataFrame] = None,
+                      upsert: Option[(DataFrame, Int)] = None): DataFrame = {
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
     // the terms' bucket keys, computed by the same `hash` expression the
     // writer used (one 1-row job; never re-implement Murmur3 driver-side)
     val buckets = termBuckets(spark, terms, nBuckets)
-    val pruned = spark.read.parquet(root)
+    val pruned0 = spark.read.parquet(root)
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    // merge-on-read UPSERT: updated docs' base postings are excised (a
+    // pushed mod predicate — base files untouched) and their re-indexed
+    // delta rows union in; df then reflects the UPDATED view (Lucene's
+    // update = delete + add in the new segment) while (n, sumdl) stay
+    // the stale sidecar until segment merge
+    val pruned = upsert match {
+      case Some((delta, mod)) =>
+        pruned0.filter(col("doc_id") % mod =!= 0)
+          .unionByName(delta.filter(col("tb").isin(buckets: _*) &&
+            col("term").isin(terms: _*)))
+      case None => pruned0
+    }
     // df per term off the pruned postings (a posting row exists iff
     // tf >= 1, so the row count per term IS the document frequency)
     val dfMap = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))

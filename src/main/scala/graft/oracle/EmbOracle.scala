@@ -235,8 +235,15 @@ object EmbOracle {
       .mkString("(", " + ", ")")
   }
 
+  /** `updatedNegMod` > 0: the UPSERT view — candidate-side vectors with
+    * id ≡ 0 (mod it) are negated through BOTH the bucket hash and the
+    * rescore (the engine's re-hashed delta), while the query side and
+    * its probe buckets stay on the raw relation (queries are external)
+    * and norms are shared (negation preserves them bit-for-bit). */
   def lshSql(d: Int, nPlanes: Int, nq: Int, k: Int,
-             excludeMod: Int = 0): String = {
+             excludeMod: Int = 0, updatedNegMod: Int = 0): String = {
+    require(excludeMod == 0 || updatedNegMod == 0,
+      "deletes and upserts are separate fixture commits")
     val bucketExpr = lshBucketExpr("e.embedding", d, nPlanes)
     val flips = (0 until nPlanes).map(p =>
       s"SELECT qid, xor(b0, CAST(${1L << p} AS BIGINT)) AS bucket FROM qb")
@@ -247,16 +254,28 @@ object EmbOracle {
     // the engine's layout-side anti-join
     val excl = if (excludeMod <= 0) ""
       else s" WHERE c.id % $excludeMod <> 0"
-    s"""WITH codes AS MATERIALIZED (SELECT e.vec_id AS id, $bucketExpr AS bucket
-       |  FROM embeddings e),
+    val src = if (updatedNegMod > 0) "embu" else "embeddings"
+    val embuCte =
+      if (updatedNegMod <= 0) ""
+      else s"""embu AS (SELECT vec_id,
+              |    CASE WHEN vec_id % $updatedNegMod = 0
+              |      THEN list_transform(embedding, x -> -x)
+              |      ELSE embedding END AS embedding
+              |  FROM embeddings),
+              |qcodes AS MATERIALIZED (SELECT e.vec_id AS id, $bucketExpr AS bucket
+              |  FROM embeddings e),
+              |""".stripMargin
+    val qbSrc = if (updatedNegMod > 0) "qcodes" else "codes"
+    s"""WITH ${embuCte}codes AS MATERIALIZED (SELECT e.vec_id AS id, $bucketExpr AS bucket
+       |  FROM $src e),
        |${nrmCte(d)},
        |q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
-       |qb AS MATERIALIZED (SELECT q.qid, c.bucket AS b0 FROM q JOIN codes c ON c.id = q.qid),
+       |qb AS MATERIALIZED (SELECT q.qid, c.bucket AS b0 FROM q JOIN $qbSrc c ON c.id = q.qid),
        |probes AS (SELECT qid, b0 AS bucket FROM qb UNION ALL $flips),
        |cand AS (SELECT p.qid, c.id FROM probes p JOIN codes c ON c.bucket = p.bucket$excl),
        |scored AS (SELECT r.qid, r.id,
        |    ${dotE("e.embedding", "qe.embedding", d)} / (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
-       |  FROM cand r JOIN embeddings e ON e.vec_id = r.id
+       |  FROM cand r JOIN $src e ON e.vec_id = r.id
        |  JOIN embeddings qe ON qe.vec_id = r.qid
        |  JOIN nrm ne ON ne.vec_id = r.id JOIN nrm nq2 ON nq2.vec_id = r.qid),
        |ranked AS (SELECT qid, id, score,

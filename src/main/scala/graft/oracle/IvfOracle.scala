@@ -1046,14 +1046,31 @@ object IvfOracle {
     * `excludeMod` > 0 removes vec_id ≡ 0 (mod m) from BOTH the node set
     * and the candidate pool (the deleted-graph twin). */
   private def knnGraphCtes(d: Int, j: Int, nCells: Int, nprobe: Int,
-                           excludeMod: Int = 0): String = {
+                           excludeMod: Int = 0,
+                           updatedNegMod: Int = 0): String = {
+    require(excludeMod == 0 || updatedNegMod == 0,
+      "deletes and upserts are separate fixture commits")
     val (distCols, leastExpr, argmin, probeCase, cellsValues) =
       coarseSnippets(d, nCells)
     val qWhere =
       if (excludeMod <= 0) "" else s" WHERE vec_id % $excludeMod <> 0"
     val candWhere =
       if (excludeMod <= 0) "" else s" AND a.vec_id % $excludeMod <> 0"
-    s"""asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+    // the upsert view: every role of the corpus vector (assignment,
+    // probes, node query, candidate) switches to the negated copy for
+    // updated ids — graph nodes ARE corpus vectors, unlike the serving
+    // rungs where queries are external. Norms are shared (negation
+    // preserves them bit-for-bit).
+    val src = if (updatedNegMod > 0) "embu" else "embeddings"
+    val embuCte =
+      if (updatedNegMod <= 0) ""
+      else s"""embu AS (SELECT vec_id,
+              |    CASE WHEN vec_id % $updatedNegMod = 0
+              |      THEN list_transform(embedding, x -> -x)
+              |      ELSE embedding END AS embedding
+              |  FROM embeddings),
+              |""".stripMargin
+    s"""${embuCte}asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM $src e),
        |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
        |${EmbOracle.nrmCte(d)},
@@ -1072,8 +1089,8 @@ object IvfOracle {
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
        |  FROM cand c
-       |  JOIN embeddings e ON e.vec_id = c.id
-       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN $src e ON e.vec_id = c.id
+       |  JOIN $src qe ON qe.vec_id = c.qid
        |  JOIN nrm ne ON ne.vec_id = c.id
        |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
        |gfull AS MATERIALIZED (SELECT qid, id, score, rnk FROM (
@@ -1085,10 +1102,14 @@ object IvfOracle {
   /** The k-NN graph build ([[graft.operators.Ivf.knnGraph]]): the probe
     * pipeline with EVERY vector as its own query and the self-edge
     * excluded from candidates. `excludeMod` > 0 is the deleted-graph
-    * twin ([[graft.operators.Ivf.knnGraphDelete]]). */
+    * twin ([[graft.operators.Ivf.knnGraphDelete]]); `updatedNegMod` > 0
+    * the upserted twin ([[graft.operators.Ivf.knnGraphUpsert]] — the
+    * rebuild over the updated view, which the incremental repair
+    * provably equals). */
   def knnGraphSql(d: Int, j: Int, nCells: Int, nprobe: Int,
-                  excludeMod: Int = 0): String =
-    s"""WITH ${knnGraphCtes(d, j, nCells, nprobe, excludeMod)}
+                  excludeMod: Int = 0, updatedNegMod: Int = 0): String =
+    s"""WITH ${knnGraphCtes(d, j, nCells, nprobe, excludeMod,
+          updatedNegMod)}
        |SELECT qid, CAST(rnk AS INTEGER) AS rank, id, score
        |FROM gfull""".stripMargin
 

@@ -380,10 +380,18 @@ object SearchOracle {
   /** The BM25 scoring CTEs shared by [[bm25Sql]] and [[hybridSql]]:
     * tk / st / df / bsc(doc_id, score). The score expression mirrors
     * [[graft.operators.Search.termScore]]'s tree token-for-token. */
+  /** `updatedTokenMod` > 0: the UPSERT view — docs with id ≡ 0 (mod it)
+    * carry `updatedToken` appended to their text for tokenization, dl,
+    * df, and candidacy (the new segment), while (n, sumdl) stay on the
+    * ORIGINAL corpus (the stale sidecar until segment merge). */
   private def bm25Ctes(terms: Seq[String], k1: Double, b: Double,
                        st: Option[Bm25Stats],
                        candOnly: Boolean = false,
-                       excludeMod: Int = 0): String = {
+                       excludeMod: Int = 0,
+                       updatedTokenMod: Int = 0,
+                       updatedToken: String = ""): String = {
+    require(excludeMod == 0 || updatedTokenMod == 0,
+      "deletes and upserts are separate fixture commits")
     val termExprs = terms.zipWithIndex.map { case (t, i) =>
       s"(${idfExpr(i, t, st)} * ((CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) * ${dlit(k1 + 1.0)}) / " +
         s"(CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) + ${dlit(k1)} * " +
@@ -405,8 +413,20 @@ object SearchOracle {
       else Some(s"doc_id % $excludeMod <> 0")).flatten
     val cand = if (preds.isEmpty) ""
       else preds.mkString("\n|  WHERE ", " AND ", "")
-    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl FROM tk),
+    val textExpr =
+      if (updatedTokenMod <= 0) "text"
+      else s"CASE WHEN doc_id % $updatedTokenMod = 0" +
+        s" THEN text || ' $updatedToken' ELSE text END"
+    // stats stay STALE under an upsert: tk0 is the pre-update split
+    val stSrc =
+      if (updatedTokenMod <= 0) "tk"
+      else "tk0"
+    val tk0Cte =
+      if (updatedTokenMod <= 0) ""
+      else "tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk" +
+        " FROM documents),\n|"
+    s"""${tk0Cte}tk AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM documents),
+       |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl FROM $stSrc),
        |df AS (SELECT ${dfCols(terms)} FROM tk),
        |bsc AS (SELECT doc_id, $score AS score FROM tk, st, df$cand)""".stripMargin
   }
@@ -425,9 +445,12 @@ object SearchOracle {
     * terms' posting lists — docs matching no term are never ranked (the
     * inverted index's retrieval contract). */
   def bm25AtRestSql(terms: Seq[String], k1: Double, b: Double, topN: Int,
-                    st: Option[Bm25Stats], excludeMod: Int = 0): String =
+                    st: Option[Bm25Stats], excludeMod: Int = 0,
+                    updatedTokenMod: Int = 0,
+                    updatedToken: String = ""): String =
     s"""WITH ${bm25Ctes(terms, k1, b, st, candOnly = true,
-          excludeMod = excludeMod)},
+          excludeMod = excludeMod, updatedTokenMod = updatedTokenMod,
+          updatedToken = updatedToken)},
        |ranked AS (SELECT doc_id, score,
        |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM bsc)
        |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score

@@ -157,6 +157,48 @@ class LshSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("merge-on-read upsert: update visible, base files byte-immutable") {
+    import SparkEntry.UpsertMod
+    val root = Lsh.ensureLayout(spark, dir, EmbD, LshPlanes)
+    def dataFiles(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+    }
+    val before = dataFiles(root)
+    val up = Lsh.topkAtRestUpserted(spark, dir, emb, NQ, K, EmbD,
+      LshPlanes, UpsertMod).collect()
+    assert(dataFiles(root) == before,
+      "the upsert commit must never touch a base bucket file")
+    assert(up.nonEmpty)
+    // the update is VISIBLE: negation flips every plane dot, so an
+    // updated id that is served must carry the NEGATED score of its
+    // pre-update self against the same query
+    val pre = Lsh.topkAtRest(spark, dir, emb, NQ, 3 * K, EmbD, LshPlanes)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id")) ->
+        r.getAs[Double]("score")).toMap
+    up.filter(_.getAs[Long]("id") % UpsertMod == 0).foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("id"))
+      pre.get(key).foreach(s =>
+        assert(r.getAs[Double]("score") == -s,
+          s"updated id served without the negated score: $r"))
+    }
+    // and the merged view still covers both sides: some un-updated row
+    // serves with its pre-update score untouched
+    val untouched = up.filter(r => r.getAs[Long]("id") % UpsertMod != 0)
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("id"))
+      pre.get(key).foreach(s => assert(r.getAs[Double]("score") == s,
+        s"un-updated id's score drifted: $r"))
+    }
+  }
+
   test("compacted LSH layout: fewer files, identical rows and query") {
     val streamed = graft.streaming.StreamOps
       .ensureStreamLshLayout(spark, dir, EmbD, LshPlanes)

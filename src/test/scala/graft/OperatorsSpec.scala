@@ -145,6 +145,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(asOf(0) != asOf(1) && asOf(1) != asOf(2))
   }
 
+  test("knn graph upsert: incremental repair equals the rebuild over the updated view") {
+    import graft.operators.Ivf
+    import org.apache.spark.sql.functions.{col, transform => atransform, when}
+    val e = Tables.embeddings(spark, dir)
+    val j = SparkEntry.KnnJ
+    val mod = SparkEntry.UpsertMod
+    val g = Ivf.knnGraph(e, j, SparkEntry.IvfCells, SparkEntry.EmbD,
+      SparkEntry.IvfProbe)
+    val a = Ivf.knnGraphUpsert(e, g, mod, j, SparkEntry.IvfCells,
+      SparkEntry.EmbD, SparkEntry.IvfProbe).collect().map(_.toSeq).toSet
+    val updatedView = e.select(col("vec_id"),
+      when(col("vec_id") % mod === 0,
+        atransform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"))
+    val b = Ivf.knnGraph(updatedView, j, SparkEntry.IvfCells,
+      SparkEntry.EmbD, SparkEntry.IvfProbe).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty,
+      "incremental upsert repair diverged from the updated-view rebuild")
+    // the update is observable AND the repair incremental: the upserted
+    // graph differs from the original, yet some node kept its edges
+    // verbatim (the unaffected majority never recomputed)
+    val orig = g.collect().map(_.toSeq).toSet
+    assert(a != orig, "upsert changed nothing — vacuous fixture")
+    val changedNodes = (a -- orig).map(_.head.asInstanceOf[Long]) ++
+      (orig -- a).map(_.head.asInstanceOf[Long])
+    val nNodes = e.count()
+    assert(changedNodes.size.toLong < nNodes,
+      "every node changed — the affected-set bound did no work")
+  }
+
   test("graph beam search: per-round monotone, bounded reads, sane recall") {
     import graft.operators.{Ivf, Ann}
     val emb = Tables.embeddings(spark, dir)

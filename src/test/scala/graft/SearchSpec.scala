@@ -723,6 +723,47 @@ class SearchSpec extends AnyFunSuite {
       "full-probe indexed serve diverged from the brute capstone")
   }
 
+  test("postings upsert: base files byte-immutable, update observable, survivors unshifted") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
+      Bm25UpsertMod, PostingsUpsertToken}
+    val root = Search.ensurePostingsLayout(spark, dir, PostBuckets)
+    def dataFiles(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .filterNot(_.getPath.contains("_upsert"))
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+    }
+    val before = dataFiles(root)
+    val up = Search.bm25AtRestUpserted(spark, dir, Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, PostBuckets, Bm25UpsertMod, PostingsUpsertToken)
+      .collect()
+    assert(dataFiles(root) == before,
+      "the upsert commit must never touch a base posting file")
+    val pre = Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1, Bm25B,
+      Bm25TopN, PostBuckets).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // the update is OBSERVABLE: served updated docs score strictly
+    // BELOW their pre-update selves (dl grew by one token, tf fixed)
+    val updated = up.filter(_.getAs[Long]("doc_id") % Bm25UpsertMod == 0)
+    assert(updated.nonEmpty, "no updated doc reached the page")
+    updated.foreach { r =>
+      pre.get(r.getAs[Long]("doc_id")).foreach(s =>
+        assert(r.getAs[Double]("score") < s,
+          s"updated doc's score did not drop: $r"))
+    }
+    // un-updated survivors keep their exact pre-update scores (stats
+    // sidecar stale, their postings untouched)
+    up.filter(_.getAs[Long]("doc_id") % Bm25UpsertMod != 0).foreach { r =>
+      pre.get(r.getAs[Long]("doc_id")).foreach(s =>
+        assert(r.getAs[Double]("score") == s,
+          s"un-updated doc's score drifted: $r"))
+    }
+  }
+
   test("streamed requests drain row-identical to the batch capstone") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets}
