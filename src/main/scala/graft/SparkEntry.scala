@@ -1052,7 +1052,12 @@ object SparkEntry {
       s"graft_qrel_${safe}_$contentKey").toString
   }
 
-  /** Publish the stored query-relation table (idempotent, atomic). */
+  /** Publish the stored query-relation table (idempotent, atomic).
+    * Publishing also SWEEPS sibling `graft_qrel_<safe>_*` dirs under
+    * older content keys: the content-keyed naming means a constant
+    * edit (or the hashCode→SHA-256 key change) orphans the previous
+    * dir, and nothing else ever reads it — without the sweep,
+    * long-lived machines accumulate dead relation tables. */
   def ensureQueryRelations(spark: SparkSession, sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     val path = Paths.get(queryRelPathFor(sfDir))
@@ -1066,6 +1071,15 @@ object SparkEntry {
         graft.sources.VecFiles.deleteRecursively(tmp) }
       require(Files.exists(path.resolve("_SUCCESS")),
         s"query relation publish failed: $path")
+      val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val prefix = s"graft_qrel_${safe}_"
+      val stale = Files.list(path.getParent)
+      try stale.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) && n != path.getFileName.toString &&
+            Files.isDirectory(p))
+          graft.sources.VecFiles.deleteRecursively(p)
+      } finally stale.close()
     }
     path.toString
   }
@@ -2208,10 +2222,15 @@ object SparkEntry {
     // updated vectors (v' = −v) move cells AND can enter other nodes'
     // top-j, so the exact affected set is edge-holders ∪ new-cell
     // gainers ∪ the updated nodes — re-ranked over the updated view,
-    // provably equal to the rebuild at |affected| x occupancy cost
+    // provably equal to the rebuild at |affected| x occupancy cost.
+    // The gainer pass reads the cell-partitioned prober-pairs SIDECAR
+    // persisted at graph-build time, pruned to the new cells — never
+    // a per-commit probe re-assign over the corpus
     "q_knn_graph_upsert" -> q((s, dir) => graft.operators.Ivf
-      .knnGraphUpsert(emb(s, dir), knnGraphAtRest(s, dir), UpsertMod,
-        KnnJ, IvfCells, EmbD, IvfProbe)),
+      .knnGraphUpsert(emb(s, dir), knnGraphAtRest(s, dir),
+        s.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(s, dir,
+          IvfCells, EmbD, IvfProbe)),
+        UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe)),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
     // its arrivals PLUS the affected nodes (probed cells intersecting

@@ -1325,7 +1325,116 @@ object Ivf {
       require(Files.exists(path.resolve("_SUCCESS")),
         s"knn graph publish failed: $path")
     }
+    // graph-build discipline: the prober-pairs sidecar ships WITH the
+    // graph, so upsert maintenance never has to re-derive probe sets
+    // from the corpus (see knnGraphUpsert's gainer pass)
+    ensureKnnGraphProbes(spark, sfDir, nCells, d, nprobe)
     path.toString
+  }
+
+  /**
+   * The (qid, cell) PROBER-PAIRS SIDECAR at rest — who probes which
+   * cell, persisted CELL-PARTITIONED at graph-build time (the
+   * [[ensureKnnGraph]] ensure-layout discipline; j-independent, so
+   * keyed on (nCells, d, nprobe) only). This is the relation that
+   * makes graph-upsert maintenance O(update), not O(N): "which nodes
+   * would gain a candidate from cell c?" is a partition-pruned read of
+   * the c partitions instead of a fresh probe assignment over the
+   * whole corpus. At 100 TB the sidecar is nprobe·N small rows — a
+   * fraction of the edge list itself — and each upsert commit touches
+   * ≤ |new cells| of its nCells partitions. Rows within a partition
+   * are qid-sorted for row-group skipping.
+   */
+  def ensureKnnGraphProbes(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String, nCells: Int, d: Int,
+                           nprobe: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_knnprobes_v${KnnGraphLayoutVersion}_${safe}_c${nCells}" +
+        s"_d${d}_p${nprobe}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "knnp-")
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      probePairs(
+          emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          nCells, d, nprobe)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("qid"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cell")
+        .parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"knn prober sidecar publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * INCREMENTAL maintenance of a prober sidecar under an upsert commit
+   * (ids ≡ 0 mod `mod`, v' = −v): only the TOUCHED cell partitions —
+   * the updated nodes' old probe cells (stale rows to drop) plus their
+   * new probe cells (fresh rows to land) — are rewritten, via dynamic
+   * partition overwrite; every other partition's files are untouched
+   * (spec-asserted by file mtimes). Touched-cell discovery never scans
+   * the sidecar by qid (qid is not the partition key, so that read
+   * could not prune) — old cells come from re-probing just the
+   * |N/mod| updated vectors' ORIGINAL embeddings, so the commit's
+   * compute is O(|updates|·d·nprobe) and its I/O is O(touched-cell
+   * occupancy). After the commit the sidecar equals
+   * [[probePairs]] over the updated view (spec-asserted), so the NEXT
+   * upsert's gainer pass reads fresh truth.
+   */
+  def commitProberUpsert(spark: org.apache.spark.sql.SparkSession,
+                         sidecar: String, emb: DataFrame, mod: Int,
+                         nCells: Int, d: Int, nprobe: Int): Unit = {
+    require(mod >= 2, s"mod=$mod")
+    val updOld = emb.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val updNew = updOld.select(col("qid"),
+      transform(col("qvec"), x => -x).as("qvec"))
+    val oldPairs = probePairs(updOld, nCells, d, nprobe)
+    val newPairs = probePairs(updNew, nCells, d, nprobe)
+    // bounded models: <= nCells ints each
+    val touched = (oldPairs.select(col("cell")).distinct().collect() ++
+        newPairs.select(col("cell")).distinct().collect())
+      .map(_.getInt(0)).distinct.sorted
+    val updIds = updOld.select(col("qid"))
+    val base = spark.read.parquet(sidecar)
+      .filter(col("cell").isin(touched.map(Int.box): _*))
+      .join(updIds, Seq("qid"), "left_anti")
+      .select(col("qid"), col("cell"))
+    val rewritten = base.unionByName(newPairs.select(col("qid"), col("cell")))
+    // stage first: Spark (rightly) refuses to overwrite a path that is
+    // also a read source of the same plan, so the touched partitions'
+    // replacement rows land in a scratch dir and the dynamic-overwrite
+    // write into the sidecar reads THAT
+    val staging = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sidecar).getParent, "knnp-commit-")
+    try {
+      rewritten.write.mode("overwrite").parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      staged
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("qid"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(sidecar)
+      // dynamic overwrite only replaces partitions that RECEIVE rows: a
+      // touched cell left with zero rows (every prober updated away)
+      // must be emptied explicitly or its stale rows would survive
+      val nonEmpty = staged.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(nonEmpty).foreach { c =>
+        val p = java.nio.file.Paths.get(sidecar, s"cell=$c")
+        if (java.nio.file.Files.exists(p))
+          graft.sources.VecFiles.deleteRecursively(p)
+      }
+    } finally graft.sources.VecFiles.deleteRecursively(staging)
   }
 
   /**
@@ -1413,13 +1522,27 @@ object Ivf {
    * sets, and candidate pools are untouched. Affected nodes re-rank
    * over the UPDATED corpus view, so the result provably equals the
    * graph rebuilt over that view (spec-asserted) at
-   * |affected| × occupancy cost instead of N. The gainer computation
-   * is a bounded cell-set semi-join (≤ nCells values) — never a
-   * corpus × updates product. No broadcast hints on the
-   * corpus-fraction-sized relations (the delete-path discipline).
+   * |affected| × occupancy cost instead of N.
+   *
+   * The GAINER pass reads `prober` — the (qid, cell) probe-pairs
+   * relation persisted CELL-PARTITIONED at graph-build time
+   * ([[ensureKnnGraphProbes]]) — filtered to the updated vectors' new
+   * cells as a LITERAL IN on the partition column, so the scan is
+   * partition-pruned to ≤ |new cells| of the sidecar's nCells
+   * partitions (plan-asserted in PlanSpec). This replaces the previous
+   * per-commit O(N·d·nprobe) corpus re-assign: maintenance I/O is now
+   * proportional to the probed occupancy of the new cells, not to the
+   * corpus — the IVF-split standard. Using the BUILD-TIME sidecar is
+   * exact: a non-updated node's probe set never moves (its vector is
+   * untouched), and updated nodes — whose probe rows in the sidecar
+   * ARE stale — are in the affected set unconditionally, so their
+   * stale pairs can only add qids already present. No broadcast hints
+   * on the corpus-fraction-sized relations (the delete-path
+   * discipline); the new-cell set is a bounded model (≤ nCells ints).
    */
-  def knnGraphUpsert(emb: DataFrame, graph: DataFrame, mod: Int, j: Int,
-                     nCells: Int, d: Int, nprobe: Int): DataFrame = {
+  def knnGraphUpsert(emb: DataFrame, graph: DataFrame, prober: DataFrame,
+                     mod: Int, j: Int, nCells: Int, d: Int,
+                     nprobe: Int): DataFrame = {
     require(mod >= 2, s"mod=$mod")
     val updatedView = emb.select(col("vec_id"),
       when(col("vec_id") % mod === 0,
@@ -1429,14 +1552,16 @@ object Ivf {
     val holders = graph
       .join(updIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
       .select(col("qid")).distinct()
-    // the updated vectors' NEW cells — a bounded set (<= nCells)
+    // the updated vectors' NEW cells — a bounded collect (<= nCells
+    // ints, a model), materialized as literals so the sidecar read
+    // below prunes at PLANNING time (a static partition filter, not a
+    // runtime semi-join the scan cannot see through)
     val newCells = assign(
         updatedView.filter(col("vec_id") % mod === 0), nCells, d)
       .select(col("cell")).distinct()
-    val gainers = probePairs(
-        emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-        nCells, d, nprobe)
-      .join(broadcast(newCells), Seq("cell"), "left_semi")
+      .collect().map(_.getInt(0)).sorted
+    val gainers = prober
+      .filter(col("cell").isin(newCells.map(Int.box): _*))
       .select(col("qid")).distinct()
     val affected = holders
       .unionByName(gainers)

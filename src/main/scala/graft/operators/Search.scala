@@ -1678,6 +1678,12 @@ object Search {
                                   nCells: Int, d: Int,
                                   nprobe: Int): DataFrame = {
     require(ks.nonEmpty, "serveRequestsIndexedMetrics: empty page relation")
+    // guarded HERE, not left to filters.map(_._1).max below: an empty
+    // filter relation would otherwise surface as an opaque
+    // UnsupportedOperationException("empty.max") instead of the
+    // descriptive message the sibling entry points give
+    require(filters.nonEmpty,
+      "serveRequestsIndexedMetrics: empty filter relation")
     import spark.implicits._
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val vecPool = filteredTopKIndexedMulti(spark, sfDir, emb, filters,

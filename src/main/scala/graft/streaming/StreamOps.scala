@@ -1003,6 +1003,16 @@ object StreamOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** Bump whenever [[graft.operators.Search.serveRequestsOffPostings]]
+    * (or anything upstream of the per-microbatch serve) changes
+    * semantics: the landing/result dirs below are content-keyed only
+    * over the BOUND RELATIONS, so without a code-version constant in
+    * the dir names a warm machine would silently replay stale
+    * pre-change rows while the batch rung recomputes fresh — a false
+    * stream/batch divergence. The PostingsUpsertLayoutVersion /
+    * TiersLayoutVersion discipline, applied to the cached drain. */
+  private val StreamServeLayoutVersion = 1
+
   /**
    * THE SERVE CAPSTONE WITH REQUESTS AS A STREAM — the online-serving
    * shape for the FULL request object: request ids arrive as a real
@@ -1040,7 +1050,7 @@ object StreamOps {
       .take(8).map(x => f"$x%02x").mkString
     val qids = ks.map(_._1).sorted
     val landing = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_reqlanding_${safe}_${reqKey}" +
+      s"graft_reqlanding_sv${StreamServeLayoutVersion}_${safe}_${reqKey}" +
         s"_v${graft.Fixture.srcVersion(sfDir)}")
     synchronized {
       if (!Files.exists(landing.resolve("_SUCCESS"))) {
@@ -1057,8 +1067,8 @@ object StreamOps {
       }
     }
     val outDir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_reqserve_${safe}_${reqKey}" +
-        s"_v${graft.Fixture.srcVersion(sfDir)}")
+      s"graft_stream_reqserve_sv${StreamServeLayoutVersion}_${safe}" +
+        s"_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
     synchronized {
       if (!Files.exists(outDir.resolve("_DRAINED"))) {
         val tmp = Files.createTempDirectory(outDir.getParent, "reqserve-")

@@ -153,7 +153,9 @@ class OperatorsSpec extends AnyFunSuite {
     val mod = SparkEntry.UpsertMod
     val g = Ivf.knnGraph(e, j, SparkEntry.IvfCells, SparkEntry.EmbD,
       SparkEntry.IvfProbe)
-    val a = Ivf.knnGraphUpsert(e, g, mod, j, SparkEntry.IvfCells,
+    val prober = spark.read.parquet(Ivf.ensureKnnGraphProbes(spark, dir,
+      SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe))
+    val a = Ivf.knnGraphUpsert(e, g, prober, mod, j, SparkEntry.IvfCells,
       SparkEntry.EmbD, SparkEntry.IvfProbe).collect().map(_.toSeq).toSet
     val updatedView = e.select(col("vec_id"),
       when(col("vec_id") % mod === 0,
@@ -173,6 +175,67 @@ class OperatorsSpec extends AnyFunSuite {
     val nNodes = e.count()
     assert(changedNodes.size.toLong < nNodes,
       "every node changed — the affected-set bound did no work")
+  }
+
+  test("prober sidecar commit: only touched cell partitions rewritten, content equals re-probe") {
+    import graft.operators.Ivf
+    import org.apache.spark.sql.functions.{col, transform => atransform, when}
+    import scala.jdk.CollectionConverters._
+    val e = Tables.embeddings(spark, dir)
+    // a SPARSE update set (not UpsertMod): with ~500 fixture vectors a
+    // mod-13 commit probes every one of the 8 cells, which would make
+    // the untouched-partition assertion vacuous — production commits
+    // are small relative to nCells, and that is the regime this spec
+    // pins (2 updated ids at mod 211)
+    val mod = 211
+    val (nCells, d, np) =
+      (SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+    // a private sidecar copy (the shared ensure-layout dir is immutable)
+    val side = Files.createTempDirectory("proberside-")
+    try {
+      Ivf.probePairs(e.select(col("vec_id").as("qid"),
+          col("embedding").as("qvec")), nCells, d, np)
+        .repartition(col("cell")).sortWithinPartitions(col("qid"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(side.toString)
+      def partFiles(): Map[String, Long] = Files.walk(side).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      val before = partFiles()
+      // the commit's touched set: old ∪ new probe cells of updated ids
+      val updOld = e.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val updNew = updOld.select(col("qid"),
+        atransform(col("qvec"), x => -x).as("qvec"))
+      val touched = (Ivf.probePairs(updOld, nCells, d, np)
+          .select("cell").distinct().collect() ++
+        Ivf.probePairs(updNew, nCells, d, np)
+          .select("cell").distinct().collect())
+        .map(_.getInt(0)).toSet
+      assert(touched.size < nCells,
+        "fixture touches every cell — the pruning assertion is vacuous")
+      Ivf.commitProberUpsert(spark, side.toString, e, mod, nCells, d, np)
+      // (a) untouched partitions: byte-identical files (same paths, mtimes)
+      val after = partFiles()
+      val untouchedBefore = before.filterNot { case (p, _) =>
+        touched.exists(c => p.contains(s"cell=$c/")) }
+      val untouchedAfter = after.filterNot { case (p, _) =>
+        touched.exists(c => p.contains(s"cell=$c/")) }
+      assert(untouchedBefore == untouchedAfter,
+        "commit rewrote files in untouched cell partitions")
+      // (b) post-commit content equals a fresh re-probe of the updated view
+      val updatedView = e.select(col("vec_id"),
+        when(col("vec_id") % mod === 0,
+          atransform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val want = Ivf.probePairs(updatedView
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        nCells, d, np).collect().map(_.toSeq).toSet
+      val got = spark.read.parquet(side.toString)
+        .select(col("qid"), col("cell")).collect().map(_.toSeq).toSet
+      assert(got == want, "committed sidecar != re-probe of updated view")
+    } finally VecFiles.deleteRecursively(side)
   }
 
   test("graph beam search: per-round monotone, bounded reads, sane recall") {

@@ -465,6 +465,49 @@ class PlanSpec extends AnyFunSuite {
       s"no cell partition filter on the index scan:\n$plan")
   }
 
+  test("graph upsert: prober-sidecar gainer scan is partition-pruned to the new cells") {
+    import graft.operators.Ivf
+    import org.apache.spark.sql.functions.{col, transform => atransform, when}
+    val e = Tables.embeddings(spark, dir)
+    val (nCells, d, np) =
+      (SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+    // sparse update set (2 ids at mod 211, not UpsertMod=13): at ~500
+    // fixture vectors a mod-13 commit's new cells cover all 8 cells,
+    // which would make the pruning assertions vacuous — production
+    // commits are small relative to nCells and that is the regime this
+    // test pins (the oracle query still runs the mod-13 commit)
+    val mod = 211
+    val prober = spark.read.parquet(
+      Ivf.ensureKnnGraphProbes(spark, dir, nCells, d, np))
+    val g = spark.read.parquet(
+      Ivf.ensureKnnGraph(spark, dir, SparkEntry.KnnJ, nCells, d, np))
+    val df = Ivf.knnGraphUpsert(e, g, prober, mod, SparkEntry.KnnJ,
+      nCells, d, np)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the sidecar: "who probes the new cells" must
+    // be a static partition filter on the cell-partitioned layout —
+    // never a probe re-assign over the corpus. At 100 TB this is the
+    // difference between O(new-cell occupancy) and O(N·d·nprobe) of
+    // maintenance work per upsert commit.
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no cell partition filter on the prober sidecar scan:\n$plan")
+    // non-vacuity: the fixture's updated vectors land in a STRICT
+    // subset of cells, so the filter genuinely prunes partitions
+    val updNew = e.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("qid"),
+        atransform(col("embedding"), x => -x).as("qvec"))
+    val newCells = Ivf.probeCells(updNew, nCells, d, 1)
+      .select("cell").distinct().collect().map(_.getInt(0))
+    assert(newCells.length < nCells,
+      s"updated ids' new cells cover all $nCells cells — pruning vacuous")
+    // and the pruned read is strictly smaller than the full sidecar:
+    // rows scanned are bounded by the new cells' prober occupancy
+    val prunedRows = prober
+      .filter(col("cell").isin(newCells.map(Int.box): _*)).count()
+    assert(prunedRows < prober.count(),
+      "pruned prober read not smaller than the full sidecar")
+  }
+
   test("posting-list bm25 scan carries a term-bucket partition filter") {
     val df = graft.operators.Search.bm25AtRest(spark, dir,
       SparkEntry.Bm25Terms, SparkEntry.Bm25K1, SparkEntry.Bm25B,
