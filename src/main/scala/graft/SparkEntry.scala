@@ -2507,6 +2507,14 @@ object SparkEntry {
     "q_bm25_upsert" -> q((s, dir) => graft.operators.Search
       .bm25AtRestUpserted(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
         PostBuckets, Bm25UpsertMod, PostingsUpsertToken)),
+    // ... and SEGMENT MERGE — the OPTIMIZE that ends the documented
+    // staleness: delta folded into the base (one id-sorted file per
+    // term bucket), (n, sumdl) recomputed from the merged postings,
+    // served with no delta union or excision predicate at all —
+    // row-identical to a fresh build over the updated corpus
+    "q_bm25_upsert_compact" -> q((s, dir) => graft.operators.Search
+      .bm25AtRestUpsertMerged(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
+        PostBuckets, Bm25UpsertMod, PostingsUpsertToken)),
     // MAXSCORE BM25: the reference's refine discipline on the lexical
     // rung (Turtle-Flood/WAND family) — cheap (term, doc_id)-only bound
     // pass, exact-scored seeds -> tau, zero-miss bound>=tau rejection,
@@ -3283,6 +3291,13 @@ object SparkEntry {
     "q_bm25_upsert" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle(), updatedTokenMod = Bm25UpsertMod,
       updatedToken = PostingsUpsertToken),
+    // post-merge: stats recomputed from the updated split (freshStats) —
+    // the idf literals still hold (the appended token is not a query
+    // term, so every query term's df is unchanged; only dl/sumdl move)
+    "q_bm25_upsert_compact" -> SearchOracle.bm25AtRestSql(Bm25Terms,
+      Bm25K1, Bm25B, Bm25TopN, bm25StatsForOracle(),
+      updatedTokenMod = Bm25UpsertMod, updatedToken = PostingsUpsertToken,
+      freshStats = true),
     // as-of commit 1: only doc_ids ≡ 0 (mod 2·Bm25DeleteMod) deleted
     "q_bm25_delete_asof" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle(),

@@ -690,6 +690,86 @@ object Search {
       upsert = Some((delta, mod)))
   }
 
+  /** Bump when the merged-segment layout shape changes. */
+  private val PostingsMergeLayoutVersion = 1
+
+  /**
+   * SEGMENT MERGE after the update commit — the OPTIMIZE that every
+   * real Lucene/ES deployment runs and the missing half of
+   * [[bm25AtRestUpserted]]: the delta segment is folded into the base
+   * (updated docs' base postings dropped, their re-indexed rows take
+   * their place — one id-sorted file per term bucket, the
+   * [[graft.operators.Lsh.compactLayout]] discipline) and the corpus
+   * stats sidecar is RECOMPUTED from the merged postings, restoring
+   * exact `(n, sumdl)` — the staleness [[ensurePostingsUpsertDelta]]
+   * documents ends here. Published as a NEW immutable version-named
+   * dir via atomic scratch-move (base and delta files are never
+   * mutated; the merged dir atomically replaces them as the serve
+   * root), so readers switch segments the way Lucene swaps commit
+   * points. The merged layout is row-identical to a FRESH BUILD over
+   * the updated corpus (spec-asserted), at merge I/O = base + delta,
+   * never a corpus re-tokenize.
+   */
+  def compactPostingsUpsert(spark: SparkSession, sfDir: String,
+                            root: String, mod: Int, nBuckets: Int,
+                            token: String): String = {
+    import java.nio.file.{Files, Paths}
+    val deltaPath =
+      ensurePostingsUpsertDelta(spark, sfDir, root, mod, nBuckets, token)
+    val path = Paths.get(root +
+      s"_mergedv${PostingsMergeLayoutVersion}_mod${mod}_$token")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "postmerge-")
+      val base = spark.read.parquet(root)
+      val delta = spark.read.parquet(deltaPath)
+      base.filter(col("doc_id") % mod =!= 0)
+        .unionByName(delta)
+        .repartition(col("tb"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
+      // stats from the MERGED postings' own bytes (the build-time
+      // discipline of ensurePostingsLayout): dl is denormalized into
+      // every row, so distinct (doc_id, dl) enumerates the updated
+      // corpus exactly — (n, sumdl) exact again, staleness over
+      spark.read.parquet(tmp.toString)
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("_stats").toString)
+      // publish-time invariant: the merge must neither drop nor
+      // duplicate a doc — n equals the base segment's n exactly
+      // (updates replace docs, they never add or remove them)
+      val mergedN = spark.read.parquet(tmp.resolve("_stats").toString)
+        .collect()(0).getAs[Long]("n")
+      val baseN = spark.read.parquet(s"$root/_stats")
+        .collect()(0).getAs[Long]("n")
+      require(mergedN == baseN,
+        s"postings merge invariant broken: $mergedN docs after merge " +
+          s"vs $baseN in the base segment")
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"merged postings publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** [[bm25AtRestUpserted]] served AFTER segment merge: a plain
+    * [[bm25OffPostings]] over the merged layout — no delta union, no
+    * excision predicate, and EXACT (n, sumdl) from the recomputed
+    * sidecar (avgdl now reflects the updated docs' grown dl). */
+  def bm25AtRestUpsertMerged(spark: SparkSession, sfDir: String,
+                             terms: Seq[String], k1: Double, b: Double,
+                             topN: Int, nBuckets: Int, mod: Int,
+                             token: String): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    bm25OffPostings(spark,
+      compactPostingsUpsert(spark, sfDir, root, mod, nBuckets, token),
+      terms, k1, b, topN, nBuckets)
+  }
+
   /** The postings tombstone commit (doc ids ≡ 0 mod `deleteMod`) as an
     * idempotent sidecar publish — shared by the single-query and
     * multi-query delete rungs. */

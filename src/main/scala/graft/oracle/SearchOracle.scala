@@ -383,13 +383,17 @@ object SearchOracle {
   /** `updatedTokenMod` > 0: the UPSERT view — docs with id ≡ 0 (mod it)
     * carry `updatedToken` appended to their text for tokenization, dl,
     * df, and candidacy (the new segment), while (n, sumdl) stay on the
-    * ORIGINAL corpus (the stale sidecar until segment merge). */
+    * ORIGINAL corpus (the stale sidecar until segment merge) — unless
+    * `freshStats` is set, the POST-MERGE view ([[graft.operators.Search
+    * .compactPostingsUpsert]]): the recomputed sidecar means (n, sumdl)
+    * come from the UPDATED split too. */
   private def bm25Ctes(terms: Seq[String], k1: Double, b: Double,
                        st: Option[Bm25Stats],
                        candOnly: Boolean = false,
                        excludeMod: Int = 0,
                        updatedTokenMod: Int = 0,
-                       updatedToken: String = ""): String = {
+                       updatedToken: String = "",
+                       freshStats: Boolean = false): String = {
     require(excludeMod == 0 || updatedTokenMod == 0,
       "deletes and upserts are separate fixture commits")
     val termExprs = terms.zipWithIndex.map { case (t, i) =>
@@ -417,12 +421,14 @@ object SearchOracle {
       if (updatedTokenMod <= 0) "text"
       else s"CASE WHEN doc_id % $updatedTokenMod = 0" +
         s" THEN text || ' $updatedToken' ELSE text END"
-    // stats stay STALE under an upsert: tk0 is the pre-update split
+    // stats stay STALE under an upsert (tk0, the pre-update split) —
+    // until segment merge recomputes the sidecar (freshStats: tk, the
+    // updated split, no tk0 CTE at all)
     val stSrc =
-      if (updatedTokenMod <= 0) "tk"
+      if (updatedTokenMod <= 0 || freshStats) "tk"
       else "tk0"
     val tk0Cte =
-      if (updatedTokenMod <= 0) ""
+      if (updatedTokenMod <= 0 || freshStats) ""
       else "tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk" +
         " FROM documents),\n|"
     s"""${tk0Cte}tk AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM documents),
@@ -447,10 +453,11 @@ object SearchOracle {
   def bm25AtRestSql(terms: Seq[String], k1: Double, b: Double, topN: Int,
                     st: Option[Bm25Stats], excludeMod: Int = 0,
                     updatedTokenMod: Int = 0,
-                    updatedToken: String = ""): String =
+                    updatedToken: String = "",
+                    freshStats: Boolean = false): String =
     s"""WITH ${bm25Ctes(terms, k1, b, st, candOnly = true,
           excludeMod = excludeMod, updatedTokenMod = updatedTokenMod,
-          updatedToken = updatedToken)},
+          updatedToken = updatedToken, freshStats = freshStats)},
        |ranked AS (SELECT doc_id, score,
        |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM bsc)
        |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score

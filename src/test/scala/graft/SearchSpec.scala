@@ -764,6 +764,64 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("postings segment merge: exact stats restored, row-identical to a fresh build over the updated corpus") {
+    import SparkEntry.{Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets,
+      Bm25UpsertMod, PostingsUpsertToken}
+    val root = Search.ensurePostingsLayout(spark, dir, PostBuckets)
+    val merged = Search.compactPostingsUpsert(spark, dir, root,
+      Bm25UpsertMod, PostBuckets, PostingsUpsertToken)
+    // (n, sumdl) EXACT again: n unchanged (updates replace, never add),
+    // sumdl grown by exactly one token per updated doc — the staleness
+    // the upsert rung documents ends at the merge
+    val baseSt = spark.read.parquet(s"$root/_stats").collect()(0)
+    val mSt = spark.read.parquet(s"$merged/_stats").collect()(0)
+    val nUpd = docs.filter(col("doc_id") % Bm25UpsertMod === 0).count()
+    assert(mSt.getAs[Long]("n") == baseSt.getAs[Long]("n"))
+    assert(mSt.getAs[Long]("sumdl") ==
+      baseSt.getAs[Long]("sumdl") + nUpd,
+      "merged sumdl is not base + one token per updated doc")
+    // the merged layout is ROW-IDENTICAL to a fresh build over the
+    // updated corpus: same posting rows, same recomputed stats, and
+    // the serve off it equals the fresh-build serve bit-for-bit
+    val freshDir = java.nio.file.Files.createTempDirectory("freshpost-")
+    try {
+      val updatedDocs = docs.withColumn("text",
+        when(col("doc_id") % Bm25UpsertMod === 0,
+          concat(col("text"), lit(" " + PostingsUpsertToken)))
+          .otherwise(col("text")))
+      Search.postingsOf(updatedDocs, PostBuckets)
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(freshDir.toString)
+      spark.read.parquet(freshDir.toString)
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(freshDir.resolve("_stats").toString)
+      val a = spark.read.parquet(merged)
+        .select("term", "doc_id", "tf", "dl", "tb")
+        .collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(freshDir.toString)
+        .select("term", "doc_id", "tf", "dl", "tb")
+        .collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty,
+        "merged postings != fresh build over the updated corpus")
+      val servedMerged = Search.bm25OffPostings(spark, merged, Bm25Terms,
+        Bm25K1, Bm25B, Bm25TopN, PostBuckets).collect().map(_.toSeq)
+      val servedFresh = Search.bm25OffPostings(spark, freshDir.toString,
+        Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets)
+        .collect().map(_.toSeq)
+      assert(servedMerged.toSeq == servedFresh.toSeq,
+        "merged serve diverged from the fresh-build serve")
+    } finally graft.sources.VecFiles.deleteRecursively(freshDir)
+    // OPTIMIZE also compacts: one data file per term bucket
+    val files = new java.io.File(merged).listFiles
+      .filter(_.getName.startsWith("tb="))
+      .map(d => d.getName ->
+        d.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.forall(_._2 == 1),
+      s"expected one file per bucket after merge: ${files.toSeq}")
+  }
+
   test("streamed requests drain row-identical to the batch capstone") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets}
