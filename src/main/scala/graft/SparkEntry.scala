@@ -975,6 +975,16 @@ object SparkEntry {
   // budget) beyond the two the relation binds — proving the pruning is
   // per-USED-tier: the stored-but-unused tier's chunks are never read
   final val MkeepLayoutTiers = Seq(4, KeepM, 8)
+  // per-REQUEST precision tier on the serve capstone
+  // (q_serve_requests_tiered): each of the 4 serve requests binds its
+  // own quantization tier (scaleLog2) from the stored relation — 2^4 is
+  // the 1-byte bandwidth tier, 2^11 the 2-byte recall tier; the layout
+  // stores an extra 2^8 tier the relation never binds (the mkeep
+  // discipline: stored-but-unused chunks provably unread)
+  final val ServeTierScales = Seq(4, 11)
+  final val ServeTierLayoutScales = Seq(4, 8, 11)
+  final val ServeTierRel: Seq[(Long, Int)] = Seq(
+    0L -> 4, 1L -> 11, 2L -> 4, 3L -> 11)
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -1032,7 +1042,11 @@ object SparkEntry {
       NprobeMultiRel.map { case (qid, np) =>
         ("nprobe", qid, Some(np), None, None, None) } ++
       RerankMultiRel.map { case (qid, rr) =>
-        ("rerank", qid, Some(rr), None, None, None) }
+        ("rerank", qid, Some(rr), None, None, None) } ++
+      // serve-tier rows are QID-keyed (serve request qids are 0..nq-1):
+      // pos carries the request's quantization scaleLog2
+      ServeTierRel.map { case (qid, s) =>
+        ("stier", qid, Some(s), None, None, None) }
 
   /** The stored relation's path for `sfDir` — content-keyed (the dir
     * name embeds a hash of the rows), so editing any constant above
@@ -1093,7 +1107,7 @@ object SparkEntry {
       fusion: Seq[(Long, Double)], deltasByRank: Seq[Double],
       mkeepsByRank: Seq[Int], mmrLambdas: Seq[(Long, Double)],
       pageKs: Seq[(Long, Int)], nprobes: Seq[(Long, Int)],
-      reranks: Seq[(Long, Int)])
+      reranks: Seq[(Long, Int)], serveTiers: Seq[(Long, Int)])
 
   // keyed by the stored table's CONTENT-KEYED PATH, not the session
   // object: a map keyed by SparkSession would retain stopped sessions
@@ -1128,7 +1142,7 @@ object SparkEntry {
       QueryRels(bm25, strRel("filter"), strRel("facet"), numRel("radius"),
         numRel("fusion"), numRel("delta").map(_._2),
         intRel("mkeep").map(_._2), numRel("mmrl"), intRel("pagek"),
-        intRel("nprobe"), intRel("rerank"))
+        intRel("nprobe"), intRel("rerank"), intRel("stier"))
     })
 
   private def bm25MultiQueriesOf(s: SparkSession, dir: String) =
@@ -1153,6 +1167,8 @@ object SparkEntry {
     queryRels(s, dir).nprobes
   private def rerankMultiRelOf(s: SparkSession, dir: String) =
     queryRels(s, dir).reranks
+  private def serveTierRelOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).serveTiers
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
@@ -2467,6 +2483,28 @@ object SparkEntry {
         bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
         fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
         Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD, IvfProbe)),
+    // ... and the capstone at PER-REQUEST PRECISION — the title knob
+    // composed into serving: each request binds its own quantization
+    // tier from the stored relation, its cheap vector pass reads that
+    // tier's physical code column off the tiered at-rest serve layout
+    // (1 B vs 2 B per component — actual widths), survivors rescore at
+    // full precision, the pool feeds the shared fusion/cut
+    "q_serve_requests_tiered" -> q((s, dir) => graft.operators.Search
+      .serveRequestsTiered(s, dir, emb(s, dir), docs(s, dir),
+        bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
+        fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir),
+        serveTierRelOf(s, dir), ServeTierLayoutScales, Bm25K1, Bm25B,
+        RrfPoolN, PostBuckets, refineParams("cos_l1").alpha)),
+    // ... and ITS ledger — where the tier is VISIBLE: bytes_vec =
+    // 8·N + codeBytes(tier_q)·d·v_cands + 4d·fetched, so requests over
+    // the same lang slice at different tiers show different bytes
+    "q_serve_requests_tiered_metrics" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredMetrics(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, EmbD)),
     // ... and REQUESTS AS A STREAM — the online-serving shape: each
     // microbatch serves its arriving requests' full objects off the
     // static layouts; per-request independence (df per term, per-qid
@@ -3280,6 +3318,21 @@ object SparkEntry {
         FilterMultiRel, FusionMultiRel, PageKMultiRel, Bm25K1, Bm25B,
         RrfPoolN, IvfCells, IvfProbe, bm25MultiStatsForOracle(),
         qrelPathForOracle()),
+    // the tiered capstone: the vector pool's whole two-phase
+    // per-request-precision pipeline recomputed from the raw floats
+    // (round-to-nearest dyadic quantization — exact on both engines)
+    "q_serve_requests_tiered" -> SearchOracle.serveRequestsTieredSql(
+      EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+      Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+      qrelPathForOracle()),
+    // per-request per-tier bytes off the same pipeline CTEs
+    "q_serve_requests_tiered_metrics" ->
+      SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        graft.sources.Disaggregated.serveTierCodeBytes,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN,
+        bm25MultiStatsForOracle(), qrelPathForOracle()),
     // drained stream-maintained postings hold the batch layout's rows
     "q_stream_bm25" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle()),

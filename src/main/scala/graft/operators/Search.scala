@@ -1831,6 +1831,244 @@ object Search {
             (col("t_cands") + col("v_cands")).cast("double")))
   }
 
+  /**
+   * The per-request PRECISION-TIER vector side of the serve capstone —
+   * the fetch set (qid, id, s_full) of a zero-miss-style two-phase
+   * refine where each request's CHEAP pass reads ITS OWN quantization
+   * tier's code column off the tiered serve layout
+   * ([[graft.sources.Disaggregated.ensureTieredServeFixture]]), the
+   * paper's precision-on-demand knob composed into the serving path:
+   * a bandwidth-tier tenant scans 1-byte codes, a recall-tier tenant
+   * 2-byte codes, off ONE layout in ONE plan, and every request's
+   * survivors are rescored at full precision. The per-request lang
+   * pre-filter applies BEFORE any distance arithmetic (the
+   * [[filteredTopKMulti]] contract), as a union-of-langs pushed
+   * predicate plus the per-qid equality. The cushion is the cos_l1
+   * half-step bound (|v − rv| ≤ 2^-(s+1) exactly, any corpus — the
+   * int8 rung's [[graft.sources.Disaggregated.refineInt8TopK]]
+   * algebra), so the DuckDB oracle recomputes the ENTIRE pipeline from
+   * the raw floats (round-to-nearest dyadic quantization is exact on
+   * both engines; a mantissa-truncation tier would not be
+   * SQL-mirrorable on this corpus — see the layout's scaladoc).
+   */
+  private def tieredServeFetch(spark: SparkSession, sfDir: String,
+                               emb: DataFrame,
+                               filters: Seq[(Long, String)],
+                               tiers: Seq[(Long, Int)],
+                               layoutScales: Seq[Int], poolN: Int,
+                               alpha: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    require(tiers.nonEmpty, "tieredServeFetch: empty tier relation")
+    val usedScales = tiers.map(_._2).distinct.sorted
+    require(usedScales.toSet.subsetOf(layoutScales.toSet),
+      s"tiers $usedScales not all stored in layout $layoutScales")
+    val path = graft.sources.Disaggregated.ensureTieredServeFixture(
+      spark, sfDir, layoutScales)
+    val stored = spark.read.parquet(path)
+    val nq = (filters.map(_._1).max + 1).toInt
+    // cheap side: id + lang + the USED tiers' code columns ONLY (the
+    // stored-but-unused tier's chunks and `vec` are never read here —
+    // PlanSpec asserts); dequantized values and the constant half-step
+    // bound are map-side derivations, never stored
+    val cheap = stored.select(
+      Seq(col("id"), col("lang")) ++ usedScales.flatMap { s =>
+        val mul = math.pow(2.0, s)
+        val rv = transform(col(s"code_$s"),
+          c => (c.cast("double") / mul).cast("float"))
+        Seq(rv.as(s"rvec_$s"))
+      }: _*)
+    val vpre = cheap.select(
+      Seq(col("id"), col("lang")) ++ usedScales.flatMap(s =>
+        Seq(col(s"rvec_$s"),
+          norm2Sq(col(s"rvec_$s")).as(s"nr2_$s"))): _*)
+    val unionLangs = filters.map(_._2).distinct
+    val qSel = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"),
+        col("qn2").as("nq2")))
+    val trRel = broadcast(tiers.toDF("qid", "tier"))
+    val qf = broadcast(filters.toDF("qid", "qlang"))
+    val q = broadcast(qSel.join(trRel, Seq("qid")).join(qf, Seq("qid")))
+    def byTier(f: Int => Column): Column =
+      usedScales.foldRight(lit(null).cast("double")) { (s, rest) =>
+        when(col("tier") === s, f(s)).otherwise(rest) }
+    val sHat = byTier(s => dot(col(s"rvec_$s"), col("qvec")) /
+      (fnorm(col(s"nr2_$s")) * fnorm(col("nq2"))))
+    // cos_l1 cushion with the constant per-tier half-step bound: the
+    // delta array is a map-side constant, the fold the absDot tree
+    val cush = byTier { s =>
+      val half = (0.5 / math.pow(2.0, s)).toFloat
+      lit(alpha) * org.apache.spark.sql.graft.VecExprs.absDot(
+        col("qvec"),
+        transform(col(s"rvec_$s"), _ => lit(half))) / fnorm(col("nq2"))
+    }
+    val cand = vpre
+      .filter(col("lang").isin(unionLangs: _*))
+      .crossJoin(q)
+      .filter(col("lang") === col("qlang"))
+      .select(col("qid"), col("id"), sHat.as("s_hat"), cush.as("cush"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vSel = stored.select(col("id"), col("vec"))
+    def eager(df: DataFrame): DataFrame = {
+      val mat = df.persist(StorageLevel.MEMORY_AND_DISK)
+      mat.count(); mat
+    }
+    try {
+      // seeds: per-qid top-poolN by s_hat (map-side WindowGroupLimit)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("s_hat").desc, col("id").asc)
+      val seedIds = eager(cand.select(col("qid"), col("id"), col("s_hat"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= poolN))
+      val seeds = eager(vSel.join(broadcast(seedIds), Seq("id"))
+        .join(qSel, Seq("qid"))
+        .withColumn("s_full", dot(col("vec"), col("qvec")) /
+          (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2"))))
+        .select(col("qid"), col("id"), col("s_full")))
+      val tau0 = broadcast(
+        seeds.groupBy(col("qid")).agg(min(col("s_full")).as("tau0")))
+      val survivorIds = cand
+        .join(broadcast(seedIds.select(col("qid"), col("id"))),
+          Seq("qid", "id"), "left_anti")
+        .join(tau0, Seq("qid"))
+        .filter(col("s_hat") + col("cush") >= col("tau0"))
+        .select(col("qid"), col("id"))
+      // no broadcast hint on the survivor fetch: a coarse tier's
+      // cushion can swell survivors toward N·Q — AQE sizes the join
+      val survivors = vSel.join(survivorIds, Seq("id"))
+        .join(qSel, Seq("qid"))
+        .withColumn("s_full", dot(col("vec"), col("qvec")) /
+          (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2"))))
+        .select(col("qid"), col("id"), col("s_full"))
+      // the fetch set is a bounded per-qid relation — pin it so the
+      // serve and its ledger don't re-run the pipeline per consumer
+      seeds.unionByName(survivors).localCheckpoint(true)
+    } finally cand.unpersist(blocking = false)
+  }
+
+  /**
+   * [[serveRequests]] with the vector side at a PER-REQUEST PRECISION
+   * TIER off the tiered at-rest serve layout — the capstone
+   * composition the title knob was built for: each request binds its
+   * own tier from the stored relation, its cheap pass reads that
+   * tier's physical code column (1 B or 2 B per component — actual
+   * column widths, not a model), survivors rescore at full precision,
+   * and the final pool feeds the shared fusion/cut path. Zero-miss in
+   * practice, so page rows match the brute capstone's; the TIER shows
+   * up in the ledger twin's bytes ([[serveRequestsTieredMetrics]]).
+   */
+  def serveRequestsTiered(spark: SparkSession, sfDir: String,
+                          emb: DataFrame, docMeta: DataFrame,
+                          queries: Seq[(Long, Seq[String])],
+                          filters: Seq[(Long, String)],
+                          weights: Seq[(Long, Double)],
+                          ks: Seq[(Long, Int)],
+                          tiers: Seq[(Long, Int)],
+                          layoutScales: Seq[Int], k1: Double, b: Double,
+                          poolN: Int, nBuckets: Int,
+                          alpha: Double): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val fetch = tieredServeFetch(spark, sfDir, emb, filters, tiers,
+      layoutScales, poolN, alpha)
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
+  /**
+   * [[serveRequestsTiered]]'s per-request byte ledger — where the tier
+   * becomes VISIBLE: `bytes_vec` = 8·N (the lang pre-filter column) +
+   * codeBytes(tier_q)·d·v_cands (the request's OWN tier's code chunks,
+   * read only for its lang-matching rows) + 4d·fetched (full-precision
+   * rescue fetches), so two requests over the same lang slice with
+   * different tiers show different bytes — per-request bandwidth made
+   * auditable, the [[serveRequestsMetrics]] discipline otherwise
+   * (universe LEFT joins, explicit all-zero rows, qid = -1 aggregate
+   * with tier = -1, sum-of-parts = whole).
+   */
+  def serveRequestsTieredMetrics(spark: SparkSession, sfDir: String,
+                                 emb: DataFrame, docMeta: DataFrame,
+                                 queries: Seq[(Long, Seq[String])],
+                                 filters: Seq[(Long, String)],
+                                 weights: Seq[(Long, Double)],
+                                 ks: Seq[(Long, Int)],
+                                 tiers: Seq[(Long, Int)],
+                                 layoutScales: Seq[Int], k1: Double,
+                                 b: Double, poolN: Int, nBuckets: Int,
+                                 alpha: Double, d: Int): DataFrame = {
+    require(ks.nonEmpty, "serveRequestsTieredMetrics: empty page relation")
+    require(filters.nonEmpty,
+      "serveRequestsTieredMetrics: empty filter relation")
+    import spark.implicits._
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val fetch = tieredServeFetch(spark, sfDir, emb, filters, tiers,
+      layoutScales, poolN, alpha)
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    val fused = serveFusedWith(spark, root, docMeta, queries, filters,
+      weights, k1, b, poolN, nBuckets, vecPool)
+    val tAgg = servePostingBytes(spark, root, queries, nBuckets)
+    val meta = docMeta.select(col("doc_id").as("id"), col("lang"))
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val vAgg = emb.select(col("vec_id").as("id")).join(meta, Seq("id"))
+      .join(qf, Seq("lang"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("v_cands"))
+    val fetchAgg = fetch.groupBy(col("qid"))
+      .agg(count(lit(1)).as("fetched"))
+    val fAgg = fused.groupBy(col("qid")).agg(count(lit(1)).as("fused"))
+    val nV = emb.count() // one bounded scalar (a model)
+    val trRel = broadcast(tiers.map { case (qid, s) =>
+      (qid, s, graft.sources.Disaggregated.serveTierCodeBytes(s)
+        .toLong * d) }.toDF("qid", "tier", "b_red"))
+    val qkRel = broadcast(ks.toDF("qid", "kq"))
+    val perQid = qkRel
+      .join(trRel, Seq("qid"))
+      .join(tAgg, Seq("qid"), "left")
+      .join(vAgg, Seq("qid"), "left")
+      .join(fetchAgg, Seq("qid"), "left")
+      .join(fAgg, Seq("qid"), "left")
+      .select(col("qid"), col("tier"),
+        coalesce(col("t_cands"), lit(0L)).as("t_cands"),
+        coalesce(col("v_cands"), lit(0L)).as("v_cands"),
+        coalesce(col("fetched"), lit(0L)).as("fetched"),
+        coalesce(col("fused"), lit(0L)).as("fused"),
+        least(col("kq").cast("long"),
+          coalesce(col("fused"), lit(0L))).as("page"),
+        coalesce(col("bytes_text"), lit(0L)).as("bytes_text"),
+        (lit(8L * nV) +
+          col("b_red") * coalesce(col("v_cands"), lit(0L)) +
+          lit(4L * d) * coalesce(col("fetched"), lit(0L)))
+          .as("bytes_vec"),
+        lit((8L + 4L * d) * nV).as("bytes_vec_full"))
+    val total = perQid.agg(
+      sum(col("t_cands")).as("t_cands"),
+      sum(col("v_cands")).as("v_cands"),
+      sum(col("fetched")).as("fetched"),
+      sum(col("fused")).as("fused"),
+      sum(col("page")).as("page"),
+      sum(col("bytes_text")).as("bytes_text"),
+      sum(col("bytes_vec")).as("bytes_vec"),
+      sum(col("bytes_vec_full")).as("bytes_vec_full"))
+      .select(lit(-1L).as("qid") +: lit(-1).as("tier") +:
+        perQid.columns.filterNot(Set("qid", "tier"))
+          .map(col).toSeq: _*)
+    perQid.unionByName(total)
+      .withColumn("save", lit(1.0) -
+        (col("bytes_text") + col("bytes_vec")).cast("double") /
+          (col("bytes_text") + col("bytes_vec_full")).cast("double"))
+      .withColumn("fpr",
+        when(col("t_cands") + col("v_cands") === 0L, lit(0.0))
+          .otherwise((col("fused") - col("page")).cast("double") /
+            (col("t_cands") + col("v_cands")).cast("double")))
+  }
+
   /** The per-qid candidate posting rows' counts and fully-read bytes —
     * shared by both serve ledgers (the text side is identical whether
     * the vector side is brute or indexed). */

@@ -951,6 +951,199 @@ object SearchOracle {
   }
 
   /**
+   * The TIERED vector-pool CTE chain ([[graft.operators.Search
+   * .serveRequestsTiered]]'s vector side): the full two-phase
+   * per-request-precision pipeline recomputed FROM THE RAW FLOATS —
+   * per-element quantization rv = FLOOR(v·2^s + 0.5)/2^s (exact dyadic
+   * rationals, the [[RefineOracle.quantRvDv]] discipline), per-qid
+   * tier bound via CASE over the tier relation, cos_l1 constant
+   * half-step cushion, seed/tau0/survivor/exact-rescore CTEs
+   * mirroring the engine tree token-for-token, ending at
+   * `vtop(qid, doc_id, vscore)` with `tfetch` (the per-qid fetch set)
+   * and `tr` (the tier relation) in scope for the ledger twin.
+   */
+  private def tieredVecPoolCtes(d: Int, nq: Int,
+                                tiers: Seq[(Long, Int)], alpha: Double,
+                                poolN: Int,
+                                relPath: Option[String]): String = {
+    val usedScales = tiers.map(_._2).distinct.sorted
+    val trRows = tiers.map { case (qid, s) => s"($qid, $s)" }
+      .mkString(", ")
+    val trBody = relPath match {
+      case Some(p) =>
+        s"SELECT qid, pos AS tier FROM read_parquet('$p/*.parquet')" +
+          s" WHERE kind = 'stier'"
+      case None =>
+        s"SELECT CAST(qid AS BIGINT) AS qid, CAST(tier AS INTEGER) AS tier" +
+          s"\n  FROM (VALUES $trRows) AS v(qid, tier)"
+    }
+    // per-element quantized value at scale s — inlined everywhere it
+    // is used (numerator AND its own norm), keeping each aggregate a
+    // left-associated sum exactly like the engine's codegen'd folds
+    def rv(s: Int, i: Int): String = {
+      val mul = (1L << s).toDouble
+      s"(FLOOR(CAST(c.embedding[$i] AS DOUBLE)*${dlit(mul)} + 0.5)/${dlit(mul)})"
+    }
+    def sHat(s: Int): String = {
+      val num = (1 to d).map(i => s"${rv(s, i)}*CAST(vq.qv[$i] AS DOUBLE)")
+        .mkString("(", " + ", ")")
+      val nr2 = (1 to d).map(i => s"${rv(s, i)}*${rv(s, i)}")
+        .mkString("(", " + ", ")")
+      s"$num / (${fn(nr2)} * ${fn("nq2.n2")})"
+    }
+    def cush(s: Int): String = {
+      val half = 0.5 / (1L << s).toDouble
+      val sum = (1 to d).map(i =>
+          s"ABS(CAST(vq.qv[$i] AS DOUBLE))*${dlit(half)}")
+        .mkString("(", " + ", ")")
+      s"(${dlit(alpha)} * $sum) / ${fn("nq2.n2")}"
+    }
+    def byTier(f: Int => String): String =
+      usedScales.init.foldRight(f(usedScales.last)) { (s, rest) =>
+        s"CASE WHEN tr.tier = $s THEN ${f(s)} ELSE $rest END" }
+    val sFull = s"${EmbOracle.dotE("c2.embedding", "vq.qv", d)} /" +
+      s" (${fn("ni.n2")} * ${fn("nq2.n2")})"
+    s"""vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       ORDER BY vec_id LIMIT $nq),
+       |tr AS ($trBody),
+       |vcand AS (SELECT e.vec_id AS id, e.embedding, dm2.lang
+       |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
+       |tcand AS MATERIALIZED (SELECT vq.qid, c.id,
+       |    ${byTier(sHat)} AS s_hat,
+       |    ${byTier(cush)} AS cush
+       |  FROM vcand c CROSS JOIN vq
+       |  JOIN qf ON qf.qid = vq.qid AND qf.lang = c.lang
+       |  JOIN tr ON tr.qid = vq.qid
+       |  JOIN nrm nq2 ON vq.qid = nq2.vec_id),
+       |tseed AS MATERIALIZED (SELECT qid, id, s_hat FROM (
+       |  SELECT qid, id, s_hat,
+       |    row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
+       |  FROM tcand) WHERE rn <= $poolN),
+       |tsfull AS MATERIALIZED (SELECT s.qid, s.id, $sFull AS s_full
+       |  FROM tseed s JOIN embeddings c2 ON s.id = c2.vec_id
+       |  JOIN vq ON vq.qid = s.qid
+       |  JOIN nrm ni ON s.id = ni.vec_id
+       |  JOIN nrm nq2 ON s.qid = nq2.vec_id),
+       |ttau AS (SELECT qid, MIN(s_full) AS tau0 FROM tsfull GROUP BY qid),
+       |tsurv AS (SELECT r.qid, r.id FROM tcand r
+       |  JOIN ttau t ON t.qid = r.qid
+       |  LEFT JOIN tseed sd ON sd.qid = r.qid AND sd.id = r.id
+       |  WHERE sd.id IS NULL AND r.s_hat + r.cush >= t.tau0),
+       |tsurvf AS (SELECT v.qid, v.id, $sFull AS s_full
+       |  FROM tsurv v JOIN embeddings c2 ON v.id = c2.vec_id
+       |  JOIN vq ON vq.qid = v.qid
+       |  JOIN nrm ni ON v.id = ni.vec_id
+       |  JOIN nrm nq2 ON v.qid = nq2.vec_id),
+       |tfetch AS MATERIALIZED (SELECT qid, id, s_full FROM tsfull
+       |  UNION ALL SELECT qid, id, s_full FROM tsurvf),
+       |vtop AS (SELECT qid, id AS doc_id, s_full AS vscore FROM (
+       |  SELECT qid, id, s_full,
+       |    row_number() OVER (PARTITION BY qid ORDER BY s_full DESC, id ASC) AS rnk
+       |  FROM tfetch) WHERE rnk <= $poolN)""".stripMargin
+  }
+
+  /** [[graft.operators.Search.serveRequestsTiered]]: the serve chain
+    * with the vector pool swapped for the per-request-precision tiered
+    * pipeline. */
+  def serveRequestsTieredSql(d: Int, queries: Seq[(Long, Seq[String])],
+                             filters: Seq[(Long, String)],
+                             weights: Seq[(Long, Double)],
+                             ks: Seq[(Long, Int)],
+                             tiers: Seq[(Long, Int)], alpha: Double,
+                             k1: Double, b: Double, poolN: Int,
+                             st: Option[Bm25Stats],
+                             relPath: Option[String] = None): String = {
+    val nq = (filters.map(_._1).max + 1).toInt
+    val pool = tieredVecPoolCtes(d, nq, tiers, alpha, poolN, relPath)
+    s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
+          poolN, st, relPath, vectorPoolCtes = Some(pool))},
+       |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
+       |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
+       |  FROM scoredf)
+       |SELECT r.qid, CAST(r.rnk AS INTEGER) AS rank, r.doc_id, r.fused,
+       |  r.tnorm, r.vnorm
+       |FROM ranked r JOIN qk3 ON qk3.qid = r.qid
+       |WHERE r.rnk <= qk3.kq""".stripMargin
+  }
+
+  /** [[graft.operators.Search.serveRequestsTieredMetrics]]: the tiered
+    * capstone's per-request ledger — bytes_vec = 8·N (lang column) +
+    * codeBytes(tier_q)·d·v_cands (the request's own tier's chunks) +
+    * 4d·fetched (full-precision rescue fetches). */
+  def serveRequestsTieredMetricsSql(d: Int,
+                                    queries: Seq[(Long, Seq[String])],
+                                    filters: Seq[(Long, String)],
+                                    weights: Seq[(Long, Double)],
+                                    ks: Seq[(Long, Int)],
+                                    tiers: Seq[(Long, Int)],
+                                    tierCodeBytes: Int => Int,
+                                    alpha: Double, k1: Double, b: Double,
+                                    poolN: Int, st: Option[Bm25Stats],
+                                    relPath: Option[String] = None): String = {
+    val nq = (filters.map(_._1).max + 1).toInt
+    val pool = tieredVecPoolCtes(d, nq, tiers, alpha, poolN, relPath)
+    val usedScales = tiers.map(_._2).distinct.sorted
+    val bRedExpr = usedScales.init
+      .foldRight(s"${tierCodeBytes(usedScales.last)}") { (s, rest) =>
+        s"CASE WHEN tr.tier = $s THEN ${tierCodeBytes(s)} ELSE $rest END" }
+    s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
+          poolN, st, relPath, vectorPoolCtes = Some(pool))},
+       |tc AS (SELECT qt.qid, COUNT(*) AS t_cands,
+       |    CAST(SUM(len(p.term) + 24) AS BIGINT) AS bytes_text
+       |  FROM posts p JOIN qt ON p.term = qt.term GROUP BY qt.qid),
+       |vc AS (SELECT qf.qid, COUNT(*) AS v_cands
+       |  FROM embeddings e JOIN documents dm3 ON e.vec_id = dm3.doc_id
+       |  JOIN qf ON qf.lang = dm3.lang GROUP BY qf.qid),
+       |tfc AS (SELECT qid, COUNT(*) AS fetched FROM tfetch GROUP BY qid),
+       |fc AS (SELECT qid, COUNT(*) AS fused FROM scoredf GROUP BY qid),
+       |nvs AS (SELECT COUNT(*) AS nv FROM embeddings),
+       |perq AS (SELECT qk3.qid, tr.tier,
+       |    COALESCE(tc.t_cands, 0) AS t_cands,
+       |    COALESCE(vc.v_cands, 0) AS v_cands,
+       |    COALESCE(tfc.fetched, 0) AS fetched,
+       |    COALESCE(fc.fused, 0) AS fused,
+       |    LEAST(CAST(qk3.kq AS BIGINT), COALESCE(fc.fused, 0)) AS page,
+       |    COALESCE(tc.bytes_text, 0) AS bytes_text,
+       |    8 * nvs.nv + ($bRedExpr) * $d * COALESCE(vc.v_cands, 0) +
+       |      ${4L * d} * COALESCE(tfc.fetched, 0) AS bytes_vec,
+       |    (8 + ${4L * d}) * nvs.nv AS bytes_vec_full
+       |  FROM qk3
+       |  JOIN tr ON tr.qid = qk3.qid
+       |  LEFT JOIN tc ON tc.qid = qk3.qid
+       |  LEFT JOIN vc ON vc.qid = qk3.qid
+       |  LEFT JOIN tfc ON tfc.qid = qk3.qid
+       |  LEFT JOIN fc ON fc.qid = qk3.qid
+       |  CROSS JOIN nvs),
+       |tot AS (SELECT CAST(-1 AS BIGINT) AS qid, -1 AS tier,
+       |    CAST(SUM(t_cands) AS BIGINT) AS t_cands,
+       |    CAST(SUM(v_cands) AS BIGINT) AS v_cands,
+       |    CAST(SUM(fetched) AS BIGINT) AS fetched,
+       |    CAST(SUM(fused) AS BIGINT) AS fused,
+       |    CAST(SUM(page) AS BIGINT) AS page,
+       |    CAST(SUM(bytes_text) AS BIGINT) AS bytes_text,
+       |    CAST(SUM(bytes_vec) AS BIGINT) AS bytes_vec,
+       |    CAST(SUM(bytes_vec_full) AS BIGINT) AS bytes_vec_full
+       |  FROM perq),
+       |allrows AS (SELECT qid, tier,
+       |    CAST(t_cands AS BIGINT) AS t_cands,
+       |    CAST(v_cands AS BIGINT) AS v_cands,
+       |    CAST(fetched AS BIGINT) AS fetched,
+       |    CAST(fused AS BIGINT) AS fused, CAST(page AS BIGINT) AS page,
+       |    CAST(bytes_text AS BIGINT) AS bytes_text,
+       |    CAST(bytes_vec AS BIGINT) AS bytes_vec,
+       |    CAST(bytes_vec_full AS BIGINT) AS bytes_vec_full FROM perq
+       |  UNION ALL SELECT * FROM tot)
+       |SELECT qid, tier, t_cands, v_cands, fetched, fused, page,
+       |  bytes_text, bytes_vec, bytes_vec_full,
+       |  1.0 - CAST(bytes_text + bytes_vec AS DOUBLE) /
+       |    CAST(bytes_text + bytes_vec_full AS DOUBLE) AS save,
+       |  CASE WHEN t_cands + v_cands = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(fused - page AS DOUBLE) /
+       |         CAST(t_cands + v_cands AS DOUBLE) END AS fpr
+       |FROM allrows""".stripMargin
+  }
+
+  /**
    * Per-request byte ledger on the serving capstone
    * ([[graft.operators.Search.serveRequestsMetrics]]): per-qid counts
    * and byte sums over the SAME posting / lang-filter / fused

@@ -172,6 +172,94 @@ object Disaggregated {
     path.toString
   }
 
+  // --- tiered SERVE layout (per-request precision on the doc corpus) ---
+
+  /** Bump when [[writeServeTiers]]'s layout changes. */
+  private val ServeTiersLayoutVersion = 1
+
+  /** Smallest honest storage width for a quantization tier: codes are
+    * |k| <= max|v|·2^s + 0.5, so tiers up to 2^6 fit TINYINT on the
+    * embedding fixture (|v| < 1) and wider tiers take SMALLINT — the
+    * per-tier byte cost the serve ledger reports is the PHYSICAL column
+    * width, not a model. */
+  def serveTierCodeBytes(scaleLog2: Int): Int = if (scaleLog2 <= 6) 1 else 2
+
+  /**
+   * PRECISION TIERS AT REST ON THE SERVING CORPUS: one
+   * scalar-quantization code column PER TIER (`code_s` =
+   * round(v·2^s)/2^-s codes at physical width
+   * [[serveTierCodeBytes]]) beside the full-precision vector AND the
+   * request pre-filter metadata (`lang`, denormalized at build time so
+   * the serve's cheap pass needs no metadata join) — the
+   * [[writeTiers]] story carried onto the document corpus, where the
+   * per-request knob must be recomputable by the DuckDB oracle from
+   * the raw floats (mantissa truncation is a bit-level op SQL cannot
+   * mirror; round-to-nearest dyadic quantization is exact on both
+   * engines — the [[graft.oracle.RefineOracle.quantRvDv]] discipline).
+   * A request batch using tiers {4, 11} physically reads neither `vec`
+   * nor the stored 8-bit tier's chunks (PlanSpec asserts). Sorted by
+   * id within files for row-group skipping on the rescore fetch.
+   */
+  def writeServeTiers(vectors: DataFrame, path: String,
+                      scales: Seq[Int]): Unit = {
+    val cols = Seq(col("id"), col("lang"), col("vec")) ++
+      scales.sorted.map { s =>
+        val mul = math.pow(2.0, s)
+        val t = if (serveTierCodeBytes(s) == 1) "byte" else "short"
+        transform(col("vec"),
+          x => floor(x * mul + lit(0.5)).cast(t)).as(s"code_$s")
+      }
+    vectors.select(cols: _*)
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
+  /** Materialize the tiered SERVE fixture once per machine over the
+    * embeddings corpus + document langs (immutable version-named dir,
+    * atomic scratch publish — the [[ensureFixture]] discipline). Codes
+    * must fit their declared width (publish-time guard, not a silent
+    * wrap). */
+  def ensureTieredServeFixture(spark: SparkSession, sfDir: String,
+                               scales: Seq[Int]): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = scales.sorted.mkString("-")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_servetiers_v${ServeTiersLayoutVersion}_${safe}_s${key}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "servet-")
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val docs = graft.Tables.documents(spark, sfDir)
+      val maxAbs = emb
+        .select(org.apache.spark.sql.functions.max(org.apache.spark.sql
+          .functions.aggregate(col("embedding"), lit(0.0d),
+            (a, x) => org.apache.spark.sql.functions.greatest(a,
+              org.apache.spark.sql.functions.abs(x.cast("double"))))))
+        .collect()(0).getDouble(0)
+      scales.foreach { s =>
+        val lim = if (serveTierCodeBytes(s) == 1) 127.0 else 32767.0
+        require(maxAbs * math.pow(2.0, s) + 0.5 < lim,
+          s"tier 2^$s codes overflow their ${serveTierCodeBytes(s)}-byte " +
+            s"width at max|v| = $maxAbs")
+      }
+      writeServeTiers(
+        emb.join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+            Seq("vec_id"))
+          .select(col("vec_id").as("id"), col("lang"),
+            col("embedding").as("vec")),
+        tmp.toString, scales)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"tiered serve fixture publish failed: $path")
+    }
+    path.toString
+  }
+
   // --- int8 at-rest layout --------------------------------------------
 
   /** Bump when [[writeInt8]]'s layout changes. */

@@ -786,6 +786,58 @@ class PlanSpec extends AnyFunSuite {
       "tiered at-rest ledger diverged from the in-memory rung")
   }
 
+  test("tiered serve layout: cheap scan reads only the USED tiers' code chunks, never vec or the unused tier") {
+    // the serve capstone's per-request precision: the layout stores
+    // three quantization tiers (2^4, 2^8, 2^11); the request relation
+    // binds only {4, 11} — the cheap pass must read exactly (id, lang,
+    // code_4, code_11), with the full-precision vec and the
+    // stored-but-unused 2^8 tier's chunks never touched. The operator
+    // pins its fetch set via localCheckpoint, so assert the pruning on
+    // the exact projections the operator consumes (its only reads of
+    // the layout), plus ledger sanity: same-lang requests at different
+    // tiers pay different bytes.
+    import org.apache.spark.sql.functions.{col, element_at}
+    import SparkEntry.{ServeTierScales, ServeTierLayoutScales}
+    val path = graft.sources.Disaggregated.ensureTieredServeFixture(
+      spark, dir, ServeTierLayoutScales)
+    val stored = spark.read.parquet(path)
+    val used = ServeTierScales.map(s => s"code_$s")
+    val cheap = stored.select(col("id") +: col("lang") +:
+      used.map(c => element_at(col(c), 1).cast("double").as(s"x_$c")): _*)
+    cheap.collect()
+    val unused = (ServeTierLayoutScales.toSet -- ServeTierScales.toSet)
+      .map(s => s"code_$s")
+    val scans = graft.sources.Disaggregated.scanSchemas(cheap)
+    assert(scans.nonEmpty, "no parquet scan in cheap-pass plan")
+    assert(scans.forall(s => !s.contains("vec") &&
+        unused.forall(c => !s.contains(c))),
+      s"cheap scan read vec or an unused tier ($unused): $scans")
+    assert(scans.exists(s => used.toSet.subsetOf(s)),
+      s"cheap scan missing a used tier column ($used): $scans")
+    // fetch side reads only (id, vec) — no code chunks
+    val fetch = stored.select(col("id"), element_at(col("vec"), 1).as("v0"))
+    fetch.collect()
+    val fscans = graft.sources.Disaggregated.scanSchemas(fetch)
+    assert(fscans.nonEmpty && fscans.forall(s =>
+        !s.exists(_.startsWith("code_"))),
+      s"fetch scan read code columns: $fscans")
+    // ledger sanity: qid 0 (tier 4, same lang slice cardinality rules
+    // aside) pays FEWER cheap bytes per candidate than qid 1 (tier 11):
+    // the 1 B vs 2 B width is physical, and bytes_vec reflects it
+    val led = SparkEntry.queries("q_serve_requests_tiered_metrics")(
+      spark, dir).collect()
+    val byQid = led.filter(_.getAs[Long]("qid") >= 0)
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Int]("tier"), r.getAs[Long]("bytes_vec"))).toMap
+    assert(byQid(0L)._1 == 4 && byQid(1L)._1 == 11,
+      s"tier binding drifted: $byQid")
+    val agg = led.filter(_.getAs[Long]("qid") == -1L)
+    assert(agg.length == 1 &&
+      agg(0).getAs[Long]("bytes_vec") ==
+        byQid.values.map(_._2).sum,
+      "qid=-1 aggregate is not the sum of the per-request bytes")
+  }
+
   test("spherical-PQ at-rest at D=1024: pruned code-only cheap scan, compiled codegen, equals in-memory") {
     // the WIDE at-rest rung — the §3.3 bandwidth story at the
     // reference's FineWeb width: the pruning must hold where the vec
