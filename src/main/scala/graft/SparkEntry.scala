@@ -1984,6 +1984,14 @@ object SparkEntry {
     "q_ann_pq_upsert" -> q((s, dir) => graft.operators.Pq
       .topkAtRestUpserted(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
         IvfProbe, PqM, PqCodes, PqRerank, UpsertMod)),
+    // ... and TIME TRAVEL on the UPDATE log — the half of the snapshot
+    // story deletes already had: revision-stamped re-encoded delta
+    // segments beside the byte-immutable base, served as-of commit 1
+    // (only ids ≡ 0 mod 2·UpsertMod updated); every snapshot
+    // hash-equal to re-encoding the corpus at that snapshot's values
+    "q_ann_pq_upsert_asof" -> q((s, dir) => graft.operators.Pq
+      .topkAtRestUpsertedAsOf(s, dir, emb(s, dir), NQ, K, IvfCells,
+        EmbD, IvfProbe, PqM, PqCodes, PqRerank, UpsertMod, asOf = 1)),
     // metadata-filtered search at the quantized rung, off the at-rest
     // codes: ONE cheap scan carries cell partition pruning AND the
     // pushed lang predicate AND reads only the code word (PlanSpec
@@ -3097,6 +3105,11 @@ object SparkEntry {
     // vec_id ≡ 0 mod UpsertMod (query side untouched)
     "q_ann_pq_upsert" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank, updatedNegMod = UpsertMod),
+    // as-of commit 1 = the index re-encoded over the view where only
+    // ids ≡ 0 (mod 2·UpsertMod) carry the update — the snapshot oracle
+    // IS the plain upsert oracle at the commit-1 update set
+    "q_ann_pq_upsert_asof" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, updatedNegMod = 2 * UpsertMod),
     // the PQ pipeline in signed-permutation-transformed space
     "q_ann_ivf_pq_opq" -> PqOracle.topkPermutedSql(EmbD, NQ, K, IvfCells,
       IvfProbe, PqM, PqCodes, PqRerank),

@@ -631,7 +631,7 @@ object Pq {
   /** The probe/cheap/rescore pipeline over an explicit stored frame —
     * lets delete-aware callers interpose a tombstone anti-join between
     * the scan and the query (filters still push through it). */
-  private def topkOffStored(stored: DataFrame, emb: DataFrame,
+  private[graft] def topkOffStored(stored: DataFrame, emb: DataFrame,
                             nq: Int, k: Int, nCells: Int, d: Int, nprobe: Int,
                             mSub: Int, codes: Int, rerank: Int): DataFrame =
     topkOffStoredQ(stored,
@@ -891,6 +891,83 @@ object Pq {
         s"pq upsert delta publish failed: $path")
     }
     path.toString
+  }
+
+  /** Bump when the VERSIONED upsert log layout changes. */
+  private val UpsertLogLayoutVersion = 1
+
+  /**
+   * The VERSIONED update log — upsert time travel's missing half (the
+   * delete side has had [[ensureVersionedTombstones]] across all five
+   * families): the same update set as [[ensureUpsertDelta]], but each
+   * re-encoded row stamped with its `commit_v` — commit 1 updates ids
+   * ≡ 0 (mod 2·mod), commit 2 completes the ≡ 0 (mod mod) set — so any
+   * historical snapshot of the index is servable as base + the delta
+   * rows with `commit_v <= asOf`. Append-only revision-stamped delta
+   * segments beside the byte-immutable base, exactly how a
+   * lakehouse-table index keeps update history; the pattern ports to
+   * the other four families verbatim (their upsert deltas gain the
+   * same stamp column; serve-side filter before the anti-join).
+   */
+  def ensureVersionedUpsertDeltas(spark: SparkSession, sfDir: String,
+                                  nCells: Int, d: Int, mSub: Int,
+                                  codes: Int, mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_pqupsertlog_v${UpsertLogLayoutVersion}_${safe}_c${nCells}" +
+        s"_d${d}_m${mSub}_k${codes}_u${mod}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "pqupslog-")
+      encodeCodes(graft.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % mod === 0)
+          .withColumn("embedding", transform(col("embedding"), x => -x)),
+          nCells, d, mSub, codes)
+        .withColumn("commit_v",
+          when(col("id") % (2L * mod) === 0, lit(1)).otherwise(lit(2)))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"pq versioned upsert log publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * AS-OF (time-travel) serve over the versioned UPDATE log: snapshot
+   * v = base rows whose ids are not updated by any commit ≤ v, plus
+   * the delta rows with `commit_v <= asOf` — asOf 0 is the pre-update
+   * index, the latest asOf equals the plain merge-on-read
+   * [[topkAtRestUpserted]], and every snapshot is hash-equal to
+   * re-encoding the corpus at that snapshot's values (spec-asserted:
+   * the oracle re-derives each snapshot from the corresponding updated
+   * view). The snapshot choice is a filter on the bounded log BEFORE
+   * the anti-join; base and log files are byte-immutable.
+   */
+  def topkAtRestUpsertedAsOf(spark: SparkSession, sfDir: String,
+                             emb: DataFrame, nq: Int, k: Int,
+                             nCells: Int, d: Int, nprobe: Int,
+                             mSub: Int, codes: Int, rerank: Int,
+                             mod: Int, asOf: Int): DataFrame = {
+    val basePath = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val logPath =
+      ensureVersionedUpsertDeltas(spark, sfDir, nCells, d, mSub, codes, mod)
+    val cols = Seq(col("id"), col("cell"), col("vec"), col("code"))
+    val base = spark.read.parquet(basePath).select(cols: _*)
+    val delta = spark.read.parquet(logPath)
+      .filter(col("commit_v") <= asOf).select(cols: _*)
+    // no broadcast hint: the applied-commit prefix is
+    // corpus-fraction-sized, AQE sizes the anti-join at runtime
+    val live = base
+      .join(delta.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(delta)
+    topkOffStored(live, emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
   }
 
   /**

@@ -236,6 +236,41 @@ class PqSpec extends AnyFunSuite {
       assert(mid != deleted, "asOf 1 must still serve commit-2 victims")
   }
 
+  test("upsert as-of snapshots: endpoints equal the pre-update and fully-upserted serves") {
+    import SparkEntry.UpsertMod
+    def asOf(v: Int) = Pq.topkAtRestUpsertedAsOf(spark, dir, emb,
+      NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank,
+      UpsertMod, asOf = v).collect().map(_.toSeq).toSet
+    // asOf 0 = the pre-update snapshot = the plain at-rest serve
+    val plain = Pq.topkAtRest(spark, dir, emb, NQ, K, IvfCells, EmbD,
+      IvfProbe, PqM, PqCodes, PqRerank).collect().map(_.toSeq).toSet
+    assert(asOf(0) == plain, "asOf 0 must be the pre-update snapshot")
+    // the latest commit = the full merge-on-read upsert serve
+    val upserted = Pq.topkAtRestUpserted(spark, dir, emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, UpsertMod)
+      .collect().map(_.toSeq).toSet
+    assert(asOf(2) == upserted,
+      "latest asOf must equal the plain upsert serve")
+    // every snapshot equals RE-ENCODING the corpus at that snapshot's
+    // values: asOf 1 = only ids ≡ 0 (mod 2·UpsertMod) updated
+    def rebuilt(updMod: Long) = {
+      val view = emb.select(col("vec_id"),
+        when(col("vec_id") % updMod === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      Pq.topkOffStored(
+        Pq.encodeCodes(view, IvfCells, EmbD, PqM, PqCodes)
+          .withColumnRenamed("embedding", "vec"),
+        emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(asOf(1) == rebuilt(2L * UpsertMod),
+      "asOf 1 must equal the re-encode over the commit-1 view")
+    // and the log is not degenerate: the three snapshots differ
+    assert(asOf(0) != asOf(1) && asOf(1) != asOf(2),
+      "upsert snapshots collapsed — vacuous fixture")
+  }
+
   test("spherical as-of snapshots: endpoints equal the undeleted and fully-deleted serves") {
     import SparkEntry.DeleteMod
     // the L2 family's time-travel contract carried onto the composed
