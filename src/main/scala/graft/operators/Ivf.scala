@@ -1396,6 +1396,17 @@ object Ivf {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val updNew = updOld.select(col("qid"),
       transform(col("qvec"), x => -x).as("qvec"))
+    commitProberUpdates(spark, sidecar, updOld, updNew, nCells, d, nprobe)
+  }
+
+  /** [[commitProberUpsert]] with EXPLICIT (qid, qvec) old/new node
+    * relations — the form a streaming maintainer drives per commit
+    * (each microbatch's arrivals are its own update set; the mod-based
+    * wrapper above is the batch fixture's shape). */
+  def commitProberUpdates(spark: org.apache.spark.sql.SparkSession,
+                          sidecar: String, updOld: DataFrame,
+                          updNew: DataFrame, nCells: Int, d: Int,
+                          nprobe: Int): Unit = {
     val oldPairs = probePairs(updOld, nCells, d, nprobe)
     val newPairs = probePairs(updNew, nCells, d, nprobe)
     // bounded models: <= nCells ints each

@@ -1473,6 +1473,182 @@ object StreamOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** Bump when the streaming graph-upsert state layout changes. */
+  private val StreamKnnUpsertLayoutVersion = 1
+
+  /**
+   * STREAMING GRAPH UPSERT — update commits arriving as a real file
+   * stream (one landing shard per commit: commit 1 = ids ≡ 0 mod
+   * 2·`mod`, commit 2 the rest, v' = −v), each microbatch running the
+   * EXACT incremental repair against the current state: affected =
+   * edge-holders of the arrivals ∪ gainers read PARTITION-PRUNED off
+   * the maintained prober-pairs sidecar ∪ the arrivals themselves,
+   * re-ranked over the updated corpus view, appended as versioned edge
+   * rows (latest batch wins per node — the [[ensureStreamKnnGraph]]
+   * discipline). The sidecar is maintained BY the commit
+   * ([[graft.operators.Ivf.commitProberUpdates]]: only touched cell
+   * partitions rewritten) — and that maintenance is LOAD-BEARING here,
+   * not hygiene: commit 2's gainer pass must see commit 1's updated
+   * probe sets, or a node updated in commit 1 could silently miss a
+   * candidate commit 2 lands in its NEW probe cells. Each repair being
+   * exact (equal to the rebuild over its intermediate view —
+   * OperatorsSpec proves the algebra), the drained latest-wins state
+   * equals the one-shot batch upsert, so `q_stream_knn_graph_upsert`
+   * shares `q_knn_graph_upsert`'s oracle.
+   */
+  def ensureStreamKnnGraphUpsert(spark: SparkSession, sfDir: String,
+                                 mod: Int, j: Int, nCells: Int, d: Int,
+                                 nprobe: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val basePath = graft.operators.Ivf.ensureKnnGraph(spark, sfDir, j,
+      nCells, d, nprobe)
+    val proberPath = graft.operators.Ivf.ensureKnnGraphProbes(spark,
+      sfDir, nCells, d, nprobe)
+    val landingP = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_knnups_landing_sv${StreamKnnUpsertLayoutVersion}_${safe}" +
+        s"_u${mod}_d${d}_v${graft.Fixture.srcVersion(sfDir)}")
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_knnups_sv${StreamKnnUpsertLayoutVersion}_${safe}" +
+        s"_u${mod}_j${j}_c${nCells}_d${d}_p$nprobe" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landingP.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landingP.getParent,
+          "knnups-land-")
+        val upd = graft.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % mod === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        // one landing file per commit — a real multi-trigger stream
+        upd.filter(col("vec_id") % (2L * mod) === 0)
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        upd.filter(col("vec_id") % (2L * mod) =!= 0)
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        try Files.move(tmp, landingP)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landingP.resolve("_SUCCESS")),
+          s"graph upsert landing publish failed: $landingP")
+      }
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent,
+          "stream-knnups-")
+        val edgesDir = tmp.resolve("edges").toString
+        val updDir = tmp.resolve("applied").toString
+        val sideDir = tmp.resolve("prober").toString
+        // seed the state: base edges at version -1, and a private COPY
+        // of the pristine prober sidecar (the shared ensure-layout dir
+        // is immutable; this stream's commits mutate their own)
+        spark.read.parquet(basePath)
+          .withColumn("b", lit(-1L))
+          .write.mode("overwrite").parquet(edgesDir)
+        spark.read.parquet(proberPath)
+          .select(col("qid"), col("cell"))
+          .repartition(col("cell")).sortWithinPartitions(col("qid"))
+          .write.mode("overwrite").partitionBy("cell").parquet(sideDir)
+        def readOr(path: String, empty: => org.apache.spark.sql.DataFrame) =
+          try spark.read.parquet(path)
+          catch { case _: org.apache.spark.sql.AnalysisException => empty }
+        val emb0 = graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landingP.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            import org.apache.spark.sql.functions.{col, lit, max => fmax}
+            val arrived = batch.select(col("vec_id"), col("embedding"))
+              .localCheckpoint(true)
+            if (!arrived.isEmpty) {
+              val applied = readOr(updDir, arrived.limit(0))
+              // corpus view BEFORE this commit
+              val corpusPrev = emb0
+                .join(applied.select(col("vec_id")), Seq("vec_id"),
+                  "left_anti")
+                .unionByName(applied)
+              // ... and AFTER it
+              val corpusNext = corpusPrev
+                .join(arrived.select(col("vec_id")), Seq("vec_id"),
+                  "left_anti")
+                .unionByName(arrived)
+              // current graph: latest-wins over the versioned edges
+              val edges = spark.read.parquet(edgesDir)
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("qid"))
+              val graphPrev = edges
+                .withColumn("bmax", fmax(col("b")).over(w))
+                .filter(col("b") === col("bmax"))
+                .select(col("qid"), col("rank"), col("id"), col("score"))
+              val prober = spark.read.parquet(sideDir)
+              val arrivedIds = arrived.select(col("vec_id"))
+              val holders = graphPrev
+                .join(arrivedIds.select(col("vec_id").as("id")),
+                  Seq("id"), "left_semi")
+                .select(col("qid")).distinct()
+              val newCells = graft.operators.Ivf
+                .assign(arrived, nCells, d)
+                .select(col("cell")).distinct()
+                .collect().map(_.getInt(0)).sorted
+              val gainers = prober
+                .filter(col("cell").isin(newCells.map(Int.box): _*))
+                .select(col("qid")).distinct()
+              val affected = holders.unionByName(gainers)
+                .unionByName(arrivedIds.select(col("vec_id").as("qid")))
+                .distinct()
+              graft.operators.Ivf.knnGraphFor(
+                  corpusNext.select(col("vec_id").as("qid"),
+                      col("embedding").as("qvec"))
+                    .join(affected, Seq("qid"), "left_semi"),
+                  corpusNext, j, nCells, d, nprobe)
+                .withColumn("b", lit(bid))
+                .write.mode("append").parquet(edgesDir)
+              // maintain the sidecar: commit 2's gainers must see
+              // commit 1's updated probe sets
+              graft.operators.Ivf.commitProberUpdates(spark, sideDir,
+                corpusPrev
+                  .join(arrivedIds, Seq("vec_id"), "left_semi")
+                  .select(col("vec_id").as("qid"),
+                    col("embedding").as("qvec")),
+                arrived.select(col("vec_id").as("qid"),
+                  col("embedding").as("qvec")),
+                nCells, d, nprobe)
+              arrived.write.mode("append").parquet(updDir)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream graph upsert publish failed: $outDir")
+      }
+    }
+    outDir.toString
+  }
+
+  /** The drained latest-wins graph state — hash-equal to the one-shot
+    * batch `q_knn_graph_upsert` (each per-commit repair is exact, so
+    * the final state is the rebuild over the final view). */
+  def knnGraphUpsertOverStream(spark: SparkSession, sfDir: String,
+                               mod: Int, j: Int, nCells: Int, d: Int,
+                               nprobe: Int): DataFrame = {
+    val dir = ensureStreamKnnGraphUpsert(spark, sfDir, mod, j, nCells,
+      d, nprobe)
+    val edges = spark.read.parquet(s"$dir/edges")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+    edges.withColumn("bmax", max(col("b")).over(w))
+      .filter(col("b") === col("bmax"))
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /**
    * STREAMING MODEL REFRESH — the index lifecycle's last stage
    * (train → serve → MAINTAIN): embeddings drained through a real file
