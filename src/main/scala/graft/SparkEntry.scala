@@ -1749,6 +1749,12 @@ object SparkEntry {
     "q_ann_spherical_pq_upsert" -> q((s, dir) => graft.operators.Pq
       .topkSphericalResidualAtRestUpserted(s, dir, emb(s, dir), NQ, K,
         IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, UpsertMod)),
+    // ... and upsert TIME TRAVEL on the composed layout: revision-
+    // stamped re-encoded delta segments served as-of commit 1
+    "q_ann_spherical_pq_upsert_asof" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidualAtRestUpsertedAsOf(s, dir, emb(s, dir), NQ,
+        K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, UpsertMod,
+        asOf = 1)),
     // ... and the stream layout COMPACTED (the generic cell-layout
     // OPTIMIZE applies unchanged): row-identical, hash-equal queries
     "q_ann_spherical_pq_compact" -> q((s, dir) => graft.operators.Pq
@@ -2164,6 +2170,12 @@ object SparkEntry {
     "q_ann_lsh_upsert" -> q((s, dir) => graft.operators.Lsh
       .topkAtRestUpserted(s, dir, emb(s, dir), NQ, K, EmbD, LshPlanes,
         UpsertMod)),
+    // ... and upsert TIME TRAVEL on the LSH layout: the versioned
+    // update log served as-of commit 1 (only ids ≡ 0 mod 2·UpsertMod
+    // re-hashed in that snapshot)
+    "q_ann_lsh_upsert_asof" -> q((s, dir) => graft.operators.Lsh
+      .topkAtRestUpsertedAsOf(s, dir, emb(s, dir), NQ, K, EmbD,
+        LshPlanes, UpsertMod, asOf = 1)),
     // cursor pagination (search_after): page 2 resumed from page 1's
     // per-query (score, id) cursor — one corpus pass and a k-deep heap
     // per page, never a page*k-deep window
@@ -2264,6 +2276,16 @@ object SparkEntry {
     "q_stream_knn_graph_upsert" -> q((s, dir) => graft.streaming.StreamOps
       .knnGraphUpsertOverStream(s, dir, UpsertMod, KnnJ, IvfCells, EmbD,
         IvfProbe)),
+    // ... and upsert TIME TRAVEL on the graph: the versioned update
+    // log applied as-of commit 1 BEFORE the affected-set repair — the
+    // snapshot provably equals the rebuild over the commit-1 view
+    "q_knn_graph_upsert_asof" -> q((s, dir) => graft.operators.Ivf
+      .knnGraphUpsertAsOf(s, graft.operators.Ivf.ensureKnnGraph(s, dir,
+          KnnJ, IvfCells, EmbD, IvfProbe),
+        emb(s, dir),
+        s.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(s, dir,
+          IvfCells, EmbD, IvfProbe)),
+        UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe, asOf = 1)),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
     // its arrivals PLUS the affected nodes (probed cells intersecting
@@ -2522,6 +2544,29 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, EmbD)),
+    // ... and the FULL COMPOSITION — tiers on the INDEXED capstone:
+    // probe cells a static partition filter on the cell-partitioned
+    // tiered layout, each request's tier its column pruning, the lang
+    // predicate pushed — which files, which chunks, which rows, all
+    // per request; vector candidates probed-cell-approximate as for
+    // every indexed serve
+    "q_serve_requests_tiered_indexed" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexed(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe)),
+    // ... and ITS ledger — all three vector-side savings in one row:
+    // pc_rows*8 (partition pruning) + codeBytes(tier)*d*v_cands (tier
+    // column pruning) + 4d*fetched (rescue fetches)
+    "q_serve_requests_tiered_indexed_metrics" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexedMetrics(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe)),
     // ... and REQUESTS AS A STREAM — the online-serving shape: each
     // microbatch serves its arriving requests' full objects off the
     // static layouts; per-request independence (df per term, per-qid
@@ -2570,6 +2615,14 @@ object SparkEntry {
     "q_bm25_upsert_compact" -> q((s, dir) => graft.operators.Search
       .bm25AtRestUpsertMerged(s, dir, Bm25Terms, Bm25K1, Bm25B, Bm25TopN,
         PostBuckets, Bm25UpsertMod, PostingsUpsertToken)),
+    // ... and upsert TIME TRAVEL on the lexical index: the versioned
+    // update log served as-of commit 1 — only doc ids ≡ 0 mod
+    // 2·Bm25UpsertMod carry the revision in that snapshot; (n, sumdl)
+    // the stale base sidecar for every snapshot (the Lucene contract)
+    "q_bm25_upsert_asof" -> q((s, dir) => graft.operators.Search
+      .bm25AtRestUpsertedAsOf(s, dir, Bm25Terms, Bm25K1, Bm25B,
+        Bm25TopN, PostBuckets, Bm25UpsertMod, PostingsUpsertToken,
+        asOf = 1)),
     // MAXSCORE BM25: the reference's refine discipline on the lexical
     // rung (Turtle-Flood/WAND family) — cheap (term, doc_id)-only bound
     // pass, exact-scored seeds -> tau, zero-miss bound>=tau rejection,
@@ -2982,6 +3035,10 @@ object SparkEntry {
     "q_ann_spherical_pq_upsert" -> PqOracle.sphericalResidualSql(EmbD,
       NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
       updatedNegMod = UpsertMod),
+    // upsert as-of commit 1: the commit-1 update set, stale model
+    "q_ann_spherical_pq_upsert_asof" -> PqOracle.sphericalResidualSql(
+      EmbD, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      updatedNegMod = 2 * UpsertMod),
     // time travel as-of commit 1: only ids ≡ 0 (mod 2·DeleteMod) are
     // deleted in that snapshot (commit 2's ≡ DeleteMod rows still live)
     "q_ann_spherical_pq_delete_asof" -> PqOracle.sphericalResidualSql(EmbD,
@@ -3154,6 +3211,9 @@ object SparkEntry {
     // side and probe buckets raw (queries are the external relation)
     "q_ann_lsh_upsert" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
       updatedNegMod = UpsertMod),
+    // as-of commit 1 = the update applied only at ids ≡ 0 mod 2·mod
+    "q_ann_lsh_upsert_asof" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
+      updatedNegMod = 2 * UpsertMod),
     // as-of commit 1: only ids ≡ 0 (mod 2·DeleteMod) deleted in that
     // snapshot — commit 2's ≡ DeleteMod rows still served
     "q_ann_lsh_delete_asof" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
@@ -3210,6 +3270,9 @@ object SparkEntry {
     // the drained update stream equals the batch upsert -> same oracle
     "q_stream_knn_graph_upsert" -> IvfOracle.knnGraphSql(EmbD, KnnJ,
       IvfCells, IvfProbe, updatedNegMod = UpsertMod),
+    // upsert as-of commit 1 = the rebuild over the commit-1 view
+    "q_knn_graph_upsert_asof" -> IvfOracle.knnGraphSql(EmbD, KnnJ,
+      IvfCells, IvfProbe, updatedNegMod = 2 * UpsertMod),
     "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,
@@ -3351,6 +3414,20 @@ object SparkEntry {
       PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
       Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle()),
+    // the indexed-tiered capstone: probed-cell candidates through the
+    // tiered two-phase pipeline, recomputed from the raw floats
+    "q_serve_requests_tiered_indexed" ->
+      SearchOracle.serveRequestsTieredIndexedSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // its ledger: probe-aware + tier-aware bytes off the same CTEs
+    "q_serve_requests_tiered_indexed_metrics" ->
+      SearchOracle.serveRequestsTieredIndexedMetricsSql(EmbD,
+        Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+        ServeTierRel, graft.sources.Disaggregated.serveTierCodeBytes,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle()),
     // per-request per-tier bytes off the same pipeline CTEs
     "q_serve_requests_tiered_metrics" ->
       SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,
@@ -3376,6 +3453,12 @@ object SparkEntry {
       Bm25K1, Bm25B, Bm25TopN, bm25StatsForOracle(),
       updatedTokenMod = Bm25UpsertMod, updatedToken = PostingsUpsertToken,
       freshStats = true),
+    // upsert as-of commit 1: only ids ≡ 0 mod 2·mod carry the
+    // revision; stats the stale pre-update split
+    "q_bm25_upsert_asof" -> SearchOracle.bm25AtRestSql(Bm25Terms,
+      Bm25K1, Bm25B, Bm25TopN, bm25StatsForOracle(),
+      updatedTokenMod = 2 * Bm25UpsertMod,
+      updatedToken = PostingsUpsertToken),
     // as-of commit 1: only doc_ids ≡ 0 (mod 2·Bm25DeleteMod) deleted
     "q_bm25_delete_asof" -> SearchOracle.bm25AtRestSql(Bm25Terms, Bm25K1,
       Bm25B, Bm25TopN, bm25StatsForOracle(),

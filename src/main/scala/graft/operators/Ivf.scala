@@ -1555,11 +1555,27 @@ object Ivf {
                      mod: Int, j: Int, nCells: Int, d: Int,
                      nprobe: Int): DataFrame = {
     require(mod >= 2, s"mod=$mod")
-    val updatedView = emb.select(col("vec_id"),
-      when(col("vec_id") % mod === 0,
-        transform(col("embedding"), x => -x))
-        .otherwise(col("embedding")).as("embedding"))
-    val updIds = emb.select(col("vec_id")).filter(col("vec_id") % mod === 0)
+    knnGraphUpsertFor(emb, graph, prober,
+      emb.select(col("vec_id")).filter(col("vec_id") % mod === 0),
+      j, nCells, d, nprobe)
+  }
+
+  /** [[knnGraphUpsert]] over an EXPLICIT update-id set (new value −v
+    * per updated id — the fixture's deterministic transform): the form
+    * the versioned log's as-of serve drives, where the applied commit
+    * prefix is a relation, not a mod. The update membership reaches
+    * the corpus via a flag join (corpus-fraction-sized set — AQE, no
+    * broadcast hint); everything downstream is the same affected-set
+    * algebra over the prober sidecar. */
+  def knnGraphUpsertFor(emb: DataFrame, graph: DataFrame,
+                        prober: DataFrame, updIds: DataFrame, j: Int,
+                        nCells: Int, d: Int, nprobe: Int): DataFrame = {
+    val updatedView = emb
+      .join(updIds.select(col("vec_id")).withColumn("upd", lit(1)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("upd") === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
     val holders = graph
       .join(updIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
       .select(col("qid")).distinct()
@@ -1568,7 +1584,8 @@ object Ivf {
     // below prunes at PLANNING time (a static partition filter, not a
     // runtime semi-join the scan cannot see through)
     val newCells = assign(
-        updatedView.filter(col("vec_id") % mod === 0), nCells, d)
+        updatedView.join(updIds.select(col("vec_id")), Seq("vec_id"),
+          "left_semi"), nCells, d)
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val gainers = prober
@@ -1585,6 +1602,31 @@ object Ivf {
         .join(affected, Seq("qid"), "left_semi"),
       updatedView, j, nCells, d, nprobe)
     keep.unionByName(recomputed)
+  }
+
+  /**
+   * AS-OF on the graph's UPDATE log — upsert time travel's graph
+   * member: the generic versioned log
+   * ([[graft.operators.Pq.ensureVersionedTombstones]] keyed on the
+   * graph layout's `qid`, here recording UPDATE commits: 1 = ids ≡ 0
+   * mod 2·mod, 2 completes the set) applied with `commit_v <= asOf`
+   * BEFORE the repair, which then runs the exact affected-set algebra
+   * for that prefix — so snapshot v provably equals the graph rebuilt
+   * over the view with only commits ≤ v applied (spec-asserted). asOf
+   * 0 is the pre-update graph; the latest asOf equals the one-shot
+   * [[knnGraphUpsert]].
+   */
+  def knnGraphUpsertAsOf(spark: org.apache.spark.sql.SparkSession,
+                         graphPath: String, emb: DataFrame,
+                         prober: DataFrame, mod: Int, j: Int,
+                         nCells: Int, d: Int, nprobe: Int,
+                         asOf: Int): DataFrame = {
+    val updIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, graphPath, mod, idCol = "qid"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("qid").as("vec_id"))
+    knnGraphUpsertFor(emb, spark.read.parquet(graphPath), prober,
+      updIds, j, nCells, d, nprobe)
   }
 
   /** (qid, cell) probe pairs for a (qid, qvec) node set — exposed for

@@ -334,6 +334,62 @@ object Lsh {
     topkOverStored(merged, emb, nq, k, d, nPlanes, None)
   }
 
+  /** Bump when the LSH versioned upsert log layout changes. */
+  private val UpsertLogLayoutVersion = 1
+
+  /** The LSH family's VERSIONED update log
+    * ([[graft.operators.Pq.ensureVersionedUpsertDeltas]]'s pattern):
+    * the same re-hashed delta rows, each stamped with its commit
+    * (1 = ids ≡ 0 mod 2·mod, 2 completes the set), bucket-partitioned
+    * beside the byte-immutable base. */
+  def ensureVersionedUpsertDeltas(spark: SparkSession, layoutPath: String,
+                                  mod: Int, d: Int,
+                                  nPlanes: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val path = Paths.get(layoutPath +
+      s"_upsertlogv${UpsertLogLayoutVersion}_mod$mod")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "lshupslog-")
+      spark.read.parquet(layoutPath)
+        .filter(col("id") % mod === 0)
+        .select(col("id"),
+          transform(col("embedding"), x => -x).as("embedding"),
+          col("n2"))
+        .withColumn("bucket", bucketCol(col("embedding"), d, nPlanes))
+        .withColumn("commit_v",
+          when(col("id") % (2L * mod) === 0, lit(1)).otherwise(lit(2)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"lsh versioned upsert log publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** AS-OF serve over the LSH update log: snapshot v = base minus ids
+    * updated by commits ≤ v plus those commits' re-hashed rows — asOf 0
+    * is the pre-update layout, the latest asOf equals
+    * [[topkAtRestUpserted]]. Excision is an id anti-join (the applied
+    * prefix is corpus-fraction-sized — AQE, no broadcast hint). */
+  def topkAtRestUpsertedAsOf(spark: SparkSession, sfDir: String,
+                             emb: DataFrame, nq: Int, k: Int, d: Int,
+                             nPlanes: Int, mod: Int,
+                             asOf: Int): DataFrame = {
+    val base = ensureLayout(spark, sfDir, d, nPlanes)
+    val log = ensureVersionedUpsertDeltas(spark, base, mod, d, nPlanes)
+    val delta = spark.read.parquet(log)
+      .filter(col("commit_v") <= asOf)
+      .select(col("id"), col("embedding"), col("n2"), col("bucket"))
+    val merged = spark.read.parquet(base)
+      .join(delta.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(delta)
+    topkOverStored(merged, emb, nq, k, d, nPlanes, None)
+  }
+
   /**
    * Write the deterministic DELETE SET (ids ≡ 0 mod `mod` of the stored
    * layout) as a tombstone sidecar beside the bucket layout — the

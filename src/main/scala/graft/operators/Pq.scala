@@ -1693,14 +1693,83 @@ object Pq {
       sfDir: String, emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
       nprobe: Int, mSub: Int, codes: Int, rerank: Int,
       mod: Int): DataFrame = {
+    val deltaPath = ensureSphericalUpsertDelta(spark, sfDir, nCells, d,
+      mSub, codes, mod)
+    sphServeUpsertedOver(spark, sfDir,
+      spark.read.parquet(deltaPath)
+        .select(col("id"), col("cell"), col("vec"), col("code")),
+      emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+  }
+
+  /** Bump when the spherical versioned upsert log layout changes. */
+  private val SphUpsertLogLayoutVersion = 1
+
+  /** The spherical family's VERSIONED update log — the
+    * [[ensureVersionedUpsertDeltas]] pattern applied verbatim: the same
+    * re-encoded delta rows, each stamped with its commit
+    * (1 = ids ≡ 0 mod 2·mod, 2 completes the set), model STALE as in
+    * the plain upsert. */
+  def ensureSphericalVersionedUpsertDeltas(spark: SparkSession,
+      sfDir: String, nCells: Int, d: Int, mSub: Int, codes: Int,
+      mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sphupslog_v${SphUpsertLogLayoutVersion}_${safe}_c${nCells}" +
+        s"_d${d}_m${mSub}_k${codes}_u${mod}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "sphupslog-")
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val model = sphericalModel(emb, nCells, d, mSub, codes) // STALE
+      val updated = emb.filter(col("vec_id") % mod === 0)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      sphEncode(updated, model, d, mSub, codes)
+        .select(col("id"), col("cell"), col("embedding").as("vec"),
+          packedCode(mSub, codes).as("code"))
+        .withColumn("commit_v",
+          when(col("id") % (2L * mod) === 0, lit(1)).otherwise(lit(2)))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"spherical versioned upsert log publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** AS-OF serve over the spherical update log: snapshot v = base minus
+    * ids updated by commits ≤ v plus those commits' re-encoded rows —
+    * the [[topkAtRestUpsertedAsOf]] verb on the composed cosine layout,
+    * completing upsert time travel on this family. */
+  def topkSphericalResidualAtRestUpsertedAsOf(spark: SparkSession,
+      sfDir: String, emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
+      nprobe: Int, mSub: Int, codes: Int, rerank: Int,
+      mod: Int, asOf: Int): DataFrame = {
+    val logPath = ensureSphericalVersionedUpsertDeltas(spark, sfDir,
+      nCells, d, mSub, codes, mod)
+    sphServeUpsertedOver(spark, sfDir,
+      spark.read.parquet(logPath).filter(col("commit_v") <= asOf)
+        .select(col("id"), col("cell"), col("vec"), col("code")),
+      emb, nq, k, nCells, d, nprobe, mSub, codes, rerank)
+  }
+
+  /** The shared upserted-view spherical serve: merge an explicit delta
+    * (full or commit-prefix) into the base and run the stale-model
+    * probe/cheap/rescore pipeline. */
+  private def sphServeUpsertedOver(spark: SparkSession, sfDir: String,
+      delta: DataFrame, emb: DataFrame, nq: Int, k: Int, nCells: Int,
+      d: Int, nprobe: Int, mSub: Int, codes: Int,
+      rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
     val basePath = ensureSphericalResidualCodesFixture(spark, sfDir,
       nCells, d, mSub, codes)
-    val deltaPath = ensureSphericalUpsertDelta(spark, sfDir, nCells, d,
-      mSub, codes, mod)
     val cols = Seq(col("id"), col("cell"), col("vec"), col("code"))
     val base = spark.read.parquet(basePath).select(cols: _*)
-    val delta = spark.read.parquet(deltaPath).select(cols: _*)
     // no broadcast hint: the upsert delta is corpus-fraction-sized (a
     // mod of the table), AQE sizes the anti-join at runtime
     val live = base

@@ -690,6 +690,62 @@ object Search {
       upsert = Some((delta, mod)))
   }
 
+  /** Bump when the postings versioned upsert log layout changes. */
+  private val PostingsUpsertLogLayoutVersion = 1
+
+  /** The lexical family's VERSIONED update log
+    * ([[graft.operators.Pq.ensureVersionedUpsertDeltas]]'s pattern):
+    * each commit's revised docs re-indexed into the same tb-partitioned
+    * delta shape, stamped with `commit_v` (1 = doc ids ≡ 0 mod 2·mod,
+    * 2 completes the set). Stats stay the STALE base sidecar for every
+    * snapshot — the Lucene contract until segment merge. */
+  def ensureVersionedPostingsUpsertDeltas(spark: SparkSession,
+                                          sfDir: String, root: String,
+                                          mod: Int, nBuckets: Int,
+                                          token: String): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val path = Paths.get(root +
+      s"_upsertlogv${PostingsUpsertLogLayoutVersion}_mod${mod}_$token")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "postupslog-")
+      postingsOf(graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % mod === 0)
+          .withColumn("text", concat(col("text"), lit(" " + token))),
+        nBuckets)
+        .withColumn("commit_v",
+          when(col("doc_id") % (2L * mod) === 0, lit(1)).otherwise(lit(2)))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"postings versioned upsert log publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** AS-OF serve over the lexical update log: snapshot v = base
+    * postings minus docs revised by commits ≤ v plus those commits'
+    * re-indexed rows (excision by the prefix's doc-id set — an
+    * anti-join AQE sizes, since the applied prefix is
+    * corpus-fraction-sized); df from the snapshot view, (n, sumdl) the
+    * stale base sidecar for EVERY snapshot. asOf 0 is the pre-update
+    * index, the latest asOf equals [[bm25AtRestUpserted]]. */
+  def bm25AtRestUpsertedAsOf(spark: SparkSession, sfDir: String,
+                             terms: Seq[String], k1: Double, b: Double,
+                             topN: Int, nBuckets: Int, mod: Int,
+                             token: String, asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val delta = spark.read.parquet(
+        ensureVersionedPostingsUpsertDeltas(spark, sfDir, root, mod,
+          nBuckets, token))
+      .filter(col("commit_v") <= asOf)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb"))
+    bm25OffPostings(spark, root, terms, k1, b, topN, nBuckets,
+      upsertByIds = Some(delta))
+  }
+
   /** Bump when the merged-segment layout shape changes. */
   private val PostingsMergeLayoutVersion = 1
 
@@ -835,7 +891,8 @@ object Search {
                       terms: Seq[String], k1: Double, b: Double, topN: Int,
                       nBuckets: Int,
                       tombs: Option[DataFrame] = None,
-                      upsert: Option[(DataFrame, Int)] = None): DataFrame = {
+                      upsert: Option[(DataFrame, Int)] = None,
+                      upsertByIds: Option[DataFrame] = None): DataFrame = {
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
     // the terms' bucket keys, computed by the same `hash` expression the
@@ -848,12 +905,22 @@ object Search {
     // delta rows union in; df then reflects the UPDATED view (Lucene's
     // update = delete + add in the new segment) while (n, sumdl) stay
     // the stale sidecar until segment merge
-    val pruned = upsert match {
-      case Some((delta, mod)) =>
+    val pruned = (upsert, upsertByIds) match {
+      case (Some((delta, mod)), None) =>
         pruned0.filter(col("doc_id") % mod =!= 0)
           .unionByName(delta.filter(col("tb").isin(buckets: _*) &&
             col("term").isin(terms: _*)))
-      case None => pruned0
+      // excision by the delta's own doc-id SET (the as-of commit
+      // prefix, not mod-expressible): an anti-join AQE sizes — the
+      // applied prefix is corpus-fraction-sized
+      case (None, Some(delta)) =>
+        pruned0.join(delta.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .unionByName(delta.filter(col("tb").isin(buckets: _*) &&
+            col("term").isin(terms: _*)))
+      case (None, None) => pruned0
+      case _ => throw new IllegalArgumentException(
+        "upsert and upsertByIds are mutually exclusive")
     }
     // df per term off the pruned postings (a posting row exists iff
     // tf >= 1, so the row count per term IS the document frequency)
@@ -1913,19 +1980,19 @@ object Search {
       val mat = df.persist(StorageLevel.MEMORY_AND_DISK)
       mat.count(); mat
     }
+    // seeds: per-qid top-poolN by s_hat (map-side WindowGroupLimit)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("s_hat").desc, col("id").asc)
+    val seedIds = eager(cand.select(col("qid"), col("id"), col("s_hat"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolN))
+    val seeds = eager(vSel.join(broadcast(seedIds), Seq("id"))
+      .join(qSel, Seq("qid"))
+      .withColumn("s_full", dot(col("vec"), col("qvec")) /
+        (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2"))))
+      .select(col("qid"), col("id"), col("s_full")))
     try {
-      // seeds: per-qid top-poolN by s_hat (map-side WindowGroupLimit)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid"))
-        .orderBy(col("s_hat").desc, col("id").asc)
-      val seedIds = eager(cand.select(col("qid"), col("id"), col("s_hat"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= poolN))
-      val seeds = eager(vSel.join(broadcast(seedIds), Seq("id"))
-        .join(qSel, Seq("qid"))
-        .withColumn("s_full", dot(col("vec"), col("qvec")) /
-          (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2"))))
-        .select(col("qid"), col("id"), col("s_full")))
       val tau0 = broadcast(
         seeds.groupBy(col("qid")).agg(min(col("s_full")).as("tau0")))
       val survivorIds = cand
@@ -1942,9 +2009,15 @@ object Search {
           (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2"))))
         .select(col("qid"), col("id"), col("s_full"))
       // the fetch set is a bounded per-qid relation — pin it so the
-      // serve and its ledger don't re-run the pipeline per consumer
+      // serve and its ledger don't re-run the pipeline per consumer;
+      // the pin materializes HERE, so every intermediate persist is
+      // released before returning (no CacheManager leak for callers)
       seeds.unionByName(survivors).localCheckpoint(true)
-    } finally cand.unpersist(blocking = false)
+    } finally {
+      seeds.unpersist(blocking = false)
+      seedIds.unpersist(blocking = false)
+      cand.unpersist(blocking = false)
+    }
   }
 
   /**
@@ -2049,6 +2122,261 @@ object Search {
         lit((8L + 4L * d) * nV).as("bytes_vec_full"))
     val total = perQid.agg(
       sum(col("t_cands")).as("t_cands"),
+      sum(col("v_cands")).as("v_cands"),
+      sum(col("fetched")).as("fetched"),
+      sum(col("fused")).as("fused"),
+      sum(col("page")).as("page"),
+      sum(col("bytes_text")).as("bytes_text"),
+      sum(col("bytes_vec")).as("bytes_vec"),
+      sum(col("bytes_vec_full")).as("bytes_vec_full"))
+      .select(lit(-1L).as("qid") +: lit(-1).as("tier") +:
+        perQid.columns.filterNot(Set("qid", "tier"))
+          .map(col).toSeq: _*)
+    perQid.unionByName(total)
+      .withColumn("save", lit(1.0) -
+        (col("bytes_text") + col("bytes_vec")).cast("double") /
+          (col("bytes_text") + col("bytes_vec_full")).cast("double"))
+      .withColumn("fpr",
+        when(col("t_cands") + col("v_cands") === 0L, lit(0.0))
+          .otherwise((col("fused") - col("page")).cast("double") /
+            (col("t_cands") + col("v_cands")).cast("double")))
+  }
+
+  /**
+   * [[tieredServeFetch]] composed with the AT-REST INDEX — every
+   * pruning axis of the engine in ONE vector-side scan: the requests'
+   * probed cells are a STATIC PARTITION FILTER on the cell-partitioned
+   * tiered layout ([[graft.sources.Disaggregated
+   * .ensureTieredServeIndexedFixture]]), each request's precision tier
+   * is COLUMN PRUNING over the per-tier code chunks, and the lang
+   * pre-filter is a pushed predicate — which files, which column
+   * chunks, which rows, all chosen per request. Candidates are each
+   * qid's own probed cells ∩ its lang (the [[filteredTopKIndexedMulti]]
+   * approximation contract), the two-phase tier pipeline runs WITHIN
+   * that candidate set, and survivors rescore at full precision from
+   * the same pruned cells.
+   */
+  private def tieredServeIndexedFetch(spark: SparkSession, sfDir: String,
+                                      emb: DataFrame,
+                                      filters: Seq[(Long, String)],
+                                      tiers: Seq[(Long, Int)],
+                                      layoutScales: Seq[Int],
+                                      poolN: Int, alpha: Double,
+                                      nCells: Int, d: Int,
+                                      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    require(tiers.nonEmpty, "tieredServeIndexedFetch: empty tier relation")
+    val usedScales = tiers.map(_._2).distinct.sorted
+    require(usedScales.toSet.subsetOf(layoutScales.toSet),
+      s"tiers $usedScales not all stored in layout $layoutScales")
+    val path = graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
+      spark, sfDir, layoutScales, nCells, d)
+    val stored = spark.read.parquet(path)
+    val nq = (filters.map(_._1).max + 1).toInt
+    val qSel = broadcast(Ann.queriesOf(emb, nq)
+      .select(col("qid"), col("qvec"), col("qn2").as("nq2")))
+    val probeSet = Ivf.probeCells(
+        qSel.select(col("qid"), col("qvec")), nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    // the union of all probed cells — a bounded collect (<= nCells
+    // ints, a model) materialized as literals so BOTH passes prune at
+    // planning time
+    val unionCells = probeSet.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val unionLangs = filters.map(_._2).distinct
+    val cheap = stored
+      .filter(col("cell").isin(unionCells.map(Int.box): _*))
+      .select(Seq(col("id"), col("lang"), col("cell")) ++
+        usedScales.map { s =>
+          val mul = math.pow(2.0, s)
+          transform(col(s"code_$s"),
+            c => (c.cast("double") / mul).cast("float")).as(s"rvec_$s")
+        }: _*)
+    val vpre = cheap.select(
+      Seq(col("id"), col("lang"), col("cell")) ++ usedScales.flatMap(s =>
+        Seq(col(s"rvec_$s"),
+          norm2Sq(col(s"rvec_$s")).as(s"nr2_$s"))): _*)
+    val trRel = broadcast(tiers.toDF("qid", "tier"))
+    val qf = broadcast(filters.toDF("qid", "qlang"))
+    val q = broadcast(qSel.join(trRel, Seq("qid")).join(qf, Seq("qid")))
+    def byTier(f: Int => Column): Column =
+      usedScales.foldRight(lit(null).cast("double")) { (s, rest) =>
+        when(col("tier") === s, f(s)).otherwise(rest) }
+    val sHat = byTier(s => dot(col(s"rvec_$s"), col("qvec")) /
+      (fnorm(col(s"nr2_$s")) * fnorm(col("nq2"))))
+    val cush = byTier { s =>
+      val half = (0.5 / math.pow(2.0, s)).toFloat
+      lit(alpha) * org.apache.spark.sql.graft.VecExprs.absDot(
+        col("qvec"),
+        transform(col(s"rvec_$s"), _ => lit(half))) / fnorm(col("nq2"))
+    }
+    // each qid's candidates: ITS probed cells (the broadcast probe
+    // relation's equi-join on cell + qid) ∩ ITS lang
+    val cand = vpre
+      .filter(col("lang").isin(unionLangs: _*))
+      .join(broadcast(probeSet), Seq("cell"))
+      .join(q, Seq("qid"))
+      .filter(col("lang") === col("qlang"))
+      .select(col("qid"), col("id"), sHat.as("s_hat"), cush.as("cush"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the fetch side reads (id, vec) from the SAME pruned cells only
+    val vSel = stored
+      .filter(col("cell").isin(unionCells.map(Int.box): _*))
+      .select(col("id"), col("vec"))
+    def eager(df: DataFrame): DataFrame = {
+      val mat = df.persist(StorageLevel.MEMORY_AND_DISK)
+      mat.count(); mat
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("s_hat").desc, col("id").asc)
+    val seedIds = eager(cand.select(col("qid"), col("id"), col("s_hat"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolN))
+    val seeds = eager(vSel.join(broadcast(seedIds), Seq("id"))
+      .join(qSel, Seq("qid"))
+      .withColumn("s_full", dot(col("vec"), col("qvec")) /
+        (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2"))))
+      .select(col("qid"), col("id"), col("s_full")))
+    try {
+      val tau0 = broadcast(
+        seeds.groupBy(col("qid")).agg(min(col("s_full")).as("tau0")))
+      val survivorIds = cand
+        .join(broadcast(seedIds.select(col("qid"), col("id"))),
+          Seq("qid", "id"), "left_anti")
+        .join(tau0, Seq("qid"))
+        .filter(col("s_hat") + col("cush") >= col("tau0"))
+        .select(col("qid"), col("id"))
+      val survivors = vSel.join(survivorIds, Seq("id"))
+        .join(qSel, Seq("qid"))
+        .withColumn("s_full", dot(col("vec"), col("qvec")) /
+          (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2"))))
+        .select(col("qid"), col("id"), col("s_full"))
+      seeds.unionByName(survivors).localCheckpoint(true)
+    } finally {
+      seeds.unpersist(blocking = false)
+      seedIds.unpersist(blocking = false)
+      cand.unpersist(blocking = false)
+    }
+  }
+
+  /** [[serveRequestsTiered]] with the vector side off the INDEXED
+    * tiered layout — the full composition: term-bucket pruning on the
+    * text side; probe-cell partition pruning, per-request tier column
+    * pruning, and the pushed lang predicate on the vector side; per
+    * request k/α from the stored relation. Vector candidates are
+    * probed-cell-approximate, as for every indexed serve. */
+  def serveRequestsTieredIndexed(spark: SparkSession, sfDir: String,
+                                 emb: DataFrame, docMeta: DataFrame,
+                                 queries: Seq[(Long, Seq[String])],
+                                 filters: Seq[(Long, String)],
+                                 weights: Seq[(Long, Double)],
+                                 ks: Seq[(Long, Int)],
+                                 tiers: Seq[(Long, Int)],
+                                 layoutScales: Seq[Int], k1: Double,
+                                 b: Double, poolN: Int, nBuckets: Int,
+                                 alpha: Double, nCells: Int, d: Int,
+                                 nprobe: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val fetch = tieredServeIndexedFetch(spark, sfDir, emb, filters,
+      tiers, layoutScales, poolN, alpha, nCells, d, nprobe)
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
+  /**
+   * [[serveRequestsTieredIndexed]]'s ledger — per-request bytes where
+   * ALL THREE vector-side savings are visible at once: `pc_rows`·8
+   * (the lang column read only for the qid's probed cells' rows —
+   * partition pruning), codeBytes(tier_q)·d·`v_cands` (the request's
+   * own tier's chunks, only for probed ∩ lang rows — column pruning at
+   * its tier width), 4d·`fetched` (full-precision rescue fetches),
+   * against the unfiltered-full-scan baseline N·(8+4d). The
+   * [[serveRequestsIndexedMetrics]] + [[serveRequestsTieredMetrics]]
+   * disciplines composed.
+   */
+  def serveRequestsTieredIndexedMetrics(spark: SparkSession,
+                                        sfDir: String, emb: DataFrame,
+                                        docMeta: DataFrame,
+                                        queries: Seq[(Long, Seq[String])],
+                                        filters: Seq[(Long, String)],
+                                        weights: Seq[(Long, Double)],
+                                        ks: Seq[(Long, Int)],
+                                        tiers: Seq[(Long, Int)],
+                                        layoutScales: Seq[Int],
+                                        k1: Double, b: Double,
+                                        poolN: Int, nBuckets: Int,
+                                        alpha: Double, nCells: Int,
+                                        d: Int, nprobe: Int): DataFrame = {
+    require(ks.nonEmpty,
+      "serveRequestsTieredIndexedMetrics: empty page relation")
+    require(filters.nonEmpty,
+      "serveRequestsTieredIndexedMetrics: empty filter relation")
+    import spark.implicits._
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val fetch = tieredServeIndexedFetch(spark, sfDir, emb, filters,
+      tiers, layoutScales, poolN, alpha, nCells, d, nprobe)
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    val fused = serveFusedWith(spark, root, docMeta, queries, filters,
+      weights, k1, b, poolN, nBuckets, vecPool)
+    val tAgg = servePostingBytes(spark, root, queries, nBuckets)
+    val stored = spark.read.parquet(
+      graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
+        spark, sfDir, layoutScales, nCells, d))
+    val nq = (filters.map(_._1).max + 1).toInt
+    val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"))
+    val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
+      .select(col("qid"), col("cell"))
+    val occ = stored.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val pcAgg = probeSet.join(occ, Seq("cell"))
+      .groupBy(col("qid")).agg(sum(col("occ")).as("pc_rows"))
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val langOcc = stored.groupBy(col("cell"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val vcAgg = probeSet.join(langOcc, Seq("cell"))
+      .join(qf, Seq("qid", "lang"))
+      .groupBy(col("qid")).agg(sum(col("n")).as("v_cands"))
+    val fetchAgg = fetch.groupBy(col("qid"))
+      .agg(count(lit(1)).as("fetched"))
+    val fAgg = fused.groupBy(col("qid")).agg(count(lit(1)).as("fused"))
+    val nV = emb.count() // one bounded scalar (a model)
+    val trRel = broadcast(tiers.map { case (qid, s) =>
+      (qid, s, graft.sources.Disaggregated.serveTierCodeBytes(s)
+        .toLong * d) }.toDF("qid", "tier", "b_red"))
+    val qkRel = broadcast(ks.toDF("qid", "kq"))
+    val perQid = qkRel
+      .join(trRel, Seq("qid"))
+      .join(tAgg, Seq("qid"), "left")
+      .join(pcAgg, Seq("qid"), "left")
+      .join(vcAgg, Seq("qid"), "left")
+      .join(fetchAgg, Seq("qid"), "left")
+      .join(fAgg, Seq("qid"), "left")
+      .select(col("qid"), col("tier"),
+        coalesce(col("t_cands"), lit(0L)).as("t_cands"),
+        coalesce(col("pc_rows"), lit(0L)).as("pc_rows"),
+        coalesce(col("v_cands"), lit(0L)).as("v_cands"),
+        coalesce(col("fetched"), lit(0L)).as("fetched"),
+        coalesce(col("fused"), lit(0L)).as("fused"),
+        least(col("kq").cast("long"),
+          coalesce(col("fused"), lit(0L))).as("page"),
+        coalesce(col("bytes_text"), lit(0L)).as("bytes_text"),
+        (coalesce(col("pc_rows"), lit(0L)) * lit(8L) +
+          col("b_red") * coalesce(col("v_cands"), lit(0L)) +
+          lit(4L * d) * coalesce(col("fetched"), lit(0L)))
+          .as("bytes_vec"),
+        lit((8L + 4L * d) * nV).as("bytes_vec_full"))
+    val total = perQid.agg(
+      sum(col("t_cands")).as("t_cands"),
+      sum(col("pc_rows")).as("pc_rows"),
       sum(col("v_cands")).as("v_cands"),
       sum(col("fetched")).as("fetched"),
       sum(col("fused")).as("fused"),

@@ -1486,9 +1486,13 @@ object IvfOracle {
    * (the serve chain defines both); all CTE names are i-prefixed to
    * avoid collisions.
    */
-  def indexedFilteredPoolCtes(d: Int, nq: Int, nCells: Int, nprobe: Int,
-                              unionLangs: Seq[String],
-                              poolN: Int): String = {
+  /** The assignment/probe/candidate CTE prefix shared by the indexed
+    * serve pool and its tiered twin: ends at
+    * `icand(qid, id)` — each qid's probed cells ∩ its lang — with
+    * `iasg` (assignments) and `iqp` (probe pairs) in scope. Expects
+    * `qf(qid, lang)` already defined by the enclosing serve chain. */
+  def indexedCandCtes(d: Int, nq: Int, nCells: Int, nprobe: Int,
+                      unionLangs: Seq[String]): String = {
     val distCols = (0 until nCells)
       .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
     val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
@@ -1513,7 +1517,13 @@ object IvfOracle {
        |  FROM iqp JOIN iasg a ON a.cell = iqp.cell
        |  JOIN documents dmv ON a.vec_id = dmv.doc_id
        |    AND dmv.lang IN ($union)
-       |  JOIN qf ON qf.qid = iqp.qid AND qf.lang = dmv.lang),
+       |  JOIN qf ON qf.qid = iqp.qid AND qf.lang = dmv.lang)""".stripMargin
+  }
+
+  def indexedFilteredPoolCtes(d: Int, nq: Int, nCells: Int, nprobe: Int,
+                              unionLangs: Seq[String],
+                              poolN: Int): String =
+    s"""${indexedCandCtes(d, nq, nCells, nprobe, unionLangs)},
        |ivsc AS (SELECT c.qid, c.id,
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
@@ -1526,7 +1536,6 @@ object IvfOracle {
        |  SELECT qid, id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
        |  FROM ivsc) WHERE rnk <= $poolN)""".stripMargin
-  }
 
   /** `langs` nonempty = the filtered-index variant: candidates restricted
     * to the metadata predicate (joined on vec_id = doc_id, exactly the

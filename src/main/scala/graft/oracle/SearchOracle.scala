@@ -962,14 +962,13 @@ object SearchOracle {
    * `vtop(qid, doc_id, vscore)` with `tfetch` (the per-qid fetch set)
    * and `tr` (the tier relation) in scope for the ledger twin.
    */
-  private def tieredVecPoolCtes(d: Int, nq: Int,
-                                tiers: Seq[(Long, Int)], alpha: Double,
-                                poolN: Int,
-                                relPath: Option[String]): String = {
-    val usedScales = tiers.map(_._2).distinct.sorted
+  /** The tier relation CTE body (qid → scaleLog2): the stored `stier`
+    * rows when the qrel path is known, inline VALUES otherwise. */
+  private def tierRelBody(tiers: Seq[(Long, Int)],
+                          relPath: Option[String]): String = {
     val trRows = tiers.map { case (qid, s) => s"($qid, $s)" }
       .mkString(", ")
-    val trBody = relPath match {
+    relPath match {
       case Some(p) =>
         s"SELECT qid, pos AS tier FROM read_parquet('$p/*.parquet')" +
           s" WHERE kind = 'stier'"
@@ -977,9 +976,14 @@ object SearchOracle {
         s"SELECT CAST(qid AS BIGINT) AS qid, CAST(tier AS INTEGER) AS tier" +
           s"\n  FROM (VALUES $trRows) AS v(qid, tier)"
     }
-    // per-element quantized value at scale s — inlined everywhere it
-    // is used (numerator AND its own norm), keeping each aggregate a
-    // left-associated sum exactly like the engine's codegen'd folds
+  }
+
+  /** The per-qid tiered s_hat/cush column pair over candidate alias
+    * `c` (embedding) and query alias `vq` (qv): per-element quantized
+    // values inlined everywhere they are used, each aggregate a
+    * left-associated sum exactly like the engine's codegen'd folds. */
+  private def tierScoreExprs(d: Int, usedScales: Seq[Int],
+                             alpha: Double): (String, String) = {
     def rv(s: Int, i: Int): String = {
       val mul = (1L << s).toDouble
       s"(FLOOR(CAST(c.embedding[$i] AS DOUBLE)*${dlit(mul)} + 0.5)/${dlit(mul)})"
@@ -1001,21 +1005,16 @@ object SearchOracle {
     def byTier(f: Int => String): String =
       usedScales.init.foldRight(f(usedScales.last)) { (s, rest) =>
         s"CASE WHEN tr.tier = $s THEN ${f(s)} ELSE $rest END" }
+    (byTier(sHat), byTier(cush))
+  }
+
+  /** The seed/tau0/survivor/rescore/top tail shared by the flat and
+    * indexed tiered pools — everything downstream of `tcand(qid, id,
+    * s_hat, cush)`, ending at `vtop` with `tfetch` in scope. */
+  private def tieredTailCtes(d: Int, poolN: Int): String = {
     val sFull = s"${EmbOracle.dotE("c2.embedding", "vq.qv", d)} /" +
       s" (${fn("ni.n2")} * ${fn("nq2.n2")})"
-    s"""vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-       |       ORDER BY vec_id LIMIT $nq),
-       |tr AS ($trBody),
-       |vcand AS (SELECT e.vec_id AS id, e.embedding, dm2.lang
-       |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
-       |tcand AS MATERIALIZED (SELECT vq.qid, c.id,
-       |    ${byTier(sHat)} AS s_hat,
-       |    ${byTier(cush)} AS cush
-       |  FROM vcand c CROSS JOIN vq
-       |  JOIN qf ON qf.qid = vq.qid AND qf.lang = c.lang
-       |  JOIN tr ON tr.qid = vq.qid
-       |  JOIN nrm nq2 ON vq.qid = nq2.vec_id),
-       |tseed AS MATERIALIZED (SELECT qid, id, s_hat FROM (
+    s"""tseed AS MATERIALIZED (SELECT qid, id, s_hat FROM (
        |  SELECT qid, id, s_hat,
        |    row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
        |  FROM tcand) WHERE rn <= $poolN),
@@ -1040,6 +1039,54 @@ object SearchOracle {
        |  SELECT qid, id, s_full,
        |    row_number() OVER (PARTITION BY qid ORDER BY s_full DESC, id ASC) AS rnk
        |  FROM tfetch) WHERE rnk <= $poolN)""".stripMargin
+  }
+
+  private def tieredVecPoolCtes(d: Int, nq: Int,
+                                tiers: Seq[(Long, Int)], alpha: Double,
+                                poolN: Int,
+                                relPath: Option[String]): String = {
+    val usedScales = tiers.map(_._2).distinct.sorted
+    val (sHatExpr, cushExpr) = tierScoreExprs(d, usedScales, alpha)
+    s"""vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       ORDER BY vec_id LIMIT $nq),
+       |tr AS (${tierRelBody(tiers, relPath)}),
+       |vcand AS (SELECT e.vec_id AS id, e.embedding, dm2.lang
+       |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
+       |tcand AS MATERIALIZED (SELECT vq.qid, c.id,
+       |    $sHatExpr AS s_hat,
+       |    $cushExpr AS cush
+       |  FROM vcand c CROSS JOIN vq
+       |  JOIN qf ON qf.qid = vq.qid AND qf.lang = c.lang
+       |  JOIN tr ON tr.qid = vq.qid
+       |  JOIN nrm nq2 ON vq.qid = nq2.vec_id),
+       |${tieredTailCtes(d, poolN)}""".stripMargin
+  }
+
+  /** [[tieredVecPoolCtes]] with candidates restricted to each qid's
+    * PROBED CELLS ([[IvfOracle.indexedCandCtes]]'s `icand`) — the
+    * oracle of the fully-composed vector side: partition pruning
+    * (cells) × column pruning (tier) × pushed predicate (lang). */
+  private def tieredIndexedVecPoolCtes(d: Int, nq: Int, nCells: Int,
+                                       nprobe: Int,
+                                       unionLangs: Seq[String],
+                                       tiers: Seq[(Long, Int)],
+                                       alpha: Double, poolN: Int,
+                                       relPath: Option[String]): String = {
+    val usedScales = tiers.map(_._2).distinct.sorted
+    val (sHatExpr, cushExpr) = tierScoreExprs(d, usedScales, alpha)
+    s"""vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       ORDER BY vec_id LIMIT $nq),
+       |tr AS (${tierRelBody(tiers, relPath)}),
+       |${IvfOracle.indexedCandCtes(d, nq, nCells, nprobe, unionLangs)},
+       |tcand AS MATERIALIZED (SELECT ic.qid, ic.id,
+       |    $sHatExpr AS s_hat,
+       |    $cushExpr AS cush
+       |  FROM icand ic
+       |  JOIN embeddings c ON c.vec_id = ic.id
+       |  JOIN vq ON vq.qid = ic.qid
+       |  JOIN tr ON tr.qid = ic.qid
+       |  JOIN nrm nq2 ON ic.qid = nq2.vec_id),
+       |${tieredTailCtes(d, poolN)}""".stripMargin
   }
 
   /** [[graft.operators.Search.serveRequestsTiered]]: the serve chain
@@ -1135,6 +1182,119 @@ object SearchOracle {
        |  UNION ALL SELECT * FROM tot)
        |SELECT qid, tier, t_cands, v_cands, fetched, fused, page,
        |  bytes_text, bytes_vec, bytes_vec_full,
+       |  1.0 - CAST(bytes_text + bytes_vec AS DOUBLE) /
+       |    CAST(bytes_text + bytes_vec_full AS DOUBLE) AS save,
+       |  CASE WHEN t_cands + v_cands = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(fused - page AS DOUBLE) /
+       |         CAST(t_cands + v_cands AS DOUBLE) END AS fpr
+       |FROM allrows""".stripMargin
+  }
+
+  /** [[graft.operators.Search.serveRequestsTieredIndexed]]: the serve
+    * chain with the vector pool swapped for the probed-cell tiered
+    * pipeline. */
+  def serveRequestsTieredIndexedSql(d: Int,
+                                    queries: Seq[(Long, Seq[String])],
+                                    filters: Seq[(Long, String)],
+                                    weights: Seq[(Long, Double)],
+                                    ks: Seq[(Long, Int)],
+                                    tiers: Seq[(Long, Int)],
+                                    alpha: Double, k1: Double, b: Double,
+                                    poolN: Int, nCells: Int, nprobe: Int,
+                                    st: Option[Bm25Stats],
+                                    relPath: Option[String] = None): String = {
+    val nq = (filters.map(_._1).max + 1).toInt
+    val pool = tieredIndexedVecPoolCtes(d, nq, nCells, nprobe,
+      filters.map(_._2).distinct, tiers, alpha, poolN, relPath)
+    s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
+          poolN, st, relPath, vectorPoolCtes = Some(pool))},
+       |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
+       |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
+       |  FROM scoredf)
+       |SELECT r.qid, CAST(r.rnk AS INTEGER) AS rank, r.doc_id, r.fused,
+       |  r.tnorm, r.vnorm
+       |FROM ranked r JOIN qk3 ON qk3.qid = r.qid
+       |WHERE r.rnk <= qk3.kq""".stripMargin
+  }
+
+  /** [[graft.operators.Search.serveRequestsTieredIndexedMetrics]]:
+    * per-request bytes with all three vector-side savings — pc_rows·8
+    * (partition pruning) + codeBytes(tier)·d·v_cands (tier column
+    * pruning over probed ∩ lang rows) + 4d·fetched. */
+  def serveRequestsTieredIndexedMetricsSql(d: Int,
+      queries: Seq[(Long, Seq[String])], filters: Seq[(Long, String)],
+      weights: Seq[(Long, Double)], ks: Seq[(Long, Int)],
+      tiers: Seq[(Long, Int)], tierCodeBytes: Int => Int, alpha: Double,
+      k1: Double, b: Double, poolN: Int, nCells: Int, nprobe: Int,
+      st: Option[Bm25Stats], relPath: Option[String] = None): String = {
+    val nq = (filters.map(_._1).max + 1).toInt
+    val pool = tieredIndexedVecPoolCtes(d, nq, nCells, nprobe,
+      filters.map(_._2).distinct, tiers, alpha, poolN, relPath)
+    val usedScales = tiers.map(_._2).distinct.sorted
+    val bRedExpr = usedScales.init
+      .foldRight(s"${tierCodeBytes(usedScales.last)}") { (s, rest) =>
+        s"CASE WHEN tr.tier = $s THEN ${tierCodeBytes(s)} ELSE $rest END" }
+    s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
+          poolN, st, relPath, vectorPoolCtes = Some(pool))},
+       |tc AS (SELECT qt.qid, COUNT(*) AS t_cands,
+       |    CAST(SUM(len(p.term) + 24) AS BIGINT) AS bytes_text
+       |  FROM posts p JOIN qt ON p.term = qt.term GROUP BY qt.qid),
+       |occ AS (SELECT cell, COUNT(*) AS occ FROM iasg GROUP BY cell),
+       |pc AS (SELECT iqp.qid, CAST(SUM(occ.occ) AS BIGINT) AS pc_rows
+       |  FROM iqp JOIN occ ON occ.cell = iqp.cell GROUP BY iqp.qid),
+       |locc AS (SELECT a.cell, dm4.lang, COUNT(*) AS n
+       |  FROM iasg a JOIN documents dm4 ON a.vec_id = dm4.doc_id
+       |  GROUP BY a.cell, dm4.lang),
+       |vc AS (SELECT iqp.qid, CAST(SUM(l.n) AS BIGINT) AS v_cands
+       |  FROM iqp JOIN locc l ON l.cell = iqp.cell
+       |  JOIN qf ON qf.qid = iqp.qid AND qf.lang = l.lang
+       |  GROUP BY iqp.qid),
+       |tfc AS (SELECT qid, COUNT(*) AS fetched FROM tfetch GROUP BY qid),
+       |fc AS (SELECT qid, COUNT(*) AS fused FROM scoredf GROUP BY qid),
+       |nvs AS (SELECT COUNT(*) AS nv FROM embeddings),
+       |perq AS (SELECT qk3.qid, tr.tier,
+       |    COALESCE(tc.t_cands, 0) AS t_cands,
+       |    COALESCE(pc.pc_rows, 0) AS pc_rows,
+       |    COALESCE(vc.v_cands, 0) AS v_cands,
+       |    COALESCE(tfc.fetched, 0) AS fetched,
+       |    COALESCE(fc.fused, 0) AS fused,
+       |    LEAST(CAST(qk3.kq AS BIGINT), COALESCE(fc.fused, 0)) AS page,
+       |    COALESCE(tc.bytes_text, 0) AS bytes_text,
+       |    COALESCE(pc.pc_rows, 0) * 8 +
+       |      ($bRedExpr) * $d * COALESCE(vc.v_cands, 0) +
+       |      ${4L * d} * COALESCE(tfc.fetched, 0) AS bytes_vec,
+       |    (8 + ${4L * d}) * nvs.nv AS bytes_vec_full
+       |  FROM qk3
+       |  JOIN tr ON tr.qid = qk3.qid
+       |  LEFT JOIN tc ON tc.qid = qk3.qid
+       |  LEFT JOIN pc ON pc.qid = qk3.qid
+       |  LEFT JOIN vc ON vc.qid = qk3.qid
+       |  LEFT JOIN tfc ON tfc.qid = qk3.qid
+       |  LEFT JOIN fc ON fc.qid = qk3.qid
+       |  CROSS JOIN nvs),
+       |tot AS (SELECT CAST(-1 AS BIGINT) AS qid, -1 AS tier,
+       |    CAST(SUM(t_cands) AS BIGINT) AS t_cands,
+       |    CAST(SUM(pc_rows) AS BIGINT) AS pc_rows,
+       |    CAST(SUM(v_cands) AS BIGINT) AS v_cands,
+       |    CAST(SUM(fetched) AS BIGINT) AS fetched,
+       |    CAST(SUM(fused) AS BIGINT) AS fused,
+       |    CAST(SUM(page) AS BIGINT) AS page,
+       |    CAST(SUM(bytes_text) AS BIGINT) AS bytes_text,
+       |    CAST(SUM(bytes_vec) AS BIGINT) AS bytes_vec,
+       |    CAST(SUM(bytes_vec_full) AS BIGINT) AS bytes_vec_full
+       |  FROM perq),
+       |allrows AS (SELECT qid, tier,
+       |    CAST(t_cands AS BIGINT) AS t_cands,
+       |    CAST(pc_rows AS BIGINT) AS pc_rows,
+       |    CAST(v_cands AS BIGINT) AS v_cands,
+       |    CAST(fetched AS BIGINT) AS fetched,
+       |    CAST(fused AS BIGINT) AS fused, CAST(page AS BIGINT) AS page,
+       |    CAST(bytes_text AS BIGINT) AS bytes_text,
+       |    CAST(bytes_vec AS BIGINT) AS bytes_vec,
+       |    CAST(bytes_vec_full AS BIGINT) AS bytes_vec_full FROM perq
+       |  UNION ALL SELECT * FROM tot)
+       |SELECT qid, tier, t_cands, pc_rows, v_cands, fetched, fused,
+       |  page, bytes_text, bytes_vec, bytes_vec_full,
        |  1.0 - CAST(bytes_text + bytes_vec AS DOUBLE) /
        |    CAST(bytes_text + bytes_vec_full AS DOUBLE) AS save,
        |  CASE WHEN t_cands + v_cands = 0 THEN CAST(0.0 AS DOUBLE)

@@ -260,6 +260,68 @@ object Disaggregated {
     path.toString
   }
 
+  /** [[ensureTieredServeFixture]] CELL-PARTITIONED — the INDEXED form:
+    * the same (id, lang, vec, code_s per tier) rows written
+    * `partitionBy(cell)` under the coarse quantizer's assignment, so a
+    * serve composes EVERY pruning axis in one scan — probe cells as a
+    * static partition filter, the request's tier as column pruning,
+    * the lang pre-filter as a pushed predicate. The complete
+    * bandwidth story per request: which FILES (cells), which COLUMN
+    * CHUNKS (tier), which ROWS (lang). */
+  def ensureTieredServeIndexedFixture(spark: SparkSession, sfDir: String,
+                                      scales: Seq[Int], nCells: Int,
+                                      d: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = scales.sorted.mkString("-")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_servetiersidx_v${ServeTiersLayoutVersion}_${safe}_s${key}" +
+        s"_c${nCells}_d${d}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "servetidx-")
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val docs = graft.Tables.documents(spark, sfDir)
+      val maxAbs = emb
+        .select(org.apache.spark.sql.functions.max(org.apache.spark.sql
+          .functions.aggregate(col("embedding"), lit(0.0d),
+            (a, x) => org.apache.spark.sql.functions.greatest(a,
+              org.apache.spark.sql.functions.abs(x.cast("double"))))))
+        .collect()(0).getDouble(0)
+      scales.foreach { s =>
+        val lim = if (serveTierCodeBytes(s) == 1) 127.0 else 32767.0
+        require(maxAbs * math.pow(2.0, s) + 0.5 < lim,
+          s"tier 2^$s codes overflow their ${serveTierCodeBytes(s)}-byte " +
+            s"width at max|v| = $maxAbs")
+      }
+      val src = graft.operators.Ivf.assign(emb, nCells, d)
+        .select(col("id").as("vec_id"), col("cell"))
+        .join(emb, Seq("vec_id"))
+        .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+          Seq("vec_id"))
+        .select(col("vec_id").as("id"), col("cell"), col("lang"),
+          col("embedding").as("vec"))
+      val cols = Seq(col("id"), col("lang"), col("vec"), col("cell")) ++
+        scales.sorted.map { s =>
+          val mul = math.pow(2.0, s)
+          val t = if (serveTierCodeBytes(s) == 1) "byte" else "short"
+          transform(col("vec"),
+            x => floor(x * mul + lit(0.5)).cast(t)).as(s"code_$s")
+        }
+      src.select(cols: _*)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cell")
+        .parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"tiered indexed serve fixture publish failed: $path")
+    }
+    path.toString
+  }
+
   // --- int8 at-rest layout --------------------------------------------
 
   /** Bump when [[writeInt8]]'s layout changes. */

@@ -177,6 +177,51 @@ class OperatorsSpec extends AnyFunSuite {
       "every node changed — the affected-set bound did no work")
   }
 
+  test("upsert as-of endpoints: LSH, postings, and graph snapshots bracket the plain and fully-upserted serves") {
+    import graft.operators.{Lsh, Search, Ivf}
+    import SparkEntry.{NQ, K, EmbD, LshPlanes, UpsertMod, Bm25Terms,
+      Bm25K1, Bm25B, Bm25TopN, PostBuckets, Bm25UpsertMod,
+      PostingsUpsertToken, KnnJ, IvfCells, IvfProbe}
+    val e = Tables.embeddings(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // LSH: asOf 0 = plain at-rest serve; latest = the one-shot upsert
+    val lshPlain = rows(Lsh.topkAtRest(spark, dir, e, NQ, K, EmbD,
+      LshPlanes))
+    val lshUps = rows(Lsh.topkAtRestUpserted(spark, dir, e, NQ, K, EmbD,
+      LshPlanes, UpsertMod))
+    def lshAsOf(v: Int) = rows(Lsh.topkAtRestUpsertedAsOf(spark, dir, e,
+      NQ, K, EmbD, LshPlanes, UpsertMod, v))
+    assert(lshAsOf(0) == lshPlain && lshAsOf(2) == lshUps &&
+      lshAsOf(1) != lshAsOf(0) && lshAsOf(1) != lshAsOf(2),
+      "LSH upsert snapshots do not bracket plain/upserted")
+    // postings: same endpoints, stale stats at every snapshot
+    val bmPlain = rows(Search.bm25AtRest(spark, dir, Bm25Terms, Bm25K1,
+      Bm25B, Bm25TopN, PostBuckets))
+    val bmUps = rows(Search.bm25AtRestUpserted(spark, dir, Bm25Terms,
+      Bm25K1, Bm25B, Bm25TopN, PostBuckets, Bm25UpsertMod,
+      PostingsUpsertToken))
+    def bmAsOf(v: Int) = rows(Search.bm25AtRestUpsertedAsOf(spark, dir,
+      Bm25Terms, Bm25K1, Bm25B, Bm25TopN, PostBuckets, Bm25UpsertMod,
+      PostingsUpsertToken, v))
+    assert(bmAsOf(0) == bmPlain && bmAsOf(2) == bmUps &&
+      bmAsOf(1) != bmAsOf(0),
+      "postings upsert snapshots do not bracket plain/upserted")
+    // graph: asOf 0 = the at-rest base graph; latest = the batch upsert
+    val gPath = Ivf.ensureKnnGraph(spark, dir, KnnJ, IvfCells, EmbD,
+      IvfProbe)
+    val prober = spark.read.parquet(Ivf.ensureKnnGraphProbes(spark, dir,
+      IvfCells, EmbD, IvfProbe))
+    val gBase = rows(spark.read.parquet(gPath))
+    val gUps = rows(Ivf.knnGraphUpsert(e, spark.read.parquet(gPath),
+      prober, UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe))
+    def gAsOf(v: Int) = rows(Ivf.knnGraphUpsertAsOf(spark, gPath, e,
+      prober, UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe, v))
+    assert(gAsOf(0) == gBase && gAsOf(2) == gUps &&
+      gAsOf(1) != gAsOf(0) && gAsOf(1) != gAsOf(2),
+      "graph upsert snapshots do not bracket base/upserted")
+  }
+
   test("prober sidecar commit: only touched cell partitions rewritten, content equals re-probe") {
     import graft.operators.Ivf
     import org.apache.spark.sql.functions.{col, transform => atransform, when}

@@ -838,6 +838,44 @@ class PlanSpec extends AnyFunSuite {
       "qid=-1 aggregate is not the sum of the per-request bytes")
   }
 
+  test("tiered INDEXED serve layout: one scan prunes cells (files), tiers (chunks), and langs (rows)") {
+    // the fully-composed vector side: probe cells as a static partition
+    // filter, the bound tiers' code columns as the only chunks read,
+    // the lang predicate pushed into the same scan — and neither `vec`
+    // nor the stored-but-unused 2^8 tier touched on the cheap pass
+    import org.apache.spark.sql.functions.{col, element_at}
+    import SparkEntry.{ServeTierScales, ServeTierLayoutScales, IvfCells,
+      EmbD}
+    val path = graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
+      spark, dir, ServeTierLayoutScales, IvfCells, EmbD)
+    val stored = spark.read.parquet(path)
+    val used = ServeTierScales.map(s => s"code_$s")
+    val cheap = stored
+      .filter(col("cell").isin(0, 2) && col("lang").isin("fr", "en"))
+      .select(col("id") +: col("lang") +:
+        used.map(c => element_at(col(c), 1).cast("double").as(s"x_$c")): _*)
+    cheap.collect()
+    val plan = cheap.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no cell partition filter on the tiered indexed scan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(lang"),
+      s"lang predicate not pushed into the scan:\n$plan")
+    val unused = (ServeTierLayoutScales.toSet -- ServeTierScales.toSet)
+      .map(s => s"code_$s")
+    val scans = graft.sources.Disaggregated.scanSchemas(cheap)
+    assert(scans.nonEmpty && scans.forall(s => !s.contains("vec") &&
+        unused.forall(c => !s.contains(c))),
+      s"cheap scan read vec or an unused tier ($unused): $scans")
+    // and the full serve off it is row-identical to the plain indexed
+    // capstone (the zero-miss cushion holds within the probed cells)
+    val a = SparkEntry.queries("q_serve_requests_tiered_indexed")(
+      spark, dir).collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q_serve_requests_indexed")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty,
+      "tiered indexed serve diverged from the plain indexed capstone")
+  }
+
   test("spherical-PQ at-rest at D=1024: pruned code-only cheap scan, compiled codegen, equals in-memory") {
     // the WIDE at-rest rung — the §3.3 bandwidth story at the
     // reference's FineWeb width: the pruning must hold where the vec

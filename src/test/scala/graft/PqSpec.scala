@@ -269,6 +269,18 @@ class PqSpec extends AnyFunSuite {
     // and the log is not degenerate: the three snapshots differ
     assert(asOf(0) != asOf(1) && asOf(1) != asOf(2),
       "upsert snapshots collapsed — vacuous fixture")
+    // the SPHERICAL family's log brackets the same way (stale model)
+    def sph(v: Int) = Pq.topkSphericalResidualAtRestUpsertedAsOf(spark,
+      dir, emb, NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank,
+      UpsertMod, asOf = v).collect().map(_.toSeq).toSet
+    val sphPlain = Pq.topkSphericalResidualAtRest(spark, dir, emb, NQ,
+      K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank)
+      .collect().map(_.toSeq).toSet
+    val sphUps = Pq.topkSphericalResidualAtRestUpserted(spark, dir, emb,
+      NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank, UpsertMod)
+      .collect().map(_.toSeq).toSet
+    assert(sph(0) == sphPlain && sph(2) == sphUps && sph(1) != sph(0),
+      "spherical upsert snapshots do not bracket plain/upserted")
   }
 
   test("spherical as-of snapshots: endpoints equal the undeleted and fully-deleted serves") {
