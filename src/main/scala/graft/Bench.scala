@@ -209,6 +209,35 @@ object Bench {
         SparkEntry.DeleteMod)
       graft.operators.Pq.ensureVersionedTombstones(spark, postingsRoot,
         SparkEntry.Bm25DeleteMod, idCol = "doc_id")
+      // round-16 layouts: the prober-pairs sidecar, both tiered serve
+      // layouts, the merged postings segment, and the versioned UPDATE
+      // logs across the five families
+      val knnGraphPath = graft.operators.Ivf.ensureKnnGraph(spark, sfDir,
+        SparkEntry.KnnJ, SparkEntry.IvfCells, SparkEntry.EmbD,
+        SparkEntry.IvfProbe)
+      graft.operators.Ivf.ensureKnnGraphProbes(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+      graft.sources.Disaggregated.ensureTieredServeFixture(spark, sfDir,
+        SparkEntry.ServeTierLayoutScales)
+      graft.sources.Disaggregated.ensureTieredServeIndexedFixture(spark,
+        sfDir, SparkEntry.ServeTierLayoutScales, SparkEntry.IvfCells,
+        SparkEntry.EmbD)
+      graft.operators.Search.compactPostingsUpsert(spark, sfDir,
+        postingsRoot, SparkEntry.Bm25UpsertMod, SparkEntry.PostBuckets,
+        SparkEntry.PostingsUpsertToken)
+      graft.operators.Search.ensureVersionedPostingsUpsertDeltas(spark,
+        sfDir, postingsRoot, SparkEntry.Bm25UpsertMod,
+        SparkEntry.PostBuckets, SparkEntry.PostingsUpsertToken)
+      graft.operators.Pq.ensureVersionedUpsertDeltas(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes, SparkEntry.UpsertMod)
+      graft.operators.Pq.ensureSphericalVersionedUpsertDeltas(spark,
+        sfDir, SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes, SparkEntry.UpsertMod)
+      graft.operators.Lsh.ensureVersionedUpsertDeltas(spark, lshRoot,
+        SparkEntry.UpsertMod, SparkEntry.EmbD, SparkEntry.LshPlanes)
+      graft.operators.Pq.ensureVersionedTombstones(spark, knnGraphPath,
+        SparkEntry.UpsertMod, idCol = "qid")
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-
     // record was stamped under whatever co-tenant load happened to be

@@ -1990,6 +1990,15 @@ object SparkEntry {
     "q_ann_pq_upsert" -> q((s, dir) => graft.operators.Pq
       .topkAtRestUpserted(s, dir, emb(s, dir), NQ, K, IvfCells, EmbD,
         IvfProbe, PqM, PqCodes, PqRerank, UpsertMod)),
+    // ... and upsert COMPACTION on the quantized family — the OPTIMIZE
+    // folding the re-encoded delta into the base, one id-sorted file
+    // per cell; plain serve, no anti-join or delta union at query
+    // time, hash-equal to the merge-on-read upsert (same oracle)
+    "q_ann_pq_upsert_compact" -> q((s, dir) => graft.operators.Pq
+      .topkOffCodes(s, graft.operators.Pq.compactCodesUpsertMerge(
+          s, dir, IvfCells, EmbD, PqM, PqCodes, UpsertMod),
+        emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+        PqRerank)),
     // ... and TIME TRAVEL on the UPDATE log — the half of the snapshot
     // story deletes already had: revision-stamped re-encoded delta
     // segments beside the byte-immutable base, served as-of commit 1
@@ -2170,6 +2179,14 @@ object SparkEntry {
     "q_ann_lsh_upsert" -> q((s, dir) => graft.operators.Lsh
       .topkAtRestUpserted(s, dir, emb(s, dir), NQ, K, EmbD, LshPlanes,
         UpsertMod)),
+    // ... and upsert COMPACTION — the OPTIMIZE folding the re-hashed
+    // delta into the base, one id-sorted file per bucket; served with
+    // no excision predicate at all, hash-equal to the merge-on-read
+    // upsert (same oracle)
+    "q_ann_lsh_upsert_compact" -> q((s, dir) => graft.operators.Lsh
+      .topkOffLayout(s, graft.operators.Lsh.compactLayoutUpsertMerge(
+          s, dir, EmbD, LshPlanes, UpsertMod),
+        emb(s, dir), NQ, K, EmbD, LshPlanes)),
     // ... and upsert TIME TRAVEL on the LSH layout: the versioned
     // update log served as-of commit 1 (only ids ≡ 0 mod 2·UpsertMod
     // re-hashed in that snapshot)
@@ -3039,6 +3056,9 @@ object SparkEntry {
     "q_ann_spherical_pq_upsert_asof" -> PqOracle.sphericalResidualSql(
       EmbD, NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
       updatedNegMod = 2 * UpsertMod),
+    // the PQ merged layout serves the merge-on-read view's rows
+    "q_ann_pq_upsert_compact" -> PqOracle.topkSql(EmbD, NQ, K, IvfCells,
+      IvfProbe, PqM, PqCodes, PqRerank, updatedNegMod = UpsertMod),
     // time travel as-of commit 1: only ids ≡ 0 (mod 2·DeleteMod) are
     // deleted in that snapshot (commit 2's ≡ DeleteMod rows still live)
     "q_ann_spherical_pq_delete_asof" -> PqOracle.sphericalResidualSql(EmbD,
@@ -3214,6 +3234,10 @@ object SparkEntry {
     // as-of commit 1 = the update applied only at ids ≡ 0 mod 2·mod
     "q_ann_lsh_upsert_asof" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,
       updatedNegMod = 2 * UpsertMod),
+    // the merged layout holds the merge-on-read view's rows -> the
+    // compacted serve shares the upsert oracle
+    "q_ann_lsh_upsert_compact" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ,
+      K, updatedNegMod = UpsertMod),
     // as-of commit 1: only ids ≡ 0 (mod 2·DeleteMod) deleted in that
     // snapshot — commit 2's ≡ DeleteMod rows still served
     "q_ann_lsh_delete_asof" -> EmbOracle.lshSql(EmbD, LshPlanes, NQ, K,

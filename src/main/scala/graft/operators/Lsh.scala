@@ -334,6 +334,39 @@ object Lsh {
     topkOverStored(merged, emb, nq, k, d, nPlanes, None)
   }
 
+  /** Upsert COMPACTION on the LSH layout — the
+    * [[graft.operators.Pq.compactCodesUpsertMerge]] OPTIMIZE for the
+    * bucket family: base rows of updated ids dropped, the re-hashed
+    * delta folded in, one id-sorted file per bucket, published
+    * atomically. The merged layout holds the merge-on-read view's
+    * rows, so the plain serve is hash-equal to [[topkAtRestUpserted]]
+    * (same oracle) with no excision predicate at query time. */
+  def compactLayoutUpsertMerge(spark: SparkSession, sfDir: String,
+                               d: Int, nPlanes: Int, mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val basePath = ensureLayout(spark, sfDir, d, nPlanes)
+    val deltaPath = ensureUpsertDelta(spark, basePath, mod, d, nPlanes)
+    val dst = Paths.get(basePath + s"_upsmerged_mod$mod")
+    if (!Files.exists(dst.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(dst.getParent, "lshupsmerge-")
+      val base = spark.read.parquet(basePath)
+      val delta = spark.read.parquet(deltaPath)
+        .select(base.columns.map(col): _*)
+      base.join(delta.select(col("id")), Seq("id"), "left_anti")
+        .unionByName(delta)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, dst)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(dst.resolve("_SUCCESS")),
+        s"lsh upsert-merge publish failed: $dst")
+    }
+    dst.toString
+  }
+
   /** Bump when the LSH versioned upsert log layout changes. */
   private val UpsertLogLayoutVersion = 1
 

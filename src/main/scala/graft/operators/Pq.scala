@@ -893,6 +893,47 @@ object Pq {
     path.toString
   }
 
+  /**
+   * Upsert COMPACTION — the OPTIMIZE completing the update commit on
+   * the quantized family (the postings family's
+   * [[graft.operators.Search.compactPostingsUpsert]], applied to the
+   * codes layout): the delta segment folds into the base — updated
+   * ids' base rows dropped, their re-encoded rows taking their place,
+   * one id-sorted file per cell — published atomically as a new
+   * immutable dir. The merged layout holds exactly the merge-on-read
+   * view's rows, so the plain serve off it is hash-equal to
+   * [[topkAtRestUpserted]] (same oracle); after the merge no
+   * anti-join, no delta union, no excision predicate at query time.
+   * Merge I/O = base + delta, never a corpus re-encode.
+   */
+  def compactCodesUpsertMerge(spark: SparkSession, sfDir: String,
+                              nCells: Int, d: Int, mSub: Int,
+                              codes: Int, mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val basePath = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
+    val deltaPath = ensureUpsertDelta(spark, sfDir, nCells, d, mSub,
+      codes, mod)
+    val dst = Paths.get(basePath + s"_upsmerged_mod$mod")
+    if (!Files.exists(dst.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(dst.getParent, "pqupsmerge-")
+      val cols = Seq(col("id"), col("cell"), col("vec"), col("code"))
+      val base = spark.read.parquet(basePath).select(cols: _*)
+      val delta = spark.read.parquet(deltaPath).select(cols: _*)
+      base.join(delta.select(col("id")), Seq("id"), "left_anti")
+        .unionByName(delta)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(tmp.toString)
+      try Files.move(tmp, dst)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(dst.resolve("_SUCCESS")),
+        s"upsert-merge publish failed: $dst")
+    }
+    dst.toString
+  }
+
   /** Bump when the VERSIONED upsert log layout changes. */
   private val UpsertLogLayoutVersion = 1
 

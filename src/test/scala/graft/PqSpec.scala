@@ -283,6 +283,45 @@ class PqSpec extends AnyFunSuite {
       "spherical upsert snapshots do not bracket plain/upserted")
   }
 
+  test("upsert merge: one file per cell, rows equal the merge-on-read view, base untouched") {
+    import SparkEntry.UpsertMod
+    val basePath = Pq.ensureCodesFixture(spark, dir, IvfCells, EmbD,
+      PqM, PqCodes)
+    def files(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = files(basePath)
+    val merged = Pq.compactCodesUpsertMerge(spark, dir, IvfCells, EmbD,
+      PqM, PqCodes, UpsertMod)
+    assert(files(basePath) == before,
+      "upsert merge touched a base code file")
+    // one data file per cell after the OPTIMIZE
+    val perCell = new java.io.File(merged).listFiles
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.getName ->
+        d.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(perCell.nonEmpty && perCell.forall(_._2 == 1),
+      s"expected one file per cell after merge: ${perCell.toSeq}")
+    // rows equal the merge-on-read view the upsert serve reads
+    val cols = Seq("id", "cell", "vec", "code")
+    val base = spark.read.parquet(basePath)
+    val delta = spark.read.parquet(Pq.ensureUpsertDelta(spark, dir,
+      IvfCells, EmbD, PqM, PqCodes, UpsertMod))
+    val want = base.select(cols.head, cols.tail: _*)
+      .join(delta.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(delta.select(cols.head, cols.tail: _*))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(merged)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty,
+      "merged layout != the merge-on-read view")
+  }
+
   test("spherical as-of snapshots: endpoints equal the undeleted and fully-deleted serves") {
     import SparkEntry.DeleteMod
     // the L2 family's time-travel contract carried onto the composed
