@@ -24,6 +24,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.scheduler.mode", "FAIR")
+      // the bounded-heap top-K aggregator (TopK.aggregate — the graph
+      // build's cut) rides ObjectHashAggregateExec, whose sort-based
+      // fallback triggers at 128 DISTINCT KEYS by default and would
+      // re-sort the whole scored relation (the multi-hundred-GB spill
+      // the heap cut exists to avoid). Buffers are j-bounded per key,
+      // so millions of keys are a few hundred MB per task — keep the
+      // aggregation hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -238,6 +247,14 @@ object Bench {
         SparkEntry.UpsertMod, SparkEntry.EmbD, SparkEntry.LshPlanes)
       graft.operators.Pq.ensureVersionedTombstones(spark, knnGraphPath,
         SparkEntry.UpsertMod, idCol = "qid")
+      graft.operators.Pq.compactCodesUpsertMerge(spark, sfDir,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.PqM,
+        SparkEntry.PqCodes, SparkEntry.UpsertMod)
+      graft.operators.Lsh.compactLayoutUpsertMerge(spark, sfDir,
+        SparkEntry.EmbD, SparkEntry.LshPlanes, SparkEntry.UpsertMod)
+      graft.streaming.StreamOps.ensureStreamKnnGraphUpsert(spark, sfDir,
+        SparkEntry.UpsertMod, SparkEntry.KnnJ, SparkEntry.IvfCells,
+        SparkEntry.EmbD, SparkEntry.IvfProbe)
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-
     // record was stamped under whatever co-tenant load happened to be

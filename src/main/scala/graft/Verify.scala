@@ -17,6 +17,15 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the bounded-heap top-K aggregator (TopK.aggregate — the graph
+      // build's cut) rides ObjectHashAggregateExec, whose sort-based
+      // fallback triggers at 128 DISTINCT KEYS by default and would
+      // re-sort the whole scored relation (the multi-hundred-GB spill
+      // the heap cut exists to avoid). Buffers are j-bounded per key,
+      // so millions of keys are a few hundred MB per task — keep the
+      // aggregation hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1287,7 +1287,16 @@ object Ivf {
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("score", cosScore)
-    TopK.window(scored, j)
+    // the BOUNDED-HEAP cut, not the window form: the graph build scores
+    // N·nprobe·occupancy candidate rows, and a rank window would LOCAL-
+    // SORT that whole relation before its group limit — measured as a
+    // disk-filling multi-hundred-GB spill at the 500k-node soak arm,
+    // i.e. the build that "works on 60k rows" and dies at 10x. The
+    // typed aggregator keeps at most j rows per (partition, qid) with
+    // map-side partial merge, so only ~j·nodes rows cross the exchange
+    // and nothing sorts the scored relation (identical output contract,
+    // parity-spec'd in TopK).
+    TopK.aggregate(scored, j)
   }
 
   /** Bump when the graph build or layout changes: the version is part of
