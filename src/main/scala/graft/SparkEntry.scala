@@ -2584,6 +2584,19 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe)),
+    // ... and the TIERED capstone served ONLINE — the title knob per
+    // streamed request: each microbatch runs the tiered serve for its
+    // arriving requests with every bound relation (terms, langs, α, k,
+    // tier) sliced per batch; per-request independence makes the
+    // drained union row-identical to the batch tiered capstone (same
+    // oracle)
+    "q_stream_serve_requests_tiered" -> q((s, dir) =>
+      graft.streaming.StreamOps.serveRequestsTieredOverStream(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha)),
     // ... and REQUESTS AS A STREAM — the online-serving shape: each
     // microbatch serves its arriving requests' full objects off the
     // static layouts; per-request independence (df per term, per-qid
@@ -3452,6 +3465,14 @@ object SparkEntry {
         ServeTierRel, graft.sources.Disaggregated.serveTierCodeBytes,
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
         IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // the drained tiered request stream equals the batch tiered
+    // capstone -> same oracle
+    "q_stream_serve_requests_tiered" ->
+      SearchOracle.serveRequestsTieredSql(
+        EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+        PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+        Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+        qrelPathForOracle()),
     // per-request per-tier bytes off the same pipeline CTEs
     "q_serve_requests_tiered_metrics" ->
       SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,

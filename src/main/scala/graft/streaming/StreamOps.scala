@@ -1107,6 +1107,98 @@ object StreamOps {
         col("tnorm"), col("vnorm"))
   }
 
+  /**
+   * [[serveRequestsOverStream]] at PER-REQUEST PRECISION — the title
+   * knob served ONLINE: request ids drain one shard per trigger and
+   * each microbatch runs the TIERED serve
+   * ([[graft.operators.Search.serveRequestsTiered]]) for its arriving
+   * requests only, every bound relation (terms, langs, α, k, AND the
+   * precision tier) sliced per batch. The tiered vector pipeline is
+   * per-request independent — each qid's tier CASE, seeds, tau0,
+   * survivor set, and min-max normalization are functions of its own
+   * rows over the static tiered layout — so the drained union is
+   * ROW-IDENTICAL to the batch tiered capstone and shares its oracle.
+   */
+  def serveRequestsTieredOverStream(spark: SparkSession, sfDir: String,
+                                    emb: DataFrame, docMeta: DataFrame,
+                                    queries: Seq[(Long, Seq[String])],
+                                    filters: Seq[(Long, String)],
+                                    weights: Seq[(Long, Double)],
+                                    ks: Seq[(Long, Int)],
+                                    tiers: Seq[(Long, Int)],
+                                    layoutScales: Seq[Int], k1: Double,
+                                    b: Double, poolN: Int,
+                                    nBuckets: Int,
+                                    alpha: Double): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    graft.operators.Search.ensurePostingsLayout(spark, sfDir, nBuckets)
+    graft.sources.Disaggregated.ensureTieredServeFixture(spark, sfDir,
+      layoutScales)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val reqKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(queries, filters, weights, ks, tiers, layoutScales,
+          k1, b, poolN, nBuckets, alpha)
+        .mkString(";").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    val qids = ks.map(_._1).sorted
+    val landing = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_treqlanding_sv${StreamServeLayoutVersion}_${safe}_${reqKey}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landing.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landing.getParent, "treqland-")
+        qids.toDF("qid").repartition(qids.length, col("qid"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, landing)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landing.resolve("_SUCCESS")),
+          s"tiered request landing publish failed: $landing")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_treqserve_sv${StreamServeLayoutVersion}_${safe}" +
+        s"_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "treqserve-")
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("qid", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arrived = batch.select(col("qid")).collect()
+              .map(_.getLong(0)).toSet
+            if (arrived.nonEmpty) {
+              graft.operators.Search.serveRequestsTiered(spark, sfDir,
+                  emb, docMeta,
+                  queries.filter(kv => arrived(kv._1)),
+                  filters.filter(kv => arrived(kv._1)),
+                  weights.filter(kv => arrived(kv._1)),
+                  ks.filter(kv => arrived(kv._1)),
+                  tiers.filter(kv => arrived(kv._1)),
+                  layoutScales, k1, b, poolN, nBuckets, alpha)
+                .write.mode("append").parquet(tmp.toString)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"stream tiered request serve publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(outDir.toString)
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
   /** Multi-probe LSH over the STREAM-MAINTAINED layout — hash-equal to
     * the batch twins once drained (same rows, same bucket keys), so it
     * shares `q_ann_lsh`'s oracle. */

@@ -840,6 +840,28 @@ class SearchSpec extends AnyFunSuite {
       "drained request-stream serve diverged from the batch capstone")
   }
 
+  test("streamed TIERED requests drain row-identical to the batch tiered capstone") {
+    import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, ServeTierRel, ServeTierLayoutScales, Bm25K1, Bm25B,
+      RrfPoolN, PostBuckets}
+    val alpha = SparkEntry.refineParams("cos_l1").alpha
+    val streamed = graft.streaming.StreamOps
+      .serveRequestsTieredOverStream(spark, dir, emb, docs,
+        Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+        ServeTierRel, ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN,
+        PostBuckets, alpha).collect().map(_.toSeq).toSet
+    val batch = Search.serveRequestsTiered(spark, dir, emb, docs,
+      Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      ServeTierRel, ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN,
+      PostBuckets, alpha).collect().map(_.toSeq).toSet
+    // the tiered vector pipeline is per-request independent (each
+    // qid's tier CASE, seeds, tau0, survivors, min-max are functions
+    // of its own rows over the static layout) — so the per-trigger
+    // tiered serves compose exactly
+    assert(streamed == batch && streamed.nonEmpty,
+      "drained tiered request stream diverged from the batch tiered capstone")
+  }
+
   test("indexed serve ledger: sum-of-parts, probe pruning strictly undercuts the brute ledger") {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, IvfCells,
