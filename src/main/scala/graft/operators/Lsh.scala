@@ -341,12 +341,16 @@ object Lsh {
     * atomically. The merged layout holds the merge-on-read view's
     * rows, so the plain serve is hash-equal to [[topkAtRestUpserted]]
     * (same oracle) with no excision predicate at query time. */
+  /** Bump when the merged layout's shape or merge semantics change. */
+  private val UpsertMergeLayoutVersion = 1
+
   def compactLayoutUpsertMerge(spark: SparkSession, sfDir: String,
                                d: Int, nPlanes: Int, mod: Int): String = {
     import java.nio.file.{Files, Paths}
     val basePath = ensureLayout(spark, sfDir, d, nPlanes)
     val deltaPath = ensureUpsertDelta(spark, basePath, mod, d, nPlanes)
-    val dst = Paths.get(basePath + s"_upsmerged_mod$mod")
+    val dst = Paths.get(basePath +
+      s"_upsmergedv${UpsertMergeLayoutVersion}_mod$mod")
     if (!Files.exists(dst.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(dst.getParent, "lshupsmerge-")
       val base = spark.read.parquet(basePath)

@@ -906,6 +906,11 @@ object Pq {
    * anti-join, no delta union, no excision predicate at query time.
    * Merge I/O = base + delta, never a corpus re-encode.
    */
+  /** Bump when the merged layout's shape or merge semantics change:
+    * the version is part of the dir name, so a stale merge can never
+    * be silently reused (the ensure-layout discipline). */
+  private val UpsertMergeLayoutVersion = 1
+
   def compactCodesUpsertMerge(spark: SparkSession, sfDir: String,
                               nCells: Int, d: Int, mSub: Int,
                               codes: Int, mod: Int): String = {
@@ -913,7 +918,8 @@ object Pq {
     val basePath = ensureCodesFixture(spark, sfDir, nCells, d, mSub, codes)
     val deltaPath = ensureUpsertDelta(spark, sfDir, nCells, d, mSub,
       codes, mod)
-    val dst = Paths.get(basePath + s"_upsmerged_mod$mod")
+    val dst = Paths.get(basePath +
+      s"_upsmergedv${UpsertMergeLayoutVersion}_mod$mod")
     if (!Files.exists(dst.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(dst.getParent, "pqupsmerge-")
       val cols = Seq(col("id"), col("cell"), col("vec"), col("code"))
