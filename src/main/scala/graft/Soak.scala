@@ -581,7 +581,10 @@ object Soak {
     {
       val gN = sys.env.getOrElse("SOAK_GRAPH_N", "500000").toInt
       val gCells = 64; val gJ = 4; val gNp = 2
-      val gMod = gN / 3 // 3 updated ids: 0, gMod, 2*gMod
+      require(gN >= 6,
+        s"SOAK_GRAPH_N=$gN too small: need >= 6 so gN/3+1 >= 2 " +
+          "(knnGraphUpsert requires mod >= 2)")
+      val gMod = gN / 3 + 1 // exactly 3 updated ids: 0, gMod, 2*gMod
       val gEmb = embSoak.filter(col("vec_id") < gN)
         .select(col("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

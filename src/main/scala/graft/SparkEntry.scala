@@ -1086,12 +1086,18 @@ object SparkEntry {
       require(Files.exists(path.resolve("_SUCCESS")),
         s"query relation publish failed: $path")
       val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val prefix = s"graft_qrel_${safe}_"
+      // Match the EXACT layout — prefix + 16 lowercase hex chars and
+      // nothing after (the content key is exactly 16 hex chars). A
+      // bare startsWith would let one fixture's sanitized name that is
+      // a prefix of another's (…_sf1 vs …_sf1_wide) delete the other
+      // fixture's LIVE relation table.
+      val stalePat = (java.util.regex.Pattern.quote(
+        s"graft_qrel_${safe}_") + "[0-9a-f]{16}").r
       val stale = Files.list(path.getParent)
       try stale.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith(prefix) && n != path.getFileName.toString &&
-            Files.isDirectory(p))
+        if (stalePat.pattern.matcher(n).matches() &&
+            n != path.getFileName.toString && Files.isDirectory(p))
           graft.sources.VecFiles.deleteRecursively(p)
       } finally stale.close()
     }
@@ -1256,6 +1262,16 @@ object SparkEntry {
   private def knnGraphAtRest(s: SparkSession, dir: String) =
     s.read.parquet(graft.operators.Ivf.ensureKnnGraph(
       s, dir, KnnJ, IvfCells, EmbD, IvfProbe))
+
+  /** The edge list bucketed by TARGET at rest — the holder-probe
+    * sidecar every graph maintenance verb prunes on (who holds an edge
+    * to these ids = a literal-IN partition-pruned read of the ids'
+    * buckets, never a full edge scan). */
+  private def knnGraphByTargetAtRest(s: SparkSession, dir: String) =
+    Some(s.read.parquet(graft.operators.Ivf.ensureKnnGraphByTarget(
+      s, graft.operators.Ivf.ensureKnnGraph(
+        s, dir, KnnJ, IvfCells, EmbD, IvfProbe),
+      dir, KnnJ, IvfCells, EmbD, IvfProbe)))
 
   /** ts arrives as LongType nanos (see Tables.events); whole seconds via
     * integer `div`, day string via from_unixtime in the UTC session. */
@@ -2259,7 +2275,7 @@ object SparkEntry {
       val tombs = e.select(col("vec_id").as("id"))
         .filter(col("id") % DeleteMod === 0)
       graft.operators.Ivf.knnGraphDelete(e, knnGraphAtRest(s, dir), tombs,
-        KnnJ, IvfCells, EmbD, IvfProbe)
+        KnnJ, IvfCells, EmbD, IvfProbe, knnGraphByTargetAtRest(s, dir))
     }),
     // ... and TIME TRAVEL on the graph — the last index family to gain
     // the as-of verb: the generic versioned delete log served as-of
@@ -2270,7 +2286,7 @@ object SparkEntry {
       .knnGraphDeleteAsOf(s, graft.operators.Ivf.ensureKnnGraph(s, dir,
           KnnJ, IvfCells, EmbD, IvfProbe),
         emb(s, dir), KnnJ, IvfCells, EmbD, IvfProbe, DeleteMod,
-        asOf = 1)),
+        asOf = 1, knnGraphByTargetAtRest(s, dir))),
     // ... and UPSERT — the verb completing the graph family's CRUD:
     // updated vectors (v' = −v) move cells AND can enter other nodes'
     // top-j, so the exact affected set is edge-holders ∪ new-cell
@@ -2283,7 +2299,8 @@ object SparkEntry {
       .knnGraphUpsert(emb(s, dir), knnGraphAtRest(s, dir),
         s.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(s, dir,
           IvfCells, EmbD, IvfProbe)),
-        UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe)),
+        UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe,
+        knnGraphByTargetAtRest(s, dir))),
     // ... and the UPDATE STREAM maintaining the graph: commits drain
     // one shard per trigger, each microbatch repairing exactly its own
     // affected set off the INCREMENTALLY-MAINTAINED prober sidecar
@@ -2292,6 +2309,15 @@ object SparkEntry {
     // state hash-equal to the one-shot batch upsert, same oracle
     "q_stream_knn_graph_upsert" -> q((s, dir) => graft.streaming.StreamOps
       .knnGraphUpsertOverStream(s, dir, UpsertMod, KnnJ, IvfCells, EmbD,
+        IvfProbe)),
+    // ... and the edge-log COMPACTION — the OPTIMIZE verb completing
+    // the graph family's lifecycle (the q_bm25_upsert_compact
+    // discipline applied to edges): the drained stream's versioned log
+    // folded ONCE into a fresh target-bucketed base, superseded rows
+    // dropped, published atomically; the post-compact serve is a plain
+    // base read — no latest-wins fold left in the plan
+    "q_knn_graph_upsert_compact" -> q((s, dir) => graft.streaming.StreamOps
+      .knnGraphUpsertCompacted(s, dir, UpsertMod, KnnJ, IvfCells, EmbD,
         IvfProbe)),
     // ... and upsert TIME TRAVEL on the graph: the versioned update
     // log applied as-of commit 1 BEFORE the affected-set repair — the
@@ -2302,7 +2328,8 @@ object SparkEntry {
         emb(s, dir),
         s.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(s, dir,
           IvfCells, EmbD, IvfProbe)),
-        UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe, asOf = 1)),
+        UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe, asOf = 1,
+        knnGraphByTargetAtRest(s, dir))),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
     // its arrivals PLUS the affected nodes (probed cells intersecting
@@ -3306,6 +3333,11 @@ object SparkEntry {
       IvfProbe, updatedNegMod = UpsertMod),
     // the drained update stream equals the batch upsert -> same oracle
     "q_stream_knn_graph_upsert" -> IvfOracle.knnGraphSql(EmbD, KnnJ,
+      IvfCells, IvfProbe, updatedNegMod = UpsertMod),
+    // compaction folds the log, it never changes the graph: the
+    // compacted base holds exactly the drained latest-wins state ->
+    // the batch-upsert oracle again
+    "q_knn_graph_upsert_compact" -> IvfOracle.knnGraphSql(EmbD, KnnJ,
       IvfCells, IvfProbe, updatedNegMod = UpsertMod),
     // upsert as-of commit 1 = the rebuild over the commit-1 view
     "q_knn_graph_upsert_asof" -> IvfOracle.knnGraphSql(EmbD, KnnJ,

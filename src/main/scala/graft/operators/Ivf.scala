@@ -1338,7 +1338,77 @@ object Ivf {
     // graph, so upsert maintenance never has to re-derive probe sets
     // from the corpus (see knnGraphUpsert's gainer pass)
     ensureKnnGraphProbes(spark, sfDir, nCells, d, nprobe)
+    // ... and so does the target-bucketed edge sidecar, so the HOLDER
+    // half of that maintenance never has to scan every edge either
+    ensureKnnGraphByTarget(spark, path.toString, sfDir, j, nCells, d,
+      nprobe)
     path.toString
+  }
+
+  /** Number of edge-TARGET buckets in the holder-probe sidecar: the
+    * edge list re-partitioned on `pmod(id, KnnEdgeBuckets)` so "who
+    * holds an edge to these ids?" prunes to the ids' buckets. 32 keeps
+    * partitions corpus/32-sized at any N (the bucket count is a layout
+    * constant, not a corpus function — the bucketed-join standard). */
+  val KnnEdgeBuckets = 32
+
+  /**
+   * The edge list BUCKETED BY TARGET at rest — the holder-probe
+   * sidecar completing [[ensureKnnGraphProbes]]' symmetry: the gainer
+   * half of upsert maintenance asks "who PROBES these cells?" (cell-
+   * partitioned sidecar), the holder half asks "who HOLDS AN EDGE TO
+   * these ids?" — which on the primary qid-sorted layout is a full
+   * edge scan per commit. Here the same edges are persisted partitioned
+   * by `bkt = pmod(id, KnnEdgeBuckets)`, so the holder probe reads only
+   * the updated ids' buckets (a literal IN on the partition column —
+   * planning-time pruning, ≤ |update| of the 32 buckets when commits
+   * are small). Rows within a bucket are id-sorted for row-group
+   * skipping on the target-id semi-join. Derived FROM the published
+   * primary layout (same edges, re-partitioned), version-keyed and
+   * published atomically beside it.
+   */
+  def ensureKnnGraphByTarget(spark: org.apache.spark.sql.SparkSession,
+                             graphPath: String, sfDir: String, j: Int,
+                             nCells: Int, d: Int, nprobe: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_knnedges_tgt_v${KnnGraphLayoutVersion}_${safe}_j${j}" +
+        s"_c${nCells}_d${d}_p${nprobe}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "knnt-")
+      spark.read.parquet(graphPath)
+        .withColumn("bkt",
+          pmod(col("id"), lit(KnnEdgeBuckets.toLong)).cast("int"))
+        .repartition(col("bkt"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("bkt")
+        .parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"knn edge-by-target sidecar publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** The holder probe over the target-bucketed edge sidecar: nodes
+    * holding an edge to any of `ids` (column `id`), read PARTITION-
+    * PRUNED to the ids' buckets — a literal IN on the partition column
+    * (the ids' bucket set is a bounded model, ≤ KnnEdgeBuckets ints,
+    * however large the update set). The planning-time filter is what
+    * makes holder discovery O(touched-bucket occupancy), not O(|E|). */
+  private def holdersOf(byTarget: DataFrame, ids: DataFrame): DataFrame = {
+    val bkts = ids
+      .select(pmod(col("id"), lit(KnnEdgeBuckets.toLong)).cast("int")
+        .as("bkt"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    byTarget
+      .filter(col("bkt").isin(bkts.map(Int.box): _*))
+      .join(ids.select(col("id")), Seq("id"), "left_semi")
+      .select(col("qid")).distinct()
   }
 
   /**
@@ -1470,7 +1540,8 @@ object Ivf {
    * write-amplification of a real graph-index delete.
    */
   def knnGraphDelete(emb: DataFrame, graph: DataFrame, tombs: DataFrame,
-                     j: Int, nCells: Int, d: Int, nprobe: Int): DataFrame = {
+                     j: Int, nCells: Int, d: Int, nprobe: Int,
+                     byTarget: Option[DataFrame] = None): DataFrame = {
     // no broadcast hints on the tombstone/affected joins: the delete set
     // is corpus-fraction-sized (it grows with the table, unlike bounded
     // query/model relations) and `affected` is the deleted set's
@@ -1482,10 +1553,15 @@ object Ivf {
     val live = emb.join(tombs.select(col("id").as("vec_id")),
       Seq("vec_id"), "left_anti")
     val tombNodes = tombs.select(col("id").as("qid"))
-    // survivors holding an edge to a deleted id
-    val affected = graph
-      .join(tombs.select(col("id")), Seq("id"), "left_semi")
-      .select(col("qid")).distinct()
+    // survivors holding an edge to a deleted id — off the target-
+    // bucketed sidecar when the graph ships one (partition-pruned to
+    // the deleted ids' buckets, [[holdersOf]]); the full-edge semi-join
+    // only for ad-hoc in-memory graphs that have no layout to prune
+    val affected = byTarget
+      .map(bt => holdersOf(bt, tombs.select(col("id"))))
+      .getOrElse(graph
+        .join(tombs.select(col("id")), Seq("id"), "left_semi")
+        .select(col("qid")).distinct())
       .join(tombNodes, Seq("qid"), "left_anti")
     val keep = graph
       .join(tombNodes, Seq("qid"), "left_anti")
@@ -1513,14 +1589,15 @@ object Ivf {
   def knnGraphDeleteAsOf(spark: org.apache.spark.sql.SparkSession,
                          graphPath: String, emb: DataFrame, j: Int,
                          nCells: Int, d: Int, nprobe: Int,
-                         deleteMod: Int, asOf: Int): DataFrame = {
+                         deleteMod: Int, asOf: Int,
+                         byTarget: Option[DataFrame] = None): DataFrame = {
     val tombs = spark.read.parquet(graft.operators.Pq
         .ensureVersionedTombstones(spark, graphPath, deleteMod,
           idCol = "qid"))
       .filter(col("commit_v") <= asOf)
       .select(col("qid").as("id"))
     knnGraphDelete(emb, spark.read.parquet(graphPath), tombs, j, nCells,
-      d, nprobe)
+      d, nprobe, byTarget)
   }
 
   /**
@@ -1552,7 +1629,12 @@ object Ivf {
    * partitions (plan-asserted in PlanSpec). This replaces the previous
    * per-commit O(N·d·nprobe) corpus re-assign: maintenance I/O is now
    * proportional to the probed occupancy of the new cells, not to the
-   * corpus — the IVF-split standard. Using the BUILD-TIME sidecar is
+   * corpus — the IVF-split standard. The HOLDER pass is its symmetric
+   * twin: when the graph ships its target-bucketed edge sidecar
+   * ([[ensureKnnGraphByTarget]], passed as `byTarget`), "who holds an
+   * edge to the updated ids" partition-prunes to the ids' buckets
+   * ([[holdersOf]], plan-asserted) instead of semi-joining the whole
+   * edge list per commit. Using the BUILD-TIME sidecar is
    * exact: a non-updated node's probe set never moves (its vector is
    * untouched), and updated nodes — whose probe rows in the sidecar
    * ARE stale — are in the affected set unconditionally, so their
@@ -1562,11 +1644,12 @@ object Ivf {
    */
   def knnGraphUpsert(emb: DataFrame, graph: DataFrame, prober: DataFrame,
                      mod: Int, j: Int, nCells: Int, d: Int,
-                     nprobe: Int): DataFrame = {
+                     nprobe: Int,
+                     byTarget: Option[DataFrame] = None): DataFrame = {
     require(mod >= 2, s"mod=$mod")
     knnGraphUpsertFor(emb, graph, prober,
       emb.select(col("vec_id")).filter(col("vec_id") % mod === 0),
-      j, nCells, d, nprobe)
+      j, nCells, d, nprobe, byTarget)
   }
 
   /** [[knnGraphUpsert]] over an EXPLICIT update-id set (new value −v
@@ -1578,16 +1661,24 @@ object Ivf {
     * algebra over the prober sidecar. */
   def knnGraphUpsertFor(emb: DataFrame, graph: DataFrame,
                         prober: DataFrame, updIds: DataFrame, j: Int,
-                        nCells: Int, d: Int, nprobe: Int): DataFrame = {
+                        nCells: Int, d: Int, nprobe: Int,
+                        byTarget: Option[DataFrame] = None): DataFrame = {
     val updatedView = emb
       .join(updIds.select(col("vec_id")).withColumn("upd", lit(1)),
         Seq("vec_id"), "left")
       .select(col("vec_id"),
         when(col("upd") === 1, transform(col("embedding"), x => -x))
           .otherwise(col("embedding")).as("embedding"))
-    val holders = graph
-      .join(updIds.select(col("vec_id").as("id")), Seq("id"), "left_semi")
-      .select(col("qid")).distinct()
+    // holders off the target-bucketed sidecar when the graph ships one
+    // (partition-pruned to the updated ids' buckets, [[holdersOf]] —
+    // the symmetric completion of the gainer pass's sidecar); the
+    // full-edge semi-join only for ad-hoc in-memory graphs
+    val holders = byTarget
+      .map(bt => holdersOf(bt, updIds.select(col("vec_id").as("id"))))
+      .getOrElse(graph
+        .join(updIds.select(col("vec_id").as("id")), Seq("id"),
+          "left_semi")
+        .select(col("qid")).distinct())
     // the updated vectors' NEW cells — a bounded collect (<= nCells
     // ints, a model), materialized as literals so the sidecar read
     // below prunes at PLANNING time (a static partition filter, not a
@@ -1629,13 +1720,14 @@ object Ivf {
                          graphPath: String, emb: DataFrame,
                          prober: DataFrame, mod: Int, j: Int,
                          nCells: Int, d: Int, nprobe: Int,
-                         asOf: Int): DataFrame = {
+                         asOf: Int,
+                         byTarget: Option[DataFrame] = None): DataFrame = {
     val updIds = spark.read.parquet(graft.operators.Pq
         .ensureVersionedTombstones(spark, graphPath, mod, idCol = "qid"))
       .filter(col("commit_v") <= asOf)
       .select(col("qid").as("vec_id"))
     knnGraphUpsertFor(emb, spark.read.parquet(graphPath), prober,
-      updIds, j, nCells, d, nprobe)
+      updIds, j, nCells, d, nprobe, byTarget)
   }
 
   /** (qid, cell) probe pairs for a (qid, qvec) node set — exposed for

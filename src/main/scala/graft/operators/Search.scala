@@ -1926,6 +1926,7 @@ object Search {
                                alpha: Double): DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
+    require(filters.nonEmpty, "tieredServeFetch: empty filter relation")
     require(tiers.nonEmpty, "tieredServeFetch: empty tier relation")
     val usedScales = tiers.map(_._2).distinct.sorted
     require(usedScales.toSet.subsetOf(layoutScales.toSet),
@@ -2166,6 +2167,8 @@ object Search {
                                       nprobe: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
+    require(filters.nonEmpty,
+      "tieredServeIndexedFetch: empty filter relation")
     require(tiers.nonEmpty, "tieredServeIndexedFetch: empty tier relation")
     val usedScales = tiers.map(_._2).distinct.sorted
     require(usedScales.toSet.subsetOf(layoutScales.toSet),

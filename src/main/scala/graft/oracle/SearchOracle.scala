@@ -950,18 +950,6 @@ object SearchOracle {
        |FROM allrows""".stripMargin
   }
 
-  /**
-   * The TIERED vector-pool CTE chain ([[graft.operators.Search
-   * .serveRequestsTiered]]'s vector side): the full two-phase
-   * per-request-precision pipeline recomputed FROM THE RAW FLOATS —
-   * per-element quantization rv = FLOOR(v·2^s + 0.5)/2^s (exact dyadic
-   * rationals, the [[RefineOracle.quantRvDv]] discipline), per-qid
-   * tier bound via CASE over the tier relation, cos_l1 constant
-   * half-step cushion, seed/tau0/survivor/exact-rescore CTEs
-   * mirroring the engine tree token-for-token, ending at
-   * `vtop(qid, doc_id, vscore)` with `tfetch` (the per-qid fetch set)
-   * and `tr` (the tier relation) in scope for the ledger twin.
-   */
   /** The tier relation CTE body (qid → scaleLog2): the stored `stier`
     * rows when the qrel path is known, inline VALUES otherwise. */
   private def tierRelBody(tiers: Seq[(Long, Int)],
@@ -980,7 +968,7 @@ object SearchOracle {
 
   /** The per-qid tiered s_hat/cush column pair over candidate alias
     * `c` (embedding) and query alias `vq` (qv): per-element quantized
-    // values inlined everywhere they are used, each aggregate a
+    * values inlined everywhere they are used, each aggregate a
     * left-associated sum exactly like the engine's codegen'd folds. */
   private def tierScoreExprs(d: Int, usedScales: Seq[Int],
                              alpha: Double): (String, String) = {
@@ -1041,6 +1029,18 @@ object SearchOracle {
        |  FROM tfetch) WHERE rnk <= $poolN)""".stripMargin
   }
 
+  /**
+   * The TIERED vector-pool CTE chain ([[graft.operators.Search
+   * .serveRequestsTiered]]'s vector side): the full two-phase
+   * per-request-precision pipeline recomputed FROM THE RAW FLOATS —
+   * per-element quantization rv = FLOOR(v·2^s + 0.5)/2^s (exact dyadic
+   * rationals, the [[RefineOracle.quantRvDv]] discipline), per-qid
+   * tier bound via CASE over the tier relation, cos_l1 constant
+   * half-step cushion, seed/tau0/survivor/exact-rescore CTEs
+   * mirroring the engine tree token-for-token, ending at
+   * `vtop(qid, doc_id, vscore)` with `tfetch` (the per-qid fetch set)
+   * and `tr` (the tier relation) in scope for the ledger twin.
+   */
   private def tieredVecPoolCtes(d: Int, nq: Int,
                                 tiers: Seq[(Long, Int)], alpha: Double,
                                 poolN: Int,

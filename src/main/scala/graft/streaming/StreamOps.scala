@@ -1565,15 +1565,23 @@ object StreamOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
-  /** Bump when the streaming graph-upsert state layout changes. */
-  private val StreamKnnUpsertLayoutVersion = 1
+  /** Bump when the streaming graph-upsert state layout changes.
+    * v2: the versioned edge log is partitioned by the edge TARGET's
+    * bucket (`bkt = pmod(id, KnnEdgeBuckets)`), so each commit's holder
+    * probe partition-prunes to the arrivals' buckets instead of
+    * folding latest-wins over the whole log. */
+  private val StreamKnnUpsertLayoutVersion = 2
 
   /**
    * STREAMING GRAPH UPSERT — update commits arriving as a real file
    * stream (one landing shard per commit: commit 1 = ids ≡ 0 mod
    * 2·`mod`, commit 2 the rest, v' = −v), each microbatch running the
    * EXACT incremental repair against the current state: affected =
-   * edge-holders of the arrivals ∪ gainers read PARTITION-PRUNED off
+   * edge-holders of the arrivals (read PARTITION-PRUNED off the
+   * target-bucketed edge log — any-version, no latest-wins fold; a
+   * superset of the current holders, and supersets of the affected set
+   * are exact because the repair recomputes every member from scratch)
+   * ∪ gainers read PARTITION-PRUNED off
    * the maintained prober-pairs sidecar ∪ the arrivals themselves,
    * re-ranked over the updated corpus view, appended as versioned edge
    * rows (latest batch wins per node — the [[ensureStreamKnnGraph]]
@@ -1630,12 +1638,18 @@ object StreamOps {
         val edgesDir = tmp.resolve("edges").toString
         val updDir = tmp.resolve("applied").toString
         val sideDir = tmp.resolve("prober").toString
-        // seed the state: base edges at version -1, and a private COPY
-        // of the pristine prober sidecar (the shared ensure-layout dir
-        // is immutable; this stream's commits mutate their own)
+        // seed the state: base edges at version -1 — partitioned by the
+        // edge TARGET's bucket (the Ivf.ensureKnnGraphByTarget layout),
+        // so every commit's holder probe prunes to the arrivals'
+        // buckets — and a private COPY of the pristine prober sidecar
+        // (the shared ensure-layout dir is immutable; this stream's
+        // commits mutate their own)
+        val nBkt = graft.operators.Ivf.KnnEdgeBuckets
         spark.read.parquet(basePath)
           .withColumn("b", lit(-1L))
-          .write.mode("overwrite").parquet(edgesDir)
+          .withColumn("bkt", pmod(col("id"), lit(nBkt.toLong)).cast("int"))
+          .repartition(col("bkt")).sortWithinPartitions(col("id"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(edgesDir)
         spark.read.parquet(proberPath)
           .select(col("qid"), col("cell"))
           .repartition(col("cell")).sortWithinPartitions(col("qid"))
@@ -1653,7 +1667,7 @@ object StreamOps {
           .parquet(landingP.toString)
         val q = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-            import org.apache.spark.sql.functions.{col, lit, max => fmax}
+            import org.apache.spark.sql.functions.{col, lit}
             val arrived = batch.select(col("vec_id"), col("embedding"))
               .localCheckpoint(true)
             if (!arrived.isEmpty) {
@@ -1668,17 +1682,26 @@ object StreamOps {
                 .join(arrived.select(col("vec_id")), Seq("vec_id"),
                   "left_anti")
                 .unionByName(arrived)
-              // current graph: latest-wins over the versioned edges
-              val edges = spark.read.parquet(edgesDir)
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(col("qid"))
-              val graphPrev = edges
-                .withColumn("bmax", fmax(col("b")).over(w))
-                .filter(col("b") === col("bmax"))
-                .select(col("qid"), col("rank"), col("id"), col("score"))
               val prober = spark.read.parquet(sideDir)
               val arrivedIds = arrived.select(col("vec_id"))
-              val holders = graphPrev
+              // holders: nodes with an edge to an arrival, read off the
+              // target-bucketed edge log PRUNED to the arrivals'
+              // buckets — over ALL versions, with no latest-wins fold.
+              // Any-version is a SUPERSET of the current holders (a
+              // node whose old version held the edge but whose latest
+              // does not still matches), and a superset of the affected
+              // set is exact: the repair recomputes each member's top-j
+              // over the updated view, so an unaffected member's
+              // recomputed edges equal its current edges verbatim. This
+              // is what removes the per-commit O(total-log) window fold
+              // the v1 layout paid: commit I/O is now the arrivals'
+              // bucket occupancy, independent of commit count.
+              val holders = spark.read.parquet(edgesDir)
+                .filter(col("bkt").isin(
+                  arrivedIds.select(pmod(col("vec_id"), lit(nBkt.toLong))
+                      .cast("int").as("bkt"))
+                    .distinct().collect().map(r => Int.box(r.getInt(0)))
+                    .toSeq: _*))
                 .join(arrivedIds.select(col("vec_id").as("id")),
                   Seq("id"), "left_semi")
                 .select(col("qid")).distinct()
@@ -1698,7 +1721,10 @@ object StreamOps {
                     .join(affected, Seq("qid"), "left_semi"),
                   corpusNext, j, nCells, d, nprobe)
                 .withColumn("b", lit(bid))
-                .write.mode("append").parquet(edgesDir)
+                .withColumn("bkt",
+                  pmod(col("id"), lit(nBkt.toLong)).cast("int"))
+                .write.mode("append").partitionBy("bkt")
+                .parquet(edgesDir)
               // maintain the sidecar: commit 2's gainers must see
               // commit 1's updated probe sets
               graft.operators.Ivf.commitProberUpdates(spark, sideDir,
@@ -1740,6 +1766,83 @@ object StreamOps {
       .filter(col("b") === col("bmax"))
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
+
+  /** Bump when the compacted edge-base layout shape changes. */
+  private val StreamKnnCompactLayoutVersion = 1
+
+  /**
+   * EDGE-LOG COMPACTION — the OPTIMIZE verb the graph family was
+   * missing (PQ, LSH, and the postings all have theirs): the drained
+   * stream's append-only versioned edge log, which every serve must
+   * otherwise fold latest-wins per read, is folded ONCE into a fresh
+   * edge BASE — only each node's latest version survives, superseded
+   * rows dropped — and published as a new immutable version-named dir
+   * via atomic scratch-move (the [[graft.operators.Search
+   * .compactPostingsUpsert]] discipline: log files are never mutated;
+   * the compacted base atomically replaces the log as the serve root,
+   * while the log itself remains the time-travel substrate). The fold
+   * is a groupBy-max plus an equi-join — partial-aggregated, never a
+   * window sort over the whole log — and the base lands in the
+   * target-bucketed layout ([[graft.operators.Ivf.KnnEdgeBuckets]],
+   * id-sorted within buckets), so the NEXT commit's holder probe
+   * prunes on it directly. Publish-time invariant: compaction folds
+   * versions, it never adds or drops nodes — the compacted node count
+   * must equal the log's distinct node count exactly.
+   */
+  def ensureStreamKnnGraphUpsertCompacted(spark: SparkSession,
+                                          sfDir: String, mod: Int, j: Int,
+                                          nCells: Int, d: Int,
+                                          nprobe: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val logDir = ensureStreamKnnGraphUpsert(spark, sfDir, mod, j, nCells,
+      d, nprobe)
+    val path = Paths.get(
+      logDir + s"_compactv$StreamKnnCompactLayoutVersion")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "knnups-cmp-")
+      val edges = spark.read.parquet(s"$logDir/edges")
+      // latest-wins, the scale-honest way: per-node max version via a
+      // partial-aggregated groupBy (map-side combine, ~N rows across
+      // the exchange), joined back — never a window over the log,
+      // which would local-sort every version ever appended
+      val bmax = edges.groupBy(col("qid"))
+        .agg(max(col("b")).as("bmax"))
+      val folded = edges.join(bmax, Seq("qid"))
+        .filter(col("b") === col("bmax"))
+        .select(col("qid"), col("rank"), col("id"), col("score"))
+      val nBkt = graft.operators.Ivf.KnnEdgeBuckets
+      folded
+        .withColumn("bkt", pmod(col("id"), lit(nBkt.toLong)).cast("int"))
+        .repartition(col("bkt")).sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("bkt").parquet(tmp.resolve("edges").toString)
+      val compactN = spark.read.parquet(tmp.resolve("edges").toString)
+        .select(col("qid")).distinct().count()
+      val logN = edges.select(col("qid")).distinct().count()
+      require(compactN == logN,
+        s"graph compaction invariant broken: $compactN nodes after " +
+          s"compact vs $logN in the versioned log")
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"compacted graph publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** The graph served AFTER edge-log compaction: a plain read of the
+    * compacted base — no version column, no latest-wins fold in the
+    * plan (PlanSpec asserts no Window/aggregate fold survives) — and
+    * hash-equal to the drained log's fold, i.e. to the one-shot batch
+    * upsert's oracle. */
+  def knnGraphUpsertCompacted(spark: SparkSession, sfDir: String,
+                              mod: Int, j: Int, nCells: Int, d: Int,
+                              nprobe: Int): DataFrame =
+    spark.read.parquet(ensureStreamKnnGraphUpsertCompacted(spark, sfDir,
+        mod, j, nCells, d, nprobe) + "/edges")
+      .select(col("qid"), col("rank"), col("id"), col("score"))
 
   /**
    * STREAMING MODEL REFRESH — the index lifecycle's last stage

@@ -508,6 +508,61 @@ class PlanSpec extends AnyFunSuite {
       "pruned prober read not smaller than the full sidecar")
   }
 
+  test("graph upsert: holder probe is partition-pruned to the updated ids' buckets") {
+    import graft.operators.Ivf
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val e = Tables.embeddings(spark, dir)
+    val (nCells, d, np) =
+      (SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+    // sparse update set (the prober-sidecar test's mod=211 regime):
+    // production commits touch a few target buckets of the 32, and
+    // that is the pruning this layout exists to deliver
+    val mod = 211
+    val prober = spark.read.parquet(
+      Ivf.ensureKnnGraphProbes(spark, dir, nCells, d, np))
+    val gPath = Ivf.ensureKnnGraph(spark, dir, SparkEntry.KnnJ, nCells,
+      d, np)
+    val byTarget = spark.read.parquet(Ivf.ensureKnnGraphByTarget(spark,
+      gPath, dir, SparkEntry.KnnJ, nCells, d, np))
+    val df = Ivf.knnGraphUpsert(e, spark.read.parquet(gPath), prober,
+      mod, SparkEntry.KnnJ, nCells, d, np, Some(byTarget))
+    val plan = df.queryExecution.executedPlan.toString
+    // the symmetric completion of the prober-sidecar fix: "who holds
+    // an edge to these ids" must be a static partition filter on the
+    // target-bucketed edge layout — never a full edge scan per commit.
+    // At 100 TB the edge list is j·N rows; this is the difference
+    // between O(touched-bucket occupancy) and O(|E|) per upsert.
+    assert(plan.contains("PartitionFilters: [bkt"),
+      s"no bkt partition filter on the holder edge scan:\n$plan")
+    // scanned edge rows ∝ update neighborhood: the updated ids land in
+    // a strict subset of the 32 buckets, and the pruned read is
+    // strictly smaller than the full edge list
+    val updBkts = e.filter(col("vec_id") % mod === 0)
+      .select(pmod(col("vec_id"), lit(Ivf.KnnEdgeBuckets.toLong))
+        .cast("int").as("bkt"))
+      .distinct().collect().map(_.getInt(0))
+    assert(updBkts.length < Ivf.KnnEdgeBuckets,
+      "updated ids cover all edge buckets — pruning vacuous")
+    val prunedRows = byTarget
+      .filter(col("bkt").isin(updBkts.map(Int.box): _*)).count()
+    assert(prunedRows < byTarget.count(),
+      "pruned holder read not smaller than the full edge list")
+  }
+
+  test("compacted graph serve folds nothing: no latest-wins window in the plan") {
+    val df = graft.streaming.StreamOps.knnGraphUpsertCompacted(spark,
+      dir, SparkEntry.UpsertMod, SparkEntry.KnnJ, SparkEntry.IvfCells,
+      SparkEntry.EmbD, SparkEntry.IvfProbe)
+    val plan = df.queryExecution.executedPlan.toString
+    // the OPTIMIZE contract: after compaction the serve is a plain
+    // base read — the per-read latest-wins fold (a Window over every
+    // version ever appended) is gone, paid once at compaction time
+    assert(!plan.contains("Window"),
+      s"compacted graph serve still folds a window:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"compacted graph serve still aggregates:\n$plan")
+  }
+
   test("posting-list bm25 scan carries a term-bucket partition filter") {
     val df = graft.operators.Search.bm25AtRest(spark, dir,
       SparkEntry.Bm25Terms, SparkEntry.Bm25K1, SparkEntry.Bm25B,
