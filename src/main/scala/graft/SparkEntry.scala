@@ -600,6 +600,40 @@ object SparkEntry {
       }
     }
 
+  /** [[bm25MultiStatsForOracle]] over the AS-OF SNAPSHOT view (commits
+    * ≤ ServeAsOfSnapshot applied: updated docs carry the upsert token)
+    * for the as-of serve's union terms — which INCLUDE the token, so
+    * its df/idf must come from the snapshot corpus the engine serves
+    * (the engine's df is off the snapshot postings; a base-corpus
+    * literal would force the cross-engine ln fallback). (n, sumdl)
+    * from this object are unused by the SQL — the oracle's stale-stats
+    * CTE recomputes them from the original text, the merge-on-read
+    * contract. */
+  private val measuredBm25AsOf = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Search.Bm25Stats]()
+
+  private def bm25AsOfStatsForOracle(): Option[graft.operators.Search.Bm25Stats] =
+    Option(lastSfDir.get()).flatMap { dir =>
+      Option(measuredBm25AsOf.get(dir)).orElse {
+        val computed = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map { s =>
+            // commit 1 applies ids ≡ 0 (mod 2·mod); commit 2 completes
+            // the set to ids ≡ 0 (mod mod) — the versioned-log shape
+            val prefixMod =
+              if (ServeAsOfSnapshot >= 2) Bm25UpsertMod
+              else 2 * Bm25UpsertMod
+            val snap = docs(s, dir).withColumn("text",
+              when(col("doc_id") % prefixMod === 0,
+                concat(col("text"), lit(" " + PostingsUpsertToken)))
+                .otherwise(col("text")))
+            graft.operators.Search.bm25Stats(snap, AsOfServeUnionTerms)
+          }
+        computed.foreach(st => measuredBm25AsOf.put(dir, st))
+        computed
+      }
+    }
+
   /** The stored query-relation table's path for the ORACLE generators:
     * the oracle SQL reads the SAME parquet the engine bound from
     * (published right here if a dump path never ran a multi query).
@@ -1046,7 +1080,14 @@ object SparkEntry {
       // serve-tier rows are QID-keyed (serve request qids are 0..nq-1):
       // pos carries the request's quantization scaleLog2
       ServeTierRel.map { case (qid, s) =>
-        ("stier", qid, Some(s), None, None, None) }
+        ("stier", qid, Some(s), None, None, None) } ++
+      // the AS-OF serve's request terms (qid 0 includes the upsert
+      // token — snapshot-sensitive lexical candidacy)
+      AsOfServeQueries.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (t, p) =>
+          ("abm25", qid, Some(p), Some(t), None: Option[String],
+            None: Option[Double]) }
+      }
 
   /** The stored relation's path for `sfDir` — content-keyed (the dir
     * name embeds a hash of the rows), so editing any constant above
@@ -1113,7 +1154,8 @@ object SparkEntry {
       fusion: Seq[(Long, Double)], deltasByRank: Seq[Double],
       mkeepsByRank: Seq[Int], mmrLambdas: Seq[(Long, Double)],
       pageKs: Seq[(Long, Int)], nprobes: Seq[(Long, Int)],
-      reranks: Seq[(Long, Int)], serveTiers: Seq[(Long, Int)])
+      reranks: Seq[(Long, Int)], serveTiers: Seq[(Long, Int)],
+      asOfBm25: Seq[(Long, Seq[String])])
 
   // keyed by the stored table's CONTENT-KEYED PATH, not the session
   // object: a map keyed by SparkSession would retain stopped sessions
@@ -1132,11 +1174,13 @@ object SparkEntry {
         .filter(_.getAs[String]("kind") == kind)
         .map(r => (r.getAs[Long]("qid"), r.getAs[String]("lang")))
         .sorted
-      val bm25 = rows.toSeq.filter(_.getAs[String]("kind") == "bm25")
+      def termRel(kind: String): Seq[(Long, Seq[String])] = rows.toSeq
+        .filter(_.getAs[String]("kind") == kind)
         .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("pos"),
           r.getAs[String]("term")))
         .sorted.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (qid, ts) => qid -> ts.sortBy(_._2).map(_._3) }
+      val bm25 = termRel("bm25")
       def numRel(kind: String): Seq[(Long, Double)] = rows.toSeq
         .filter(_.getAs[String]("kind") == kind)
         .map(r => (r.getAs[Long]("qid"), r.getAs[Double]("tau")))
@@ -1148,7 +1192,8 @@ object SparkEntry {
       QueryRels(bm25, strRel("filter"), strRel("facet"), numRel("radius"),
         numRel("fusion"), numRel("delta").map(_._2),
         intRel("mkeep").map(_._2), numRel("mmrl"), intRel("pagek"),
-        intRel("nprobe"), intRel("rerank"), intRel("stier"))
+        intRel("nprobe"), intRel("rerank"), intRel("stier"),
+        termRel("abm25"))
     })
 
   private def bm25MultiQueriesOf(s: SparkSession, dir: String) =
@@ -1175,6 +1220,8 @@ object SparkEntry {
     queryRels(s, dir).reranks
   private def serveTierRelOf(s: SparkSession, dir: String) =
     queryRels(s, dir).serveTiers
+  private def asOfServeQueriesOf(s: SparkSession, dir: String) =
+    queryRels(s, dir).asOfBm25
   // posting-list inverted index: term hash buckets (the lexical twin of
   // IVF cell partitioning — a query's terms prune to <= |terms| buckets)
   final val PostBuckets = 16
@@ -1189,6 +1236,24 @@ object SparkEntry {
   // contains updated docs, whose scores provably shift (spec-asserted)
   final val Bm25UpsertMod = 3
   final val PostingsUpsertToken = "upsertrev1"
+  // TIME-TRAVEL SERVING (q_serve_requests_asof): the as-of serve's own
+  // request-term relation — qid 0 searches the UPSERT TOKEN itself, so
+  // the snapshot choice changes lexical candidacy (the token matches 0
+  // docs at asOf 0, the applied commits' docs after); qids 1..3 keep
+  // the standard serve terms. Served at snapshot 1 of the document-
+  // update log (ids ≡ 0 mod 2·Bm25UpsertMod: text re-indexed with the
+  // token AND vector flipped — one update log drives both sides).
+  // Declared AFTER PostingsUpsertToken: object vals initialize in
+  // declaration order, and a forward reference here would bake a null
+  // term into the relation.
+  final val AsOfServeQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("filter", "merge", PostingsUpsertToken),
+    1L -> Seq("customer", "order"),
+    2L -> Seq("vector", "hash", "join", "scan"),
+    3L -> Seq("dup"))
+  final val AsOfServeUnionTerms: Seq[String] =
+    AsOfServeQueries.flatMap(_._2).distinct
+  final val ServeAsOfSnapshot = 1
   // φ-heavy hitters: word 3-grams with count >= total/5000 (boilerplate
   // phrases); CMS width 32768 >> relDiv keeps collision noise below the
   // threshold at any corpus size
@@ -2557,6 +2622,29 @@ object SparkEntry {
         bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
         fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
         Bm25B, RrfPoolN, PostBuckets, EmbD)),
+    // ... and TIME-TRAVEL SERVING — the two finished stories composed:
+    // the FULL request object served at snapshot 1 of the document-
+    // update log, both sides versioned in one plan (snapshot postings
+    // for the lexical pool, flipped-prefix embedding view for the
+    // vector pool); qid 0's terms include the upsert token, so the
+    // snapshot choice is visible in candidacy itself. Provably equal
+    // to the request object rebuilt over the commit-1 view
+    "q_serve_requests_asof" -> q((s, dir) => graft.operators.Search
+      .serveRequestsAsOf(s, dir, emb(s, dir), docs(s, dir),
+        asOfServeQueriesOf(s, dir), filterMultiRelOf(s, dir),
+        fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
+        Bm25B, RrfPoolN, PostBuckets, Bm25UpsertMod,
+        PostingsUpsertToken, ServeAsOfSnapshot)),
+    // ... and ITS ledger — counting the SNAPSHOT's candidate sets: the
+    // token term contributes 0 posting rows at asOf 0 and the applied
+    // commit's docs at snapshot 1, so t_cands/bytes_text move with the
+    // snapshot; fused/page/fpr derive from the as-of pools
+    "q_serve_requests_asof_metrics" -> q((s, dir) => graft.operators
+      .Search.serveRequestsAsOfMetrics(s, dir, emb(s, dir), docs(s, dir),
+        asOfServeQueriesOf(s, dir), filterMultiRelOf(s, dir),
+        fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
+        Bm25B, RrfPoolN, PostBuckets, EmbD, Bm25UpsertMod,
+        PostingsUpsertToken, ServeAsOfSnapshot)),
     // ... and the capstone with the vector side off the AT-REST IVF
     // index: BOTH request sides read partition-pruned layouts (term
     // buckets on the postings, probe cells + pushed lang predicate on
@@ -3463,6 +3551,26 @@ object SparkEntry {
       EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle()),
+    // time-travel serving: the whole capstone recomputed over the
+    // commit-1 view — token-appended text for the applied prefix
+    // (tokenization, dl, df, candidacy; (n, sumdl) stale), flipped
+    // vectors for the same ids (float-exact negation, norms off the
+    // base table); idf literals from the SNAPSHOT stats so the token
+    // term's constant agrees with the recomputed snapshot df
+    "q_serve_requests_asof" -> SearchOracle.serveRequestsSql(EmbD,
+      AsOfServeQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, bm25AsOfStatsForOracle(),
+      qrelPathForOracle(), updatedTokenMod = 2 * Bm25UpsertMod,
+      updatedToken = PostingsUpsertToken,
+      vecNegMod = 2 * Bm25UpsertMod, relKind = "abm25"),
+    // its ledger over the same snapshot CTEs
+    "q_serve_requests_asof_metrics" ->
+      SearchOracle.serveRequestsMetricsSql(EmbD, AsOfServeQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, Bm25K1, Bm25B,
+        RrfPoolN, bm25AsOfStatsForOracle(), qrelPathForOracle(),
+        updatedTokenMod = 2 * Bm25UpsertMod,
+        updatedToken = PostingsUpsertToken,
+        vecNegMod = 2 * Bm25UpsertMod, relKind = "abm25"),
     // the indexed capstone: the vector pool re-derived through the
     // probe-pruned per-qid-filtered at-rest chain
     "q_serve_requests_indexed" -> SearchOracle.serveRequestsIndexedSql(

@@ -1019,16 +1019,31 @@ object Search {
   def bm25MultiOffPostings(spark: SparkSession, root: String,
                            queries: Seq[(Long, Seq[String])], k1: Double,
                            b: Double, topN: Int, nBuckets: Int,
-                           tombs: Option[DataFrame] = None): DataFrame = {
+                           tombs: Option[DataFrame] = None,
+                           upsertByIds: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty, "bm25Multi: empty query relation")
     val unionTerms = queries.flatMap(_._2).distinct
     val maxPos = queries.map(_._2.size).max
     val stats = spark.read.parquet(s"$root/_stats").collect()(0)
     val n = stats.getAs[Long]("n")
     val buckets = termBuckets(spark, unionTerms, nBuckets)
-    val pruned = spark.read.parquet(root)
+    val pruned0 = spark.read.parquet(root)
       .filter(col("tb").isin(buckets: _*) &&
         col("term").isin(unionTerms: _*))
+    // merge-on-read UPSERT by the delta's own doc-id set (the as-of
+    // commit prefix — the [[bm25OffPostings]] upsertByIds discipline):
+    // updated docs' base postings excised (anti-join AQE sizes — the
+    // applied prefix is corpus-fraction-sized), their re-indexed delta
+    // rows union in; df below then reflects the SNAPSHOT view while
+    // (n, sumdl) stay the stale base sidecar until segment merge
+    val pruned = upsertByIds match {
+      case Some(delta) =>
+        pruned0.join(delta.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .unionByName(delta.filter(col("tb").isin(buckets: _*) &&
+            col("term").isin(unionTerms: _*)))
+      case None => pruned0
+    }
     val dfMap = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val st = Bm25Stats(n, stats.getAs[Long]("sumdl"),
@@ -2405,13 +2420,25 @@ object Search {
     * the vector side is brute or indexed). */
   private def servePostingBytes(spark: SparkSession, root: String,
                                 queries: Seq[(Long, Seq[String])],
-                                nBuckets: Int): DataFrame = {
+                                nBuckets: Int,
+                                upsertByIds: Option[DataFrame] = None)
+      : DataFrame = {
     import spark.implicits._
     val unionTerms = queries.flatMap(_._2).distinct
     val buckets = termBuckets(spark, unionTerms, nBuckets)
-    val pruned = spark.read.parquet(root)
+    val pruned0 = spark.read.parquet(root)
       .filter(col("tb").isin(buckets: _*) &&
         col("term").isin(unionTerms: _*))
+    // the SNAPSHOT's candidate posting rows when a commit prefix is
+    // applied — the as-of ledger must count what the as-of serve reads
+    val pruned = upsertByIds match {
+      case Some(delta) =>
+        pruned0.join(delta.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .unionByName(delta.filter(col("tb").isin(buckets: _*) &&
+            col("term").isin(unionTerms: _*)))
+      case None => pruned0
+    }
     val qt = broadcast(queries
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("qid", "term"))
@@ -2461,14 +2488,16 @@ object Search {
                              filters: Seq[(Long, String)],
                              weights: Seq[(Long, Double)], k1: Double,
                              b: Double, poolN: Int, nBuckets: Int,
-                             vec: DataFrame): DataFrame = {
+                             vec: DataFrame,
+                             upsertByIds: Option[DataFrame] = None)
+      : DataFrame = {
     require(filters.nonEmpty && weights.nonEmpty,
       "serveRequests: empty request relation")
     import spark.implicits._
     val meta = textMeta.select(col("doc_id"), col("lang"))
     val qf = broadcast(filters.toDF("qid", "lang"))
     val text = bm25MultiOffPostings(spark, root, queries, k1, b, poolN,
-        nBuckets)
+        nBuckets, upsertByIds = upsertByIds)
       .select(col("qid"), col("doc_id"), col("score").as("tscore"))
       .join(meta, Seq("doc_id"))
       .join(qf, Seq("qid", "lang"))
@@ -2558,8 +2587,21 @@ object Search {
     val vAgg = emb.select(col("vec_id").as("id")).join(meta, Seq("id"))
       .join(qf, Seq("lang"))
       .groupBy(col("qid")).agg(count(lit(1)).as("v_cands"))
-    val fAgg = fused.groupBy(col("qid")).agg(count(lit(1)).as("fused"))
     val nV = emb.count() // one bounded scalar (a model)
+    serveLedgerFrom(spark, fused, tAgg, vAgg, ks, nV, d)
+  }
+
+  /** The serve ledger's shared assembly (per-qid LEFT joins from the
+    * request universe, explicit all-zero rows, the qid = -1 aggregate,
+    * save/fpr ratios) — consumed by [[serveRequestsMetrics]] and its
+    * as-of twin so both derive the identical row shape from their own
+    * (fused, text-bytes, vector-candidate) relations. */
+  private def serveLedgerFrom(spark: SparkSession, fused: DataFrame,
+                              tAgg: DataFrame, vAgg: DataFrame,
+                              ks: Seq[(Long, Int)], nV: Long,
+                              d: Int): DataFrame = {
+    import spark.implicits._
+    val fAgg = fused.groupBy(col("qid")).agg(count(lit(1)).as("fused"))
     val qkRel = broadcast(ks.toDF("qid", "kq"))
     val perQid = qkRel
       .join(tAgg, Seq("qid"), "left")
@@ -2593,6 +2635,122 @@ object Search {
         when(col("t_cands") + col("v_cands") === 0L, lit(0.0))
           .otherwise((col("fused") - col("page")).cast("double") /
             (col("t_cands") + col("v_cands")).cast("double")))
+  }
+
+  /**
+   * The document-update log's SNAPSHOT view of BOTH request sides — the
+   * relation pair every as-of serve reads. One update commit re-indexes
+   * a document's text AND re-embeds its vector, so ONE versioned log
+   * drives both: the lexical side is the versioned postings delta
+   * ([[ensureVersionedPostingsUpsertDeltas]]) filtered to commits ≤
+   * asOf; the vector side reads the applied-prefix doc ids from the
+   * generic versioned log ([[graft.operators.Pq
+   * .ensureVersionedTombstones]] anchored on the postings layout, here
+   * recording UPDATE commits) and flips those vectors (v' = −v, the
+   * fixture's float-exact transform) via a flag join — the
+   * corpus-fraction-sized prefix is never broadcast-hinted (AQE sizes
+   * it). Base postings files and the embedding table are byte-immutable
+   * for every snapshot.
+   */
+  private def serveAsOfSnapshot(spark: SparkSession, sfDir: String,
+                                root: String, emb: DataFrame, mod: Int,
+                                nBuckets: Int, token: String,
+                                asOf: Int): (DataFrame, DataFrame) = {
+    val delta = spark.read.parquet(
+        ensureVersionedPostingsUpsertDeltas(spark, sfDir, root, mod,
+          nBuckets, token))
+      .filter(col("commit_v") <= asOf)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb"))
+    val updIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, root, mod, idCol = "doc_id"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("doc_id").as("vec_id"))
+    val embAsOf = emb
+      .join(updIds.withColumn("upd", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("upd") === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    (delta, embAsOf)
+  }
+
+  /**
+   * TIME-TRAVEL SERVING — the serve capstone composed with the as-of
+   * verb: the FULL request object (per-qid terms + langs + α + k)
+   * served at snapshot `asOf` of the document-update log, both sides
+   * versioned in ONE plan. The lexical pool reads the snapshot postings
+   * (base minus the applied prefix's docs ∪ their re-indexed delta
+   * rows — df from the snapshot, (n, sumdl) the stale base sidecar,
+   * the merge-on-read contract); the vector pool reads the snapshot
+   * embedding view (applied prefix's vectors flipped — queries AND
+   * candidates, both derive from the store). asOf 0 serves the
+   * pre-update corpus; the latest asOf serves the fully-updated one.
+   * Snapshot v is provably the request object REBUILT over the
+   * commit-prefix view — the DuckDB oracle recomputes exactly that
+   * from the raw tables — which is what an auditor asks of a serving
+   * system with versioned indexes: reproduce yesterday's answer.
+   */
+  def serveRequestsAsOf(spark: SparkSession, sfDir: String,
+                        emb: DataFrame, docMeta: DataFrame,
+                        queries: Seq[(Long, Seq[String])],
+                        filters: Seq[(Long, String)],
+                        weights: Seq[(Long, Double)],
+                        ks: Seq[(Long, Int)], k1: Double, b: Double,
+                        poolN: Int, nBuckets: Int, mod: Int,
+                        token: String, asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val (delta, embAsOf) = serveAsOfSnapshot(spark, sfDir, root, emb,
+      mod, nBuckets, token, asOf)
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets,
+        filteredTopKMulti(embAsOf, docMeta, filters, poolN)
+          .select(col("qid"), col("id").as("doc_id"),
+            col("score").as("vscore")),
+        upsertByIds = Some(delta)),
+      ks)
+  }
+
+  /**
+   * [[serveRequestsMetrics]] at snapshot `asOf` — the ledger twin of
+   * [[serveRequestsAsOf]], counting the SNAPSHOT's candidate sets, not
+   * the current ones: `t_cands`/`bytes_text` aggregate the snapshot
+   * postings (a request whose terms include the update token retrieves
+   * 0 rows for it at asOf 0 and the applied commits' docs after — the
+   * snapshot choice is visible in the bytes), `fused`/`page`/`fpr`
+   * derive from the as-of fused pool. `v_cands` is the lang pre-filter
+   * count — updates change vectors, not metadata, so it is snapshot-
+   * invariant by design (and the bytes_vec formula with it).
+   */
+  def serveRequestsAsOfMetrics(spark: SparkSession, sfDir: String,
+                               emb: DataFrame, docMeta: DataFrame,
+                               queries: Seq[(Long, Seq[String])],
+                               filters: Seq[(Long, String)],
+                               weights: Seq[(Long, Double)],
+                               ks: Seq[(Long, Int)], k1: Double,
+                               b: Double, poolN: Int, nBuckets: Int,
+                               d: Int, mod: Int, token: String,
+                               asOf: Int): DataFrame = {
+    require(ks.nonEmpty, "serveRequestsAsOfMetrics: empty page relation")
+    import spark.implicits._
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val (delta, embAsOf) = serveAsOfSnapshot(spark, sfDir, root, emb,
+      mod, nBuckets, token, asOf)
+    val fused = serveFusedWith(spark, root, docMeta, queries, filters,
+      weights, k1, b, poolN, nBuckets,
+      filteredTopKMulti(embAsOf, docMeta, filters, poolN)
+        .select(col("qid"), col("id").as("doc_id"),
+          col("score").as("vscore")),
+      upsertByIds = Some(delta))
+    val tAgg = servePostingBytes(spark, root, queries, nBuckets,
+      upsertByIds = Some(delta))
+    val meta = docMeta.select(col("doc_id").as("id"), col("lang"))
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val vAgg = emb.select(col("vec_id").as("id")).join(meta, Seq("id"))
+      .join(qf, Seq("lang"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("v_cands"))
+    val nV = emb.count() // one bounded scalar (a model)
+    serveLedgerFrom(spark, fused, tAgg, vAgg, ks, nV, d)
   }
 
   // ---- late-interaction (maxsim) multi-vector retrieval ----------------

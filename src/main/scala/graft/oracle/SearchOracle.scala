@@ -523,7 +523,12 @@ object SearchOracle {
   private def bm25MultiCtes(queries: Seq[(Long, Seq[String])], k1: Double,
                             b: Double, st: Option[Bm25Stats],
                             relPath: Option[String] = None,
-                            excludeMod: Int = 0): String = {
+                            excludeMod: Int = 0,
+                            updatedTokenMod: Int = 0,
+                            updatedToken: String = "",
+                            relKind: String = "bm25"): String = {
+    require(excludeMod == 0 || updatedTokenMod == 0,
+      "deletes and upserts are separate fixture commits")
     val unionTerms = queries.flatMap(_._2).distinct
     val maxPos = queries.map(_._2.size).max
     val inList = unionTerms.map(t => s"'$t'").mkString(", ")
@@ -557,10 +562,19 @@ object SearchOracle {
         s"${dlit(b)} * (CAST(dl AS DOUBLE) / " +
         s"(CAST(st2.sumdl AS DOUBLE) / st2.n))))))"
     }.reduceLeft((a, c) => s"($a + $c)")
+    // the UPSERT view (updatedTokenMod > 0): updated docs' text carries
+    // the token for tokenization, dl, df, and candidacy — the snapshot
+    // postings — while st2 (n, sumdl) stays on the ORIGINAL corpus (the
+    // stale base sidecar until segment merge, the engine's
+    // bm25MultiOffPostings upsertByIds contract)
+    val textExpr =
+      if (updatedTokenMod <= 0) "text"
+      else s"CASE WHEN doc_id % $updatedTokenMod = 0" +
+        s" THEN text || ' $updatedToken' ELSE text END"
     s"""posts AS MATERIALIZED (
        |  SELECT tok AS term, doc_id, COUNT(*) AS tf, MIN(dl) AS dl
-       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-       |               unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  FROM (SELECT doc_id, len(string_split($textExpr, ' ')) AS dl,
+       |               unnest(string_split($textExpr, ' ')) AS tok FROM documents)
        |  WHERE tok IN ($inList)
        |  GROUP BY tok, doc_id),
        |st2 AS (SELECT COUNT(*) AS n,
@@ -568,7 +582,7 @@ object SearchOracle {
        |  FROM documents),
        |dfp AS (SELECT $dfCols FROM posts),
        |ti AS ($tiRows),
-       |qt AS (${relCte(relPath, "bm25", "qid, term, pos",
+       |qt AS (${relCte(relPath, relKind, "qid, term, pos",
           s"SELECT CAST(qid AS BIGINT) AS qid, term," +
             s"\n    CAST(pos AS INTEGER) AS pos" +
             s"\n  FROM (VALUES $qtRows) AS v(qid, term, pos)")}),
@@ -743,9 +757,15 @@ object SearchOracle {
                        weights: Seq[(Long, Double)], ks: Seq[(Long, Int)],
                        k1: Double, b: Double, poolN: Int,
                        st: Option[Bm25Stats],
-                       relPath: Option[String] = None): String =
+                       relPath: Option[String] = None,
+                       updatedTokenMod: Int = 0,
+                       updatedToken: String = "",
+                       vecNegMod: Int = 0,
+                       relKind: String = "bm25"): String =
     s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
-          poolN, st, relPath)},
+          poolN, st, relPath, updatedTokenMod = updatedTokenMod,
+          updatedToken = updatedToken, vecNegMod = vecNegMod,
+          relKind = relKind)},
        |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
        |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
        |  FROM scoredf)
@@ -765,8 +785,20 @@ object SearchOracle {
                               b: Double, poolN: Int,
                               st: Option[Bm25Stats],
                               relPath: Option[String],
-                              vectorPoolCtes: Option[String] = None): String = {
+                              vectorPoolCtes: Option[String] = None,
+                              updatedTokenMod: Int = 0,
+                              updatedToken: String = "",
+                              vecNegMod: Int = 0,
+                              relKind: String = "bm25"): String = {
     val nq = (filters.map(_._1).max + 1).toInt
+    // the vector side's SNAPSHOT view (vecNegMod > 0): the applied
+    // commit prefix's vectors flipped — queries AND candidates, both
+    // derive from the store; float negation is exact, so norms (sums
+    // of squares) read the base table unchanged
+    def negEmb(idExpr: String, embExpr: String): String =
+      if (vecNegMod <= 0) embExpr
+      else s"CASE WHEN $idExpr % $vecNegMod = 0" +
+        s" THEN list_transform($embExpr, x -> -x) ELSE $embExpr END"
     val qfRows = filters.map { case (qid, l) => s"($qid, '$l')" }
       .mkString(", ")
     val qfBody = relCte(relPath, "filter", "qid, lang",
@@ -791,7 +823,9 @@ object SearchOracle {
         s"SELECT CAST(qid AS BIGINT) AS qid, CAST(kq AS INTEGER) AS kq" +
           s"\n  FROM (VALUES $qkRows) AS v(qid, kq)"
     }
-    s"""${bm25MultiCtes(queries, k1, b, st, relPath)},
+    s"""${bm25MultiCtes(queries, k1, b, st, relPath,
+          updatedTokenMod = updatedTokenMod, updatedToken = updatedToken,
+          relKind = relKind)},
        |qf AS ($qfBody),
        |qa AS ($qaBody),
        |qk3 AS ($qkBody),
@@ -804,9 +838,11 @@ object SearchOracle {
        |  JOIN qf ON qf.qid = b.qid AND qf.lang = dm.lang),
        |${EmbOracle.nrmCte(d)},
        |${vectorPoolCtes.getOrElse(
-         s"""vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         s"""vq AS (SELECT vec_id AS qid,
+            |       ${negEmb("vec_id", "embedding")} AS qv FROM embeddings
             |       ORDER BY vec_id LIMIT $nq),
-            |vcand AS (SELECT e.vec_id AS id, e.embedding, dm2.lang
+            |vcand AS (SELECT e.vec_id AS id,
+            |    ${negEmb("e.vec_id", "e.embedding")} AS embedding, dm2.lang
             |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
             |vsc AS (SELECT vq.qid, c.id, c.lang,
             |    ${EmbOracle.dotE("c.embedding", "vq.qv", d)} AS dp
@@ -1319,9 +1355,15 @@ object SearchOracle {
                               ks: Seq[(Long, Int)], k1: Double,
                               b: Double, poolN: Int,
                               st: Option[Bm25Stats],
-                              relPath: Option[String] = None): String =
+                              relPath: Option[String] = None,
+                              updatedTokenMod: Int = 0,
+                              updatedToken: String = "",
+                              vecNegMod: Int = 0,
+                              relKind: String = "bm25"): String =
     s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
-          poolN, st, relPath)},
+          poolN, st, relPath, updatedTokenMod = updatedTokenMod,
+          updatedToken = updatedToken, vecNegMod = vecNegMod,
+          relKind = relKind)},
        |tc AS (SELECT qt.qid, COUNT(*) AS t_cands,
        |    CAST(SUM(len(p.term) + 24) AS BIGINT) AS bytes_text
        |  FROM posts p JOIN qt ON p.term = qt.term GROUP BY qt.qid),

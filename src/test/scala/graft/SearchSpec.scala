@@ -457,7 +457,7 @@ class SearchSpec extends AnyFunSuite {
     import SparkEntry.{Bm25MultiQueries, FilterMultiRel, GroupedMultiRel,
       RangeMultiRel, FusionMultiRel, DeltaMultiByRank, MkeepMultiByRank,
       MmrLambdaMultiRel, PageKMultiRel, NprobeMultiRel, RerankMultiRel,
-      ServeTierRel}
+      ServeTierRel, AsOfServeQueries}
     val path = SparkEntry.ensureQueryRelations(spark, dir)
     assert(path == SparkEntry.queryRelPathFor(dir))
     val rows = spark.read.parquet(path)
@@ -466,7 +466,8 @@ class SearchSpec extends AnyFunSuite {
         GroupedMultiRel.size + RangeMultiRel.size + FusionMultiRel.size +
         DeltaMultiByRank.size + MkeepMultiByRank.size +
         MmrLambdaMultiRel.size + PageKMultiRel.size + NprobeMultiRel.size +
-        RerankMultiRel.size + ServeTierRel.size)
+        RerankMultiRel.size + ServeTierRel.size +
+        AsOfServeQueries.map(_._2.size).sum)
     // every multi rung binds from the table; spot-check the bm25 kind
     // reassembles the exact constant (qid-sorted, pos-ordered)
     val bm25 = rows.filter(col("kind") === "bm25")
