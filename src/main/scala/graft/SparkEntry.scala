@@ -2666,6 +2666,20 @@ object SparkEntry {
         fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir),
         serveTierRelOf(s, dir), ServeTierLayoutScales, Bm25K1, Bm25B,
         RrfPoolN, PostBuckets, refineParams("cos_l1").alpha)),
+    // ... and the tiered layout UNDER UPSERT — the at-rest tiers as a
+    // MAINTAINED index: an update commit rewrote only the touched id
+    // buckets (dynamic partition overwrite; new vector + every tier's
+    // codes recomputed for updated rows, untouched buckets
+    // byte-immutable), and the same serve runs unchanged over the
+    // committed layout — hash-equal to the tiered capstone over the
+    // updated corpus
+    "q_serve_requests_tiered_upsert" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredUpserted(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, UpsertMod)),
     // ... and ITS ledger — where the tier is VISIBLE: bytes_vec =
     // 8·N + codeBytes(tier_q)·d·v_cands + 4d·fetched, so requests over
     // the same lang slice at different tiers show different bytes
@@ -3591,6 +3605,15 @@ object SparkEntry {
       PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
       Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle()),
+    // the tiered capstone over the upserted layout: the whole tiered
+    // pipeline recomputed over the commit view (negated prefix
+    // quantized and rescored — dyadic quantization of the flipped
+    // floats is exact on both engines)
+    "q_serve_requests_tiered_upsert" -> SearchOracle.serveRequestsTieredSql(
+      EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+      Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+      qrelPathForOracle(), negMod = UpsertMod),
     // the indexed-tiered capstone: probed-cell candidates through the
     // tiered two-phase pipeline, recomputed from the raw floats
     "q_serve_requests_tiered_indexed" ->

@@ -1938,7 +1938,9 @@ object Search {
                                filters: Seq[(Long, String)],
                                tiers: Seq[(Long, Int)],
                                layoutScales: Seq[Int], poolN: Int,
-                               alpha: Double): DataFrame = {
+                               alpha: Double,
+                               layoutPath: Option[String] = None)
+      : DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     require(filters.nonEmpty, "tieredServeFetch: empty filter relation")
@@ -1946,8 +1948,12 @@ object Search {
     val usedScales = tiers.map(_._2).distinct.sorted
     require(usedScales.toSet.subsetOf(layoutScales.toSet),
       s"tiers $usedScales not all stored in layout $layoutScales")
-    val path = graft.sources.Disaggregated.ensureTieredServeFixture(
-      spark, sfDir, layoutScales)
+    // layoutPath overrides the shared pristine fixture — the upserted
+    // serve reads its own committed layout (same columns plus the
+    // maintenance-only pb partition key, which no serve column touches)
+    val path = layoutPath.getOrElse(
+      graft.sources.Disaggregated.ensureTieredServeFixture(
+        spark, sfDir, layoutScales))
     val stored = spark.read.parquet(path)
     val nq = (filters.map(_._1).max + 1).toInt
     // cheap side: id + lang + the USED tiers' code columns ONLY (the
@@ -2060,6 +2066,49 @@ object Search {
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val fetch = tieredServeFetch(spark, sfDir, emb, filters, tiers,
       layoutScales, poolN, alpha)
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
+  /**
+   * [[serveRequestsTiered]] over the UPSERTED tiered layout — the
+   * at-rest precision tiers as a MAINTAINED index: an update commit
+   * (ids ≡ 0 mod `mod`, v' = −v) rewrote only the touched id buckets
+   * of the layout ([[graft.sources.Disaggregated
+   * .ensureTieredServeUpserted]]: new vector + every tier's codes
+   * recomputed for updated rows, untouched buckets byte-immutable),
+   * and the serve runs UNCHANGED over it — same cheap-pass tier
+   * pruning, same cushion, survivors rescored against the layout's
+   * updated full-precision vectors. Queries derive from the updated
+   * embedding view (the store serves what it was told to store), so
+   * the result is provably the tiered capstone over the updated
+   * corpus — the DuckDB oracle recomputes exactly that.
+   */
+  def serveRequestsTieredUpserted(spark: SparkSession, sfDir: String,
+                                  emb: DataFrame, docMeta: DataFrame,
+                                  queries: Seq[(Long, Seq[String])],
+                                  filters: Seq[(Long, String)],
+                                  weights: Seq[(Long, Double)],
+                                  ks: Seq[(Long, Int)],
+                                  tiers: Seq[(Long, Int)],
+                                  layoutScales: Seq[Int], k1: Double,
+                                  b: Double, poolN: Int, nBuckets: Int,
+                                  alpha: Double, mod: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val layout = graft.sources.Disaggregated.ensureTieredServeUpserted(
+      spark, sfDir, layoutScales, mod)
+    val embUpd = emb.select(col("vec_id"),
+      when(col("vec_id") % mod === 0,
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"),
+      col("label"))
+    val fetch = tieredServeFetch(spark, sfDir, embUpd, filters, tiers,
+      layoutScales, poolN, alpha, layoutPath = Some(layout))
     val vecPool = TopK.window(
         fetch.withColumnRenamed("s_full", "score"), poolN)
       .select(col("qid"), col("id").as("doc_id"),

@@ -1035,15 +1035,26 @@ object SearchOracle {
   /** The seed/tau0/survivor/rescore/top tail shared by the flat and
     * indexed tiered pools — everything downstream of `tcand(qid, id,
     * s_hat, cush)`, ending at `vtop` with `tfetch` in scope. */
-  private def tieredTailCtes(d: Int, poolN: Int): String = {
+  private def tieredTailCtes(d: Int, poolN: Int,
+                             negMod: Int = 0): String = {
     val sFull = s"${EmbOracle.dotE("c2.embedding", "vq.qv", d)} /" +
       s" (${fn("ni.n2")} * ${fn("nq2.n2")})"
-    s"""tseed AS MATERIALIZED (SELECT qid, id, s_hat FROM (
+    // the rescore's candidate fetch under the upserted view (negMod >
+    // 0): the commit's vectors flipped — the vembc CTE keeps the dot
+    // expression tree identical to the pristine form
+    val fetchSrc = if (negMod <= 0) "embeddings" else "vembc"
+    val vembcCte = if (negMod <= 0) "" else
+      s"""vembc AS (SELECT vec_id,
+         |    CASE WHEN vec_id % $negMod = 0
+         |    THEN list_transform(embedding, x -> -x) ELSE embedding END
+         |    AS embedding FROM embeddings),
+         |""".stripMargin
+    s"""${vembcCte}tseed AS MATERIALIZED (SELECT qid, id, s_hat FROM (
        |  SELECT qid, id, s_hat,
        |    row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
        |  FROM tcand) WHERE rn <= $poolN),
        |tsfull AS MATERIALIZED (SELECT s.qid, s.id, $sFull AS s_full
-       |  FROM tseed s JOIN embeddings c2 ON s.id = c2.vec_id
+       |  FROM tseed s JOIN $fetchSrc c2 ON s.id = c2.vec_id
        |  JOIN vq ON vq.qid = s.qid
        |  JOIN nrm ni ON s.id = ni.vec_id
        |  JOIN nrm nq2 ON s.qid = nq2.vec_id),
@@ -1053,7 +1064,7 @@ object SearchOracle {
        |  LEFT JOIN tseed sd ON sd.qid = r.qid AND sd.id = r.id
        |  WHERE sd.id IS NULL AND r.s_hat + r.cush >= t.tau0),
        |tsurvf AS (SELECT v.qid, v.id, $sFull AS s_full
-       |  FROM tsurv v JOIN embeddings c2 ON v.id = c2.vec_id
+       |  FROM tsurv v JOIN $fetchSrc c2 ON v.id = c2.vec_id
        |  JOIN vq ON vq.qid = v.qid
        |  JOIN nrm ni ON v.id = ni.vec_id
        |  JOIN nrm nq2 ON v.qid = nq2.vec_id),
@@ -1080,13 +1091,24 @@ object SearchOracle {
   private def tieredVecPoolCtes(d: Int, nq: Int,
                                 tiers: Seq[(Long, Int)], alpha: Double,
                                 poolN: Int,
-                                relPath: Option[String]): String = {
+                                relPath: Option[String],
+                                negMod: Int = 0): String = {
     val usedScales = tiers.map(_._2).distinct.sorted
     val (sHatExpr, cushExpr) = tierScoreExprs(d, usedScales, alpha)
-    s"""vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    // the UPSERTED view (negMod > 0): the commit's vectors flipped —
+    // the tiered codes quantize the negated floats and the rescore
+    // reads them too; float negation is exact, norms (sums of squares)
+    // read the base table unchanged
+    def negEmb(idExpr: String, embExpr: String): String =
+      if (negMod <= 0) embExpr
+      else s"CASE WHEN $idExpr % $negMod = 0" +
+        s" THEN list_transform($embExpr, x -> -x) ELSE $embExpr END"
+    s"""vq AS (SELECT vec_id AS qid,
+       |       ${negEmb("vec_id", "embedding")} AS qv FROM embeddings
        |       ORDER BY vec_id LIMIT $nq),
        |tr AS (${tierRelBody(tiers, relPath)}),
-       |vcand AS (SELECT e.vec_id AS id, e.embedding, dm2.lang
+       |vcand AS (SELECT e.vec_id AS id,
+       |    ${negEmb("e.vec_id", "e.embedding")} AS embedding, dm2.lang
        |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
        |tcand AS MATERIALIZED (SELECT vq.qid, c.id,
        |    $sHatExpr AS s_hat,
@@ -1095,7 +1117,7 @@ object SearchOracle {
        |  JOIN qf ON qf.qid = vq.qid AND qf.lang = c.lang
        |  JOIN tr ON tr.qid = vq.qid
        |  JOIN nrm nq2 ON vq.qid = nq2.vec_id),
-       |${tieredTailCtes(d, poolN)}""".stripMargin
+       |${tieredTailCtes(d, poolN, negMod)}""".stripMargin
   }
 
   /** [[tieredVecPoolCtes]] with candidates restricted to each qid's
@@ -1135,9 +1157,11 @@ object SearchOracle {
                              tiers: Seq[(Long, Int)], alpha: Double,
                              k1: Double, b: Double, poolN: Int,
                              st: Option[Bm25Stats],
-                             relPath: Option[String] = None): String = {
+                             relPath: Option[String] = None,
+                             negMod: Int = 0): String = {
     val nq = (filters.map(_._1).max + 1).toInt
-    val pool = tieredVecPoolCtes(d, nq, tiers, alpha, poolN, relPath)
+    val pool = tieredVecPoolCtes(d, nq, tiers, alpha, poolN, relPath,
+      negMod)
     s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
           poolN, st, relPath, vectorPoolCtes = Some(pool))},
        |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,

@@ -260,6 +260,135 @@ object Disaggregated {
     path.toString
   }
 
+  /** Bump when the upsertable tiered layout shape changes. */
+  private val ServeTiersUpsertLayoutVersion = 1
+
+  /** id-bucket partition count of the UPSERTABLE tiered layout: rows
+    * land in `pb = pmod(id, ServeTiersUpsertBuckets)`, so an update
+    * commit rewrites only its ids' buckets (dynamic partition
+    * overwrite) — a layout constant, not a corpus function. */
+  val ServeTiersUpsertBuckets = 16
+
+  /** The tiered serve rows written PARTITIONED by the id bucket —
+    * [[writeServeTiers]]' columns plus `pb`, id-sorted within buckets.
+    * The partitioning exists for MAINTENANCE, not queries: the serve
+    * reads every bucket (no partition predicate), but an update commit
+    * overwrites only the touched buckets' files. */
+  def writeServeTiersPartitioned(vectors: DataFrame, path: String,
+                                 scales: Seq[Int]): Unit = {
+    val cols = Seq(col("id"), col("lang"), col("vec")) ++
+      scales.sorted.map { s =>
+        val mul = math.pow(2.0, s)
+        val t = if (serveTierCodeBytes(s) == 1) "byte" else "short"
+        transform(col("vec"),
+          x => floor(x * mul + lit(0.5)).cast(t)).as(s"code_$s")
+      } :+ pmod(col("id"), lit(ServeTiersUpsertBuckets.toLong))
+        .cast("int").as("pb")
+    vectors.select(cols: _*)
+      .repartition(col("pb"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("pb")
+      .parquet(path)
+  }
+
+  /**
+   * An UPDATE COMMIT on the tiered serve layout — the verb that makes
+   * the at-rest precision tiers a maintained index rather than a
+   * build-once artifact: the updated ids' rows get their new vector
+   * and ALL tier code columns recomputed from it (v' = −v, the
+   * fixture's float-exact transform), and ONLY the touched id buckets
+   * are rewritten via dynamic partition overwrite (the
+   * [[graft.operators.Ivf.commitProberUpdates]] discipline) — every
+   * untouched bucket's files are byte-immutable (spec-asserted by
+   * mtimes). Within a touched bucket, non-updated rows keep their
+   * STORED codes verbatim (no recompute — the rewrite is a row copy
+   * for them). Unlike the prober sidecar, a row's bucket never moves
+   * (pb is a pure function of the immutable id), so a touched bucket
+   * always receives back exactly its row count — no empty-partition
+   * sweep needed. Commit I/O ∝ touched-bucket occupancy, never the
+   * corpus.
+   */
+  def commitServeTierUpserts(spark: SparkSession, layoutDir: String,
+                             updIds: DataFrame,
+                             scales: Seq[Int]): Unit = {
+    val nB = ServeTiersUpsertBuckets
+    // the touched buckets — a bounded model (≤ nB ints), literalized so
+    // both the read and the overwrite prune at planning time
+    val touched = updIds
+      .select(pmod(col("id"), lit(nB.toLong)).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val base = spark.read.parquet(layoutDir)
+      .filter(col("pb").isin(touched.map(Int.box): _*))
+    val flagged = base
+      .join(updIds.select(col("id")).withColumn("u", lit(1)),
+        Seq("id"), "left")
+    val newVec = when(col("u") === 1,
+      transform(col("vec"), x => -x)).otherwise(col("vec"))
+    val cols = Seq(col("id"), col("lang"), newVec.as("vec")) ++
+      scales.sorted.map { s =>
+        val mul = math.pow(2.0, s)
+        val t = if (serveTierCodeBytes(s) == 1) "byte" else "short"
+        when(col("u") === 1,
+          transform(newVec, x => floor(x * mul + lit(0.5)).cast(t)))
+          .otherwise(col(s"code_$s")).as(s"code_$s")
+      } :+ col("pb")
+    val rewritten = flagged.select(cols: _*)
+    // stage first: Spark (rightly) refuses to overwrite a path that is
+    // also a read source of the same plan
+    val staging = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(layoutDir).getParent, "servet-commit-")
+    try {
+      rewritten.write.mode("overwrite").parquet(staging.toString)
+      spark.read.parquet(staging.toString)
+        .repartition(col("pb"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb")
+        .parquet(layoutDir)
+    } finally VecFiles.deleteRecursively(staging)
+  }
+
+  /** The tiered serve layout AFTER an upsert commit (ids ≡ 0 mod
+    * `mod`, v' = −v), built once per (sf, scales, mod): seed the
+    * id-bucketed layout from the pristine corpus, then apply the
+    * commit — [[commitServeTierUpserts]] rewrites only the touched
+    * buckets. Published atomically as its own version-keyed dir; the
+    * shared [[ensureTieredServeFixture]] layout is never mutated. */
+  def ensureTieredServeUpserted(spark: SparkSession, sfDir: String,
+                                scales: Seq[Int], mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = scales.sorted.mkString("-")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_servetiers_ups_v${ServeTiersUpsertLayoutVersion}_${safe}" +
+        s"_s${key}_m${mod}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "servetups-")
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val docs = graft.Tables.documents(spark, sfDir)
+      writeServeTiersPartitioned(
+        emb.join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+            Seq("vec_id"))
+          .select(col("vec_id").as("id"), col("lang"),
+            col("embedding").as("vec")),
+        tmp.toString, scales)
+      commitServeTierUpserts(spark, tmp.toString,
+        emb.select(col("vec_id").as("id"))
+          .filter(col("id") % mod === 0), scales)
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"upserted tiered layout publish failed: $path")
+    }
+    path.toString
+  }
+
   /** [[ensureTieredServeFixture]] CELL-PARTITIONED — the INDEXED form:
     * the same (id, lang, vec, code_s per tier) rows written
     * `partitionBy(cell)` under the coarse quantizer's assignment, so a

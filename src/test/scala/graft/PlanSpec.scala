@@ -893,6 +893,96 @@ class PlanSpec extends AnyFunSuite {
       "qid=-1 aggregate is not the sum of the per-request bytes")
   }
 
+  test("upserted tiered layout: a commit rewrites only the touched id buckets; the serve still prunes unused tiers") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    import SparkEntry.{ServeTierScales, ServeTierLayoutScales}
+    import graft.sources.Disaggregated
+    // a PRIVATE partitioned layout seeded from the fixture corpus —
+    // the commit below mutates this copy, never a shared ensure dir
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-test-servetups-")
+    try {
+      val layout = scratch.resolve("tiers").toString
+      val emb = Tables.embeddings(spark, dir)
+      val docsT = Tables.documents(spark, dir)
+      Disaggregated.writeServeTiersPartitioned(
+        emb.join(docsT.select(col("doc_id").as("vec_id"), col("lang")),
+            Seq("vec_id"))
+          .select(col("vec_id").as("id"), col("lang"),
+            col("embedding").as("vec")),
+        layout, ServeTierLayoutScales)
+      def partFiles(): Map[String, Seq[(String, Long, Long)]] = {
+        val root = java.nio.file.Paths.get(layout)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(root).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("pb="))
+          .map { p =>
+            val fs = java.nio.file.Files.list(p).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString,
+                java.nio.file.Files.size(f),
+                java.nio.file.Files.getLastModifiedTime(f).toMillis))
+              .toSeq.sortBy(_._1)
+            p.getFileName.toString -> fs
+          }.toMap
+      }
+      val before = partFiles()
+      Thread.sleep(1100) // beat filesystem mtime granularity
+      // SPARSE commit (the mod=211 regime of the sidecar tests):
+      // production commits touch a few of the 16 buckets — that is the
+      // write-amplification bound this layout exists to deliver
+      val updIds = emb.select(col("vec_id").as("id"))
+        .filter(col("id") % 211 === 0)
+      Disaggregated.commitServeTierUpserts(spark, layout, updIds,
+        ServeTierLayoutScales)
+      val after = partFiles()
+      val touched = updIds
+        .select(org.apache.spark.sql.functions.pmod(col("id"),
+          org.apache.spark.sql.functions.lit(
+            Disaggregated.ServeTiersUpsertBuckets.toLong))
+          .cast("int")).distinct().collect().map(_.getInt(0))
+        .map(b => s"pb=$b").toSet
+      assert(touched.size < Disaggregated.ServeTiersUpsertBuckets,
+        "updated ids cover every bucket — immutability check vacuous")
+      before.keys.filterNot(touched).foreach { pb =>
+        assert(after(pb) == before(pb),
+          s"untouched bucket $pb was rewritten by the commit")
+      }
+      touched.foreach { pb =>
+        assert(after(pb) != before(pb),
+          s"touched bucket $pb was NOT rewritten by the commit")
+      }
+      // the commit is a row replacement, never an add/drop
+      assert(spark.read.parquet(layout).count() == emb.count(),
+        "upsert commit changed the layout's row count")
+      // updated rows carry the flipped vector; untouched rows verbatim
+      val v0 = spark.read.parquet(layout)
+        .filter(col("id") === 0)
+        .select(element_at(col("vec"), 1)).collect()(0).getFloat(0)
+      val e0 = emb.filter(col("vec_id") === 0)
+        .select(element_at(col("embedding"), 1)).collect()(0).getFloat(0)
+      assert(v0 == -e0, "updated row's vector was not flipped")
+    } finally graft.sources.VecFiles.deleteRecursively(scratch)
+    // serve-side pruning on the PUBLISHED upserted layout (the one the
+    // declared query reads): the cheap pass still reads only the used
+    // tiers' code chunks, never vec or the stored-but-unused tier —
+    // the maintenance partition key costs the serve nothing
+    val upsPath = Disaggregated.ensureTieredServeUpserted(spark, dir,
+      ServeTierLayoutScales, SparkEntry.UpsertMod)
+    val stored = spark.read.parquet(upsPath)
+    val used = ServeTierScales.map(s => s"code_$s")
+    val cheap = stored.select(col("id") +: col("lang") +:
+      used.map(c => element_at(col(c), 1).cast("double").as(s"x_$c")): _*)
+    cheap.collect()
+    val unused = (ServeTierLayoutScales.toSet -- ServeTierScales.toSet)
+      .map(s => s"code_$s")
+    val scans = Disaggregated.scanSchemas(cheap)
+    assert(scans.nonEmpty, "no parquet scan in upserted cheap-pass plan")
+    assert(scans.forall(s => !s.contains("vec") &&
+        unused.forall(c => !s.contains(c))),
+      s"upserted cheap scan read vec or an unused tier ($unused): $scans")
+  }
+
   test("tiered INDEXED serve layout: one scan prunes cells (files), tiers (chunks), and langs (rows)") {
     // the fully-composed vector side: probe cells as a static partition
     // filter, the bound tiers' code columns as the only chunks read,
