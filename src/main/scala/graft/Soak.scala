@@ -546,6 +546,36 @@ object Soak {
       train.count()
     }
 
+    // The PQ-CODEBOOK twin of the arm above — the declared rung's
+    // (q_ann_ivf_pq_trained_sampled) scale claim measured: one Lloyd
+    // pass over the FAISS-bounded sample vs the same pass over the
+    // full corpus. The training input is bounded (≤ ~256·codes rows at
+    // any N), so its wall is ∝ sample, not corpus — required, not just
+    // reported.
+    {
+      val pqCodesSoak = 16
+      val target = 256L * pqCodesSoak
+      val every = math.max(1L, nVec / target)
+      var sampleRows = 0L
+      step("pq_train_sampled") {
+        val train = embSoak.filter(col("vec_id") % every === 0)
+        sampleRows = train.count()
+        require(sampleRows <= 2L * target,
+          s"sampled train set $sampleRows exceeds 2x the $target bound")
+        operators.Pq.trainStep(train, SparkEntry.PqM, pqCodesSoak, dVec)
+          .collect().length.toLong
+      }
+      step("pq_train_full") {
+        operators.Pq.trainStep(embSoak, SparkEntry.PqM, pqCodesSoak, dVec)
+          .collect().length.toLong
+      }
+      require(times("pq_train_sampled") <= times("pq_train_full"),
+        f"sampled codebook train (${times("pq_train_sampled")}%.1f s over " +
+          f"$sampleRows rows) not faster than the full-corpus pass " +
+          f"(${times("pq_train_full")}%.1f s over $nVec) — the bounded " +
+          "sample is the 100 TB training path")
+    }
+
     // ---- index init + maintenance at soak scale ------------------------
     // the round-12 lifecycle stages run their PRODUCTION shapes on the
     // full multi-million-row corpus: each farthest-first seeding round

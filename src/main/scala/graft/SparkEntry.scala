@@ -939,6 +939,29 @@ object SparkEntry {
   final val PqM = 8
   final val PqCodes = 16
   final val PqRerank = 30
+  // SAMPLED codebook training (q_ann_ivf_pq_trained_sampled): ~8
+  // training vectors per code — the FAISS 256-per-centroid rule scaled
+  // to the fixture corpus — so the sample stride grows with N and the
+  // training pass stays BOUNDED at any scale (train on the sample,
+  // encode everything). The stride derives from the corpus count (a
+  // 1-row model), cached per dir so the oracle generator embeds the
+  // identical literal (the measuredComp discipline).
+  final val PqTrainPerCode = 8
+  private val pqSampleEveryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def pqTrainSampleEvery(s: SparkSession, dir: String): Int =
+    pqSampleEveryCache.computeIfAbsent(dir, _ => {
+      val n = emb(s, dir).count()
+      Int.box(math.max(1L, n / (PqTrainPerCode.toLong * PqCodes)).toInt)
+    })
+  private def pqTrainSampleEveryForOracle(): Option[Int] =
+    Option(lastSfDir.get()).flatMap { dir =>
+      Option(pqSampleEveryCache.get(dir)).map(_.intValue).orElse {
+        SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(s => pqTrainSampleEvery(s, dir))
+      }
+    }
   // sharded index build (q_ann_ivf_pq_sharded): 3 slices by id mod
   final val PqShards = 3
   // binary quantization: one 64-bit sign word per vector, Hamming cheap
@@ -1907,6 +1930,15 @@ object SparkEntry {
     "q_ann_ivf_pq_trained" -> q((s, dir) => graft.operators.Pq.topkTrained(
       emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
       PqRerank)),
+    // ... and SAMPLED training — the 100 TB training path as a rung:
+    // the Lloyd pass runs over the deterministic counter-keyed sample
+    // (~PqTrainPerCode vectors per code, stride from the corpus count),
+    // then everything is encoded and served with the sample-trained
+    // codebooks — training cost one bounded-sample pass, never a
+    // corpus pass; recall floor spec-asserted against the exact scan
+    "q_ann_ivf_pq_trained_sampled" -> q((s, dir) =>
+      graft.operators.Pq.topkTrained(emb(s, dir), NQ, K, IvfCells, EmbD,
+        IvfProbe, PqM, PqCodes, PqRerank, pqTrainSampleEvery(s, dir))),
     // quantization-error ANALYZE: per-subspace init vs retrained SSE —
     // Lloyd monotonicity makes trained <= init in every subspace
     "q_pq_distortion" -> q((s, dir) => graft.operators.Pq.distortion(
@@ -3240,6 +3272,12 @@ object SparkEntry {
       KmeansIters),
     "q_pq_train" -> PqOracle.trainStepSql(EmbD, PqM, PqCodes),
     "q_pq_distortion" -> PqOracle.distortionSql(EmbD, PqM, PqCodes),
+    // sampled training: the identical trained chain with the Lloyd
+    // pass restricted to the counter-keyed sample (the engine's
+    // stride literal, derived once from the corpus count)
+    "q_ann_ivf_pq_trained_sampled" -> PqOracle.trainedTopkSql(EmbD, NQ,
+      K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      sampleEvery = pqTrainSampleEveryForOracle().getOrElse(1)),
     "q_ann_ivf_pq_trained" -> PqOracle.trainedTopkSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq_trained; only the physical

@@ -2018,12 +2018,23 @@ object Pq {
    */
   def topkTrained(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
                   nprobe: Int, mSub: Int, codes: Int,
-                  rerank: Int): DataFrame = {
+                  rerank: Int, sampleEvery: Int = 1): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(sampleEvery >= 1, s"sampleEvery=$sampleEvery")
     val sub = d / mSub
     val V = graft.functions.VectorOps
-    val t = trainedOf(emb, mSub, codes, d)
+    // SAMPLED codebook training (sampleEvery > 1) — the FAISS-standard
+    // 100 TB training path: the Lloyd pass runs over the deterministic
+    // counter-keyed sample (ids ≡ 0 mod sampleEvery — partitioning-
+    // invariant, oracle-mirrorable), then EVERYTHING is encoded and
+    // served with the sample-trained codebooks. Training cost becomes
+    // one pass over the bounded sample instead of the corpus; encode
+    // and serve are unchanged.
+    val trainSet =
+      if (sampleEvery <= 1) emb
+      else emb.filter(col("vec_id") % sampleEvery === 0)
+    val t = trainedOf(trainSet, mSub, codes, d)
     val enc = Ivf.assign(emb, nCells, d)
       .select(col("id") +: col("cell") +:
         (for (m <- 0 until mSub; c <- t.live(m))

@@ -42,8 +42,13 @@ object PqOracle {
    * the sum as list_reduce over vec_id-ordered component lists — the
    * same left fold the engine's sort_array + aggregate performs.
    */
-  def trainStepSql(d: Int, mSub: Int, codes: Int): String = {
+  def trainStepSql(d: Int, mSub: Int, codes: Int,
+                   sampleEvery: Int = 1): String = {
     val sub = d / mSub
+    // sampled training (sampleEvery > 1): the Lloyd pass sees only the
+    // counter-keyed sample — the engine's trainSet filter, mirrored
+    val samplePred =
+      if (sampleEvery <= 1) "" else s" WHERE e.vec_id % $sampleEvery = 0"
     val pqDistCols = (for (m <- 0 until mSub; c <- 0 until codes)
       yield s"${subDistExpr("e", m, c, sub)} AS d_${m}_$c").mkString(",\n  ")
     val codeCols = (0 until mSub).map { m =>
@@ -55,7 +60,7 @@ object PqOracle {
     }.mkString(",\n  ")
     val codeCase = "CASE CAST(tm.m AS INTEGER) " + (0 until mSub)
       .map(m => s"WHEN $m THEN en.code_$m").mkString(" ") + " END"
-    s"""WITH pqd AS MATERIALIZED (SELECT e.vec_id, $pqDistCols FROM embeddings e),
+    s"""WITH pqd AS MATERIALIZED (SELECT e.vec_id, $pqDistCols FROM embeddings e$samplePred),
        |enc AS MATERIALIZED (SELECT vec_id, $codeCols FROM pqd)
        |SELECT CAST(tm.m AS INTEGER) AS m, $codeCase AS code,
        |  CAST(tj.j AS INTEGER) AS j, COUNT(*) AS n,
@@ -115,7 +120,8 @@ object PqOracle {
    * (j within subspace, m across), so both engines round identically.
    */
   def trainedTopkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
-                     mSub: Int, codes: Int, rerank: Int): String = {
+                     mSub: Int, codes: Int, rerank: Int,
+                     sampleEvery: Int = 1): String = {
     val sub = d / mSub
     def cellDistExpr(cell: Int): String =
       (0 until d).map { j =>
@@ -131,7 +137,8 @@ object PqOracle {
     val probeCase = "CASE t.cell " + (0 until nCells)
       .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
     val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
-    s"""WITH km AS MATERIALIZED (SELECT * FROM (${trainStepSql(d, mSub, codes)})),
+    s"""WITH km AS MATERIALIZED (SELECT * FROM (${trainStepSql(d, mSub,
+           codes, sampleEvery)})),
        |asg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
        |asg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM asg0)),
