@@ -1042,6 +1042,10 @@ object SparkEntry {
   final val ServeTierLayoutScales = Seq(4, 8, 11)
   final val ServeTierRel: Seq[(Long, Int)] = Seq(
     0L -> 4, 1L -> 11, 2L -> 4, 3L -> 11)
+  // online serve over a MUTATING index: requests 0-1 arrive before the
+  // update commit, 2-3 after it (each side spans both tiers, so the
+  // snapshot choice and the tier knob are both visible per side)
+  final val StreamMutatePreQids: Set[Long] = Set(0L, 1L)
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -2758,6 +2762,19 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha)),
+    // ... and the ONLINE TIERED SERVE OVER A MUTATING INDEX — the two
+    // streams composed: requests 0-1 served off the pristine tiered
+    // layout, an update commit lands (rewriting only its id buckets of
+    // the stream's own layout copy), requests 2-3 served off the
+    // then-current committed state; drained rows equal the
+    // per-snapshot batch serves (per-request independence)
+    "q_stream_serve_requests_tiered_mutating" -> q((s, dir) =>
+      graft.streaming.StreamOps.serveRequestsTieredMutatingOverStream(
+        s, dir, emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, UpsertMod, StreamMutatePreQids)),
     // ... and REQUESTS AS A STREAM — the online-serving shape: each
     // microbatch serves its arriving requests' full objects off the
     // static layouts; per-request independence (df per term, per-qid
@@ -3674,6 +3691,28 @@ object SparkEntry {
         PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
         Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
         qrelPathForOracle()),
+    // the mutating-index stream: per-request independence makes the
+    // drained union the pre-commit qids' rows from the PRISTINE tiered
+    // capstone plus the post-commit qids' rows from the capstone over
+    // the commit view (negated prefix quantized and rescored)
+    "q_stream_serve_requests_tiered_mutating" -> {
+      val pre = SearchOracle.serveRequestsTieredSql(
+        EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+        PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+        Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+        qrelPathForOracle())
+      val post = SearchOracle.serveRequestsTieredSql(
+        EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+        PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+        Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+        qrelPathForOracle(), negMod = 2 * UpsertMod)
+      val preIn = StreamMutatePreQids.toSeq.sorted.mkString(", ")
+      val postIn = PageKMultiRel.map(_._1)
+        .filterNot(StreamMutatePreQids).sorted.mkString(", ")
+      s"""SELECT * FROM ($pre) WHERE qid IN ($preIn)
+         |UNION ALL
+         |SELECT * FROM ($post) WHERE qid IN ($postIn)""".stripMargin
+    },
     // per-request per-tier bytes off the same pipeline CTEs
     "q_serve_requests_tiered_metrics" ->
       SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,

@@ -2062,10 +2062,29 @@ object Search {
                           tiers: Seq[(Long, Int)],
                           layoutScales: Seq[Int], k1: Double, b: Double,
                           poolN: Int, nBuckets: Int,
-                          alpha: Double): DataFrame = {
+                          alpha: Double): DataFrame =
+    serveRequestsTieredOff(spark, sfDir, None, emb, docMeta, queries,
+      filters, weights, ks, tiers, layoutScales, k1, b, poolN, nBuckets,
+      alpha)
+
+  /** [[serveRequestsTiered]] against an EXPLICIT tiered layout path
+    * (None = the shared pristine fixture) — the form the upserted
+    * serve and the mutating-index request stream drive, where the
+    * layout is a maintained copy rather than the build-once dir. */
+  def serveRequestsTieredOff(spark: SparkSession, sfDir: String,
+                             layoutPath: Option[String],
+                             emb: DataFrame, docMeta: DataFrame,
+                             queries: Seq[(Long, Seq[String])],
+                             filters: Seq[(Long, String)],
+                             weights: Seq[(Long, Double)],
+                             ks: Seq[(Long, Int)],
+                             tiers: Seq[(Long, Int)],
+                             layoutScales: Seq[Int], k1: Double,
+                             b: Double, poolN: Int, nBuckets: Int,
+                             alpha: Double): DataFrame = {
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val fetch = tieredServeFetch(spark, sfDir, emb, filters, tiers,
-      layoutScales, poolN, alpha)
+      layoutScales, poolN, alpha, layoutPath)
     val vecPool = TopK.window(
         fetch.withColumnRenamed("s_full", "score"), poolN)
       .select(col("qid"), col("id").as("doc_id"),
@@ -2099,7 +2118,6 @@ object Search {
                                   layoutScales: Seq[Int], k1: Double,
                                   b: Double, poolN: Int, nBuckets: Int,
                                   alpha: Double, mod: Int): DataFrame = {
-    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val layout = graft.sources.Disaggregated.ensureTieredServeUpserted(
       spark, sfDir, layoutScales, mod)
     val embUpd = emb.select(col("vec_id"),
@@ -2107,15 +2125,9 @@ object Search {
         transform(col("embedding"), x => -x))
         .otherwise(col("embedding")).as("embedding"),
       col("label"))
-    val fetch = tieredServeFetch(spark, sfDir, embUpd, filters, tiers,
-      layoutScales, poolN, alpha, layoutPath = Some(layout))
-    val vecPool = TopK.window(
-        fetch.withColumnRenamed("s_full", "score"), poolN)
-      .select(col("qid"), col("id").as("doc_id"),
-        col("score").as("vscore"))
-    serveCut(spark,
-      serveFusedWith(spark, root, docMeta, queries, filters, weights,
-        k1, b, poolN, nBuckets, vecPool), ks)
+    serveRequestsTieredOff(spark, sfDir, Some(layout), embUpd, docMeta,
+      queries, filters, weights, ks, tiers, layoutScales, k1, b, poolN,
+      nBuckets, alpha)
   }
 
   /**

@@ -1199,6 +1199,145 @@ object StreamOps {
         col("tnorm"), col("vnorm"))
   }
 
+  /** Bump when the mutating tiered-serve stream state layout changes. */
+  private val StreamMutatingServeLayoutVersion = 1
+
+  /**
+   * ONLINE TIERED SERVE OVER A MUTATING INDEX — the two streams
+   * composed: requests arrive WHILE update commits land, and each
+   * microbatch serves its arriving requests off the THEN-CURRENT
+   * tiered layout. The landing encodes the interleaving (one file of
+   * pre-commit request qids, then one of post-commit qids — the
+   * [[ensureStreamKnnGraphUpsert]] sequential-append discipline); the
+   * stream maintains its OWN partitioned copy of the tiered layout and
+   * applies the update commit (ids ≡ 0 mod 2·`mod`, v' = −v — the
+   * versioned log's commit-1 prefix) via
+   * [[graft.sources.Disaggregated.commitServeTierUpserts]] when the
+   * first post-commit request batch arrives: only the touched id
+   * buckets rewrite. Pre-commit requests read the pre-commit state —
+   * asserted loudly (the commit flag must not predate them), never
+   * left to a silent hash mismatch. Per-request independence makes the
+   * drained union row-identical to the per-snapshot batch serves: the
+   * pristine tiered capstone for the pre-commit qids UNION the
+   * upserted-view capstone for the post-commit qids — exactly what the
+   * DuckDB oracle recomputes.
+   */
+  def serveRequestsTieredMutatingOverStream(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, mod: Int,
+      preQids: Set[Long]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    require(mod >= 2, s"mod=$mod")
+    graft.operators.Search.ensurePostingsLayout(spark, sfDir, nBuckets)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val reqKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(queries, filters, weights, ks, tiers, layoutScales,
+          k1, b, poolN, nBuckets, alpha, mod, preQids.toSeq.sorted)
+        .mkString(";").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    val qids = ks.map(_._1).sorted
+    val postQids = qids.filterNot(preQids).toSet
+    require(preQids.nonEmpty && postQids.nonEmpty,
+      "mutating serve needs requests on both sides of the commit")
+    val landing = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_mtreqlanding_sv${StreamMutatingServeLayoutVersion}_${safe}" +
+        s"_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landing.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landing.getParent, "mtreq-")
+        // one landing file per side of the commit — a real two-trigger
+        // stream with the commit between them
+        preQids.toSeq.sorted.toDF("qid")
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        postQids.toSeq.sorted.toDF("qid")
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        try Files.move(tmp, landing)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landing.resolve("_SUCCESS")),
+          s"mutating request landing publish failed: $landing")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_mtreqserve_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "mtreqs-")
+        val layout = tmp.resolve("tiers").toString
+        val flag = tmp.resolve("_COMMITTED")
+        // the stream's OWN maintained layout copy, seeded pristine
+        graft.sources.Disaggregated.writeServeTiersPartitioned(
+          emb.join(docMeta.select(col("doc_id").as("vec_id"),
+              col("lang")), Seq("vec_id"))
+            .select(col("vec_id").as("id"), col("lang"),
+              col("embedding").as("vec")),
+          layout, layoutScales)
+        val resDir = tmp.resolve("results").toString
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("qid", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arrived = batch.select(col("qid")).collect()
+              .map(_.getLong(0)).toSet
+            if (arrived.nonEmpty) {
+              val isPost = arrived.exists(postQids)
+              require(arrived.forall(postQids) || arrived.forall(preQids),
+                s"request batch $arrived straddles the commit boundary")
+              if (isPost && !Files.exists(flag)) {
+                // the update commit lands BEFORE its first post-commit
+                // request batch: only the touched buckets rewrite
+                graft.sources.Disaggregated.commitServeTierUpserts(
+                  spark, layout,
+                  emb.select(col("vec_id").as("id"))
+                    .filter(col("id") % (2L * mod) === 0),
+                  layoutScales)
+                Files.createFile(flag)
+              }
+              if (!isPost) require(!Files.exists(flag),
+                "pre-commit requests arrived after the commit — the " +
+                  "landing's interleaving contract is broken")
+              val embView =
+                if (!isPost) emb
+                else emb.select(col("vec_id"),
+                  when(col("vec_id") % (2L * mod) === 0,
+                    transform(col("embedding"), x => -x))
+                    .otherwise(col("embedding")).as("embedding"),
+                  col("label"))
+              graft.operators.Search.serveRequestsTieredOff(spark, sfDir,
+                  Some(layout), embView, docMeta,
+                  queries.filter(kv => arrived(kv._1)),
+                  filters.filter(kv => arrived(kv._1)),
+                  weights.filter(kv => arrived(kv._1)),
+                  ks.filter(kv => arrived(kv._1)),
+                  tiers.filter(kv => arrived(kv._1)),
+                  layoutScales, k1, b, poolN, nBuckets, alpha)
+                .write.mode("append").parquet(resDir)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"mutating stream serve publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(s"$outDir/results")
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
   /** Multi-probe LSH over the STREAM-MAINTAINED layout — hash-equal to
     * the batch twins once drained (same rows, same bucket keys), so it
     * shares `q_ann_lsh`'s oracle. */
