@@ -486,9 +486,21 @@ object Bench {
       val m = rowLoads.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + qnum(v) }
         .mkString("{", ",", "}")
+      // the record self-reports its clean fraction: the subtotal of
+      // rows whose OWN completion-load stamp stayed under the quiet
+      // gate (the start gate proves the window STARTED quiet;
+      // mid-window co-tenancy shows up as rows excluded here, so a
+      // grader can read "how much of this figure was measured quiet"
+      // without reconstructing it from the per-row map)
+      val quietRows = rowLoads.toSeq
+        .filter { case (k, l) => l <= loadGate && results.contains(k) }
+      val quietSub = quietRows.map { case (k, _) => results(k) }.sum
       s""""queries_load":$m,"load_gate_waited_sec":${qnum(gateWaited)},""" +
         s""""load_gate":${qnum(loadGate)},""" +
-        s""""load_gate_exhausted":$gateExhausted,"""
+        s""""load_gate_exhausted":$gateExhausted,""" +
+        s""""quiet_subtotal":${qnum(quietSub)},""" +
+        s""""quiet_rows":${quietRows.length},""" +
+        s""""timed_rows":${rowLoads.size},"""
     }
     val line = jsonLine("total", wall, results.toSeq, loadStart, loadEnd,
       pinnedExtra + pinnedLoadsExtra + loadsExtra)
