@@ -255,6 +255,15 @@ object Bench {
       graft.streaming.StreamOps.ensureStreamKnnGraphUpsert(spark, sfDir,
         SparkEntry.UpsertMod, SparkEntry.KnnJ, SparkEntry.IvfCells,
         SparkEntry.EmbD, SparkEntry.IvfProbe)
+      // round-17 layouts: the graph edge-log compaction, the as-of
+      // serve's doc-update log anchor, and the upserted tiered layout
+      graft.streaming.StreamOps.ensureStreamKnnGraphUpsertCompacted(
+        spark, sfDir, SparkEntry.UpsertMod, SparkEntry.KnnJ,
+        SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
+      graft.operators.Pq.ensureVersionedTombstones(spark, postingsRoot,
+        SparkEntry.Bm25UpsertMod, idCol = "doc_id")
+      graft.sources.Disaggregated.ensureTieredServeUpserted(spark, sfDir,
+        SparkEntry.ServeTierLayoutScales, SparkEntry.UpsertMod)
       // the serve-capstone stream drains are content-keyed one-time
       // materializations like every stream drain above — run each query
       // once so its timed row measures the steady-state drained read,
@@ -262,6 +271,8 @@ object Bench {
       SparkEntry.queries("q_stream_serve_requests")(spark, sfDir).count()
       SparkEntry.queries("q_stream_serve_requests_tiered")(spark, sfDir)
         .count()
+      SparkEntry.queries("q_stream_serve_requests_tiered_mutating")(
+        spark, sfDir).count()
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-
     // record was stamped under whatever co-tenant load happened to be
