@@ -264,6 +264,9 @@ object Bench {
         SparkEntry.Bm25UpsertMod, idCol = "doc_id")
       graft.sources.Disaggregated.ensureTieredServeUpserted(spark, sfDir,
         SparkEntry.ServeTierLayoutScales, SparkEntry.UpsertMod)
+      graft.sources.Disaggregated.ensureTieredServeIndexedUpserted(spark,
+        sfDir, SparkEntry.ServeTierLayoutScales, SparkEntry.IvfCells,
+        SparkEntry.EmbD, SparkEntry.UpsertMod)
       // the serve-capstone stream drains are content-keyed one-time
       // materializations like every stream drain above — run each query
       // once so its timed row measures the steady-state drained read,

@@ -2749,6 +2749,20 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe)),
+    // ... and the INDEXED tiered layout under upsert — the hard
+    // maintenance case: an updated vector's coarse cell MOVES with it,
+    // so the commit rewrites old ∪ new cells (rows relocating across
+    // partitions, emptied cells swept) and the serve runs unchanged
+    // over the committed layout — hash-equal to the indexed tiered
+    // capstone over the updated corpus
+    "q_serve_requests_tiered_indexed_upsert" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexedUpserted(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+        UpsertMod)),
     // ... and the TIERED capstone served ONLINE — the title knob per
     // streamed request: each microbatch runs the tiered serve for its
     // arriving requests with every bound relation (terms, langs, α, k,
@@ -3676,6 +3690,15 @@ object SparkEntry {
         FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
         IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // the indexed tiered capstone over the commit view: assignment,
+    // probes, codes, and rescore all recomputed from the negated
+    // prefix — cells move and the oracle moves with them
+    "q_serve_requests_tiered_indexed_upsert" ->
+      SearchOracle.serveRequestsTieredIndexedSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
+        negMod = UpsertMod),
     // its ledger: probe-aware + tier-aware bytes off the same CTEs
     "q_serve_requests_tiered_indexed_metrics" ->
       SearchOracle.serveRequestsTieredIndexedMetricsSql(EmbD,

@@ -2240,7 +2240,9 @@ object Search {
                                       layoutScales: Seq[Int],
                                       poolN: Int, alpha: Double,
                                       nCells: Int, d: Int,
-                                      nprobe: Int): DataFrame = {
+                                      nprobe: Int,
+                                      layoutPath: Option[String] = None)
+      : DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     require(filters.nonEmpty,
@@ -2249,8 +2251,9 @@ object Search {
     val usedScales = tiers.map(_._2).distinct.sorted
     require(usedScales.toSet.subsetOf(layoutScales.toSet),
       s"tiers $usedScales not all stored in layout $layoutScales")
-    val path = graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
-      spark, sfDir, layoutScales, nCells, d)
+    val path = layoutPath.getOrElse(
+      graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
+        spark, sfDir, layoutScales, nCells, d))
     val stored = spark.read.parquet(path)
     val nq = (filters.map(_._1).max + 1).toInt
     val qSel = broadcast(Ann.queriesOf(emb, nq)
@@ -2360,6 +2363,56 @@ object Search {
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val fetch = tieredServeIndexedFetch(spark, sfDir, emb, filters,
       tiers, layoutScales, poolN, alpha, nCells, d, nprobe)
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
+  /**
+   * [[serveRequestsTieredIndexed]] over the UPSERTED indexed tiered
+   * layout — the maintenance case the flat tiered upsert does not
+   * face: an updated vector's coarse cell MOVES with it, so the commit
+   * ([[graft.sources.Disaggregated.ensureTieredServeIndexedUpserted]])
+   * rewrote the old ∪ new cells' partitions (rows relocating across
+   * partitions, emptied cells swept) and everything else is
+   * byte-immutable. The serve runs unchanged: probes derive from the
+   * updated query vectors, the probed cells' partition filter hits the
+   * committed layout, each request's tier column prunes as before, and
+   * survivors rescore against the layout's updated full-precision
+   * vectors — provably the indexed tiered capstone over the updated
+   * corpus (the oracle recomputes assignment, probes, codes, and
+   * rescore from the commit view).
+   */
+  def serveRequestsTieredIndexedUpserted(spark: SparkSession,
+                                         sfDir: String, emb: DataFrame,
+                                         docMeta: DataFrame,
+                                         queries: Seq[(Long, Seq[String])],
+                                         filters: Seq[(Long, String)],
+                                         weights: Seq[(Long, Double)],
+                                         ks: Seq[(Long, Int)],
+                                         tiers: Seq[(Long, Int)],
+                                         layoutScales: Seq[Int],
+                                         k1: Double, b: Double,
+                                         poolN: Int, nBuckets: Int,
+                                         alpha: Double, nCells: Int,
+                                         d: Int, nprobe: Int,
+                                         mod: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val layout = graft.sources.Disaggregated
+      .ensureTieredServeIndexedUpserted(spark, sfDir, layoutScales,
+        nCells, d, mod)
+    val embUpd = emb.select(col("vec_id"),
+      when(col("vec_id") % mod === 0,
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"),
+      col("label"))
+    val fetch = tieredServeIndexedFetch(spark, sfDir, embUpd, filters,
+      tiers, layoutScales, poolN, alpha, nCells, d, nprobe,
+      layoutPath = Some(layout))
     val vecPool = TopK.window(
         fetch.withColumnRenamed("s_full", "score"), poolN)
       .select(col("qid"), col("id").as("doc_id"),

@@ -1492,7 +1492,8 @@ object IvfOracle {
     * `iasg` (assignments) and `iqp` (probe pairs) in scope. Expects
     * `qf(qid, lang)` already defined by the enclosing serve chain. */
   def indexedCandCtes(d: Int, nq: Int, nCells: Int, nprobe: Int,
-                      unionLangs: Seq[String]): String = {
+                      unionLangs: Seq[String],
+                      src: String = "embeddings"): String = {
     val distCols = (0 until nCells)
       .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
     val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
@@ -1502,10 +1503,10 @@ object IvfOracle {
       .map(c => s"WHEN $c THEN a.c$c").mkString(" ") + " END"
     val cellsValues = (0 until nCells).map(c => s"($c)").mkString(",")
     val union = unionLangs.map(l => s"'$l'").mkString(", ")
-    s"""iasg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM embeddings e),
+    s"""iasg0 AS MATERIALIZED (SELECT e.vec_id, $distCols FROM $src e),
        |iasg AS MATERIALIZED (SELECT vec_id, $argmin AS cell
        |        FROM (SELECT *, $leastExpr AS m FROM iasg0)),
-       |iq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT $nq),
+       |iq AS (SELECT vec_id AS qid FROM $src ORDER BY vec_id LIMIT $nq),
        |iqp0 AS (SELECT iq.qid, t.cell, $probeCase AS d2
        |  FROM iq JOIN iasg0 a ON a.vec_id = iq.qid
        |  CROSS JOIN (VALUES $cellsValues) AS t(cell)),

@@ -1035,21 +1035,22 @@ object SearchOracle {
   /** The seed/tau0/survivor/rescore/top tail shared by the flat and
     * indexed tiered pools — everything downstream of `tcand(qid, id,
     * s_hat, cush)`, ending at `vtop` with `tfetch` in scope. */
+  /** The negated-view CTE (the upserted corpus: the commit's vectors
+    * flipped) — emitted by a pool-CTE builder when its chain must read
+    * the commit view; the CTE keeps every downstream dot-expression
+    * tree identical to the pristine form. */
+  private def vembcCte(negMod: Int): String =
+    s"""vembc AS (SELECT vec_id,
+       |    CASE WHEN vec_id % $negMod = 0
+       |    THEN list_transform(embedding, x -> -x) ELSE embedding END
+       |    AS embedding FROM embeddings),
+       |""".stripMargin
+
   private def tieredTailCtes(d: Int, poolN: Int,
-                             negMod: Int = 0): String = {
+                             fetchSrc: String = "embeddings"): String = {
     val sFull = s"${EmbOracle.dotE("c2.embedding", "vq.qv", d)} /" +
       s" (${fn("ni.n2")} * ${fn("nq2.n2")})"
-    // the rescore's candidate fetch under the upserted view (negMod >
-    // 0): the commit's vectors flipped — the vembc CTE keeps the dot
-    // expression tree identical to the pristine form
-    val fetchSrc = if (negMod <= 0) "embeddings" else "vembc"
-    val vembcCte = if (negMod <= 0) "" else
-      s"""vembc AS (SELECT vec_id,
-         |    CASE WHEN vec_id % $negMod = 0
-         |    THEN list_transform(embedding, x -> -x) ELSE embedding END
-         |    AS embedding FROM embeddings),
-         |""".stripMargin
-    s"""${vembcCte}tseed AS MATERIALIZED (SELECT qid, id, s_hat FROM (
+    s"""tseed AS MATERIALIZED (SELECT qid, id, s_hat FROM (
        |  SELECT qid, id, s_hat,
        |    row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, id ASC) AS rn
        |  FROM tcand) WHERE rn <= $poolN),
@@ -1103,7 +1104,7 @@ object SearchOracle {
       if (negMod <= 0) embExpr
       else s"CASE WHEN $idExpr % $negMod = 0" +
         s" THEN list_transform($embExpr, x -> -x) ELSE $embExpr END"
-    s"""vq AS (SELECT vec_id AS qid,
+    s"""${if (negMod > 0) vembcCte(negMod) else ""}vq AS (SELECT vec_id AS qid,
        |       ${negEmb("vec_id", "embedding")} AS qv FROM embeddings
        |       ORDER BY vec_id LIMIT $nq),
        |tr AS (${tierRelBody(tiers, relPath)}),
@@ -1117,7 +1118,8 @@ object SearchOracle {
        |  JOIN qf ON qf.qid = vq.qid AND qf.lang = c.lang
        |  JOIN tr ON tr.qid = vq.qid
        |  JOIN nrm nq2 ON vq.qid = nq2.vec_id),
-       |${tieredTailCtes(d, poolN, negMod)}""".stripMargin
+       |${tieredTailCtes(d, poolN,
+           if (negMod > 0) "vembc" else "embeddings")}""".stripMargin
   }
 
   /** [[tieredVecPoolCtes]] with candidates restricted to each qid's
@@ -1129,22 +1131,30 @@ object SearchOracle {
                                        unionLangs: Seq[String],
                                        tiers: Seq[(Long, Int)],
                                        alpha: Double, poolN: Int,
-                                       relPath: Option[String]): String = {
+                                       relPath: Option[String],
+                                       negMod: Int = 0): String = {
     val usedScales = tiers.map(_._2).distinct.sorted
     val (sHatExpr, cushExpr) = tierScoreExprs(d, usedScales, alpha)
-    s"""vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    // the UPSERTED view (negMod > 0): assignment, probes, query
+    // vectors, tier codes, and the rescore fetch ALL read the commit
+    // view — an updated vector moves cell, and the whole indexed chain
+    // must move with it
+    val src = if (negMod > 0) "vembc" else "embeddings"
+    s"""${if (negMod > 0) vembcCte(negMod) else ""}vq AS (
+       |       SELECT vec_id AS qid, embedding AS qv FROM $src
        |       ORDER BY vec_id LIMIT $nq),
        |tr AS (${tierRelBody(tiers, relPath)}),
-       |${IvfOracle.indexedCandCtes(d, nq, nCells, nprobe, unionLangs)},
+       |${IvfOracle.indexedCandCtes(d, nq, nCells, nprobe, unionLangs,
+          src)},
        |tcand AS MATERIALIZED (SELECT ic.qid, ic.id,
        |    $sHatExpr AS s_hat,
        |    $cushExpr AS cush
        |  FROM icand ic
-       |  JOIN embeddings c ON c.vec_id = ic.id
+       |  JOIN $src c ON c.vec_id = ic.id
        |  JOIN vq ON vq.qid = ic.qid
        |  JOIN tr ON tr.qid = ic.qid
        |  JOIN nrm nq2 ON ic.qid = nq2.vec_id),
-       |${tieredTailCtes(d, poolN)}""".stripMargin
+       |${tieredTailCtes(d, poolN, src)}""".stripMargin
   }
 
   /** [[graft.operators.Search.serveRequestsTiered]]: the serve chain
@@ -1262,10 +1272,11 @@ object SearchOracle {
                                     alpha: Double, k1: Double, b: Double,
                                     poolN: Int, nCells: Int, nprobe: Int,
                                     st: Option[Bm25Stats],
-                                    relPath: Option[String] = None): String = {
+                                    relPath: Option[String] = None,
+                                    negMod: Int = 0): String = {
     val nq = (filters.map(_._1).max + 1).toInt
     val pool = tieredIndexedVecPoolCtes(d, nq, nCells, nprobe,
-      filters.map(_._2).distinct, tiers, alpha, poolN, relPath)
+      filters.map(_._2).distinct, tiers, alpha, poolN, relPath, negMod)
     s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
           poolN, st, relPath, vectorPoolCtes = Some(pool))},
        |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,

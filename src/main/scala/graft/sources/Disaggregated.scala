@@ -389,6 +389,159 @@ object Disaggregated {
     path.toString
   }
 
+  /**
+   * An UPDATE COMMIT on the cell-partitioned INDEXED tiered layout —
+   * the hard maintenance case [[commitServeTierUpserts]] does not
+   * face: an updated vector's coarse-quantizer CELL MOVES with it
+   * (assignment of −v is not assignment of v), so a row changes
+   * partition. Touched partitions = the updated ids' OLD cells (their
+   * stale rows drop) ∪ NEW cells (their recomputed rows land) — both
+   * bounded models (≤ nCells ints) literalized so read and overwrite
+   * prune at planning time. Updated rows get the new vector, the new
+   * cell, and every tier's codes recomputed; non-updated rows in a
+   * touched cell are copied verbatim. Because rows MOVE, a touched old
+   * cell can be left empty — dynamic overwrite only replaces
+   * partitions that receive rows, so emptied cells are swept
+   * explicitly (the [[graft.operators.Ivf.commitProberUpdates]]
+   * discipline). Commit I/O ∝ touched-cell occupancy, never the
+   * corpus.
+   */
+  def commitServeTierIndexedUpserts(spark: SparkSession,
+                                    layoutDir: String,
+                                    updIds: DataFrame, scales: Seq[Int],
+                                    nCells: Int, d: Int): Unit = {
+    val emb = spark.read.parquet(layoutDir)
+    // old cells from the LAYOUT's own stored assignment of the updated
+    // ids (never a corpus re-assign); new cells from assigning the
+    // updated vectors' new values — both bounded collects
+    val updRows = emb.join(updIds.select(col("id")), Seq("id"),
+      "left_semi")
+    val oldCells = updRows.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val updNew = updRows.select(col("id"), col("lang"),
+      transform(col("vec"), x => -x).as("vec"))
+    val newAsg = graft.operators.Ivf.assign(
+        updNew.select(col("id").as("vec_id"),
+          col("vec").as("embedding")), nCells, d)
+      .select(col("id"), col("cell"))
+    val newCells = newAsg.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val touched = (oldCells ++ newCells).distinct.sorted
+    val keep = spark.read.parquet(layoutDir)
+      .filter(col("cell").isin(touched.map(Int.box): _*))
+      .join(updIds.select(col("id")), Seq("id"), "left_anti")
+    val recomputed = updNew.join(newAsg, Seq("id"))
+      .select(Seq(col("id"), col("lang"), col("vec"), col("cell")) ++
+        scales.sorted.map { s =>
+          val mul = math.pow(2.0, s)
+          val t = if (serveTierCodeBytes(s) == 1) "byte" else "short"
+          transform(col("vec"),
+            x => floor(x * mul + lit(0.5)).cast(t)).as(s"code_$s")
+        }: _*)
+    val rewritten = keep.select(recomputed.columns.map(col): _*)
+      .unionByName(recomputed)
+    val staging = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(layoutDir).getParent, "servetidx-commit-")
+    try {
+      rewritten.write.mode("overwrite").parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      staged
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(layoutDir)
+      // dynamic overwrite only replaces partitions that RECEIVE rows:
+      // a touched cell emptied by the move must be swept or its stale
+      // rows would survive
+      val nonEmpty = staged.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(nonEmpty).foreach { c =>
+        val p = java.nio.file.Paths.get(layoutDir, s"cell=$c")
+        if (java.nio.file.Files.exists(p))
+          VecFiles.deleteRecursively(p)
+      }
+    } finally VecFiles.deleteRecursively(staging)
+  }
+
+  /** The cell-partitioned indexed tiered rows over the corpus VIEW
+    * (negMod > 0 = the commit view: the prefix's vectors flipped
+    * BEFORE assignment, so cells move with the update) written into
+    * `path` — shared by the upserted ensure's seed and the spec's
+    * fresh-build comparator, so "commit ≡ rebuild over the view" is
+    * checked against the same builder. */
+  def writeServeTiersIndexed(spark: SparkSession, sfDir: String,
+                             path: String, scales: Seq[Int],
+                             nCells: Int, d: Int,
+                             negMod: Int = 0): Unit = {
+    val emb0 = graft.Tables.embeddings(spark, sfDir)
+    val emb =
+      if (negMod <= 0) emb0
+      else emb0.select(col("vec_id"),
+        when(col("vec_id") % negMod === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    val docs = graft.Tables.documents(spark, sfDir)
+    val src = graft.operators.Ivf.assign(emb, nCells, d)
+      .select(col("id").as("vec_id"), col("cell"))
+      .join(emb, Seq("vec_id"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+      .select(col("vec_id").as("id"), col("cell"), col("lang"),
+        col("embedding").as("vec"))
+    val cols = Seq(col("id"), col("lang"), col("vec"), col("cell")) ++
+      scales.sorted.map { s =>
+        val mul = math.pow(2.0, s)
+        val t = if (serveTierCodeBytes(s) == 1) "byte" else "short"
+        transform(col("vec"),
+          x => floor(x * mul + lit(0.5)).cast(t)).as(s"code_$s")
+      }
+    src.select(cols: _*)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("cell")
+      .parquet(path)
+  }
+
+  /** The INDEXED tiered layout AFTER an upsert commit (ids ≡ 0 mod
+    * `mod`, v' = −v): seed the cell-partitioned layout from the
+    * pristine corpus, then apply the commit —
+    * [[commitServeTierIndexedUpserts]] rewrites only the old ∪ new
+    * cells. Own version-keyed dir; the shared
+    * [[ensureTieredServeIndexedFixture]] is never mutated. */
+  def ensureTieredServeIndexedUpserted(spark: SparkSession,
+                                       sfDir: String, scales: Seq[Int],
+                                       nCells: Int, d: Int,
+                                       mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = scales.sorted.mkString("-")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_servetiersidx_ups_v${ServeTiersUpsertLayoutVersion}" +
+        s"_${safe}_s${key}_c${nCells}_d${d}_m${mod}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "servetiups-")
+      writeServeTiersIndexed(spark, sfDir, tmp.toString, scales,
+        nCells, d)
+      commitServeTierIndexedUpserts(spark, tmp.toString,
+        graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("id"))
+          .filter(col("id") % mod === 0), scales, nCells, d)
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"upserted indexed tiered layout publish failed: $path")
+    }
+    path.toString
+  }
+
   /** [[ensureTieredServeFixture]] CELL-PARTITIONED — the INDEXED form:
     * the same (id, lang, vec, code_s per tier) rows written
     * `partitionBy(cell)` under the coarse quantizer's assignment, so a

@@ -983,6 +983,81 @@ class PlanSpec extends AnyFunSuite {
       s"upserted cheap scan read vec or an unused tier ($unused): $scans")
   }
 
+  test("upserted INDEXED tiered layout: cells move with the commit, untouched cells byte-immutable, commit == rebuild") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import SparkEntry.{ServeTierLayoutScales, IvfCells, EmbD}
+    import graft.sources.Disaggregated
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-test-servetiups-")
+    try {
+      val layout = scratch.resolve("tiers").toString
+      Disaggregated.writeServeTiersIndexed(spark, dir, layout,
+        ServeTierLayoutScales, IvfCells, EmbD)
+      def partFiles(): Map[String, Seq[(String, Long, Long)]] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(layout))
+          .iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("cell="))
+          .map { p =>
+            val fs = java.nio.file.Files.list(p).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString,
+                java.nio.file.Files.size(f),
+                java.nio.file.Files.getLastModifiedTime(f).toMillis))
+              .toSeq.sortBy(_._1)
+            p.getFileName.toString -> fs
+          }.toMap
+      }
+      val before = partFiles()
+      Thread.sleep(1100) // beat filesystem mtime granularity
+      val emb = Tables.embeddings(spark, dir)
+      // the sparse-commit regime again: a few updated ids, so old ∪ new
+      // cells is a strict subset of the 8 and immutability is testable
+      val mod = 211
+      val updIds = emb.select(col("vec_id").as("id"))
+        .filter(col("id") % mod === 0)
+      // touched = the LAYOUT's stored cells of the updated ids ∪ the
+      // cells their negated vectors assign to
+      val oldCells = spark.read.parquet(layout)
+        .join(updIds, Seq("id"), "left_semi")
+        .select(col("cell")).distinct().collect().map(_.getInt(0))
+      val newCells = graft.operators.Ivf.assign(
+          emb.join(updIds.withColumnRenamed("id", "vec_id"),
+            Seq("vec_id"), "left_semi")
+            .select(col("vec_id"), org.apache.spark.sql.functions
+              .transform(col("embedding"), x => -x).as("embedding")),
+          IvfCells, EmbD)
+        .select(col("cell")).distinct().collect().map(_.getInt(0))
+      val touched = (oldCells ++ newCells).distinct.map(c => s"cell=$c")
+        .toSet
+      assert(touched.size < IvfCells,
+        "commit touches every cell — immutability check vacuous")
+      Disaggregated.commitServeTierIndexedUpserts(spark, layout, updIds,
+        ServeTierLayoutScales, IvfCells, EmbD)
+      val after = partFiles()
+      before.keys.filterNot(touched).foreach { c =>
+        assert(after(c) == before(c),
+          s"untouched cell $c was rewritten by the commit")
+      }
+      // commit ≡ rebuild over the commit view: the committed layout's
+      // rows equal a fresh build with the prefix flipped BEFORE
+      // assignment — a stale row, a missed move, or an unswept cell
+      // all break this equality
+      val expectedDir = scratch.resolve("expected").toString
+      Disaggregated.writeServeTiersIndexed(spark, dir, expectedDir,
+        ServeTierLayoutScales, IvfCells, EmbD, negMod = mod)
+      def rowsOf(p: String) = spark.read.parquet(p)
+        .select(col("id"), col("cell"), col("lang"),
+          org.apache.spark.sql.functions.hash(col("vec")).as("hv"),
+          org.apache.spark.sql.functions.hash(col("code_4")).as("h4"),
+          org.apache.spark.sql.functions.hash(col("code_11")).as("h11"))
+        .collect().map(_.toSeq).toSet
+      assert(rowsOf(layout) == rowsOf(expectedDir),
+        "committed indexed tiered layout != fresh build over the " +
+          "commit view")
+    } finally graft.sources.VecFiles.deleteRecursively(scratch)
+  }
+
   test("tiered INDEXED serve layout: one scan prunes cells (files), tiers (chunks), and langs (rows)") {
     // the fully-composed vector side: probe cells as a static partition
     // filter, the bound tiers' code columns as the only chunks read,
