@@ -2726,6 +2726,17 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, EmbD)),
+    // ... and the upserted layout's LEDGER twin: fetched/bytes/save/fpr
+    // counted over the commit view (the commit moves scores, so seeds,
+    // survivors, and fusion overlap shift with it); v_cands stays the
+    // lang pre-filter count — updates change vectors, not metadata
+    "q_serve_requests_tiered_upsert_metrics" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredUpsertedMetrics(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, EmbD, UpsertMod)),
     // ... and the FULL COMPOSITION — tiers on the INDEXED capstone:
     // probe cells a static partition filter on the cell-partitioned
     // tiered layout, each request's tier its column pruning, the lang
@@ -3690,6 +3701,15 @@ object SparkEntry {
         FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
         IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // the upserted tiered ledger: the same metrics CTEs over the
+    // commit-view pool
+    "q_serve_requests_tiered_upsert_metrics" ->
+      SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        graft.sources.Disaggregated.serveTierCodeBytes,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN,
+        bm25MultiStatsForOracle(), qrelPathForOracle(),
+        negMod = UpsertMod),
     // the indexed tiered capstone over the commit view: assignment,
     // probes, codes, and rescore all recomputed from the negated
     // prefix — cells move and the oracle moves with them

@@ -2130,6 +2130,37 @@ object Search {
       nBuckets, alpha)
   }
 
+  /** [[serveRequestsTieredMetrics]] over the UPSERTED tiered layout —
+    * the committed index's ledger twin: `fetched` (and with it
+    * `bytes_vec`/`save`/`fpr`) counts what the serve over the commit
+    * view actually touches (the commit moves scores, so seeds,
+    * survivors, and fusion overlap all shift with it); `v_cands` stays
+    * the lang pre-filter count — updates change vectors, not metadata. */
+  def serveRequestsTieredUpsertedMetrics(spark: SparkSession,
+                                         sfDir: String, emb: DataFrame,
+                                         docMeta: DataFrame,
+                                         queries: Seq[(Long, Seq[String])],
+                                         filters: Seq[(Long, String)],
+                                         weights: Seq[(Long, Double)],
+                                         ks: Seq[(Long, Int)],
+                                         tiers: Seq[(Long, Int)],
+                                         layoutScales: Seq[Int],
+                                         k1: Double, b: Double,
+                                         poolN: Int, nBuckets: Int,
+                                         alpha: Double, d: Int,
+                                         mod: Int): DataFrame = {
+    val layout = graft.sources.Disaggregated.ensureTieredServeUpserted(
+      spark, sfDir, layoutScales, mod)
+    val embUpd = emb.select(col("vec_id"),
+      when(col("vec_id") % mod === 0,
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"),
+      col("label"))
+    serveRequestsTieredMetrics(spark, sfDir, embUpd, docMeta, queries,
+      filters, weights, ks, tiers, layoutScales, k1, b, poolN, nBuckets,
+      alpha, d, Some(layout))
+  }
+
   /**
    * [[serveRequestsTiered]]'s per-request byte ledger — where the tier
    * becomes VISIBLE: `bytes_vec` = 8·N (the lang pre-filter column) +
@@ -2150,14 +2181,16 @@ object Search {
                                  tiers: Seq[(Long, Int)],
                                  layoutScales: Seq[Int], k1: Double,
                                  b: Double, poolN: Int, nBuckets: Int,
-                                 alpha: Double, d: Int): DataFrame = {
+                                 alpha: Double, d: Int,
+                                 layoutPath: Option[String] = None)
+      : DataFrame = {
     require(ks.nonEmpty, "serveRequestsTieredMetrics: empty page relation")
     require(filters.nonEmpty,
       "serveRequestsTieredMetrics: empty filter relation")
     import spark.implicits._
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val fetch = tieredServeFetch(spark, sfDir, emb, filters, tiers,
-      layoutScales, poolN, alpha)
+      layoutScales, poolN, alpha, layoutPath)
     val vecPool = TopK.window(
         fetch.withColumnRenamed("s_full", "score"), poolN)
       .select(col("qid"), col("id").as("doc_id"),

@@ -1196,9 +1196,11 @@ object SearchOracle {
                                     tierCodeBytes: Int => Int,
                                     alpha: Double, k1: Double, b: Double,
                                     poolN: Int, st: Option[Bm25Stats],
-                                    relPath: Option[String] = None): String = {
+                                    relPath: Option[String] = None,
+                                    negMod: Int = 0): String = {
     val nq = (filters.map(_._1).max + 1).toInt
-    val pool = tieredVecPoolCtes(d, nq, tiers, alpha, poolN, relPath)
+    val pool = tieredVecPoolCtes(d, nq, tiers, alpha, poolN, relPath,
+      negMod)
     val usedScales = tiers.map(_._2).distinct.sorted
     val bRedExpr = usedScales.init
       .foldRight(s"${tierCodeBytes(usedScales.last)}") { (s, rest) =>

@@ -1026,4 +1026,42 @@ class SearchSpec extends AnyFunSuite {
       r.getAs[Long]("id"), r.getAs[Double]("score"))).toSet
     assert(got == deepSlice)
   }
+
+  test("as-of serving endpoints: asOf 0 is the pristine serve, the snapshot choice is visible") {
+    import SparkEntry.{AsOfServeQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, PostBuckets, Bm25UpsertMod,
+      PostingsUpsertToken}
+    import graft.operators.Search
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("fused"))).toSet
+    // asOf 0 = the empty commit prefix: no delta rows union in, no
+    // vector flips — the as-of path (flag joins, anti-join excision and
+    // all) must reproduce the PLAIN serve bit-for-bit, including qid
+    // 0's token term retrieving zero docs
+    val asOf0 = rows(Search.serveRequestsAsOf(spark, dir, emb, docs,
+      AsOfServeQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets, Bm25UpsertMod,
+      PostingsUpsertToken, asOf = 0))
+    val pristine = rows(Search.serveRequests(spark, dir, emb, docs,
+      AsOfServeQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets))
+    assert(asOf0 == pristine,
+      "asOf 0 must equal the plain serve over the pristine corpus")
+    // ... and snapshot 1 genuinely differs — the commit's re-indexed
+    // docs (token candidacy) and flipped vectors change the answer, so
+    // "which snapshot" is a visible property of the result, not a
+    // bookkeeping column
+    val asOf1 = rows(Search.serveRequestsAsOf(spark, dir, emb, docs,
+      AsOfServeQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+      Bm25K1, Bm25B, RrfPoolN, PostBuckets, Bm25UpsertMod,
+      PostingsUpsertToken, asOf = 1))
+    assert(asOf1 != asOf0, "snapshot 1 indistinguishable from 0")
+    // the token qid specifically: snapshot 1 serves it commit-1 docs
+    // (doc_id ≡ 0 mod 2·mod among its pages) that snapshot 0 cannot
+    val q0new = asOf1.filter(_._1 == 0L).map(_._3) --
+      asOf0.filter(_._1 == 0L).map(_._3)
+    assert(q0new.nonEmpty,
+      "qid 0 (the token request) gained no docs at snapshot 1")
+  }
 }
