@@ -2690,6 +2690,18 @@ object SparkEntry {
         bm25MultiQueriesOf(s, dir), filterMultiRelOf(s, dir),
         fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
         Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD, IvfProbe)),
+    // ... and the PRODUCTION capstone at a SNAPSHOT — time travel with
+    // both sides merge-on-read over their pruned layouts: snapshot
+    // postings for the lexical pool, the at-rest IVF index served
+    // base-minus-prefix ∪ re-assigned prefix rows for the vector pool
+    // (index files byte-immutable for every snapshot; probes derive
+    // from the snapshot's query vectors)
+    "q_serve_requests_indexed_asof" -> q((s, dir) => graft.operators
+      .Search.serveRequestsIndexedAsOf(s, dir, emb(s, dir), docs(s, dir),
+        asOfServeQueriesOf(s, dir), filterMultiRelOf(s, dir),
+        fusionMultiRelOf(s, dir), pageKMultiRelOf(s, dir), Bm25K1,
+        Bm25B, RrfPoolN, PostBuckets, IvfCells, EmbD, IvfProbe,
+        Bm25UpsertMod, PostingsUpsertToken, ServeAsOfSnapshot)),
     // ... and the capstone at PER-REQUEST PRECISION — the title knob
     // composed into serving: each request binds its own quantization
     // tier from the stored relation, its cheap vector pass reads that
@@ -3671,6 +3683,17 @@ object SparkEntry {
       EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
       PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, IvfCells, IvfProbe,
       bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // the production capstone at a snapshot: the indexed chain
+    // (assignment, probes, rescore) recomputed from the commit view,
+    // the lexical chain from the snapshot text, idf literals from the
+    // snapshot stats
+    "q_serve_requests_indexed_asof" -> SearchOracle.serveRequestsIndexedSql(
+      EmbD, AsOfServeQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, Bm25K1, Bm25B, RrfPoolN, IvfCells, IvfProbe,
+      bm25AsOfStatsForOracle(), qrelPathForOracle(),
+      updatedTokenMod = 2 * Bm25UpsertMod,
+      updatedToken = PostingsUpsertToken,
+      vecNegMod = 2 * Bm25UpsertMod, relKind = "abm25"),
     // probe-aware per-request bytes off the same assignment chain
     "q_serve_requests_indexed_metrics" ->
       SearchOracle.serveRequestsIndexedMetricsSql(EmbD, Bm25MultiQueries,

@@ -2801,8 +2801,8 @@ object Search {
    */
   private def serveAsOfSnapshot(spark: SparkSession, sfDir: String,
                                 root: String, emb: DataFrame, mod: Int,
-                                nBuckets: Int, token: String,
-                                asOf: Int): (DataFrame, DataFrame) = {
+                                nBuckets: Int, token: String, asOf: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val delta = spark.read.parquet(
         ensureVersionedPostingsUpsertDeltas(spark, sfDir, root, mod,
           nBuckets, token))
@@ -2818,7 +2818,7 @@ object Search {
         when(col("upd") === 1, transform(col("embedding"), x => -x))
           .otherwise(col("embedding")).as("embedding"),
         col("label"))
-    (delta, embAsOf)
+    (delta, embAsOf, updIds)
   }
 
   /**
@@ -2846,7 +2846,7 @@ object Search {
                         poolN: Int, nBuckets: Int, mod: Int,
                         token: String, asOf: Int): DataFrame = {
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
-    val (delta, embAsOf) = serveAsOfSnapshot(spark, sfDir, root, emb,
+    val (delta, embAsOf, _) = serveAsOfSnapshot(spark, sfDir, root, emb,
       mod, nBuckets, token, asOf)
     serveCut(spark,
       serveFusedWith(spark, root, docMeta, queries, filters, weights,
@@ -2855,6 +2855,109 @@ object Search {
           .select(col("qid"), col("id").as("doc_id"),
             col("score").as("vscore")),
         upsertByIds = Some(delta)),
+      ks)
+  }
+
+  /**
+   * The vector side of the INDEXED as-of serve: the at-rest IVF layout
+   * served MERGE-ON-READ at a snapshot — base rows of the probed cells
+   * minus the applied prefix's ids, union the prefix's rows re-derived
+   * FROM THE LAYOUT ITSELF (their stored rows with the vector flipped,
+   * the norm unchanged — negation-invariant — and the cell re-assigned
+   * from the new value, then re-pruned to the probed cells). Base
+   * index files are byte-immutable for every snapshot; queries derive
+   * from the as-of embedding view so probe cells move with the commit.
+   * The merged view provably equals the index REBUILT over the
+   * snapshot (non-updated rows keep their assignment; updated rows
+   * carry the view's), which is exactly what the oracle recomputes.
+   */
+  private def filteredTopKIndexedMultiAsOf(spark: SparkSession,
+                                           sfDir: String,
+                                           embAsOf: DataFrame,
+                                           filters: Seq[(Long, String)],
+                                           k: Int, nCells: Int, d: Int,
+                                           nprobe: Int,
+                                           updIds: DataFrame): DataFrame = {
+    require(filters.nonEmpty, "filteredTopKIndexedMultiAsOf: empty relation")
+    import spark.implicits._
+    val nq = (filters.map(_._1).max + 1).toInt
+    val unionLangs = filters.map(_._2).distinct
+    val path = Ivf.ensureIndex(spark, sfDir, nCells, d)
+    val stored = spark.read.parquet(path)
+    val q = Ann.queriesOf(embAsOf, nq)
+      .select(col("qid"), col("qvec"), col("qn2"))
+    val probes = broadcast(Ivf.probeCells(q, nCells, d, nprobe)
+      .join(q.select(col("qid"), col("qn2")), Seq("qid")))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val updRel = updIds.select(col("vec_id").as("id"))
+    // no broadcast hint on the prefix excision/fetch: the applied
+    // prefix is corpus-fraction-sized, AQE sizes both joins
+    val base = stored
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .filter(col("lang").isin(unionLangs: _*))
+      .join(updRel, Seq("id"), "left_anti")
+      .select(col("id"), col("embedding"), col("n2"), col("lang"),
+        col("cell"))
+    val updRows = stored.join(updRel, Seq("id"), "left_semi")
+      .select(col("id"),
+        transform(col("embedding"), x => -x).as("embedding"),
+        col("n2"), col("lang"))
+    val delta = Ivf.assign(
+        updRows.select(col("id").as("vec_id"), col("embedding")),
+        nCells, d)
+      .select(col("id"), col("cell"))
+      .join(updRows, Seq("id"))
+      .filter(col("cell").isin(cells.toSeq: _*) &&
+        col("lang").isin(unionLangs: _*))
+      .select(col("id"), col("embedding"), col("n2"), col("lang"),
+        col("cell"))
+    val qf = broadcast(filters.toDF("qid", "lang"))
+    val scored = base.unionByName(delta)
+      .join(probes, Seq("cell"))
+      .join(qf, Seq("qid", "lang"))
+      .withColumn("score", cosScore)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    scored.select(col("qid"), col("id"), col("lang"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"),
+        col("lang"))
+  }
+
+  /**
+   * [[serveRequestsIndexed]] at a SNAPSHOT — time travel on the
+   * PRODUCTION capstone, where BOTH request sides read partition-pruned
+   * layouts merge-on-read: the lexical pool off the snapshot postings
+   * (base minus prefix ∪ re-indexed delta) and the vector pool off the
+   * at-rest IVF index at the same snapshot
+   * ([[filteredTopKIndexedMultiAsOf]]). One document-update log drives
+   * both sides; base postings and index files are byte-immutable for
+   * every snapshot. Candidates stay probed-cell-approximate, as for
+   * every indexed serve — with the probes derived from the snapshot's
+   * query vectors.
+   */
+  def serveRequestsIndexedAsOf(spark: SparkSession, sfDir: String,
+                               emb: DataFrame, docMeta: DataFrame,
+                               queries: Seq[(Long, Seq[String])],
+                               filters: Seq[(Long, String)],
+                               weights: Seq[(Long, Double)],
+                               ks: Seq[(Long, Int)], k1: Double,
+                               b: Double, poolN: Int, nBuckets: Int,
+                               nCells: Int, d: Int, nprobe: Int,
+                               mod: Int, token: String,
+                               asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val (delta, embAsOf, updIds) = serveAsOfSnapshot(spark, sfDir, root,
+      emb, mod, nBuckets, token, asOf)
+    val vecPool = filteredTopKIndexedMultiAsOf(spark, sfDir, embAsOf,
+        filters, poolN, nCells, d, nprobe, updIds)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool, upsertByIds = Some(delta)),
       ks)
   }
 
@@ -2881,7 +2984,7 @@ object Search {
     require(ks.nonEmpty, "serveRequestsAsOfMetrics: empty page relation")
     import spark.implicits._
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
-    val (delta, embAsOf) = serveAsOfSnapshot(spark, sfDir, root, emb,
+    val (delta, embAsOf, _) = serveAsOfSnapshot(spark, sfDir, root, emb,
       mod, nBuckets, token, asOf)
     val fused = serveFusedWith(spark, root, docMeta, queries, filters,
       weights, k1, b, poolN, nBuckets,

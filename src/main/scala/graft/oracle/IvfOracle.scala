@@ -1523,14 +1523,15 @@ object IvfOracle {
 
   def indexedFilteredPoolCtes(d: Int, nq: Int, nCells: Int, nprobe: Int,
                               unionLangs: Seq[String],
-                              poolN: Int): String =
-    s"""${indexedCandCtes(d, nq, nCells, nprobe, unionLangs)},
+                              poolN: Int,
+                              src: String = "embeddings"): String =
+    s"""${indexedCandCtes(d, nq, nCells, nprobe, unionLangs, src)},
        |ivsc AS (SELECT c.qid, c.id,
        |    ${EmbOracle.dotE("e.embedding", "qe.embedding", d)} /
        |      (${fn("ne.n2")} * ${fn("nq2.n2")}) AS score
        |  FROM icand c
-       |  JOIN embeddings e ON e.vec_id = c.id
-       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN $src e ON e.vec_id = c.id
+       |  JOIN $src qe ON qe.vec_id = c.qid
        |  JOIN nrm ne ON ne.vec_id = c.id
        |  JOIN nrm nq2 ON nq2.vec_id = c.qid),
        |vtop AS (SELECT qid, id AS doc_id, score AS vscore FROM (

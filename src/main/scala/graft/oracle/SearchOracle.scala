@@ -890,12 +890,23 @@ object SearchOracle {
                               ks: Seq[(Long, Int)], k1: Double,
                               b: Double, poolN: Int, nCells: Int,
                               nprobe: Int, st: Option[Bm25Stats],
-                              relPath: Option[String] = None): String = {
+                              relPath: Option[String] = None,
+                              updatedTokenMod: Int = 0,
+                              updatedToken: String = "",
+                              vecNegMod: Int = 0,
+                              relKind: String = "bm25"): String = {
     val nq = (filters.map(_._1).max + 1).toInt
-    val pool = IvfOracle.indexedFilteredPoolCtes(d, nq, nCells, nprobe,
-      filters.map(_._2).distinct, poolN)
+    // the SNAPSHOT view (vecNegMod > 0): the whole indexed chain —
+    // assignment, probes, query vectors, rescore — recomputed from the
+    // commit view's vembc CTE
+    val src = if (vecNegMod > 0) "vembc" else "embeddings"
+    val pool = (if (vecNegMod > 0) vembcCte(vecNegMod) else "") +
+      IvfOracle.indexedFilteredPoolCtes(d, nq, nCells, nprobe,
+        filters.map(_._2).distinct, poolN, src)
     s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
-          poolN, st, relPath, vectorPoolCtes = Some(pool))},
+          poolN, st, relPath, vectorPoolCtes = Some(pool),
+          updatedTokenMod = updatedTokenMod,
+          updatedToken = updatedToken, relKind = relKind)},
        |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
        |  row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rnk
        |  FROM scoredf)
