@@ -276,6 +276,8 @@ object Bench {
         .count()
       SparkEntry.queries("q_stream_serve_requests_tiered_mutating")(
         spark, sfDir).count()
+      SparkEntry.queries("q_stream_serve_requests_tiered_indexed_mutating")(
+        spark, sfDir).count()
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-
     // record was stamped under whatever co-tenant load happened to be

@@ -2812,6 +2812,20 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, UpsertMod, StreamMutatePreQids)),
+    // ... and the same composition on the INDEXED layout — the commit
+    // MOVES ROWS ACROSS CELL PARTITIONS while requests arrive:
+    // pre-commit requests probe the pristine cells, post-commit
+    // requests probe the committed state with the commit view's query
+    // vectors; drained union = the per-snapshot indexed tiered serves
+    "q_stream_serve_requests_tiered_indexed_mutating" -> q((s, dir) =>
+      graft.streaming.StreamOps
+        .serveRequestsTieredIndexedMutatingOverStream(s, dir,
+          emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+          filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+          pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+          ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+          refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+          UpsertMod, StreamMutatePreQids)),
     // ... and REQUESTS AS A STREAM — the online-serving shape: each
     // microbatch serves its arriving requests' full objects off the
     // static layouts; per-request independence (df per term, per-qid
@@ -3772,6 +3786,28 @@ object SparkEntry {
         PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
         Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
         qrelPathForOracle(), negMod = 2 * UpsertMod)
+      val preIn = StreamMutatePreQids.toSeq.sorted.mkString(", ")
+      val postIn = PageKMultiRel.map(_._1)
+        .filterNot(StreamMutatePreQids).sorted.mkString(", ")
+      s"""SELECT * FROM ($pre) WHERE qid IN ($preIn)
+         |UNION ALL
+         |SELECT * FROM ($post) WHERE qid IN ($postIn)""".stripMargin
+    },
+    // the indexed twin: per-snapshot INDEXED tiered serves unioned —
+    // the post side's assignment/probes/codes/rescore all off the
+    // commit view
+    "q_stream_serve_requests_tiered_indexed_mutating" -> {
+      val pre = SearchOracle.serveRequestsTieredIndexedSql(
+        EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+        PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+        Bm25K1, Bm25B, RrfPoolN, IvfCells, IvfProbe,
+        bm25MultiStatsForOracle(), qrelPathForOracle())
+      val post = SearchOracle.serveRequestsTieredIndexedSql(
+        EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+        PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+        Bm25K1, Bm25B, RrfPoolN, IvfCells, IvfProbe,
+        bm25MultiStatsForOracle(), qrelPathForOracle(),
+        negMod = 2 * UpsertMod)
       val preIn = StreamMutatePreQids.toSeq.sorted.mkString(", ")
       val postIn = PageKMultiRel.map(_._1)
         .filterNot(StreamMutatePreQids).sorted.mkString(", ")

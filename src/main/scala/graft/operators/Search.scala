@@ -2420,6 +2420,33 @@ object Search {
    * corpus (the oracle recomputes assignment, probes, codes, and
    * rescore from the commit view).
    */
+  /** [[serveRequestsTieredIndexed]] against an EXPLICIT layout path
+    * (None = the shared pristine fixture) — the form the mutating-
+    * index request stream drives with its own maintained copy. */
+  def serveRequestsTieredIndexedOff(spark: SparkSession, sfDir: String,
+                                    layoutPath: Option[String],
+                                    emb: DataFrame, docMeta: DataFrame,
+                                    queries: Seq[(Long, Seq[String])],
+                                    filters: Seq[(Long, String)],
+                                    weights: Seq[(Long, Double)],
+                                    ks: Seq[(Long, Int)],
+                                    tiers: Seq[(Long, Int)],
+                                    layoutScales: Seq[Int], k1: Double,
+                                    b: Double, poolN: Int, nBuckets: Int,
+                                    alpha: Double, nCells: Int, d: Int,
+                                    nprobe: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val fetch = tieredServeIndexedFetch(spark, sfDir, emb, filters,
+      tiers, layoutScales, poolN, alpha, nCells, d, nprobe, layoutPath)
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
   def serveRequestsTieredIndexedUpserted(spark: SparkSession,
                                          sfDir: String, emb: DataFrame,
                                          docMeta: DataFrame,
@@ -2434,7 +2461,6 @@ object Search {
                                          alpha: Double, nCells: Int,
                                          d: Int, nprobe: Int,
                                          mod: Int): DataFrame = {
-    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val layout = graft.sources.Disaggregated
       .ensureTieredServeIndexedUpserted(spark, sfDir, layoutScales,
         nCells, d, mod)
@@ -2443,16 +2469,9 @@ object Search {
         transform(col("embedding"), x => -x))
         .otherwise(col("embedding")).as("embedding"),
       col("label"))
-    val fetch = tieredServeIndexedFetch(spark, sfDir, embUpd, filters,
-      tiers, layoutScales, poolN, alpha, nCells, d, nprobe,
-      layoutPath = Some(layout))
-    val vecPool = TopK.window(
-        fetch.withColumnRenamed("s_full", "score"), poolN)
-      .select(col("qid"), col("id").as("doc_id"),
-        col("score").as("vscore"))
-    serveCut(spark,
-      serveFusedWith(spark, root, docMeta, queries, filters, weights,
-        k1, b, poolN, nBuckets, vecPool), ks)
+    serveRequestsTieredIndexedOff(spark, sfDir, Some(layout), embUpd,
+      docMeta, queries, filters, weights, ks, tiers, layoutScales, k1,
+      b, poolN, nBuckets, alpha, nCells, d, nprobe)
   }
 
   /**

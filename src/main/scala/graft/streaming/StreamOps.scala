@@ -1338,6 +1338,128 @@ object StreamOps {
         col("tnorm"), col("vnorm"))
   }
 
+  /**
+   * [[serveRequestsTieredMutatingOverStream]] on the INDEXED tiered
+   * layout — the mutating-index case where the commit MOVES ROWS
+   * ACROSS PARTITIONS: the stream maintains its own cell-partitioned
+   * copy ([[graft.sources.Disaggregated.writeServeTiersIndexed]]) and
+   * the commit ([[graft.sources.Disaggregated
+   * .commitServeTierIndexedUpserts]]) rewrites old ∪ new cells while
+   * requests keep arriving. Pre-commit requests read the pre-commit
+   * cells (probes derived from the pristine query vectors), post-commit
+   * requests read the committed state with probes from the commit
+   * view's query vectors — the drained union row-identical to the
+   * per-snapshot indexed tiered batch serves.
+   */
+  def serveRequestsTieredIndexedMutatingOverStream(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, nCells: Int, d: Int, nprobe: Int,
+      mod: Int, preQids: Set[Long]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    require(mod >= 2, s"mod=$mod")
+    graft.operators.Search.ensurePostingsLayout(spark, sfDir, nBuckets)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val reqKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(queries, filters, weights, ks, tiers, layoutScales,
+          k1, b, poolN, nBuckets, alpha, nCells, d, nprobe, mod,
+          preQids.toSeq.sorted)
+        .mkString(";").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    val qids = ks.map(_._1).sorted
+    val postQids = qids.filterNot(preQids).toSet
+    require(preQids.nonEmpty && postQids.nonEmpty,
+      "mutating indexed serve needs requests on both sides of the commit")
+    val landing = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_mtireqlanding_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landing.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landing.getParent, "mtireq-")
+        preQids.toSeq.sorted.toDF("qid")
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        postQids.toSeq.sorted.toDF("qid")
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        try Files.move(tmp, landing)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landing.resolve("_SUCCESS")),
+          s"mutating indexed request landing publish failed: $landing")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_mtireqserve_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "mtireqs-")
+        val layout = tmp.resolve("tiers").toString
+        val flag = tmp.resolve("_COMMITTED")
+        graft.sources.Disaggregated.writeServeTiersIndexed(spark, sfDir,
+          layout, layoutScales, nCells, d)
+        val resDir = tmp.resolve("results").toString
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("qid", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arrived = batch.select(col("qid")).collect()
+              .map(_.getLong(0)).toSet
+            if (arrived.nonEmpty) {
+              val isPost = arrived.exists(postQids)
+              require(arrived.forall(postQids) || arrived.forall(preQids),
+                s"request batch $arrived straddles the commit boundary")
+              if (isPost && !Files.exists(flag)) {
+                graft.sources.Disaggregated.commitServeTierIndexedUpserts(
+                  spark, layout,
+                  emb.select(col("vec_id").as("id"))
+                    .filter(col("id") % (2L * mod) === 0),
+                  layoutScales, nCells, d)
+                Files.createFile(flag)
+              }
+              if (!isPost) require(!Files.exists(flag),
+                "pre-commit requests arrived after the commit — the " +
+                  "landing's interleaving contract is broken")
+              val embView =
+                if (!isPost) emb
+                else emb.select(col("vec_id"),
+                  when(col("vec_id") % (2L * mod) === 0,
+                    transform(col("embedding"), x => -x))
+                    .otherwise(col("embedding")).as("embedding"),
+                  col("label"))
+              graft.operators.Search.serveRequestsTieredIndexedOff(spark,
+                  sfDir, Some(layout), embView, docMeta,
+                  queries.filter(kv => arrived(kv._1)),
+                  filters.filter(kv => arrived(kv._1)),
+                  weights.filter(kv => arrived(kv._1)),
+                  ks.filter(kv => arrived(kv._1)),
+                  tiers.filter(kv => arrived(kv._1)),
+                  layoutScales, k1, b, poolN, nBuckets, alpha, nCells,
+                  d, nprobe)
+                .write.mode("append").parquet(resDir)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"mutating indexed stream serve publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(s"$outDir/results")
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
   /** Multi-probe LSH over the STREAM-MAINTAINED layout — hash-equal to
     * the batch twins once drained (same rows, same bucket keys), so it
     * shares `q_ann_lsh`'s oracle. */
