@@ -260,8 +260,10 @@ object Bench {
       graft.streaming.StreamOps.ensureStreamKnnGraphUpsertCompacted(
         spark, sfDir, SparkEntry.UpsertMod, SparkEntry.KnnJ,
         SparkEntry.IvfCells, SparkEntry.EmbD, SparkEntry.IvfProbe)
-      graft.operators.Pq.ensureVersionedTombstones(spark, postingsRoot,
-        SparkEntry.Bm25UpsertMod, idCol = "doc_id")
+      graft.operators.Pq.ensureVersionedTombstonesOver(spark, postingsRoot,
+        graft.Tables.documents(spark, sfDir).select(
+          org.apache.spark.sql.functions.col("doc_id")),
+        SparkEntry.Bm25UpsertMod, idCol = "doc_id", tag = "_docs")
       graft.sources.Disaggregated.ensureTieredServeUpserted(spark, sfDir,
         SparkEntry.ServeTierLayoutScales, SparkEntry.UpsertMod)
       graft.sources.Disaggregated.ensureTieredServeIndexedUpserted(spark,

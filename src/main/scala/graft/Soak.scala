@@ -569,11 +569,17 @@ object Soak {
         operators.Pq.trainStep(embSoak, SparkEntry.PqM, pqCodesSoak, dVec)
           .collect().length.toLong
       }
-      require(times("pq_train_sampled") <= times("pq_train_full"),
+      // ratio WITH HEADROOM, not a bare <=: both sides are wall-clock
+      // on a shared box, and a co-tenant spike during the (seconds-long)
+      // sampled step could otherwise invert a structurally-sound 40x
+      // margin and fail the whole soak. The bounded-row require above is
+      // the structural gate; this one demands the timing advantage stay
+      // visible through 2x of noise.
+      require(times("pq_train_sampled") <= 0.5 * times("pq_train_full"),
         f"sampled codebook train (${times("pq_train_sampled")}%.1f s over " +
-          f"$sampleRows rows) not faster than the full-corpus pass " +
-          f"(${times("pq_train_full")}%.1f s over $nVec) — the bounded " +
-          "sample is the 100 TB training path")
+          f"$sampleRows rows) not clearly faster than the full-corpus " +
+          f"pass (${times("pq_train_full")}%.1f s over $nVec) — the " +
+          "bounded sample is the 100 TB training path")
     }
 
     // ---- index init + maintenance at soak scale ------------------------

@@ -743,14 +743,28 @@ object Pq {
    * travel reuse this one writer.
    */
   def ensureVersionedTombstones(spark: SparkSession, codesPath: String,
-                                mod: Int, idCol: String = "id"): String = {
+                                mod: Int, idCol: String = "id"): String =
+    ensureVersionedTombstonesOver(spark, codesPath,
+      spark.read.parquet(codesPath).select(col(idCol)), mod, idCol)
+
+  /** [[ensureVersionedTombstones]] over an EXPLICIT id universe instead
+    * of the anchor layout's own rows — for logs whose id domain must be
+    * defined independently of what the layout happens to index (the
+    * as-of serve's vector flip set derives from the documents TABLE, so
+    * a document with no tokenizable text is still versioned even though
+    * no posting row carries its id). `tag` keeps differently-sourced
+    * logs at the same anchor in separate published dirs (empty = the
+    * layout-derived log's original naming). */
+  def ensureVersionedTombstonesOver(spark: SparkSession, anchorPath: String,
+                                    ids: DataFrame, mod: Int,
+                                    idCol: String,
+                                    tag: String = ""): String = {
     import java.nio.file.{Files, Paths}
     require(mod >= 2, s"mod=$mod")
-    val path = Paths.get(codesPath + s"_tombv_mod$mod")
+    val path = Paths.get(anchorPath + s"_tombv${tag}_mod$mod")
     if (!Files.exists(path.resolve("_SUCCESS"))) {
       val tmp = Files.createTempDirectory(path.getParent, "tombv-")
-      spark.read.parquet(codesPath)
-        .select(col(idCol)).distinct()
+      ids.select(col(idCol)).distinct()
         .filter(col(idCol) % mod === 0)
         .withColumn("commit_v",
           when(col(idCol) % (2L * mod) === 0, lit(1)).otherwise(lit(2)))

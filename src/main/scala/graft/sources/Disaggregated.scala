@@ -440,11 +440,25 @@ object Disaggregated {
         }: _*)
     val rewritten = keep.select(recomputed.columns.map(col): _*)
       .unionByName(recomputed)
+    // CRASH DISCIPLINE: the dynamic overwrite and the emptied-cell sweep
+    // are two filesystem steps, and a crash between them would leave the
+    // moved ids' stale rows in their old cells with nothing flagging the
+    // half-applied state. The commit is therefore bracketed by a PENDING
+    // marker inside the layout: a marker found at entry means a prior
+    // commit died mid-flight and the layout must be rebuilt from its
+    // seed (every mutable copy in-tree lives in a scratch dir that is
+    // discarded wholesale when its publish marker is absent — this
+    // require turns that convention into a loud contract).
+    val pending = java.nio.file.Paths.get(layoutDir, "_COMMIT_PENDING")
+    require(!java.nio.file.Files.exists(pending),
+      s"indexed tiered layout $layoutDir has a half-applied commit " +
+        "(_COMMIT_PENDING present) — discard and rebuild from the seed")
     val staging = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(layoutDir).getParent, "servetidx-commit-")
     try {
       rewritten.write.mode("overwrite").parquet(staging.toString)
       val staged = spark.read.parquet(staging.toString)
+      java.nio.file.Files.createFile(pending)
       staged
         .repartition(col("cell"))
         .sortWithinPartitions(col("id"))
@@ -454,7 +468,8 @@ object Disaggregated {
         .parquet(layoutDir)
       // dynamic overwrite only replaces partitions that RECEIVE rows:
       // a touched cell emptied by the move must be swept or its stale
-      // rows would survive
+      // rows would survive — the sweep runs BEFORE the commit is
+      // declared complete (the pending marker comes off last)
       val nonEmpty = staged.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSet
       touched.filterNot(nonEmpty).foreach { c =>
@@ -462,6 +477,7 @@ object Disaggregated {
         if (java.nio.file.Files.exists(p))
           VecFiles.deleteRecursively(p)
       }
+      java.nio.file.Files.delete(pending)
     } finally VecFiles.deleteRecursively(staging)
   }
 

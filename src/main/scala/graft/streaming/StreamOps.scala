@@ -1202,6 +1202,41 @@ object StreamOps {
   /** Bump when the mutating tiered-serve stream state layout changes. */
   private val StreamMutatingServeLayoutVersion = 1
 
+  /** Milliseconds between consecutive landing shards' stamped mtimes —
+    * comfortably past any filesystem timestamp granularity. */
+  private val LandingMtimeStepMs = 2000L
+
+  /** Append one landing shard (one parquet part file of qids) and stamp
+    * an EXPLICIT lastModified on its new data files. FileStreamSource
+    * orders files by modification time with ties broken by PATH — and
+    * part-file names are random UUIDs — so two back-to-back appends can
+    * otherwise drain out of write order on an mtime tie, tripping the
+    * commit-boundary contract loudly but flakily. Stamping strictly
+    * increasing times per shard makes arrival order == write order by
+    * construction. (`_`/`.`-prefixed bookkeeping files are invisible to
+    * the source and stay unstamped.) */
+  private def appendLandingShard(spark: SparkSession, qids: Seq[Long],
+                                 dir: java.nio.file.Path,
+                                 stampMs: Long): Unit = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    def dataFiles: Set[java.nio.file.Path] =
+      if (!java.nio.file.Files.exists(dir)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }.toSet
+        finally s.close()
+      }
+    val before = dataFiles
+    qids.toDF("qid").coalesce(1).write.mode("append").parquet(dir.toString)
+    (dataFiles -- before).foreach { p =>
+      require(p.toFile.setLastModified(stampMs), s"mtime stamp failed: $p")
+    }
+  }
+
   /**
    * ONLINE TIERED SERVE OVER A MUTATING INDEX — the two streams
    * composed: requests arrive WHILE update commits land, and each
@@ -1251,11 +1286,12 @@ object StreamOps {
       if (!Files.exists(landing.resolve("_SUCCESS"))) {
         val tmp = Files.createTempDirectory(landing.getParent, "mtreq-")
         // one landing file per side of the commit — a real two-trigger
-        // stream with the commit between them
-        preQids.toSeq.sorted.toDF("qid")
-          .coalesce(1).write.mode("append").parquet(tmp.toString)
-        postQids.toSeq.sorted.toDF("qid")
-          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        // stream with the commit between them; explicit increasing
+        // mtimes make drain order == write order (the boundary contract)
+        val stamp0 = System.currentTimeMillis()
+        appendLandingShard(spark, preQids.toSeq.sorted, tmp, stamp0)
+        appendLandingShard(spark, postQids.toSeq.sorted, tmp,
+          stamp0 + LandingMtimeStepMs)
         try Files.move(tmp, landing)
         catch { case _: java.nio.file.FileSystemException =>
           graft.sources.VecFiles.deleteRecursively(tmp) }
@@ -1380,10 +1416,11 @@ object StreamOps {
     synchronized {
       if (!Files.exists(landing.resolve("_SUCCESS"))) {
         val tmp = Files.createTempDirectory(landing.getParent, "mtireq-")
-        preQids.toSeq.sorted.toDF("qid")
-          .coalesce(1).write.mode("append").parquet(tmp.toString)
-        postQids.toSeq.sorted.toDF("qid")
-          .coalesce(1).write.mode("append").parquet(tmp.toString)
+        // explicit increasing mtimes: drain order == write order
+        val stamp0 = System.currentTimeMillis()
+        appendLandingShard(spark, preQids.toSeq.sorted, tmp, stamp0)
+        appendLandingShard(spark, postQids.toSeq.sorted, tmp,
+          stamp0 + LandingMtimeStepMs)
         try Files.move(tmp, landing)
         catch { case _: java.nio.file.FileSystemException =>
           graft.sources.VecFiles.deleteRecursively(tmp) }
