@@ -1046,6 +1046,12 @@ object SparkEntry {
   // update commit, 2-3 after it (each side spans both tiers, so the
   // snapshot choice and the tier knob are both visible per side)
   final val StreamMutatePreQids: Set[Long] = Set(0L, 1L)
+  // time travel on the tiered serve layout (q_serve_requests_tiered_asof):
+  // the layout's versioned update log holds two commits (1: ids ≡ 0 mod
+  // 2·UpsertMod, 2: the rest of mod UpsertMod); the declared snapshot
+  // serves between them — the interesting point, where the prefix is a
+  // strict subset of the full update set
+  final val TieredAsOfSnapshot = 1
   final val RangeTau = 0.3    // radius-search cosine threshold (~50 rows)
   final val Bm25Terms = Seq("filter", "merge", "stream", "customer")
   final val Bm25K1 = 1.2
@@ -2749,6 +2755,30 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, EmbD, UpsertMod)),
+    // ... and TIME TRAVEL on the tiered layout — the last mutating
+    // layout without history: upsert commits recorded in the layout's
+    // own versioned log, snapshot 1 served MERGE-ON-READ (the applied
+    // prefix's vectors flipped and every tier's codes recomputed
+    // in-plan; base files byte-immutable per snapshot) — hash-equal to
+    // the tiered capstone rebuilt over the commit-prefix view
+    "q_serve_requests_tiered_asof" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredAsOf(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, UpsertMod, TieredAsOfSnapshot)),
+    // ... and ITS ledger — per-request bytes reflecting the SNAPSHOT's
+    // tier codes: fetched counts the snapshot serve's seeds+survivors,
+    // v_cands stays the (snapshot-invariant) lang pre-filter count
+    "q_serve_requests_tiered_asof_metrics" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredAsOfMetrics(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, EmbD, UpsertMod,
+        TieredAsOfSnapshot)),
     // ... and the FULL COMPOSITION — tiers on the INDEXED capstone:
     // probe cells a static partition filter on the cell-partitioned
     // tiered layout, each request's tier its column pruning, the lang
@@ -2781,6 +2811,19 @@ object SparkEntry {
     "q_serve_requests_tiered_indexed_upsert" -> q((s, dir) =>
       graft.operators.Search.serveRequestsTieredIndexedUpserted(s, dir,
         emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+        UpsertMod)),
+    // ... and the INDEXED upsert's LEDGER twin — the interesting one:
+    // probes derive from the commit view, pc_rows/v_cands count the
+    // COMMITTED layout's cell occupancies (moved rows where they now
+    // live), so bytes differ from the pristine indexed ledger exactly
+    // through the moved rows' cells
+    "q_serve_requests_tiered_indexed_upsert_metrics" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexedUpsertedMetrics(
+        s, dir, emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
         filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
@@ -3345,7 +3388,14 @@ object SparkEntry {
     // stride literal, derived once from the corpus count)
     "q_ann_ivf_pq_trained_sampled" -> PqOracle.trainedTopkSql(EmbD, NQ,
       K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
-      sampleEvery = pqTrainSampleEveryForOracle().getOrElse(1)),
+      // fail LOUDLY when the stride is unavailable: defaulting to 1
+      // would silently train the oracle on the full corpus while the
+      // engine samples — a guaranteed verify mismatch masquerading as
+      // an engine bug (the measuredComp discipline)
+      sampleEvery = pqTrainSampleEveryForOracle().getOrElse(sys.error(
+        "q_ann_ivf_pq_trained_sampled oracle: train-sample stride " +
+          "unavailable (no sfDir seen and no SparkSession) — refusing " +
+          "to default to full-corpus training"))),
     "q_ann_ivf_pq_trained" -> PqOracle.trainedTopkSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq_trained; only the physical
@@ -3747,6 +3797,23 @@ object SparkEntry {
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN,
         bm25MultiStatsForOracle(), qrelPathForOracle(),
         negMod = UpsertMod),
+    // the tiered layout AT SNAPSHOT 1 of its versioned update log: the
+    // applied prefix is ids ≡ 0 mod 2·UpsertMod, so the snapshot serve
+    // IS the tiered capstone rebuilt over that prefix view — the same
+    // CTEs at the prefix's mod
+    "q_serve_requests_tiered_asof" -> SearchOracle.serveRequestsTieredSql(
+      EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+      Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+      qrelPathForOracle(), negMod = 2 * UpsertMod),
+    // its ledger over the same snapshot CTEs
+    "q_serve_requests_tiered_asof_metrics" ->
+      SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        graft.sources.Disaggregated.serveTierCodeBytes,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN,
+        bm25MultiStatsForOracle(), qrelPathForOracle(),
+        negMod = 2 * UpsertMod),
     // the indexed tiered capstone over the commit view: assignment,
     // probes, codes, and rescore all recomputed from the negated
     // prefix — cells move and the oracle moves with them
@@ -3763,6 +3830,16 @@ object SparkEntry {
         ServeTierRel, graft.sources.Disaggregated.serveTierCodeBytes,
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
         IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // the committed-index ledger: the same metrics CTEs with the whole
+    // indexed chain (assignment, probes, occupancies, codes, rescore)
+    // re-derived over the commit view
+    "q_serve_requests_tiered_indexed_upsert_metrics" ->
+      SearchOracle.serveRequestsTieredIndexedMetricsSql(EmbD,
+        Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+        ServeTierRel, graft.sources.Disaggregated.serveTierCodeBytes,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
+        negMod = UpsertMod),
     // the drained tiered request stream equals the batch tiered
     // capstone -> same oracle
     "q_stream_serve_requests_tiered" ->

@@ -1939,7 +1939,8 @@ object Search {
                                tiers: Seq[(Long, Int)],
                                layoutScales: Seq[Int], poolN: Int,
                                alpha: Double,
-                               layoutPath: Option[String] = None)
+                               layoutPath: Option[String] = None,
+                               storedView: Option[DataFrame] = None)
       : DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -1950,11 +1951,15 @@ object Search {
       s"tiers $usedScales not all stored in layout $layoutScales")
     // layoutPath overrides the shared pristine fixture — the upserted
     // serve reads its own committed layout (same columns plus the
-    // maintenance-only pb partition key, which no serve column touches)
-    val path = layoutPath.getOrElse(
-      graft.sources.Disaggregated.ensureTieredServeFixture(
-        spark, sfDir, layoutScales))
-    val stored = spark.read.parquet(path)
+    // maintenance-only pb partition key, which no serve column touches).
+    // storedView overrides both: the as-of serve hands in the snapshot's
+    // MERGE-ON-READ relation over the immutable base files.
+    val stored = storedView.getOrElse {
+      val path = layoutPath.getOrElse(
+        graft.sources.Disaggregated.ensureTieredServeFixture(
+          spark, sfDir, layoutScales))
+      spark.read.parquet(path)
+    }
     val nq = (filters.map(_._1).max + 1).toInt
     // cheap side: id + lang + the USED tiers' code columns ONLY (the
     // stored-but-unused tier's chunks and `vec` are never read here —
@@ -2162,6 +2167,130 @@ object Search {
   }
 
   /**
+   * The TIERED layout's SNAPSHOT view — time travel on the precision-
+   * tiered serving store: upsert commits are recorded in the generic
+   * versioned log ([[graft.operators.Pq.ensureVersionedTombstonesOver]]
+   * anchored on the tiered layout; commit 1 updates ids ≡ 0 mod 2·`mod`,
+   * commit 2 the remaining ids ≡ 0 mod `mod`), and snapshot `asOf` is
+   * served MERGE-ON-READ: the applied prefix's rows get the flipped
+   * vector and EVERY tier's codes recomputed from it in-plan — the
+   * exact expression trees [[graft.sources.Disaggregated
+   * .commitServeTierUpserts]] materializes on a committed copy — while
+   * every other row's stored codes pass through verbatim. Base layout
+   * files are byte-immutable for every snapshot (spec-asserted by
+   * mtimes); the corpus-fraction-sized prefix join is AQE-sized, never
+   * broadcast-hinted. Returns (snapshot rows, applied update ids).
+   */
+  private[graft] def tieredServeAsOfView(spark: SparkSession,
+                                         sfDir: String,
+                                         layoutScales: Seq[Int],
+                                         mod: Int, asOf: Int)
+      : (DataFrame, DataFrame) = {
+    val path = graft.sources.Disaggregated.ensureTieredServeFixture(
+      spark, sfDir, layoutScales)
+    val updIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, path, mod, idCol = "id"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("id"))
+    val stored = spark.read.parquet(path)
+    val flagged = stored
+      .join(updIds.withColumn("u", lit(1)), Seq("id"), "left")
+    val newVec = when(col("u") === 1,
+      transform(col("vec"), x => -x)).otherwise(col("vec"))
+    val view = flagged.select(
+      Seq(col("id"), col("lang"), newVec.as("vec")) ++
+        layoutScales.sorted.map { s =>
+          val mul = math.pow(2.0, s)
+          val t = if (graft.sources.Disaggregated
+            .serveTierCodeBytes(s) == 1) "byte" else "short"
+          when(col("u") === 1,
+            transform(newVec, x => floor(x * mul + lit(0.5)).cast(t)))
+            .otherwise(col(s"code_$s")).as(s"code_$s")
+        }: _*)
+    (view, updIds)
+  }
+
+  /**
+   * TIME TRAVEL ON THE TIERED SERVE LAYOUT — the one mutating layout
+   * that still lacked history: the full request object (per-qid terms +
+   * langs + α + k + precision TIER) served at snapshot `asOf` of the
+   * tiered layout's own versioned update log. The vector side reads the
+   * [[tieredServeAsOfView]] snapshot — cheap pass at each request's
+   * tier over the snapshot's codes, survivors rescored against the
+   * snapshot's full-precision vectors — and the queries derive from the
+   * same snapshot (the store serves what it was told to store at v).
+   * The lexical side is untouched by the vector-layout log. Snapshot v
+   * is provably the tiered capstone REBUILT over the commit-prefix view
+   * (the DuckDB oracle recomputes exactly that; a spec asserts asOf-1
+   * row-equality against the upsert-committed layout's serve at the
+   * prefix's mod), with base bucket files byte-immutable per snapshot.
+   */
+  def serveRequestsTieredAsOf(spark: SparkSession, sfDir: String,
+                              emb: DataFrame, docMeta: DataFrame,
+                              queries: Seq[(Long, Seq[String])],
+                              filters: Seq[(Long, String)],
+                              weights: Seq[(Long, Double)],
+                              ks: Seq[(Long, Int)],
+                              tiers: Seq[(Long, Int)],
+                              layoutScales: Seq[Int], k1: Double,
+                              b: Double, poolN: Int, nBuckets: Int,
+                              alpha: Double, mod: Int,
+                              asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val (view, updIds) = tieredServeAsOfView(spark, sfDir, layoutScales,
+      mod, asOf)
+    val embAsOf = emb
+      .join(updIds.select(col("id").as("vec_id"))
+        .withColumn("upd", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("upd") === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    val fetch = tieredServeFetch(spark, sfDir, embAsOf, filters, tiers,
+      layoutScales, poolN, alpha, storedView = Some(view))
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
+  /** [[serveRequestsTieredMetrics]] at snapshot `asOf` — the tiered
+    * time-travel ledger: `fetched` (and with it `bytes_vec`/`save`/
+    * `fpr`) counts what the SNAPSHOT serve actually touches — the
+    * per-request tier's code bytes over the snapshot's candidates and
+    * the snapshot's rescue fetches — while `v_cands` stays the lang
+    * pre-filter count (updates change vectors, not metadata, so it is
+    * snapshot-invariant by design). */
+  def serveRequestsTieredAsOfMetrics(spark: SparkSession, sfDir: String,
+                                     emb: DataFrame, docMeta: DataFrame,
+                                     queries: Seq[(Long, Seq[String])],
+                                     filters: Seq[(Long, String)],
+                                     weights: Seq[(Long, Double)],
+                                     ks: Seq[(Long, Int)],
+                                     tiers: Seq[(Long, Int)],
+                                     layoutScales: Seq[Int], k1: Double,
+                                     b: Double, poolN: Int,
+                                     nBuckets: Int, alpha: Double,
+                                     d: Int, mod: Int,
+                                     asOf: Int): DataFrame = {
+    val (view, updIds) = tieredServeAsOfView(spark, sfDir, layoutScales,
+      mod, asOf)
+    val embAsOf = emb
+      .join(updIds.select(col("id").as("vec_id"))
+        .withColumn("upd", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("upd") === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    serveRequestsTieredMetrics(spark, sfDir, embAsOf, docMeta, queries,
+      filters, weights, ks, tiers, layoutScales, k1, b, poolN, nBuckets,
+      alpha, d, storedView = Some(view))
+  }
+
+  /**
    * [[serveRequestsTiered]]'s per-request byte ledger — where the tier
    * becomes VISIBLE: `bytes_vec` = 8·N (the lang pre-filter column) +
    * codeBytes(tier_q)·d·v_cands (the request's OWN tier's code chunks,
@@ -2182,7 +2311,8 @@ object Search {
                                  layoutScales: Seq[Int], k1: Double,
                                  b: Double, poolN: Int, nBuckets: Int,
                                  alpha: Double, d: Int,
-                                 layoutPath: Option[String] = None)
+                                 layoutPath: Option[String] = None,
+                                 storedView: Option[DataFrame] = None)
       : DataFrame = {
     require(ks.nonEmpty, "serveRequestsTieredMetrics: empty page relation")
     require(filters.nonEmpty,
@@ -2190,7 +2320,7 @@ object Search {
     import spark.implicits._
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val fetch = tieredServeFetch(spark, sfDir, emb, filters, tiers,
-      layoutScales, poolN, alpha, layoutPath)
+      layoutScales, poolN, alpha, layoutPath, storedView)
     val vecPool = TopK.window(
         fetch.withColumnRenamed("s_full", "score"), poolN)
       .select(col("qid"), col("id").as("doc_id"),
@@ -2474,6 +2604,35 @@ object Search {
       b, poolN, nBuckets, alpha, nCells, d, nprobe)
   }
 
+  /** [[serveRequestsTieredIndexedMetrics]] over the UPSERTED indexed
+    * layout — the committed index's ledger where the commit is visible
+    * in EVERY vector-side column: probes derive from the commit view's
+    * query vectors, `pc_rows`/`v_cands` count the COMMITTED layout's
+    * cell occupancies (rows that MOVED cells with the commit are
+    * counted where they now live), and `fetched` reflects the
+    * commit-view seeds/survivors — so bytes differ from the pristine
+    * indexed ledger exactly through the moved rows' cells. */
+  def serveRequestsTieredIndexedUpsertedMetrics(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, nCells: Int, d: Int, nprobe: Int,
+      mod: Int): DataFrame = {
+    val layout = graft.sources.Disaggregated
+      .ensureTieredServeIndexedUpserted(spark, sfDir, layoutScales,
+        nCells, d, mod)
+    val embUpd = emb.select(col("vec_id"),
+      when(col("vec_id") % mod === 0,
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"),
+      col("label"))
+    serveRequestsTieredIndexedMetrics(spark, sfDir, embUpd, docMeta,
+      queries, filters, weights, ks, tiers, layoutScales, k1, b, poolN,
+      nBuckets, alpha, nCells, d, nprobe, Some(layout))
+  }
+
   /**
    * [[serveRequestsTieredIndexed]]'s ledger — per-request bytes where
    * ALL THREE vector-side savings are visible at once: `pc_rows`·8
@@ -2497,7 +2656,9 @@ object Search {
                                         k1: Double, b: Double,
                                         poolN: Int, nBuckets: Int,
                                         alpha: Double, nCells: Int,
-                                        d: Int, nprobe: Int): DataFrame = {
+                                        d: Int, nprobe: Int,
+                                        layoutPath: Option[String] = None)
+      : DataFrame = {
     require(ks.nonEmpty,
       "serveRequestsTieredIndexedMetrics: empty page relation")
     require(filters.nonEmpty,
@@ -2505,7 +2666,7 @@ object Search {
     import spark.implicits._
     val root = ensurePostingsLayout(spark, sfDir, nBuckets)
     val fetch = tieredServeIndexedFetch(spark, sfDir, emb, filters,
-      tiers, layoutScales, poolN, alpha, nCells, d, nprobe)
+      tiers, layoutScales, poolN, alpha, nCells, d, nprobe, layoutPath)
     val vecPool = TopK.window(
         fetch.withColumnRenamed("s_full", "score"), poolN)
       .select(col("qid"), col("id").as("doc_id"),
@@ -2513,9 +2674,12 @@ object Search {
     val fused = serveFusedWith(spark, root, docMeta, queries, filters,
       weights, k1, b, poolN, nBuckets, vecPool)
     val tAgg = servePostingBytes(spark, root, queries, nBuckets)
-    val stored = spark.read.parquet(
+    // the occupancy ledgers count the SERVED layout's cells — for the
+    // committed (upserted) serve that is the committed copy, where the
+    // moved rows sit in their new cells
+    val stored = spark.read.parquet(layoutPath.getOrElse(
       graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
-        spark, sfDir, layoutScales, nCells, d))
+        spark, sfDir, layoutScales, nCells, d)))
     val nq = (filters.map(_._1).max + 1).toInt
     val q = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"))
     val probeSet = Ivf.probeCells(q, nCells, d, nprobe)
@@ -2827,8 +2991,14 @@ object Search {
           nBuckets, token))
       .filter(col("commit_v") <= asOf)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb"))
+    // the update-id log derives from the DOCUMENTS table, not from the
+    // doc_ids present in posting rows: a document with empty/untokenized
+    // text must still flip its vector at its commit (the log's domain is
+    // the corpus, independent of tokenization)
     val updIds = spark.read.parquet(graft.operators.Pq
-        .ensureVersionedTombstones(spark, root, mod, idCol = "doc_id"))
+        .ensureVersionedTombstonesOver(spark, root,
+          graft.Tables.documents(spark, sfDir).select(col("doc_id")),
+          mod, idCol = "doc_id", tag = "_docs"))
       .filter(col("commit_v") <= asOf)
       .select(col("doc_id").as("vec_id"))
     val embAsOf = emb

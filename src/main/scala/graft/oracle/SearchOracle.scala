@@ -1310,10 +1310,15 @@ object SearchOracle {
       weights: Seq[(Long, Double)], ks: Seq[(Long, Int)],
       tiers: Seq[(Long, Int)], tierCodeBytes: Int => Int, alpha: Double,
       k1: Double, b: Double, poolN: Int, nCells: Int, nprobe: Int,
-      st: Option[Bm25Stats], relPath: Option[String] = None): String = {
+      st: Option[Bm25Stats], relPath: Option[String] = None,
+      negMod: Int = 0): String = {
     val nq = (filters.map(_._1).max + 1).toInt
+    // negMod > 0: the commit view — iasg/iqp (and with them the occ and
+    // lang-occupancy ledgers) re-derive off the flipped corpus, so
+    // pc_rows/v_cands count the committed layout's cells (moved rows
+    // where they now live)
     val pool = tieredIndexedVecPoolCtes(d, nq, nCells, nprobe,
-      filters.map(_._2).distinct, tiers, alpha, poolN, relPath)
+      filters.map(_._2).distinct, tiers, alpha, poolN, relPath, negMod)
     val usedScales = tiers.map(_._2).distinct.sorted
     val bRedExpr = usedScales.init
       .foldRight(s"${tierCodeBytes(usedScales.last)}") { (s, rest) =>
