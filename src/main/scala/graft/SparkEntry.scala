@@ -2779,6 +2779,31 @@ object SparkEntry {
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, EmbD, UpsertMod,
         TieredAsOfSnapshot)),
+    // ... and DELETE on the tiered layout — the missing lifecycle verb:
+    // tombstoned ids physically dropped, only their id buckets
+    // rewritten (untouched buckets byte-immutable, emptied buckets
+    // swept), the serve unchanged over the committed layout — deleted
+    // ids absent from every tier's cheap pass and the rescore; queries
+    // from the table, so only the vector candidate corpus shrinks
+    "q_serve_requests_tiered_delete" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredDeleted(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, DeleteMod)),
+    // ... and DELETE on the INDEXED tiered layout: the tombstoned ids'
+    // rows dropped from their stored cells (coarse quantizer STALE —
+    // the Lucene contract), only those cells rewritten, emptied cells
+    // swept; candidates = probed cells ∩ lang over survivors
+    "q_serve_requests_tiered_indexed_delete" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexedDeleted(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+        DeleteMod)),
     // ... and the FULL COMPOSITION — tiers on the INDEXED capstone:
     // probe cells a static partition filter on the cell-partitioned
     // tiered layout, each request's tier its column pruning, the lang
@@ -3814,6 +3839,22 @@ object SparkEntry {
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN,
         bm25MultiStatsForOracle(), qrelPathForOracle(),
         negMod = 2 * UpsertMod),
+    // the tiered capstone over the delete view: tombstoned ids cut from
+    // the vector candidate corpus, queries from the table — the
+    // committed layout physically lacks the rows the predicate drops
+    "q_serve_requests_tiered_delete" -> SearchOracle.serveRequestsTieredSql(
+      EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+      PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+      Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+      qrelPathForOracle(), delMod = DeleteMod),
+    // the indexed twin: the same cut on the probed-cell candidates
+    // (assignment/probes stale — the delete leaves the quantizer alone)
+    "q_serve_requests_tiered_indexed_delete" ->
+      SearchOracle.serveRequestsTieredIndexedSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
+        delMod = DeleteMod),
     // the indexed tiered capstone over the commit view: assignment,
     // probes, codes, and rescore all recomputed from the negated
     // prefix — cells move and the oracle moves with them

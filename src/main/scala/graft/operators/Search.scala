@@ -2291,6 +2291,38 @@ object Search {
   }
 
   /**
+   * [[serveRequestsTiered]] over the DELETED tiered layout — the
+   * missing lifecycle verb on the precision store: a delete commit
+   * (ids ≡ 0 mod `mod`) physically dropped the tombstoned rows,
+   * rewriting only their id buckets ([[graft.sources.Disaggregated
+   * .commitServeTierDeletes]]; untouched buckets byte-immutable,
+   * emptied buckets swept), and the serve runs UNCHANGED over it — the
+   * deleted ids are absent from every tier's cheap pass AND the
+   * full-precision rescore because they are absent from the layout.
+   * Queries still come from the embeddings TABLE (external probes are
+   * unaffected by index deletes — the family-wide delete contract);
+   * only the vector-side candidate corpus shrinks, so a deleted doc can
+   * still surface through the lexical pool with vnorm 0, exactly as
+   * the oracle recomputes.
+   */
+  def serveRequestsTieredDeleted(spark: SparkSession, sfDir: String,
+                                 emb: DataFrame, docMeta: DataFrame,
+                                 queries: Seq[(Long, Seq[String])],
+                                 filters: Seq[(Long, String)],
+                                 weights: Seq[(Long, Double)],
+                                 ks: Seq[(Long, Int)],
+                                 tiers: Seq[(Long, Int)],
+                                 layoutScales: Seq[Int], k1: Double,
+                                 b: Double, poolN: Int, nBuckets: Int,
+                                 alpha: Double, mod: Int): DataFrame = {
+    val layout = graft.sources.Disaggregated.ensureTieredServeDeleted(
+      spark, sfDir, layoutScales, mod)
+    serveRequestsTieredOff(spark, sfDir, Some(layout), emb, docMeta,
+      queries, filters, weights, ks, tiers, layoutScales, k1, b, poolN,
+      nBuckets, alpha)
+  }
+
+  /**
    * [[serveRequestsTiered]]'s per-request byte ledger — where the tier
    * becomes VISIBLE: `bytes_vec` = 8·N (the lang pre-filter column) +
    * codeBytes(tier_q)·d·v_cands (the request's OWN tier's code chunks,
@@ -2631,6 +2663,36 @@ object Search {
     serveRequestsTieredIndexedMetrics(spark, sfDir, embUpd, docMeta,
       queries, filters, weights, ks, tiers, layoutScales, k1, b, poolN,
       nBuckets, alpha, nCells, d, nprobe, Some(layout))
+  }
+
+  /** [[serveRequestsTieredIndexed]] over the DELETED indexed layout —
+    * the delete verb on the fully-composed store: the tombstoned ids'
+    * rows dropped from their stored cells ([[graft.sources
+    * .Disaggregated.commitServeTierIndexedDeletes]]; only those cells
+    * rewritten, emptied cells swept), the coarse quantizer left STALE
+    * (surviving rows keep their cells — the Lucene contract), queries
+    * from the embeddings table, probes unchanged. Candidates = each
+    * qid's probed cells ∩ lang over the surviving rows. */
+  def serveRequestsTieredIndexedDeleted(spark: SparkSession,
+                                        sfDir: String, emb: DataFrame,
+                                        docMeta: DataFrame,
+                                        queries: Seq[(Long, Seq[String])],
+                                        filters: Seq[(Long, String)],
+                                        weights: Seq[(Long, Double)],
+                                        ks: Seq[(Long, Int)],
+                                        tiers: Seq[(Long, Int)],
+                                        layoutScales: Seq[Int],
+                                        k1: Double, b: Double,
+                                        poolN: Int, nBuckets: Int,
+                                        alpha: Double, nCells: Int,
+                                        d: Int, nprobe: Int,
+                                        mod: Int): DataFrame = {
+    val layout = graft.sources.Disaggregated
+      .ensureTieredServeIndexedDeleted(spark, sfDir, layoutScales,
+        nCells, d, mod)
+    serveRequestsTieredIndexedOff(spark, sfDir, Some(layout), emb,
+      docMeta, queries, filters, weights, ks, tiers, layoutScales, k1,
+      b, poolN, nBuckets, alpha, nCells, d, nprobe)
   }
 
   /**

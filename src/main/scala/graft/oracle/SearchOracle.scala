@@ -1104,7 +1104,10 @@ object SearchOracle {
                                 tiers: Seq[(Long, Int)], alpha: Double,
                                 poolN: Int,
                                 relPath: Option[String],
-                                negMod: Int = 0): String = {
+                                negMod: Int = 0,
+                                delMod: Int = 0): String = {
+    require(negMod == 0 || delMod == 0,
+      "the upsert and delete views do not compose")
     val usedScales = tiers.map(_._2).distinct.sorted
     val (sHatExpr, cushExpr) = tierScoreExprs(d, usedScales, alpha)
     // the UPSERTED view (negMod > 0): the commit's vectors flipped —
@@ -1115,13 +1118,18 @@ object SearchOracle {
       if (negMod <= 0) embExpr
       else s"CASE WHEN $idExpr % $negMod = 0" +
         s" THEN list_transform($embExpr, x -> -x) ELSE $embExpr END"
+    // the DELETED view (delMod > 0): tombstoned ids leave the CANDIDATE
+    // corpus only — queries still come from the table (index deletes do
+    // not affect external probes, the family-wide contract)
+    val delPred = if (delMod <= 0) ""
+      else s"\n  WHERE e.vec_id % $delMod <> 0"
     s"""${if (negMod > 0) vembcCte(negMod) else ""}vq AS (SELECT vec_id AS qid,
        |       ${negEmb("vec_id", "embedding")} AS qv FROM embeddings
        |       ORDER BY vec_id LIMIT $nq),
        |tr AS (${tierRelBody(tiers, relPath)}),
        |vcand AS (SELECT e.vec_id AS id,
        |    ${negEmb("e.vec_id", "e.embedding")} AS embedding, dm2.lang
-       |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id),
+       |  FROM embeddings e JOIN documents dm2 ON e.vec_id = dm2.doc_id$delPred),
        |tcand AS MATERIALIZED (SELECT vq.qid, c.id,
        |    $sHatExpr AS s_hat,
        |    $cushExpr AS cush
@@ -1143,7 +1151,10 @@ object SearchOracle {
                                        tiers: Seq[(Long, Int)],
                                        alpha: Double, poolN: Int,
                                        relPath: Option[String],
-                                       negMod: Int = 0): String = {
+                                       negMod: Int = 0,
+                                       delMod: Int = 0): String = {
+    require(negMod == 0 || delMod == 0,
+      "the upsert and delete views do not compose")
     val usedScales = tiers.map(_._2).distinct.sorted
     val (sHatExpr, cushExpr) = tierScoreExprs(d, usedScales, alpha)
     // the UPSERTED view (negMod > 0): assignment, probes, query
@@ -1151,6 +1162,13 @@ object SearchOracle {
     // view — an updated vector moves cell, and the whole indexed chain
     // must move with it
     val src = if (negMod > 0) "vembc" else "embeddings"
+    // the DELETED view (delMod > 0): tombstoned ids leave the candidate
+    // corpus only — assignment/probes stay STALE (the surviving rows
+    // keep their cells; queries from the table), so the cut is a
+    // predicate on the candidate join, exactly where the engine's
+    // committed layout physically lacks the rows
+    val delPred = if (delMod <= 0) ""
+      else s"\n  WHERE ic.id % $delMod <> 0"
     s"""${if (negMod > 0) vembcCte(negMod) else ""}vq AS (
        |       SELECT vec_id AS qid, embedding AS qv FROM $src
        |       ORDER BY vec_id LIMIT $nq),
@@ -1164,7 +1182,7 @@ object SearchOracle {
        |  JOIN $src c ON c.vec_id = ic.id
        |  JOIN vq ON vq.qid = ic.qid
        |  JOIN tr ON tr.qid = ic.qid
-       |  JOIN nrm nq2 ON ic.qid = nq2.vec_id),
+       |  JOIN nrm nq2 ON ic.qid = nq2.vec_id$delPred),
        |${tieredTailCtes(d, poolN, src)}""".stripMargin
   }
 
@@ -1179,10 +1197,11 @@ object SearchOracle {
                              k1: Double, b: Double, poolN: Int,
                              st: Option[Bm25Stats],
                              relPath: Option[String] = None,
-                             negMod: Int = 0): String = {
+                             negMod: Int = 0,
+                             delMod: Int = 0): String = {
     val nq = (filters.map(_._1).max + 1).toInt
     val pool = tieredVecPoolCtes(d, nq, tiers, alpha, poolN, relPath,
-      negMod)
+      negMod, delMod)
     s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
           poolN, st, relPath, vectorPoolCtes = Some(pool))},
        |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,
@@ -1286,10 +1305,12 @@ object SearchOracle {
                                     poolN: Int, nCells: Int, nprobe: Int,
                                     st: Option[Bm25Stats],
                                     relPath: Option[String] = None,
-                                    negMod: Int = 0): String = {
+                                    negMod: Int = 0,
+                                    delMod: Int = 0): String = {
     val nq = (filters.map(_._1).max + 1).toInt
     val pool = tieredIndexedVecPoolCtes(d, nq, nCells, nprobe,
-      filters.map(_._2).distinct, tiers, alpha, poolN, relPath, negMod)
+      filters.map(_._2).distinct, tiers, alpha, poolN, relPath, negMod,
+      delMod)
     s"""WITH ${serveCommonCtes(d, queries, filters, weights, ks, k1, b,
           poolN, st, relPath, vectorPoolCtes = Some(pool))},
        |ranked AS (SELECT qid, doc_id, fused, tnorm, vnorm,

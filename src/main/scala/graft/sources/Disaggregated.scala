@@ -558,6 +558,181 @@ object Disaggregated {
     path.toString
   }
 
+  // --- tiered layout DELETEs --------------------------------------------
+
+  /** Bump when the deleted tiered layout shape changes. */
+  private val ServeTiersDeleteLayoutVersion = 1
+
+  /**
+   * A DELETE COMMIT on the id-bucketed tiered serve layout — the missing
+   * lifecycle verb: tombstoned ids DROP from every tier's cheap pass and
+   * the full-precision rescore by physically leaving the layout, and
+   * ONLY the deleted ids' buckets are rewritten (dynamic partition
+   * overwrite; untouched buckets byte-immutable, spec-asserted by
+   * mtimes). Rows never move buckets, but a delete can EMPTY one —
+   * dynamic overwrite only replaces partitions that receive rows, so
+   * emptied buckets are swept explicitly under the same _COMMIT_PENDING
+   * crash bracket as the indexed commits. Commit I/O ∝ touched-bucket
+   * occupancy, never the corpus.
+   */
+  def commitServeTierDeletes(spark: SparkSession, layoutDir: String,
+                             delIds: DataFrame): Unit = {
+    val nB = ServeTiersUpsertBuckets
+    val touched = delIds
+      .select(pmod(col("id"), lit(nB.toLong)).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    // the deleted ids are corpus-fraction-sized: no broadcast hint on
+    // the anti-join, AQE sizes it
+    val kept = spark.read.parquet(layoutDir)
+      .filter(col("pb").isin(touched.map(Int.box): _*))
+      .join(delIds.select(col("id")), Seq("id"), "left_anti")
+    val pending = java.nio.file.Paths.get(layoutDir, "_COMMIT_PENDING")
+    require(!java.nio.file.Files.exists(pending),
+      s"tiered layout $layoutDir has a half-applied commit " +
+        "(_COMMIT_PENDING present) — discard and rebuild from the seed")
+    val staging = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(layoutDir).getParent, "servet-del-")
+    try {
+      kept.write.mode("overwrite").parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      java.nio.file.Files.createFile(pending)
+      staged
+        .repartition(col("pb"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb")
+        .parquet(layoutDir)
+      val nonEmpty = staged.select(col("pb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(nonEmpty).foreach { b =>
+        val p = java.nio.file.Paths.get(layoutDir, s"pb=$b")
+        if (java.nio.file.Files.exists(p))
+          VecFiles.deleteRecursively(p)
+      }
+      java.nio.file.Files.delete(pending)
+    } finally VecFiles.deleteRecursively(staging)
+  }
+
+  /** The tiered serve layout AFTER a delete commit (ids ≡ 0 mod `mod`
+    * dropped): seed the id-bucketed layout from the pristine corpus,
+    * then apply [[commitServeTierDeletes]] — only the deleted ids'
+    * buckets rewrite. Own version-keyed dir; shared fixtures are never
+    * mutated. */
+  def ensureTieredServeDeleted(spark: SparkSession, sfDir: String,
+                               scales: Seq[Int], mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = scales.sorted.mkString("-")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_servetiers_del_v${ServeTiersDeleteLayoutVersion}_${safe}" +
+        s"_s${key}_m${mod}_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "servetdel-")
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val docs = graft.Tables.documents(spark, sfDir)
+      writeServeTiersPartitioned(
+        emb.join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+            Seq("vec_id"))
+          .select(col("vec_id").as("id"), col("lang"),
+            col("embedding").as("vec")),
+        tmp.toString, scales)
+      commitServeTierDeletes(spark, tmp.toString,
+        emb.select(col("vec_id").as("id"))
+          .filter(col("id") % mod === 0))
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"deleted tiered layout publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
+   * A DELETE COMMIT on the cell-partitioned INDEXED tiered layout: the
+   * deleted ids' rows drop from their stored cells — the touched set is
+   * the LAYOUT's own assignment of the deleted ids (never a corpus
+   * re-assign), rewritten via dynamic partition overwrite with the
+   * emptied-cell sweep (a delete can empty a whole cell). The coarse
+   * quantizer stays STALE (cells of surviving rows unchanged) — the
+   * Lucene delete contract carried onto the vector index, exactly as
+   * the PQ/LSH/spherical families serve it. Commit I/O ∝ touched-cell
+   * occupancy, never the corpus.
+   */
+  def commitServeTierIndexedDeletes(spark: SparkSession,
+                                    layoutDir: String,
+                                    delIds: DataFrame): Unit = {
+    val base = spark.read.parquet(layoutDir)
+    val touched = base.join(delIds.select(col("id")), Seq("id"),
+        "left_semi")
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val kept = spark.read.parquet(layoutDir)
+      .filter(col("cell").isin(touched.map(Int.box): _*))
+      .join(delIds.select(col("id")), Seq("id"), "left_anti")
+    val pending = java.nio.file.Paths.get(layoutDir, "_COMMIT_PENDING")
+    require(!java.nio.file.Files.exists(pending),
+      s"indexed tiered layout $layoutDir has a half-applied commit " +
+        "(_COMMIT_PENDING present) — discard and rebuild from the seed")
+    val staging = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(layoutDir).getParent, "servetidx-del-")
+    try {
+      kept.write.mode("overwrite").parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      java.nio.file.Files.createFile(pending)
+      staged
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(layoutDir)
+      val nonEmpty = staged.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(nonEmpty).foreach { c =>
+        val p = java.nio.file.Paths.get(layoutDir, s"cell=$c")
+        if (java.nio.file.Files.exists(p))
+          VecFiles.deleteRecursively(p)
+      }
+      java.nio.file.Files.delete(pending)
+    } finally VecFiles.deleteRecursively(staging)
+  }
+
+  /** The INDEXED tiered layout AFTER a delete commit (ids ≡ 0 mod
+    * `mod` dropped): seed the cell-partitioned layout, then apply
+    * [[commitServeTierIndexedDeletes]] — only the deleted ids' stored
+    * cells rewrite. Own version-keyed dir. */
+  def ensureTieredServeIndexedDeleted(spark: SparkSession, sfDir: String,
+                                      scales: Seq[Int], nCells: Int,
+                                      d: Int, mod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = scales.sorted.mkString("-")
+    val path = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_servetiersidx_del_v${ServeTiersDeleteLayoutVersion}" +
+        s"_${safe}_s${key}_c${nCells}_d${d}_m${mod}" +
+        s"_v${graft.Fixture.srcVersion(sfDir)}")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "servetidel-")
+      writeServeTiersIndexed(spark, sfDir, tmp.toString, scales,
+        nCells, d)
+      commitServeTierIndexedDeletes(spark, tmp.toString,
+        graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("id"))
+          .filter(col("id") % mod === 0))
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"deleted indexed tiered layout publish failed: $path")
+    }
+    path.toString
+  }
+
   /** [[ensureTieredServeFixture]] CELL-PARTITIONED — the INDEXED form:
     * the same (id, lang, vec, code_s per tier) rows written
     * `partitionBy(cell)` under the coarse quantizer's assignment, so a

@@ -1058,6 +1058,89 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.sources.VecFiles.deleteRecursively(scratch)
   }
 
+  test("tiered layout DELETE commit: tombstoned ids gone, untouched buckets byte-immutable") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import SparkEntry.ServeTierLayoutScales
+    import graft.sources.Disaggregated
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-test-servetdel-")
+    try {
+      val layout = scratch.resolve("tiers").toString
+      val emb = Tables.embeddings(spark, dir)
+      val docsT = Tables.documents(spark, dir)
+      Disaggregated.writeServeTiersPartitioned(
+        emb.join(docsT.select(col("doc_id").as("vec_id"), col("lang")),
+            Seq("vec_id"))
+          .select(col("vec_id").as("id"), col("lang"),
+            col("embedding").as("vec")),
+        layout, ServeTierLayoutScales)
+      def partFiles(): Map[String, Seq[(String, Long, Long)]] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(layout))
+          .iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("pb="))
+          .map { p =>
+            val fs = java.nio.file.Files.list(p).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString,
+                java.nio.file.Files.size(f),
+                java.nio.file.Files.getLastModifiedTime(f).toMillis))
+              .toSeq.sortBy(_._1)
+            p.getFileName.toString -> fs
+          }.toMap
+      }
+      val before = partFiles()
+      Thread.sleep(1100) // beat filesystem mtime granularity
+      // the sparse-commit regime: a few tombstoned ids touch a strict
+      // subset of the 16 buckets — the write-amplification bound the
+      // id-bucketed layout exists to deliver
+      val delIds = emb.select(col("vec_id").as("id"))
+        .filter(col("id") % 211 === 0)
+      val nDel = delIds.count()
+      Disaggregated.commitServeTierDeletes(spark, layout, delIds)
+      val after = partFiles()
+      val touched = delIds
+        .select(pmod(col("id"),
+          lit(Disaggregated.ServeTiersUpsertBuckets.toLong)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).map(b => s"pb=$b").toSet
+      assert(touched.size < Disaggregated.ServeTiersUpsertBuckets,
+        "deleted ids cover every bucket — immutability check vacuous")
+      before.keys.filterNot(touched).foreach { pb =>
+        assert(after(pb) == before(pb),
+          s"untouched bucket $pb was rewritten by the delete commit")
+      }
+      touched.foreach { pb =>
+        assert(!after.contains(pb) || after(pb) != before(pb),
+          s"touched bucket $pb was NOT rewritten by the delete commit")
+      }
+      // the delete is a pure row drop: count down by |del|, no
+      // tombstoned id retrievable from the committed layout
+      val remaining = spark.read.parquet(layout)
+      assert(remaining.count() == emb.count() - nDel,
+        "delete commit changed more rows than the tombstone set")
+      assert(remaining.join(delIds, Seq("id"), "left_semi").count() == 0L,
+        "a tombstoned id survived the delete commit")
+    } finally graft.sources.VecFiles.deleteRecursively(scratch)
+    // and the PUBLISHED deleted layouts (the declared queries' stores):
+    // no tombstoned id in either — the indexed commit additionally
+    // sweeps any cell the delete emptied
+    import SparkEntry.{IvfCells, EmbD, DeleteMod}
+    val del = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"))
+      .filter(col("id") % DeleteMod === 0)
+    val flatPath = Disaggregated.ensureTieredServeDeleted(spark, dir,
+      ServeTierLayoutScales, DeleteMod)
+    assert(spark.read.parquet(flatPath)
+      .join(del, Seq("id"), "left_semi").count() == 0L,
+      "published deleted tiered layout still serves a tombstoned id")
+    val idxPath = Disaggregated.ensureTieredServeIndexedDeleted(spark,
+      dir, ServeTierLayoutScales, IvfCells, EmbD, DeleteMod)
+    assert(spark.read.parquet(idxPath)
+      .join(del, Seq("id"), "left_semi").count() == 0L,
+      "published deleted indexed tiered layout still serves a " +
+        "tombstoned id")
+  }
+
   test("tiered INDEXED serve layout: one scan prunes cells (files), tiers (chunks), and langs (rows)") {
     // the fully-composed vector side: probe cells as a static partition
     // filter, the bound tiers' code columns as the only chunks read,
