@@ -1046,6 +1046,13 @@ object SparkEntry {
   // update commit, 2-3 after it (each side spans both tiers, so the
   // snapshot choice and the tier knob are both visible per side)
   final val StreamMutatePreQids: Set[Long] = Set(0L, 1L)
+  // the MULTI-COMMIT mutating serve (q_stream_serve_requests_tiered_multi):
+  // C = 3 update commits interleaved with 4 request phases (one request
+  // per phase) — commit k updates the nested incremental prefix
+  // ids ≡ 0 mod 2^(3-k)·UpsertMod, so phase k's snapshot is the single
+  // modulus 2^(3-k)·UpsertMod (SQL-expressible per phase)
+  final val StreamMultiMutatePhases: Seq[Set[Long]] =
+    Seq(Set(0L), Set(1L), Set(2L), Set(3L))
   // time travel on the tiered serve layout (q_serve_requests_tiered_asof):
   // the layout's versioned update log holds two commits (1: ids ≡ 0 mod
   // 2·UpsertMod, 2: the rest of mod UpsertMod); the declared snapshot
@@ -2880,6 +2887,20 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, UpsertMod, StreamMutatePreQids)),
+    // ... and the mutating serve GENERALIZED to C = 3 commits
+    // interleaved with 4 request phases — the long-running online shape:
+    // each commit rewrites only its incremental prefix's id buckets of
+    // the stream's own layout copy, applied exactly once before its
+    // phase's first batch; the drained union equals the 4 per-snapshot
+    // batch serves (the UNION oracle, one modulus per phase)
+    "q_stream_serve_requests_tiered_multi" -> q((s, dir) =>
+      graft.streaming.StreamOps.serveRequestsTieredMultiMutatingOverStream(
+        s, dir, emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, UpsertMod,
+        StreamMultiMutatePhases)),
     // ... and the same composition on the INDEXED layout — the commit
     // MOVES ROWS ACROSS CELL PARTITIONS while requests arrive:
     // pre-commit requests probe the pristine cells, post-commit
@@ -3910,6 +3931,25 @@ object SparkEntry {
       s"""SELECT * FROM ($pre) WHERE qid IN ($preIn)
          |UNION ALL
          |SELECT * FROM ($post) WHERE qid IN ($postIn)""".stripMargin
+    },
+    // the multi-commit stream: per-request independence makes the
+    // drained union the UNION of 4 per-snapshot tiered capstones, phase
+    // k's flip prefix the single modulus 2^(3-k)·UpsertMod (the nested
+    // incremental-commit convention)
+    "q_stream_serve_requests_tiered_multi" -> {
+      val nC = StreamMultiMutatePhases.size - 1
+      val parts = StreamMultiMutatePhases.zipWithIndex.map {
+        case (qs, k) =>
+          val sql = SearchOracle.serveRequestsTieredSql(
+            EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+            PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+            Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+            qrelPathForOracle(),
+            negMod = if (k == 0) 0 else (1 << (nC - k)) * UpsertMod)
+          val in = qs.toSeq.sorted.mkString(", ")
+          s"SELECT * FROM ($sql) WHERE qid IN ($in)"
+      }
+      parts.mkString("\nUNION ALL\n")
     },
     // the indexed twin: per-snapshot INDEXED tiered serves unioned —
     // the post side's assignment/probes/codes/rescore all off the

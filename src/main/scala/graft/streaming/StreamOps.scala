@@ -1497,6 +1497,159 @@ object StreamOps {
         col("tnorm"), col("vnorm"))
   }
 
+  /**
+   * [[serveRequestsTieredMutatingOverStream]] generalized from its one
+   * hard-coded commit to C = `phases.size - 1` UPDATE COMMITS
+   * interleaved with request batches — the long-running online-serving
+   * shape: requests of phase k are served off the layout with commits
+   * 1..k applied. Commit k updates the NESTED incremental prefix
+   * ids ≡ 0 mod 2^(C-k)·`mod` minus the previously applied ids (the
+   * [[graft.operators.Pq.ensureVersionedTombstones]] convention
+   * extended to C commits), so the CUMULATIVE view after k commits is
+   * the single modulus 2^(C-k)·mod — which is what makes every
+   * snapshot's serve SQL-expressible for the oracle. Each commit is
+   * applied EXACTLY ONCE, at the first batch of its phase (loud failure
+   * if a batch arrives after a LATER commit — the landing's stamped
+   * mtimes make that impossible by construction, and the require keeps
+   * it a contract rather than an accident). Per-request independence
+   * makes the drained union row-identical to the C+1 per-snapshot batch
+   * serves — the UNION oracle.
+   */
+  def serveRequestsTieredMultiMutatingOverStream(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, mod: Int,
+      phases: Seq[Set[Long]]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    require(mod >= 2, s"mod=$mod")
+    val nC = phases.size - 1
+    require(nC >= 1, "multi-mutating serve needs at least one commit")
+    require(phases.forall(_.nonEmpty),
+      "every phase needs at least one request")
+    val allQids = ks.map(_._1).toSet
+    require(phases.flatten.toSet == allQids &&
+        phases.map(_.size).sum == allQids.size,
+      "phases must partition the request qids")
+    graft.operators.Search.ensurePostingsLayout(spark, sfDir, nBuckets)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val reqKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(queries, filters, weights, ks, tiers, layoutScales,
+          k1, b, poolN, nBuckets, alpha, mod,
+          phases.map(_.toSeq.sorted))
+        .mkString(";").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    // cumulative flip modulus after k commits (k >= 1)
+    def cumMod(k: Int): Long = (1L << (nC - k)) * mod
+    val landing = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_mmtreqlanding_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landing.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landing.getParent, "mmtreq-")
+        // one landing file per phase, stamped mtimes: drain order ==
+        // phase order by construction
+        val stamp0 = System.currentTimeMillis()
+        phases.zipWithIndex.foreach { case (qs, i) =>
+          appendLandingShard(spark, qs.toSeq.sorted, tmp,
+            stamp0 + i * LandingMtimeStepMs)
+        }
+        try Files.move(tmp, landing)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landing.resolve("_SUCCESS")),
+          s"multi-mutating request landing publish failed: $landing")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_mmtreqserve_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "mmtreqs-")
+        val layout = tmp.resolve("tiers").toString
+        graft.sources.Disaggregated.writeServeTiersPartitioned(
+          emb.join(docMeta.select(col("doc_id").as("vec_id"),
+              col("lang")), Seq("vec_id"))
+            .select(col("vec_id").as("id"), col("lang"),
+              col("embedding").as("vec")),
+          layout, layoutScales)
+        val resDir = tmp.resolve("results").toString
+        val phaseOf: Map[Long, Int] = phases.zipWithIndex
+          .flatMap { case (qs, i) => qs.map(_ -> i) }.toMap
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("qid", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arrived = batch.select(col("qid")).collect()
+              .map(_.getLong(0)).toSet
+            if (arrived.nonEmpty) {
+              val ph = arrived.map(phaseOf)
+              require(ph.size == 1,
+                s"request batch $arrived straddles a commit boundary")
+              val k = ph.head
+              // commits applied so far = the marker count (exactly-once
+              // across batches of the same phase)
+              def applied: Int = (1 to nC)
+                .takeWhile(j => Files.exists(tmp.resolve(s"_COMMITTED_$j")))
+                .size
+              require(applied <= k,
+                s"phase-$k requests arrived after commit ${applied} — " +
+                  "the landing's interleaving contract is broken")
+              // apply commits applied+1..k in order, each exactly once,
+              // each rewriting only its incremental prefix's id buckets
+              ((applied + 1) to k).foreach { j =>
+                val mj = cumMod(j)
+                val inc = emb.select(col("vec_id").as("id")).filter(
+                  if (j == 1) col("id") % mj === 0
+                  else col("id") % mj === 0 &&
+                    col("id") % (2L * mj) =!= 0)
+                graft.sources.Disaggregated.commitServeTierUpserts(
+                  spark, layout, inc, layoutScales)
+                Files.createFile(tmp.resolve(s"_COMMITTED_$j"))
+              }
+              val embView =
+                if (k == 0) emb
+                else emb.select(col("vec_id"),
+                  when(col("vec_id") % cumMod(k) === 0,
+                    transform(col("embedding"), x => -x))
+                    .otherwise(col("embedding")).as("embedding"),
+                  col("label"))
+              graft.operators.Search.serveRequestsTieredOff(spark, sfDir,
+                  Some(layout), embView, docMeta,
+                  queries.filter(kv => arrived(kv._1)),
+                  filters.filter(kv => arrived(kv._1)),
+                  weights.filter(kv => arrived(kv._1)),
+                  ks.filter(kv => arrived(kv._1)),
+                  tiers.filter(kv => arrived(kv._1)),
+                  layoutScales, k1, b, poolN, nBuckets, alpha)
+                .write.mode("append").parquet(resDir)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require((1 to nC).forall(j =>
+            Files.exists(tmp.resolve(s"_COMMITTED_$j"))),
+          "drained without applying every commit")
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"multi-mutating stream serve publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(s"$outDir/results")
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
   /** Multi-probe LSH over the STREAM-MAINTAINED layout — hash-equal to
     * the batch twins once drained (same rows, same bucket keys), so it
     * shares `q_ann_lsh`'s oracle. */
