@@ -582,6 +582,37 @@ object Soak {
           "bounded sample is the 100 TB training path")
     }
 
+    // The SPHERICAL twin of the codebook race — the spherical Lloyd
+    // step was the engine's largest remaining full-corpus training pass
+    // (assignment + ordered mean folds + sphere projection over nVec·d
+    // exploded rows), now a declared sampled rung
+    // (q_ann_spherical_pq_sampled). Training a bounded sample must beat
+    // the corpus pass with the same 2x noise headroom.
+    {
+      val sphCellsSoak = 16
+      val target = 256L * sphCellsSoak
+      val every = math.max(1L, nVec / target)
+      var sampleRows = 0L
+      step("sph_train_sampled") {
+        val train = embSoak.filter(col("vec_id") % every === 0)
+        sampleRows = train.count()
+        require(sampleRows <= 2L * target,
+          s"sampled spherical train set $sampleRows exceeds 2x the " +
+            s"$target bound")
+        operators.Ivf.kmeansSphericalStep(train, sphCellsSoak, dVec)
+          .collect().length.toLong
+      }
+      step("sph_train_full") {
+        operators.Ivf.kmeansSphericalStep(embSoak, sphCellsSoak, dVec)
+          .collect().length.toLong
+      }
+      require(times("sph_train_sampled") <= 0.5 * times("sph_train_full"),
+        f"sampled spherical train (${times("sph_train_sampled")}%.1f s " +
+          f"over $sampleRows rows) not clearly faster than the " +
+          f"full-corpus pass (${times("sph_train_full")}%.1f s over " +
+          f"$nVec) — the bounded sample is the 100 TB training path")
+    }
+
     // ---- index init + maintenance at soak scale ------------------------
     // the round-12 lifecycle stages run their PRODUCTION shapes on the
     // full multi-million-row corpus: each farthest-first seeding round

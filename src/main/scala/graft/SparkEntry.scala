@@ -962,6 +962,15 @@ object SparkEntry {
           .map(s => pqTrainSampleEvery(s, dir))
       }
     }
+  // fail LOUDLY when the stride is unavailable: defaulting to 1 would
+  // silently train the oracle on the full corpus while the engine
+  // samples — a guaranteed verify mismatch masquerading as an engine
+  // bug (the measuredComp discipline)
+  private def pqTrainSampleEveryForOracleStrict(qname: String): Int =
+    pqTrainSampleEveryForOracle().getOrElse(sys.error(
+      s"$qname oracle: train-sample stride unavailable (no sfDir seen " +
+        "and no SparkSession) — refusing to default to full-corpus " +
+        "training"))
   // sharded index build (q_ann_ivf_pq_sharded): 3 slices by id mod
   final val PqShards = 3
   // binary quantization: one 64-bit sign word per vector, Hamming cheap
@@ -1816,6 +1825,14 @@ object SparkEntry {
     "q_ann_ivf_spherical_pq" -> q((s, dir) => graft.operators.Pq
       .topkSphericalResidual(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe,
         PqM, PqCodes, PqRerank)),
+    // ... and its SAMPLED-TRAIN rung — the 100 TB training path on the
+    // engine's largest remaining full-corpus pass: the spherical Lloyd
+    // step runs over the counter-keyed sample only (the trained_sampled
+    // stride, derived once from the corpus count), then encode, probes,
+    // and serve cover everything with the sample-trained units
+    "q_ann_spherical_pq_sampled" -> q((s, dir) => graft.operators.Pq
+      .topkSphericalResidual(emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe,
+        PqM, PqCodes, PqRerank, pqTrainSampleEvery(s, dir))),
     // ... and the composed cosine string AT REST: codes + original
     // vectors partitioned by trained cell, probe cells a static
     // partition filter, cheap scan reading code columns only (PlanSpec)
@@ -2159,6 +2176,14 @@ object SparkEntry {
       graft.operators.Pq.topkOpqTrained(
         emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
         PqRerank)),
+    // ... and the rotation train SAMPLED: the per-dim variance folds
+    // over the counter-keyed sample only (a ranking of d keys, which a
+    // bounded sample estimates), everything encoded and served under
+    // the sample-trained permutation
+    "q_ann_ivf_pq_opq_sampled" -> q((s, dir) =>
+      graft.operators.Pq.topkOpqTrained(
+        emb(s, dir), NQ, K, IvfCells, EmbD, IvfProbe, PqM, PqCodes,
+        PqRerank, pqTrainSampleEvery(s, dir))),
     // ... and the trained transform PERSISTED: permuted-space codes at
     // rest (cell-partitioned, code-only cheap scan), original vectors
     // for the rescore — the last trained stage to get its at-rest twin
@@ -3434,14 +3459,19 @@ object SparkEntry {
     // stride literal, derived once from the corpus count)
     "q_ann_ivf_pq_trained_sampled" -> PqOracle.trainedTopkSql(EmbD, NQ,
       K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
-      // fail LOUDLY when the stride is unavailable: defaulting to 1
-      // would silently train the oracle on the full corpus while the
-      // engine samples — a guaranteed verify mismatch masquerading as
-      // an engine bug (the measuredComp discipline)
-      sampleEvery = pqTrainSampleEveryForOracle().getOrElse(sys.error(
-        "q_ann_ivf_pq_trained_sampled oracle: train-sample stride " +
-          "unavailable (no sfDir seen and no SparkSession) — refusing " +
-          "to default to full-corpus training"))),
+      sampleEvery = pqTrainSampleEveryForOracleStrict(
+        "q_ann_ivf_pq_trained_sampled")),
+    // the sampled-train twins of the spherical and OPQ rungs: the same
+    // trained chains with the training CTE cut to the counter-keyed
+    // sample (the engine's stride literal, derived once per dir)
+    "q_ann_spherical_pq_sampled" -> PqOracle.sphericalResidualSql(EmbD,
+      NQ, K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      sampleEvery = pqTrainSampleEveryForOracleStrict(
+        "q_ann_spherical_pq_sampled")),
+    "q_ann_ivf_pq_opq_sampled" -> PqOracle.opqTrainedTopkSql(EmbD, NQ,
+      K, IvfCells, IvfProbe, PqM, PqCodes, PqRerank,
+      sampleEvery = pqTrainSampleEveryForOracleStrict(
+        "q_ann_ivf_pq_opq_sampled")),
     "q_ann_ivf_pq_trained" -> PqOracle.trainedTopkSql(EmbD, NQ, K,
       IvfCells, IvfProbe, PqM, PqCodes, PqRerank),
     // identical semantics to q_ann_ivf_pq_trained; only the physical

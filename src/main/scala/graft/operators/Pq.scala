@@ -264,9 +264,19 @@ object Pq {
    */
   def topkOpqTrained(emb: DataFrame, nq: Int, k: Int, nCells: Int, d: Int,
                      nprobe: Int, mSub: Int, codes: Int,
-                     rerank: Int): DataFrame =
+                     rerank: Int, sampleEvery: Int = 1): DataFrame = {
+    require(sampleEvery >= 1, s"sampleEvery=$sampleEvery")
+    // SAMPLED rotation training (sampleEvery > 1): the per-dim variance
+    // folds run over the counter-keyed sample only — the snake-draft
+    // allocation is a RANKING of d variance keys, which a bounded sample
+    // estimates as well as the corpus — then the whole pipeline encodes
+    // and serves everything under the sample-trained permutation.
+    val trainSet =
+      if (sampleEvery <= 1) emb
+      else emb.filter(col("vec_id") % sampleEvery === 0)
     topkPermutedWith(emb, nq, k, nCells, d, nprobe, mSub, codes, rerank,
-      trainedPermutation(emb, d, mSub), Array.fill(d)(1))
+      trainedPermutation(trainSet, d, mSub), Array.fill(d)(1))
+  }
 
   private def topkPermutedWith(emb: DataFrame, nq: Int, k: Int,
                                nCells: Int, d: Int, nprobe: Int, mSub: Int,
@@ -1587,10 +1597,21 @@ object Pq {
    */
   def topkSphericalResidual(emb: DataFrame, nq: Int, k: Int, nCells: Int,
                             d: Int, nprobe: Int, mSub: Int, codes: Int,
-                            rerank: Int): DataFrame = {
+                            rerank: Int, sampleEvery: Int = 1): DataFrame = {
     require(d % mSub == 0, s"d=$d not divisible by m=$mSub")
     require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val model = sphericalModel(emb, nCells, d, mSub, codes)
+    require(sampleEvery >= 1, s"sampleEvery=$sampleEvery")
+    // SAMPLED spherical training (sampleEvery > 1) — the [[topkTrained]]
+    // 100 TB discipline carried onto the engine's largest remaining
+    // full-corpus pass: the spherical Lloyd step (assignment + ordered
+    // mean folds + sphere projection) runs over the deterministic
+    // counter-keyed sample only; encode, probes, and serve still cover
+    // EVERYTHING with the sample-trained units. Training cost becomes
+    // ∝ sample, not corpus.
+    val trainSet =
+      if (sampleEvery <= 1) emb
+      else emb.filter(col("vec_id") % sampleEvery === 0)
+    val model = sphericalModel(trainSet, nCells, d, mSub, codes)
     val q0 = Ann.queriesOf(emb, nq).select(col("qid"), col("qvec"), col("qn2"))
     val probes = sphProbes(model, q0, d, nprobe, mSub, codes)
     val enc = sphEncode(emb, model, d, mSub, codes)

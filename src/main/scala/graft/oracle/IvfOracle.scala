@@ -64,7 +64,8 @@ object IvfOracle {
     * embedded as the engine's exact literals; ties CASE to the smaller
     * cell), per-(cell, j) ordered means, then the sphere projection —
     * unit = mean over the cell's j-ordered norm fold. */
-  def kmeansSphericalStepSql(d: Int, nCells: Int): String = {
+  def kmeansSphericalStepSql(d: Int, nCells: Int,
+                             sampleEvery: Int = 1): String = {
     def scoreExpr(c: Int): String =
       "(" + (1 to d).map(i => s"CAST(e.embedding[$i] AS DOUBLE)*" +
         OracleGen.dlit(graft.operators.Ivf.centroidComponent(c, i - 1)))
@@ -76,7 +77,12 @@ object IvfOracle {
       .mkString(", ") + ")"
     val argmax = "CASE " + (0 until nCells)
       .map(c => s"WHEN s$c = m THEN $c").mkString(" ") + " END"
-    s"""WITH sasg0 AS MATERIALIZED (SELECT e.vec_id, $scoreCols FROM embeddings e),
+    // sampled training (sampleEvery > 1): the Lloyd step's ASSIGNMENT
+    // universe is the counter-keyed sample — the smj mean folds inherit
+    // the cut through the inner join on sasg
+    val trainPred = if (sampleEvery <= 1) ""
+      else s" WHERE e.vec_id % $sampleEvery = 0"
+    s"""WITH sasg0 AS MATERIALIZED (SELECT e.vec_id, $scoreCols FROM embeddings e$trainPred),
        |sasg AS MATERIALIZED (SELECT vec_id, $argmax AS cell
        |        FROM (SELECT *, $gExpr AS m FROM sasg0)),
        |smj AS MATERIALIZED (SELECT a.cell, CAST(t.j AS INTEGER) AS j, COUNT(*) AS n,

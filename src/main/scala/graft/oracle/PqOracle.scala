@@ -745,7 +745,8 @@ object PqOracle {
   def sphericalResidualSql(d: Int, nq: Int, k: Int, nCells: Int,
                            nprobe: Int, mSub: Int, codes: Int,
                            rerank: Int, excludeMod: Int = 0,
-                           updatedNegMod: Int = 0): String = {
+                           updatedNegMod: Int = 0,
+                           sampleEvery: Int = 1): String = {
     if (updatedNegMod > 0)
       require(excludeMod == 0,
         "updatedNegMod composes with the plain pipeline only")
@@ -774,7 +775,7 @@ object PqOracle {
     val cbnRows = (for (m <- 0 until mSub; c <- 0 until codes)
       yield s"($m, $c, ${OracleGen.dlit(Pq.centroidN2(m, c, sub))})")
       .mkString(", ")
-    s"""WITH skm AS MATERIALIZED (SELECT * FROM (${IvfOracle.kmeansSphericalStepSql(d, nCells)})),
+    s"""WITH skm AS MATERIALIZED (SELECT * FROM (${IvfOracle.kmeansSphericalStepSql(d, nCells, sampleEvery)})),
        |uf AS MATERIALIZED (SELECT cell, j,
        |    CAST(CAST(unit AS FLOAT) AS DOUBLE) AS u FROM skm),
        |${EmbOracle.nrmCte(d)},
@@ -1097,8 +1098,15 @@ object PqOracle {
    * tables; the exact rescore stays on the ORIGINAL vectors.
    */
   def opqTrainedTopkSql(d: Int, nq: Int, k: Int, nCells: Int, nprobe: Int,
-                        mSub: Int, codes: Int, rerank: Int): String = {
+                        mSub: Int, codes: Int, rerank: Int,
+                        sampleEvery: Int = 1): String = {
     val sub = d / mSub
+    // sampled rotation training (sampleEvery > 1): the variance-stat
+    // rows are cut to the counter-keyed sample — vrows feeds ONLY
+    // vstats (tvec re-reads the full table), so the cut trains the
+    // permutation and nothing else
+    val trainPred = if (sampleEvery <= 1) ""
+      else s"\n  WHERE e.vec_id % $sampleEvery = 0"
     // centroid table (cell, pos, cv) — positions are transformed-space
     val ctabVals = (for (c <- 0 until nCells; p <- 0 until d)
       yield s"($c, $p, ${cc(c, p)})").mkString(", ")
@@ -1112,7 +1120,7 @@ object PqOracle {
       .mkString(", ")
     s"""WITH vrows AS MATERIALIZED (SELECT CAST(t.j AS INTEGER) AS j, e.vec_id,
        |    CAST(e.embedding[t.j] AS DOUBLE) AS x
-       |  FROM embeddings e CROSS JOIN generate_series(1, $d) AS t(j)),
+       |  FROM embeddings e CROSS JOIN generate_series(1, $d) AS t(j)$trainPred),
        |vstats AS MATERIALIZED (SELECT j, COUNT(*) AS n,
        |    list_reduce(list(x ORDER BY vec_id), (a, v) -> a + v) AS s,
        |    list_reduce(list(x*x ORDER BY vec_id), (a, v) -> a + v) AS s2

@@ -835,4 +835,48 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= fullRecall - 0.1,
       f"sampled recall $recall%.2f collapsed vs full-trained $fullRecall%.2f")
   }
+
+  test("sampled spherical and OPQ trains: bounded train set, exact rescores, recall holds vs full") {
+    // the sampled-train discipline extended to the engine's two other
+    // trained passes: the spherical Lloyd step and the OPQ variance
+    // ranking run over the counter-keyed sample only; encode and serve
+    // cover everything. Quality contract: the sample-trained serve's
+    // recall stays within 0.1 of the full-corpus-trained twin's (the
+    // trained_sampled convention), and every returned score is still
+    // the exact rescore.
+    val every = 3
+    val n = emb.count()
+    assert(emb.filter(col("vec_id") % every === 0).count() < n / 2,
+      "sample not a genuine subsample — vacuous")
+    val brute = Ann.bruteTopK(emb, NQ, n.toInt).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id")) ->
+        x.getAs[Double]("score")).toMap
+    val exact = Ann.bruteTopK(emb, NQ, K).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id"))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      rows.foreach { row =>
+        val key = (row.getAs[Long]("qid"), row.getAs[Long]("id"))
+        assert(row.getAs[Double]("score") == brute(key),
+          s"sampled-train rescore for $key is not the exact score")
+      }
+      rows.map(x => (x.getAs[Long]("qid"), x.getAs[Long]("id"))).toSet
+        .intersect(exact).size.toDouble / exact.size
+    }
+    val sphSampled = recallOf(Pq.topkSphericalResidual(emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank,
+      sampleEvery = every).collect())
+    val sphFull = recallOf(Pq.topkSphericalResidual(emb, NQ, K,
+      IvfCells, EmbD, IvfProbe, PqM, PqCodes, PqRerank).collect())
+    assert(sphSampled >= sphFull - 0.1,
+      f"sampled spherical recall $sphSampled%.2f collapsed vs " +
+        f"full-trained $sphFull%.2f")
+    val opqSampled = recallOf(Pq.topkOpqTrained(emb, NQ, K, IvfCells,
+      EmbD, IvfProbe, PqM, PqCodes, PqRerank,
+      sampleEvery = every).collect())
+    val opqFull = recallOf(Pq.topkOpqTrained(emb, NQ, K, IvfCells,
+      EmbD, IvfProbe, PqM, PqCodes, PqRerank).collect())
+    assert(opqSampled >= opqFull - 0.1,
+      f"sampled OPQ recall $opqSampled%.2f collapsed vs full-trained " +
+        f"$opqFull%.2f")
+  }
 }
