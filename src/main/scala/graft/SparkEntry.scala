@@ -2469,6 +2469,20 @@ object SparkEntry {
           IvfCells, EmbD, IvfProbe)),
         UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe, asOf = 1,
         knnGraphByTargetAtRest(s, dir))),
+    // ... and the SNAPSHOT COMPACTED — the batch as-of log's OPTIMIZE:
+    // the commit-1 repair materialized once into a target-bucketed
+    // published base (node count conserved), the post-compact serve a
+    // plain base read with no repair joins left in the plan — hash-equal
+    // to the per-read repair, same oracle
+    "q_knn_graph_upsert_asof_compact" -> q((s, dir) => graft.operators
+      .Ivf.knnGraphUpsertAsOfCompacted(s,
+        graft.operators.Ivf.ensureKnnGraph(s, dir, KnnJ, IvfCells, EmbD,
+          IvfProbe),
+        emb(s, dir),
+        s.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(s, dir,
+          IvfCells, EmbD, IvfProbe)),
+        UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe, asOf = 1,
+        knnGraphByTargetAtRest(s, dir))),
     // streaming GRAPH-index maintenance — the hard case: an arrival can
     // displace edges of existing nodes, so each microbatch recomputes
     // its arrivals PLUS the affected nodes (probed cells intersecting
@@ -3676,6 +3690,9 @@ object SparkEntry {
     // upsert as-of commit 1 = the rebuild over the commit-1 view
     "q_knn_graph_upsert_asof" -> IvfOracle.knnGraphSql(EmbD, KnnJ,
       IvfCells, IvfProbe, updatedNegMod = 2 * UpsertMod),
+    // snapshot compaction folds the log, it never changes the snapshot
+    "q_knn_graph_upsert_asof_compact" -> IvfOracle.knnGraphSql(EmbD,
+      KnnJ, IvfCells, IvfProbe, updatedNegMod = 2 * UpsertMod),
     "q_knn_descent" -> IvfOracle.knnDescentSql(EmbD, KnnJ, IvfCells,
       IvfProbe),
     "q_ann_graph_search" -> IvfOracle.graphSearchSql(EmbD, KnnJ, IvfCells,

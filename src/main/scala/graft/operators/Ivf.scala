@@ -1730,6 +1730,74 @@ object Ivf {
       updIds, j, nCells, d, nprobe, byTarget)
   }
 
+  /** Bump when the compacted as-of graph layout changes. */
+  private val KnnAsOfCompactLayoutVersion = 1
+
+  /**
+   * SNAPSHOT COMPACTION of the graph's batch update log — the OPTIMIZE
+   * verb the STREAM's edge log already has
+   * ([[graft.streaming.StreamOps]]'s compaction), carried to the batch
+   * as-of path: [[knnGraphUpsertAsOf]] re-runs the prefix's
+   * affected-set repair on EVERY read; this materializes snapshot
+   * `asOf` ONCE into a published target-bucketed base (the
+   * [[ensureKnnGraphByTarget]] layout, so future holder probes prune),
+   * with the node-count conservation require at publish and an atomic
+   * version-keyed dir. The post-compact as-of serve is a plain base
+   * read — no repair joins or recompute left in the plan (PlanSpec
+   * asserts) — and hash-equal to the per-read repair, i.e. to the
+   * graph rebuilt over the commit-prefix view.
+   */
+  def ensureKnnGraphUpsertAsOfCompacted(
+      spark: org.apache.spark.sql.SparkSession, graphPath: String,
+      emb: DataFrame, prober: DataFrame, mod: Int, j: Int, nCells: Int,
+      d: Int, nprobe: Int, asOf: Int,
+      byTarget: Option[DataFrame] = None): String = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(graphPath +
+      s"_upsasofcmp_v${KnnAsOfCompactLayoutVersion}_m${mod}_a$asOf")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "knnasofcmp-")
+      val snap = knnGraphUpsertAsOf(spark, graphPath, emb, prober, mod,
+        j, nCells, d, nprobe, asOf)
+        .select(col("qid"), col("rank"), col("id"), col("score"))
+      snap
+        .withColumn("bkt", pmod(col("id"), lit(KnnEdgeBuckets.toLong))
+          .cast("int"))
+        .repartition(col("bkt")).sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("bkt").parquet(tmp.resolve("edges").toString)
+      // node-count conservation at publish: the snapshot repair replaces
+      // rows per node, it never adds or drops nodes
+      val compactN = spark.read.parquet(tmp.resolve("edges").toString)
+        .select(col("qid")).distinct().count()
+      val baseN = spark.read.parquet(graphPath)
+        .select(col("qid")).distinct().count()
+      require(compactN == baseN,
+        s"as-of graph compaction invariant broken: $compactN nodes " +
+          s"after compact vs $baseN in the base graph")
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"compacted as-of graph publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** The graph snapshot served AFTER as-of compaction: a plain read of
+    * the compacted base — hash-equal to [[knnGraphUpsertAsOf]]'s
+    * per-read repair, same oracle. */
+  def knnGraphUpsertAsOfCompacted(
+      spark: org.apache.spark.sql.SparkSession, graphPath: String,
+      emb: DataFrame, prober: DataFrame, mod: Int, j: Int, nCells: Int,
+      d: Int, nprobe: Int, asOf: Int,
+      byTarget: Option[DataFrame] = None): DataFrame =
+    spark.read.parquet(ensureKnnGraphUpsertAsOfCompacted(spark,
+        graphPath, emb, prober, mod, j, nCells, d, nprobe, asOf,
+        byTarget) + "/edges")
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+
   /** (qid, cell) probe pairs for a (qid, qvec) node set — exposed for
     * the streaming maintenance path's affected-node computation. */
   def probePairs(nodes: DataFrame, nCells: Int, d: Int,

@@ -563,6 +563,38 @@ class PlanSpec extends AnyFunSuite {
       s"compacted graph serve still aggregates:\n$plan")
   }
 
+  test("as-of compacted graph serve recomputes nothing: plain base read, hash-equal to the per-read repair") {
+    import SparkEntry.{UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe}
+    import graft.operators.Ivf
+    import org.apache.spark.sql.functions.col
+    val graphPath = Ivf.ensureKnnGraph(spark, dir, KnnJ, IvfCells, EmbD,
+      IvfProbe)
+    val prober = spark.read.parquet(Ivf.ensureKnnGraphProbes(spark, dir,
+      IvfCells, EmbD, IvfProbe))
+    val emb = Tables.embeddings(spark, dir)
+    val df = Ivf.knnGraphUpsertAsOfCompacted(spark, graphPath, emb,
+      prober, UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe, asOf = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    // the snapshot-OPTIMIZE contract: the per-read affected-set repair
+    // (anti-join + recompute + union) is paid once at compaction; the
+    // serve is one pruned scan — no joins, no windows, no aggregates
+    assert(!plan.contains("Window"),
+      s"as-of compacted serve still folds a window:\n$plan")
+    assert(!plan.contains("Join"),
+      s"as-of compacted serve still joins (repair left in-plan):\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"as-of compacted serve still aggregates:\n$plan")
+    // and the compaction never changes the snapshot: row-identical to
+    // the per-read repair
+    val a = df.collect().map(_.toSeq).toSet
+    val b = Ivf.knnGraphUpsertAsOf(spark, graphPath, emb, prober,
+        UpsertMod, KnnJ, IvfCells, EmbD, IvfProbe, asOf = 1)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty,
+      "as-of compacted graph != the per-read repair's snapshot")
+  }
+
   test("posting-list bm25 scan carries a term-bucket partition filter") {
     val df = graft.operators.Search.bm25AtRest(spark, dir,
       SparkEntry.Bm25Terms, SparkEntry.Bm25K1, SparkEntry.Bm25B,
