@@ -280,6 +280,27 @@ object Bench {
         spark, sfDir).count()
       SparkEntry.queries("q_stream_serve_requests_tiered_indexed_mutating")(
         spark, sfDir).count()
+      // round-18 layouts: the tiered layouts' delete commits, the tiered
+      // update log (the as-of serve's anchor), the as-of graph
+      // compaction, and the multi-commit mutating stream's drain
+      graft.sources.Disaggregated.ensureTieredServeDeleted(spark, sfDir,
+        SparkEntry.ServeTierLayoutScales, SparkEntry.DeleteMod)
+      graft.sources.Disaggregated.ensureTieredServeIndexedDeleted(spark,
+        sfDir, SparkEntry.ServeTierLayoutScales, SparkEntry.IvfCells,
+        SparkEntry.EmbD, SparkEntry.DeleteMod)
+      graft.operators.Pq.ensureVersionedTombstones(spark,
+        graft.sources.Disaggregated.ensureTieredServeFixture(spark,
+          sfDir, SparkEntry.ServeTierLayoutScales),
+        SparkEntry.UpsertMod, idCol = "id")
+      graft.operators.Ivf.ensureKnnGraphUpsertAsOfCompacted(spark,
+        knnGraphPath, graft.Tables.embeddings(spark, sfDir),
+        spark.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(
+          spark, sfDir, SparkEntry.IvfCells, SparkEntry.EmbD,
+          SparkEntry.IvfProbe)),
+        SparkEntry.UpsertMod, SparkEntry.KnnJ, SparkEntry.IvfCells,
+        SparkEntry.EmbD, SparkEntry.IvfProbe, asOf = 1)
+      SparkEntry.queries("q_stream_serve_requests_tiered_multi")(
+        spark, sfDir).count()
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-
     // record was stamped under whatever co-tenant load happened to be

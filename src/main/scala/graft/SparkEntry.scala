@@ -2838,6 +2838,21 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, DeleteMod)),
+    // ... and TIME TRAVEL on the INDEXED tiered layout — the as-of verb
+    // where the commit MOVES ROWS ACROSS CELLS: the snapshot view
+    // re-derives the prefix's rows from the layout itself (vector
+    // flipped, cell re-assigned, codes recomputed) merge-on-read, probes
+    // derive from the snapshot's query vectors, base cell files
+    // byte-immutable per snapshot — time travel completed across every
+    // tiered form
+    "q_serve_requests_tiered_indexed_asof" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexedAsOf(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+        UpsertMod, TieredAsOfSnapshot)),
     // ... and DELETE on the INDEXED tiered layout: the tombstoned ids'
     // rows dropped from their stored cells (coarse quantizer STALE —
     // the Lucene contract), only those cells rewritten, emptied cells
@@ -3906,6 +3921,15 @@ object SparkEntry {
         graft.sources.Disaggregated.serveTierCodeBytes,
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN,
         bm25MultiStatsForOracle(), qrelPathForOracle(),
+        negMod = 2 * UpsertMod),
+    // the indexed tiered capstone AT SNAPSHOT 1: the same CTEs at the
+    // prefix's mod — assignment, probes, codes, rescore all recomputed
+    // over the commit-prefix view (cells move and the oracle moves too)
+    "q_serve_requests_tiered_indexed_asof" ->
+      SearchOracle.serveRequestsTieredIndexedSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
         negMod = 2 * UpsertMod),
     // the tiered capstone over the delete view: tombstoned ids cut from
     // the vector candidate corpus, queries from the table — the

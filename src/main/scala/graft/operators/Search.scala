@@ -2436,7 +2436,8 @@ object Search {
                                       poolN: Int, alpha: Double,
                                       nCells: Int, d: Int,
                                       nprobe: Int,
-                                      layoutPath: Option[String] = None)
+                                      layoutPath: Option[String] = None,
+                                      storedView: Option[DataFrame] = None)
       : DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -2446,10 +2447,15 @@ object Search {
     val usedScales = tiers.map(_._2).distinct.sorted
     require(usedScales.toSet.subsetOf(layoutScales.toSet),
       s"tiers $usedScales not all stored in layout $layoutScales")
-    val path = layoutPath.getOrElse(
-      graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
-        spark, sfDir, layoutScales, nCells, d))
-    val stored = spark.read.parquet(path)
+    // storedView: the as-of serve's merge-on-read snapshot relation
+    // (base minus prefix ∪ the prefix's rows re-derived with moved
+    // cells) over the immutable base files
+    val stored = storedView.getOrElse {
+      val path = layoutPath.getOrElse(
+        graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
+          spark, sfDir, layoutScales, nCells, d))
+      spark.read.parquet(path)
+    }
     val nq = (filters.map(_._1).max + 1).toInt
     val qSel = broadcast(Ann.queriesOf(emb, nq)
       .select(col("qid"), col("qvec"), col("qn2").as("nq2")))
@@ -2693,6 +2699,96 @@ object Search {
     serveRequestsTieredIndexedOff(spark, sfDir, Some(layout), emb,
       docMeta, queries, filters, weights, ks, tiers, layoutScales, k1,
       b, poolN, nBuckets, alpha, nCells, d, nprobe)
+  }
+
+  /**
+   * The INDEXED tiered layout's SNAPSHOT view — time travel where the
+   * commit MOVES ROWS ACROSS CELLS: the applied prefix's rows are
+   * re-derived FROM THE LAYOUT ITSELF (vector flipped, cell re-assigned
+   * from the new value, every tier's codes recomputed — the exact
+   * expression trees [[graft.sources.Disaggregated
+   * .commitServeTierIndexedUpserts]] materializes on a committed copy)
+   * and merged on read with the base minus the prefix. Base cell files
+   * are byte-immutable for every snapshot; the prefix joins are
+   * AQE-sized. Returns (snapshot rows, applied update ids).
+   */
+  private[graft] def tieredServeIndexedAsOfView(spark: SparkSession,
+                                                sfDir: String,
+                                                layoutScales: Seq[Int],
+                                                nCells: Int, d: Int,
+                                                mod: Int, asOf: Int)
+      : (DataFrame, DataFrame) = {
+    val path = graft.sources.Disaggregated
+      .ensureTieredServeIndexedFixture(spark, sfDir, layoutScales,
+        nCells, d)
+    val updIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, path, mod, idCol = "id"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("id"))
+    val stored = spark.read.parquet(path)
+    val base = stored.join(updIds, Seq("id"), "left_anti")
+    val updRows = stored.join(updIds, Seq("id"), "left_semi")
+      .select(col("id"), col("lang"),
+        transform(col("vec"), x => -x).as("vec"))
+    val newAsg = Ivf.assign(
+        updRows.select(col("id").as("vec_id"),
+          col("vec").as("embedding")), nCells, d)
+      .select(col("id"), col("cell"))
+    val recomputed = updRows.join(newAsg, Seq("id"))
+      .select(Seq(col("id"), col("lang"), col("vec"), col("cell")) ++
+        layoutScales.sorted.map { s =>
+          val mul = math.pow(2.0, s)
+          val t = if (graft.sources.Disaggregated
+            .serveTierCodeBytes(s) == 1) "byte" else "short"
+          transform(col("vec"),
+            x => floor(x * mul + lit(0.5)).cast(t)).as(s"code_$s")
+        }: _*)
+    val view = base.select(recomputed.columns.map(col): _*)
+      .unionByName(recomputed)
+    (view, updIds)
+  }
+
+  /** [[serveRequestsTieredIndexed]] at a SNAPSHOT — the as-of verb on
+    * the fully-composed store, completing time travel across every
+    * tiered form: probes derive from the snapshot's query vectors, the
+    * vector side reads the [[tieredServeIndexedAsOfView]] merge-on-read
+    * snapshot (moved rows in their snapshot cells), survivors rescore
+    * against the snapshot's full-precision vectors; base index files
+    * byte-immutable per snapshot. Hash-equal to the indexed tiered
+    * capstone rebuilt over the commit-prefix view — the oracle
+    * recomputes assignment, probes, codes, and rescore from it. */
+  def serveRequestsTieredIndexedAsOf(spark: SparkSession, sfDir: String,
+                                     emb: DataFrame, docMeta: DataFrame,
+                                     queries: Seq[(Long, Seq[String])],
+                                     filters: Seq[(Long, String)],
+                                     weights: Seq[(Long, Double)],
+                                     ks: Seq[(Long, Int)],
+                                     tiers: Seq[(Long, Int)],
+                                     layoutScales: Seq[Int], k1: Double,
+                                     b: Double, poolN: Int,
+                                     nBuckets: Int, alpha: Double,
+                                     nCells: Int, d: Int, nprobe: Int,
+                                     mod: Int, asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val (view, updIds) = tieredServeIndexedAsOfView(spark, sfDir,
+      layoutScales, nCells, d, mod, asOf)
+    val embAsOf = emb
+      .join(updIds.select(col("id").as("vec_id"))
+        .withColumn("upd", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("upd") === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    val fetch = tieredServeIndexedFetch(spark, sfDir, embAsOf, filters,
+      tiers, layoutScales, poolN, alpha, nCells, d, nprobe,
+      storedView = Some(view))
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
   }
 
   /**

@@ -1173,6 +1173,58 @@ class PlanSpec extends AnyFunSuite {
         "tombstoned id")
   }
 
+  test("tiered as-of serve: base files byte-immutable across snapshots, snapshot 1 == committed-layout serve") {
+    import org.apache.spark.sql.functions.col
+    import SparkEntry.{ServeTierLayoutScales, UpsertMod}
+    import graft.sources.Disaggregated
+    val base = Disaggregated.ensureTieredServeFixture(spark, dir,
+      ServeTierLayoutScales)
+    def files(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(base))
+        .iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toMap
+    }
+    val before = files()
+    // snapshot 0 (no commit applied) serves the pristine capstone...
+    val asof0 = graft.operators.Search.serveRequestsTieredAsOf(spark,
+      dir, Tables.embeddings(spark, dir), Tables.documents(spark, dir),
+      SparkEntry.Bm25MultiQueries, SparkEntry.FilterMultiRel,
+      SparkEntry.FusionMultiRel, SparkEntry.PageKMultiRel,
+      SparkEntry.ServeTierRel, ServeTierLayoutScales, SparkEntry.Bm25K1,
+      SparkEntry.Bm25B, SparkEntry.RrfPoolN, SparkEntry.PostBuckets,
+      SparkEntry.refineParams("cos_l1").alpha, UpsertMod, asOf = 0)
+      .collect().map(_.toSeq).toSet
+    val pristine = SparkEntry.queries("q_serve_requests_tiered")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(asof0 == pristine && asof0.nonEmpty,
+      "tiered asOf 0 diverged from the pristine tiered capstone")
+    // ...snapshot 1 IS the tiered capstone over a layout physically
+    // COMMITTED at the prefix's mod (ids ≡ 0 mod 2·UpsertMod) — the
+    // merge-on-read view equals the rebuilt/committed layout's serve
+    val asof1 = SparkEntry.queries("q_serve_requests_tiered_asof")(
+      spark, dir).collect().map(_.toSeq).toSet
+    val committed = graft.operators.Search.serveRequestsTieredUpserted(
+      spark, dir, Tables.embeddings(spark, dir),
+      Tables.documents(spark, dir), SparkEntry.Bm25MultiQueries,
+      SparkEntry.FilterMultiRel, SparkEntry.FusionMultiRel,
+      SparkEntry.PageKMultiRel, SparkEntry.ServeTierRel,
+      ServeTierLayoutScales, SparkEntry.Bm25K1, SparkEntry.Bm25B,
+      SparkEntry.RrfPoolN, SparkEntry.PostBuckets,
+      SparkEntry.refineParams("cos_l1").alpha, 2 * UpsertMod)
+      .collect().map(_.toSeq).toSet
+    assert(asof1 == committed && asof1.nonEmpty,
+      "tiered asOf 1 != the serve over the layout committed at the " +
+        "prefix's mod")
+    // merge-on-read served both snapshots off byte-immutable base files
+    assert(files() == before,
+      "serving tiered snapshots mutated the base layout's files")
+  }
+
   test("tiered INDEXED serve layout: one scan prunes cells (files), tiers (chunks), and langs (rows)") {
     // the fully-composed vector side: probe cells as a static partition
     // filter, the bound tiers' code columns as the only chunks read,
