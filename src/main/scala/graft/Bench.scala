@@ -292,6 +292,10 @@ object Bench {
         graft.sources.Disaggregated.ensureTieredServeFixture(spark,
           sfDir, SparkEntry.ServeTierLayoutScales),
         SparkEntry.UpsertMod, idCol = "id")
+      graft.operators.Pq.ensureVersionedTombstones(spark,
+        graft.sources.Disaggregated.ensureTieredServeFixture(spark,
+          sfDir, SparkEntry.ServeTierLayoutScales),
+        SparkEntry.DeleteMod, idCol = "id")
       graft.operators.Ivf.ensureKnnGraphUpsertAsOfCompacted(spark,
         knnGraphPath, graft.Tables.embeddings(spark, sfDir),
         spark.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(
@@ -300,6 +304,15 @@ object Bench {
         SparkEntry.UpsertMod, SparkEntry.KnnJ, SparkEntry.IvfCells,
         SparkEntry.EmbD, SparkEntry.IvfProbe, asOf = 1)
       SparkEntry.queries("q_stream_serve_requests_tiered_multi")(
+        spark, sfDir).count()
+      // round-18b layouts: the as-of compacted tiered layout and the
+      // mixed-verb stream's drain
+      graft.operators.Search.ensureTieredServeAsOfCompacted(spark, sfDir,
+        SparkEntry.ServeTierLayoutScales, SparkEntry.UpsertMod,
+        SparkEntry.TieredAsOfSnapshot)
+      SparkEntry.queries("q_stream_serve_requests_tiered_mixed")(
+        spark, sfDir).count()
+      SparkEntry.queries("q_stream_serve_requests_tiered_indexed_multi")(
         spark, sfDir).count()
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-

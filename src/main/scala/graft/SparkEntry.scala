@@ -1062,6 +1062,13 @@ object SparkEntry {
   // modulus 2^(3-k)·UpsertMod (SQL-expressible per phase)
   final val StreamMultiMutatePhases: Seq[Set[Long]] =
     Seq(Set(0L), Set(1L), Set(2L), Set(3L))
+  // the MIXED-VERB mutating serve (q_stream_serve_requests_tiered_mixed):
+  // an UPSERT commit (ids ≡ 0 mod UpsertMod) between phases 0 and 1,
+  // then a DELETE commit (ids ≡ 0 mod DeleteMod) between phases 1 and
+  // 2 — phase 2 spans both precision tiers so the composed
+  // upserted+deleted snapshot is visible at both bandwidth points
+  final val StreamMixedMutatePhases: Seq[Set[Long]] =
+    Seq(Set(0L), Set(1L), Set(2L, 3L))
   // time travel on the tiered serve layout (q_serve_requests_tiered_asof):
   // the layout's versioned update log holds two commits (1: ids ≡ 0 mod
   // 2·UpsertMod, 2: the rest of mod UpsertMod); the declared snapshot
@@ -2825,6 +2832,20 @@ object SparkEntry {
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, EmbD, UpsertMod,
         TieredAsOfSnapshot)),
+    // ... and the SNAPSHOT COMPACTED — the tiered update log's
+    // OPTIMIZE: the merge-on-read view (prefix join + in-plan code
+    // recompute) materialized once into a published id-bucketed layout
+    // derived from the LAYOUT + LOG (stored codes verbatim for
+    // non-updated rows, row count conserved), the post-compact serve's
+    // stored relation a plain scan — hash-equal to the merge-on-read
+    // serve, same oracle
+    "q_serve_requests_tiered_asof_compact" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredAsOfCompacted(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, UpsertMod, TieredAsOfSnapshot)),
     // ... and DELETE on the tiered layout — the missing lifecycle verb:
     // tombstoned ids physically dropped, only their id buckets
     // rewritten (untouched buckets byte-immutable, emptied buckets
@@ -2838,6 +2859,19 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, DeleteMod)),
+    // ... and DELETE + TIME TRAVEL composed — the tiered layout's
+    // versioned DELETE log (a separate published dir from the update
+    // log: DeleteMod != UpsertMod) served at snapshot 1 merge-on-read:
+    // the applied tombstone prefix anti-joined out of the stored view,
+    // base buckets byte-immutable per snapshot, queries still from the
+    // table (the family-wide delete contract)
+    "q_serve_requests_tiered_delete_asof" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredDeletedAsOf(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, DeleteMod, TieredAsOfSnapshot)),
     // ... and TIME TRAVEL on the INDEXED tiered layout — the as-of verb
     // where the commit MOVES ROWS ACROSS CELLS: the snapshot view
     // re-derives the prefix's rows from the layout itself (vector
@@ -2955,6 +2989,21 @@ object SparkEntry {
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, UpsertMod,
         StreamMultiMutatePhases)),
+    // ... and with the lifecycle VERBS MIXED — an upsert commit, then a
+    // DELETE commit (tombstoned rows physically dropped from the
+    // stream's layout copy, only their buckets rewritten), each between
+    // request phases: phase 2 serves the upserted-then-deleted state
+    // (query vectors keep the upsert flips; deleted ids absent from
+    // every tier's cheap pass and the rescore) — drained union = the 3
+    // per-snapshot serves with negMod and delMod composed
+    "q_stream_serve_requests_tiered_mixed" -> q((s, dir) =>
+      graft.streaming.StreamOps.serveRequestsTieredMixedMutatingOverStream(
+        s, dir, emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, UpsertMod, DeleteMod,
+        StreamMixedMutatePhases)),
     // ... and the same composition on the INDEXED layout — the commit
     // MOVES ROWS ACROSS CELL PARTITIONS while requests arrive:
     // pre-commit requests probe the pristine cells, post-commit
@@ -2969,6 +3018,20 @@ object SparkEntry {
           ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
           refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
           UpsertMod, StreamMutatePreQids)),
+    // ... and the INDEXED layout under C = 3 interleaved commits — each
+    // commit MOVES its incremental prefix's rows across cell partitions
+    // (old ∪ new cells rewritten, emptied cells swept) while requests
+    // arrive; phase k probes the layout with commits 1..k applied,
+    // drained union = the 4 per-snapshot indexed serves
+    "q_stream_serve_requests_tiered_indexed_multi" -> q((s, dir) =>
+      graft.streaming.StreamOps
+        .serveRequestsTieredIndexedMultiMutatingOverStream(s, dir,
+          emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+          filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+          pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+          ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+          refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+          UpsertMod, StreamMultiMutatePhases)),
     // ... and REQUESTS AS A STREAM — the online-serving shape: each
     // microbatch serves its arriving requests' full objects off the
     // static layouts; per-request independence (df per term, per-qid
@@ -3914,6 +3977,13 @@ object SparkEntry {
       PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
       Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle(), negMod = 2 * UpsertMod),
+    // snapshot compaction folds the log, it never changes the snapshot
+    "q_serve_requests_tiered_asof_compact" ->
+      SearchOracle.serveRequestsTieredSql(
+        EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+        PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+        Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+        qrelPathForOracle(), negMod = 2 * UpsertMod),
     // its ledger over the same snapshot CTEs
     "q_serve_requests_tiered_asof_metrics" ->
       SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,
@@ -3939,6 +4009,17 @@ object SparkEntry {
       PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
       Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle(), delMod = DeleteMod),
+    // the tiered capstone AT SNAPSHOT 1 of the DELETE log: the applied
+    // tombstone prefix is ids ≡ 0 mod 2·DeleteMod, so the snapshot
+    // serve IS the tiered capstone over the delete view at the
+    // prefix's mod — the same CTEs, tombstones cut from the vector
+    // candidate corpus only
+    "q_serve_requests_tiered_delete_asof" ->
+      SearchOracle.serveRequestsTieredSql(
+        EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+        PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+        Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+        qrelPathForOracle(), delMod = 2 * DeleteMod),
     // the indexed twin: the same cut on the probed-cell candidates
     // (assignment/probes stale — the delete leaves the quantizer alone)
     "q_serve_requests_tiered_indexed_delete" ->
@@ -4022,6 +4103,25 @@ object SparkEntry {
       }
       parts.mkString("\nUNION ALL\n")
     },
+    // the mixed-verb stream: 3 per-snapshot capstones unioned — phase 1
+    // with the upsert view, phase 2 with the upsert AND delete views
+    // COMPOSED (the delete cuts candidate membership, the upsert
+    // transforms surviving values and the query vectors)
+    "q_stream_serve_requests_tiered_mixed" -> {
+      val parts = StreamMixedMutatePhases.zipWithIndex.map {
+        case (qs, k) =>
+          val sql = SearchOracle.serveRequestsTieredSql(
+            EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+            PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+            Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+            qrelPathForOracle(),
+            negMod = if (k >= 1) UpsertMod else 0,
+            delMod = if (k >= 2) DeleteMod else 0)
+          val in = qs.toSeq.sorted.mkString(", ")
+          s"SELECT * FROM ($sql) WHERE qid IN ($in)"
+      }
+      parts.mkString("\nUNION ALL\n")
+    },
     // the indexed twin: per-snapshot INDEXED tiered serves unioned —
     // the post side's assignment/probes/codes/rescore all off the
     // commit view
@@ -4043,6 +4143,23 @@ object SparkEntry {
       s"""SELECT * FROM ($pre) WHERE qid IN ($preIn)
          |UNION ALL
          |SELECT * FROM ($post) WHERE qid IN ($postIn)""".stripMargin
+    },
+    // the indexed multi-commit stream: 4 per-snapshot INDEXED capstones
+    // unioned, phase k's flip prefix the single modulus 2^(3-k)·UpsertMod
+    "q_stream_serve_requests_tiered_indexed_multi" -> {
+      val nC = StreamMultiMutatePhases.size - 1
+      val parts = StreamMultiMutatePhases.zipWithIndex.map {
+        case (qs, k) =>
+          val sql = SearchOracle.serveRequestsTieredIndexedSql(
+            EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+            PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+            Bm25K1, Bm25B, RrfPoolN, IvfCells, IvfProbe,
+            bm25MultiStatsForOracle(), qrelPathForOracle(),
+            negMod = if (k == 0) 0 else (1 << (nC - k)) * UpsertMod)
+          val in = qs.toSeq.sorted.mkString(", ")
+          s"SELECT * FROM ($sql) WHERE qid IN ($in)"
+      }
+      parts.mkString("\nUNION ALL\n")
     },
     // per-request per-tier bytes off the same pipeline CTEs
     "q_serve_requests_tiered_metrics" ->

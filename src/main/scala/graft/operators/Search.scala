@@ -2290,6 +2290,99 @@ object Search {
       alpha, d, storedView = Some(view))
   }
 
+  /** Bump when the compacted as-of tiered layout shape changes. */
+  private val TieredAsOfCompactLayoutVersion = 1
+
+  /**
+   * SNAPSHOT COMPACTION of the tiered layout's update log — the
+   * OPTIMIZE verb the graph's batch as-of log got ([[graft.operators
+   * .Ivf.ensureKnnGraphUpsertAsOfCompacted]]), carried to the serve
+   * capstone: [[serveRequestsTieredAsOf]] pays the merge-on-read
+   * prefix join and the in-plan code recompute on EVERY read; this
+   * materializes snapshot `asOf`'s [[tieredServeAsOfView]] ONCE into a
+   * published id-bucketed layout. Crucially the compacted bytes derive
+   * from the LAYOUT + LOG, never a corpus rebuild: non-updated rows'
+   * stored codes pass through VERBATIM (a byte copy), only the
+   * prefix's rows carry the flipped vector and recomputed tier codes —
+   * exactly what a physically committed layout holds. Row-count
+   * conservation is required at publish (an upsert changes values,
+   * never membership) and the dir is atomic and version-keyed. The
+   * post-compact serve's stored relation is a plain pruned scan — no
+   * log join or code recompute left in the plan (PlanSpec asserts).
+   */
+  def ensureTieredServeAsOfCompacted(spark: SparkSession, sfDir: String,
+                                     layoutScales: Seq[Int], mod: Int,
+                                     asOf: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.sources.Disaggregated.ensureTieredServeFixture(
+      spark, sfDir, layoutScales)
+    val path = Paths.get(base +
+      s"_asofcmp_v${TieredAsOfCompactLayoutVersion}_m${mod}_a$asOf")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent,
+        "servetasofcmp-")
+      val (view, _) = tieredServeAsOfView(spark, sfDir, layoutScales,
+        mod, asOf)
+      val nB = graft.sources.Disaggregated.ServeTiersUpsertBuckets
+      view
+        .withColumn("pb", pmod(col("id"), lit(nB.toLong)).cast("int"))
+        .repartition(col("pb")).sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("pb").parquet(tmp.resolve("tiers").toString)
+      val compactN = spark.read.parquet(tmp.resolve("tiers").toString)
+        .count()
+      val baseN = spark.read.parquet(base).count()
+      require(compactN == baseN,
+        s"as-of tiered compaction invariant broken: $compactN rows " +
+          s"after compact vs $baseN in the base layout")
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"compacted as-of tiered layout publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** The tiered snapshot served AFTER as-of compaction: the
+    * [[serveRequestsTieredOff]] path over the compacted base — queries
+    * still derive from the snapshot's embedding view (the store serves
+    * what it was told to store at v), the stored relation a plain
+    * scan. Hash-equal to [[serveRequestsTieredAsOf]]'s merge-on-read
+    * serve, same oracle. */
+  def serveRequestsTieredAsOfCompacted(spark: SparkSession,
+                                       sfDir: String, emb: DataFrame,
+                                       docMeta: DataFrame,
+                                       queries: Seq[(Long, Seq[String])],
+                                       filters: Seq[(Long, String)],
+                                       weights: Seq[(Long, Double)],
+                                       ks: Seq[(Long, Int)],
+                                       tiers: Seq[(Long, Int)],
+                                       layoutScales: Seq[Int],
+                                       k1: Double, b: Double, poolN: Int,
+                                       nBuckets: Int, alpha: Double,
+                                       mod: Int, asOf: Int): DataFrame = {
+    val compacted = ensureTieredServeAsOfCompacted(spark, sfDir,
+      layoutScales, mod, asOf) + "/tiers"
+    val basePath = graft.sources.Disaggregated.ensureTieredServeFixture(
+      spark, sfDir, layoutScales)
+    val updIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, basePath, mod, idCol = "id"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("id"))
+    val embAsOf = emb
+      .join(updIds.select(col("id").as("vec_id"))
+        .withColumn("upd", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("upd") === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    serveRequestsTieredOff(spark, sfDir, Some(compacted), embAsOf,
+      docMeta, queries, filters, weights, ks, tiers, layoutScales, k1,
+      b, poolN, nBuckets, alpha)
+  }
+
   /**
    * [[serveRequestsTiered]] over the DELETED tiered layout — the
    * missing lifecycle verb on the precision store: a delete commit
@@ -2320,6 +2413,63 @@ object Search {
     serveRequestsTieredOff(spark, sfDir, Some(layout), emb, docMeta,
       queries, filters, weights, ks, tiers, layoutScales, k1, b, poolN,
       nBuckets, alpha)
+  }
+
+  /**
+   * DELETE + TIME TRAVEL on the tiered serve layout — the two
+   * lifecycle verbs COMPOSED, completing the family contract
+   * (PQ/LSH/spherical/graph all have their delete-as-of; the
+   * production precision store now does too): delete commits are
+   * recorded in the layout's own versioned log ([[graft.operators.Pq
+   * .ensureVersionedTombstones]] — commit 1 tombstones ids ≡ 0 mod
+   * 2·`mod`, commit 2 the rest of mod `mod`; DeleteMod ≠ UpsertMod
+   * keeps this log a separate published dir from the update log), and
+   * snapshot `asOf` is served MERGE-ON-READ off the PRISTINE base
+   * layout: the applied prefix's rows are anti-joined out of the
+   * stored view, so they are absent from every tier's cheap pass AND
+   * the full-precision rescore — exactly the rows a layout physically
+   * committed at the prefix's mod lacks (a spec asserts asOf-2
+   * row-equality against [[serveRequestsTieredDeleted]] over the full
+   * delete set; asOf-0 reproduces the pristine capstone) — while base
+   * bucket files stay byte-immutable per snapshot. Queries still come
+   * from the embeddings TABLE (the family-wide delete contract: an
+   * index delete never rewrites external probes) and the lexical side
+   * is untouched by the vector-layout log, so a tombstoned doc can
+   * still surface through the lexical pool with vnorm 0, exactly as
+   * the oracle's snapshot CTEs recompute. The corpus-fraction-sized
+   * tombstone prefix is AQE-sized, never broadcast-hinted.
+   */
+  def serveRequestsTieredDeletedAsOf(spark: SparkSession, sfDir: String,
+                                     emb: DataFrame, docMeta: DataFrame,
+                                     queries: Seq[(Long, Seq[String])],
+                                     filters: Seq[(Long, String)],
+                                     weights: Seq[(Long, Double)],
+                                     ks: Seq[(Long, Int)],
+                                     tiers: Seq[(Long, Int)],
+                                     layoutScales: Seq[Int], k1: Double,
+                                     b: Double, poolN: Int,
+                                     nBuckets: Int, alpha: Double,
+                                     mod: Int, asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val path = graft.sources.Disaggregated.ensureTieredServeFixture(
+      spark, sfDir, layoutScales)
+    val delIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, path, mod, idCol = "id"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("id"))
+    // merge-on-read snapshot: base minus the applied tombstone prefix
+    // (corpus-fraction-sized — AQE sizes the anti-join, no hint)
+    val view = spark.read.parquet(path)
+      .join(delIds, Seq("id"), "left_anti")
+    val fetch = tieredServeFetch(spark, sfDir, emb, filters, tiers,
+      layoutScales, poolN, alpha, storedView = Some(view))
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
   }
 
   /**

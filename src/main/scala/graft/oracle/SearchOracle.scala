@@ -1106,8 +1106,10 @@ object SearchOracle {
                                 relPath: Option[String],
                                 negMod: Int = 0,
                                 delMod: Int = 0): String = {
-    require(negMod == 0 || delMod == 0,
-      "the upsert and delete views do not compose")
+    // negMod and delMod COMPOSE (the mixed-verb multi-commit stream's
+    // snapshots): the delete cuts candidate membership, the upsert
+    // transforms surviving values — an id in both sets is simply
+    // absent (the delete wins because the row is gone)
     val usedScales = tiers.map(_._2).distinct.sorted
     val (sHatExpr, cushExpr) = tierScoreExprs(d, usedScales, alpha)
     // the UPSERTED view (negMod > 0): the commit's vectors flipped —
@@ -1153,8 +1155,7 @@ object SearchOracle {
                                        relPath: Option[String],
                                        negMod: Int = 0,
                                        delMod: Int = 0): String = {
-    require(negMod == 0 || delMod == 0,
-      "the upsert and delete views do not compose")
+    // negMod and delMod compose — see [[tieredVecPoolCtes]]
     val usedScales = tiers.map(_._2).distinct.sorted
     val (sHatExpr, cushExpr) = tierScoreExprs(d, usedScales, alpha)
     // the UPSERTED view (negMod > 0): assignment, probes, query

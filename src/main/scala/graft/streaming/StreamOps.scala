@@ -1650,6 +1650,300 @@ object StreamOps {
         col("tnorm"), col("vnorm"))
   }
 
+  /**
+   * [[serveRequestsTieredMultiMutatingOverStream]] on the INDEXED
+   * (cell-partitioned) tiered layout — C commits that each MOVE ROWS
+   * ACROSS CELL PARTITIONS while requests arrive: commit k re-assigns
+   * its incremental prefix's rows to the cells of their new vectors
+   * (old ∪ new cells rewritten, emptied cells swept —
+   * [[graft.sources.Disaggregated.commitServeTierIndexedUpserts]]),
+   * applied exactly once at its phase's first batch under the same
+   * marker + stamped-mtime discipline. Phase-k requests probe the
+   * layout with commits 1..k applied, query vectors off the cumulative
+   * commit view (the single modulus 2^(C-k)·`mod` — what keeps each
+   * snapshot's serve SQL-expressible). Drained union = the C+1
+   * per-snapshot INDEXED batch serves — the UNION oracle with
+   * assignment, probes, codes, and rescore all moving per snapshot.
+   */
+  def serveRequestsTieredIndexedMultiMutatingOverStream(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, nCells: Int, d: Int, nprobe: Int,
+      mod: Int, phases: Seq[Set[Long]]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    require(mod >= 2, s"mod=$mod")
+    val nC = phases.size - 1
+    require(nC >= 1, "multi-mutating indexed serve needs >= 1 commit")
+    require(phases.forall(_.nonEmpty),
+      "every phase needs at least one request")
+    val allQids = ks.map(_._1).toSet
+    require(phases.flatten.toSet == allQids &&
+        phases.map(_.size).sum == allQids.size,
+      "phases must partition the request qids")
+    graft.operators.Search.ensurePostingsLayout(spark, sfDir, nBuckets)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val reqKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(queries, filters, weights, ks, tiers, layoutScales,
+          k1, b, poolN, nBuckets, alpha, nCells, d, nprobe, mod,
+          phases.map(_.toSeq.sorted))
+        .mkString(";").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    def cumMod(k: Int): Long = (1L << (nC - k)) * mod
+    val landing = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_mmtireqlanding_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landing.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landing.getParent, "mmtireq-")
+        val stamp0 = System.currentTimeMillis()
+        phases.zipWithIndex.foreach { case (qs, i) =>
+          appendLandingShard(spark, qs.toSeq.sorted, tmp,
+            stamp0 + i * LandingMtimeStepMs)
+        }
+        try Files.move(tmp, landing)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landing.resolve("_SUCCESS")),
+          s"multi-mutating indexed landing publish failed: $landing")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_mmtireqserve_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "mmtireqs-")
+        val layout = tmp.resolve("tiers").toString
+        graft.sources.Disaggregated.writeServeTiersIndexed(spark, sfDir,
+          layout, layoutScales, nCells, d)
+        val resDir = tmp.resolve("results").toString
+        val phaseOf: Map[Long, Int] = phases.zipWithIndex
+          .flatMap { case (qs, i) => qs.map(_ -> i) }.toMap
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("qid", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arrived = batch.select(col("qid")).collect()
+              .map(_.getLong(0)).toSet
+            if (arrived.nonEmpty) {
+              val ph = arrived.map(phaseOf)
+              require(ph.size == 1,
+                s"request batch $arrived straddles a commit boundary")
+              val k = ph.head
+              def applied: Int = (1 to nC)
+                .takeWhile(j => Files.exists(tmp.resolve(s"_COMMITTED_$j")))
+                .size
+              require(applied <= k,
+                s"phase-$k requests arrived after commit ${applied} — " +
+                  "the landing's interleaving contract is broken")
+              ((applied + 1) to k).foreach { j =>
+                val mj = cumMod(j)
+                val inc = emb.select(col("vec_id").as("id")).filter(
+                  if (j == 1) col("id") % mj === 0
+                  else col("id") % mj === 0 &&
+                    col("id") % (2L * mj) =!= 0)
+                graft.sources.Disaggregated.commitServeTierIndexedUpserts(
+                  spark, layout, inc, layoutScales, nCells, d)
+                Files.createFile(tmp.resolve(s"_COMMITTED_$j"))
+              }
+              val embView =
+                if (k == 0) emb
+                else emb.select(col("vec_id"),
+                  when(col("vec_id") % cumMod(k) === 0,
+                    transform(col("embedding"), x => -x))
+                    .otherwise(col("embedding")).as("embedding"),
+                  col("label"))
+              graft.operators.Search.serveRequestsTieredIndexedOff(spark,
+                  sfDir, Some(layout), embView, docMeta,
+                  queries.filter(kv => arrived(kv._1)),
+                  filters.filter(kv => arrived(kv._1)),
+                  weights.filter(kv => arrived(kv._1)),
+                  ks.filter(kv => arrived(kv._1)),
+                  tiers.filter(kv => arrived(kv._1)),
+                  layoutScales, k1, b, poolN, nBuckets, alpha, nCells,
+                  d, nprobe)
+                .write.mode("append").parquet(resDir)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require((1 to nC).forall(j =>
+            Files.exists(tmp.resolve(s"_COMMITTED_$j"))),
+          "drained without applying every commit")
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"multi-mutating indexed stream publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(s"$outDir/results")
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
+  /**
+   * The multi-commit mutating serve with the LIFECYCLE VERBS MIXED —
+   * the shape a real retention-compliant serving system runs: an
+   * UPDATE commit (ids ≡ 0 mod `umod`, v' = −v) lands between request
+   * phases 0 and 1, then a DELETE commit (ids ≡ 0 mod `dmod`,
+   * tombstoned rows physically dropped, only their id buckets
+   * rewritten, emptied buckets swept) lands between phases 1 and 2 —
+   * both against the stream's own layout copy, each applied exactly
+   * once at its phase's first batch with the
+   * [[serveRequestsTieredMultiMutatingOverStream]] exactly-once marker
+   * discipline and the stamped-mtime landing that makes drain order ==
+   * phase order by construction. Phase-2 requests are served off the
+   * upserted-then-deleted state: query vectors keep the upsert view's
+   * flips (the store serves what it was told to store; an index DELETE
+   * never rewrites external probes — the family-wide contract), while
+   * the tombstoned ids are absent from every tier's cheap pass and the
+   * rescore. Per-request independence makes the drained union
+   * row-identical to the three per-snapshot batch serves — the UNION
+   * oracle with the verbs composed (negMod + delMod in one snapshot
+   * view; an id in both sets is simply absent).
+   */
+  def serveRequestsTieredMixedMutatingOverStream(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, umod: Int, dmod: Int,
+      phases: Seq[Set[Long]]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    require(umod >= 2 && dmod >= 2 && umod != dmod,
+      s"umod=$umod dmod=$dmod must be distinct moduli >= 2")
+    require(phases.size == 3,
+      "mixed mutating serve is 3 phases: pristine | upserted | " +
+        "upserted+deleted")
+    require(phases.forall(_.nonEmpty),
+      "every phase needs at least one request")
+    val allQids = ks.map(_._1).toSet
+    require(phases.flatten.toSet == allQids &&
+        phases.map(_.size).sum == allQids.size,
+      "phases must partition the request qids")
+    graft.operators.Search.ensurePostingsLayout(spark, sfDir, nBuckets)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val reqKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(queries, filters, weights, ks, tiers, layoutScales,
+          k1, b, poolN, nBuckets, alpha, umod, dmod,
+          phases.map(_.toSeq.sorted))
+        .mkString(";").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    val landing = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_mxtreqlanding_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landing.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landing.getParent, "mxtreq-")
+        val stamp0 = System.currentTimeMillis()
+        phases.zipWithIndex.foreach { case (qs, i) =>
+          appendLandingShard(spark, qs.toSeq.sorted, tmp,
+            stamp0 + i * LandingMtimeStepMs)
+        }
+        try Files.move(tmp, landing)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landing.resolve("_SUCCESS")),
+          s"mixed-mutating request landing publish failed: $landing")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_mxtreqserve_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "mxtreqs-")
+        val layout = tmp.resolve("tiers").toString
+        graft.sources.Disaggregated.writeServeTiersPartitioned(
+          emb.join(docMeta.select(col("doc_id").as("vec_id"),
+              col("lang")), Seq("vec_id"))
+            .select(col("vec_id").as("id"), col("lang"),
+              col("embedding").as("vec")),
+          layout, layoutScales)
+        val resDir = tmp.resolve("results").toString
+        val phaseOf: Map[Long, Int] = phases.zipWithIndex
+          .flatMap { case (qs, i) => qs.map(_ -> i) }.toMap
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("qid", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arrived = batch.select(col("qid")).collect()
+              .map(_.getLong(0)).toSet
+            if (arrived.nonEmpty) {
+              val ph = arrived.map(phaseOf)
+              require(ph.size == 1,
+                s"request batch $arrived straddles a commit boundary")
+              val k = ph.head
+              def applied: Int = (1 to 2)
+                .takeWhile(j => Files.exists(tmp.resolve(s"_COMMITTED_$j")))
+                .size
+              require(applied <= k,
+                s"phase-$k requests arrived after commit ${applied} — " +
+                  "the landing's interleaving contract is broken")
+              ((applied + 1) to k).foreach { j =>
+                if (j == 1)
+                  graft.sources.Disaggregated.commitServeTierUpserts(
+                    spark, layout,
+                    emb.select(col("vec_id").as("id"))
+                      .filter(col("id") % umod === 0),
+                    layoutScales)
+                else
+                  graft.sources.Disaggregated.commitServeTierDeletes(
+                    spark, layout,
+                    emb.select(col("vec_id").as("id"))
+                      .filter(col("id") % dmod === 0))
+                Files.createFile(tmp.resolve(s"_COMMITTED_$j"))
+              }
+              // query vectors follow the UPSERT view from phase 1 on;
+              // the delete commit never rewrites external probes
+              val embView =
+                if (k == 0) emb
+                else emb.select(col("vec_id"),
+                  when(col("vec_id") % umod === 0,
+                    transform(col("embedding"), x => -x))
+                    .otherwise(col("embedding")).as("embedding"),
+                  col("label"))
+              graft.operators.Search.serveRequestsTieredOff(spark, sfDir,
+                  Some(layout), embView, docMeta,
+                  queries.filter(kv => arrived(kv._1)),
+                  filters.filter(kv => arrived(kv._1)),
+                  weights.filter(kv => arrived(kv._1)),
+                  ks.filter(kv => arrived(kv._1)),
+                  tiers.filter(kv => arrived(kv._1)),
+                  layoutScales, k1, b, poolN, nBuckets, alpha)
+                .write.mode("append").parquet(resDir)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require((1 to 2).forall(j =>
+            Files.exists(tmp.resolve(s"_COMMITTED_$j"))),
+          "drained without applying both commits")
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"mixed-mutating stream serve publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(s"$outDir/results")
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
   /** Multi-probe LSH over the STREAM-MAINTAINED layout — hash-equal to
     * the batch twins once drained (same rows, same bucket keys), so it
     * shares `q_ann_lsh`'s oracle. */

@@ -1225,6 +1225,100 @@ class PlanSpec extends AnyFunSuite {
       "serving tiered snapshots mutated the base layout's files")
   }
 
+  test("tiered as-of compaction: stored side recomputes no codes (no floor in-plan), snapshot unchanged") {
+    import SparkEntry.{ServeTierLayoutScales, UpsertMod, TieredAsOfSnapshot}
+    val compactDf = graft.operators.Search.serveRequestsTieredAsOfCompacted(
+      spark, dir, Tables.embeddings(spark, dir),
+      Tables.documents(spark, dir), SparkEntry.Bm25MultiQueries,
+      SparkEntry.FilterMultiRel, SparkEntry.FusionMultiRel,
+      SparkEntry.PageKMultiRel, SparkEntry.ServeTierRel,
+      ServeTierLayoutScales, SparkEntry.Bm25K1, SparkEntry.Bm25B,
+      SparkEntry.RrfPoolN, SparkEntry.PostBuckets,
+      SparkEntry.refineParams("cos_l1").alpha, UpsertMod,
+      TieredAsOfSnapshot)
+    // the snapshot-OPTIMIZE contract, asserted on the STORED RELATIONS
+    // (the serve pipeline ends in a localCheckpoint, so its plan text
+    // is lineage-truncated): the merge-on-read snapshot view joins the
+    // update log and rebuilds every tier's codes in-plan (floor over
+    // the prefix join); the compacted layout's relation is a plain
+    // scan — no join, no code recompute, the snapshot's bytes AT REST
+    val (view, _) = graft.operators.Search.tieredServeAsOfView(spark,
+      dir, ServeTierLayoutScales, UpsertMod, TieredAsOfSnapshot)
+    val viewPlan = view.queryExecution.analyzed.toString
+    assert(viewPlan.toLowerCase.contains("floor(") &&
+        viewPlan.contains("Join"),
+      s"merge-on-read snapshot view no longer joins the log and " +
+        s"recomputes codes — the compaction discriminator is vacuous:\n" +
+        viewPlan)
+    val compactedRoot = graft.operators.Search
+      .ensureTieredServeAsOfCompacted(spark, dir, ServeTierLayoutScales,
+        UpsertMod, TieredAsOfSnapshot) + "/tiers"
+    val storedRel = spark.read.parquet(compactedRoot)
+    val storedPlan = storedRel.queryExecution.analyzed.toString
+    assert(!storedPlan.toLowerCase.contains("floor(") &&
+        !storedPlan.contains("Join"),
+      s"compacted as-of relation is not a plain scan:\n$storedPlan")
+    // the compacted bytes ARE the snapshot: row-identical to the
+    // merge-on-read view (stored codes verbatim, prefix recomputed)
+    val viewRows = view.collect().map(_.toSeq).toSet
+    val storedRows = storedRel.select(view.columns.map(
+        org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(storedRows == viewRows && viewRows.nonEmpty,
+      "compacted as-of layout rows != the merge-on-read snapshot view")
+    // and compaction never changes the snapshot
+    val a = compactDf.collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q_serve_requests_tiered_asof")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty,
+      "as-of compacted tiered serve != the merge-on-read snapshot")
+  }
+
+  test("tiered delete-as-of: asOf 0 == pristine capstone, asOf 2 == physically deleted layout's serve, base byte-immutable") {
+    import SparkEntry.{ServeTierLayoutScales, DeleteMod}
+    import graft.sources.Disaggregated
+    val base = Disaggregated.ensureTieredServeFixture(spark, dir,
+      ServeTierLayoutScales)
+    def files(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(base))
+        .iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toMap
+    }
+    val before = files()
+    def asOf(v: Int): Set[Seq[Any]] =
+      graft.operators.Search.serveRequestsTieredDeletedAsOf(spark, dir,
+        Tables.embeddings(spark, dir), Tables.documents(spark, dir),
+        SparkEntry.Bm25MultiQueries, SparkEntry.FilterMultiRel,
+        SparkEntry.FusionMultiRel, SparkEntry.PageKMultiRel,
+        SparkEntry.ServeTierRel, ServeTierLayoutScales,
+        SparkEntry.Bm25K1, SparkEntry.Bm25B, SparkEntry.RrfPoolN,
+        SparkEntry.PostBuckets, SparkEntry.refineParams("cos_l1").alpha,
+        DeleteMod, asOf = v).collect().map(_.toSeq).toSet
+    // snapshot 0: no tombstone applied — the pristine capstone through
+    // the delete-as-of path
+    val pristine = SparkEntry.queries("q_serve_requests_tiered")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(asOf(0) == pristine && pristine.nonEmpty,
+      "tiered delete asOf 0 diverged from the pristine tiered capstone")
+    // snapshot 2 (the full delete set applied) row-equals the serve
+    // over the layout PHYSICALLY committed with the delete — the
+    // merge-on-read anti-join view == the rewritten-bucket layout
+    val committed = SparkEntry.queries("q_serve_requests_tiered_delete")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(asOf(2) == committed && committed.nonEmpty,
+      "tiered delete asOf 2 != the physically deleted layout's serve")
+    // and the snapshots differ (the tombstones actually bite somewhere)
+    assert(asOf(2) != pristine,
+      "tiered delete snapshots indistinguishable — vacuous fixture")
+    assert(files() == before,
+      "serving tiered delete snapshots mutated the base layout's files")
+  }
+
   test("tiered INDEXED serve layout: one scan prunes cells (files), tiers (chunks), and langs (rows)") {
     // the fully-composed vector side: probe cells as a static partition
     // filter, the bound tiers' code columns as the only chunks read,
