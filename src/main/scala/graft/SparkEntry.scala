@@ -2859,6 +2859,17 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, DeleteMod)),
+    // ... and ITS ledger — the retention ledger: v_cands and both byte
+    // denominators count what the layout HOLDS post-delete (id universe
+    // from the committed layout itself), so the tombstones are gone
+    // from the accounting exactly as they are from the serve
+    "q_serve_requests_tiered_delete_metrics" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredDeletedMetrics(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, EmbD, DeleteMod)),
     // ... and DELETE + TIME TRAVEL composed — the tiered layout's
     // versioned DELETE log (a separate published dir from the update
     // log: DeleteMod != UpsertMod) served at snapshot 1 merge-on-read:
@@ -2872,6 +2883,17 @@ object SparkEntry {
         pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, DeleteMod, TieredAsOfSnapshot)),
+    // ... and the snapshot retention ledger: every count and byte term
+    // reflects the SNAPSHOT's surviving rows — the merge-on-read view
+    // is both the served relation and the ledger's id universe
+    "q_serve_requests_tiered_delete_asof_metrics" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredDeletedAsOfMetrics(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, EmbD, DeleteMod,
+        TieredAsOfSnapshot)),
     // ... and TIME TRAVEL on the INDEXED tiered layout — the as-of verb
     // where the commit MOVES ROWS ACROSS CELLS: the snapshot view
     // re-derives the prefix's rows from the layout itself (vector
@@ -4020,6 +4042,22 @@ object SparkEntry {
         PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
         Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
         qrelPathForOracle(), delMod = 2 * DeleteMod),
+    // the retention ledgers: v_cands and the byte denominators over the
+    // SURVIVING corpus (delete view / its snapshot prefix)
+    "q_serve_requests_tiered_delete_metrics" ->
+      SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        graft.sources.Disaggregated.serveTierCodeBytes,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN,
+        bm25MultiStatsForOracle(), qrelPathForOracle(),
+        delMod = DeleteMod),
+    "q_serve_requests_tiered_delete_asof_metrics" ->
+      SearchOracle.serveRequestsTieredMetricsSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        graft.sources.Disaggregated.serveTierCodeBytes,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN,
+        bm25MultiStatsForOracle(), qrelPathForOracle(),
+        delMod = 2 * DeleteMod),
     // the indexed twin: the same cut on the probed-cell candidates
     // (assignment/probes stale — the delete leaves the quantizer alone)
     "q_serve_requests_tiered_indexed_delete" ->

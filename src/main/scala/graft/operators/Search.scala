@@ -2472,6 +2472,71 @@ object Search {
         k1, b, poolN, nBuckets, vecPool), ks)
   }
 
+  /** [[serveRequestsTieredMetrics]] over the DELETED tiered layout —
+    * the retention ledger: `v_cands`, `bytes_vec`'s lang-column and
+    * code terms, AND the full-scan denominator all count what the
+    * layout HOLDS (the tombstoned rows are gone from the cheap pass,
+    * the rescore, and the accounting alike), with the id universe
+    * derived from the committed layout itself, never re-derived from
+    * the predicate. Queries still come from the table — so `save` is
+    * the bandwidth saving of the serve the user actually gets over the
+    * post-delete corpus. */
+  def serveRequestsTieredDeletedMetrics(spark: SparkSession,
+                                        sfDir: String, emb: DataFrame,
+                                        docMeta: DataFrame,
+                                        queries: Seq[(Long, Seq[String])],
+                                        filters: Seq[(Long, String)],
+                                        weights: Seq[(Long, Double)],
+                                        ks: Seq[(Long, Int)],
+                                        tiers: Seq[(Long, Int)],
+                                        layoutScales: Seq[Int],
+                                        k1: Double, b: Double,
+                                        poolN: Int, nBuckets: Int,
+                                        alpha: Double, d: Int,
+                                        mod: Int): DataFrame = {
+    val layout = graft.sources.Disaggregated.ensureTieredServeDeleted(
+      spark, sfDir, layoutScales, mod)
+    val candIds = spark.read.parquet(layout)
+      .select(col("id").as("vec_id"))
+    serveRequestsTieredMetrics(spark, sfDir, emb, docMeta, queries,
+      filters, weights, ks, tiers, layoutScales, k1, b, poolN, nBuckets,
+      alpha, d, layoutPath = Some(layout), candIds = Some(candIds))
+  }
+
+  /** [[serveRequestsTieredDeletedMetrics]] at snapshot `asOf` of the
+    * delete log — the time-travel retention ledger: every count and
+    * byte term reflects the SNAPSHOT's surviving rows (the merge-on-
+    * read anti-join view is both the served relation and the ledger's
+    * id universe). */
+  def serveRequestsTieredDeletedAsOfMetrics(spark: SparkSession,
+                                            sfDir: String,
+                                            emb: DataFrame,
+                                            docMeta: DataFrame,
+                                            queries: Seq[(Long, Seq[String])],
+                                            filters: Seq[(Long, String)],
+                                            weights: Seq[(Long, Double)],
+                                            ks: Seq[(Long, Int)],
+                                            tiers: Seq[(Long, Int)],
+                                            layoutScales: Seq[Int],
+                                            k1: Double, b: Double,
+                                            poolN: Int, nBuckets: Int,
+                                            alpha: Double, d: Int,
+                                            mod: Int,
+                                            asOf: Int): DataFrame = {
+    val path = graft.sources.Disaggregated.ensureTieredServeFixture(
+      spark, sfDir, layoutScales)
+    val delIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, path, mod, idCol = "id"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("id"))
+    val view = spark.read.parquet(path)
+      .join(delIds, Seq("id"), "left_anti")
+    serveRequestsTieredMetrics(spark, sfDir, emb, docMeta, queries,
+      filters, weights, ks, tiers, layoutScales, k1, b, poolN, nBuckets,
+      alpha, d, storedView = Some(view),
+      candIds = Some(view.select(col("id").as("vec_id"))))
+  }
+
   /**
    * [[serveRequestsTiered]]'s per-request byte ledger — where the tier
    * becomes VISIBLE: `bytes_vec` = 8·N (the lang pre-filter column) +
@@ -2494,7 +2559,8 @@ object Search {
                                  b: Double, poolN: Int, nBuckets: Int,
                                  alpha: Double, d: Int,
                                  layoutPath: Option[String] = None,
-                                 storedView: Option[DataFrame] = None)
+                                 storedView: Option[DataFrame] = None,
+                                 candIds: Option[DataFrame] = None)
       : DataFrame = {
     require(ks.nonEmpty, "serveRequestsTieredMetrics: empty page relation")
     require(filters.nonEmpty,
@@ -2512,13 +2578,18 @@ object Search {
     val tAgg = servePostingBytes(spark, root, queries, nBuckets)
     val meta = docMeta.select(col("doc_id").as("id"), col("lang"))
     val qf = broadcast(filters.toDF("qid", "lang"))
-    val vAgg = emb.select(col("vec_id").as("id")).join(meta, Seq("id"))
+    // candIds overrides the candidate-corpus id universe for v_cands
+    // and the byte denominators: a DELETE shrinks the layout, and the
+    // honest ledger counts what the layout HOLDS (queries still come
+    // from the full table — the delete contract)
+    val candIdsDf = candIds.getOrElse(emb.select(col("vec_id")))
+    val vAgg = candIdsDf.select(col("vec_id").as("id")).join(meta, Seq("id"))
       .join(qf, Seq("lang"))
       .groupBy(col("qid")).agg(count(lit(1)).as("v_cands"))
     val fetchAgg = fetch.groupBy(col("qid"))
       .agg(count(lit(1)).as("fetched"))
     val fAgg = fused.groupBy(col("qid")).agg(count(lit(1)).as("fused"))
-    val nV = emb.count() // one bounded scalar (a model)
+    val nV = candIdsDf.count() // one bounded scalar (a model)
     val trRel = broadcast(tiers.map { case (qid, s) =>
       (qid, s, graft.sources.Disaggregated.serveTierCodeBytes(s)
         .toLong * d) }.toDF("qid", "tier", "b_red"))

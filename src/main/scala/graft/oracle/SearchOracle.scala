@@ -1228,10 +1228,18 @@ object SearchOracle {
                                     alpha: Double, k1: Double, b: Double,
                                     poolN: Int, st: Option[Bm25Stats],
                                     relPath: Option[String] = None,
-                                    negMod: Int = 0): String = {
+                                    negMod: Int = 0,
+                                    delMod: Int = 0): String = {
     val nq = (filters.map(_._1).max + 1).toInt
     val pool = tieredVecPoolCtes(d, nq, tiers, alpha, poolN, relPath,
-      negMod)
+      negMod, delMod)
+    // the retention ledger (delMod > 0): v_cands and both byte
+    // denominators count the SURVIVING corpus — the deleted rows are
+    // gone from the layout, so they are gone from the accounting too
+    val delPredVc = if (delMod <= 0) ""
+      else s" AND e.vec_id % $delMod <> 0"
+    val delPredNv = if (delMod <= 0) ""
+      else s" WHERE vec_id % $delMod <> 0"
     val usedScales = tiers.map(_._2).distinct.sorted
     val bRedExpr = usedScales.init
       .foldRight(s"${tierCodeBytes(usedScales.last)}") { (s, rest) =>
@@ -1243,10 +1251,10 @@ object SearchOracle {
        |  FROM posts p JOIN qt ON p.term = qt.term GROUP BY qt.qid),
        |vc AS (SELECT qf.qid, COUNT(*) AS v_cands
        |  FROM embeddings e JOIN documents dm3 ON e.vec_id = dm3.doc_id
-       |  JOIN qf ON qf.lang = dm3.lang GROUP BY qf.qid),
+       |  JOIN qf ON qf.lang = dm3.lang$delPredVc GROUP BY qf.qid),
        |tfc AS (SELECT qid, COUNT(*) AS fetched FROM tfetch GROUP BY qid),
        |fc AS (SELECT qid, COUNT(*) AS fused FROM scoredf GROUP BY qid),
-       |nvs AS (SELECT COUNT(*) AS nv FROM embeddings),
+       |nvs AS (SELECT COUNT(*) AS nv FROM embeddings$delPredNv),
        |perq AS (SELECT qk3.qid, tr.tier,
        |    COALESCE(tc.t_cands, 0) AS t_cands,
        |    COALESCE(vc.v_cands, 0) AS v_cands,
