@@ -971,6 +971,32 @@ object SparkEntry {
       s"$qname oracle: train-sample stride unavailable (no sfDir seen " +
         "and no SparkSession) — refusing to default to full-corpus " +
         "training"))
+  // SAMPLED coarse-quantizer training (q_kmeans_converge_sampled): ~16
+  // training vectors per cell, the same grows-with-N stride discipline
+  // as the PQ codebook sample — the Lloyd convergence ledger over a
+  // BOUNDED train set, the 100 TB coarse-quantizer path. The per-cell
+  // constant is sized so the stride exceeds 1 at the driver's verify
+  // scale (n=500 → stride 3) — a vacuous sample would silently grade
+  // the full-corpus trainer
+  final val KmTrainPerCell = 16
+  private val kmSampleEveryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def kmTrainSampleEvery(s: SparkSession, dir: String): Int =
+    kmSampleEveryCache.computeIfAbsent(dir, _ => {
+      val n = emb(s, dir).count()
+      Int.box(math.max(1L, n / (KmTrainPerCell.toLong * IvfCells)).toInt)
+    })
+  private def kmTrainSampleEveryForOracleStrict(qname: String): Int =
+    Option(lastSfDir.get()).flatMap { dir =>
+      Option(kmSampleEveryCache.get(dir)).map(_.intValue).orElse {
+        SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(s => kmTrainSampleEvery(s, dir))
+      }
+    }.getOrElse(sys.error(
+      s"$qname oracle: km-train sample stride unavailable (no sfDir " +
+        "seen and no SparkSession) — refusing to default to " +
+        "full-corpus training"))
   // sharded index build (q_ann_ivf_pq_sharded): 3 slices by id mod
   final val PqShards = 3
   // binary quantization: one 64-bit sign word per vector, Hamming cheap
@@ -1960,6 +1986,16 @@ object SparkEntry {
     // non-increasing by Lloyd's two half-steps
     "q_kmeans_converge" -> q((s, dir) => graft.operators.Ivf.kmeansConverge(
       emb(s, dir), IvfCells, EmbD, KmeansIters)),
+    // ... and the SAMPLED trainer — the coarse quantizer's 100 TB
+    // training path as a declared rung: the whole Lloyd loop
+    // (assignment, SSE ledger, retrain) over the counter-keyed sample
+    // (ids ≡ 0 mod stride, stride ∝ N so the train set stays bounded);
+    // the ledger is the trainer's own objective on its own train set
+    "q_kmeans_converge_sampled" -> q((s, dir) =>
+      graft.operators.Ivf.kmeansConverge(
+        emb(s, dir).filter(org.apache.spark.sql.functions.col("vec_id")
+          % kmTrainSampleEvery(s, dir) === 0),
+        IvfCells, EmbD, KmeansIters)),
     // PQ codebook training (the FAISS ProductQuantizer::train step):
     // one Lloyd iteration of the per-subspace codebooks off the dyadic
     // init — (m, code, j, n, mean) with the order-deterministic fold
@@ -3566,6 +3602,12 @@ object SparkEntry {
       IvfProbe),
     "q_kmeans_converge" -> IvfOracle.kmeansConvergeSql(EmbD, IvfCells,
       KmeansIters),
+    // the sampled trainer's ledger: the identical Lloyd CTEs over the
+    // counter-keyed sample, stride embedded as the same literal
+    "q_kmeans_converge_sampled" -> IvfOracle.kmeansConvergeSql(EmbD,
+      IvfCells, KmeansIters,
+      sampleEvery = kmTrainSampleEveryForOracleStrict(
+        "q_kmeans_converge_sampled")),
     "q_pq_train" -> PqOracle.trainStepSql(EmbD, PqM, PqCodes),
     "q_pq_distortion" -> PqOracle.distortionSql(EmbD, PqM, PqCodes),
     // sampled training: the identical trained chain with the Lloyd

@@ -142,7 +142,15 @@ object IvfOracle {
     * folds, min/argmin with ties to the smaller cell), the SSE as a
     * vec_id-ordered list_reduce, and the retrained means CTE feeding
     * the next iteration. Rows (iter, sse, cells) via UNION ALL. */
-  def kmeansConvergeSql(d: Int, nCells: Int, iters: Int): String = {
+  def kmeansConvergeSql(d: Int, nCells: Int, iters: Int,
+                        sampleEvery: Int = 1): String = {
+    // SAMPLED coarse-quantizer training (sampleEvery > 1): the whole
+    // Lloyd loop — assignment, SSE ledger, retrain — runs over the
+    // counter-keyed sample (ids ≡ 0 mod sampleEvery), the engine's
+    // exact train set; the stride literal is embedded identically on
+    // both engines (the measuredComp discipline)
+    val src = if (sampleEvery <= 1) "embeddings"
+      else s"(SELECT * FROM embeddings WHERE vec_id % $sampleEvery = 0)"
     val distCols = (0 until nCells)
       .map(c => s"${cellDistExpr("e", c, d)} AS c$c").mkString(",\n  ")
     val leastExpr = "LEAST(" + (0 until nCells).map(c => s"c$c").mkString(", ") + ")"
@@ -153,7 +161,7 @@ object IvfOracle {
       s"""WITH a0 AS MATERIALIZED (SELECT vec_id, $argmin AS cell, m AS di
          |  FROM (SELECT e.vec_id, $distCols,
          |          $leastExpr AS m
-         |        FROM embeddings e)),
+         |        FROM $src e)),
          |s0 AS (SELECT 0 AS iter,
          |    list_reduce(list(di ORDER BY vec_id), (a, v) -> a + v) AS sse,
          |    COUNT(DISTINCT cell) AS cells FROM a0)""".stripMargin)
@@ -163,7 +171,7 @@ object IvfOracle {
         |km$it AS MATERIALIZED (SELECT p.cell, CAST(t.j AS INTEGER) AS j,
         |    list_reduce(list(CAST(e.embedding[t.j] AS DOUBLE) ORDER BY e.vec_id),
         |      (acc, v) -> acc + v) / CAST(COUNT(*) AS DOUBLE) AS mean
-        |  FROM $prev p JOIN embeddings e ON e.vec_id = p.vec_id
+        |  FROM $prev p JOIN $src e ON e.vec_id = p.vec_id
         |  CROSS JOIN generate_series(1, $d) AS t(j)
         |  GROUP BY p.cell, t.j),
         |cd$it AS MATERIALIZED (SELECT e.vec_id, km$it.cell,
@@ -171,7 +179,7 @@ object IvfOracle {
         |      (CAST(e.embedding[km$it.j] AS DOUBLE) - km$it.mean)
         |        * (CAST(e.embedding[km$it.j] AS DOUBLE) - km$it.mean)
         |      ORDER BY km$it.j), (acc, v) -> acc + v) AS d2
-        |  FROM embeddings e CROSS JOIN km$it
+        |  FROM $src e CROSS JOIN km$it
         |  GROUP BY e.vec_id, km$it.cell),
         |a$it AS MATERIALIZED (SELECT vec_id, cell, d2 AS di FROM (
         |    SELECT vec_id, cell, d2,
