@@ -296,6 +296,11 @@ object Bench {
         graft.sources.Disaggregated.ensureTieredServeFixture(spark,
           sfDir, SparkEntry.ServeTierLayoutScales),
         SparkEntry.DeleteMod, idCol = "id")
+      graft.operators.Pq.ensureVersionedTombstones(spark,
+        graft.sources.Disaggregated.ensureTieredServeIndexedFixture(
+          spark, sfDir, SparkEntry.ServeTierLayoutScales,
+          SparkEntry.IvfCells, SparkEntry.EmbD),
+        SparkEntry.DeleteMod, idCol = "id")
       graft.operators.Ivf.ensureKnnGraphUpsertAsOfCompacted(spark,
         knnGraphPath, graft.Tables.embeddings(spark, sfDir),
         spark.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(

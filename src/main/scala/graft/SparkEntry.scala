@@ -2945,6 +2945,18 @@ object SparkEntry {
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
         UpsertMod, TieredAsOfSnapshot)),
+    // ... and DELETE + TIME TRAVEL composed on the INDEXED layout:
+    // snapshot 1 of the indexed layout's delete log served merge-on-
+    // read (survivors keep their stale cells — the Lucene contract;
+    // probes from the table; base cell files byte-immutable)
+    "q_serve_requests_tiered_indexed_delete_asof" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexedDeletedAsOf(s,
+        dir, emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+        DeleteMod, TieredAsOfSnapshot)),
     // ... and DELETE on the INDEXED tiered layout: the tombstoned ids'
     // rows dropped from their stored cells (coarse quantizer STALE —
     // the Lucene contract), only those cells rewritten, emptied cells
@@ -4108,6 +4120,14 @@ object SparkEntry {
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
         IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
         delMod = DeleteMod),
+    // the indexed capstone at snapshot 1 of the delete log: the same
+    // CTEs with the tombstone prefix cut from the probed-cell candidates
+    "q_serve_requests_tiered_indexed_delete_asof" ->
+      SearchOracle.serveRequestsTieredIndexedSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
+        delMod = 2 * DeleteMod),
     // the indexed tiered capstone over the commit view: assignment,
     // probes, codes, and rescore all recomputed from the negated
     // prefix — cells move and the oracle moves with them

@@ -2923,6 +2923,56 @@ object Search {
   }
 
   /**
+   * DELETE + TIME TRAVEL on the INDEXED tiered layout — the verb pair
+   * composed on the cell-partitioned store: delete commits recorded in
+   * the layout's versioned log, snapshot `asOf` served merge-on-read
+   * off the PRISTINE indexed base with the applied tombstone prefix
+   * anti-joined out. Cell assignment of the SURVIVORS stays stale (a
+   * delete never moves rows — the Lucene contract the physically
+   * deleted layout also keeps), probes derive from the table's query
+   * vectors (deletes never rewrite external probes), and base cell
+   * files are byte-immutable per snapshot. The prefix anti-join is
+   * AQE-sized, never broadcast-hinted.
+   */
+  def serveRequestsTieredIndexedDeletedAsOf(spark: SparkSession,
+                                            sfDir: String,
+                                            emb: DataFrame,
+                                            docMeta: DataFrame,
+                                            queries: Seq[(Long, Seq[String])],
+                                            filters: Seq[(Long, String)],
+                                            weights: Seq[(Long, Double)],
+                                            ks: Seq[(Long, Int)],
+                                            tiers: Seq[(Long, Int)],
+                                            layoutScales: Seq[Int],
+                                            k1: Double, b: Double,
+                                            poolN: Int, nBuckets: Int,
+                                            alpha: Double, nCells: Int,
+                                            d: Int, nprobe: Int,
+                                            mod: Int,
+                                            asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val path = graft.sources.Disaggregated
+      .ensureTieredServeIndexedFixture(spark, sfDir, layoutScales,
+        nCells, d)
+    val delIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, path, mod, idCol = "id"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("id"))
+    val view = spark.read.parquet(path)
+      .join(delIds, Seq("id"), "left_anti")
+    val fetch = tieredServeIndexedFetch(spark, sfDir, emb, filters,
+      tiers, layoutScales, poolN, alpha, nCells, d, nprobe,
+      storedView = Some(view))
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
+  /**
    * The INDEXED tiered layout's SNAPSHOT view — time travel where the
    * commit MOVES ROWS ACROSS CELLS: the applied prefix's rows are
    * re-derived FROM THE LAYOUT ITSELF (vector flipped, cell re-assigned
