@@ -315,9 +315,15 @@ object Bench {
       graft.operators.Search.ensureTieredServeAsOfCompacted(spark, sfDir,
         SparkEntry.ServeTierLayoutScales, SparkEntry.UpsertMod,
         SparkEntry.TieredAsOfSnapshot)
+      graft.operators.Search.ensureTieredServeIndexedAsOfCompacted(spark,
+        sfDir, SparkEntry.ServeTierLayoutScales, SparkEntry.IvfCells,
+        SparkEntry.EmbD, SparkEntry.UpsertMod,
+        SparkEntry.TieredAsOfSnapshot)
       SparkEntry.queries("q_stream_serve_requests_tiered_mixed")(
         spark, sfDir).count()
       SparkEntry.queries("q_stream_serve_requests_tiered_indexed_multi")(
+        spark, sfDir).count()
+      SparkEntry.queries("q_stream_serve_requests_tiered_indexed_mixed")(
         spark, sfDir).count()
     }
     // QUIET-LOAD GATE (r13 verdict #7): every prior round's figure-of-

@@ -744,6 +744,83 @@ object Soak {
       }
     }
 
+    // ---- tiered serve layout DELETE commit at soak scale ---------------
+    // the round-18 retention verb measured, not argued: the id-bucketed
+    // tiered layout (pb = id mod 16) is built over the full soak corpus,
+    // then a delete commit whose tombstones all land in ONE bucket
+    // (ids ≡ 0 mod 64 ⇒ pb = 0) is applied — commit I/O must be
+    // proportional to the touched bucket, so the commit wall must sit
+    // well under the build wall, the untouched 15 buckets must stay
+    // byte-identical (mtime+size), and the committed row count must
+    // equal corpus − tombstones exactly.
+    {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-soak-tiers-")
+      try {
+        val tScales = Seq(4, 11)
+        val layoutDir = scratch.resolve("tiers").toString
+        // overflow guard: the raw N(0,1) draws are unnormalized, so the
+        // fixture's code-width require rides along (one bounded scan)
+        val maxAbs = embSoak
+          .select(max(aggregate(col("embedding"), lit(0.0d),
+            (a, x) => greatest(a, abs(x.cast("double"))))))
+          .collect()(0).getDouble(0)
+        tScales.foreach { s =>
+          val lim = if (graft.sources.Disaggregated
+            .serveTierCodeBytes(s) == 1) 127.0 else 32767.0
+          require(maxAbs * math.pow(2.0, s) + 0.5 < lim,
+            s"soak tier 2^$s overflows its code width at |v|max=$maxAbs")
+        }
+        val vecs = embSoak.select(col("vec_id").as("id"),
+          concat(lit("l"), pmod(col("vec_id"), lit(4L))).as("lang"),
+          col("embedding").as("vec"))
+        step("tiers_build") {
+          graft.sources.Disaggregated.writeServeTiersPartitioned(
+            vecs, layoutDir, tScales)
+          spark.read.parquet(layoutDir).count()
+        }
+        def bucketFiles(): Map[String, (Long, Long)] = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(layoutDir))
+            .iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => java.nio.file.Paths.get(layoutDir)
+              .relativize(f).toString ->
+              (java.nio.file.Files.size(f),
+                java.nio.file.Files.getLastModifiedTime(f).toMillis))
+            .toMap
+        }
+        val before = bucketFiles()
+        val delMod = 64L // multiple of the 16 id buckets: all pb = 0
+        step("tiers_delete_commit") {
+          graft.sources.Disaggregated.commitServeTierDeletes(spark,
+            layoutDir,
+            embSoak.select(col("vec_id").as("id"))
+              .filter(col("id") % delMod === 0))
+          spark.read.parquet(layoutDir).count()
+        }
+        val after = bucketFiles()
+        val changed = (before.keySet ++ after.keySet).filter(k =>
+          before.get(k) != after.get(k))
+        require(changed.nonEmpty && changed.forall(_.startsWith("pb=0")),
+          s"delete commit touched buckets outside pb=0: " +
+            changed.filterNot(_.startsWith("pb=0")).take(5).mkString(", "))
+        val expect = nVec - (nVec + delMod - 1) / delMod // ids 0,64,... < nVec
+        require(counts("tiers_delete_commit") == expect,
+          s"committed layout holds ${counts("tiers_delete_commit")} " +
+            s"rows, expected $expect")
+        require(times("tiers_delete_commit") <=
+            0.5 * times("tiers_build"),
+          f"tiered delete commit ${times("tiers_delete_commit")}%.1f s " +
+            f"not clearly under the build ${times("tiers_build")}%.1f s " +
+            "— commit I/O not proportional to the touched bucket")
+        System.err.println(
+          f"[soak] tiers delete commit/build wall ratio: " +
+            f"${times("tiers_delete_commit") / times("tiers_build")}%.3f " +
+            f"(1 of 16 buckets touched)")
+      } finally graft.sources.VecFiles.deleteRecursively(scratch)
+    }
+
     val total = times.values.sum
     def jnum(d: Double) = f"$d%.3f"
     val qs = times.map { case (k, t) =>

@@ -2945,6 +2945,20 @@ object SparkEntry {
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
         UpsertMod, TieredAsOfSnapshot)),
+    // ... and ITS OPTIMIZE — the indexed log's snapshot compaction:
+    // the merge-on-read view (rows MOVED to their snapshot cells,
+    // codes recomputed for the prefix only) materialized once into a
+    // published cell-partitioned layout; the post-compact serve's
+    // stored relation is the pristine fixture's plain pruned scan —
+    // hash-equal to the merge-on-read serve, same oracle
+    "q_serve_requests_tiered_indexed_asof_compact" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexedAsOfCompacted(s,
+        dir, emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+        UpsertMod, TieredAsOfSnapshot)),
     // ... and DELETE + TIME TRAVEL composed on the INDEXED layout:
     // snapshot 1 of the indexed layout's delete log served merge-on-
     // read (survivors keep their stale cells — the Lucene contract;
@@ -3102,6 +3116,20 @@ object SparkEntry {
           ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
           refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
           UpsertMod, StreamMultiMutatePhases)),
+    // ... and the verbs MIXED on the INDEXED layout — the upsert commit
+    // MOVES rows across cells, the delete commit DROPS rows from their
+    // stored cells (survivors' cells stale — the Lucene contract), both
+    // between request phases on the stream's layout copy; drained union
+    // = the 3 per-snapshot indexed serves with negMod + delMod composed
+    "q_stream_serve_requests_tiered_indexed_mixed" -> q((s, dir) =>
+      graft.streaming.StreamOps
+        .serveRequestsTieredIndexedMixedMutatingOverStream(s, dir,
+          emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+          filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+          pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+          ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+          refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+          UpsertMod, DeleteMod, StreamMixedMutatePhases)),
     // ... and REQUESTS AS A STREAM — the online-serving shape: each
     // microbatch serves its arriving requests' full objects off the
     // static layouts; per-request independence (df per term, per-qid
@@ -4077,6 +4105,13 @@ object SparkEntry {
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
         IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
         negMod = 2 * UpsertMod),
+    // snapshot compaction folds the log, it never changes the snapshot
+    "q_serve_requests_tiered_indexed_asof_compact" ->
+      SearchOracle.serveRequestsTieredIndexedSql(EmbD, Bm25MultiQueries,
+        FilterMultiRel, FusionMultiRel, PageKMultiRel, ServeTierRel,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
+        negMod = 2 * UpsertMod),
     // the tiered capstone over the delete view: tombstoned ids cut from
     // the vector candidate corpus, queries from the table — the
     // committed layout physically lacks the rows the predicate drops
@@ -4215,6 +4250,24 @@ object SparkEntry {
             PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
             Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
             qrelPathForOracle(),
+            negMod = if (k >= 1) UpsertMod else 0,
+            delMod = if (k >= 2) DeleteMod else 0)
+          val in = qs.toSeq.sorted.mkString(", ")
+          s"SELECT * FROM ($sql) WHERE qid IN ($in)"
+      }
+      parts.mkString("\nUNION ALL\n")
+    },
+    // the indexed mixed-verb stream: 3 per-snapshot INDEXED capstones
+    // unioned — phase 1 the upsert view (assignment/probes/codes all
+    // moved), phase 2 the upsert AND delete views composed
+    "q_stream_serve_requests_tiered_indexed_mixed" -> {
+      val parts = StreamMixedMutatePhases.zipWithIndex.map {
+        case (qs, k) =>
+          val sql = SearchOracle.serveRequestsTieredIndexedSql(
+            EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+            PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+            Bm25K1, Bm25B, RrfPoolN, IvfCells, IvfProbe,
+            bm25MultiStatsForOracle(), qrelPathForOracle(),
             negMod = if (k >= 1) UpsertMod else 0,
             delMod = if (k >= 2) DeleteMod else 0)
           val in = qs.toSeq.sorted.mkString(", ")

@@ -3062,6 +3062,92 @@ object Search {
         k1, b, poolN, nBuckets, vecPool), ks)
   }
 
+  /** Bump when the compacted as-of indexed tiered layout changes. */
+  private val TieredIndexedAsOfCompactLayoutVersion = 1
+
+  /**
+   * SNAPSHOT COMPACTION of the INDEXED tiered layout's update log —
+   * [[ensureTieredServeAsOfCompacted]] where the fold has to MOVE ROWS
+   * ACROSS CELL PARTITIONS: the merge-on-read snapshot view (prefix
+   * rows with flipped vectors, re-assigned cells, recomputed codes;
+   * everything else verbatim from the base) is materialized ONCE into
+   * a published cell-partitioned layout, so the post-compact serve's
+   * stored relation is the plain pruned scan the pristine fixture
+   * gets — probe cells as partition filters, no log join, no in-plan
+   * assignment or code recompute. Row-count conservation at publish;
+   * atomic version-keyed dir anchored on the indexed fixture.
+   */
+  def ensureTieredServeIndexedAsOfCompacted(spark: SparkSession,
+                                            sfDir: String,
+                                            layoutScales: Seq[Int],
+                                            nCells: Int, d: Int,
+                                            mod: Int,
+                                            asOf: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.sources.Disaggregated
+      .ensureTieredServeIndexedFixture(spark, sfDir, layoutScales,
+        nCells, d)
+    val path = Paths.get(base +
+      s"_asofcmp_v${TieredIndexedAsOfCompactLayoutVersion}_m${mod}_a$asOf")
+    if (!Files.exists(path.resolve("_DONE"))) {
+      val tmp = Files.createTempDirectory(path.getParent,
+        "servetiasofcmp-")
+      val (view, _) = tieredServeIndexedAsOfView(spark, sfDir,
+        layoutScales, nCells, d, mod, asOf)
+      view
+        .repartition(col("cell")).sortWithinPartitions(col("id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cell").parquet(tmp.resolve("tiers").toString)
+      val compactN = spark.read.parquet(tmp.resolve("tiers").toString)
+        .count()
+      val baseN = spark.read.parquet(base).count()
+      require(compactN == baseN,
+        s"as-of indexed tiered compaction invariant broken: $compactN " +
+          s"rows after compact vs $baseN in the base layout")
+      Files.createFile(tmp.resolve("_DONE"))
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_DONE")),
+        s"compacted as-of indexed layout publish failed: $path")
+    }
+    path.toString
+  }
+
+  /** The INDEXED tiered snapshot served AFTER as-of compaction: the
+    * [[serveRequestsTieredIndexedOff]] path over the compacted
+    * cell-partitioned base — probes from the snapshot's query vectors,
+    * the stored relation a plain pruned scan. Hash-equal to
+    * [[serveRequestsTieredIndexedAsOf]], same oracle. */
+  def serveRequestsTieredIndexedAsOfCompacted(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, nCells: Int, d: Int, nprobe: Int,
+      mod: Int, asOf: Int): DataFrame = {
+    val compacted = ensureTieredServeIndexedAsOfCompacted(spark, sfDir,
+      layoutScales, nCells, d, mod, asOf) + "/tiers"
+    val basePath = graft.sources.Disaggregated
+      .ensureTieredServeIndexedFixture(spark, sfDir, layoutScales,
+        nCells, d)
+    val updIds = spark.read.parquet(graft.operators.Pq
+        .ensureVersionedTombstones(spark, basePath, mod, idCol = "id"))
+      .filter(col("commit_v") <= asOf)
+      .select(col("id"))
+    val embAsOf = emb
+      .join(updIds.select(col("id").as("vec_id"))
+        .withColumn("upd", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("upd") === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    serveRequestsTieredIndexedOff(spark, sfDir, Some(compacted),
+      embAsOf, docMeta, queries, filters, weights, ks, tiers,
+      layoutScales, k1, b, poolN, nBuckets, alpha, nCells, d, nprobe)
+  }
+
   /**
    * [[serveRequestsTieredIndexed]]'s ledger — per-request bytes where
    * ALL THREE vector-side savings are visible at once: `pc_rows`·8

@@ -1790,6 +1790,147 @@ object StreamOps {
   }
 
   /**
+   * [[serveRequestsTieredMixedMutatingOverStream]] on the INDEXED
+   * (cell-partitioned) layout — the verbs mixed where each one has a
+   * DIFFERENT partition story: the upsert commit MOVES its rows across
+   * cells (old ∪ new cells rewritten), the delete commit DROPS its rows
+   * from their stored cells (touched = the layout's own assignment of
+   * the tombstones, emptied cells swept, surviving rows' cells stale —
+   * the Lucene contract). Same marker + stamped-mtime exactly-once
+   * discipline; phase-2 requests probe the upserted-then-deleted state
+   * with the upsert view's query vectors. Drained union = the three
+   * per-snapshot indexed serves with negMod and delMod composed.
+   */
+  def serveRequestsTieredIndexedMixedMutatingOverStream(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, nCells: Int, d: Int, nprobe: Int,
+      umod: Int, dmod: Int, phases: Seq[Set[Long]]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    require(umod >= 2 && dmod >= 2 && umod != dmod,
+      s"umod=$umod dmod=$dmod must be distinct moduli >= 2")
+    require(phases.size == 3,
+      "mixed mutating indexed serve is 3 phases: pristine | upserted " +
+        "| upserted+deleted")
+    require(phases.forall(_.nonEmpty),
+      "every phase needs at least one request")
+    val allQids = ks.map(_._1).toSet
+    require(phases.flatten.toSet == allQids &&
+        phases.map(_.size).sum == allQids.size,
+      "phases must partition the request qids")
+    graft.operators.Search.ensurePostingsLayout(spark, sfDir, nBuckets)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val reqKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(queries, filters, weights, ks, tiers, layoutScales,
+          k1, b, poolN, nBuckets, alpha, nCells, d, nprobe, umod, dmod,
+          phases.map(_.toSeq.sorted))
+        .mkString(";").getBytes("UTF-8"))
+      .take(8).map(x => f"$x%02x").mkString
+    val landing = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_mxtireqlanding_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(landing.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory(landing.getParent, "mxtireq-")
+        val stamp0 = System.currentTimeMillis()
+        phases.zipWithIndex.foreach { case (qs, i) =>
+          appendLandingShard(spark, qs.toSeq.sorted, tmp,
+            stamp0 + i * LandingMtimeStepMs)
+        }
+        try Files.move(tmp, landing)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(landing.resolve("_SUCCESS")),
+          s"mixed-mutating indexed landing publish failed: $landing")
+      }
+    }
+    val outDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_mxtireqserve_sv${StreamMutatingServeLayoutVersion}" +
+        s"_${safe}_${reqKey}_v${graft.Fixture.srcVersion(sfDir)}")
+    synchronized {
+      if (!Files.exists(outDir.resolve("_DRAINED"))) {
+        val tmp = Files.createTempDirectory(outDir.getParent, "mxtireqs-")
+        val layout = tmp.resolve("tiers").toString
+        graft.sources.Disaggregated.writeServeTiersIndexed(spark, sfDir,
+          layout, layoutScales, nCells, d)
+        val resDir = tmp.resolve("results").toString
+        val phaseOf: Map[Long, Int] = phases.zipWithIndex
+          .flatMap { case (qs, i) => qs.map(_ -> i) }.toMap
+        val stream = spark.readStream
+          .schema(StructType(Seq(StructField("qid", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arrived = batch.select(col("qid")).collect()
+              .map(_.getLong(0)).toSet
+            if (arrived.nonEmpty) {
+              val ph = arrived.map(phaseOf)
+              require(ph.size == 1,
+                s"request batch $arrived straddles a commit boundary")
+              val k = ph.head
+              def applied: Int = (1 to 2)
+                .takeWhile(j => Files.exists(tmp.resolve(s"_COMMITTED_$j")))
+                .size
+              require(applied <= k,
+                s"phase-$k requests arrived after commit ${applied} — " +
+                  "the landing's interleaving contract is broken")
+              ((applied + 1) to k).foreach { j =>
+                if (j == 1)
+                  graft.sources.Disaggregated.commitServeTierIndexedUpserts(
+                    spark, layout,
+                    emb.select(col("vec_id").as("id"))
+                      .filter(col("id") % umod === 0),
+                    layoutScales, nCells, d)
+                else
+                  graft.sources.Disaggregated.commitServeTierIndexedDeletes(
+                    spark, layout,
+                    emb.select(col("vec_id").as("id"))
+                      .filter(col("id") % dmod === 0))
+                Files.createFile(tmp.resolve(s"_COMMITTED_$j"))
+              }
+              val embView =
+                if (k == 0) emb
+                else emb.select(col("vec_id"),
+                  when(col("vec_id") % umod === 0,
+                    transform(col("embedding"), x => -x))
+                    .otherwise(col("embedding")).as("embedding"),
+                  col("label"))
+              graft.operators.Search.serveRequestsTieredIndexedOff(spark,
+                  sfDir, Some(layout), embView, docMeta,
+                  queries.filter(kv => arrived(kv._1)),
+                  filters.filter(kv => arrived(kv._1)),
+                  weights.filter(kv => arrived(kv._1)),
+                  ks.filter(kv => arrived(kv._1)),
+                  tiers.filter(kv => arrived(kv._1)),
+                  layoutScales, k1, b, poolN, nBuckets, alpha, nCells,
+                  d, nprobe)
+                .write.mode("append").parquet(resDir)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require((1 to 2).forall(j =>
+            Files.exists(tmp.resolve(s"_COMMITTED_$j"))),
+          "drained without applying both commits")
+        Files.createFile(tmp.resolve("_DRAINED"))
+        try Files.move(tmp, outDir)
+        catch { case _: java.nio.file.FileSystemException =>
+          graft.sources.VecFiles.deleteRecursively(tmp) }
+        require(Files.exists(outDir.resolve("_DRAINED")),
+          s"mixed-mutating indexed stream publish failed: $outDir")
+      }
+    }
+    spark.read.parquet(s"$outDir/results")
+      .select(col("qid"), col("rank"), col("doc_id"), col("fused"),
+        col("tnorm"), col("vnorm"))
+  }
+
+  /**
    * The multi-commit mutating serve with the LIFECYCLE VERBS MIXED —
    * the shape a real retention-compliant serving system runs: an
    * UPDATE commit (ids ≡ 0 mod `umod`, v' = −v) lands between request
