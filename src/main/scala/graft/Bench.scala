@@ -301,6 +301,14 @@ object Bench {
           spark, sfDir, SparkEntry.ServeTierLayoutScales,
           SparkEntry.IvfCells, SparkEntry.EmbD),
         SparkEntry.DeleteMod, idCol = "id")
+      locally {
+        val tpath = graft.sources.Disaggregated.ensureTieredServeFixture(
+          spark, sfDir, SparkEntry.ServeTierLayoutScales)
+        graft.operators.Pq.ensureVersionedMixedLog(spark, tpath,
+          spark.read.parquet(tpath).select(
+            org.apache.spark.sql.functions.col("id")),
+          SparkEntry.UpsertMod, SparkEntry.DeleteMod, idCol = "id")
+      }
       graft.operators.Ivf.ensureKnnGraphUpsertAsOfCompacted(spark,
         knnGraphPath, graft.Tables.embeddings(spark, sfDir),
         spark.read.parquet(graft.operators.Ivf.ensureKnnGraphProbes(

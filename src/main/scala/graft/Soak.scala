@@ -809,15 +809,25 @@ object Soak {
         require(counts("tiers_delete_commit") == expect,
           s"committed layout holds ${counts("tiers_delete_commit")} " +
             s"rows, expected $expect")
-        require(times("tiers_delete_commit") <=
-            0.5 * times("tiers_build"),
-          f"tiered delete commit ${times("tiers_delete_commit")}%.1f s " +
-            f"not clearly under the build ${times("tiers_build")}%.1f s " +
-            "— commit I/O not proportional to the touched bucket")
+        // the I/O-proportionality gate is STRUCTURAL — bytes rewritten,
+        // not wall-clock: at this layout size the build is one big write
+        // job while the commit is several small ones, so fixed per-job
+        // overhead dominates the walls and a timing race would measure
+        // scheduler noise (the 2f083a7 ratio-gate lesson). The commit
+        // must rewrite no more than the touched bucket's share of the
+        // layout (1 of 16 buckets, 2x slack for compression variance).
+        val bytesAll = before.values.map(_._1).sum
+        val rewritten = after
+          .filter { case (k, v) => !before.get(k).contains(v) }
+          .values.map(_._1).sum
+        require(rewritten > 0 && rewritten <= bytesAll / 8,
+          s"delete commit rewrote $rewritten of $bytesAll layout bytes " +
+            "— not proportional to the one touched bucket")
         System.err.println(
-          f"[soak] tiers delete commit/build wall ratio: " +
+          f"[soak] tiers delete rewrote ${rewritten.toDouble / bytesAll}%.4f " +
+            f"of layout bytes (1 of 16 buckets); commit/build wall " +
             f"${times("tiers_delete_commit") / times("tiers_build")}%.3f " +
-            f"(1 of 16 buckets touched)")
+            "(reported, not gated)")
       } finally graft.sources.VecFiles.deleteRecursively(scratch)
     }
 

@@ -2868,6 +2868,18 @@ object SparkEntry {
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, EmbD, UpsertMod,
         TieredAsOfSnapshot)),
+    // ... and TIME TRAVEL over a HETEROGENEOUS-VERB log — one history
+    // mixing verbs (commit 1 upserts, commit 2 DELETES), applied in
+    // commit order at snapshot 2: the upserted-then-deleted view, an
+    // id in both commits upserted at 1 and GONE at 2 — the batch twin
+    // of the mixed-verb mutating stream, negMod + delMod composed
+    "q_serve_requests_tiered_mixed_asof" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredMixedAsOf(s, dir,
+        emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, UpsertMod, DeleteMod, asOf = 2)),
     // ... and the SNAPSHOT COMPACTED — the tiered update log's
     // OPTIMIZE: the merge-on-read view (prefix join + in-plan code
     // recompute) materialized once into a published id-bucketed layout
@@ -2959,6 +2971,17 @@ object SparkEntry {
         ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
         refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
         UpsertMod, TieredAsOfSnapshot)),
+    // ... and the PROBE-AWARE retention ledger: pc_rows and v_cands
+    // derive from the deleted layout's own shrunk cell occupancies,
+    // the full-scan denominator counts survivors
+    "q_serve_requests_tiered_indexed_delete_metrics" -> q((s, dir) =>
+      graft.operators.Search.serveRequestsTieredIndexedDeletedMetrics(s,
+        dir, emb(s, dir), docs(s, dir), bm25MultiQueriesOf(s, dir),
+        filterMultiRelOf(s, dir), fusionMultiRelOf(s, dir),
+        pageKMultiRelOf(s, dir), serveTierRelOf(s, dir),
+        ServeTierLayoutScales, Bm25K1, Bm25B, RrfPoolN, PostBuckets,
+        refineParams("cos_l1").alpha, IvfCells, EmbD, IvfProbe,
+        DeleteMod)),
     // ... and DELETE + TIME TRAVEL composed on the INDEXED layout:
     // snapshot 1 of the indexed layout's delete log served merge-on-
     // read (survivors keep their stale cells — the Lucene contract;
@@ -4081,6 +4104,15 @@ object SparkEntry {
       PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
       Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
       qrelPathForOracle(), negMod = 2 * UpsertMod),
+    // the mixed log at snapshot 2: the upsert and delete views COMPOSED
+    // in one snapshot — vectors flipped where upserted, tombstones cut
+    // from the candidate corpus (an id in both sets simply absent)
+    "q_serve_requests_tiered_mixed_asof" ->
+      SearchOracle.serveRequestsTieredSql(
+        EmbD, Bm25MultiQueries, FilterMultiRel, FusionMultiRel,
+        PageKMultiRel, ServeTierRel, refineParams("cos_l1").alpha,
+        Bm25K1, Bm25B, RrfPoolN, bm25MultiStatsForOracle(),
+        qrelPathForOracle(), negMod = UpsertMod, delMod = DeleteMod),
     // snapshot compaction folds the log, it never changes the snapshot
     "q_serve_requests_tiered_asof_compact" ->
       SearchOracle.serveRequestsTieredSql(
@@ -4179,6 +4211,15 @@ object SparkEntry {
         ServeTierRel, graft.sources.Disaggregated.serveTierCodeBytes,
         refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
         IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle()),
+    // the probe-aware retention ledger: occupancies and the full-scan
+    // denominator over the surviving corpus, assignment stale
+    "q_serve_requests_tiered_indexed_delete_metrics" ->
+      SearchOracle.serveRequestsTieredIndexedMetricsSql(EmbD,
+        Bm25MultiQueries, FilterMultiRel, FusionMultiRel, PageKMultiRel,
+        ServeTierRel, graft.sources.Disaggregated.serveTierCodeBytes,
+        refineParams("cos_l1").alpha, Bm25K1, Bm25B, RrfPoolN, IvfCells,
+        IvfProbe, bm25MultiStatsForOracle(), qrelPathForOracle(),
+        delMod = DeleteMod),
     // the committed-index ledger: the same metrics CTEs with the whole
     // indexed chain (assignment, probes, occupancies, codes, rescore)
     // re-derived over the commit view

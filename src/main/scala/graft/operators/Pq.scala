@@ -790,6 +790,43 @@ object Pq {
   }
 
   /**
+   * A versioned log with HETEROGENEOUS VERBS — the shape real table
+   * formats (Delta/Iceberg) actually keep, where one history mixes
+   * updates and deletes: commit 1 UPSERTS ids ≡ 0 mod `umod` (verb
+   * 'U'), commit 2 DELETES ids ≡ 0 mod `dmod` (verb 'D'), rows
+   * (idCol, verb, commit_v) in one published dir anchored beside the
+   * layout it versions. An id in both commits is upserted at snapshot
+   * 1 and gone at snapshot 2 — the later verb wins by construction
+   * (the reader applies commits in order). Deterministic, bounded,
+   * content-keyed — the [[ensureVersionedTombstones]] discipline with
+   * the verb carried IN the rows.
+   */
+  def ensureVersionedMixedLog(spark: SparkSession, anchorPath: String,
+                              ids: DataFrame, umod: Int, dmod: Int,
+                              idCol: String): String = {
+    import java.nio.file.{Files, Paths}
+    require(umod >= 2 && dmod >= 2 && umod != dmod,
+      s"umod=$umod dmod=$dmod must be distinct moduli >= 2")
+    val path = Paths.get(anchorPath + s"_mixlog_u${umod}_d$dmod")
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Files.createTempDirectory(path.getParent, "mixlog-")
+      val base = ids.select(col(idCol)).distinct()
+      base.filter(col(idCol) % umod === 0)
+        .withColumn("verb", lit("U")).withColumn("commit_v", lit(1))
+        .unionByName(base.filter(col(idCol) % dmod === 0)
+          .withColumn("verb", lit("D")).withColumn("commit_v", lit(2)))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.sources.VecFiles.deleteRecursively(tmp) }
+      require(Files.exists(path.resolve("_SUCCESS")),
+        s"versioned mixed log publish failed: $path")
+    }
+    path.toString
+  }
+
+  /**
    * AS-OF (time-travel) serve over the versioned delete log: apply only
    * the commits with `commit_v <= asOf` — asOf 0 is the pre-delete
    * snapshot, the latest asOf equals the plain merge-on-read query.

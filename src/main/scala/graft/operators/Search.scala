@@ -2192,12 +2192,24 @@ object Search {
         .ensureVersionedTombstones(spark, path, mod, idCol = "id"))
       .filter(col("commit_v") <= asOf)
       .select(col("id"))
-    val stored = spark.read.parquet(path)
+    val view = tieredUpsertedView(spark.read.parquet(path), updIds,
+      layoutScales)
+    (view, updIds)
+  }
+
+  /** The stored tiered relation with `updIds`' rows UPSERTED in-plan
+    * (v' = −v; every tier's codes recomputed from the new vector —
+    * [[graft.sources.Disaggregated.commitServeTierUpserts]]'s exact
+    * expression trees) and every other row's stored codes passed
+    * through verbatim. The merge-on-read building block the as-of and
+    * mixed-log views share. */
+  private def tieredUpsertedView(stored: DataFrame, updIds: DataFrame,
+                                 layoutScales: Seq[Int]): DataFrame = {
     val flagged = stored
       .join(updIds.withColumn("u", lit(1)), Seq("id"), "left")
     val newVec = when(col("u") === 1,
       transform(col("vec"), x => -x)).otherwise(col("vec"))
-    val view = flagged.select(
+    flagged.select(
       Seq(col("id"), col("lang"), newVec.as("vec")) ++
         layoutScales.sorted.map { s =>
           val mul = math.pow(2.0, s)
@@ -2207,7 +2219,6 @@ object Search {
             transform(newVec, x => floor(x * mul + lit(0.5)).cast(t)))
             .otherwise(col(s"code_$s")).as(s"code_$s")
         }: _*)
-    (view, updIds)
   }
 
   /**
@@ -2462,6 +2473,66 @@ object Search {
     val view = spark.read.parquet(path)
       .join(delIds, Seq("id"), "left_anti")
     val fetch = tieredServeFetch(spark, sfDir, emb, filters, tiers,
+      layoutScales, poolN, alpha, storedView = Some(view))
+    val vecPool = TopK.window(
+        fetch.withColumnRenamed("s_full", "score"), poolN)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("score").as("vscore"))
+    serveCut(spark,
+      serveFusedWith(spark, root, docMeta, queries, filters, weights,
+        k1, b, poolN, nBuckets, vecPool), ks)
+  }
+
+  /**
+   * TIME TRAVEL OVER A HETEROGENEOUS-VERB LOG — the history shape real
+   * table formats keep, where one log mixes verbs: commit 1 UPSERTS
+   * ids ≡ 0 mod `umod` (vectors flipped, every tier's codes recomputed
+   * in-plan), commit 2 DELETES ids ≡ 0 mod `dmod` (rows anti-joined
+   * out), both recorded in the layout's one versioned mixed log
+   * ([[graft.operators.Pq.ensureVersionedMixedLog]]) and applied IN
+   * COMMIT ORDER at snapshot `asOf`: snapshot 0 is pristine, snapshot
+   * 1 the upserted view, snapshot 2 the upserted-then-deleted view —
+   * an id in both commits is upserted at 1 and GONE at 2 (the later
+   * verb wins by construction). Query vectors follow the upsert view
+   * from snapshot 1 on (the store serves what it was told to store)
+   * and are never rewritten by the delete (the family-wide contract);
+   * base bucket files stay byte-immutable for every snapshot; both
+   * prefix joins are AQE-sized. The oracle composes `negMod` and
+   * `delMod` in one snapshot view — the batch twin of the mixed-verb
+   * mutating stream, hash-equal by per-request independence.
+   */
+  def serveRequestsTieredMixedAsOf(spark: SparkSession, sfDir: String,
+                                   emb: DataFrame, docMeta: DataFrame,
+                                   queries: Seq[(Long, Seq[String])],
+                                   filters: Seq[(Long, String)],
+                                   weights: Seq[(Long, Double)],
+                                   ks: Seq[(Long, Int)],
+                                   tiers: Seq[(Long, Int)],
+                                   layoutScales: Seq[Int], k1: Double,
+                                   b: Double, poolN: Int,
+                                   nBuckets: Int, alpha: Double,
+                                   umod: Int, dmod: Int,
+                                   asOf: Int): DataFrame = {
+    val root = ensurePostingsLayout(spark, sfDir, nBuckets)
+    val path = graft.sources.Disaggregated.ensureTieredServeFixture(
+      spark, sfDir, layoutScales)
+    val stored = spark.read.parquet(path)
+    val log = spark.read.parquet(graft.operators.Pq
+      .ensureVersionedMixedLog(spark, path,
+        stored.select(col("id")), umod, dmod, idCol = "id"))
+      .filter(col("commit_v") <= asOf)
+    val updIds = log.filter(col("verb") === "U").select(col("id"))
+    val delIds = log.filter(col("verb") === "D").select(col("id"))
+    val view = tieredUpsertedView(stored, updIds, layoutScales)
+      .join(delIds, Seq("id"), "left_anti")
+    val embAsOf = emb
+      .join(updIds.select(col("id").as("vec_id"))
+        .withColumn("upd", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("upd") === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    val fetch = tieredServeFetch(spark, sfDir, embAsOf, filters, tiers,
       layoutScales, poolN, alpha, storedView = Some(view))
     val vecPool = TopK.window(
         fetch.withColumnRenamed("s_full", "score"), poolN)
@@ -3062,6 +3133,30 @@ object Search {
         k1, b, poolN, nBuckets, vecPool), ks)
   }
 
+  /** [[serveRequestsTieredIndexedMetrics]] over the DELETED indexed
+    * layout — the PROBE-AWARE retention ledger: `pc_rows` and
+    * `v_cands` derive from the committed layout's own (shrunk) cell
+    * occupancies, and the full-scan denominator counts the surviving
+    * corpus; queries from the table (the delete contract). */
+  def serveRequestsTieredIndexedDeletedMetrics(
+      spark: SparkSession, sfDir: String, emb: DataFrame,
+      docMeta: DataFrame, queries: Seq[(Long, Seq[String])],
+      filters: Seq[(Long, String)], weights: Seq[(Long, Double)],
+      ks: Seq[(Long, Int)], tiers: Seq[(Long, Int)],
+      layoutScales: Seq[Int], k1: Double, b: Double, poolN: Int,
+      nBuckets: Int, alpha: Double, nCells: Int, d: Int, nprobe: Int,
+      mod: Int): DataFrame = {
+    val layout = graft.sources.Disaggregated
+      .ensureTieredServeIndexedDeleted(spark, sfDir, layoutScales,
+        nCells, d, mod)
+    val candIds = spark.read.parquet(layout)
+      .select(col("id").as("vec_id"))
+    serveRequestsTieredIndexedMetrics(spark, sfDir, emb, docMeta,
+      queries, filters, weights, ks, tiers, layoutScales, k1, b, poolN,
+      nBuckets, alpha, nCells, d, nprobe, layoutPath = Some(layout),
+      candIds = Some(candIds))
+  }
+
   /** Bump when the compacted as-of indexed tiered layout changes. */
   private val TieredIndexedAsOfCompactLayoutVersion = 1
 
@@ -3172,7 +3267,8 @@ object Search {
                                         poolN: Int, nBuckets: Int,
                                         alpha: Double, nCells: Int,
                                         d: Int, nprobe: Int,
-                                        layoutPath: Option[String] = None)
+                                        layoutPath: Option[String] = None,
+                                        candIds: Option[DataFrame] = None)
       : DataFrame = {
     require(ks.nonEmpty,
       "serveRequestsTieredIndexedMetrics: empty page relation")
@@ -3211,7 +3307,10 @@ object Search {
     val fetchAgg = fetch.groupBy(col("qid"))
       .agg(count(lit(1)).as("fetched"))
     val fAgg = fused.groupBy(col("qid")).agg(count(lit(1)).as("fused"))
-    val nV = emb.count() // one bounded scalar (a model)
+    // candIds overrides the full-scan denominator's id universe — the
+    // retention ledger counts the surviving corpus (the occupancy
+    // ledgers already derive from the served layout itself)
+    val nV = candIds.getOrElse(emb.select(col("vec_id"))).count()
     val trRel = broadcast(tiers.map { case (qid, s) =>
       (qid, s, graft.sources.Disaggregated.serveTierCodeBytes(s)
         .toLong * d) }.toDF("qid", "tier", "b_red"))

@@ -1341,14 +1341,25 @@ object SearchOracle {
       tiers: Seq[(Long, Int)], tierCodeBytes: Int => Int, alpha: Double,
       k1: Double, b: Double, poolN: Int, nCells: Int, nprobe: Int,
       st: Option[Bm25Stats], relPath: Option[String] = None,
-      negMod: Int = 0): String = {
+      negMod: Int = 0, delMod: Int = 0): String = {
     val nq = (filters.map(_._1).max + 1).toInt
     // negMod > 0: the commit view — iasg/iqp (and with them the occ and
     // lang-occupancy ledgers) re-derive off the flipped corpus, so
     // pc_rows/v_cands count the committed layout's cells (moved rows
     // where they now live)
     val pool = tieredIndexedVecPoolCtes(d, nq, nCells, nprobe,
-      filters.map(_._2).distinct, tiers, alpha, poolN, relPath, negMod)
+      filters.map(_._2).distinct, tiers, alpha, poolN, relPath, negMod,
+      delMod)
+    // delMod > 0: the retention ledger — the tombstoned rows are gone
+    // from the layout's cells, so the occupancy ledgers and the
+    // full-scan denominator count the survivors only (assignment of
+    // the survivors stays stale — the Lucene contract)
+    val delPredOcc = if (delMod <= 0) ""
+      else s" WHERE vec_id % $delMod <> 0"
+    val delPredLocc = if (delMod <= 0) ""
+      else s" AND a.vec_id % $delMod <> 0"
+    val delPredNv = if (delMod <= 0) ""
+      else s" WHERE vec_id % $delMod <> 0"
     val usedScales = tiers.map(_._2).distinct.sorted
     val bRedExpr = usedScales.init
       .foldRight(s"${tierCodeBytes(usedScales.last)}") { (s, rest) =>
@@ -1358,11 +1369,12 @@ object SearchOracle {
        |tc AS (SELECT qt.qid, COUNT(*) AS t_cands,
        |    CAST(SUM(len(p.term) + 24) AS BIGINT) AS bytes_text
        |  FROM posts p JOIN qt ON p.term = qt.term GROUP BY qt.qid),
-       |occ AS (SELECT cell, COUNT(*) AS occ FROM iasg GROUP BY cell),
+       |occ AS (SELECT cell, COUNT(*) AS occ FROM iasg$delPredOcc
+       |  GROUP BY cell),
        |pc AS (SELECT iqp.qid, CAST(SUM(occ.occ) AS BIGINT) AS pc_rows
        |  FROM iqp JOIN occ ON occ.cell = iqp.cell GROUP BY iqp.qid),
        |locc AS (SELECT a.cell, dm4.lang, COUNT(*) AS n
-       |  FROM iasg a JOIN documents dm4 ON a.vec_id = dm4.doc_id
+       |  FROM iasg a JOIN documents dm4 ON a.vec_id = dm4.doc_id$delPredLocc
        |  GROUP BY a.cell, dm4.lang),
        |vc AS (SELECT iqp.qid, CAST(SUM(l.n) AS BIGINT) AS v_cands
        |  FROM iqp JOIN locc l ON l.cell = iqp.cell
@@ -1370,7 +1382,7 @@ object SearchOracle {
        |  GROUP BY iqp.qid),
        |tfc AS (SELECT qid, COUNT(*) AS fetched FROM tfetch GROUP BY qid),
        |fc AS (SELECT qid, COUNT(*) AS fused FROM scoredf GROUP BY qid),
-       |nvs AS (SELECT COUNT(*) AS nv FROM embeddings),
+       |nvs AS (SELECT COUNT(*) AS nv FROM embeddings$delPredNv),
        |perq AS (SELECT qk3.qid, tr.tier,
        |    COALESCE(tc.t_cands, 0) AS t_cands,
        |    COALESCE(pc.pc_rows, 0) AS pc_rows,

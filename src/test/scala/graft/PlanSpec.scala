@@ -1319,6 +1319,59 @@ class PlanSpec extends AnyFunSuite {
       "serving tiered delete snapshots mutated the base layout's files")
   }
 
+  test("mixed-verb log endpoints: asOf 0 == pristine, asOf 1 == upsert-committed serve, asOf 2 drops the tombstones") {
+    import SparkEntry.{ServeTierLayoutScales, UpsertMod, DeleteMod}
+    def asOf(v: Int): Set[Seq[Any]] =
+      graft.operators.Search.serveRequestsTieredMixedAsOf(spark, dir,
+        Tables.embeddings(spark, dir), Tables.documents(spark, dir),
+        SparkEntry.Bm25MultiQueries, SparkEntry.FilterMultiRel,
+        SparkEntry.FusionMultiRel, SparkEntry.PageKMultiRel,
+        SparkEntry.ServeTierRel, ServeTierLayoutScales,
+        SparkEntry.Bm25K1, SparkEntry.Bm25B, SparkEntry.RrfPoolN,
+        SparkEntry.PostBuckets, SparkEntry.refineParams("cos_l1").alpha,
+        UpsertMod, DeleteMod, asOf = v).collect().map(_.toSeq).toSet
+    // snapshot 0: no commit applied — pristine through the mixed path
+    val pristine = SparkEntry.queries("q_serve_requests_tiered")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(asOf(0) == pristine && pristine.nonEmpty,
+      "mixed-log asOf 0 diverged from the pristine tiered capstone")
+    // snapshot 1: ONLY the upsert commit applied — row-equal to the
+    // serve over the layout PHYSICALLY committed at UpsertMod
+    val upserted = SparkEntry.queries("q_serve_requests_tiered_upsert")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(asOf(1) == upserted && upserted.nonEmpty,
+      "mixed-log asOf 1 != the upsert-committed layout's serve")
+    // snapshot 2 differs from both (the delete commit bites)
+    val s2 = asOf(2)
+    assert(s2 != pristine && s2 != upserted && s2.nonEmpty,
+      "mixed-log snapshot 2 indistinguishable — the delete commit is " +
+        "vacuous in this fixture")
+  }
+
+  test("retention ledgers count the surviving corpus: deleted v_cands and denominators strictly shrink") {
+    import org.apache.spark.sql.functions.col
+    def totals(name: String): (Long, Long) = {
+      val r = SparkEntry.queries(name)(spark, dir)
+        .filter(col("qid") === -1L)
+        .select(col("v_cands"), col("bytes_vec_full"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (vPristine, fullPristine) =
+      totals("q_serve_requests_tiered_metrics")
+    val (vDel, fullDel) = totals("q_serve_requests_tiered_delete_metrics")
+    assert(vDel < vPristine && fullDel < fullPristine,
+      s"flat retention ledger did not shrink: v_cands $vDel vs " +
+        s"$vPristine, denom $fullDel vs $fullPristine")
+    val (vIPristine, fullIPristine) =
+      totals("q_serve_requests_tiered_indexed_metrics")
+    val (vIDel, fullIDel) =
+      totals("q_serve_requests_tiered_indexed_delete_metrics")
+    assert(vIDel < vIPristine && fullIDel < fullIPristine,
+      s"indexed retention ledger did not shrink: v_cands $vIDel vs " +
+        s"$vIPristine, denom $fullIDel vs $fullIPristine")
+  }
+
   test("tiered INDEXED serve layout: one scan prunes cells (files), tiers (chunks), and langs (rows)") {
     // the fully-composed vector side: probe cells as a static partition
     // filter, the bound tiers' code columns as the only chunks read,
