@@ -624,9 +624,17 @@ object Ivf {
         .collect()(0)
       out += ((it, r.getDouble(0), r.getLong(1)))
       if (it < iters) {
-        // retrain: per-(cell, j) sorted-group means off this assignment
+        // retrain: per-(cell, j) sorted-group means off this assignment.
+        // The (id, cell) pairs come from the ALREADY-MATERIALIZED narrow
+        // persist, joined back to the raw embedding scan — re-deriving
+        // `cell` from `assigned` here would re-evaluate (and re-codegen)
+        // the nCells x d distance/argmin tree a second time per
+        // iteration, doubling the dominant pass. Same rows either way
+        // (narrow IS assigned's (id, cell) projection), so the id-ordered
+        // fold below is bit-identical.
         means = TrainFold.orderedSums(
-            assigned
+            emb.select(col("vec_id").as("id"), col("embedding"))
+              .join(narrow.select(col("id"), col("cell")), Seq("id"))
               .select(col("cell"), col("id"), posexplode(col("embedding")))
               .select(col("cell"), (col("pos") + 1).cast("int").as("j"),
                 col("id"), col("col").cast("double").as("x")),
