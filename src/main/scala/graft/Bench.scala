@@ -20,10 +20,45 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // FAIR allocation file: the serialized super-heavy lane gets a WEIGHTED
+    // pool. r18 measurement: the heavy lane runs ONE query at a time, yet
+    // its rows read 3-4x their quiet-rider times (q_refine_metrics 78-118 s
+    // concurrent vs 18-30 s pinned) because each of the 6 co-resident light
+    // queries' pools gets an equal FAIR share — the one heavy's wide stages
+    // receive ~1/7 of the slots. Weighting the lane's pool restores the
+    // intent (lights BACKFILL the heavy's idle capacity, not crowd it out).
+    // Unnamed per-query pools keep default weight 1.
+    val allocFile = java.nio.file.Files.createTempFile("graft-fair", ".xml")
+    java.nio.file.Files.write(allocFile,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="superheavy">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>6</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", allocFile.toString)
+      // guide §2.2: size post-shuffle partitions by BYTES and let AQE
+      // coalesce — parallelismFirst (the default) deliberately under-
+      // coalesces to keep partition count high, which at this suite's
+      // per-stage sizes yields hundreds of near-empty reduce tasks per
+      // query; with 7 queries in flight the task-scheduling churn is
+      // pure overhead. Byte-sized coalescing is the 100 TB setting too
+      // (advisory size governs, not the local core count).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      // 287 queries x multi-stage codegen'd plans cycle through the
+      // default 100-entry generated-class cache; repeated Janino
+      // compiles of recurring trees (fixture synthesis, shared cushion
+      // folds) are driver-side serial work. A larger cache is plain JVM
+      // memory, independent of scale.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       // the bounded-heap top-K aggregator (TopK.aggregate — the graph
       // build's cut) rides ObjectHashAggregateExec, whose sort-based
       // fallback triggers at 128 DISTINCT KEYS by default and would
@@ -374,19 +409,32 @@ object Bench {
     // in the tail — the makespan classic), and give every query its own
     // FAIR pool so an iterative query's many small jobs are not starved
     // behind another query's wide stages.
-    val heavyFirst = Seq("q_refine_metrics", "q_refine_metrics_compressed",
-      "q_refine_metrics_int8", "q_ann_ivf_pq_trained", "q_kmeans_converge",
-      "q_refine_int8",
-      "q_refine_kernel_d128", "q_refine_d128", "q_kernel_hoeff",
-      "q_dedup_groups", "q_corpus_clean", "q_refine_disagg",
-      "q_minhash_lsh", "q_ngram_jaccard", "q_token_bpe", "q_refine_cos_l1",
-      "q_refine_l2_sym", "q_refine_cos_hoeff", "q_refine_l2_tz",
-      "q_refine_l2_hoeff", "q_refine_cos_l2", "q_stream_daily",
-      "q_stream_sessions", "q_stream_refine", "q_bucketed_join",
-      "q_semantic_clusters", "q_tune_grid", "q_ann_cascade_d1024",
-      "q_ann_ivf_pq_res_d1024", "q_ann_ivf_spherical_pq_d1024",
-      "q_ann_ivf_spherical_pq_d3072", "q_cascade_metrics",
-      "q_topk_cos_vecsrc", "q_topk_cos_fvecs", "q_topk_cos_binsrc")
+    // REFRESHED r18 from the quiet-rider (seq_pinned) times, i.e. TRUE
+    // solo cost — the r17 list ranked several rows by their contention-
+    // inflated concurrent times (q_topk_cos_vecsrc read 67 s co-admitted
+    // at t0 but is 4 s solo), so the old front-loading co-admitted six
+    // CHEAP queries alongside the real heavies and inflated everything.
+    // True-cost LPT keeps the front of the queue for rows that actually
+    // occupy a lane the longest.
+    val heavyFirst = Seq("q_refine_metrics", "q_refine_metrics_int8",
+      "q_refine_metrics_compressed", "q_refine_multi_mkeep",
+      "q_kernel_hoeff", "q_ann_ivf_spherical_pq_d1024_at_rest",
+      "q_refine_multi_mkeep_at_rest", "q_ann_ivf_spherical_pq_d1024",
+      "q_ann_ivf_pq_trained", "q_ann_ivf_spherical_pq_d3072",
+      "q_stream_refine", "q_ann_ivf_pq_trained_sampled",
+      "q_refine_int8", "q_ann_ivf_spherical_pq_d3072_at_rest",
+      "q_kmeans_converge", "q_refine_cos_l1", "q_bpe_encode",
+      "q_refine_int8_at_rest", "q_refine_cos_l2", "q_corpus_clean",
+      "q_refine_disagg", "q_refine_l2_sym", "q_refine_l2_tz",
+      "q_ann_ivf_pq_res_d1024", "q_refine_cos_hoeff", "q_refine_l2_hoeff",
+      "q_tune_lsh_pick", "q_ann_ivf_pq_trained_at_rest",
+      "q_refine_kernel_d128", "q_refine_d128",
+      "q_kmeans_converge_sampled", "q_sem_dedup_clean", "q_sem_dedup",
+      "q_topk_cos_vecsrc", "q_pq_distortion", "q_ann_spherical_pq_sampled",
+      "q_ann_ivf_pq_opq_sampled", "q_tune_lsh", "q_ann_ivf_pq_opq_trained",
+      "q_refine_d1024", "q_serve_requests_tiered_mixed_asof",
+      "q_serve_requests_tiered_indexed_delete_asof", "q_dedup_groups",
+      "q_refine_prefix_d1024", "q_ngram_jaccard")
     val rank = heavyFirst.zipWithIndex.toMap
     val ordered = benched.sortBy { case (n, _) => rank.getOrElse(n, heavyFirst.size) }
 
@@ -401,7 +449,12 @@ object Bench {
     // 2: the co-admitted pair still inflated 4-6x over its seq time.)
     val superHeavy = Set("q_refine_metrics", "q_refine_metrics_compressed",
       "q_refine_metrics_int8", "q_kernel_hoeff", "q_corpus_clean",
-      "q_refine_disagg")
+      "q_refine_disagg",
+      // r18: the per-qid m_keep accounting pair rides the same shared-GT
+      // candidate machinery as the metrics trio and showed the same
+      // mutual-contention signature (33-40 s concurrent vs 13-15 s
+      // pinned) — same admission policy, same weighted lane
+      "q_refine_multi_mkeep", "q_refine_multi_mkeep_at_rest")
     // super-heavies get a DEDICATED single-thread lane: one at a time
     // (the r11 semaphore's admission policy) WITHOUT parking fixed-pool
     // threads on an acquire — with 6 gated queries and a 6-thread pool,
@@ -420,7 +473,12 @@ object Bench {
 
     val futures = ordered.map { case (name, fn) =>
       Future {
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        // super-heavies share the WEIGHTED "superheavy" pool (they run
+        // one at a time on the dedicated lane, so they never contend
+        // with each other inside it); everything else keeps its own
+        // default-weight pool
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          if (superHeavy.contains(name)) "superheavy" else name)
         // load stamped at BOTH row edges: the start stamp attributes the
         // conditions the row was DISPATCHED under (early rows start just
         // after the quiet gate passed; late rows start under the suite's
