@@ -30,19 +30,23 @@ object ProfileQ {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
+      // mirror Bench's perf configs (r18 advice: profiles must be taken
+      // under the same planner conditions as the bench they guide)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.quietBoundedWindowWarning()
     names.foreach { name =>
       require(SparkEntry.queries.contains(name), s"unknown query $name")
-      var last: org.apache.spark.sql.DataFrame = null
       (1 to reps).foreach { rep =>
         spark.sparkContext.setJobDescription(s"$name rep $rep")
         val s0 = System.nanoTime()
         val (df, release) = graft.operators.Dedup.scopedRelease(
           SparkEntry.queries(name)(spark, sfDir))
-        try { df.count(); last = df } finally release()
+        try df.count() finally release()
         println(f"[profile] $name $rep ${(System.nanoTime() - s0) / 1e9}%.2f")
       }
       planDir.foreach { dir =>
@@ -51,6 +55,11 @@ object ProfileQ {
         val (df, release) = graft.operators.Dedup.scopedRelease(
           SparkEntry.queries(name)(spark, sfDir))
         try {
+          // collect() (not count()) so df's OWN AdaptiveSparkPlan executes
+          // and finalizes — count() builds a separate aggregate execution
+          // and leaves df.queryExecution un-finalized. Bounded: every
+          // declared query returns a small ledger/top-k relation (Verify
+          // dumps them all), so the pull is driver-safe.
           df.collect()
           val raw = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
