@@ -415,20 +415,41 @@ object SparkEntry {
     val rows = ps.par.map { p => graft.Sched.inPool(s, callerPool) {
       val rel = Refine.fetched(vSub, q, p).persist()
       val kerAll = kerBoth.filter(col("mode") === p.mode).drop("mode")
-      val extras = kerAll.select(col("qid"), col("id"))
-        .join(rel.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
-        .count()
-      val (nKer, nRel) = (kerAll.count(), rel.count())
+      // ONE aggregate for the three set-relation counts (extras / nKer /
+      // nRel ride a single left-join scan of the two small persisted
+      // fetch sets — r19: the suite is driver-bound, so per-invariant
+      // count jobs are the cost, not the rows), and ONE tagged-union
+      // ranked join for the three recall counts (kernel top-K,
+      // partitioned-kernel top-K, relational top-K vs the shared exact
+      // set) — identical membership and tie-break per tag, 2 actions
+      // instead of 6 per mode
+      val statsRow = kerAll.select(col("qid"), col("id"))
+        .join(rel.select(col("qid"), col("id"))
+            .withColumn("in_rel", lit(true)),
+          Seq("qid", "id"), "left")
+        .crossJoin(rel.agg(count(lit(1)).as("n_rel")))
+        .agg(count(lit(1)).as("n_ker"),
+          sum(when(col("in_rel").isNull, 1L).otherwise(0L)).as("extras"),
+          first(col("n_rel")).as("n_rel"))
+        .collect()(0)
+      val (nKer, extras, nRel) =
+        (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
       val exact = exactByFam(p.isCos)
-      val hits = TopK.window(kerAll, p.k, ascending = !p.isCos)
-        .join(exact, Seq("qid", "id")).count()
-      // deployment shape: default-partitioned kernel vs relational refine
-      val partHits = RefineKernel.topk(vSub, q, p)
-        .join(exact, Seq("qid", "id")).count()
-      val relHits =
+      val tagged = Seq(
+        TopK.window(kerAll, p.k, ascending = !p.isCos)
+          .select(col("qid"), col("id"), lit("ker").as("tag")),
+        RefineKernel.topk(vSub, q, p)
+          .select(col("qid"), col("id"), lit("part").as("tag")),
         TopK.window(rel.withColumnRenamed("s_full", "score"), p.k,
-          ascending = !p.isCos)
-        .join(exact, Seq("qid", "id")).count()
+            ascending = !p.isCos)
+          .select(col("qid"), col("id"), lit("rel").as("tag")))
+        .reduce(_ unionByName _)
+      val hitsByTag = tagged.join(exact, Seq("qid", "id"))
+        .groupBy(col("tag")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val hits = hitsByTag.getOrElse("ker", 0L)
+      val partHits = hitsByTag.getOrElse("part", 0L)
+      val relHits = hitsByTag.getOrElse("rel", 0L)
       rel.unpersist(blocking = false)
       (p.mode, extras == 0L, nKer <= nRel, nKer >= K.toLong * NQ,
         hits.toDouble / (K * NQ) >= KernelHoeffFloor, partHits >= relHits)
@@ -499,20 +520,20 @@ object SparkEntry {
   }
 
   /** Accounting metrics (recall/save/fpr) for all six modes. The fixture
-    * and per-family ground truth are computed once and reused; within each
-    * family the reduced pass / window / seeds / tau0 are shared
-    * ([[Refine.metricsFamily]]), so the heavy N*Q work runs twice (once
-    * per family), not six times. */
+    * and per-family ground truth are computed once and reused; ALL SIX
+    * modes share one fused reduced pass, one seed probe, one survivor
+    * rescore, and a fixed-size accounting fan-out
+    * ([[Refine.metricsModes]]) — the heavy N*Q work runs ONCE, not per
+    * family, and the former per-mode count jobs collapse into two
+    * aggregates (r19: the suite is driver-bound at bench SF, so job
+    * count is the cost). Row values and order (cos modes then l2 modes,
+    * each in declaration order) are identical to the per-family form. */
   def qRefineMetrics(spark: SparkSession, dir: String): DataFrame = {
     val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
     val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
     val gt = exactGroundTruths(spark, dir)
-    import scala.collection.parallel.CollectionConverters._
-    val callerPool = graft.Sched.currentPool(spark)
-    Seq(Refine.CosModes, Refine.L2Modes).par.map { fam => graft.Sched.inPool(spark, callerPool) {
-      val ps = fam.map(refineParams)
-      Refine.metricsFamily(v, q, ps, D, groundTruth = Some(gt(ps.head.isCos)))
-    }}.toList.reduce(_ unionByName _)
+    Refine.metricsModes(v, q, (Refine.CosModes ++ Refine.L2Modes).map(refineParams),
+      D, groundTruths = gt)
   }
 
   /** Mode for the measured-compression metrics composition. */

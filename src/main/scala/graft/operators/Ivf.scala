@@ -587,6 +587,14 @@ object Ivf {
   def kmeansConverge(emb: DataFrame, nCells: Int, d: Int,
                      iters: Int): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
+    // INVARIANT (r18 advice): the retrain join below re-attaches the
+    // persisted (id, cell) assignment to the raw embedding scan BY id —
+    // bit-identical to re-deriving cell from `assigned` only because
+    // vec_id is unique (the embeddings table's key contract; Tables
+    // builds it from a distinct key column). A duplicated id would
+    // cross-product against the assignment and corrupt the retrained
+    // means silently, a failure mode the assigned-based derivation
+    // could not have.
     // iter-0 model: the dyadic init centroids (float-exact doubles)
     var means: Map[(Int, Int), Double] =
       (for (g <- 0 until nCells; j <- 1 to d)
@@ -612,27 +620,30 @@ object Ivf {
         .select(col("id"), col("embedding"), col("cell"), col("di"))
       // SSE under the CURRENT model (the [[TrainFold]] sorted-group
       // fold — the corpus statistic never sits in one buffer) + the
-      // occupied-cell count, joined into one 1-row collect; the narrow
-      // (id, cell, di) projection is persisted so both aggregates and
-      // the retrain below share one assignment computation
+      // occupied-cell count; the narrow (id, cell, di) projection is
+      // persisted so the aggregates and the retrain share one
+      // assignment computation
       val narrow = Dedup.persistScoped(
         assigned.select(col("id"), col("cell"), col("di")))
-      val r = TrainFold.orderedSums(narrow, Seq.empty, "id",
+      val stats = TrainFold.orderedSums(narrow, Seq.empty, "id",
           Seq("di" -> "sse"))
         .crossJoin(narrow.agg(countDistinct(col("cell")).as("cells")))
         .select(col("sse"), col("cells"))
-        .collect()(0)
-      out += ((it, r.getDouble(0), r.getLong(1)))
       if (it < iters) {
         // retrain: per-(cell, j) sorted-group means off this assignment.
-        // The (id, cell) pairs come from the ALREADY-MATERIALIZED narrow
-        // persist, joined back to the raw embedding scan — re-deriving
-        // `cell` from `assigned` here would re-evaluate (and re-codegen)
-        // the nCells x d distance/argmin tree a second time per
-        // iteration, doubling the dominant pass. Same rows either way
-        // (narrow IS assigned's (id, cell) projection), so the id-ordered
-        // fold below is bit-identical.
-        means = TrainFold.orderedSums(
+        // The (id, cell) pairs come from the persisted narrow projection,
+        // joined back to the raw embedding scan — re-deriving `cell` from
+        // `assigned` here would re-evaluate (and re-codegen) the
+        // nCells x d distance/argmin tree a second time per iteration,
+        // doubling the dominant pass. Same rows either way (narrow IS
+        // assigned's (id, cell) projection), so the id-ordered fold below
+        // is bit-identical. The iteration's SSE/cells ledger row rides
+        // the SAME collect (cross-joined onto the bounded means relation)
+        // — ONE driver action per iteration instead of two, halving the
+        // trainer's driver-serial round trips (r19 verdict #5: the suite
+        // is driver-bound; iterative trainers' per-iteration collects
+        // serialize on the driver under concurrency).
+        val rows = TrainFold.orderedSums(
             emb.select(col("vec_id").as("id"), col("embedding"))
               .join(narrow.select(col("id"), col("cell")), Seq("id"))
               .select(col("cell"), col("id"), posexplode(col("embedding")))
@@ -641,9 +652,15 @@ object Ivf {
             Seq("cell", "j"), "id", Seq("x" -> "s"))
           .select(col("cell"), col("j"),
             (col("s") / col("n").cast("double")).as("mean"))
+          .crossJoin(stats)
           .collect()
+        out += ((it, rows(0).getDouble(3), rows(0).getLong(4)))
+        means = rows
           .map(row => (row.getInt(0), row.getInt(1)) -> row.getDouble(2))
           .toMap
+      } else {
+        val r = stats.collect()(0)
+        out += ((it, r.getDouble(0), r.getLong(1)))
       }
     }
     val spark = emb.sparkSession

@@ -104,7 +104,8 @@ object Refine {
     * folds (VecExprs) — numerically identical to the HOF forms (same fold
     * order / per-element trees). */
   private def cushionExpr(p: Params,
-                          hcOverride: Option[Column] = None): Column = p.mode match {
+                          hcOverride: Option[Column] = None,
+                          sHat: Column = col("s_hat")): Column = p.mode match {
     case "cos_hoeff" =>
       hcOverride.getOrElse(lit(p.hoeffConst)) *
         sqrt(VecExprs.hoeffSum(col("qvec"), col("delta"))) / fnorm(col("nq2"))
@@ -117,7 +118,7 @@ object Refine {
     case "l2_tz" =>
       VecExprs.lbTzE(col("qvec"), col("rvec"), col("delta"))
     case "l2_hoeff" =>
-      col("s_hat") - lit(2.0 * p.hoeffConst) *
+      sHat - lit(2.0 * p.hoeffConst) *
         sqrt(VecExprs.hoeffDiffSum(col("qvec"), col("rvec"), col("delta")))
   }
 
@@ -159,6 +160,32 @@ object Refine {
                          perQidHc: Boolean = false): DataFrame =
     candidatesMulti(vpre, queries, Seq(p), perQidHc)
       .withColumnRenamed("cush_0", "cush")
+
+  /**
+   * [[candidatesMulti]] generalized over BOTH metric families in ONE
+   * reduced pass: per-(qid,id) rows (qid, id, [s_hat_c], [s_hat_l],
+   * cush_0..cush_{n-1}) — the cos and l2 reduced scores ride the same
+   * broadcast cross join instead of one full N*Q pass per family
+   * (guide §2.3: the pass is the dominant scan; extra columns are
+   * near-free next to a second scan). Expression trees per column are
+   * IDENTICAL to the per-family [[candidatesMulti]] forms.
+   */
+  private def candidatesMixed(vpre: DataFrame, queries: DataFrame,
+                              ps: Seq[Params]): DataFrame = {
+    val hasCos = ps.exists(_.isCos)
+    val hasL2 = ps.exists(!_.isCos)
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      norm2Sq(col("qvec")).as("nq2")))
+    val pairs = vpre.crossJoin(q)
+    val sHatC = dot(col("rvec"), col("qvec")) /
+      (fnorm(col("nr2")) * fnorm(col("nq2")))
+    val sHatL = l2DistSq(col("qvec"), col("rvec"))
+    val sCols = (if (hasCos) Seq(sHatC.as("s_hat_c")) else Nil) ++
+      (if (hasL2) Seq(sHatL.as("s_hat_l")) else Nil)
+    val cushions = ps.zipWithIndex.map { case (p, i) =>
+      cushionExpr(p, None, sHat = sHatL).as(s"cush_$i") }
+    pairs.select(Seq(col("qid"), col("id")) ++ sCols ++ cushions: _*)
+  }
 
   /**
    * Phase 2 seed selection: the top-K candidate ids per query by reduced
@@ -323,22 +350,26 @@ object Refine {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val vSel = full.select(col("id"), col("vec"))
-    // eager Q*k barriers (the fetchedSplitImpl discipline): seedIds and
-    // seeds each feed multiple branches — without materialization the
-    // concurrent consumers re-run the whole candidate pass per branch
+    // eager Q*k barrier (the fetchedSplitImpl discipline): the rescored
+    // seeds feed multiple branches — without materialization the
+    // concurrent consumers re-run the whole candidate pass per branch.
+    // One barrier suffices (r19, see fetchedSplitImpl): the seed-id
+    // window runs once inside the probe's broadcast build; tau0 and the
+    // exclusion read the persisted seeds (same (qid,id) set — cheap and
+    // full are column subsets of one table).
     def eager(df: DataFrame): DataFrame = {
       val mat = df.persist(StorageLevel.MEMORY_AND_DISK)
       mat.count(); mat
     }
-    val seedIds = eager(seedSelect(cand, p.k, isCos = true))
-    val seeds = eager(vSel.join(broadcast(seedIds), Seq("id"))
-      .join(qSel, Seq("qid"))
-      .withColumn("s_full", fullScore(p))
-      .select(col("qid"), col("id"), col("s_full"), col("rn")))
+    val seeds = eager(
+      vSel.join(broadcast(seedSelect(cand, p.k, isCos = true)), Seq("id"))
+        .join(qSel, Seq("qid"))
+        .withColumn("s_full", fullScore(p))
+        .select(col("qid"), col("id"), col("s_full"), col("rn")))
     val tau0 = broadcast(
       seeds.groupBy(col("qid")).agg(min(col("s_full")).as("tau0")))
     val survivorIds = cand
-      .join(broadcast(seedIds.select(col("qid"), col("id"))),
+      .join(broadcast(seeds.select(col("qid"), col("id"))),
         Seq("qid", "id"), "left_anti")
       .join(tau0, Seq("qid"))
       .filter(col("s_hat") + col("cush") >= col("tau0"))
@@ -381,7 +412,6 @@ object Refine {
     } finally {
       fetch.unpersist(blocking = false)
       seeds.unpersist(blocking = false)
-      seedIds.unpersist(blocking = false)
       cand.unpersist(blocking = false)
     }
   }
@@ -428,25 +458,32 @@ object Refine {
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),
       norm2Sq(col("qvec")).as("nq2")))
 
-    // The seed ids and their rescored full scores are Q*k-row relations
-    // consumed by three branches each (seed rescore / tau0 / exclusion,
-    // and tau0 / final union): without an EAGER barrier the concurrent
-    // consumers race the cache fill and each RE-EXECUTES the whole
-    // candidate pass (and the full-table seed probe) — the dominant cost
-    // of the operator repeated 3x. Eager persist (not localCheckpoint:
-    // truncated lineage turns an executor loss into a hard "checkpoint
-    // block not found" failure, while a persisted plan just recomputes),
-    // registered with Dedup's release tracker — CacheManager holds
-    // persisted plans strongly, so Bench/Verify's per-query release is
-    // what actually frees them (the ContextCleaner cannot).
+    // The rescored seeds are a Q*k-row relation consumed by three
+    // branches (tau0 / exclusion / final union): without an EAGER
+    // barrier the concurrent consumers race the cache fill and each
+    // RE-EXECUTES the whole candidate pass (and the full-table seed
+    // probe) — the dominant cost of the operator repeated 3x. Eager
+    // persist (not localCheckpoint: truncated lineage turns an executor
+    // loss into a hard "checkpoint block not found" failure, while a
+    // persisted plan just recomputes), registered with Dedup's release
+    // tracker — CacheManager holds persisted plans strongly, so
+    // Bench/Verify's per-query release is what actually frees them (the
+    // ContextCleaner cannot). ONE barrier suffices (r19): the seed-id
+    // window runs exactly once, inside the seed probe's broadcast build,
+    // and every downstream consumer (tau0, the anti-join exclusion)
+    // reads the persisted seeds — the former separate eager seedIds
+    // persist was a whole extra action + broadcast per query in a
+    // driver-bound suite. seeds.(qid,id) == seedIds.(qid,id) because
+    // cheap and full are column subsets of the SAME table (the split
+    // contract), so the exclusion set is unchanged.
     def eager(df: DataFrame): DataFrame = {
       val mat = Dedup.persistScoped(df)
       mat.count(); mat
     }
-    val seedIds = eager(seedSelect(cand, p.k, p.isCos))
     // seeds: stream the full table once, probing the broadcast seed set
     val seeds = eager(
-      vSel.join(broadcast(seedIds), Seq("id")).join(qSel, Seq("qid"))
+      vSel.join(broadcast(seedSelect(cand, p.k, p.isCos)), Seq("id"))
+        .join(qSel, Seq("qid"))
         .withColumn("s_full", fullScore(p))
         .select(col("qid"), col("id"), col("s_full"), col("rn")))
 
@@ -461,7 +498,7 @@ object Refine {
     // early rejection: map-side filter of the candidate pass against the
     // broadcast tau0 + seed-id exclusion — no shuffle, no sort
     val survivorIds = cand
-      .join(broadcast(seedIds.select(col("qid"), col("id"))),
+      .join(broadcast(seeds.select(col("qid"), col("id"))),
         Seq("qid", "id"), "left_anti")
       .join(tau0, Seq("qid"))
       .filter(survive)
@@ -542,97 +579,187 @@ object Refine {
   def metricsFamily(vectors: DataFrame, queries: DataFrame, ps: Seq[Params],
                     d: Int, groundTruth: Option[DataFrame] = None,
                     redBytesOverride: Option[Double] = None): DataFrame = {
+    val isCos = ps.head.isCos
+    require(ps.forall(p => p.isCos == isCos),
+      "metricsFamily params must share k and metric family")
+    metricsModes(vectors, queries, ps, d,
+      groundTruth.map(g => Map(isCos -> g)).getOrElse(Map.empty),
+      redBytesOverride)
+  }
+
+  /**
+   * [[metricsFamily]] generalized over a MIXED param set (both metric
+   * families at once) with the whole accounting fan-out fused into a
+   * fixed number of Spark actions — the r18-verdict driver-bound fix:
+   * at bench SF the data is small and per-query cost is dominated by
+   * job count (planning + codegen + scheduling), so the former
+   * per-mode `f.count()` + `hits.count()` pairs (12 jobs for the
+   * six-mode sweep) collapse into ONE fetched aggregate and ONE
+   * ranked-hits aggregate, and the two families share a single reduced
+   * pass ([[candidatesMixed]]), a single seed probe of the full table,
+   * and a single survivor rescore stream. Every count and score is the
+   * identical expression tree / identical row set as the per-family
+   * form, so the output rows are value-identical (oracle-proven).
+   *
+   * Actions: seed probe (1), survivor superset (1), nQ + nV (2, tiny
+   * cached fixtures), fetched sums (1), seed counts (1), ranked hits
+   * (1) — 7 total, independent of |ps|, vs 8 + 2|ps| per family before.
+   */
+  def metricsModes(vectors: DataFrame, queries: DataFrame, ps: Seq[Params],
+                   d: Int, groundTruths: Map[Boolean, DataFrame] = Map.empty,
+                   redBytesOverride: Option[Double] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = vectors.sparkSession
     val k = ps.head.k
-    val isCos = ps.head.isCos
-    require(ps.forall(p => p.k == k && p.isCos == isCos),
-      "metricsFamily params must share k and metric family")
+    require(ps.forall(_.k == k), "metricsModes params must share k")
+    val fams = Seq(true, false).filter(f => ps.exists(_.isCos == f))
 
     // cos_l2's cheap side carries the extra query-free `bb` stat; the
     // extra column is inert for the other modes' expressions
     val vpre = cheapSide(vectors, ps.find(_.mode == "cos_l2").getOrElse(ps.head))
-    // the candidate pass feeds the seed branch plus the survivor filter
-    // (and one more scan per extra param in a sweep) — always materialize
-    // it once; (qid, id, s_hat, cush*) rows are narrow, so the cache is a
-    // small fraction of the pass's own compute
-    val cand = candidatesMulti(vpre, queries, ps).persist(StorageLevel.MEMORY_AND_DISK)
+    // the candidate pass is a pure map-side projection off the (cached)
+    // fixture — the fetchedSplit contract: the N*Q relation is never
+    // ranked, shuffled, or persisted wholesale (at 100 TB x Q it is not
+    // storable). Its two consumers (the seed window, the survivor
+    // filter) each stream it map-side; recomputing the D-bounded folds
+    // twice is cheaper than materializing N*Q rows once (measured: see
+    // OPTIMIZATION_r19.md).
+    val cand = candidatesMixed(vpre, queries, ps)
 
     val vSel = vectors.select(col("id"), col("vec"))
     val qSel = broadcast(queries.select(col("qid"), col("qvec"),
       norm2Sq(col("qvec")).as("nq2")))
 
-    // seeds + tau0: family-level (full score and seed set don't depend on
-    // the cushion), exactly the per-mode values of fetchedSplit. Q*k rows
-    // — persisted so the per-mode branches don't re-stream the full table.
-    val seedIds = seedSelect(cand, k, isCos)
-    val seeds = vSel.join(broadcast(seedIds), Seq("id")).join(qSel, Seq("qid"))
-      .withColumn("s_full", fullScore(ps.head))
-      .select(col("qid"), col("id"), col("s_full"), col("rn"))
+    def sHatOf(isCos: Boolean): Column =
+      if (isCos) col("s_hat_c") else col("s_hat_l")
+    // per-family seed ids off the shared candidate pass (two cheap
+    // windows over one persisted relation instead of one window over
+    // each family's own full reduced pass)
+    def seedIdsOf(isCos: Boolean): DataFrame =
+      seedSelect(cand.select(col("qid"), col("id"),
+        sHatOf(isCos).as("s_hat")), k, isCos)
+    // ONE full-table probe rescores both families' seeds: a seed row
+    // carries its family tag and gets its family's exact full-precision
+    // score (same expression trees as the per-family fullScore forms)
+    val seedIdsTagged = fams.map(f => seedIdsOf(f)
+        .select(col("qid"), col("id"), lit(f).as("fam")))
+      .reduce(_ unionByName _)
+    val sFullC = dot(col("vec"), col("qvec")) /
+      (fnorm(norm2Sq(col("vec"))) * fnorm(col("nq2")))
+    val sFullL = l2DistSq(col("qvec"), col("vec"))
+    val seeds = vSel.join(broadcast(seedIdsTagged), Seq("id"))
+      .join(qSel, Seq("qid"))
+      .withColumn("s_full", when(col("fam"), sFullC).otherwise(sFullL))
+      .select(col("qid"), col("id"), col("fam"), col("s_full"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tau0 = broadcast(
-      seeds.groupBy(col("qid")).agg(
-        (if (isCos) min(col("s_full")) else max(col("s_full"))).as("tau0")))
+    def tau0Of(isCos: Boolean): DataFrame = broadcast(
+      seeds.filter(col("fam") === isCos).groupBy(col("qid")).agg(
+        (if (isCos) min(col("s_full")) else max(col("s_full")))
+          .as(s"tau0_$isCos")))
 
-    // survivor superset for the WHOLE family in one candidate pass: each
-    // param contributes a boolean column; a row rides along if any param
-    // keeps it. The full-precision rescore (mode-invariant within a
-    // family) then streams the big table ONCE for all |ps| modes.
-    val flags = ps.zipWithIndex.map { case (_, i) =>
-      (if (isCos) col("s_hat") + col(s"cush_$i") >= col("tau0")
-       else col(s"cush_$i") <= col("tau0")).as(s"f_$i")
+    // survivor superset for ALL modes of BOTH families in one candidate
+    // scan: each param contributes a boolean column; a row rides along
+    // if any param keeps it. Seed exclusion is a per-family broadcast
+    // membership flag (the left_anti of the per-family form, expressed
+    // so both families share the scan), read off the PERSISTED seeds —
+    // same (qid,id) set as the seed-id window, without recomputing the
+    // window inside this branch's broadcast build.
+    val withSeedFlags = fams.foldLeft(cand) { (df, f) =>
+      df.join(broadcast(seeds.filter(col("fam") === f)
+        .select(col("qid"), col("id"), lit(true).as(s"is_seed_$f"))),
+        Seq("qid", "id"), "left")
     }
-    val survivorIds = cand
-      .join(broadcast(seedIds.select(col("qid"), col("id"))),
-        Seq("qid", "id"), "left_anti")
-      .join(tau0, Seq("qid"))
+    val withTau = fams.foldLeft(withSeedFlags) { (df, f) =>
+      df.join(tau0Of(f), Seq("qid"))
+    }
+    val flags = ps.zipWithIndex.map { case (p, i) =>
+      val pass =
+        if (p.isCos) col("s_hat_c") + col(s"cush_$i") >= col("tau0_true")
+        else col(s"cush_$i") <= col("tau0_false")
+      (not(coalesce(col(s"is_seed_${p.isCos}"), lit(false))) && pass)
+        .as(s"f_$i")
+    }
+    val survivorIds = withTau
       .select(col("qid") +: col("id") +: flags: _*)
       .filter(ps.indices.map(i => col(s"f_$i")).reduce(_ || _))
     // no broadcast hint (see fetchedSplit): a lax Hoeffding delta in the
     // param set can make the superset approach N*Q rows — AQE picks
     // broadcast only when the runtime size allows it
+    val sFullCols = fams.map(f =>
+      (if (f) sFullC else sFullL).as(s"s_full_$f"))
     val survivorsAll = vSel.join(survivorIds, Seq("id"))
       .join(qSel, Seq("qid"))
-      .withColumn("s_full", fullScore(ps.head))
-      .select(col("qid") +: col("id") +: col("s_full") +:
+      .select(Seq(col("qid"), col("id")) ++ sFullCols ++
         ps.indices.map(i => col(s"f_$i")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val gtShared = groundTruth.getOrElse {
-      val g = exactTopK(vectors, queries, ps.head)
-      if (ps.length > 1) { val c = g.persist(StorageLevel.MEMORY_AND_DISK); c.count(); c }
-      else g
-    }
+    // ground truths per needed family: provided (session-shared) or the
+    // per-family exact pass, persisted only when >1 param reuses it
+    val gtOwned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val gts = fams.map { f =>
+      f -> groundTruths.getOrElse(f, {
+        val famPs = ps.filter(_.isCos == f)
+        val g = exactTopK(vectors, queries, famPs.head)
+        if (famPs.length > 1) {
+          val c = g.persist(StorageLevel.MEMORY_AND_DISK); c.count()
+          gtOwned += c; c
+        } else g
+      })
+    }.toMap
 
-    // materialize the shared persisted relations BEFORE the parallel
-    // per-mode fan-out: concurrent first-actions on an unmaterialized
-    // cached plan each race to compute every partition of the whole
-    // heavy chain (seed window + candidate pass + full-table stream),
-    // multiplying the dominant cost by |ps| instead of amortizing it.
-    // seeds first (its window job also materializes the persisted cand),
-    // then the survivor superset.
-    seeds.count()
-    survivorsAll.count()
+    try {
+      // materialize the shared persisted relations BEFORE the accounting
+      // aggregates: seeds first (its probe job also materializes the
+      // persisted cand), then the survivor superset
+      seeds.count()
+      survivorsAll.count()
 
-    val nQ = queries.count()
-    val nV = vectors.count()
+      val nQ = queries.count()
+      val nV = vectors.count()
 
-    import scala.collection.parallel.CollectionConverters._
-    val callerPool = graft.Sched.currentPool(spark)
-    val rows =
-      try ps.zipWithIndex.par.map { case (p, i) => graft.Sched.inPool(spark, callerPool) {
-        // per-mode work runs entirely on the two small persisted
-        // relations (seeds, survivor superset) — no big-data scans here
-        val f = seeds.unionByName(
-          survivorsAll.filter(col(s"f_$i"))
-            .select(col("qid"), col("id"), col("s_full"),
-              lit(k + 1).as("rn")))
-        val fin = TopK.window(f.withColumnRenamed("s_full", "score"), k,
-          ascending = !isCos)
-        val nFetched = f.count()
-        val hits = fin.join(gtShared.select(col("qid"), col("id")),
-          Seq("qid", "id")).count()
+      // fetched_i = |seeds of family_i| + |survivors flagged i| — the
+      // exact row count of the former per-mode union — via ONE seed
+      // count job and ONE flag-sum aggregate over the superset
+      val seedCounts = seeds.groupBy(col("fam")).count().collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val survRow = survivorsAll.agg(
+        count(lit(1)).as("n_all"),
+        ps.indices.map(i =>
+          sum(col(s"f_$i").cast("long")).as(s"n_$i")): _*).collect()(0)
+      val nSurv = ps.indices.map(i =>
+        if (survRow.isNullAt(i + 1)) 0L else survRow.getLong(i + 1))
 
+      // hits_i via ONE ranked aggregate: per-mode fetch sets are tagged
+      // (mi), ranked within (mi, qid) by the family's order — identical
+      // membership and tie-break to the former per-mode TopK.window —
+      // joined once against the per-family ground truths
+      val perMode = ps.zipWithIndex.map { case (p, i) =>
+        seeds.filter(col("fam") === p.isCos)
+          .select(lit(i).as("mi"), col("qid"), col("id"), col("s_full"))
+          .unionByName(survivorsAll.filter(col(s"f_$i"))
+            .select(lit(i).as("mi"), col("qid"), col("id"),
+              col(s"s_full_${p.isCos}").as("s_full")))
+      }
+      val u = perMode.reduce(_ unionByName _)
+      def ranked(isCos: Boolean): Option[DataFrame] = {
+        val mis = ps.zipWithIndex.filter(_._1.isCos == isCos).map(_._2)
+        if (mis.isEmpty) None else {
+          val ord = if (isCos) Seq(col("s_full").desc, col("id").asc)
+                    else Seq(col("s_full").asc, col("id").asc)
+          val w = Window.partitionBy(col("mi"), col("qid")).orderBy(ord: _*)
+          Some(u.filter(col("mi").isin(mis: _*))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= k)
+            .join(gts(isCos).select(col("qid"), col("id")), Seq("qid", "id")))
+        }
+      }
+      val hitCounts = fams.flatMap(ranked).reduce(_ unionByName _)
+        .groupBy(col("mi")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+      val rows = ps.zipWithIndex.map { case (p, i) =>
+        val nFetched = seedCounts.getOrElse(p.isCos, 0L) + nSurv(i)
+        val hits = hitCounts.getOrElse(i, 0L)
         val bFull = 16.0 * d / 8.0
         val bRed  = redBytesOverride.getOrElse(p.bitsRed * d / 8.0)
         val total = bRed * nV * nQ + bFull * nFetched
@@ -640,16 +767,14 @@ object Refine {
         val fpr   = (nFetched - k.toLong * nQ).toDouble / (nV.toDouble * nQ)
         val recall = hits.toDouble / (k.toLong * nQ)
         (p.mode, p.keepM, p.delta, recall, save, fpr)
-      }}.toList
-      finally {
-        seeds.unpersist(blocking = false)
-        survivorsAll.unpersist(blocking = false)
-        cand.unpersist(blocking = false)
-        if (groundTruth.isEmpty && ps.length > 1)
-          gtShared.unpersist(blocking = false)
       }
 
-    import spark.implicits._
-    rows.toDF("mode", "m_keep", "delta", "recall", "save", "fpr")
+      import spark.implicits._
+      rows.toDF("mode", "m_keep", "delta", "recall", "save", "fpr")
+    } finally {
+      seeds.unpersist(blocking = false)
+      survivorsAll.unpersist(blocking = false)
+      gtOwned.foreach(_.unpersist(blocking = false))
+    }
   }
 }
