@@ -78,10 +78,13 @@ object Bench {
     quietBoundedWindowWarning()
 
     // SPARK_GRAFT_BENCH_THREADS=1 gives unconfounded per-query times for
-    // local profiling; the default 6-way submission saturates local[32]
-    // (most queries bottom out in ~NQ-partition stages; measured best at
-    // 6 with the fixture caches pre-warmed — 8 thrashes the FAIR pools).
-    val nThreads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "6").toInt
+    // local profiling. Default width re-measured r19 after the operator
+    // job-count cuts (per run, seconds, co-tenant noise is large):
+    // t3 292 | t4 259, 378 | t5 157, 345 | t6 334, 356, 511 | t10 502.
+    // 10 clearly thrashes; 4-5 pools weakly ahead of 6 (means ~285 vs
+    // ~345 excluding the one 511 outlier) — 5 is the default, env knob
+    // for override.
+    val nThreads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "5").toInt
     val pool = Executors.newFixedThreadPool(nThreads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     // q_sweep re-runs four full refinement pipelines the suite already

@@ -467,15 +467,23 @@ object SparkEntry {
   // q_refine_metrics_compressed, and anything else that needs exact
   // top-K. (Entries are ~hundreds of rows; they live for the session.)
   private val gtCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Map[Boolean, DataFrame]]()
+    (SparkSession, String),
+    Map[Boolean, (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]]()
 
   /** Both metric families' exact top-K ground truths from ONE fused
     * full-precision scoring pass (the expression trees are exactly
     * Refine.exactTopK's, so the gt ids — all the hits join consumes —
-    * are unchanged), materialized before being handed out. */
+    * are unchanged). Stored as COLLECTED rows (NQ*K per family — a
+    * bounded model, the [[tuneGridCached]] discipline), not as cached
+    * DataFrames: a cached plan silently degrades to a full N*Q recompute
+    * per consumer after any catalog.clearCache() (the bench's quiet
+    * rider clears the block store before each pinned walk, which made
+    * every pinned metrics row re-pay the whole exact pass), while a
+    * driver-held 200-row relation survives and broadcasts for free. */
   private def exactGroundTruths(spark: SparkSession,
-                                dir: String): Map[Boolean, DataFrame] =
-    gtCache.computeIfAbsent((spark, dir), _ => {
+                                dir: String): Map[Boolean, DataFrame] = {
+    val rows = gtCache.computeIfAbsent((spark, dir), _ => {
       val v = Fixture.fp16VectorsCached(spark, dir, D, KeepM)
       val q = Fixture.queries(v, NQ).select(col("qid"), col("qvec"))
       val qb = broadcast(q.withColumn("nq2", norm2Sq(col("qvec"))))
@@ -488,13 +496,17 @@ object SparkEntry {
         .persist()
       val gt = Map(
         true  -> TopK.window(
-          scored.withColumnRenamed("score_cos", "score"), K).cache(),
+          scored.withColumnRenamed("score_cos", "score"), K),
         false -> TopK.window(
-          scored.withColumnRenamed("score_l2", "score"), K, ascending = true).cache())
-      gt.values.foreach(_.count()) // materialize before concurrent consumers
+          scored.withColumnRenamed("score_l2", "score"), K, ascending = true))
+        .map { case (k, df) => k -> (df.collect(), df.schema) }
       scored.unpersist(blocking = false)
       gt
     })
+    rows.map { case (k, (rs, schema)) =>
+      k -> spark.createDataFrame(java.util.Arrays.asList(rs: _*), schema)
+    }
+  }
 
   /** The 2-D sweep rows + schema, computed ONCE per (session, dir) and
     * shared by q_tune_grid / q_tune_grid_pick / q_tune_pareto — the
